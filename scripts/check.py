@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Loads each query result parquet written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB (tables = views over the sfDir
+parquet files), and compares schema + values exactly (floats bit-for-bit,
+since the engine is designed for exact-decimal reproducibility).
+"""
+import json, math, sys
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(rows, cols):
+    """Sort columns by name; return (sorted col names, row tuples)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    out = [tuple(r[i] for i in order) for r in rows]
+    return names, out
+
+def eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+fails = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        mine = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        mrows, mcols = mine.fetchall(), [d[0] for d in mine.description]
+        mtypes = [str(d[1]) for d in mine.description]
+    except Exception as e:
+        print(f"FAIL {name}: cannot read result: {e}"); fails += 1; continue
+    try:
+        orc = con.execute(sql)
+        orows, ocols = orc.fetchall(), [d[0] for d in orc.description]
+        otypes = [str(d[1]) for d in orc.description]
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
+
+    mnames, mdata = canon(mrows, mcols)
+    onames, odata = canon(orows, ocols)
+    if mnames != onames:
+        print(f"FAIL {name}: columns {mnames} vs oracle {onames}"); fails += 1; continue
+    mt = dict(zip(mcols, mtypes)); ot = dict(zip(ocols, otypes))
+    tmismatch = [c for c in mnames if mt[c] != ot[c]]
+    if tmismatch:
+        print(f"WARN {name}: dtype mismatch {[(c, mt[c], ot[c]) for c in tmismatch]}")
+    if len(mdata) != len(odata):
+        print(f"FAIL {name}: rows {len(mdata)} vs oracle {len(odata)}"); fails += 1; continue
+    bad = None
+    for i, (mr, orr) in enumerate(zip(mdata, odata)):
+        if not all(eq(a, b) for a, b in zip(mr, orr)):
+            bad = (i, mr, orr); break
+    if bad:
+        print(f"FAIL {name}: first diff at row {bad[0]}:\n  mine:   {bad[1]}\n  oracle: {bad[2]}")
+        fails += 1; continue
+    print(f"PASS {name}: {len(mdata)} rows")
+
+# queries with no oracle: rows-only smoke
+meta = set(oracle)
+import os
+for d in sorted(os.listdir(outdir)):
+    if d in meta or d.endswith(".json"):
+        continue
+    try:
+        n = con.execute(f"SELECT count(*) FROM '{outdir}/{d}/*.parquet'").fetchone()[0]
+        print(f"ROWS {d}: {n} rows (no oracle)")
+    except Exception as e:
+        print(f"FAIL {d}: unreadable rows-only result: {e}"); fails += 1
+
+print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+sys.exit(1 if fails else 0)

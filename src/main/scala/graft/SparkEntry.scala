@@ -1,13 +1,701 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+
+/** Driver contract — the operator inventory of SURVEY.md §2 (names with
+  * t- and a- prefixes), the relational parity-plus surface (r-), and the
+  * training-data-pipeline extensions (x-), each as a
+  * (SparkSession, sfDir) => DataFrame with a DuckDB oracle in [[oracleSql]].
+  *
+  * Oracle-reproducibility rules used throughout:
+  *  - Aggregate sums of doubles accumulate in DECIMAL then cast to double —
+  *    float addition is order-sensitive, decimal addition is not, so
+  *    Spark's shuffle order vs DuckDB's scan order cannot flip bits.
+  *  - Every query output carries a deterministic total ORDER BY on a
+  *    unique key, mirrored in the oracle SQL.
+  *  - Explicit casts keep result schemas identical (e.g. Spark `size()`
+  *    is INT while DuckDB `len()` is BIGINT).
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.parquet stores TIMESTAMP(NANOS) which Spark only reads as
+      // long; convert via integer division (ts div 1000 keeps exactness —
+      // a double division would lose precision above 2^53 nanos).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Exact sum of a double column: decimal accumulation, double result. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("t7_reduce")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----- sif core transforms (SURVEY §2.1) -----
+
+    // T1 Map: per-row computation, expressed declaratively (codegen'd).
+    "t1_map" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    // T2 FlatMap: 1 row → n rows (explode).
+    "t2_flatmap" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"), explode(split(col("p_type"), " ")).as("word"))
+        .orderBy("p_partkey", "word")
+    }),
+
+    // T3 Filter: predicate pushed to the parquet scan.
+    "t3_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") > 45 &&
+          col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_shipdate"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    // T4 AddColumn: declare a new empty (all-null) typed column.
+    "t4_add_column" -> ((s, dir) => {
+      t(s, dir, "region")
+        .withColumn("note", lit(null).cast("string"))
+        .orderBy("r_regionkey")
+    }),
+
+    // T5 RemoveColumn: physical column pruning (reaches the scan).
+    "t5_remove_column" -> ((s, dir) => {
+      t(s, dir, "customer").drop("c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // T6 RenameColumn.
+    "t6_rename_column" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .withColumnRenamed("n_nationkey", "nation_key")
+        .withColumnRenamed("n_name", "nation_name")
+        .withColumnRenamed("n_regionkey", "region_key")
+        .orderBy("nation_key")
+    }),
+
+    // T7 Reduce: the aggregation primitive (TPC-H Q1 shape). Partial
+    // aggregation (map-side combine) is Catalyst-automatic here.
+    "t7_reduce" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 6))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("cnt"),
+          (sum(col("l_quantity").cast(DecimalType(28, 4))).cast("double") / count(lit(1))).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // T8 Group: co-locate rows by key (shuffle, no aggregation).
+    "t8_group" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .repartition(col("l_returnflag"))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    // T9/T10 Repartition: explicit partition-count + key control.
+    "t9_repartition" -> ((s, dir) => {
+      t(s, dir, "events")
+        .repartition(8, col("user_id"))
+        .select(col("user_id"), col("event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // T11 KeyColumns: compound-key grouping.
+    "t11_key_columns" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ----- sif actions / accumulators (SURVEY §2.2) -----
+
+    // A1 Collect(limit): bounded deterministic top-k retrieval.
+    "a1_collect" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // A3 Counter accumulator.
+    "a3_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // A4 Adder accumulator (exact sum of a double column).
+    "a4_sum" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(dsum(col("l_extendedprice")).as("total"))),
+
+    // A5 Compose: several accumulators over one pass.
+    "a5_compose" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        dsum(col("l_extendedprice")).as("total"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))),
+
+    // ----- relational parity-plus (SURVEY §2.5 gaps, Spark-native) -----
+
+    // Multi-way join with broadcast dimension (nation) + exact agg.
+    "r_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 6))).cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("n_name")
+    }),
+
+    "r_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "r_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "r_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val oc = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      c.join(oc, c("c_custkey") === oc("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // Window functions: ranking + running aggregate (frame-ordered, so
+    // double accumulation order is pinned on both engines).
+    "r_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        row_number().over(w).cast("long").as("rn"),
+        sum(col("l_quantity").cast(DecimalType(28, 4))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    "r_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(28, 4))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("cum_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "r_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")),
+
+    "r_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(sup).distinct().orderBy("nationkey")
+    }),
+
+    "r_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup).orderBy("nationkey")
+    }),
+
+    "r_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.except(sup).orderBy("nationkey")
+    }),
+
+    "r_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "r_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // Scalar function library passthrough (string / date / math / json /
+    // conditional) — sif has none of these (closures only).
+    "r_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("pfx"),
+        length(col("p_name")).cast("long").as("len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("tag"),
+        regexp_replace(col("p_type"), " ", "_").as("slug"))
+        .orderBy("p_partkey")),
+
+    "r_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+        .orderBy("o_orderkey")),
+
+    "r_math_funcs" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        abs(col("l_discount") - lit(0.05)).as("a"),
+        floor(col("l_quantity") / lit(7.0)).as("f"),
+        ceil(col("l_extendedprice") / lit(1000.0)).as("c"),
+        sqrt(col("l_quantity")).as("s"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    "r_case_expr" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("small").as("bucket"))
+        .orderBy("o_orderkey")),
+
+    "r_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // Event-time tumbling window aggregation (batch form; the streaming
+    // form with watermarks lives in graft.streaming + its spec).
+    "r_events_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    // ----- training-data pipeline extensions (x*) -----
+
+    // Token counting: whitespace tokens + BPE-ish subword proxy.
+    "x_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.subwordCount(col("text")).cast("long").as("n_subwords"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: length/punctuation/stopword signals.
+    "x_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.punctRatio(col("text")).as("punct_ratio"),
+        TF.stopwordRatio(col("text")).as("stopword_ratio"),
+        TF.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Language ID: stopword-profile argmax heuristic.
+    "x_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TF.langId(col("text")).as("predicted"))
+        .orderBy("doc_id")),
+
+    // Exact dedup: group identical texts, keep min id. At scale the
+    // grouping key is the 8-byte fingerprint, not the body (see
+    // x_fingerprint); here the oracle-checkable text-key form.
+    "x_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")),
+
+    // Fingerprint dedup (engine-specific xxhash64 → rows-only check).
+    "x_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TF.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("fp"), col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+    "x_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.2)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash + LSH banding near-dup candidates (xxhash64 → rows-only).
+    "x_minhash_neardup" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 32, rowsPerBand = 4, minEstJaccard = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs by Hamming distance (rows-only).
+    "x_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          Dedup.hammingDist64(col("a.sh"), col("b.sh")).cast("long").as("hamming"))
+        .where(col("hamming") <= 12)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Brute-force cosine top-k against the vec_id=0 query vector,
+    // exact-decimal accumulation for cross-engine bit-equality.
+    "x_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosineExact(col("embedding"), col("qe")), 9).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // LSH-bucketed ANN over embeddings (hash-derived hyperplanes →
+    // rows-only check; recall traded for per-bucket-local cost).
+    "x_lsh_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+        dim = 64, nBits = 8, minCos = 0.2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Multimodal plumbing: opaque binary column + typed metadata (the
+    // decode itself is stubbed in graft.multimodal; here the oracle-
+    // checkable byte-level layer).
+    "x_multimodal_bytes" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        col("n_chars"))
+        .orderBy("doc_id")),
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. Omitted keys (x_fingerprint, x_minhash_neardup,
+  // x_simhash, x_lsh_ann) use engine-specific hashing → rows-only check.
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "t1_map" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        | l_extendedprice * (1.0 - l_discount) AS revenue,
+        | l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "t2_flatmap" ->
+      """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+        |FROM part ORDER BY p_partkey, word""".stripMargin,
+
+    "t3_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '2000-01-01'
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "t4_add_column" ->
+      """SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS note
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "t5_remove_column" ->
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "t6_rename_column" ->
+      """SELECT n_nationkey AS nation_key, n_name AS nation_name,
+        | n_regionkey AS region_key
+        |FROM nation ORDER BY nation_key""".stripMargin,
+
+    "t7_reduce" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS cnt,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "t8_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "t9_repartition" ->
+      """SELECT user_id, event_id FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "t11_key_columns" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a1_collect" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "a3_count" -> "SELECT COUNT(*) AS cnt FROM lineitem",
+
+    "a4_sum" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM lineitem""".stripMargin,
+
+    "a5_compose" ->
+      """SELECT COUNT(*) AS cnt,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS total,
+        | MIN(l_extendedprice) AS min_price,
+        | MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+
+    "r_join" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "r_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "r_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "r_outer_join" ->
+      """SELECT c_custkey, COALESCE(cnt, 0) AS n_orders
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) oc
+        |  ON c_custkey = oc.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "r_window_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        | ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber, l_partkey, l_suppkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "r_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "r_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "r_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "r_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "r_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "r_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "r_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "r_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTR(p_name, 1, 5) AS pfx,
+        | CAST(LENGTH(p_name) AS BIGINT) AS len,
+        | p_brand || '#' || p_type AS tag,
+        | REPLACE(p_type, ' ', '_') AS slug
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "r_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+        | CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
+        | CAST(DAY(o_orderdate) AS BIGINT) AS dom,
+        | CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "r_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        | ABS(l_discount - 0.05) AS a,
+        | CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS f,
+        | CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS c,
+        | SQRT(l_quantity) AS s
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "r_case_expr" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 300000 THEN 'big'
+        |      WHEN o_totalprice > 150000 THEN 'mid'
+        |      ELSE 'small' END AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "r_json_extract" ->
+      """SELECT event_id,
+        | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "r_events_window" ->
+      """SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x_token_count" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_quality" ->
+      """WITH toks AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(tok) AS BIGINT) AS n_tokens,
+        | CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |   ELSE CAST(LENGTH(regexp_replace(text, '[^.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+        |        / CAST(LENGTH(text) AS DOUBLE) END AS punct_ratio,
+        | CASE WHEN len(tok) = 0 THEN 0.0
+        |   ELSE CAST(len(list_filter(tok, x -> x IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+        |        / CAST(len(tok) AS DOUBLE) END AS stopword_ratio,
+        | LEAST(1.0, CAST(len(tok) AS DOUBLE) / 100.0) *
+        |  (1.0 - CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |    ELSE CAST(LENGTH(regexp_replace(text, '[^.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+        |         / CAST(LENGTH(text) AS DOUBLE) END) AS quality
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "x_langid" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |scores AS (
+        | SELECT doc_id, lang,
+        |  len(list_filter(tok, x -> x IN ('the','a','of','and','to','is','in'))) AS s_en,
+        |  len(list_filter(tok, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+        |  len(list_filter(tok, x -> x IN ('le','la','et','les','des','un','est'))) AS s_fr,
+        |  len(list_filter(tok, x -> x IN ('el','los','las','de','y','que','un'))) AS s_es,
+        |  len(list_filter(tok, x -> x IN ('的','是','了','不','在','我','有'))) AS s_zh
+        | FROM toks)
+        |SELECT doc_id, lang,
+        | CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 AND s_zh = 0 THEN 'und'
+        |      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |      WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |      WHEN s_es >= s_zh THEN 'es'
+        |      ELSE 'zh' END AS predicted
+        |FROM scores ORDER BY doc_id""".stripMargin,
+
+    "x_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "x_ngram_jaccard" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS tok
+        | FROM documents),
+        |g0 AS (
+        | SELECT doc_id, unnest(CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+        |   ELSE list_transform(range(1, len(tok) - 1),
+        |     i -> list_extract(tok, i) || ' ' || list_extract(tok, i + 1) || ' ' || list_extract(tok, i + 2)) END) AS gram
+        | FROM toks),
+        |grams AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        | FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "x_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |z AS (
+        | SELECT e.vec_id, e.label,
+        |  CAST(unnest(e.embedding) AS DOUBLE) AS a,
+        |  CAST(unnest(q.qe) AS DOUBLE) AS b
+        | FROM embeddings e, q WHERE e.vec_id <> 0),
+        |d AS (
+        | SELECT vec_id, label,
+        |  SUM(CAST(a * b AS DECIMAL(30,15))) AS dot,
+        |  SUM(CAST(a * a AS DECIMAL(30,15))) AS na,
+        |  SUM(CAST(b * b AS DECIMAL(30,15))) AS nb
+        | FROM z GROUP BY vec_id, label)
+        |SELECT vec_id, label,
+        | ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS cos
+        |FROM d ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "x_multimodal_bytes" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,197 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+/** Row-level operation error with row context — mirrors the reference's
+  * safe closure wrappers that attach the offending row to the error
+  * (reference internal/util/operation.go:10-105).
+  */
+final class RowOpException(msg: String, cause: Throwable)
+  extends RuntimeException(msg, cause)
+
+/** Per-frame execution options. `ignoreRowErrors` reproduces the
+  * reference's NodeOptions.IgnoreRowErrors (cluster/node.go:55,
+  * s_execution.go:89-124): closure failures skip the row instead of
+  * failing the job.
+  */
+final case class GraftOptions(ignoreRowErrors: Boolean = false)
+
+/** Lazy operation chain over a Spark DataFrame — the analogue of the
+  * reference's `DataFrame.To(ops...)` linear lineage (reference
+  * dataframe.go:5-10, internal/dataframe/dataframe.go:69-82). Each
+  * operation is declared against this wrapper and compiled to Catalyst
+  * (relational ops) or typed Dataset closures (row closures), so the
+  * optimizer sees through everything that is declarative.
+  */
+final case class GraftFrame(df: DataFrame, opts: GraftOptions = GraftOptions()) {
+
+  def schema: StructType = df.schema
+  def spark: SparkSession = df.sparkSession
+
+  /** Chain operations, sif-style. */
+  def to(ops: Operation*): GraftFrame = ops.foldLeft(this)((f, op) => op(f))
+
+  def ignoreRowErrors(on: Boolean = true): GraftFrame = copy(opts = opts.copy(ignoreRowErrors = on))
+
+  private def rowEnc(s: StructType) = Encoders.row(s)
+
+  /** T1 Map — apply a closure to every row. The closure receives a mutable
+    * facade and its (possibly mutated) result replaces the row.
+    * Prefer [[withColumnExpr]] where the logic is expressible — closures
+    * are opaque to Catalyst (reference map.go:25-35).
+    */
+  def map(fn: GraftRow => GraftRow): GraftFrame = {
+    val s = schema
+    val ignore = opts.ignoreRowErrors
+    val out = df.mapPartitions { it =>
+      it.flatMap { r =>
+        try Iterator.single(fn(GraftRow.fromRow(r, s)).toRow)
+        catch {
+          case e: Exception if ignore => Iterator.empty
+          case e: Exception => throw new RowOpException(s"map failed on row $r", e)
+        }
+      }
+    }(rowEnc(s))
+    copy(df = out)
+  }
+
+  /** T2 FlatMap — 0..n output rows per input row via a row factory
+    * (reference flatmap.go:25-35).
+    */
+  def flatMap(fn: (GraftRow, () => GraftRow) => Seq[GraftRow]): GraftFrame = {
+    val s = schema
+    val ignore = opts.ignoreRowErrors
+    val out = df.mapPartitions { it =>
+      it.flatMap { r =>
+        try fn(GraftRow.fromRow(r, s), () => GraftRow.empty(s)).map(_.toRow)
+        catch {
+          case e: Exception if ignore => Seq.empty
+          case e: Exception => throw new RowOpException(s"flatMap failed on row $r", e)
+        }
+      }
+    }(rowEnc(s))
+    copy(df = out)
+  }
+
+  /** T3 Filter — keep rows where the predicate holds (reference
+    * filter.go:25-35). Errors under ignoreRowErrors drop the row.
+    */
+  def filter(fn: GraftRow => Boolean): GraftFrame = {
+    val s = schema
+    val ignore = opts.ignoreRowErrors
+    val out = df.mapPartitions { it =>
+      it.filter { r =>
+        try fn(GraftRow.fromRow(r, s))
+        catch {
+          case e: Exception if ignore => false
+          case e: Exception => throw new RowOpException(s"filter failed on row $r", e)
+        }
+      }
+    }(rowEnc(s))
+    copy(df = out)
+  }
+
+  /** Relational fast paths — Catalyst-visible, preferred over closures. */
+  def filterExpr(cond: Column): GraftFrame = copy(df = df.where(cond))
+  def withColumnExpr(name: String, c: Column): GraftFrame = copy(df = df.withColumn(name, c))
+  def select(cols: Column*): GraftFrame = copy(df = df.select(cols: _*))
+
+  /** T4 AddColumn — declare a new all-nil column of the given type
+    * (reference with_column.go:22-36).
+    */
+  def addColumn(name: String, t: ColType): GraftFrame =
+    copy(df = df.withColumn(name, lit(null).cast(t.spark)))
+
+  /** T5 RemoveColumn — physically pruned by Catalyst immediately (the
+    * reference defers to Repack; see SURVEY §4.1) (remove_column.go:20-34).
+    */
+  def removeColumn(names: String*): GraftFrame = copy(df = df.drop(names: _*))
+
+  /** T6 RenameColumn (rename_column.go:20-34). */
+  def renameColumn(oldName: String, newName: String): GraftFrame =
+    copy(df = df.withColumnRenamed(oldName, newName))
+
+  /** T7 Reduce — the reference's aggregation primitive: key each row to
+    * bytes, co-locate equal keys, pairwise-merge rows (reference
+    * reduce.go:94-110). Keys compare by *content* (strictly stronger than
+    * the reference's xxhash64-collision merge, reduce.go:112-125).
+    * Partial (map-side) aggregation comes from reduceGroups' combiner.
+    */
+  def reduce(keyFn: GraftRow => Array[Byte],
+             mergeFn: (GraftRow, GraftRow) => GraftRow): GraftFrame = {
+    val s = schema
+    implicit val rowE = rowEnc(s)
+    implicit val keyE = Encoders.BINARY
+    implicit val tupE = Encoders.tuple(Encoders.BINARY, rowEnc(s))
+    val out = df.groupByKey(r => keyFn(GraftRow.fromRow(r, s)))
+      .reduceGroups((a: Row, b: Row) =>
+        mergeFn(GraftRow.fromRow(a, s), GraftRow.fromRow(b, s)).toRow)
+      .map(_._2)(rowEnc(s))
+    copy(df = out.toDF())
+  }
+
+  /** T11 KeyColumns fast path: relational grouping on named columns. */
+  def reduceByColumns(keys: Seq[String], aggs: Seq[Column]): GraftFrame =
+    copy(df = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*))
+
+  /** T8 Group — co-locate rows with equal keys, no merge (reference
+    * group.go:9-23). Rows with one key land in one partition, sorted.
+    */
+  def group(keys: Column*): GraftFrame =
+    copy(df = df.repartition(keys: _*).sortWithinPartitions(keys: _*))
+
+  /** T9/T10 Repartition — group with explicit partition count
+    * (repartition.go:10-23).
+    */
+  def repartition(numPartitions: Int, keys: Column*): GraftFrame =
+    copy(df = df.repartition(numPartitions, keys: _*))
+
+  /** A1 Collect(limit) — bounded retrieval to the driver (reference
+    * collect.go:68-80; limit is rows here, not partitions).
+    */
+  def collect(limit: Int): Array[GraftRow] = {
+    val s = schema
+    df.limit(limit).collect().map(GraftRow.fromRow(_, s))
+  }
+
+  /** A2 Accumulate — fold every row into per-partition accumulators, then
+    * merge to a single value (reference accumulate.go:21-52): exactly
+    * partial-aggregate + final-merge, expressed on the Dataset.
+    */
+  def accumulate[B](acc: Accumulator[B])(implicit ct: scala.reflect.ClassTag[B]): B = {
+    val s = schema
+    df.rdd.mapPartitions { it =>
+      var b = acc.zero
+      it.foreach { r => b = acc.add(b, GraftRow.fromRow(r, s)) }
+      Iterator.single(b)
+    }.fold(acc.zero)(acc.merge)
+  }
+}
+
+object GraftFrame {
+  /** Wrap an existing DataFrame/Dataset lineage. */
+  def apply(df: DataFrame): GraftFrame = new GraftFrame(df)
+}
+
+/** A named, reusable operation — the unit of `to(...)` chaining
+  * (reference operation.go:21-34).
+  */
+trait Operation { def apply(f: GraftFrame): GraftFrame }
+
+object Operation {
+  def map(fn: GraftRow => GraftRow): Operation = f => f.map(fn)
+  def flatMap(fn: (GraftRow, () => GraftRow) => Seq[GraftRow]): Operation = f => f.flatMap(fn)
+  def filter(fn: GraftRow => Boolean): Operation = f => f.filter(fn)
+  def filterExpr(c: Column): Operation = f => f.filterExpr(c)
+  def addColumn(name: String, t: ColType): Operation = f => f.addColumn(name, t)
+  def removeColumn(names: String*): Operation = f => f.removeColumn(names: _*)
+  def renameColumn(o: String, n: String): Operation = f => f.renameColumn(o, n)
+  def withColumnExpr(name: String, c: Column): Operation = f => f.withColumnExpr(name, c)
+  def reduce(keyFn: GraftRow => Array[Byte],
+             mergeFn: (GraftRow, GraftRow) => GraftRow): Operation =
+    f => f.reduce(keyFn, mergeFn)
+  def group(keys: Column*): Operation = f => f.group(keys: _*)
+  def repartition(n: Int, keys: Column*): Operation = f => f.repartition(n, keys: _*)
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *  - Brute-force cosine top-k — the exactness baseline; O(N·d) per query,
+  *    embarrassingly parallel, no shuffle (query vector broadcast as a
+  *    literal/broadcast join).
+  *  - LSH-bucketed (random hyperplanes) — the 100 TB path: each vector maps
+  *    to a small set of bucket keys; candidate generation is a bucket
+  *    equi-join, so cost is per-bucket quadratic instead of global.
+  *
+  * All arithmetic is expression-level (`zip_with`/`aggregate`) so it stays
+  * codegen'd. Exact-decimal accumulation variants exist for oracle
+  * reproducibility (floating-point sums are order-sensitive; decimal sums
+  * are not).
+  */
+object Similarity {
+
+  /** Dot product of two equal-length numeric arrays, accumulated in
+    * DECIMAL for order-independent exactness, returned as double.
+    */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DecimalType(30, 15))),
+      lit(0).cast(DecimalType(30, 15)),
+      (acc, x) => (acc + x).cast(DecimalType(30, 15))
+    ).cast("double")
+
+  /** Squared L2 norm with exact-decimal accumulation, as double. */
+  def norm2Exact(a: Column): Column = dotExact(a, a)
+
+  /** Cosine similarity of two vectors with order-independent accumulation:
+    * identical bit-for-bit on any engine that sums decimals exactly.
+    */
+  def cosineExact(a: Column, b: Column): Column =
+    dotExact(a, b) / sqrt(norm2Exact(a) * norm2Exact(b))
+
+  /** Fast path: plain double accumulation (sequential fold — deterministic
+    * within Spark, used for production scoring where cross-engine
+    * bit-equality doesn't matter).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Brute-force cosine top-k against a single query vector.
+    * The query vector rides along as a literal array → no shuffle, one scan.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Float], k: Int,
+                     exact: Boolean = false): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val cos = if (exact) cosineExact(col(vecCol), q) else cosine(col(vecCol), q)
+    df.select(col(idCol), cos.as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket key: `nBits` sign bits of dot products
+    * with pseudo-random (seed-derived, deterministic) hyperplanes.
+    * Vectors in the same bucket are near-duplicate candidates.
+    * Backed by the native [[graft.plans.HyperplaneLshBucket]] expression —
+    * hyperplane components derive from xxhash64(bit, dim) so there is no
+    * stored model state to broadcast.
+    */
+  def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Int = 42): Column =
+    graft.plans.HashExpressions.lshBucketF(vec, nBits, seed.toLong)
+
+  /** LSH-accelerated ANN: bucket every vector, join the query's bucket only.
+    * Returns top-k within the query's bucket (recall < 1 by construction —
+    * that's the scale trade; raise nBits↓/probes↑ for recall).
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], dim: Int, nBits: Int, k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val bucketed = df.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), dim, nBits).as("bucket"))
+    val qBucket = lshBucket(q, dim, nBits)
+    bucketed.where(col("bucket") === qBucket)
+      .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs cosine ≥ threshold via LSH bucketing (embedding near-dup).
+    * Output (id_a, id_b, cos), id_a < id_b.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, nBits: Int, minCos: Double): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), dim, nBits).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+}

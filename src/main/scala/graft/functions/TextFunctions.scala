@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions._` so the
+  * expressions stay inside whole-stage codegen (no UDFs) and survive
+  * Catalyst optimization (pushdown/pruning) untouched.
+  *
+  * Capability target: the row-closure text munging users write in the
+  * reference's `Map` operations (go-sif/sif `operations/transform/map.go:25-35`)
+  * expressed as declarative, codegen'd columns — plus the language-ID /
+  * quality / token-count / fingerprint surface a training-data pipeline
+  * needs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. Empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Number of whitespace-delimited tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-pieces + digits + punctuation as separate
+    * tokens (a cheap, deterministic stand-in for a real tokenizer's token
+    * count — scales linearly, no vocab lookups).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(text, "[^.,!?;:'\"()-]", "")).cast("double") /
+          length(text).cast("double"))
+
+  /** Mean token length in characters (0 for token-less text). */
+  def meanTokenLen(text: Column): Column = {
+    val tc = tokenCount(text)
+    when(tc === 0, lit(0.0))
+      .otherwise(
+        aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / tc.cast("double"))
+  }
+
+  /** English-ish stopword ratio — fraction of tokens that are common
+    * function words. High-quality prose sits around 0.3–0.6; word salad and
+    * boilerplate fall outside.
+    */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  def stopwordRatio(text: Column): Column = {
+    val tc = tokenCount(text)
+    when(tc === 0, lit(0.0))
+      .otherwise(stopwordCount(text, EnglishStopwords).cast("double") / tc.cast("double"))
+  }
+
+  /** Composite quality score in [0, 1]:
+    * length factor (saturates at 100 tokens) × (1 − punctuation ratio).
+    * Deterministic, monotone, cheap — a filterable proxy for "real prose".
+    */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), tokenCount(text).cast("double") / lit(100.0)) *
+      (lit(1.0) - punctRatio(text))
+
+  /** Per-language stopword profiles for the n-gram-free language-ID
+    * heuristic. Tiny on purpose: broadcast-free, codegen'd, O(tokens).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "es" -> Seq("el", "los", "las", "de", "y", "que", "un"),
+    "zh" -> Seq("的", "是", "了", "不", "在", "我", "有"),
+  )
+
+  /** Heuristic language ID: argmax of per-language stopword hits, ties
+    * broken by profile order, zero hits → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> stopwordCount(text, words)
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
+          .otherwise(acc)
+    }
+    when(best.getField("s") === 0, lit("und")).otherwise(best.getField("l"))
+  }
+
+  /** 64-bit document fingerprint: xxhash64 of the full text. Stable across
+    * runs/partitions; join-able; the exact-dedup key of choice at 100 TB
+    * (8 bytes shuffled instead of the document body).
+    */
+  def fingerprint(text: Column): Column = xxhash64(text)
+
+  /** Winnowing-style robust fingerprint: minimum xxhash64 over the
+    * document's word `n`-shingles — stable under small edits at either end.
+    */
+  def minShingleFingerprint(text: Column, n: Int): Column =
+    array_min(transform(wordShingles(text, n), g => xxhash64(g)))
+
+  /** Overlapping word `n`-grams ("shingles"), space-joined, de-duplicated.
+    * Documents with fewer than `n` tokens get a single shingle of the whole
+    * text so they still participate in similarity joins.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val tok = tokens(text)
+    val joined = concat_ws(" ", tok)
+    when(size(tok) < n, array(joined)).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), size(tok) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k)): _*))))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling: media travel as opaque
+  * `binary` columns next to typed metadata structs; decode/feature
+  * operators run distributed via mapPartitions in a batch-friendly shape.
+  *
+  * The actual codecs are STUBBED (this environment ships no image/audio
+  * libraries): [[StubCodec]] derives deterministic fake pixels/samples
+  * from the bytes, so the Spark-side plumbing — schema, batching,
+  * partitioning, output contract — is real and testable, and a real codec
+  * drops in by replacing one function.
+  *
+  * Scale notes: binary payloads dominate row size, so operators here never
+  * shuffle the blob — metadata-only projections go through Catalyst
+  * column pruning (a scan that needs only `meta` never reads `data`
+  * from parquet), and per-row derived features are emitted without the
+  * original bytes unless asked.
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("format", StringType),       // png/jpg/wav/mp4/...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType)))
+
+  /** Canonical multimodal table schema: id + blob + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("data", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  /** Deterministic fake codec: all "decode" outputs are pure functions of
+    * the input bytes (xxhash-seeded), standing in for libjpeg/ffmpeg.
+    */
+  object StubCodec {
+    /** "Decode" an image: returns (width, height, meanLuma) derived
+      * deterministically from the bytes. Replace with a real decoder.
+      */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Double) = {
+      val h = java.util.Arrays.hashCode(bytes)
+      val w = 16 + math.abs(h % 1024)
+      val ht = 16 + math.abs((h / 1024) % 1024)
+      val luma = math.abs(h % 256).toDouble
+      (w, ht, luma)
+    }
+
+    /** "Extract" an nDims-dim feature vector from media bytes: a
+      * deterministic projection (stand-in for a CNN/audio embedder).
+      */
+    def featureVector(bytes: Array[Byte], nDims: Int): Array[Float] = {
+      val out = new Array[Float](nDims)
+      var i = 0
+      while (i < nDims) {
+        var acc = 1125899906842597L
+        var j = i
+        while (j < bytes.length) { acc = 31 * acc + bytes(j); j += nDims }
+        out(i) = ((acc % 1000).toFloat) / 1000.0f
+        i += 1
+      }
+      out
+    }
+
+    /** "Sample" frame offsets from a video duration: every `everyMs`. */
+    def frameOffsets(durationMs: Long, everyMs: Long): Seq[Long] =
+      0L.to(math.max(durationMs - 1, 0L)).by(math.max(everyMs, 1L))
+  }
+
+  /** Wrap raw blobs + minimal metadata into the canonical media schema. */
+  def asMediaTable(df: DataFrame, idCol: String, bytesCol: String,
+                   mediaType: String, format: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(bytesCol).cast("binary").as("data"),
+      struct(
+        lit(mediaType).as("media_type"), lit(format).as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+
+  /** Distributed decode: batch-shaped mapPartitions emitting derived image
+    * stats per media row — the plumbing a Pandas-UDF/mapInPandas decode
+    * would use, minus the Python. Output drops the blob by design.
+    */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_luma", DoubleType, nullable = false)))
+    media.select("media_id", "data").mapPartitions { it =>
+      it.map { r =>
+        val (w, h, luma) = StubCodec.decodeImage(r.getAs[Array[Byte]]("data"))
+        Row(r.getLong(0), w, h, luma)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Distributed feature extraction → embedding column, ANN-ready. */
+  def extractFeatures(media: DataFrame, nDims: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    media.select("media_id", "data").mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), StubCodec.featureVector(r.getAs[Array[Byte]]("data"), nDims).toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame sampling for video rows: one output row per sampled offset. */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media
+      .select(col("media_id"), coalesce(col("meta.duration_ms"), lit(0L)).as("dur"))
+      .select(col("media_id"),
+        explode(sequence(lit(0L), greatest(col("dur") - 1, lit(0L)),
+          lit(math.max(everyMs, 1L)))).as("frame_ms"))
+}

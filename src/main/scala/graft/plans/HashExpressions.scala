@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hash-sketch kernels (MinHash,
+  * SimHash, LSH). These are single-pass, allocation-light `eval`
+  * implementations: the Column-function formulation (higher-order
+  * `transform`/`aggregate` per hash function) re-evaluates the shingle
+  * array per hash and runs interpreted — O(numHashes × shingles ×
+  * tokenize) per row vs O(shingles × numHashes) tight-loop here.
+  *
+  * Reference capability note: go-sif/sif keys reductions via xxhash64 of
+  * user key bytes (reference operations/transform/reduce.go:112-125,
+  * internal/partition/partition-keyable.go:15-57); these expressions use
+  * the same xxhash64 family (Spark's XXH64) for sketch hashing.
+  */
+
+/** MinHash signature of a string-array column: element k of the result is
+  * min over the array of xxhash64(element, seed=k). One pass per row.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    require(child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType,
+      s"minhash_signature expects array<string>, got ${child.dataType}")
+    super.checkInputDataTypes()
+  }
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashUTF8String(s, k.toLong)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** 64-bit SimHash of a string-array (token) column: per token, xxhash64
+  * votes each bit up/down; the result sets bits with positive votes.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = XXH64.hashUTF8String(s, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** Random-hyperplane LSH bucket of a float-array embedding: bit b of the
+  * result is the sign of the dot product with a pseudo-random hyperplane
+  * whose component (b, d) derives from xxhash64(b*dim + d, seed) mapped
+  * to [-1, 1). Deterministic, stateless, one pass.
+  */
+case class HyperplaneLshBucket(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    var out = 0L
+    var b = 0
+    while (b < nBits) {
+      var dp = 0.0
+      var d = 0
+      while (d < dim) {
+        val h = XXH64.hashLong((b.toLong << 32) | d.toLong, seed)
+        // map hash to [-1, 1)
+        val comp = (h.toDouble / Long.MaxValue.toDouble)
+        dp += arr.getFloat(d) * comp
+        d += 1
+      }
+      if (dp >= 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLshBucket =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_lsh_bucket"
+}
+
+object HashExpressions {
+  def minhashSignature(grams: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(grams), numHashes))
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  def lshBucketF(vec: Column, nBits: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(HyperplaneLshBucket(ColumnBridge.expression(vec), nBits, seed))
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.api.{ColType, GraftFrame}
+
+/** Data sources with *declared* schemas — the reference never infers
+  * (SURVEY §1.3; reference README.md:83-91). One call per reference
+  * source/parser combination (datasource/file + dsv/jsonl parsers,
+  * datasource/memory), plus parquet, which the reference lacks but every
+  * Spark pipeline starts from.
+  *
+  * Scale notes: globs fan out to Spark's FileScanRDD (split planning,
+  * locality, `spark.sql.files.maxPartitionBytes` sizing) — the reference's
+  * 1-file-1-loader round-robin (file_datasource.go:19-63) is subsumed.
+  * Column pruning and predicate pushdown reach parquet natively.
+  */
+object Sources {
+
+  /** S1+P1: delimited text over a glob with declared schema (reference
+    * datasource/parser/dsv/dsv_parser.go:11-69). Options mirror the
+    * reference parser's conf: delimiter, comment char, header skip,
+    * nil-value sentinel.
+    */
+  def csv(spark: SparkSession, glob: String, schema: StructType,
+          delimiter: String = ",", hasHeader: Boolean = false,
+          comment: String = "#", nilValue: String = ""): GraftFrame =
+    GraftFrame(spark.read
+      .schema(schema)
+      .option("sep", delimiter)
+      .option("header", hasHeader.toString)
+      .option("comment", comment)
+      .option("nullValue", nilValue)
+      .option("mode", "PERMISSIVE")
+      .csv(glob))
+
+  /** S1+P2: JSON-lines over a glob with declared schema (reference
+    * datasource/parser/jsonl/jsonl_parser.go:11-66). The reference's
+    * dotted-gjson-path columns become real nested struct access —
+    * declare nested fields in the schema and select `col("meta.uuid")`.
+    */
+  def jsonl(spark: SparkSession, glob: String, schema: StructType): GraftFrame =
+    GraftFrame(spark.read.schema(schema).json(glob))
+
+  /** Parquet over a glob; schema enforced if provided. */
+  def parquet(spark: SparkSession, glob: String,
+              schema: Option[StructType] = None): GraftFrame = {
+    val r = spark.read
+    GraftFrame(schema.fold(r.parquet(glob))(s => r.schema(s).parquet(glob)))
+  }
+
+  /** S2: static in-memory rows (reference
+    * datasource/memory/memory_datasource.go:12-43) — test/mock use.
+    */
+  def memory(spark: SparkSession, rows: Seq[Row], schema: StructType): GraftFrame =
+    GraftFrame(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema))
+
+  /** Declared-schema helper mirroring the reference's builder flow. */
+  def schemaOf(cols: (String, ColType)*): StructType =
+    cols.foldLeft(graft.api.SchemaBuilder.create()) {
+      case (b, (n, t)) => b.createColumn(n, t)
+    }.toStruct
+}

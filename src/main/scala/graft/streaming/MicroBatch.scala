@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming surface reproducing (and upgrading) the
+  * reference's streaming mode.
+  *
+  * The reference's streaming = re-run the whole pipeline per micro-batch
+  * over generator sources, with no state, no watermarks, no event time
+  * (reference internal/dataframe/plan_executor.go:108-110,
+  * datasource/memorystream/memorystream_datasource_partitionloader.go:24-38,
+  * SURVEY §3.3). [[runPerBatch]] mirrors exactly that via foreachBatch —
+  * each batch is an isolated batch query. Watermarked event-time windows
+  * ([[windowedCounts]]) and keyed state are the Spark-native upgrades.
+  */
+object MicroBatch {
+
+  /** S3 memorystream analogue: an unbounded generated stream of
+    * (timestamp, value) rows at `rowsPerSecond` — Spark's `rate` source
+    * plays the role of the reference's generator functions.
+    */
+  def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+
+  /** Run `pipeline` over every micro-batch as an isolated batch query —
+    * the reference's per-cycle semantics (state rebuilt per batch,
+    * results emitted by side effect). Returns the running query; stop it
+    * (or wait for `timeoutMs`) to terminate — the analogue of the
+    * reference's context-cancellation exit (stream_test.go:96-104).
+    */
+  def runPerBatch(stream: DataFrame,
+                  pipeline: DataFrame => DataFrame,
+                  sink: (DataFrame, Long) => Unit,
+                  intervalMs: Long = 1000L): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(pipeline(batch), id)
+      }
+      .start()
+
+  /** Watermarked tumbling-window aggregation — the event-time upgrade the
+    * reference lacks (SURVEY §2.5). `tsCol` must be a timestamp column.
+    */
+  def windowedAgg(stream: DataFrame, tsCol: String, keyCol: String,
+                  windowDur: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col(keyCol), col("cnt"))
+
+  /** Drive a streaming query until `timeoutMs` then stop — deterministic
+    * finite execution for tests and bounded jobs.
+    */
+  def awaitAndStop(q: StreamingQuery, timeoutMs: Long): Unit = {
+    try q.awaitTermination(timeoutMs)
+    finally if (q.isActive) q.stop()
+  }
+}

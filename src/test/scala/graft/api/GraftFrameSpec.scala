@@ -1,0 +1,121 @@
+package graft.api
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Sources
+
+/** Operator-semantics specs mirroring the reference's integration suite
+  * (SURVEY §5): map/flatmap/filter/reduce/collect/accumulate/repartition
+  * plus error-tolerance modes.
+  */
+class GraftFrameSpec extends SparkSpec {
+
+  private def mem(n: Int) = {
+    val schema = Sources.schemaOf("col1" -> ColType.Int32)
+    Sources.memory(spark, (0 until n).map(i => Row(i)), schema)
+  }
+
+  // reference reduce_test.go:37-81 — count by constant key == numRows
+  test("reduce: count by constant key") {
+    val f = mem(100)
+      .addColumn("count", ColType.Int64)
+      .to(Operation.map(r => r.set("count", 1L)))
+      .reduce(
+        _ => Array[Byte](1),
+        (l, r) => l.set("count", l.getLong("count") + r.getLong("count")))
+    val rows = f.collect(10)
+    assert(rows.length == 1)
+    assert(rows.head.getLong("count") == 100L)
+  }
+
+  // reference collect_test.go:39-73 — map + uppercase + collect
+  test("map + collect preserves values") {
+    val schema = Sources.schemaOf("col1" -> ColType.VarString)
+    val f = Sources.memory(spark, (0 until 10).map(_ => Row("abc")), schema)
+      .to(Operation.map(r => r.set("col1", r.getString("col1").toUpperCase)))
+    val rows = f.collect(100)
+    assert(rows.length == 10)
+    assert(rows.forall(_.getString("col1") == "ABC"))
+  }
+
+  // reference flatmap_test.go:38-73 — 1 row → 3 rows
+  test("flatMap: 1 row to 3 rows") {
+    val f = mem(10).flatMap { (row, fresh) =>
+      (0 until 3).map(_ => fresh().set("col1", row.getInt("col1")))
+    }
+    assert(f.df.count() == 30)
+  }
+
+  // reference repartition_test.go:42-77 — key-homogeneous partitions
+  test("group: rows with equal keys co-located") {
+    val schema = Sources.schemaOf("col1" -> ColType.VarString)
+    val rows = (0 until 20).map(i => Row(if (i % 2 == 0) "abc" else "def"))
+    val f = Sources.memory(spark, rows, schema).group(col("col1"))
+    val perPartition = f.df.rdd
+      .mapPartitions(it => Iterator.single(it.map(_.getString(0)).toSet))
+      .collect()
+    // co-location: each key lives in exactly one partition (keys may share
+    // a partition — hash partitioning — but never split across two)
+    Seq("abc", "def").foreach { k =>
+      assert(perPartition.count(_.contains(k)) == 1)
+    }
+  }
+
+  // reference accumulate_test.go:36-61 — Compose(Counter, Adder)
+  test("accumulate: composed counter + adder") {
+    val f = mem(100)
+    val (cnt, total) = f.accumulate(
+      Accumulators.compose(Accumulators.counter, Accumulators.adder("col1")))
+    assert(cnt == 100L)
+    assert(total == (0 until 100).sum.toDouble)
+  }
+
+  // reference map_error_test.go — IgnoreRowErrors skips bad rows
+  test("ignoreRowErrors: failing rows dropped, rest preserved") {
+    val f = mem(10).ignoreRowErrors()
+      .to(Operation.map { r =>
+        if (r.getInt("col1") % 2 == 1) throw new RuntimeException("odd row")
+        r
+      })
+    assert(f.df.count() == 5)
+  }
+
+  test("row errors fail the job without ignoreRowErrors") {
+    val f = mem(10).to(Operation.map { r =>
+      if (r.getInt("col1") == 3) throw new RuntimeException("boom")
+      r
+    })
+    intercept[Exception] { f.df.count() }
+  }
+
+  test("schema evolution: add/rename/remove columns") {
+    val f = mem(5)
+      .addColumn("extra", ColType.VarString)
+      .renameColumn("extra", "note")
+      .to(Operation.map(r => r.set("note", s"v${r.getInt("col1")}")))
+    assert(f.schema.fieldNames.toSeq == Seq("col1", "note"))
+    assert(f.collect(10).map(_.getString("note")).toSet == Set("v0", "v1", "v2", "v3", "v4"))
+    val g = f.removeColumn("note")
+    assert(g.schema.fieldNames.toSeq == Seq("col1"))
+  }
+
+  test("reduce keys compare by content (byte keys)") {
+    val schema = Sources.schemaOf("k" -> ColType.VarString, "v" -> ColType.Int64)
+    val rows = Seq(Row("a", 1L), Row("b", 2L), Row("a", 3L), Row("b", 4L))
+    val f = Sources.memory(spark, rows, schema)
+      .reduce(
+        r => r.getString("k").getBytes("UTF-8"),
+        (l, r) => l.set("v", l.getLong("v") + r.getLong("v")))
+    val out = f.collect(10).map(r => r.getString("k") -> r.getLong("v")).toMap
+    assert(out == Map("a" -> 4L, "b" -> 6L))
+  }
+
+  test("relational fast paths: filterExpr + reduceByColumns") {
+    val li = Sources.parquet(spark, s"${sf()}/lineitem.parquet")
+    val out = li.filterExpr(col("l_quantity") > 10)
+      .reduceByColumns(Seq("l_returnflag"), Seq(count(lit(1)).as("cnt")))
+    assert(out.df.count() > 0)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "the quick brown fox jumps over the lazy dog"),
+        Row(2L, "the quick brown fox jumps over the lazy cat"),
+        Row(3L, "completely different words entirely here now"),
+        Row(4L, ""),
+        Row(5L, "der hund und die katze und das haus"))),
+      schema)
+  }
+
+  test("tokenCount handles empty and multi-space text") {
+    val out = docs.select(col("id"), TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 9)
+    assert(out(4L) == 0)
+    assert(out(5L) == 8)
+  }
+
+  test("langId picks dominant stopword profile") {
+    val out = docs.select(col("id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(5L) == "de")
+    assert(out(4L) == "und") // no hits → undetermined
+  }
+
+  test("quality score in [0,1], zero for empty") {
+    val out = docs.select(col("id"), TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(4L) == 0.0)
+  }
+
+  test("wordShingles: n-grams distinct, short docs fall back to whole text") {
+    val out = docs.select(col("id"),
+      TextFunctions.wordShingles(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).length == 7) // 9 tokens → 7 trigrams
+    assert(out(1L).contains("the quick brown"))
+    assert(out(4L) == Seq("")) // degenerate doc → single whole-text shingle
+  }
+
+  test("minhash signatures: identical docs agree, similar docs mostly agree") {
+    val sig = Dedup.minhashSignature(col("text"), 3, 32)
+    val out = docs.select(col("id"), sig.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L).length == 32)
+    val agree12 = out(1L).zip(out(2L)).count { case (a, b) => a == b }
+    val agree13 = out(1L).zip(out(3L)).count { case (a, b) => a == b }
+    assert(agree12 > agree13) // fox/dog vs fox/cat share most shingles
+  }
+
+  test("estJaccard ranks similar pairs above dissimilar") {
+    val sigs = docs.select(col("id"), Dedup.minhashSignature(col("text"), 3, 32).as("sig"))
+    val pairs = sigs.as("a").crossJoin(sigs.as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        Dedup.estJaccard(col("a.sig"), col("b.sig")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) > pairs((1L, 3L)))
+  }
+
+  test("simhash: hamming distance small for near-dups, large for distinct") {
+    val out = docs.select(col("id"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(1L), out(2L)) < ham(out(1L), out(3L)))
+  }
+
+  test("ngramJaccardPairs finds the near-dup pair exactly") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("cosine similarity: exact and fast paths agree to 1e-9") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    val vecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(1.0f, 0.0f, 1.0f)),
+        Row(2L, Seq(1.0f, 0.1f, 0.9f)),
+        Row(3L, Seq(-1.0f, 0.5f, 0.0f)))),
+      schema)
+    val q = Seq(1.0f, 0.0f, 1.0f)
+    val out = vecs.select(col("id"),
+      Similarity.cosine(col("v"), array(q.map(lit(_)): _*)).as("fast"),
+      Similarity.cosineExact(col("v"), array(q.map(lit(_)): _*)).as("exact"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    out.foreach { case (_, fast, exact) => assert(math.abs(fast - exact) < 1e-9) }
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) > byId(2L) && byId(2L) > byId(3L))
+  }
+
+  test("bruteForceTopK returns k best, self first") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.where(col("vec_id") === 7).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val top = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 5)
+    val rows = top.collect()
+    assert(rows.length == 5)
+    assert(rows.head.getLong(0) == 7L) // self-similarity = 1.0
+    val cosines = rows.map(_.getDouble(1))
+    assert(cosines.sameElements(cosines.sorted.reverse))
+  }
+
+  test("lsh bucket: same vector → same bucket; ANN recall sanity") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val b = e.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"))
+    val counts = b.groupBy("bucket").count().collect()
+    assert(counts.length > 1) // buckets actually split the space
+  }
+}

@@ -1,0 +1,46 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+    Multimodal.asMediaTable(docs, "doc_id", "blob", "image", "png")
+  }
+
+  test("media table carries blob + typed metadata struct") {
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "data", "meta"))
+    val m = media.select("meta.media_type", "meta.format").distinct().collect()
+    assert(m.length == 1 && m.head.getString(0) == "image")
+  }
+
+  test("decodeImages: deterministic stub stats, blob dropped") {
+    val out = Multimodal.decodeImages(media)
+    assert(out.schema.fieldNames.toSeq == Seq("media_id", "width", "height", "mean_luma"))
+    val rows = out.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getInt(1) >= 16 && r.getInt(2) >= 16))
+    // determinism: same input → same output
+    val again = Multimodal.decodeImages(media).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("extractFeatures yields ANN-ready fixed-dim embeddings") {
+    val out = Multimodal.extractFeatures(media, 16)
+    val rows = out.collect()
+    assert(rows.forall(_.getSeq[Float](1).length == 16))
+  }
+
+  test("sampleFrames: one row per sampled offset") {
+    val withDur = media.withColumn("meta",
+      struct(col("meta.media_type"), col("meta.format"), col("meta.width"),
+        col("meta.height"), lit(100L).as("duration_ms"), col("meta.sample_rate")))
+    val frames = Multimodal.sampleFrames(withDur.limit(3), 40L)
+    // duration 100ms sampled every 40ms → offsets 0,40,80 per media row
+    assert(frames.count() == 9)
+  }
+}

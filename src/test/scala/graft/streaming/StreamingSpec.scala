@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** Streaming semantics mirroring the reference's per-micro-batch
+  * re-execution model (reference stream_test.go:43-104: per-cycle reduce
+  * over generator batches, terminated externally), plus the watermarked
+  * event-time upgrade.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("per-batch pipeline: each micro-batch reduced in isolation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Int]
+    val results = new ConcurrentLinkedQueue[Long]()
+
+    val q = MicroBatch.runPerBatch(
+      input.toDF(),
+      batch => batch.agg(sum(col("value")).as("s")),
+      (out, _) => {
+        val rows = out.collect()
+        if (rows.nonEmpty && !rows.head.isNullAt(0)) results.add(rows.head.getLong(0))
+      },
+      intervalMs = 100L)
+
+    input.addData(1 to 12: _*)
+    q.processAllAvailable()
+    input.addData(13 to 24: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = scala.jdk.CollectionConverters.IteratorHasAsScala(results.iterator()).asScala.toSeq
+    assert(got.contains((1 to 12).sum.toLong))  // batch 1 reduced alone
+    assert(got.contains((13 to 24).sum.toLong)) // batch 2 state NOT carried over
+  }
+
+  test("watermarked tumbling window counts by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "k")
+
+    val agg = MicroBatch.windowedAgg(df, "ts", "k", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData((ts(1), "a"), (ts(2), "a"), (ts(11), "a"), (ts(3), "b"))
+    q.processAllAvailable()
+    val rows = spark.table("winagg")
+      .select(col("window_start"), col("k"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00.0", "a", 2L)))
+    assert(rows.contains(("2024-01-01 10:10:00.0", "a", 1L)))
+    assert(rows.contains(("2024-01-01 10:00:00.0", "b", 1L)))
+  }
+
+  test("rate source produces a streaming frame") {
+    val df = MicroBatch.rateSource(spark, 100)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.contains("value"))
+  }
+}
