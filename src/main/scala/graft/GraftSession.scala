@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.api.GraftFrame
+import graft.plans.{NgramHashes, NgramMinHash, SimHash64, HyperplaneLshBucket}
+
+/** The engine's front door: a tuned SparkSession plus the graft function
+  * surface registered for SQL use.
+  *
+  * Capability parity: the reference's session is `cluster.CreateNode` +
+  * worker bootstrapping (reference cluster/node.go:123-150) — all of that
+  * is Spark's driver/executor layer here. What remains is configuration
+  * tuned for the workload shape and registering our native expressions so
+  * `spark.sql("SELECT simhash64(...)")` works — SQL being the surface the
+  * reference never had.
+  */
+object GraftSession {
+
+  /** Scale-minded defaults:
+    *  - AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+    *  - shuffle partitions sized to the machine, not Spark's legacy 200
+    *  - UTC session timezone (cross-engine reproducibility)
+    */
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+
+  def create(master: String = "local[*]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    registerFunctions(spark)
+    spark
+  }
+
+  /** Register graft's native expressions in the session's FunctionRegistry
+    * so they are callable from SQL text, not just the Scala DSL.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_minhash",
+      exprs => NgramMinHash(exprs(0), exprInt(exprs(1)), exprInt(exprs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_hashes",
+      exprs => NgramHashes(exprs(0), exprInt(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_bucket",
+      exprs => HyperplaneLshBucket(exprs(0), exprInt(exprs(1)), 42L), "scala_udf")
+  }
+
+  private def exprInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
+
+  /** Read one of the standard tables, normalizing storage quirks (the
+    * events table stores TIMESTAMP(NANOS), which Spark reads only as long
+    * — converted here via exact integer division to microseconds).
+    */
+  def readTable(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register the standard testdata tables as SQL views over a scale dir. */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { n =>
+      try readTable(spark, dir, n).createOrReplaceTempView(n)
+      catch { case _: Exception => () } // missing table in a custom dir
+    }
+  }
+
+  /** SQL passthrough returning the chainable frame. */
+  def sql(spark: SparkSession, query: String): GraftFrame =
+    GraftFrame(spark.sql(query))
+}

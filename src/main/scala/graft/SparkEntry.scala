@@ -23,16 +23,8 @@ import graft.functions.{Dedup, Similarity, TextFunctions => TF}
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.parquet stores TIMESTAMP(NANOS) which Spark only reads as
-      // long; convert via integer division (ts div 1000 keeps exactness —
-      // a double division would lose precision above 2^53 nanos).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.readTable(spark, dir, name)
 
   /** Exact sum of a double column: decimal accumulation, double result. */
   private def dsum(c: Column, scale: Int = 4): Column =
@@ -359,13 +351,13 @@ object SparkEntry {
 
     // Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
     "x_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.2)
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 5, 0.2)
         .orderBy("id_a", "id_b")),
 
     // MinHash + LSH banding near-dup candidates (xxhash64 → rows-only).
     "x_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 32, rowsPerBand = 4, minEstJaccard = 0.4)
+        shingleN = 5, numHashes = 32, rowsPerBand = 8, minEstJaccard = 0.4)
         .orderBy("id_a", "id_b")),
 
     // SimHash near-dup pairs by Hamming distance (rows-only).
@@ -410,6 +402,39 @@ object SparkEntry {
         octet_length(col("text")).cast("long").as("n_bytes"),
         col("n_chars"))
         .orderBy("doc_id")),
+
+    // Multimodal decode pipeline: text→binary blob→stubbed image decode →
+    // per-media stats (rows-only; the stub codec is engine-specific).
+    "x_multimodal_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("blob")),
+        "doc_id", "blob", "image", "png")
+      graft.multimodal.Multimodal.decodeImages(media).orderBy("media_id")
+    }),
+
+    // Sessionization: 30-min-gap sessions per user — exact integer
+    // arithmetic on epoch micros, so the oracle matches bit-for-bit.
+    "r_sessionize" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_s",
+          when(col("us") - lag(col("us"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id")))
+            > lit(1800000000L), 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg((sum(col("new_s")) + 1L).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Sketch aggregation: HyperLogLog++ distinct estimate (algorithm is
+    // engine-specific → rows-only; the scalable path for COUNT(DISTINCT)
+    // over 100 TB where exactness isn't required).
+    "x_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
   )
 
   // ---------------------------------------------------------------------
@@ -659,9 +684,9 @@ object SparkEntry {
         | SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS tok
         | FROM documents),
         |g0 AS (
-        | SELECT doc_id, unnest(CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
-        |   ELSE list_transform(range(1, len(tok) - 1),
-        |     i -> list_extract(tok, i) || ' ' || list_extract(tok, i + 1) || ' ' || list_extract(tok, i + 2)) END) AS gram
+        | SELECT doc_id, unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+        |   ELSE list_transform(range(1, len(tok) - 3),
+        |     i -> list_extract(tok, i) || ' ' || list_extract(tok, i + 1) || ' ' || list_extract(tok, i + 2) || ' ' || list_extract(tok, i + 3) || ' ' || list_extract(tok, i + 4)) END) AS gram
         | FROM toks),
         |grams AS (SELECT DISTINCT doc_id, gram FROM g0),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
@@ -697,5 +722,17 @@ object SparkEntry {
     "x_multimodal_bytes" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "r_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (
+        | SELECT user_id,
+        |  CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |       > 1800000000 THEN 1 ELSE 0 END AS new_s
+        | FROM e)
+        |SELECT user_id, CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions,
+        | COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -28,8 +28,7 @@ object Dedup {
     * one pass over the shingles per row.
     */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
-    graft.plans.HashExpressions.minhashSignature(
-      wordShingles(text, shingleN), numHashes)
+    graft.plans.HashExpressions.ngramMinHash(tokens(text), shingleN, numHashes)
 
   /** LSH band keys from a minhash signature: hash of each `rowsPerBand`-wide
     * slice, tagged with the band index. Two documents share a band key ⇒
@@ -74,17 +73,19 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, minJaccard: Double): DataFrame = {
-    val grams = df.select(
-      col(idCol).as("id"),
-      explode(wordShingles(col(textCol), shingleN)).as("gram"))
-    val sizes = grams.groupBy("id").agg(count("*").as("sz"))
-    val inter = grams.as("a").join(grams.as("b"), "gram")
-      .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count("*").as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    // Inverted index over 64-bit gram *hashes* (native NgramHashes expr):
+    // no gram strings are built or shuffled, set sizes ride along with the
+    // exploded rows (no extra size-join), and the equi-join key is 8 bytes.
+    // Hash collisions would perturb counts with probability ~2^-64 — below
+    // any practical concern at 100 TB.
+    val g = df.select(col(idCol).as("id"),
+      graft.plans.HashExpressions.ngramHashes(tokens(col(textCol)), shingleN).as("ghs"))
+    val ex = g.select(col("id"), size(col("ghs")).as("sz"), explode(col("ghs")).as("gh"))
+    ex.as("a").join(ex.as("b"),
+        col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("a.sz").as("sz_a"),
+        col("b.id").as("id_b"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
@@ -96,18 +97,25 @@ object Dedup {
     * `minEstJaccard`. Output: (id_a, id_b, est_jaccard), id_a < id_b.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int = 3, numHashes: Int = 32,
-                          rowsPerBand: Int = 4,
+                          shingleN: Int = 5, numHashes: Int = 32,
+                          rowsPerBand: Int = 8,
                           minEstJaccard: Double = 0.5): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    // Candidate generation joins only (id, bandKey) — signatures stay out
+    // of the shuffle — and pairs are de-duplicated BEFORE scoring, so
+    // estJaccard runs once per unique pair instead of once per shared band.
+    val bands = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
-    banded.as("a").join(banded.as("b"),
+    val cand = bands.as("a").join(bands.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        estJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
   }
 }

@@ -125,6 +125,96 @@ case class HyperplaneLshBucket(child: Expression, nBits: Int, seed: Long)
   override def prettyName: String = "hyperplane_lsh_bucket"
 }
 
+/** Shared n-gram hashing: token array → one 64-bit hash per word n-gram
+  * (chained xxhash64 over per-token hashes — no gram strings are ever
+  * materialized). Fewer than n tokens → a single whole-text gram hash.
+  */
+private[plans] object NgramHashing {
+  final val Seed = 42L
+  def gramHashes(arr: ArrayData, n: Int): Array[Long] = {
+    val nTok = arr.numElements()
+    val th = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      val s = arr.getUTF8String(i)
+      th(i) = if (s == null) 0L else XXH64.hashUTF8String(s, Seed)
+      i += 1
+    }
+    if (nTok < n) {
+      var acc = Seed
+      var j = 0
+      while (j < nTok) { acc = XXH64.hashLong(th(j), acc); j += 1 }
+      Array(acc)
+    } else {
+      val out = new Array[Long](nTok - n + 1)
+      i = 0
+      while (i <= nTok - n) {
+        var acc = Seed
+        var j = 0
+        while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      out
+    }
+  }
+  def distinctLongs(a: Array[Long]): Array[Long] = {
+    val set = new java.util.HashSet[Long](a.length * 2)
+    val out = new Array[Long](a.length)
+    var n = 0
+    var i = 0
+    while (i < a.length) {
+      if (set.add(a(i))) { out(n) = a(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+}
+
+/** MinHash signature computed straight from the token array: n-gram hashes
+  * via [[NgramHashing]], then k seeded re-hashes per gram, keeping mins.
+  * One pass, zero string allocation — the 100 TB path for signature
+  * computation (the string-shingle variant exists for oracle-matching
+  * Jaccard, this one for sketching).
+  */
+case class NgramMinHash(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val grams = NgramHashing.gramHashes(input.asInstanceOf[ArrayData], n)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < grams.length) {
+      var k = 0
+      while (k < numHashes) {
+        val h = XXH64.hashLong(grams(i), k.toLong)
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(newChild: Expression): NgramMinHash =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_minhash"
+}
+
+/** Distinct word n-gram hashes of a token array — the inverted-index key
+  * set for exact n-gram Jaccard joins. Joining on 8-byte hashes instead
+  * of gram strings shrinks shuffle bytes ~5× (collision odds 2^-64).
+  */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(NgramHashing.distinctLongs(
+      NgramHashing.gramHashes(input.asInstanceOf[ArrayData], n)))
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_hashes"
+}
+
 object HashExpressions {
   def minhashSignature(grams: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(grams), numHashes))
@@ -132,4 +222,8 @@ object HashExpressions {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   def lshBucketF(vec: Column, nBits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(HyperplaneLshBucket(ColumnBridge.expression(vec), nBits, seed))
+  def ngramMinHash(tokens: Column, n: Int, numHashes: Int): Column =
+    ColumnBridge.column(NgramMinHash(ColumnBridge.expression(tokens), n, numHashes))
+  def ngramHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(NgramHashes(ColumnBridge.expression(tokens), n))
 }

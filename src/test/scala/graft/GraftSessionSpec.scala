@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftSessionSpec extends SparkSpec {
+
+  test("native expressions callable from SQL after registration") {
+    GraftSession.registerFunctions(spark)
+    GraftSession.registerTables(spark, sf())
+    val row = spark.sql(
+      """SELECT doc_id,
+        |  simhash64(split(trim(text), '\\s+')) AS sh,
+        |  ngram_minhash(split(trim(text), '\\s+'), 5, 16) AS sig,
+        |  size(ngram_hashes(split(trim(text), '\\s+'), 5)) AS n_grams
+        |FROM documents ORDER BY doc_id LIMIT 1""".stripMargin).collect().head
+    assert(row.getSeq[Long](2).length == 16)
+    assert(row.getInt(3) > 0)
+  }
+
+  test("lsh_bucket usable in SQL over embeddings") {
+    GraftSession.registerFunctions(spark)
+    GraftSession.registerTables(spark, sf())
+    val n = spark.sql(
+      "SELECT lsh_bucket(embedding, 8) AS b FROM embeddings")
+      .select(countDistinct(col("b"))).collect().head.getLong(0)
+    assert(n > 1)
+  }
+
+  test("sql passthrough returns chainable GraftFrame") {
+    GraftSession.registerTables(spark, sf())
+    val f = GraftSession.sql(spark,
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1")
+    assert(f.filterExpr(col("cnt") > 0).df.count() > 0)
+  }
+}
