@@ -252,6 +252,62 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
 
+    "r_union_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.unionAll(sup).orderBy("nationkey")
+    }),
+
+    "r_full_outer" -> ((s, dir) => {
+      val big = t(s, dir, "customer").where(col("c_acctbal") > 0)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      big.join(sup, big("c_nationkey") === sup("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    "r_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "r_pivot" -> ((s, dir) => {
+      val p = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+      p.select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "r_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("d_flags"))),
+
+    "r_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Scalar function library passthrough (string / date / math / json /
     // conditional) — sif has none of these (closures only).
     "r_string_funcs" -> ((s, dir) =>
@@ -584,6 +640,49 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "r_union_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION ALL SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "r_full_outer" ->
+      """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+        | COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        |      WHERE c_acctbal > 0 GROUP BY c_nationkey) c
+        |FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+        |      GROUP BY s_nationkey) s
+        |  ON c.c_nationkey = s.s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "r_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "r_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+        | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+        | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "r_count_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS d_parts,
+        | COUNT(DISTINCT l_suppkey) AS d_supps,
+        | COUNT(DISTINCT (l_returnflag, l_linestatus)) AS d_flags
+        |FROM lineitem""".stripMargin,
+
+    "r_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | LAG(o_totalprice, 1) OVER w AS prev_price,
+        | LEAD(o_totalprice, 1) OVER w AS next_price,
+        | CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "r_string_funcs" ->
       """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTR(p_name, 1, 5) AS pfx,

@@ -63,4 +63,23 @@ object MicroBatch {
     try q.awaitTermination(timeoutMs)
     finally if (q.isActive) q.stop()
   }
+
+  /** Custom keyed state across micro-batches via mapGroupsWithState — the
+    * stateful upgrade over the reference's rebuild-per-cycle model
+    * (reference plan_executor.go:108-110 rebuilds all reduce state every
+    * cycle; here state is a first-class, fault-tolerant store).
+    */
+  def runningCounts[V, K](ds: org.apache.spark.sql.Dataset[V], key: V => K)(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      oe: org.apache.spark.sql.Encoder[(K, Long)])
+      : org.apache.spark.sql.Dataset[(K, Long)] =
+    ds.groupByKey(key)
+      .mapGroupsWithState[Long, (K, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (k: K, vals: Iterator[V],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + vals.size
+          state.update(c)
+          (k, c)
+      }(org.apache.spark.sql.Encoders.scalaLong, oe)
 }

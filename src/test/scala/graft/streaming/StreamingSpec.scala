@@ -62,6 +62,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:00:00.0", "b", 1L)))
   }
 
+  test("mapGroupsWithState: keyed state carried across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val counts = MicroBatch.runningCounts(input.toDS(), identity[String])
+    val q = counts.writeStream.format("memory").queryName("statecnt")
+      .outputMode("update").start()
+    input.addData("a", "a", "b")
+    q.processAllAvailable()
+    input.addData("a")
+    q.processAllAvailable()
+    val last = spark.table("statecnt").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    q.stop()
+    assert(last("a") == 3L) // 2 from batch 1 + 1 from batch 2: state persisted
+    assert(last("b") == 1L)
+  }
+
   test("rate source produces a streaming frame") {
     val df = MicroBatch.rateSource(spark, 100)
     assert(df.isStreaming)
