@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed loop: the first queries of a
+    // cold session otherwise pay ~5-10s of classloading + JIT that has
+    // nothing to do with query cost.
+    (1 to 2).foreach { _ =>
+      try SparkEntry.queries("t7_reduce")(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
