@@ -449,6 +449,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // IVF-style ANN: deterministic coarse quantizer, probe nearest
+    // centroid buckets only (rows-only; quantizer is engine-specific).
+    "x_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding"))
+        .collect().head.getSeq[Float](0).toArray
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, 10,
+        nCentroids = 16, nProbe = 4)
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata (the
     // decode itself is stubbed in graft.multimodal; here the oracle-
     // checkable byte-level layer).

@@ -90,6 +90,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids =
+    * hash-sampled corpus vectors) partitions the space; each vector is
+    * assigned to its nearest centroid by one plan-local `ArgMaxDot` map
+    * (no shuffle), and a query probes only the `nProbe` closest centroid
+    * buckets. The inverted lists are exactly what an IVF index stores —
+    * here they are just a bucketed DataFrame, so at 100 TB the bucket
+    * column doubles as a partition/bucketing key for the stored index.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int = 16): (DataFrame, Array[Array[Double]]) = {
+    // Deterministic coarse quantizer: take the nCentroids vectors with the
+    // smallest xxhash64(id) — a seeded uniform sample, no training step.
+    val sampled = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy("h").limit(nCentroids)
+      .select("v").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = sampled.head.length
+    val flat = sampled.flatten
+    val assigned = df.withColumn("ivf_bucket",
+      graft.plans.HashExpressions.argMaxDot(col(vecCol), flat, dim))
+    (assigned, sampled)
+  }
+
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (assigned, centroids) = ivfAssign(df, idCol, vecCol, nCentroids)
+    val qd = query.map(_.toDouble)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qd).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val q = array(query.map(v => lit(v)): _*)
+    assigned.where(col("ivf_bucket").isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs cosine ≥ threshold via LSH bucketing (embedding near-dup).
     * Output (id_a, id_b, cos), id_a < id_b.
     */

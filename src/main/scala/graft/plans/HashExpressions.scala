@@ -215,6 +215,38 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** Nearest-centroid assignment for IVF-style ANN: returns the index of
+  * the centroid (rows of `flatCentroids`, laid out row-major, `dim` wide)
+  * with the highest dot product against the input float vector. The
+  * centroid table is a plan-time literal — small by construction (the
+  * coarse quantizer), so it ships inside the serialized plan and the
+  * assignment is a pure map (no shuffle, no join).
+  */
+case class ArgMaxDot(child: Expression, flatCentroids: Array[Double], dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(flatCentroids.length % dim == 0, "centroid table not rectangular")
+  private val nCentroids = flatCentroids.length / dim
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var best = -1
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < nCentroids) {
+      var dp = 0.0
+      var d = 0
+      val off = c * dim
+      while (d < dim) { dp += arr.getFloat(d) * flatCentroids(off + d); d += 1 }
+      if (dp > bestDot) { bestDot = dp; best = c }
+      c += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxDot =
+    copy(child = newChild)
+  override def prettyName: String = "argmax_dot"
+}
+
 object HashExpressions {
   def minhashSignature(grams: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(grams), numHashes))
@@ -226,4 +258,6 @@ object HashExpressions {
     ColumnBridge.column(NgramMinHash(ColumnBridge.expression(tokens), n, numHashes))
   def ngramHashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(NgramHashes(ColumnBridge.expression(tokens), n))
+  def argMaxDot(vec: Column, flatCentroids: Array[Double], dim: Int): Column =
+    ColumnBridge.column(ArgMaxDot(ColumnBridge.expression(vec), flatCentroids, dim))
 }

@@ -119,6 +119,22 @@ class FunctionsSpec extends SparkSpec {
     assert(cosines.sameElements(cosines.sorted.reverse))
   }
 
+  test("ivfTopK: probed ANN finds the exact top-1 for an in-corpus query") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.where(col("vec_id") === 7).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val top = Similarity.ivfTopK(e, "vec_id", "embedding", q, 5,
+      nCentroids = 8, nProbe = 8) // probe all buckets → exact
+    val rows = top.collect()
+    assert(rows.nonEmpty && rows.head.getLong(0) == 7L) // self is nearest
+    // partial probing returns a subset of the full ranking
+    val partial = Similarity.ivfTopK(e, "vec_id", "embedding", q, 5,
+      nCentroids = 8, nProbe = 2).collect()
+    assert(partial.nonEmpty)
+    val fullIds = rows.map(_.getLong(0)).toSet
+    assert(partial.map(_.getDouble(1)).forall(c => c <= rows.head.getDouble(1)))
+  }
+
   test("lsh bucket: same vector → same bucket; ANN recall sanity") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val b = e.select(col("vec_id"),

@@ -64,6 +64,16 @@ class SourcesSpec extends SparkSpec {
     assert(rows.count(_.isNil("extra")) == 1)
   }
 
+  test("csv.gz: compressed files decode transparently (Decoder-hook analogue)") {
+    val d = Files.createTempDirectory("graft-gz")
+    val f = d.resolve("data.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(f))
+    out.write("1,x\n2,y\n".getBytes("UTF-8")); out.close()
+    val schema = Sources.schemaOf("id" -> ColType.Int32, "v" -> ColType.VarString)
+    val rows = Sources.csv(spark, f.toString, schema).collect(10)
+    assert(rows.map(r => (r.getInt("id"), r.getString("v"))).toSet == Set((1, "x"), (2, "y")))
+  }
+
   test("parquet: pushdown-friendly declared read") {
     val f = Sources.parquet(spark, s"${sf()}/lineitem.parquet")
     assert(f.df.count() == 6000)
