@@ -26,6 +26,11 @@ class GraftSessionSpec extends SparkSpec {
     assert(n > 1)
   }
 
+  test("GraftExtensions injects functions without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext) // would throw on malformed injections
+  }
+
   test("sql passthrough returns chainable GraftFrame") {
     GraftSession.registerTables(spark, sf())
     val f = GraftSession.sql(spark,
