@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+
+/** Output paths. The reference has NO sink abstraction — results leave via
+  * `Collect`/`Accumulate` to the coordinator or side-effecting `Map`
+  * closures (reference README.md:333, edsm_test.go:138-184 writes PNGs
+  * inside a Map). Spark-native equivalents, plus real columnar sinks the
+  * reference lacks:
+  *
+  *  - columnar/batch writers with partition pruning on the way back in
+  *  - `foreachPartition` for the side-effect pattern (connection-per-
+  *    partition, the correct shape for external stores at 1000 executors)
+  *  - streaming sinks live in [[graft.streaming.MicroBatch.runPerBatch]]
+  */
+object Sinks {
+
+  /** Partitioned parquet — `partitionBy` columns become directory keys, so
+    * downstream readers get partition pruning for free. At 100 TB choose
+    * low-cardinality keys (date, source) — not high-cardinality IDs.
+    */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+              mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def csv(df: DataFrame, path: String, header: Boolean = true,
+          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+
+  def jsonl(df: DataFrame, path: String,
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** The reference's side-effecting-Map output pattern, done right: one
+    * callback per partition (per-partition connection/batch), executed on
+    * executors, no data through the driver.
+    */
+  def foreachPartitionSink(df: DataFrame)(f: Iterator[Row] => Unit): Unit =
+    df.foreachPartition(f)
+}

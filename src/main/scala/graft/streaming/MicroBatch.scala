@@ -82,4 +82,26 @@ object MicroBatch {
           state.update(c)
           (k, c)
       }(org.apache.spark.sql.Encoders.scalaLong, oe)
+
+  /** flatMapGroupsWithState: 0..n outputs per key per batch with custom
+    * state — here, emit a row only when a key's running count crosses a
+    * threshold (change-detection shape: alerts, compaction triggers).
+    */
+  def thresholdAlerts[V, K](ds: org.apache.spark.sql.Dataset[V], key: V => K,
+                            threshold: Long)(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      oe: org.apache.spark.sql.Encoder[(K, Long)])
+      : org.apache.spark.sql.Dataset[(K, Long)] =
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Long, (K, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (k: K, vals: Iterator[V],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + vals.size
+          state.update(after)
+          if (before < threshold && after >= threshold) Iterator.single((k, after))
+          else Iterator.empty
+      }(org.apache.spark.sql.Encoders.scalaLong, oe)
 }

@@ -1,0 +1,37 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.SparkSpec
+
+class SinksSpec extends SparkSpec {
+
+  test("partitioned parquet round-trips with partition pruning") {
+    val d = Files.createTempDirectory("graft-sink").toString
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    Sinks.parquet(li, s"$d/li", partitionBy = Seq("l_returnflag"))
+    val back = spark.read.parquet(s"$d/li").where(col("l_returnflag") === "R")
+    assert(back.count() == li.where(col("l_returnflag") === "R").count())
+    // pruning: the filter lands in PartitionFilters (directory-level skip)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("= R"))
+  }
+
+  test("jsonl sink round-trips") {
+    val d = Files.createTempDirectory("graft-sink").toString
+    val n = spark.read.parquet(s"${sf()}/nation.parquet")
+    Sinks.jsonl(n, s"$d/nation")
+    assert(spark.read.json(s"$d/nation").count() == 25)
+  }
+
+  test("foreachPartition sink executes once per row, executor-side") {
+    val acc: LongAccumulator = spark.sparkContext.longAccumulator("rows")
+    val r = spark.read.parquet(s"${sf()}/region.parquet")
+    Sinks.foreachPartitionSink(r)(it => it.foreach(_ => acc.add(1)))
+    assert(acc.value == 5L)
+  }
+}

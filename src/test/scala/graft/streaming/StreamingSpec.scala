@@ -81,6 +81,26 @@ class StreamingSpec extends SparkSpec {
     assert(last("b") == 1L)
   }
 
+  test("flatMapGroupsWithState: alert emitted once when count crosses threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val alerts = MicroBatch.thresholdAlerts(input.toDS(), identity[String], 3L)
+    val q = alerts.writeStream.format("memory").queryName("alerts")
+      .outputMode("update").start()
+    input.addData("a", "a", "b")
+    q.processAllAvailable()
+    input.addData("a", "b")
+    q.processAllAvailable()
+    input.addData("a")
+    q.processAllAvailable()
+    val rows = spark.table("alerts").collect().map(r => (r.getString(0), r.getLong(1)))
+    q.stop()
+    assert(rows.count(_._1 == "a") == 1) // crossed 3 exactly once (batch 2)
+    assert(rows.find(_._1 == "a").get._2 == 3L)
+    assert(!rows.exists(_._1 == "b")) // b never reached 3
+  }
+
   test("rate source produces a streaming frame") {
     val df = MicroBatch.rateSource(spark, 100)
     assert(df.isStreaming)
