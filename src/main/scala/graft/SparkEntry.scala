@@ -449,6 +449,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // As-of join (most-recent purchase per event) — composed from one
+    // union + one window pass (graft.operators.AsOf); oracle is DuckDB's
+    // native ASOF LEFT JOIN. Integer (epoch-micros) comparisons → exact.
+    "r_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val purch = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .agg(max(col("event_id")).as("p_event_id"))
+      graft.operators.AsOf.join(ev, purch, "user_id", "us", "p_us",
+          Seq("p_event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_p_event_id").as("prev_purchase_id"))
+        .orderBy("event_id")
+    }),
+
     // IVF-style ANN: deterministic coarse quantizer, probe nearest
     // centroid buckets only (rows-only; quantizer is engine-specific).
     "x_ivf_ann" -> ((s, dir) => {
@@ -831,6 +848,14 @@ object SparkEntry {
     "x_multimodal_bytes" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "r_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us, MAX(event_id) AS p_event_id
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, p.p_event_id AS prev_purchase_id
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us >= p.p_us
+        |ORDER BY e.event_id""".stripMargin,
 
     "r_sessionize" ->
       """WITH e AS (

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join — the canonical time-series operator
+  * Spark lacks as a primitive. Composed from existing operators per the
+  * preference order (no custom plan needed): tag both sides, union,
+  * single window pass carrying the last right-side match forward.
+  *
+  * For each left row: the right row with the same key and the greatest
+  * `rightTs <= leftTs` (right side must be unique per (key, ts) —
+  * pre-aggregate if not). Left rows with no prior right row get null.
+  *
+  * Scale shape: ONE shuffle of |L|+|R| rows on the key (the union is
+  * shuffle-free), then a linear window scan per key partition — strictly
+  * better than the naive range-join (|L|×|R| per key) and equal to the
+  * dedicated MERGE_ASOF implementations elsewhere. Skewed keys: salt the
+  * window key upstream or rely on AQE.
+  */
+object AsOf {
+
+  /** @param left       left (probe) side
+    * @param right      right (reference) side, unique per (key, ts)
+    * @param key        equi-join key column name (same name both sides)
+    * @param leftTs     left ordering column (numeric or timestamp)
+    * @param rightTs    right ordering column, comparable with leftTs
+    * @param rightCols  right columns to carry (must not collide with left)
+    */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String,
+           rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // tag=0 sorts right-side rows before left rows at equal ts, so a left
+    // row at exactly rightTs sees that right row (inclusive as-of).
+    val l2 = left.select(
+      (leftCols.map(col) ++ Seq(col(key).as("__k"), col(leftTs).cast("double").as("__ts"),
+        lit(1).as("__tag")) ++ rightCols.map(c => lit(null).as(s"__r_$c"))): _*)
+    val r2 = right.select(
+      (leftCols.map(c => lit(null).as(c)) ++ Seq(col(key).as("__k"),
+        col(rightTs).cast("double").as("__ts"), lit(0).as("__tag")) ++
+        rightCols.map(c => col(c).as(s"__r_$c"))): _*)
+    val unioned = l2.unionByName(r2)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__tag") === 1)
+      .select((leftCols.map(col) ++ rightCols.map(c => col(s"__r_$c").as(s"asof_$c"))): _*)
+  }
+}
