@@ -387,6 +387,25 @@ object SparkEntry {
         TF.langId(col("text")).as("predicted"))
         .orderBy("doc_id")),
 
+    // Corpus vocabulary: token frequency table (the first step of any
+    // tokenizer/quality pipeline). Deterministic top-100.
+    "x_vocab" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100)),
+
+    // End-to-end near-dup removal: detect pairs (exact n-gram Jaccard),
+    // cluster (label propagation), keep canonical doc per cluster
+    // (rows-only: iterative plan, but output is deterministic).
+    "x_dedup_drop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
+      Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // Exact dedup: group identical texts, keep min id. At scale the
     // grouping key is the 8-byte fingerprint, not the body (see
     // x_fingerprint); here the oracle-checkable text-key form.
@@ -804,6 +823,14 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "x_vocab" ->
+      """WITH tk AS (
+        | SELECT unnest(CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS token
+        | FROM documents)
+        |SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
 
     "x_ngram_jaccard" ->
       """WITH toks AS (

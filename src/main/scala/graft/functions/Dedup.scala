@@ -93,6 +93,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list — label propagation:
+    * each node iteratively adopts the minimum label among itself and its
+    * neighbors until fixpoint. Output: (id, label) with label = min id in
+    * the component. Converges in O(component diameter) rounds — near-dup
+    * clusters are shallow (most are pairs/triangles), so the loop is
+    * short; `localCheckpoint` truncates lineage each round so plans stay
+    * flat at scale.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var prev: DataFrame = null
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newlabel"))
+        .localCheckpoint()
+      changed = updated.where(col("newlabel") =!= col("label")).count()
+      // free the superseded iteration's checkpoint blocks — leaked blocks
+      // pile up in executor storage memory and GC-thrash later queries
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = labels
+      labels = updated.select(col("id"), col("newlabel").as("label"))
+      iter += 1
+    }
+    // `labels` projects over the final iteration's (still-persisted)
+    // checkpoint; only that one block set survives the call.
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Drop near-duplicates: given the corpus and a detected pair list,
+    * cluster the pairs and keep only each cluster's canonical (min-id)
+    * document plus all unpaired documents — the standard corpus-dedup
+    * final step.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val doomed = connectedComponents(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as("__doomed_id"))
+    df.join(doomed, df(idCol) === col("__doomed_id"), "left_anti")
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard ≥
     * `minEstJaccard`. Output: (id_a, id_b, est_jaccard), id_a < id_b.
     */

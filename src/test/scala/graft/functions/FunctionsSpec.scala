@@ -87,6 +87,25 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connectedComponents + dropNearDuplicates: canonical doc per cluster") {
+    import org.apache.spark.sql.types._
+    val pSchema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    // chain 1-2-3 (one cluster), pair 5-6; 4 unpaired
+    val pairs = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 2L), Row(2L, 3L), Row(5L, 6L))), pSchema)
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    val dSchema = StructType(Seq(StructField("doc_id", LongType)))
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 6L).map(Row(_))), dSchema)
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L)) // canonical per cluster + unpaired
+  }
+
   test("cosine similarity: exact and fast paths agree to 1e-9") {
     val schema = StructType(Seq(
       StructField("id", LongType),
