@@ -387,6 +387,26 @@ object SparkEntry {
         TF.langId(col("text")).as("predicted"))
         .orderBy("doc_id")),
 
+    // End-to-end curation pipeline: language filter → quality floor →
+    // exact-dedup (keep min id per text) → token accounting. The
+    // composition a training-data pipeline runs before tokenization;
+    // one declarative plan, fully oracle-checked.
+    "x_pipeline_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("text"),
+        TF.langId(col("text")).as("pred_lang"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      scored
+        .where(col("pred_lang") === "en" && col("quality") > 0.2)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          max(col("n_tokens")).as("n_tokens"),
+          max(col("quality")).as("quality"))
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus vocabulary: token frequency table (the first step of any
     // tokenizer/quality pipeline). Deterministic top-100.
     "x_vocab" -> ((s, dir) =>
@@ -823,6 +843,34 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "x_pipeline_curate" ->
+      """WITH toks AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |scored AS (
+        | SELECT doc_id, text,
+        |  len(list_filter(tok, x -> x IN ('the','a','of','and','to','is','in'))) AS s_en,
+        |  len(list_filter(tok, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+        |  len(list_filter(tok, x -> x IN ('le','la','et','les','des','un','est'))) AS s_fr,
+        |  len(list_filter(tok, x -> x IN ('el','los','las','de','y','que','un'))) AS s_es,
+        |  len(list_filter(tok, x -> x IN ('的','是','了','不','在','我','有'))) AS s_zh,
+        |  CAST(len(tok) AS BIGINT) AS n_tokens,
+        |  LEAST(1.0, CAST(len(tok) AS DOUBLE) / 100.0) *
+        |   (1.0 - CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |     ELSE CAST(LENGTH(regexp_replace(text, '[^.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+        |          / CAST(LENGTH(text) AS DOUBLE) END) AS quality
+        | FROM toks),
+        |f AS (
+        | SELECT * FROM scored
+        | WHERE NOT (s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 AND s_zh = 0)
+        |   AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh
+        |   AND quality > 0.2)
+        |SELECT MIN(doc_id) AS doc_id, MAX(n_tokens) AS n_tokens,
+        | MAX(quality) AS quality
+        |FROM f GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "x_vocab" ->
       """WITH tk AS (

@@ -15,6 +15,26 @@ trait Accumulator[B] extends Serializable {
 
 object Accumulators {
 
+  /** Bridge a sif-style Accumulator into Spark's `Aggregator` so it runs
+    * inside relational aggregation (`ds.select(agg.toColumn)`, window
+    * frames, groupBy via `functions.udaf`) — partial-aggregate + final-
+    * merge topology identical to the reference's worker-fold +
+    * coordinator-merge (accumulate.go:21-52), but planned by Catalyst.
+    */
+  def asAggregator[B](acc: Accumulator[B],
+                      schema: org.apache.spark.sql.types.StructType)(
+      implicit be: org.apache.spark.sql.Encoder[B])
+      : org.apache.spark.sql.expressions.Aggregator[org.apache.spark.sql.Row, B, B] =
+    new org.apache.spark.sql.expressions.Aggregator[org.apache.spark.sql.Row, B, B] {
+      def zero: B = acc.zero
+      def reduce(b: B, r: org.apache.spark.sql.Row): B =
+        acc.add(b, GraftRow.fromRow(r, schema))
+      def merge(a: B, b: B): B = acc.merge(a, b)
+      def finish(b: B): B = b
+      def bufferEncoder: org.apache.spark.sql.Encoder[B] = be
+      def outputEncoder: org.apache.spark.sql.Encoder[B] = be
+    }
+
   /** A3 Counter (reference accumulators/count.go:11-51). */
   def counter: Accumulator[Long] = new Accumulator[Long] {
     def zero = 0L

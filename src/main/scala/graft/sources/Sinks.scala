@@ -33,6 +33,22 @@ object Sinks {
             mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Bucketed + sorted table: rows are hash-partitioned into `nBuckets`
+    * files per partition by `bucketCols` at write time. Two tables
+    * bucketed the same way join WITHOUT a shuffle — the write pre-pays
+    * the exchange once for every future join/aggregation on those keys.
+    * The 100 TB pattern for fact tables that join repeatedly.
+    */
+  def bucketedTable(df: DataFrame, tableName: String,
+                    bucketCols: Seq[String], nBuckets: Int,
+                    sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
+
   /** The reference's side-effecting-Map output pattern, done right: one
     * callback per partition (per-partition connection/batch), executed on
     * executors, no data through the driver.

@@ -112,6 +112,17 @@ class GraftFrameSpec extends SparkSpec {
     assert(out == Map("a" -> 4L, "b" -> 6L))
   }
 
+  test("Accumulator runs as a Catalyst Aggregator (toColumn)") {
+    import org.apache.spark.sql.Encoders
+    val li = Sources.parquet(spark, s"${sf()}/lineitem.parquet").df
+    val agg = Accumulators.asAggregator(
+      Accumulators.adder("l_quantity"), li.schema)(Encoders.scalaDouble)
+    val viaAgg = li.select(agg.toColumn).collect().head
+    val viaSql = li.agg(org.apache.spark.sql.functions.sum("l_quantity"))
+      .collect().head.getDouble(0)
+    assert(math.abs(viaAgg - viaSql) < 1e-6)
+  }
+
   test("relational fast paths: filterExpr + reduceByColumns") {
     val li = Sources.parquet(spark, s"${sf()}/lineitem.parquet")
     val out = li.filterExpr(col("l_quantity") > 10)

@@ -28,6 +28,25 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.json(s"$d/nation").count() == 25)
   }
 
+  test("bucketed tables join with NO exchange on either side") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = spark.read.parquet(s"${sf()}/customer.parquet")
+      .select("c_custkey", "c_name")
+    Sinks.bucketedTable(orders, "orders_b", Seq("o_custkey"), 4, Seq("o_custkey"))
+    Sinks.bucketedTable(cust, "cust_b", Seq("c_custkey"), 4, Seq("c_custkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_b")
+        .join(spark.table("cust_b"), col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(j.count() == orders.join(cust,
+        orders("o_custkey") === cust("c_custkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("foreachPartition sink executes once per row, executor-side") {
     val acc: LongAccumulator = spark.sparkContext.longAccumulator("rows")
     val r = spark.read.parquet(s"${sf()}/region.parquet")
