@@ -308,6 +308,17 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // SQL surface: the engine's spark.sql passthrough with a scalar
+    // subquery — identical SQL text runs on both engines.
+    "r_sql_subquery" -> ((s, dir) => {
+      GraftSession.registerTables(s, dir)
+      s.sql(
+        """SELECT o_orderkey,
+          | o_totalprice - (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+          |                        / COUNT(*) FROM orders) AS delta
+          |FROM orders ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // Scalar function library passthrough (string / date / math / json /
     // conditional) — sif has none of these (closures only).
     "r_string_funcs" -> ((s, dir) =>
@@ -749,6 +760,12 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "r_sql_subquery" ->
+      """SELECT o_orderkey,
+        | o_totalprice - (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+        |                        / COUNT(*) FROM orders) AS delta
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "r_string_funcs" ->
       """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTR(p_name, 1, 5) AS pfx,
