@@ -148,6 +148,14 @@ final case class GraftFrame(df: DataFrame, opts: GraftOptions = GraftOptions()) 
   def repartition(numPartitions: Int, keys: Column*): GraftFrame =
     copy(df = df.repartition(numPartitions, keys: _*))
 
+  /** Runtime stats — the analogue of the reference's per-stage stats
+    * service (reference internal/stats/stats.go:12-157, served over
+    * gRPC): named metrics computed *during* execution, no extra pass.
+    * Read them from the Observation after an action completes.
+    */
+  def observe(obs: org.apache.spark.sql.Observation, metrics: Column*): GraftFrame =
+    copy(df = df.observe(obs, metrics.head, metrics.tail: _*))
+
   /** A1 Collect(limit) — bounded retrieval to the driver (reference
     * collect.go:68-80; limit is rows here, not partitions).
     */

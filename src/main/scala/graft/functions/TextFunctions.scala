@@ -85,20 +85,12 @@ object TextFunctions {
   )
 
   /** Heuristic language ID: argmax of per-language stopword hits, ties
-    * broken by profile order, zero hits → "und" (undetermined).
+    * broken by profile order, zero hits → "und" (undetermined). Backed by
+    * the single-pass [[graft.plans.StopwordProfileArgmax]] expression.
     */
-  def langId(text: Column): Column = {
-    val scores = LangProfiles.map { case (lang, words) =>
-      lang -> stopwordCount(text, words)
-    }
-    val best = scores.tail.foldLeft(
-      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
-      case (acc, (lang, sc)) =>
-        when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
-          .otherwise(acc)
-    }
-    when(best.getField("s") === 0, lit("und")).otherwise(best.getField("l"))
-  }
+  def langId(text: Column): Column =
+    graft.plans.HashExpressions.stopwordProfileArgmax(
+      tokens(text), LangProfiles.map(_._1), LangProfiles.map(_._2))
 
   /** 64-bit document fingerprint: xxhash64 of the full text. Stable across
     * runs/partitions; join-able; the exact-dedup key of choice at 100 TB

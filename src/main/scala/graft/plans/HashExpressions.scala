@@ -215,6 +215,57 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** Stopword-profile language ID in one pass: counts per-profile stopword
+  * hits over the token array and returns the label of the first profile
+  * achieving the maximum count, or "und" when no profile hits. Replaces a
+  * fold of per-language higher-order filters whose interpreted subtrees
+  * were duplicated ~30× per row.
+  */
+case class StopwordProfileArgmax(child: Expression,
+                                 labels: Seq[String],
+                                 profiles: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  require(labels.length == profiles.length)
+  @transient private lazy val sets: Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
+    profiles.map { ws =>
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      ws.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      s
+    }.toArray
+  @transient private lazy val labelUtf =
+    labels.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+  @transient private lazy val und =
+    org.apache.spark.unsafe.types.UTF8String.fromString("und")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        var p = 0
+        while (p < sets.length) {
+          if (sets(p).contains(t)) counts(p) += 1
+          p += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var p = 1
+    while (p < counts.length) {
+      if (counts(p) > counts(best)) best = p // strict: earliest wins ties
+      p += 1
+    }
+    if (counts(best) == 0) und else labelUtf(best)
+  }
+  override protected def withNewChildInternal(newChild: Expression): StopwordProfileArgmax =
+    copy(child = newChild)
+  override def prettyName: String = "stopword_profile_argmax"
+}
+
 /** Nearest-centroid assignment for IVF-style ANN: returns the index of
   * the centroid (rows of `flatCentroids`, laid out row-major, `dim` wide)
   * with the highest dot product against the input float vector. The
@@ -260,4 +311,7 @@ object HashExpressions {
     ColumnBridge.column(NgramHashes(ColumnBridge.expression(tokens), n))
   def argMaxDot(vec: Column, flatCentroids: Array[Double], dim: Int): Column =
     ColumnBridge.column(ArgMaxDot(ColumnBridge.expression(vec), flatCentroids, dim))
+  def stopwordProfileArgmax(tokens: Column, labels: Seq[String],
+                            profiles: Seq[Seq[String]]): Column =
+    ColumnBridge.column(StopwordProfileArgmax(ColumnBridge.expression(tokens), labels, profiles))
 }

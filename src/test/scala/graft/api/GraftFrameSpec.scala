@@ -112,6 +112,16 @@ class GraftFrameSpec extends SparkSpec {
     assert(out == Map("a" -> 4L, "b" -> 6L))
   }
 
+  test("observe: runtime metrics piggyback on the action (stats analogue)") {
+    val obs = new org.apache.spark.sql.Observation("m")
+    val f = Sources.parquet(spark, s"${sf()}/lineitem.parquet")
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(col("l_quantity")).as("qty"))
+    f.df.write.mode("overwrite").format("noop").save()
+    assert(obs.get("rows") == 6000L)
+    assert(obs.get("qty").asInstanceOf[Double] > 0)
+  }
+
   test("Accumulator runs as a Catalyst Aggregator (toColumn)") {
     import org.apache.spark.sql.Encoders
     val li = Sources.parquet(spark, s"${sf()}/lineitem.parquet").df
