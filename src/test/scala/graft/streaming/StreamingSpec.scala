@@ -101,6 +101,32 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._1 == "b")) // b never reached 3
   }
 
+  test("file source: stream the events parquet through a windowed agg") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streams need a directory: stage the events file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    assert(stream.isStreaming)
+    val agg = MicroBatch.windowedAgg(stream, "ts", "event_type", "1 hour", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("filewin")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("filewin")
+    // watermark in append mode withholds the tail window; the batch
+    // equivalent bounds what streaming may emit
+    val batchWindows = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(date_trunc("hour", col("ts")), col("event_type")).count().count()
+    assert(got.count() > 0 && got.count() <= batchWindows)
+  }
+
   test("rate source produces a streaming frame") {
     val df = MicroBatch.rateSource(spark, 100)
     assert(df.isStreaming)
