@@ -10,18 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Noop sink: materializes every output column and keeps ORDER BYs in
+    // the plan (a bare count() would let Catalyst prune projections and
+    // EliminateSorts drop the sorts — timing work the query never did).
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     // JVM/codegen warmup outside the timed loop: the first queries of a
     // cold session otherwise pay ~5-10s of classloading + JIT that has
     // nothing to do with query cost.
     (1 to 2).foreach { _ =>
-      try SparkEntry.queries("t7_reduce")(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      try run("t7_reduce") catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.keys.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

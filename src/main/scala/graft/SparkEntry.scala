@@ -466,16 +466,13 @@ object SparkEntry {
         shingleN = 5, numHashes = 32, rowsPerBand = 8, minEstJaccard = 0.4)
         .orderBy("id_a", "id_b")),
 
-    // SimHash near-dup pairs by Hamming distance (rows-only).
-    "x_simhash" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
-      d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          Dedup.hammingDist64(col("a.sh"), col("b.sh")).cast("long").as("hamming"))
-        .where(col("hamming") <= 12)
-        .orderBy("id_a", "id_b")
-    }),
+    // SimHash near-dup pairs by Hamming distance (rows-only). Pigeonhole-
+    // banded candidate generation — hash equi-joins on sketch blocks, not
+    // an all-pairs nested loop; output identical to the quadratic join.
+    "x_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 12)
+        .orderBy("id_a", "id_b")),
 
     // Brute-force cosine top-k against the vec_id=0 query vector,
     // exact-decimal accumulation for cross-engine bit-equality.

@@ -35,6 +35,9 @@ object Dedup {
     * candidate pair. bands = numHashes / rowsPerBand.
     */
   def lshBandKeys(signature: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand): " +
+        "a trailing partial band would silently drop signature components")
     val bands = numHashes / rowsPerBand
     array((0 until bands).map { b =>
       struct(
@@ -62,6 +65,48 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDist64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs within `maxHamming`, via pigeonhole
+    * banding: the 64-bit sketch splits into maxHamming+1 disjoint
+    * bit-blocks, and a pair differing in ≤ maxHamming bits must agree on
+    * at least one whole block — so candidate generation is an equi-join
+    * per block (hash-partitioned, MinHash-LSH-shaped), never an all-pairs
+    * nested loop, and recall is exactly 1: the output is identical to the
+    * quadratic join's.
+    *
+    * Scale note: block width is 64/(maxHamming+1), so selectivity falls as
+    * the radius grows — at maxHamming=12 blocks are 4-5 bits (the exact-
+    * recall price); production near-dup sweeps use maxHamming ≤ 3 (16-bit
+    * blocks, vanishing collision rate), the Hamming-distance regime web
+    * dedup actually targets.
+    *
+    * Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxHamming.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 12): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val nBlocks = maxHamming + 1
+    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // Candidate generation joins only (id, block) — the sketch itself stays
+    // out of the shuffle and is re-joined after the pairwise distinct.
+    val blocks = sh.select(col("id"), explode(array((0 until nBlocks).map { b =>
+      val lo = b * 64 / nBlocks
+      val hi = (b + 1) * 64 / nBlocks
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("sh"), lo)
+          .bitwiseAND(lit((1L << (hi - lo)) - 1L)).as("v"))
+    }: _*)).as("bk"))
+    val cand = blocks.as("a").join(blocks.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        hammingDist64(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 
   /** Exact n-gram Jaccard similarity pairs above `minJaccard`, via an
     * inverted-index self-join on shingles. Output: (id_a, id_b, jaccard)
