@@ -17,9 +17,12 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_EXPLAIN_MODE=codegen prints generated whole-stage sources —
+    // the check that a native expression fused instead of falling back.
+    val mode = sys.env.getOrElse("GRAFT_EXPLAIN_MODE", "formatted")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      SparkEntry.queries(n)(spark, sfDir).explain(mode)
     }
     spark.stop()
   }

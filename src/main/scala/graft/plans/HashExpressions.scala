@@ -1,18 +1,28 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hash-sketch kernels (MinHash,
-  * SimHash, LSH). These are single-pass, allocation-light `eval`
-  * implementations: the Column-function formulation (higher-order
-  * `transform`/`aggregate` per hash function) re-evaluates the shingle
-  * array per hash and runs interpreted — O(numHashes × shingles ×
-  * tokenize) per row vs O(shingles × numHashes) tight-loop here.
+  * SimHash, LSH). These are single-pass, allocation-light kernels: the
+  * Column-function formulation (higher-order `transform`/`aggregate` per
+  * hash function) re-evaluates the shingle array per hash and runs
+  * interpreted — O(numHashes × shingles × tokenize) per row vs
+  * O(shingles × numHashes) tight-loop here.
+  *
+  * Each expression participates in whole-stage codegen: `doGenCode` emits
+  * a call to the expression's own `kernel` method (referenced via
+  * `addReferenceObj`), so the sketch projection fuses into the surrounding
+  * generated stage instead of forcing the whole stage to the interpreted
+  * path the way `CodegenFallback` did. The kernel itself is a tight JVM
+  * loop — the same pattern Spark's own hash expressions use for their
+  * non-inlinable cores.
   *
   * Reference capability note: go-sif/sif keys reductions via xxhash64 of
   * user key bytes (reference operations/transform/reduce.go:112-125,
@@ -20,20 +30,48 @@ import org.apache.spark.sql.types._
   * the same xxhash64 family (Spark's XXH64) for sketch hashing.
   */
 
+/** Shared input validation: `array<elem>` or analysis-time failure.
+  * Returning TypeCheckFailure (not throwing) keeps SQL-registered misuse —
+  * e.g. `lsh_bucket(array<double>)`, which would otherwise read garbage
+  * through `ArrayData.getFloat` — a clean AnalysisException.
+  */
+private[plans] object SketchTypeCheck {
+  def arrayOf(expected: DataType, actual: DataType, fname: String): TypeCheckResult =
+    actual match {
+      case ArrayType(et, _) if et == expected => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fname expects array<${expected.catalogString}>, got ${other.catalogString}")
+    }
+}
+
+/** Codegen plumbing shared by the sketch expressions: splice a call to the
+  * expression's own kernel into the generated stage.
+  */
+private[plans] trait KernelCodegen { self: UnaryExpression =>
+  /** Generated-Java expression computing this node's value from `input`
+    * (an ArrayData variable name). Must be assignable to the java type of
+    * [[dataType]].
+    */
+  protected def kernelCall(ref: String, input: String): String =
+    s"$ref.kernel($input)"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj(prettyName.replace("_", ""), this,
+        this.getClass.getName)
+      s"${ev.value} = ${kernelCall(ref, input)};"
+    })
+}
+
 /** MinHash signature of a string-array column: element k of the result is
   * min over the array of xxhash64(element, seed=k). One pass per row.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes() = {
-    require(child.dataType.isInstanceOf[ArrayType] &&
-      child.dataType.asInstanceOf[ArrayType].elementType == StringType,
-      s"minhash_signature expects array<string>, got ${child.dataType}")
-    super.checkInputDataTypes()
-  }
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.arrayOf(StringType, child.dataType, prettyName)
+  def kernel(arr: ArrayData): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
@@ -51,6 +89,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     }
     new GenericArrayData(mins)
   }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
   override def prettyName: String = "minhash_signature"
@@ -60,10 +100,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * votes each bit up/down; the result sets bits with positive votes.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.arrayOf(StringType, child.dataType, prettyName)
+  def kernel(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -85,8 +126,10 @@ case class SimHash64(child: Expression)
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(kernel(input.asInstanceOf[ArrayData]))
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
   override def prettyName: String = "simhash64"
@@ -98,10 +141,11 @@ case class SimHash64(child: Expression)
   * to [-1, 1). Deterministic, stateless, one pass.
   */
 case class HyperplaneLshBucket(child: Expression, nBits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.arrayOf(FloatType, child.dataType, prettyName)
+  def kernel(arr: ArrayData): Long = {
     val dim = arr.numElements()
     var out = 0L
     var b = 0
@@ -118,8 +162,10 @@ case class HyperplaneLshBucket(child: Expression, nBits: Int, seed: Long)
       if (dp >= 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(kernel(input.asInstanceOf[ArrayData]))
   override protected def withNewChildInternal(newChild: Expression): HyperplaneLshBucket =
     copy(child = newChild)
   override def prettyName: String = "hyperplane_lsh_bucket"
@@ -178,10 +224,12 @@ private[plans] object NgramHashing {
   * Jaccard, this one for sketching).
   */
 case class NgramMinHash(child: Expression, n: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def nullSafeEval(input: Any): Any = {
-    val grams = NgramHashing.gramHashes(input.asInstanceOf[ArrayData], n)
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.arrayOf(StringType, child.dataType, prettyName)
+  def kernel(arr: ArrayData): ArrayData = {
+    val grams = NgramHashing.gramHashes(arr, n)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < grams.length) {
@@ -195,6 +243,8 @@ case class NgramMinHash(child: Expression, n: Int, numHashes: Int)
     }
     new GenericArrayData(mins)
   }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(newChild: Expression): NgramMinHash =
     copy(child = newChild)
   override def prettyName: String = "ngram_minhash"
@@ -205,11 +255,15 @@ case class NgramMinHash(child: Expression, n: Int, numHashes: Int)
   * of gram strings shrinks shuffle bytes ~5× (collision odds 2^-64).
   */
 case class NgramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def nullSafeEval(input: Any): Any =
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.arrayOf(StringType, child.dataType, prettyName)
+  def kernel(arr: ArrayData): ArrayData =
     new GenericArrayData(NgramHashing.distinctLongs(
-      NgramHashing.gramHashes(input.asInstanceOf[ArrayData], n)))
+      NgramHashing.gramHashes(arr, n)))
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
     copy(child = newChild)
   override def prettyName: String = "ngram_hashes"
@@ -224,21 +278,21 @@ case class NgramHashes(child: Expression, n: Int)
 case class StopwordProfileArgmax(child: Expression,
                                  labels: Seq[String],
                                  profiles: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   require(labels.length == profiles.length)
-  @transient private lazy val sets: Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
     profiles.map { ws =>
-      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
-      ws.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      val s = new java.util.HashSet[UTF8String]()
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
       s
     }.toArray
   @transient private lazy val labelUtf =
-    labels.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
-  @transient private lazy val und =
-    org.apache.spark.unsafe.types.UTF8String.fromString("und")
+    labels.map(UTF8String.fromString).toArray
+  @transient private lazy val und = UTF8String.fromString("und")
   override def dataType: DataType = StringType
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.arrayOf(StringType, child.dataType, prettyName)
+  def kernel(arr: ArrayData): UTF8String = {
     val counts = new Array[Int](sets.length)
     var i = 0
     val n = arr.numElements()
@@ -261,6 +315,8 @@ case class StopwordProfileArgmax(child: Expression,
     }
     if (counts(best) == 0) und else labelUtf(best)
   }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(newChild: Expression): StopwordProfileArgmax =
     copy(child = newChild)
   override def prettyName: String = "stopword_profile_argmax"
@@ -274,12 +330,13 @@ case class StopwordProfileArgmax(child: Expression,
   * assignment is a pure map (no shuffle, no join).
   */
 case class ArgMaxDot(child: Expression, flatCentroids: Array[Double], dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   require(flatCentroids.length % dim == 0, "centroid table not rectangular")
   private val nCentroids = flatCentroids.length / dim
   override def dataType: DataType = IntegerType
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.arrayOf(FloatType, child.dataType, prettyName)
+  def kernel(arr: ArrayData): Int = {
     var best = -1
     var bestDot = Double.NegativeInfinity
     var c = 0
@@ -291,8 +348,10 @@ case class ArgMaxDot(child: Expression, flatCentroids: Array[Double], dim: Int)
       if (dp > bestDot) { bestDot = dp; best = c }
       c += 1
     }
-    java.lang.Integer.valueOf(best)
+    best
   }
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(kernel(input.asInstanceOf[ArrayData]))
   override protected def withNewChildInternal(newChild: Expression): ArgMaxDot =
     copy(child = newChild)
   override def prettyName: String = "argmax_dot"
