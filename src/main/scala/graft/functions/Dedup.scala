@@ -83,7 +83,7 @@ object Dedup {
     * Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxHamming.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 12): DataFrame = {
+                          maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val nBlocks = maxHamming + 1
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
@@ -138,41 +138,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Connected components over a near-dup pair list — label propagation:
-    * each node iteratively adopts the minimum label among itself and its
-    * neighbors until fixpoint. Output: (id, label) with label = min id in
-    * the component. Converges in O(component diameter) rounds — near-dup
-    * clusters are shallow (most are pairs/triangles), so the loop is
-    * short; `localCheckpoint` truncates lineage each round so plans stay
-    * flat at scale.
+  /** Connected components over a near-dup pair list — min-label
+    * propagation with a pointer-jumping shortcut: each round a node takes
+    * the minimum label among itself and its neighbors, then jumps to its
+    * label's label. The jump halves chain depth per round, so convergence
+    * is O(log diameter) rounds instead of O(diameter) — a 1M-node chain
+    * resolves in ~20 rounds, not 1M. Output: (id, label), label = min id
+    * in the component.
+    *
+    * Fault tolerance: with a checkpoint dir set
+    * (`sc.setCheckpointDir`) each round lands on *reliable* storage —
+    * executor loss costs one round, not a recompute storm over the whole
+    * lineage. Without one it falls back to `localCheckpoint` (fine on
+    * local mode; blocks die with an executor on a cluster). The per-round
+    * `changed` count is the action that materializes the eager checkpoint
+    * — it is not an extra pass over the full lineage.
+    *
+    * @param strict throw (instead of logging to stderr) if labels are
+    *               still moving after `maxIter` rounds — silent
+    *               non-convergence means wrong labels downstream.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          strict: Boolean = false): DataFrame = {
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = snap(
+      pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+        .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+        .distinct())
+    var labels = snap(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var prev: DataFrame = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+      val prop = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newlabel"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("plabel"))
+      // pointer jump: adopt the current label of my label's node (labels
+      // always point at in-component node ids, so the invariant holds)
+      val updated = snap(prop.as("x").join(prop.as("j"),
+          col("x.plabel") === col("j.id"), "left")
+        .select(col("x.id").as("id"), col("x.label").as("label"),
+          coalesce(col("j.plabel"), col("x.plabel")).as("newlabel")))
       changed = updated.where(col("newlabel") =!= col("label")).count()
-      // free the superseded iteration's checkpoint blocks — leaked blocks
-      // pile up in executor storage memory and GC-thrash later queries
+      // free the superseded round's blocks — leaked blocks pile up in
+      // executor storage memory and GC-thrash later queries
       if (prev != null) prev.unpersist(blocking = false)
       prev = labels
       labels = updated.select(col("id"), col("newlabel").as("label"))
       iter += 1
     }
-    // `labels` projects over the final iteration's (still-persisted)
-    // checkpoint; only that one block set survives the call.
+    if (changed > 0) {
+      val msg = s"connectedComponents: labels still moving after $maxIter rounds " +
+        s"($changed changed last round) — components wider than the budget get wrong labels"
+      if (strict) { edges.unpersist(blocking = false); throw new IllegalStateException(msg) }
+      System.err.println(s"[graft] WARN $msg")
+    }
+    // `labels` projects over the final round's (still-persisted) snapshot;
+    // everything else — edges and the penultimate round — is released.
     edges.unpersist(blocking = false)
+    if (prev != null && !(prev eq labels)) prev.unpersist(blocking = false)
     labels
   }
 
