@@ -148,6 +148,22 @@ final case class GraftFrame(df: DataFrame, opts: GraftOptions = GraftOptions()) 
   def repartition(numPartitions: Int, keys: Column*): GraftFrame =
     copy(df = df.repartition(numPartitions, keys: _*))
 
+  /** T9/T10 Repartition by target rows-per-partition — the reference's
+    * actual contract (repartition.go:10-23 takes targetPartitionSize, and
+    * repartition_test.go:42-77 asserts ~10 rows per partition). Spark
+    * sizes partitions in bytes, not rows, so this costs one extra counting
+    * job to resolve the partition count; use the byte-based
+    * `spark.sql.files.maxPartitionBytes` / AQE coalescing when row-count
+    * granularity is not a hard requirement.
+    */
+  def repartitionBySize(targetRows: Long, keys: Column*): GraftFrame = {
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val n = df.count()
+    val parts = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    if (keys.isEmpty) copy(df = df.repartition(parts))
+    else copy(df = df.repartition(parts, keys: _*))
+  }
+
   /** Runtime stats — the analogue of the reference's per-stage stats
     * service (reference internal/stats/stats.go:12-157, served over
     * gRPC): named metrics computed *during* execution, no extra pass.
@@ -165,22 +181,108 @@ final case class GraftFrame(df: DataFrame, opts: GraftOptions = GraftOptions()) 
   }
 
   /** A2 Accumulate — fold every row into per-partition accumulators, then
-    * merge to a single value (reference accumulate.go:21-52): exactly
-    * partial-aggregate + final-merge, expressed on the Dataset.
+    * merge to a single value (reference accumulate.go:21-52). Runs as a
+    * Catalyst typed Aggregator (partial aggregate per partition + final
+    * merge — the reference's worker-fold/coordinator-merge topology), so
+    * it stays inside Tungsten instead of deserializing every row on the
+    * RDD layer. Buffer encoding: native encoders for primitive buffers,
+    * kryo for arbitrary objects (see [[GraftFrame.bufferEncoder]]).
     */
   def accumulate[B](acc: Accumulator[B])(implicit ct: scala.reflect.ClassTag[B]): B = {
+    val s = schema
+    implicit val be: org.apache.spark.sql.Encoder[B] = GraftFrame.bufferEncoder[B]
+    df.as(rowEnc(s)).select(Accumulators.asAggregator(acc, s).toColumn).head()
+  }
+
+  /** RDD-layer fold variant of [[accumulate]] — for buffers that must not
+    * round-trip through an Encoder (e.g. holding driver-only resources).
+    * Prefer [[accumulate]]: this path abandons codegen and deserializes
+    * every row.
+    */
+  def accumulateFold[B](acc: Accumulator[B])(implicit ct: scala.reflect.ClassTag[B]): B = {
     val s = schema
     df.rdd.mapPartitions { it =>
       var b = acc.zero
       it.foreach { r => b = acc.add(b, GraftRow.fromRow(r, s)) }
       Iterator.single(b)
-    }.fold(acc.zero)(acc.merge)
+    }.fold(acc.zero)(acc.merge(_, _))
   }
+
+  /** Closure ops with an error quarantine side-channel — the reference's
+    * multierror semantics (internal/partition/partition-operable.go:24-50,
+    * cluster/s_execution.go:89-124): failing rows are captured with their
+    * content and error context while good rows flow on. The tagged
+    * intermediate is persisted so the closure runs once, not once per
+    * branch; call [[Quarantined.unpersist]] when both sides are consumed.
+    */
+  def mapQuarantined(fn: GraftRow => GraftRow): Quarantined =
+    quarantined("map") { (r, s) => Iterator.single(fn(GraftRow.fromRow(r, s)).toRow) }
+
+  def flatMapQuarantined(fn: (GraftRow, () => GraftRow) => Seq[GraftRow]): Quarantined =
+    quarantined("flatMap") { (r, s) =>
+      fn(GraftRow.fromRow(r, s), () => GraftRow.empty(s)).iterator.map(_.toRow)
+    }
+
+  def filterQuarantined(fn: GraftRow => Boolean): Quarantined =
+    quarantined("filter") { (r, s) =>
+      if (fn(GraftRow.fromRow(r, s))) Iterator.single(r) else Iterator.empty
+    }
+
+  private def quarantined(opName: String)(
+      op: (Row, StructType) => Iterator[Row]): Quarantined = {
+    val s = schema
+    implicit val tagE = Encoders.tuple(rowEnc(s), org.apache.spark.sql.Encoders.STRING)
+    val tagged = df.mapPartitions { it =>
+      it.flatMap { r =>
+        try op(r, s).map(out => (out, null: String))
+        catch {
+          // The failing *input* row rides along to the quarantine output.
+          case e: Exception => Iterator.single((r, s"${e.getClass.getName}: ${e.getMessage}"))
+        }
+      }
+    }.toDF("row", "err")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val good = tagged.where(col("err").isNull).select(col("row.*"))
+    val errs = tagged.where(col("err").isNotNull)
+      .select(lit(opName).as("op"), col("row"), col("err").as("error"))
+    Quarantined(copy(df = good), errs, tagged)
+  }
+}
+
+/** Result of a quarantined closure op: the surviving frame plus an errors
+  * DataFrame with schema (op: string, row: struct<input row>, error:
+  * string) — the reference's multierror with row context, as data.
+  */
+final case class Quarantined(frame: GraftFrame, errors: DataFrame,
+                             private val tagged: DataFrame) {
+  def unpersist(): Unit = { tagged.unpersist(); () }
 }
 
 object GraftFrame {
   /** Wrap an existing DataFrame/Dataset lineage. */
   def apply(df: DataFrame): GraftFrame = new GraftFrame(df)
+
+  /** Accumulator-buffer Encoder resolution: native (codegen'd, columnar)
+    * encoders for primitive buffers — these aggregate as HashAggregate —
+    * and kryo binary for arbitrary user objects, which still runs the
+    * Catalyst partial/final topology (ObjectHashAggregate), just with an
+    * opaque buffer. This is the analogue of the reference's Accumulator
+    * ToBytes/FromBytes (accumulator.go:12-17): serialization lives at the
+    * engine boundary, not in user code.
+    */
+  private[api] def bufferEncoder[B](
+      implicit ct: scala.reflect.ClassTag[B]): org.apache.spark.sql.Encoder[B] = {
+    val c = ct.runtimeClass
+    (c match {
+      case java.lang.Long.TYPE => Encoders.scalaLong
+      case java.lang.Double.TYPE => Encoders.scalaDouble
+      case java.lang.Integer.TYPE => Encoders.scalaInt
+      case _ if c == classOf[java.lang.Long] => Encoders.LONG
+      case _ if c == classOf[java.lang.Double] => Encoders.DOUBLE
+      case _ if c == classOf[String] => Encoders.STRING
+      case _ => Encoders.kryo[B]
+    }).asInstanceOf[org.apache.spark.sql.Encoder[B]]
+  }
 }
 
 /** A named, reusable operation — the unit of `to(...)` chaining
