@@ -447,12 +447,15 @@ object SparkEntry {
         .select(col("keep_id"), col("n_copies"))
         .orderBy("keep_id")),
 
-    // Fingerprint dedup (engine-specific xxhash64 → rows-only check).
+    // Fingerprint dedup: the engine groups by the 8-byte xxhash64 of the
+    // body (the 100 TB shuffle key), but the *output* keeps only the
+    // surviving ids — which, collision-free, is exactly text-key dedup,
+    // so DuckDB can oracle it without reproducing the hash.
     "x_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(TF.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(col("fp"), col("keep_id"), col("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
         .orderBy("keep_id")),
 
     // Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
@@ -469,9 +472,12 @@ object SparkEntry {
     // SimHash near-dup pairs by Hamming distance (rows-only). Pigeonhole-
     // banded candidate generation — hash equi-joins on sketch blocks, not
     // an all-pairs nested loop; output identical to the quadratic join.
+    // maxHamming=3 → 4 disjoint 16-bit blocks: the web-dedup regime, with
+    // 2^16 bucket values per block so candidate sets stay tiny at scale
+    // (13 5-bit blocks at radius 12 collapse to ~32 buckets → quadratic).
     "x_simhash" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 12)
+        maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     // Brute-force cosine top-k against the vec_id=0 query vector,
@@ -513,14 +519,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // IVF-style ANN: deterministic coarse quantizer, probe nearest
-    // centroid buckets only (rows-only; quantizer is engine-specific).
+    // IVF ANN, self-verifying: probing ALL centroid buckets makes IVF
+    // exhaustive (recall = 1), so the output must equal the brute-force
+    // top-k — same oracle as x_cosine_topk. The probe-limited approximate
+    // path is spec-covered (FunctionsSpec "ivfTopK"); this query verifies
+    // the assignment + probe machinery end-to-end against the oracle.
     "x_ivf_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.where(col("vec_id") === 0).select(col("embedding"))
+      val qv = e.where(col("vec_id") === 0).select(col("embedding"))
         .collect().head.getSeq[Float](0).toArray
-      Similarity.ivfTopK(e, "vec_id", "embedding", q, 10,
-        nCentroids = 16, nProbe = 4)
+      val (assigned, centroids) = Similarity.ivfAssign(
+        e.where(col("vec_id") =!= 0), "vec_id", "embedding", nCentroids = 16)
+      val qd = qv.map(_.toDouble)
+      val probes = centroids.zipWithIndex
+        .map { case (c, i) => (i, c.zip(qd).map { case (a, b) => a * b }.sum) }
+        .sortBy(-_._2).map(_._1) // every bucket, best-first
+      val q = array(qv.map(v => lit(v)): _*)
+      assigned.where(col("ivf_bucket").isin(probes: _*))
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosineExact(col("embedding"), q), 9).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
     }),
 
     // Multimodal plumbing: opaque binary column + typed metadata (the
@@ -558,21 +577,85 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
-    // Sketch aggregation: HyperLogLog++ distinct estimate (algorithm is
-    // engine-specific → rows-only; the scalable path for COUNT(DISTINCT)
-    // over 100 TB where exactness isn't required).
+    // Sketch aggregation, self-verifying: the HLL++ estimate is engine-
+    // specific, but |approx − exact| / exact ≤ 3·rsd is a deterministic
+    // property of the (deterministic) sketch on this data — so the query
+    // outputs the exact counts plus the within-tolerance flags, and the
+    // oracle asserts the flags are true. The estimate itself never needs
+    // cross-engine agreement.
     "x_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts")
+            <= lit(0.15)).as("parts_within_tol"),
+          (abs(col("ao") - col("exact_orders")).cast("double") / col("exact_orders")
+            <= lit(0.15)).as("orders_within_tol"))),
+
+    // Error quarantine: closure failures routed to a side-channel with row
+    // context (the reference's multierror), good rows unaffected. The
+    // failure condition is deterministic, so the ok/err split is exactly
+    // SQL-expressible and the whole channel is oracle-checked.
+    "x_quarantine" -> ((s, dir) => {
+      val q = graft.api.GraftFrame(t(s, dir, "documents"))
+        .mapQuarantined { r =>
+          if (r.getLong("n_chars") < 200L)
+            throw new IllegalArgumentException(s"doc too short: ${r.getLong("n_chars")}")
+          r
+        }
+      q.frame.df.select(col("doc_id"), lit("ok").as("status"))
+        .unionByName(q.errors.select(col("row.doc_id").as("doc_id"),
+          lit("err").as("status")))
+        .orderBy("doc_id")
+    }),
   )
 
   // ---------------------------------------------------------------------
-  // DuckDB oracles. Omitted keys (x_fingerprint, x_minhash_neardup,
-  // x_simhash, x_lsh_ann) use engine-specific hashing → rows-only check.
+  // DuckDB oracles. Omitted keys (x_minhash_neardup, x_simhash, x_lsh_ann,
+  // x_dedup_drop, x_multimodal_decode) use engine-specific hashing /
+  // iterative clustering → rows-only check.
   // ---------------------------------------------------------------------
 
+  /** Brute-force exact cosine top-10 — shared by x_cosine_topk and
+    * x_ivf_ann (IVF probing every bucket is exhaustive, so its output must
+    * equal brute force).
+    */
+  private val cosineTopkOracle: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |z AS (
+      | SELECT e.vec_id, e.label,
+      |  CAST(unnest(e.embedding) AS DOUBLE) AS a,
+      |  CAST(unnest(q.qe) AS DOUBLE) AS b
+      | FROM embeddings e, q WHERE e.vec_id <> 0),
+      |d AS (
+      | SELECT vec_id, label,
+      |  SUM(CAST(a * b AS DECIMAL(30,15))) AS dot,
+      |  SUM(CAST(a * a AS DECIMAL(30,15))) AS na,
+      |  SUM(CAST(b * b AS DECIMAL(30,15))) AS nb
+      | FROM z GROUP BY vec_id, label)
+      |SELECT vec_id, label,
+      | ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS cos
+      |FROM d ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "x_ivf_ann" -> cosineTopkOracle,
+
+    "x_fingerprint" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "x_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+        | COUNT(DISTINCT l_orderkey) AS exact_orders,
+        | TRUE AS parts_within_tol, TRUE AS orders_within_tol
+        |FROM lineitem""".stripMargin,
+
+    "x_quarantine" ->
+      """SELECT doc_id, CASE WHEN n_chars >= 200 THEN 'ok' ELSE 'err' END AS status
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t1_map" ->
       """SELECT l_orderkey, l_linenumber, l_partkey,
         | l_extendedprice * (1.0 - l_discount) AS revenue,
@@ -917,22 +1000,7 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "x_cosine_topk" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |z AS (
-        | SELECT e.vec_id, e.label,
-        |  CAST(unnest(e.embedding) AS DOUBLE) AS a,
-        |  CAST(unnest(q.qe) AS DOUBLE) AS b
-        | FROM embeddings e, q WHERE e.vec_id <> 0),
-        |d AS (
-        | SELECT vec_id, label,
-        |  SUM(CAST(a * b AS DECIMAL(30,15))) AS dot,
-        |  SUM(CAST(a * a AS DECIMAL(30,15))) AS na,
-        |  SUM(CAST(b * b AS DECIMAL(30,15))) AS nb
-        | FROM z GROUP BY vec_id, label)
-        |SELECT vec_id, label,
-        | ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS cos
-        |FROM d ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "x_cosine_topk" -> cosineTopkOracle,
 
     "x_multimodal_bytes" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, n_chars
