@@ -65,8 +65,15 @@ object GraftSession {
     */
   def readTable(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      // Scoped per-read: the legacy flag is set on a *cloned* session
+      // (shared SparkContext, private SQLConf) that the file relation
+      // captures, instead of mutating the caller's session conf — which
+      // would silently change how unrelated code in the same session
+      // reads nanos-timestamp parquet. (A read-level .option() does not
+      // reach the executor-side parquet schema converter.)
+      val scoped = spark.newSession()
+      scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      scoped.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 

@@ -41,6 +41,35 @@ object ColType {
     * declare the real structure instead of opaque bytes.
     */
   final case class Composite(dataType: DataType) extends ColType { val spark: DataType = dataType }
+  /** Genuinely opaque user type — the reference's CustomColumnType with
+    * user Serialize/Deserialize (column_type.go:16-23,
+    * docs/custom-columntypes.md:1-40; gob there, kryo here via
+    * [[OpaqueCodec]]). Prefer [[Composite]]: a declared structure stays
+    * visible to Catalyst (pruning, pushdown); opaque bytes do not.
+    */
+  final case class Opaque(of: Class[_]) extends ColType { val spark: DataType = BinaryType }
+}
+
+/** Kryo codec for [[ColType.Opaque]] columns — the engine-side half of
+  * the reference's CustomColumnType Serialize/Deserialize contract.
+  * Call at closure boundaries: `row.set("hm", OpaqueCodec.toBytes(v))`,
+  * `OpaqueCodec.fromBytes[Heatmap](row.getBytes("hm"))`.
+  */
+object OpaqueCodec {
+  // One serializer per JVM (executor); instances are created per call —
+  // SerializerInstance is not thread-safe, creation is cheap.
+  @transient private lazy val kryo =
+    new org.apache.spark.serializer.KryoSerializer(
+      Option(org.apache.spark.SparkEnv.get).map(_.conf)
+        .getOrElse(new org.apache.spark.SparkConf(false)))
+
+  def toBytes[T: scala.reflect.ClassTag](v: T): Array[Byte] = {
+    val bb = kryo.newInstance().serialize(v)
+    val a = new Array[Byte](bb.remaining()); bb.get(a); a
+  }
+
+  def fromBytes[T: scala.reflect.ClassTag](bytes: Array[Byte]): T =
+    kryo.newInstance().deserialize[T](java.nio.ByteBuffer.wrap(bytes))
 }
 
 /** Builder-style schema declaration mirroring the reference's

@@ -32,14 +32,21 @@ object AsOf {
            leftTs: String, rightTs: String,
            rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Order in a lossless common type: a double cast would silently lose
+    // precision for int64 timestamps beyond 2^53 (epoch nanos — the events
+    // table's native storage), mis-resolving as-of matches near the
+    // boundary. Integral×integral orders as long, identical types as-is
+    // (timestamp, date, decimal included); only genuinely mixed fractional
+    // input falls back to double.
+    val tsType = orderingType(left.schema(leftTs).dataType, right.schema(rightTs).dataType)
     // tag=0 sorts right-side rows before left rows at equal ts, so a left
     // row at exactly rightTs sees that right row (inclusive as-of).
     val l2 = left.select(
-      (leftCols.map(col) ++ Seq(col(key).as("__k"), col(leftTs).cast("double").as("__ts"),
+      (leftCols.map(col) ++ Seq(col(key).as("__k"), col(leftTs).cast(tsType).as("__ts"),
         lit(1).as("__tag")) ++ rightCols.map(c => lit(null).as(s"__r_$c"))): _*)
     val r2 = right.select(
       (leftCols.map(c => lit(null).as(c)) ++ Seq(col(key).as("__k"),
-        col(rightTs).cast("double").as("__ts"), lit(0).as("__tag")) ++
+        col(rightTs).cast(tsType).as("__ts"), lit(0).as("__tag")) ++
         rightCols.map(c => col(c).as(s"__r_$c"))): _*)
     val unioned = l2.unionByName(r2)
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tag"))
@@ -49,5 +56,23 @@ object AsOf {
     }
     carried.where(col("__tag") === 1)
       .select((leftCols.map(col) ++ rightCols.map(c => col(s"__r_$c").as(s"asof_$c"))): _*)
+  }
+
+  private def orderingType(l: org.apache.spark.sql.types.DataType,
+                           r: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    (l, r) match {
+      case (a, b) if a == b => a
+      case (ByteType | ShortType | IntegerType | LongType,
+            ByteType | ShortType | IntegerType | LongType) => LongType
+      case (a: DecimalType, b: DecimalType) =>
+        val scale = math.max(a.scale, b.scale)
+        val intDigits = math.max(a.precision - a.scale, b.precision - b.scale)
+        DecimalType(math.min(DecimalType.MAX_PRECISION, intDigits + scale), scale)
+      case (_: NumericType, _: NumericType) => DoubleType
+      case (a, b) => throw new IllegalArgumentException(
+        s"as-of ordering columns are not comparable: ${a.catalogString} vs ${b.catalogString}")
+    }
   }
 }

@@ -62,4 +62,39 @@ object Sources {
     cols.foldLeft(graft.api.SchemaBuilder.create()) {
       case (b, (n, t)) => b.createColumn(n, t)
     }.toStruct
+
+  /** Typed csv: like [[csv]], but [[ColType.Time]] formats are honored —
+    * the reference's `TimeColumnType{Format}` (column_type.go:210-222)
+    * round-trips for any pattern, not just the default. Time columns are
+    * read as text and parsed per-column with their declared pattern
+    * (Spark's `timestampFormat` option is per-read, so per-column formats
+    * need the explicit `to_timestamp` path; it is codegen'd either way).
+    */
+  def csvTyped(spark: SparkSession, glob: String, cols: Seq[(String, ColType)],
+               delimiter: String = ",", hasHeader: Boolean = false,
+               comment: String = "#", nilValue: String = ""): GraftFrame =
+    GraftFrame(parseTimes(
+      csv(spark, glob, rawSchema(cols), delimiter, hasHeader, comment, nilValue).df,
+      cols))
+
+  /** Typed jsonl: like [[jsonl]] with [[ColType.Time]] formats honored. */
+  def jsonlTyped(spark: SparkSession, glob: String,
+                 cols: Seq[(String, ColType)]): GraftFrame =
+    GraftFrame(parseTimes(jsonl(spark, glob, rawSchema(cols)).df, cols))
+
+  /** Read-side schema: Time columns come in as text, converted after. */
+  private def rawSchema(cols: Seq[(String, ColType)]): StructType =
+    StructType(cols.map {
+      case (n, ColType.Time(_)) =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)
+      case (n, t) => org.apache.spark.sql.types.StructField(n, t.spark)
+    })
+
+  private def parseTimes(df: DataFrame, cols: Seq[(String, ColType)]): DataFrame =
+    cols.foldLeft(df) {
+      case (d, (n, ColType.Time(fmt))) =>
+        d.withColumn(n, org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.col(n), fmt))
+      case (d, _) => d
+    }
 }

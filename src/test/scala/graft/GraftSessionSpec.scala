@@ -31,6 +31,17 @@ class GraftSessionSpec extends SparkSpec {
     new GraftExtensions()(ext) // would throw on malformed injections
   }
 
+  test("readTable(events) scopes nanosAsLong to the read, not the session") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val df = GraftSession.readTable(spark, sf(), "events")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.count() > 0)
+    // the shared session conf must NOT have been mutated as a side effect
+    assert(spark.conf.getOption(key) == before)
+  }
+
   test("sql passthrough returns chainable GraftFrame") {
     GraftSession.registerTables(spark, sf())
     val f = GraftSession.sql(spark,

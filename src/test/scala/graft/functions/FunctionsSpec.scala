@@ -106,6 +106,34 @@ class FunctionsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L)) // canonical per cluster + unpaired
   }
 
+  test("connectedComponents: 60-node chain converges via pointer jumping, reliable checkpoint") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pSchema = StructType(Seq(
+        StructField("id_a", LongType), StructField("id_b", LongType)))
+      // a pure chain 0-1-2-…-59: diameter 59, the worst case for plain
+      // label propagation (59 rounds); pointer jumping needs ~log2(60)
+      val pairs = spark.createDataFrame(spark.sparkContext.parallelize(
+        (0L until 59L).map(i => Row(i, i + 1))), pSchema)
+      val cc = Dedup.connectedComponents(pairs, maxIter = 10, strict = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc.size == 60 && cc.values.forall(_ == 0L))
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
+  test("connectedComponents: strict mode surfaces non-convergence") {
+    import org.apache.spark.sql.types._
+    val pSchema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    val pairs = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0L until 59L).map(i => Row(i, i + 1))), pSchema)
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1, strict = true).collect()
+    }
+  }
+
   test("cosine similarity: exact and fast paths agree to 1e-9") {
     val schema = StructType(Seq(
       StructField("id", LongType),

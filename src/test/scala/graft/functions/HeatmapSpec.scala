@@ -12,9 +12,7 @@ import graft.SparkSpec
 class HeatmapSpec extends SparkSpec {
 
   test("time-bucketed heatmap: per-bucket pixel counts, totals preserved") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.GraftSession.readTable(spark, sf(), "events")
     val px = Heatmap.pixel(
       col("value"), (col("user_id") % 100).cast("double"),
       minX = 0, maxX = 1000, minY = 0, maxY = 100, w = 16, h = 16)

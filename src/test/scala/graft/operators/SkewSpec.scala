@@ -7,8 +7,7 @@ import graft.SparkSpec
 class SkewSpec extends SparkSpec {
 
   test("saltedJoin produces exactly the plain join's result") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fact = spark.read.parquet(s"${sf()}/events.parquet")
+    val fact = graft.GraftSession.readTable(spark, sf(), "events")
       .select(col("event_id"), col("user_id"), col("value"))
     val dim = spark.read.parquet(s"${sf()}/customer.parquet")
       .select(col("c_custkey").as("user_id"), col("c_name"))
@@ -21,8 +20,7 @@ class SkewSpec extends SparkSpec {
   }
 
   test("hotKeys surfaces the heaviest keys") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val ev = graft.GraftSession.readTable(spark, sf(), "events")
     val hot = Skew.hotKeys(ev, "user_id", 3).collect()
     assert(hot.length == 3)
     assert(hot.head.getLong(1) >= hot.last.getLong(1))

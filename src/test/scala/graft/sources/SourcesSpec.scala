@@ -35,6 +35,25 @@ class SourcesSpec extends SparkSpec {
     assert(rows.exists(r => r.getInt("id") == 3 && r.isNil("score")))
   }
 
+  // reference TimeColumnType{Format} (column_type.go:210-222): declared
+  // per-column time patterns must round-trip, not just the default one.
+  test("csvTyped: ColType.Time formats honored, mixed per-column") {
+    val p = tmpFile("times.csv",
+      """1,31/12/2024 23:59,2024-12-31T23:59:58
+        |2,01/01/2025 00:01,2025-01-01T00:00:02
+        |""".stripMargin)
+    val f = Sources.csvTyped(spark, p, Seq(
+      "id" -> ColType.Int32,
+      "eu" -> ColType.Time("dd/MM/yyyy HH:mm"),
+      "iso" -> ColType.Time("yyyy-MM-dd'T'HH:mm:ss")))
+    assert(f.schema("eu").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(f.schema("iso").dataType == org.apache.spark.sql.types.TimestampType)
+    val byId = f.collect(10).map(r => r.getInt("id") ->
+      (r.getTime("eu").toInstant.toString, r.getTime("iso").toInstant.toString)).toMap
+    assert(byId(1) == ("2024-12-31T23:59:00Z", "2024-12-31T23:59:58Z"))
+    assert(byId(2) == ("2025-01-01T00:01:00Z", "2025-01-01T00:00:02Z"))
+  }
+
   test("jsonl: nested fields via struct schema (gjson-path analogue)") {
     val p = tmpFile("data.jsonl",
       """{"id": 1234, "meta": {"uuid": "27366d2d", "name": "John Smith"}}

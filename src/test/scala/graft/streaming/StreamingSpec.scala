@@ -102,7 +102,13 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("file source: stream the events parquet through a windowed agg") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // a *streaming* parquet read resolves its schema through the query's
+    // own session, so the legacy flag must sit on this session for the
+    // duration of the stream — restore it afterwards (finally below)
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrev = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try {
     // file streams need a directory: stage the events file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
@@ -125,6 +131,10 @@ class StreamingSpec extends SparkSpec {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .groupBy(date_trunc("hour", col("ts")), col("event_type")).count().count()
     assert(got.count() > 0 && got.count() <= batchWindows)
+    } finally nanosPrev match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None => spark.conf.unset(nanosKey)
+    }
   }
 
   test("rate source produces a streaming frame") {
