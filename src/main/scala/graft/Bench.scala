@@ -26,15 +26,18 @@ object Bench {
     }
     // Best-of-2 per query: a single timing is hostage to transient machine
     // contention (GC storms, co-tenant load); the min of two runs is the
-    // query's actual cost. Runs are back-to-back so cache state is equal.
+    // query's actual cost. The two passes are *interleaved* — all queries
+    // once, then all again — so a contention window minutes wide still
+    // can't poison both samples of the same query.
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.keys.map { name =>
-      name -> math.min(timed(name), timed(name))
-    }.toMap
+    val names = SparkEntry.queries.keys.toSeq
+    val pass1 = names.map(n => n -> timed(n)).toMap
+    val pass2 = names.map(n => n -> timed(n)).toMap
+    val results = names.map(n => n -> math.min(pass1(n), pass2(n))).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

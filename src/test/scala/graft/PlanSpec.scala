@@ -1,0 +1,65 @@
+package graft
+
+/** Physical-plan regression tests: the plan *shape* is part of each
+  * operator's contract at 100 TB (a correct-but-quadratic plan is a
+  * failure), so the properties verified by hand in past rounds are pinned
+  * here — pushdown reaching the scan, dimension joins broadcasting,
+  * candidate generation staying equi-join-sized, top-k avoiding a global
+  * sort.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf())
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("t3_filter: predicate pushdown and column pruning reach the scan") {
+    val p = plan("t3_filter")
+    assert(p.contains("PushedFilters: ["), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("PushedFilters: []"))
+    // 17-column lineitem, 5-column output: the scan must not read them all
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(scanCols.nonEmpty && scanCols.split(",").length <= 8,
+      s"scan reads too many columns: $scanCols")
+  }
+
+  test("r_join: dimension joins broadcast, no shuffle of the small sides") {
+    assert(plan("r_join").contains("BroadcastHashJoin"))
+  }
+
+  test("dedup/ANN candidate generation is equi-join-sized (no nested loop)") {
+    Seq("x_simhash", "x_minhash_neardup", "x_lsh_ann", "x_ngram_jaccard")
+      .foreach { q =>
+        assert(!plan(q).contains("BroadcastNestedLoopJoin"),
+          s"$q fell back to an all-pairs nested loop")
+        assert(!plan(q).contains("CartesianProduct"),
+          s"$q fell back to a cartesian product")
+      }
+  }
+
+  test("a1_collect: bounded top-k runs as TakeOrderedAndProject, not a global sort") {
+    assert(plan("a1_collect").contains("TakeOrderedAndProject"))
+  }
+
+  test("native sketch expressions run inside whole-stage codegen") {
+    // the simhash64 projection must carry the *(n) whole-stage-codegen
+    // marker — a CodegenFallback would break the span and run the stage
+    // interpreted. (AQE hides codegen markers in unexecuted plans, so it
+    // is toggled off for this one plan build.)
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val p = plan("x_simhash")
+      val line = p.linesIterator.find(_.contains("simhash64")).getOrElse("")
+      assert(line.nonEmpty, s"no simhash64 projection in plan:\n$p")
+      assert(line.trim.matches(".*\\*\\(\\d+\\).*"),
+        s"sketch projection not codegen'd: $line")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
