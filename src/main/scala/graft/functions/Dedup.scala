@@ -42,9 +42,10 @@ object Dedup {
     array((0 until bands).map { b =>
       struct(
         lit(b).as("band"),
-        xxhash64(concat_ws("_",
-          (0 until rowsPerBand).map(r =>
-            element_at(signature, b * rowsPerBand + r + 1)): _*)).as("bucket"))
+        // hash the signature longs directly — no per-row string assembly
+        // in the sketch hot path (xxhash64 is variadic over native types)
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(signature, b * rowsPerBand + r + 1)): _*).as("bucket"))
     }: _*)
   }
 

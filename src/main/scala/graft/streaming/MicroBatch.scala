@@ -56,6 +56,37 @@ object MicroBatch {
       .select(col("window.start").as("window_start"),
         col(keyCol), col("cnt"))
 
+  /** Watermarked stream-stream event-time join: right rows match left rows
+    * with the same key whose event time falls within
+    * [leftTs, leftTs + maxLagSeconds] — the impressions⋈clicks shape. The
+    * watermarks bound both sides' join state, so state size is
+    * O(rate × lag), not O(stream length); an unbounded-state stream join
+    * would OOM any cluster eventually. Inner-join results emit as matches
+    * arrive (the watermark only expires state).
+    */
+  def eventTimeJoin(left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String,
+                    leftTs: String, rightTs: String,
+                    watermarkDelay: String, maxLagSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r, col(s"l.$leftKey") === col(s"r.$rightKey") &&
+      col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") +
+        expr(s"INTERVAL $maxLagSeconds seconds"))
+  }
+
+  /** Streaming exact dedup with bounded state: duplicates of a key are
+    * dropped for as long as the key can still legally reappear (the
+    * watermark window); state for older keys is expired. This is the
+    * streaming face of the corpus-dedup family — the same keys-first
+    * discipline (dedup on ids/fingerprints, never on payload bytes).
+    */
+  def streamingDedup(stream: DataFrame, tsCol: String,
+                     watermarkDelay: String, keyCols: String*): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
   /** Drive a streaming query until `timeoutMs` then stop — deterministic
     * finite execution for tests and bounded jobs.
     */

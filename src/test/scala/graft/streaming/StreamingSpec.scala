@@ -101,6 +101,53 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._1 == "b")) // b never reached 3
   }
 
+  test("stream-stream event-time join: clicks within lag of impressions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+
+    val joined = MicroBatch.eventTimeJoin(
+      imps.toDF().toDF("its", "ad"), clicks.toDF().toDF("cts", "cad"),
+      "ad", "cad", "its", "cts", "30 seconds", maxLagSeconds = 10L)
+      .select(col("ad"), col("its"), col("cts"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+
+    imps.addData((ts(0), 1L), (ts(0), 2L), (ts(30), 3L))
+    clicks.addData(
+      (ts(5), 1L),   // within 10s of imp@0 → joins
+      (ts(20), 2L),  // 20s after imp@0 → outside lag, no join
+      (ts(31), 3L))  // within lag of imp@30 → joins
+    q.processAllAvailable()
+    val got = spark.table("ssjoin").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(1L, 3L))
+  }
+
+  test("streaming dedup: duplicate keys within the watermark collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+
+    val deduped = MicroBatch.streamingDedup(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "1 minute", "doc_id")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+
+    input.addData((ts(0), 1L, "a"), (ts(1), 1L, "a-dup"), (ts(2), 2L, "b"))
+    q.processAllAvailable()
+    input.addData((ts(5), 2L, "b-dup"), (ts(6), 3L, "c"))
+    q.processAllAvailable()
+    val got = spark.table("sdedup").collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    q.stop()
+    // one row per doc_id, and it is the FIRST arrival that survives
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("file source: stream the events parquet through a windowed agg") {
     // a *streaming* parquet read resolves its schema through the query's
     // own session, so the legacy flag must sit on this session for the
