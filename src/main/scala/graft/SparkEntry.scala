@@ -297,6 +297,39 @@ object SparkEntry {
         countDistinct(col("l_suppkey")).as("d_supps"),
         countDistinct(col("l_returnflag"), col("l_linestatus")).as("d_flags"))),
 
+    // Exact percentiles (sort-based interpolation; l_quantity is
+    // integral-valued so quartile interpolation is exact in double).
+    "r_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"))
+        .orderBy("l_returnflag")),
+
+    // Post-aggregation filter (HAVING).
+    "r_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("spend"))
+        .where(col("n_orders") >= 12)
+        .orderBy("o_custkey")),
+
+    // Top-k per group (QUALIFY shape): rank inside the partition, keep
+    // the head — the windowed filter pattern, one shuffle on the key.
+    "r_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("rk").cast("long").as("rk"))
+        .orderBy("o_custkey", "rk")
+    }),
+
     "r_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -825,6 +858,27 @@ object SparkEntry {
         | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
         | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "r_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS p25,
+        | quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "r_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 12 ORDER BY o_custkey""".stripMargin,
+
+    "r_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders)
+        |WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
 
     "r_count_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS d_parts,
