@@ -51,6 +51,22 @@ object Multimodal {
       (w, ht, luma)
     }
 
+    /** "Resize" an image: deterministic output bytes sized w*h/64 derived
+      * from the input (stand-in for decode→scale→encode). Replace with a
+      * real scaler.
+      */
+    def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val n = math.max(1, w * h / 64)
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        out(i) = (if (bytes.length == 0) 0
+                  else bytes(i % bytes.length) ^ (i & 0x7f)).toByte
+        i += 1
+      }
+      out
+    }
+
     /** "Extract" an nDims-dim feature vector from media bytes: a
       * deterministic projection (stand-in for a CNN/audio embedder).
       */
@@ -101,6 +117,23 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Distributed resize: emits a transformed blob plus updated meta dims —
+    * the full payload-in/payload-out shape (decode → scale → re-encode in
+    * a real codec; here the stub derives the output bytes
+    * deterministically from input bytes + target dims). The blob is
+    * transformed in place per partition and never shuffled.
+    */
+  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame =
+    media.select("media_id", "data", "meta").mapPartitions { it =>
+      it.map { r =>
+        val in = r.getAs[Array[Byte]]("data")
+        val out = StubCodec.resizeImage(in, width, height)
+        val m = r.getStruct(2)
+        Row(r.getLong(0), out,
+          Row(m.get(0), m.get(1), width, height, m.get(4), m.get(5)))
+      }
+    }(Encoders.row(mediaSchema))
 
   /** Distributed feature extraction → embedding column, ANN-ready. */
   def extractFeatures(media: DataFrame, nDims: Int): DataFrame = {

@@ -29,6 +29,21 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("resizeImages: schema preserved, meta dims updated, deterministic") {
+    val out = Multimodal.resizeImages(media, 64, 64)
+    assert(out.schema == Multimodal.mediaSchema)
+    val rows = out.collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val m = r.getStruct(2)
+      m.getInt(2) == 64 && m.getInt(3) == 64 &&
+        r.getAs[Array[Byte]](1).length == 64 * 64 / 64
+    })
+    val again = Multimodal.resizeImages(media, 64, 64).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap ==
+      again.map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap)
+  }
+
   test("extractFeatures yields ANN-ready fixed-dim embeddings") {
     val out = Multimodal.extractFeatures(media, 16)
     val rows = out.collect()
