@@ -106,6 +106,24 @@ class FunctionsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L)) // canonical per cluster + unpaired
   }
 
+  test("banded simhash pairs == quadratic all-pairs (pigeonhole recall is exactly 1)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val sh = docs.select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sh"))
+    // radius 3 (uniform 16-bit blocks) and radius 8 (non-uniform 7/8-bit
+    // blocks — exercises the uneven 64/9 split)
+    for (radius <- Seq(3, 8)) {
+      val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", radius)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+        .where(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= radius)
+        .select(col("a.id"), col("b.id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute, s"radius $radius: banded != brute force")
+    }
+  }
+
   test("connectedComponents: 60-node chain converges via pointer jumping, reliable checkpoint") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
