@@ -50,6 +50,10 @@ object GraftSession {
       exprs => NgramHashes(exprs(0), exprInt(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket",
       exprs => HyperplaneLshBucket(exprs(0), exprInt(exprs(1)), 42L), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => graft.plans.MinHashSignature(exprs(0), exprInt(exprs(1))), "scala_udf")
+    // StopwordProfileArgmax / ArgMaxDot carry model state (profiles,
+    // centroids) — exposed through the Scala DSL, not SQL text.
   }
 
   private def exprInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =

@@ -11,10 +11,12 @@ class GraftSessionSpec extends SparkSpec {
       """SELECT doc_id,
         |  simhash64(split(trim(text), '\\s+')) AS sh,
         |  ngram_minhash(split(trim(text), '\\s+'), 5, 16) AS sig,
+        |  size(minhash_signature(split(trim(text), '\\s+'), 8)) AS msig_n,
         |  size(ngram_hashes(split(trim(text), '\\s+'), 5)) AS n_grams
         |FROM documents ORDER BY doc_id LIMIT 1""".stripMargin).collect().head
     assert(row.getSeq[Long](2).length == 16)
-    assert(row.getInt(3) > 0)
+    assert(row.getInt(3) == 8)  // minhash_signature(…, 8)
+    assert(row.getInt(4) > 0)   // n_grams
   }
 
   test("lsh_bucket usable in SQL over embeddings") {
