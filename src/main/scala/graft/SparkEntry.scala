@@ -297,6 +297,33 @@ object SparkEntry {
         countDistinct(col("l_suppkey")).as("d_supps"),
         countDistinct(col("l_returnflag"), col("l_linestatus")).as("d_flags"))),
 
+    // NOT IN subquery — null-aware anti semantics (NOT IN is not a plain
+    // left-anti join when nulls can appear; expressed in SQL so Catalyst
+    // plans the null-aware variant).
+    "r_not_in" -> ((s, dir) => {
+      GraftSession.registerTables(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_nationkey FROM customer
+          |WHERE c_nationkey NOT IN
+          |  (SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // RANGE window frame: per customer, total spend over orders priced
+    // within 1000.0 below the current order — value-range frames, the
+    // complement of the ROWS frames in r_window_running. RANGE includes
+    // all value-peers of the current row, so the result is deterministic
+    // under order ties; decimal accumulation keeps it order-independent.
+    "r_window_range" -> ((s, dir) => {
+      GraftSession.registerTables(s, dir)
+      s.sql(
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+          | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+          |   PARTITION BY o_custkey ORDER BY o_totalprice
+          |   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_spend
+          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+    }),
+
     // Exact percentiles (sort-based interpolation; l_quantity is
     // integral-valued so quartile interpolation is exact in double).
     "r_percentile" -> ((s, dir) =>
@@ -858,6 +885,19 @@ object SparkEntry {
         | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
         | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "r_not_in" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE c_nationkey NOT IN
+        |  (SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "r_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_totalprice
+        |   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "r_percentile" ->
       """SELECT l_returnflag,
