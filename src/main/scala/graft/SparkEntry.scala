@@ -301,7 +301,10 @@ object SparkEntry {
     // left-anti join when nulls can appear; expressed in SQL so Catalyst
     // plans the null-aware variant).
     "r_not_in" -> ((s, dir) => {
-      GraftSession.registerTables(s, dir)
+      // register only the two tables this query touches — registerTables
+      // re-reads every table's footer, a fixed tax per invocation
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
       s.sql(
         """SELECT c_custkey, c_nationkey FROM customer
           |WHERE c_nationkey NOT IN
@@ -315,7 +318,7 @@ object SparkEntry {
     // all value-peers of the current row, so the result is deterministic
     // under order ties; decimal accumulation keeps it order-independent.
     "r_window_range" -> ((s, dir) => {
-      GraftSession.registerTables(s, dir)
+      t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(
         """SELECT o_custkey, o_orderkey, o_totalprice,
           | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
@@ -371,7 +374,7 @@ object SparkEntry {
     // SQL surface: the engine's spark.sql passthrough with a scalar
     // subquery — identical SQL text runs on both engines.
     "r_sql_subquery" -> ((s, dir) => {
-      GraftSession.registerTables(s, dir)
+      t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(
         """SELECT o_orderkey,
           | o_totalprice - (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
