@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: the broadcast as-of join planner strategy
+    // (logical AsOfJoin -> BroadcastAsOfJoinExec).
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))

@@ -565,6 +565,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Embedding-cosine near-dup pairs, blocked on the label column (the
+    // coarse-quantizer-bucket pattern: exact recall within a block, hash
+    // equi-join plan — the scale path for pairwise embedding dedup).
+    // Exact-decimal cosine → bit-equal to the DuckDB quadratic oracle.
+    "x_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineNearDupBlocked(e, "vec_id", "embedding", "label",
+          minCos = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
     // As-of join (most-recent purchase per event) — composed from one
     // union + one window pass (graft.operators.AsOf); oracle is DuckDB's
     // native ASOF LEFT JOIN. Integer (epoch-micros) comparisons → exact.
@@ -576,6 +587,25 @@ object SparkEntry {
         .groupBy(col("user_id"), unix_micros(col("ts")).as("p_us"))
         .agg(max(col("event_id")).as("p_event_id"))
       graft.operators.AsOf.join(ev, purch, "user_id", "us", "p_us",
+          Seq("p_event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_p_event_id").as("prev_purchase_id"))
+        .orderBy("event_id")
+    }),
+
+    // Same as-of semantics through the custom Catalyst operator
+    // (AsOfJoin logical node -> GraftStrategies -> BroadcastAsOfJoinExec):
+    // right side broadcast as a key->ts-sorted index, per-left-row binary
+    // search, ZERO shuffles (vs one for the union+window composition).
+    // Same DuckDB ASOF LEFT JOIN oracle as r_asof_join.
+    "r_asof_broadcast" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val purch = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .agg(max(col("event_id")).as("p_event_id"))
+      graft.operators.AsOf.broadcastJoin(ev, purch, "user_id", "us", "p_us",
           Seq("p_event_id"))
         .select(col("event_id"), col("user_id"),
           col("asof_p_event_id").as("prev_purchase_id"))
@@ -1099,9 +1129,36 @@ object SparkEntry {
 
     "x_cosine_topk" -> cosineTopkOracle,
 
+    "x_embed_neardup" ->
+      """WITH z AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(unnest(a.embedding) AS DOUBLE) AS x,
+        |  CAST(unnest(b.embedding) AS DOUBLE) AS y
+        | FROM embeddings a JOIN embeddings b
+        |   ON a.label = b.label AND a.vec_id < b.vec_id),
+        |d AS (
+        | SELECT id_a, id_b,
+        |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
+        |  SUM(CAST(x * x AS DECIMAL(30,15))) AS na,
+        |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nb
+        | FROM z GROUP BY id_a, id_b)
+        |SELECT id_a, id_b,
+        | ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS cos
+        |FROM d
+        |WHERE ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "x_multimodal_bytes" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "r_asof_broadcast" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us, MAX(event_id) AS p_event_id
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, p.p_event_id AS prev_purchase_id
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us >= p.p_us
+        |ORDER BY e.event_id""".stripMargin,
 
     "r_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),

@@ -143,4 +143,33 @@ object Similarity {
         cosine(col("a.v"), col("b.v")).as("cos"))
       .where(col("cos") >= minCos)
   }
+
+  /** Embedding-cosine near-dup pairs within a *blocking column* — the
+    * exact-recall variant of [[cosineNearDupPairs]]: recall is 1 within a
+    * block by construction, and the plan is a hash equi-join on the block
+    * key (never an all-pairs nested loop). At 100 TB the block key is a
+    * coarse-quantizer bucket (e.g. [[ivfAssign]]'s `ivf_bucket`, or a
+    * shard/domain column); per-block pair cost is quadratic, so block
+    * granularity must grow with the corpus — same trade as every
+    * blocked-dedup scheme.
+    *
+    * Output: (id_a, id_b, cos) with id_a < id_b, cos = exact-decimal
+    * cosine rounded to 9 places (cross-engine reproducible), cos ≥ minCos.
+    */
+  def cosineNearDupBlocked(df: DataFrame, idCol: String, vecCol: String,
+                           blockCol: String, minCos: Double): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk"))
+    b.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      // Two-phase scoring: the cheap double cosine prunes the quadratic
+      // candidate set (loosened by a margin far above double-vs-decimal
+      // divergence, ~1e-12), then the ~10× costlier order-independent
+      // exact-decimal cosine scores only the survivors — so output values
+      // stay cross-engine bit-reproducible without paying decimal
+      // arithmetic on every candidate pair.
+      .where(cosine(col("a.v"), col("b.v")) >= minCos - 1e-6)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosineExact(col("a.v"), col("b.v")), 9).as("cos"))
+      .where(col("cos") >= minCos)
+  }
 }

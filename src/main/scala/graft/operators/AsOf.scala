@@ -58,6 +58,46 @@ object AsOf {
       .select((leftCols.map(col) ++ rightCols.map(c => col(s"__r_$c").as(s"asof_$c"))): _*)
   }
 
+  /** Broadcast as-of join — same semantics as [[join]], zero shuffles.
+    *
+    * Use when the right (reference) side is broadcast-sized: the right
+    * side is collected into a key → ts-sorted index, broadcast to every
+    * executor, and each left row resolves its match with a local binary
+    * search (O(log |R per key|)) — the as-of analogue of a broadcast hash
+    * join. The left side is never shuffled or sorted. Backed by the
+    * custom Catalyst operator [[graft.plans.AsOfJoin]] →
+    * [[graft.plans.BroadcastAsOfJoinExec]] (planner strategy
+    * [[graft.plans.GraftStrategies]], auto-registered on the session).
+    *
+    * Ordering columns must be integral/timestamp/date (lossless long
+    * comparison); key columns must have identical types on both sides.
+    */
+  def broadcastJoin(left: DataFrame, right: DataFrame, key: String,
+                    leftTs: String, rightTs: String,
+                    rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = left.sparkSession
+    PlanBridge.addStrategy(spark, graft.plans.GraftStrategies)
+    // Pre-project the right side so only (key, ts, carried) columns are
+    // scanned and collected — column pruning does not cross a custom node.
+    val rightMin = right.select((Seq(key, rightTs) ++ rightCols).distinct.map(col): _*)
+    val lPlan = PlanBridge.analyzed(left)
+    val rPlan = PlanBridge.analyzed(rightMin)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
+    val lKey = attr(lPlan, key); val rKey = attr(rPlan, key)
+    require(lKey.dataType == rKey.dataType,
+      s"as-of key types differ: ${lKey.dataType.catalogString} vs ${rKey.dataType.catalogString}")
+    val carry = rightCols.map(c => attr(rPlan, c))
+    val outAttrs = carry.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    PlanBridge.ofRows(spark, graft.plans.AsOfJoin(
+      lPlan, rPlan, lKey, rKey, attr(lPlan, leftTs), attr(rPlan, rightTs),
+      carry, outAttrs))
+  }
+
   private def orderingType(l: org.apache.spark.sql.types.DataType,
                            r: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.types.DataType = {

@@ -14,3 +14,28 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge for constructing a DataFrame from a hand-built LogicalPlan
+  * (custom operator nodes) and for idempotently registering extra planner
+  * strategies on a live session — `Dataset.ofRows` is `private[sql]` in
+  * Spark 4's classic module.
+  */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def addStrategy(spark: org.apache.spark.sql.SparkSession,
+                  strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
+
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+}

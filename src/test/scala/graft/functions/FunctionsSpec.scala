@@ -207,4 +207,26 @@ class FunctionsSpec extends SparkSpec {
     val counts = b.groupBy("bucket").count().collect()
     assert(counts.length > 1) // buckets actually split the space
   }
+
+  test("cosineNearDupBlocked equals driver-side brute force within blocks") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val tau = 0.3
+    val got = Similarity.cosineNearDupBlocked(e, "vec_id", "embedding", "label", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force on the driver (exact double math; tau is far from any
+    // pair's cosine so double-vs-decimal rounding cannot flip membership)
+    val vecs = e.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val want = (for {
+      (ia, va, la) <- vecs; (ib, vb, lb) <- vecs
+      if la == lb && ia < ib && cos(va, vb) >= tau
+    } yield (ia, ib)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }

@@ -52,4 +52,66 @@ class AsOfSpec extends SparkSpec {
       .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
     assert(out == Map(1L -> 100L, 2L -> 101L, 3L -> 101L))
   }
+
+  test("broadcastJoin matches the composed as-of join, including edge cases") {
+    val lSchema = StructType(Seq(
+      StructField("k", StringType), StructField("lts", LongType),
+      StructField("lid", LongType)))
+    val rSchema = StructType(Seq(
+      StructField("k", StringType), StructField("rts", LongType),
+      StructField("price", DoubleType)))
+    val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", 5L, 1L), Row("a", 3L, 2L), Row("a", 2L, 3L), Row("a", 0L, 4L),
+      Row("b", 9L, 5L), Row(null, 4L, 6L),
+    )), lSchema)
+    val right = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", 1L, 10.0), Row("a", 3L, 30.0), Row("a", 7L, 70.0),
+      Row(null, 2L, 99.0),
+    )), rSchema)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    val composed = res(AsOf.join(left, right, "k", "lts", "rts", Seq("price")))
+    val bcast = res(AsOf.broadcastJoin(left, right, "k", "lts", "rts", Seq("price")))
+    assert(bcast == composed)
+    assert(bcast == Map(1L -> 30.0, 2L -> 30.0, 3L -> 10.0, 4L -> null,
+      5L -> null, 6L -> 99.0)) // null keys group (Window.partitionBy semantics)
+  }
+
+  test("broadcastJoin matches the composed join on a dense random workload") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val lRows = (1 to 400).map(i =>
+      Row(s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong, i.toLong))
+    val rRows = (1 to 60).map(i =>
+      Row(s"k${rnd.nextInt(6)}", i.toLong * 2 % 97, i.toLong * 1000))
+    val lSchema = StructType(Seq(
+      StructField("k", StringType), StructField("lts", LongType),
+      StructField("lid", LongType)))
+    val rSchema = StructType(Seq(
+      StructField("k", StringType), StructField("rts", LongType),
+      StructField("v", LongType)))
+    val left = spark.createDataFrame(spark.sparkContext.parallelize(lRows), lSchema)
+    val right = spark.createDataFrame(spark.sparkContext.parallelize(rRows), rSchema)
+      // contract: right unique per (key, ts)
+      .groupBy("k", "rts").agg(max(col("v")).as("v"))
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    assert(res(AsOf.broadcastJoin(left, right, "k", "lts", "rts", Seq("v"))) ==
+      res(AsOf.join(left, right, "k", "lts", "rts", Seq("v"))))
+  }
+
+  test("broadcastJoin plan is the custom exec with zero exchanges") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).select(
+      (col("id") % 5).cast("string").as("k"), col("id").as("lts"), col("id").as("lid"))
+    val r = spark.range(10).select(
+      (col("id") % 5).cast("string").as("k"), (col("id") * 7).as("rts"), col("id").as("v"))
+    val out = AsOf.broadcastJoin(df, r, "k", "lts", "rts", Seq("v"))
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastAsOfJoin"), phys)
+    assert(!phys.contains("Exchange"), s"broadcast as-of join must not shuffle:\n$phys")
+    assert(out.count() == 100)
+  }
 }
