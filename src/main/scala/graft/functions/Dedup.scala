@@ -206,6 +206,85 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (the MapReduce-native formulation: Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round is two
+    * edge rewrites:
+    *
+    *  - large-star: every node's strictly-greater neighbors re-attach to
+    *    the minimum of its neighborhood (incl. itself);
+    *  - small-star: every node's smaller-or-equal neighbors re-attach to
+    *    that minimum.
+    *
+    * The edge list contracts toward star graphs rooted at component
+    * minima; rounds are O(log² n) worst-case but typically fewer than
+    * label propagation on chainy graphs, and each round is two
+    * groupBy-join passes over *edges only* (no separate labels table to
+    * re-join) — the shape that wins when edges ≫ nodes. Kept alongside
+    * [[connectedComponents]] (min-label + pointer jumping): same output,
+    * different scale trade; the spec asserts equivalence.
+    *
+    * Output: (id, label) for every node appearing in `pairs`, label = min
+    * node id of the component — identical to [[connectedComponents]].
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25,
+                              strict: Boolean = false): DataFrame = {
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // Undirected edge set as canonical (min, max) pairs, self-loops kept
+    // implicitly by the (u, u) union so isolated minima survive rounds.
+    var edges = snap(
+      pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+        .union(pairs.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
+        .where(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct())
+    var prev: DataFrame = null
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // large-star over the symmetric view: attach each node's greater
+      // neighbors to m = min(neighborhood ∪ self)
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
+        .where(col("u") =!= col("v"))
+      // small-star: attach each node's ≤ neighbors (and itself) to m
+      val symL = large.union(large.select(col("v").as("u"), col("u").as("v")))
+      val minsL = symL.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val small = symL.join(minsL, "u")
+        .where(col("v") <= col("u"))
+        .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
+        .union(minsL.select(col("m").as("u"), col("u").as("v")))
+        .where(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
+      val next = snap(small)
+      changed = next.except(edges).count() + edges.except(next).count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = edges
+      edges = next
+      iter += 1
+    }
+    if (changed > 0) {
+      val msg = s"connectedComponentsStar: edges still moving after $maxIter rounds"
+      if (strict) throw new IllegalStateException(msg)
+      System.err.println(s"[graft] WARN $msg")
+    }
+    // Converged edges form stars (m, v): m is the component min. Emit the
+    // roots themselves, then every attached node.
+    val out = edges.select(col("v").as("id"), col("u").as("label"))
+      .union(edges.select(col("u").as("id"), col("u").as("label")))
+      .groupBy("id").agg(min(col("label")).as("label"))
+    if (prev != null) prev.unpersist(blocking = false)
+    out
+  }
+
   /** Drop near-duplicates: given the corpus and a detected pair list,
     * cluster the pairs and keep only each cluster's canonical (min-id)
     * document plus all unpaired documents — the standard corpus-dedup

@@ -208,6 +208,25 @@ class FunctionsSpec extends SparkSpec {
     assert(counts.length > 1) // buckets actually split the space
   }
 
+  test("connectedComponentsStar equals pointer-jumping CC on chains and corpora") {
+    import spark.implicits._
+    // 40-node chain + a triangle + an isolated pair
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val pairs = (chain ++ extra).toDF("id_a", "id_b")
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = labelMap(Dedup.connectedComponentsStar(pairs))
+    val prop = labelMap(Dedup.connectedComponents(pairs))
+    assert(star == prop)
+    assert(star(39L) == 0L && star(102L) == 100L && star(201L) == 200L)
+    // real near-dup pairs from the documents table
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val docPairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+    assert(labelMap(Dedup.connectedComponentsStar(docPairs)) ==
+      labelMap(Dedup.connectedComponents(docPairs)))
+  }
+
   test("cosineNearDupBlocked equals driver-side brute force within blocks") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val tau = 0.3
