@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("lsh_bucket"),
       info("lsh_bucket", "lsh_bucket(vec, nBits) - random-hyperplane LSH bucket of a float vector"),
       (exprs: Seq[Expression]) => HyperplaneLshBucket(exprs(0), intLit(exprs(1)), 42L)))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints", "winnow_fingerprints(text, k, w) - winnowing fingerprint hashes (rolling k-gram hash, w-window minima)"),
+      (exprs: Seq[Expression]) => graft.plans.WinnowFingerprints(exprs(0), intLit(exprs(1)), intLit(exprs(2)))))
   }
 }

@@ -52,6 +52,8 @@ object GraftSession {
       exprs => HyperplaneLshBucket(exprs(0), exprInt(exprs(1)), 42L), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => graft.plans.MinHashSignature(exprs(0), exprInt(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      exprs => graft.plans.WinnowFingerprints(exprs(0), exprInt(exprs(1)), exprInt(exprs(2))), "scala_udf")
     // StopwordProfileArgmax / ArgMaxDot carry model state (profiles,
     // centroids) — exposed through the Scala DSL, not SQL text.
   }

@@ -521,6 +521,24 @@ object SparkEntry {
         .select(col("keep_id"), col("n_copies"))
         .orderBy("keep_id")),
 
+    // Winnowing fingerprint dedup: group by (winnow fingerprint set,
+    // byte length) — the native rolling-hash + window-min expression plus
+    // the cheapest possible disambiguator. The set alone is a *content*
+    // sketch: texts differing only in the multiplicity of a repeated
+    // substring ("… dup dup" vs "… dup dup dup") have identical gram
+    // sets at any window width, and length separates exactly those.
+    // Identical texts agree on both components, so — like x_fingerprint —
+    // the ids-only output is exactly text-key dedup, which DuckDB oracles
+    // without reproducing the hash. The set key additionally powers
+    // partial-overlap (containment) joins that a whole-doc hash cannot.
+    "x_winnow_dedup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TF.winnowFingerprints(col("text")).as("fp"),
+          octet_length(col("text")).as("len"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")),
+
     // Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
     "x_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 5, 0.2)
@@ -737,6 +755,10 @@ object SparkEntry {
     "x_ivf_ann" -> cosineTopkOracle,
 
     "x_fingerprint" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "x_winnow_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 

@@ -104,6 +104,17 @@ object TextFunctions {
   def minShingleFingerprint(text: Column, n: Int): Column =
     array_min(transform(wordShingles(text, n), g => xxhash64(g)))
 
+  /** Full winnowing fingerprint set (rolling k-gram hash + w-window
+    * minima, native [[graft.plans.WinnowFingerprints]] expression):
+    * `array<long>` of selected hashes. Two documents sharing a substring
+    * of ≥ w+k−1 characters share at least one fingerprint — the local
+    * (partial-overlap) detection [[fingerprint]] can't give. Set size is
+    * ~2/(w+1) of text length: shuffle-light, usable as an inverted-index
+    * join key for plagiarism-style containment search at corpus scale.
+    */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 8): Column =
+    graft.plans.HashExpressions.winnowFingerprints(text, k, w)
+
   /** Overlapping word `n`-grams ("shingles"), space-joined, de-duplicated.
     * Documents with fewer than `n` tokens get a single shingle of the whole
     * text so they still participate in similarity joins.

@@ -357,6 +357,76 @@ case class ArgMaxDot(child: Expression, flatCentroids: Array[Double], dim: Int)
   override def prettyName: String = "argmax_dot"
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+  * a polynomial *rolling* hash over every k-byte gram of the text (O(n),
+  * one multiply-add per byte), an avalanche finalizer per gram, then the
+  * minimum hash of each w-wide gram window — the classic local document
+  * fingerprinting scheme. Guarantee: any shared substring of length ≥
+  * w + k − 1 contributes at least one complete window to both documents,
+  * so they share at least one fingerprint. Output: sorted distinct
+  * selected hashes (deterministic; usable as a groupBy/join key).
+  *
+  * Texts shorter than k fall back to a single whole-text hash (mirrors
+  * the shingle fallback in TextFunctions.wordShingles).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(k >= 2 && w >= 1, s"winnow needs k>=2, w>=1 (got k=$k, w=$w)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.catalogString}")
+    }
+  // Odd base → multiplication is a bijection mod 2^64; B^(k-1) strips the
+  // outgoing byte as the window rolls.
+  private val B = 1000003L
+  private val Bk = { var p = 1L; var i = 1; while (i < k) { p *= B; i += 1 }; p }
+  def kernel(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array(XXH64.hashUTF8String(s, 42L)))
+    val m = n - k + 1 // gram count
+    val grams = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    grams(0) = XXH64.hashLong(h, 42L) // finalizer: rolled values correlate
+    i = k
+    while (i < n) {
+      h = (h - (bytes(i - k) & 0xffL) * Bk) * B + (bytes(i) & 0xffL)
+      grams(i - k + 1) = XXH64.hashLong(h, 42L)
+      i += 1
+    }
+    if (m <= w) { // shorter than one window: keep the global minimum
+      var mn = grams(0); i = 1
+      while (i < m) { if (grams(i) < mn) mn = grams(i); i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    // per-window minimum via a monotonic index deque — O(m) total
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0 // [head, tail) holds candidate indices
+    val selected = new Array[Long](m - w + 1)
+    i = 0
+    while (i < m) {
+      while (tail > head && grams(deque(tail - 1)) >= grams(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) selected(i - w + 1) = grams(deque(head))
+      i += 1
+    }
+    val d = NgramHashing.distinctLongs(selected)
+    java.util.Arrays.sort(d) // sorted set → stable groupBy/join key
+    new GenericArrayData(d)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 object HashExpressions {
   def minhashSignature(grams: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(grams), numHashes))
@@ -373,4 +443,6 @@ object HashExpressions {
   def stopwordProfileArgmax(tokens: Column, labels: Seq[String],
                             profiles: Seq[Seq[String]]): Column =
     ColumnBridge.column(StopwordProfileArgmax(ColumnBridge.expression(tokens), labels, profiles))
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
 }

@@ -208,6 +208,39 @@ class FunctionsSpec extends SparkSpec {
     assert(counts.length > 1) // buckets actually split the space
   }
 
+  test("winnowFingerprints: identity, shared-substring guarantee, edit locality") {
+    import spark.implicits._
+    val k = 5; val w = 8
+    def fps(texts: String*): Seq[Set[Long]] =
+      texts.toSeq.toDF("t")
+        .select(TextFunctions.winnowFingerprints(col("t"), k, w))
+        .collect().toSeq.map(_.getSeq[Long](0).toSet)
+    // identical text → identical fingerprint set
+    val Seq(a1, a2) = fps("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog")
+    assert(a1 == a2 && a1.nonEmpty)
+    // guarantee: a shared substring of length >= w+k-1 (12 chars) forces
+    // at least one shared fingerprint, regardless of surrounding text
+    val common = "zqxjkvbwpfmg hydra" // 18 chars >= w+k-1
+    val Seq(b1, b2) = fps(s"left context AAA $common more after",
+      s"totally different $common other tail BBB")
+    assert((b1 & b2).nonEmpty, "winnowing guarantee violated")
+    // edit locality: one edit in a long text leaves most fingerprints alike
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val edited = base.replace("token20", "tokenXX")
+    val Seq(c1, c2) = fps(base, edited)
+    val overlap = (c1 & c2).size.toDouble / (c1 | c2).size
+    assert(overlap > 0.6, s"overlap $overlap")
+    // short-text fallback: below k chars still fingerprints
+    assert(fps("ab").head.size == 1)
+    // SQL registration round-trips
+    graft.GraftSession.registerFunctions(spark)
+    val viaSql = spark.sql(
+      "SELECT winnow_fingerprints('the quick brown fox jumps over the lazy dog', 5, 8) AS fp")
+      .collect().head.getSeq[Long](0).toSet
+    assert(viaSql == a1)
+  }
+
   test("connectedComponentsStar equals pointer-jumping CC on chains and corpora") {
     import spark.implicits._
     // 40-node chain + a triangle + an isolated pair
