@@ -158,7 +158,13 @@ object Similarity {
     */
   def cosineNearDupBlocked(df: DataFrame, idCol: String, vecCol: String,
                            blockCol: String, minCos: Double): DataFrame = {
+    // Norms are computed ONCE per vector before the pair join (per-pair
+    // work is the dot product only), and the pruning dot is the native
+    // single-pass DotProductF kernel — the higher-order zip_with/aggregate
+    // formulation runs interpreted and costs ~100× more per candidate.
+    val dotN = graft.plans.HashExpressions.dotF _
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk"))
+      .withColumn("nrm", sqrt(dotN(col("v"), col("v"))))
     b.as("a").join(b.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       // Two-phase scoring: the cheap double cosine prunes the quadratic
@@ -167,7 +173,8 @@ object Similarity {
       // exact-decimal cosine scores only the survivors — so output values
       // stay cross-engine bit-reproducible without paying decimal
       // arithmetic on every candidate pair.
-      .where(cosine(col("a.v"), col("b.v")) >= minCos - 1e-6)
+      .where(dotN(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+        >= minCos - 1e-6)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(cosineExact(col("a.v"), col("b.v")), 9).as("cos"))
       .where(col("cos") >= minCos)

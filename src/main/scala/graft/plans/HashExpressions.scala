@@ -427,6 +427,47 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Dot product of two float-array columns as a native binary expression:
+  * one tight 64-wide multiply-add loop per pair instead of the
+  * higher-order `zip_with`+`aggregate` tree, which runs interpreted and
+  * re-walks both arrays through per-element lambda dispatch — the
+  * difference between microseconds and milliseconds per candidate pair
+  * in pairwise similarity joins. Double accumulation in array order
+  * (deterministic within the engine; use the exact-decimal path for
+  * cross-engine bit-equality of *output* values — this is the candidate
+  * pruning kernel).
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, array<float>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  def kernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("dotf", this, this.getClass.getName)
+      s"${ev.value} = $ref.kernel($a, $b);"
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_f"
+}
+
 object HashExpressions {
   def minhashSignature(grams: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(grams), numHashes))
@@ -445,4 +486,6 @@ object HashExpressions {
     ColumnBridge.column(StopwordProfileArgmax(ColumnBridge.expression(tokens), labels, profiles))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
+  def dotF(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -30,13 +30,30 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup/ANN candidate generation is equi-join-sized (no nested loop)") {
-    Seq("x_simhash", "x_minhash_neardup", "x_lsh_ann", "x_ngram_jaccard")
+    Seq("x_simhash", "x_minhash_neardup", "x_lsh_ann", "x_ngram_jaccard",
+        "x_embed_neardup")
       .foreach { q =>
         assert(!plan(q).contains("BroadcastNestedLoopJoin"),
           s"$q fell back to an all-pairs nested loop")
         assert(!plan(q).contains("CartesianProduct"),
           s"$q fell back to a cartesian product")
       }
+  }
+
+  test("r_asof_broadcast: custom exec present, probe side never shuffled") {
+    val p = plan("r_asof_broadcast")
+    assert(p.contains("BroadcastAsOfJoin"), p)
+    // The reference side may aggregate (its own exchange) and the final
+    // presentation ORDER BY sorts — but the probe side must reach the
+    // custom node unshuffled. In tree text the probe (left) subtree's
+    // lines are ':'-prefixed under the join node.
+    val probeLines = p.linesIterator
+      .dropWhile(!_.contains("BroadcastAsOfJoin")).drop(1)
+      .takeWhile(_.trim.startsWith(":"))
+      .mkString("\n")
+    assert(probeLines.nonEmpty, s"could not isolate probe subtree:\n$p")
+    assert(!probeLines.contains("Exchange"),
+      s"probe side shuffled under the broadcast as-of join:\n$probeLines")
   }
 
   test("a1_collect: bounded top-k runs as TakeOrderedAndProject, not a global sort") {
