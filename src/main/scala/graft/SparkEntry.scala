@@ -726,8 +726,8 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. Omitted keys (x_minhash_neardup, x_simhash, x_lsh_ann,
-  // x_dedup_drop, x_multimodal_decode) use engine-specific hashing /
-  // iterative clustering → rows-only check.
+  // x_dedup_drop) use engine-specific hashing / iterative clustering →
+  // rows-only check.
   // ---------------------------------------------------------------------
 
   /** Brute-force exact cosine top-10 — shared by x_cosine_topk and
@@ -761,6 +761,29 @@ object SparkEntry {
     "x_winnow_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // The stub codec derives (width, height, mean_luma) from
+    // java.util.Arrays.hashCode of the UTF-8 bytes — a 31-polynomial fold
+    // DuckDB reproduces exactly with list_reduce over ascii codes (the
+    // synthetic corpus is pure ASCII, asserted by the length guard), so
+    // even the stubbed decode path is value-checked, not just row-counted.
+    "x_multimodal_decode" ->
+      """WITH h0 AS (
+        | SELECT doc_id AS media_id,
+        |  list_reduce(
+        |    list_prepend(1::BIGINT, list_transform(range(1, length(text)+1),
+        |      i -> ascii(substr(text, i, 1))::BIGINT)),
+        |    (a, b) -> ((a * 31 + b) % 4294967296 + 4294967296) % 4294967296) AS hu
+        | FROM documents),
+        |h1 AS (
+        | SELECT media_id,
+        |  CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS h
+        | FROM h0)
+        |SELECT media_id,
+        | CAST(16 + abs(h % 1024) AS INTEGER) AS width,
+        | CAST(16 + abs(CAST((h - (h % 1024)) / 1024 AS BIGINT) % 1024) AS INTEGER) AS height,
+        | CAST(abs(h % 256) AS DOUBLE) AS mean_luma
+        |FROM h1 ORDER BY media_id""".stripMargin,
 
     "x_approx_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
