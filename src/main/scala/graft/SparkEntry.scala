@@ -640,7 +640,8 @@ object SparkEntry {
       val qv = e.where(col("vec_id") === 0).select(col("embedding"))
         .collect().head.getSeq[Float](0).toArray
       val (assigned, centroids) = Similarity.ivfAssign(
-        e.where(col("vec_id") =!= 0), "vec_id", "embedding", nCentroids = 16)
+        e.where(col("vec_id") =!= 0), "vec_id", "embedding", nCentroids = 16,
+        kmeansIters = 2) // spherical-Lloyd-refined quantizer, still exhaustive
       val qd = qv.map(_.toDouble)
       val probes = centroids.zipWithIndex
         .map { case (c, i) => (i, c.zip(qd).map { case (a, b) => a * b }.sum) }

@@ -200,6 +200,36 @@ class FunctionsSpec extends SparkSpec {
     assert(partial.map(_.getDouble(1)).forall(c => c <= rows.head.getDouble(1)))
   }
 
+  test("refineCentroids: spherical-Lloyd rounds tighten the quantizer") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val (_, seeds) = Similarity.ivfAssign(e, "vec_id", "embedding", 8)
+    val refined = Similarity.refineCentroids(e, "embedding", seeds, 2)
+    assert(refined.length == seeds.length)
+    assert(refined.forall(c => math.abs(c.map(x => x * x).sum - 1.0) < 1e-9),
+      "refined centroids must be unit-normalized")
+    // clustering objective: mean cosine of each vector to its assigned
+    // (unit) centroid must improve over the raw hash-sampled seeds
+    def objective(cents: Array[Array[Double]]): Double = {
+      val unit = cents.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n)
+      }
+      val dim = unit.head.length
+      val vecs = e.select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      vecs.map { v =>
+        val nv = math.sqrt(v.map(x => x * x).sum)
+        unit.map(c => c.zip(v).map { case (a, b) => a * b }.sum / nv).max
+      }.sum / vecs.length
+    }
+    assert(objective(refined) > objective(seeds),
+      "Lloyd rounds should tighten mean cosine to assigned centroid")
+    // exhaustive probing stays exact with the refined quantizer
+    val q = e.where(col("vec_id") === 7).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val top = Similarity.ivfTopK(e, "vec_id", "embedding", q, 5,
+      nCentroids = 8, nProbe = 8, kmeansIters = 2).collect()
+    assert(top.head.getLong(0) == 7L)
+  }
+
   test("lsh bucket: same vector → same bucket; ANN recall sanity") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val b = e.select(col("vec_id"),
