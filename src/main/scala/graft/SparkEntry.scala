@@ -578,8 +578,12 @@ object SparkEntry {
     // rows-only check; recall traded for per-bucket-local cost).
     "x_lsh_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // bucket count tracks corpus size (fixed nBits degenerates toward
+      // all-pairs as the corpus grows) — one count() to size, then the
+      // bucket equi-join
+      val nBits = Similarity.lshBitsFor(e.count(), targetPerBucket = 8)
       Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
-        dim = 64, nBits = 8, minCos = 0.2)
+        dim = 64, nBits = nBits, minCos = 0.2)
         .orderBy("id_a", "id_b")
     }),
 

@@ -78,6 +78,19 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hyperplane-count sizing for LSH bucketing: per-bucket work is
+    * quadratic, so the bucket count must track corpus size — a fixed
+    * nBits that is fine at 10⁶ vectors degenerates toward all-pairs at
+    * 10⁹. Targets `targetPerBucket` expected vectors per bucket
+    * (nBits = ⌈log₂(n / target)⌉, clamped to [4, 30] — 2³⁰ buckets
+    * suffices past 10¹¹ vectors).
+    */
+  def lshBitsFor(corpusSize: Long, targetPerBucket: Int = 32): Int = {
+    require(corpusSize > 0 && targetPerBucket > 0)
+    val buckets = math.max(1.0, corpusSize.toDouble / targetPerBucket)
+    math.min(30, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
   /** Random-hyperplane LSH bucket key: `nBits` sign bits of dot products
     * with pseudo-random (seed-derived, deterministic) hyperplanes.
     * Vectors in the same bucket are near-duplicate candidates.

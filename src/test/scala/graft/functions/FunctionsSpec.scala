@@ -200,6 +200,17 @@ class FunctionsSpec extends SparkSpec {
     assert(partial.map(_.getDouble(1)).forall(c => c <= rows.head.getDouble(1)))
   }
 
+  test("lshBitsFor tracks corpus size with clamps") {
+    assert(Similarity.lshBitsFor(100, 32) == 4)            // floor clamp
+    assert(Similarity.lshBitsFor(1024, 32) == 5)           // 32 buckets
+    assert(Similarity.lshBitsFor(1000000, 32) == 15)
+    assert(Similarity.lshBitsFor(Long.MaxValue, 1) == 30)  // ceiling clamp
+    // monotone non-decreasing in corpus size
+    val sizes = Seq(100L, 10000L, 1000000L, 100000000L)
+    val bits = sizes.map(Similarity.lshBitsFor(_, 32))
+    assert(bits == bits.sorted)
+  }
+
   test("refineCentroids: spherical-Lloyd rounds tighten the quantizer") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val (_, seeds) = Similarity.ivfAssign(e, "vec_id", "embedding", 8)

@@ -184,6 +184,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation: quality filter + fingerprint dedup + token accounting") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // (doc_id, event-time seconds, text); doc 3 duplicates doc 1's text
+    // inside the watermark window, doc 4 is empty (filtered by quality).
+    val input = MemoryStream[(Long, Long, String)]
+    val stream = input.toDF().toDF("doc_id", "secs", "text")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      // the same expression surface as the batch x_pipeline_curate query —
+      // streaming-compatible because it is all stateless projections...
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .where(col("quality") > 0.05)
+    // ...plus the one stateful stage: watermark-bounded fingerprint dedup
+    val deduped = MicroBatch.streamingDedup(stream, "ts", "10 minutes", "fp")
+    val q = deduped.select("doc_id", "n_tokens")
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    input.addData(
+      (1L, 100L, "the quick brown fox jumps over the lazy dog"),
+      (2L, 101L, "an entirely different document with many proper words"),
+      (3L, 102L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (4L, 103L, ""))                                            // quality 0.0
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("curated").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // exactly one survivor of the duplicate pair {1, 3} (first arrival),
+    // doc 2 kept, doc 4 quality-filtered
+    assert(rows.size == 2 && rows.contains(2L), s"got $rows")
+    assert(rows.keySet.intersect(Set(1L, 3L)).size == 1, s"got ${rows.keySet}")
+    assert(rows(2L) == 8 && rows.values.toSet == Set(8, 9))
+  }
+
   test("rate source produces a streaming frame") {
     val df = MicroBatch.rateSource(spark, 100)
     assert(df.isStreaming)
