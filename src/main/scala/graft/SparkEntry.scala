@@ -594,7 +594,8 @@ object SparkEntry {
     "x_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.cosineNearDupBlocked(e, "vec_id", "embedding", "label",
-          minCos = 0.35)
+          minCos = 0.35,
+          saltBuckets = 4) // 10 labels alone under-parallelize 32 cores
         .orderBy("id_a", "id_b")
     }),
 

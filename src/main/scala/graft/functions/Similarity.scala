@@ -219,8 +219,18 @@ object Similarity {
     * Output: (id_a, id_b, cos) with id_a < id_b, cos = exact-decimal
     * cosine rounded to 9 places (cross-engine reproducible), cos ≥ minCos.
     */
+  /** @param saltBuckets pair-generation parallelism *within* a block.
+    *   A plain block equi-join concentrates each block's quadratic work
+    *   in one task — fine when blocks ≫ cores, a straggler when a few
+    *   huge blocks dominate. With S > 1 the left side takes salt
+    *   s = id mod S, the right side replicates S×, and the join key
+    *   becomes (block, s): identical output (spec-proven), S× the tasks
+    *   per block. Choose S ≈ cores / blocks when block count is small.
+    */
   def cosineNearDupBlocked(df: DataFrame, idCol: String, vecCol: String,
-                           blockCol: String, minCos: Double): DataFrame = {
+                           blockCol: String, minCos: Double,
+                           saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     // Norms are computed ONCE per vector before the pair join (per-pair
     // work is the dot product only), and the pruning dot is the native
     // single-pass DotProductF kernel — the higher-order zip_with/aggregate
@@ -228,8 +238,18 @@ object Similarity {
     val dotN = graft.plans.HashExpressions.dotF _
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk"))
       .withColumn("nrm", sqrt(dotN(col("v"), col("v"))))
-    b.as("a").join(b.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    val (lhs, rhs) =
+      if (saltBuckets == 1) (b.as("a"), b.as("b"))
+      else (b.withColumn("salt", pmod(col("id"), lit(saltBuckets))).as("a"),
+        b.withColumn("salt",
+          explode(array((0 until saltBuckets).map(lit(_)): _*))).as("b"))
+    val joinCond =
+      if (saltBuckets == 1)
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id")
+      else
+        col("a.blk") === col("b.blk") && col("a.salt") === col("b.salt") &&
+          col("a.id") < col("b.id")
+    lhs.join(rhs, joinCond)
       // Two-phase scoring: the cheap double cosine prunes the quadratic
       // candidate set (loosened by a margin far above double-vs-decimal
       // divergence, ~1e-12), then the ~10× costlier order-independent

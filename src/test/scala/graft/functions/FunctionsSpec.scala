@@ -321,5 +321,10 @@ class FunctionsSpec extends SparkSpec {
     } yield (ia, ib)).toSet
     assert(got == want)
     assert(got.nonEmpty)
+    // salted variant: identical pairs, just more tasks per block
+    val salted = Similarity.cosineNearDupBlocked(
+      e, "vec_id", "embedding", "label", tau, saltBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == want)
   }
 }
