@@ -531,10 +531,14 @@ object SparkEntry {
     // the ids-only output is exactly text-key dedup, which DuckDB oracles
     // without reproducing the hash. The set key additionally powers
     // partial-overlap (containment) joins that a whole-doc hash cannot.
+    // The shuffle key is xxhash64 OF the fingerprint set (+ length), not
+    // the set itself — same keys-first discipline as x_fingerprint: the
+    // exchange moves 8 bytes per doc however long the fingerprint array
+    // is (collision odds 2^-64, the accepted fingerprint-dedup risk).
     "x_winnow_dedup" -> ((s, dir) =>
       t(s, dir, "documents")
-        .groupBy(TF.winnowFingerprints(col("text")).as("fp"),
-          octet_length(col("text")).as("len"))
+        .groupBy(xxhash64(TF.winnowFingerprints(col("text")),
+          octet_length(col("text"))).as("fpkey"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
         .orderBy("keep_id")),

@@ -86,6 +86,14 @@ case class BroadcastAsOfJoinExec(
   // No shuffle is introduced and left rows pass through in place.
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "probe rows with an as-of match"),
+    "numIndexKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "broadcast index keys"))
+
   /** Long-comparable getter for an ordering column: integral, timestamp
     * and date types compare losslessly as long (the double-cast trap —
     * epoch nanos beyond 2^53 — cannot arise).
@@ -125,8 +133,11 @@ case class BroadcastAsOfJoinExec(
     }
     val bcast: Broadcast[java.util.HashMap[UnsafeRow, (Array[Long], Array[UnsafeRow])]] =
       sparkContext.broadcast(index)
+    metrics("numIndexKeys").add(index.size())
 
     val carryTypes = carry.map(_.dataType)
+    val outRows = metrics("numOutputRows")
+    val matchedRows = metrics("numMatched")
     left.execute().mapPartitions({ iter =>
       val idx = bcast.value
       val lKeyProj = UnsafeProjection.create(Seq(leftKey), left.output)
@@ -151,8 +162,9 @@ case class BroadcastAsOfJoinExec(
               val mid = (lo + hi) >>> 1
               if (tsArr(mid) <= t) { res = mid; lo = mid + 1 } else hi = mid - 1
             }
-            if (res < 0) nullRow else rows(res)
+            if (res < 0) nullRow else { matchedRows.add(1); rows(res) }
           }
+        outRows.add(1)
         outProj(joined(lrow, matched))
       }
     }, preservesPartitioning = true)
