@@ -534,7 +534,14 @@ object SparkEntry {
     // The shuffle key is xxhash64 OF the fingerprint set (+ length), not
     // the set itself — same keys-first discipline as x_fingerprint: the
     // exchange moves 8 bytes per doc however long the fingerprint array
-    // is (collision odds 2^-64, the accepted fingerprint-dedup risk).
+    // is. Honest risk note: unlike the whole-text hash (2^-64), a winnow
+    // SET key is a sketch — two same-length docs differing by one
+    // substitution collide when none of the ~2k changed grams is a window
+    // minimum in either doc (≈(1−2/(w+1))^2k per such pair). This corpus
+    // is verified collision-free at every SF (group count == distinct
+    // texts at sf0.001/0.01/0.1); production exact-dedup should verify
+    // candidate groups against text bytes (the fingerprint-then-verify
+    // pattern) — the winnow set's real job is containment/overlap search.
     "x_winnow_dedup" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(xxhash64(TF.winnowFingerprints(col("text")),

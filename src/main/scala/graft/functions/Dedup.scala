@@ -232,8 +232,13 @@ object Dedup {
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    // Undirected edge set as canonical (min, max) pairs, self-loops kept
-    // implicitly by the (u, u) union so isolated minima survive rounds.
+    // Every node mentioned in `pairs` must appear in the output — nodes
+    // whose only pair is a self-pair have no proper edge and are re-added
+    // as their own singleton component at the end.
+    val nodes = pairs.select(col("id_a").cast("long").as("id"))
+      .union(pairs.select(col("id_b").cast("long").as("id"))).distinct()
+    // Undirected edge set as canonical (min, max) pairs; self-loops are
+    // dropped here (they carry no connectivity).
     var edges = snap(
       pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
         .union(pairs.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
@@ -265,7 +270,10 @@ object Dedup {
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct()
       val next = snap(small)
-      changed = next.except(edges).count() + edges.except(next).count()
+      // symmetric-difference size in ONE job: both frames are distinct,
+      // so an edge in exactly one of them groups to count 1
+      changed = next.union(edges).groupBy("u", "v").count()
+        .where(col("count") === 1).count()
       if (prev != null) prev.unpersist(blocking = false)
       prev = edges
       edges = next
@@ -277,10 +285,13 @@ object Dedup {
       System.err.println(s"[graft] WARN $msg")
     }
     // Converged edges form stars (m, v): m is the component min. Emit the
-    // roots themselves, then every attached node.
-    val out = edges.select(col("v").as("id"), col("u").as("label"))
+    // roots themselves, every attached node, and singleton nodes (only
+    // self-paired in the input) as their own component.
+    val starLabels = edges.select(col("v").as("id"), col("u").as("label"))
       .union(edges.select(col("u").as("id"), col("u").as("label")))
       .groupBy("id").agg(min(col("label")).as("label"))
+    val out = nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     if (prev != null) prev.unpersist(blocking = false)
     out
   }

@@ -160,19 +160,26 @@ object Similarity {
   def refineCentroids(df: DataFrame, vecCol: String,
                       seeds: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
     val dim = seeds.head.length
-    var cents = seeds
+    def unit(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+    // Spherical k-means proper: assignment against UNIT centroids (argmax
+    // dot against unit vectors == argmax cosine) and re-centering on the
+    // normalized mean of NORMALIZED members — raw means would let a few
+    // large-norm vectors drag the centroid and break the monotonicity of
+    // the cosine objective.
+    var cents = seeds.map(unit)
+    val nrm = sqrt(graft.plans.HashExpressions.dotF(col(vecCol), col(vecCol)))
     for (_ <- 1 to iters) {
       val means = df
         .withColumn("__b", graft.plans.HashExpressions.argMaxDot(col(vecCol), cents.flatten, dim))
-        .select(col("__b"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("__b", "pos").agg(avg(col("x")).as("m"))
+        .select(col("__b"), nrm.as("n"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("__b", "pos").agg(avg(col("x") / col("n")).as("m"))
         .collect()
       val next = cents.map(_.clone)
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      cents = next.map { c =>
-        val n = math.sqrt(c.map(x => x * x).sum)
-        if (n == 0.0) c else c.map(_ / n)
-      }
+      cents = next.map(unit)
     }
     cents
   }

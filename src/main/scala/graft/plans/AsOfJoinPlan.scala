@@ -129,6 +129,16 @@ case class BroadcastAsOfJoinExec(
     val index = new java.util.HashMap[UnsafeRow, (Array[Long], Array[UnsafeRow])](grouped.size())
     grouped.forEach { (k, buf) =>
       val sorted = buf.sortBy(_._1)
+      // The contract requires the right side unique per (key, ts) — a
+      // violation would make the joined row an arbitrary pick (collect
+      // order), so fail loudly instead (pre-aggregate the right side).
+      var i = 1
+      while (i < sorted.length) {
+        if (sorted(i)._1 == sorted(i - 1)._1) throw new IllegalArgumentException(
+          s"broadcast as-of join: right side has duplicate rows at ts=${sorted(i)._1} " +
+            "for one key — it must be unique per (key, ts); pre-aggregate first")
+        i += 1
+      }
       index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
     }
     val bcast: Broadcast[java.util.HashMap[UnsafeRow, (Array[Long], Array[UnsafeRow])]] =

@@ -448,19 +448,32 @@ case class DotProductF(left: Expression, right: Expression)
         s"$prettyName expects (array<float>, array<float>), got " +
           s"(${l.catalogString}, ${r.catalogString})")
     }
-  def kernel(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Null result (not a truncated prefix dot) on length mismatch or null
+    * elements — matching what the zip_with formulation this replaces
+    * produced, so malformed vectors surface as null scores rather than
+    * plausible wrong ones.
+    */
+  def kernel(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
-    acc
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    java.lang.Double.valueOf(kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val ref = ctx.addReferenceObj("dotf", this, this.getClass.getName)
-      s"${ev.value} = $ref.kernel($a, $b);"
+      val r = ctx.freshName("dotr")
+      s"""java.lang.Double $r = $ref.kernel($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
     })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductF =

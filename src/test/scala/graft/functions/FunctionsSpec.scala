@@ -200,6 +200,28 @@ class FunctionsSpec extends SparkSpec {
     assert(partial.map(_.getDouble(1)).forall(c => c <= rows.head.getDouble(1)))
   }
 
+  test("dotNative: length mismatch and null elements yield null, not a prefix dot") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),      // ok: 11.0
+      (2L, Seq(1.0f, 2.0f, 9.0f), Seq(3.0f, 4.0f)) // mismatch: null
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), Similarity.dotNative(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got == Map(1L -> 11.0, 2L -> null))
+  }
+
+  test("connectedComponentsStar keeps self-pair-only nodes as singletons") {
+    import spark.implicits._
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+    assert(star == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("lshBitsFor tracks corpus size with clamps") {
     assert(Similarity.lshBitsFor(100, 32) == 4)            // floor clamp
     assert(Similarity.lshBitsFor(1024, 32) == 5)           // 32 buckets
