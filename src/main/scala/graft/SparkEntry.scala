@@ -1095,7 +1095,7 @@ object SparkEntry {
         |   ELSE CAST(LENGTH(regexp_replace(text, '[^.,!?;:''"()-]', '', 'g')) AS DOUBLE)
         |        / CAST(LENGTH(text) AS DOUBLE) END AS punct_ratio,
         | CASE WHEN len(tok) = 0 THEN 0.0
-        |   ELSE CAST(len(list_filter(tok, x -> x IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+        |   ELSE CAST(len(list_filter(tok, x -> lower(x) IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
         |        / CAST(len(tok) AS DOUBLE) END AS stopword_ratio,
         | LEAST(1.0, CAST(len(tok) AS DOUBLE) / 100.0) *
         |  (1.0 - CASE WHEN LENGTH(text) = 0 THEN 0.0
@@ -1111,11 +1111,11 @@ object SparkEntry {
         | FROM documents),
         |scores AS (
         | SELECT doc_id, lang,
-        |  len(list_filter(tok, x -> x IN ('the','a','of','and','to','is','in'))) AS s_en,
-        |  len(list_filter(tok, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
-        |  len(list_filter(tok, x -> x IN ('le','la','et','les','des','un','est'))) AS s_fr,
-        |  len(list_filter(tok, x -> x IN ('el','los','las','de','y','que','un'))) AS s_es,
-        |  len(list_filter(tok, x -> x IN ('的','是','了','不','在','我','有'))) AS s_zh
+        |  len(list_filter(tok, x -> lower(x) IN ('the','a','of','and','to','is','in'))) AS s_en,
+        |  len(list_filter(tok, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+        |  len(list_filter(tok, x -> lower(x) IN ('le','la','et','les','des','un','est'))) AS s_fr,
+        |  len(list_filter(tok, x -> lower(x) IN ('el','los','las','de','y','que','un'))) AS s_es,
+        |  len(list_filter(tok, x -> lower(x) IN ('的','是','了','不','在','我','有'))) AS s_zh
         | FROM toks)
         |SELECT doc_id, lang,
         | CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 AND s_zh = 0 THEN 'und'
@@ -1138,11 +1138,11 @@ object SparkEntry {
         | FROM documents),
         |scored AS (
         | SELECT doc_id, text,
-        |  len(list_filter(tok, x -> x IN ('the','a','of','and','to','is','in'))) AS s_en,
-        |  len(list_filter(tok, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
-        |  len(list_filter(tok, x -> x IN ('le','la','et','les','des','un','est'))) AS s_fr,
-        |  len(list_filter(tok, x -> x IN ('el','los','las','de','y','que','un'))) AS s_es,
-        |  len(list_filter(tok, x -> x IN ('的','是','了','不','在','我','有'))) AS s_zh,
+        |  len(list_filter(tok, x -> lower(x) IN ('the','a','of','and','to','is','in'))) AS s_en,
+        |  len(list_filter(tok, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+        |  len(list_filter(tok, x -> lower(x) IN ('le','la','et','les','des','un','est'))) AS s_fr,
+        |  len(list_filter(tok, x -> lower(x) IN ('el','los','las','de','y','que','un'))) AS s_es,
+        |  len(list_filter(tok, x -> lower(x) IN ('的','是','了','不','在','我','有'))) AS s_zh,
         |  CAST(len(tok) AS BIGINT) AS n_tokens,
         |  LEAST(1.0, CAST(len(tok) AS DOUBLE) / 100.0) *
         |   (1.0 - CASE WHEN LENGTH(text) = 0 THEN 0.0

@@ -17,19 +17,32 @@ final class GraftRow private[api] (val schema: StructType, values: Array[Any]) {
 
   private def idx(name: String): Int = schema.fieldIndex(name)
 
+  /** Typed getters ERROR on nil cells (reference row.go getters return an
+    * error for unset cells) — silently unboxing null to 0/0.0/false would
+    * corrupt downstream arithmetic without a trace. Check [[isNil]] first,
+    * or rely on `ignoreRowErrors`/quarantine to skip the row; [[get]] and
+    * [[getAs]] remain raw nullable access.
+    */
+  private def nn(name: String): Any = {
+    val v = values(idx(name))
+    if (v == null) throw new NullPointerException(
+      s"nil cell '$name' read through a typed getter — check isNil() first")
+    v
+  }
+
   def isNil(name: String): Boolean = values(idx(name)) == null
   def get(name: String): Any = values(idx(name))
-  def getBool(name: String): Boolean = values(idx(name)).asInstanceOf[Boolean]
-  def getByte(name: String): Byte = values(idx(name)).asInstanceOf[Byte]
-  def getShort(name: String): Short = values(idx(name)).asInstanceOf[Short]
-  def getInt(name: String): Int = values(idx(name)).asInstanceOf[Int]
-  def getLong(name: String): Long = values(idx(name)).asInstanceOf[Long]
-  def getFloat(name: String): Float = values(idx(name)).asInstanceOf[Float]
-  def getDouble(name: String): Double = values(idx(name)).asInstanceOf[Double]
-  def getString(name: String): String = values(idx(name)).asInstanceOf[String]
-  def getBytes(name: String): Array[Byte] = values(idx(name)).asInstanceOf[Array[Byte]]
+  def getBool(name: String): Boolean = nn(name).asInstanceOf[Boolean]
+  def getByte(name: String): Byte = nn(name).asInstanceOf[Byte]
+  def getShort(name: String): Short = nn(name).asInstanceOf[Short]
+  def getInt(name: String): Int = nn(name).asInstanceOf[Int]
+  def getLong(name: String): Long = nn(name).asInstanceOf[Long]
+  def getFloat(name: String): Float = nn(name).asInstanceOf[Float]
+  def getDouble(name: String): Double = nn(name).asInstanceOf[Double]
+  def getString(name: String): String = nn(name).asInstanceOf[String]
+  def getBytes(name: String): Array[Byte] = nn(name).asInstanceOf[Array[Byte]]
   def getTime(name: String): java.sql.Timestamp =
-    values(idx(name)).asInstanceOf[java.sql.Timestamp]
+    nn(name).asInstanceOf[java.sql.Timestamp]
   def getAs[T](name: String): T = values(idx(name)).asInstanceOf[T]
 
   def set(name: String, value: Any): GraftRow = { values(idx(name)) = value; this }

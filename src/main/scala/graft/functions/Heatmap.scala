@@ -16,23 +16,33 @@ import org.apache.spark.sql.functions._
   */
 object Heatmap {
 
-  /** Pixel index of (x, y) on a w×h grid over the given extent; out-of-
+  /** Pixel index of (x, y) on a w×h grid over the given extent. Out-of-
     * range points clamp to the border (the reference drops them in the
-    * closure — callers can filter beforehand for that behavior).
+    * closure — callers can filter beforehand for that behavior); the
+    * clamp happens in DOUBLE space *before* the int cast, so arbitrarily
+    * large coordinates clamp instead of overflowing the cast (an ANSI
+    * runtime error on Spark 4's defaults). NaN clamps to the far border
+    * (NaN sorts above every double); null x or y yields a null pixel,
+    * which [[aggregate]] drops — not a silent count against pixel 0.
     */
   def pixel(x: Column, y: Column,
             minX: Double, maxX: Double, minY: Double, maxY: Double,
             w: Int, h: Int): Column = {
-    val px = least(lit(w - 1), greatest(lit(0),
-      floor((x - lit(minX)) / lit(maxX - minX) * lit(w)).cast("int")))
-    val py = least(lit(h - 1), greatest(lit(0),
-      floor((y - lit(minY)) / lit(maxY - minY) * lit(h)).cast("int")))
-    py * lit(w) + px
+    val fx = (x - lit(minX)) / lit(maxX - minX) * lit(w)
+    val fy = (y - lit(minY)) / lit(maxY - minY) * lit(h)
+    val px = floor(least(lit((w - 1).toDouble), greatest(lit(0.0), fx))).cast("int")
+    val py = floor(least(lit((h - 1).toDouble), greatest(lit(0.0), fy))).cast("int")
+    when(x.isNull || y.isNull, lit(null).cast("int"))
+      .otherwise(py * lit(w) + px)
   }
 
-  /** One heatmap row per `bucket`: map from pixel index → count. */
+  /** One heatmap row per `bucket`: map from pixel index → count. Null
+    * pixels (null coordinates upstream) are dropped, mirroring the
+    * reference closures' skip-bad-point behavior.
+    */
   def aggregate(df: DataFrame, bucket: Column, pixelCol: Column): DataFrame =
-    df.groupBy(bucket.as("bucket"), pixelCol.as("pixel"))
+    df.where(pixelCol.isNotNull)
+      .groupBy(bucket.as("bucket"), pixelCol.as("pixel"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("bucket"))
       .agg(map_from_entries(

@@ -32,9 +32,11 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Count of tokens that appear in `words`. */
+  /** Count of tokens that appear in `words` — case-insensitive (profiles
+    * are lowercase; "The" at a sentence start must still count).
+    */
   def stopwordCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+    size(filter(tokens(text), t => lower(t).isin(words.map(lit(_)): _*)))
 
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column =

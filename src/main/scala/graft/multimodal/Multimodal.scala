@@ -85,7 +85,8 @@ object Multimodal {
 
     /** "Sample" frame offsets from a video duration: every `everyMs`. */
     def frameOffsets(durationMs: Long, everyMs: Long): Seq[Long] =
-      0L.to(math.max(durationMs - 1, 0L)).by(math.max(everyMs, 1L))
+      if (durationMs <= 0) Seq.empty
+      else 0L.to(durationMs - 1).by(math.max(everyMs, 1L))
   }
 
   /** Wrap raw blobs + minimal metadata into the canonical media schema. */
@@ -103,6 +104,11 @@ object Multimodal {
   /** Distributed decode: batch-shaped mapPartitions emitting derived image
     * stats per media row — the plumbing a Pandas-UDF/mapInPandas decode
     * would use, minus the Python. Output drops the blob by design.
+    *
+    * Null-payload policy (all operators here): rows with a null blob are
+    * DROPPED before the codec runs — fabricating stats for missing media
+    * (or NPE-ing the task) are both worse; quarantine nulls upstream if
+    * they need accounting.
     */
   def decodeImages(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -110,12 +116,13 @@ object Multimodal {
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("mean_luma", DoubleType, nullable = false)))
-    media.select("media_id", "data").mapPartitions { it =>
-      it.map { r =>
-        val (w, h, luma) = StubCodec.decodeImage(r.getAs[Array[Byte]]("data"))
-        Row(r.getLong(0), w, h, luma)
-      }
-    }(Encoders.row(outSchema))
+    media.select("media_id", "data").where(col("data").isNotNull)
+      .mapPartitions { it =>
+        it.map { r =>
+          val (w, h, luma) = StubCodec.decodeImage(r.getAs[Array[Byte]]("data"))
+          Row(r.getLong(0), w, h, luma)
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** Distributed resize: emits a transformed blob plus updated meta dims —
@@ -125,33 +132,41 @@ object Multimodal {
     * transformed in place per partition and never shuffled.
     */
   def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame =
-    media.select("media_id", "data", "meta").mapPartitions { it =>
-      it.map { r =>
-        val in = r.getAs[Array[Byte]]("data")
-        val out = StubCodec.resizeImage(in, width, height)
-        val m = r.getStruct(2)
-        Row(r.getLong(0), out,
-          Row(m.get(0), m.get(1), width, height, m.get(4), m.get(5)))
-      }
-    }(Encoders.row(mediaSchema))
+    media.select("media_id", "data", "meta").where(col("data").isNotNull)
+      .mapPartitions { it =>
+        it.map { r =>
+          val in = r.getAs[Array[Byte]]("data")
+          val out = StubCodec.resizeImage(in, width, height)
+          val m = if (r.isNullAt(2)) null else r.getStruct(2)
+          val meta =
+            if (m == null) Row(null, null, width, height, null, null)
+            else Row(m.get(0), m.get(1), width, height, m.get(4), m.get(5))
+          Row(r.getLong(0), out, meta)
+        }
+      }(Encoders.row(mediaSchema))
 
   /** Distributed feature extraction → embedding column, ANN-ready. */
   def extractFeatures(media: DataFrame, nDims: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = false))))
-    media.select("media_id", "data").mapPartitions { it =>
-      it.map { r =>
-        Row(r.getLong(0), StubCodec.featureVector(r.getAs[Array[Byte]]("data"), nDims).toSeq)
-      }
-    }(Encoders.row(outSchema))
+    media.select("media_id", "data").where(col("data").isNotNull)
+      .mapPartitions { it =>
+        it.map { r =>
+          Row(r.getLong(0), StubCodec.featureVector(r.getAs[Array[Byte]]("data"), nDims).toSeq)
+        }
+      }(Encoders.row(outSchema))
   }
 
-  /** Frame sampling for video rows: one output row per sampled offset. */
+  /** Frame sampling for video rows: one output row per sampled offset.
+    * Media with null or non-positive duration (images, malformed rows)
+    * produce ZERO frames — not a phantom frame at offset 0.
+    */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
     media
       .select(col("media_id"), coalesce(col("meta.duration_ms"), lit(0L)).as("dur"))
+      .where(col("dur") > 0)
       .select(col("media_id"),
-        explode(sequence(lit(0L), greatest(col("dur") - 1, lit(0L)),
+        explode(sequence(lit(0L), col("dur") - 1,
           lit(math.max(everyMs, 1L)))).as("frame_ms"))
 }

@@ -21,6 +21,9 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, small: DataFrame, key: String,
                  scatterBy: Column, saltN: Int): DataFrame = {
+    // saltN=0 would divide-by-zero under ANSI — or, with ANSI off, null
+    // salts that silently match nothing (empty join, no error)
+    require(saltN > 0, s"saltN must be positive, got $saltN")
     val saltedFact = fact.withColumn("__salt", pmod(xxhash64(scatterBy), lit(saltN)).cast("int"))
     val saltedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(saltN - 1))))

@@ -297,8 +297,11 @@ case class StopwordProfileArgmax(child: Expression,
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val t = arr.getUTF8String(i)
-      if (t != null) {
+      val raw = arr.getUTF8String(i)
+      if (raw != null) {
+        // case-fold before the profile lookup (profiles are lowercase):
+        // sentence-initial "The"/"Der" must still hit
+        val t = raw.toLowerCase
         var p = 0
         while (p < sets.length) {
           if (sets(p).contains(t)) counts(p) += 1

@@ -93,8 +93,13 @@ object Sources {
   private def parseTimes(df: DataFrame, cols: Seq[(String, ColType)]): DataFrame =
     cols.foldLeft(df) {
       case (d, (n, ColType.Time(fmt))) =>
-        d.withColumn(n, org.apache.spark.sql.functions.to_timestamp(
-          org.apache.spark.sql.functions.col(n), fmt))
+        // try_to_timestamp, not to_timestamp: the read runs PERMISSIVE
+        // (bad rows tolerated), and under Spark 4's default ANSI mode a
+        // strict parse would fail the whole job on the first malformed
+        // cell instead of yielding the null the read mode promises.
+        d.withColumn(n, org.apache.spark.sql.functions.try_to_timestamp(
+          org.apache.spark.sql.functions.col(n),
+          org.apache.spark.sql.functions.lit(fmt)))
       case (d, _) => d
     }
 }

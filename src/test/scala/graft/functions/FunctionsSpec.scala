@@ -200,6 +200,17 @@ class FunctionsSpec extends SparkSpec {
     assert(partial.map(_.getDouble(1)).forall(c => c <= rows.head.getDouble(1)))
   }
 
+  test("langId and stopwordRatio are case-insensitive") {
+    import spark.implicits._
+    val df = Seq("THE CAT IS IN THE HAT", "the cat is in the hat").toDF("text")
+      .select(TextFunctions.langId(col("text")).as("lang"),
+        TextFunctions.stopwordRatio(col("text")).as("sr"))
+    val rows = df.collect()
+    assert(rows.forall(_.getString(0) == "en"), rows.mkString(","))
+    assert(rows(0).getDouble(1) == rows(1).getDouble(1))
+    assert(rows(0).getDouble(1) > 0.4)
+  }
+
   test("dotNative: length mismatch and null elements yield null, not a prefix dot") {
     import spark.implicits._
     val df = Seq(
