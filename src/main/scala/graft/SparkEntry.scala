@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.functions.{Corpus, Dedup, Similarity, TextFunctions => TF}
 
 /** Driver contract — the operator inventory of SURVEY.md §2 (names with
   * t- and a- prefixes), the relational parity-plus surface (r-), and the
@@ -489,6 +489,49 @@ object SparkEntry {
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
         .limit(100)),
+
+    // Repetition signals (Gopher-style quality gates): token/bigram
+    // concentration per document. Bigram counting shuffles 8-byte gram
+    // hashes, never gram strings.
+    "x_repetition" -> ((s, dir) =>
+      Corpus.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // BM25 relevance against a fixed query-term bag (rational idf —
+    // bit-deterministic, no transcendental log). Term filter runs
+    // map-side before any shuffle; df/corpus stats broadcast.
+    "x_bm25" -> ((s, dir) =>
+      Corpus.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "scan", "window"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(100)),
+
+    // Deterministic map-only stratified sampling: md5-bucket filter with
+    // per-language rates (en 8/16, others 1/16). No RNG state, no
+    // shuffle — reproducible on 1 executor or 1000.
+    "x_sample" -> ((s, dir) =>
+      Corpus.hashStratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 8), defaultPer16 = 1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // Symmetric int8 quantization of embeddings (map-only, inside the
+    // scan projection); exploded to scalar rows for the oracle compare.
+    "x_quantize" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+      q.select(col("vec_id"), col("scale"),
+          posexplode(col("q")).as(Seq("pos", "qv")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("qv").as("q"), col("scale"))
+        .orderBy("vec_id", "dim")
+    }),
+
+    // Per-label mean embeddings (class centroids / k-means M-step):
+    // shuffles (label, dim, value) triples with map-side partials —
+    // reducer state is O(labels × dim) regardless of corpus size.
+    "x_centroid" -> ((s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "dim")),
 
     // End-to-end near-dup removal: detect pairs (exact n-gram Jaccard),
     // cluster (label propagation), keep canonical doc per cluster
@@ -1165,6 +1208,102 @@ object SparkEntry {
         | FROM documents)
         |SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token
         |ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    // Bigram counts group on the gram STRING here vs its xxhash64 on the
+    // Spark side — multiplicities agree absent a 64-bit collision inside a
+    // single document.
+    "x_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |tc AS (
+        | SELECT doc_id, token, COUNT(*) AS cnt
+        | FROM (SELECT doc_id, unnest(tok) AS token FROM toks)
+        | GROUP BY doc_id, token),
+        |tagg AS (
+        | SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_distinct, MAX(cnt) AS top_token_cnt
+        | FROM tc GROUP BY doc_id),
+        |bg AS (
+        | SELECT doc_id, gram, COUNT(*) AS cnt
+        | FROM (SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+        |         i -> tok[i] || ' ' || tok[i + 1])) AS gram
+        |       FROM toks)
+        | GROUP BY doc_id, gram),
+        |bagg AS (SELECT doc_id, MAX(cnt) AS top_bigram_cnt FROM bg GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tokens, t.n_distinct,
+        | CAST(t.top_token_cnt AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS top_token_frac,
+        | CASE WHEN t.n_tokens < 2 THEN 0.0
+        |      ELSE CAST(b.top_bigram_cnt AS DOUBLE) / CAST(t.n_tokens - 1 AS DOUBLE)
+        | END AS top_bigram_frac
+        |FROM tagg t LEFT JOIN bagg b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // (1.2 + 1.0) is written as the same double ADD Scala folds for
+    // k1 + 1.0 — not the decimal literal 2.2, which is a different double.
+    "x_bm25" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |docs AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl, tok FROM toks),
+        |stats AS (
+        | SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM docs),
+        |tf AS (
+        | SELECT doc_id, dl, term, COUNT(*) AS tf
+        | FROM (SELECT doc_id, dl, unnest(tok) AS term FROM docs)
+        | WHERE term IN ('hash', 'join', 'scan', 'window')
+        | GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        | SELECT tf.doc_id,
+        |  (((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)) + 0.5) /
+        |    (CAST(d.df AS DOUBLE) + 0.5) *
+        |    ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(tf.tf AS DOUBLE) + 1.2 *
+        |        ((1.0 - 0.75) + ((0.75 * CAST(tf.dl AS DOUBLE)) /
+        |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))) AS s
+        | FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s)
+        |SELECT doc_id,
+        | ROUND(CAST(SUM(CAST(s AS DECIMAL(30,15))) AS DOUBLE), 9) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin,
+
+    "x_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 1) <
+        |  (CASE WHEN lang = 'en' THEN '8' ELSE '1' END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_quantize" ->
+      """WITH s AS (
+        | SELECT vec_id, embedding,
+        |  CASE WHEN GREATEST(ABS(list_max(embedding)), ABS(list_min(embedding))) = 0
+        |       THEN 0.0
+        |       ELSE 127.0 / CAST(GREATEST(ABS(list_max(embedding)),
+        |                                  ABS(list_min(embedding))) AS DOUBLE)
+        |  END AS scale
+        | FROM embeddings),
+        |e AS (
+        | SELECT vec_id, scale,
+        |  unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'dim': i, 'v': embedding[i]})) AS u
+        | FROM s)
+        |SELECT vec_id, CAST(u.dim AS BIGINT) AS dim,
+        | CAST(ROUND(CAST(u.v AS DOUBLE) * scale) AS INTEGER) AS q, scale
+        |FROM e ORDER BY vec_id, dim""".stripMargin,
+
+    "x_centroid" ->
+      """WITH e AS (
+        | SELECT label,
+        |  unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'dim': i, 'v': embedding[i]})) AS u
+        | FROM embeddings)
+        |SELECT label, CAST(u.dim AS BIGINT) AS dim,
+        | ROUND(CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) /
+        |   CAST(COUNT(*) AS DOUBLE), 9) AS centroid
+        |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "x_ngram_jaccard" ->
       """WITH toks AS (

@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-level statistics and curation operators for training-data
+  * pipelines: repetition scoring, relevance (BM25) scoring, and
+  * deterministic hash-based sampling.
+  *
+  * Everything here is declarative DataFrame composition, so Catalyst keeps
+  * pushdown/pruning/partial aggregation, and each operator's shuffle
+  * profile is spelled out in its doc — the difference between "works on
+  * 60k rows" and "works on 100 TB" is exactly which of these shuffle and
+  * on what key.
+  *
+  * Capability target: the corpus-hygiene passes (repetition filters à la
+  * Gopher, relevance scoring, subsampling) a user of the reference engine
+  * (go-sif/sif) would hand-write as `Map`/`Reduce` closures
+  * (operations/transform/map.go:25-35, reduce.go:16-44), expressed as
+  * oracle-checkable relational plans.
+  */
+object Corpus {
+
+  /** Per-document repetition signals (the Gopher-style quality gates):
+    *
+    *  - `n_tokens`      total whitespace tokens
+    *  - `n_distinct`    distinct tokens
+    *  - `top_token_frac`  fraction of tokens taken by the single most
+    *                      frequent token — boilerplate/spam detector
+    *  - `top_bigram_frac` fraction of adjacent bigrams taken by the most
+    *                      frequent bigram — loop/template detector
+    *
+    * Shuffle profile: two aggregations, both keyed by (doc id [, gram]) —
+    * token rows shuffle once into (id, token) groups, bigram *hashes*
+    * (8 bytes via xxhash64, never the gram string) shuffle once into
+    * (id, hash) groups, then the per-doc rollups co-partition on the id.
+    * Nothing is quadratic and no full document body ever shuffles.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val tokCounts = df
+      .select(id, explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(id, col("token")).agg(count(lit(1)).as("cnt"))
+      .groupBy(id).agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_token_cnt"))
+    val bigramCounts = df
+      .select(id,
+        explode(transform(TextFunctions.wordNgrams(col(textCol), 2),
+          g => xxhash64(g))).as("gram"))
+      .groupBy(id, col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(id).agg(max(col("cnt")).as("top_bigram_cnt"))
+    tokCounts.join(bigramCounts, Seq(idCol), "left")
+      .select(
+        id,
+        col("n_tokens"),
+        col("n_distinct"),
+        (col("top_token_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_frac"),
+        when(col("n_tokens") < 2, lit(0.0))
+          .otherwise(col("top_bigram_cnt").cast("double") /
+            (col("n_tokens") - 1).cast("double"))
+          .as("top_bigram_frac"))
+  }
+
+  /** BM25 relevance of every document against a small bag of query terms.
+    *
+    * Uses the rational idf `(N − df + 0.5) / (df + 0.5)` (the BM25+ idf
+    * without the log wrapper): every factor is a ratio of exactly
+    * representable doubles, so the score is bit-deterministic across
+    * engines — a transcendental `ln` could differ in the last ulp between
+    * libm implementations. Per-term partial scores accumulate in DECIMAL
+    * (order-free) before the final double cast.
+    *
+    * Shuffle profile: the token explode filters to query terms *before*
+    * any shuffle (map-side `isin`), so the shuffled tf table is
+    * O(docs × |terms|), not O(tokens). Document-frequency and corpus
+    * stats are tiny aggregates broadcast back — the only non-broadcast
+    * shuffle is the (id, term) tf grouping.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val id = col(idCol)
+    val docs = df.select(id,
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+      TextFunctions.tokens(col(textCol)).as("tok"))
+
+    // Corpus stats: one row, broadcast. Exact integers → exact avgdl.
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    val tf = docs
+      .select(id, col("dl"), explode(col("tok")).as("term"))
+      .where(col("term").isin(terms.map(lit(_)): _*))
+      .groupBy(id, col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(id, col("term"),
+        // idf * ((tf * (k1+1)) / (tf + k1 * ((1 - b) + ((b * dl) / avgdl))))
+        // — parenthesization mirrored exactly in the oracle SQL.
+        (((col("n_docs").cast("double") - col("df").cast("double")) + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") + lit(k1) *
+              ((lit(1.0) - lit(b)) + ((lit(b) * col("dl").cast("double")) /
+                (col("sum_dl").cast("double") / col("n_docs").cast("double")))))))
+          .as("s"))
+      .groupBy(id)
+      .agg(sum(col("s").cast(DecimalType(30, 15))).cast("double").as("bm25raw"))
+      .select(id, round(col("bm25raw"), 9).as("bm25"))
+  }
+
+  /** Deterministic, map-only stratified sampling: a row survives iff the
+    * first hex digit of `md5(stratum ‖ ":" ‖ key)` falls below its
+    * stratum's per-16 rate. No RNG state, no shuffle, no coordination —
+    * the same rows are selected on 1 executor or 1000, on this run or a
+    * re-run — which is what makes a 100 TB subsample reproducible and
+    * cheap (the filter is evaluated inside the scan, after pruning).
+    *
+    * `ratesPer16` maps stratum value → how many of the 16 hex buckets to
+    * keep (8 = 50%, 1 = 6.25%); strata not in the map get `defaultPer16`.
+    */
+  def hashStratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                           ratesPer16: Map[String, Int],
+                           defaultPer16: Int = 1): DataFrame = {
+    // md5 hex is lowercase, so single-char lexicographic order IS hex
+    // numeric order ('0' < … < '9' < 'a' < … < 'f') — the cutoff is a
+    // plain string compare in any engine.
+    val hexDigits = "0123456789abcdefg" // g = index 16 = keep everything
+    val bucket =
+      substring(md5(concat(col(strataCol), lit(":"), col(keyCol).cast("string"))), 1, 1)
+    val rate = ratesPer16.foldLeft(lit(hexDigits.charAt(defaultPer16).toString)) {
+      case (acc, (stratum, per16)) =>
+        when(col(strataCol) === stratum, lit(hexDigits.charAt(per16).toString)).otherwise(acc)
+    }
+    df.where(bucket < rate)
+  }
+}

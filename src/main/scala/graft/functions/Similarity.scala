@@ -269,4 +269,45 @@ object Similarity {
         round(cosineExact(col("a.v"), col("b.v")), 9).as("cos"))
       .where(col("cos") >= minCos)
   }
+
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * standard 4× storage/bandwidth cut before ANN indexing. Per vector:
+    * `scale = 127 / max|v_i|`, `q_i = round(v_i · scale)` ∈ [−127, 127]
+    * (zero vectors quantize to zeros with scale 0).
+    *
+    * Map-only: no shuffle, evaluated inside the scan projection — the
+    * shape that matters when the input is 100 TB of vectors. `max|v_i|`
+    * comes from float `array_min`/`array_max` (comparisons only — exact),
+    * and every multiply/divide is a single IEEE double op, so quantized
+    * values are bit-deterministic across engines.
+    *
+    * Returns (id, embedding, q array<int>, scale double); callers explode
+    * or re-encode as they need.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val maxAbs = greatest(abs(array_max(v)), abs(array_min(v))).cast("double")
+    val scale = when(maxAbs === 0.0, lit(0.0)).otherwise(lit(127.0) / maxAbs)
+    df.select(col(idCol), v,
+      transform(v, x => round(x.cast("double") * scale).cast("int")).as("q"),
+      scale.as("scale"))
+  }
+
+  /** Per-label mean embedding (class centroids / one k-means M-step),
+    * exploded to (label, dim, centroid) rows. Element sums accumulate in
+    * DECIMAL(30,15) so the mean is order-independent; the final divide is
+    * one double op.
+    *
+    * Shuffle profile: posexplode shuffles (label, dim, value) triples —
+    * 8+8+8 bytes per element, never whole vectors — into numLabels × dim
+    * groups with map-side partial aggregation, so reducer state is
+    * O(labels · dim) regardless of corpus size. This is the aggregation
+    * shape that survives a 1000-executor run.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), (col("pos") + 1).cast("long").as("dim"))
+      .agg((sum(col("v").cast("double").cast(DecimalType(30, 15))).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+      .select(col(labelCol), col("dim"), round(col("c"), 9).as("centroid"))
 }

@@ -117,6 +117,18 @@ object TextFunctions {
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 8): Column =
     graft.plans.HashExpressions.winnowFingerprints(text, k, w)
 
+  /** Overlapping word `n`-grams with multiplicity (NOT de-duplicated —
+    * unlike [[wordShingles]]) — the frequency-counting form used by
+    * repetition scoring. Documents with fewer than `n` tokens produce an
+    * empty array (they have no complete n-gram).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val tok = tokens(text)
+    when(size(tok) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(tok) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k)): _*)))
+  }
+
   /** Overlapping word `n`-grams ("shingles"), space-joined, de-duplicated.
     * Documents with fewer than `n` tokens get a single shingle of the whole
     * text so they still participate in similarity joins.

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "en", "spam spam spam spam"),
+        Row(2L, "en", "the quick brown fox jumps over the lazy dog"),
+        Row(3L, "de", "one"),
+        Row(4L, "en", "hash join hash join hash join scan"))),
+      schema)
+  }
+
+  private lazy val vecs = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("label", IntegerType),
+      StructField("v", ArrayType(FloatType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 0, Seq(1.0f, -2.0f, 0.5f)),
+        Row(2L, 0, Seq(3.0f, 2.0f, -0.5f)),
+        Row(3L, 1, Seq(0.0f, 0.0f, 0.0f)))),
+      schema)
+  }
+
+  test("wordNgrams keeps multiplicity; short docs get an empty array") {
+    val out = docs.select(col("id"),
+      TextFunctions.wordNgrams(col("text"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("spam spam", "spam spam", "spam spam"))
+    assert(out(2L).length == 8)
+    assert(out(3L) == Seq.empty)
+  }
+
+  test("repetitionSignals flags repeated tokens and bigrams") {
+    val out = Corpus.repetitionSignals(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((4L, 1L, 1.0, 1.0))) // all one token, all one bigram
+    val (n2, d2, tf2, bf2) = out(2L)
+    assert(n2 == 9 && d2 == 8)
+    assert(tf2 == 2.0 / 9.0 && bf2 == 1.0 / 8.0)
+    assert(out(3L) == ((1L, 1L, 1.0, 0.0))) // single token: no bigrams
+  }
+
+  test("bm25 scores term-bearing docs, monotone in tf") {
+    val out = Corpus.bm25(docs, "id", "text", Seq("hash", "join", "scan"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(1L) && !out.contains(2L) && !out.contains(3L))
+    assert(out(4L) > 0.0)
+  }
+
+  test("hashStratifiedSample is deterministic and respects per-stratum rates") {
+    val base = spark.range(0, 2000).select(
+      col("id"), when(col("id") % 2 === 0, "en").otherwise("xx").as("lang"))
+    val kept = Corpus.hashStratifiedSample(base, "lang", "id",
+      Map("en" -> 8), defaultPer16 = 1)
+    val counts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en keeps ~8/16 of 1000, xx ~1/16 of 1000 — generous bounds
+    assert(counts("en") > 350 && counts("en") < 650)
+    assert(counts.getOrElse("xx", 0L) < 180)
+    // re-running selects the identical set
+    val a = kept.select("id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.hashStratifiedSample(base, "lang", "id", Map("en" -> 8), 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("quantizeInt8: values in [-127,127], max-magnitude element hits 127") {
+    val out = Similarity.quantizeInt8(vecs, "id", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](2), r.getDouble(3))).toMap
+    val (q1, s1) = out(1L)
+    assert(q1 == Seq(64, -127, 32)) // scale = 127/2
+    assert(s1 == 63.5)
+    assert(out(2L)._1 == Seq(127, 85, -21))
+    assert(out(3L) == ((Seq(0, 0, 0), 0.0))) // zero vector → scale 0
+  }
+
+  test("labelCentroids averages per label and dimension") {
+    val out = Similarity.labelCentroids(vecs, "label", "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0, 1L)) == 2.0)   // (1 + 3) / 2
+    assert(out((0, 2L)) == 0.0)   // (-2 + 2) / 2
+    assert(out((0, 3L)) == 0.0)   // (0.5 - 0.5) / 2
+    assert(out((1, 1L)) == 0.0)
+    assert(out.size == 6)
+  }
+}
