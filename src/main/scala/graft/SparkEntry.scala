@@ -533,6 +533,54 @@ object SparkEntry {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label", "dim")),
 
+    // Benchmark decontamination: distinct-trigram overlap between the
+    // training split and a held-out benchmark split, joined on 8-byte
+    // gram hashes (inverted index — never gram strings, never all-pairs).
+    "x_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.decontaminate(
+        docs.where(pmod(col("doc_id"), lit(40)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(40)) === 0),
+        "doc_id", "text", n = 3, minShared = 2)
+        .orderBy("train_id", "bench_id")
+    }),
+
+    // Binned range join: tag each lineitem shipment with how many sampled
+    // 14-day order windows cover it. The bin equi-join replaces the
+    // BroadcastNestedLoopJoin Spark would otherwise plan for a pure
+    // BETWEEN predicate — linear, shuffle-parallel, AQE-eligible.
+    "x_range_join" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val windows = t(s, dir, "orders")
+        .where(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey").as("w_id"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("w_start"))
+        .withColumn("w_end", col("w_start") + 14)
+      val points = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        datediff(col("l_shipdate"), epoch).cast("long").as("p_day"))
+      graft.operators.RangeJoin
+        .pointInInterval(points, windows, "p_day", "w_start", "w_end",
+          Seq("w_id"), binWidth = 16L)
+        .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n_windows"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    // Text normalization + PII scrub over doc text with deterministic
+    // synthetic contact info appended (the corpus itself is clean), so
+    // the masking is actually exercised. Map-only, codegen'd regexes.
+    "x_scrub" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-867-5309 ref 9400110200881234567890"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.normalize(col("text")).as("norm"),
+        TF.scrubPii(dirty).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end near-dup removal: detect pairs (exact n-gram Jaccard),
     // cluster (label propagation), keep canonical doc per cluster
     // (rows-only: iterative plan, but output is deterministic).
@@ -1304,6 +1352,54 @@ object SparkEntry {
         | ROUND(CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) /
         |   CAST(COUNT(*) AS DOUBLE), 9) AS centroid
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // Joins on gram STRINGS here vs xxhash64 on the Spark side —
+    // identical pairs absent a 64-bit collision.
+    "x_decontam" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |grams AS (
+        | SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tok) - 1),
+        |    i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])) AS gram
+        |  FROM toks))
+        |SELECT t.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS shared
+        |FROM grams t JOIN grams b ON t.gram = b.gram
+        |WHERE t.doc_id % 40 <> 0 AND b.doc_id % 40 = 0
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY train_id, bench_id""".stripMargin,
+
+    "x_range_join" ->
+      """WITH w AS (
+        | SELECT o_orderkey AS w_id,
+        |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ws
+        | FROM orders WHERE o_orderkey % 97 = 0),
+        |p AS (
+        | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS pd
+        | FROM lineitem)
+        |SELECT p.l_orderkey, p.l_linenumber, p.l_partkey, p.l_suppkey,
+        | COUNT(*) AS n_windows
+        |FROM p JOIN w ON p.pd BETWEEN w.ws AND w.ws + 14
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "x_scrub" ->
+      """WITH dirty AS (
+        | SELECT doc_id, text,
+        |  text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com or 555-867-5309 ref 9400110200881234567890' AS d
+        | FROM documents)
+        |SELECT doc_id,
+        | TRIM(regexp_replace(regexp_replace(LOWER(text), '[\x00-\x1f]', ' ', 'g'),
+        |   '\s+', ' ', 'g')) AS norm,
+        | regexp_replace(regexp_replace(regexp_replace(d,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{9,}', '<ID>', 'g'),
+        |   '\+?[0-9][0-9() .-]{5,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |FROM dirty ORDER BY doc_id""".stripMargin,
 
     "x_ngram_jaccard" ->
       """WITH toks AS (

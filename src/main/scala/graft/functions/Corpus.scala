@@ -115,6 +115,37 @@ object Corpus {
       .select(id, round(col("bm25raw"), 9).as("bm25"))
   }
 
+  /** Benchmark decontamination: for every training document, count the
+    * distinct word `n`-grams it shares with each benchmark document —
+    * the overlap scan run before training to evict eval-set leakage.
+    *
+    * Implementation is an inverted-index equi-join on 8-byte gram hashes
+    * (xxhash64 of the space-joined gram), never gram strings: each side
+    * reduces to its distinct (doc, gramHash) set map-side, the join key
+    * is 8 bytes, and the per-pair overlap is a count over the matches.
+    * With a benchmark of B docs × g grams the index side is tiny and
+    * broadcastable; the 100 TB training side streams through one shuffle
+    * keyed by gram hash. Pairs below `minShared` are dropped before the
+    * result materializes.
+    *
+    * Returns (train id, bench id, shared) — `shared` = number of distinct
+    * n-grams in common (collision-free modulo 64-bit xxhash).
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int,
+                    minShared: Long = 1L): DataFrame = {
+    def gramSet(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+          explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+        .select(col(as), xxhash64(col("g")).as("gh"))
+        .distinct()
+    gramSet(train, "train_id")
+      .join(gramSet(benchmark, "bench_id"), "gh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Deterministic, map-only stratified sampling: a row survives iff the
     * first hex digit of `md5(stratum ‖ ":" ‖ key)` falls below its
     * stratum's per-16 rate. No RNG state, no shuffle, no coordination —

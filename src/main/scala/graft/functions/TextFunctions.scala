@@ -117,6 +117,29 @@ object TextFunctions {
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 8): Column =
     graft.plans.HashExpressions.winnowFingerprints(text, k, w)
 
+  /** Canonical text normalization for dedup keys and downstream matching:
+    * lowercase, strip ASCII control characters, collapse every whitespace
+    * run to one space, trim. Pure codegen'd string expressions — runs
+    * inside the scan projection, nothing shuffles.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f]", " "), "\\s+", " "))
+
+  /** PII scrub: mask e-mail addresses, then 9+-digit runs (SSN-ish /
+    * account-number-ish), then 7+-digit phone-ish runs allowing common
+    * separators. Order matters — e-mails first so their digit runs aren't
+    * half-masked. Deterministic regex replacement, codegen'd, map-only;
+    * the conservative patterns favor recall over precision, the right
+    * trade for training-data redaction.
+    */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val longDigits = regexp_replace(email, "[0-9]{9,}", "<ID>")
+    regexp_replace(longDigits, "\\+?[0-9][0-9() .-]{5,}[0-9]", "<PHONE>")
+  }
+
   /** Overlapping word `n`-grams with multiplicity (NOT de-duplicated —
     * unlike [[wordShingles]]) — the frequency-counting form used by
     * repetition scoring. Documents with fewer than `n` tokens produce an

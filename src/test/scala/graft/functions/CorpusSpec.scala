@@ -77,6 +77,48 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("decontaminate counts distinct shared n-grams per (train, bench) pair") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "the quick brown fox jumps high"),   // train
+        Row(2L, "a totally different document here"), // train
+        Row(40L, "the quick brown fox sleeps"),       // bench
+        Row(80L, "short one"))),                      // bench: no trigram
+      schema)
+    val out = Corpus.decontaminate(
+      corpus.where(col("id") % 40 =!= 0), corpus.where(col("id") % 40 === 0),
+      "id", "text", n = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc1 vs doc40 share "the quick brown" + "quick brown fox"
+    assert(out == Map((1L, 40L) -> 2L))
+    // repeated grams count once (distinct), threshold filters
+    val rep = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "x y z x y z"), Row(40L, "x y z"))), schema)
+    val out2 = Corpus.decontaminate(
+      rep.where(col("id") === 1), rep.where(col("id") === 40),
+      "id", "text", n = 3, minShared = 2)
+    assert(out2.count() == 0) // only 1 distinct shared gram ("x y z")
+  }
+
+  test("normalize lowercases, strips controls, collapses whitespace") {
+    val out = spark.range(1)
+      .select(TextFunctions.normalize(
+        lit("  Hello\tWORLD  again\n")).as("n"))
+      .head().getString(0)
+    assert(out == "hello world again")
+  }
+
+  test("scrubPii masks emails, long ids, and phone-ish runs") {
+    val out = spark.range(1)
+      .select(TextFunctions.scrubPii(
+        lit("mail a.b+c@ex-site.org id 123456789012 call +1 (555) 867-5309 ok")).as("s"))
+      .head().getString(0)
+    assert(out == "mail <EMAIL> id <ID> call <PHONE> ok")
+  }
+
   test("quantizeInt8: values in [-127,127], max-magnitude element hits 127") {
     val out = Similarity.quantizeInt8(vecs, "id", "v")
       .collect().map(r => r.getLong(0) ->
