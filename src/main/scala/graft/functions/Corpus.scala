@@ -134,11 +134,18 @@ object Corpus {
   def decontaminate(train: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int,
                     minShared: Long = 1L): DataFrame = {
+    // NgramHashes is a native single-pass expression (no interpreted HOF
+    // per gram) and already emits the DISTINCT hash set per document, so
+    // exploding it yields unique (doc, gramHash) rows with no extra
+    // distinct shuffle on either side.
     def gramSet(df: DataFrame, as: String): DataFrame =
-      df.select(col(idCol).as(as),
-          explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
-        .select(col(as), xxhash64(col("g")).as("gh"))
-        .distinct()
+      df
+        // docs shorter than n tokens have no complete n-gram (NgramHashes
+        // would emit its whole-text shingle hash instead — wrong here)
+        .where(size(TextFunctions.tokens(col(textCol))) >= n)
+        .select(col(idCol).as(as),
+          explode(graft.plans.HashExpressions.ngramHashes(
+            TextFunctions.tokens(col(textCol)), n)).as("gh"))
     gramSet(train, "train_id")
       .join(gramSet(benchmark, "bench_id"), "gh")
       .groupBy(col("train_id"), col("bench_id"))
