@@ -533,6 +533,21 @@ object SparkEntry {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label", "dim")),
 
+    // Sequence-packing offsets: exclusive cumsum of token counts in
+    // doc_id order via the two-level bucket scan (no single-reducer
+    // global window), plus the 2048-token chunk each doc starts in.
+    "x_pack" -> ((s, dir) =>
+      Corpus.packOffsets(t(s, dir, "documents"), "doc_id", "text",
+        seqLen = 2048L, bucketWidth = 64L)
+        .orderBy("doc_id")),
+
+    // Exact-k deterministic stratified sample: 5 docs per language,
+    // chosen by md5 rank — reproducible on any cluster size.
+    "x_sample_k" -> ((s, dir) =>
+      Corpus.exactKPerStratum(t(s, dir, "documents"), "lang", "doc_id", k = 5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: distinct-trigram overlap between the
     // training split and a held-out benchmark split, joined on 8-byte
     // gram hashes (inverted index — never gram strings, never all-pairs).
@@ -1352,6 +1367,31 @@ object SparkEntry {
         | ROUND(CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) /
         |   CAST(COUNT(*) AS DOUBLE), 9) AS centroid
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // The oracle's single global window IS the naive plan the operator
+    // avoids — same arithmetic, different execution shape.
+    "x_pack" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS nt
+        | FROM documents),
+        |o AS (
+        | SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset
+        | FROM d)
+        |SELECT doc_id, n_tokens, start_offset,
+        | CAST((start_offset - start_offset % 2048) / 2048 AS BIGINT) AS chunk_id
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "x_sample_k" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |   ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents)
+        |WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
 
     // Joins on gram STRINGS here vs xxhash64 on the Spark side —
     // identical pairs absent a 64-bit collision.

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -151,6 +152,65 @@ object Corpus {
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
+  }
+
+  /** Token-offset assignment — the prelude to sequence packing: each
+    * document gets the exclusive cumulative sum of token counts in
+    * `idCol` order (`start_offset`, where its first token lands in the
+    * concatenated training stream) and the fixed-length chunk that
+    * offset falls in (`chunk_id = start_offset div seqLen`).
+    *
+    * A bare `SUM(...) OVER (ORDER BY id)` window has no partition key, so
+    * Spark plans it as ONE reducer holding the whole corpus — correct at
+    * 60k rows, dead at 100 TB. This is the two-level scan instead:
+    * bucket documents by contiguous id range, aggregate per-bucket token
+    * totals (one tiny row per bucket), prefix-sum THOSE in a
+    * single-partition window over #buckets rows (thousands, not
+    * billions), broadcast the bucket base offsets back, and run the
+    * within-bucket cumsum partitioned by bucket. Every data-sized stage
+    * is parallel; only the #buckets-sized stage is serial.
+    *
+    * `bucketWidth` is the id-range width per bucket — size it so a bucket
+    * holds ~1 partition of rows (ids need not be dense; empty buckets
+    * simply don't appear).
+    */
+  def packOffsets(df: DataFrame, idCol: String, textCol: String,
+                  seqLen: Long, bucketWidth: Long): DataFrame = {
+    require(seqLen > 0 && bucketWidth > 0)
+    val id = col(idCol).cast("long")
+    val base = df.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      (id - pmod(id, lit(bucketWidth))).as("__bucket"))
+    val bucketOffsets = base
+      .groupBy(col("__bucket")).agg(sum(col("n_tokens")).as("__btot"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__btot")).over(
+          Window.orderBy(col("__bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__boff"))
+    val inBucket = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val so = col("__boff") + coalesce(sum(col("n_tokens")).over(inBucket), lit(0L))
+    base.join(broadcast(bucketOffsets), "__bucket")
+      .select(col(idCol), col("n_tokens"), so.as("start_offset"),
+        ((so - pmod(so, lit(seqLen))) / lit(seqLen)).cast("long").as("chunk_id"))
+  }
+
+  /** Exactly `k` rows per stratum, deterministically: rank rows inside
+    * each stratum by `md5(stratum ‖ ":" ‖ key)` (key as tiebreak) and
+    * keep the `k` smallest. One shuffle on the stratum key; the hash
+    * order makes the choice reproducible across runs and cluster sizes,
+    * unlike `TABLESAMPLE`/`rand()`. Strata with fewer than `k` rows keep
+    * everything. Hot strata: the per-stratum sort is a top-k heap per
+    * partition post-AQE, not a full sort, as long as k is small.
+    */
+  def exactKPerStratum(df: DataFrame, strataCol: String, keyCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0)
+    val h = md5(concat(col(strataCol), lit(":"), col(keyCol).cast("string")))
+    df.withColumn("__rk",
+        row_number().over(Window.partitionBy(col(strataCol)).orderBy(h, col(keyCol))))
+      .where(col("__rk") <= k)
+      .drop("__rk")
   }
 
   /** Deterministic, map-only stratified sampling: a row survives iff the

@@ -56,6 +56,19 @@ class PlanSpec extends SparkSpec {
       s"probe side shuffled under the broadcast as-of join:\n$probeLines")
   }
 
+  test("x_range_join: BETWEEN predicate runs as an equi-join on bins") {
+    val p = plan("x_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join fell back to a nested loop")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashJoin"), s"expected a hash join on bin ids:\n$p")
+  }
+
+  test("x_decontam: inverted-index join, no nested loop, no gram strings shuffled") {
+    val p = plan("x_decontam")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("a1_collect: bounded top-k runs as TakeOrderedAndProject, not a global sort") {
     assert(plan("a1_collect").contains("TakeOrderedAndProject"))
   }

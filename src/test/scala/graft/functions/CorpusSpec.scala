@@ -119,6 +119,39 @@ class CorpusSpec extends SparkSpec {
     assert(out == "mail <EMAIL> id <ID> call <PHONE> ok")
   }
 
+  test("packOffsets equals the naive global-window cumsum at any bucket width") {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.range(0, 300).select(
+      (col("id") * 3).as("doc_id"), // sparse ids exercise empty buckets
+      concat_ws(" ", (transform(sequence(lit(1), (col("id") % 7) + 1),
+        _ => lit("w")))).as("text"))
+    val naive = base.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("chunk_id",
+        ((col("start_offset") - pmod(col("start_offset"), lit(100L))) / 100L).cast("long"))
+    for (bw <- Seq(1L, 16L, 1000L)) {
+      val out = Corpus.packOffsets(base, "doc_id", "text", seqLen = 100L, bucketWidth = bw)
+      assert(naive.exceptAll(out).isEmpty && out.exceptAll(naive).isEmpty,
+        s"bucketWidth=$bw")
+    }
+  }
+
+  test("exactKPerStratum keeps min(k, |stratum|) rows, deterministically") {
+    val base = spark.range(0, 400).select(
+      col("id"), when(col("id") % 4 === 0, "en")
+        .when(col("id") === 399, "solo").otherwise("xx").as("lang"))
+    val out = Corpus.exactKPerStratum(base, "lang", "id", 7)
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 7L, "xx" -> 7L, "solo" -> 1L))
+    val again = Corpus.exactKPerStratum(base, "lang", "id", 7)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    assert(out.columns.toSeq == Seq("id", "lang")) // helper column dropped
+  }
+
   test("quantizeInt8: values in [-127,127], max-magnitude element hits 127") {
     val out = Similarity.quantizeInt8(vecs, "id", "v")
       .collect().map(r => r.getLong(0) ->
