@@ -40,18 +40,21 @@ object Corpus {
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
-    val tokCounts = df
-      .select(id, explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .groupBy(id, col("token")).agg(count(lit(1)).as("cnt"))
+    // Both branches hash via the native NgramHashesAll expression (one
+    // fused pass per row, multiplicity kept) — no interpreted per-gram
+    // HOF, and only (id, 8-byte hash) rows ever shuffle. Token counts
+    // group on the 1-gram hash: identical multiplicities modulo a 64-bit
+    // collision inside one document.
+    def gramCounts(n: Int): DataFrame = df
+      .select(id, explode(graft.plans.HashExpressions.ngramHashesAll(
+        TextFunctions.tokens(col(textCol)), n)).as("gram"))
+      .groupBy(id, col("gram")).agg(count(lit(1)).as("cnt"))
+    val tokCounts = gramCounts(1)
       .groupBy(id).agg(
         sum(col("cnt")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max(col("cnt")).as("top_token_cnt"))
-    val bigramCounts = df
-      .select(id,
-        explode(transform(TextFunctions.wordNgrams(col(textCol), 2),
-          g => xxhash64(g))).as("gram"))
-      .groupBy(id, col("gram")).agg(count(lit(1)).as("cnt"))
+    val bigramCounts = gramCounts(2)
       .groupBy(id).agg(max(col("cnt")).as("top_bigram_cnt"))
     tokCounts.join(bigramCounts, Seq(idCol), "left")
       .select(

@@ -269,6 +269,28 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** Word n-gram hashes WITH multiplicity — the frequency-counting
+  * companion to [[NgramHashes]] (which dedups): one hash per overlapping
+  * n-gram, in document order. Feeds repetition/frequency aggregations
+  * that group on the 8-byte hash instead of the gram string. Documents
+  * shorter than n tokens produce an empty array (no complete n-gram) —
+  * unlike the shingle semantics of the distinct variant.
+  */
+case class NgramHashesAll(child: Expression, n: Int)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.arrayOf(StringType, child.dataType, prettyName)
+  def kernel(arr: ArrayData): ArrayData =
+    if (arr.numElements() < n) new GenericArrayData(Array.empty[Long])
+    else new GenericArrayData(NgramHashing.gramHashes(arr, n))
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): NgramHashesAll =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_hashes_all"
+}
+
 /** Stopword-profile language ID in one pass: counts per-profile stopword
   * hits over the token array and returns the label of the first profile
   * achieving the maximum count, or "und" when no profile hits. Replaces a
@@ -495,6 +517,8 @@ object HashExpressions {
     ColumnBridge.column(NgramMinHash(ColumnBridge.expression(tokens), n, numHashes))
   def ngramHashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(NgramHashes(ColumnBridge.expression(tokens), n))
+  def ngramHashesAll(tokens: Column, n: Int): Column =
+    ColumnBridge.column(NgramHashesAll(ColumnBridge.expression(tokens), n))
   def argMaxDot(vec: Column, flatCentroids: Array[Double], dim: Int): Column =
     ColumnBridge.column(ArgMaxDot(ColumnBridge.expression(vec), flatCentroids, dim))
   def stopwordProfileArgmax(tokens: Column, labels: Seq[String],
