@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator extension: the broadcast as-of join planner strategy
     // (logical AsOfJoin -> BroadcastAsOfJoinExec).
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    // Optimizer rule: binned range-join rewrite (opt-in via
+    // spark.graft.rangeJoin.binWidth; no-op otherwise).
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
@@ -40,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("ngram_hashes"),
       info("ngram_hashes", "ngram_hashes(tokens, n) - distinct 64-bit word n-gram hashes"),
       (exprs: Seq[Expression]) => NgramHashes(exprs(0), intLit(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("ngram_hashes_all"),
+      info("ngram_hashes_all", "ngram_hashes_all(tokens, n) - word n-gram hashes with multiplicity"),
+      (exprs: Seq[Expression]) => graft.plans.NgramHashesAll(exprs(0), intLit(exprs(1)))))
     ext.injectFunction((FunctionIdentifier("lsh_bucket"),
       info("lsh_bucket", "lsh_bucket(vec, nBits) - random-hyperplane LSH bucket of a float vector"),
       (exprs: Seq[Expression]) => HyperplaneLshBucket(exprs(0), intLit(exprs(1)), 42L)))

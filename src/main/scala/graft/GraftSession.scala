@@ -34,8 +34,18 @@ object GraftSession {
   def create(master: String = "local[*]"): SparkSession = {
     val spark = builder(master).getOrCreate()
     registerFunctions(spark)
+    registerOptimizations(spark)
     spark
   }
+
+  /** Install graft's optimizer rules on a live session (idempotent).
+    * Currently: the opt-in binned range-join rewrite
+    * ([[graft.plans.RangeJoinRewrite]], enabled by setting
+    * `spark.graft.rangeJoin.binWidth`).
+    */
+  def registerOptimizations(spark: SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.PlanBridge
+      .addOptimization(spark, graft.plans.RangeJoinRewrite)
 
   /** Register graft's native expressions in the session's FunctionRegistry
     * so they are callable from SQL text, not just the Scala DSL.
@@ -48,6 +58,8 @@ object GraftSession {
       exprs => NgramMinHash(exprs(0), exprInt(exprs(1)), exprInt(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction("ngram_hashes",
       exprs => NgramHashes(exprs(0), exprInt(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_hashes_all",
+      exprs => graft.plans.NgramHashesAll(exprs(0), exprInt(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket",
       exprs => HyperplaneLshBucket(exprs(0), exprInt(exprs(1)), 42L), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",

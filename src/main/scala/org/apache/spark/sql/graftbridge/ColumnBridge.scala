@@ -38,4 +38,12 @@ object PlanBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
+
+  def addOptimization(spark: org.apache.spark.sql.SparkSession,
+                      rule: org.apache.spark.sql.catalyst.rules.Rule[
+                        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
 }
