@@ -533,6 +533,14 @@ object SparkEntry {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label", "dim")),
 
+    // Z-order (Morton) codes — the clustering key behind
+    // Sinks.zorderedParquet's multi-dimensional data skipping.
+    "x_zorder" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        graft.functions.Layout.zValue16(col("user_id"), col("event_id")).as("z"))
+        .orderBy("event_id")),
+
     // Sequence-packing offsets: exclusive cumsum of token counts in
     // doc_id order via the two-level bucket scan (no single-reducer
     // global window), plus the 2048-token chunk each doc starts in.
@@ -1367,6 +1375,15 @@ object SparkEntry {
         | ROUND(CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) /
         |   CAST(COUNT(*) AS DOUBLE), 9) AS centroid
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // Bit-exact Morton interleave: sums of disjoint-bit terms == OR.
+    "x_zorder" ->
+      """SELECT event_id, user_id,
+        | CAST(list_sum(list_transform(range(0, 16),
+        |   i -> ((((user_id & 65535) >> i) & 1) << (2 * i)) |
+        |        ((((event_id & 65535) >> i) & 1) << ((2 * i) + 1))))
+        |   AS BIGINT) AS z
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // The oracle's single global window IS the naive plan the operator
     // avoids — same arithmetic, different execution shape.

@@ -33,6 +33,25 @@ object Sinks {
             mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Z-order-clustered parquet: rows are range-partitioned and sorted by
+    * the Morton interleave of two dimensions ([[graft.functions.Layout
+    * .zValue16]]), so every output file covers a tight range in BOTH
+    * columns and parquet min/max stats prune scans filtered on either —
+    * the layout analogue of a composite index, paid once at write time.
+    * `repartitionByRange` samples the z-distribution, so files are
+    * near-equal-sized even when the dimensions are skewed.
+    */
+  def zorderedParquet(df: DataFrame, dimA: String, dimB: String,
+                      path: String, numFiles: Int,
+                      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", graft.functions.Layout.zValue16(col(dimA), col(dimB)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Bucketed + sorted table: rows are hash-partitioned into `nBuckets`
     * files per partition by `bucketCols` at write time. Two tables
     * bucketed the same way join WITHOUT a shuffle — the write pre-pays
