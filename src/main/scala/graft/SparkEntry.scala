@@ -837,6 +837,30 @@ object SparkEntry {
           (abs(col("ao") - col("exact_orders")).cast("double") / col("exact_orders")
             <= lit(0.15)).as("orders_within_tol"))),
 
+    // Approximate quantiles (KLL-style mergeable sketch — the one-pass,
+    // fixed-memory path; r_percentile is the exact sort-based dual).
+    // Self-verifying like x_approx_distinct: approx_percentile's rank
+    // error is bounded by its accuracy parameter, so the query outputs
+    // exact quantiles plus within-tolerance flags the oracle asserts.
+    "x_approx_quantile" -> ((s, dir) => {
+      val exact = expr(
+        "percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
+      val approx = expr(
+        "approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), 10000)")
+      t(s, dir, "lineitem")
+        .agg(exact.as("ex"), approx.as("ap"))
+        .select(
+          round(element_at(col("ex"), 1).cast("double"), 4).as("p50"),
+          round(element_at(col("ex"), 2).cast("double"), 4).as("p95"),
+          round(element_at(col("ex"), 3).cast("double"), 4).as("p99"),
+          (abs(element_at(col("ap"), 1).cast("double") - element_at(col("ex"), 1).cast("double")) /
+            element_at(col("ex"), 1).cast("double") <= lit(0.02)).as("p50_within_tol"),
+          (abs(element_at(col("ap"), 2).cast("double") - element_at(col("ex"), 2).cast("double")) /
+            element_at(col("ex"), 2).cast("double") <= lit(0.02)).as("p95_within_tol"),
+          (abs(element_at(col("ap"), 3).cast("double") - element_at(col("ex"), 3).cast("double")) /
+            element_at(col("ex"), 3).cast("double") <= lit(0.02)).as("p99_within_tol"))
+    }),
+
     // Error quarantine: closure failures routed to a side-channel with row
     // context (the reference's multierror), good rows unaffected. The
     // failure condition is deterministic, so the ok/err split is exactly
@@ -925,6 +949,18 @@ object SparkEntry {
     "x_quarantine" ->
       """SELECT doc_id, CASE WHEN n_chars >= 200 THEN 'ok' ELSE 'err' END AS status
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Exact interpolated quantiles match Spark's `percentile`; the sketch
+    // side is asserted through the tolerance flags only.
+    "x_approx_quantile" ->
+      """WITH q AS (
+        | SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+        |   [0.5, 0.95, 0.99]) AS ex
+        | FROM lineitem)
+        |SELECT ROUND(ex[1], 4) AS p50, ROUND(ex[2], 4) AS p95,
+        | ROUND(ex[3], 4) AS p99,
+        | TRUE AS p50_within_tol, TRUE AS p95_within_tol, TRUE AS p99_within_tol
+        |FROM q""".stripMargin,
     "t1_map" ->
       """SELECT l_orderkey, l_linenumber, l_partkey,
         | l_extendedprice * (1.0 - l_discount) AS revenue,
