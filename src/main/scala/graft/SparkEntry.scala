@@ -533,6 +533,21 @@ object SparkEntry {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label", "dim")),
 
+    // PageRank authority over the customer->supplier purchase graph
+    // (ids disambiguated into one space: cust*2, supp*2+1). 5 damped
+    // rounds, decimal-summed contributions — bit-reproducible, so the
+    // unrolled-SQL oracle hash-matches.
+    "x_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.functions.Graph.pageRank(e, iterations = 5)
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+        .orderBy("id")
+    }),
+
     // Z-order (Morton) codes — the clustering key behind
     // Sinks.zorderedParquet's multi-dimensional data skipping.
     "x_zorder" -> ((s, dir) =>
@@ -1411,6 +1426,36 @@ object SparkEntry {
         | ROUND(CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) /
         |   CAST(COUNT(*) AS DOUBLE), 9) AS centroid
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // Recursive CTEs can't aggregate over the recursive table, so the 5
+    // fixed rounds unroll into 5 identical step CTEs. All float ops are
+    // written double-explicit ((1.0 - 0.85) stays a double SUB — DuckDB
+    // would otherwise fold it in exact DECIMAL, a different constant).
+    "x_pagerank" -> {
+      def step(i: Int) =
+        s"""r$i AS (
+           | SELECT n.id, n.deg,
+           |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
+           |  CAST(0.85 AS DOUBLE) * COALESCE(s.in_sum, CAST(0.0 AS DOUBLE)) AS rank
+           | FROM nodes n LEFT JOIN (
+           |  SELECT e.dst AS dst,
+           |   CAST(SUM(CAST(r.rank / CAST(r.deg AS DOUBLE) AS DECIMAL(30,15)))
+           |     AS DOUBLE) AS in_sum
+           |  FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY e.dst) s
+           | ON n.id = s.dst)""".stripMargin
+      s"""WITH e AS (
+         | SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |nodes AS (
+         | SELECT n.id, COALESCE(d.deg, 0) AS deg
+         | FROM (SELECT DISTINCT id FROM
+         |   (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)) n
+         | LEFT JOIN deg d ON n.id = d.src),
+         |r0 AS (SELECT id, deg, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT id, ROUND(rank, 9) AS rank FROM r5 ORDER BY id""".stripMargin
+    },
 
     // Bit-exact Morton interleave: sums of disjoint-bit terms == OR.
     "x_zorder" ->

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph scoring over edge DataFrames — the authority/quality
+  * weighting pass of a curation pipeline (rank sources, weight documents
+  * by their source's score). Complements the connectivity algorithms in
+  * [[Dedup]] (label propagation, large/small-star) with a numeric
+  * fixpoint: same edges-only shuffle shape, different convergence math.
+  */
+object Graph {
+
+  /** PageRank with a fixed iteration budget.
+    *
+    * `edges(src, dst)` is a directed multigraph (parallel edges weight
+    * the link). Returns (id, rank) for every node. Standard damped
+    * update, uniform teleport:
+    * `rank'(v) = (1 - d) + d * Σ_{u→v} rank(u) / outDeg(u)`
+    * (the "sum to N" normalization — ranks average 1). Sink nodes (no
+    * out-edges) leak their damped mass, the common large-scale
+    * simplification.
+    *
+    * Scale shape per round: ONE shuffle — the contributions join on
+    * `src` then aggregate by `dst` with map-side partials; out-degrees
+    * are computed once and co-shuffled with the rank table. Each round
+    * is checkpointed (reliable when a checkpoint dir is set) so lineage
+    * stays flat over many rounds — same hygiene as
+    * [[Dedup.connectedComponents]].
+    *
+    * Determinism: per-node contribution sums accumulate in
+    * DECIMAL(30,15) (order-free) and each `rank/outDeg` division is a
+    * single double op, so ranks are bit-reproducible across runs,
+    * partitionings, and engines.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+
+    val e = snap(edges.select(
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = snap(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+        .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg")))
+
+    var ranks = snap(nodes.select(col("id"), col("deg"), lit(1.0).as("rank")))
+    var prev: DataFrame = null
+    var iter = 0
+    while (iter < iterations) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("deg").cast("double")).as("c"))
+      val sums = contribs.groupBy(col("dst"))
+        .agg(sum(col("c").cast(DecimalType(30, 15))).cast("double").as("in_sum"))
+      val updated = snap(nodes.join(sums, nodes("id") === sums("dst"), "left")
+        .select(col("id"), col("deg"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank")))
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = ranks
+      ranks = updated
+      iter += 1
+    }
+    e.unpersist(blocking = false)
+    if (prev != null && !(prev eq ranks)) prev.unpersist(blocking = false)
+    if (!(nodes eq ranks)) nodes.unpersist(blocking = false)
+    ranks.select(col("id"), col("rank"))
+  }
+}
