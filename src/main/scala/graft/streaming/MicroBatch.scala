@@ -56,6 +56,24 @@ object MicroBatch {
       .select(col("window.start").as("window_start"),
         col(keyCol), col("cnt"))
 
+  /** Streaming gap-based sessionization via native session windows —
+    * the streaming dual of the batch sessionize query: a session extends
+    * while events arrive within `gap` of the previous one, and closes
+    * (emits) once the watermark passes its end. State per key is one
+    * open session, merged incrementally — Spark's dedicated session
+    * store, not a collected event list, so state is O(open sessions)
+    * regardless of session length.
+    */
+  def sessionWindows(stream: DataFrame, tsCol: String, keyCol: String,
+                     gap: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"))
+
   /** Watermarked stream-stream event-time join: right rows match left rows
     * with the same key whose event time falls within
     * [leftTs, leftTs + maxLagSeconds] — the impressions⋈clicks shape. The

@@ -62,6 +62,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:00:00.0", "b", 1L)))
   }
 
+  test("session windows: gap-separated bursts become separate sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "k")
+
+    val sess = MicroBatch.sessionWindows(df, "ts", "k", "5 minutes", "10 minutes")
+    val q = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // burst 1: 10:01-10:03 (one session); gap > 5m; burst 2: 10:20
+    input.addData((ts(1), "a"), (ts(3), "a"), (ts(20), "a"), (ts(2), "b"))
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3))).toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:01:00.0", "a", 2L)))
+    assert(rows.contains(("2024-01-01 10:20:00.0", "a", 1L)))
+    assert(rows.contains(("2024-01-01 10:02:00.0", "b", 1L)))
+  }
+
   test("mapGroupsWithState: keyed state carried across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
