@@ -533,6 +533,14 @@ object SparkEntry {
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label", "dim")),
 
+    // Context-window chunking: 64-token chunks with stride 48 (16-token
+    // overlap), exploded to rows. The lambda runs per CHUNK; slice +
+    // array_join do the token work natively.
+    "x_chunk" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        inline(TF.chunkTokens(col("text"), chunkLen = 64, stride = 48)))
+        .orderBy("doc_id", "chunk_idx")),
+
     // PageRank authority over the customer->supplier purchase graph
     // (ids disambiguated into one space: cust*2, supp*2+1). 5 damped
     // rounds, decimal-summed contributions — bit-reproducible, so the
@@ -1426,6 +1434,23 @@ object SparkEntry {
         | ROUND(CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) /
         |   CAST(COUNT(*) AS DOUBLE), 9) AS centroid
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "x_chunk" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, tok,
+        |  CASE WHEN len(tok) = 0 THEN 0
+        |       ELSE GREATEST(CAST(CEIL(CAST(len(tok) - 64 AS DOUBLE) / 48)
+        |              AS BIGINT), 0) + 1 END AS n_chunks
+        | FROM toks)
+        |SELECT doc_id, CAST(u AS INTEGER) AS chunk_idx,
+        | CAST(u * 48 AS BIGINT) AS token_start,
+        | array_to_string(tok[(u * 48 + 1):(u * 48 + 64)], ' ') AS chunk_text
+        |FROM (SELECT doc_id, tok, unnest(range(0, n_chunks)) AS u FROM c)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Recursive CTEs can't aggregate over the recursive table, so the 5
     // fixed rounds unroll into 5 identical step CTEs. All float ops are

@@ -152,6 +152,37 @@ object TextFunctions {
         i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k)): _*)))
   }
 
+  /** Split a document into overlapping token-window chunks — the
+    * context-length preprocessing step before sequence packing: chunk `i`
+    * covers tokens `[i·stride, i·stride + chunkLen)`, so consecutive
+    * chunks share `chunkLen − stride` tokens of context. The final chunk
+    * may be short; a document emits `ceil(max(n − chunkLen, 0) / stride)
+    * + 1` chunks, and empty docs emit none.
+    *
+    * Returns an array of structs (chunk_idx int, token_start long,
+    * chunk_text string) — callers `inline`/`explode` to rows. The per-doc
+    * lambda runs once per CHUNK (a handful), not per token: `slice` +
+    * `array_join` do the token work natively.
+    */
+  def chunkTokens(text: Column, chunkLen: Int, stride: Int): Column = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      s"need 0 < stride <= chunkLen, got chunkLen=$chunkLen stride=$stride")
+    val tok = tokens(text)
+    val n = size(tok)
+    val nChunks =
+      greatest(ceil((n - lit(chunkLen)).cast("double") / lit(stride)), lit(0L))
+        .cast("int") + 1
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => struct(
+        i.cast("int").as("chunk_idx"),
+        (i * stride).cast("long").as("token_start"),
+        array_join(slice(tok, i * stride + 1, lit(chunkLen)), " ").as("chunk_text")))
+    // empty docs: sequence(0, -1) would count DOWN — emit no chunks
+    when(n === 0, array().cast(
+      "array<struct<chunk_idx:int,token_start:bigint,chunk_text:string>>"))
+      .otherwise(chunks)
+  }
+
   /** Overlapping word `n`-grams ("shingles"), space-joined, de-duplicated.
     * Documents with fewer than `n` tokens get a single shingle of the whole
     * text so they still participate in similarity joins.

@@ -103,6 +103,23 @@ class CorpusSpec extends SparkSpec {
     assert(out2.count() == 0) // only 1 distinct shared gram ("x y z")
   }
 
+  test("chunkTokens: stride windows cover every token, short/empty docs handled") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b"),                            // shorter than a chunk
+      (3L, " "))).toDF("id", "text")          // empty
+    val out = df.select(col("id"),
+      inline(TextFunctions.chunkTokens(col("text"), chunkLen = 4, stride = 3)))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._4).toSeq == Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    assert(doc1.map(_._3).toSeq == Seq(0L, 3L, 6L))
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq == Seq("a b"))
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("normalize lowercases, strips controls, collapses whitespace") {
     val out = spark.range(1)
       .select(TextFunctions.normalize(
