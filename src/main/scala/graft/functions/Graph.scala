@@ -34,9 +34,16 @@ object Graph {
     * single double op, so ranks are bit-reproducible across runs,
     * partitionings, and engines.
     */
+  /** `checkpointInterval`: snapshot every N-th round. 1 (default) keeps
+    * each round's plan minimal — right when snapshots are cheap (local,
+    * or small rank tables). Raise it when a reliable checkpoint write
+    * per round dominates (distributed FS, huge node sets); lineage then
+    * stacks up to N rounds deep between materializations.
+    */
   def pageRank(edges: DataFrame, iterations: Int = 10,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85, checkpointInterval: Int = 1): DataFrame = {
     require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
+    require(checkpointInterval > 0)
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
@@ -50,25 +57,33 @@ object Graph {
         .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg")))
 
     var ranks = snap(nodes.select(col("id"), col("deg"), lit(1.0).as("rank")))
-    var prev: DataFrame = null
+    // the snapshot currently backing `ranks`' lineage — only superseded
+    // snapshots are released, never one a live plan still reads through
+    var lastSnap: DataFrame = ranks
     var iter = 0
     while (iter < iterations) {
       val contribs = e.join(ranks, e("src") === ranks("id"))
         .select(col("dst"), (col("rank") / col("deg").cast("double")).as("c"))
       val sums = contribs.groupBy(col("dst"))
         .agg(sum(col("c").cast(DecimalType(30, 15))).cast("double").as("in_sum"))
-      val updated = snap(nodes.join(sums, nodes("id") === sums("dst"), "left")
+      val next = nodes.join(sums, nodes("id") === sums("dst"), "left")
         .select(col("id"), col("deg"),
           (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank")))
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = ranks
-      ranks = updated
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+      // materializing every round costs a job per iteration; snapshotting
+      // every checkpointInterval-th round (and the last) bounds lineage
+      // depth at a fraction of that
+      ranks =
+        if ((iter + 1) % checkpointInterval == 0 || iter == iterations - 1) {
+          val s = snap(next)
+          lastSnap.unpersist(blocking = false)
+          lastSnap = s
+          s
+        } else next
       iter += 1
     }
     e.unpersist(blocking = false)
-    if (prev != null && !(prev eq ranks)) prev.unpersist(blocking = false)
-    if (!(nodes eq ranks)) nodes.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     ranks.select(col("id"), col("rank"))
   }
 }
