@@ -23,8 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sized for local[32]: 8g GC-thrashes when the full 67-query bench
+// suite runs twice in one JVM (observed 5-10x per-query inflation vs a
+// targeted run). The bench box has 128 GiB; -Xms pinned to -Xmx avoids
+// growth pauses mid-measurement.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

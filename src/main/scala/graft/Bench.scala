@@ -32,9 +32,18 @@ object Bench {
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop anything a query left cached so later timings measure their
+      // own work, not a predecessor's leaked storage-memory pressure.
+      spark.catalog.clearCache()
+      dt
     }
+    // Optional comma-separated subset for local profiling; the driver
+    // leaves this unset and benches everything.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     val pass1 = names.map(n => n -> timed(n)).toMap
     val pass2 = names.map(n => n -> timed(n)).toMap
     val results = names.map(n => n -> math.min(pass1(n), pass2(n))).toMap

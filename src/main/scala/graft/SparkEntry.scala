@@ -193,6 +193,28 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // Correlated EXISTS subquery — planned as a left-semi join (Catalyst
+    // RewritePredicateSubquery), not a per-row probe.
+    "r_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 300000)
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
+    // Cartesian product — legitimate only when one side is tiny (here
+    // region×nation); Spark plans a broadcast nested loop, never a
+    // shuffled cartesian, because the small side is broadcast-sized.
+    "r_cross_join" -> ((s, dir) => {
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // Window functions: ranking + running aggregate (frame-ordered, so
     // double accumulation order is pinned on both engines).
     "r_window_rank" -> ((s, dir) => {
@@ -489,6 +511,45 @@ object SparkEntry {
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
         .limit(100)),
+
+    // Heavy hitters, exactly, via the two-pass Misra–Gries pattern: a
+    // bounded-state mergeable sketch nominates candidates (certain
+    // superset), an exact recount of only those candidates decides — the
+    // corpus-sized token shuffle of x_vocab never happens, yet the output
+    // is exact (oracle = plain HAVING over the full count).
+    "x_heavy_hitters" -> ((s, dir) =>
+      Corpus.heavyHitters(t(s, dir, "documents"), "text", 200)
+        .orderBy(col("cnt").desc, col("token"))),
+
+    // Runtime Bloom-filter join pruning: sketch the filtered dim keys,
+    // drop non-matching fact rows inside the scan stage BEFORE the join
+    // shuffle. False positives die in the exact join ⇒ bit-identical to
+    // the plain join the oracle runs.
+    "x_bloom_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val hot = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.Bloom.prunedJoin(l, hot, "l_orderkey", "o_orderkey",
+          expectedKeys = 100000, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Salted join under known key skew: fact side scattered across
+    // saltN sub-keys, small side replicated saltN× — identical output to
+    // the plain join (the oracle), hot keys spread over saltN reducers.
+    "x_skew_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").as("p_partkey"), col("l_quantity"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      graft.operators.Skew.saltedJoin(l, p, "p_partkey",
+          scatterBy = col("l_orderkey") * lit(7L) + col("l_linenumber"), saltN = 4)
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+          col("l_quantity"), col("p_brand"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
 
     // Repetition signals (Gopher-style quality gates): token/bigram
     // concentration per document. Bigram counting shuffles 8-byte gram
@@ -1080,6 +1141,32 @@ object SparkEntry {
         |  ON c_custkey = oc.o_custkey
         |ORDER BY c_custkey""".stripMargin,
 
+    "r_exists" ->
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "r_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    // Bloom prefilter is invisible in the result: FPs die in the exact
+    // join, so the oracle is the plain filtered join.
+    "x_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Salting is invisible in the result: same rows as the plain join.
+    "x_skew_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey AS p_partkey,
+        |       l_quantity, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "r_window_rank" ->
       """SELECT l_orderkey, l_linenumber, l_partkey,
         | ROW_NUMBER() OVER (PARTITION BY l_orderkey
@@ -1338,6 +1425,17 @@ object SparkEntry {
         | FROM documents)
         |SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token
         |ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    // The MG sketch never shows in the output: the threshold sits strictly
+    // above the sketch's guarantee line, so exact-HAVING is the oracle.
+    "x_heavy_hitters" ->
+      """WITH tk AS (
+        | SELECT unnest(CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS token
+        | FROM documents)
+        |SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token
+        |HAVING CAST(COUNT(*) AS DOUBLE) > (SELECT COUNT(*) FROM tk) / 200.0
+        |ORDER BY cnt DESC, token""".stripMargin,
 
     // Bigram counts group on the gram STRING here vs its xxhash64 on the
     // Spark side — multiplicities agree absent a 64-bit collision inside a

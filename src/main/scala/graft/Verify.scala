@@ -19,7 +19,13 @@ object Verify {
     spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Optional comma-separated subset for local iteration; the driver
+    // leaves this unset and dumps everything.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -241,4 +242,80 @@ object Corpus {
     }
     df.where(bucket < rate)
   }
+
+  /** Exact heavy hitters via the two-pass sketch pattern — THE way to get
+    * "tokens above 1/k of the corpus" at 100 TB, where the naive
+    * `groupBy(token)` shuffles one row per token occurrence (≈ corpus
+    * size) just to discard all but a handful of groups.
+    *
+    *  - Pass 1: a mergeable Misra–Gries summary ([[misraGries]]) runs as a
+    *    Catalyst partial/final aggregate — per-partition state is a
+    *    bounded `capacity`-entry map, and only those ≤ capacity entries
+    *    shuffle (bytes, not corpus-sized). MG guarantees every token with
+    *    true frequency > N/(capacity+1) survives in the summary, so the
+    *    candidate set is a certain superset of the answer.
+    *  - Pass 2: exact recount of the ≤ capacity candidates only — the
+    *    `isin` filter drops non-candidates inside the scan stage, so the
+    *    second shuffle is |candidate occurrences|, and the threshold
+    *    `cnt > N/capacity` (strictly above the MG guarantee line) makes
+    *    the final answer EXACT — sketch approximation affects cost, never
+    *    results.
+    *
+    * Reference capability note: a go-sif user writes this as a full
+    * `Reduce` over every token (operations/transform/reduce.go:16-44) —
+    * there is no bounded-state path.
+    *
+    * @return (token, cnt) for every token with cnt > totalTokens/capacity
+    */
+  def heavyHitters(df: DataFrame, textCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val candidates = toks.as[String].select(misraGries(capacity).toColumn).head()
+    val total = toks.count()
+    toks.where(col("token").isin(candidates: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt").cast("double") > lit(total.toDouble / capacity))
+  }
+
+  /** Mergeable Misra–Gries summary as a typed Catalyst [[Aggregator]]
+    * (partial/final aggregation; bounded `capacity`-entry buffer). The
+    * summary's key set is a superset of every value with frequency
+    * > N/(capacity+1); merge subtracts the (capacity+1)-th largest count
+    * from all survivors (Agarwal et al., "Mergeable Summaries", PODS '12).
+    */
+  def misraGries(capacity: Int): Aggregator[String, Map[String, Long], Seq[String]] =
+    new Aggregator[String, Map[String, Long], Seq[String]] {
+      override def zero: Map[String, Long] = Map.empty
+
+      override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+        b.get(tok) match {
+          case Some(c) => b.updated(tok, c + 1L)
+          case None if b.size < capacity => b.updated(tok, 1L)
+          // Buffer full: decrement every counter (amortized O(1) — each
+          // such event burns capacity+1 units of total inserted count).
+          case None => b.collect { case (t, c) if c > 1L => t -> (c - 1L) }
+        }
+
+      override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+        val combined = b.foldLeft(a) { case (m, (t, c)) =>
+          m.updated(t, m.getOrElse(t, 0L) + c)
+        }
+        if (combined.size <= capacity) combined
+        else {
+          // cut = (capacity+1)-th largest count; subtracting it keeps at
+          // most `capacity` entries and preserves the undercount bound.
+          val cut = combined.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+          combined.collect { case (t, c) if c > cut => t -> (c - cut) }
+        }
+      }
+
+      override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+
+      override def bufferEncoder: Encoder[Map[String, Long]] =
+        ExpressionEncoder[Map[String, Long]]()
+      override def outputEncoder: Encoder[Seq[String]] =
+        ExpressionEncoder[Seq[String]]()
+    }
 }

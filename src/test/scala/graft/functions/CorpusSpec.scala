@@ -189,4 +189,41 @@ class CorpusSpec extends SparkSpec {
     assert(out((1, 1L)) == 0.0)
     assert(out.size == 6)
   }
+
+  test("heavyHitters equals the exact HAVING answer at tiny capacity") {
+    // capacity 3 on a corpus where exactly the tokens above N/3 should
+    // survive; docs corpus: spam×4, hash×3, join×3, the×2, rest ×1 → N=20
+    // (4+9+1+6? count: doc1 4, doc2 9, doc3 1, doc4 7 → N=21). Threshold
+    // N/3 = 7 → no token qualifies; use capacity 5 → threshold 4.2 →
+    // none; capacity 6 → 3.5 → spam(4). Assert against the directly
+    // computed exact answer instead of hand-arithmetic.
+    import spark.implicits._
+    for (cap <- Seq(3, 6, 10, 100)) {
+      val got = Corpus.heavyHitters(docs, "text", cap)
+        .orderBy("token").as[(String, Long)].collect().toSeq
+      val toks = docs.select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val n = toks.count()
+      val want = toks.groupBy("token").count()
+        .where(col("count").cast("double") > lit(n.toDouble / cap))
+        .orderBy("token").as[(String, Long)].collect().toSeq
+      assert(got == want, s"capacity $cap")
+    }
+  }
+
+  test("misraGries summary is a superset of every true heavy hitter") {
+    import spark.implicits._
+    // skewed stream: "a" dominates, many singletons force evictions
+    val stream = (1 to 400).map(_ => "a") ++ (1 to 100).map(i => s"t$i") ++
+      (1 to 50).map(_ => "b")
+    val ds = spark.createDataset(stream).repartition(7)
+    val cap = 5
+    val summary = ds.select(Corpus.misraGries(cap).toColumn).head().toSet
+    val n = stream.size
+    val exact = stream.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 > n / (cap + 1)).keySet
+    assert(exact.subsetOf(summary),
+      s"missing ${exact -- summary} from MG summary $summary")
+    assert(summary.size <= cap)
+  }
 }
