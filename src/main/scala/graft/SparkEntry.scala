@@ -215,6 +215,33 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+    // match each other, unlike plain = where they match nothing. Nulls
+    // are injected deterministically since the testdata keys are all
+    // non-null.
+    "r_nullsafe_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_nationkey"))
+          .as("k"))
+      val n = t(s, dir, "nation").select(
+        when(col("n_nationkey") === 0, lit(null)).otherwise(col("n_nationkey"))
+          .as("nk"),
+        col("n_name"))
+      c.join(n, col("k") <=> col("nk"))
+        .select(col("c_custkey"), col("n_name"))
+        .orderBy("c_custkey", "n_name")
+    }),
+
+    // Array aggregation + higher-order transform: per-customer sorted
+    // order lists, lambda applied per element — no explode round-trip.
+    "r_array_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("orders"),
+          count(lit(1)).as("n"))
+        .select(col("o_custkey"), col("orders"),
+          transform(col("orders"), x => x * 2).as("doubled"), col("n"))
+        .orderBy("o_custkey")),
+
     // Window functions: ranking + running aggregate (frame-ordered, so
     // double accumulation order is pinned on both engines).
     "r_window_rank" -> ((s, dir) => {
@@ -512,6 +539,29 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
         .limit(100)),
 
+    // Mergeable-sketch rollup (Datasketches HLL): per-nation sketches of
+    // distinct customers, UNIONED up to region level without rescanning
+    // the fact table — the pattern that makes multi-granularity distinct
+    // counts affordable at 100 TB (sketch bytes roll up; raw keys don't
+    // have to). Self-verifying like x_approx_distinct: output is the
+    // exact count (nations partition customers, so regional distinct =
+    // sum of per-nation distincts) plus a within-tolerance flag on the
+    // merged estimate; the sketch never needs cross-engine agreement.
+    "x_hll_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val perNation = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_nationkey"))
+        .agg(expr("hll_sketch_agg(c_custkey)").as("sk"),
+          countDistinct(col("c_custkey")).as("exact_n"))
+      perNation.groupBy(col("n_regionkey"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+          sum(col("exact_n")).as("exact_customers"))
+        .select(col("n_regionkey"), col("exact_customers"),
+          (abs(col("est") - col("exact_customers")).cast("double") /
+            col("exact_customers") <= lit(0.05)).as("within_tol"))
+        .orderBy("n_regionkey")
+    }),
+
     // Heavy hitters, exactly, via the two-pass Misra–Gries pattern: a
     // bounded-state mergeable sketch nominates candidates (certain
     // superset), an exact recount of only those candidates decides — the
@@ -612,7 +662,9 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.functions.Graph.pageRank(e, iterations = 5)
+      // checkpoint every 3rd round: at 5 iterations the lineage stays
+      // shallow, and each skipped checkpoint saves a full materialize+write
+      graft.functions.Graph.pageRank(e, iterations = 5, checkpointInterval = 3)
         .select(col("id"), round(col("rank"), 9).as("rank"))
         .orderBy("id")
     }),
@@ -1166,6 +1218,33 @@ object SparkEntry {
         |       l_quantity, p_brand
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "r_nullsafe_join" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS k
+        |  FROM customer),
+        |n AS (SELECT CASE WHEN n_nationkey = 0 THEN NULL
+        |             ELSE n_nationkey END AS nk, n_name FROM nation)
+        |SELECT c_custkey, n_name FROM c JOIN n ON k IS NOT DISTINCT FROM nk
+        |ORDER BY c_custkey, n_name""".stripMargin,
+
+    "r_array_funcs" ->
+      """WITH a AS (
+        | SELECT o_custkey, list_sort(list(o_orderkey)) AS orders,
+        |        COUNT(*) AS n
+        | FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, orders,
+        |       list_transform(orders, x -> x * 2) AS doubled, n
+        |FROM a ORDER BY o_custkey""".stripMargin,
+
+    // The sketch estimate is engine-specific; the oracle checks the exact
+    // counts and that the merged estimate stayed within tolerance (TRUE
+    // on the oracle side by construction of the flag).
+    "x_hll_rollup" ->
+      """SELECT n_regionkey, COUNT(DISTINCT c_custkey) AS exact_customers,
+        |       TRUE AS within_tol
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "r_window_rank" ->
       """SELECT l_orderkey, l_linenumber, l_partkey,
