@@ -1,0 +1,203 @@
+package graft.sources.v2
+
+import java.util.zip.GZIPInputStream
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, StringContains, StringEndsWith, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-files` — a DataSource V2 connector with the reference engine's
+  * file-source semantics, re-expressed as Spark connector machinery:
+  *
+  *  - **1 file = 1 input partition** (the reference's one-PartitionLoader-
+  *    per-file round-robin, reference datasource/file/file_datasource.go:19-63,
+  *    cluster/coordinator.go:144-150) — Spark's scheduler does the
+  *    round-robin.
+  *  - **Whole-file Decoder hook** (`option("codec", "gzip"|"auto"|"none")`)
+  *    — the `Decoder func([]byte) ([]byte, error)` analogue
+  *    (file_datasource.go:31-48), applied per file in the reader.
+  *  - **Planning-time file skipping**: path filters (`=`, prefix, suffix,
+  *    contains) push into the scan and drop whole files BEFORE any
+  *    partition is scheduled — at 100 TB the difference between "list and
+  *    skip" and "schedule a task per file to discard its rows".
+  *  - **Metadata-only scans**: column pruning reaches the reader; a query
+  *    over (path, length, mtime) never opens a single file.
+  *
+  * Schema: `path string, length long, mtime timestamp, content binary`.
+  *
+  * Usage: `spark.read.format("graft-files").load(dir + "/&#42;.jsonl.gz")`.
+  */
+class GraftFilesSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-files"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftFilesTable.SCHEMA
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GraftFilesTable(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftFilesTable {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("mtime", TimestampType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+}
+
+class GraftFilesTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  private val paths: Seq[String] = {
+    // `load(path)` lands in "paths" (json array) or "path"
+    val multi = Option(options.get("paths")).map { js =>
+      // minimal ["a","b"] parse — values are driver-authored paths
+      js.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    }
+    multi.getOrElse(Option(options.get("path")).map(Seq(_)).getOrElse(
+      throw new IllegalArgumentException("graft-files: no path given — use load(path)")))
+  }
+  private val codec: String = Option(options.get("codec")).getOrElse("auto")
+
+  override def name(): String = s"graft-files(${paths.mkString(",")})"
+  override def schema(): StructType = GraftFilesTable.SCHEMA
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftFilesScanBuilder(paths, codec)
+}
+
+class GraftFilesScanBuilder(paths: Seq[String], codec: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = GraftFilesTable.SCHEMA
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept path-column filters the listing can evaluate; everything else
+    * stays with Spark (returned as post-scan residue).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (take, keep) = filters.partition {
+      case EqualTo("path", _: String) => true
+      case StringStartsWith("path", _) => true
+      case StringEndsWith("path", _) => true
+      case StringContains("path", _) => true
+      case _ => false
+    }
+    pushed = take
+    keep
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    // Driver-side listing + skipping: files failing a pushed path filter
+    // never become partitions.
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val all: Seq[FileStatus] = paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+        .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
+        .filter(_.isFile)
+    }
+    def keep(path: String): Boolean = pushed.forall {
+      case EqualTo("path", v: String) => path == v
+      case StringStartsWith("path", v) => path.startsWith(v)
+      case StringEndsWith("path", v) => path.endsWith(v)
+      case StringContains("path", v) => path.contains(v)
+      case _ => true
+    }
+    val files = all.map(st => GraftFilePartition(
+        st.getPath.toUri.toString, st.getLen, st.getModificationTime))
+      .filter(f => keep(f.path))
+      .sortBy(_.path)
+    GraftFilesScan(files, required, codec, pushed.map(_.toString))
+  }
+}
+
+/** One surviving file per partition. mtimeMs is epoch millis. */
+case class GraftFilePartition(path: String, length: Long, mtimeMs: Long)
+    extends InputPartition
+
+case class GraftFilesScan(files: Seq[GraftFilePartition], required: StructType,
+                          codec: String, pushedDesc: Array[String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-files nFiles=${files.length} " +
+      s"ReadColumns=[${required.fieldNames.mkString(",")}] " +
+      s"PushedFilters=[${pushedDesc.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = files.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftFilesReaderFactory(required, codec)
+}
+
+case class GraftFilesReaderFactory(required: StructType, codec: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftFileReader(partition.asInstanceOf[GraftFilePartition], required, codec)
+}
+
+/** Emits the single row of one file. Opens the file ONLY if `content` was
+  * not pruned away — metadata-only scans do zero I/O beyond the listing.
+  */
+class GraftFileReader(file: GraftFilePartition, required: StructType,
+                      codec: String) extends PartitionReader[InternalRow] {
+
+  private var done = false
+  private var row: InternalRow = _
+
+  private def readBytes(): Array[Byte] = {
+    val hp = new Path(new java.net.URI(file.path))
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(hp)
+    try {
+      val raw = org.apache.commons.io.IOUtils.toByteArray(in)
+      val gz = codec == "gzip" || (codec == "auto" && file.path.endsWith(".gz"))
+      if (gz) {
+        val g = new GZIPInputStream(new java.io.ByteArrayInputStream(raw))
+        try org.apache.commons.io.IOUtils.toByteArray(g) finally g.close()
+      } else raw
+    } finally in.close()
+  }
+
+  override def next(): Boolean =
+    if (done) false
+    else {
+      val values = required.fields.map(_.name).map {
+        case "path" => UTF8String.fromString(file.path)
+        case "length" => file.length
+        case "mtime" => file.mtimeMs * 1000L // micros
+        case "content" => readBytes()
+      }
+      row = InternalRow.fromSeq(values.toIndexedSeq)
+      done = true
+      true
+    }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
