@@ -80,8 +80,30 @@ object GraftSession {
   /** Read one of the standard tables, normalizing storage quirks (the
     * events table stores TIMESTAMP(NANOS), which Spark reads only as long
     * — converted here via exact integer division to microseconds).
+    *
+    * Plans are cached per (session, dir, table): a DataFrame is an
+    * immutable logical plan, and re-building it re-lists the path and
+    * re-reads the parquet footer — a fixed tax per query invocation that
+    * adds up across an 89-query bench suite. Keyed on session identity so
+    * a plan never leaks into a different session's analyzer.
     */
-  def readTable(spark: SparkSession, dir: String, name: String): DataFrame =
+  def readTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (System.identityHashCode(spark), dir, name)
+    val cached = tableCache.get(key)
+    // identity re-check guards the (astronomically unlikely) hash collision
+    if (cached != null && (cached._1 eq spark)) cached._2
+    else {
+      val df = readTableUncached(spark, dir, name)
+      tableCache.put(key, (spark, df))
+      df
+    }
+  }
+
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String),
+      (SparkSession, DataFrame)]()
+
+  private def readTableUncached(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // Scoped per-read: the legacy flag is set on a *cloned* session
       // (shared SparkContext, private SQLConf) that the file relation

@@ -83,7 +83,21 @@ object AsOf {
     // scanned and collected — column pruning does not cross a custom node.
     val rightMin = right.select((Seq(key, rightTs) ++ rightCols).distinct.map(col): _*)
     val lPlan = PlanBridge.analyzed(left)
-    val rPlan = PlanBridge.analyzed(rightMin)
+    val rPlan0 = PlanBridge.analyzed(rightMin)
+    // Self-join safety: when both sides derive from the same DataFrame,
+    // their plans share attribute exprIds. The analyzer's
+    // DeduplicateRelations re-ids the right subtree's relations but CANNOT
+    // remap this node's key/ts fields — "user_id#2" on the right is
+    // indistinguishable from "user_id#2" on the left. Re-aliasing the
+    // right output with fresh exprIds here makes the children disjoint, so
+    // every reference held by the node stays unambiguous through analysis.
+    val rPlan =
+      if (rPlan0.outputSet.intersect(lPlan.outputSet).isEmpty) rPlan0
+      else {
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+      }
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))

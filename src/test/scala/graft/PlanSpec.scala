@@ -73,6 +73,31 @@ class PlanSpec extends SparkSpec {
     assert(plan("a1_collect").contains("TakeOrderedAndProject"))
   }
 
+  test("x_bloom_join: probe evaluates scan-side, below the join") {
+    val p = plan("x_bloom_join")
+    // the probe must appear in a Filter above the lineitem scan, not in
+    // the join condition — i.e. rows drop before the exchange
+    val idxProbe = p.indexOf("bloom_might_contain")
+    val idxJoin = p.indexOf("Join")
+    assert(idxProbe >= 0, s"no bloom probe in plan:\n$p")
+    assert(idxJoin >= 0 && idxJoin < idxProbe,
+      "probe should sit in the scan-side subtree printed below the join")
+  }
+
+  test("x_heavy_hitters: recount aggregates partially before its exchange") {
+    // two-pass plan: this checks the recount pass (pass 2), which must be
+    // partial/final HashAggregate on the candidate tokens
+    val p = plan("x_heavy_hitters")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x_hll_rollup: nation join broadcasts; sketches aggregate in two levels") {
+    val p = plan("x_hll_rollup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("hll_union_agg") || p.contains("HllUnionAgg"), p)
+  }
+
   test("native sketch expressions run inside whole-stage codegen") {
     // the simhash64 projection must carry the *(n) whole-stage-codegen
     // marker — a CodegenFallback would break the span and run the stage

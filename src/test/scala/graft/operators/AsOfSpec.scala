@@ -114,4 +114,23 @@ class AsOfSpec extends SparkSpec {
     assert(!phys.contains("Exchange"), s"broadcast as-of join must not shuffle:\n$phys")
     assert(out.count() == 100)
   }
+
+  test("broadcastJoin self-join: both sides from the SAME DataFrame instance") {
+    // Shared-instance plans share attribute exprIds; DeduplicateRelations
+    // re-ids the right subtree but cannot remap the custom node's fields
+    // (ambiguous by id) — the operator must dedup its right side itself.
+    // Regression for the INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND crash.
+    import org.apache.spark.sql.functions._
+    val base = graft.GraftSession.readTable(spark, sf(), "events")
+    val ev = base.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val purch = base.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .agg(max(col("event_id")).as("p_event_id"))
+    val bc = AsOf.broadcastJoin(ev, purch, "user_id", "us", "p_us", Seq("p_event_id"))
+    val composed = AsOf.join(ev, purch, "user_id", "us", "p_us", Seq("p_event_id"))
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    assert(res(bc) == res(composed))
+  }
 }
