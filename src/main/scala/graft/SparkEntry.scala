@@ -616,6 +616,16 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Edit-distance fuzzy self-join (record linkage): exact Levenshtein
+    // pairs via q-gram prefix filtering — candidates key on each string's
+    // globally-rarest grams (boilerplate prefixes like "Supplier#00" are
+    // stop-grams and never join), then exact verify. Output = the
+    // quadratic join's, which is precisely what the oracle computes.
+    "x_fuzzy_join" -> ((s, dir) =>
+      graft.functions.Dedup.editDistancePairs(
+          t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1, q = 2)
+        .orderBy("id_a", "id_b")),
+
     // Repetition signals (Gopher-style quality gates): token/bigram
     // concentration per document. Bigram counting shuffles 8-byte gram
     // hashes, never gram strings.
@@ -1532,6 +1542,16 @@ object SparkEntry {
         | FROM documents)
         |SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token
         |ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    // The prefix filter is lossless and the verify exact, so the oracle is
+    // the naive quadratic join.
+    "x_fuzzy_join" ->
+      """WITH s AS (SELECT s_suppkey, s_name FROM supplier)
+        |SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // The MG sketch never shows in the output: the threshold sits strictly
     // above the sketch's guarantee line, so exact-HAVING is the oracle.

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextFunctions._
 
@@ -332,5 +333,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Edit-distance (Levenshtein) fuzzy self-join with EXACT results — the
+    * record-linkage primitive for titles / product names / entity keys —
+    * via q-gram prefix filtering (the ED-Join shape, Xiao et al., VLDB
+    * '08):
+    *
+    *  1. Each string yields its q-grams (8-byte xxhash64, positions kept
+    *     for determinism only).
+    *  2. One aggregation computes global gram frequencies; each string
+    *     keeps only its `maxDist·q + 1` globally-RAREST grams (its
+    *     "prefix"). An edit destroys at most q grams, so two strings
+    *     within distance `maxDist` share ≥ |grams| − maxDist·q grams —
+    *     by pigeonhole their rarest-(maxDist·q+1) prefixes must
+    *     intersect. Candidates = equi-join on prefix gram hashes.
+    *  3. Exact `levenshtein` verify on the candidates.
+    *
+    * Why prefix filtering instead of joining all grams: shared
+    * boilerplate ("Supplier#00…", "http://www.") makes common grams
+    * stop-grams whose buckets go quadratic; ranking by global frequency
+    * makes candidate generation key on each string's highest-entropy
+    * substrings instead. Shuffle profile: gram-hash exchanges + one
+    * distinct over candidate pairs; nothing all-pairs. Output is exactly
+    * the quadratic join's (prefix filter is lossless, verify is exact).
+    *
+    * Constraint: every string must have ≥ maxDist·q + 1 grams, i.e.
+    * length ≥ (maxDist+1)·q (enforced; route shorter strings to a
+    * dedicated short-key pass — they carry too little signal for q-gram
+    * filtering).
+    *
+    * @return (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
+    require(q >= 1, s"q must be positive: $q")
+    val prefixLen = maxDist * q + 1
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      length(col(strCol)).as("len"))
+    // Losslessness needs ≥ maxDist·q + 1 grams per string (pigeonhole);
+    // enforced inside the gram expression so pruning can't skip the check.
+    val minLen = (maxDist + 1) * q
+    val gramCount = when(col("len") >= minLen, col("len") - (q - 1))
+      .otherwise(raise_error(concat(
+        lit(s"editDistancePairs: string shorter than $minLen chars: "),
+        col("s"))).cast("int"))
+    val grams = base
+      .select(col("id"), col("len"),
+        posexplode(transform(sequence(lit(1), gramCount),
+          i => xxhash64(col("s").substr(i, lit(q))))).as(Seq("pos", "gh")))
+    // One global frequency pass; rank each string's grams rarest-first
+    // (ties broken by hash then position — deterministic across runs).
+    val freq = grams.groupBy(col("gh")).agg(count(lit(1)).as("gf"))
+    val prefix = grams.join(freq, "gh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("gf"), col("gh"), col("pos"))))
+      .where(col("rk") <= prefixLen)
+      .select(col("id"), col("len"), col("gh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.gh") === col("b.gh") && col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val strs = base.select(col("id"), col("s"))
+    cand
+      .join(strs.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(strs.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
   }
 }

@@ -31,7 +31,7 @@ class PlanSpec extends SparkSpec {
 
   test("dedup/ANN candidate generation is equi-join-sized (no nested loop)") {
     Seq("x_simhash", "x_minhash_neardup", "x_lsh_ann", "x_ngram_jaccard",
-        "x_embed_neardup")
+        "x_embed_neardup", "x_fuzzy_join")
       .foreach { q =>
         assert(!plan(q).contains("BroadcastNestedLoopJoin"),
           s"$q fell back to an all-pairs nested loop")

@@ -360,4 +360,49 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(salted == want)
   }
+
+  test("editDistancePairs equals the naive quadratic join at several radii") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    // shared boilerplate prefix (stop-grams), duplicates, inserts/deletes,
+    // and an unrelated string
+    val names = Seq(
+      1L -> "item#0001", 2L -> "item#0002", 3L -> "item#0012",
+      4L -> "item#0001", 5L -> "item#00012", 6L -> "totally different",
+      7L -> "item#9999")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(names.map { case (i, s) => Row(i, s) }), schema)
+    for (k <- Seq(0, 1, 2); q <- Seq(2, 3)) {
+      val got = Dedup.editDistancePairs(df, "id", "s", k, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = (for {
+        (ia, sa) <- names; (ib, sb) <- names if ia < ib
+        d = levenshteinRef(sa, sb) if d <= k
+      } yield (ia, ib) -> d.toLong).toMap
+      assert(got == want, s"maxDist=$k q=$q")
+    }
+  }
+
+  test("editDistancePairs rejects strings too short for the gram bound") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "ab"), Row(2L, "abcdef"))), schema)
+    val ex = intercept[Exception] {
+      Dedup.editDistancePairs(df, "id", "s", maxDist = 2, q = 2).collect()
+    }
+    assert(ex.getMessage.contains("shorter") ||
+      Option(ex.getCause).exists(_.getMessage.contains("shorter")))
+  }
+
+  /** Reference Levenshtein for the spec oracle. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
