@@ -1006,22 +1006,27 @@ object SparkEntry {
     // error is bounded by its accuracy parameter, so the query outputs
     // exact quantiles plus within-tolerance flags the oracle asserts.
     "x_approx_quantile" -> ((s, dir) => {
-      val exact = expr(
-        "percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
+      // Exact side runs the scale-safe distributed selection
+      // (Stats.exactQuantiles: bucket-refinement passes keeping only
+      // metadata-sized counts) rather than `percentile(...)`, whose final
+      // merge buffers every distinct value on one reducer. Values are
+      // identical bit-for-bit (StatsSpec pins this).
+      val l = t(s, dir, "lineitem")
+      val ex = graft.functions.Stats.exactQuantiles(
+        l, "l_extendedprice", Seq(0.5, 0.95, 0.99))
       val approx = expr(
         "approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), 10000)")
-      t(s, dir, "lineitem")
-        .agg(exact.as("ex"), approx.as("ap"))
+      l.agg(approx.as("ap"))
         .select(
-          round(element_at(col("ex"), 1).cast("double"), 4).as("p50"),
-          round(element_at(col("ex"), 2).cast("double"), 4).as("p95"),
-          round(element_at(col("ex"), 3).cast("double"), 4).as("p99"),
-          (abs(element_at(col("ap"), 1).cast("double") - element_at(col("ex"), 1).cast("double")) /
-            element_at(col("ex"), 1).cast("double") <= lit(0.02)).as("p50_within_tol"),
-          (abs(element_at(col("ap"), 2).cast("double") - element_at(col("ex"), 2).cast("double")) /
-            element_at(col("ex"), 2).cast("double") <= lit(0.02)).as("p95_within_tol"),
-          (abs(element_at(col("ap"), 3).cast("double") - element_at(col("ex"), 3).cast("double")) /
-            element_at(col("ex"), 3).cast("double") <= lit(0.02)).as("p99_within_tol"))
+          round(lit(ex(0)), 4).as("p50"),
+          round(lit(ex(1)), 4).as("p95"),
+          round(lit(ex(2)), 4).as("p99"),
+          (abs(element_at(col("ap"), 1).cast("double") - lit(ex(0))) /
+            lit(ex(0)) <= lit(0.02)).as("p50_within_tol"),
+          (abs(element_at(col("ap"), 2).cast("double") - lit(ex(1))) /
+            lit(ex(1)) <= lit(0.02)).as("p95_within_tol"),
+          (abs(element_at(col("ap"), 3).cast("double") - lit(ex(2))) /
+            lit(ex(2)) <= lit(0.02)).as("p99_within_tol"))
     }),
 
     // Error quarantine: closure failures routed to a side-channel with row

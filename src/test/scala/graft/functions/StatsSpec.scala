@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+
+  private val probs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.95, 1.0)
+
+  private def reference(df: org.apache.spark.sql.DataFrame, c: String): Seq[Double] = {
+    val arr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    df.selectExpr(s"percentile($c, $arr) AS q").head()
+      .getSeq[Double](0).toSeq
+  }
+
+  private def check(df: org.apache.spark.sql.DataFrame, c: String,
+                    buckets: Int, clue: String): Unit = {
+    val got = Stats.exactQuantiles(df, c, probs, buckets = buckets,
+      maxCollect = 50)
+    val want = reference(df, c)
+    probs.indices.foreach { i =>
+      assert(got(i) == want(i) ||
+        math.abs(got(i) - want(i)) <= math.ulp(want(i)) * 4,
+        s"$clue buckets=$buckets p=${probs(i)}: ${got(i)} vs ${want(i)}")
+    }
+  }
+
+  test("exactQuantiles equals percentile() on uniform, skewed, and discrete data") {
+    import spark.implicits._
+    val uniform = spark.range(10001).select((col("id") * 17 % 10007).cast("double").as("v"))
+    val skewed = spark.range(5000).select(
+      (pow(col("id").cast("double") / 100.0, 3) - lit(1234.5)).as("v"))
+    // heavy duplicates: only 7 distinct values
+    val discrete = spark.range(9999).select((col("id") % 7).cast("double").as("v"))
+    for (b <- Seq(4, 64, 4096)) {
+      check(uniform, "v", b, "uniform")
+      check(skewed, "v", b, "skewed")
+      check(discrete, "v", b, "discrete")
+    }
+  }
+
+  test("exactQuantiles: nulls and NaNs excluded, negatives, single value") {
+    import spark.implicits._
+    val df = Seq[Option[Double]](Some(-5.0), None, Some(Double.NaN), Some(3.5),
+      Some(-5.0), Some(100.25)).toDF("v")
+    val got = Stats.exactQuantiles(df, "v", Seq(0.0, 0.5, 1.0), buckets = 4)
+    assert(got == Seq(-5.0, (-5.0 + 3.5) / 2, 100.25))
+    val one = Seq(42.0).toDF("v")
+    assert(Stats.exactQuantiles(one, "v", Seq(0.0, 0.37, 1.0)) == Seq(42.0, 42.0, 42.0))
+  }
+
+  test("exactQuantiles: adversarial near-identical doubles (sub-ulp intervals)") {
+    import spark.implicits._
+    val base = 1.0e15
+    val df = (0 until 2000).map(i => base + (i % 3).toDouble).toDF("v")
+    check(df, "v", 4, "near-identical")
+  }
+
+  test("exactQuantiles on lineitem matches percentile() bit-for-bit") {
+    val l = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val got = Stats.exactQuantiles(l, "l_extendedprice", Seq(0.5, 0.95, 0.99),
+      maxCollect = 100)
+    val arr = "array(0.5D, 0.95D, 0.99D)"
+    val want = l.selectExpr(s"percentile(l_extendedprice, $arr) AS q")
+      .head().getSeq[Double](0).toSeq
+    assert(got == want, s"$got vs $want")
+  }
+}
