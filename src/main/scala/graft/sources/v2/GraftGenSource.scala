@@ -1,0 +1,131 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `graft-gen` — the reference engine's `memorystream` source as a real
+  * DataSource V2 [[MicroBatchStream]] connector.
+  *
+  * The reference drives streaming from N generator functions, each pulling
+  * `batchSize` records per micro-batch, forever (reference
+  * datasource/memorystream/memorystream_datasource.go:10-44,
+  * memorystream_datasource_partitionloader.go:24-38). Here that contract
+  * is: `numPartitions` generators × `batchSize` rows per generator per
+  * epoch, emitted as (part, batch, seq, v) with `v` a deterministic
+  * xxhash-style mix of (part, batch, seq) — so replays of an epoch
+  * reproduce the SAME rows, which is what lets the checkpoint + an
+  * idempotent sink give exactly-once end-to-end (the reference offers no
+  * replay determinism — generators are arbitrary closures).
+  *
+  * Offsets are epoch counters; each `latestOffset` call advances one
+  * epoch (micro-batch cadence is the trigger's, as in the reference's
+  * per-cycle loop, plan_executor.go:108-110).
+  *
+  * Usage: `spark.readStream.format("graft-gen")
+  *   .option("numPartitions", 4).option("batchSize", 100).load()`.
+  */
+class GraftGenSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-gen"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftGenTable.SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GraftGenTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GraftGenTable {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("part", IntegerType, nullable = false),
+    StructField("batch", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+}
+
+class GraftGenTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val numPartitions = options.getInt("numPartitions", 2)
+  private val batchSize = options.getInt("batchSize", 10)
+
+  override def name(): String = s"graft-gen($numPartitions x $batchSize)"
+  override def schema(): StructType = GraftGenTable.SCHEMA
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftGenTable.SCHEMA
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftGenStream(numPartitions, batchSize)
+      }
+    }
+}
+
+/** Epoch-counter offset. */
+case class GenOffset(epoch: Long) extends Offset {
+  override def json(): String = epoch.toString
+}
+
+class GraftGenStream(numPartitions: Int, batchSize: Int)
+    extends MicroBatchStream {
+  private var current = 0L
+
+  override def initialOffset(): Offset = GenOffset(0L)
+  override def latestOffset(): Offset = { current += 1; GenOffset(current) }
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].epoch
+    val e = end.asInstanceOf[GenOffset].epoch
+    (0 until numPartitions)
+      .map(p => GenPartition(p, s, e, batchSize): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = GenReaderFactory
+}
+
+/** One generator's rows for epochs (start, end]. */
+case class GenPartition(part: Int, start: Long, end: Long, batchSize: Int)
+    extends InputPartition
+
+object GenReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val gp = partition.asInstanceOf[GenPartition]
+    new PartitionReader[InternalRow] {
+      private var batch = gp.start // rows cover epochs (start, end]
+      private var seq = gp.batchSize.toLong // forces first advance
+      private var row: InternalRow = _
+
+      override def next(): Boolean = {
+        if (seq + 1 >= gp.batchSize) { batch += 1; seq = -1L }
+        if (batch > gp.end) false
+        else {
+          seq += 1
+          row = InternalRow(gp.part, batch, seq, mix(gp.part, batch, seq))
+          true
+        }
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+
+  /** Deterministic 64-bit mix (splitmix64 finalizer) — replays of an
+    * epoch regenerate identical values on any executor.
+    */
+  private[sources] def mix(part: Int, batch: Long, seq: Long): Long = {
+    var z = part.toLong * 0x9E3779B97F4A7C15L + batch * 0xBF58476D1CE4E5B9L +
+      seq * 0x94D049BB133111EBL + 0x2545F4914F6CDD1DL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
