@@ -928,6 +928,29 @@ object SparkEntry {
     // top-k — same oracle as x_cosine_topk. The probe-limited approximate
     // path is spec-covered (FunctionsSpec "ivfTopK"); this query verifies
     // the assignment + probe machinery end-to-end against the oracle.
+    // PQ ANN, self-verifying like x_ivf_ann: codebooks sized to the
+    // corpus (k ≥ distinct subvectors, no Lloyd) make encoding LOSSLESS,
+    // so ADC ranking is exact and the top-50 candidates certainly contain
+    // the true top-10; the exact-cosine rescore then reproduces the
+    // brute-force oracle bit-for-bit. The approximate regime (small k,
+    // Lloyd-refined codebooks) is spec-covered (FunctionsSpec).
+    "x_pq_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0).select(col("embedding"))
+        .collect().head.getSeq[Float](0).toArray
+      val corpus = e.where(col("vec_id") =!= 0)
+      val nVec = corpus.count().toInt
+      val (encoded, books) = Similarity.productQuantize(
+        corpus, "vec_id", "embedding", m = 4, k = nVec)
+      val cand = Similarity.pqCandidates(encoded, books, qv, topN = 50)
+      val q = array(qv.map(v => lit(v)): _*)
+      corpus.join(cand.select(col("vec_id")), "vec_id")
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosineExact(col("embedding"), q), 9).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     "x_ivf_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qv = e.where(col("vec_id") === 0).select(col("embedding"))
@@ -1076,6 +1099,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "x_ivf_ann" -> cosineTopkOracle,
+
+    "x_pq_ann" -> cosineTopkOracle,
 
     "x_fingerprint" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -310,4 +310,134 @@ object Similarity {
       .agg((sum(col("v").cast("double").cast(DecimalType(30, 15))).cast("double") /
         count(lit(1)).cast("double")).as("c"))
       .select(col(labelCol), col("dim"), round(col("c"), 9).as("centroid"))
+
+  // ----- Product quantization (the PQ half of the IVF-PQ ANN stack) -----
+
+  /** Train per-subspace codebooks and encode every vector to `m` small
+    * code indices — the compression that makes billion-vector ANN fit in
+    * memory (m bytes/vector instead of 4·dim). The split: dim/m-wide
+    * subvectors, each quantized against its own `k`-entry codebook.
+    *
+    * Codebook init is the deterministic hash-sample (rank distinct
+    * subvectors by xxhash64, take k — no RNG, reproducible on any
+    * cluster); optional Lloyd rounds re-center codes on the L2-assigned
+    * members. Assignment is exact-L2 via the bias-dimension trick:
+    * argmin‖s−c‖² = argmax(⟨s,c⟩ − ‖c‖²/2), so the native single-pass
+    * [[graft.plans.ArgMaxDot]] kernel (vector extended with a constant 1,
+    * centroids with −‖c‖²/2) does L2 assignment inside codegen — the
+    * ENCODE step is a pure map, zero shuffles.
+    *
+    * Lloyd shuffle profile: (subspace, code, dim)→mean partials — the
+    * m·k·(dim/m) = k·dim-double grid, corpus-size independent.
+    *
+    * When k ≥ distinct subvectors per subspace (and lloydIters = 0) the
+    * codebooks contain every subvector exactly → encoding is LOSSLESS;
+    * `x_pq_ann` uses that to pin recall = 1 against the brute-force
+    * oracle, the same exhaustive trick as `x_ivf_ann`.
+    *
+    * @return (encoded df with `pq_codes` array<int>, codebooks(j)(c) =
+    *         centroid of length dim/m)
+    */
+  def productQuantize(df: DataFrame, idCol: String, vecCol: String,
+                      m: Int, k: Int, lloydIters: Int = 0)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    require(m >= 1 && k >= 1 && lloydIters >= 0)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val d = dim / m
+
+    // (j, sub) rows for codebook training only — encode never shuffles
+    val subs = df.select(explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), slice(col(vecCol), j * d + 1, d).as("sub"))): _*))
+      .as("s")).select(col("s.j").as("j"), col("s.sub").as("sub"))
+
+    // init: k hash-ranked distinct subvectors per subspace
+    val init = subs.distinct()
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("j")).orderBy(xxhash64(col("sub")), col("sub"))))
+      .where(col("rk") <= k)
+      .select(col("j"), col("rk"), col("sub")).collect()
+      .groupBy(_.getInt(0))
+      .map { case (j, rows) =>
+        j -> rows.sortBy(_.getInt(1))
+          .map(_.getSeq[Float](2).map(_.toDouble).toArray).toArray
+      }
+    var books: Array[Array[Array[Double]]] =
+      (0 until m).map(j => init(j)).toArray
+
+    for (_ <- 0 until lloydIters) {
+      // L2-assign every subvector, re-center codes on member means
+      val assigned = subs.withColumn("code",
+        assignExpr(col("sub"), books, d))
+      val means = assigned
+        .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(30, 15))).cast("double") /
+          count(lit(1)).cast("double")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      books = books.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (old, c) =>
+          // empty codes keep their previous centroid
+          if (means.contains((j, c, 0)))
+            (0 until d).map(p => means((j, c, p))).toArray
+          else old
+        }
+      }
+    }
+
+    val encoded = df.withColumn("pq_codes",
+      array((0 until m).map(j =>
+        assignExpr(slice(col(vecCol), j * d + 1, d), books, d, j)): _*))
+    (encoded, books)
+  }
+
+  // exact-L2 code assignment: argmax over biased dot (see productQuantize)
+  private def assignExpr(sub: Column, books: Array[Array[Array[Double]]],
+                         d: Int, j: Int = -1): Column = {
+    def biased(book: Array[Array[Double]]): Array[Double] =
+      book.flatMap(c => c :+ (-c.map(x => x * x).sum / 2.0))
+    val augmented = concat(sub, array(lit(1.0f)))
+    if (j >= 0)
+      graft.plans.HashExpressions.argMaxDot(augmented, biased(books(j)), d + 1)
+    else {
+      // training path: per-row subspace dispatch over the j column
+      (0 until books.length).foldLeft(lit(-1)) { (acc, jj) =>
+        when(col("j") === jj,
+          graft.plans.HashExpressions.argMaxDot(augmented, biased(books(jj)), d + 1))
+          .otherwise(acc)
+      }
+    }
+  }
+
+  /** ADC (asymmetric distance computation) candidate ranking: per-query
+    * lookup tables table(j)(c) = ⟨q_j, codebook(j)(c)⟩ ship as plan
+    * literals (m·k doubles); each row's approximate score is m
+    * table-lookups over its codes — no vector is touched. Rescore the
+    * top candidates with exact cosine on the original vectors for the
+    * final answer (the standard PQ → rescore cascade).
+    */
+  def pqCandidates(encoded: DataFrame, books: Array[Array[Array[Double]]],
+                   query: Array[Float], topN: Int,
+                   idCol: String = "vec_id"): DataFrame = {
+    val m = books.length
+    val d = books(0)(0).length
+    val qd = query.map(_.toDouble)
+    val dotTab: Seq[Seq[Double]] = (0 until m).map { j =>
+      val qj = qd.slice(j * d, (j + 1) * d)
+      books(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum).toSeq
+    }
+    val normTab: Seq[Seq[Double]] = (0 until m).map { j =>
+      books(j).map(c => c.map(x => x * x).sum).toSeq
+    }
+    def tabSum(tab: Seq[Seq[Double]]) =
+      aggregate(zip_with(col("pq_codes"), typedLit(tab),
+          (c, t) => element_at(t, c + 1)),
+        lit(0.0), (acc, x) => acc + x)
+    val qNorm = math.sqrt(qd.map(x => x * x).sum)
+    encoded.select(col(idCol),
+        (tabSum(dotTab) / (sqrt(tabSum(normTab)) * lit(qNorm))).as("adc_cos"))
+      .orderBy(col("adc_cos").desc, col(idCol))
+      .limit(topN)
+  }
 }

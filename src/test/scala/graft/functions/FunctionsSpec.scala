@@ -395,6 +395,41 @@ class FunctionsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("shorter")))
   }
 
+  test("productQuantize: corpus-sized codebooks are lossless; small ones rank well") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = e.where(col("vec_id") =!= 0)
+    val n = corpus.count().toInt
+
+    // lossless regime: k >= distinct subvectors -> exact reconstruction
+    val (enc, books) = Similarity.productQuantize(corpus, "vec_id", "embedding",
+      m = 4, k = n)
+    val d = books(0)(0).length
+    val sample = enc.select(col("vec_id"), col("embedding"), col("pq_codes"))
+      .orderBy("vec_id").limit(20).collect()
+    sample.foreach { r =>
+      val vec = r.getSeq[Float](1).map(_.toDouble)
+      val codes = r.getSeq[Int](2)
+      val rebuilt = codes.zipWithIndex.flatMap { case (c, j) => books(j)(c) }
+      assert(rebuilt == vec, s"vec ${r.getLong(0)} not lossless")
+    }
+
+    // approximate regime: tiny Lloyd-refined codebooks still put the true
+    // top-10 inside the ADC top-50 on this corpus (fully deterministic:
+    // hash-sample init, no RNG)
+    val qv = e.where(col("vec_id") === 0).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray
+    val (encA, booksA) = Similarity.productQuantize(corpus, "vec_id", "embedding",
+      m = 8, k = 32, lloydIters = 2)
+    val cand = Similarity.pqCandidates(encA, booksA, qv, topN = 50)
+      .collect().map(_.getLong(0)).toSet
+    val q = array(qv.map(v => lit(v)): _*)
+    val truth = corpus
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), q).as("cos"))
+      .orderBy(col("cos").desc).limit(10).collect().map(_.getLong(0)).toSet
+    val recall = truth.intersect(cand).size / 10.0
+    assert(recall >= 0.5, s"ADC recall@10-in-50 too low: $recall")
+  }
+
   /** Reference Levenshtein for the spec oracle. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
