@@ -586,6 +586,12 @@ object SparkEntry {
       Corpus.heavyHitters(t(s, dir, "documents"), "text", 200)
         .orderBy(col("cnt").desc, col("token"))),
 
+    // Per-language heavy hitters: one bounded-state MG aggregate per
+    // group, exact recount against each group's own threshold.
+    "x_heavy_by_lang" -> ((s, dir) =>
+      Corpus.heavyHittersByGroup(t(s, dir, "documents"), "lang", "text", 150)
+        .orderBy(col("lang"), col("cnt").desc, col("token"))),
+
     // Runtime Bloom-filter join pruning: sketch the filtered dim keys,
     // drop non-matching fact rows inside the scan stage BEFORE the join
     // shuffle. False positives die in the exact join ⇒ bit-identical to
@@ -1572,6 +1578,18 @@ object SparkEntry {
         | FROM documents)
         |SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token
         |ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    "x_heavy_by_lang" ->
+      """WITH tk AS (
+        | SELECT lang, unnest(CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS token
+        | FROM documents),
+        |tot AS (SELECT lang, COUNT(*) AS total FROM tk GROUP BY lang)
+        |SELECT tk.lang AS lang, token, COUNT(*) AS cnt
+        |FROM tk JOIN tot ON tk.lang = tot.lang
+        |GROUP BY tk.lang, token, tot.total
+        |HAVING CAST(COUNT(*) AS DOUBLE) > CAST(tot.total AS DOUBLE) / 150.0
+        |ORDER BY tk.lang, cnt DESC, token""".stripMargin,
 
     // The prefix filter is lossless and the verify exact, so the oracle is
     // the naive quadratic join.

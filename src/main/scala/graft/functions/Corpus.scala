@@ -279,6 +279,40 @@ object Corpus {
       .where(col("cnt").cast("double") > lit(total.toDouble / capacity))
   }
 
+  /** Per-group exact heavy hitters — [[heavyHitters]] stratified (top
+    * tokens per language, per source, per label). Pass 1 runs ONE
+    * Misra–Gries aggregate per group (bounded `capacity`-entry state per
+    * group, partial/final merged — still only summary bytes on the wire);
+    * pass 2 recounts (group, candidate-token) pairs exactly and applies
+    * each group's own `> groupTotal/capacity` threshold. Exact for the
+    * same reason as the global version: the threshold sits strictly above
+    * the MG guarantee line inside every group.
+    *
+    * @return (group, token, cnt) for every token with
+    *         cnt > groupTotalTokens/capacity
+    */
+  def heavyHittersByGroup(df: DataFrame, groupCol: String, textCol: String,
+                          capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(groupCol).cast("string").as("g"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val candidates = toks.as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(misraGries(capacity).toColumn.name("cands"))
+      .collect() // ≤ capacity tokens per group — driver-sized by contract
+    val candDf = candidates.toSeq.toDF("g", "cands")
+      .select(col("g"), explode(col("cands")).as("token"))
+    val totals = toks.groupBy(col("g")).agg(count(lit(1)).as("total"))
+    toks.join(broadcast(candDf), Seq("g", "token"))
+      .groupBy(col("g"), col("token")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "g")
+      .where(col("cnt").cast("double") > col("total").cast("double") / capacity)
+      .select(col("g").as(groupCol), col("token"), col("cnt"))
+  }
+
   /** Mergeable Misra–Gries summary as a typed Catalyst [[Aggregator]]
     * (partial/final aggregation; bounded `capacity`-entry buffer). The
     * summary's key set is a superset of every value with frequency

@@ -211,6 +211,23 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersByGroup applies each group's own threshold exactly") {
+    import spark.implicits._
+    for (cap <- Seq(2, 4, 50)) {
+      val got = Corpus.heavyHittersByGroup(docs, "lang", "text", cap)
+        .orderBy("lang", "token").as[(String, String, Long)].collect().toSeq
+      val toks = docs.select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val totals = toks.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = toks.groupBy("lang", "token").count().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .filter { case (g, _, c) => c.toDouble > totals(g).toDouble / cap }
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == want, s"capacity $cap")
+    }
+  }
+
   test("misraGries summary is a superset of every true heavy hitter") {
     import spark.implicits._
     // skewed stream: "a" dominates, many singletons force evictions
