@@ -298,12 +298,13 @@ object Corpus {
     import spark.implicits._
     val toks = df.select(col(groupCol).cast("string").as("g"),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
-    val candidates = toks.as[(String, String)]
+    // candidates stay DISTRIBUTED — ≤ capacity rows per group, but the
+    // number of groups is unbounded (a per-URL-host run has millions)
+    val candDf = toks.as[(String, String)]
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(misraGries(capacity).toColumn.name("cands"))
-      .collect() // ≤ capacity tokens per group — driver-sized by contract
-    val candDf = candidates.toSeq.toDF("g", "cands")
+      .toDF("g", "cands")
       .select(col("g"), explode(col("cands")).as("token"))
     val totals = toks.groupBy(col("g")).agg(count(lit(1)).as("total"))
     toks.join(broadcast(candDf), Seq("g", "token"))
