@@ -38,10 +38,7 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    // Optional comma-separated subset for local profiling; the driver
-    // leaves this unset and benches everything.
-    val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val only = SparkEntry.querySubset
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
     val pass1 = names.map(n => n -> timed(n)).toMap

@@ -93,11 +93,21 @@ object GraftSession {
     // identity re-check guards the (astronomically unlikely) hash collision
     if (cached != null && (cached._1 eq spark)) cached._2
     else {
+      // bound the cache: entries strongly reference sessions and analyzed
+      // plans, so an unbounded map would pin every stopped test session's
+      // heap. A wholesale clear past the cap is fine — rebuilding is one
+      // footer re-read.
+      if (tableCache.size >= 256) tableCache.clear()
       val df = readTableUncached(spark, dir, name)
       tableCache.put(key, (spark, df))
       df
     }
   }
+
+  /** Drop all cached table plans — needed if files under a cached dir are
+    * rewritten mid-session (the cached plan pins its file listing).
+    */
+  def clearTableCache(): Unit = tableCache.clear()
 
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String),

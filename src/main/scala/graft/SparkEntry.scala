@@ -30,6 +30,14 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
+  /** Optional comma-separated query-name subset from SPARK_GRAFT_QUERIES —
+    * the shared Bench/Verify local-iteration filter (driver leaves it
+    * unset and runs everything).
+    */
+  def querySubset: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("t7_reduce")(spark, "/root/testdata/sf0.001")

@@ -19,10 +19,7 @@ object Verify {
     spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     new java.io.File(outDir).mkdirs()
-    // Optional comma-separated subset for local iteration; the driver
-    // leaves this unset and dumps everything.
-    val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val only = SparkEntry.querySubset
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

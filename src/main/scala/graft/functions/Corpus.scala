@@ -307,9 +307,12 @@ object Corpus {
       .toDF("g", "cands")
       .select(col("g"), explode(col("cands")).as("token"))
     val totals = toks.groupBy(col("g")).agg(count(lit(1)).as("total"))
-    toks.join(broadcast(candDf), Seq("g", "token"))
+    // no broadcast hints: candDf/totals are groups-sized, which this
+    // operator explicitly does NOT bound — AQE broadcasts them when they
+    // happen to be small, shuffle-joins otherwise
+    toks.join(candDf, Seq("g", "token"))
       .groupBy(col("g"), col("token")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(totals), "g")
+      .join(totals, "g")
       .where(col("cnt").cast("double") > col("total").cast("double") / capacity)
       .select(col("g").as(groupCol), col("token"), col("cnt"))
   }

@@ -31,13 +31,13 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  // Intervals are half-open [lo, hi) — matching the floor-based bucket
-  // histogram exactly, so sibling intervals never overlap on a shared
-  // boundary — except the global maximum, which must stay reachable
-  // (closedHi). A boundary value miscounted between siblings would shift
-  // every offset after it.
+  // A rank's state: the CLOSED value interval [lo, hi] known to contain
+  // it, its offset among that interval's rows, and the interval's row
+  // count. Intervals are always observed per-bucket [min, max] ranges
+  // (or the global [min, max]), so they are attained at both ends and
+  // disjoint across siblings — ordered bucket ranges cannot interleave.
   private final case class Pending(rank: Long, lo: Double, hi: Double,
-                                   closedHi: Boolean, offset: Long, size: Long)
+                                   offset: Long, size: Long)
 
   /** Exact linear-interpolation quantiles (the `percentile()` /
     * `quantile_cont` definition: index p·(n−1) over the sorted values,
@@ -65,7 +65,7 @@ object Stats {
       .flatMap(pos => Seq(math.floor(pos).toLong, math.ceil(pos).toLong))
       .distinct.sorted
 
-    var pending: Seq[Pending] = needed.map(r => Pending(r, gLo, gHi, true, r, n))
+    var pending: Seq[Pending] = needed.map(r => Pending(r, gLo, gHi, r, n))
     val resolved = scala.collection.mutable.Map[Long, Double]()
 
     var guard = 0
@@ -79,14 +79,13 @@ object Stats {
       val (small, big) = pending.partition(p =>
         p.lo == p.hi || p.size <= maxCollect ||
           p.lo + (p.hi - p.lo) / buckets == p.lo)
-      small.groupBy(p => (p.lo, p.hi, p.closedHi)).foreach {
-        case ((lo, hi, closedHi), ps) =>
+      small.groupBy(p => (p.lo, p.hi)).foreach {
+        case ((lo, hi), ps) =>
           if (lo == hi) ps.foreach(p => resolved(p.rank) = lo)
           else {
             // distinct values + multiplicities: driver memory is bounded by
             // DISTINCT doubles in the interval, not rows
-            val upper = if (closedHi) col("v") <= hi else col("v") < hi
-            val hist = vals.where(col("v") >= lo && upper)
+            val hist = vals.where(col("v") >= lo && col("v") <= hi)
               .groupBy(col("v")).agg(count(lit(1)).as("c"))
               .orderBy(col("v")).collect()
               .map(r => (r.getDouble(0), r.getLong(1)))
@@ -106,11 +105,10 @@ object Stats {
       if (pending.nonEmpty) {
         // ONE scan histograms every pending interval. Intervals descend
         // from disjoint buckets, so each row lands in ≤1 cell.
-        val intervals = pending.map(p => (p.lo, p.hi, p.closedHi)).distinct
+        val intervals = pending.map(p => (p.lo, p.hi)).distinct
         val iExpr = intervals.zipWithIndex.foldLeft(lit(-1)) {
-          case (acc, ((lo, hi, closedHi), i)) =>
-            val upper = if (closedHi) col("v") <= hi else col("v") < hi
-            when(col("v") >= lo && upper, lit(i)).otherwise(acc)
+          case (acc, ((lo, hi), i)) =>
+            when(col("v") >= lo && col("v") <= hi, lit(i)).otherwise(acc)
         }
         // Bucket boundaries are driver-computed literal doubles, and the
         // floor-based index is corrected by comparing against those exact
@@ -118,14 +116,14 @@ object Stats {
         // interval filter [xs(b), xs(b+1)) use IDENTICAL arithmetic. (A
         // bare floor can disagree with the comparison by 1 ulp, silently
         // shifting every offset after the misassigned row.)
-        val boundsFor: ((Double, Double, Boolean)) => IndexedSeq[Double] = {
-          case (lo, hi, _) =>
+        val boundsFor: ((Double, Double)) => IndexedSeq[Double] = {
+          case (lo, hi) =>
             val w = (hi - lo) / buckets
             (0 to buckets).map(j =>
               if (j == 0) lo else if (j == buckets) hi else lo + j * w)
         }
         val bExpr = intervals.zipWithIndex.foldLeft(lit(0)) {
-          case (acc, (ivl @ (lo, hi, _), i)) =>
+          case (acc, (ivl @ (lo, hi), i)) =>
             val xs = boundsFor(ivl)
             val bnds = typedLit(xs)
             val idx0 = least(lit(buckets - 1), greatest(lit(0),
@@ -150,7 +148,7 @@ object Stats {
           .map(r => (r.getInt(0), r.getInt(1)) ->
             ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
         pending = pending.map { p =>
-          val ivl = (p.lo, p.hi, p.closedHi)
+          val ivl = (p.lo, p.hi)
           val iv = intervals.indexOf(ivl)
           var cum = 0L; var bk = 0; var res: Pending = null
           while (res == null && bk < buckets) {
@@ -159,7 +157,7 @@ object Stats {
               // the child is the bucket's OBSERVED [min, max] — a closed
               // interval holding exactly the bucket's rows (neighbor
               // buckets cannot intersect it: value ranges are ordered)
-              res = Pending(p.rank, mn, mx, true, p.offset - cum, c)
+              res = Pending(p.rank, mn, mx, p.offset - cum, c)
             }
             cum += c; bk += 1
           }

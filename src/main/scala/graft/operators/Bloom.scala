@@ -51,7 +51,10 @@ object Bloom {
     */
   def prunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, expectedKeys: Long,
-                 fpp: Double = 0.01): DataFrame =
-    prefilter(fact, dim, factKey, dimKey, expectedKeys, fpp)
-      .join(dim, col(factKey) === dim(dimKey))
+                 fpp: Double = 0.01): DataFrame = {
+    val filtered = prefilter(fact, dim, factKey, dimKey, expectedKeys, fpp)
+    // side-qualified keys: an unqualified col(factKey) is ambiguous when
+    // both sides name the key identically
+    filtered.join(dim, filtered(factKey) === dim(dimKey))
+  }
 }

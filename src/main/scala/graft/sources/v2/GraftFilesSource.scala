@@ -61,14 +61,17 @@ class GraftFilesTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
 
   private val paths: Seq[String] = {
-    // `load(path)` lands in "paths" (json array) or "path"
+    // `load(path)` lands in "paths" (json array) or "path"; a real JSON
+    // parse — paths may legally contain commas/quotes
     val multi = Option(options.get("paths")).map { js =>
-      // minimal ["a","b"] parse — values are driver-authored paths
-      js.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq
     }
-    multi.getOrElse(Option(options.get("path")).map(Seq(_)).getOrElse(
-      throw new IllegalArgumentException("graft-files: no path given — use load(path)")))
+    val resolved = multi.getOrElse(Option(options.get("path")).map(Seq(_))
+      .getOrElse(Seq.empty))
+    require(resolved.nonEmpty && resolved.forall(_.nonEmpty),
+      "graft-files: no path given — use load(path)")
+    resolved
   }
   private val codec: String = Option(options.get("codec")).getOrElse("auto")
 
@@ -129,7 +132,13 @@ class GraftFilesScanBuilder(paths: Seq[String], codec: String)
         st.getPath.toUri.toString, st.getLen, st.getModificationTime))
       .filter(f => keep(f.path))
       .sortBy(_.path)
-    GraftFilesScan(files, required, codec, pushed.map(_.toString))
+    // ship the DRIVER's hadoop conf to the readers — an executor-side
+    // `new Configuration()` would drop spark.hadoop.* settings (s3a
+    // credentials, fs impls, kerberos), failing at read time for any
+    // filesystem that needed them at listing time
+    val confProps = conf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+    GraftFilesScan(files, required, codec, pushed.map(_.toString), confProps)
   }
 }
 
@@ -138,7 +147,8 @@ case class GraftFilePartition(path: String, length: Long, mtimeMs: Long)
     extends InputPartition
 
 case class GraftFilesScan(files: Seq[GraftFilePartition], required: StructType,
-                          codec: String, pushedDesc: Array[String])
+                          codec: String, pushedDesc: Array[String],
+                          confProps: Array[(String, String)])
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -152,27 +162,32 @@ case class GraftFilesScan(files: Seq[GraftFilePartition], required: StructType,
   override def planInputPartitions(): Array[InputPartition] = files.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftFilesReaderFactory(required, codec)
+    GraftFilesReaderFactory(required, codec, confProps)
 }
 
-case class GraftFilesReaderFactory(required: StructType, codec: String)
+case class GraftFilesReaderFactory(required: StructType, codec: String,
+                                   confProps: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftFileReader(partition.asInstanceOf[GraftFilePartition], required, codec)
+    new GraftFileReader(partition.asInstanceOf[GraftFilePartition], required,
+      codec, confProps)
 }
 
 /** Emits the single row of one file. Opens the file ONLY if `content` was
   * not pruned away — metadata-only scans do zero I/O beyond the listing.
   */
 class GraftFileReader(file: GraftFilePartition, required: StructType,
-                      codec: String) extends PartitionReader[InternalRow] {
+                      codec: String, confProps: Array[(String, String)])
+    extends PartitionReader[InternalRow] {
 
   private var done = false
   private var row: InternalRow = _
 
   private def readBytes(): Array[Byte] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    confProps.foreach { case (k, v) => conf.set(k, v) }
     val hp = new Path(new java.net.URI(file.path))
-    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = hp.getFileSystem(conf)
     val in = fs.open(hp)
     try {
       val raw = org.apache.commons.io.IOUtils.toByteArray(in)

@@ -51,6 +51,10 @@ class GraftGenTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   private val numPartitions = options.getInt("numPartitions", 2)
   private val batchSize = options.getInt("batchSize", 10)
+  require(numPartitions > 0, s"numPartitions must be positive: $numPartitions")
+  // batchSize <= 0 would still emit one row per epoch through the reader's
+  // advance-then-emit loop — reject instead of silently misbehaving
+  require(batchSize > 0, s"batchSize must be positive: $batchSize")
 
   override def name(): String = s"graft-gen($numPartitions x $batchSize)"
   override def schema(): StructType = GraftGenTable.SCHEMA
@@ -76,15 +80,28 @@ class GraftGenStream(numPartitions: Int, batchSize: Int)
     extends MicroBatchStream {
   private var current = 0L
 
+  // Restart safety: a recovered query hands back its checkpointed offsets
+  // through deserializeOffset/planInputPartitions BEFORE asking for a new
+  // latestOffset. A fresh counter starting at 0 would rewind the stream
+  // (plan (57, 1], commit offsets backwards, then re-emit history under
+  // NEW batchIds — duplicating everything despite the idempotent sink).
+  // Ratcheting `current` to every offset we are shown resumes forward.
+  private def ratchet(epoch: Long): Unit =
+    current = math.max(current, epoch)
+
   override def initialOffset(): Offset = GenOffset(0L)
   override def latestOffset(): Offset = { current += 1; GenOffset(current) }
-  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
-  override def commit(end: Offset): Unit = ()
+  override def deserializeOffset(json: String): Offset = {
+    val e = json.toLong; ratchet(e); GenOffset(e)
+  }
+  override def commit(end: Offset): Unit =
+    ratchet(end.asInstanceOf[GenOffset].epoch)
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GenOffset].epoch
     val e = end.asInstanceOf[GenOffset].epoch
+    ratchet(e)
     (0 until numPartitions)
       .map(p => GenPartition(p, s, e, batchSize): InputPartition).toArray
   }

@@ -39,6 +39,15 @@ class BloomSpec extends SparkSpec {
     assert(kept >= exactSemi.count())
   }
 
+  test("prunedJoin works when both sides name the key identically") {
+    import spark.implicits._
+    val fact = Seq(1L, 2L, 3L, 4L, 5L).toDF("k")
+    val dim = Seq(2L, 4L).toDF("k")
+    val rows = Bloom.prunedJoin(fact, dim, "k", "k", 10, 0.001)
+      .select(fact("k")).as[Long].collect().sorted
+    assert(rows.toSeq == Seq(2L, 4L))
+  }
+
   test("string keys hash consistently between build and probe") {
     import spark.implicits._
     val dim = Seq("alpha", "bravo", "charlie").toDF("k")
