@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -23,9 +23,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * idempotent sink give exactly-once end-to-end (the reference offers no
   * replay determinism — generators are arbitrary closures).
   *
-  * Offsets are epoch counters; each `latestOffset` call advances one
-  * epoch (micro-batch cadence is the trigger's, as in the reference's
-  * per-cycle loop, plan_executor.go:108-110).
+  * Offsets are epoch counters advanced through the admission-control
+  * contract — next epoch = engine-supplied start + 1 — so the stream is
+  * stateless and restart-safe (micro-batch cadence is the trigger's, as
+  * in the reference's per-cycle loop, plan_executor.go:108-110).
   *
   * Usage: `spark.readStream.format("graft-gen")
   *   .option("numPartitions", 4).option("batchSize", 100).load()`.
@@ -77,31 +78,31 @@ case class GenOffset(epoch: Long) extends Offset {
 }
 
 class GraftGenStream(numPartitions: Int, batchSize: Int)
-    extends MicroBatchStream {
-  private var current = 0L
+    extends MicroBatchStream with SupportsAdmissionControl {
 
-  // Restart safety: a recovered query hands back its checkpointed offsets
-  // through deserializeOffset/planInputPartitions BEFORE asking for a new
-  // latestOffset. A fresh counter starting at 0 would rewind the stream
-  // (plan (57, 1], commit offsets backwards, then re-emit history under
-  // NEW batchIds — duplicating everything despite the idempotent sink).
-  // Ratcheting `current` to every offset we are shown resumes forward.
-  private def ratchet(epoch: Long): Unit =
-    current = math.max(current, epoch)
-
+  // Restart safety: the engine polls for a new latest offset BEFORE any
+  // checkpointed offset is handed back through deserializeOffset, so an
+  // in-memory counter starting at 0 would rewind a recovered query (plan
+  // a backwards (57, 1] batch, then re-emit history under NEW batchIds —
+  // duplicating everything despite the idempotent sink; pinned by the
+  // restart test in GraftGenSourceSpec). SupportsAdmissionControl is the
+  // contract built for this: latestOffset(start, _) receives the restored
+  // start offset, so the stream stays STATELESS — next epoch = start + 1,
+  // whatever run this is.
   override def initialOffset(): Offset = GenOffset(0L)
-  override def latestOffset(): Offset = { current += 1; GenOffset(current) }
-  override def deserializeOffset(json: String): Offset = {
-    val e = json.toLong; ratchet(e); GenOffset(e)
-  }
-  override def commit(end: Offset): Unit =
-    ratchet(end.asInstanceOf[GenOffset].epoch)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    GenOffset(start.asInstanceOf[GenOffset].epoch + 1)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GenOffset].epoch
     val e = end.asInstanceOf[GenOffset].epoch
-    ratchet(e)
     (0 until numPartitions)
       .map(p => GenPartition(p, s, e, batchSize): InputPartition).toArray
   }
