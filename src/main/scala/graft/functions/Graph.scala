@@ -51,14 +51,20 @@ object Graph {
     val e = snap(edges.select(
       col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = snap(
+    // ONE setup materialization: the initial ranks carry (id, deg, rank);
+    // `nodes` is a projection over the same snapshot, not a second
+    // checkpointed copy of near-identical data
+    var ranks = snap(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
         .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg")))
-
-    var ranks = snap(nodes.select(col("id"), col("deg"), lit(1.0).as("rank")))
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          lit(1.0).as("rank")))
+    val nodes = ranks.select(col("id"), col("deg"))
     // the snapshot currently backing `ranks`' lineage — only superseded
-    // snapshots are released, never one a live plan still reads through
+    // snapshots are released, never one a live plan still reads through.
+    // The setup snapshot backs `nodes` for EVERY round, so it is excluded
+    // from the release chain and freed only after the loop.
+    val setupSnap: DataFrame = ranks
     var lastSnap: DataFrame = ranks
     var iter = 0
     while (iter < iterations) {
@@ -76,14 +82,14 @@ object Graph {
       ranks =
         if ((iter + 1) % checkpointInterval == 0 || iter == iterations - 1) {
           val s = snap(next)
-          lastSnap.unpersist(blocking = false)
+          if (!(lastSnap eq setupSnap)) lastSnap.unpersist(blocking = false)
           lastSnap = s
           s
         } else next
       iter += 1
     }
     e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    setupSnap.unpersist(blocking = false)
     ranks.select(col("id"), col("rank"))
   }
 }
