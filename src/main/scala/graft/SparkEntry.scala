@@ -594,6 +594,27 @@ object SparkEntry {
       Corpus.heavyHitters(t(s, dir, "documents"), "text", 200)
         .orderBy(col("cnt").desc, col("token"))),
 
+    // Time-series resample: per-user hourly grid (gap-fill via sequence +
+    // explode — no driver-side time loop) with forward-filled values
+    // (last ignoreNulls over an ordered frame). Grid generation and fill
+    // both shuffle only on user_id; no step is corpus-quadratic.
+    "x_resample" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(dsum(col("value"), 6).as("v"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          last(col("v"), ignoreNulls = true).over(
+            Window.partitionBy(col("user_id")).orderBy(col("h"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("v_filled"))
+        .orderBy("user_id", "h")
+    }),
+
     // Per-language heavy hitters: one bounded-state MG aggregate per
     // group, exact recount against each group's own threshold.
     "x_heavy_by_lang" -> ((s, dir) =>
@@ -1586,6 +1607,21 @@ object SparkEntry {
         | FROM documents)
         |SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token
         |ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    "x_resample" ->
+      """WITH hourly AS (
+        | SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+        | FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT g.user_id, g.h,
+        |       LAST_VALUE(v IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM grid g LEFT JOIN hourly USING (user_id, h)
+        |ORDER BY g.user_id, g.h""".stripMargin,
 
     "x_heavy_by_lang" ->
       """WITH tk AS (
