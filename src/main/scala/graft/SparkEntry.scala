@@ -214,6 +214,21 @@ object SparkEntry {
           |ORDER BY c.c_custkey""".stripMargin)
     }),
 
+    // LATERAL correlated subquery join — each customer's single most
+    // expensive order. Catalyst decorrelates this into a window/top-1 per
+    // key rather than executing the subquery per row.
+    "r_lateral" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+          |         WHERE o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
     // Cartesian product — legitimate only when one side is tiny (here
     // region×nation); Spark plans a broadcast nested loop, never a
     // shuffled cartesian, because the small side is broadcast-sized.
@@ -1295,6 +1310,14 @@ object SparkEntry {
     "r_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "r_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        |ORDER BY c.c_custkey""".stripMargin,
 
     // Bloom prefilter is invisible in the result: FPs die in the exact
     // join, so the oracle is the plain filtered join.
