@@ -823,8 +823,9 @@ object SparkEntry {
     }),
 
     // End-to-end near-dup removal: detect pairs (exact n-gram Jaccard),
-    // cluster (label propagation), keep canonical doc per cluster
-    // (rows-only: iterative plan, but output is deterministic).
+    // cluster (label propagation), keep canonical doc per cluster.
+    // Oracle-checked: the pairs are exact, so DuckDB reproduces the
+    // clustering with a recursive transitive-closure CTE.
     "x_dedup_drop" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
@@ -887,11 +888,25 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 5, 0.2)
         .orderBy("id_a", "id_b")),
 
-    // MinHash + LSH banding near-dup candidates (xxhash64 → rows-only).
-    "x_minhash_neardup" -> ((s, dir) =>
-      Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 5, numHashes = 32, rowsPerBand = 8, minEstJaccard = 0.4)
-        .orderBy("id_a", "id_b")),
+    // MinHash + LSH banding near-dup candidates, self-verifying: the
+    // banded candidates LEFT-join the EXACT n-gram Jaccard pairs at
+    // ≥ 0.8 (DuckDB-reproducible ground truth) and the oracle pins
+    // `found_by_minhash` TRUE — a banding recall miss on any
+    // high-similarity pair turns its row red. 8 bands × 4 rows puts the
+    // per-pair miss probability at s = 0.857 (the corpus minimum) at
+    // (1 − s⁴)⁸ ≈ 0.2%, and signatures are xxhash-seeded so the outcome
+    // is deterministic: green stays green.
+    "x_minhash_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.8)
+      val cand = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          shingleN = 5, numHashes = 32, rowsPerBand = 4, minEstJaccard = 0.4)
+        .select(col("id_a"), col("id_b"), lit(true).as("f"))
+      exact.join(cand, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          coalesce(col("f"), lit(false)).as("found_by_minhash"))
+        .orderBy("id_a", "id_b")
+    }),
 
     // SimHash near-dup pairs by Hamming distance (rows-only). Pigeonhole-
     // banded candidate generation — hash equi-joins on sketch blocks, not
@@ -1150,10 +1165,45 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------------
-  // DuckDB oracles. Omitted keys (x_minhash_neardup, x_simhash, x_lsh_ann,
-  // x_dedup_drop) use engine-specific hashing / iterative clustering →
-  // rows-only check.
+  // DuckDB oracles. Omitted keys (x_simhash, x_lsh_ann) have no honest
+  // oracle: simhash's Hamming similarity is genuinely different from
+  // n-gram Jaccard (it both misses 0.95-Jaccard pairs and finds pairs
+  // below 0.2 on this corpus — verified empirically), and the corpus'
+  // nearest cosine neighbors sit at 0.27-0.33 (near-orthogonal), so no
+  // LSH probe radius short of the whole corpus can pin recall = 1.
+  // Both remain rows-only with their equivalence properties spec-proven
+  // (DedupSpec / FunctionsSpec).
   // ---------------------------------------------------------------------
+
+  /** Exact 5-gram Jaccard pairs as a DuckDB CTE chain ending in
+    * `jpairs(id_a, id_b, jaccard)` — the shared ground truth for
+    * x_ngram_jaccard, x_minhash_neardup's recall flag, and x_dedup_drop's
+    * transitive-closure oracle. Mirrors [[Dedup.ngramJaccardPairs]]
+    * (whitespace tokens; docs shorter than one gram collapse to a single
+    * whole-text gram).
+    */
+  private def ngramPairsCte(minJaccard: Double): String =
+    raw"""toks AS (
+       | SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS tok
+       | FROM documents),
+       |g0 AS (
+       | SELECT doc_id, unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+       |   ELSE list_transform(range(1, len(tok) - 3),
+       |     i -> list_extract(tok, i) || ' ' || list_extract(tok, i + 1) || ' ' || list_extract(tok, i + 2) || ' ' || list_extract(tok, i + 3) || ' ' || list_extract(tok, i + 4)) END) AS gram
+       | FROM toks),
+       |grams AS (SELECT DISTINCT doc_id, gram FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |inter AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       | FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2),
+       |jpairs AS (
+       | SELECT id_a, id_b,
+       |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+       | FROM inter
+       | JOIN sizes sa ON sa.doc_id = id_a
+       | JOIN sizes sb ON sb.doc_id = id_b
+       | WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= $minJaccard)""".stripMargin
 
   /** Brute-force exact cosine top-10 — shared by x_cosine_topk and
     * x_ivf_ann (IVF probing every bucket is exhaustive, so its output must
@@ -1942,27 +1992,37 @@ object SparkEntry {
         |FROM dirty ORDER BY doc_id""".stripMargin,
 
     "x_ngram_jaccard" ->
-      """WITH toks AS (
-        | SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS tok
-        | FROM documents),
-        |g0 AS (
-        | SELECT doc_id, unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
-        |   ELSE list_transform(range(1, len(tok) - 3),
-        |     i -> list_extract(tok, i) || ' ' || list_extract(tok, i + 1) || ' ' || list_extract(tok, i + 2) || ' ' || list_extract(tok, i + 3) || ' ' || list_extract(tok, i + 4)) END) AS gram
-        | FROM toks),
-        |grams AS (SELECT DISTINCT doc_id, gram FROM g0),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
-        |inter AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        | FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        | CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ${ngramPairsCte(0.2)}
+         |SELECT id_a, id_b, jaccard FROM jpairs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Ground truth = exact pairs at ≥ 0.8; the flag is TRUE by definition
+    // here and only TRUE on the Spark side when the 8×4 banding really
+    // surfaced every high-similarity pair.
+    "x_minhash_neardup" ->
+      s"""WITH ${ngramPairsCte(0.8)}
+         |SELECT id_a, id_b, jaccard, TRUE AS found_by_minhash FROM jpairs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components over the exact ≥ 0.5 pairs via recursive
+    // transitive closure (component label = min reachable id), then keep
+    // each component's min-id doc plus all unpaired docs — exactly
+    // Dedup.dropNearDuplicates' semantics, independently reformulated.
+    "x_dedup_drop" ->
+      s"""WITH RECURSIVE ${ngramPairsCte(0.5)},
+         |edges AS (
+         | SELECT id_a AS u, id_b AS v FROM jpairs
+         | UNION
+         | SELECT id_b AS u, id_a AS v FROM jpairs),
+         |reach AS (
+         | SELECT u AS node, u AS lab FROM edges
+         | UNION
+         | SELECT e.v AS node, r.lab AS lab
+         | FROM reach r JOIN edges e ON e.u = r.node),
+         |labels AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM labels WHERE label <> node)
+         |ORDER BY doc_id""".stripMargin,
 
     "x_cosine_topk" -> cosineTopkOracle,
 
