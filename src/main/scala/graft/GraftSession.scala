@@ -66,8 +66,14 @@ object GraftSession {
       exprs => graft.plans.MinHashSignature(exprs(0), exprInt(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprints",
       exprs => graft.plans.WinnowFingerprints(exprs(0), exprInt(exprs(1)), exprInt(exprs(2))), "scala_udf")
-    // StopwordProfileArgmax / ArgMaxDot carry model state (profiles,
-    // centroids) — exposed through the Scala DSL, not SQL text.
+    // argmax_dot(vec, flat_centroids, dim): the IVF/PQ assignment kernel
+    // from SQL text — centroids as a foldable array literal (they are
+    // plan-time literals in the DSL path too, so SQL loses nothing).
+    reg.createOrReplaceTempFunction("argmax_dot",
+      exprs => graft.plans.ArgMaxDot(exprs(0), exprDoubleArray(exprs(1)),
+        exprInt(exprs(2))), "scala_udf")
+    // StopwordProfileArgmax still carries Seq[Seq[String]] profile state —
+    // exposed through the Scala DSL only.
   }
 
   private def exprInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -76,6 +82,33 @@ object GraftSession {
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(s"expected int literal, got $other")
     }
+
+  /** Evaluate a foldable numeric-array argument (SQL `array(…)` literal)
+    * to the flat centroid table [[graft.plans.ArgMaxDot]] expects.
+    */
+  private def exprDoubleArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Array[Double] = {
+    require(e.foldable, s"expected a foldable array literal, got $e")
+    val elemType = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(t, _) => t
+      case other => throw new IllegalArgumentException(
+        s"expected array literal, got ${other.catalogString}")
+    }
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(elemType).map {
+          case d: java.lang.Double => d.doubleValue
+          case f: java.lang.Float => f.doubleValue
+          case i: java.lang.Integer => i.doubleValue
+          case l: java.lang.Long => l.doubleValue
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"expected numeric array element, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"expected array literal, got $other")
+    }
+  }
 
   /** Read one of the standard tables, normalizing storage quirks (the
     * events table stores TIMESTAMP(NANOS), which Spark reads only as long

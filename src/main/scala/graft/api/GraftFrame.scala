@@ -173,11 +173,62 @@ final case class GraftFrame(df: DataFrame, opts: GraftOptions = GraftOptions()) 
     copy(df = df.observe(obs, metrics.head, metrics.tail: _*))
 
   /** A1 Collect(limit) — bounded retrieval to the driver (reference
-    * collect.go:68-80; limit is rows here, not partitions).
+    * collect.go:68-80; limit is rows here, not partitions — see
+    * [[collectPartitions]] for the reference's exact granularity).
     */
   def collect(limit: Int): Array[GraftRow] = {
     val s = schema
     df.limit(limit).collect().map(GraftRow.fromRow(_, s))
+  }
+
+  /** A1 Collect in the reference's exact granularity: pull at most
+    * `numPartitions` whole partitions to the driver (reference
+    * collect.go:43-62 counts *partitions*, and collect_test.go:56 reads
+    * "Collect(2) — 2 partitions because there are 10 rows and 5 per
+    * partition"). Scheduled via `runJob` on the first n partition ids
+    * only, so the skipped partitions are never computed — not computed
+    * and discarded.
+    *
+    * @return one row array per retrieved partition (≤ numPartitions)
+    */
+  def collectPartitions(numPartitions: Int): Array[Array[GraftRow]] = {
+    require(numPartitions >= 0, s"numPartitions must be non-negative: $numPartitions")
+    val s = schema
+    val rdd = df.rdd
+    val n = math.min(numPartitions, rdd.getNumPartitions)
+    if (n <= 0) Array.empty
+    else spark.sparkContext
+      .runJob(rdd, (it: Iterator[Row]) => it.toArray, 0 until n)
+      .map(_.map(GraftRow.fromRow(_, s)))
+  }
+
+  /** Run an action over this frame while recording per-stage runtime
+    * stats — the reference's stats service surface (reference
+    * internal/stats/stats.go:12-157 tracks per-stage transform/shuffle
+    * runtime and row counts; Spark's listener bus carries the same
+    * numbers here). Returns the action's result plus one [[StageStat]]
+    * per completed stage (wall/executor time, task count, input and
+    * shuffle row counts).
+    *
+    * Complements [[observe]] (data metrics, zero-cost, in-plan): this is
+    * the *runtime* view. Stage events are asynchronous, so collection
+    * waits until the listener drains (bounded by `waitMs`).
+    */
+  def runWithStats[A](action: DataFrame => A, waitMs: Long = 10000L): (A, Seq[StageStat]) = {
+    val listener = new StageStatListener
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      val result = action(df)
+      // the bus is async: wait until stage-completed events stop arriving
+      val deadline = System.nanoTime + waitMs * 1000000L
+      var last = -1
+      while (System.nanoTime < deadline && listener.count != last) {
+        last = listener.count
+        Thread.sleep(50)
+      }
+      (result, listener.stages)
+    } finally sc.removeSparkListener(listener)
   }
 
   /** A2 Accumulate — fold every row into per-partition accumulators, then

@@ -272,8 +272,13 @@ object Corpus {
     val spark = df.sparkSession
     import spark.implicits._
     val toks = df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
-    val candidates = toks.as[String].select(misraGries(capacity).toColumn).head()
-    val total = toks.count()
+    // one corpus pass for BOTH the sketch and the total token count —
+    // they ride the same aggregation job (the count is a second agg
+    // buffer, not a second scan)
+    val (candidates, total) = toks.as[String]
+      .select(misraGries(capacity).toColumn.name("cands"),
+        count(lit(1)).as[Long].name("total"))
+      .head()
     toks.where(col("token").isin(candidates: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt").cast("double") > lit(total.toDouble / capacity))

@@ -335,6 +335,32 @@ object Dedup {
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Fingerprint-then-VERIFY: exact byte-compare within candidate
+    * duplicate groups — the production step behind any hash-keyed dedup
+    * (winnowing, xxhash fingerprints): a hash collision must never merge
+    * two distinct documents, so before dropping rows, every candidate
+    * group is checked for byte-identical content.
+    *
+    * The compare piggybacks on the shuffle that grouping already paid:
+    * sub-grouping by (key, content) IS the byte comparison (Spark string/
+    * binary grouping compares full content, not hashes), so a group
+    * verifies iff it collapses to one sub-group. No pairwise loop, no
+    * second pass over the corpus.
+    *
+    * @return one row per candidate group: (keyCol, n_members,
+    *         n_distinct_texts, verified) — `verified` = all members are
+    *         byte-identical. Groups with `!verified` contain a collision
+    *         and must not be deduplicated on this key.
+    */
+  def verifyGroups(df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(textCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n_members"),
+        count(lit(1)).as("n_distinct_texts"))
+      .select(col(keyCol), col("n_members"), col("n_distinct_texts"),
+        (col("n_distinct_texts") === 1).as("verified"))
+
   /** Edit-distance (Levenshtein) fuzzy self-join with EXACT results — the
     * record-linkage primitive for titles / product names / entity keys —
     * via q-gram prefix filtering (the ED-Join shape, Xiao et al., VLDB

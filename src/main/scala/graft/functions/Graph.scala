@@ -40,8 +40,19 @@ object Graph {
     * per round dominates (distributed FS, huge node sets); lineage then
     * stacks up to N rounds deep between materializations.
     */
+  /** `reliableSnapshotMinRows`: below this node count, per-round
+    * snapshots go to executor memory (`localCheckpoint` — lineage still
+    * truncated every round) instead of the reliable checkpoint dir. A
+    * reliable (filesystem) write per round is exactly right when the rank
+    * table is big — losing an executor then costs one round, not the run
+    * — but on a small table the write itself dominates the round; if an
+    * executor dies mid-run at that size, re-running the job is cheaper
+    * than the durability would have been. The setup snapshot (edges +
+    * initial ranks) stays reliable either way.
+    */
   def pageRank(edges: DataFrame, iterations: Int = 10,
-               damping: Double = 0.85, checkpointInterval: Int = 1): DataFrame = {
+               damping: Double = 0.85, checkpointInterval: Int = 1,
+               reliableSnapshotMinRows: Long = 4000000L): DataFrame = {
     require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
     require(checkpointInterval > 0)
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
@@ -60,6 +71,11 @@ object Graph {
         .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
           lit(1.0).as("rank")))
     val nodes = ranks.select(col("id"), col("deg"))
+    // counting the (just-materialized) setup snapshot is metadata-cheap
+    // and decides the per-round snapshot medium for the whole run
+    val smallTable = ranks.count() < reliableSnapshotMinRows
+    def roundSnap(df: DataFrame): DataFrame =
+      if (reliable && !smallTable) df.checkpoint() else df.localCheckpoint()
     // the snapshot currently backing `ranks`' lineage — only superseded
     // snapshots are released, never one a live plan still reads through.
     // The setup snapshot backs `nodes` for EVERY round, so it is excluded
@@ -81,7 +97,7 @@ object Graph {
       // depth at a fraction of that
       ranks =
         if ((iter + 1) % checkpointInterval == 0 || iter == iterations - 1) {
-          val s = snap(next)
+          val s = roundSnap(next)
           if (!(lastSnap eq setupSnap)) lastSnap.unpersist(blocking = false)
           lastSnap = s
           s

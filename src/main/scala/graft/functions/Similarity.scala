@@ -342,6 +342,15 @@ object Similarity {
                       m: Int, k: Int, lloydIters: Int = 0)
       : (DataFrame, Array[Array[Array[Double]]]) = {
     require(m >= 1 && k >= 1 && lloydIters >= 0)
+    // Codebooks are DRIVER state (m·k·(dim/m) doubles, shipped as plan
+    // literals): k is a codebook size (production PQ uses 256 = one byte
+    // per code), never a function of corpus size. The lossless k≥distinct
+    // trick is a test/oracle device — warn loudly before it OOMs a real
+    // driver.
+    if (k > 65536)
+      System.err.println(s"[graft] WARN productQuantize: k=$k exceeds any " +
+        "sane codebook size (production PQ uses k<=256); codebook init " +
+        "collects k distinct subvectors per subspace to the driver")
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val d = dim / m

@@ -24,7 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    round-robin.
   *  - **Whole-file Decoder hook** (`option("codec", "gzip"|"auto"|"none")`)
   *    — the `Decoder func([]byte) ([]byte, error)` analogue
-  *    (file_datasource.go:31-48), applied per file in the reader.
+  *    (file_datasource.go:31-48), applied per file in the reader,
+  *    streaming-decoded under a decompressed-size guard
+  *    (`option("maxFileSize", bytes)`, default 2 GiB).
   *  - **Planning-time file skipping**: path filters (`=`, prefix, suffix,
   *    contains) push into the scan and drop whole files BEFORE any
   *    partition is scheduled — at 100 TB the difference between "list and
@@ -74,6 +76,11 @@ class GraftFilesTable(options: CaseInsensitiveStringMap)
     resolved
   }
   private val codec: String = Option(options.get("codec")).getOrElse("auto")
+  // guard against a file (or its gzip expansion) OOMing an executor —
+  // whole-file rows are the connector's contract, so the bound is on the
+  // DECOMPRESSED size and fails loud instead of dying on heap
+  private val maxFileSize: Long =
+    Option(options.get("maxFileSize")).map(_.toLong).getOrElse(1L << 31)
 
   override def name(): String = s"graft-files(${paths.mkString(",")})"
   override def schema(): StructType = GraftFilesTable.SCHEMA
@@ -81,10 +88,10 @@ class GraftFilesTable(options: CaseInsensitiveStringMap)
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftFilesScanBuilder(paths, codec)
+    new GraftFilesScanBuilder(paths, codec, maxFileSize)
 }
 
-class GraftFilesScanBuilder(paths: Seq[String], codec: String)
+class GraftFilesScanBuilder(paths: Seq[String], codec: String, maxFileSize: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -138,7 +145,8 @@ class GraftFilesScanBuilder(paths: Seq[String], codec: String)
     // filesystem that needed them at listing time
     val confProps = conf.iterator().asScala
       .map(e => e.getKey -> e.getValue).toArray
-    GraftFilesScan(files, required, codec, pushed.map(_.toString), confProps)
+    GraftFilesScan(files, required, codec, pushed.map(_.toString), confProps,
+      maxFileSize)
   }
 }
 
@@ -148,7 +156,8 @@ case class GraftFilePartition(path: String, length: Long, mtimeMs: Long)
 
 case class GraftFilesScan(files: Seq[GraftFilePartition], required: StructType,
                           codec: String, pushedDesc: Array[String],
-                          confProps: Array[(String, String)])
+                          confProps: Array[(String, String)],
+                          maxFileSize: Long)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -162,40 +171,63 @@ case class GraftFilesScan(files: Seq[GraftFilePartition], required: StructType,
   override def planInputPartitions(): Array[InputPartition] = files.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftFilesReaderFactory(required, codec, confProps)
+    GraftFilesReaderFactory(required, codec, confProps, maxFileSize)
 }
 
 case class GraftFilesReaderFactory(required: StructType, codec: String,
-                                   confProps: Array[(String, String)])
+                                   confProps: Array[(String, String)],
+                                   maxFileSize: Long)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftFileReader(partition.asInstanceOf[GraftFilePartition], required,
-      codec, confProps)
+      codec, confProps, maxFileSize)
 }
 
 /** Emits the single row of one file. Opens the file ONLY if `content` was
   * not pruned away — metadata-only scans do zero I/O beyond the listing.
   */
 class GraftFileReader(file: GraftFilePartition, required: StructType,
-                      codec: String, confProps: Array[(String, String)])
+                      codec: String, confProps: Array[(String, String)],
+                      maxFileSize: Long)
     extends PartitionReader[InternalRow] {
 
   private var done = false
   private var row: InternalRow = _
 
+  /** Streams the (possibly gzip) content into ONE sized buffer — the
+    * gzip path decodes straight off the file stream, so the compressed
+    * bytes are never buffered alongside the decompressed copy — and
+    * enforces `maxFileSize` on the DECOMPRESSED size as it goes: an
+    * oversized file (or a gzip bomb) fails with a clear error at the
+    * bound instead of OOMing the executor after the fact.
+    */
   private def readBytes(): Array[Byte] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     confProps.foreach { case (k, v) => conf.set(k, v) }
     val hp = new Path(new java.net.URI(file.path))
     val fs = hp.getFileSystem(conf)
+    def drainGuarded(in: java.io.InputStream): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(64, math.min(file.length, 1L << 20).toInt))
+      val buf = new Array[Byte](64 * 1024)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0) {
+        total += n
+        if (total > maxFileSize)
+          throw new IllegalStateException(
+            s"graft-files: ${file.path} exceeds maxFileSize=$maxFileSize " +
+              "bytes (decompressed) — raise option(\"maxFileSize\", ...) or " +
+              "exclude the file")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    }
     val in = fs.open(hp)
     try {
-      val raw = org.apache.commons.io.IOUtils.toByteArray(in)
       val gz = codec == "gzip" || (codec == "auto" && file.path.endsWith(".gz"))
-      if (gz) {
-        val g = new GZIPInputStream(new java.io.ByteArrayInputStream(raw))
-        try org.apache.commons.io.IOUtils.toByteArray(g) finally g.close()
-      } else raw
+      if (gz) drainGuarded(new GZIPInputStream(in)) else drainGuarded(in)
     } finally in.close()
   }
 

@@ -198,4 +198,46 @@ class GraftFrameSpec extends SparkSpec {
     // round-robin distribution: every partition within ±1 of target
     assert(sizes.forall(s => s >= 9 && s <= 11), sizes.mkString(","))
   }
+
+  // reference collect.go:43-62 + integration/collect_test.go:38-73: the
+  // collection limit counts whole PARTITIONS pulled to the coordinator
+  // ("Collect(2) — 2 partitions because there are 10 rows and 5 per
+  // partition"), and per-row values are asserted after a map.
+  test("collectPartitions: ≤ n whole partitions, values preserved") {
+    val f = mem(10)
+      .addColumn("res", ColType.Int64)
+      .to(Operation.map(r => r.set("res", r.getInt("col1") * 2L)))
+      .repartition(2)
+    val parts = f.collectPartitions(2)
+    assert(parts.length == 2)
+    assert(parts.map(_.length).sum == 10)
+    assert(parts.flatMap(_.map(_.getLong("res"))).sorted.toSeq ==
+      (0 until 10).map(_ * 2L))
+
+    // limit below the partition count: exactly partition 0's rows, whole
+    val g = mem(100).repartition(10)
+    val p0Size = g.df.rdd.mapPartitionsWithIndex((i, it) =>
+      if (i == 0) Iterator.single(it.size) else Iterator.empty).collect().head
+    val one = g.collectPartitions(1)
+    assert(one.length == 1)
+    assert(one.head.length == p0Size)
+
+    // limit above the partition count: everything, partition-grouped
+    assert(mem(10).repartition(2).collectPartitions(99).length == 2)
+    assert(mem(10).collectPartitions(0).isEmpty)
+  }
+
+  // reference internal/stats/stats.go:12-157: per-stage runtime + row
+  // counts. A shuffling action must surface ≥2 stages with populated
+  // wall/row metrics.
+  test("runWithStats: per-stage runtime and row counts populated") {
+    val f = mem(1000).repartition(4)
+    val (cnt, stats) = f.runWithStats(_.count())
+    assert(cnt == 1000L)
+    assert(stats.size >= 2, s"expected map+reduce stages, got $stats")
+    assert(stats.exists(_.shuffleWriteRows == 1000L), stats.mkString("\n"))
+    assert(stats.exists(_.shuffleReadRows > 0), stats.mkString("\n"))
+    assert(stats.forall(_.tasks > 0))
+    assert(stats.map(_.wallMs).max >= 0)
+  }
 }

@@ -440,4 +440,22 @@ class FunctionsSpec extends SparkSpec {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+  // The "fingerprint-then-verify" production step promised by the
+  // winnowing risk note: a crafted key collision (same fingerprint,
+  // different bytes) must be caught, never silently merged.
+  test("verifyGroups: byte-exact compare catches fingerprint collisions") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("fp", StringType), StructField("text", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "k1", "same text"), Row(2L, "k1", "same text"), // true dups
+      Row(3L, "k2", "text A"), Row(4L, "k2", "text B"),       // collision!
+      Row(5L, "k3", "solo"))), schema)
+    val v = Dedup.verifyGroups(df, "fp", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(v("k1") == ((2L, 1L, true)))
+    assert(v("k2") == ((2L, 2L, false))) // the collision is caught
+    assert(v("k3") == ((1L, 1L, true)))
+  }
 }

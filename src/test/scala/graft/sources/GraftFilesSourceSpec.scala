@@ -65,4 +65,22 @@ class GraftFilesSourceSpec extends SparkSpec {
     assert(one.count() == 1)
     assert(one.queryExecution.executedPlan.toString.contains("nFiles=1"))
   }
+  test("maxFileSize guards the DECOMPRESSED size with a clear error") {
+    // a.txt is 9 bytes — a 4-byte bound must fail loud, not truncate
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-files").option("maxFileSize", "4")
+        .load(s"$dir/a.txt").select(col("content")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxFileSize")), msgs(e).mkString(" | "))
+    // the gz file holds under the bound applied to its decoded size
+    val ok = spark.read.format("graft-files").option("maxFileSize", "1024")
+      .load(s"$dir/c.jsonl.gz").select(col("content").cast("string")).head.getString(0)
+    assert(ok == """{"k":1}""")
+    // metadata-only scans never open the file, so the bound is moot there
+    val n = spark.read.format("graft-files").option("maxFileSize", "1")
+      .load(s"$dir/*").select(col("path")).count()
+    assert(n == 3)
+  }
 }
