@@ -875,13 +875,22 @@ object SparkEntry {
     // texts at sf0.001/0.01/0.1); production exact-dedup should verify
     // candidate groups against text bytes (the fingerprint-then-verify
     // pattern) — the winnow set's real job is containment/overlap search.
-    "x_winnow_dedup" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(xxhash64(TF.winnowFingerprints(col("text")),
+    // The fingerprint-then-verify pattern runs IN-QUERY here:
+    // Dedup.verifyGroups byte-compares every candidate group and the
+    // oracle pins `verified` TRUE — a winnow-set collision would flip it.
+    "x_winnow_dedup" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        xxhash64(TF.winnowFingerprints(col("text")),
           octet_length(col("text"))).as("fpkey"))
+      val groups = keyed.groupBy(col("fpkey"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(col("keep_id"), col("n_copies"))
-        .orderBy("keep_id")),
+      groups
+        .join(Dedup.verifyGroups(keyed, "fpkey", "text")
+          .select(col("fpkey"), col("verified")), "fpkey")
+        .select(col("keep_id"), col("n_copies"), col("verified"))
+        .orderBy("keep_id")
+    }),
 
     // Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
     "x_ngram_jaccard" -> ((s, dir) =>
@@ -1243,7 +1252,8 @@ object SparkEntry {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
     "x_winnow_dedup" ->
-      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |  TRUE AS verified
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
     // The stub codec derives (width, height, mean_luma) from

@@ -117,4 +117,24 @@ class PlanSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+  // VERDICT r4 item 2: the exact-decimal HOF cosine must never score the
+  // whole corpus — the native kernel prunes to a bounded candidate set
+  // first, and only the survivors pay the interpreted rescore.
+  test("x_cosine_topk: native-kernel prune feeds a bounded exact rescore") {
+    val p = plan("x_cosine_topk")
+    // the whole-corpus projection scores with the native dot kernel…
+    val pruneLine = p.linesIterator.find(l =>
+      l.contains("Project") && l.contains("dot_f(")).getOrElse("")
+    assert(pruneLine.nonEmpty, s"native prune kernel missing from plan:\n$p")
+    // …and is free of the interpreted exact-decimal HOF (aggregate over
+    // zip_with) — that one may only run above the bounded top-k
+    assert(!pruneLine.contains("aggregate("),
+      s"exact-decimal HOF in the whole-corpus projection:\n$pruneLine")
+    // both phases are bounded top-k (TakeOrderedAndProject, limits 50 and
+    // 10), never a global Sort of scored rows
+    assert(p.contains("TakeOrderedAndProject(limit=50"), p)
+    assert(p.contains("TakeOrderedAndProject(limit=10"), p)
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Sort ")),
+      s"unexpected global sort:\n$p")
+  }
 }
