@@ -870,14 +870,13 @@ object SparkEntry {
     // is. Honest risk note: unlike the whole-text hash (2^-64), a winnow
     // SET key is a sketch — two same-length docs differing by one
     // substitution collide when none of the ~2k changed grams is a window
-    // minimum in either doc (≈(1−2/(w+1))^2k per such pair). This corpus
-    // is verified collision-free at every SF (group count == distinct
-    // texts at sf0.001/0.01/0.1); production exact-dedup should verify
-    // candidate groups against text bytes (the fingerprint-then-verify
-    // pattern) — the winnow set's real job is containment/overlap search.
-    // The fingerprint-then-verify pattern runs IN-QUERY here:
+    // minimum in either doc (≈(1−2/(w+1))^2k per such pair). That is why
+    // the fingerprint-then-verify pattern runs IN-QUERY here:
     // Dedup.verifyGroups byte-compares every candidate group and the
-    // oracle pins `verified` TRUE — a winnow-set collision would flip it.
+    // oracle pins `verified` TRUE — a winnow-set collision would flip it
+    // red rather than silently merging distinct docs. (The winnow set's
+    // real job is containment/overlap search; this query is its dedup
+    // discipline.)
     "x_winnow_dedup" -> ((s, dir) => {
       val keyed = t(s, dir, "documents").select(
         col("doc_id"), col("text"),
