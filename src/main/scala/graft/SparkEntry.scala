@@ -975,6 +975,36 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Batch kNN join: top-5 cosine neighbors for EVERY query vector in
+    // one corpus scan (bounded top-k' aggregator keeps the shuffle
+    // candidate-sized), exact-decimal rescore + rank — oracle is the full
+    // quadratic window in DuckDB.
+    "x_knn_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnJoin(
+          e.where(col("vec_id") < 20), e.where(col("vec_id") >= 20),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // As-of join with a match-age tolerance (pandas merge_asof parity):
+    // most recent purchase per event, but only within the last hour —
+    // older matches resolve to null. Same single window pass; the oracle
+    // age-gates DuckDB's native ASOF match with a CASE.
+    "r_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val purch = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .agg(max(col("event_id")).as("p_event_id"))
+      graft.operators.AsOf.join(ev, purch, "user_id", "us", "p_us",
+          Seq("p_event_id"), tolerance = Some(3600000000L)) // 1h in micros
+        .select(col("event_id"), col("user_id"),
+          col("asof_p_event_id").as("recent_purchase_id"))
+        .orderBy("event_id")
+    }),
+
     // As-of join (most-recent purchase per event) — composed from one
     // union + one window pass (graft.operators.AsOf); oracle is DuckDB's
     // native ASOF LEFT JOIN. Integer (epoch-micros) comparisons → exact.
@@ -2073,6 +2103,39 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, p.p_event_id AS prev_purchase_id
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us >= p.p_us
         |ORDER BY e.event_id""".stripMargin,
+
+    "r_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us, MAX(event_id) AS p_event_id
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        | CASE WHEN e.us - p.p_us <= 3600000000 THEN p.p_event_id END
+        |   AS recent_purchase_id
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us >= p.p_us
+        |ORDER BY e.event_id""".stripMargin,
+
+    "x_knn_join" ->
+      """WITH z AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(unnest(c.embedding) AS DOUBLE) AS x,
+        |  CAST(unnest(q.embedding) AS DOUBLE) AS y
+        | FROM embeddings q JOIN embeddings c
+        |   ON q.vec_id < 20 AND c.vec_id >= 20),
+        |d AS (
+        | SELECT query_id, neighbor_id,
+        |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
+        |  SUM(CAST(x * x AS DECIMAL(30,15))) AS nc,
+        |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nq
+        | FROM z GROUP BY 1, 2),
+        |r AS (
+        | SELECT query_id, neighbor_id,
+        |  ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) AS cos,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) DESC,
+        |      neighbor_id) AS rank
+        | FROM d)
+        |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "r_sessionize" ->
       """WITH e AS (

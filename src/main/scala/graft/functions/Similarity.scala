@@ -200,6 +200,90 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN join: for EVERY left (query) row, the top-k right
+    * (corpus) rows by cosine — the all-queries generalization of
+    * [[bruteForceTopK]] (one vector answers one query; curation pipelines
+    * ask for neighbors of a whole table: retrieval eval, hard-negative
+    * mining, cross-corpus near-dup scoring).
+    *
+    * Scale shape: the query side broadcasts (queries ≪ corpus); the
+    * corpus scans ONCE, scoring every query per row with the native
+    * kernel; per-query candidates reduce through a bounded top-k′
+    * Aggregator (partial/final state ≤ k′ (score, id) pairs per query —
+    * the exchange carries queries·k′ entries per map partition, never
+    * N·queries scored pairs); the q·k′ survivors re-join the corpus for
+    * the exact-decimal rescore and the final exact-ranked top-k — the
+    * two-phase discipline of x_cosine_topk, so output values and ranks
+    * are cross-engine bit-reproducible.
+    *
+    * Output: (query_id, neighbor_id, cos, rank), rank 1..k per query by
+    * (cos desc, neighbor_id). Ids are cast to long (same contract as
+    * [[graft.functions.Dedup.connectedComponents]]).
+    *
+    * @param margin extra native-ranked candidates kept per query before
+    *   the exact rescore; double-vs-decimal divergence is ~1e-12, so the
+    *   default is far beyond safe
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame,
+              qIdCol: String, qVecCol: String,
+              cIdCol: String, cVecCol: String,
+              k: Int, margin: Int = 40): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(margin >= 0, s"margin must be non-negative: $margin")
+    val kPrime = k + margin
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
+    val c = corpus.select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__s"))
+    val cand = scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2))
+      .agg(topKByScore(kPrime).toColumn.name("cands"))
+      .toDF("__qid", "cands")
+      .select(col("__qid"), explode(col("cands")).as("c"))
+      .select(col("__qid"), col("c._2").as("__cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("cos").desc, col("__cid"))
+    cand
+      .join(c, "__cid")          // q·k′ rows — broadcasts into the corpus
+      .join(broadcast(q), "__qid")
+      .select(col("__qid"), col("__cid"),
+        round(cosineExact(col("__cv"), col("__qv")), 9).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
+  /** Bounded top-k′ by (score desc, id asc) as a mergeable Catalyst
+    * [[org.apache.spark.sql.expressions.Aggregator]] — the partial/final
+    * state that keeps [[knnJoin]]'s shuffle candidate-sized. The buffer
+    * is trimmed lazily (only past 2k′ entries) so per-row cost stays
+    * amortized O(1) sorts.
+    */
+  private def topKByScore(kPrime: Int)
+      : org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] =
+    new org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+      private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        s.sortBy(t => (-t._1, t._2)).take(kPrime)
+      override def zero: Seq[(Double, Long)] = Vector.empty
+      override def reduce(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+        val appended = b :+ x
+        if (appended.length >= 2 * kPrime) trim(appended) else appended
+      }
+      override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        trim(a ++ b)
+      override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(b)
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+
   /** All-pairs cosine ≥ threshold via LSH bucketing (embedding near-dup).
     * Output (id_a, id_b, cos), id_a < id_b.
     */

@@ -27,10 +27,17 @@ object AsOf {
     * @param leftTs     left ordering column (numeric or timestamp)
     * @param rightTs    right ordering column, comparable with leftTs
     * @param rightCols  right columns to carry (must not collide with left)
+    * @param tolerance  optional max match age in ordering-column units
+    *   (pandas merge_asof's `tolerance`): a match older than
+    *   `leftTs − tolerance` resolves to null instead — "most recent
+    *   purchase, but only within the last hour". Requires a numeric
+    *   (typically epoch-integer) ordering column. Zero extra shuffles:
+    *   the matched right ts already rides the window pass.
     */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
-           rightCols: Seq[String]): DataFrame = {
+           rightCols: Seq[String],
+           tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     // Order in a lossless common type: a double cast would silently lose
     // precision for int64 timestamps beyond 2^53 (epoch nanos — the events
@@ -39,23 +46,35 @@ object AsOf {
     // (timestamp, date, decimal included); only genuinely mixed fractional
     // input falls back to double.
     val tsType = orderingType(left.schema(leftTs).dataType, right.schema(rightTs).dataType)
+    tolerance.foreach { t =>
+      require(t >= 0, s"tolerance must be non-negative: $t")
+      require(tsType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"tolerance needs a numeric ordering column, got ${tsType.catalogString}")
+    }
+    // the matched right ts rides along so tolerance can age-gate matches
+    val carriedCols = rightCols ++ (if (tolerance.isDefined) Seq("__rts") else Nil)
     // tag=0 sorts right-side rows before left rows at equal ts, so a left
     // row at exactly rightTs sees that right row (inclusive as-of).
     val l2 = left.select(
       (leftCols.map(col) ++ Seq(col(key).as("__k"), col(leftTs).cast(tsType).as("__ts"),
-        lit(1).as("__tag")) ++ rightCols.map(c => lit(null).as(s"__r_$c"))): _*)
+        lit(1).as("__tag")) ++ carriedCols.map(c => lit(null).as(s"__r_$c"))): _*)
     val r2 = right.select(
       (leftCols.map(c => lit(null).as(c)) ++ Seq(col(key).as("__k"),
         col(rightTs).cast(tsType).as("__ts"), lit(0).as("__tag")) ++
-        rightCols.map(c => col(c).as(s"__r_$c"))): _*)
+        rightCols.map(c => col(c).as(s"__r_$c")) ++
+        (if (tolerance.isDefined) Seq(col(rightTs).cast(tsType).as("__r___rts")) else Nil)): _*)
     val unioned = l2.unionByName(r2)
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+    val carried = carriedCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
     }
+    val inTol = tolerance
+      .map(t => col("__ts") - col("__r___rts") <= lit(t).cast(tsType))
+      .getOrElse(lit(true))
     carried.where(col("__tag") === 1)
-      .select((leftCols.map(col) ++ rightCols.map(c => col(s"__r_$c").as(s"asof_$c"))): _*)
+      .select((leftCols.map(col) ++ rightCols.map(c =>
+        when(inTol, col(s"__r_$c")).otherwise(lit(null)).as(s"asof_$c"))): _*)
   }
 
   /** Broadcast as-of join — same semantics as [[join]], zero shuffles.

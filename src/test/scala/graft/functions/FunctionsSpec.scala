@@ -458,4 +458,35 @@ class FunctionsSpec extends SparkSpec {
     assert(v("k2") == ((2L, 2L, false))) // the collision is caught
     assert(v("k3") == ((1L, 1L, true)))
   }
+  // Batch kNN join ≡ per-query brute force (deterministic synthetic
+  // vectors; ties and ranks must agree exactly).
+  test("knnJoin equals per-query brute-force top-k") {
+    import org.apache.spark.sql.types._
+    val dim = 8
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(d => (((seed * 31 + d * 17) % 13) - 6).toFloat / 7f)
+    val schema = StructType(Seq(StructField("vid", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    val all = (0L until 40L).map(i => Row(i, vec(i).toSeq))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(all), schema)
+    val queries = df.where(col("vid") < 5)
+    val corpus = df.where(col("vid") >= 5)
+    val got = Similarity.knnJoin(queries, corpus, "vid", "v", "vid", "v",
+        k = 3, margin = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // driver-side brute force with the same exact-ranking rule
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = a.map(x => x.toDouble * x.toDouble).sum
+      val nb = b.map(x => x.toDouble * x.toDouble).sum
+      BigDecimal(dot / math.sqrt(na * nb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = (0L until 5L).flatMap { q =>
+      (5L until 40L).map(c => (c, cos(vec(q), vec(c))))
+        .sortBy(t => (-t._2, t._1)).take(3).zipWithIndex
+        .map { case ((c, _), i) => (q, c, (i + 1).toLong) }
+    }.toSet
+    assert(got == want)
+  }
 }

@@ -133,4 +133,34 @@ class AsOfSpec extends SparkSpec {
         (if (r.isNullAt(3)) null else r.getLong(3))).toMap
     assert(res(bc) == res(composed))
   }
+  // pandas merge_asof tolerance parity: matches older than the budget
+  // resolve to null, in-budget matches are untouched.
+  test("as-of join tolerance: stale matches null out, fresh ones survive") {
+    val lSchema = StructType(Seq(
+      StructField("k", StringType), StructField("lts", LongType),
+      StructField("lid", LongType)))
+    val rSchema = StructType(Seq(
+      StructField("k", StringType), StructField("rts", LongType),
+      StructField("price", DoubleType)))
+    val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", 5L, 1L),   // match r@3, age 2 ≤ 2 → 30.0
+      Row("a", 9L, 2L),   // match r@3, age 6 > 2 → null (stale)
+      Row("a", 3L, 3L),   // exact hit, age 0 → 30.0
+      Row("a", 0L, 4L),   // no match at all → null
+    )), lSchema)
+    val right = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", 1L, 10.0), Row("a", 3L, 30.0),
+    )), rSchema)
+    val out = AsOf.join(left, right, "k", "lts", "rts", Seq("price"),
+        tolerance = Some(2L))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out == Map(1L -> 30.0, 2L -> null, 3L -> 30.0, 4L -> null))
+    // tolerance = 0 keeps only exact-timestamp hits
+    val zero = AsOf.join(left, right, "k", "lts", "rts", Seq("price"),
+        tolerance = Some(0L))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(zero == Map(1L -> null, 2L -> null, 3L -> 30.0, 4L -> null))
+  }
 }
