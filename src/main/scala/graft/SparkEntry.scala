@@ -891,6 +891,15 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
 
+    // Mixture / source reweighting: en upsampled 2.2× (2 copies + 20%
+    // hash-decided third), zh downsampled to 0.3×, other langs 1× —
+    // deterministic repeats, map-only, DuckDB-reproducible.
+    "x_mixture" -> ((s, dir) =>
+      Corpus.mixtureWeightedSample(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 2.2, "zh" -> 0.3))
+        .select(col("doc_id"), col("lang"), col("copy_id"))
+        .orderBy("doc_id", "copy_id")),
+
     // Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
     "x_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 5, 0.2)
@@ -1279,6 +1288,21 @@ object SparkEntry {
     "x_fingerprint" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // copies = ⌊w⌋ + (first 8 md5 hex chars < frac(w) as hex cutoff):
+    // 0.2 → 0x33333333, 0.3 → 0x4ccccccc, frac 0 → '00000000' (never).
+    "x_mixture" ->
+      """WITH w AS (
+        | SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en' THEN 2 WHEN lang = 'zh' THEN 0 ELSE 1 END
+        |  + CASE WHEN substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |         < CASE WHEN lang = 'en' THEN '33333333'
+        |                WHEN lang = 'zh' THEN '4ccccccc'
+        |                ELSE '00000000' END
+        |    THEN 1 ELSE 0 END AS n
+        | FROM documents)
+        |SELECT doc_id, lang, unnest(range(0, n)) AS copy_id
+        |FROM w ORDER BY doc_id, copy_id""".stripMargin,
 
     "x_winnow_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,

@@ -243,6 +243,44 @@ object Corpus {
     df.where(bucket < rate)
   }
 
+  /** Mixture weighting (source reweighting): resample so stratum s
+    * contributes ≈ `weights(s)`× its rows — the upweight-curated /
+    * downweight-crawl step in front of LLM training (DoReMi-style domain
+    * weights). Weights may exceed 1: each row yields ⌊w⌋ copies plus one
+    * more iff the (stratum, key) hash clears the fractional part — no RNG
+    * state, so the output multiset is identical on any cluster size, run,
+    * or engine. Map-only (the copy explode runs inside the scan
+    * projection): zero shuffles for the resample itself.
+    *
+    * Output = input columns + `copy_id` (0-based repeat index, so
+    * downstream dedup-sensitive ops can tell repeats apart).
+    */
+  def mixtureWeightedSample(df: DataFrame, strataCol: String, keyCol: String,
+                            weights: Map[String, Double],
+                            defaultWeight: Double = 1.0): DataFrame = {
+    (weights.values ++ Seq(defaultWeight)).foreach(w =>
+      require(w >= 0 && w < 1000, s"weight out of range [0, 1000): $w"))
+    // fractional part as an 8-hex-char cutoff: md5 hex is lowercase, so a
+    // fixed-length string compare IS the numeric compare in any engine
+    def cutoffHex(w: Double): String =
+      f"${math.floor((w - math.floor(w)) * 4294967296.0).toLong}%08x"
+    val whole = weights.foldLeft(lit(math.floor(defaultWeight).toLong)) {
+      case (acc, (s, w)) =>
+        when(col(strataCol) === s, lit(math.floor(w).toLong)).otherwise(acc)
+    }
+    val cutoff = weights.foldLeft(lit(cutoffHex(defaultWeight))) {
+      case (acc, (s, w)) =>
+        when(col(strataCol) === s, lit(cutoffHex(w))).otherwise(acc)
+    }
+    val h8 = substring(
+      md5(concat(col(strataCol), lit(":"), col(keyCol).cast("string"))), 1, 8)
+    df.withColumn("__n", whole + when(h8 < cutoff, 1L).otherwise(0L))
+      .withColumn("copy_id",
+        explode(when(col("__n") > 0, sequence(lit(0L), col("__n") - 1))
+          .otherwise(lit(null)))) // explode(null) drops the row
+      .drop("__n")
+  }
+
   /** Exact heavy hitters via the two-pass sketch pattern — THE way to get
     * "tokens above 1/k of the corpus" at 100 TB, where the naive
     * `groupBy(token)` shuffles one row per token occurrence (≈ corpus

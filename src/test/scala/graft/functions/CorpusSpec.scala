@@ -243,4 +243,32 @@ class CorpusSpec extends SparkSpec {
       s"missing ${exact -- summary} from MG summary $summary")
     assert(summary.size <= cap)
   }
+  // Mixture weighting: ⌊w⌋ deterministic copies + hash-decided extra;
+  // reproducible across partitionings, copy_ids contiguous from 0.
+  test("mixtureWeightedSample: multiplicities, determinism, copy ids") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("src", StringType)))
+    val rows = (0L until 400L).map(i => Row(i, if (i % 4 == 0) "a" else "b"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = Corpus.mixtureWeightedSample(df, "src", "id",
+      Map("a" -> 2.5, "b" -> 0.25))
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every 'a' row appears 2 or 3 times, every 'b' row 0 or 1 times
+    val byId = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byId.filter(k => k._1 % 4 == 0).values.forall(n => n == 2 || n == 3))
+    assert(byId.filter(k => k._1 % 4 != 0).values.forall(_ == 1))
+    // aggregate rates within a loose band of the weights
+    val aCount = got.count(_._2 == "a"); val bCount = got.count(_._2 == "b")
+    assert(aCount >= 200 && aCount <= 300, s"a: $aCount")   // 100 rows × 2.5
+    assert(bCount >= 37 && bCount <= 113, s"b: $bCount")    // 300 rows × 0.25
+    // copy ids are contiguous from 0 per surviving row
+    got.groupBy(_._1).foreach { case (_, copies) =>
+      assert(copies.map(_._3).sorted.toSeq == (0L until copies.length) )
+    }
+    // exact reproducibility on a different partitioning
+    val got2 = Corpus.mixtureWeightedSample(df.repartition(7), "src", "id",
+      Map("a" -> 2.5, "b" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sorted.toSeq == got2.sorted.toSeq)
+  }
 }
