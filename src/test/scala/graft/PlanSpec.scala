@@ -137,4 +137,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l => l.trim.startsWith("Sort ")),
       s"unexpected global sort:\n$p")
   }
+  test("x_mixture: the resample is map-only — only the presentation sort exchanges") {
+    val p = plan("x_mixture")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange (output sort), got $exchanges:\n$p")
+    assert(p.contains("rangepartitioning"), p) // and it IS the sort
+    assert(p.contains("Generate explode"), p)  // copies expand in the scan stage
+  }
+
+  test("x_knn_join: candidates reduce through partial aggregation, queries broadcast") {
+    val p = plan("x_knn_join")
+    // the bounded top-k' aggregator must run partial (map-side) + final —
+    // otherwise the shuffle carries every scored pair
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"top-k aggregation not partial/final:\n$p")
+    // the query side rides a broadcast, the corpus is never re-shuffled
+    // for scoring
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
