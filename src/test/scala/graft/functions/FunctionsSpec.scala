@@ -489,4 +489,22 @@ class FunctionsSpec extends SparkSpec {
     }.toSet
     assert(got == want)
   }
+  test("knnJoin edges: corpus smaller than k, empty query side") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vid", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    def mk(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val queries = mk(Seq(Row(0L, Seq(1f, 0f)), Row(1L, Seq(0f, 1f))))
+    val corpus = mk(Seq(Row(10L, Seq(1f, 1f)), Row(11L, Seq(-1f, 0f))))
+    // k far above corpus size: every neighbor returned, ranks 1..|corpus|
+    val all = Similarity.knnJoin(queries, corpus, "vid", "v", "vid", "v", k = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(all.length == 4) // 2 queries × full 2-row corpus
+    assert(all.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1L, 2L)))
+    // no queries → no rows (and no failure)
+    val none = Similarity.knnJoin(queries.where(col("vid") < 0), corpus,
+      "vid", "v", "vid", "v", k = 3)
+    assert(none.count() == 0)
+  }
 }
