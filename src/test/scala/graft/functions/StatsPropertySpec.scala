@@ -70,4 +70,48 @@ class StatsPropertySpec extends SparkSpec {
       }
     }
   }
+  // knnJoin must equal per-query driver-side brute force for arbitrary
+  // vector sets — including duplicate vectors (cosine ties resolved by
+  // neighbor id) and k beyond the corpus size.
+  test("knnJoin == driver brute force on 8 sampled vector sets") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dim = 6
+    val schema = StructType(Seq(StructField("vid", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    val vecGen: Gen[Array[Float]] = Gen.oneOf(
+      Gen.listOfN(dim, Gen.chooseNum(-4, 4).map(_.toFloat / 3f)),
+      Gen.listOfN(dim, Gen.oneOf(-1f, 0f, 1f)) // duplicates + ties likely
+    ).map(_.toArray).suchThat(a => a.exists(_ != 0f))
+    def cosExact(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = a.map(x => x.toDouble * x.toDouble).sum
+      val nb = b.map(x => x.toDouble * x.toDouble).sum
+      BigDecimal(dot / math.sqrt(na * nb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (1 to 8).foreach { i =>
+      val params = Gen.Parameters.default
+      val nQ = Gen.chooseNum(1, 4).apply(params, Seed(i * 1000L)).get
+      val nC = Gen.chooseNum(1, 25).apply(params, Seed(i * 1000L + 1)).get
+      val k = Gen.chooseNum(1, 6).apply(params, Seed(i * 1000L + 2)).get
+      val vecs = (0 until nQ + nC).map(j =>
+        vecGen.apply(params, Seed(i * 1000L + 10 + j)).get)
+      val rows = vecs.zipWithIndex.map { case (v, j) => Row(j.toLong, v.toSeq) }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+      val queries = df.where(col("vid") < nQ)
+      val corpus = df.where(col("vid") >= nQ)
+      val got = Similarity.knnJoin(queries, corpus, "vid", "v", "vid", "v",
+          k, margin = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val want = (0 until nQ).flatMap { q =>
+        (nQ until nQ + nC).map(c => (c.toLong, cosExact(vecs(q), vecs(c))))
+          .sortBy(t => (-t._2, t._1)).take(k).zipWithIndex
+          .map { case ((c, s), r) => (q.toLong, c, s, (r + 1).toLong) }
+      }.toSet
+      assert(got == want, s"sample $i (nQ=$nQ nC=$nC k=$k)")
+    }
+  }
 }
