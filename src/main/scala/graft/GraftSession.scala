@@ -72,6 +72,10 @@ object GraftSession {
     reg.createOrReplaceTempFunction("argmax_dot",
       exprs => graft.plans.ArgMaxDot(exprs(0), exprDoubleArray(exprs(1)),
         exprInt(exprs(2))), "scala_udf")
+    // dot_f(a, b): the single-pass float-array dot kernel — the SQL user's
+    // building block for cosine scoring without the interpreted HOF tax.
+    reg.createOrReplaceTempFunction("dot_f",
+      exprs => graft.plans.DotProductF(exprs(0), exprs(1)), "scala_udf")
     // StopwordProfileArgmax still carries Seq[Seq[String]] profile state —
     // exposed through the Scala DSL only.
   }

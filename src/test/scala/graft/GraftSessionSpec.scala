@@ -74,4 +74,16 @@ class GraftSessionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1))
     assert(viaSql.toSeq == dsl.toSeq)
   }
+  test("dot_f callable from SQL; cosine composes from it") {
+    GraftSession.registerFunctions(spark)
+    GraftSession.registerTables(spark, sf())
+    val rows = spark.sql(
+      """SELECT vec_id,
+        |  dot_f(embedding, embedding) AS n2,
+        |  dot_f(embedding, embedding) / (SQRT(dot_f(embedding, embedding))
+        |    * SQRT(dot_f(embedding, embedding))) AS self_cos
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin).collect()
+    assert(rows.forall(_.getDouble(1) > 0.0))
+    assert(rows.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-12))
+  }
 }
