@@ -1051,21 +1051,27 @@ object SparkEntry {
     }),
 
     // PQ ANN in its PRODUCTION regime, self-verifying: small codebooks
-    // (m=4 subspaces × k=256 codes — the driver holds k·dim doubles, never
-    // corpus-sized state), one Lloyd refinement round, ADC top-100
-    // candidates, exact-decimal rescore of survivors. Recall is proven
-    // in-query instead of by construction: the rescored top-10 left-joins
-    // the brute-force exact top-10 (native two-phase prune, one cheap
-    // corpus pass) and emits `in_exact_topk`, which the oracle pins TRUE —
-    // any PQ recall miss flips the flag (and the rows) red.
+    // (m=8 subspaces × k=256 codes — the driver holds k·dim doubles,
+    // never corpus-sized state), one Lloyd refinement round, ADC top-400
+    // candidates, exact-decimal rescore of survivors. The candidate
+    // budget is sized to the corpus's geometry, verified at every
+    // shipped SF: these embeddings are near-orthogonal (top-10 cos ≈
+    // 0.31 vs a bulk at 0.25–0.30), the adversarial regime for PQ —
+    // m=4/top-100 and m=8/top-100 each missed one top-10 member at 2000
+    // vectors by < 5e-4 cosine. Recall is proven in-query instead of by
+    // construction: the rescored top-10 left-joins the brute-force exact
+    // top-10 (native two-phase prune, one cheap corpus pass) and emits
+    // `in_exact_topk`, which the oracle pins TRUE — any PQ recall miss
+    // flips the flag (and the rows) red, which is exactly how the
+    // too-small budgets were caught.
     "x_pq_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qv = e.where(col("vec_id") === 0).select(col("embedding"))
         .collect().head.getSeq[Float](0).toArray
       val corpus = e.where(col("vec_id") =!= 0)
       val (encoded, books) = Similarity.productQuantize(
-        corpus, "vec_id", "embedding", m = 4, k = 256, lloydIters = 1)
-      val cand = Similarity.pqCandidates(encoded, books, qv, topN = 100)
+        corpus, "vec_id", "embedding", m = 8, k = 256, lloydIters = 1)
+      val cand = Similarity.pqCandidates(encoded, books, qv, topN = 400)
       val q = array(qv.map(v => lit(v)): _*)
       val pqTop = corpus.join(cand.select(col("vec_id")), "vec_id")
         .select(col("vec_id"), col("label"),
