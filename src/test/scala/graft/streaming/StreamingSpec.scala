@@ -263,4 +263,31 @@ class StreamingSpec extends SparkSpec {
     // no duplicates from the replay; epoch 0 intact
     assert(rows == Seq((0L, 1L), (0L, 2L), (1L, 10L), (1L, 20L)), rows.toString)
   }
+  test("streaming mixture weighting: deterministic copies flow through a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Corpus
+    // mixtureWeightedSample is a stateless projection (md5 cutoff +
+    // explode), so the SAME call curates a stream — and yields the SAME
+    // multiset the batch path yields for the same rows.
+    val input = MemoryStream[(Long, String)]
+    val stream = Corpus.mixtureWeightedSample(
+      input.toDF().toDF("doc_id", "src"), "src", "doc_id",
+      Map("a" -> 2.5, "b" -> 0.25))
+    val q = stream.select("doc_id", "src", "copy_id")
+      .writeStream.format("memory").queryName("weighted")
+      .outputMode("append").start()
+    val rows = (0L until 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("weighted").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val batch = Corpus.mixtureWeightedSample(
+        spark.createDataFrame(rows).toDF("doc_id", "src"), "src", "doc_id",
+        Map("a" -> 2.5, "b" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got == batch, "stream and batch mixture outputs diverged")
+    assert(got.count(_._2 == "a") >= 100) // 50 'a' rows × 2.5
+  }
 }
