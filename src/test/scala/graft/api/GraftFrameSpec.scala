@@ -240,4 +240,15 @@ class GraftFrameSpec extends SparkSpec {
     assert(stats.forall(_.tasks > 0))
     assert(stats.map(_.wallMs).max >= 0)
   }
+  // reference collect.go:70-72: Collect is forbidden on streaming
+  // sources. Spark enforces the same rule through the wrapper — pinned
+  // here so the parity holds if collect's implementation ever changes.
+  test("collect on a streaming frame is rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val f = GraftFrame(stream.toDF())
+    val e = intercept[org.apache.spark.sql.AnalysisException] { f.collect(5) }
+    assert(e.getMessage.toLowerCase.contains("stream"), e.getMessage)
+  }
 }
