@@ -900,6 +900,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("copy_id"))
         .orderBy("doc_id", "copy_id")),
 
+    // Weight-proportional interleave order (the stage after mixture
+    // weighting): reading by interleave_pos yields each lang at its
+    // weighted rate, evenly spread — stride positions (r−0.5)/w with
+    // md5-ranked in-source order, arithmetic reproduced in DuckDB.
+    "x_interleave" -> ((s, dir) =>
+      Corpus.interleaveByWeight(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 2.0, "zh" -> 0.5))
+        .select(col("doc_id"), col("lang"), col("interleave_pos"))
+        .orderBy("interleave_pos", "doc_id")),
+
     // Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
     "x_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 5, 0.2)
@@ -1294,6 +1304,18 @@ object SparkEntry {
     "x_fingerprint" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "x_interleave" ->
+      """WITH r AS (
+        | SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |  CASE WHEN lang = 'en' THEN CAST(2.0 AS DOUBLE)
+        |       WHEN lang = 'zh' THEN CAST(0.5 AS DOUBLE)
+        |       ELSE CAST(1.0 AS DOUBLE) END AS w
+        | FROM documents)
+        |SELECT doc_id, lang, (CAST(rk AS DOUBLE) - 0.5) / w AS interleave_pos
+        |FROM r ORDER BY interleave_pos, doc_id""".stripMargin,
 
     // copies = ⌊w⌋ + (first 8 md5 hex chars < frac(w) as hex cutoff):
     // 0.2 → 0x33333333, 0.3 → 0x4ccccccc, frac 0 → '00000000' (never).

@@ -281,6 +281,36 @@ object Corpus {
       .drop("__n")
   }
 
+  /** Weight-proportional source interleaving — the ordering stage that
+    * follows [[mixtureWeightedSample]]: assign every row a deterministic
+    * `interleave_pos` such that reading in position order yields each
+    * source at a rate ∝ its weight, evenly spread rather than clumped
+    * (the "shuffle the mixture" step before sequence packing). Row r of
+    * a weight-w source lands at (r − 0.5) / w — the classic stride
+    * interleave — with r a deterministic md5-ranked position inside the
+    * source, so the order is reproducible on any cluster size.
+    *
+    * Scale shape: one shuffle on the source column for the in-source
+    * ranking window; the position column is then the range-partition /
+    * sort key for the ordered write (same write-side pattern as
+    * [[graft.functions.Layout]] z-ordering) — no global single-reducer
+    * sort happens here.
+    */
+  def interleaveByWeight(df: DataFrame, sourceCol: String, keyCol: String,
+                         weights: Map[String, Double],
+                         defaultWeight: Double = 1.0): DataFrame = {
+    (weights.values ++ Seq(defaultWeight)).foreach(w =>
+      require(w > 0, s"interleave weights must be positive: $w"))
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, v)) => when(col(sourceCol) === s, lit(v)).otherwise(acc)
+    }
+    val h = md5(concat(col(sourceCol), lit(":"), col(keyCol).cast("string")))
+    val r = row_number().over(
+      Window.partitionBy(col(sourceCol)).orderBy(h, col(keyCol)))
+    df.withColumn("interleave_pos",
+      (r.cast("double") - lit(0.5)) / w)
+  }
+
   /** Exact heavy hitters via the two-pass sketch pattern — THE way to get
     * "tokens above 1/k of the corpus" at 100 TB, where the naive
     * `groupBy(token)` shuffles one row per token occurrence (≈ corpus

@@ -271,4 +271,31 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(got.sorted.toSeq == got2.sorted.toSeq)
   }
+  // Stride interleave: row r of a weight-w source sits at (r-0.5)/w, so
+  // any prefix [0, P) holds EXACTLY min(n_s, floor(P*w + 0.5)) rows of
+  // each source — the even-spread guarantee, checked exactly.
+  test("interleaveByWeight: exact per-source counts in every prefix") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("src", StringType)))
+    val rows = (0L until 300L).map(i => Row(i, if (i % 3 == 0) "a" else "b"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val weights = Map("a" -> 3.0, "b" -> 0.5)
+    val out = Corpus.interleaveByWeight(df, "src", "id", weights)
+      .select(col("src"), col("interleave_pos"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val nPer = Map("a" -> 100, "b" -> 200)
+    Seq(10.0, 50.0, 120.0, 500.0).foreach { p =>
+      weights.foreach { case (src, w) =>
+        val got = out.count(t => t._1 == src && t._2 < p)
+        val want = math.min(nPer(src), math.floor(p * w + 0.5).toInt)
+        assert(got == want, s"prefix $p source $src: $got vs $want")
+      }
+    }
+    // deterministic across partitionings
+    val again = Corpus.interleaveByWeight(df.repartition(7), "src", "id", weights)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq
+    val first = Corpus.interleaveByWeight(df, "src", "id", weights)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq
+    assert(again == first)
+  }
 }
