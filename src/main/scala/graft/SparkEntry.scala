@@ -877,17 +877,15 @@ object SparkEntry {
     // red rather than silently merging distinct docs. (The winnow set's
     // real job is containment/overlap search; this query is its dedup
     // discipline.)
+    // keepIdCol makes it ONE pass: the survivor pick rides the verify
+    // aggregation, so the (expensive) winnow expression evaluates once.
     "x_winnow_dedup" -> ((s, dir) => {
       val keyed = t(s, dir, "documents").select(
         col("doc_id"), col("text"),
         xxhash64(TF.winnowFingerprints(col("text")),
           octet_length(col("text"))).as("fpkey"))
-      val groups = keyed.groupBy(col("fpkey"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      groups
-        .join(Dedup.verifyGroups(keyed, "fpkey", "text")
-          .select(col("fpkey"), col("verified")), "fpkey")
-        .select(col("keep_id"), col("n_copies"), col("verified"))
+      Dedup.verifyGroups(keyed, "fpkey", "text", keepIdCol = Some("doc_id"))
+        .select(col("keep_id"), col("n_members").as("n_copies"), col("verified"))
         .orderBy("keep_id")
     }),
 
@@ -1295,7 +1293,7 @@ object SparkEntry {
     // Same exact top-10 as brute force, plus the recall flag the query
     // computes by joining its PQ answer against the in-query brute-force
     // top-10 — TRUE by definition on the oracle side, and only TRUE on
-    // the Spark side when PQ's ADC top-100 really contained the top-10.
+    // the Spark side when PQ's ADC top-400 really contained the top-10.
     "x_pq_ann" ->
       s"""WITH topk AS ($cosineTopkOracle)
          |SELECT vec_id, label, cos, TRUE AS in_exact_topk FROM topk

@@ -215,20 +215,31 @@ final case class GraftFrame(df: DataFrame, opts: GraftOptions = GraftOptions()) 
     * waits until the listener drains (bounded by `waitMs`).
     */
   def runWithStats[A](action: DataFrame => A, waitMs: Long = 10000L): (A, Seq[StageStat]) = {
-    val listener = new StageStatListener
     val sc = spark.sparkContext
+    // scope attribution to THIS action's jobs: stages from concurrent
+    // work on the shared context must not land in this result
+    val group = s"graft-stats-${java.util.UUID.randomUUID()}"
+    val listener = new StageStatListener(Some(group))
     sc.addSparkListener(listener)
+    sc.setJobGroup(group, "graft runWithStats", interruptOnCancel = false)
     try {
       val result = action(df)
-      // the bus is async: wait until stage-completed events stop arriving
+      // the bus is async: wait until stage-completed events go quiet for
+      // several consecutive polls (a single stable read can race a slow
+      // bus between two events)
       val deadline = System.nanoTime + waitMs * 1000000L
       var last = -1
-      while (System.nanoTime < deadline && listener.count != last) {
-        last = listener.count
+      var stable = 0
+      while (System.nanoTime < deadline && stable < 3) {
+        val c = listener.count
+        if (c == last) stable += 1 else { stable = 0; last = c }
         Thread.sleep(50)
       }
       (result, listener.stages)
-    } finally sc.removeSparkListener(listener)
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
   }
 
   /** A2 Accumulate — fold every row into per-partition accumulators, then

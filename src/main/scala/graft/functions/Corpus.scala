@@ -272,8 +272,14 @@ object Corpus {
       case (acc, (s, w)) =>
         when(col(strataCol) === s, lit(cutoffHex(w))).otherwise(acc)
     }
-    val h8 = substring(
-      md5(concat(col(strataCol), lit(":"), col(keyCol).cast("string"))), 1, 8)
+    // null stratum/key rows still hash (sentinel inputs) so they get the
+    // fractional extra at the DEFAULT weight's rate — without the
+    // coalesce, md5(null) would silently deny them the extra copy and
+    // bias their rate down to ⌊defaultWeight⌋. Non-null inputs hash
+    // byte-identically with or without the coalesce.
+    val h8 = substring(md5(concat(
+      coalesce(col(strataCol).cast("string"), lit(" ")), lit(":"),
+      coalesce(col(keyCol).cast("string"), lit(" ")))), 1, 8)
     df.withColumn("__n", whole + when(h8 < cutoff, 1L).otherwise(0L))
       .withColumn("copy_id",
         explode(when(col("__n") > 0, sequence(lit(0L), col("__n") - 1))

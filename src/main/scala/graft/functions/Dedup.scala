@@ -347,19 +347,30 @@ object Dedup {
     * verifies iff it collapses to one sub-group. No pairwise loop, no
     * second pass over the corpus.
     *
+    * @param keepIdCol when set, also emit `keep_id` = the group's min id
+    *   — the canonical-survivor column, computed in the SAME pass so
+    *   dedup queries don't re-scan (and re-fingerprint) the corpus just
+    *   to pick survivors.
     * @return one row per candidate group: (keyCol, n_members,
-    *         n_distinct_texts, verified) — `verified` = all members are
-    *         byte-identical. Groups with `!verified` contain a collision
-    *         and must not be deduplicated on this key.
+    *         n_distinct_texts, verified[, keep_id]) — `verified` = all
+    *         members are byte-identical. Groups with `!verified` contain
+    *         a collision and must not be deduplicated on this key.
     */
-  def verifyGroups(df: DataFrame, keyCol: String, textCol: String): DataFrame =
-    df.groupBy(col(keyCol), col(textCol))
-      .agg(count(lit(1)).as("__n"))
-      .groupBy(col(keyCol))
-      .agg(sum(col("__n")).as("n_members"),
-        count(lit(1)).as("n_distinct_texts"))
-      .select(col(keyCol), col("n_members"), col("n_distinct_texts"),
-        (col("n_distinct_texts") === 1).as("verified"))
+  def verifyGroups(df: DataFrame, keyCol: String, textCol: String,
+                   keepIdCol: Option[String] = None): DataFrame = {
+    val perTextAggs = count(lit(1)).as("__n") +:
+      keepIdCol.map(c => min(col(c)).as("__kid")).toSeq
+    val perText = df.groupBy(col(keyCol), col(textCol))
+      .agg(perTextAggs.head, perTextAggs.tail: _*)
+    val aggs = Seq(sum(col("__n")).as("n_members"),
+      count(lit(1)).as("n_distinct_texts")) ++
+      keepIdCol.map(_ => min(col("__kid")).as("keep_id"))
+    perText.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((Seq(col(keyCol), col("n_members"), col("n_distinct_texts"),
+        (col("n_distinct_texts") === 1).as("verified")) ++
+        keepIdCol.map(_ => col("keep_id"))): _*)
+  }
 
   /** Edit-distance (Levenshtein) fuzzy self-join with EXACT results — the
     * record-linkage primitive for titles / product names / entity keys —

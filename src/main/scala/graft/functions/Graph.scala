@@ -71,9 +71,11 @@ object Graph {
         .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
           lit(1.0).as("rank")))
     val nodes = ranks.select(col("id"), col("deg"))
-    // counting the (just-materialized) setup snapshot is metadata-cheap
-    // and decides the per-round snapshot medium for the whole run
-    val smallTable = ranks.count() < reliableSnapshotMinRows
+    // The sizing count (over the just-materialized setup snapshot) only
+    // matters when a reliable dir exists AND rounds will run — without
+    // one, every round localCheckpoints regardless, so don't pay the job.
+    val smallTable = reliable && iterations > 0 &&
+      ranks.count() < reliableSnapshotMinRows
     def roundSnap(df: DataFrame): DataFrame =
       if (reliable && !smallTable) df.checkpoint() else df.localCheckpoint()
     // the snapshot currently backing `ranks`' lineage — only superseded

@@ -246,8 +246,8 @@ object Similarity {
       .select(col("__qid"), col("c._2").as("__cid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qid")).orderBy(col("cos").desc, col("__cid"))
-    cand
-      .join(c, "__cid")          // q·k′ rows — broadcasts into the corpus
+    broadcast(cand)              // q·k′ rows — hinted, so the corpus-side
+      .join(c, "__cid")          // rescore join can never re-shuffle N rows
       .join(broadcast(q), "__qid")
       .select(col("__qid"), col("__cid"),
         round(cosineExact(col("__cv"), col("__qv")), 9).as("cos"))

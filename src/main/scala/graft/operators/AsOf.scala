@@ -51,30 +51,39 @@ object AsOf {
       require(tsType.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"tolerance needs a numeric ordering column, got ${tsType.catalogString}")
     }
-    // the matched right ts rides along so tolerance can age-gate matches
-    val carriedCols = rightCols ++ (if (tolerance.isDefined) Seq("__rts") else Nil)
+    // The matched right row rides the window as ONE struct (its ts +
+    // every carried column), not per-column last(): a per-column carry
+    // would back-fill a matched row's NULL field from an OLDER right row
+    // — wrong as-of semantics (the match's value is null) and wrong
+    // tolerance gating (the value's age would exceed the gate even when
+    // the matched ts passes it). A struct from a right row is never
+    // null, so last(ignoreNulls) over structs IS "the matched row".
+    val rStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rts", tsType) +:
+        rightCols.map(c => org.apache.spark.sql.types.StructField(
+          c, right.schema(c).dataType, nullable = true)))
     // tag=0 sorts right-side rows before left rows at equal ts, so a left
     // row at exactly rightTs sees that right row (inclusive as-of).
     val l2 = left.select(
       (leftCols.map(col) ++ Seq(col(key).as("__k"), col(leftTs).cast(tsType).as("__ts"),
-        lit(1).as("__tag")) ++ carriedCols.map(c => lit(null).as(s"__r_$c"))): _*)
+        lit(1).as("__tag"), lit(null).cast(rStructType).as("__r"))): _*)
     val r2 = right.select(
       (leftCols.map(c => lit(null).as(c)) ++ Seq(col(key).as("__k"),
-        col(rightTs).cast(tsType).as("__ts"), lit(0).as("__tag")) ++
-        rightCols.map(c => col(c).as(s"__r_$c")) ++
-        (if (tolerance.isDefined) Seq(col(rightTs).cast(tsType).as("__r___rts")) else Nil)): _*)
+        col(rightTs).cast(tsType).as("__ts"), lit(0).as("__tag"),
+        struct((col(rightTs).cast(tsType).as("__rts") +: rightCols.map(col)): _*)
+          .as("__r"))): _*)
     val unioned = l2.unionByName(r2)
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carriedCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val matched = last(col("__r"), ignoreNulls = true).over(w)
     val inTol = tolerance
-      .map(t => col("__ts") - col("__r___rts") <= lit(t).cast(tsType))
+      .map(t => col("__ts") - col("__r").getField("__rts") <= lit(t).cast(tsType))
       .getOrElse(lit(true))
-    carried.where(col("__tag") === 1)
+    unioned.withColumn("__r", matched)
+      .where(col("__tag") === 1)
       .select((leftCols.map(col) ++ rightCols.map(c =>
-        when(inTol, col(s"__r_$c")).otherwise(lit(null)).as(s"asof_$c"))): _*)
+        when(col("__r").isNotNull && inTol, col("__r").getField(c))
+          .otherwise(lit(null)).as(s"asof_$c"))): _*)
   }
 
   /** Broadcast as-of join — same semantics as [[join]], zero shuffles.

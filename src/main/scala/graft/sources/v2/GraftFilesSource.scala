@@ -78,9 +78,17 @@ class GraftFilesTable(options: CaseInsensitiveStringMap)
   private val codec: String = Option(options.get("codec")).getOrElse("auto")
   // guard against a file (or its gzip expansion) OOMing an executor —
   // whole-file rows are the connector's contract, so the bound is on the
-  // DECOMPRESSED size and fails loud instead of dying on heap
-  private val maxFileSize: Long =
-    Option(options.get("maxFileSize")).map(_.toLong).getOrElse(1L << 31)
+  // DECOMPRESSED size and fails loud instead of dying on heap. Hard cap:
+  // a BinaryType cell is one JVM byte array, so nothing above the VM
+  // array limit can ever be admitted.
+  private val maxFileSize: Long = {
+    val arrayLimit = (Int.MaxValue - 16).toLong
+    val v = Option(options.get("maxFileSize")).map(_.toLong).getOrElse(arrayLimit)
+    require(v > 0 && v <= arrayLimit,
+      s"graft-files: maxFileSize must be in (0, $arrayLimit] — a whole-file " +
+        s"row cannot exceed the JVM array limit: $v")
+    v
+  }
 
   override def name(): String = s"graft-files(${paths.mkString(",")})"
   override def schema(): StructType = GraftFilesTable.SCHEMA

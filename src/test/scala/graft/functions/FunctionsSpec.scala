@@ -457,6 +457,11 @@ class FunctionsSpec extends SparkSpec {
     assert(v("k1") == ((2L, 1L, true)))
     assert(v("k2") == ((2L, 2L, false))) // the collision is caught
     assert(v("k3") == ((1L, 1L, true)))
+    // keepIdCol: the survivor pick rides the same pass
+    val withKeep = Dedup.verifyGroups(df, "fp", "text", keepIdCol = Some("doc_id"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(4), r.getBoolean(3)))).toMap
+    assert(withKeep == Map("k1" -> ((1L, true)), "k2" -> ((3L, false)),
+      "k3" -> ((5L, true))))
   }
   // Batch kNN join ≡ per-query brute force (deterministic synthetic
   // vectors; ties and ranks must agree exactly).

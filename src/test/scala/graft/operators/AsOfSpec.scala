@@ -163,4 +163,35 @@ class AsOfSpec extends SparkSpec {
         (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
     assert(zero == Map(1L -> null, 2L -> null, 3L -> 30.0, 4L -> null))
   }
+  // The matched row's value is what the join returns — null included. A
+  // per-column carry would back-fill the matched row's NULL from an
+  // older right row (and mis-age the tolerance gate); the struct carry
+  // must not.
+  test("as-of join: matched row's null field stays null (no back-fill)") {
+    val lSchema = StructType(Seq(
+      StructField("k", StringType), StructField("lts", LongType),
+      StructField("lid", LongType)))
+    val rSchema = StructType(Seq(
+      StructField("k", StringType), StructField("rts", LongType),
+      StructField("price", DoubleType)))
+    val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", 4L, 1L),   // matches r@3 whose price is NULL → null
+      Row("a", 2L, 2L),   // matches r@1 → 10.0
+    )), lSchema)
+    val right = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", 1L, 10.0), Row("a", 3L, null),
+    )), rSchema)
+    val out = AsOf.join(left, right, "k", "lts", "rts", Seq("price"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out == Map(1L -> null, 2L -> 10.0), out.toString)
+    // …and the tolerance gate ages the MATCH, not the last non-null
+    // value: lts=4 matches r@3 (age 1 ≤ 2) but its price is null — the
+    // stale price from r@1 (age 3 > 2) must NOT appear
+    val tol = AsOf.join(left, right, "k", "lts", "rts", Seq("price"),
+        tolerance = Some(2L))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(tol == Map(1L -> null, 2L -> 10.0), tol.toString)
+  }
 }
