@@ -1317,11 +1317,17 @@ object SparkEntry {
 
     // copies = ⌊w⌋ + (first 8 md5 hex chars < frac(w) as hex cutoff):
     // 0.2 → 0x33333333, 0.3 → 0x4ccccccc, frac 0 → '00000000' (never).
+    // Hash input mirrors the operator's length-prefixed encoding
+    // v<len>:<stratum>|v<len>:<key> (unambiguous under ':' in values).
     "x_mixture" ->
       """WITH w AS (
         | SELECT doc_id, lang,
         |  CASE WHEN lang = 'en' THEN 2 WHEN lang = 'zh' THEN 0 ELSE 1 END
-        |  + CASE WHEN substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |  + CASE WHEN substring(md5(
+        |        'v' || CAST(length(lang) AS VARCHAR) || ':' || lang
+        |        || '|' ||
+        |        'v' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+        |        || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
         |         < CASE WHEN lang = 'en' THEN '33333333'
         |                WHEN lang = 'zh' THEN '4ccccccc'
         |                ELSE '00000000' END

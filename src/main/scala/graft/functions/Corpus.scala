@@ -272,14 +272,20 @@ object Corpus {
       case (acc, (s, w)) =>
         when(col(strataCol) === s, lit(cutoffHex(w))).otherwise(acc)
     }
-    // null stratum/key rows still hash (sentinel inputs) so they get the
-    // fractional extra at the DEFAULT weight's rate — without the
-    // coalesce, md5(null) would silently deny them the extra copy and
-    // bias their rate down to ⌊defaultWeight⌋. Non-null inputs hash
-    // byte-identically with or without the coalesce.
+    // Hash input is an UNAMBIGUOUS encoding of (stratum, key): each side
+    // is length-prefixed ("v<len>:<value>") so values containing the
+    // separator cannot alias ("a:1"|"b" vs "a"|"1:b"), and null encodes
+    // as a bare "n" no value encoding can collide with (value encodings
+    // start with 'v') — null rows still hash, so they get the fractional
+    // extra at the DEFAULT weight's rate instead of being silently denied
+    // it by md5(null).
+    def enc(c: Column): Column = {
+      val s = c.cast("string")
+      when(s.isNull, lit("n"))
+        .otherwise(concat(lit("v"), length(s).cast("string"), lit(":"), s))
+    }
     val h8 = substring(md5(concat(
-      coalesce(col(strataCol).cast("string"), lit(" ")), lit(":"),
-      coalesce(col(keyCol).cast("string"), lit(" ")))), 1, 8)
+      enc(col(strataCol)), lit("|"), enc(col(keyCol)))), 1, 8)
     df.withColumn("__n", whole + when(h8 < cutoff, 1L).otherwise(0L))
       .withColumn("copy_id",
         explode(when(col("__n") > 0, sequence(lit(0L), col("__n") - 1))
@@ -296,11 +302,18 @@ object Corpus {
     * interleave — with r a deterministic md5-ranked position inside the
     * source, so the order is reproducible on any cluster size.
     *
-    * Scale shape: one shuffle on the source column for the in-source
-    * ranking window; the position column is then the range-partition /
-    * sort key for the ordered write (same write-side pattern as
-    * [[graft.functions.Layout]] z-ordering) — no global single-reducer
-    * sort happens here.
+    * Scale shape: the in-source rank is the same two-level decomposition
+    * as [[packOffsets]] — a window partitioned ONLY by the source column
+    * would funnel each source's entire row set (≈20 TB/source at 100 TB
+    * with a handful of langs) through one task. Instead rows bucket on
+    * the first two hex chars of the rank hash (256 buckets/source; the
+    * bucket is a PREFIX of the hash, so ordering by (bucket, hash) IS
+    * ordering by hash and the output is bit-identical), per-(source,
+    * bucket) counts prefix-sum in one tiny #source×256-row stage,
+    * base offsets broadcast back, and `row_number` runs within (source,
+    * bucket) — every data-sized stage is parallel. The position column
+    * is then the range-partition / sort key for the ordered write (same
+    * write-side pattern as [[graft.functions.Layout]] z-ordering).
     */
   def interleaveByWeight(df: DataFrame, sourceCol: String, keyCol: String,
                          weights: Map[String, Double],
@@ -311,10 +324,31 @@ object Corpus {
       case (acc, (s, v)) => when(col(sourceCol) === s, lit(v)).otherwise(acc)
     }
     val h = md5(concat(col(sourceCol), lit(":"), col(keyCol).cast("string")))
-    val r = row_number().over(
-      Window.partitionBy(col(sourceCol)).orderBy(h, col(keyCol)))
-    df.withColumn("interleave_pos",
-      (r.cast("double") - lit(0.5)) / w)
+    val withB = df
+      .withColumn("__h", h)
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    // Per-(source, bucket) counts → within-source exclusive prefix sums.
+    // The running sum is a single-partition window over the tiny counts
+    // table (≤ #sources × 256 rows), ordered (source, bucket); each
+    // source's base (= global running sum at its first bucket) is
+    // subtracted back out via a groupBy — deliberately NOT a window
+    // partitioned by the bare source column, so no plan stage anywhere in
+    // this operator keys on source alone.
+    val counts = withB.groupBy(col(sourceCol), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cumAll = coalesce(sum(col("__cnt")).over(
+      Window.orderBy(col(sourceCol), col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val counts2 = counts.select(col(sourceCol), col("__b"), cumAll.as("__cum"))
+    val bases = counts2.groupBy(col(sourceCol)).agg(min(col("__cum")).as("__base"))
+    val offsets = counts2.join(bases, sourceCol)
+      .select(col(sourceCol), col("__b"), (col("__cum") - col("__base")).as("__boff"))
+    val rIn = row_number().over(
+      Window.partitionBy(col(sourceCol), col("__b")).orderBy(col("__h"), col(keyCol)))
+    val r = col("__boff") + rIn
+    withB.join(broadcast(offsets), Seq(sourceCol, "__b"))
+      .withColumn("interleave_pos", (r.cast("double") - lit(0.5)) / w)
+      .select(df.columns.map(col) :+ col("interleave_pos"): _*)
   }
 
   /** Exact heavy hitters via the two-pass sketch pattern — THE way to get

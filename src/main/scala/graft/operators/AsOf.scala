@@ -76,8 +76,22 @@ object AsOf {
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = last(col("__r"), ignoreNulls = true).over(w)
+    // The gate compares in a WIDENED type: subtracting in a narrow
+    // integral tsType could overflow, and casting a Long tolerance into a
+    // 32-bit (or smaller) tsType would silently wrap/null under non-ANSI
+    // cast and mis-evaluate the gate. Integral → long (lossless), decimal
+    // stays decimal (Spark widens the comparison), fractional → double;
+    // the long tolerance literal is left uncast so comparison coercion
+    // widens BOTH sides to the common type.
+    val wide: org.apache.spark.sql.types.DataType = tsType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.types.LongType
+      case d: org.apache.spark.sql.types.DecimalType => d
+      case _ => org.apache.spark.sql.types.DoubleType
+    }
     val inTol = tolerance
-      .map(t => col("__ts") - col("__r").getField("__rts") <= lit(t).cast(tsType))
+      .map(t => col("__ts").cast(wide) - col("__r").getField("__rts").cast(wide) <= lit(t))
       .getOrElse(lit(true))
     unioned.withColumn("__r", matched)
       .where(col("__tag") === 1)

@@ -89,6 +89,23 @@ class GraftFilesTable(options: CaseInsensitiveStringMap)
         s"row cannot exceed the JVM array limit: $v")
     v
   }
+  // File packing: 1 file = 1 InputPartition is the reference's
+  // PartitionLoader shape, but at the realistic 100 TB corpus shape
+  // (millions of small files) it floods the scheduler with one task per
+  // file. `maxFilesPerPartition` / `maxBytesPerPartition` bin consecutive
+  // files (in listing order) into one InputPartition up to either bound;
+  // the defaults (1 file, unbounded bytes) keep the reference semantics.
+  private val maxFilesPerPartition: Int = {
+    val v = Option(options.get("maxFilesPerPartition")).map(_.toInt).getOrElse(1)
+    require(v >= 1, s"graft-files: maxFilesPerPartition must be >= 1: $v")
+    v
+  }
+  private val maxBytesPerPartition: Long = {
+    val v = Option(options.get("maxBytesPerPartition")).map(_.toLong)
+      .getOrElse(Long.MaxValue)
+    require(v > 0, s"graft-files: maxBytesPerPartition must be positive: $v")
+    v
+  }
 
   override def name(): String = s"graft-files(${paths.mkString(",")})"
   override def schema(): StructType = GraftFilesTable.SCHEMA
@@ -96,10 +113,13 @@ class GraftFilesTable(options: CaseInsensitiveStringMap)
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftFilesScanBuilder(paths, codec, maxFileSize)
+    new GraftFilesScanBuilder(paths, codec, maxFileSize,
+      maxFilesPerPartition, maxBytesPerPartition)
 }
 
-class GraftFilesScanBuilder(paths: Seq[String], codec: String, maxFileSize: Long)
+class GraftFilesScanBuilder(paths: Seq[String], codec: String, maxFileSize: Long,
+                            maxFilesPerPartition: Int = 1,
+                            maxBytesPerPartition: Long = Long.MaxValue)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -154,18 +174,24 @@ class GraftFilesScanBuilder(paths: Seq[String], codec: String, maxFileSize: Long
     val confProps = conf.iterator().asScala
       .map(e => e.getKey -> e.getValue).toArray
     GraftFilesScan(files, required, codec, pushed.map(_.toString), confProps,
-      maxFileSize)
+      maxFileSize, maxFilesPerPartition, maxBytesPerPartition)
   }
 }
 
-/** One surviving file per partition. mtimeMs is epoch millis. */
+/** One surviving file. mtimeMs is epoch millis. */
 case class GraftFilePartition(path: String, length: Long, mtimeMs: Long)
-    extends InputPartition
+
+/** One scheduled task: a size-binned run of consecutive files (a single
+  * file under the default packing limits).
+  */
+case class GraftFilesPack(files: Seq[GraftFilePartition]) extends InputPartition
 
 case class GraftFilesScan(files: Seq[GraftFilePartition], required: StructType,
                           codec: String, pushedDesc: Array[String],
                           confProps: Array[(String, String)],
-                          maxFileSize: Long)
+                          maxFileSize: Long,
+                          maxFilesPerPartition: Int = 1,
+                          maxBytesPerPartition: Long = Long.MaxValue)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -176,7 +202,27 @@ case class GraftFilesScan(files: Seq[GraftFilePartition], required: StructType,
       s"ReadColumns=[${required.fieldNames.mkString(",")}] " +
       s"PushedFilters=[${pushedDesc.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = files.toArray
+  /** Greedy sequential binning in listing (path) order: a pack closes
+    * when the next file would push it past `maxFilesPerPartition` or
+    * `maxBytesPerPartition` (listed — i.e. compressed — bytes; a pack
+    * always admits at least one file, so a single oversized file still
+    * reads, guarded per-file by `maxFileSize`). Deterministic: same
+    * listing → same packs on any cluster.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val packs = Seq.newBuilder[GraftFilesPack]
+    var cur = Vector.empty[GraftFilePartition]
+    var curBytes = 0L
+    files.foreach { f =>
+      val over = cur.nonEmpty &&
+        (cur.length >= maxFilesPerPartition || curBytes + f.length > maxBytesPerPartition)
+      if (over) { packs += GraftFilesPack(cur); cur = Vector.empty; curBytes = 0L }
+      cur :+= f
+      curBytes += f.length
+    }
+    if (cur.nonEmpty) packs += GraftFilesPack(cur)
+    packs.result().toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftFilesReaderFactory(required, codec, confProps, maxFileSize)
@@ -187,19 +233,20 @@ case class GraftFilesReaderFactory(required: StructType, codec: String,
                                    maxFileSize: Long)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftFileReader(partition.asInstanceOf[GraftFilePartition], required,
+    new GraftFileReader(partition.asInstanceOf[GraftFilesPack], required,
       codec, confProps, maxFileSize)
 }
 
-/** Emits the single row of one file. Opens the file ONLY if `content` was
-  * not pruned away — metadata-only scans do zero I/O beyond the listing.
+/** Emits one row per file in the pack. Opens each file ONLY if `content`
+  * was not pruned away — metadata-only scans do zero I/O beyond the
+  * listing.
   */
-class GraftFileReader(file: GraftFilePartition, required: StructType,
+class GraftFileReader(pack: GraftFilesPack, required: StructType,
                       codec: String, confProps: Array[(String, String)],
                       maxFileSize: Long)
     extends PartitionReader[InternalRow] {
 
-  private var done = false
+  private var idx = 0
   private var row: InternalRow = _
 
   /** Streams the (possibly gzip) content into ONE sized buffer — the
@@ -209,7 +256,7 @@ class GraftFileReader(file: GraftFilePartition, required: StructType,
     * oversized file (or a gzip bomb) fails with a clear error at the
     * bound instead of OOMing the executor after the fact.
     */
-  private def readBytes(): Array[Byte] = {
+  private def readBytes(file: GraftFilePartition): Array[Byte] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     confProps.foreach { case (k, v) => conf.set(k, v) }
     val hp = new Path(new java.net.URI(file.path))
@@ -233,23 +280,30 @@ class GraftFileReader(file: GraftFilePartition, required: StructType,
       out.toByteArray
     }
     val in = fs.open(hp)
-    try {
-      val gz = codec == "gzip" || (codec == "auto" && file.path.endsWith(".gz"))
-      if (gz) drainGuarded(new GZIPInputStream(in)) else drainGuarded(in)
-    } finally in.close()
+    val gz = codec == "gzip" || (codec == "auto" && file.path.endsWith(".gz"))
+    // the gzip wrapper must itself be closed (not just the file stream):
+    // its Inflater holds native memory that otherwise lingers until GC —
+    // one leak per gzip file read on long-lived executors
+    val stream: java.io.InputStream =
+      if (gz) {
+        try new GZIPInputStream(in)
+        catch { case e: Throwable => in.close(); throw e }
+      } else in
+    try drainGuarded(stream) finally stream.close()
   }
 
   override def next(): Boolean =
-    if (done) false
+    if (idx >= pack.files.length) false
     else {
+      val file = pack.files(idx)
       val values = required.fields.map(_.name).map {
         case "path" => UTF8String.fromString(file.path)
         case "length" => file.length
         case "mtime" => file.mtimeMs * 1000L // micros
-        case "content" => readBytes()
+        case "content" => readBytes(file)
       }
       row = InternalRow.fromSeq(values.toIndexedSeq)
-      done = true
+      idx += 1
       true
     }
 

@@ -145,6 +145,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)  // copies expand in the scan stage
   }
 
+  // VERDICT r5 item 1: a rank window partitioned by the bare source
+  // column funnels each source's whole row set through one task (~20 TB
+  // per task at 100 TB with a handful of sources). The two-level bucket
+  // decomposition keys every data-sized window on (source, hash-prefix
+  // bucket) instead.
+  test("x_interleave: rank windows key on (source, bucket), never source alone") {
+    val p = plan("x_interleave")
+    val rankLines = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("row_number"))
+      .toSeq
+    assert(rankLines.nonEmpty, s"no rank window in plan:\n$p")
+    rankLines.foreach { l =>
+      assert(l.contains("__b"),
+        s"rank window partitioned by the bare source column: $l")
+    }
+  }
+
   test("x_knn_join: candidates reduce through partial aggregation, queries broadcast") {
     val p = plan("x_knn_join")
     // the bounded top-k' aggregator must run partial (map-side) + final —

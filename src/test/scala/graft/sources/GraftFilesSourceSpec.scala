@@ -65,6 +65,36 @@ class GraftFilesSourceSpec extends SparkSpec {
     assert(one.count() == 1)
     assert(one.queryExecution.executedPlan.toString.contains("nFiles=1"))
   }
+  // VERDICT r5 item 4: 1 file = 1 task floods the scheduler at millions
+  // of small files; size-binned packing bounds tasks without changing rows.
+  test("maxFilesPerPartition packs small files; rows and decode unchanged") {
+    val d = Files.createTempDirectory("graft-files-pack").toString
+    (0 until 100).foreach { i =>
+      Files.write(Paths.get(d, f"f$i%03d.txt"), s"doc $i".getBytes("UTF-8"))
+    }
+    val gz = new GZIPOutputStream(new FileOutputStream(s"$d/z.jsonl.gz"))
+    gz.write("""{"k":9}""".getBytes("UTF-8")); gz.close()
+    val packed = spark.read.format("graft-files")
+      .option("maxFilesPerPartition", "10").load(s"$d/f*.txt")
+    assert(packed.rdd.getNumPartitions == 10)
+    val rows = packed.select(col("path"), col("content").cast("string").as("c"))
+      .collect().map(r => (r.getString(0).split('/').last, r.getString(1))).toMap
+    assert(rows.size == 100 && rows("f042.txt") == "doc 42")
+    // decode path still runs inside a pack
+    val all = spark.read.format("graft-files")
+      .option("maxFilesPerPartition", "101").load(s"$d/*")
+    assert(all.rdd.getNumPartitions == 1)
+    val z = all.where(col("path").endsWith(".gz"))
+      .select(col("content").cast("string")).head.getString(0)
+    assert(z == """{"k":9}""")
+    // byte bound closes packs early: 6-byte files, 13-byte bound → 2/pack
+    val byBytes = spark.read.format("graft-files")
+      .option("maxFilesPerPartition", "100")
+      .option("maxBytesPerPartition", "13").load(s"$d/f*.txt")
+    assert(byBytes.rdd.getNumPartitions == 50)
+    assert(byBytes.count() == 100)
+  }
+
   test("maxFileSize guards the DECOMPRESSED size with a clear error") {
     // a.txt is 9 bytes — a 4-byte bound must fail loud, not truncate
     val e = intercept[org.apache.spark.SparkException] {
