@@ -1125,6 +1125,67 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Blocked batch kNN join — knnJoin when the query side does NOT
+    // broadcast (self-kNN-graph shape: queries ⊂ corpus): candidate
+    // generation is the coarse-bucket hash EQUI-join (never a broadcast
+    // nested loop of queries × corpus), candidates reduce through the
+    // bounded top-k′ aggregator, survivors exact-rescore through id
+    // joins. Budget-tested at sf0.01 AND sf0.1 (round-5 discipline):
+    // this corpus is near-orthogonal (top cosines 0.27–0.33) and
+    // IVF-adversarial — sub-exhaustive probing tops out at 94% recall
+    // (nProbe=12/16 → 189/200 exact matches at sf0.1) — so the ORACLED
+    // regime probes every bucket (recall structurally 1, the x_ivf_ann
+    // discipline) and the in-query flag pins it; probe-limited recall is
+    // spec-covered (FunctionsSpec) as the documented trade.
+    "x_knn_blocked" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.where(pmod(col("vec_id"), lit(20)) === 0)
+      val blocked = Similarity.knnJoinBlocked(queries, e,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 16, kmeansIters = 1,
+        margin = 40, saltBuckets = 2, excludeSelf = true)
+      val exact = Similarity.knnJoin(queries, e,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("in_exact_topk"))
+      blocked.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"),
+          coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Composed IVF→PQ cascade (probe the inverted lists, ADC-rank only
+    // within them, exact-rescore the ADC top-400) in the x_pq_ann
+    // production regime: m=8 × k=256 codebooks, one Lloyd round.
+    // Budget-tested at sf0.1 first: sub-exhaustive probing bottoms out
+    // at 40–60% recall on this near-orthogonal corpus (nProbe=8/16 →
+    // 4/10), so the oracled regime probes all lists — the ADC budget
+    // (proven at sf0.1 in round 5) does the pruning, and the recall
+    // flag pins the whole cascade; probe-limited probing is
+    // spec-covered (FunctionsSpec).
+    "x_ivfpq_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0).select(col("embedding"))
+        .collect().head.getSeq[Float](0).toArray
+      val corpus = e.where(col("vec_id") =!= 0)
+      val cascade = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", qv,
+        k = 10, nCentroids = 16, nProbe = 16, kmeansIters = 1,
+        m = 8, codebookK = 256, lloydIters = 1, adcTopN = 400)
+      val q = array(qv.map(v => lit(v)): _*)
+      val bfTop = corpus
+        .select(col("vec_id"), col("embedding"),
+          Similarity.cosine(col("embedding"), q).as("cf"))
+        .orderBy(col("cf").desc, col("vec_id")).limit(50)
+        .select(col("vec_id"),
+          round(Similarity.cosineExact(col("embedding"), q), 9).as("bf_cos"))
+        .orderBy(col("bf_cos").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), lit(true).as("in_exact_topk"))
+      cascade.join(bfTop, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cos"),
+          coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata (the
     // decode itself is stubbed in graft.multimodal; here the oracle-
     // checkable byte-level layer).
@@ -1297,6 +1358,13 @@ object SparkEntry {
     "x_pq_ann" ->
       s"""WITH topk AS ($cosineTopkOracle)
          |SELECT vec_id, label, cos, TRUE AS in_exact_topk FROM topk
+         |ORDER BY cos DESC, vec_id""".stripMargin,
+
+    // IVF→PQ cascade with exhaustive probing: exact top-10 + pinned flag
+    // (any probe/ADC recall miss flips rows AND flag red).
+    "x_ivfpq_ann" ->
+      s"""WITH topk AS ($cosineTopkOracle)
+         |SELECT vec_id, cos, TRUE AS in_exact_topk FROM topk
          |ORDER BY cos DESC, vec_id""".stripMargin,
 
     "x_fingerprint" ->
@@ -2191,6 +2259,32 @@ object SparkEntry {
         |      neighbor_id) AS rank
         | FROM d)
         |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Blocked kNN join (self-kNN graph, every 20th vector as query, self
+    // excluded): the full quadratic window, plus the pinned recall flag.
+    "x_knn_blocked" ->
+      """WITH z AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(unnest(c.embedding) AS DOUBLE) AS x,
+        |  CAST(unnest(q.embedding) AS DOUBLE) AS y
+        | FROM embeddings q JOIN embeddings c
+        |   ON q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
+        |d AS (
+        | SELECT query_id, neighbor_id,
+        |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
+        |  SUM(CAST(x * x AS DECIMAL(30,15))) AS nc,
+        |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nq
+        | FROM z GROUP BY 1, 2),
+        |r AS (
+        | SELECT query_id, neighbor_id,
+        |  ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) AS cos,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) DESC,
+        |      neighbor_id) AS rank
+        | FROM d)
+        |SELECT query_id, neighbor_id, cos, rank, TRUE AS in_exact_topk
+        |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     "r_sessionize" ->

@@ -227,7 +227,8 @@ object Similarity {
   def knnJoin(queries: DataFrame, corpus: DataFrame,
               qIdCol: String, qVecCol: String,
               cIdCol: String, cVecCol: String,
-              k: Int, margin: Int = 40): DataFrame = {
+              k: Int, margin: Int = 40,
+              excludeSelf: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     require(margin >= 0, s"margin must be non-negative: $margin")
     val kPrime = k + margin
@@ -235,8 +236,12 @@ object Similarity {
     import spark.implicits._
     val q = queries.select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
     val c = corpus.select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"))
-    val scored = c.crossJoin(broadcast(q))
+    val scored0 = c.crossJoin(broadcast(q))
       .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__s"))
+    // excludeSelf: drop identity pairs BEFORE ranking (the kNN-graph
+    // convention — a row is trivially its own nearest neighbor)
+    val scored =
+      if (excludeSelf) scored0.where(col("__qid") =!= col("__cid")) else scored0
     val cand = scored.as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(t => (t._3, t._2))
@@ -249,6 +254,101 @@ object Similarity {
     broadcast(cand)              // q·k′ rows — hinted, so the corpus-side
       .join(c, "__cid")          // rescore join can never re-shuffle N rows
       .join(broadcast(q), "__qid")
+      .select(col("__qid"), col("__cid"),
+        round(cosineExact(col("__cv"), col("__qv")), 9).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
+  /** Blocked batch k-NN join — [[knnJoin]] when the query side does NOT
+    * broadcast (the self-kNN-graph case: neighbors of *every* corpus row,
+    * the workhorse of embedding-based dedup/clustering at scale, where
+    * queries = corpus and a broadcast would score N² pairs).
+    *
+    * Composition of the repo's two bucketed shapes: [[ivfAssign]]'s
+    * coarse quantizer gives every corpus row a bucket (pure `ArgMaxDot`
+    * map, zero shuffles), every query row maps to its `nProbe` nearest
+    * centroid buckets (map-only: centroid dots via the native kernel,
+    * `array_sort` over nCentroids structs, explode — no driver state but
+    * the nCentroids×dim centroid literals), and candidate generation is
+    * the (bucket [, salt]) hash EQUI-join of [[cosineNearDupBlocked]] —
+    * never an all-pairs nested loop. Per-query candidates reduce through
+    * the same bounded top-k′ Aggregator as [[knnJoin]] (exchange carries
+    * q·k′ (score, id) entries, never vectors, never all scored pairs);
+    * the survivors exact-rescore through plain id equi-joins back to the
+    * two tables (no broadcast hint — AQE broadcasts small sides, shuffle
+    * hash joins otherwise).
+    *
+    * Recall < 1 by construction (only probed buckets are scored) — the
+    * IVF trade. Raise `nProbe` toward nCentroids for recall 1; size
+    * `nCentroids` ≈ corpus/targetBucketRows at scale so per-bucket work
+    * stays bounded, and use `saltBuckets` > 1 when few huge buckets
+    * under-parallelize. Query-side probe ranking computes centroid dots
+    * in float (the native kernel's element type); the corpus-side
+    * assignment ranks in double — a near-tie between two centroids can
+    * probe a different-but-equally-near list, which only shifts WHICH
+    * near-candidates are seen, bounded by the same recall trade.
+    *
+    * Output: (query_id, neighbor_id, cos, rank), rank 1..k per query by
+    * (cos desc, neighbor_id), cos = exact-decimal cosine rounded to 9
+    * places (cross-engine bit-reproducible).
+    */
+  def knnJoinBlocked(queries: DataFrame, corpus: DataFrame,
+                     qIdCol: String, qVecCol: String,
+                     cIdCol: String, cVecCol: String,
+                     k: Int,
+                     nCentroids: Int = 16, nProbe: Int = 4,
+                     kmeansIters: Int = 0,
+                     margin: Int = 40, saltBuckets: Int = 1,
+                     excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(nProbe >= 1, s"nProbe must be positive: $nProbe")
+    require(margin >= 0 && saltBuckets >= 1)
+    val kPrime = k + margin
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val (assignedC, cents) = ivfAssign(
+      corpus.select(col(cIdCol), col(cVecCol)), cIdCol, cVecCol,
+      nCentroids, kmeansIters)
+    val nC = cents.length
+    val np = math.min(nProbe, nC)
+    val c = assignedC.select(col(cIdCol).cast("long").as("__cid"),
+      col(cVecCol).as("__cv"), col("ivf_bucket").as("__b"))
+    // per-query top-np probe buckets: nC native dots + one nC-length
+    // struct sort per row, all inside codegen — corpus-size independent
+    def centF(i: Int): Column = array(cents(i).map(v => lit(v.toFloat)): _*)
+    val scoredCents = array((0 until nC).map(i =>
+      struct((-dotNative(col("__qv"), centF(i))).as("negd"), lit(i).as("b"))): _*)
+    val probes = transform(slice(array_sort(scoredCents), 1, np),
+      p => p.getField("b"))
+    val q = queries.select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
+      .withColumn("__b", explode(probes))
+    // candidate generation: hash equi-join on (bucket [, salt]) — a
+    // corpus row sits in exactly one bucket and a query's probes are
+    // distinct, so no (q, c) pair ever matches twice
+    val (lhs, rhs) =
+      if (saltBuckets == 1) (c, q)
+      else (c.withColumn("__salt", pmod(col("__cid"), lit(saltBuckets))),
+        q.withColumn("__salt", explode(array((0 until saltBuckets).map(lit(_)): _*))))
+    val joinKeys = if (saltBuckets == 1) Seq("__b") else Seq("__b", "__salt")
+    val scored0 = lhs.join(rhs, joinKeys)
+      .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__s"))
+    val scored =
+      if (excludeSelf) scored0.where(col("__qid") =!= col("__cid")) else scored0
+    val cand = scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2))
+      .agg(topKByScore(kPrime).toColumn.name("cands"))
+      .toDF("__qid", "cands")
+      .select(col("__qid"), explode(col("cands")).as("cd"))
+      .select(col("__qid"), col("cd._2").as("__cid"))
+    val cFull = corpus.select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"))
+    val qFull = queries.select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("cos").desc, col("__cid"))
+    cand.join(cFull, "__cid").join(qFull, "__qid")
       .select(col("__qid"), col("__cid"),
         round(cosineExact(col("__cv"), col("__qv")), 9).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -532,5 +632,51 @@ object Similarity {
         (tabSum(dotTab) / (sqrt(tabSum(normTab)) * lit(qNorm))).as("adc_cos"))
       .orderBy(col("adc_cos").desc, col(idCol))
       .limit(topN)
+  }
+
+  /** Composed IVF→PQ cascade — the production billion-vector ANN shape:
+    * the coarse quantizer ([[ivfAssign]]) narrows the search to the
+    * query's `nProbe` nearest inverted lists, ADC ([[pqCandidates]])
+    * ranks ONLY the probed lists' compressed codes (m table lookups per
+    * row — memory traffic is m bytes/vector per probed list, the whole
+    * point of IVF-PQ), and the ADC top-`adcTopN` rescore against the
+    * original vectors with exact-decimal cosine for the final exact-ranked
+    * top-k.
+    *
+    * Scale shape: PQ codebooks train ONCE on the whole corpus (global
+    * codebooks — k·dim doubles of driver state, corpus-size independent);
+    * the probe filter is a bucket-column predicate evaluated inside the
+    * scan (partition-prunable when the stored index partitions by
+    * `ivf_bucket`); encode, ADC, and rescore are all maps; the only
+    * data-sized movement is the two bounded top-N passes
+    * (TakeOrderedAndProject, never a global sort).
+    *
+    * Recall: misses compound across BOTH filters (true neighbor in an
+    * unprobed list, or outside the ADC top-N) — pin it with an in-query
+    * flag against the brute-force answer, per the x_pq_ann discipline.
+    *
+    * Output: (id, cos) — ADC-survivor top-k by exact cosine,
+    * (cos desc, id) order, 9-place rounding (cross-engine reproducible).
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Array[Float], k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0,
+                m: Int = 8, codebookK: Int = 256, lloydIters: Int = 0,
+                adcTopN: Int = 400): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && adcTopN >= k)
+    val (assigned, cents) = ivfAssign(df, idCol, vecCol, nCentroids, kmeansIters)
+    val (encoded, books) = productQuantize(assigned, idCol, vecCol, m, codebookK, lloydIters)
+    val qd = query.map(_.toDouble)
+    val probesIdx = cents.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qd).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(math.min(nProbe, cents.length)).map(_._1)
+    val probed = encoded.where(col("ivf_bucket").isin(probesIdx: _*))
+    val adc = pqCandidates(probed, books, query, adcTopN, idCol)
+    val q = array(query.map(v => lit(v)): _*)
+    adc.select(col(idCol))
+      .join(df.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol), round(cosineExact(col(vecCol), q), 9).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
   }
 }

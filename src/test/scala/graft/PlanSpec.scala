@@ -162,6 +162,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  // VERDICT r5 item 2: the blocked kNN join must never fall back to a
+  // broadcast nested loop or cartesian of queries × corpus — candidate
+  // generation is the coarse-bucket hash equi-join, and candidates reduce
+  // through the partial/final bounded top-k' aggregation. (The operator
+  // plan is pinned directly: the x_knn_blocked QUERY also computes the
+  // in-query exact flag via knnJoin, whose tiny-query broadcast nested
+  // loop is intentional.)
+  test("knnJoinBlocked plan: bucket equi-join, no nested loop, partial top-k agg") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val queries = e.where(col("vec_id") % 20 === 0)
+    val p = graft.functions.Similarity.knnJoinBlocked(queries, e,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 16, margin = 40, saltBuckets = 2,
+      excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"blocked kNN fell back to a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"top-k aggregation not partial/final:\n$p")
+  }
+
   test("x_knn_join: candidates reduce through partial aggregation, queries broadcast") {
     val p = plan("x_knn_join")
     // the bounded top-k' aggregator must run partial (map-side) + final —

@@ -494,6 +494,86 @@ class FunctionsSpec extends SparkSpec {
     }.toSet
     assert(got == want)
   }
+  // Blocked kNN join (no query broadcast): with every bucket probed the
+  // candidate universe is the whole corpus, so the result must equal the
+  // broadcast knnJoin bit-for-bit — ids, exact cosines, AND ranks —
+  // including under salting and self-exclusion.
+  test("knnJoinBlocked with exhaustive probing equals knnJoin exactly") {
+    val dim = 8
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(d => (((seed * 31 + d * 17) % 13) - 6).toFloat / 7f)
+    val schema = StructType(Seq(StructField("vid", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    val all = (0L until 40L).map(i => Row(i, vec(i).toSeq))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(all, 4), schema)
+    val queries = df.where(col("vid") < 5)
+    val corpus = df.where(col("vid") >= 5)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val exact = rows(Similarity.knnJoin(queries, corpus, "vid", "v", "vid", "v",
+      k = 3, margin = 5))
+    val blocked = rows(Similarity.knnJoinBlocked(queries, corpus, "vid", "v", "vid", "v",
+      k = 3, nCentroids = 4, nProbe = 4, margin = 5, saltBuckets = 2))
+    assert(blocked == exact)
+    // self-kNN graph: queries = corpus, identity pairs excluded
+    val selfG = Similarity.knnJoinBlocked(df, df, "vid", "v", "vid", "v",
+      k = 2, nCentroids = 4, nProbe = 4, kmeansIters = 1, excludeSelf = true)
+      .collect()
+    assert(selfG.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(selfG.groupBy(_.getLong(0)).size == 40)
+    val selfExact = rows(Similarity.knnJoin(df, df, "vid", "v", "vid", "v",
+      k = 2, excludeSelf = true))
+    assert(selfG.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      == selfExact)
+  }
+  // Probe-limited blocked kNN: recall < 1 is the documented IVF trade —
+  // but whatever IS returned must be well-formed (contiguous ranks) and
+  // value-correct (each pair's cosine equals the exact pair cosine).
+  test("knnJoinBlocked sub-exhaustive probing: well-formed, value-correct") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val queries = e.where(col("vec_id") < 10)
+    val part = Similarity.knnJoinBlocked(queries, e, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 2, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(part.nonEmpty)
+    part.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length))
+    }
+    // spot-check pair values against the driver-computed pair cosine
+    val byId = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = a.map(x => x.toDouble * x.toDouble).sum
+      val nb = b.map(x => x.toDouble * x.toDouble).sum
+      dot / math.sqrt(na * nb)
+    }
+    part.take(10).foreach { case (q, n, cos, _) =>
+      assert(math.abs(cos - cosD(byId(q), byId(n))) < 1e-6, s"pair ($q,$n)")
+    }
+  }
+  // IVF→PQ cascade, structurally exact regime: all lists probed,
+  // codebooks big enough to be lossless, ADC keeps everything → the
+  // cascade must reproduce the exact brute-force top-k.
+  test("ivfPqTopK exhaustive+lossless cascade equals brute force") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.where(col("vec_id") === 7).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val got = Similarity.ivfPqTopK(e, "vec_id", "embedding", q, k = 5,
+      nCentroids = 8, nProbe = 8, m = 8, codebookK = 512, lloydIters = 0,
+      adcTopN = 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 5, exact = true)
+      .select(col("vec_id"), round(col("cos"), 9).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+    // probe-limited cascade returns a subset of well-formed scores
+    val part = Similarity.ivfPqTopK(e, "vec_id", "embedding", q, k = 5,
+      nCentroids = 8, nProbe = 2, m = 8, codebookK = 32, lloydIters = 1,
+      adcTopN = 50).collect()
+    assert(part.nonEmpty && part.length <= 5)
+  }
+
   test("knnJoin edges: corpus smaller than k, empty query side") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("vid", LongType),
