@@ -76,8 +76,68 @@ object GraftSession {
     // building block for cosine scoring without the interpreted HOF tax.
     reg.createOrReplaceTempFunction("dot_f",
       exprs => graft.plans.DotProductF(exprs(0), exprs(1)), "scala_udf")
+    // mixture_copy_ids(stratum, key, map('en', 2.2, …), defaultWeight):
+    // the DoReMi mixture resample from SQL text — returns the copy-id
+    // array a row contributes (null when it contributes nothing), so the
+    // whole resample is `LATERAL VIEW explode(mixture_copy_ids(...))`.
+    // Weights ride as a foldable map literal (plan-time state in the DSL
+    // path too); the expression tree is built by the SAME code as the
+    // DSL, so SQL and DSL results are identical by construction.
+    reg.createOrReplaceTempFunction("mixture_copy_ids",
+      exprs => org.apache.spark.sql.graftbridge.ColumnBridge.expressionEager(
+        spark,
+        graft.functions.Corpus.mixtureCopyIds(
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(exprs(0)),
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(exprs(1)),
+          exprStringDoubleMap(exprs(2)),
+          exprDouble(exprs(3)))), "scala_udf")
+    // interleaveByWeight / heavyHitters stay DSL-only by design: each is
+    // a multi-stage PLAN (two-level bucket-rank decomposition; two-pass
+    // Misra–Gries sketch + exact recount), not a scalar expression — a
+    // SQL scalar registration would have to hide stages with the wrong
+    // scale shape. The blessed SQL route is the DSL entry point over a
+    // registered view (see README "SQL surface").
     // StopwordProfileArgmax still carries Seq[Seq[String]] profile state —
     // exposed through the Scala DSL only.
+  }
+
+  private def exprDouble(e: org.apache.spark.sql.catalyst.expressions.Expression): Double =
+    e.eval(null) match {
+      case d: java.lang.Double => d.doubleValue
+      case f: java.lang.Float => f.doubleValue
+      case i: java.lang.Integer => i.doubleValue
+      case l: java.lang.Long => l.doubleValue
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(s"expected numeric literal, got $other")
+    }
+
+  /** Evaluate a foldable `map(string, numeric)` literal (SQL `map(…)`). */
+  private def exprStringDoubleMap(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Map[String, Double] = {
+    require(e.foldable, s"expected a foldable map literal, got $e")
+    val valueType = e.dataType match {
+      case org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, vt, _) => vt
+      case other => throw new IllegalArgumentException(
+        s"expected map<string, numeric> literal, got ${other.catalogString}")
+    }
+    e.eval(null) match {
+      case m: org.apache.spark.sql.catalyst.util.MapData =>
+        val keys = m.keyArray.toObjectArray(org.apache.spark.sql.types.StringType)
+        val vals = m.valueArray.toObjectArray(valueType)
+        keys.zip(vals).map { case (k, v) =>
+          k.toString -> (v match {
+            case d: java.lang.Double => d.doubleValue
+            case f: java.lang.Float => f.doubleValue
+            case i: java.lang.Integer => i.doubleValue
+            case l: java.lang.Long => l.doubleValue
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case other => throw new IllegalArgumentException(
+              s"expected numeric map value, got $other")
+          })
+        }.toMap
+      case other => throw new IllegalArgumentException(
+        s"expected map literal, got $other")
+    }
   }
 
   private def exprInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =

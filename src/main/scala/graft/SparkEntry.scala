@@ -972,9 +972,14 @@ object SparkEntry {
     "x_lsh_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       // bucket count tracks corpus size (fixed nBits degenerates toward
-      // all-pairs as the corpus grows) — one count() to size, then the
-      // bucket equi-join
-      val nBits = Similarity.lshBitsFor(e.count(), targetPerBucket = 8)
+      // all-pairs as the corpus grows) — sized from the scan's CATALOG
+      // estimate (file-footer bytes ÷ approx row width: 64 float32 + id/
+      // label/encoding overhead ≈ 400 B), not a count() job: lshBitsFor
+      // is logarithmic, so an order-of-magnitude estimate lands the same
+      // nBits while removing a whole corpus pass from the query
+      val estRows = math.max(1L,
+        (e.queryExecution.optimizedPlan.stats.sizeInBytes / 400).toLong)
+      val nBits = Similarity.lshBitsFor(estRows, targetPerBucket = 8)
       Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
         dim = 64, nBits = nBits, minCos = 0.2)
         .orderBy("id_a", "id_b")

@@ -257,7 +257,23 @@ object Corpus {
     */
   def mixtureWeightedSample(df: DataFrame, strataCol: String, keyCol: String,
                             weights: Map[String, Double],
-                            defaultWeight: Double = 1.0): DataFrame = {
+                            defaultWeight: Double = 1.0): DataFrame =
+    df.withColumn("copy_id",
+      explode(mixtureCopyIds(col(strataCol), col(keyCol), weights, defaultWeight)))
+
+  /** The scalar core of [[mixtureWeightedSample]]: the 0-based copy-id
+    * ARRAY one row contributes under the mixture weights (null — which
+    * `explode` drops — when the row contributes nothing). Exposed
+    * separately so the SQL surface can call it
+    * (`mixture_copy_ids(stratum, key, map('en', 2.2, …), default)` via
+    * [[graft.GraftSession.registerFunctions]]):
+    * `SELECT d.*, copy_id FROM docs d
+    *  LATERAL VIEW explode(mixture_copy_ids(lang, doc_id,
+    *    map('en', 2.2), 1.0)) t AS copy_id`.
+    */
+  def mixtureCopyIds(stratum: Column, key: Column,
+                     weights: Map[String, Double],
+                     defaultWeight: Double = 1.0): Column = {
     (weights.values ++ Seq(defaultWeight)).foreach(w =>
       require(w >= 0 && w < 1000, s"weight out of range [0, 1000): $w"))
     // fractional part as an 8-hex-char cutoff: md5 hex is lowercase, so a
@@ -266,11 +282,11 @@ object Corpus {
       f"${math.floor((w - math.floor(w)) * 4294967296.0).toLong}%08x"
     val whole = weights.foldLeft(lit(math.floor(defaultWeight).toLong)) {
       case (acc, (s, w)) =>
-        when(col(strataCol) === s, lit(math.floor(w).toLong)).otherwise(acc)
+        when(stratum === s, lit(math.floor(w).toLong)).otherwise(acc)
     }
     val cutoff = weights.foldLeft(lit(cutoffHex(defaultWeight))) {
       case (acc, (s, w)) =>
-        when(col(strataCol) === s, lit(cutoffHex(w))).otherwise(acc)
+        when(stratum === s, lit(cutoffHex(w))).otherwise(acc)
     }
     // Hash input is an UNAMBIGUOUS encoding of (stratum, key): each side
     // is length-prefixed ("v<len>:<value>") so values containing the
@@ -284,13 +300,9 @@ object Corpus {
       when(s.isNull, lit("n"))
         .otherwise(concat(lit("v"), length(s).cast("string"), lit(":"), s))
     }
-    val h8 = substring(md5(concat(
-      enc(col(strataCol)), lit("|"), enc(col(keyCol)))), 1, 8)
-    df.withColumn("__n", whole + when(h8 < cutoff, 1L).otherwise(0L))
-      .withColumn("copy_id",
-        explode(when(col("__n") > 0, sequence(lit(0L), col("__n") - 1))
-          .otherwise(lit(null)))) // explode(null) drops the row
-      .drop("__n")
+    val h8 = substring(md5(concat(enc(stratum), lit("|"), enc(key))), 1, 8)
+    val n = whole + when(h8 < cutoff, 1L).otherwise(0L)
+    when(n > 0, sequence(lit(0L), n - 1)).otherwise(lit(null))
   }
 
   /** Weight-proportional source interleaving — the ordering stage that

@@ -545,11 +545,7 @@ object Similarity {
       .as("s")).select(col("s.j").as("j"), col("s.sub").as("sub"))
 
     // init: k hash-ranked distinct subvectors per subspace
-    val init = subs.distinct()
-      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("j")).orderBy(xxhash64(col("sub")), col("sub"))))
-      .where(col("rk") <= k)
-      .select(col("j"), col("rk"), col("sub")).collect()
+    val init = codebookInit(subs, k).collect()
       .groupBy(_.getInt(0))
       .map { case (j, rows) =>
         j -> rows.sortBy(_.getInt(1))
@@ -584,6 +580,21 @@ object Similarity {
         assignExpr(slice(col(vecCol), j * d + 1, d), books, d, j)): _*))
     (encoded, books)
   }
+
+  /** Codebook init plan: the k hash-ranked distinct subvectors per
+    * subspace. Kept as its own method so PlanSpec can pin the physical
+    * shape — the `rk <= k` filter directly above the rank window is what
+    * lets Spark plan a per-partition top-k heap (WindowGroupLimit)
+    * instead of fully sorting every subspace partition; an innocent
+    * refactor that separates filter from window would silently restore
+    * the full sort.
+    */
+  private[graft] def codebookInit(subs: DataFrame, k: Int): DataFrame =
+    subs.distinct()
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("j")).orderBy(xxhash64(col("sub")), col("sub"))))
+      .where(col("rk") <= k)
+      .select(col("j"), col("rk"), col("sub"))
 
   // exact-L2 code assignment: argmax over biased dot (see productQuantize)
   private def assignExpr(sub: Column, books: Array[Array[Array[Double]]],

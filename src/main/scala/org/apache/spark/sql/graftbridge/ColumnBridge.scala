@@ -13,6 +13,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column → Expression conversion via the session's converter.
+    * `expression` above wraps the Column's node lazily
+    * (`ColumnNodeExpression`), which only materializes when a Dataset
+    * operation analyzes it — returned from a FunctionRegistry builder it
+    * stays opaque (VOID type) and analysis fails. This converts the whole
+    * node tree to real catalyst expressions up front, so DSL-built
+    * Columns can back SQL function registrations.
+    */
+  def expressionEager(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
 }
 
 /** Bridge for constructing a DataFrame from a hand-built LogicalPlan

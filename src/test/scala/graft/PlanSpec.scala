@@ -162,6 +162,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  // VERDICT r5 item 6: exactKPerStratum and the PQ codebook init rely on
+  // Spark inferring a per-partition top-k heap from the `rank <= k`
+  // filter directly above the rank window (WindowGroupLimit). An
+  // innocent expression change between filter and window would silently
+  // restore the full per-partition sort — pin the optimization in both
+  // physical plans.
+  test("rank-filter top-k plans run as WindowGroupLimit, not a full sort") {
+    import org.apache.spark.sql.functions.{col, lit, struct, slice}
+    // x_sample_k drives exactKPerStratum end-to-end
+    val pSample = plan("x_sample_k")
+    assert(pSample.contains("WindowGroupLimit"),
+      s"exactKPerStratum lost the per-partition top-k heap:\n$pSample")
+    // PQ codebook init: same (j, sub) shape productQuantize builds
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val d = 8
+    val subs = e.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array((0 until 8).map(j =>
+          struct(lit(j).as("j"), slice(col("embedding"), j * d + 1, d).as("sub"))): _*))
+      .as("s")).select(col("s.j").as("j"), col("s.sub").as("sub"))
+    val pInit = graft.functions.Similarity.codebookInit(subs, 32)
+      .queryExecution.executedPlan.toString
+    assert(pInit.contains("WindowGroupLimit"),
+      s"PQ codebook init lost the per-partition top-k heap:\n$pInit")
+  }
+
   // VERDICT r5 item 2: the blocked kNN join must never fall back to a
   // broadcast nested loop or cartesian of queries × corpus — candidate
   // generation is the coarse-bucket hash equi-join, and candidates reduce
