@@ -52,6 +52,30 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** Interleave-ordered parquet — the write stage that completes
+    * [[graft.functions.Corpus.interleaveByWeight]]: rows range-partition
+    * and sort by `interleave_pos`, so reading files in name order streams
+    * the training mixture in weighted-stride order (each source at its
+    * weighted rate, evenly spread). Same write-side shape as
+    * [[zorderedParquet]]: `repartitionByRange` samples the position
+    * distribution → near-equal files even when sources are skewed, and
+    * the sort is per-file, never a single global reducer.
+    *
+    * File-name order IS position order: part file numbering follows the
+    * range partition id, and ranges are ascending in the sort key.
+    */
+  def interleavedParquet(df: DataFrame, sourceCol: String, keyCol: String,
+                         weights: Map[String, Double], path: String,
+                         numFiles: Int,
+                         defaultWeight: Double = 1.0,
+                         mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.functions.Corpus.interleaveByWeight(df, sourceCol, keyCol, weights, defaultWeight)
+      .repartitionByRange(numFiles, col("interleave_pos"))
+      .sortWithinPartitions("interleave_pos")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Bucketed + sorted table: rows are hash-partitioned into `nBuckets`
     * files per partition by `bucketCols` at write time. Two tables
     * bucketed the same way join WITHOUT a shuffle — the write pre-pays

@@ -47,6 +47,38 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  // Interleave-ordered write: files cover disjoint ascending position
+  // ranges, so reading file-by-file streams the weighted mixture in
+  // stride order — and the multiset of rows is exactly the input's.
+  test("interleavedParquet: disjoint ascending position ranges per file") {
+    val d = Files.createTempDirectory("graft-sink-il").toString
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "lang")
+    Sinks.interleavedParquet(docs, "lang", "doc_id",
+      Map("en" -> 2.0, "zh" -> 0.5), s"$d/il", numFiles = 4)
+    val files = new java.io.File(s"$d/il").listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.getPath).sorted
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("interleave_pos")), max(col("interleave_pos")), count(lit(1)))
+        .head
+      (r.getDouble(0), r.getDouble(1), r.getLong(2))
+    }
+    // within-file sorted ranges are ascending and disjoint across the
+    // name-ordered files
+    ranges.sliding(2).foreach {
+      case Array((_, hi, _), (lo, _, _)) => assert(hi <= lo, ranges.mkString(","))
+      case _ => ()
+    }
+    assert(ranges.map(_._3).sum == docs.count())
+    // row multiset preserved
+    val back = spark.read.parquet(s"$d/il").select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val want = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(back == want)
+  }
+
   test("foreachPartition sink executes once per row, executor-side") {
     val acc: LongAccumulator = spark.sparkContext.longAccumulator("rows")
     val r = spark.read.parquet(s"${sf()}/region.parquet")
