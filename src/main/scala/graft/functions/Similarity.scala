@@ -666,6 +666,22 @@ object Similarity {
     * unprobed list, or outside the ADC top-N) — pin it with an in-query
     * flag against the brute-force answer, per the x_pq_ann discipline.
     *
+    * `residual = true` is the production encoding: PQ compresses the
+    * RESIDUAL v − c(list) instead of v. When the coarse quantizer
+    * explains real variance, residual norms are a fraction of vector
+    * norms and the same m×k codebook budget spends its resolution on the
+    * unexplained part — ADC fidelity jumps at no storage cost (the
+    * classic IVFADC layout). Measured caveat (tools.RecallProbe): on THIS
+    * near-orthogonal corpus 16 centroids explain almost nothing, so
+    * residual ≈ v and recall@budget is a wash — the option earns its keep
+    * on clustered corpora, not here. The
+    * ADC score reconstructs cosine exactly from per-list lookup tables:
+    * ⟨q,v̂⟩ = ⟨q,c⟩ + Σⱼ⟨qⱼ,bookⱼ[code]⟩ and ‖v̂‖² = ‖c‖² +
+    * 2Σⱼ⟨cⱼ,bookⱼ[code]⟩ + Σⱼ‖bookⱼ[code]‖² — three m×k tables per
+    * probed list, still corpus-size-independent plan literals, and the
+    * per-list ADC scans union into one bounded top-N
+    * (TakeOrderedAndProject, never a global sort).
+    *
     * Output: (id, cos) — ADC-survivor top-k by exact cosine,
     * (cos desc, id) order, 9-place rounding (cross-engine reproducible).
     */
@@ -673,16 +689,62 @@ object Similarity {
                 query: Array[Float], k: Int,
                 nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0,
                 m: Int = 8, codebookK: Int = 256, lloydIters: Int = 0,
-                adcTopN: Int = 400): DataFrame = {
+                adcTopN: Int = 400, residual: Boolean = false): DataFrame = {
     require(k >= 1 && nProbe >= 1 && adcTopN >= k)
     val (assigned, cents) = ivfAssign(df, idCol, vecCol, nCentroids, kmeansIters)
-    val (encoded, books) = productQuantize(assigned, idCol, vecCol, m, codebookK, lloydIters)
+    val nC = cents.length
     val qd = query.map(_.toDouble)
     val probesIdx = cents.zipWithIndex
       .map { case (c, i) => (i, c.zip(qd).map { case (a, b) => a * b }.sum) }
-      .sortBy(-_._2).take(math.min(nProbe, cents.length)).map(_._1)
-    val probed = encoded.where(col("ivf_bucket").isin(probesIdx: _*))
-    val adc = pqCandidates(probed, books, query, adcTopN, idCol)
+      .sortBy(-_._2).take(math.min(nProbe, nC)).map(_._1)
+    val adc =
+      if (!residual) {
+        val (encoded, books) = productQuantize(assigned, idCol, vecCol, m, codebookK, lloydIters)
+        pqCandidates(encoded.where(col("ivf_bucket").isin(probesIdx: _*)),
+          books, query, adcTopN, idCol)
+      } else {
+        // residual column: v − c(bucket), centroids dispatched as plan
+        // literals (nCentroids × dim floats — at a production nCentroids
+        // you'd join a centroid table instead; the ADC math is identical)
+        def centF(i: Int): Column = array(cents(i).map(v => lit(v.toFloat)): _*)
+        val centOfBucket = (1 until nC).foldLeft(centF(0)) { (acc, i) =>
+          when(col("ivf_bucket") === i, centF(i)).otherwise(acc)
+        }
+        val withRes = assigned.withColumn("__rv",
+          zip_with(col(vecCol), centOfBucket, (x, c) => x - c))
+        val (encoded, books) = productQuantize(withRes, idCol, "__rv", m, codebookK, lloydIters)
+        val d = books(0)(0).length
+        val qNorm = math.sqrt(qd.map(x => x * x).sum)
+        def tabSum(tab: Seq[Seq[Double]]): Column =
+          aggregate(zip_with(col("pq_codes"), typedLit(tab),
+              (c, t) => element_at(t, c + 1)),
+            lit(0.0), (acc, x) => acc + x)
+        val perList = probesIdx.map { li =>
+          val cL = cents(li)
+          val qc = qd.zip(cL).map { case (a, b) => a * b }.sum
+          val cNorm2 = cL.map(x => x * x).sum
+          val qTab: Seq[Seq[Double]] = (0 until m).map { j =>
+            val qj = qd.slice(j * d, (j + 1) * d)
+            books(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum).toSeq
+          }
+          val cTab: Seq[Seq[Double]] = (0 until m).map { j =>
+            val cj = cL.slice(j * d, (j + 1) * d)
+            books(j).map(c => c.zip(cj).map { case (a, b) => a * b }.sum).toSeq
+          }
+          val nTab: Seq[Seq[Double]] = (0 until m).map { j =>
+            books(j).map(c => c.map(x => x * x).sum).toSeq
+          }
+          encoded.where(col("ivf_bucket") === li)
+            .select(col(idCol),
+              ((lit(qc) + tabSum(qTab)) /
+                (sqrt(greatest(lit(0.0),
+                  lit(cNorm2) + lit(2.0) * tabSum(cTab) + tabSum(nTab))) * lit(qNorm)))
+                .as("adc_cos"))
+        }
+        perList.reduce(_.union(_))
+          .orderBy(col("adc_cos").desc, col(idCol))
+          .limit(adcTopN)
+      }
     val q = array(query.map(v => lit(v)): _*)
     adc.select(col(idCol))
       .join(df.select(col(idCol), col(vecCol)), idCol)

@@ -65,6 +65,18 @@ object RecallProbe {
       println(s"[probe] ivfPqTopK nProbe=$nProbe adcTopN=$adcTopN recall=$hit/10" +
         (if (hit == 10) " OK" else " MISS"))
     }
+    // ADC-budget fidelity: residual vs plain encoding at exhaustive probe,
+    // small candidate budgets — where codebook resolution is the binding
+    // constraint and residual encoding should dominate
+    for (adcTopN <- Seq(20, 50, 100, 200); res <- Seq(false, true)) {
+      val got = Similarity.ivfPqTopK(e, "vec_id", "embedding", qvec, k = 10,
+        nCentroids = 16, nProbe = 16, kmeansIters = 1,
+        m = 8, codebookK = 256, lloydIters = 1, adcTopN = adcTopN,
+        residual = res)
+        .collect().map(_.getLong(0)).toSet
+      val hit = (got intersect bf).size
+      println(s"[probe] ivfPq ${if (res) "residual" else "plain   "} adcTopN=$adcTopN recall=$hit/10")
+    }
     spark.stop()
   }
 }

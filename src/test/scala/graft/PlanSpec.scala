@@ -162,6 +162,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  // VERDICT r5 item 5: x_lsh_ann used to run a full count() pass just to
+  // size its LSH bit count; sizing now comes from the scan's catalog
+  // estimate, so CONSTRUCTING the query must launch zero Spark jobs.
+  test("x_lsh_ann: query construction runs zero jobs (catalog-estimate sizing)") {
+    // warm the table read first: the initial parquet open runs one
+    // schema-inference job that belongs to table loading, not sizing
+    SparkEntry.queries("x_lsh_ann")(spark, sf())
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("x_lsh_ann")(spark, sf())
+      // job-start events post within ms of a driver-side action; give the
+      // async bus ample time to surface one before asserting absence
+      Thread.sleep(1000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"query construction launched $jobs job(s)")
+  }
+
   // VERDICT r5 item 6: exactKPerStratum and the PQ codebook init rely on
   // Spark inferring a per-partition top-k heap from the `rank <= k`
   // filter directly above the rank window (WindowGroupLimit). An
