@@ -706,6 +706,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // Deterministic train/val/test split assignment (80/10/10): 16-bit
+    // md5-bucket cutoffs, map-only, no RNG — the same rows land in the
+    // same split on any cluster size, re-run, or engine, which is what
+    // keeps eval sets stable across pipeline reruns. Oracle mirrors the
+    // literal hex cutoffs (0.8 → 'cccd', 0.9 → 'e666').
+    "x_split" -> ((s, dir) =>
+      Corpus.hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")),
+
     // Symmetric int8 quantization of embeddings (map-only, inside the
     // scan projection); exploded to scalar rows for the oracle compare.
     "x_quantize" -> ((s, dir) => {
@@ -2000,6 +2011,21 @@ object SparkEntry {
         |WHERE substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 1) <
         |  (CASE WHEN lang = 'en' THEN '8' ELSE '1' END)
         |ORDER BY doc_id""".stripMargin,
+
+    // Split key hashes through the length-prefixed encoding
+    // (v<len>:<key>); 16-bit cutoffs cccd (0.8) and e666 (0.9).
+    "x_split" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN substring(md5(
+        |        'v' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+        |        || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |      THEN 'train'
+        |      WHEN substring(md5(
+        |        'v' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+        |        || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |      THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x_quantize" ->
       """WITH s AS (

@@ -288,19 +288,15 @@ object Corpus {
       case (acc, (s, w)) =>
         when(stratum === s, lit(cutoffHex(w))).otherwise(acc)
     }
-    // Hash input is an UNAMBIGUOUS encoding of (stratum, key): each side
-    // is length-prefixed ("v<len>:<value>") so values containing the
-    // separator cannot alias ("a:1"|"b" vs "a"|"1:b"), and null encodes
-    // as a bare "n" no value encoding can collide with (value encodings
-    // start with 'v') — null rows still hash, so they get the fractional
-    // extra at the DEFAULT weight's rate instead of being silently denied
-    // it by md5(null).
-    def enc(c: Column): Column = {
-      val s = c.cast("string")
-      when(s.isNull, lit("n"))
-        .otherwise(concat(lit("v"), length(s).cast("string"), lit(":"), s))
-    }
-    val h8 = substring(md5(concat(enc(stratum), lit("|"), enc(key))), 1, 8)
+    // Hash input is an UNAMBIGUOUS encoding of (stratum, key)
+    // ([[encodeForHash]]): each side is length-prefixed so values
+    // containing the separator cannot alias ("a:1"|"b" vs "a"|"1:b"),
+    // and null encodes as a sentinel no value encoding can collide with
+    // — null rows still hash, so they get the fractional extra at the
+    // DEFAULT weight's rate instead of being silently denied it by
+    // md5(null).
+    val h8 = substring(md5(concat(
+      encodeForHash(stratum), lit("|"), encodeForHash(key))), 1, 8)
     val n = whole + when(h8 < cutoff, 1L).otherwise(0L)
     when(n > 0, sequence(lit(0L), n - 1)).otherwise(lit(null))
   }
@@ -361,6 +357,44 @@ object Corpus {
     withB.join(broadcast(offsets), Seq(sourceCol, "__b"))
       .withColumn("interleave_pos", (r.cast("double") - lit(0.5)) / w)
       .select(df.columns.map(col) :+ col("interleave_pos"): _*)
+  }
+
+  /** Deterministic train/val/test split assignment: each row gets a split
+    * label decided by the first 4 hex chars of `md5(enc(key))` (a 16-bit
+    * bucket) against cumulative fraction cutoffs — map-only, no RNG
+    * state, so the SAME rows land in the same split on any cluster size,
+    * re-run, or engine (the property that keeps eval sets stable across
+    * pipeline reruns — `rand()` splits silently reshuffle contamination
+    * into train). Key encoding is the same length-prefixed form as
+    * [[mixtureCopyIds]] (null-safe, separator-safe).
+    *
+    * `splits` = (label, fraction) in order; fractions must sum to 1
+    * (±1e-9). The last label takes the open-ended remainder, so every
+    * row gets exactly one label. Realized proportions are exact to
+    * 1/65536 per boundary, not sampled.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    splits.foreach { case (n, f) =>
+      require(f > 0 && f <= 1, s"split $n fraction out of (0, 1]: $f") }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val h4 = substring(md5(encodeForHash(col(keyCol))), 1, 4)
+    val cuts = splits.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => f"${math.round(c * 65536).toInt}%04x")
+    val label = splits.init.zip(cuts).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), acc) => when(h4 < cut, name).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
+  // Unambiguous hash-input encoding shared by mixtureCopyIds/hashSplit:
+  // length-prefixed value ("v<len>:<value>") or the null sentinel "n".
+  private[functions] def encodeForHash(c: Column): Column = {
+    val s = c.cast("string")
+    when(s.isNull, lit("n"))
+      .otherwise(concat(lit("v"), length(s).cast("string"), lit(":"), s))
   }
 
   /** Exact heavy hitters via the two-pass sketch pattern — THE way to get

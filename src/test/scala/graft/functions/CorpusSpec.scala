@@ -271,6 +271,33 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(got.sorted.toSeq == got2.sorted.toSeq)
   }
+  // Hash split: every row gets exactly one label, proportions track the
+  // fractions, and assignment depends only on the key — identical on any
+  // partitioning (the property rand() splits lack).
+  test("hashSplit: complete, proportional, repartition-invariant") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("src", StringType)))
+    val rows = (0L until 2000L).map(i => Row(i, s"s${i % 3}"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Corpus.hashSplit(df, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 2000)
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 16-bit buckets over 2000 uniform-ish md5 keys: loose band
+    assert(counts("train") > 1400 && counts("train") < 1800, counts.toString)
+    assert(counts("val") > 100 && counts("val") < 320, counts.toString)
+    assert(counts("test") > 100 && counts("test") < 320, counts.toString)
+    val again = Corpus.hashSplit(df.repartition(7), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == got)
+    // bad fractions fail loudly
+    intercept[IllegalArgumentException] {
+      Corpus.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   // Stride interleave: row r of a weight-w source sits at (r-0.5)/w, so
   // any prefix [0, P) holds EXACTLY min(n_s, floor(P*w + 0.5)) rows of
   // each source — the even-spread guarantee, checked exactly.
