@@ -1008,6 +1008,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Semantic dedup (SemDeDup): cosine near-dup pairs within blocks →
+    // transitive clustering → keep each cluster's min-id member plus all
+    // unpaired rows. Blocked on the label column so DuckDB reproduces
+    // the WHOLE chain exactly (pairs CTE ≡ x_embed_neardup, closure ≡
+    // x_dedup_drop's recursive CTE) — the learned-cluster variant
+    // (semanticDedupClustered) is spec-pinned equal to the brute-force
+    // chain at nCentroids=1 instead.
+    "x_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDedup(e, "vec_id", "embedding", "label",
+          minCos = 0.35, saltBuckets = 4)
+        .select(col("vec_id"), col("label")).orderBy("vec_id")
+    }),
+
     // Batch kNN join: top-5 cosine neighbors for EVERY query vector in
     // one corpus scan (bounded top-k' aggregator keeps the shuffle
     // candidate-sized), exact-decimal rescore + rank — oracle is the full
@@ -1168,6 +1182,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"),
           coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Mutual-kNN graph over the WHOLE corpus (every row is a query, no
+    // broadcast): edges where each side ranks in the other's top-5.
+    // Exhaustive probing (nProbe = nCentroids) makes the blocked path
+    // exact, so DuckDB reproduces the full graph from the quadratic
+    // rank window — rows+schema+hash, no recall flag needed.
+    "x_knn_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mutualKnnEdges(e, "vec_id", "embedding", k = 5,
+          nCentroids = 16, nProbe = 16, kmeansIters = 1,
+          margin = 40, saltBuckets = 2)
+        .orderBy("id_a", "id_b")
     }),
 
     // Composed IVF→PQ cascade (probe the inverted lists, ADC-rank only
@@ -2238,6 +2265,66 @@ object SparkEntry {
         |FROM d
         |WHERE ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full quadratic per-query rank window; mutual = both directions
+    // rank ≤ 5. cos is direction-independent (decimal accumulation),
+    // so either side's value matches Spark's min-under-group.
+    "x_knn_graph" ->
+      """WITH z AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  CAST(unnest(c.embedding) AS DOUBLE) AS x,
+        |  CAST(unnest(q.embedding) AS DOUBLE) AS y
+        | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+        |d AS (
+        | SELECT qid, nid,
+        |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
+        |  SUM(CAST(x * x AS DECIMAL(30,15))) AS nc,
+        |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nq
+        | FROM z GROUP BY 1, 2),
+        |r AS (
+        | SELECT qid, nid,
+        |  ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) AS cos,
+        |  ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) DESC,
+        |      nid) AS rank
+        | FROM d),
+        |topk AS (SELECT qid, nid, cos FROM r WHERE rank <= 5)
+        |SELECT a.qid AS id_a, a.nid AS id_b, a.cos
+        |FROM topk a JOIN topk b ON a.qid = b.nid AND a.nid = b.qid
+        |WHERE a.qid < a.nid
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Pair CTE mirrors x_embed_neardup (label-blocked exact cosine);
+    // closure mirrors x_dedup_drop's recursive reachability CTE.
+    "x_semdedup" ->
+      """WITH RECURSIVE z AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(unnest(a.embedding) AS DOUBLE) AS x,
+        |  CAST(unnest(b.embedding) AS DOUBLE) AS y
+        | FROM embeddings a JOIN embeddings b
+        |   ON a.label = b.label AND a.vec_id < b.vec_id),
+        |d AS (
+        | SELECT id_a, id_b,
+        |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
+        |  SUM(CAST(x * x AS DECIMAL(30,15))) AS na,
+        |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nb
+        | FROM z GROUP BY id_a, id_b),
+        |cpairs AS (
+        | SELECT id_a, id_b FROM d
+        | WHERE ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) >= 0.35),
+        |edges AS (
+        | SELECT id_a AS u, id_b AS v FROM cpairs
+        | UNION
+        | SELECT id_b AS u, id_a AS v FROM cpairs),
+        |reach AS (
+        | SELECT u AS node, u AS lab FROM edges
+        | UNION
+        | SELECT e.v AS node, r.lab AS lab
+        | FROM reach r JOIN edges e ON e.u = r.node),
+        |comps AS (SELECT node, MIN(lab) AS complabel FROM reach GROUP BY node)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT node FROM comps WHERE complabel <> node)
+        |ORDER BY vec_id""".stripMargin,
 
     "x_multimodal_bytes" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, n_chars

@@ -357,6 +357,44 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** Self-kNN graph: top-k neighbors of EVERY corpus row (queries =
+    * corpus, self excluded) through the blocked join — the embedding-
+    * clustering workhorse. Output (query_id, neighbor_id, cos, rank).
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               nCentroids: Int = 16, nProbe: Int = 4,
+               kmeansIters: Int = 0, margin: Int = 40,
+               saltBuckets: Int = 1): DataFrame =
+    knnJoinBlocked(df, df, idCol, vecCol, idCol, vecCol, k,
+      nCentroids, nProbe, kmeansIters, margin, saltBuckets,
+      excludeSelf = true)
+
+  /** Mutual-kNN edges: pairs where EACH side ranks in the other's top-k —
+    * the symmetric graph that density-based/agglomerative clustering and
+    * graph-dedup build on (one-directional kNN edges connect dense hubs
+    * to everything; mutuality prunes those). Output (id_a, id_b, cos)
+    * with id_a < id_b.
+    *
+    * Scale shape: the [[knnGraph]] edge list is k·N rows (never N²); the
+    * mutuality check is one groupBy over normalized pairs — an edge
+    * appears once per direction, so `count = 2` ⇔ mutual. cos is the
+    * exact-decimal cosine, identical for both directions, so `min`
+    * under the group is a no-op that keeps the plan aggregate-only.
+    */
+  def mutualKnnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     nCentroids: Int = 16, nProbe: Int = 4,
+                     kmeansIters: Int = 0, margin: Int = 40,
+                     saltBuckets: Int = 1): DataFrame =
+    knnGraph(df, idCol, vecCol, k, nCentroids, nProbe, kmeansIters,
+        margin, saltBuckets)
+      .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("id_b"),
+        col("cos"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("cos")).as("cos"), count(lit(1)).as("__n"))
+      .where(col("__n") === 2)
+      .drop("__n")
+
   /** Bounded top-k′ by (score desc, id asc) as a mergeable Catalyst
     * [[org.apache.spark.sql.expressions.Aggregator]] — the partial/final
     * state that keeps [[knnJoin]]'s shuffle candidate-sized. The buffer
@@ -452,6 +490,45 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(cosineExact(col("a.v"), col("b.v")), 9).as("cos"))
       .where(col("cos") >= minCos)
+  }
+
+  /** Semantic (embedding-cosine) deduplication — the SemDeDup recipe
+    * (Abbas et al. 2023, arXiv:2303.09540): find near-duplicate pairs at
+    * `cos ≥ minCos` within blocks, cluster them transitively, and keep
+    * only each cluster's canonical (min-id) member plus every unpaired
+    * row. This is the embedding-space analogue of the MinHash dedup
+    * chain (`minhashNearDupPairs` → `dropNearDuplicates`) — same final
+    * step, different candidate generator.
+    *
+    * `blockCol` bounds the quadratic pair search (recall is exact within
+    * a block): a shard/domain/label column here, or a learned k-means
+    * bucket via [[semanticDedupClustered]] — the paper's formulation.
+    * Scale shape: pair generation is [[cosineNearDupBlocked]]'s salted
+    * equi-join (never a global nested loop), and the component step is
+    * the O(log d) label-propagation of `Dedup.connectedComponents` —
+    * every stage data-sized, no driver-side state.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    blockCol: String, minCos: Double,
+                    saltBuckets: Int = 1): DataFrame =
+    Dedup.dropNearDuplicates(df, idCol,
+      cosineNearDupBlocked(df, idCol, vecCol, blockCol, minCos, saltBuckets))
+
+  /** [[semanticDedup]] with the blocking column LEARNED from the data —
+    * k-means (spherical-Lloyd) cluster ids from [[ivfAssign]], i.e.
+    * SemDeDup exactly as published: cluster the embedding space, dedup
+    * within clusters. `nCentroids` trades recall (near-dups split across
+    * cluster boundaries are missed) against per-cluster quadratic cost —
+    * grow it with the corpus so cluster size stays bounded.
+    */
+  def semanticDedupClustered(df: DataFrame, idCol: String, vecCol: String,
+                             minCos: Double, nCentroids: Int = 16,
+                             kmeansIters: Int = 1,
+                             saltBuckets: Int = 1): DataFrame = {
+    val (assigned, _) = ivfAssign(df, idCol, vecCol, nCentroids, kmeansIters)
+    val pairs = cosineNearDupBlocked(assigned, idCol, vecCol, "ivf_bucket",
+      minCos, saltBuckets)
+    Dedup.dropNearDuplicates(df, idCol, pairs)
   }
 
   /** Symmetric int8 scalar quantization of an embedding column — the

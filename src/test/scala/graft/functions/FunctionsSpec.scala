@@ -361,6 +361,59 @@ class FunctionsSpec extends SparkSpec {
     assert(salted == want)
   }
 
+  // Mutual-kNN edges: every edge is normalized (id_a < id_b), present in
+  // BOTH directions of the underlying kNN graph, and the exhaustive-probe
+  // result equals the driver-side brute-force mutual graph.
+  test("mutualKnnEdges equals brute-force mutual top-k graph") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val k = 4
+    val got = Similarity.mutualKnnEdges(e, "vec_id", "embedding", k,
+        nCentroids = 8, nProbe = 8, kmeansIters = 1, saltBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (a, b) => a < b })
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val topk = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, c) => (-c, j) }.take(k).map(_._1).toSet
+    }.toMap
+    val want = (for {
+      (a, na) <- topk.toSeq; b <- na
+      if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  // SemDeDup: the learned-cluster variant at nCentroids=1 degenerates to
+  // global all-pairs dedup — pin it against the explicit brute-force
+  // chain (all-pairs blocked on a constant + drop). Also sanity-check
+  // that real clustering keeps a superset of rows (within-cluster pairs
+  // are a subset of global pairs, so fewer rows get dropped).
+  test("semanticDedupClustered at one cluster equals the brute-force chain") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val tau = 0.3
+    val got = Similarity.semanticDedupClustered(
+        e, "vec_id", "embedding", tau, nCentroids = 1, kmeansIters = 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val allPairs = Similarity.cosineNearDupBlocked(
+      e.withColumn("one", lit(1)), "vec_id", "embedding", "one", tau)
+    val want = Dedup.dropNearDuplicates(e, "vec_id", allPairs)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.size < e.count()) // something was actually dropped
+    val clustered = Similarity.semanticDedupClustered(
+        e, "vec_id", "embedding", tau, nCentroids = 8, kmeansIters = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(clustered))
+  }
+
   test("editDistancePairs equals the naive quadratic join at several radii") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))
