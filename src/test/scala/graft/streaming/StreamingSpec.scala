@@ -290,4 +290,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "stream and batch mixture outputs diverged")
     assert(got.count(_._2 == "a") >= 100) // 50 'a' rows × 2.5
   }
+  test("streaming hash split: same rows land in the same split as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Corpus
+    // hashSplit is a stateless projection (md5 bucket vs literal
+    // cutoffs), so split assignment is identical when the corpus arrives
+    // as a stream — eval membership can't drift between a batch curation
+    // run and a streaming ingest of the same documents.
+    val input = MemoryStream[Long]
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val q = Corpus.hashSplit(input.toDF().toDF("doc_id"), "doc_id", splits)
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    input.addData(0L until 500L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("split_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val batch = Corpus.hashSplit(
+        spark.range(500).toDF("doc_id"), "doc_id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == batch, "stream and batch split assignment diverged")
+    assert(got.map(_._2).distinct.sorted == Seq("test", "train", "val"))
+  }
 }
