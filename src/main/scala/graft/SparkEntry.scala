@@ -573,6 +573,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The COMPLETE curation chain as ONE declarative plan — what a
+    // pretraining-data user actually runs: language/quality gate →
+    // exact dedup (text key, min-id survivor) → n-gram-Jaccard near-dup
+    // drop (inverted-index pairs + transitive clustering) → deterministic
+    // train/val/test assignment. Every stage is the already-oracled
+    // operator; chaining them keeps one plan (Catalyst pipelines the
+    // gates into the scan, the only shuffles are the dedup groupBy, the
+    // pair join, and the CC rounds — no driver round-trips between
+    // stages).
+    "x_pipeline_full" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("text"),
+        TF.langId(col("text")).as("pred_lang"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val kept = scored
+        .where(col("pred_lang") === "en" && col("quality") > 0.2)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), max(col("n_tokens")).as("n_tokens"))
+      val pairs = Dedup.ngramJaccardPairs(kept, "doc_id", "text", 5, 0.5)
+      val surv = Dedup.dropNearDuplicates(kept, "doc_id", pairs)
+      Corpus.hashSplit(surv, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("n_tokens"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus vocabulary: token frequency table (the first step of any
     // tokenizer/quality pipeline). Deterministic top-100.
     "x_vocab" -> ((s, dir) =>
@@ -1347,10 +1374,11 @@ object SparkEntry {
     * (whitespace tokens; docs shorter than one gram collapse to a single
     * whole-text gram).
     */
-  private def ngramPairsCte(minJaccard: Double): String =
+  private def ngramPairsCte(minJaccard: Double,
+                            from: String = "documents"): String =
     raw"""toks AS (
        | SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS tok
-       | FROM documents),
+       | FROM $from),
        |g0 AS (
        | SELECT doc_id, unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
        |   ELSE list_transform(range(1, len(tok) - 3),
@@ -1915,6 +1943,62 @@ object SparkEntry {
         |SELECT MIN(doc_id) AS doc_id, MAX(n_tokens) AS n_tokens,
         | MAX(quality) AS quality
         |FROM f GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // Chain of the already-proven stage oracles: curate CTEs (langid +
+    // quality, ≡ x_pipeline_curate) → exact-dedup group → ngramPairsCte
+    // over the KEPT subset (≡ x_ngram_jaccard) → recursive closure
+    // (≡ x_dedup_drop) → md5-cutoff split CASE (≡ x_split).
+    "x_pipeline_full" ->
+      s"""WITH RECURSIVE ptoks AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS tok
+        | FROM documents),
+        |scored AS (
+        | SELECT doc_id, text,
+        |  len(list_filter(tok, x -> lower(x) IN ('the','a','of','and','to','is','in'))) AS s_en,
+        |  len(list_filter(tok, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+        |  len(list_filter(tok, x -> lower(x) IN ('le','la','et','les','des','un','est'))) AS s_fr,
+        |  len(list_filter(tok, x -> lower(x) IN ('el','los','las','de','y','que','un'))) AS s_es,
+        |  len(list_filter(tok, x -> lower(x) IN ('的','是','了','不','在','我','有'))) AS s_zh,
+        |  CAST(len(tok) AS BIGINT) AS n_tokens,
+        |  LEAST(1.0, CAST(len(tok) AS DOUBLE) / 100.0) *
+        |   (1.0 - CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |     ELSE CAST(LENGTH(regexp_replace(text, '[^.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+        |          / CAST(LENGTH(text) AS DOUBLE) END) AS quality
+        | FROM ptoks),
+        |f AS (
+        | SELECT * FROM scored
+        | WHERE NOT (s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 AND s_zh = 0)
+        |   AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh
+        |   AND quality > 0.2),
+        |kept AS (
+        | SELECT MIN(doc_id) AS doc_id, text, MAX(n_tokens) AS n_tokens
+        | FROM f GROUP BY text),
+        |${ngramPairsCte(0.5, "kept")},
+        |edges AS (
+        | SELECT id_a AS u, id_b AS v FROM jpairs
+        | UNION
+        | SELECT id_b AS u, id_a AS v FROM jpairs),
+        |reach AS (
+        | SELECT u AS node, u AS lab FROM edges
+        | UNION
+        | SELECT e.v AS node, r.lab AS lab
+        | FROM reach r JOIN edges e ON e.u = r.node),
+        |comps AS (SELECT node, MIN(lab) AS complabel FROM reach GROUP BY node)
+        |SELECT doc_id, n_tokens,
+        | CASE WHEN substring(md5(
+        |        'v' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+        |        || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |      THEN 'train'
+        |      WHEN substring(md5(
+        |        'v' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+        |        || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |      THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM kept
+        |WHERE doc_id NOT IN (SELECT node FROM comps WHERE complabel <> node)
+        |ORDER BY doc_id""".stripMargin,
 
     "x_vocab" ->
       """WITH tk AS (
