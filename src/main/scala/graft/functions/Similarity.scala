@@ -337,13 +337,19 @@ object Similarity {
       .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__s"))
     val scored =
       if (excludeSelf) scored0.where(col("__qid") =!= col("__cid")) else scored0
-    val cand = scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._3, t._2))
-      .agg(topKByScore(kPrime).toColumn.name("cands"))
-      .toDF("__qid", "cands")
-      .select(col("__qid"), explode(col("cands")).as("cd"))
-      .select(col("__qid"), col("cd._2").as("__cid"))
+    // Candidate selection: row_number + `rank <= k'` filter, which
+    // InferWindowGroupLimit compiles to partial (pre-exchange) + final
+    // top-k' heaps — the exchange carries at most k' rows per (query,
+    // input-partition), same bound as [[knnJoin]]'s Aggregator, but the
+    // whole stage stays in Tungsten rows/codegen. The Aggregator path
+    // pays an encoder round-trip per scored pair, which dominates when
+    // the probe fan-out is large (self-kNN: corpus × corpus pairs).
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("__s").desc, col("__cid"))
+    val cand = scored
+      .withColumn("__rn", row_number().over(cw))
+      .where(col("__rn") <= kPrime)
+      .select(col("__qid"), col("__cid"))
     val cFull = corpus.select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"))
     val qFull = queries.select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
     val w = org.apache.spark.sql.expressions.Window

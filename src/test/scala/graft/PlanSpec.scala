@@ -212,11 +212,12 @@ class PlanSpec extends SparkSpec {
   // VERDICT r5 item 2: the blocked kNN join must never fall back to a
   // broadcast nested loop or cartesian of queries × corpus — candidate
   // generation is the coarse-bucket hash equi-join, and candidates reduce
-  // through the partial/final bounded top-k' aggregation. (The operator
+  // through a partial (pre-exchange) + final WindowGroupLimit top-k'
+  // heap, so the exchange never carries all scored pairs. (The operator
   // plan is pinned directly: the x_knn_blocked QUERY also computes the
   // in-query exact flag via knnJoin, whose tiny-query broadcast nested
   // loop is intentional.)
-  test("knnJoinBlocked plan: bucket equi-join, no nested loop, partial top-k agg") {
+  test("knnJoinBlocked plan: bucket equi-join, no nested loop, partial top-k'") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val queries = e.where(col("vec_id") % 20 === 0)
@@ -228,8 +229,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"blocked kNN fell back to a nested loop:\n$p")
     assert(!p.contains("CartesianProduct"))
-    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
-      s"top-k aggregation not partial/final:\n$p")
+    // candidate top-k' must run as Partial (before the exchange) + Final
+    // WindowGroupLimit heaps — if InferWindowGroupLimit ever stops firing
+    // (e.g. the rank filter drifts off the window output), the full
+    // scored-pair set would sort AND shuffle
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"candidate top-k' not a partial+final WindowGroupLimit:\n$p")
   }
 
   test("x_knn_join: candidates reduce through partial aggregation, queries broadcast") {
