@@ -29,6 +29,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE's default 1 MB coalescing floor serializes small-but-CPU-heavy
+      // exchanges (e.g. an exact-decimal rescore of k·N candidate pairs is
+      // a few MB of (id, id) rows but minutes of BigDecimal math) onto one
+      // or two tasks. A 16 KB floor keeps such stages spread across the
+      // cluster; large exchanges still coalesce toward the advisory size.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.sql.session.timeZone", "UTC")
 
   def create(master: String = "local[*]"): SparkSession = {

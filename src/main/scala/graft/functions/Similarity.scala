@@ -21,10 +21,21 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** Dot product of two equal-length numeric arrays, accumulated in
-    * DECIMAL for order-independent exactness, returned as double.
+  /** Dot product of two equal-length float/double arrays, accumulated in
+    * DECIMAL(30,15) for order-independent exactness, returned as double.
+    * Runs as the native one-pass kernel
+    * ([[graft.plans.DotProductExactF]]); [[dotExactHof]] is the
+    * higher-order formulation it is spec-pinned bit-identical to.
+    * Literal (query-vector) operands constant-fold.
     */
   def dotExact(a: Column, b: Column): Column =
+    graft.plans.HashExpressions.dotExactF(a, b)
+
+  /** The original higher-order-function formulation of [[dotExact]] —
+    * kept as the executable spec of the decimal semantics (interpreted
+    * lambda per element; never use on a hot path).
+    */
+  private[graft] def dotExactHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DecimalType(30, 15))),
       lit(0).cast(DecimalType(30, 15)),
@@ -323,18 +334,38 @@ object Similarity {
       struct((-dotNative(col("__qv"), centF(i))).as("negd"), lit(i).as("b"))): _*)
     val probes = transform(slice(array_sort(scoredCents), 1, np),
       p => p.getField("b"))
-    val q = queries.select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
+    // When the query side's planned parallelism is below the cluster's
+    // (a handful of input files — the corpus side broadcasts and nothing
+    // downstream redistributes, so the WHOLE pair-scoring stage would run
+    // on those few tasks), spread it round-robin first. Output is
+    // partitioning-independent (top-k' by value), and at real scale the
+    // input has ≫ cores partitions so this branch never fires — it only
+    // guards the small-file collapse.
+    val defaultPar = spark.sparkContext.defaultParallelism
+    val qBase = queries.select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
+    val qSpread =
+      if (qBase.rdd.getNumPartitions < defaultPar) qBase.repartition(defaultPar)
+      else qBase
+    // Pruning score with per-VECTOR squared norms hoisted into each
+    // side's projection: the per-pair work is ONE native dot, not three
+    // (the two norms are per corpus/query row). Identical doubles —
+    // same ops, same order — so the candidate ranking is unchanged.
+    val q = qSpread
+      .withColumn("__qn2", dotNative(col("__qv"), col("__qv")))
       .withColumn("__b", explode(probes))
+    val cN = c.withColumn("__cn2", dotNative(col("__cv"), col("__cv")))
     // candidate generation: hash equi-join on (bucket [, salt]) — a
     // corpus row sits in exactly one bucket and a query's probes are
     // distinct, so no (q, c) pair ever matches twice
     val (lhs, rhs) =
-      if (saltBuckets == 1) (c, q)
-      else (c.withColumn("__salt", pmod(col("__cid"), lit(saltBuckets))),
+      if (saltBuckets == 1) (cN, q)
+      else (cN.withColumn("__salt", pmod(col("__cid"), lit(saltBuckets))),
         q.withColumn("__salt", explode(array((0 until saltBuckets).map(lit(_)): _*))))
     val joinKeys = if (saltBuckets == 1) Seq("__b") else Seq("__b", "__salt")
     val scored0 = lhs.join(rhs, joinKeys)
-      .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__s"))
+      .select(col("__qid"), col("__cid"),
+        (dotNative(col("__cv"), col("__qv")) /
+          sqrt(col("__cn2") * col("__qn2"))).as("__s"))
     val scored =
       if (excludeSelf) scored0.where(col("__qid") =!= col("__cid")) else scored0
     // Candidate selection: row_number + `rank <= k'` filter, which
@@ -350,13 +381,21 @@ object Similarity {
       .withColumn("__rn", row_number().over(cw))
       .where(col("__rn") <= kPrime)
       .select(col("__qid"), col("__cid"))
+    // Exact rescore with per-VECTOR norms hoisted out of the pair loop:
+    // norm2Exact is a per-row projection on each side (corpus-sized and
+    // query-sized), not per candidate PAIR — the pair stage pays one
+    // exact dot, not three. sqrt(cn·qn) keeps the same double evaluation
+    // order as cosineExact, so values are bit-identical.
     val cFull = corpus.select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"))
+      .withColumn("__cn", norm2Exact(col("__cv")))
     val qFull = queries.select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
+      .withColumn("__qn", norm2Exact(col("__qv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qid")).orderBy(col("cos").desc, col("__cid"))
     cand.join(cFull, "__cid").join(qFull, "__qid")
       .select(col("__qid"), col("__cid"),
-        round(cosineExact(col("__cv"), col("__qv")), 9).as("cos"))
+        round((dotExact(col("__cv"), col("__qv")) /
+          sqrt(col("__cn") * col("__qn"))), 9).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),

@@ -506,6 +506,89 @@ case class DotProductF(left: Expression, right: Expression)
   override def prettyName: String = "dot_f"
 }
 
+/** Exact-decimal dot product of two float/double-array columns as one
+  * native pass — bit-identical to the higher-order formulation
+  * `aggregate(zip_with(a, b, (x, y) => (x·y).cast(DECIMAL(30,15))), 0,
+  * (acc, x) => (acc + x).cast(DECIMAL(30,15))).cast(double)` that
+  * [[graft.functions.Similarity.dotExact]] previously built, including
+  * its null/overflow corners, but ~50× cheaper per pair: the HOF tree
+  * runs interpreted (per-element lambda dispatch) and routes every
+  * partial sum through Catalyst `Decimal`/`changePrecision` wrappers,
+  * which made the exact rescore the dominant cost of the blocked kNN
+  * operators.
+  *
+  * Semantics mirrored exactly (the oracle hash-compares these doubles):
+  *  - each product is the DOUBLE product (floats widened first), then
+  *    decimal-ized via the double's shortest string representation
+  *    (`BigDecimal.valueOf`, what Spark's double→decimal cast does) and
+  *    rounded HALF_UP to scale 15;
+  *  - per-element or running precision above 30 digits THROWS, as does
+  *    a NaN/Inf product — the engine runs ANSI mode (Spark 4 default),
+  *    where the HOF's decimal cast is equally loud; null elements and
+  *    length mismatches yield null (zip_with pads with nulls and a null
+  *    product nulls the sum without erroring, in either mode);
+  *  - the scale-15 running sum is exact (adding scale-15 decimals never
+  *    rounds), returned as `decimal→double`.
+  */
+case class DotProductExactF(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if (l == FloatType || l == DoubleType) &&
+            (r == FloatType || r == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects float/double arrays, got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  @transient private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  def kernel(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var sum = java.math.BigDecimal.ZERO.setScale(15)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val prod = x * y
+      if (java.lang.Double.isNaN(prod) || java.lang.Double.isInfinite(prod))
+        throw new ArithmeticException(
+          s"$prettyName: non-finite product $prod cannot be represented as Decimal(30, 15)")
+      val p = java.math.BigDecimal.valueOf(prod)
+        .setScale(15, java.math.RoundingMode.HALF_UP)
+      if (p.precision > 30)
+        throw new ArithmeticException(
+          s"$prettyName: $p cannot be represented as Decimal(30, 15)")
+      sum = sum.add(p)
+      if (sum.precision > 30)
+        throw new ArithmeticException(
+          s"$prettyName: running sum $sum cannot be represented as Decimal(30, 15)")
+      i += 1
+    }
+    java.lang.Double.valueOf(sum.doubleValue)
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("dotexactf", this, this.getClass.getName)
+      val r = ctx.freshName("dotxr")
+      s"""java.lang.Double $r = $ref.kernel($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExactF =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_exact_f"
+}
+
 object HashExpressions {
   def minhashSignature(grams: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(grams), numHashes))
@@ -528,4 +611,6 @@ object HashExpressions {
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dotExactF(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExactF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -172,6 +172,56 @@ class FunctionsSpec extends SparkSpec {
     assert(byId(1L) > byId(2L) && byId(2L) > byId(3L))
   }
 
+  test("native dot_exact_f is bit-identical to the HOF decimal formulation") {
+    // the native kernel replaced the interpreted aggregate/zip_with tree
+    // on every oracle-hashed exact-cosine path — any drift here is a
+    // silent corpus-wide hash mismatch, so pin ALL the corners
+    val rnd = new scala.util.Random(42)
+    val fVecs: Seq[Seq[java.lang.Float]] = (0 until 50).map(_ =>
+      Seq.fill(64)(java.lang.Float.valueOf((rnd.nextFloat() - 0.5f) * 4f)))
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val edge: Seq[(Seq[java.lang.Float], Seq[java.lang.Float])] = Seq(
+      (Seq.empty, Seq.empty),                       // empty → 0.0
+      (Seq(1.0f: java.lang.Float), Seq.empty),      // length mismatch → null
+      (Seq(1.0f: java.lang.Float, null), Seq(2.0f: java.lang.Float, 3.0f: java.lang.Float)), // null elem → null
+      (Seq(-0.0f: java.lang.Float, 2.5f: java.lang.Float),
+        Seq(3.0f: java.lang.Float, -1.25f: java.lang.Float)))
+    val rows = (fVecs.zip(fVecs.reverse) ++ edge).map { case (a, b) => Row(a, b) }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val out = df.select(
+      Similarity.dotExact(col("a"), col("b")).as("native"),
+      Similarity.dotExactHof(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null drift: $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"bit drift: $r")
+    }
+    // double-typed operands (literal query vectors) take the same path
+    val dOut = df.select(
+      Similarity.dotExact(col("a"),
+        transform(col("b"), x => x.cast("double"))).as("native"),
+      Similarity.dotExactHof(col("a"),
+        transform(col("b"), x => x.cast("double"))).as("hof")).collect()
+    dOut.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    // decimal overflow and non-finite products are LOUD (ANSI-mode
+    // parity: the HOF's decimal cast throws under Spark 4 defaults)
+    for (bad <- Seq(Seq(1e8f, 1e8f).map(java.lang.Float.valueOf),
+      Seq(java.lang.Float.valueOf(Float.NaN)))) {
+      val one = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(bad, bad))), schema)
+      val ex = intercept[Exception] {
+        one.select(Similarity.dotExact(col("a"), col("b"))).collect()
+      }
+      assert(ex.getMessage != null)
+    }
+  }
+
   test("bruteForceTopK returns k best, self first") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val q = e.where(col("vec_id") === 7).select("embedding")
