@@ -744,6 +744,28 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy("doc_id")),
 
+    // Cross-document boilerplate removal (C4/MassiveText line dedup):
+    // any 10-word span occurring in ≥2 distinct documents is deleted
+    // from every document containing it. Unit doc-frequency aggregates
+    // on 8-byte span hashes (strings never shuffle in the count);
+    // bodies shuffle once to rebuild.
+    "x_line_dedup" -> ((s, dir) =>
+      Corpus.removeFrequentUnits(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", TF.wordSpans(col("text"), 10), minDf = 2L)
+        .orderBy("doc_id")),
+
+    // Greedy data selection under a global token budget: best-quality
+    // documents first until 600 tokens are spent. The running sum is the
+    // two-level bucketed cumsum (no single-reducer global window).
+    "x_budget_select" -> ((s, dir) =>
+      Corpus.budgetSelect(
+          t(s, dir, "documents").select(col("doc_id"),
+            TF.qualityScore(col("text")).as("quality"),
+            TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "doc_id", col("quality"), col("n_tokens"), budget = 600L)
+        .orderBy("doc_id")),
+
     // Symmetric int8 quantization of embeddings (map-only, inside the
     // scan projection); exploded to scalar rows for the oracle compare.
     "x_quantize" -> ((s, dir) => {
@@ -2137,6 +2159,57 @@ object SparkEntry {
         |      THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Units are the same 10-word spans (partial tail included) the Spark
+    // side derives via wordSpans(text, 10); df counts DISTINCT docs.
+    "x_line_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w
+        | FROM documents),
+        |idx AS (
+        | SELECT doc_id, w, unnest(generate_series(1, len(w))) ord FROM toks),
+        |units AS (
+        | SELECT doc_id, CAST(floor((ord-1)/10) AS BIGINT) g,
+        |  string_agg(w[ord], ' ' ORDER BY ord) u
+        | FROM idx GROUP BY doc_id, g),
+        |freq AS (
+        | SELECT u FROM units GROUP BY u HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        | SELECT doc_id, g, u FROM units WHERE u NOT IN (SELECT u FROM freq)),
+        |rebuilt AS (
+        | SELECT doc_id, string_agg(u, ' ' ORDER BY g) clean_text, count(*) nk
+        | FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) nt FROM units GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        | CAST(t.nt - coalesce(r.nk, 0) AS BIGINT) AS n_units_removed
+        |FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // Inclusive running token sum over (quality DESC, doc_id) — DuckDB
+    // runs the plain global window; the Spark side's bucket-decomposed
+    // sum must be bit-identical to it.
+    "x_budget_select" ->
+      """WITH toks AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |scored AS (
+        | SELECT doc_id,
+        |  LEAST(1.0, CAST(len(tok) AS DOUBLE) / 100.0) *
+        |   (1.0 - CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |     ELSE CAST(LENGTH(regexp_replace(text, '[^.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+        |          / CAST(LENGTH(text) AS DOUBLE) END) AS quality,
+        |  CAST(len(tok) AS BIGINT) AS n_tokens
+        | FROM toks),
+        |cum AS (
+        | SELECT doc_id, quality, n_tokens,
+        |  SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+        | FROM scored)
+        |SELECT doc_id, quality, n_tokens, cum_cost,
+        | cum_cost <= 600 AS selected
+        |FROM cum ORDER BY doc_id""".stripMargin,
 
     "x_quantize" ->
       """WITH s AS (

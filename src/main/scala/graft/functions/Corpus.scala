@@ -389,6 +389,113 @@ object Corpus {
     df.withColumn("split", label)
   }
 
+  /** Frequent-unit removal — the cross-document boilerplate filter of
+    * C4/MassiveText-style curation: any text UNIT occurring in at least
+    * `minDf` DISTINCT documents (navigation bars, cookie banners, license
+    * headers) is deleted from every document that contains it. `unitsCol`
+    * is an `array<string>` decomposition of the document — `split(text,
+    * "\n")` where real lines exist, [[TextFunctions.wordSpans]] on
+    * line-less corpora — and unit order is positional: surviving units
+    * rebuild in their original order, joined by `joiner`.
+    *
+    * Scale shape (all scans column-pruned; document bodies shuffle ONCE):
+    *  - document frequency aggregates on the 8-byte `xxhash64` of each
+    *    unit — unit STRINGS never shuffle in the counting stage, and the
+    *    count-distinct runs as Spark's two-phase partial aggregate;
+    *  - the frequent set (df ≥ `minDf`) is the boilerplate vocabulary,
+    *    not corpus-sized — it is the small side of the anti-join and AQE
+    *    broadcasts it when it fits;
+    *  - surviving (id, pos, unit) rows regroup by document id to rebuild
+    *    the text — the one body-sized exchange;
+    *  - documents whose units were ALL removed (or that had none) are
+    *    restored by a left join from the id+unit-count projection, so the
+    *    output doc set is exactly the input doc set.
+    *
+    * 64-bit unit hashing is collision-free in practice at corpus scale
+    * (same contract as the fingerprint dedup family, [[graft.functions.
+    * TextFunctions.fingerprint]]); a collision could only OVER-delete.
+    *
+    * @return (idCol, clean_text, n_units_removed)
+    */
+  def removeFrequentUnits(df: DataFrame, idCol: String, unitsCol: Column,
+                          minDf: Long, joiner: String = " "): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would delete every unit: $minDf")
+    val units = df
+      .select(col(idCol), posexplode(unitsCol).as(Seq("__pos", "__u")))
+      .withColumn("__uh", xxhash64(col("__u")))
+    val frequent = units
+      .groupBy(col("__uh")).agg(count_distinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select(col("__uh"))
+    val rebuilt = units.join(frequent, Seq("__uh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__u")))),
+            x => x.getField("__u")), joiner).as("clean_text"),
+        count(lit(1)).as("__nkept"))
+    df.select(col(idCol), coalesce(size(unitsCol), lit(0)).cast("long").as("__ntot"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__ntot") - coalesce(col("__nkept"), lit(0L))).as("n_units_removed"))
+  }
+
+  /** Greedy selection under a global cost budget — "keep the best
+    * documents until the token budget is spent", the step that turns a
+    * scored corpus into a right-sized training set. Rows order by
+    * (`scoreCol` DESC, `idCol` ASC as the deterministic tiebreak) and a
+    * row is `selected` iff its inclusive running `costCol` sum stays
+    * ≤ `budget`; with non-negative costs the running sum is monotone, so
+    * the selection is exactly the maximal affordable prefix of the
+    * quality ranking. Output = input columns + `cum_cost` + `selected`
+    * (every row kept, flagged — filtering is the caller's one-liner).
+    *
+    * A bare `SUM(cost) OVER (ORDER BY score DESC)` is a single-reducer
+    * global window — the same scale-killer [[packOffsets]] documents. The
+    * running sum here is the same two-level decomposition, with the
+    * bucket a MONOTONE function of the sort key so bucket order is a
+    * prefix of the global order: scores clamp-floor into `nBuckets`
+    * fixed ranges of [0, 1], per-bucket cost totals prefix-sum in one
+    * tiny `nBuckets`-row stage (descending — best bucket first), base
+    * offsets broadcast back, and the within-bucket running sum windows on
+    * (bucket) — every data-sized stage parallel. Ties across a bucket
+    * boundary cannot happen (equal scores share a bucket), so the
+    * decomposed sum is bit-identical to the global window.
+    *
+    * Scores are expected in [0, 1] (e.g. [[TextFunctions.qualityScore]]);
+    * out-of-range scores clamp into the edge buckets and only cost
+    * balance, never correctness. Null scores sort last (bucket 0,
+    * NULLS LAST within). Negative costs break the monotone-prefix
+    * reading of `selected` — costs are token/byte counts, keep them ≥ 0.
+    */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
+                   costCol: Column, budget: Long,
+                   nBuckets: Int = 256): DataFrame = {
+    require(budget >= 0, s"negative budget: $budget")
+    require(nBuckets > 0, s"need at least one bucket: $nBuckets")
+    val base = df
+      .withColumn("__score", scoreCol.cast("double"))
+      .withColumn("__cost", costCol.cast("long"))
+      .withColumn("__bk",
+        when(col("__score").isNull, lit(0)).otherwise(
+          least(greatest(floor(col("__score") * nBuckets), lit(0.0)),
+            lit((nBuckets - 1).toDouble)).cast("int")))
+    val bases = base.groupBy(col("__bk")).agg(sum(col("__cost")).as("__btot"))
+      .select(col("__bk"),
+        coalesce(sum(col("__btot")).over(
+          Window.orderBy(col("__bk").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__boff"))
+    val inBucket = Window.partitionBy(col("__bk"))
+      .orderBy(col("__score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = col("__boff") + sum(col("__cost")).over(inBucket)
+    base.join(broadcast(bases), Seq("__bk"))
+      .withColumn("cum_cost", cum)
+      .withColumn("selected", col("cum_cost") <= budget)
+      .select(df.columns.map(col) :+ col("cum_cost") :+ col("selected"): _*)
+  }
+
   // Unambiguous hash-input encoding shared by mixtureCopyIds/hashSplit:
   // length-prefixed value ("v<len>:<value>") or the null sentinel "n".
   private[functions] def encodeForHash(c: Column): Column = {

@@ -183,6 +183,15 @@ object TextFunctions {
       .otherwise(chunks)
   }
 
+  /** Non-overlapping `w`-word spans (the partial tail span included) —
+    * the "unit" decomposition [[Corpus.removeFrequentUnits]] uses on
+    * corpora without natural line breaks. Plain projection of
+    * [[chunkTokens]] with stride = width.
+    */
+  def wordSpans(text: Column, w: Int): Column =
+    transform(chunkTokens(text, chunkLen = w, stride = w),
+      c => c.getField("chunk_text"))
+
   /** Overlapping word `n`-grams ("shingles"), space-joined, de-duplicated.
     * Documents with fewer than `n` tokens get a single shingle of the whole
     * text so they still participate in similarity joins.

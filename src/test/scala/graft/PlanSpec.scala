@@ -162,6 +162,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  // budgetSelect's running sum must stay bucket-decomposed: a data-sized
+  // sum window with NO partition key is the one-reducer global cumsum
+  // the operator exists to avoid (packOffsets' scale argument).
+  test("x_budget_select: the data-sized sum window keys on the score bucket") {
+    val p = plan("x_budget_select")
+    // the per-row (score-ordered) running sum must list the bucket as its
+    // partition key BEFORE the score ordering; a bare score-ordered window
+    // is the global single-reducer cumsum. The only other sum window is
+    // the nBuckets-row base-offset prefix sum (tiny, bucket-ordered).
+    val scoreWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("__score"))
+      .toSeq
+    assert(scoreWindows.nonEmpty, s"no score-ordered running-sum window:\n$p")
+    scoreWindows.foreach { l =>
+      val bk = l.indexOf("__bk")
+      assert(bk >= 0 && bk < l.indexOf("__score"),
+        s"score-ordered window not partitioned by the bucket: $l")
+    }
+  }
+
   // VERDICT r5 item 5: x_lsh_ann used to run a full count() pass just to
   // size its LSH bit count; sizing now comes from the scan's catalog
   // estimate, so CONSTRUCTING the query must launch zero Spark jobs.

@@ -325,4 +325,71 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq
     assert(again == first)
   }
+
+  test("removeFrequentUnits drops cross-doc units, keeps order, restores empty docs") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val rows = Seq(
+      Row(1L, "cookie banner\nunique alpha\nnav bar"),
+      Row(2L, "nav bar\nunique beta\ncookie banner"),
+      Row(3L, "cookie banner\nnav bar"),         // all units frequent → ""
+      Row(4L, "solo line\nanother solo"),        // nothing removed
+      Row(5L, "unique alpha"),                   // df("unique alpha") = 2 (docs 1, 5)
+      Row(6L, ""),                               // split("") = [""], df = 1 → kept
+      Row(7L, "first seven\ncookie banner\nlast seven")) // order preserved around a drop
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val out = Corpus.removeFrequentUnits(df, "id",
+        split(col("text"), "\n"), minDf = 2L, joiner = "\n")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("", 3L)))                // all three units cross-doc frequent
+    assert(out(2L) == (("unique beta", 2L)))
+    assert(out(3L) == (("", 2L)))
+    assert(out(4L) == (("solo line\nanother solo", 0L)))
+    assert(out(5L) == (("", 1L)))
+    assert(out(6L) == (("", 0L)))
+    assert(out(7L) == (("first seven\nlast seven", 1L)))
+    assert(out.size == 7)
+    // a unit repeated WITHIN one doc only (df = 1) survives
+    val within = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "twice\ntwice"), Row(2L, "other"))), schema)
+    val w = Corpus.removeFrequentUnits(within, "id",
+        split(col("text"), "\n"), minDf = 2L, joiner = "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(w(1L) == "twice\ntwice")
+  }
+
+  test("budgetSelect equals the single-window cumsum at any bucket count") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType),
+      StructField("cost", LongType)))
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 500L).map(i =>
+      Row(i, rnd.nextDouble(), (rnd.nextInt(90) + 10).toLong)) :+
+      Row(500L, 0.5, 10L) :+ Row(501L, 0.5, 10L) // exact score ties
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 5), schema)
+    val budget = 5000L
+    // driver brute force: sort by (score desc, id), inclusive prefix sums
+    val sorted = rows.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(t => (-t._2, t._1))
+    val expect = sorted.scanLeft(0L)(_ + _._3).tail.zip(sorted)
+      .map { case (cum, (id, _, _)) => id -> ((cum, cum <= budget)) }.toMap
+    for (nb <- Seq(1, 7, 256)) {
+      val got = Corpus.budgetSelect(df, "id", col("score"), col("cost"),
+          budget, nBuckets = nb)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+      assert(got == expect, s"nBuckets=$nb drifted from the global window")
+    }
+    // partitioning-invariant
+    val again = Corpus.budgetSelect(df.repartition(11), "id", col("score"),
+        col("cost"), budget)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == expect.map { case (k, v) => k -> v._1 })
+    // zero budget selects nothing; huge budget selects everything
+    val none = Corpus.budgetSelect(df, "id", col("score"), col("cost"), 0L)
+      .collect()
+    assert(none.forall(!_.getBoolean(4)))
+    val all = Corpus.budgetSelect(df, "id", col("score"), col("cost"), Long.MaxValue / 2)
+      .collect()
+    assert(all.forall(_.getBoolean(4)))
+  }
 }
