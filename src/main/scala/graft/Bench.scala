@@ -4,11 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // the library's own session defaults (AQE, shuffle sizing, the
+    // small-exchange coalescing floor, registered functions/rules) are
+    // part of what is being measured — build through GraftSession
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftSession.registerFunctions(spark)
+    GraftSession.registerOptimizations(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("graft-ckpt").toString)

@@ -766,6 +766,17 @@ object SparkEntry {
           "doc_id", col("quality"), col("n_tokens"), budget = 600L)
         .orderBy("doc_id")),
 
+    // In-engine linear quality-probe training: 3 full-batch GD rounds on
+    // square loss over md5-hashed bag-of-words features (dim=64), label =
+    // is-English. Per-round numerics follow the pagerank discipline
+    // (double products, decimal-exact sums), so DuckDB unrolling the same
+    // rounds reproduces the weights bit-for-bit.
+    "x_train_probe" -> ((s, dir) =>
+      Corpus.trainLinearProbe(t(s, dir, "documents"), "doc_id", "text",
+          when(col("lang") === "en", 1.0).otherwise(0.0),
+          dim = 64, rounds = 3, lr = 1e-4)
+        .orderBy("bucket")),
+
     // Symmetric int8 quantization of embeddings (map-only, inside the
     // scan projection); exploded to scalar rows for the oracle compare.
     "x_quantize" -> ((s, dir) => {
@@ -2210,6 +2221,65 @@ object SparkEntry {
         |SELECT doc_id, quality, n_tokens, cum_cost,
         | cum_cost <= 600 AS selected
         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    // Unrolled 3-round full-batch GD: w0 = 0 (round 1 residual = −y);
+    // per-round pred/grad sums are double products summed in
+    // DECIMAL(30,15); updates are scalar double w − (1e-4 · g).
+    "x_train_probe" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |feat AS (
+        | SELECT doc_id,
+        |  CAST(CAST(CONCAT('0x', substring(md5(t.tok), 1, 4)) AS INTEGER) % 64 AS INTEGER) AS bucket,
+        |  COUNT(*) AS cnt
+        | FROM (SELECT doc_id, unnest(tok) AS tok FROM toks) t
+        | GROUP BY 1, 2),
+        |lab AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+        | FROM documents),
+        |b AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS bucket),
+        |g1 AS (
+        | SELECT f.bucket,
+        |  CAST(SUM(CAST(CAST(f.cnt AS DOUBLE) * (0.0 - l.y) AS DECIMAL(30,15))) AS DOUBLE) AS g
+        | FROM feat f JOIN lab l USING (doc_id) GROUP BY 1),
+        |w1 AS (
+        | SELECT b.bucket,
+        |  CASE WHEN g1.g IS NULL THEN 0.0 ELSE 0.0 - (1e-4 * g1.g) END AS w
+        | FROM b LEFT JOIN g1 USING (bucket)),
+        |p2 AS (
+        | SELECT f.doc_id,
+        |  CAST(SUM(CAST(w1.w * CAST(f.cnt AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS pred
+        | FROM feat f JOIN w1 USING (bucket) GROUP BY 1),
+        |r2 AS (
+        | SELECT l.doc_id, COALESCE(p2.pred, 0.0) - l.y AS resid
+        | FROM lab l LEFT JOIN p2 USING (doc_id)),
+        |g2 AS (
+        | SELECT f.bucket,
+        |  CAST(SUM(CAST(CAST(f.cnt AS DOUBLE) * r2.resid AS DECIMAL(30,15))) AS DOUBLE) AS g
+        | FROM feat f JOIN r2 USING (doc_id) GROUP BY 1),
+        |w2 AS (
+        | SELECT w1.bucket,
+        |  CASE WHEN g2.g IS NULL THEN w1.w ELSE w1.w - (1e-4 * g2.g) END AS w
+        | FROM w1 LEFT JOIN g2 USING (bucket)),
+        |p3 AS (
+        | SELECT f.doc_id,
+        |  CAST(SUM(CAST(w2.w * CAST(f.cnt AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS pred
+        | FROM feat f JOIN w2 USING (bucket) GROUP BY 1),
+        |r3 AS (
+        | SELECT l.doc_id, COALESCE(p3.pred, 0.0) - l.y AS resid
+        | FROM lab l LEFT JOIN p3 USING (doc_id)),
+        |g3 AS (
+        | SELECT f.bucket,
+        |  CAST(SUM(CAST(CAST(f.cnt AS DOUBLE) * r3.resid AS DECIMAL(30,15))) AS DOUBLE) AS g
+        | FROM feat f JOIN r3 USING (doc_id) GROUP BY 1),
+        |w3 AS (
+        | SELECT w2.bucket,
+        |  CASE WHEN g3.g IS NULL THEN w2.w ELSE w2.w - (1e-4 * g3.g) END AS w
+        | FROM w2 LEFT JOIN g3 USING (bucket))
+        |SELECT bucket, ROUND(w, 9) AS weight FROM w3 ORDER BY bucket""".stripMargin,
 
     "x_quantize" ->
       """WITH s AS (

@@ -7,12 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+    // run under the library's own session defaults (same configs and
+    // registered functions/rules a user of GraftSession gets)
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftSession.registerFunctions(spark)
+    GraftSession.registerOptimizations(spark)
     spark.sparkContext.setLogLevel("WARN")
     // reliable-checkpoint dir: iterative ops (connectedComponents) land
     // each round on real storage instead of executor-lifetime blocks

@@ -496,6 +496,94 @@ object Corpus {
       .select(df.columns.map(col) :+ col("cum_cost") :+ col("selected"): _*)
   }
 
+  /** Hashed bag-of-words features: token → md5 16-bit bucket mod `dim`,
+    * counted per document. The md5 bucketing (not xxhash64) is chosen so
+    * an external engine can reproduce the feature map exactly; counts are
+    * exact integers, so downstream arithmetic starts reproducible.
+    * One corpus-sized shuffle on (id, bucket) — the feature table is the
+    * reusable input to [[trainLinearProbe]].
+    *
+    * @return (idCol, bucket int, cnt long)
+    */
+  def hashFeatures(df: DataFrame, idCol: String, textCol: String,
+                   dim: Int): DataFrame = {
+    require(dim > 0, s"need a positive feature dimension: $dim")
+    df.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("__tok")), 1, 4), 16, 10).cast("int"),
+          lit(dim)).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Train a linear quality probe INSIDE the engine: full-batch gradient
+    * descent on square loss over [[hashFeatures]] vectors — the cheap
+    * stand-in for the fastText-style quality classifier curation
+    * pipelines train over their own corpus (label = curated/crawl,
+    * en/other, …). No model library, no driver-side data: each round is
+    * two well-keyed corpus-sized aggregations.
+    *
+    * Numerics are cross-engine reproducible, the [[graft.functions.Graph
+    * .pageRank]] discipline: per-document scores and per-bucket gradients
+    * are DOUBLE products summed in DECIMAL(30,15) (order-independent),
+    * returned to double; the weight update `w − lr·g` is scalar IEEE
+    * double arithmetic. An external engine unrolling the same rounds
+    * reproduces the weights bit-for-bit.
+    *
+    * Scale shape: the feature table (one corpus shuffle) persists across
+    * rounds; per round, predictions aggregate by document id and
+    * gradients by bucket (both parallel, map-side partials), and only the
+    * `dim`-sized gradient vector reaches the driver — bounded state, the
+    * same contract as centroid/codebook collects. Weights re-enter each
+    * round as a broadcast `dim`-row table.
+    *
+    * With zero-initialized weights, round 1's gradient is −Σ cnt·y per
+    * bucket, so label-bearing buckets move first — handy sanity check.
+    *
+    * @param labelCol numeric 0/1 (or regression target) column on `df`
+    * @return (bucket, weight) — all `dim` buckets, weight rounded to 9
+    *         decimal places for cross-engine hash stability
+    */
+  def trainLinearProbe(df: DataFrame, idCol: String, textCol: String,
+                       labelCol: Column, dim: Int = 64,
+                       rounds: Int = 3, lr: Double = 1e-4): DataFrame = {
+    require(rounds >= 0, s"negative rounds: $rounds")
+    require(lr > 0, s"learning rate must be positive: $lr")
+    val spark = df.sparkSession
+    val feats = hashFeatures(df, idCol, textCol, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = df.select(col(idCol), labelCol.cast("double").as("__y"))
+    val weights = Array.fill(dim)(0.0)
+    var r = 0
+    while (r < rounds) {
+      val wDf = spark.createDataFrame(
+        weights.toIndexedSeq.zipWithIndex.map { case (w, b) => (b, w) })
+        .toDF("bucket", "__w")
+      // pred_i = Σ_j w_j·cnt_ij (decimal-exact sum); docs with no
+      // features predict 0 via the right join + coalesce
+      val preds = feats.join(broadcast(wDf), "bucket")
+        .groupBy(col(idCol))
+        .agg(sum((col("__w") * col("cnt").cast("double"))
+          .cast(DecimalType(30, 15))).cast("double").as("__pred"))
+      val resid = labels.join(preds, Seq(idCol), "left")
+        .select(col(idCol),
+          (coalesce(col("__pred"), lit(0.0)) - col("__y")).as("__r"))
+      // grad_j = Σ_i cnt_ij·resid_i (decimal-exact sum), dim rows
+      val grad = feats.join(resid, idCol)
+        .groupBy(col("bucket"))
+        .agg(sum((col("cnt").cast("double") * col("__r"))
+          .cast(DecimalType(30, 15))).cast("double").as("__g"))
+        .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+      grad.foreach { case (b, g) => weights(b) = weights(b) - lr * g }
+      r += 1
+    }
+    feats.unpersist(blocking = false)
+    spark.createDataFrame(
+        weights.toIndexedSeq.zipWithIndex.map { case (w, b) => (b, w) })
+      .toDF("bucket", "__w")
+      .select(col("bucket"), round(col("__w"), 9).as("weight"))
+  }
+
   // Unambiguous hash-input encoding shared by mixtureCopyIds/hashSplit:
   // length-prefixed value ("v<len>:<value>") or the null sentinel "n".
   private[functions] def encodeForHash(c: Column): Column = {

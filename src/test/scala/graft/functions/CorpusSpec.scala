@@ -358,6 +358,61 @@ class CorpusSpec extends SparkSpec {
     assert(w(1L) == "twice\ntwice")
   }
 
+  test("trainLinearProbe equals an independent driver GD with decimal-exact sums") {
+    val dim = 8; val lr = 1e-4; val rounds = 3
+    val data = Seq(
+      (1L, "en", "aa bb aa cc"),
+      (2L, "de", "bb cc dd"),
+      (3L, "en", "cc cc dd ee ff"),
+      (4L, "de", ""),                 // no features, still a residual
+      (5L, "en", "aa aa aa aa"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(t => Row(t._1, t._2, t._3)), 3), schema)
+    val got = Corpus.trainLinearProbe(df, "doc_id", "text",
+        when(col("lang") === "en", 1.0).otherwise(0.0), dim, rounds, lr)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+    // independent reimplementation: same md5 bucketing, double products,
+    // decimal(30,15)-exact sums, scalar double updates
+    def bucketOf(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % dim
+    }
+    def dsum(xs: Iterable[Double]): Double = {
+      var s = java.math.BigDecimal.ZERO.setScale(15)
+      xs.foreach(x => s = s.add(java.math.BigDecimal.valueOf(x)
+        .setScale(15, java.math.RoundingMode.HALF_UP)))
+      s.doubleValue
+    }
+    val feats: Map[Long, Map[Int, Long]] = data.map { case (id, _, text) =>
+      id -> text.trim.split("\\s+").filter(_.nonEmpty)
+        .groupBy(bucketOf).map { case (b, ts) => b -> ts.length.toLong }
+    }.toMap
+    val y = data.map(t => t._1 -> (if (t._2 == "en") 1.0 else 0.0)).toMap
+    val w = Array.fill(dim)(0.0)
+    for (_ <- 0 until rounds) {
+      val pred = feats.map { case (id, fs) =>
+        id -> dsum(fs.map { case (b, c) => w(b) * c.toDouble }) }
+      val resid = y.map { case (id, yy) => id -> (pred(id) - yy) }
+      val grad = feats.toSeq
+        .flatMap { case (id, fs) => fs.map { case (b, c) => b -> (c.toDouble * resid(id)) } }
+        .groupBy(_._1).map { case (b, xs) => b -> dsum(xs.map(_._2)) }
+      grad.foreach { case (b, g) => w(b) = w(b) - lr * g }
+    }
+    val expect = w.zipWithIndex.map { case (v, b) =>
+      b -> java.math.BigDecimal.valueOf(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue }.toMap
+    assert(got.size == dim)
+    expect.foreach { case (b, v) =>
+      assert(got(b) == v, s"bucket $b: ${got(b)} vs $v") }
+    // labels move label-bearing buckets off zero
+    assert(got.values.exists(_ != 0.0))
+  }
+
   test("budgetSelect equals the single-window cumsum at any bucket count") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("score", DoubleType),
