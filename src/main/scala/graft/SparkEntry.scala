@@ -777,6 +777,18 @@ object SparkEntry {
           dim = 64, rounds = 3, lr = 1e-4)
         .orderBy("bucket")),
 
+    // Probe inference over the trained weights: w·x per document
+    // (map-side broadcast join + one per-doc aggregation) — the gate that
+    // turns the trained probe into a corpus filter.
+    "x_probe_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val wts = Corpus.trainLinearProbe(d, "doc_id", "text",
+        when(col("lang") === "en", 1.0).otherwise(0.0),
+        dim = 64, rounds = 3, lr = 1e-4)
+      Corpus.scoreLinearProbe(d, "doc_id", "text", wts, dim = 64)
+        .orderBy("doc_id")
+    }),
+
     // Symmetric int8 quantization of embeddings (map-only, inside the
     // scan projection); exploded to scalar rows for the oracle compare.
     "x_quantize" -> ((s, dir) => {
@@ -2280,6 +2292,71 @@ object SparkEntry {
         |  CASE WHEN g3.g IS NULL THEN w2.w ELSE w2.w - (1e-4 * g3.g) END AS w
         | FROM w2 LEFT JOIN g3 USING (bucket))
         |SELECT bucket, ROUND(w, 9) AS weight FROM w3 ORDER BY bucket""".stripMargin,
+
+    // Same unrolled training chain, then w·x scoring with the ROUNDED
+    // published weights (what a consumer of the weight table would use).
+    "x_probe_score" ->
+      ("""WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |feat AS (
+        | SELECT doc_id,
+        |  CAST(CAST(CONCAT('0x', substring(md5(t.tok), 1, 4)) AS INTEGER) % 64 AS INTEGER) AS bucket,
+        |  COUNT(*) AS cnt
+        | FROM (SELECT doc_id, unnest(tok) AS tok FROM toks) t
+        | GROUP BY 1, 2),
+        |lab AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+        | FROM documents),
+        |b AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS bucket),
+        |g1 AS (
+        | SELECT f.bucket,
+        |  CAST(SUM(CAST(CAST(f.cnt AS DOUBLE) * (0.0 - l.y) AS DECIMAL(30,15))) AS DOUBLE) AS g
+        | FROM feat f JOIN lab l USING (doc_id) GROUP BY 1),
+        |w1 AS (
+        | SELECT b.bucket,
+        |  CASE WHEN g1.g IS NULL THEN 0.0 ELSE 0.0 - (1e-4 * g1.g) END AS w
+        | FROM b LEFT JOIN g1 USING (bucket)),
+        |p2 AS (
+        | SELECT f.doc_id,
+        |  CAST(SUM(CAST(w1.w * CAST(f.cnt AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS pred
+        | FROM feat f JOIN w1 USING (bucket) GROUP BY 1),
+        |r2 AS (
+        | SELECT l.doc_id, COALESCE(p2.pred, 0.0) - l.y AS resid
+        | FROM lab l LEFT JOIN p2 USING (doc_id)),
+        |g2 AS (
+        | SELECT f.bucket,
+        |  CAST(SUM(CAST(CAST(f.cnt AS DOUBLE) * r2.resid AS DECIMAL(30,15))) AS DOUBLE) AS g
+        | FROM feat f JOIN r2 USING (doc_id) GROUP BY 1),
+        |w2 AS (
+        | SELECT w1.bucket,
+        |  CASE WHEN g2.g IS NULL THEN w1.w ELSE w1.w - (1e-4 * g2.g) END AS w
+        | FROM w1 LEFT JOIN g2 USING (bucket)),
+        |p3 AS (
+        | SELECT f.doc_id,
+        |  CAST(SUM(CAST(w2.w * CAST(f.cnt AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS pred
+        | FROM feat f JOIN w2 USING (bucket) GROUP BY 1),
+        |r3 AS (
+        | SELECT l.doc_id, COALESCE(p3.pred, 0.0) - l.y AS resid
+        | FROM lab l LEFT JOIN p3 USING (doc_id)),
+        |g3 AS (
+        | SELECT f.bucket,
+        |  CAST(SUM(CAST(CAST(f.cnt AS DOUBLE) * r3.resid AS DECIMAL(30,15))) AS DOUBLE) AS g
+        | FROM feat f JOIN r3 USING (doc_id) GROUP BY 1),
+        |w3 AS (
+        | SELECT w2.bucket,
+        |  CASE WHEN g3.g IS NULL THEN w2.w ELSE w2.w - (1e-4 * g3.g) END AS w
+        | FROM w2 LEFT JOIN g3 USING (bucket)),
+        |wf AS (SELECT bucket, ROUND(w, 9) AS w FROM w3),
+        |sc AS (
+        | SELECT f.doc_id,
+        |  CAST(SUM(CAST(wf.w * CAST(f.cnt AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS s
+        | FROM feat f JOIN wf USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id, ROUND(COALESCE(sc.s, 0.0), 9) AS probe_score
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""").stripMargin,
 
     "x_quantize" ->
       """WITH s AS (

@@ -584,6 +584,30 @@ object Corpus {
       .select(col("bucket"), round(col("__w"), 9).as("weight"))
   }
 
+  /** Probe inference: score every document with a trained
+    * [[trainLinearProbe]] weight table (w·x over the same hashed
+    * features) — the map-side gate that turns the probe into a corpus
+    * filter. `weights` is (bucket, weight) and broadcasts; the only
+    * shuffle is the per-document feature aggregation, and documents with
+    * no features score 0 (the zero-vector dot), so the output doc set is
+    * exactly the input's.
+    *
+    * @return (idCol, probe_score) — score rounded to 9 decimal places,
+    *         decimal-exact sum, same numeric discipline as training
+    */
+  def scoreLinearProbe(df: DataFrame, idCol: String, textCol: String,
+                       weights: DataFrame, dim: Int): DataFrame = {
+    val scores = hashFeatures(df, idCol, textCol, dim)
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum((col("weight") * col("cnt").cast("double"))
+        .cast(DecimalType(30, 15))).cast("double").as("__s"))
+    df.select(col(idCol))
+      .join(scores, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("__s"), lit(0.0)), 9).as("probe_score"))
+  }
+
   // Unambiguous hash-input encoding shared by mixtureCopyIds/hashSplit:
   // length-prefixed value ("v<len>:<value>") or the null sentinel "n".
   private[functions] def encodeForHash(c: Column): Column = {

@@ -325,8 +325,20 @@ object Similarity {
       nCentroids, kmeansIters)
     val nC = cents.length
     val np = math.min(nProbe, nC)
-    val c = assignedC.select(col(cIdCol).cast("long").as("__cid"),
+    val defaultPar = spark.sparkContext.defaultParallelism
+    val cBase = assignedC.select(col(cIdCol).cast("long").as("__cid"),
       col(cVecCol).as("__cv"), col("ivf_bucket").as("__b"))
+    // Spread BOTH join inputs when their planned parallelism is below the
+    // cluster's: the planner broadcasts whichever side it estimates
+    // smaller (cached vs uncached stats flip the choice), and the OTHER
+    // side then streams through the pair-scoring stage with the scan's
+    // partition count — a single task for a single input file. Round-
+    // robin spreading either side is value-neutral (candidate top-k' is
+    // by value); at real scale both scans have ≫ cores partitions and
+    // neither branch fires.
+    val c =
+      if (cBase.rdd.getNumPartitions < defaultPar) cBase.repartition(defaultPar)
+      else cBase
     // per-query top-np probe buckets: nC native dots + one nC-length
     // struct sort per row, all inside codegen — corpus-size independent
     def centF(i: Int): Column = array(cents(i).map(v => lit(v.toFloat)): _*)
@@ -334,17 +346,14 @@ object Similarity {
       struct((-dotNative(col("__qv"), centF(i))).as("negd"), lit(i).as("b"))): _*)
     val probes = transform(slice(array_sort(scoredCents), 1, np),
       p => p.getField("b"))
-    // When the query side's planned parallelism is below the cluster's
-    // (a handful of input files — the corpus side broadcasts and nothing
-    // downstream redistributes, so the WHOLE pair-scoring stage would run
-    // on those few tasks), spread it round-robin first. Output is
-    // partitioning-independent (top-k' by value), and at real scale the
-    // input has ≫ cores partitions so this branch never fires — it only
-    // guards the small-file collapse.
-    val defaultPar = spark.sparkContext.defaultParallelism
     val qBase = queries.select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
+    // the query side spreads BY __qid: when it is the streamed side, each
+    // query's scored pairs then co-locate, so the partial top-k' heap
+    // reduces to k' rows per query total (not per input partition) and
+    // the candidate window's exchange is already satisfied
     val qSpread =
-      if (qBase.rdd.getNumPartitions < defaultPar) qBase.repartition(defaultPar)
+      if (qBase.rdd.getNumPartitions < defaultPar)
+        qBase.repartition(defaultPar, col("__qid"))
       else qBase
     // Pruning score with per-VECTOR squared norms hoisted into each
     // side's projection: the per-pair work is ONE native dot, not three

@@ -12,7 +12,6 @@ object Profile {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.GraftSession.create("local[32]")
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    e.cache().count()
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -23,6 +22,14 @@ object Profile {
 
     // warmup
     time("warmup count")(e.count())
+
+    // exactly what Bench times: registered query + noop sink, uncached
+    time("bench-shape x_knn_graph #1")(
+      graft.SparkEntry.queries("x_knn_graph")(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+    time("bench-shape x_knn_graph #2")(
+      graft.SparkEntry.queries("x_knn_graph")(spark, dir)
+        .write.format("noop").mode("overwrite").save())
 
     time("knnGraph full")(
       Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
