@@ -413,6 +413,49 @@ class CorpusSpec extends SparkSpec {
     assert(got.values.exists(_ != 0.0))
   }
 
+  test("scoreLinearProbe equals a driver dot on the published weights") {
+    val dim = 8
+    val data = Seq(
+      (1L, "en", "aa bb aa cc"),
+      (2L, "de", "bb cc dd"),
+      (3L, "en", "cc cc dd ee ff"),
+      (4L, "de", ""),                 // featureless: must score exactly 0
+      (5L, "en", "aa aa aa aa"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(t => Row(t._1, t._2, t._3)), 3), schema)
+    val wdf = Corpus.trainLinearProbe(df, "doc_id", "text",
+      when(col("lang") === "en", 1.0).otherwise(0.0), dim, rounds = 3, lr = 1e-4)
+    val got = Corpus.scoreLinearProbe(df, "doc_id", "text", wdf, dim)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // driver dot with the SAME published (9-dp-rounded) weights,
+    // decimal(30,15)-exact accumulation, 9-dp-rounded output
+    val w = wdf.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def bucketOf(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % dim
+    }
+    def dsum(xs: Iterable[Double]): Double = {
+      var s = java.math.BigDecimal.ZERO.setScale(15)
+      xs.foreach(x => s = s.add(java.math.BigDecimal.valueOf(x)
+        .setScale(15, java.math.RoundingMode.HALF_UP)))
+      s.doubleValue
+    }
+    val expect = data.map { case (id, _, text) =>
+      val fs = text.trim.split("\\s+").filter(_.nonEmpty)
+        .groupBy(bucketOf).map { case (b, ts) => b -> ts.length.toLong }
+      id -> java.math.BigDecimal.valueOf(
+          dsum(fs.map { case (b, c) => w(b) * c.toDouble }))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    }.toMap
+    assert(got == expect)
+    assert(got(4L) == 0.0)
+  }
+
   test("budgetSelect equals the single-window cumsum at any bucket count") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("score", DoubleType),
