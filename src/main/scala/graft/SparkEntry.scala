@@ -724,6 +724,13 @@ object SparkEntry {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(100)),
 
+    // Unigram LM perplexity signal: the corpus trains its own token
+    // distribution and every doc scores its per-token −ln p under it —
+    // one query, two hash-keyed shuffles, corpus total broadcast.
+    "x_perplexity" -> ((s, dir) =>
+      Corpus.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Deterministic map-only stratified sampling: md5-bucket filter with
     // per-language rates (en 8/16, others 1/16). No RNG state, no
     // shuffle — reproducible on 1 executor or 1000.
@@ -2161,6 +2168,29 @@ object SparkEntry {
         | ROUND(CAST(SUM(CAST(s AS DECIMAL(30,15))) AS DOUBLE), 9) AS bm25
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Groups by the token STRING where the engine groups by xxhash64 —
+    // identical counts absent a 64-bit collision. ln only ever sees
+    // integer-valued doubles (counts), mirroring the engine.
+    "x_perplexity" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |inst AS (SELECT doc_id, unnest(tok) AS t FROM toks),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM inst GROUP BY 1, 2),
+        |c AS (SELECT t, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS N FROM c),
+        |per AS (
+        | SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(CAST(tf.tf AS DOUBLE) *
+        |    (ln(CAST(n.N AS DOUBLE)) - ln(CAST(c.cnt AS DOUBLE)))
+        |    AS DECIMAL(30,15))) AS DOUBLE) AS s
+        | FROM tf JOIN c USING (t) CROSS JOIN n GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens,
+        | ROUND(per.s / CAST(per.n_tokens AS DOUBLE), 9) AS avg_nll
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x_sample" ->
       """SELECT doc_id, lang FROM documents

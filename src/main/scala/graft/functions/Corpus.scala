@@ -120,6 +120,52 @@ object Corpus {
       .select(id, round(col("bm25raw"), 9).as("bm25"))
   }
 
+  /** Unigram LM negative log-likelihood of every document under the
+    * corpus's own token distribution — the CCNet-style perplexity quality
+    * signal (a doc whose tokens are globally rare scores high; boilerplate
+    * scores low), with the LM trained in the same query that applies it.
+    *
+    * `avg_nll` is the per-token negative log-likelihood
+    * `(1/n)·Σ −ln(cnt(t)/N) = (1/n)·Σ (ln N − ln cnt(t))` — the log of
+    * the document's unigram perplexity. `ln` is applied to INTEGER-valued
+    * doubles only (counts, never ratios), keeping the transcendental's
+    * input domain identical across engines; per-(doc,token) partials
+    * accumulate in DECIMAL (order-free) before the final double division.
+    * Docs with zero tokens keep `n_tokens = 0` and a null `avg_nll` (the
+    * doc set is exactly the input's).
+    *
+    * Shuffle profile: instances collapse to (doc, token-hash, tf) BEFORE
+    * any corpus-wide stage, so the hash join shuffles distinct
+    * (doc, token) pairs, never token instances; global counts aggregate
+    * 8-byte `xxhash64` keys (bodies never shuffle) and the corpus total
+    * is a one-row broadcast scalar. One (id) aggregation co-partitions
+    * the rollup. Nothing is quadratic; every stage is data-parallel.
+    */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val tf = df
+      .select(id, explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .select(id, xxhash64(col("__t")).as("__th"))
+      .groupBy(id, col("__th")).agg(count(lit(1)).as("__tf"))
+    val cnts = tf.groupBy(col("__th")).agg(sum(col("__tf")).as("__cnt"))
+    val total = cnts.agg(sum(col("__cnt")).as("__N"))
+    val perDoc = tf.join(cnts, "__th")
+      .crossJoin(broadcast(total))
+      .select(id, col("__tf"),
+        // tf · (ln N − ln cnt): both ln inputs are integral doubles
+        (col("__tf").cast("double") *
+          (log(col("__N").cast("double")) - log(col("__cnt").cast("double"))))
+          .as("__nll"))
+      .groupBy(id).agg(
+        sum(col("__tf")).as("__n"),
+        sum(col("__nll").cast(DecimalType(30, 15))).cast("double").as("__s"))
+    df.select(id)
+      .join(perDoc, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * distinct word `n`-grams it shares with each benchmark document —
     * the overlap scan run before training to evict eval-set leakage.

@@ -456,6 +456,50 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == 0.0)
   }
 
+  test("unigramNll equals a driver unigram LM with decimal-exact sums") {
+    val data = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, "bb cc dd"),
+      (3L, "cc cc dd ee ff"),
+      (4L, ""),                        // no tokens: n_tokens 0, null nll
+      (5L, "aa aa aa aa"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(t => Row(t._1, t._2)), 3), schema)
+    val got = Corpus.unigramNll(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+
+    def dsum(xs: Iterable[Double]): Double = {
+      var s = java.math.BigDecimal.ZERO.setScale(15)
+      xs.foreach(x => s = s.add(java.math.BigDecimal.valueOf(x)
+        .setScale(15, java.math.RoundingMode.HALF_UP)))
+      s.doubleValue
+    }
+    val toks = data.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val cnt = toks.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val n = cnt.values.sum
+    val expect = data.map { case (id, _) =>
+      val tf = toks(id).groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val nd = tf.values.sum.toLong
+      val nll =
+        if (nd == 0) None
+        else Some(java.math.BigDecimal.valueOf(
+            dsum(tf.map { case (t, f) =>
+              f.toDouble * (math.log(n.toDouble) - math.log(cnt(t).toDouble)) }) /
+              nd.toDouble)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue)
+      id -> ((nd, nll))
+    }.toMap
+    assert(got == expect)
+    assert(got(4L) == ((0L, None)))
+    // the most repetitive doc (5: one token 4×) has the lowest nll
+    val nlls = got.collect { case (id, (_, Some(v))) => id -> v }
+    assert(nlls.minBy(_._2)._1 == 5L)
+  }
+
   test("budgetSelect equals the single-window cumsum at any bucket count") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("score", DoubleType),
