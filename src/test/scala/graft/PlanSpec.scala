@@ -257,6 +257,19 @@ class PlanSpec extends SparkSpec {
       s"candidate top-k' not a partial+final WindowGroupLimit:\n$p")
   }
 
+  test("x_perplexity: hash-keyed partial aggs; the only broadcast is the 1-row total") {
+    val p = plan("x_perplexity")
+    // token instances must collapse map-side (partial HashAggregate)
+    // before any exchange — otherwise every instance row shuffles
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"tf/count aggregations not partial+final:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-total scalar rides a broadcast (BNLJ over ONE row is the
+    // intended shape); the token join itself must be a hash equi-join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"token-count join is not an equi-join:\n$p")
+  }
+
   test("x_knn_join: candidates reduce through partial aggregation, queries broadcast") {
     val p = plan("x_knn_join")
     // the bounded top-k' aggregator must run partial (map-side) + final —
