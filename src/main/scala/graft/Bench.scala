@@ -32,25 +32,43 @@ object Bench {
     // query's actual cost. The two passes are *interleaved* — all queries
     // once, then all again — so a contention window minutes wide still
     // can't poison both samples of the same query.
-    def timed(name: String): Double = {
+    // A query that throws yields None — NEVER a time. Round 6 showed why:
+    // a query dying at analysis in 0.07s was recorded as a 0.07s success
+    // and read as a 30× "speedup" on the bench board.
+    def timed(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      val ok =
+        try { run(name); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop anything a query left cached so later timings measure their
       // own work, not a predecessor's leaked storage-memory pressure.
       spark.catalog.clearCache()
-      dt
+      if (ok) Some(dt) else None
     }
     val only = SparkEntry.querySubset
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
     val pass1 = names.map(n => n -> timed(n)).toMap
     val pass2 = names.map(n => n -> timed(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n))).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // min over the successful samples; "failed" only if neither ran
+    val results: Map[String, Option[Double]] = names.map { n =>
+      n -> (pass1(n).toSeq ++ pass2(n).toSeq).minOption
+    }.toMap
+    val qs = results.map {
+      case (k, Some(v)) => s"\"" + k + "\":" + v
+      case (k, None)    => s"\"" + k + "\":\"failed\""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => k }.toSeq.sorted
+    val total = results.values.flatten.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

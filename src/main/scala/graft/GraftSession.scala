@@ -217,18 +217,146 @@ object GraftSession {
       (SparkSession, DataFrame)]()
 
   private def readTableUncached(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // Scoped per-read: the legacy flag is set on a *cloned* session
-      // (shared SparkContext, private SQLConf) that the file relation
-      // captures, instead of mutating the caller's session conf — which
-      // would silently change how unrelated code in the same session
-      // reads nanos-timestamp parquet. (A read-level .option() does not
-      // reach the executor-side parquet schema converter.)
-      val scoped = spark.newSession()
-      scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      scoped.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") readEvents(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Schema-adaptive events read: coerce `ts` from whatever the fixture's
+    * physical encoding IS to the session's TimestampType, instead of
+    * hard-coding one historical encoding. The fixture has stored `ts` as
+    * int64 nanoseconds (requires the legacy nanosAsLong flag to read at
+    * all) and as native `timestamp[us]` (reads as TIMESTAMP_NTZ) at
+    * different times; a reader pinned to either breaks on the other.
+    * Mirrors the reference's declared-schema coercion at parse time
+    * (reference datasource/parser/dsv/dsv_utils.go:11-116): the declared
+    * type is fixed, the raw encoding is whatever the data says.
+    */
+  private def readEvents(spark: SparkSession, path: String): DataFrame = {
+    // Probe with a plain read first. Nanos-annotated INT64 parquet is the
+    // one encoding a plain read rejects outright (Illegal Parquet type),
+    // and it throws eagerly at schema inference — treat that as the
+    // signal for the legacy-shim path rather than pattern-matching on
+    // exception text.
+    val plain =
+      try {
+        val df = spark.read.parquet(path); df.schema; Some(df)
+      } catch { case _: Exception => None }
+    plain match {
+      case Some(df) => normalizeEventsTs(df)
+      case None =>
+        // Scoped per-read: the legacy flag is set on a *cloned* session
+        // (shared SparkContext, private SQLConf) that the file relation
+        // captures, instead of mutating the caller's session conf — which
+        // would silently change how unrelated code in the same session
+        // reads nanos-timestamp parquet. (A read-level .option() does not
+        // reach the executor-side parquet schema converter.)
+        val scoped = spark.newSession()
+        scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        normalizeEventsTs(scoped.read.parquet(path))
+    }
+  }
+
+  /** Coerce an events frame's `ts` column to the session TimestampType
+    * based on what the frame's schema says it is. Public so streaming
+    * reads over the same fixture can share the coercion (a readStream
+    * resolves its own schema and hits the same drift).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    if (!df.schema.fieldNames.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType =>
+        // raw int64 (or the legacy nanosAsLong read): the fixture's
+        // convention is epoch nanoseconds
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // session timezone is UTC, so this cast reinterprets the same
+        // microsecond value as an instant — no wall-clock shift
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported fixture encoding $other")
+    }
+  }
+
+  /** Expected logical column families per fixture table, AFTER readTable
+    * normalization. Families (not exact Catalyst types) because the
+    * adaptive reader absorbs encoding drift within a family — e.g.
+    * events.ts has been int64-nanos, nanos-annotated, and timestamp[us]
+    * across fixture generations, all normalizing to the timestamp family.
+    * Drift OUTSIDE a family is what this check diagnoses by name.
+    */
+  private val expectedFixtureSchemas: Seq[(String, Seq[(String, String)])] = Seq(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string", "value" -> "double",
+      "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+      "label" -> "int"))
+
+  private def typeFamily(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => "int"
+      case LongType => "bigint"
+      case FloatType | DoubleType => "double"
+      case StringType => "string"
+      case TimestampType | TimestampNTZType | DateType => "timestamp"
+      case ArrayType(FloatType | DoubleType, _) => "array<float>"
+      case other => other.simpleString
+    }
+  }
+
+  /** Diagnose fixture-schema drift the adaptive readers cannot absorb.
+    * Returns one human message per problem, naming the table.column and
+    * both types — so a regenerated fixture fails in seconds with "events.ts:
+    * expected timestamp, got string", not as a silently shrinking query
+    * board (the round-6 failure mode). Empty result = fixture compatible.
+    */
+  def fixtureSchemaDrift(spark: SparkSession, dir: String): Seq[String] =
+    expectedFixtureSchemas.flatMap { case (table, want) =>
+      val actual =
+        try Right(readTable(spark, dir, table).schema)
+        catch { case e: Exception =>
+          Left(s"$table: unreadable — ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(200))
+        }
+      actual match {
+        case Left(msg) => Seq(msg)
+        case Right(schema) =>
+          val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+          want.flatMap { case (colName, family) =>
+            byName.get(colName) match {
+              case None =>
+                Some(s"$table.$colName: missing (expected $family)")
+              case Some(dt) if typeFamily(dt) != family =>
+                Some(s"$table.$colName: expected $family, got ${dt.simpleString}")
+              case _ => None
+            }
+          }
+      }
+    }
 
   /** Register the standard testdata tables as SQL views over a scale dir. */
   def registerTables(spark: SparkSession, dir: String): Unit = {

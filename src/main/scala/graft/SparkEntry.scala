@@ -2257,8 +2257,8 @@ object SparkEntry {
         | FROM toks),
         |cum AS (
         | SELECT doc_id, quality, n_tokens,
-        |  SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+        |  CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
         | FROM scored)
         |SELECT doc_id, quality, n_tokens, cum_cost,
         | cum_cost <= 600 AS selected

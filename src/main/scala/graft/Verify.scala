@@ -20,7 +20,17 @@ object Verify {
     spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     new java.io.File(outDir).mkdirs()
+    // Fixture-schema smoke check: if the testdata was regenerated with an
+    // encoding the adaptive readers can't absorb, say so by column name
+    // in the first seconds of the run instead of via N opaque failures.
+    val drift = GraftSession.fixtureSchemaDrift(spark, sfDir)
+    drift.foreach(d => System.err.println(s"[verify] FIXTURE DRIFT: $d"))
     val only = SparkEntry.querySubset
+    // A failed query must be LOUD: it lands in _errors.json and fails the
+    // whole run (nonzero exit). Round 6 proved the alternative — a query
+    // that throws at analysis writes no parquet and silently vanishes
+    // from the correctness board, reading as green-by-omission.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -30,7 +40,9 @@ object Verify {
           .parquet(s"$outDir/$name")
         println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        errors(name) = msg.take(2000)
+        System.err.println(s"[verify] $name FAILED: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +60,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: " +
+          errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -457,23 +457,48 @@ object Corpus {
     *    restored by a left join from the id+unit-count projection, so the
     *    output doc set is exactly the input doc set.
     *
-    * 64-bit unit hashing is collision-free in practice at corpus scale
-    * (same contract as the fingerprint dedup family, [[graft.functions.
-    * TextFunctions.fingerprint]]); a collision could only OVER-delete.
+    * Deletion requires EXACT string equality, not just hash equality: the
+    * hash-df count (8-byte keys, no strings in the shuffle) nominates
+    * candidate hashes, then the df of each candidate (hash, string) pair
+    * is recounted exactly and only pairs independently reaching `minDf`
+    * delete. A 64-bit collision between a rare unit and boilerplate can
+    * therefore never delete the rare unit — at 100 TB with billions of
+    * distinct units the birthday risk is real. The recount's input is
+    * semi-join-restricted to occurrences of candidate hashes, i.e. it
+    * shuffles only (boilerplate-volume) strings, with map-side combine
+    * collapsing the heavy repeats.
     *
     * @return (idCol, clean_text, n_units_removed)
     */
   def removeFrequentUnits(df: DataFrame, idCol: String, unitsCol: Column,
-                          minDf: Long, joiner: String = " "): DataFrame = {
+                          minDf: Long, joiner: String = " "): DataFrame =
+    removeFrequentUnitsWithHash(df, idCol, unitsCol, minDf, joiner, xxhash64(_))
+
+  /** [[removeFrequentUnits]] with an injectable unit-hash — exists so the
+    * collision spec can plant hash collisions with a weak hash and prove
+    * the exact-string confirm protects rare units; production callers use
+    * the xxhash64 default.
+    */
+  private[graft] def removeFrequentUnitsWithHash(
+      df: DataFrame, idCol: String, unitsCol: Column, minDf: Long,
+      joiner: String, unitHash: Column => Column): DataFrame = {
     require(minDf >= 2, s"minDf < 2 would delete every unit: $minDf")
     val units = df
       .select(col(idCol), posexplode(unitsCol).as(Seq("__pos", "__u")))
-      .withColumn("__uh", xxhash64(col("__u")))
-    val frequent = units
+      .withColumn("__uh", unitHash(col("__u")))
+    val frequentHashes = units
       .groupBy(col("__uh")).agg(count_distinct(col(idCol)).as("__df"))
       .where(col("__df") >= minDf)
       .select(col("__uh"))
-    val rebuilt = units.join(frequent, Seq("__uh"), "left_anti")
+    // exact-string confirm: recount df per (hash, string) over the
+    // candidate occurrences only; a pair deletes iff IT reaches minDf
+    val frequent = units
+      .join(frequentHashes, Seq("__uh"), "left_semi")
+      .groupBy(col("__uh"), col("__u"))
+      .agg(count_distinct(col(idCol)).as("__dfx"))
+      .where(col("__dfx") >= minDf)
+      .select(col("__uh"), col("__u"))
+    val rebuilt = units.join(frequent, Seq("__uh", "__u"), "left_anti")
       .groupBy(col(idCol))
       .agg(
         array_join(

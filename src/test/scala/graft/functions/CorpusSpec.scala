@@ -358,6 +358,29 @@ class CorpusSpec extends SparkSpec {
     assert(w(1L) == "twice\ntwice")
   }
 
+  test("removeFrequentUnits: a hash collision cannot delete a rare unit") {
+    // plant a collision with a deliberately weak hash (first character):
+    // "common header" (df=3, boilerplate) collides with "celestial rarity"
+    // (df=1) — under hash-only anti-join the rare unit would be deleted;
+    // the exact-string recount must keep it (VERDICT r6 #6)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val rows = Seq(
+      Row(1L, "common header\ncelestial rarity\nbody one"),
+      Row(2L, "common header\nbody two"),
+      Row(3L, "common header\nbody three"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val weakHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      u => substring(u, 1, 1) // "common…" and "celestial…" both hash to "c"
+    val out = Corpus.removeFrequentUnitsWithHash(df, "id",
+        split(col("text"), "\n"), minDf = 2L, joiner = "\n", weakHash)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // boilerplate gone everywhere, the colliding rare unit SURVIVES
+    assert(out(1L) == (("celestial rarity\nbody one", 1L)))
+    assert(out(2L) == (("body two", 1L)))
+    assert(out(3L) == (("body three", 1L)))
+  }
+
   test("trainLinearProbe equals an independent driver GD with decimal-exact sums") {
     val dim = 8; val lr = 1e-4; val rounds = 3
     val data = Seq(

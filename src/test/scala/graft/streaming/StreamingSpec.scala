@@ -172,11 +172,15 @@ class StreamingSpec extends SparkSpec {
 
   test("file source: stream the events parquet through a windowed agg") {
     // a *streaming* parquet read resolves its schema through the query's
-    // own session, so the legacy flag must sit on this session for the
-    // duration of the stream — restore it afterwards (finally below)
+    // own session; the fixture's ts encoding has drifted over time, so
+    // probe the raw schema first and only set the legacy flag for the
+    // nanos-era encoding a plain read rejects (restored in finally)
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val nanosPrev = spark.conf.getOption(nanosKey)
-    spark.conf.set(nanosKey, "true")
+    val needLegacy =
+      try { spark.read.parquet(s"${sf()}/events.parquet").schema; false }
+      catch { case _: Exception => true }
+    if (needLegacy) spark.conf.set(nanosKey, "true")
     try {
     // file streams need a directory: stage the events file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
@@ -184,9 +188,8 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"${sf()}/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.GraftSession.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     assert(stream.isStreaming)
     val agg = MicroBatch.windowedAgg(stream, "ts", "event_type", "1 hour", "1 hour")
     val q = agg.writeStream.format("memory").queryName("filewin")
@@ -196,8 +199,8 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("filewin")
     // watermark in append mode withholds the tail window; the batch
     // equivalent bounds what streaming may emit
-    val batchWindows = spark.read.parquet(s"${sf()}/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batchWindows = graft.GraftSession.normalizeEventsTs(
+        spark.read.parquet(s"${sf()}/events.parquet"))
       .groupBy(date_trunc("hour", col("ts")), col("event_type")).count().count()
     assert(got.count() > 0 && got.count() <= batchWindows)
     } finally nanosPrev match {
