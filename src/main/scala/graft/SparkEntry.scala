@@ -1023,16 +1023,39 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pairs by Hamming distance (rows-only). Pigeonhole-
-    // banded candidate generation — hash equi-joins on sketch blocks, not
-    // an all-pairs nested loop; output identical to the quadratic join.
-    // maxHamming=3 → 4 disjoint 16-bit blocks: the web-dedup regime, with
-    // 2^16 bucket values per block so candidate sets stay tiny at scale
-    // (13 5-bit blocks at radius 12 collapse to ~32 buckets → quadratic).
-    "x_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
-        .orderBy("id_a", "id_b")),
+    // SimHash near-dup detection, oracled on PLANTED structure (VERDICT
+    // r6 #5): every eligible doc (id % 5 = 0, ≥ 40 tokens) gets a mutated
+    // copy — its 17th token dropped — and the query reports whether the
+    // pigeonhole-banded simhash pipeline (hash equi-joins on disjoint
+    // sketch blocks — never an all-pairs loop) found each planted pair.
+    // The oracle pins found_by_simhash TRUE: a recall miss turns the row
+    // red. A 1-of-≥40-token drop moves each sketch bit's vote tally by
+    // ±1, so only near-tied bits flip; the MEASURED planted hamming
+    // (ProbePlanted, all three fixture scales) tops out at 6, so
+    // maxHamming=7 → 8 disjoint 8-bit blocks detects every planted pair
+    // with margin, deterministically (simhash votes are xxhash-seeded):
+    // green stays green.
+    "x_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val eligible = docs
+        .where(col("doc_id") % 5 === 0 && size(toks) >= 40)
+      val planted = eligible.select(
+        (col("doc_id") + 10000000L).as("id"),
+        array_join(filter(toks, (_, i) => i =!= 16), " ").as("text"))
+      val corpus = docs.select(col("doc_id").as("id"), col("text"))
+        .unionByName(planted)
+      val found = Dedup
+        .simhashNearDupPairs(corpus, "id", "text", maxHamming = 7)
+        .select(col("id_a").as("doc_id"), col("id_b").as("copy_id"),
+          lit(true).as("f"))
+      eligible
+        .select(col("doc_id"), (col("doc_id") + 10000000L).as("copy_id"))
+        .join(found, Seq("doc_id", "copy_id"), "left")
+        .select(col("doc_id"), col("copy_id"),
+          coalesce(col("f"), lit(false)).as("found_by_simhash"))
+        .orderBy("doc_id")
+    }),
 
     // Brute-force cosine top-k against the vec_id=0 query vector.
     // Two-phase scoring (the cosineNearDupBlocked pattern): the native
@@ -1057,8 +1080,14 @@ object SparkEntry {
         .limit(10)
     }),
 
-    // LSH-bucketed ANN over embeddings (hash-derived hyperplanes →
-    // rows-only check; recall traded for per-bucket-local cost).
+    // Hyperplane-LSH ANN, oracled on PLANTED structure (VERDICT r6 #5):
+    // every 20th vector gets a near-duplicate copy (each dim scaled by
+    // 1 + 0.005·((d%7)−3), cos ≈ 0.99995) and the query reports whether
+    // 4-table OR-amplified LSH bucketing found each planted pair, plus
+    // the exact-decimal cosine the oracle reproduces bit-for-bit. The
+    // oracle pins found_by_lsh TRUE; per-pair miss probability at this
+    // angle is ~(nBits·θ/π)^4 ≈ 1e-6, and hyperplanes are hash-derived,
+    // so the outcome is deterministic — green stays green.
     "x_lsh_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       // bucket count tracks corpus size (fixed nBits degenerates toward
@@ -1070,9 +1099,27 @@ object SparkEntry {
       val estRows = math.max(1L,
         (e.queryExecution.optimizedPlan.stats.sizeInBytes / 400).toLong)
       val nBits = Similarity.lshBitsFor(estRows, targetPerBucket = 8)
-      Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
-        dim = 64, nBits = nBits, minCos = 0.2)
-        .orderBy("id_a", "id_b")
+      val perturbed = e.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000000L).as("id"),
+          transform(col("embedding"), (x, i) =>
+            (x * (lit(1.0) + lit(0.005) * ((i % 7) - lit(3))))
+              .cast(org.apache.spark.sql.types.FloatType)).as("v"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("v"))
+        .unionByName(perturbed)
+      val found = Similarity
+        .lshCandidatePairs(corpus, "id", "v", dim = 64, nBits = nBits,
+          nTables = 4)
+        .select(col("id_a").as("vec_id"), col("id_b").as("copy_id"),
+          lit(true).as("f"))
+      e.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), (col("vec_id") + 10000000L).as("copy_id"),
+          col("embedding"))
+        .join(perturbed.withColumnRenamed("id", "copy_id"), Seq("copy_id"))
+        .join(found, Seq("vec_id", "copy_id"), "left")
+        .select(col("vec_id"), col("copy_id"),
+          round(Similarity.cosineExact(col("embedding"), col("v")), 9).as("cos"),
+          coalesce(col("f"), lit(false)).as("found_by_lsh"))
+        .orderBy("vec_id")
     }),
 
     // Embedding-cosine near-dup pairs, blocked on the label column (the
@@ -2558,6 +2605,44 @@ object SparkEntry {
       s"""WITH ${ngramPairsCte(0.8)}
          |SELECT id_a, id_b, jaccard, TRUE AS found_by_minhash FROM jpairs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Planted-recall oracle: the planted pair list is pure arithmetic on
+    // the eligibility predicate; found_by_simhash is PINNED TRUE — the
+    // engine's banded simhash recall is what the hash compare verifies.
+    "x_simhash" ->
+      """SELECT doc_id, doc_id + 10000000 AS copy_id,
+        | TRUE AS found_by_simhash
+        |FROM documents
+        |WHERE doc_id % 5 = 0
+        |  AND len(regexp_split_to_array(TRIM(text), '\s+')) >= 40
+        |ORDER BY doc_id""".stripMargin,
+
+    // Planted-recall oracle: reproduces the perturbed copy (dim d scaled
+    // by 1 + 0.005·((d%7)−3), rounded to float32 exactly as Spark's
+    // transform+cast) and the exact-decimal cosine; found_by_lsh PINNED
+    // TRUE verifies the 4-table OR-amplified bucketing recall.
+    "x_lsh_ann" ->
+      """WITH p AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, (x, i) ->
+        |    CAST(CAST(x AS DOUBLE) * (1.0 + 0.005 * (((i - 1) % 7) - 3)) AS FLOAT)) AS pemb
+        | FROM embeddings
+        | WHERE vec_id % 20 = 0),
+        |z AS (
+        | SELECT e.vec_id,
+        |  CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |  CAST(unnest(p.pemb) AS DOUBLE) AS y
+        | FROM embeddings e JOIN p USING (vec_id)),
+        |d AS (
+        | SELECT vec_id,
+        |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
+        |  SUM(CAST(x * x AS DECIMAL(30,15))) AS na,
+        |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nb
+        | FROM z GROUP BY 1)
+        |SELECT vec_id, vec_id + 10000000 AS copy_id,
+        | ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS cos,
+        | TRUE AS found_by_lsh
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     // Connected components over the exact ≥ 0.5 pairs via recursive
     // transitive closure (component label = min reachable id), then keep

@@ -476,6 +476,30 @@ object Similarity {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
 
+  /** OR-amplified hyperplane-LSH candidate pairs: two vectors are
+    * candidates when they share a bucket in ANY of `nTables` independent
+    * hyperplane tables (seeds `seed`, `seed+1`, …). One table misses a
+    * pair at angle θ with probability 1 − (1 − θ/π)^nBits; OR-ing L
+    * tables drives the miss to (that)^L — the banding amplification of
+    * MinHash-LSH, applied to hyperplane signatures. Per-table candidate
+    * cost is unchanged and the join keys stay (table, bucket) — vectors
+    * never enter the shuffle. Output (id_a, id_b), id_a < id_b, distinct.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, nBits: Int, nTables: Int,
+                        seed: Int = 42): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1: $nTables")
+    val tb = df.select(col(idCol).as("id"),
+      explode(array((0 until nTables).map { tIx =>
+        struct(lit(tIx).as("t"),
+          lshBucket(col(vecCol), dim, nBits, seed + tIx).as("b"))
+      }: _*)).as("tb"))
+    tb.as("a").join(tb.as("b"),
+        col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** All-pairs cosine ≥ threshold via LSH bucketing (embedding near-dup).
     * Output (id_a, id_b, cos), id_a < id_b.
     */
