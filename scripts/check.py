@@ -1,17 +1,20 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
 
 Loads each query result parquet written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB (tables = views over the sfDir
 parquet files), and compares schema + values exactly (floats bit-for-bit,
 since the engine is designed for exact-decimal reproducibility).
+Optional query names restrict the check to that subset (local iteration /
+the sf0.1 flag script, where only feasible oracles are re-run).
 """
 import json, math, sys
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -36,7 +39,9 @@ def eq(a, b):
     return a == b
 
 fails = 0
-for name in sorted(oracle):
+for name in sorted(only if only else oracle):
+    if name not in oracle:
+        print(f"FAIL {name}: not in oracle_sql.json"); fails += 1; continue
     sql = oracle[name]
     try:
         mine = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
@@ -74,7 +79,7 @@ for name in sorted(oracle):
 meta = set(oracle)
 import os
 for d in sorted(os.listdir(outdir)):
-    if d in meta or d.endswith(".json"):
+    if d in meta or d.endswith(".json") or (only and d not in only):
         continue
     try:
         n = con.execute(f"SELECT count(*) FROM '{outdir}/{d}/*.parquet'").fetchone()[0]

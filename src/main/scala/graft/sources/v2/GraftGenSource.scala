@@ -30,14 +30,46 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Usage: `spark.readStream.format("graft-gen")
   *   .option("numPartitions", 4).option("batchSize", 100).load()`.
+  *
+  * User generators (the reference's arbitrary-closure parity,
+  * memorystream_datasource.go:10-44): register a function on the driver
+  * and name it in the read —
+  * {{{
+  *   GraftGenSource.registerGenerator("mygen",
+  *     (part, epoch, seq) => s"row-\$part-\$epoch-\$seq".getBytes)
+  *   spark.readStream.format("graft-gen").option("generator", "mygen").load()
+  * }}}
+  * The schema becomes (part, batch, seq, payload binary). The function is
+  * resolved from the registry on the DRIVER at plan time and ships with
+  * the input partitions, so executors never consult the registry. Replay
+  * exactly-once then depends on the USER function being deterministic in
+  * (part, epoch, seq) — same contract the built-in splitmix generator
+  * satisfies; a wall-clock- or RNG-dependent generator forfeits it (the
+  * reference has the same caveat, it just never states it).
   */
 class GraftGenSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-gen"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftGenTable.SCHEMA
+    GraftGenTable.schemaFor(options)
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new GraftGenTable(new CaseInsensitiveStringMap(properties))
+}
+
+/** Driver-side registry of named user generators: (part, epoch, seq) →
+  * payload bytes. Serializable-by-construction (Scala function literals
+  * are), shipped inside [[GenPartition]]s to the executors.
+  */
+object GraftGenSource {
+  type Generator = (Int, Long, Long) => Array[Byte]
+  private val generators =
+    new java.util.concurrent.ConcurrentHashMap[String, Generator]()
+  def registerGenerator(name: String, f: Generator): Unit =
+    generators.put(name, f)
+  private[v2] def generator(name: String): Generator =
+    Option(generators.get(name)).getOrElse(throw new IllegalArgumentException(
+      s"graft-gen: no generator registered under '$name' — call " +
+        "GraftGenSource.registerGenerator(name, f) on the driver first"))
 }
 
 object GraftGenTable {
@@ -46,28 +78,42 @@ object GraftGenTable {
     StructField("batch", LongType, nullable = false),
     StructField("seq", LongType, nullable = false),
     StructField("v", LongType, nullable = false)))
+
+  /** With a user generator the value column is its payload bytes. */
+  val USER_SCHEMA: StructType = StructType(Seq(
+    StructField("part", IntegerType, nullable = false),
+    StructField("batch", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  def schemaFor(options: CaseInsensitiveStringMap): StructType =
+    if (options.containsKey("generator")) USER_SCHEMA else SCHEMA
 }
 
 class GraftGenTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   private val numPartitions = options.getInt("numPartitions", 2)
   private val batchSize = options.getInt("batchSize", 10)
+  // resolve the user generator NOW, on the driver, where the registry
+  // lives — the function object itself rides to executors in the plan
+  private val userGen: Option[GraftGenSource.Generator] =
+    Option(options.get("generator")).map(GraftGenSource.generator)
   require(numPartitions > 0, s"numPartitions must be positive: $numPartitions")
   // batchSize <= 0 would still emit one row per epoch through the reader's
   // advance-then-emit loop — reject instead of silently misbehaving
   require(batchSize > 0, s"batchSize must be positive: $batchSize")
 
   override def name(): String = s"graft-gen($numPartitions x $batchSize)"
-  override def schema(): StructType = GraftGenTable.SCHEMA
+  override def schema(): StructType = GraftGenTable.schemaFor(options)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = GraftGenTable.SCHEMA
+        override def readSchema(): StructType = GraftGenTable.schemaFor(options)
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftGenStream(numPartitions, batchSize)
+          new GraftGenStream(numPartitions, batchSize, userGen)
       }
     }
 }
@@ -77,7 +123,8 @@ case class GenOffset(epoch: Long) extends Offset {
   override def json(): String = epoch.toString
 }
 
-class GraftGenStream(numPartitions: Int, batchSize: Int)
+class GraftGenStream(numPartitions: Int, batchSize: Int,
+                     userGen: Option[GraftGenSource.Generator] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // Restart safety: the engine polls for a new latest offset BEFORE any
@@ -104,14 +151,19 @@ class GraftGenStream(numPartitions: Int, batchSize: Int)
     val s = start.asInstanceOf[GenOffset].epoch
     val e = end.asInstanceOf[GenOffset].epoch
     (0 until numPartitions)
-      .map(p => GenPartition(p, s, e, batchSize): InputPartition).toArray
+      .map(p => GenPartition(p, s, e, batchSize, userGen): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = GenReaderFactory
 }
 
-/** One generator's rows for epochs (start, end]. */
-case class GenPartition(part: Int, start: Long, end: Long, batchSize: Int)
+/** One generator's rows for epochs (start, end]. `gen`, when present, is
+  * the user generator resolved on the driver — it serializes with the
+  * partition (Scala function literals are Serializable), so executors
+  * never need the registry.
+  */
+case class GenPartition(part: Int, start: Long, end: Long, batchSize: Int,
+                        gen: Option[GraftGenSource.Generator] = None)
     extends InputPartition
 
 object GenReaderFactory extends PartitionReaderFactory {
@@ -127,7 +179,10 @@ object GenReaderFactory extends PartitionReaderFactory {
         if (batch > gp.end) false
         else {
           seq += 1
-          row = InternalRow(gp.part, batch, seq, mix(gp.part, batch, seq))
+          row = gp.gen match {
+            case Some(f) => InternalRow(gp.part, batch, seq, f(gp.part, batch, seq))
+            case None => InternalRow(gp.part, batch, seq, mix(gp.part, batch, seq))
+          }
           true
         }
       }
