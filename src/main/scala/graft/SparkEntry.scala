@@ -857,6 +857,54 @@ object SparkEntry {
         seqLen = 2048L, bucketWidth = 64L)
         .orderBy("doc_id")),
 
+    // Full sequence-packing spans: every doc explodes into the spans it
+    // contributes to each 128-token training sequence it crosses —
+    // packOffsets' two-level cumsum plus a bounded map-only explode.
+    "x_pack_spans" -> ((s, dir) =>
+      Corpus.packSpans(t(s, dir, "documents"), "doc_id", "text",
+        seqLen = 128L, bucketWidth = 64L)
+        .orderBy("doc_id", "seq_id")),
+
+    // Incremental dedup — tomorrow's crawl against yesterday's corpus:
+    // the index side is the distinct 8-byte fingerprints of the "old"
+    // corpus (doc_id % 3 = 0), the "new" batch is the rest PLUS planted
+    // re-crawls (old docs under fresh ids) that the anti-join must drop.
+    // New bodies never shuffle; the index is hash-sized and broadcast.
+    // Oracle mirrors with exact text matching (hash engine-side, same
+    // contract as the fingerprint dedup family).
+    "x_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.where(col("doc_id") % 3 === 0)
+      val fresh = docs.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(old.where(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      Dedup.dedupAgainstIndex(fresh, "text",
+          Dedup.fingerprintIndex(old, "text"))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // C4 rule-based cleaning gate over line structure derived in-query
+    // (the fixture is single-line): tokens chunk into 10-token lines,
+    // every third line left WITHOUT terminal punctuation — the gate must
+    // keep exactly the punctuated ≥3-token lines and flag docs on the
+    // published heuristics (≥3 surviving lines, no braces, no lorem
+    // ipsum). Map-only: the whole derivation + gate runs inside the scan
+    // projection, zero exchanges before the presentation sort.
+    "x_c4_gate" -> ((s, dir) => {
+      val toks = when(length(trim(col("text"))) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      val nChunks = ((size(toks) + 9) / 10).cast("int")
+      val lines = when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nChunks - 1), i =>
+          concat(array_join(slice(toks, i * 10 + 1, lit(10)), " "),
+            when(i % 3 === 2, "").otherwise("."))))
+      val derived = t(s, dir, "documents")
+        .select(col("doc_id"), array_join(lines, "\n").as("ltext"))
+      Corpus.c4Gate(derived, "doc_id", "ltext").orderBy("doc_id")
+    }),
+
     // Exact-k deterministic stratified sample: 5 docs per language,
     // chosen by md5 rank — reproducible on any cluster size.
     "x_sample_k" -> ((s, dir) =>
@@ -2537,6 +2585,72 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, start_offset,
         | CAST((start_offset - start_offset % 2048) / 2048 AS BIGINT) AS chunk_id
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // Oracle runs the plain global cumsum + per-doc span arithmetic; the
+    // engine's bucket-decomposed offsets and bounded explode must match
+    // it bit-for-bit.
+    "x_pack_spans" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS nt
+        | FROM documents),
+        |o AS (
+        | SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset
+        | FROM d),
+        |spans AS (
+        | SELECT doc_id, n_tokens, start_offset,
+        |  CAST(unnest(range(start_offset // 128,
+        |    (start_offset + n_tokens - 1) // 128 + 1)) AS BIGINT) AS seq_id
+        | FROM o WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, seq_id,
+        | CAST(GREATEST(start_offset, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_start,
+        | CAST(GREATEST(start_offset, seq_id * 128) - start_offset AS BIGINT) AS doc_start,
+        | CAST(LEAST(start_offset + n_tokens, (seq_id + 1) * 128)
+        |   - GREATEST(start_offset, seq_id * 128) AS BIGINT) AS span_len
+        |FROM spans ORDER BY doc_id, seq_id""".stripMargin,
+
+    "x_dedup_incremental" ->
+      """WITH old AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        |fresh AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        | UNION ALL
+        | SELECT doc_id + 20000000 AS doc_id, text FROM old WHERE doc_id % 6 = 0)
+        |SELECT doc_id FROM fresh n
+        |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Derives the same 10-token lines (every third unpunctuated) and
+    // applies the same substring/size gate rules — list lambdas with
+    // 1-based indices, so (i-1) mirrors Spark's 0-based transform.
+    "x_c4_gate" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |lined AS (
+        | SELECT doc_id,
+        |  list_transform(range((len(tok) + 9) // 10), i ->
+        |    array_to_string(tok[i * 10 + 1 : i * 10 + 10], ' ') ||
+        |    CASE WHEN i % 3 = 2 THEN '' ELSE '.' END) AS lines
+        | FROM toks),
+        |gated AS (
+        | SELECT doc_id, lines,
+        |  list_filter(lines, l ->
+        |    right(TRIM(l), 1) IN ('.', '!', '?', '"') AND
+        |    len(regexp_split_to_array(TRIM(l), '\s+')) >= 3) AS kept_lines,
+        |  array_to_string(lines, chr(10)) AS ltext
+        | FROM lined)
+        |SELECT doc_id,
+        | array_to_string(list_transform(kept_lines, l -> TRIM(l)), chr(10)) AS clean_text,
+        | CAST(len(kept_lines) AS BIGINT) AS n_lines_kept,
+        | (len(kept_lines) >= 3 AND NOT contains(ltext, '{')
+        |   AND NOT contains(lower(ltext), 'lorem ipsum')) AS kept
+        |FROM gated ORDER BY doc_id""".stripMargin,
 
     "x_sample_k" ->
       """SELECT doc_id, lang FROM (

@@ -245,6 +245,76 @@ object Corpus {
         ((so - pmod(so, lit(seqLen))) / lit(seqLen)).cast("long").as("chunk_id"))
   }
 
+  /** C4-style rule-based cleaning gate (Raffel et al. 2020 §2.2 — the
+    * published heuristics behind the C4 corpus, independently
+    * re-expressed): a LINE survives iff its trimmed form ends in terminal
+    * punctuation (`.` `!` `?` `"`) and has ≥ `minLineTokens` whitespace
+    * tokens; a DOCUMENT is flagged kept iff ≥ `minLines` lines survive,
+    * it contains no `{` (code), and its lowercase text lacks
+    * "lorem ipsum". Output: (idCol, clean_text = surviving lines joined
+    * by \n, n_lines_kept, kept) — every input row present and flagged,
+    * filtering is the caller's one-liner.
+    *
+    * Map-only (no shuffle, no joins): the line logic runs in `filter`/
+    * `transform` lambdas inside the scan projection — at 100 TB this is
+    * the cheapest possible pass, and it composes into the curation chain
+    * without adding an exchange. Built from substring/size primitives
+    * only (no engine-specific regex classes), so any ANSI engine
+    * reproduces it bit-for-bit.
+    */
+  def c4Gate(df: DataFrame, idCol: String, textCol: String,
+             minLineTokens: Int = 3, minLines: Int = 3): DataFrame = {
+    require(minLineTokens >= 1 && minLines >= 1)
+    val keepLine = (l: Column) => {
+      val t = trim(l)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(t, "\\s+")) >= minLineTokens
+    }
+    val kept = filter(split(col(textCol), "\n"), keepLine)
+    df.select(col(idCol),
+      array_join(transform(kept, l => trim(l)), "\n").as("clean_text"),
+      size(kept).cast("long").as("n_lines_kept"),
+      (size(kept) >= minLines &&
+        !col(textCol).contains("{") &&
+        !lower(col(textCol)).contains("lorem ipsum")).as("kept"))
+  }
+
+  /** Full sequence-packing assignment — the GPT-style "concatenate the
+    * corpus and cut every `seqLen` tokens" layout, [[packOffsets]] taken
+    * to its training-ready conclusion: each document explodes into the
+    * SPANS it contributes to each fixed-length training sequence it
+    * crosses. Output per (doc, sequence) intersection:
+    * (idCol, n_tokens, seq_id, seq_start, doc_start, span_len) — enough
+    * to materialize every sequence by gathering its spans, and to build
+    * attention-boundary masks from the span edges.
+    *
+    * Scale shape: the only shuffles are [[packOffsets]]'s two-level
+    * bucket cumsum (no global single-reducer window); the span explode is
+    * a pure map afterwards, bounded per doc by ⌈n_tokens/seqLen⌉ + 1
+    * output rows. Empty docs (0 tokens) contribute no spans and drop out,
+    * like they do from a packed corpus.
+    */
+  def packSpans(df: DataFrame, idCol: String, textCol: String,
+                seqLen: Long, bucketWidth: Long): DataFrame = {
+    require(seqLen > 0 && bucketWidth > 0)
+    val offs = packOffsets(df, idCol, textCol, seqLen, bucketWidth)
+      .where(col("n_tokens") > 0)
+    val end = col("start_offset") + col("n_tokens")
+    val lastChunk = ((end - 1) - pmod(end - 1, lit(seqLen))) / lit(seqLen)
+    offs
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        explode(sequence(col("chunk_id"), lastChunk.cast("long"))).as("seq_id"))
+      .select(col(idCol), col("n_tokens"), col("seq_id"),
+        greatest(col("start_offset"), col("seq_id") * seqLen).as("__gs"),
+        least(col("start_offset") + col("n_tokens"),
+          (col("seq_id") + 1) * seqLen).as("__ge"),
+        col("start_offset"))
+      .select(col(idCol), col("n_tokens"), col("seq_id"),
+        (col("__gs") - col("seq_id") * seqLen).as("seq_start"),
+        (col("__gs") - col("start_offset")).as("doc_start"),
+        (col("__ge") - col("__gs")).as("span_len"))
+  }
+
   /** Exactly `k` rows per stratum, deterministically: rank rows inside
     * each stratum by `md5(stratum ‖ ":" ‖ key)` (key as tiebreak) and
     * keep the `k` smallest. One shuffle on the stratum key; the hash

@@ -441,4 +441,31 @@ object Dedup {
         levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /** Content-fingerprint index of a corpus: the distinct 8-byte
+    * fingerprints of `textCol` (or any fingerprint expression — e.g.
+    * [[TextFunctions.minShingleFingerprint]] for edit-robust matching).
+    * This is the artifact yesterday's curation run persists so tomorrow's
+    * crawl can dedup against it without rescanning yesterday's bodies:
+    * 8 bytes per distinct document, however large the source corpus.
+    */
+  def fingerprintIndex(df: DataFrame, textCol: String,
+                       fp: Column => Column = TextFunctions.fingerprint)
+      : DataFrame =
+    df.select(fp(col(textCol)).as("fp")).distinct()
+
+  /** Incremental dedup — drop every document of `newDf` whose content
+    * fingerprint already appears in `index` (a [[fingerprintIndex]]
+    * frame, today's or an accumulated union). The anti-join keys on the
+    * 8-byte fingerprint, so new-corpus bodies never shuffle and the index
+    * side is hash-sized; AQE broadcasts it when it fits. Same hash-only
+    * contract as the fingerprint dedup family (a 64-bit collision can
+    * only OVER-drop, documented at [[TextFunctions.fingerprint]]); pass
+    * an edit-robust `fp` to both sides for near-dup-tolerant matching.
+    */
+  def dedupAgainstIndex(newDf: DataFrame, textCol: String, index: DataFrame,
+                        fp: Column => Column = TextFunctions.fingerprint)
+      : DataFrame =
+    newDf.join(index.select(col("fp").as("__idx_fp")),
+      fp(col(textCol)) === col("__idx_fp"), "left_anti")
 }

@@ -358,6 +358,105 @@ class CorpusSpec extends SparkSpec {
     assert(w(1L) == "twice\ntwice")
   }
 
+  test("packSpans: spans tile each doc exactly and respect sequence bounds") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // token counts 3, 10, 0 (drops out), 7, 25 with seqLen 8 → plenty of
+    // boundary crossings at several bucket widths
+    val rows = Seq(
+      Row(1L, Seq.fill(3)("t").mkString(" ")),
+      Row(2L, Seq.fill(10)("t").mkString(" ")),
+      Row(3L, ""),
+      Row(4L, Seq.fill(7)("t").mkString(" ")),
+      Row(5L, Seq.fill(25)("t").mkString(" ")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    for (bw <- Seq(1L, 2L, 64L)) {
+      val out = Corpus.packSpans(df, "id", "text", seqLen = 8L, bucketWidth = bw)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      // empty doc contributes nothing
+      assert(!out.exists(_._1 == 3L))
+      // per doc: spans tile [0, n_tokens) contiguously
+      out.groupBy(_._1).foreach { case (id, spans) =>
+        val sorted = spans.sortBy(_._3)
+        assert(sorted.map(_._6).sum == sorted.head._2, s"doc $id span lens")
+        assert(sorted.head._5 == 0L, s"doc $id first span doc_start")
+        sorted.sliding(2).filter(_.length == 2).foreach { w =>
+          val (a, b) = (w(0), w(1))
+          assert(b._5 == a._5 + a._6, s"doc $id spans not contiguous")
+          assert(b._3 == a._3 + 1, s"doc $id skips a sequence")
+          assert(b._4 == 0L, s"doc $id continuation must start its sequence")
+        }
+      }
+      // per span: inside the sequence
+      out.foreach { case (id, _, _, seqStart, _, len) =>
+        assert(seqStart >= 0 && seqStart < 8 && len > 0 && seqStart + len <= 8,
+          s"doc $id span outside sequence bounds")
+      }
+      // global: token mass is conserved across the packing
+      assert(out.map(_._6).sum == 3 + 10 + 7 + 25)
+      // sequences fill completely except (possibly) the last
+      val bySeq = out.groupBy(_._3).map { case (s, xs) => s -> xs.map(_._6).sum }
+      val lastSeq = bySeq.keys.max
+      bySeq.foreach { case (s, tot) =>
+        if (s != lastSeq) assert(tot == 8, s"sequence $s not full: $tot") }
+    }
+  }
+
+  test("c4Gate: line and doc rules match the published heuristics") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val rows = Seq(
+      // 3 good lines → kept
+      Row(1L, "one two three.\nfour five six!\nseven eight nine?"),
+      // unpunctuated + short lines die; only 1 survivor → not kept
+      Row(2L, "no terminal punctuation here\nshort.\nten eleven twelve."),
+      // quoted terminal counts; whitespace around lines is trimmed
+      Row(3L, "  he said \"stop\" loudly \"\n a b c. \nd e f."),
+      // brace ⇒ code ⇒ doc rejected even with 3 good lines
+      Row(4L, "one two three.\nfour {five} six.\nseven eight nine."),
+      // lorem ipsum rejected, case-insensitive
+      Row(5L, "Lorem Ipsum dolor sit.\nfour five six.\nseven eight nine."),
+      Row(6L, ""))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Corpus.c4Gate(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (("one two three.\nfour five six!\nseven eight nine?", 3L, true)))
+    assert(out(2L) == (("ten eleven twelve.", 1L, false)))
+    assert(out(3L)._2 == 3L && out(3L)._3)
+    assert(out(3L)._1 == "he said \"stop\" loudly \"\na b c.\nd e f.")
+    assert(out(4L)._2 == 3L && !out(4L)._3) // lines fine, doc rejected
+    assert(out(5L)._2 == 3L && !out(5L)._3)
+    assert(out(6L) == (("", 0L, false)))
+    assert(out.size == 6)
+  }
+
+  test("dedupAgainstIndex drops exactly the indexed content") {
+    import graft.functions.Dedup
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val oldRows = Seq(Row(1L, "alpha beta"), Row(2L, "gamma delta"))
+    val newRows = Seq(
+      Row(10L, "alpha beta"),   // re-crawl of old 1 → dropped
+      Row(11L, "epsilon zeta"), // genuinely new → kept
+      Row(12L, "gamma delta"),  // re-crawl of old 2 → dropped
+      Row(13L, "alpha beta "))  // trailing space ≠ same content → kept
+    val old = spark.createDataFrame(spark.sparkContext.parallelize(oldRows, 2), schema)
+    val neu = spark.createDataFrame(spark.sparkContext.parallelize(newRows, 2), schema)
+    val kept = Dedup.dedupAgainstIndex(neu, "text",
+        Dedup.fingerprintIndex(old, "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+    // edit-robust variant: min-shingle fingerprint also catches the
+    // trailing-space re-crawl
+    val fp = (c: org.apache.spark.sql.Column) =>
+      TextFunctions.minShingleFingerprint(c, 2)
+    val keptRobust = Dedup.dedupAgainstIndex(neu, "text",
+        Dedup.fingerprintIndex(old, "text", fp), fp)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptRobust == Set(11L))
+  }
+
   test("removeFrequentUnits: a hash collision cannot delete a rare unit") {
     // plant a collision with a deliberately weak hash (first character):
     // "common header" (df=3, boilerplate) collides with "celestial rarity"
