@@ -281,4 +281,36 @@ class PlanSpec extends SparkSpec {
     // for scoring
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("x_dedup_incremental: fingerprint anti-join broadcasts the index side") {
+    val p = plan("x_dedup_incremental")
+    // the index is hash-sized — it must broadcast; new-corpus bodies must
+    // not shuffle for the anti-join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"index anti-join not a broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"new-batch bodies shuffled for the index anti-join:\n$p")
+  }
+
+  test("x_c4_gate: the whole gate is map-only — no exchange before the sort") {
+    val p = plan("x_c4_gate")
+    // exactly the presentation ORDER BY's rangepartitioning exchange;
+    // the derivation + gate must add none
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"c4 gate introduced a non-sort exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("x_pack_spans: no window keys on the bare global order") {
+    val p = plan("x_pack_spans")
+    // both data-sized windows must partition by the bucket column — a
+    // bare ORDER BY window is the single-reducer scale-killer
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+      .filterNot(_.contains("WindowGroupLimit"))
+    assert(windows.nonEmpty, s"expected window operators:\n$p")
+    val dataSized = windows.filterNot(_.contains("__bucket"))
+    // the only bucket-free window is the #buckets-sized offset prefix sum
+    assert(dataSized.size <= 1,
+      s"data-sized window without bucket partitioning:\n${windows.mkString("\n")}")
+  }
 }
