@@ -905,6 +905,15 @@ object SparkEntry {
       Corpus.c4Gate(derived, "doc_id", "ltext").orderBy("doc_id")
     }),
 
+    // Within-document repetition removal (MassiveText intra-doc dedup):
+    // every repeat of a unit after its first occurrence in the SAME doc
+    // is deleted, order preserved. Exercised at word granularity — the
+    // fixture's docs repeat tokens heavily — entirely map-only.
+    "x_dedup_within" -> ((s, dir) =>
+      Corpus.dedupWithinDoc(t(s, dir, "documents"), "doc_id",
+          graft.functions.TextFunctions.tokens(col("text")))
+        .orderBy("doc_id")),
+
     // Exact-k deterministic stratified sample: 5 docs per language,
     // chosen by md5 rank — reproducible on any cluster size.
     "x_sample_k" -> ((s, dir) =>
@@ -2651,6 +2660,20 @@ object SparkEntry {
         | (len(kept_lines) >= 3 AND NOT contains(ltext, '{')
         |   AND NOT contains(lower(ltext), 'lorem ipsum')) AS kept
         |FROM gated ORDER BY doc_id""".stripMargin,
+
+    "x_dedup_within" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |kept AS (
+        | SELECT doc_id, tok,
+        |  list_filter(tok, (u, i) -> list_position(tok, u) = i) AS k
+        | FROM toks)
+        |SELECT doc_id, array_to_string(k, ' ') AS clean_text,
+        | CAST(len(tok) - len(k) AS BIGINT) AS n_units_removed
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     "x_sample_k" ->
       """SELECT doc_id, lang FROM (

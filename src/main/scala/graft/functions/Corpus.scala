@@ -245,6 +245,34 @@ object Corpus {
         ((so - pmod(so, lit(seqLen))) / lit(seqLen)).cast("long").as("chunk_id"))
   }
 
+  /** Within-document repetition removal — MassiveText's intra-doc dedup
+    * (Rae et al. 2021, "repetitious text"): delete every repeat of a unit
+    * (line/paragraph/span) AFTER its first occurrence *within the same
+    * document*, preserving original order. Complements
+    * [[removeFrequentUnits]] (cross-document boilerplate): a scraped page
+    * that repeats its own navigation block ten times keeps exactly one
+    * copy.
+    *
+    * Map-only: the dedup is a per-row `filter` HOF — first-occurrence
+    * testing via `array_position` (first index of the value) compared to
+    * the element's own index. No shuffle, no join, runs inside the scan
+    * projection. Per-doc cost is O(units²) comparisons (array_position
+    * scans per element) — constant-factor cheap at line/paragraph
+    * granularity where unit counts are tens-to-hundreds, which is the
+    * MassiveText regime this implements; for token-granularity dedup of
+    * multi-MB docs prefer an explode + window, which trades a shuffle for
+    * linear work. Output: (idCol, clean_text, n_units_removed) — same
+    * contract as [[removeFrequentUnits]].
+    */
+  def dedupWithinDoc(df: DataFrame, idCol: String, unitsCol: Column,
+                     joiner: String = " "): DataFrame = {
+    val units = coalesce(unitsCol, array().cast("array<string>"))
+    val kept = filter(units, (u, i) => array_position(units, u) - 1 === i)
+    df.select(col(idCol),
+      array_join(kept, joiner).as("clean_text"),
+      (size(units) - size(kept)).cast("long").as("n_units_removed"))
+  }
+
   /** C4-style rule-based cleaning gate (Raffel et al. 2020 §2.2 — the
     * published heuristics behind the C4 corpus, independently
     * re-expressed): a LINE survives iff its trimmed form ends in terminal

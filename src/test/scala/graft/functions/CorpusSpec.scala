@@ -457,6 +457,27 @@ class CorpusSpec extends SparkSpec {
     assert(keptRobust == Set(11L))
   }
 
+  test("dedupWithinDoc keeps first occurrences in order, per doc only") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val rows = Seq(
+      Row(1L, "nav body nav nav tail body"),  // repeats collapse, order kept
+      Row(2L, "nav"),                          // cross-doc repeat is NOT touched
+      Row(3L, ""))                             // empty doc stays empty
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Corpus.dedupWithinDoc(df, "id", TextFunctions.tokens(col("text")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("nav body tail", 3L)))
+    assert(out(2L) == (("nav", 0L)))
+    assert(out(3L) == (("", 0L)))
+    // line granularity: same operator, units = split("\n")
+    val multiline = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(4L, "header\nbody one\nheader\nbody two\nheader")), 1), schema)
+    val l = Corpus.dedupWithinDoc(multiline, "id", split(col("text"), "\n"), "\n")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(l(4L) == (("header\nbody one\nbody two", 2L)))
+  }
+
   test("removeFrequentUnits: a hash collision cannot delete a rare unit") {
     // plant a collision with a deliberately weak hash (first character):
     // "common header" (df=3, boilerplate) collides with "celestial rarity"
