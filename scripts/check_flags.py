@@ -16,7 +16,7 @@ import duckdb
 FLAG_QUERIES = [
     "x_pq_ann", "x_minhash_neardup", "x_hll_rollup", "x_approx_quantile",
     "x_winnow_dedup", "x_knn_blocked", "x_ivfpq_ann", "x_simhash",
-    "x_lsh_ann",
+    "x_lsh_ann", "x_neardedup_incremental",
 ]
 
 outdir = sys.argv[1]

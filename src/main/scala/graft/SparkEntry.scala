@@ -905,6 +905,40 @@ object SparkEntry {
       Corpus.c4Gate(derived, "doc_id", "ltext").orderBy("doc_id")
     }),
 
+    // Incremental NEAR-dup dedup — the near-dup analogue of
+    // x_dedup_incremental: yesterday's corpus persists a MinHash band
+    // index; today's batch plants mutated re-crawls (one token dropped
+    // from each eligible old doc) that MUST collide with the index in
+    // some band and drop. 16 bands × 2 rows — the recall-heavy regime an
+    // index you dedup AGAINST wants: detection ≥ 0.999 down to Jaccard
+    // 0.55 (short docs with repeated shingles land well below the naive
+    // ≈ 0.86 estimate — measured, 8×4 missed 3 of 553 at sf0.1), and
+    // signatures are xxhash-seeded, so the outcome is deterministic —
+    // the oracle pins dropped TRUE.
+    "x_neardedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val old = docs.where(col("doc_id") % 3 === 0)
+      val index = Dedup.minhashBandIndex(old, "text",
+        shingleN = 5, numHashes = 32, rowsPerBand = 2)
+      val planted = old
+        .where(col("doc_id") % 6 === 0 && size(toks) >= 40)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          array_join(filter(toks, (_, i) => i =!= 16), " ").as("text"))
+      val fresh = docs.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      val survived = Dedup.nearDedupAgainstIndex(fresh, "doc_id", "text",
+          index, shingleN = 5, numHashes = 32, rowsPerBand = 2)
+        .select(col("doc_id").as("copy_id"), lit(true).as("s"))
+      planted.select((col("doc_id") - 30000000L).as("doc_id"),
+          col("doc_id").as("copy_id"))
+        .join(survived, Seq("copy_id"), "left")
+        .select(col("doc_id"), col("copy_id"),
+          coalesce(!col("s"), lit(true)).as("dropped_by_index"))
+        .orderBy("doc_id")
+    }),
+
     // Within-document repetition removal (MassiveText intra-doc dedup):
     // every repeat of a unit after its first occurrence in the SAME doc
     // is deleted, order preserved. Exercised at word granularity — the
@@ -2660,6 +2694,17 @@ object SparkEntry {
         | (len(kept_lines) >= 3 AND NOT contains(ltext, '{')
         |   AND NOT contains(lower(ltext), 'lorem ipsum')) AS kept
         |FROM gated ORDER BY doc_id""".stripMargin,
+
+    // Planted-recall oracle: the re-crawl list is pure arithmetic on the
+    // eligibility predicate; dropped_by_index is PINNED TRUE — the band
+    // index's recall on real near-duplicates is what the compare checks.
+    "x_neardedup_incremental" ->
+      """SELECT doc_id, doc_id + 30000000 AS copy_id,
+        | TRUE AS dropped_by_index
+        |FROM documents
+        |WHERE doc_id % 6 = 0
+        |  AND len(regexp_split_to_array(TRIM(text), '\s+')) >= 40
+        |ORDER BY doc_id""".stripMargin,
 
     "x_dedup_within" ->
       """WITH toks AS (

@@ -468,4 +468,45 @@ object Dedup {
       : DataFrame =
     newDf.join(index.select(col("fp").as("__idx_fp")),
       fp(col(textCol)) === col("__idx_fp"), "left_anti")
+
+  /** Banded-MinHash index of a corpus: the distinct LSH band keys of
+    * every document — the NEAR-dup analogue of [[fingerprintIndex]], and
+    * the second artifact a curation run persists (numHashes/rowsPerBand
+    * band keys × 8 bytes per doc). Parameters must match the later
+    * [[nearDedupAgainstIndex]] call — they define the banding scheme.
+    */
+  def minhashBandIndex(df: DataFrame, textCol: String, shingleN: Int = 5,
+                       numHashes: Int = 32, rowsPerBand: Int = 4)
+      : DataFrame =
+    df.select(explode(lshBandKeys(
+        minhashSignature(col(textCol), shingleN, numHashes),
+        numHashes, rowsPerBand)).as("bk"))
+      .distinct()
+
+  /** Incremental NEAR-dup dedup — drop every document of `newDf` that
+    * collides with yesterday's corpus in ANY MinHash band (a
+    * [[minhashBandIndex]] frame). Detection probability for a new doc at
+    * Jaccard s to some indexed doc is 1 − (1 − s^rowsPerBand)^bands —
+    * the standard LSH S-curve, same knobs as [[minhashNearDupPairs]].
+    *
+    * Scale shape: new docs explode to (id, bandKey) — 8-byte keys, bodies
+    * stay out of BOTH shuffles; the semi-join against the index nominates
+    * doomed ids (dup-sized, AQE broadcasts them) and the final anti-join
+    * keys on the id. At 100 TB the index is the thing that grows —
+    * numHashes/rowsPerBand · 8 B per indexed doc — and it only ever
+    * joins, never sorts against bodies.
+    */
+  def nearDedupAgainstIndex(newDf: DataFrame, idCol: String,
+                            textCol: String, index: DataFrame,
+                            shingleN: Int = 5, numHashes: Int = 32,
+                            rowsPerBand: Int = 4): DataFrame = {
+    val keys = newDf.select(col(idCol).as("__nd_id"),
+      explode(lshBandKeys(
+        minhashSignature(col(textCol), shingleN, numHashes),
+        numHashes, rowsPerBand)).as("bk"))
+    val doomed = keys
+      .join(index.select(col("bk")), Seq("bk"), "left_semi")
+      .select(col("__nd_id")).distinct()
+    newDf.join(doomed, newDf(idCol) === doomed("__nd_id"), "left_anti")
+  }
 }

@@ -478,6 +478,27 @@ class CorpusSpec extends SparkSpec {
     assert(l(4L) == (("header\nbody one\nbody two", 2L)))
   }
 
+  test("nearDedupAgainstIndex: banded index catches mutated re-crawls") {
+    import graft.functions.Dedup
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val oldRows = Seq(Row(1L, base), Row(2L, "completely different content " +
+      "one two three four five six seven eight nine ten eleven twelve"))
+    // re-crawl: one word dropped from base; novel: disjoint vocabulary
+    val newRows = Seq(
+      Row(10L, base.split(" ").patch(7, Nil, 1).mkString(" ")),
+      Row(11L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg"))
+    val old = spark.createDataFrame(spark.sparkContext.parallelize(oldRows, 1), schema)
+    val neu = spark.createDataFrame(spark.sparkContext.parallelize(newRows, 1), schema)
+    val index = Dedup.minhashBandIndex(old, "text", rowsPerBand = 2)
+    val kept = Dedup.nearDedupAgainstIndex(neu, "id", "text", index,
+        rowsPerBand = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L), s"got $kept")
+  }
+
   test("removeFrequentUnits: a hash collision cannot delete a rare unit") {
     // plant a collision with a deliberately weak hash (first character):
     // "common header" (df=3, boilerplate) collides with "celestial rarity"
