@@ -105,6 +105,23 @@ object MicroBatch {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
 
+  /** Streaming incremental dedup against a PERSISTED corpus index — the
+    * streaming face of [[graft.functions.Dedup.dedupAgainstIndex]]: each
+    * micro-batch anti-joins the static fingerprint index (a
+    * [[graft.functions.Dedup.fingerprintIndex]] artifact), so content
+    * already curated into yesterday's corpus never re-enters today's
+    * stream. A stream-static anti-join is stateless on the stream side —
+    * no watermark, no state store — and Spark broadcasts the (hash-sized)
+    * static side into every micro-batch. Compose with [[streamingDedup]]
+    * upstream for intra-stream duplicates; the index catches
+    * cross-run re-crawls the watermark can't see.
+    */
+  def streamingDedupAgainstIndex(stream: DataFrame, textCol: String,
+                                 index: DataFrame): DataFrame =
+    stream.join(index.select(col("fp").as("__idx_fp")),
+      graft.functions.TextFunctions.fingerprint(col(textCol)) === col("__idx_fp"),
+      "left_anti")
+
   /** Drive a streaming query until `timeoutMs` then stop — deterministic
     * finite execution for tests and bounded jobs.
     */

@@ -170,6 +170,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("stream-static dedup against a persisted fingerprint index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // "yesterday's corpus" → static index
+    val old = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val index = graft.functions.Dedup.fingerprintIndex(old, "text")
+    val input = MemoryStream[(Long, String)]
+    val deduped = MicroBatch.streamingDedupAgainstIndex(
+      input.toDF().toDF("doc_id", "text"), "text", index)
+    val q = deduped.writeStream.format("memory").queryName("idx_dedup")
+      .outputMode("append").start()
+    input.addData((10L, "alpha beta"), (11L, "epsilon zeta"))
+    q.processAllAvailable()
+    input.addData((12L, "gamma delta"), (13L, "eta theta"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("idx_dedup").collect().map(_.getLong(0)).toSet
+    // re-crawled content dropped in EVERY micro-batch; novel docs pass
+    assert(got == Set(11L, 13L))
+  }
+
   test("file source: stream the events parquet through a windowed agg") {
     // a *streaming* parquet read resolves its schema through the query's
     // own session; the fixture's ts encoding has drifted over time, so
