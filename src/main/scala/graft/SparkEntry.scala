@@ -939,6 +939,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE trainer statistics round: adjacent character-pair counts
+    // weighted by word frequency, computed vocab-first (the corpus
+    // shuffles once into its vocabulary; the pair explode is
+    // vocabulary-sized). Top 30 pairs = the trainer's next 30 merge
+    // candidates.
+    "x_bpe_pairs" -> ((s, dir) =>
+      Corpus.bpePairCounts(t(s, dir, "documents"), "text")
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(30)),
+
     // Within-document repetition removal (MassiveText intra-doc dedup):
     // every repeat of a unit after its first occurrence in the SAME doc
     // is deleted, order preserved. Exercised at word granularity — the
@@ -2705,6 +2715,21 @@ object SparkEntry {
         |WHERE doc_id % 6 = 0
         |  AND len(regexp_split_to_array(TRIM(text), '\s+')) >= 40
         |ORDER BY doc_id""".stripMargin,
+
+    "x_bpe_pairs" ->
+      """WITH toks AS (
+        | SELECT CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |vocab AS (
+        | SELECT w, COUNT(*) AS f
+        | FROM (SELECT unnest(tok) AS w FROM toks) GROUP BY w),
+        |pairs AS (
+        | SELECT substr(w, CAST(unnest(range(1, LENGTH(w))) AS INTEGER), 2) AS pair, f
+        | FROM vocab WHERE LENGTH(w) >= 2)
+        |SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
 
     "x_dedup_within" ->
       """WITH toks AS (

@@ -245,6 +245,35 @@ object Corpus {
         ((so - pmod(so, lit(seqLen))) / lit(seqLen)).cast("long").as("chunk_id"))
   }
 
+  /** One statistics round of BPE tokenizer training, distributed — the
+    * adjacent-symbol-pair counts a byte-pair-encoding trainer maximizes
+    * over (Sennrich et al. 2016), at the character stage: every adjacent
+    * character pair inside a word, weighted by the word's corpus
+    * frequency. The argmax pair is the round's merge; re-running after
+    * applying merges yields the full trainer loop.
+    *
+    * Scale shape — the part that matters at 100 TB: the corpus collapses
+    * to its VOCABULARY first (one word-hash shuffle, partial aggregates
+    * collapsing repeats map-side), and the pair explode runs over the
+    * distinct-word table only — vocabulary-sized (≤ millions), not
+    * corpus-sized (trillions of tokens). A trainer that explodes pairs
+    * per token instance shuffles the corpus once per merge round; this
+    * shuffles it once, full stop.
+    *
+    * Output: (pair string, cnt) — every adjacent pair, caller takes the
+    * top-k / argmax.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val vocab = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    vocab.where(length(col("w")) >= 2)
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+  }
+
   /** Within-document repetition removal — MassiveText's intra-doc dedup
     * (Rae et al. 2021, "repetitious text"): delete every repeat of a unit
     * (line/paragraph/span) AFTER its first occurrence *within the same

@@ -457,6 +457,22 @@ class CorpusSpec extends SparkSpec {
     assert(keptRobust == Set(11L))
   }
 
+  test("bpePairCounts: frequency-weighted adjacent char pairs, vocab-first") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // "low" ×3 (two docs), "lower" ×1, "new" ×1, "a" (too short) ×1
+    val rows = Seq(
+      Row(1L, "low low lower"),
+      Row(2L, "low new a"),
+      Row(3L, ""))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val got = Corpus.bpePairCounts(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // lo: 3(low) + 1(lower) = 4; ow: 4; we: 1; er: 1; ne: 1; ew: 1
+    assert(got == Map("lo" -> 4L, "ow" -> 4L, "we" -> 1L, "er" -> 1L,
+      "ne" -> 1L, "ew" -> 1L))
+  }
+
   test("dedupWithinDoc keeps first occurrences in order, per doc only") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))
