@@ -1135,7 +1135,11 @@ object SparkEntry {
     // (ProbePlanted, all three fixture scales) tops out at 6, so
     // maxHamming=7 → 8 disjoint 8-bit blocks detects every planted pair
     // with margin, deterministically (simhash votes are xxhash-seeded):
-    // green stays green.
+    // green stays green. Scale note: radius 7 means 2^8 buckets/block —
+    // fine at fixture scale, quadratic at corpus scale; the production
+    // web-dedup regime is radius ≤ 3 (2^16 buckets/block, see
+    // simhashNearDupPairs' scaladoc), radius 7 here buys the recall
+    // proof against this corpus's short-doc vote margins.
     "x_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = split(trim(col("text")), "\\s+")

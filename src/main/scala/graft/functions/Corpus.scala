@@ -321,18 +321,21 @@ object Corpus {
   def c4Gate(df: DataFrame, idCol: String, textCol: String,
              minLineTokens: Int = 3, minLines: Int = 3): DataFrame = {
     require(minLineTokens >= 1 && minLines >= 1)
+    // null text gates exactly like empty text ("", 0, false) — the op is
+    // total, never a NULL row that downstream filters silently drop
+    val text = coalesce(col(textCol), lit(""))
     val keepLine = (l: Column) => {
       val t = trim(l)
       substring(t, -1, 1).isin(".", "!", "?", "\"") &&
         size(split(t, "\\s+")) >= minLineTokens
     }
-    val kept = filter(split(col(textCol), "\n"), keepLine)
+    val kept = filter(split(text, "\n"), keepLine)
     df.select(col(idCol),
       array_join(transform(kept, l => trim(l)), "\n").as("clean_text"),
       size(kept).cast("long").as("n_lines_kept"),
       (size(kept) >= minLines &&
-        !col(textCol).contains("{") &&
-        !lower(col(textCol)).contains("lorem ipsum")).as("kept"))
+        !text.contains("{") &&
+        !lower(text).contains("lorem ipsum")).as("kept"))
   }
 
   /** Full sequence-packing assignment — the GPT-style "concatenate the

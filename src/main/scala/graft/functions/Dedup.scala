@@ -84,6 +84,16 @@ object Dedup {
     *
     * Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxHamming.
     */
+  /** Scale contract: the pigeonhole gives maxHamming+1 blocks of
+    * 64/(maxHamming+1) bits, so bucket cardinality per block is
+    * 2^(64/(k+1)) — radius 3 yields 2^16 buckets (the web-dedup
+    * production regime; bucket occupancy stays tiny at billions of
+    * docs), radius 7 yields only 2^8 (acceptable up to ~millions of
+    * docs), and beyond that the per-bucket pair join goes quadratic.
+    * For larger radii at corpus scale, recurse: block-match on coarse
+    * blocks, then hamming-filter candidates on the full sketch — the
+    * standard multi-level pigeonhole (Manku et al. 2007 §3).
+    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")

@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of trimmed text. Empty/blank text → empty array. */
+  /** Whitespace tokens of trimmed text. Null/empty/blank text → empty
+    * array — total by design: a 100 TB crawl always contains null text,
+    * and a NULL token count would propagate through every downstream
+    * aggregate (offsets, budgets, vocab) as silent row loss.
+    */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
+    when(text.isNull || length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
   /** Number of whitespace-delimited tokens. */
