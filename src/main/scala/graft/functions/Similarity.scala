@@ -139,11 +139,17 @@ object Similarity {
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 nCentroids: Int = 16,
                 kmeansIters: Int = 0): (DataFrame, Array[Array[Double]]) = {
+    // Null vectors can't train centroids, can't be assigned, and can't
+    // be anyone's neighbor — drop them here so every ANN entry point
+    // built on the quantizer (ivfTopK, knnJoinBlocked, knnGraph,
+    // semanticDedupClustered) is total over crawl-shaped data instead of
+    // dying in the centroid sample collect
+    val nonNull = df.where(col(vecCol).isNotNull)
     // Deterministic coarse quantizer: take the nCentroids vectors with the
     // smallest xxhash64(id) — a seeded uniform sample; optionally refined
     // by spherical-Lloyd rounds (see refineCentroids) for tighter
     // inverted lists and better probe-limited recall.
-    val sampled = df
+    val sampled = nonNull
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("h", xxhash64(col("id")))
       .orderBy("h").limit(nCentroids)
@@ -151,9 +157,9 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val dim = sampled.head.length
     val refined =
-      if (kmeansIters > 0) refineCentroids(df, vecCol, sampled, kmeansIters)
+      if (kmeansIters > 0) refineCentroids(nonNull, vecCol, sampled, kmeansIters)
       else sampled
-    val assigned = df.withColumn("ivf_bucket",
+    val assigned = nonNull.withColumn("ivf_bucket",
       graft.plans.HashExpressions.argMaxDot(col(vecCol), refined.flatten, dim))
     (assigned, refined)
   }
@@ -245,8 +251,13 @@ object Similarity {
     val kPrime = k + margin
     val spark = queries.sparkSession
     import spark.implicits._
-    val q = queries.select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
-    val c = corpus.select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"))
+    // null vectors have no neighbors and are nobody's neighbor — drop
+    // them up front (a null __s would otherwise violate the typed
+    // aggregator's non-null field contract and kill the job)
+    val q = queries.where(col(qVecCol).isNotNull)
+      .select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
+    val c = corpus.where(col(cVecCol).isNotNull)
+      .select(col(cIdCol).cast("long").as("__cid"), col(cVecCol).as("__cv"))
     val scored0 = c.crossJoin(broadcast(q))
       .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__s"))
     // excludeSelf: drop identity pairs BEFORE ranking (the kNN-graph
@@ -346,7 +357,11 @@ object Similarity {
       struct((-dotNative(col("__qv"), centF(i))).as("negd"), lit(i).as("b"))): _*)
     val probes = transform(slice(array_sort(scoredCents), 1, np),
       p => p.getField("b"))
-    val qBase = queries.select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
+    // null query vectors have no neighbors — drop them (ivfAssign already
+    // dropped null corpus vectors); a null __qv would otherwise probe
+    // garbage buckets and emit null-score "neighbors"
+    val qBase = queries.where(col(qVecCol).isNotNull)
+      .select(col(qIdCol).cast("long").as("__qid"), col(qVecCol).as("__qv"))
     // the query side spreads BY __qid: when it is the streamed side, each
     // query's scored pairs then co-locate, so the partial top-k' heap
     // reduces to k' rows per query total (not per input partition) and
