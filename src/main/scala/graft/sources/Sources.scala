@@ -50,6 +50,17 @@ object Sources {
     GraftFrame(schema.fold(r.parquet(glob))(s => r.schema(s).parquet(glob)))
   }
 
+  /** ORC over a glob; schema enforced if provided. Same columnar
+    * pushdown/pruning properties as parquet (both are Spark-native
+    * vectorized formats) — included so a corpus landed by an ORC-based
+    * warehouse needs no conversion pass.
+    */
+  def orc(spark: SparkSession, glob: String,
+          schema: Option[StructType] = None): GraftFrame = {
+    val r = spark.read
+    GraftFrame(schema.fold(r.orc(glob))(s => r.schema(s).orc(glob)))
+  }
+
   /** S2: static in-memory rows (reference
     * datasource/memory/memory_datasource.go:12-43) — test/mock use.
     */

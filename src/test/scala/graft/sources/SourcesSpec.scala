@@ -104,4 +104,19 @@ class SourcesSpec extends SparkSpec {
     val f = Sources.memory(spark, Seq(Row("a", 1L), Row("b", 2L)), schema)
     assert(f.collect(10).map(_.getString("k")).toSet == Set("a", "b"))
   }
+
+  test("orc: round-trip with predicate pushdown reaching the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    Sources.parquet(spark, s"${sf()}/lineitem.parquet")
+      .df.write.mode("overwrite").orc(dir)
+    val f = Sources.orc(spark, dir)
+    assert(f.df.count() == 6000)
+    val filtered = f.df.where(org.apache.spark.sql.functions.col("l_quantity") > 25)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(6).mkString("\n"))
+    assert(!plan.contains("PushedFilters: []"))
+    assert(filtered.count() ==
+      Sources.parquet(spark, s"${sf()}/lineitem.parquet")
+        .df.where(org.apache.spark.sql.functions.col("l_quantity") > 25).count())
+  }
 }
