@@ -773,6 +773,19 @@ object SparkEntry {
           "doc_id", col("quality"), col("n_tokens"), budget = 600L)
         .orderBy("doc_id")),
 
+    // Per-group budget selection (per-source/language caps — how mixture
+    // targets become selections): same two-level monotone-bucket cumsum,
+    // every partitioning carries the group key, groups select
+    // independently in one pass. en gets 2000 tokens, zh 800, others 500.
+    "x_budget_by_lang" -> ((s, dir) =>
+      Corpus.budgetSelectPerGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            TF.qualityScore(col("text")).as("quality"),
+            TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "doc_id", "lang", col("quality"), col("n_tokens"),
+          budgets = Map("en" -> 2000L, "zh" -> 800L), defaultBudget = 500L)
+        .orderBy("doc_id")),
+
     // In-engine linear quality-probe training: 3 full-batch GD rounds on
     // square loss over md5-hashed bag-of-words features (dim=64), label =
     // is-English. Per-round numerics follow the pagerank discipline
@@ -2414,6 +2427,33 @@ object SparkEntry {
         | FROM scored)
         |SELECT doc_id, quality, n_tokens, cum_cost,
         | cum_cost <= 600 AS selected
+        |FROM cum ORDER BY doc_id""".stripMargin,
+
+    // Oracle runs the plain per-group global window; the engine's
+    // group+bucket decomposition must hash-match it bit-for-bit.
+    "x_budget_by_lang" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang, text,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |scored AS (
+        | SELECT doc_id, lang,
+        |  LEAST(1.0, CAST(len(tok) AS DOUBLE) / 100.0) *
+        |   (1.0 - CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |     ELSE CAST(LENGTH(regexp_replace(text, '[^.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+        |          / CAST(LENGTH(text) AS DOUBLE) END) AS quality,
+        |  CAST(len(tok) AS BIGINT) AS n_tokens
+        | FROM toks),
+        |cum AS (
+        | SELECT doc_id, lang, quality, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
+        | FROM scored)
+        |SELECT doc_id, lang, quality, n_tokens, cum_cost,
+        | cum_cost <= CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 800
+        |   ELSE 500 END AS selected
         |FROM cum ORDER BY doc_id""".stripMargin,
 
     // Unrolled 3-round full-batch GD: w0 = 0 (round 1 residual = −y);

@@ -696,6 +696,54 @@ object Corpus {
       .select(df.columns.map(col) :+ col("cum_cost") :+ col("selected"): _*)
   }
 
+  /** [[budgetSelect]] with PER-GROUP budgets — the data-mixing variant:
+    * "the best documents per language/source until THAT group's token
+    * budget is spent" (per-source caps are how mixture targets become
+    * selections). Same two-level monotone-bucket decomposition, with the
+    * group key added to every partitioning: per-(group, bucket) totals
+    * prefix-sum in a #groups × nBuckets grid stage, and the data-sized
+    * window keys on (group, bucket) — per-group order is total, no
+    * single-reducer stage, groups select independently in one pass.
+    *
+    * `budgets` maps group value → token budget; absent groups get
+    * `defaultBudget` (0 = select nothing — absent means unwanted).
+    * Output = input + (cum_cost, selected), cum_cost the within-group
+    * running cost in (score DESC, id) order.
+    */
+  def budgetSelectPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                           scoreCol: Column, costCol: Column,
+                           budgets: Map[String, Long],
+                           defaultBudget: Long = 0L,
+                           nBuckets: Int = 256): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "negative budget")
+    require(nBuckets > 0, s"need at least one bucket: $nBuckets")
+    val base = df
+      .withColumn("__score", scoreCol.cast("double"))
+      .withColumn("__cost", costCol.cast("long"))
+      .withColumn("__bk",
+        when(col("__score").isNull, lit(0)).otherwise(
+          least(greatest(floor(col("__score") * nBuckets), lit(0.0)),
+            lit((nBuckets - 1).toDouble)).cast("int")))
+    val bases = base.groupBy(col(groupCol), col("__bk"))
+      .agg(sum(col("__cost")).as("__btot"))
+      .select(col(groupCol), col("__bk"),
+        coalesce(sum(col("__btot")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__bk").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__boff"))
+    val inBucket = Window.partitionBy(col(groupCol), col("__bk"))
+      .orderBy(col("__score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = col("__boff") + sum(col("__cost")).over(inBucket)
+    val budget = coalesce(
+      element_at(typedLit(budgets), col(groupCol).cast("string")),
+      lit(defaultBudget))
+    base.join(broadcast(bases), Seq(groupCol, "__bk"))
+      .withColumn("cum_cost", cum)
+      .withColumn("selected", col("cum_cost") <= budget)
+      .select(df.columns.map(col) :+ col("cum_cost") :+ col("selected"): _*)
+  }
+
   /** Hashed bag-of-words features: token → md5 16-bit bucket mod `dim`,
     * counted per document. The md5 bucketing (not xxhash64) is chosen so
     * an external engine can reproduce the feature map exactly; counts are

@@ -680,6 +680,32 @@ class CorpusSpec extends SparkSpec {
     assert(nlls.minBy(_._2)._1 == 5L)
   }
 
+  test("budgetSelectPerGroup equals per-group cumsum; absent groups get default") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("score", DoubleType), StructField("cost", LongType)))
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map(i =>
+      Row(i, Seq("en", "zh", "de")(rnd.nextInt(3)), rnd.nextDouble(),
+        (rnd.nextInt(90) + 10).toLong))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val budgets = Map("en" -> 3000L, "zh" -> 1000L) // de falls to default
+    val default = 400L
+    val expect = rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._2).flatMap { case (g, rs) =>
+        val b = budgets.getOrElse(g, default)
+        val sorted = rs.sortBy(t => (-t._3, t._1))
+        sorted.scanLeft(0L)(_ + _._4).tail.zip(sorted)
+          .map { case (cum, (id, _, _, _)) => id -> ((cum, cum <= b)) }
+      }
+    for (nb <- Seq(1, 7, 256)) {
+      val got = Corpus.budgetSelectPerGroup(df, "id", "g", col("score"),
+          col("cost"), budgets, default, nBuckets = nb)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+      assert(got == expect, s"nBuckets=$nb drifted from the per-group window")
+    }
+  }
+
   test("budgetSelect equals the single-window cumsum at any bucket count") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("score", DoubleType),
