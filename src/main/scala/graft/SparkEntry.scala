@@ -952,6 +952,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher document-quality gate (Rae et al. 2021 App. A): word-count
+    // band, mean word length, symbol ratio, alphabetic-word fraction,
+    // stop-word presence — document statistics complementing x_c4_gate's
+    // line rules. Map-only; every metric from substring/size primitives
+    // ("has a letter" = lower(w) != upper(w), locale-free).
+    "x_gopher_gate" -> ((s, dir) =>
+      Corpus.gopherGate(t(s, dir, "documents"), "doc_id", "text",
+          minWords = 30L,
+          // the synthetic vocabulary carries only "the" of the 8 canonical
+          // stop words — minStop=1 keeps the flag informative here (the
+          // operator default stays at the published 2)
+          minStop = 1)
+        .orderBy("doc_id")),
+
     // BPE trainer statistics round: adjacent character-pair counts
     // weighted by word frequency, computed vocab-first (the corpus
     // shuffles once into its vocabulary; the pair explode is
@@ -2759,6 +2773,44 @@ object SparkEntry {
         |WHERE doc_id % 6 = 0
         |  AND len(regexp_split_to_array(TRIM(text), '\s+')) >= 40
         |ORDER BY doc_id""".stripMargin,
+
+    "x_gopher_gate" ->
+      """WITH toks AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  CAST(len(tok) AS BIGINT) AS n_words,
+        |  COALESCE(list_aggregate(list_transform(tok, w -> LENGTH(w)), 'sum'), 0) AS char_sum,
+        |  len(list_filter(tok, w -> lower(w) <> upper(w))) AS n_alpha,
+        |  LENGTH(text) - LENGTH(replace(text, '#', '')) AS n_hash,
+        |  (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3 AS n_ell,
+        |  (CASE WHEN list_contains(tok, 'the') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'be') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'to') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'of') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'and') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'that') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'have') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'with') THEN 1 ELSE 0 END) AS n_stop
+        | FROM toks),
+        |g AS (
+        | SELECT doc_id, n_words,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |    ELSE ROUND(CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE), 9) END AS mean_word_len,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE), 9) END AS symbol_ratio,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 9) END AS alpha_frac,
+        |  CAST(n_stop AS BIGINT) AS n_stop
+        | FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
+        | (n_words >= 30 AND n_words <= 100000 AND
+        |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+        |  symbol_ratio < 0.1 AND alpha_frac > 0.8 AND n_stop >= 1) AS kept
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "x_bpe_pairs" ->
       """WITH toks AS (

@@ -274,6 +274,56 @@ object Corpus {
       .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
   }
 
+  /** Gopher-style document quality gate (Rae et al. 2021, Appendix A —
+    * the published rule set behind MassiveText, independently
+    * re-expressed), complementing [[c4Gate]]'s line rules with document
+    * statistics: word count in [minWords, maxWords], mean word length in
+    * [3, 10], symbol-to-word ratio (`#` and `...`) below 0.1, ≥ 80% of
+    * words containing an alphabetic character, and at least `minStop` of
+    * the 8 canonical English stop words present.
+    *
+    * Map-only (array HOFs inside the scan projection, no shuffle), and
+    * built from substring/size primitives with one deliberate trick:
+    * "word contains a letter" is tested as `lower(w) != upper(w)` —
+    * exact, locale-free, and reproducible on any ANSI engine, where a
+    * character-class regex would hang parity on engine regex dialects.
+    * Doubles round to 9 places (cross-engine hash-stable). Empty docs:
+    * metrics 0, kept = false.
+    *
+    * Output: (idCol, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    * n_stop, kept) — every row present and flagged.
+    */
+  def gopherGate(df: DataFrame, idCol: String, textCol: String,
+                 minWords: Long = 50L, maxWords: Long = 100000L,
+                 minStop: Int = 2): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val toks = TextFunctions.tokens(text)
+    val n = size(toks).cast("long")
+    val charSum = aggregate(transform(toks, w => length(w)),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    val nAlpha = size(filter(toks, w => lower(w) =!= upper(w))).cast("long")
+    val nHash = length(text) - length(regexp_replace(text, lit("#"), lit("")))
+    val nEllipsis =
+      (length(text) - length(regexp_replace(text, lit("\\.\\.\\."), lit("")))) / 3
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = stops.map(s =>
+      when(array_contains(toks, s), 1).otherwise(0)).reduce(_ + _)
+    val meanLen = when(n === 0, lit(0.0))
+      .otherwise(round(charSum.cast("double") / n.cast("double"), 9))
+    val symRatio = when(n === 0, lit(0.0))
+      .otherwise(round((nHash + nEllipsis).cast("double") / n.cast("double"), 9))
+    val alphaFrac = when(n === 0, lit(0.0))
+      .otherwise(round(nAlpha.cast("double") / n.cast("double"), 9))
+    df.select(col(idCol),
+      n.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+      nStop.cast("long").as("n_stop"),
+      (n >= minWords && n <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio < 0.1 && alphaFrac > 0.8 &&
+        nStop >= minStop).as("kept"))
+  }
+
   /** Within-document repetition removal — MassiveText's intra-doc dedup
     * (Rae et al. 2021, "repetitious text"): delete every repeat of a unit
     * (line/paragraph/span) AFTER its first occurrence *within the same

@@ -473,6 +473,37 @@ class CorpusSpec extends SparkSpec {
       "ne" -> 1L, "ew" -> 1L))
   }
 
+  test("gopherGate: each published rule rejects independently") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val good = (1 to 60).map(_ => "sensible").mkString(" ") + " the and"
+    val rows = Seq(
+      Row(1L, good),                                        // passes all rules
+      Row(2L, "the and short text here"),                   // < minWords
+      Row(3L, (1 to 60).map(_ => "ab").mkString(" ") + " the and"), // mean len < 3
+      Row(4L, (1 to 60).map(_ => "####").mkString(" ") + " the and " +
+        (1 to 10).map(_ => "sensible").mkString(" ")),      // symbol ratio + alpha
+      Row(5L, (1 to 60).map(_ => "sensible").mkString(" ")), // no stop words
+      Row(6L, ""))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Corpus.gopherGate(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getBoolean(6))).toMap
+    assert(out(1L)._6, out(1L).toString)      // kept
+    assert(!out(2L)._6 && out(2L)._1 < 50)    // word count
+    assert(!out(3L)._6 && out(3L)._2 < 3.0)   // mean word length
+    assert(!out(4L)._6 && out(4L)._3 >= 0.1)  // symbol ratio
+    assert(!out(5L)._6 && out(5L)._5 == 0)    // stop words
+    assert(!out(6L)._6 && out(6L)._1 == 0)    // empty
+    // "word has a letter" via lower != upper: digits-only words excluded
+    val digits = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(7L, (1 to 60).map(_ => "12345").mkString(" ") + " the and")), 1), schema)
+    val d = Corpus.gopherGate(digits, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(4), r.getBoolean(6))).toMap
+    assert(d(7L)._1 < 0.1 && !d(7L)._2)       // alpha fraction rejects
+  }
+
   test("dedupWithinDoc keeps first occurrences in order, per doc only") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))
