@@ -29,6 +29,15 @@ object Sinks {
           mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", header.toString).csv(path)
 
+  /** Partitioned ORC — write-side parity with [[Sources.orc]]: same
+    * directory-key pruning contract as the parquet sink.
+    */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+          mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   def jsonl(df: DataFrame, path: String,
             mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)

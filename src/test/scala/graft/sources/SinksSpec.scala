@@ -21,6 +21,18 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("= R"))
   }
 
+  test("partitioned orc round-trips with partition pruning") {
+    val d = Files.createTempDirectory("graft-sink-orc").toString
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    Sinks.orc(li, s"$d/li", partitionBy = Seq("l_returnflag"))
+    val back = graft.sources.Sources.orc(spark, s"$d/li").df
+      .where(col("l_returnflag") === "R")
+    assert(back.count() == li.where(col("l_returnflag") === "R").count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("= R"))
+  }
+
   test("jsonl sink round-trips") {
     val d = Files.createTempDirectory("graft-sink").toString
     val n = spark.read.parquet(s"${sf()}/nation.parquet")
