@@ -966,6 +966,14 @@ object SparkEntry {
           minStop = 1)
         .orderBy("doc_id")),
 
+    // Per-language curation funnel report: doc/token volume, decimal-
+    // exact mean quality, gopher-kept counts — one map-only gate pass +
+    // one group aggregation, the observability a curation run publishes.
+    "x_curation_report" -> ((s, dir) =>
+      Corpus.curationReport(t(s, dir, "documents"), "doc_id", "lang",
+          "text", minWords = 30L, minStop = 1)
+        .orderBy("lang")),
+
     // BPE trainer statistics round: adjacent character-pair counts
     // weighted by word frequency, computed vocab-first (the corpus
     // shuffles once into its vocabulary; the pair explode is
@@ -2773,6 +2781,52 @@ object SparkEntry {
         |WHERE doc_id % 6 = 0
         |  AND len(regexp_split_to_array(TRIM(text), '\s+')) >= 40
         |ORDER BY doc_id""".stripMargin,
+
+    "x_curation_report" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang, text,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(tok) AS BIGINT) AS n_words,
+        |  COALESCE(list_aggregate(list_transform(tok, w -> LENGTH(w)), 'sum'), 0) AS char_sum,
+        |  len(list_filter(tok, w -> lower(w) <> upper(w))) AS n_alpha,
+        |  LENGTH(text) - LENGTH(replace(text, '#', '')) AS n_hash,
+        |  (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3 AS n_ell,
+        |  CASE WHEN list_contains(tok, 'the') THEN 1 ELSE 0 END +
+        |  CASE WHEN list_contains(tok, 'be') THEN 1 ELSE 0 END +
+        |  CASE WHEN list_contains(tok, 'to') THEN 1 ELSE 0 END +
+        |  CASE WHEN list_contains(tok, 'of') THEN 1 ELSE 0 END +
+        |  CASE WHEN list_contains(tok, 'and') THEN 1 ELSE 0 END +
+        |  CASE WHEN list_contains(tok, 'that') THEN 1 ELSE 0 END +
+        |  CASE WHEN list_contains(tok, 'have') THEN 1 ELSE 0 END +
+        |  CASE WHEN list_contains(tok, 'with') THEN 1 ELSE 0 END AS n_stop,
+        |  LEAST(1.0, CAST(len(tok) AS DOUBLE) / 100.0) *
+        |   (1.0 - CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |     ELSE CAST(LENGTH(regexp_replace(text, '[^.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+        |          / CAST(LENGTH(text) AS DOUBLE) END) AS quality
+        | FROM toks),
+        |g AS (
+        | SELECT doc_id, lang, n_words, quality,
+        |  (n_words >= 30 AND n_words <= 100000 AND
+        |   (CASE WHEN n_words = 0 THEN 0.0
+        |     ELSE ROUND(CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE), 9) END) >= 3.0 AND
+        |   (CASE WHEN n_words = 0 THEN 0.0
+        |     ELSE ROUND(CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE), 9) END) <= 10.0 AND
+        |   (CASE WHEN n_words = 0 THEN 0.0
+        |     ELSE ROUND(CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE), 9) END) < 0.1 AND
+        |   (CASE WHEN n_words = 0 THEN 0.0
+        |     ELSE ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 9) END) > 0.8 AND
+        |   n_stop >= 1) AS kept
+        | FROM m)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+        | ROUND(CAST(SUM(CAST(quality AS DECIMAL(28,12))) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE), 9) AS mean_quality,
+        | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
 
     "x_gopher_gate" ->
       """WITH toks AS (

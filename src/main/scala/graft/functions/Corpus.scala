@@ -295,7 +295,8 @@ object Corpus {
     */
   def gopherGate(df: DataFrame, idCol: String, textCol: String,
                  minWords: Long = 50L, maxWords: Long = 100000L,
-                 minStop: Int = 2): DataFrame = {
+                 minStop: Int = 2,
+                 carryCols: Seq[String] = Nil): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
     val toks = TextFunctions.tokens(text)
     val n = size(toks).cast("long")
@@ -314,14 +315,37 @@ object Corpus {
       .otherwise(round((nHash + nEllipsis).cast("double") / n.cast("double"), 9))
     val alphaFrac = when(n === 0, lit(0.0))
       .otherwise(round(nAlpha.cast("double") / n.cast("double"), 9))
-    df.select(col(idCol),
-      n.as("n_words"), meanLen.as("mean_word_len"),
-      symRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
-      nStop.cast("long").as("n_stop"),
+    df.select(col(idCol) +: carryCols.map(col) :+
+      n.as("n_words") :+ meanLen.as("mean_word_len") :+
+      symRatio.as("symbol_ratio") :+ alphaFrac.as("alpha_frac") :+
+      nStop.cast("long").as("n_stop") :+
       (n >= minWords && n <= maxWords &&
         meanLen >= 3.0 && meanLen <= 10.0 &&
         symRatio < 0.1 && alphaFrac > 0.8 &&
-        nStop >= minStop).as("kept"))
+        nStop >= minStop).as("kept"): _*)
+  }
+
+  /** Per-group curation funnel report — the observability aggregate a
+    * 100 TB curation run publishes per language/source: document and
+    * token volume, decimal-exact mean quality, and how many docs the
+    * [[gopherGate]] keeps. One map-only gate pass + one group-keyed
+    * aggregation; the mean accumulates in DECIMAL so the report is
+    * bit-identical at any parallelism (the pagerank discipline — a
+    * float `avg` would drift with partition order).
+    */
+  def curationReport(df: DataFrame, idCol: String, groupCol: String,
+                     textCol: String, minWords: Long = 50L,
+                     minStop: Int = 2): DataFrame = {
+    val staged = df.withColumn("__q",
+      TextFunctions.qualityScore(coalesce(col(textCol), lit(""))))
+    val gated = gopherGate(staged, idCol, textCol, minWords = minWords,
+      minStop = minStop, carryCols = Seq(groupCol, "__q"))
+    gated.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        round(sum(col("__q").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)).cast("double"), 9).as("mean_quality"),
+        sum(col("kept").cast("long")).as("n_kept"))
   }
 
   /** Within-document repetition removal — MassiveText's intra-doc dedup

@@ -473,6 +473,29 @@ class CorpusSpec extends SparkSpec {
       "ne" -> 1L, "ew" -> 1L))
   }
 
+  test("curationReport: per-group funnel matches a driver recount") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val good = (1 to 60).map(_ => "word").mkString(" ") + " the"
+    val rows = Seq(
+      Row(1L, "en", good), Row(2L, "en", "too short the"),
+      Row(3L, "zh", good), Row(4L, "zh", null), Row(5L, "zh", ""))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Corpus.curationReport(df, "id", "lang", "text",
+        minWords = 30L, minStop = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out("en") == ((2L, 61L + 3L, 1L)))
+    assert(out("zh") == ((3L, 61L, 1L)))
+    // partitioning-invariant (decimal mean, not float avg)
+    val a = Corpus.curationReport(df, "id", "lang", "text", 30L, 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val b = Corpus.curationReport(df.repartition(7), "id", "lang", "text", 30L, 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(a == b)
+  }
+
   test("gopherGate: each published rule rejects independently") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))
