@@ -762,6 +762,20 @@ object SparkEntry {
           "doc_id", TF.wordSpans(col("text"), 10), minDf = 2L)
         .orderBy("doc_id")),
 
+    // Substring-granular exact dedup (Lee et al. ExactSubstr): content-
+    // defined anchors (md5-prefix cutoff — the portable selection both
+    // engines compute identically) mark every k-gram occurring ≥2 times
+    // corpus-wide; anchors ≤100 apart merge into spans, spans cut from
+    // clean_text. Occurrence counts aggregate 8-byte hashes with an
+    // exact-string confirm; bodies never shuffle.
+    "x_substring_dedup" -> ((s, dir) =>
+      Corpus.dedupSubstringsPortable(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 20, cutoffHex = "10", maxGap = 100)
+        .select(col("doc_id"), col("n_spans"), col("n_dup_anchors"),
+          col("dup_chars"), col("clean_len"), col("clean_text"))
+        .orderBy("doc_id")),
+
     // Greedy data selection under a global token budget: best-quality
     // documents first until 600 tokens are spent. The running sum is the
     // two-level bucketed cumsum (no single-reducer global window).
@@ -2424,6 +2438,55 @@ object SparkEntry {
         | CAST(t.nt - coalesce(r.nk, 0) AS BIGINT) AS n_units_removed
         |FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // Anchor selection = md5-prefix cutoff, identical in both engines;
+    // spans from the same LAG/run-id merge; clean_text stitched from the
+    // inter-span pieces.
+    "x_substring_dedup" ->
+      """WITH pos AS (
+        | SELECT doc_id, text,
+        |  CAST(UNNEST(range(0, GREATEST(length(text) - 19, 0))) AS INT) AS s
+        | FROM documents),
+        |a AS (
+        | SELECT doc_id, s, substr(text, s + 1, 20) AS w FROM pos
+        | WHERE substr(md5(substr(text, s + 1, 20)), 1, 2) < '10'),
+        |freq AS (SELECT w FROM a GROUP BY w HAVING COUNT(*) >= 2),
+        |dup AS (SELECT a.doc_id, a.s FROM a JOIN freq USING (w)),
+        |runs AS (
+        | SELECT doc_id, s,
+        |  SUM(CASE WHEN gap IS NULL OR gap > 100 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s) AS run
+        | FROM (SELECT doc_id, s,
+        |        s - LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS gap
+        |       FROM dup) g),
+        |spans AS (
+        | SELECT doc_id, run, MIN(s) AS s0, MAX(s) + 20 AS e0, COUNT(*) AS na
+        | FROM runs GROUP BY doc_id, run),
+        |pieces AS (
+        | SELECT doc_id, s0, e0,
+        |  substr(text, COALESCE(LAG(e0) OVER w2, 0) + 1,
+        |         s0 - COALESCE(LAG(e0) OVER w2, 0)) AS piece
+        | FROM spans JOIN documents USING (doc_id)
+        | WINDOW w2 AS (PARTITION BY doc_id ORDER BY s0)),
+        |rebuilt AS (
+        | SELECT doc_id, string_agg(piece, '' ORDER BY s0) AS head,
+        |        MAX(e0) AS laste
+        | FROM pieces GROUP BY doc_id),
+        |stats AS (
+        | SELECT doc_id, COUNT(*) AS n_spans, SUM(na) AS n_dup_anchors,
+        |        SUM(e0 - s0) AS dup_chars
+        | FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+        | CAST(COALESCE(st.n_dup_anchors, 0) AS BIGINT) AS n_dup_anchors,
+        | CAST(COALESCE(st.dup_chars, 0) AS BIGINT) AS dup_chars,
+        | CAST(length(d.text) - COALESCE(st.dup_chars, 0) AS BIGINT) AS clean_len,
+        | COALESCE(r.head, '') || substr(d.text, COALESCE(r.laste, 0) + 1)
+        |   AS clean_text
+        |FROM documents d
+        |LEFT JOIN stats st USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Inclusive running token sum over (quality DESC, doc_id) — DuckDB
     // runs the plain global window; the Spark side's bucket-decomposed

@@ -638,6 +638,157 @@ object Corpus {
     df.withColumn("split", label)
   }
 
+  /** Duplicate-substring span removal — the substring-granular exact
+    * dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better", the ExactSubstr pass), re-expressed for a
+    * shuffle-bounded engine. The published operator finds every substring
+    * of ≥ 50 tokens that occurs more than once in the corpus (counting
+    * repeats WITHIN a document) and deletes every occurrence; the
+    * published implementation is a single-machine suffix array, which has
+    * no distributed analogue with bounded state. This pass gets the same
+    * decision from content-defined anchors:
+    *
+    *  - every position `s` whose `k`-gram `text[s, s+k)` hashes under a
+    *    selection cutoff is an ANCHOR — selection depends only on the
+    *    gram's content, so a duplicated region anchors at the SAME
+    *    content-relative positions in every copy, regardless of how the
+    *    copies are offset (the failure mode of stride-aligned windows);
+    *  - an anchor gram occurring ≥ `minCount` times corpus-wide (exact
+    *    string confirm, same hash-nominates/string-decides discipline as
+    *    [[removeFrequentUnits]]) marks all its occurrences duplicated;
+    *  - per document, duplicated anchors ≤ `maxGap` apart merge into
+    *    spans `[first, last + k)`, which are cut from `clean_text`.
+    *
+    * Detection is probabilistic where the suffix array is exact: with
+    * anchor density `1/p`, a duplicated region of length `L` is missed
+    * iff none of its `L − k + 1` grams selects, ≈ `(1 − 1/p)^(L−k+1)` —
+    * at the production default p=32, a 250-char region (Lee et al.'s
+    * 50-token threshold) is missed with probability < 0.04 %, and span
+    * boundaries are resolved to within one expected anchor gap. The
+    * trade bounds the shuffle: anchors sample `1/p` of positions, so the
+    * frequency stage exchanges ≈ 20 bytes per `p` corpus characters —
+    * tunable CPU/recall vs shuffle, where stride-`1` windowing (the
+    * exact-sensitivity configuration) would exchange 20 bytes per
+    * character, 20× the corpus.
+    *
+    * Scale shape: anchor extraction is a pure map (array HOFs inside the
+    * scan projection); occurrence counting aggregates 8-byte gram hashes
+    * with map-side partials; the frequent set is boilerplate-sized and
+    * broadcasts into the marking join; span merging windows on the doc
+    * id. Document bodies never shuffle — `clean_text` is rebuilt by
+    * cutting spans on a doc-id join back to the input, and the spans
+    * side carries only (id, s0, e0) triples.
+    *
+    * Output per input row: (idCol, spans `array<struct<s0,e0>>` —
+    * disjoint, sorted, char offsets, `maxGap ≥ k` keeps them disjoint —
+    * n_spans, n_dup_anchors, dup_chars, clean_len, clean_text).
+    *
+    * All occurrences are removed, the published ExactSubstr behavior (a
+    * keep-one-copy policy is a different operator — [[removeFrequentUnits]]
+    * keeps nothing, exact doc dedup keeps min-id; this one matches the
+    * paper). Like every gate here, rows are flagged, never dropped.
+    */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 24, anchorDensity: Int = 32,
+                      maxGap: Int = 256, minCount: Long = 2): DataFrame =
+    dedupSubstringsImpl(df, idCol, textCol, k, maxGap, minCount,
+      t => graft.plans.HashExpressions.xxModAnchors(t, k, anchorDensity))
+
+  /** [[dedupSubstrings]] with the anchor selection any ANSI engine can
+    * reproduce — a gram anchors iff the first two hex chars of its md5
+    * sort below `cutoffHex` (density = cutoffHex/256, i.e. position `s`
+    * anchors iff `substr(md5(substr(text, s+1, k)), 1, 2) < cutoffHex`) —
+    * so the whole pass is oracle-checkable cross-engine. Same
+    * md5-prefix-cutoff discipline as the mixture sampler's copy cutoffs.
+    * The xxhash64 default is the production path (one 64-bit mix per
+    * gram vs a full md5); decisions differ only in WHICH grams anchor,
+    * not in the exactness of the duplicate confirm.
+    */
+  def dedupSubstringsPortable(df: DataFrame, idCol: String, textCol: String,
+                              k: Int = 20, cutoffHex: String = "10",
+                              maxGap: Int = 100, minCount: Long = 2): DataFrame = {
+    val cutoff = Integer.parseInt(cutoffHex, 16)
+    dedupSubstringsImpl(df, idCol, textCol, k, maxGap, minCount,
+      t => graft.plans.HashExpressions.md5PrefixAnchors(t, k, cutoff))
+  }
+
+  private def dedupSubstringsImpl(df: DataFrame, idCol: String,
+      textCol: String, k: Int, maxGap: Int, minCount: Long,
+      anchorsOf: Column => Column): DataFrame = {
+    require(k >= 2, s"gram length too short to be selective: $k")
+    require(maxGap >= k,
+      s"maxGap ($maxGap) < k ($k) would let merged spans overlap")
+    require(minCount >= 2, s"minCount < 2 would delete every anchor: $minCount")
+    val id = col(idCol)
+    val txt = coalesce(col(textCol), lit(""))
+    // anchor positions: one compiled pass per document (native
+    // expression), not a per-position interpreted HOF
+    val anchors = anchorsOf(txt)
+    val a = df
+      .select(id, explode(anchors).as("__s"), txt.as("__t"))
+      .select(id, col("__s"), col("__t").substr(col("__s") + 1, lit(k)).as("__w"))
+      .withColumn("__wh", xxhash64(col("__w")))
+    // occurrence count on the 8-byte hash nominates; exact-string recount
+    // over candidate occurrences only decides (collision never deletes)
+    val candidateHashes = a
+      .groupBy(col("__wh")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minCount)
+      .select(col("__wh"))
+    val frequent = a
+      .join(candidateHashes, Seq("__wh"), "left_semi")
+      .groupBy(col("__wh"), col("__w"))
+      .agg(count(lit(1)).as("__nx"))
+      .where(col("__nx") >= minCount)
+      .select(col("__wh"), col("__w"))
+    val dup = a
+      .join(frequent, Seq("__wh", "__w"), "left_semi")
+      .select(id, col("__s"))
+    // merge anchors ≤ maxGap apart into runs, runs into spans
+    val byDoc = Window.partitionBy(id).orderBy(col("__s"))
+    val runs = dup
+      .withColumn("__gap", col("__s") - lag(col("__s"), 1).over(byDoc))
+      .withColumn("__run",
+        sum(when(col("__gap").isNull || col("__gap") > maxGap, 1)
+          .otherwise(0)).over(byDoc))
+    val spans = runs
+      .groupBy(id, col("__run"))
+      .agg(min(col("__s")).as("__s0"),
+        (max(col("__s")) + k).as("__e0"),
+        count(lit(1)).as("__na"))
+    val docStats = spans
+      .groupBy(id)
+      .agg(
+        sort_array(collect_list(struct(col("__s0").as("s0"), col("__e0").as("e0"))))
+          .as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__na")).as("n_dup_anchors"),
+        sum(col("__e0") - col("__s0")).cast("long").as("dup_chars"))
+    val empty = array().cast("array<struct<s0:int,e0:int>>")
+    val joined = df.select(id, txt.as("__t"))
+      .join(docStats, Seq(idCol), "left")
+      .select(id, col("__t"),
+        coalesce(col("spans"), empty).as("spans"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_anchors"), lit(0L)).as("n_dup_anchors"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+    // cut the (disjoint, sorted) spans in one fold over the spans array
+    val cut = aggregate(
+      col("spans"),
+      struct(lit(0).as("p"), lit("").as("a")),
+      (acc, sp) => struct(
+        sp.getField("e0").as("p"),
+        concat(acc.getField("a"),
+          col("__t").substr(acc.getField("p") + 1,
+            sp.getField("s0") - acc.getField("p"))).as("a")),
+      acc => concat(acc.getField("a"),
+        col("__t").substr(acc.getField("p") + 1,
+          length(col("__t")) - acc.getField("p"))))
+    joined.select(id, col("spans"), col("n_spans"), col("n_dup_anchors"),
+      col("dup_chars"),
+      (length(col("__t")) - col("dup_chars")).cast("long").as("clean_len"),
+      cut.as("clean_text"))
+  }
+
   /** Frequent-unit removal — the cross-document boilerplate filter of
     * C4/MassiveText-style curation: any text UNIT occurring in at least
     * `minDf` DISTINCT documents (navigation bars, cookie banners, license

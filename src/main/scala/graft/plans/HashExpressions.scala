@@ -452,6 +452,114 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Shared core for the content-defined anchor selectors: walk a string's
+  * code points once, evaluate a predicate on each k-gram's UTF-8 bytes,
+  * return the CHARACTER positions (0-based, code points — the same unit
+  * Spark's `substr`/`length` count, so downstream slicing agrees) whose
+  * grams selected. One compiled pass per document vs the higher-order
+  * `filter(sequence(...), s -> md5(substr(...)))` formulation, which
+  * evaluates interpreted per position and allocates a substring per gram.
+  */
+private[plans] object AnchorSelection {
+  /** Byte offset of each code point (plus the end), so grams hash without
+    * materializing per-position substrings.
+    */
+  def codePointOffsets(bytes: Array[Byte]): Array[Int] = {
+    // over-allocate to byte length + 1: numChars ≤ numBytes
+    val offs = new Array[Int](bytes.length + 1)
+    var n = 0
+    var off = 0
+    while (off < bytes.length) {
+      offs(n) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      n += 1
+    }
+    offs(n) = bytes.length
+    java.util.Arrays.copyOf(offs, n + 1)
+  }
+
+  def positions(s: UTF8String, k: Int)(pred: (Array[Byte], Int, Int) => Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val offs = codePointOffsets(bytes)
+    val n = offs.length - 1 // code point count
+    if (n < k) return new GenericArrayData(Array.empty[Int])
+    val out = new Array[Int](n - k + 1)
+    var m = 0
+    var p = 0
+    while (p <= n - k) {
+      if (pred(bytes, offs(p), offs(p + k) - offs(p))) { out(m) = p; m += 1 }
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+}
+
+/** Anchor positions by md5-prefix cutoff: position `s` selects iff the
+  * first byte of md5(text[s, s+k)) is < `byteCutoff` — exactly
+  * `substr(md5(substr(text, s+1, k)), 1, 2) < hex(byteCutoff)`, the
+  * formulation any ANSI engine reproduces (lowercase-hex lexicographic
+  * order on two hex chars IS unsigned order on the first digest byte).
+  * Density = byteCutoff/256 of positions.
+  */
+case class Md5PrefixAnchors(child: Expression, k: Int, byteCutoff: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(k >= 2, s"gram length too short to be selective: $k")
+  require(byteCutoff >= 1 && byteCutoff <= 255,
+    s"byteCutoff out of (0, 255]: $byteCutoff")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.catalogString}")
+    }
+  def kernel(s: UTF8String): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    AnchorSelection.positions(s, k) { (bytes, off, len) =>
+      md.reset()
+      md.update(bytes, off, len)
+      (md.digest()(0) & 0xff) < byteCutoff
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixAnchors =
+    copy(child = newChild)
+  override def prettyName: String = "md5_prefix_anchors"
+}
+
+/** Anchor positions by xxhash64 residue: position `s` selects iff
+  * xxhash64(text[s, s+k)) ≡ 0 (mod `density`) — Spark's own xxhash64
+  * (seed 42) over the gram's UTF-8 bytes, so `pmod(xxhash64(gram),
+  * density) = 0` computes the same set. The production selector: one
+  * 64-bit mix per gram vs a full md5, for pipelines that don't need the
+  * cross-engine-reproducible variant.
+  */
+case class XxModAnchors(child: Expression, k: Int, density: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(k >= 2, s"gram length too short to be selective: $k")
+  require(density >= 2, s"density < 2 anchors everything: $density")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.catalogString}")
+    }
+  def kernel(s: UTF8String): ArrayData =
+    AnchorSelection.positions(s, k) { (bytes, off, len) =>
+      java.lang.Math.floorMod(
+        XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off, len, 42L),
+        density.toLong) == 0L
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): XxModAnchors =
+    copy(child = newChild)
+  override def prettyName: String = "xx_mod_anchors"
+}
+
 /** Dot product of two float-array columns as a native binary expression:
   * one tight 64-wide multiply-add loop per pair instead of the
   * higher-order `zip_with`+`aggregate` tree, which runs interpreted and
@@ -609,6 +717,10 @@ object HashExpressions {
     ColumnBridge.column(StopwordProfileArgmax(ColumnBridge.expression(tokens), labels, profiles))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
+  def md5PrefixAnchors(text: Column, k: Int, byteCutoff: Int): Column =
+    ColumnBridge.column(Md5PrefixAnchors(ColumnBridge.expression(text), k, byteCutoff))
+  def xxModAnchors(text: Column, k: Int, density: Int): Column =
+    ColumnBridge.column(XxModAnchors(ColumnBridge.expression(text), k, density))
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def dotExactF(a: Column, b: Column): Column =

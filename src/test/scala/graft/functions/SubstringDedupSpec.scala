@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Corpus.dedupSubstrings]] — substring-granular exact dedup via
+  * content-defined anchors (Lee et al. ExactSubstr semantics: every
+  * occurrence of a corpus-duplicated region is marked and cut).
+  */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A distinctive paragraph long enough to anchor several times at 1/4
+  // density with k=8 (expected anchors ≈ len/4 ≈ 40).
+  private val para =
+    "the quick brown fox jumps over the lazy dog while seventeen green " +
+    "turtles carefully carry purple umbrellas across the frozen river delta"
+
+  private def run(rows: Seq[(Long, String)], maxGap: Int = 32) =
+    Corpus.dedupSubstringsPortable(rows.toDF("doc_id", "text"),
+      "doc_id", "text", k = 8, cutoffHex = "40", maxGap = maxGap)
+
+  /** Scala reference: cut [s0,e0) spans out of text. */
+  private def cutRef(text: String, spans: scala.collection.Seq[(Int, Int)]): String = {
+    val keep = new StringBuilder
+    var p = 0
+    spans.sortBy(_._1).foreach { case (s0, e0) =>
+      keep.append(text.substring(p, s0)); p = e0
+    }
+    keep.append(text.substring(p)).toString
+  }
+
+  test("misaligned cross-document duplicate region is detected and cut") {
+    // the duplicated paragraph sits at offsets 10 and 23 — no common
+    // alignment; content-defined anchors must still agree on it. The
+    // prefixes avoid repeated-character runs: a run ≥ 2k would repeat its
+    // own k-gram and be (correctly!) flagged as a within-doc duplicate.
+    val a = 10L -> ("one lead: " + para + " tail one ends differently here")
+    val b = 20L -> ("a second, longer lead: " + para + " and a different tail")
+    val c = 30L -> "nothing in this short document repeats anywhere at all"
+    val out = run(Seq(a, b, c)).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+
+    for ((docId, text) <- Seq(a, b)) {
+      val r = out(docId)
+      assert(r.getAs[Long]("n_spans") >= 1, s"doc $docId found no span")
+      val spans = r.getAs[scala.collection.Seq[Row]]("spans").map(x => (x.getInt(0), x.getInt(1)))
+      val paraStart = text.indexOf(para)
+      // every span lies inside the duplicated paragraph (no false cuts
+      // in the unique prefix/suffix)
+      spans.foreach { case (s0, e0) =>
+        assert(s0 >= paraStart && e0 <= paraStart + para.length,
+          s"span ($s0,$e0) leaks outside the duplicated region of $docId")
+      }
+      // and most of the paragraph is covered (anchor-gap slack at edges)
+      assert(r.getAs[Long]("dup_chars") >= para.length / 2,
+        s"doc $docId covered only ${r.getAs[Long]("dup_chars")} of ${para.length}")
+    }
+    val rc = out(30L)
+    assert(rc.getAs[Long]("n_spans") == 0L)
+    assert(rc.getAs[String]("clean_text") == c._2)
+    assert(rc.getAs[Long]("clean_len") == c._2.length.toLong)
+  }
+
+  test("within-document repetition counts as duplication (ExactSubstr)") {
+    // the filler between the two copies is longer than maxGap, so the
+    // occurrences must surface as separate spans, not one merged cut
+    val doc = 1L -> (para +
+      " entirely unique middle filler long enough to exceed the merge gap " +
+      para)
+    val other = 2L -> "unique filler so the corpus is not one document"
+    val out = run(Seq(doc, other)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r = out(1L)
+    assert(r.getAs[Long]("n_spans") >= 2,
+      "both occurrences of the repeated paragraph should be spanned")
+    assert(r.getAs[Long]("dup_chars") >= para.length.toLong,
+      "coverage should span both copies")
+  }
+
+  test("output is self-consistent: spans disjoint+sorted, cut reproduces clean_text") {
+    val docs = Seq(
+      1L -> ("a" * 7 + para + "b" * 5),
+      2L -> ("c" * 19 + para + "d" * 11),
+      3L -> (para + " x " + para),
+      4L -> "entirely unique text with no duplication to find",
+      5L -> "")
+    run(docs).collect().foreach { r =>
+      val text = docs.toMap.apply(r.getAs[Long]("doc_id"))
+      val spans = r.getAs[scala.collection.Seq[Row]]("spans").map(x => (x.getInt(0), x.getInt(1)))
+      spans.sliding(2).foreach {
+        case Seq((_, e0), (s1, _)) => assert(e0 <= s1, s"overlap in $spans")
+        case _ =>
+      }
+      assert(spans == spans.sortBy(_._1))
+      val dupChars = spans.map { case (s, e) => e - s }.sum.toLong
+      assert(r.getAs[Long]("dup_chars") == dupChars)
+      assert(r.getAs[Long]("clean_len") == text.length - dupChars)
+      assert(r.getAs[String]("clean_text") == cutRef(text, spans))
+      assert(r.getAs[String]("clean_text").length.toLong ==
+        r.getAs[Long]("clean_len"))
+    }
+  }
+
+  test("result is repartition-invariant") {
+    val docs = (1L to 40L).map(i =>
+      i -> (s"prefix $i " + (if (i % 2 == 0) para else s"unique body $i ${"z" * i.toInt}")))
+    val base = run(docs).orderBy("doc_id").collect().toSeq
+    val re = Corpus.dedupSubstringsPortable(
+      docs.toDF("doc_id", "text").repartition(7),
+      "doc_id", "text", k = 8, cutoffHex = "40", maxGap = 32)
+      .orderBy("doc_id").collect().toSeq
+    assert(base == re)
+  }
+
+  test("production xxhash64 selector satisfies the same contract") {
+    val docs = Seq(
+      1L -> ("m" * 13 + para + " tail a"),
+      2L -> ("n" * 29 + para + " tail b"),
+      3L -> "no duplication in this one at all, truly none")
+    val out = Corpus.dedupSubstrings(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 8, anchorDensity = 4, maxGap = 32)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_spans") >= 1)
+    assert(out(2L).getAs[Long]("n_spans") >= 1)
+    assert(out(3L).getAs[Long]("n_spans") == 0L)
+    assert(out(3L).getAs[String]("clean_text") == docs(2)._2)
+    Seq(1L, 2L).foreach { id =>
+      val text = docs.toMap.apply(id)
+      val spans = out(id).getAs[scala.collection.Seq[Row]]("spans").map(x => (x.getInt(0), x.getInt(1)))
+      assert(out(id).getAs[String]("clean_text") == cutRef(text, spans))
+    }
+  }
+
+  test("null text behaves as empty; config guards reject bad parameters") {
+    val out = Corpus.dedupSubstringsPortable(
+      Seq((1L, null: String), (2L, para), (3L, para))
+        .toDF("doc_id", "text"), "doc_id", "text",
+      k = 8, cutoffHex = "40", maxGap = 32)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") == "")
+    assert(out(1L).getAs[Long]("n_spans") == 0L)
+    assert(out(2L).getAs[Long]("n_spans") >= 1) // dup of doc 3
+    intercept[IllegalArgumentException] {
+      Corpus.dedupSubstringsPortable(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", k = 8, cutoffHex = "40", maxGap = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.dedupSubstrings(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", minCount = 1)
+    }
+  }
+}
