@@ -787,6 +787,18 @@ object SparkEntry {
           "doc_id", col("quality"), col("n_tokens"), budget = 600L)
         .orderBy("doc_id")),
 
+    // Per-language percentile calibration: raw quality scores rank
+    // within their language ((score, id) total order), pct = SQL
+    // PERCENT_RANK. The rank is the two-level monotone-bucket
+    // decomposition — the data-sized window keys on (lang, bucket),
+    // never on the bare language.
+    "x_score_calibrate" -> ((s, dir) =>
+      Corpus.calibrateScores(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            TF.qualityScore(col("text")).as("quality")),
+          "doc_id", "lang", col("quality"))
+        .orderBy("doc_id")),
+
     // Per-group budget selection (per-source/language caps — how mixture
     // targets become selections): same two-level monotone-bucket cumsum,
     // every partitioning carries the group key, groups select
@@ -840,6 +852,15 @@ object SparkEntry {
     "x_centroid" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label", "dim")),
+
+    // Embedding-space outlier gate: every vector's exact cosine to its
+    // OWN label centroid; below 0 ⇒ flagged (mislabeled/garbage). The
+    // centroid table is #labels × dim (broadcast); products accumulate
+    // in DECIMAL so the score hash-matches cross-engine.
+    "x_centroid_outlier" -> ((s, dir) =>
+      Similarity.centroidOutlierScores(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", threshold = 0.0)
+        .orderBy("vec_id")),
 
     // Context-window chunking: 64-token chunks with stride 48 (16-token
     // overlap), exploded to rows. The lambda runs per CHUNK; slice +
@@ -1312,6 +1333,19 @@ object SparkEntry {
           e.where(col("vec_id") < 20), e.where(col("vec_id") >= 20),
           "vec_id", "embedding", "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // kNN classification (weak supervision / label transfer): unlabeled
+    // vectors take the majority label of their 5 nearest labeled
+    // neighbors; the vote is count-based with smallest-label tiebreak —
+    // float-free, so the oracle reproduces it exactly on top of the
+    // quadratic kNN chain.
+    "x_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnClassify(
+          e.where(col("vec_id") < 20), e.where(col("vec_id") >= 20),
+          "vec_id", "embedding", "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id")
     }),
 
     // As-of join with a match-age tolerance (pandas merge_asof parity):
@@ -2491,6 +2525,34 @@ object SparkEntry {
     // Inclusive running token sum over (quality DESC, doc_id) — DuckDB
     // runs the plain global window; the Spark side's bucket-decomposed
     // sum must be bit-identical to it.
+    // DuckDB runs the plain per-language window; the engine's bucket-
+    // decomposed rank must equal it exactly. pct is one IEEE division of
+    // two exact integers.
+    "x_score_calibrate" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang, text,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |scored AS (
+        | SELECT doc_id, lang,
+        |  LEAST(1.0, CAST(len(tok) AS DOUBLE) / 100.0) *
+        |   (1.0 - CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |     ELSE CAST(LENGTH(regexp_replace(text, '[^.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+        |          / CAST(LENGTH(text) AS DOUBLE) END) AS quality
+        | FROM toks),
+        |r AS (
+        | SELECT doc_id, lang, quality,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY quality, doc_id) AS BIGINT) AS rank_in_group,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        | FROM scored)
+        |SELECT doc_id, lang, quality, rank_in_group,
+        | CASE WHEN n > 1
+        |   THEN CAST(rank_in_group - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |   ELSE 0.0 END AS pct
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "x_budget_select" ->
       """WITH toks AS (
         | SELECT doc_id, text,
@@ -2682,6 +2744,35 @@ object SparkEntry {
         |SELECT vec_id, CAST(u.dim AS BIGINT) AS dim,
         | CAST(ROUND(CAST(u.v AS DOUBLE) * scale) AS INTEGER) AS q, scale
         |FROM e ORDER BY vec_id, dim""".stripMargin,
+
+    // Same decimal-mean centroids as x_centroid, then per-vector decimal
+    // cosine against its own label's centroid.
+    "x_centroid_outlier" ->
+      """WITH ex AS (
+        | SELECT vec_id, label,
+        |  unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'dim': i, 'v': embedding[i]})) AS u
+        | FROM embeddings),
+        |cent AS (
+        | SELECT label, u.dim AS dim,
+        |  ROUND(CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 9) AS c
+        | FROM ex GROUP BY label, dim),
+        |j AS (
+        | SELECT x.vec_id, x.label,
+        |  SUM(CAST(CAST(x.u.v AS DOUBLE) * cent.c AS DECIMAL(30,15))) AS dot,
+        |  SUM(CAST(CAST(x.u.v AS DOUBLE) * CAST(x.u.v AS DOUBLE) AS DECIMAL(30,15))) AS nv,
+        |  SUM(CAST(cent.c * cent.c AS DECIMAL(30,15))) AS nc
+        | FROM ex x JOIN cent ON x.label = cent.label AND x.u.dim = cent.dim
+        | GROUP BY x.vec_id, x.label)
+        |SELECT e.vec_id, e.label,
+        | ROUND(CAST(j.dot AS DOUBLE) /
+        |   SQRT(CAST(j.nv AS DOUBLE) * CAST(j.nc AS DOUBLE)), 9) AS cos_centroid,
+        | COALESCE(ROUND(CAST(j.dot AS DOUBLE) /
+        |   SQRT(CAST(j.nv AS DOUBLE) * CAST(j.nc AS DOUBLE)), 9) < 0.0, FALSE)
+        |   AS is_outlier
+        |FROM embeddings e LEFT JOIN j ON e.vec_id = j.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     "x_centroid" ->
       """WITH e AS (
@@ -3194,6 +3285,45 @@ object SparkEntry {
         |   AS recent_purchase_id
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.us >= p.p_us
         |ORDER BY e.event_id""".stripMargin,
+
+    // The x_knn_join quadratic chain + label join + count-based majority
+    // vote (smallest-label tiebreak — float-free, exactly the engine's).
+    "x_knn_classify" ->
+      """WITH z AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(unnest(c.embedding) AS DOUBLE) AS x,
+        |  CAST(unnest(q.embedding) AS DOUBLE) AS y
+        | FROM embeddings q JOIN embeddings c
+        |   ON q.vec_id < 20 AND c.vec_id >= 20),
+        |d AS (
+        | SELECT query_id, neighbor_id,
+        |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
+        |  SUM(CAST(x * x AS DECIMAL(30,15))) AS nc,
+        |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nq
+        | FROM z GROUP BY 1, 2),
+        |r AS (
+        | SELECT query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) DESC,
+        |      neighbor_id) AS rank
+        | FROM d),
+        |nb AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+        |v AS (
+        | SELECT nb.query_id, e.label AS lab, COUNT(*) AS nv
+        | FROM nb JOIN embeddings e ON nb.neighbor_id = e.vec_id
+        | GROUP BY 1, 2),
+        |tot AS (
+        | SELECT query_id, CAST(SUM(nv) AS BIGINT) AS n_neighbors
+        | FROM v GROUP BY 1),
+        |pick AS (
+        | SELECT query_id, lab, nv,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY nv DESC, lab ASC) AS rk
+        | FROM v)
+        |SELECT p.query_id, p.lab AS pred_label,
+        | CAST(p.nv AS BIGINT) AS n_votes, t.n_neighbors
+        |FROM pick p JOIN tot t USING (query_id)
+        |WHERE p.rk = 1 ORDER BY p.query_id""".stripMargin,
 
     "x_knn_join" ->
       """WITH z AS (

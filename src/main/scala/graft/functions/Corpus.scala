@@ -969,6 +969,59 @@ object Corpus {
       .select(df.columns.map(col) :+ col("cum_cost") :+ col("selected"): _*)
   }
 
+  /** Per-group percentile calibration of a score column — the
+    * normalization step between raw quality scoring and cross-group
+    * selection: a raw score of 0.4 means different things in different
+    * languages/sources, so budget/mixture decisions compare PERCENTILES
+    * within each group, not raw values. Output = input + rank_in_group
+    * (1-based, (score ASC, id ASC) total order — no rank ties) + pct
+    * (SQL PERCENT_RANK semantics: (rank−1)/(n−1), single-row groups
+    * pin 0.0). pct is a ratio of two exact integers, one IEEE division —
+    * bit-identical on any engine.
+    *
+    * Scale shape: a bare `RANK() OVER (PARTITION BY group ORDER BY
+    * score)` puts each whole group in one reducer — the same
+    * scale-killer [[packOffsets]] documents, fatal when one language IS
+    * most of the corpus. Same cure: scores clamp-floor into `nBuckets`
+    * fixed [0,1] ranges (a MONOTONE function of the sort key, so bucket
+    * order prefixes group order), per-(group, bucket) counts prefix-sum
+    * in a #groups × nBuckets grid stage, offsets broadcast back, and the
+    * data-sized window keys on (group, bucket). Equal scores share a
+    * bucket, so the decomposed rank is exactly the global rank.
+    *
+    * Scores are expected in [0, 1] (e.g. [[TextFunctions.qualityScore]]);
+    * out-of-range values clamp into edge buckets and cost only balance.
+    * Null scores calibrate as 0.0 (the bottom of the ranking), keeping
+    * the operator total.
+    */
+  def calibrateScores(df: DataFrame, idCol: String, groupCol: String,
+                      scoreCol: Column, nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"need at least one bucket: $nBuckets")
+    val base = df
+      .withColumn("__score", coalesce(scoreCol.cast("double"), lit(0.0)))
+      .withColumn("__bk",
+        least(greatest(floor(col("__score") * nBuckets), lit(0.0)),
+          lit((nBuckets - 1).toDouble)).cast("int"))
+    val grid = base.groupBy(col(groupCol), col("__bk"))
+      .agg(count(lit(1)).as("__bn"))
+    val gw = Window.partitionBy(col(groupCol)).orderBy(col("__bk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = grid.select(col(groupCol), col("__bk"),
+      coalesce(sum(col("__bn")).over(gw), lit(0L)).as("__boff"),
+      sum(col("__bn")).over(Window.partitionBy(col(groupCol))).as("__gn"))
+    val inBucket = Window.partitionBy(col(groupCol), col("__bk"))
+      .orderBy(col("__score").asc, col(idCol).asc)
+    base.join(broadcast(bases), Seq(groupCol, "__bk"))
+      .withColumn("rank_in_group",
+        col("__boff") + row_number().over(inBucket).cast("long"))
+      .withColumn("pct",
+        when(col("__gn") > 1L,
+          (col("rank_in_group") - 1L).cast("double") /
+            (col("__gn") - 1L).cast("double"))
+          .otherwise(lit(0.0)))
+      .select(df.columns.map(col) :+ col("rank_in_group") :+ col("pct"): _*)
+  }
+
   /** Hashed bag-of-words features: token → md5 16-bit bucket mod `dim`,
     * counted per document. The md5 bucketing (not xxhash64) is chosen so
     * an external engine can reproduce the feature map exactly; counts are

@@ -665,6 +665,107 @@ object Similarity {
         count(lit(1)).cast("double")).as("c"))
       .select(col(labelCol), col("dim"), round(col("c"), 9).as("centroid"))
 
+  /** Majority-vote label assignment over a kNN result — the weak-
+    * supervision / label-transfer step (classify unlabeled embeddings by
+    * their nearest labeled neighbors). Takes the OUTPUT of any kNN
+    * operator ([[knnJoin]], [[knnJoinBlocked]] — `(query_id, neighbor_id,
+    * cos, rank)`), so the candidate-generation strategy stays the
+    * caller's choice and the vote composes with both the broadcast and
+    * the blocked scale path.
+    *
+    * The vote is deterministic and float-free: predicted label = most
+    * votes, ties broken by smallest label value — counts and labels
+    * only, so any engine reproduces it exactly (a mean-similarity
+    * tiebreak would reintroduce float-order sensitivity for no
+    * accuracy the confidence column doesn't already convey).
+    *
+    * Scale shape: the neighbor list is queries × k rows — broadcast-
+    * hinted into the label join so the (corpus-sized) label table
+    * streams map-side; the vote aggregates (query, label) pairs with
+    * map-side partials.
+    *
+    * @return (query_id, pred_label, n_votes, n_neighbors)
+    */
+  def voteLabels(neighbors: DataFrame, labeled: DataFrame,
+                 cIdCol: String, labelCol: String): DataFrame = {
+    val lab = labeled.select(col(cIdCol).cast("long").as("neighbor_id"),
+      col(labelCol).as("__lab"))
+    val votes = broadcast(neighbors.select(col("query_id"), col("neighbor_id")))
+      .join(lab, "neighbor_id")
+      .groupBy(col("query_id"), col("__lab"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("__lab").asc)
+    votes
+      .withColumn("n_neighbors", sum(col("n_votes")).over(w))
+      .withColumn("__rk", row_number().over(pick))
+      .where(col("__rk") === 1)
+      .select(col("query_id"), col("__lab").as("pred_label"),
+        col("n_votes"), col("n_neighbors"))
+  }
+
+  /** kNN classification in one call: exact kNN join (query side
+    * broadcasts) + [[voteLabels]]. For labeling a full corpus against
+    * itself, run [[knnJoinBlocked]] and feed its output to voteLabels
+    * instead — same vote, scale-path candidates.
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame,
+                  qIdCol: String, qVecCol: String,
+                  cIdCol: String, cVecCol: String, labelCol: String,
+                  k: Int, margin: Int = 40): DataFrame =
+    voteLabels(
+      knnJoin(queries, corpus, qIdCol, qVecCol, cIdCol, cVecCol, k, margin),
+      corpus, cIdCol, labelCol)
+
+  /** Distance-to-own-centroid outlier scoring — the embedding-space
+    * quality gate (CCNet/SemDeDup-style cluster hygiene): every vector
+    * scores its exact cosine against the mean vector of its OWN group
+    * (label / language / source), and `is_outlier` flags rows below
+    * `threshold` — mislabeled, off-topic, or garbage embeddings sit far
+    * from their group's center. Rows are flagged, never dropped.
+    *
+    * Exactness: centroids are [[labelCentroids]] (decimal-mean, rounded
+    * to 9 decimals); the cosine accumulates v·c, v·v, c·c products in
+    * DECIMAL(30,15) and rounds to 9 — bit-reproducible on any engine
+    * that sums decimals exactly.
+    *
+    * Scale shape: the centroid table is #groups × dim (tiny, broadcast);
+    * the per-row score explodes (id, group, dim, v) triples but joins
+    * map-side against the broadcast centroids and partial-aggregates by
+    * id before the one N-row shuffle. Null vectors score null and flag
+    * false (no basis to call them outliers — gate them on nullity
+    * upstream if that is the intent).
+    *
+    * @return (idCol, groupCol, cos_centroid, is_outlier)
+    */
+  def centroidOutlierScores(df: DataFrame, idCol: String, vecCol: String,
+                            groupCol: String,
+                            threshold: Double = 0.0): DataFrame = {
+    val cent = labelCentroids(df, groupCol, vecCol)
+    val ex = df.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .select(col(idCol), col(groupCol),
+        (col("__pos") + 1).cast("long").as("dim"),
+        col("__v").cast("double").as("__v"))
+    val scored = ex.join(broadcast(cent), Seq(groupCol, "dim"))
+      .groupBy(col(idCol), col(groupCol))
+      .agg(
+        sum((col("__v") * col("centroid")).cast(DecimalType(30, 15))).as("__dot"),
+        sum((col("__v") * col("__v")).cast(DecimalType(30, 15))).as("__nv"),
+        sum((col("centroid") * col("centroid")).cast(DecimalType(30, 15))).as("__nc"))
+      .select(col(idCol), col(groupCol),
+        round(col("__dot").cast("double") /
+          sqrt(col("__nv").cast("double") * col("__nc").cast("double")), 9)
+          .as("cos_centroid"))
+    df.select(col(idCol), col(groupCol))
+      .join(scored, Seq(idCol, groupCol), "left")
+      .select(col(idCol), col(groupCol), col("cos_centroid"),
+        coalesce(col("cos_centroid") < threshold, lit(false)).as("is_outlier"))
+  }
+
   // ----- Product quantization (the PQ half of the IVF-PQ ANN stack) -----
 
   /** Train per-subspace codebooks and encode every vector to `m` small
