@@ -1511,6 +1511,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Semi-supervised label propagation: every 5th vector keeps its
+    // label as a seed, labels spread 3 hops along the mutual-kNN graph
+    // (same exhaustive-probe graph as x_knn_graph), majority vote per
+    // hop with smallest-label tiebreak, labels clamp once assigned.
+    // The oracle unrolls the 3 rounds over the quadratic graph chain.
+    "x_label_prop" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val edges = Similarity.mutualKnnEdges(e, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 16, kmeansIters = 1,
+        margin = 40, saltBuckets = 2)
+      val seeds = e.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("label"))
+      graft.functions.Graph.propagateLabels(edges, "id_a", "id_b",
+          seeds, "vec_id", "label", rounds = 3)
+        .join(e.select(col("vec_id")), col("id") === col("vec_id"), "right")
+        .select(col("vec_id"), col("label"), col("since"))
+        .orderBy("vec_id")
+    }),
+
     // Composed IVF→PQ cascade (probe the inverted lists, ADC-rank only
     // within them, exact-rescore the ADC top-400) in the x_pq_ann
     // production regime: m=8 × k=256 codebooks, one Lloyd round.
@@ -3199,6 +3218,66 @@ object SparkEntry {
     // Full quadratic per-query rank window; mutual = both directions
     // rank ≤ 5. cos is direction-independent (decimal accumulation),
     // so either side's value matches Spark's min-under-group.
+    // The x_knn_graph quadratic chain builds the mutual graph; three
+    // unrolled vote rounds (count majority, smallest-label tiebreak,
+    // clamped labels) replicate the engine's propagation exactly.
+    "x_label_prop" ->
+      """WITH z AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  CAST(unnest(c.embedding) AS DOUBLE) AS x,
+        |  CAST(unnest(q.embedding) AS DOUBLE) AS y
+        | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+        |d AS (
+        | SELECT qid, nid,
+        |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
+        |  SUM(CAST(x * x AS DECIMAL(30,15))) AS nc,
+        |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nq
+        | FROM z GROUP BY 1, 2),
+        |r AS (
+        | SELECT qid, nid,
+        |  ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) DESC,
+        |      nid) AS rank
+        | FROM d),
+        |topk AS (SELECT qid, nid FROM r WHERE rank <= 5),
+        |mut AS (
+        | SELECT a.qid AS id_a, a.nid AS id_b
+        | FROM topk a JOIN topk b ON a.qid = b.nid AND a.nid = b.qid
+        | WHERE a.qid < a.nid),
+        |und AS (
+        | SELECT id_a AS src, id_b AS dst FROM mut
+        | UNION ALL SELECT id_b, id_a FROM mut),
+        |l0 AS (
+        | SELECT vec_id AS id, label, 0 AS since FROM embeddings
+        | WHERE vec_id % 5 = 0),
+        |v1 AS (
+        | SELECT e.dst AS id, l.label, COUNT(*) AS nv
+        | FROM und e JOIN l0 l ON e.src = l.id
+        | WHERE e.dst NOT IN (SELECT id FROM l0) GROUP BY 1, 2),
+        |p1 AS (SELECT id, label FROM (
+        |  SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+        |    ORDER BY nv DESC, label) AS rk FROM v1) x WHERE rk = 1),
+        |l1 AS (SELECT * FROM l0 UNION ALL SELECT id, label, 1 FROM p1),
+        |v2 AS (
+        | SELECT e.dst AS id, l.label, COUNT(*) AS nv
+        | FROM und e JOIN l1 l ON e.src = l.id
+        | WHERE e.dst NOT IN (SELECT id FROM l1) GROUP BY 1, 2),
+        |p2 AS (SELECT id, label FROM (
+        |  SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+        |    ORDER BY nv DESC, label) AS rk FROM v2) x WHERE rk = 1),
+        |l2 AS (SELECT * FROM l1 UNION ALL SELECT id, label, 2 FROM p2),
+        |v3 AS (
+        | SELECT e.dst AS id, l.label, COUNT(*) AS nv
+        | FROM und e JOIN l2 l ON e.src = l.id
+        | WHERE e.dst NOT IN (SELECT id FROM l2) GROUP BY 1, 2),
+        |p3 AS (SELECT id, label FROM (
+        |  SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+        |    ORDER BY nv DESC, label) AS rk FROM v3) x WHERE rk = 1),
+        |l3 AS (SELECT * FROM l2 UNION ALL SELECT id, label, 3 FROM p3)
+        |SELECT e.vec_id, l.label, CAST(l.since AS INT) AS since
+        |FROM embeddings e LEFT JOIN l3 l ON e.vec_id = l.id
+        |ORDER BY e.vec_id""".stripMargin,
+
     "x_knn_graph" ->
       """WITH z AS (
         | SELECT q.vec_id AS qid, c.vec_id AS nid,

@@ -110,4 +110,68 @@ object Graph {
     setupSnap.unpersist(blocking = false)
     ranks.select(col("id"), col("rank"))
   }
+
+  /** Semi-supervised label propagation over an undirected graph — the
+    * iterative generalization of kNN classification: a handful of seed
+    * labels spread hop by hop along similarity edges ([[Similarity
+    * .mutualKnnEdges]] is the natural input) until `rounds` hops out.
+    * Each round, every still-unlabeled node adjacent to ≥ 1 labeled
+    * node takes the majority label of its labeled neighbors — count-
+    * based, ties to the smallest label, so every decision is float-free
+    * and engine-reproducible. Labels are CLAMPED once assigned (seeds
+    * and earlier rounds never flip), which makes the unrolled result
+    * well-defined and idempotent past convergence.
+    *
+    * Scale shape per round (the pageRank discipline): ONE data-sized
+    * shuffle — the frontier join keys on edge src, votes aggregate
+    * (node, label) with map-side partials, and the already-labeled
+    * anti-join keys on node id. Each round snapshots (reliable when a
+    * checkpoint dir is set) so lineage stays flat.
+    *
+    * @param edges undirected pair list — each edge once, either
+    *              orientation (both directions are derived)
+    * @return (id, label, since) — `since` = round the label arrived
+    *         (0 for seeds); nodes the labels never reached are absent
+    *         (left-join from your node table to keep them as nulls)
+    */
+  def propagateLabels(edges: DataFrame, srcCol: String, dstCol: String,
+                      seeds: DataFrame, idCol: String, labelCol: String,
+                      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"negative rounds: $rounds")
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val und = snap(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .union(edges.select(col(dstCol).cast("long").as("src"),
+          col(srcCol).cast("long").as("dst"))))
+    val setup = snap(seeds.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("label"), lit(0).as("since")))
+    var state = setup
+    var lastSnap = setup
+    var r = 1
+    while (r <= rounds) {
+      val votes = und.join(state, und("src") === state("id"))
+        .select(col("dst"), col("label"))
+        .join(state.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("__nv"))
+      val pick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst"))
+        .orderBy(col("__nv").desc, col("label").asc)
+      val newly = votes
+        .withColumn("__rk", row_number().over(pick))
+        .where(col("__rk") === 1)
+        .select(col("dst").as("id"), col("label"), lit(r).as("since"))
+      val s = snap(state.union(newly))
+      if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
+      lastSnap = s
+      state = s
+      r += 1
+    }
+    und.unpersist(blocking = false)
+    setup.unpersist(blocking = false)
+    state
+  }
 }

@@ -39,4 +39,40 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(r0.values.forall(_ == 1.0) && r0.size == 3)
   }
+
+  private def prop(edges: Seq[(Long, Long)], seeds: Seq[(Long, Int)],
+                   rounds: Int): Map[Long, (Int, Int)] = {
+    import spark.implicits._
+    Graph.propagateLabels(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b",
+        seeds.toDF("id", "lab"), "id", "lab", rounds)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+  }
+
+  test("propagateLabels: labels travel one hop per round, since records arrival") {
+    // chain 1-2-3-4-5, seed at node 1
+    val out = prop(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      Seq(1L -> 7), rounds = 3)
+    assert(out == Map(
+      1L -> ((7, 0)), 2L -> ((7, 1)), 3L -> ((7, 2)), 4L -> ((7, 3))))
+    // node 5 is 4 hops out — not reached in 3 rounds
+  }
+
+  test("propagateLabels: majority wins, tie breaks to smallest label, labels clamp") {
+    // node 10 has neighbors: two label-3 seeds, one label-1 seed → 3
+    // node 20 has one label-3 and one label-1 seed → tie → 1
+    // seed 2 keeps its own label even though all ITS neighbors say 3
+    val out = prop(
+      Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (4L, 20L),
+        (1L, 2L), (3L, 2L)),
+      Seq(1L -> 3, 2L -> 1, 3L -> 3, 4L -> 1), rounds = 2)
+    assert(out(10L) == ((3, 1)))
+    assert(out(20L) == ((1, 1)))
+    assert(out(2L) == ((1, 0)), "seed labels are clamped")
+  }
+
+  test("propagateLabels: zero rounds returns exactly the seeds") {
+    val out = prop(Seq((1L, 2L), (2L, 3L)), Seq(1L -> 9), rounds = 0)
+    assert(out == Map(1L -> ((9, 0))))
+  }
 }
