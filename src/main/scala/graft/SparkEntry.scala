@@ -776,6 +776,23 @@ object SparkEntry {
           col("dup_chars"), col("clean_len"), col("clean_text"))
         .orderBy("doc_id")),
 
+    // Span-level benchmark decontamination: regions of training docs
+    // (doc_id % 10 != 0) that appear verbatim in the benchmark slice
+    // (doc_id % 10 == 0) are marked and cut — surgical removal of the
+    // leak, not whole-document discard. Content-defined anchors both
+    // sides; benchmark anchor vocabulary broadcasts into the mark join.
+    "x_decontam_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Corpus.contaminationSpansPortable(
+          d.where(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          d.where(col("doc_id") % 10 === 0), "text",
+          k = 20, cutoffHex = "10", maxGap = 100)
+        .select(col("doc_id"), col("n_spans"), col("n_contam_anchors"),
+          col("contam_chars"), col("clean_len"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // Greedy data selection under a global token budget: best-quality
     // documents first until 600 tokens are spent. The running sum is the
     // two-level bucketed cumsum (no single-reducer global window).
@@ -2491,6 +2508,63 @@ object SparkEntry {
         | CAST(t.nt - coalesce(r.nk, 0) AS BIGINT) AS n_units_removed
         |FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // Same anchor/span/cut skeleton as x_substring_dedup, with the
+    // benchmark slice's distinct anchor grams as the mark set.
+    "x_decontam_spans" ->
+      """WITH train AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |bench AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+        |tp AS (
+        | SELECT doc_id, text,
+        |  CAST(UNNEST(range(0, GREATEST(length(text) - 19, 0))) AS INT) AS s
+        | FROM train),
+        |ta AS (
+        | SELECT doc_id, s, substr(text, s + 1, 20) AS w FROM tp
+        | WHERE substr(md5(substr(text, s + 1, 20)), 1, 2) < '10'),
+        |bp AS (
+        | SELECT text,
+        |  CAST(UNNEST(range(0, GREATEST(length(text) - 19, 0))) AS INT) AS s
+        | FROM bench),
+        |bv AS (
+        | SELECT DISTINCT substr(text, s + 1, 20) AS w FROM bp
+        | WHERE substr(md5(substr(text, s + 1, 20)), 1, 2) < '10'),
+        |dup AS (SELECT ta.doc_id, ta.s FROM ta JOIN bv USING (w)),
+        |runs AS (
+        | SELECT doc_id, s,
+        |  SUM(CASE WHEN gap IS NULL OR gap > 100 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s) AS run
+        | FROM (SELECT doc_id, s,
+        |        s - LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS gap
+        |       FROM dup) g),
+        |spans AS (
+        | SELECT doc_id, run, MIN(s) AS s0, MAX(s) + 20 AS e0, COUNT(*) AS na
+        | FROM runs GROUP BY doc_id, run),
+        |pieces AS (
+        | SELECT doc_id, s0, e0,
+        |  substr(text, COALESCE(LAG(e0) OVER w2, 0) + 1,
+        |         s0 - COALESCE(LAG(e0) OVER w2, 0)) AS piece
+        | FROM spans JOIN train USING (doc_id)
+        | WINDOW w2 AS (PARTITION BY doc_id ORDER BY s0)),
+        |rebuilt AS (
+        | SELECT doc_id, string_agg(piece, '' ORDER BY s0) AS head,
+        |        MAX(e0) AS laste
+        | FROM pieces GROUP BY doc_id),
+        |stats AS (
+        | SELECT doc_id, COUNT(*) AS n_spans, SUM(na) AS n_contam_anchors,
+        |        SUM(e0 - s0) AS contam_chars
+        | FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+        | CAST(COALESCE(st.n_contam_anchors, 0) AS BIGINT) AS n_contam_anchors,
+        | CAST(COALESCE(st.contam_chars, 0) AS BIGINT) AS contam_chars,
+        | CAST(length(d.text) - COALESCE(st.contam_chars, 0) AS BIGINT) AS clean_len,
+        | COALESCE(r.head, '') || substr(d.text, COALESCE(r.laste, 0) + 1)
+        |   AS clean_text
+        |FROM train d
+        |LEFT JOIN stats st USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Anchor selection = md5-prefix cutoff, identical in both engines;
     // spans from the same LAG/run-id merge; clean_text stitched from the

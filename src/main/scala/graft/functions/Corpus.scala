@@ -743,6 +743,93 @@ object Corpus {
     val dup = a
       .join(frequent, Seq("__wh", "__w"), "left_semi")
       .select(id, col("__s"))
+    spanCutOutput(df, idCol, textCol, dup, k, maxGap,
+      anchorsName = "n_dup_anchors", charsName = "dup_chars")
+  }
+
+  /** Span-level benchmark decontamination — [[dedupSubstrings]]' anchor
+    * machinery pointed at an external reference set: spans of `df`
+    * (training corpus) that appear VERBATIM in `ref` (benchmark /
+    * holdout) are marked and cut, telling you exactly WHAT leaked and
+    * producing surgically-cleaned text — where [[decontaminate]] flags
+    * whole documents, this removes just the contaminated regions.
+    *
+    * Anchors are content-defined on BOTH sides (same selector), so a
+    * shared region anchors at the same content-relative offsets in the
+    * corpus and the benchmark regardless of alignment. A train anchor is
+    * contaminated iff its (hash, gram STRING) pair occurs among the
+    * benchmark's anchors — string equality required, so a 64-bit
+    * collision can never cut clean text. Miss probability for a shared
+    * region of length L is ≈ (1−1/p)^(L−k+1), the [[dedupSubstrings]]
+    * trade.
+    *
+    * Scale shape: benchmark-side anchors collapse to a DISTINCT
+    * (hash, gram) vocabulary — benchmarks are small by premise, so that
+    * set broadcasts into the marking join; corpus-side anchors never
+    * carry document bodies, and the rebuild is the one doc-id join.
+    *
+    * @return (idCol, spans, n_spans, n_contam_anchors, contam_chars,
+    *         clean_len, clean_text)
+    */
+  def contaminationSpans(df: DataFrame, idCol: String, textCol: String,
+                         ref: DataFrame, refTextCol: String,
+                         k: Int = 24, anchorDensity: Int = 32,
+                         maxGap: Int = 256): DataFrame =
+    contaminationSpansImpl(df, idCol, textCol, ref, refTextCol, k, maxGap,
+      t => graft.plans.HashExpressions.xxModAnchors(t, k, anchorDensity))
+
+  /** [[contaminationSpans]] with the md5-prefix anchor selection any ANSI
+    * engine reproduces (density = cutoffHex/256) — the oracle-checkable
+    * variant, same split as [[dedupSubstringsPortable]].
+    */
+  def contaminationSpansPortable(df: DataFrame, idCol: String, textCol: String,
+                                 ref: DataFrame, refTextCol: String,
+                                 k: Int = 20, cutoffHex: String = "10",
+                                 maxGap: Int = 100): DataFrame = {
+    val cutoff = Integer.parseInt(cutoffHex, 16)
+    contaminationSpansImpl(df, idCol, textCol, ref, refTextCol, k, maxGap,
+      t => graft.plans.HashExpressions.md5PrefixAnchors(t, k, cutoff))
+  }
+
+  private def contaminationSpansImpl(df: DataFrame, idCol: String,
+      textCol: String, ref: DataFrame, refTextCol: String,
+      k: Int, maxGap: Int, anchorsOf: Column => Column): DataFrame = {
+    require(k >= 2, s"gram length too short to be selective: $k")
+    require(maxGap >= k,
+      s"maxGap ($maxGap) < k ($k) would let merged spans overlap")
+    val id = col(idCol)
+    val txt = coalesce(col(textCol), lit(""))
+    val a = df
+      .select(id, explode(anchorsOf(txt)).as("__s"), txt.as("__t"))
+      .select(id, col("__s"),
+        col("__t").substr(col("__s") + 1, lit(k)).as("__w"))
+      .withColumn("__wh", xxhash64(col("__w")))
+    val refTxt = coalesce(col(refTextCol), lit(""))
+    // benchmark anchor vocabulary: distinct (hash, gram) — gram string
+    // kept so the marking join requires exact equality, never hash alone
+    val refVocab = ref
+      .select(explode(anchorsOf(refTxt)).as("__s"), refTxt.as("__t"))
+      .select(col("__t").substr(col("__s") + 1, lit(k)).as("__w"))
+      .withColumn("__wh", xxhash64(col("__w")))
+      .select(col("__wh"), col("__w"))
+      .distinct()
+    val dup = a
+      .join(broadcast(refVocab), Seq("__wh", "__w"), "left_semi")
+      .select(id, col("__s"))
+    spanCutOutput(df, idCol, textCol, dup, k, maxGap,
+      anchorsName = "n_contam_anchors", charsName = "contam_chars")
+  }
+
+  /** Shared tail of the span-marking operators: merge marked anchor
+    * positions (`dup` = (idCol, __s)) into disjoint spans, compute
+    * per-doc stats, and cut the spans from the text — every input row
+    * preserved.
+    */
+  private def spanCutOutput(df: DataFrame, idCol: String, textCol: String,
+      dup: DataFrame, k: Int, maxGap: Int,
+      anchorsName: String, charsName: String): DataFrame = {
+    val id = col(idCol)
+    val txt = coalesce(col(textCol), lit(""))
     // merge anchors ≤ maxGap apart into runs, runs into spans
     val byDoc = Window.partitionBy(id).orderBy(col("__s"))
     val runs = dup
@@ -761,16 +848,16 @@ object Corpus {
         sort_array(collect_list(struct(col("__s0").as("s0"), col("__e0").as("e0"))))
           .as("spans"),
         count(lit(1)).as("n_spans"),
-        sum(col("__na")).as("n_dup_anchors"),
-        sum(col("__e0") - col("__s0")).cast("long").as("dup_chars"))
+        sum(col("__na")).as(anchorsName),
+        sum(col("__e0") - col("__s0")).cast("long").as(charsName))
     val empty = array().cast("array<struct<s0:int,e0:int>>")
     val joined = df.select(id, txt.as("__t"))
       .join(docStats, Seq(idCol), "left")
       .select(id, col("__t"),
         coalesce(col("spans"), empty).as("spans"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_dup_anchors"), lit(0L)).as("n_dup_anchors"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+        coalesce(col(anchorsName), lit(0L)).as(anchorsName),
+        coalesce(col(charsName), lit(0L)).as(charsName))
     // cut the (disjoint, sorted) spans in one fold over the spans array
     val cut = aggregate(
       col("spans"),
@@ -783,9 +870,9 @@ object Corpus {
       acc => concat(acc.getField("a"),
         col("__t").substr(acc.getField("p") + 1,
           length(col("__t")) - acc.getField("p"))))
-    joined.select(id, col("spans"), col("n_spans"), col("n_dup_anchors"),
-      col("dup_chars"),
-      (length(col("__t")) - col("dup_chars")).cast("long").as("clean_len"),
+    joined.select(id, col("spans"), col("n_spans"), col(anchorsName),
+      col(charsName),
+      (length(col("__t")) - col(charsName)).cast("long").as("clean_len"),
       cut.as("clean_text"))
   }
 

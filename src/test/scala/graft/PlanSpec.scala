@@ -301,6 +301,34 @@ class PlanSpec extends SparkSpec {
       s"c4 gate introduced a non-sort exchange:\n${exchanges.mkString("\n")}")
   }
 
+  // calibrateScores' rank must stay bucket-decomposed — a row_number
+  // window partitioned by the bare group puts each whole language in one
+  // reducer (the packOffsets scale argument, again).
+  test("x_score_calibrate: the data-sized rank window keys on (group, bucket)") {
+    val p = plan("x_score_calibrate")
+    val scoreWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("__score"))
+      .toSeq
+    assert(scoreWindows.nonEmpty, s"no score-ordered rank window:\n$p")
+    scoreWindows.foreach { l =>
+      val bk = l.indexOf("__bk")
+      assert(bk >= 0 && bk < l.indexOf("__score"),
+        s"score-ordered window not partitioned by the bucket: $l")
+    }
+  }
+
+  // substring dedup's candidate generation is hash-keyed aggregation +
+  // equi-joins; nothing in the plan may degrade to a nested loop, and
+  // the anchor selection must run as the native expression (one compiled
+  // pass), not an interpreted per-position HOF filter.
+  test("x_substring_dedup: equi-joins only, native anchor expression") {
+    val p = plan("x_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup degraded to a nested loop:\n$p")
+    assert(p.contains("md5_prefix_anchors"),
+      s"anchor positions not computed by the native expression:\n$p")
+  }
+
   test("x_pack_spans: no window keys on the bare global order") {
     val p = plan("x_pack_spans")
     // both data-sized windows must partition by the bucket column — a

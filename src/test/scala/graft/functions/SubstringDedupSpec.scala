@@ -134,6 +134,39 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminationSpans marks only benchmark-shared regions, cut is consistent") {
+    val bench = Seq(900L -> ("benchmark item wraps: " + para))
+      .toDF("doc_id", "text")
+    // doc 1: contains the benchmark paragraph (misaligned); doc 2 and 3
+    // share a paragraph with EACH OTHER but not with the benchmark —
+    // contamination must not fire on train-internal duplication
+    // no 8-char substring of this sentence occurs in the bench doc (the
+    // word "benchmark" itself would be a real, detected leak!)
+    val other = "a train-only repeated passage which no holdout ever recorded"
+    val train = Seq(
+      1L -> ("train lead-in text " + para + " and a tail"),
+      2L -> ("first copy here: " + other),
+      3L -> ("second, shifted copy: " + other))
+      .toDF("doc_id", "text")
+    val out = Corpus.contaminationSpansPortable(train, "doc_id", "text",
+        bench, "text", k = 8, cutoffHex = "40", maxGap = 32)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_spans") >= 1, "benchmark leak not detected")
+    val text1 = "train lead-in text " + para + " and a tail"
+    val paraStart = text1.indexOf(para)
+    val spans1 = r1.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("spans")
+      .map(x => (x.getInt(0), x.getInt(1)))
+    spans1.foreach { case (s0, e0) =>
+      assert(s0 >= paraStart && e0 <= paraStart + para.length,
+        s"span ($s0,$e0) outside the leaked region") }
+    assert(r1.getAs[String]("clean_text") == cutRef(text1, spans1))
+    assert(out(2L).getAs[Long]("n_spans") == 0L,
+      "train-internal duplication is not contamination")
+    assert(out(3L).getAs[Long]("n_spans") == 0L)
+    assert(out(2L).getAs[String]("clean_text") == "first copy here: " + other)
+  }
+
   test("null text behaves as empty; config guards reject bad parameters") {
     val out = Corpus.dedupSubstringsPortable(
       Seq((1L, null: String), (2L, para), (3L, para))
