@@ -1036,6 +1036,16 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(30)),
 
+    // Full in-engine BPE training: 6 merge rules learned iteratively
+    // from the corpus (pair argmax per round, deterministic (cnt DESC,
+    // l, r) tiebreak; greedy left-to-right re-tokenize via the native
+    // BpeMergePair pass). Every round touches only vocabulary-sized
+    // data; one row per round reaches the driver.
+    "x_bpe_train" -> ((s, dir) =>
+      Corpus.bpeTrain(t(s, dir, "documents").select(col("text")),
+          "text", nMerges = 6)
+        .orderBy("merge_rank")),
+
     // Within-document repetition removal (MassiveText intra-doc dedup):
     // every repeat of a unit after its first occurrence in the SAME doc
     // is deleted, order preserved. Exercised at word granularity — the
@@ -3112,6 +3122,175 @@ object SparkEntry {
         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
         |  symbol_ratio < 0.1 AND alpha_frac > 0.8 AND n_stop >= 1) AS kept
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // In-engine BPE training, 6 rounds unrolled: each round counts
+    // vocab-weighted adjacent pairs, takes the argmax ((cnt DESC, l, r)
+    // tiebreak), and re-tokenizes with the same greedy left-to-right
+    // merge closed form (runs of overlapping matches merge at odd
+    // positions; consumed tokens drop). MATERIALIZED CTEs keep the
+    // 6-round chain linear - inlined, the re-referenced rounds
+    // re-evaluate exponentially.
+    "x_bpe_train" ->
+      """WITH toks AS (
+        | SELECT CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |v0 AS (
+        | SELECT w, CAST(COUNT(*) AS BIGINT) AS f,
+        |  list_transform(range(1, LENGTH(w) + 1), j -> substr(w, CAST(j AS INT), 1)) AS t
+        | FROM (SELECT unnest(tok) AS w FROM toks) z GROUP BY w),
+        |t1 AS MATERIALIZED (
+        | SELECT w, f, CAST(u.i AS INT) AS i, u.tk AS tok,
+        |  LEAD(u.tk) OVER (PARTITION BY w ORDER BY u.i) AS nxt
+        | FROM v0, UNNEST(list_transform(range(1, len(t) + 1),
+        |   j -> {'i': j, 'tk': t[CAST(j AS INT)]})) AS z(u)),
+        |m1 AS MATERIALIZED (
+        | SELECT tok AS l, nxt AS r, SUM(f) AS cnt FROM t1 WHERE nxt IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |g1 AS (
+        | SELECT w, f, i, tok, nxt, mt,
+        |  CASE WHEN mt THEN ROW_NUMBER() OVER (PARTITION BY w, grp, mt ORDER BY i) % 2 = 1
+        |       ELSE FALSE END AS app
+        | FROM (
+        |  SELECT w, f, i, tok, nxt,
+        |   (nxt IS NOT NULL AND tok = (SELECT l FROM m1) AND nxt = (SELECT r FROM m1)) AS mt,
+        |   i - ROW_NUMBER() OVER (PARTITION BY w,
+        |     (nxt IS NOT NULL AND tok = (SELECT l FROM m1) AND nxt = (SELECT r FROM m1))
+        |     ORDER BY i) AS grp
+        |  FROM t1) y),
+        |v1 AS MATERIALIZED (
+        | SELECT w, f, list(CASE WHEN app THEN tok || nxt ELSE tok END ORDER BY i) AS t
+        | FROM (SELECT *, COALESCE(LAG(app) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |       FROM g1) z2
+        | WHERE NOT consumed GROUP BY w, f),
+        |t2 AS MATERIALIZED (
+        | SELECT w, f, CAST(u.i AS INT) AS i, u.tk AS tok,
+        |  LEAD(u.tk) OVER (PARTITION BY w ORDER BY u.i) AS nxt
+        | FROM v1, UNNEST(list_transform(range(1, len(t) + 1),
+        |   j -> {'i': j, 'tk': t[CAST(j AS INT)]})) AS z(u)),
+        |m2 AS MATERIALIZED (
+        | SELECT tok AS l, nxt AS r, SUM(f) AS cnt FROM t2 WHERE nxt IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |g2 AS (
+        | SELECT w, f, i, tok, nxt, mt,
+        |  CASE WHEN mt THEN ROW_NUMBER() OVER (PARTITION BY w, grp, mt ORDER BY i) % 2 = 1
+        |       ELSE FALSE END AS app
+        | FROM (
+        |  SELECT w, f, i, tok, nxt,
+        |   (nxt IS NOT NULL AND tok = (SELECT l FROM m2) AND nxt = (SELECT r FROM m2)) AS mt,
+        |   i - ROW_NUMBER() OVER (PARTITION BY w,
+        |     (nxt IS NOT NULL AND tok = (SELECT l FROM m2) AND nxt = (SELECT r FROM m2))
+        |     ORDER BY i) AS grp
+        |  FROM t2) y),
+        |v2 AS MATERIALIZED (
+        | SELECT w, f, list(CASE WHEN app THEN tok || nxt ELSE tok END ORDER BY i) AS t
+        | FROM (SELECT *, COALESCE(LAG(app) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |       FROM g2) z2
+        | WHERE NOT consumed GROUP BY w, f),
+        |t3 AS MATERIALIZED (
+        | SELECT w, f, CAST(u.i AS INT) AS i, u.tk AS tok,
+        |  LEAD(u.tk) OVER (PARTITION BY w ORDER BY u.i) AS nxt
+        | FROM v2, UNNEST(list_transform(range(1, len(t) + 1),
+        |   j -> {'i': j, 'tk': t[CAST(j AS INT)]})) AS z(u)),
+        |m3 AS MATERIALIZED (
+        | SELECT tok AS l, nxt AS r, SUM(f) AS cnt FROM t3 WHERE nxt IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |g3 AS (
+        | SELECT w, f, i, tok, nxt, mt,
+        |  CASE WHEN mt THEN ROW_NUMBER() OVER (PARTITION BY w, grp, mt ORDER BY i) % 2 = 1
+        |       ELSE FALSE END AS app
+        | FROM (
+        |  SELECT w, f, i, tok, nxt,
+        |   (nxt IS NOT NULL AND tok = (SELECT l FROM m3) AND nxt = (SELECT r FROM m3)) AS mt,
+        |   i - ROW_NUMBER() OVER (PARTITION BY w,
+        |     (nxt IS NOT NULL AND tok = (SELECT l FROM m3) AND nxt = (SELECT r FROM m3))
+        |     ORDER BY i) AS grp
+        |  FROM t3) y),
+        |v3 AS MATERIALIZED (
+        | SELECT w, f, list(CASE WHEN app THEN tok || nxt ELSE tok END ORDER BY i) AS t
+        | FROM (SELECT *, COALESCE(LAG(app) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |       FROM g3) z2
+        | WHERE NOT consumed GROUP BY w, f),
+        |t4 AS MATERIALIZED (
+        | SELECT w, f, CAST(u.i AS INT) AS i, u.tk AS tok,
+        |  LEAD(u.tk) OVER (PARTITION BY w ORDER BY u.i) AS nxt
+        | FROM v3, UNNEST(list_transform(range(1, len(t) + 1),
+        |   j -> {'i': j, 'tk': t[CAST(j AS INT)]})) AS z(u)),
+        |m4 AS MATERIALIZED (
+        | SELECT tok AS l, nxt AS r, SUM(f) AS cnt FROM t4 WHERE nxt IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |g4 AS (
+        | SELECT w, f, i, tok, nxt, mt,
+        |  CASE WHEN mt THEN ROW_NUMBER() OVER (PARTITION BY w, grp, mt ORDER BY i) % 2 = 1
+        |       ELSE FALSE END AS app
+        | FROM (
+        |  SELECT w, f, i, tok, nxt,
+        |   (nxt IS NOT NULL AND tok = (SELECT l FROM m4) AND nxt = (SELECT r FROM m4)) AS mt,
+        |   i - ROW_NUMBER() OVER (PARTITION BY w,
+        |     (nxt IS NOT NULL AND tok = (SELECT l FROM m4) AND nxt = (SELECT r FROM m4))
+        |     ORDER BY i) AS grp
+        |  FROM t4) y),
+        |v4 AS MATERIALIZED (
+        | SELECT w, f, list(CASE WHEN app THEN tok || nxt ELSE tok END ORDER BY i) AS t
+        | FROM (SELECT *, COALESCE(LAG(app) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |       FROM g4) z2
+        | WHERE NOT consumed GROUP BY w, f),
+        |t5 AS MATERIALIZED (
+        | SELECT w, f, CAST(u.i AS INT) AS i, u.tk AS tok,
+        |  LEAD(u.tk) OVER (PARTITION BY w ORDER BY u.i) AS nxt
+        | FROM v4, UNNEST(list_transform(range(1, len(t) + 1),
+        |   j -> {'i': j, 'tk': t[CAST(j AS INT)]})) AS z(u)),
+        |m5 AS MATERIALIZED (
+        | SELECT tok AS l, nxt AS r, SUM(f) AS cnt FROM t5 WHERE nxt IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |g5 AS (
+        | SELECT w, f, i, tok, nxt, mt,
+        |  CASE WHEN mt THEN ROW_NUMBER() OVER (PARTITION BY w, grp, mt ORDER BY i) % 2 = 1
+        |       ELSE FALSE END AS app
+        | FROM (
+        |  SELECT w, f, i, tok, nxt,
+        |   (nxt IS NOT NULL AND tok = (SELECT l FROM m5) AND nxt = (SELECT r FROM m5)) AS mt,
+        |   i - ROW_NUMBER() OVER (PARTITION BY w,
+        |     (nxt IS NOT NULL AND tok = (SELECT l FROM m5) AND nxt = (SELECT r FROM m5))
+        |     ORDER BY i) AS grp
+        |  FROM t5) y),
+        |v5 AS MATERIALIZED (
+        | SELECT w, f, list(CASE WHEN app THEN tok || nxt ELSE tok END ORDER BY i) AS t
+        | FROM (SELECT *, COALESCE(LAG(app) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |       FROM g5) z2
+        | WHERE NOT consumed GROUP BY w, f),
+        |t6 AS MATERIALIZED (
+        | SELECT w, f, CAST(u.i AS INT) AS i, u.tk AS tok,
+        |  LEAD(u.tk) OVER (PARTITION BY w ORDER BY u.i) AS nxt
+        | FROM v5, UNNEST(list_transform(range(1, len(t) + 1),
+        |   j -> {'i': j, 'tk': t[CAST(j AS INT)]})) AS z(u)),
+        |m6 AS MATERIALIZED (
+        | SELECT tok AS l, nxt AS r, SUM(f) AS cnt FROM t6 WHERE nxt IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |g6 AS (
+        | SELECT w, f, i, tok, nxt, mt,
+        |  CASE WHEN mt THEN ROW_NUMBER() OVER (PARTITION BY w, grp, mt ORDER BY i) % 2 = 1
+        |       ELSE FALSE END AS app
+        | FROM (
+        |  SELECT w, f, i, tok, nxt,
+        |   (nxt IS NOT NULL AND tok = (SELECT l FROM m6) AND nxt = (SELECT r FROM m6)) AS mt,
+        |   i - ROW_NUMBER() OVER (PARTITION BY w,
+        |     (nxt IS NOT NULL AND tok = (SELECT l FROM m6) AND nxt = (SELECT r FROM m6))
+        |     ORDER BY i) AS grp
+        |  FROM t6) y),
+        |v6 AS MATERIALIZED (
+        | SELECT w, f, list(CASE WHEN app THEN tok || nxt ELSE tok END ORDER BY i) AS t
+        | FROM (SELECT *, COALESCE(LAG(app) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |       FROM g6) z2
+        | WHERE NOT consumed GROUP BY w, f)
+        |SELECT * FROM (
+        |SELECT CAST(1 AS INT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM m1
+        |UNION ALL SELECT CAST(2 AS INT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM m2
+        |UNION ALL SELECT CAST(3 AS INT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM m3
+        |UNION ALL SELECT CAST(4 AS INT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM m4
+        |UNION ALL SELECT CAST(5 AS INT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM m5
+        |UNION ALL SELECT CAST(6 AS INT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM m6)
+        |ORDER BY merge_rank""".stripMargin,
 
     "x_bpe_pairs" ->
       """WITH toks AS (

@@ -1056,6 +1056,98 @@ object Corpus {
       .select(df.columns.map(col) :+ col("cum_cost") :+ col("selected"): _*)
   }
 
+  /** In-engine BPE training (Sennrich et al. 2016) — [[bpePairCounts]]'
+    * one statistics round taken to the full iterative algorithm: learn
+    * `nMerges` merge rules from the corpus itself, the way a tokenizer
+    * pipeline trains its subword vocabulary over the data it will
+    * encode. Word-level BPE over plain character sequences (no
+    * end-of-word marker — a documented simplification): each round
+    * counts adjacent token pairs weighted by word frequency, takes the
+    * most frequent pair (ties → lexicographically smallest (left,
+    * right), so the learned table is deterministic and engine-
+    * reproducible), and re-tokenizes by merging that pair greedily
+    * left-to-right ([[graft.plans.BpeMergePair]], one compiled pass per
+    * word).
+    *
+    * Scale shape: the corpus collapses to its word-frequency VOCABULARY
+    * in one shuffle up front — every training round thereafter touches
+    * only vocab-sized data (pair counts aggregate with map-side
+    * partials; the argmax brings ONE row to the driver; the re-tokenize
+    * is a pure map over the vocab). Rounds snapshot so lineage stays
+    * flat — the [[graft.functions.Graph.pageRank]] discipline. Driver
+    * state is the merge table itself (nMerges rows).
+    *
+    * @return (merge_rank, lhs, rhs, pair_count) — merge i was learned
+    *         at rank i with that corpus-wide pair frequency
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 4096, s"unreasonable nMerges: $nMerges")
+    val spark = df.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def snap(d: DataFrame): DataFrame =
+      if (reliable) d.checkpoint() else d.localCheckpoint()
+    val chars = (w: Column) =>
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    val setup = snap(df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .select(col("__w"), col("__f"), chars(col("__w")).as("__toks")))
+    var vocab = setup
+    var lastSnap = setup
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val pairsCol = when(size(col("__toks")) >= 2,
+        transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => struct(element_at(col("__toks"), i + 1).as("l"),
+            element_at(col("__toks"), i + 2).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val top = vocab.select(col("__f"), explode(pairsCol).as("p"))
+        .groupBy(col("p.l").as("__l"), col("p.r").as("__r"))
+        .agg(sum(col("__f")).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("__l").asc, col("__r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val rr = top(0).getString(1)
+        merges += ((r, l, rr, top(0).getLong(2)))
+        val s = snap(vocab.withColumn("__toks",
+          graft.plans.HashExpressions.bpeMergePair(col("__toks"), l, rr)))
+        if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
+        lastSnap = s
+        vocab = s
+        r += 1
+      }
+    }
+    setup.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** BPE encoding with a trained merge table: every word's character
+    * sequence runs the merge rules in rank order (each a greedy
+    * left-to-right [[graft.plans.BpeMergePair]] pass), and the per-word
+    * token lists concatenate in document order. Map-only — merges ride
+    * as plan state, nothing shuffles.
+    *
+    * @return (idCol, bpe_tokens array<string>, n_tokens)
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val chars = (w: Column) =>
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    val encodeWord = (w: Column) =>
+      merges.foldLeft(chars(w)) { case (t, (l, r)) =>
+        graft.plans.HashExpressions.bpeMergePair(t, l, r)
+      }
+    df.select(col(idCol),
+      flatten(transform(TextFunctions.tokens(col(textCol)),
+        w => encodeWord(w))).as("bpe_tokens"))
+      .withColumn("n_tokens", size(col("bpe_tokens")).cast("long"))
+  }
+
   /** Per-group percentile calibration of a score column — the
     * normalization step between raw quality scoring and cross-group
     * selection: a raw score of 0.4 means different things in different

@@ -560,6 +560,47 @@ case class XxModAnchors(child: Expression, k: Int, density: Int)
   override def prettyName: String = "xx_mod_anchors"
 }
 
+/** One BPE merge pass over a token array: every adjacent (left, right)
+  * pair merges to their concatenation, greedy left-to-right in one pass
+  * (the subword-nmt application order: after "a a a" merges (a,a), the
+  * result is [aa, a] — a consumed token never re-merges in the same
+  * pass). Chained in rank order this IS BPE encoding; called once per
+  * training round it re-tokenizes the vocabulary. Null elements are
+  * impossible by construction (inputs are substr-derived); a null array
+  * returns null via the usual unary null-safety.
+  */
+case class BpeMergePair(child: Expression, mergeLeft: String, mergeRight: String)
+    extends UnaryExpression with KernelCodegen {
+  require(mergeLeft.nonEmpty && mergeRight.nonEmpty,
+    "empty merge component would loop forever in training")
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.arrayOf(StringType, child.dataType, prettyName)
+  @transient private lazy val ua = UTF8String.fromString(mergeLeft)
+  @transient private lazy val ub = UTF8String.fromString(mergeRight)
+  @transient private lazy val uab = UTF8String.fromString(mergeLeft + mergeRight)
+  def kernel(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[AnyRef](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (i + 1 < n && ua == cur && ub == arr.getUTF8String(i + 1)) {
+        out(m) = uab; m += 1; i += 2
+      } else {
+        out(m) = cur; m += 1; i += 1
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): BpeMergePair =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_merge_pair"
+}
+
 /** Dot product of two float-array columns as a native binary expression:
   * one tight 64-wide multiply-add loop per pair instead of the
   * higher-order `zip_with`+`aggregate` tree, which runs interpreted and
@@ -721,6 +762,8 @@ object HashExpressions {
     ColumnBridge.column(Md5PrefixAnchors(ColumnBridge.expression(text), k, byteCutoff))
   def xxModAnchors(text: Column, k: Int, density: Int): Column =
     ColumnBridge.column(XxModAnchors(ColumnBridge.expression(text), k, density))
+  def bpeMergePair(tokens: Column, left: String, right: String): Column =
+    ColumnBridge.column(BpeMergePair(ColumnBridge.expression(tokens), left, right))
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def dotExactF(a: Column, b: Column): Column =
