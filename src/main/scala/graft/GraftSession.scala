@@ -75,6 +75,17 @@ object GraftSession {
       exprs => graft.plans.MinHashSignature(exprs(0), exprInt(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprints",
       exprs => graft.plans.WinnowFingerprints(exprs(0), exprInt(exprs(1)), exprInt(exprs(2))), "scala_udf")
+    // md5_prefix_anchors(text, k, byteCutoff) / xx_mod_anchors(text, k,
+    // density): the content-defined anchor selectors behind substring
+    // dedup + span decontamination, from SQL text.
+    reg.createOrReplaceTempFunction("md5_prefix_anchors",
+      exprs => graft.plans.Md5PrefixAnchors(exprs(0), exprInt(exprs(1)), exprInt(exprs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("xx_mod_anchors",
+      exprs => graft.plans.XxModAnchors(exprs(0), exprInt(exprs(1)), exprInt(exprs(2))), "scala_udf")
+    // bpe_merge_pair(tokens, left, right): one greedy BPE merge pass —
+    // chain in rank order to encode against a trained merge table.
+    reg.createOrReplaceTempFunction("bpe_merge_pair",
+      exprs => graft.plans.BpeMergePair(exprs(0), exprString(exprs(1)), exprString(exprs(2))), "scala_udf")
     // argmax_dot(vec, flat_centroids, dim): the IVF/PQ assignment kernel
     // from SQL text — centroids as a foldable array literal (they are
     // plan-time literals in the DSL path too, so SQL loses nothing).
@@ -148,6 +159,12 @@ object GraftSession {
         s"expected map literal, got $other")
     }
   }
+
+  private def exprString(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(s"expected string literal, got $other")
+    }
 
   private def exprInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e.eval(null) match {

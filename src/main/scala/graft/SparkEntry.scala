@@ -1036,6 +1036,20 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(30)),
 
+    // Train-to-encode round trip: the 6 learned merges applied to every
+    // document (map-only after training; tokens joined for the compare).
+    "x_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Corpus.bpeTrain(docs.select(col("text")), "text", nMerges = 6)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Corpus.bpeEncode(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("bpe_tokens"), " ").as("tokens_joined"))
+        .orderBy("doc_id")
+    }),
+
     // Full in-engine BPE training: 6 merge rules learned iteratively
     // from the corpus (pair argmax per round, deterministic (cnt DESC,
     // l, r) tiebreak; greedy left-to-right re-tokenize via the native
@@ -3291,6 +3305,180 @@ object SparkEntry {
         |UNION ALL SELECT CAST(5 AS INT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM m5
         |UNION ALL SELECT CAST(6 AS INT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM m6)
         |ORDER BY merge_rank""".stripMargin,
+
+    // The x_bpe_train chain through v6 (the vocabulary tokenized by all
+    // six learned merges), then every document re-assembles its words'
+    // token lists in order — the train-to-encode round trip.
+    "x_bpe_encode" ->
+      """WITH toks AS (
+        | SELECT CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |v0 AS (
+        | SELECT w, CAST(COUNT(*) AS BIGINT) AS f,
+        |  list_transform(range(1, LENGTH(w) + 1), j -> substr(w, CAST(j AS INT), 1)) AS t
+        | FROM (SELECT unnest(tok) AS w FROM toks) z GROUP BY w),
+        |t1 AS MATERIALIZED (
+        | SELECT w, f, CAST(u.i AS INT) AS i, u.tk AS tok,
+        |  LEAD(u.tk) OVER (PARTITION BY w ORDER BY u.i) AS nxt
+        | FROM v0, UNNEST(list_transform(range(1, len(t) + 1),
+        |   j -> {'i': j, 'tk': t[CAST(j AS INT)]})) AS z(u)),
+        |m1 AS MATERIALIZED (
+        | SELECT tok AS l, nxt AS r, SUM(f) AS cnt FROM t1 WHERE nxt IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |g1 AS (
+        | SELECT w, f, i, tok, nxt, mt,
+        |  CASE WHEN mt THEN ROW_NUMBER() OVER (PARTITION BY w, grp, mt ORDER BY i) % 2 = 1
+        |       ELSE FALSE END AS app
+        | FROM (
+        |  SELECT w, f, i, tok, nxt,
+        |   (nxt IS NOT NULL AND tok = (SELECT l FROM m1) AND nxt = (SELECT r FROM m1)) AS mt,
+        |   i - ROW_NUMBER() OVER (PARTITION BY w,
+        |     (nxt IS NOT NULL AND tok = (SELECT l FROM m1) AND nxt = (SELECT r FROM m1))
+        |     ORDER BY i) AS grp
+        |  FROM t1) y),
+        |v1 AS MATERIALIZED (
+        | SELECT w, f, list(CASE WHEN app THEN tok || nxt ELSE tok END ORDER BY i) AS t
+        | FROM (SELECT *, COALESCE(LAG(app) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |       FROM g1) z2
+        | WHERE NOT consumed GROUP BY w, f),
+        |t2 AS MATERIALIZED (
+        | SELECT w, f, CAST(u.i AS INT) AS i, u.tk AS tok,
+        |  LEAD(u.tk) OVER (PARTITION BY w ORDER BY u.i) AS nxt
+        | FROM v1, UNNEST(list_transform(range(1, len(t) + 1),
+        |   j -> {'i': j, 'tk': t[CAST(j AS INT)]})) AS z(u)),
+        |m2 AS MATERIALIZED (
+        | SELECT tok AS l, nxt AS r, SUM(f) AS cnt FROM t2 WHERE nxt IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |g2 AS (
+        | SELECT w, f, i, tok, nxt, mt,
+        |  CASE WHEN mt THEN ROW_NUMBER() OVER (PARTITION BY w, grp, mt ORDER BY i) % 2 = 1
+        |       ELSE FALSE END AS app
+        | FROM (
+        |  SELECT w, f, i, tok, nxt,
+        |   (nxt IS NOT NULL AND tok = (SELECT l FROM m2) AND nxt = (SELECT r FROM m2)) AS mt,
+        |   i - ROW_NUMBER() OVER (PARTITION BY w,
+        |     (nxt IS NOT NULL AND tok = (SELECT l FROM m2) AND nxt = (SELECT r FROM m2))
+        |     ORDER BY i) AS grp
+        |  FROM t2) y),
+        |v2 AS MATERIALIZED (
+        | SELECT w, f, list(CASE WHEN app THEN tok || nxt ELSE tok END ORDER BY i) AS t
+        | FROM (SELECT *, COALESCE(LAG(app) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |       FROM g2) z2
+        | WHERE NOT consumed GROUP BY w, f),
+        |t3 AS MATERIALIZED (
+        | SELECT w, f, CAST(u.i AS INT) AS i, u.tk AS tok,
+        |  LEAD(u.tk) OVER (PARTITION BY w ORDER BY u.i) AS nxt
+        | FROM v2, UNNEST(list_transform(range(1, len(t) + 1),
+        |   j -> {'i': j, 'tk': t[CAST(j AS INT)]})) AS z(u)),
+        |m3 AS MATERIALIZED (
+        | SELECT tok AS l, nxt AS r, SUM(f) AS cnt FROM t3 WHERE nxt IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |g3 AS (
+        | SELECT w, f, i, tok, nxt, mt,
+        |  CASE WHEN mt THEN ROW_NUMBER() OVER (PARTITION BY w, grp, mt ORDER BY i) % 2 = 1
+        |       ELSE FALSE END AS app
+        | FROM (
+        |  SELECT w, f, i, tok, nxt,
+        |   (nxt IS NOT NULL AND tok = (SELECT l FROM m3) AND nxt = (SELECT r FROM m3)) AS mt,
+        |   i - ROW_NUMBER() OVER (PARTITION BY w,
+        |     (nxt IS NOT NULL AND tok = (SELECT l FROM m3) AND nxt = (SELECT r FROM m3))
+        |     ORDER BY i) AS grp
+        |  FROM t3) y),
+        |v3 AS MATERIALIZED (
+        | SELECT w, f, list(CASE WHEN app THEN tok || nxt ELSE tok END ORDER BY i) AS t
+        | FROM (SELECT *, COALESCE(LAG(app) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |       FROM g3) z2
+        | WHERE NOT consumed GROUP BY w, f),
+        |t4 AS MATERIALIZED (
+        | SELECT w, f, CAST(u.i AS INT) AS i, u.tk AS tok,
+        |  LEAD(u.tk) OVER (PARTITION BY w ORDER BY u.i) AS nxt
+        | FROM v3, UNNEST(list_transform(range(1, len(t) + 1),
+        |   j -> {'i': j, 'tk': t[CAST(j AS INT)]})) AS z(u)),
+        |m4 AS MATERIALIZED (
+        | SELECT tok AS l, nxt AS r, SUM(f) AS cnt FROM t4 WHERE nxt IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |g4 AS (
+        | SELECT w, f, i, tok, nxt, mt,
+        |  CASE WHEN mt THEN ROW_NUMBER() OVER (PARTITION BY w, grp, mt ORDER BY i) % 2 = 1
+        |       ELSE FALSE END AS app
+        | FROM (
+        |  SELECT w, f, i, tok, nxt,
+        |   (nxt IS NOT NULL AND tok = (SELECT l FROM m4) AND nxt = (SELECT r FROM m4)) AS mt,
+        |   i - ROW_NUMBER() OVER (PARTITION BY w,
+        |     (nxt IS NOT NULL AND tok = (SELECT l FROM m4) AND nxt = (SELECT r FROM m4))
+        |     ORDER BY i) AS grp
+        |  FROM t4) y),
+        |v4 AS MATERIALIZED (
+        | SELECT w, f, list(CASE WHEN app THEN tok || nxt ELSE tok END ORDER BY i) AS t
+        | FROM (SELECT *, COALESCE(LAG(app) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |       FROM g4) z2
+        | WHERE NOT consumed GROUP BY w, f),
+        |t5 AS MATERIALIZED (
+        | SELECT w, f, CAST(u.i AS INT) AS i, u.tk AS tok,
+        |  LEAD(u.tk) OVER (PARTITION BY w ORDER BY u.i) AS nxt
+        | FROM v4, UNNEST(list_transform(range(1, len(t) + 1),
+        |   j -> {'i': j, 'tk': t[CAST(j AS INT)]})) AS z(u)),
+        |m5 AS MATERIALIZED (
+        | SELECT tok AS l, nxt AS r, SUM(f) AS cnt FROM t5 WHERE nxt IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |g5 AS (
+        | SELECT w, f, i, tok, nxt, mt,
+        |  CASE WHEN mt THEN ROW_NUMBER() OVER (PARTITION BY w, grp, mt ORDER BY i) % 2 = 1
+        |       ELSE FALSE END AS app
+        | FROM (
+        |  SELECT w, f, i, tok, nxt,
+        |   (nxt IS NOT NULL AND tok = (SELECT l FROM m5) AND nxt = (SELECT r FROM m5)) AS mt,
+        |   i - ROW_NUMBER() OVER (PARTITION BY w,
+        |     (nxt IS NOT NULL AND tok = (SELECT l FROM m5) AND nxt = (SELECT r FROM m5))
+        |     ORDER BY i) AS grp
+        |  FROM t5) y),
+        |v5 AS MATERIALIZED (
+        | SELECT w, f, list(CASE WHEN app THEN tok || nxt ELSE tok END ORDER BY i) AS t
+        | FROM (SELECT *, COALESCE(LAG(app) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |       FROM g5) z2
+        | WHERE NOT consumed GROUP BY w, f),
+        |t6 AS MATERIALIZED (
+        | SELECT w, f, CAST(u.i AS INT) AS i, u.tk AS tok,
+        |  LEAD(u.tk) OVER (PARTITION BY w ORDER BY u.i) AS nxt
+        | FROM v5, UNNEST(list_transform(range(1, len(t) + 1),
+        |   j -> {'i': j, 'tk': t[CAST(j AS INT)]})) AS z(u)),
+        |m6 AS MATERIALIZED (
+        | SELECT tok AS l, nxt AS r, SUM(f) AS cnt FROM t6 WHERE nxt IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |g6 AS (
+        | SELECT w, f, i, tok, nxt, mt,
+        |  CASE WHEN mt THEN ROW_NUMBER() OVER (PARTITION BY w, grp, mt ORDER BY i) % 2 = 1
+        |       ELSE FALSE END AS app
+        | FROM (
+        |  SELECT w, f, i, tok, nxt,
+        |   (nxt IS NOT NULL AND tok = (SELECT l FROM m6) AND nxt = (SELECT r FROM m6)) AS mt,
+        |   i - ROW_NUMBER() OVER (PARTITION BY w,
+        |     (nxt IS NOT NULL AND tok = (SELECT l FROM m6) AND nxt = (SELECT r FROM m6))
+        |     ORDER BY i) AS grp
+        |  FROM t6) y),
+        |v6 AS MATERIALIZED (
+        | SELECT w, f, list(CASE WHEN app THEN tok || nxt ELSE tok END ORDER BY i) AS t
+        | FROM (SELECT *, COALESCE(LAG(app) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |       FROM g6) z2
+        | WHERE NOT consumed GROUP BY w, f),
+        |docw AS (
+        | SELECT doc_id, CAST(u.i AS INT) AS wi, u.w AS w FROM (
+        |   SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |        ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        |   FROM documents) d,
+        |   UNNEST(list_transform(range(1, len(tok) + 1),
+        |     j -> {'i': j, 'w': tok[CAST(j AS INT)]})) AS z(u)),
+        |enc AS (
+        | SELECT dw.doc_id, dw.wi, v.t FROM docw dw JOIN v6 v ON dw.w = v.w),
+        |agg AS (
+        | SELECT doc_id, CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+        |        string_agg(array_to_string(t, ' '), ' ' ORDER BY wi) AS tokens_joined
+        | FROM enc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        | COALESCE(a.tokens_joined, '') AS tokens_joined
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x_bpe_pairs" ->
       """WITH toks AS (

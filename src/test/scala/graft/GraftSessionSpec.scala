@@ -19,6 +19,20 @@ class GraftSessionSpec extends SparkSpec {
     assert(row.getInt(4) > 0)   // n_grams
   }
 
+  test("anchor selectors and bpe_merge_pair callable from SQL") {
+    GraftSession.registerFunctions(spark)
+    GraftSession.registerTables(spark, sf())
+    val row = spark.sql(
+      """SELECT
+        |  size(md5_prefix_anchors(text, 20, 64)) AS n_md5,
+        |  size(xx_mod_anchors(text, 20, 4)) AS n_xx,
+        |  bpe_merge_pair(array('a', 'a', 'a'), 'a', 'a') AS merged
+        |FROM documents WHERE length(text) > 100 LIMIT 1""".stripMargin)
+      .collect().head
+    assert(row.getInt(0) > 0 && row.getInt(1) > 0)
+    assert(row.getSeq[String](2) == Seq("aa", "a"))
+  }
+
   test("lsh_bucket usable in SQL over embeddings") {
     GraftSession.registerFunctions(spark)
     GraftSession.registerTables(spark, sf())

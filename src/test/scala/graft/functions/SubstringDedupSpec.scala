@@ -167,6 +167,41 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out(2L).getAs[String]("clean_text") == "first copy here: " + other)
   }
 
+  test("native anchor kernels equal the HOF formulation on multibyte text") {
+    // the kernel walks UTF-8 byte offsets per code point; positions must
+    // agree with Spark's own substr/length (code-point) semantics, or
+    // spans would slice mid-character on non-ASCII corpora
+    val texts = Seq(
+      "héllo wörld — ünïcode text with ümlaut répéats héllo wörld",
+      "日本語のテキストと日本語のテキスト repeated segments here",
+      "mixed ascii and 中文 characters 中文 interleaved everywhere",
+      "plain ascii control row for comparison purposes only")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val k = 6
+    for ((native, hof) <- Seq(
+      (graft.plans.HashExpressions.md5PrefixAnchors(col("text"), k, 64),
+        filter(when(length(col("text")) >= k,
+            sequence(lit(0), length(col("text")) - k))
+          .otherwise(array().cast("array<int>")),
+          s => substring(md5(col("text").substr(s + 1, lit(k))), 1, 2) < lit("40"))),
+      (graft.plans.HashExpressions.xxModAnchors(col("text"), k, 4),
+        filter(when(length(col("text")) >= k,
+            sequence(lit(0), length(col("text")) - k))
+          .otherwise(array().cast("array<int>")),
+          s => pmod(xxhash64(col("text").substr(s + 1, lit(k))), lit(4)) === 0)))) {
+      val rows = df.select(col("id"), native.as("n"), hof.as("h"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Int]]("n") ==
+          r.getAs[scala.collection.Seq[Int]]("h"),
+          s"kernel/HOF divergence on row ${r.getLong(0)}")
+      }
+      // sanity: the unicode rows actually anchor somewhere
+      assert(rows.map(_.getAs[scala.collection.Seq[Int]]("n").size).sum > 0)
+    }
+  }
+
   test("null text behaves as empty; config guards reject bad parameters") {
     val out = Corpus.dedupSubstringsPortable(
       Seq((1L, null: String), (2L, para), (3L, para))
