@@ -1036,6 +1036,14 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(30)),
 
+    // Character-distribution entropy (compression-proxy gibberish
+    // detector): ln n − Σ k·ln k / n over per-doc code-point counts;
+    // every ln input is an integral double and the sum is decimal-
+    // accumulated, so the signal hash-matches cross-engine.
+    "x_char_entropy" -> ((s, dir) =>
+      Corpus.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Train-to-encode round trip: the 6 learned merges applied to every
     // document (map-only after training; tokens joined for the compare).
     "x_bpe_encode" -> ((s, dir) => {
@@ -3305,6 +3313,25 @@ object SparkEntry {
         |UNION ALL SELECT CAST(5 AS INT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM m5
         |UNION ALL SELECT CAST(6 AS INT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM m6)
         |ORDER BY merge_rank""".stripMargin,
+
+    // Same ln-on-integer-counts + decimal-sum discipline as the engine.
+    "x_char_entropy" ->
+      """WITH ch AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, LENGTH(text) + 1),
+        |    j -> substr(text, CAST(j AS INT), 1))) AS c
+        | FROM documents),
+        |cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+        |agg AS (
+        | SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE))
+        |    AS DECIMAL(30,15))) AS DOUBLE) AS s
+        | FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_chars,
+        | ROUND(ln(CAST(a.n AS DOUBLE)) - a.s / CAST(a.n AS DOUBLE), 9)
+        |   AS char_entropy
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The x_bpe_train chain through v6 (the vocabulary tokenized by all
     // six learned merges), then every document re-assembles its words'

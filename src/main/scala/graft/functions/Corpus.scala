@@ -166,6 +166,45 @@ object Corpus {
         round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
   }
 
+  /** Per-document character-distribution entropy — the compression-proxy
+    * gibberish detector (low entropy = repeated-character spam, high
+    * entropy = random bytes / encoded binary; natural language sits in a
+    * stable band): `H = ln n − (Σ_c k_c·ln k_c)/n` over the doc's
+    * code-point counts. Same cross-engine-exactness discipline as
+    * [[unigramNll]]: every `ln` input is an integral double (a count),
+    * each `k·ln k` product is one double op, and the sum accumulates in
+    * DECIMAL so Spark's shuffle order vs another engine's scan order
+    * cannot flip bits.
+    *
+    * Shuffle profile: (id, char) pairs collapse via map-side partial
+    * aggregation to ≤ alphabet-size rows per doc before the exchange;
+    * the per-doc rollup co-partitions on the id. Empty/null docs report
+    * n_chars 0 and a null entropy (no distribution to measure).
+    *
+    * @return (idCol, n_chars, char_entropy)
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val txt = coalesce(col(textCol), lit(""))
+    // sequence guard: sequence(1, 0) counts DOWN in Spark, so an empty
+    // doc must short-circuit to an empty array, not [1, 0]
+    val chars = df.select(id,
+      explode(when(length(txt) >= 1,
+          transform(sequence(lit(1), length(txt)), i => txt.substr(i, lit(1))))
+        .otherwise(array().cast("array<string>"))).as("__c"))
+    val cnt = chars.groupBy(id, col("__c")).agg(count(lit(1)).as("__k"))
+    val agg = cnt.groupBy(id).agg(
+      sum(col("__k")).as("__n"),
+      sum((col("__k").cast("double") * log(col("__k").cast("double")))
+        .cast(DecimalType(30, 15))).cast("double").as("__s"))
+    df.select(id)
+      .join(agg, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("__n"), lit(0L)).as("n_chars"),
+        round(log(col("__n").cast("double")) -
+          col("__s") / col("__n").cast("double"), 9).as("char_entropy"))
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * distinct word `n`-grams it shares with each benchmark document —
     * the overlap scan run before training to evict eval-set leakage.

@@ -794,4 +794,19 @@ class CorpusSpec extends SparkSpec {
       .collect()
     assert(all.forall(_.getBoolean(4)))
   }
+
+  test("charEntropy: uniform text maxes, repeated char zeroes, empty is null") {
+    import spark.implicits._
+    val out = Corpus.charEntropy(
+        Seq((1L, "abcd"), (2L, "aaaa"), (3L, ""), (4L, null: String),
+          (5L, "aabb")).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out(1L)._1 == 4L)
+    assert(math.abs(out(1L)._2.get - math.log(4.0)) < 1e-9) // 4 distinct chars
+    assert(out(2L) == ((4L, Some(0.0))))                    // one repeated char
+    assert(out(3L) == ((0L, None)) && out(4L) == ((0L, None)))
+    // H("aabb") = ln 4 − (2·ln2 + 2·ln2)/4 = ln 2
+    assert(math.abs(out(5L)._2.get - math.log(2.0)) < 1e-9)
+  }
 }
