@@ -731,6 +731,19 @@ object SparkEntry {
       Corpus.unigramNll(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Stupid-Backoff bigram LM (Brants et al. 2007): LM trained on the
+    // deterministic 80% doc_id-modulo slice, every doc scored — the
+    // next-order CCNet quality signal above x_perplexity. Count-ratio
+    // scores mean training is two hash-keyed aggregations; scoring is
+    // three 8-byte-hash joins; the held-out 20% genuinely exercises the
+    // backoff and OOV branches.
+    "x_bigram_nll" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.bigramNll(docs, docs.where(col("doc_id") % 10 < 8),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic map-only stratified sampling: md5-bucket filter with
     // per-language rates (en 8/16, others 1/16). No RNG state, no
     // shuffle — reproducible on 1 executor or 1000.
@@ -2492,6 +2505,47 @@ object SparkEntry {
         | FROM tf JOIN c USING (t) CROSS JOIN n GROUP BY 1)
         |SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens,
         | ROUND(per.s / CAST(per.n_tokens AS DOUBLE), 9) AS avg_nll
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Stupid-Backoff chain over STRING-grouped counts (engine groups by
+    // xxhash64 — identical modulo a 64-bit collision). Zipped parallel
+    // unnests extract bigrams positionally; 0.916290731874155 is the
+    // −ln 0.4 discount as an exact literal (same double both engines);
+    // every other ln input is an integral count.
+    "x_bigram_nll" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |tr AS (SELECT * FROM toks WHERE doc_id % 10 < 8),
+        |c1 AS (SELECT t, COUNT(*) AS c1
+        |  FROM (SELECT unnest(tok) AS t FROM tr) GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS N FROM c1),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM (
+        |  SELECT unnest(tok[1:len(tok)-1]) AS w1,
+        |         unnest(tok[2:len(tok)]) AS w2 FROM tr) GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, unnest(tok[1:len(tok)-1]) AS w1,
+        |         unnest(tok[2:len(tok)]) AS w2 FROM toks) GROUP BY 1, 2, 3),
+        |sc AS (
+        | SELECT tf.doc_id, tf.tf, CAST(tf.tf AS DOUBLE) * (
+        |   CASE WHEN c2.c2 IS NOT NULL AND p.c1 IS NOT NULL
+        |     THEN ln(CAST(p.c1 AS DOUBLE)) - ln(CAST(c2.c2 AS DOUBLE))
+        |   WHEN q.c1 IS NOT NULL
+        |     THEN CAST(0.916290731874155 AS DOUBLE)
+        |       + ln(CAST(n.N AS DOUBLE)) - ln(CAST(q.c1 AS DOUBLE))
+        |   ELSE CAST(0.916290731874155 AS DOUBLE) + ln(CAST(n.N AS DOUBLE))
+        |   END) AS nll
+        | FROM tf LEFT JOIN c2 ON tf.w1 = c2.w1 AND tf.w2 = c2.w2
+        |   LEFT JOIN c1 p ON tf.w1 = p.t
+        |   LEFT JOIN c1 q ON tf.w2 = q.t
+        |   CROSS JOIN n),
+        |per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CAST(nll AS DECIMAL(30,15))) AS DOUBLE) AS s
+        | FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+        | ROUND(per.s / CAST(per.n_bigrams AS DOUBLE), 9) AS avg_nll
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 

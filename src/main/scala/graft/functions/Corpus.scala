@@ -205,6 +205,100 @@ object Corpus {
           col("__s") / col("__n").cast("double"), 9).as("char_entropy"))
   }
 
+  /** `ln 0.4` as an exact double literal. The Stupid-Backoff discount is
+    * the one non-integral `ln` input in [[bigramNll]]; baking its value in
+    * as a literal (instead of computing `log(0.4)` per engine) keeps the
+    * cross-engine bit-for-bit discipline — a literal parses to the same
+    * double everywhere, while two libms' `ln(0.4)` need not agree in the
+    * last ulp.
+    */
+  private val Ln04 = -0.916290731874155
+
+  /** Per-document bigram language-model score under Stupid Backoff
+    * (Brants et al. 2007, "Large Language Models in Machine
+    * Translation") — the CCNet-flavor quality signal one tier above
+    * [[unigramNll]]: an LM is trained on `train`'s bigram/unigram counts
+    * and every document in `df` scores its average per-bigram negative
+    * log-score. Backoff chain for bigram (w1, w2):
+    *
+    *  - seen bigram:   S = c(w1 w2) / c(w1)          → nll = ln c(w1) − ln c(w1 w2)
+    *  - unseen, w2 in vocab: S = 0.4 · c(w2) / N     → nll = −ln 0.4 + ln N − ln c(w2)
+    *  - OOV w2:        S = 0.4 · 1 / N  (count floor) → nll = −ln 0.4 + ln N
+    *
+    * Stupid Backoff's whole point at corpus scale: scores are count
+    * RATIOS, no discount mass bookkeeping (Kneser–Ney's right-context
+    * tables), so training is two hash-keyed count aggregations and
+    * scoring is three 8-byte-hash joins — nothing touches strings after
+    * tokenization. Every `ln` input is an integral double (a count or N);
+    * the only non-integral term is the baked [[Ln04]] literal; per-doc
+    * sums accumulate in DECIMAL(30,15) so shuffle order cannot flip bits.
+    *
+    * Bigram extraction is map-only (an array transform over the token
+    * array — no posexplode + self-join, no per-doc window). Shuffle
+    * profile: two vocab-sized count aggregations on the train side (map-
+    * side partials), one (doc, bigram-hash)-keyed tf collapse on the
+    * score side, hash equi-joins against the count tables, one per-doc
+    * rollup. Bodies never shuffle; N broadcasts.
+    *
+    * Docs with <2 tokens have no bigram: n_bigrams 0, null avg_nll.
+    *
+    * @return (idCol, n_bigrams, avg_nll)
+    */
+  def bigramNll(df: DataFrame, train: DataFrame,
+                idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    // (w1, w2) structs for positions 2..n — slice pairs each token with
+    // its predecessor via the 1-based element_at on the outer array
+    def bigrams(d: DataFrame, keep: Column*): DataFrame = {
+      // tokenize ONCE into a bound column — an element_at over the raw
+      // tokens(...) expression inside the lambda would re-split the text
+      // per element if Catalyst declines to CSE it
+      val toks = col("__tk")
+      d.select(keep :+ TextFunctions.tokens(col(textCol)).as("__tk"): _*)
+        .select(keep :+ explode(
+          transform(slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (t, i) => struct(element_at(toks, i + 1).as("w1"), t.as("w2"))))
+          .as("__bg"): _*)
+        .select(keep :+ xxhash64(col("__bg.w1")).as("__h1") :+
+          xxhash64(col("__bg.w1"), col("__bg.w2")).as("__h12") :+
+          xxhash64(col("__bg.w2")).as("__h2"): _*)
+    }
+    val trainToks = train
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .select(xxhash64(col("__t")).as("__h"))
+    val c1 = trainToks.groupBy(col("__h")).agg(count(lit(1)).as("__c1"))
+    val n = c1.agg(sum(col("__c1")).as("__N"))
+    val c2 = bigrams(train)
+      .groupBy(col("__h12")).agg(count(lit(1)).as("__c2"))
+    val tf = bigrams(df, id)
+      .groupBy(id, col("__h1"), col("__h12"), col("__h2"))
+      .agg(count(lit(1)).as("__tf"))
+    val scored = tf
+      .join(c2, Seq("__h12"), "left")
+      .join(c1.withColumnRenamed("__h", "__h1")
+        .withColumnRenamed("__c1", "__cprev"), Seq("__h1"), "left")
+      .join(c1.withColumnRenamed("__h", "__h2")
+        .withColumnRenamed("__c1", "__ccur"), Seq("__h2"), "left")
+      .crossJoin(broadcast(n))
+      .select(id, col("__tf"),
+        (col("__tf").cast("double") *
+          when(col("__c2").isNotNull && col("__cprev").isNotNull,
+            log(col("__cprev").cast("double")) - log(col("__c2").cast("double")))
+          .when(col("__ccur").isNotNull,
+            lit(-Ln04) + log(col("__N").cast("double")) -
+              log(col("__ccur").cast("double")))
+          .otherwise(lit(-Ln04) + log(col("__N").cast("double"))))
+          .as("__nll"))
+      .groupBy(id).agg(
+        sum(col("__tf")).as("__n"),
+        sum(col("__nll").cast(DecimalType(30, 15))).cast("double").as("__s"))
+    df.select(id)
+      .join(scored, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("__n"), lit(0L)).as("n_bigrams"),
+        round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * distinct word `n`-grams it shares with each benchmark document —
     * the overlap scan run before training to evict eval-set leakage.

@@ -809,4 +809,29 @@ class CorpusSpec extends SparkSpec {
     // H("aabb") = ln 4 − (2·ln2 + 2·ln2)/4 = ln 2
     assert(math.abs(out(5L)._2.get - math.log(2.0)) < 1e-9)
   }
+
+  test("bigramNll: seen / backoff / OOV branches and short-doc totality") {
+    import spark.implicits._
+    // train corpus: "a b" ×2, "a c" — c1: a=3 b=2 c=1, N=6;
+    // c2: (a,b)=2, (a,c)=1
+    val train = Seq((101L, "a b"), (102L, "a b"), (103L, "a c"))
+      .toDF("id", "text")
+    val score = Seq(
+      (1L, "a b"),   // seen bigram: nll = ln 3 − ln 2
+      (2L, "b b"),   // unseen bigram, b in vocab: −ln.4 + ln 6 − ln 2
+      (3L, "a zz"),  // OOV continuation: −ln.4 + ln 6
+      (4L, "a"),     // one token → no bigram
+      (5L, "")       // empty → no bigram
+    ).toDF("id", "text")
+    val out = Corpus.bigramNll(score, train, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val ln04 = 0.916290731874155
+    assert(out(1L)._1 == 1L)
+    assert(math.abs(out(1L)._2.get - (math.log(3.0) - math.log(2.0))) < 1e-9)
+    assert(math.abs(out(2L)._2.get -
+      (ln04 + math.log(6.0) - math.log(2.0))) < 1e-9)
+    assert(math.abs(out(3L)._2.get - (ln04 + math.log(6.0))) < 1e-9)
+    assert(out(4L) == ((0L, None)) && out(5L) == ((0L, None)))
+  }
 }
