@@ -744,6 +744,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): every doc in the raw
+    // pool scores ln(p_target/p_raw) under hashed unigram+bigram bucket
+    // models of a 2-source "quality" target vs the whole pool — the
+    // select-web-data-that-looks-like-the-target gate as one plan.
+    // Bucket counts are tiny broadcasts; the only data-sized exchange is
+    // the per-doc (id, bucket, f) collapse.
+    "x_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirLogWeights(docs,
+          docs.where(col("source").isin("src1", "src2")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic map-only stratified sampling: md5-bucket filter with
     // per-language rates (en 8/16, others 1/16). No RNG state, no
     // shuffle — reproducible on 1 executor or 1000.
@@ -2547,6 +2560,46 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
         | ROUND(per.s / CAST(per.n_bigrams AS DOUBLE), 9) AS avg_nll
         |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR chain: identical md5-prefix feature buckets (2 hex chars =
+    // 256-bucket space), add-1 smoothing over the full space so every ln
+    // input is an integral-valued double; the normalizer term n·(ln(Nr+B)
+    // − ln(Nt+B)) factors out of the bucket sum exactly as the engine
+    // computes it.
+    "x_dsir" ->
+      """WITH toks AS (
+        | SELECT doc_id, source, CASE WHEN LENGTH(TRIM(text)) = 0
+        |   THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |feats AS (
+        | SELECT doc_id, source, substring(md5(g), 1, 2) AS b FROM (
+        |  SELECT doc_id, source, unnest(list_concat(tok,
+        |    list_transform(range(1, len(tok)),
+        |      i -> tok[i] || ' ' || tok[i+1]))) AS g
+        |  FROM toks)),
+        |ct AS (SELECT b, COUNT(*) AS ct FROM feats
+        |  WHERE source IN ('src1', 'src2') GROUP BY 1),
+        |cr AS (SELECT b, COUNT(*) AS cr FROM feats GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM ct),
+        |nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM cr),
+        |lam AS (SELECT COALESCE(ct.b, cr.b) AS b,
+        |  ln(CAST(COALESCE(ct.ct, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) -
+        |  ln(CAST(COALESCE(cr.cr, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) AS lam
+        | FROM ct FULL OUTER JOIN cr ON ct.b = cr.b),
+        |f AS (SELECT doc_id, b, COUNT(*) AS f FROM feats GROUP BY 1, 2),
+        |per AS (SELECT f.doc_id, CAST(SUM(f.f) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(f.f AS DOUBLE) * lam.lam
+        |    AS DECIMAL(30,15))) AS DOUBLE) AS s
+        | FROM f JOIN lam USING (b) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n, 0) AS n_feats,
+        | ROUND(COALESCE(per.s, CAST(0.0 AS DOUBLE)) +
+        |   CAST(COALESCE(per.n, 0) AS DOUBLE) *
+        |   (ln(CAST(nr.nr AS DOUBLE) + CAST(256.0 AS DOUBLE)) -
+        |    ln(CAST(nt.nt AS DOUBLE) + CAST(256.0 AS DOUBLE))), 9) AS log_w
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |CROSS JOIN nt CROSS JOIN nr
         |ORDER BY d.doc_id""".stripMargin,
 
     "x_sample" ->

@@ -299,6 +299,89 @@ object Corpus {
         round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * NeurIPS): per-document log importance weight `ln(p_target(x) /
+    * p_raw(x))` under hashed-n-gram bag-of-features unigram models of a
+    * small target (quality) corpus vs the raw pool. Documents with
+    * positive weight look more like the target than like the pool — the
+    * classic "select web data that resembles Wikipedia/books" gate, but
+    * as one declarative plan instead of a two-model training job.
+    *
+    * Features are unigrams + space-joined bigrams (both map-only array
+    * ops — bigrams via `zip_with` over two slices), hashed into
+    * `16^hexLen` buckets by an md5-prefix — the same any-ANSI-engine-
+    * reproducible bucketing the split/sample family uses ([[hashSplit]]);
+    * a production run at 100 TB would swap the md5 for xxhash64 via the
+    * same prefix trick, the plan shape is identical. With add-1 smoothing
+    * over the full bucket space B:
+    *
+    *   log w(d) = Σ_b f_db·(ln(ct_b+1) − ln(cr_b+1))
+    *              + n_d·(ln(Nr+B) − ln(Nt+B))
+    *
+    * so every `ln` input is an integral double (a smoothed count or a
+    * corpus total) — the cross-engine transcendental discipline of
+    * [[unigramNll]] — and per-doc sums accumulate in DECIMAL(30,15).
+    *
+    * Shuffle profile: two bucket-count aggregations (≤ B rows each, map-
+    * side partials), their outer-join bucket table broadcasts (B ≤ 16^4),
+    * per-doc features collapse to (doc, bucket, f) map-side before the
+    * one data-sized exchange, then a per-doc rollup. Bodies never
+    * shuffle; totals are one-row broadcasts.
+    *
+    * Docs with no feature (under 1 token) get n_feats 0 and a 0.0 weight
+    * (an empty product is target-neutral, not unscorable — selection
+    * treats it as indifferent rather than dropping the row).
+    *
+    * @return (idCol, n_feats, log_w)
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame,
+                     idCol: String, textCol: String,
+                     hexLen: Int = 2): DataFrame = {
+    require(hexLen >= 1 && hexLen <= 4, "hexLen in [1,4]")
+    val bSpace = math.pow(16.0, hexLen).toLong
+    val id = col(idCol)
+    // unigram + bigram feature buckets, map-only per row
+    def feats(d: DataFrame, keep: Column*): DataFrame = {
+      val toks = col("__tk")
+      d.select(keep :+ TextFunctions.tokens(col(textCol)).as("__tk"): _*)
+        .select(keep :+ explode(concat(toks,
+          zip_with(
+            slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+            slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b)))).as("__g"): _*)
+        .select(keep :+ substring(md5(col("__g")), 1, hexLen).as("__b"): _*)
+    }
+    val ct = feats(target).groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val cr = feats(raw).groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    // bucket table over the union of seen buckets; unseen-on-one-side
+    // counts are 0 (the +1 smoothing keeps ln in-domain). Buckets seen
+    // on NEITHER side contribute ln(1)−ln(1) = 0 and need no row.
+    val buckets = ct.join(cr, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        (log(coalesce(col("__ct"), lit(0L)).cast("double") + 1.0) -
+          log(coalesce(col("__cr"), lit(0L)).cast("double") + 1.0)).as("__lam"))
+    val nt = ct.agg(sum(col("__ct")).as("__nt"))
+    val nr = cr.agg(sum(col("__cr")).as("__nr"))
+    val perDoc = feats(raw, id)
+      .groupBy(id, col("__b")).agg(count(lit(1)).as("__f"))
+      .join(broadcast(buckets), Seq("__b"))
+      .groupBy(id).agg(
+        sum(col("__f")).as("__n"),
+        sum((col("__f").cast("double") * col("__lam"))
+          .cast(DecimalType(30, 15))).cast("double").as("__s"))
+    raw.select(id)
+      .join(perDoc, Seq(idCol), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(id,
+        coalesce(col("__n"), lit(0L)).as("n_feats"),
+        round(
+          coalesce(col("__s"), lit(0.0)) +
+            coalesce(col("__n"), lit(0L)).cast("double") *
+              (log(col("__nr").cast("double") + lit(bSpace.toDouble)) -
+                log(col("__nt").cast("double") + lit(bSpace.toDouble))),
+          9).as("log_w"))
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * distinct word `n`-grams it shares with each benchmark document —
     * the overlap scan run before training to evict eval-set leakage.

@@ -834,4 +834,24 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(out(3L)._2.get - (ln04 + math.log(6.0))) < 1e-9)
     assert(out(4L) == ((0L, None)) && out(5L) == ((0L, None)))
   }
+
+  test("dsirLogWeights: target-like docs rank above pool-like, empty is neutral") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha beta alpha beta alpha beta"), // pure target vocabulary
+      (2L, "noise junk noise junk noise junk"), // pure pool vocabulary
+      (3L, "alpha beta noise junk"),            // mixed
+      (4L, "")                                  // featureless
+    ).toDF("id", "text")
+    val target = raw.where(col("id") === 1L)
+    val out = Corpus.dsirLogWeights(raw, target, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // n_feats = tokens + bigrams
+    assert(out(1L)._1 == 11L && out(3L)._1 == 7L && out(4L)._1 == 0L)
+    // ordering is the contract; absolute sign is smoothing-dependent on
+    // a micro-corpus (add-1 over 256 buckets dwarfs single-digit counts)
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
+    assert(out(2L)._2 < 0.0) // pure-pool vocabulary is unambiguously negative
+    assert(out(4L)._2 == 0.0)
+  }
 }
