@@ -757,6 +757,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Johnson–Lindenstrauss random projection 64→16: the map-only shrink
+    // run before ANN indexing / pairwise sweeps. Sign matrix is baked
+    // literals (no broadcast, no shuffle); outDim=16 makes the 1/√outDim
+    // scale exactly 0.25 so the output is bit-reproducible.
+    "x_rand_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+          inDim = 64, outDim = 16)
+        .orderBy(col("vec_id"), col("dim"))),
+
     // Deterministic map-only stratified sampling: md5-bucket filter with
     // per-language rates (en 8/16, others 1/16). No RNG state, no
     // shuffle — reproducible on 1 executor or 1000.
@@ -2601,6 +2610,27 @@ object SparkEntry {
         |FROM documents d LEFT JOIN per USING (doc_id)
         |CROSS JOIN nt CROSS JOIN nr
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Rebuilds the seed-42 Achlioptas sign matrix from the same md5
+    // formula, mirrors the decimal dot (per-product DECIMAL(30,15), sum,
+    // cast double) and the exact 0.25 scale.
+    "x_rand_project" ->
+      """WITH dgrid AS (SELECT unnest(range(0, 64)) AS d),
+        |jgrid AS (SELECT unnest(range(0, 16)) AS j),
+        |s AS (SELECT j, d,
+        |  CASE WHEN substring(md5('42:' || CAST(j AS VARCHAR)
+        |      || ':' || CAST(d AS VARCHAR)), 1, 1) < '8'
+        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+        | FROM jgrid CROSS JOIN dgrid),
+        |z AS (SELECT vec_id, g.d,
+        |  CAST(embedding[CAST(g.d AS INT) + 1] AS DOUBLE) AS x
+        | FROM embeddings CROSS JOIN dgrid g),
+        |p AS (SELECT z.vec_id, s.j,
+        |  CAST(SUM(CAST(z.x * s.sgn AS DECIMAL(30,15))) AS DOUBLE)
+        |    * CAST(0.25 AS DOUBLE) AS raw
+        | FROM z JOIN s ON z.d = s.d GROUP BY 1, 2)
+        |SELECT vec_id, CAST(j AS INT) AS dim, ROUND(raw, 9) AS v
+        |FROM p ORDER BY vec_id, dim""".stripMargin,
 
     "x_sample" ->
       """SELECT doc_id, lang FROM documents

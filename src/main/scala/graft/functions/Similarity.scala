@@ -647,6 +647,51 @@ object Similarity {
       scale.as("scale"))
   }
 
+  /** Sign of the Achlioptas/JL projection matrix entry (j, d) under
+    * `seed`: +1 iff the first hex digit of `md5("seed:j:d")` is below 8.
+    * md5 so any ANSI engine reproduces the matrix from the same formula
+    * (the [[graft.functions.Corpus.hashSplit]] portability trick); the
+    * matrix is outDim×dim constants, so the hash price is paid once at
+    * plan build, not per row.
+    */
+  private[graft] def jlSign(seed: Int, j: Int, d: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$seed:$j:$d".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
+  }
+
+  /** Random projection (Johnson–Lindenstrauss / Achlioptas 2003 sign
+    * matrix): dimensionality reduction `R^inDim → R^outDim` with
+    * `y_j = (Σ_d s_jd · x_d) / √outDim`, `s_jd ∈ {±1}` derived from the
+    * seed — the standard cheap shrink before ANN indexing or pairwise
+    * sweeps (distances preserved within (1±ε) for outDim = O(ln n / ε²)).
+    *
+    * The sign matrix is seed-derived constants baked into the plan as
+    * literal float arrays, so the whole operator is MAP-ONLY — no
+    * broadcast join, no shuffle, nothing to skew; each output coordinate
+    * is one native exact-decimal dot ([[dotExact]]) against a literal
+    * vector, ±1 signs are exact in float so the products are exact
+    * negations. With outDim a power of 4 the 1/√outDim scale is an exact
+    * double and the entire output is bit-reproducible cross-engine.
+    *
+    * Output explodes to (id, dim, v) triples — the cross-engine-
+    * comparable shape ([[labelCentroids]] precedent) and the join-ready
+    * layout for downstream per-dimension work.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    inDim: Int, outDim: Int, seed: Int = 42): DataFrame = {
+    require(inDim > 0 && outDim > 0)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val v = col(vecCol)
+    val projected = array((0 until outDim).map { j =>
+      val signs = array((0 until inDim).map(d => lit(jlSign(seed, j, d))): _*)
+      round(dotExact(v, signs) * lit(scale), 9)
+    }: _*)
+    df.where(v.isNotNull)
+      .select(col(idCol), posexplode(projected).as(Seq("pos", "v")))
+      .select(col(idCol), col("pos").cast("int").as("dim"), col("v"))
+  }
+
   /** Per-label mean embedding (class centroids / one k-means M-step),
     * exploded to (label, dim, centroid) rows. Element sums accumulate in
     * DECIMAL(30,15) so the mean is order-independent; the final divide is

@@ -704,4 +704,23 @@ class FunctionsSpec extends SparkSpec {
       "vid", "v", "vid", "v", k = 3)
     assert(none.count() == 0)
   }
+
+  test("randomProject: basis vectors read the sign matrix back; map-only plan") {
+    import spark.implicits._
+    // e_d projects to column d of the sign matrix scaled by 1/√outDim
+    val basis = (0 until 4).map(d =>
+      (d.toLong, Array.tabulate(4)(i => if (i == d) 1.0f else 0.0f).toSeq))
+    val df = basis.toDF("vid", "v")
+    val out = Similarity.randomProject(df, "vid", "v", inDim = 4, outDim = 4,
+        seed = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val scale = 0.5 // 1/√4
+    for (d <- 0 until 4; j <- 0 until 4)
+      assert(out((d.toLong, j)) == Similarity.jlSign(7, j, d) * scale,
+        s"(d=$d j=$j)")
+    // whole operator is map-only: no exchange anywhere in the plan
+    val plan = Similarity.randomProject(df, "vid", "v", 4, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
