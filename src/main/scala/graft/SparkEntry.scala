@@ -766,6 +766,15 @@ object SparkEntry {
           inDim = 64, outDim = 16)
         .orderBy(col("vec_id"), col("dim"))),
 
+    // Distributed PCA: top principal component by 2 power-iteration
+    // rounds — covariance never materializes; per round one data-sized
+    // per-dim aggregation, dim-sized vectors to the driver, iterates
+    // rounded in-engine so both engines step from identical literals.
+    "x_pca_power" -> ((s, dir) =>
+      Similarity.principalComponent(t(s, dir, "embeddings"), "embedding",
+          dim = 64, rounds = 2)
+        .orderBy(col("dim"))),
+
     // Deterministic map-only stratified sampling: md5-bucket filter with
     // per-language rates (en 8/16, others 1/16). No RNG state, no
     // shuffle — reproducible on 1 executor or 1000.
@@ -2631,6 +2640,49 @@ object SparkEntry {
         | FROM z JOIN s ON z.d = s.d GROUP BY 1, 2)
         |SELECT vec_id, CAST(j AS INT) AS dim, ROUND(raw, 9) AS v
         |FROM p ORDER BY vec_id, dim""".stripMargin,
+
+    // Two power-iteration rounds unrolled: v0 = ones, t = x·v − μ·v via
+    // the decimal dot, w_d = Σ t·x_d − μ_d·Σt, max-abs normalize, round 9
+    // between rounds — the same algebraic split the engine runs.
+    "x_pca_power" ->
+      """WITH dgrid AS (SELECT unnest(range(0, 64)) AS pos),
+        |z AS (SELECT vec_id, g.pos,
+        |  CAST(embedding[CAST(g.pos AS INT) + 1] AS DOUBLE) AS x
+        | FROM embeddings CROSS JOIN dgrid g),
+        |mu AS (SELECT pos, ROUND(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE)
+        |  / CAST(COUNT(*) AS DOUBLE), 9) AS m FROM z GROUP BY 1),
+        |mdv1 AS (SELECT CAST(SUM(CAST(m * CAST(1.0 AS DOUBLE)
+        |  AS DECIMAL(30,15))) AS DOUBLE) AS mdv FROM mu),
+        |t1 AS (SELECT vec_id,
+        |  CAST(SUM(CAST(x * CAST(1.0 AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+        |    - (SELECT mdv FROM mdv1) AS t
+        | FROM z GROUP BY 1),
+        |s1 AS (SELECT z.pos,
+        |  CAST(SUM(CAST(t1.t * z.x AS DECIMAL(30,15))) AS DOUBLE) AS S,
+        |  CAST(SUM(CAST(t1.t AS DECIMAL(30,15))) AS DOUBLE) AS T
+        | FROM z JOIN t1 USING (vec_id) GROUP BY 1),
+        |w1 AS (SELECT s1.pos, s1.S - mu.m * s1.T AS w
+        | FROM s1 JOIN mu USING (pos)),
+        |m1 AS (SELECT MAX(ABS(w)) AS mx FROM w1),
+        |v1 AS (SELECT pos, CASE WHEN m1.mx = 0 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE ROUND(w / m1.mx, 9) END AS v FROM w1 CROSS JOIN m1),
+        |mdv2 AS (SELECT CAST(SUM(CAST(mu.m * v1.v AS DECIMAL(30,15)))
+        |  AS DOUBLE) AS mdv FROM mu JOIN v1 USING (pos)),
+        |t2 AS (SELECT z.vec_id,
+        |  CAST(SUM(CAST(z.x * v1.v AS DECIMAL(30,15))) AS DOUBLE)
+        |    - (SELECT mdv FROM mdv2) AS t
+        | FROM z JOIN v1 USING (pos) GROUP BY 1),
+        |s2 AS (SELECT z.pos,
+        |  CAST(SUM(CAST(t2.t * z.x AS DECIMAL(30,15))) AS DOUBLE) AS S,
+        |  CAST(SUM(CAST(t2.t AS DECIMAL(30,15))) AS DOUBLE) AS T
+        | FROM z JOIN t2 USING (vec_id) GROUP BY 1),
+        |w2 AS (SELECT s2.pos, s2.S - mu.m * s2.T AS w
+        | FROM s2 JOIN mu USING (pos)),
+        |m2 AS (SELECT MAX(ABS(w)) AS mx FROM w2),
+        |v2 AS (SELECT pos, CASE WHEN m2.mx = 0 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE ROUND(w / m2.mx, 9) END AS v FROM w2 CROSS JOIN m2)
+        |SELECT CAST(v2.pos AS INT) AS dim, mu.m AS mu, v2.v AS loading
+        |FROM v2 JOIN mu USING (pos) ORDER BY dim""".stripMargin,
 
     "x_sample" ->
       """SELECT doc_id, lang FROM documents

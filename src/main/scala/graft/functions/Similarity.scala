@@ -660,6 +660,85 @@ object Similarity {
     if (((h(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
   }
 
+  /** Top principal component of an embedding corpus by distributed power
+    * iteration — PCA without ever materializing the dim×dim covariance:
+    * each round computes `w = Σ_x (x−μ)·((x−μ)·v)` through the algebraic
+    * split `w_d = Σ_x t·x_d − μ_d·Σ_x t` with `t = x·v − μ·v`, so
+    * centering never materializes a per-row centered vector (no
+    * per-element HOF on the data path; `t` is one native exact-decimal
+    * dot per row against the literal `v`).
+    *
+    * Scale shape: per round ONE data-sized job — (pos, t·x_d) triples
+    * aggregate per dimension with map-side partials (reducer state
+    * O(dim), the [[labelCentroids]] shape) — and only dim-sized vectors
+    * ever reach the driver (the probe-training gradient discipline).
+    * Driver state across rounds: two dim-arrays.
+    *
+    * Cross-engine exactness: data-sized sums accumulate in
+    * DECIMAL(30,15); μ and each round's iterate are rounded to 9 decimals
+    * IN the engine before becoming next-round literals, so both engines
+    * step from bit-identical inputs and libm ulp drift cannot compound
+    * across rounds. Iterates are max-abs-normalized (division by a max is
+    * exact IEEE on identical inputs; an L2 norm's √ of a non-integral
+    * sum is not) — any positive scaling leaves power iteration's fixed
+    * direction unchanged. Degenerate corpora (zero variance) converge to
+    * the zero vector instead of NaN.
+    *
+    * @param rounds power-iteration steps (residual decays as (λ₂/λ₁)^r)
+    * @return (dim, mu, loading) — per-dimension corpus mean and the
+    *         max-abs-normalized principal direction after `rounds` steps
+    */
+  def principalComponent(df: DataFrame, vecCol: String, dim: Int,
+                         rounds: Int): DataFrame = {
+    require(dim > 0 && rounds >= 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.where(col(vecCol).isNotNull)
+    val mu: Array[Double] = {
+      val a = Array.fill(dim)(0.0)
+      vecs.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(round(
+          sum(col("x").cast("double").cast(DecimalType(30, 15))).cast("double") /
+            count(lit(1)).cast("double"), 9).as("m"))
+        .collect().foreach(r => a(r.getInt(0)) = r.getDouble(1))
+      a
+    }
+    val muLit = array(mu.map(lit(_)): _*)
+    var v: Array[Double] = Array.fill(dim)(1.0)
+    for (_ <- 0 until rounds) {
+      val vLit = array(v.map(lit(_)): _*)
+      // μ·v with the exact kernel semantics, computed over a 1-row frame
+      // so the decimal arithmetic is the engine's own, not a driver
+      // re-implementation that could round differently
+      val muDotV = spark.range(1)
+        .select(dotExact(muLit, vLit).as("d")).head().getDouble(0)
+      val stepped = vecs
+        .select((dotExact(col(vecCol), vLit) - lit(muDotV)).as("__t"),
+          col(vecCol))
+        .select(col("__t"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(
+          sum((col("__t") * col("x").cast("double"))
+            .cast(DecimalType(30, 15))).cast("double").as("S"),
+          // every row lands once in every pos group, so per-pos Σt = Σ_x t
+          sum(col("__t").cast(DecimalType(30, 15))).cast("double").as("T"))
+        .select(col("pos"),
+          (col("S") - element_at(muLit, col("pos") + 1) * col("T")).as("w"))
+      val m = stepped.agg(max(abs(col("w"))).as("m"))
+      val next = stepped.crossJoin(broadcast(m))
+        .select(col("pos"),
+          when(col("m") === 0.0, lit(0.0))
+            .otherwise(round(col("w") / col("m"), 9)).as("v"))
+        .collect()
+      val a = Array.fill(dim)(0.0)
+      next.foreach(r => a(r.getInt(0)) = r.getDouble(1))
+      v = a
+    }
+    spark.createDataset(
+        (0 until dim).map(d => (d, mu(d), v(d))))
+      .toDF("dim", "mu", "loading")
+  }
+
   /** Random projection (Johnson–Lindenstrauss / Achlioptas 2003 sign
     * matrix): dimensionality reduction `R^inDim → R^outDim` with
     * `y_j = (Σ_d s_jd · x_d) / √outDim`, `s_jd ∈ {±1}` derived from the

@@ -723,4 +723,22 @@ class FunctionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("principalComponent recovers a planted dominant axis; zero-variance → zeros") {
+    import spark.implicits._
+    // variance diag(6.5, 1, 0): dominant axis is dim 0
+    val vecs = Seq(
+      Seq(3f, 1f, 0f), Seq(-3f, 1f, 0f), Seq(2f, -1f, 0f), Seq(-2f, -1f, 0f))
+      .toDF("v")
+    val out = Similarity.principalComponent(vecs, "v", dim = 3, rounds = 4)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out.values.forall(_._1 == 0.0))            // mean is exactly 0
+    assert(out(0)._2 == 1.0)                          // max-abs lands on dim 0
+    assert(math.abs(out(1)._2) < 0.01 && out(2)._2 == 0.0)
+    // zero variance: every vector identical → loadings all zero, no NaN
+    val flat = Seq(Seq(2f, 2f), Seq(2f, 2f)).toDF("v")
+    val z = Similarity.principalComponent(flat, "v", dim = 2, rounds = 2)
+      .collect().map(_.getDouble(2))
+    assert(z.forall(_ == 0.0))
+  }
 }
