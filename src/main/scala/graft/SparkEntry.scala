@@ -775,6 +775,24 @@ object SparkEntry {
           dim = 64, rounds = 2)
         .orderBy(col("dim"))),
 
+    // Contrastive hard-negative mining: each labeled vector's 3 nearest
+    // DIFFERENT-label neighbors — the mismatch predicate applies before
+    // the bounded top-k' aggregation, so a same-label-dense region
+    // cannot starve the output.
+    "x_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 3)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // Memorization-risk scoring: fraction of each doc's distinct 5-grams
+    // that appear in ≥2 documents — the per-span signal behind
+    // boilerplate pruning, computed over 8-byte gram hashes (bodies
+    // never shuffle).
+    "x_dup_coverage" -> ((s, dir) =>
+      Corpus.duplicateCoverage(t(s, dir, "documents"), "doc_id", "text",
+          n = 5, minDf = 2L)
+        .orderBy(col("doc_id"))),
+
     // Deterministic map-only stratified sampling: md5-bucket filter with
     // per-language rates (en 8/16, others 1/16). No RNG state, no
     // shuffle — reproducible on 1 executor or 1000.
@@ -2683,6 +2701,58 @@ object SparkEntry {
         |  ELSE ROUND(w / m2.mx, 9) END AS v FROM w2 CROSS JOIN m2)
         |SELECT CAST(v2.pos AS INT) AS dim, mu.m AS mu, v2.v AS loading
         |FROM v2 JOIN mu USING (pos) ORDER BY dim""".stripMargin,
+
+    // Exact different-label top-k over the quadratic window, decimal
+    // cosine, rank by (rounded cos DESC, id) — the x_knn_join chain with
+    // the label-mismatch predicate in the pair generator.
+    "x_hard_negatives" ->
+      """WITH z AS (
+        | SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS query_label,
+        |  c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS neighbor_label,
+        |  CAST(unnest(c.embedding) AS DOUBLE) AS x,
+        |  CAST(unnest(q.embedding) AS DOUBLE) AS y
+        | FROM embeddings q JOIN embeddings c
+        |   ON q.label IS NOT NULL AND c.label IS NOT NULL
+        |     AND q.label <> c.label),
+        |d AS (
+        | SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
+        |  SUM(CAST(x * x AS DECIMAL(30,15))) AS nc,
+        |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nq
+        | FROM z GROUP BY 1, 2, 3, 4),
+        |r AS (
+        | SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |  ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) AS cos,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) DESC,
+        |      neighbor_id) AS rank
+        | FROM d)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Distinct space-joined 5-gram strings where the engine counts
+    // distinct xxhash64 gram hashes — identical modulo collision.
+    "x_dup_coverage" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        | SELECT doc_id, unnest(list_transform(range(1, len(tok) - 3),
+        |   i -> array_to_string(tok[i:i+4], ' '))) AS gram
+        | FROM toks WHERE len(tok) >= 5)),
+        |dup AS (SELECT gram FROM (
+        | SELECT gram, COUNT(*) AS df FROM g GROUP BY 1) WHERE df >= 2),
+        |nd AS (SELECT doc_id, COUNT(*) AS nd
+        | FROM g JOIN dup USING (gram) GROUP BY 1),
+        |ng AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(ng.ng, 0) AS n_grams,
+        | CASE WHEN ng.ng IS NOT NULL THEN COALESCE(nd.nd, 0) ELSE 0 END AS n_dup,
+        | ROUND(CAST(COALESCE(nd.nd, 0) AS DOUBLE) / CAST(ng.ng AS DOUBLE), 9)
+        |   AS dup_frac
+        |FROM documents d LEFT JOIN ng USING (doc_id) LEFT JOIN nd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -382,6 +382,50 @@ object Corpus {
           9).as("log_w"))
   }
 
+  /** Per-document duplicate-n-gram coverage — the memorization-risk /
+    * novelty signal (RefinedWeb-flavor): what fraction of a document's
+    * DISTINCT word n-grams also occur in at least `minDf − 1` OTHER
+    * documents. High coverage = the document is mostly corpus-repeated
+    * phrasing (boilerplate, templates, syndicated copy); low = novel
+    * text. The per-span cousin of [[removeFrequentUnits]] that SCORES
+    * instead of cutting.
+    *
+    * Shuffle profile: each doc reduces map-side to its distinct n-gram
+    * hash set (native single-pass expression — 8 bytes per distinct
+    * gram, bodies never shuffle), document frequency aggregates those
+    * hashes once, and the duplicated-set semi-join keys on the same
+    * 8-byte hash. Docs shorter than `n` tokens have no n-gram: n_grams
+    * 0, null dup_frac.
+    *
+    * @return (idCol, n_grams, n_dup, dup_frac)
+    */
+  def duplicateCoverage(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, minDf: Long = 2L): DataFrame = {
+    require(n >= 1 && minDf >= 1)
+    val id = col(idCol)
+    val grams = df
+      .where(size(TextFunctions.tokens(col(textCol))) >= n)
+      .select(id, explode(graft.plans.HashExpressions.ngramHashes(
+        TextFunctions.tokens(col(textCol)), n)).as("__gh"))
+    val dup = grams
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select(col("__gh"))
+    val perDoc = grams
+      .join(dup, Seq("__gh"), "left_semi")
+      .groupBy(id).agg(count(lit(1)).as("__nd"))
+    val totals = grams.groupBy(id).agg(count(lit(1)).as("__ng"))
+    df.select(id)
+      .join(totals, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("__ng"), lit(0L)).as("n_grams"),
+        coalesce(when(col("__ng").isNotNull, coalesce(col("__nd"), lit(0L))),
+          lit(0L)).as("n_dup"),
+        round(coalesce(col("__nd"), lit(0L)).cast("double") /
+          col("__ng").cast("double"), 9).as("dup_frac"))
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * distinct word `n`-grams it shares with each benchmark document —
     * the overlap scan run before training to evict eval-set leakage.

@@ -660,6 +660,64 @@ object Similarity {
     if (((h(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
   }
 
+  /** Hard-negative mining for contrastive training: for every labeled
+    * vector, the `k` most-similar vectors carrying a DIFFERENT label —
+    * the pairs that teach an embedding model the most (near-duplicates
+    * across class boundaries), mined corpus-wide in one plan.
+    *
+    * The label-mismatch predicate applies BEFORE the bounded top-k′
+    * candidate aggregation, so the result is the exact different-label
+    * top-k (not "different-label survivors of an unlabeled
+    * neighborhood" — a same-label-dense region cannot starve the
+    * output). Same two-phase shape as [[knnJoin]]: native-float cosine
+    * prune feeds the bounded top-k′ aggregator (exchange carries
+    * q·k′ (score, id) entries, never vectors), survivors exact-rescore
+    * through id equi-joins with the decimal kernel, final rank by
+    * (cos desc, id). At self-kNN scale the same predicate composes into
+    * [[knnJoinBlocked]]'s bucketed candidate generation — the filter
+    * sits on the candidate stream either way.
+    *
+    * Null vectors and null labels are dropped on both sides (a null
+    * label is "no class", not a class of its own).
+    *
+    * @return (query_id, query_label, neighbor_id, neighbor_label, cos,
+    *         rank) with rank 1..k per query
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int, margin: Int = 40): DataFrame = {
+    require(k >= 1 && margin >= 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val q = base.select(col(idCol).cast("long").as("__qid"),
+      col(vecCol).as("__qv"), col(labelCol).cast("long").as("__ql"))
+    val c = base.select(col(idCol).cast("long").as("__cid"),
+      col(vecCol).as("__cv"), col(labelCol).cast("long").as("__cl"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("__cl") =!= col("__ql"))
+      .select(col("__qid"), col("__cid"),
+        cosine(col("__cv"), col("__qv")).as("__s"))
+    val cand = scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2))
+      .agg(topKByScore(k + margin).toColumn.name("cands"))
+      .toDF("__qid", "cands")
+      .select(col("__qid"), explode(col("cands")).as("cc"))
+      .select(col("__qid"), col("cc._2").as("__cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("cos").desc, col("__cid"))
+    broadcast(cand)
+      .join(c, "__cid")
+      .join(broadcast(q), "__qid")
+      .select(col("__qid"), col("__ql"), col("__cid"), col("__cl"),
+        round(cosineExact(col("__cv"), col("__qv")), 9).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("__ql").as("query_label"),
+        col("__cid").as("neighbor_id"), col("__cl").as("neighbor_label"),
+        col("cos"), col("rank"))
+  }
+
   /** Top principal component of an embedding corpus by distributed power
     * iteration — PCA without ever materializing the dim×dim covariance:
     * each round computes `w = Σ_x (x−μ)·((x−μ)·v)` through the algebraic

@@ -614,6 +614,12 @@ case class BpeMergePair(child: Expression, mergeLeft: String, mergeRight: String
 case class DotProductF(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+  // the kernel introduces its OWN null (length mismatch / null element)
+  // even when both children are non-nullable — without this override,
+  // codegen for non-nullable inputs gets no assignable isNull slot and
+  // the generated `isNull = true` fails to compile (whole-stage falls
+  // back to interpreted on every such plan)
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
@@ -682,6 +688,8 @@ case class DotProductF(left: Expression, right: Expression)
 case class DotProductExactF(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+  // see DotProductF.nullable: kernel-introduced nulls need their own slot
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(l, _), ArrayType(r, _))

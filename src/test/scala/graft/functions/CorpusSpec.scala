@@ -854,4 +854,30 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L)._2 < 0.0) // pure-pool vocabulary is unambiguously negative
     assert(out(4L)._2 == 0.0)
   }
+
+  test("duplicateCoverage: shared spans count once per doc, short docs are null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),       // bigrams shared with doc 2's prefix
+      (2L, "a b c x y"),       // shares "a b", "b c" with doc 1
+      (3L, "p q r s t"),       // fully novel
+      (4L, "a b")              // shorter than n=2? no — has 1 bigram "a b"
+    ).toDF("id", "text")
+    val out = Corpus.duplicateCoverage(docs, "id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // doc 1: grams ab bc cd de → ab,bc duplicated (docs 1,2) → 2/4
+    assert(out(1L) == ((4L, 2L, Some(0.5))))
+    // doc 2: ab bc cx xy → 2/4
+    assert(out(2L) == ((4L, 2L, Some(0.5))))
+    assert(out(3L) == ((4L, 0L, Some(0.0))))
+    // doc 4: single gram "a b", df("a b") = 3 → fully duplicated
+    assert(out(4L) == ((1L, 1L, Some(1.0))))
+    // doc shorter than n has no gram: 0 counts, null fraction
+    val short = Corpus.duplicateCoverage(
+        Seq((9L, "solo")).toDF("id", "text"), "id", "text", n = 2)
+      .collect().head
+    assert(short.getLong(1) == 0L && short.getLong(2) == 0L && short.isNullAt(3))
+  }
 }

@@ -724,6 +724,35 @@ class FunctionsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("hardNegatives: exact different-label top-k, dense same-label region can't starve") {
+    import spark.implicits._
+    // cluster of label-0 vectors near e1, one label-1 vector slightly
+    // off-axis, one label-1 vector far (orthogonal)
+    val rows = Seq(
+      (1L, 0, Seq(1f, 0f, 0f)),
+      (2L, 0, Seq(0.99f, 0.1f, 0f)),
+      (3L, 0, Seq(0.98f, 0.2f, 0f)),
+      (4L, 1, Seq(0.9f, 0.4f, 0f)),
+      (5L, 1, Seq(0f, 0f, 1f)),
+      (6L, 0, null: Seq[Float]) // null vector drops silently
+    ).toDF("vid", "label", "v")
+    val out = Similarity.hardNegatives(rows, "vid", "v", "label", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // query 1 (label 0): nearest different-label is 4, then 5 — even
+    // though same-label 2 and 3 are closer than 4
+    assert(out((1L, 1L)) == ((4L, 1L)) && out((1L, 2L)) == ((5L, 1L)))
+    // query 4 (label 1): negatives are the label-0 cluster, nearest first
+    assert(out((4L, 1L))._1 == 3L)
+    // every returned pair crosses the label boundary
+    val all = Similarity.hardNegatives(rows, "vid", "v", "label", k = 3)
+      .collect()
+    assert(all.forall(r => r.getLong(1) != r.getLong(3)))
+    // the null-vector row neither queries nor serves
+    assert(all.forall(r => r.getLong(0) != 6L && r.getLong(2) != 6L))
+  }
+
   test("principalComponent recovers a planted dominant axis; zero-variance → zeros") {
     import spark.implicits._
     // variance diag(6.5, 1, 0): dominant axis is dim 0
