@@ -775,6 +775,14 @@ object SparkEntry {
           dim = 64, rounds = 2)
         .orderBy(col("dim"))),
 
+    // PCA top-2 basis: power iteration with per-round Gram–Schmidt
+    // deflation (ratio of exact dots — no √); the whitening /
+    // embedding-diagnostic basis, still covariance-free.
+    "x_pca_top2" -> ((s, dir) =>
+      Similarity.principalComponents(t(s, dir, "embeddings"), "embedding",
+          dim = 64, nComponents = 2, rounds = 2)
+        .orderBy(col("component"), col("dim"))),
+
     // Contrastive hard-negative mining: each labeled vector's 3 nearest
     // DIFFERENT-label neighbors — the mismatch predicate applies before
     // the bounded top-k' aggregation, so a same-label-dense region
@@ -783,6 +791,13 @@ object SparkEntry {
       Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
           "embedding", "label", k = 3)
         .orderBy(col("query_id"), col("rank"))),
+
+    // Multilingual temperature sampling (α = 0.5): per-language resample
+    // plan q ∝ p^α — one count aggregation, everything downstream on the
+    // #strata-row broadcast-sized table.
+    "x_temperature" -> ((s, dir) =>
+      Corpus.temperatureMixture(t(s, dir, "documents"), "lang", alpha = 0.5)
+        .orderBy(col("lang"))),
 
     // Memorization-risk scoring: fraction of each doc's distinct 5-grams
     // that appear in ≥2 documents — the per-span signal behind
@@ -2702,6 +2717,89 @@ object SparkEntry {
         |SELECT CAST(v2.pos AS INT) AS dim, mu.m AS mu, v2.v AS loading
         |FROM v2 JOIN mu USING (pos) ORDER BY dim""".stripMargin,
 
+    // x_pca_power's chain extended: component 1 = the same two rounds;
+    // component 2 re-uses round-1's step (both start from ones), deflates
+    // against PC1 via the decimal-dot ratio, steps once more, deflates,
+    // normalizes. Every float op mirrors the engine: decimal sums,
+    // single-op IEEE mul/sub, ROUND 9 at each normalize.
+    "x_pca_top2" ->
+      """WITH dgrid AS (SELECT unnest(range(0, 64)) AS pos),
+        |z AS (SELECT vec_id, g.pos,
+        |  CAST(embedding[CAST(g.pos AS INT) + 1] AS DOUBLE) AS x
+        | FROM embeddings CROSS JOIN dgrid g),
+        |mu AS (SELECT pos, ROUND(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE)
+        |  / CAST(COUNT(*) AS DOUBLE), 9) AS m FROM z GROUP BY 1),
+        |mdv1 AS (SELECT CAST(SUM(CAST(m * CAST(1.0 AS DOUBLE)
+        |  AS DECIMAL(30,15))) AS DOUBLE) AS mdv FROM mu),
+        |t1 AS (SELECT vec_id,
+        |  CAST(SUM(CAST(x * CAST(1.0 AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+        |    - (SELECT mdv FROM mdv1) AS t
+        | FROM z GROUP BY 1),
+        |s1 AS (SELECT z.pos,
+        |  CAST(SUM(CAST(t1.t * z.x AS DECIMAL(30,15))) AS DOUBLE) AS S,
+        |  CAST(SUM(CAST(t1.t AS DECIMAL(30,15))) AS DOUBLE) AS T
+        | FROM z JOIN t1 USING (vec_id) GROUP BY 1),
+        |w1 AS (SELECT s1.pos, s1.S - mu.m * s1.T AS w
+        | FROM s1 JOIN mu USING (pos)),
+        |m1 AS (SELECT MAX(ABS(w)) AS mx FROM w1),
+        |v1 AS (SELECT pos, CASE WHEN m1.mx = 0 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE ROUND(w / m1.mx, 9) END AS v FROM w1 CROSS JOIN m1),
+        |mdv2 AS (SELECT CAST(SUM(CAST(mu.m * v1.v AS DECIMAL(30,15)))
+        |  AS DOUBLE) AS mdv FROM mu JOIN v1 USING (pos)),
+        |t2 AS (SELECT z.vec_id,
+        |  CAST(SUM(CAST(z.x * v1.v AS DECIMAL(30,15))) AS DOUBLE)
+        |    - (SELECT mdv FROM mdv2) AS t
+        | FROM z JOIN v1 USING (pos) GROUP BY 1),
+        |s2 AS (SELECT z.pos,
+        |  CAST(SUM(CAST(t2.t * z.x AS DECIMAL(30,15))) AS DOUBLE) AS S,
+        |  CAST(SUM(CAST(t2.t AS DECIMAL(30,15))) AS DOUBLE) AS T
+        | FROM z JOIN t2 USING (vec_id) GROUP BY 1),
+        |w2 AS (SELECT s2.pos, s2.S - mu.m * s2.T AS w
+        | FROM s2 JOIN mu USING (pos)),
+        |m2 AS (SELECT MAX(ABS(w)) AS mx FROM w2),
+        |pc1 AS (SELECT pos, CASE WHEN m2.mx = 0 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE ROUND(w / m2.mx, 9) END AS v FROM w2 CROSS JOIN m2),
+        |d11 AS (SELECT CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE) AS d
+        | FROM pc1),
+        |d1w1 AS (SELECT CAST(SUM(CAST(pc1.v * w1.w AS DECIMAL(30,15)))
+        |  AS DOUBLE) AS d FROM pc1 JOIN w1 USING (pos)),
+        |w1b AS (SELECT w1.pos,
+        |  w1.w - (CASE WHEN d11.d = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE d1w1.d / d11.d END) * pc1.v AS w
+        | FROM w1 JOIN pc1 USING (pos) CROSS JOIN d11 CROSS JOIN d1w1),
+        |m1b AS (SELECT MAX(ABS(w)) AS mx FROM w1b),
+        |u21 AS (SELECT pos, CASE WHEN m1b.mx = 0 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE ROUND(w / m1b.mx, 9) END AS v FROM w1b CROSS JOIN m1b),
+        |mdv3 AS (SELECT CAST(SUM(CAST(mu.m * u21.v AS DECIMAL(30,15)))
+        |  AS DOUBLE) AS mdv FROM mu JOIN u21 USING (pos)),
+        |t3 AS (SELECT z.vec_id,
+        |  CAST(SUM(CAST(z.x * u21.v AS DECIMAL(30,15))) AS DOUBLE)
+        |    - (SELECT mdv FROM mdv3) AS t
+        | FROM z JOIN u21 USING (pos) GROUP BY 1),
+        |s3 AS (SELECT z.pos,
+        |  CAST(SUM(CAST(t3.t * z.x AS DECIMAL(30,15))) AS DOUBLE) AS S,
+        |  CAST(SUM(CAST(t3.t AS DECIMAL(30,15))) AS DOUBLE) AS T
+        | FROM z JOIN t3 USING (vec_id) GROUP BY 1),
+        |w3 AS (SELECT s3.pos, s3.S - mu.m * s3.T AS w
+        | FROM s3 JOIN mu USING (pos)),
+        |d1w3 AS (SELECT CAST(SUM(CAST(pc1.v * w3.w AS DECIMAL(30,15)))
+        |  AS DOUBLE) AS d FROM pc1 JOIN w3 USING (pos)),
+        |w3b AS (SELECT w3.pos,
+        |  w3.w - (CASE WHEN d11.d = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE d1w3.d / d11.d END) * pc1.v AS w
+        | FROM w3 JOIN pc1 USING (pos) CROSS JOIN d11 CROSS JOIN d1w3),
+        |m3b AS (SELECT MAX(ABS(w)) AS mx FROM w3b),
+        |pc2 AS (SELECT pos, CASE WHEN m3b.mx = 0 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE ROUND(w / m3b.mx, 9) END AS v FROM w3b CROSS JOIN m3b)
+        |SELECT 0 AS component, CAST(pos AS INT) AS dim, mu.m AS mu,
+        |  pc1.v AS loading
+        |FROM pc1 JOIN mu USING (pos)
+        |UNION ALL
+        |SELECT 1 AS component, CAST(pos AS INT) AS dim, mu.m AS mu,
+        |  pc2.v AS loading
+        |FROM pc2 JOIN mu USING (pos)
+        |ORDER BY component, dim""".stripMargin,
+
     // Exact different-label top-k over the quadratic window, decimal
     // cosine, rank by (rounded cos DESC, id) — the x_knn_join chain with
     // the label-mismatch predicate in the pair generator.
@@ -2730,6 +2828,22 @@ object SparkEntry {
         |SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank
         |FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Same α-power chain; POWER's ulp is absorbed by round-9, the
+    // normalizer sums in DECIMAL.
+    "x_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_rows FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS N FROM c),
+        |wp AS (SELECT lang, n_rows,
+        |  CAST(n_rows AS DOUBLE) / CAST(n.N AS DOUBLE) AS p,
+        |  POWER(CAST(n_rows AS DOUBLE) / CAST(n.N AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE)) AS s
+        | FROM c CROSS JOIN n),
+        |z AS (SELECT CAST(SUM(CAST(s AS DECIMAL(30,15))) AS DOUBLE) AS Z
+        | FROM wp)
+        |SELECT lang, n_rows, ROUND(p, 9) AS p, ROUND(s / z.Z, 9) AS q,
+        | ROUND(s / z.Z / p, 9) AS weight
+        |FROM wp CROSS JOIN z ORDER BY lang""".stripMargin,
 
     // Distinct space-joined 5-gram strings where the engine counts
     // distinct xxhash64 gram hashes — identical modulo collision.

@@ -810,6 +810,53 @@ object Corpus {
     when(n > 0, sequence(lit(0L), n - 1)).otherwise(lit(null))
   }
 
+  /** Temperature-based mixture rebalancing (the multilingual α-sampling
+    * of mBERT/XLM-R, Conneau et al. 2020): stratum s with empirical share
+    * `p_s = n_s/N` is resampled toward `q_s = p_s^α / Σ_t p_t^α` — α→1
+    * keeps the corpus as-is, α→0 flattens toward uniform, lifting
+    * low-resource strata without hand-tuned weights. Returns the
+    * per-stratum plan: `weight = q_s/p_s` is exactly the multiplier
+    * [[mixtureWeightedSample]] consumes downstream.
+    *
+    * Shuffle profile: ONE count aggregation (map-side partials); every
+    * later quantity lives on the #strata-row table (a broadcast-sized
+    * frame at any corpus size). The α-power is the one transcendental:
+    * its ulp is absorbed by round-9 like every libm call in this module;
+    * the normalizer Σ p^α accumulates in DECIMAL so stratum order can't
+    * flip bits.
+    *
+    * @return (strataCol, n_rows, p, q, weight) — p/q/weight rounded 9
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1]: $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__N"))
+    val withP = counts.crossJoin(broadcast(total))
+      .withColumn("__p", col("n_rows").cast("double") / col("__N").cast("double"))
+      .withColumn("__s", pow(col("__p"), lit(alpha)))
+    val z = withP.agg(
+      sum(col("__s").cast(DecimalType(30, 15))).cast("double").as("__Z"))
+    withP.crossJoin(broadcast(z))
+      .select(col(strataCol), col("n_rows"),
+        round(col("__p"), 9).as("p"),
+        round(col("__s") / col("__Z"), 9).as("q"),
+        round(col("__s") / col("__Z") / col("__p"), 9).as("weight"))
+  }
+
+  /** [[temperatureMixture]] composed with [[mixtureWeightedSample]]: the
+    * α-derived per-stratum weights (a #strata-sized driver map — the
+    * centroid/codebook discipline) drive the deterministic copy-explode
+    * resample. Output multiset is reproducible on any cluster size.
+    */
+  def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
+                        alpha: Double): DataFrame = {
+    val weights = temperatureMixture(df, strataCol, alpha)
+      .select(col(strataCol).cast("string"), col("weight"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    mixtureWeightedSample(df, strataCol, keyCol, weights, defaultWeight = 1.0)
+  }
+
   /** Weight-proportional source interleaving — the ordering stage that
     * follows [[mixtureWeightedSample]]: assign every row a deterministic
     * `interleave_pos` such that reading in position order yields each

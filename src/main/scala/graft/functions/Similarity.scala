@@ -763,14 +763,81 @@ object Similarity {
       a
     }
     val muLit = array(mu.map(lit(_)): _*)
+    val v = powerIterate(vecs, vecCol, dim, rounds, mu, Seq.empty)
+    spark.createDataset(
+        (0 until dim).map(d => (d, mu(d), v(d))))
+      .toDF("dim", "mu", "loading")
+  }
+
+  /** Top `nComponents` principal directions by power iteration with
+    * per-round Gram–Schmidt deflation: component c's iterate is
+    * re-orthogonalized against components 0..c−1 after every
+    * covariance-multiply step (`w ← w − (vⱼ·w / vⱼ·vⱼ)·vⱼ` — a RATIO of
+    * exact-decimal dots, so deflation needs no √ and stays cross-engine
+    * exact), then max-abs-normalized and rounded like
+    * [[principalComponent]]. The PCA basis behind whitening /
+    * embedding-space diagnostics, still never materializing dim×dim.
+    *
+    * Cost: nComponents × rounds data-sized jobs; driver state stays a
+    * few dim-arrays.
+    *
+    * @return (component, dim, mu, loading) — component 0-based in
+    *         decreasing-eigenvalue order
+    */
+  def principalComponents(df: DataFrame, vecCol: String, dim: Int,
+                          nComponents: Int, rounds: Int): DataFrame = {
+    require(dim > 0 && rounds >= 0 && nComponents >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.where(col(vecCol).isNotNull)
+    val mu = corpusMean(vecs, vecCol, dim)
+    val comps = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    for (_ <- 0 until nComponents)
+      comps += powerIterate(vecs, vecCol, dim, rounds, mu, comps.toSeq)
+    spark.createDataset(
+        for (c <- 0 until nComponents; d <- 0 until dim)
+          yield (c, d, mu(d), comps(c)(d)))
+      .toDF("component", "dim", "mu", "loading")
+  }
+
+  /** Per-dimension corpus mean, decimal-summed, rounded 9 (dim-sized
+    * driver result).
+    */
+  private def corpusMean(vecs: DataFrame, vecCol: String,
+                         dim: Int): Array[Double] = {
+    val a = Array.fill(dim)(0.0)
+    vecs.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(
+        sum(col("x").cast("double").cast(DecimalType(30, 15))).cast("double") /
+          count(lit(1)).cast("double"), 9).as("m"))
+      .collect().foreach(r => a(r.getInt(0)) = r.getDouble(1))
+    a
+  }
+
+  /** One power-iteration run from the all-ones start: `rounds` steps of
+    * covariance-multiply → Gram–Schmidt deflation against `prev` →
+    * max-abs normalize + round 9. Every data-sized stage aggregates per
+    * dimension with map-side partials; only dim-sized vectors reach the
+    * driver.
+    */
+  private def powerIterate(vecs: DataFrame, vecCol: String, dim: Int,
+                           rounds: Int, mu: Array[Double],
+                           prev: Seq[Array[Double]]): Array[Double] = {
+    val spark = vecs.sparkSession
+    val muLit = array(mu.map(lit(_)): _*)
+    // exact-decimal dot of two driver arrays through a 1-row engine frame
+    // so the arithmetic is the engine's own kernel, not a driver re-
+    // implementation that could round differently
+    def dotLit(a: Array[Double], b: Array[Double]): Double =
+      spark.range(1)
+        .select(dotExact(array(a.map(lit(_)): _*),
+          array(b.map(lit(_)): _*)).as("d"))
+        .head().getDouble(0)
     var v: Array[Double] = Array.fill(dim)(1.0)
     for (_ <- 0 until rounds) {
       val vLit = array(v.map(lit(_)): _*)
-      // μ·v with the exact kernel semantics, computed over a 1-row frame
-      // so the decimal arithmetic is the engine's own, not a driver
-      // re-implementation that could round differently
-      val muDotV = spark.range(1)
-        .select(dotExact(muLit, vLit).as("d")).head().getDouble(0)
+      val muDotV = dotLit(mu, v)
       val stepped = vecs
         .select((dotExact(col(vecCol), vLit) - lit(muDotV)).as("__t"),
           col(vecCol))
@@ -782,8 +849,27 @@ object Similarity {
           sum(col("__t").cast(DecimalType(30, 15))).cast("double").as("T"))
         .select(col("pos"),
           (col("S") - element_at(muLit, col("pos") + 1) * col("T")).as("w"))
-      val m = stepped.agg(max(abs(col("w"))).as("m"))
-      val next = stepped.crossJoin(broadcast(m))
+        .collect()
+      val w = Array.fill(dim)(0.0)
+      stepped.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      // deflate against already-found components: a ratio of exact dots
+      // (no √), then one fused multiply-subtract per dimension — all
+      // single IEEE ops on identical inputs in any engine
+      prev.foreach { pv =>
+        val denom = dotLit(pv, pv)
+        if (denom != 0.0) {
+          val coef = dotLit(pv, w) / denom
+          var d = 0
+          while (d < dim) { w(d) = w(d) - coef * pv(d); d += 1 }
+        }
+      }
+      // max-abs normalize + round 9 through a tiny engine frame so the
+      // ROUND semantics are exactly the engine's
+      import spark.implicits._
+      val normed = spark.createDataset(w.toSeq.zipWithIndex)
+        .toDF("w", "pos")
+      val m = normed.agg(max(abs(col("w"))).as("m"))
+      val next = normed.crossJoin(broadcast(m))
         .select(col("pos"),
           when(col("m") === 0.0, lit(0.0))
             .otherwise(round(col("w") / col("m"), 9)).as("v"))
@@ -792,9 +878,7 @@ object Similarity {
       next.foreach(r => a(r.getInt(0)) = r.getDouble(1))
       v = a
     }
-    spark.createDataset(
-        (0 until dim).map(d => (d, mu(d), v(d))))
-      .toDF("dim", "mu", "loading")
+    v
   }
 
   /** Random projection (Johnson–Lindenstrauss / Achlioptas 2003 sign

@@ -855,6 +855,28 @@ class CorpusSpec extends SparkSpec {
     assert(out(4L)._2 == 0.0)
   }
 
+  test("temperatureMixture: α=1 identity, α<1 flattens toward uniform") {
+    import spark.implicits._
+    val rows = (1 to 90).map(i => (i.toLong, "en")) ++
+      (91 to 100).map(i => (i.toLong, "sw"))
+    val df = rows.toDF("id", "lang")
+    val id1 = Corpus.temperatureMixture(df, "lang", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(id1("en") == 1.0 && id1("sw") == 1.0) // α=1: q = p, weight 1
+    val half = Corpus.temperatureMixture(df, "lang", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // q(sw) = √.1/(√.9+√.1) ≈ 0.25 — rare lang lifted 2.5×, common trimmed
+    assert(half("sw")._1 == 10L && half("sw")._4 > 2.0)
+    assert(half("en")._4 < 1.0)
+    assert(math.abs(half("en")._3 + half("sw")._3 - 1.0) < 1e-9) // q sums to 1
+    // composed resample follows the weights deterministically
+    val sampled = Corpus.temperatureSample(df, "lang", "id", alpha = 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled("sw") > 10L && sampled("en") < 90L)
+  }
+
   test("duplicateCoverage: shared spans count once per doc, short docs are null") {
     import spark.implicits._
     val docs = Seq(

@@ -770,4 +770,23 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(_.getDouble(2))
     assert(z.forall(_ == 0.0))
   }
+
+  test("principalComponents: deflation recovers the second planted axis") {
+    import spark.implicits._
+    val vecs = Seq(
+      Seq(3f, 1f, 0f), Seq(-3f, 1f, 0f), Seq(2f, -1f, 0f), Seq(-2f, -1f, 0f))
+      .toDF("v")
+    val out = Similarity.principalComponents(vecs, "v", dim = 3,
+        nComponents = 2, rounds = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    // PC1 = dim 0 (variance 6.5), PC2 = dim 1 (variance 1), dim 2 is dead
+    assert(out((0, 0)) == 1.0 && math.abs(out((0, 1))) < 0.01)
+    assert(math.abs(out((1, 1))) == 1.0 && math.abs(out((1, 0))) < 0.01)
+    assert(out((0, 2)) == 0.0 && out((1, 2)) == 0.0)
+    // component 0 of the multi-component API ≡ the single-component API
+    val single = Similarity.principalComponent(vecs, "v", dim = 3, rounds = 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    for (d <- 0 until 3) assert(single(d) == out((0, d)))
+  }
 }
