@@ -792,6 +792,17 @@ object SparkEntry {
           "embedding", "label", k = 3)
         .orderBy(col("query_id"), col("rank"))),
 
+    // Hybrid text ∪ semantic near-dup drop: n-gram Jaccard pairs UNION
+    // language-blocked cosine pairs feed one transitive clustering —
+    // catches paraphrases (cosine-only) AND template swaps
+    // (Jaccard-only). Pure composition of existing scale shapes.
+    "x_hybrid_dedup" -> ((s, dir) =>
+      Dedup.hybridNearDupDrop(
+          t(s, dir, "documents"), t(s, dir, "embeddings"),
+          "doc_id", "text", "vec_id", "embedding", "lang",
+          saltBuckets = 4)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
     // Multilingual temperature sampling (α = 0.5): per-language resample
     // plan q ∝ p^α — one count aggregation, everything downstream on the
     // #strata-row broadcast-sized table.
@@ -2828,6 +2839,45 @@ object SparkEntry {
         |SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank
         |FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Union of the jpairs text chain and the lang-blocked decimal-cosine
+    // pairs, then the x_dedup_drop recursive closure over BOTH.
+    "x_hybrid_dedup" ->
+      s"""WITH RECURSIVE ${ngramPairsCte(0.5)},
+         |zz AS (
+         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(unnest(a.embedding) AS DOUBLE) AS x,
+         |  CAST(unnest(b.embedding) AS DOUBLE) AS y
+         | FROM (SELECT e.*, d.lang FROM embeddings e
+         |        JOIN documents d ON d.doc_id = e.vec_id) a
+         |   JOIN (SELECT e.*, d.lang FROM embeddings e
+         |        JOIN documents d ON d.doc_id = e.vec_id) b
+         |   ON a.lang = b.lang AND a.vec_id < b.vec_id),
+         |dd AS (
+         | SELECT id_a, id_b,
+         |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
+         |  SUM(CAST(x * x AS DECIMAL(30,15))) AS na,
+         |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nb
+         | FROM zz GROUP BY id_a, id_b),
+         |spairs AS (
+         | SELECT id_a, id_b FROM dd
+         | WHERE ROUND(CAST(dot AS DOUBLE) /
+         |   SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) >= 0.35),
+         |allp AS (SELECT id_a, id_b FROM jpairs
+         | UNION SELECT id_a, id_b FROM spairs),
+         |edges AS (
+         | SELECT id_a AS u, id_b AS v FROM allp
+         | UNION
+         | SELECT id_b AS u, id_a AS v FROM allp),
+         |reach AS (
+         | SELECT u AS node, u AS lab FROM edges
+         | UNION
+         | SELECT e.v AS node, r.lab AS lab
+         | FROM reach r JOIN edges e ON e.u = r.node),
+         |labels AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM labels WHERE label <> node)
+         |ORDER BY doc_id""".stripMargin,
 
     // Same α-power chain; POWER's ulp is absorbed by round-9, the
     // normalizer sums in DECIMAL.

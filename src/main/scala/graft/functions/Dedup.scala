@@ -519,4 +519,38 @@ object Dedup {
       .select(col("__nd_id")).distinct()
     newDf.join(doomed, newDf(idCol) === doomed("__nd_id"), "left_anti")
   }
+
+  /** Hybrid near-duplicate drop: a document is a duplicate if it matches
+    * another TEXTUALLY (n-gram Jaccard ≥ `minJaccard`) OR SEMANTICALLY
+    * (embedding cosine ≥ `minCos` within a blocking column) — the union
+    * of the two pair streams feeds ONE transitive clustering, keeping
+    * each cluster's min-id member. Catches what either signal alone
+    * misses: paraphrases (high cosine, low Jaccard) and template swaps
+    * (high Jaccard, drifted embedding).
+    *
+    * Pure composition of existing scale shapes: [[ngramJaccardPairs]]'s
+    * 8-byte-hash inverted index, [[graft.functions.Similarity.cosineNearDupBlocked]]'s
+    * salted block join, one union + distinct on (id_a, id_b) pairs, and
+    * [[connectedComponents]]' O(log d) pointer jumping. No stage this
+    * operator adds is bigger than the pair lists themselves.
+    *
+    * `embeddings` rows join `docs` by id; docs without an embedding
+    * simply contribute no semantic pairs (text pairs still count).
+    */
+  def hybridNearDupDrop(docs: DataFrame, embeddings: DataFrame,
+                        idCol: String, textCol: String,
+                        embIdCol: String, vecCol: String, blockCol: String,
+                        shingleN: Int = 5, minJaccard: Double = 0.5,
+                        minCos: Double = 0.35,
+                        saltBuckets: Int = 1): DataFrame = {
+    val textPairs = ngramJaccardPairs(docs, idCol, textCol, shingleN, minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val blocked = embeddings
+      .join(docs.select(col(idCol).as(embIdCol), col(blockCol)), embIdCol)
+    val semPairs = graft.functions.Similarity
+      .cosineNearDupBlocked(blocked, embIdCol, vecCol, blockCol, minCos,
+        saltBuckets)
+      .select(col("id_a"), col("id_b"))
+    dropNearDuplicates(docs, idCol, textPairs.union(semPairs).distinct())
+  }
 }

@@ -771,6 +771,35 @@ class FunctionsSpec extends SparkSpec {
     assert(z.forall(_ == 0.0))
   }
 
+  test("hybridNearDupDrop: text and semantic pairs bridge into one cluster") {
+    import spark.implicits._
+    // 1–2 textual dups; 2–3 semantic dups (same lang, near-identical
+    // vectors) but textually disjoint; 4 unrelated. Bridge ⇒ {1,2,3}
+    // cluster, min id 1 survives.
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog today"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "en", "completely different phrasing of the same underlying idea"),
+      (4L, "en", "unrelated text about parquet file compaction strategies")
+    ).toDF("doc_id", "lang", "text")
+    val embs = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f)),   // 2 and 3 aligned
+      (3L, Seq(0.01f, 1f, 0f)),
+      (4L, Seq(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.hybridNearDupDrop(docs, embs, "doc_id", "text",
+        "vec_id", "embedding", "lang", minJaccard = 0.5, minCos = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+    // doc with no embedding row still dedups textually
+    val kept2 = Dedup.hybridNearDupDrop(docs, embs.where(col("vec_id") > 2),
+        "doc_id", "text", "vec_id", "embedding", "lang",
+        minJaccard = 0.5, minCos = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept2.toSeq == Seq(1L, 3L, 4L)) // only the text pair now merges
+  }
+
   test("principalComponents: deflation recovers the second planted axis") {
     import spark.implicits._
     val vecs = Seq(
