@@ -775,6 +775,13 @@ object SparkEntry {
           dim = 64, rounds = 2)
         .orderBy(col("dim"))),
 
+    // PCA scores: centered projection of every vector onto the top
+    // component — map-only after the dim-sized basis is in hand.
+    "x_pca_scores" -> ((s, dir) =>
+      Similarity.pcaScores(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, rounds = 2)
+        .orderBy(col("vec_id"))),
+
     // PCA top-2 basis: power iteration with per-round Gram–Schmidt
     // deflation (ratio of exact dots — no √); the whitening /
     // embedding-diagnostic basis, still covariance-free.
@@ -2727,6 +2734,54 @@ object SparkEntry {
         |  ELSE ROUND(w / m2.mx, 9) END AS v FROM w2 CROSS JOIN m2)
         |SELECT CAST(v2.pos AS INT) AS dim, mu.m AS mu, v2.v AS loading
         |FROM v2 JOIN mu USING (pos) ORDER BY dim""".stripMargin,
+
+    // The x_pca_power chain through the final iterate, then every
+    // vector's centered projection: score = x·v − μ·v, decimal dots.
+    "x_pca_scores" ->
+      """WITH dgrid AS (SELECT unnest(range(0, 64)) AS pos),
+        |z AS (SELECT vec_id, g.pos,
+        |  CAST(embedding[CAST(g.pos AS INT) + 1] AS DOUBLE) AS x
+        | FROM embeddings CROSS JOIN dgrid g),
+        |mu AS (SELECT pos, ROUND(CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE)
+        |  / CAST(COUNT(*) AS DOUBLE), 9) AS m FROM z GROUP BY 1),
+        |mdv1 AS (SELECT CAST(SUM(CAST(m * CAST(1.0 AS DOUBLE)
+        |  AS DECIMAL(30,15))) AS DOUBLE) AS mdv FROM mu),
+        |t1 AS (SELECT vec_id,
+        |  CAST(SUM(CAST(x * CAST(1.0 AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+        |    - (SELECT mdv FROM mdv1) AS t
+        | FROM z GROUP BY 1),
+        |s1 AS (SELECT z.pos,
+        |  CAST(SUM(CAST(t1.t * z.x AS DECIMAL(30,15))) AS DOUBLE) AS S,
+        |  CAST(SUM(CAST(t1.t AS DECIMAL(30,15))) AS DOUBLE) AS T
+        | FROM z JOIN t1 USING (vec_id) GROUP BY 1),
+        |w1 AS (SELECT s1.pos, s1.S - mu.m * s1.T AS w
+        | FROM s1 JOIN mu USING (pos)),
+        |m1 AS (SELECT MAX(ABS(w)) AS mx FROM w1),
+        |v1 AS (SELECT pos, CASE WHEN m1.mx = 0 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE ROUND(w / m1.mx, 9) END AS v FROM w1 CROSS JOIN m1),
+        |mdv2 AS (SELECT CAST(SUM(CAST(mu.m * v1.v AS DECIMAL(30,15)))
+        |  AS DOUBLE) AS mdv FROM mu JOIN v1 USING (pos)),
+        |t2 AS (SELECT z.vec_id,
+        |  CAST(SUM(CAST(z.x * v1.v AS DECIMAL(30,15))) AS DOUBLE)
+        |    - (SELECT mdv FROM mdv2) AS t
+        | FROM z JOIN v1 USING (pos) GROUP BY 1),
+        |s2 AS (SELECT z.pos,
+        |  CAST(SUM(CAST(t2.t * z.x AS DECIMAL(30,15))) AS DOUBLE) AS S,
+        |  CAST(SUM(CAST(t2.t AS DECIMAL(30,15))) AS DOUBLE) AS T
+        | FROM z JOIN t2 USING (vec_id) GROUP BY 1),
+        |w2 AS (SELECT s2.pos, s2.S - mu.m * s2.T AS w
+        | FROM s2 JOIN mu USING (pos)),
+        |m2 AS (SELECT MAX(ABS(w)) AS mx FROM w2),
+        |v2 AS (SELECT pos, CASE WHEN m2.mx = 0 THEN CAST(0.0 AS DOUBLE)
+        |  ELSE ROUND(w / m2.mx, 9) END AS v FROM w2 CROSS JOIN m2),
+        |mdvs AS (SELECT CAST(SUM(CAST(mu.m * v2.v AS DECIMAL(30,15)))
+        |  AS DOUBLE) AS mdv FROM mu JOIN v2 USING (pos)),
+        |sc AS (SELECT z.vec_id,
+        |  CAST(SUM(CAST(z.x * v2.v AS DECIMAL(30,15))) AS DOUBLE)
+        |    - (SELECT mdv FROM mdvs) AS score
+        | FROM z JOIN v2 USING (pos) GROUP BY 1)
+        |SELECT vec_id, ROUND(score, 9) AS score FROM sc
+        |ORDER BY vec_id""".stripMargin,
 
     // x_pca_power's chain extended: component 1 = the same two rounds;
     // component 2 re-uses round-1's step (both start from ones), deflates

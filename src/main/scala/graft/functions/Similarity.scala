@@ -800,6 +800,30 @@ object Similarity {
       .toDF("component", "dim", "mu", "loading")
   }
 
+  /** Principal-component scores: every vector's centered projection onto
+    * the top component from [[principalComponent]] — the 1-D embedding
+    * diagnostic axis (outliers at the tails, modes in the histogram).
+    * After the iteration's dim-sized driver vectors are in hand the
+    * scoring pass is MAP-ONLY: `score = x·v − μ·v` (one native decimal
+    * dot against a literal minus a precomputed constant), no shuffle, no
+    * broadcast join.
+    *
+    * @return (idCol, score) — score rounded 9, null-vector rows dropped
+    */
+  def pcaScores(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    val vecs = df.where(col(vecCol).isNotNull)
+    val mu = corpusMean(vecs, vecCol, dim)
+    val v = powerIterate(vecs, vecCol, dim, rounds, mu, Seq.empty)
+    val vLit = array(v.map(lit(_)): _*)
+    val muDotV = spark.range(1)
+      .select(dotExact(array(mu.map(lit(_)): _*), vLit).as("d"))
+      .head().getDouble(0)
+    vecs.select(col(idCol),
+      round(dotExact(col(vecCol), vLit) - lit(muDotV), 9).as("score"))
+  }
+
   /** Per-dimension corpus mean, decimal-summed, rounded 9 (dim-sized
     * driver result).
     */
