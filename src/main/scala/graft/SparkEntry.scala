@@ -799,6 +799,26 @@ object SparkEntry {
           "embedding", "label", k = 3)
         .orderBy(col("query_id"), col("rank"))),
 
+    // Asymmetric containment pairs (excerpt/quote detection): the
+    // short-inside-long relation Jaccard misses — decontamination's
+    // "benchmark text embedded in a crawl page" case.
+    "x_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 5, minContainment = 0.5)
+        .withColumn("containment", round(col("containment"), 9))
+        .withColumn("jaccard", round(col("jaccard"), 9))
+        .orderBy("id_small", "id_big")),
+
+    // Keep-BEST near-dup drop: each Jaccard cluster keeps its longest
+    // copy (n_chars DESC, id ASC) instead of the min id — the real
+    // curation keep policy; winner = one min-of-struct aggregation.
+    "x_dedup_keepbest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dropNearDuplicatesKeepBest(docs, "doc_id", "n_chars",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5))
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+    }),
+
     // Hybrid text ∪ semantic near-dup drop: n-gram Jaccard pairs UNION
     // language-blocked cosine pairs feed one transitive clustering —
     // catches paraphrases (cosine-only) AND template swaps
@@ -2894,6 +2914,63 @@ object SparkEntry {
         |SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank
         |FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Same gram CTEs as jpairs, pair oriented so the smaller set is the
+    // contained side; filter on unrounded containment like the engine.
+    "x_containment" ->
+      raw"""WITH toks AS (
+         | SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS tok
+         | FROM documents),
+         |g0 AS (
+         | SELECT doc_id, unnest(CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+         |   ELSE list_transform(range(1, len(tok) - 3),
+         |     i -> list_extract(tok, i) || ' ' || list_extract(tok, i + 1) || ' ' || list_extract(tok, i + 2) || ' ' || list_extract(tok, i + 3) || ' ' || list_extract(tok, i + 4)) END) AS gram
+         | FROM toks),
+         |grams AS (SELECT DISTINCT doc_id, gram FROM g0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+         |inter AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         | FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |o AS (
+         | SELECT CASE WHEN sa.sz <= sb.sz THEN id_a ELSE id_b END AS id_small,
+         |  CASE WHEN sa.sz <= sb.sz THEN id_b ELSE id_a END AS id_big,
+         |  LEAST(sa.sz, sb.sz) AS szs, sa.sz + sb.sz - inter AS uni, inter
+         | FROM inter
+         | JOIN sizes sa ON sa.doc_id = id_a
+         | JOIN sizes sb ON sb.doc_id = id_b)
+         |SELECT id_small, id_big,
+         | ROUND(CAST(inter AS DOUBLE) / CAST(szs AS DOUBLE), 9) AS containment,
+         | ROUND(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 9) AS jaccard
+         |FROM o
+         |WHERE CAST(inter AS DOUBLE) / CAST(szs AS DOUBLE) >= 0.5
+         |ORDER BY id_small, id_big""".stripMargin,
+
+    // jpairs closure, then each component keeps FIRST(doc_id ORDER BY
+    // n_chars DESC, doc_id) — the engine's min-of-(−score, id) struct.
+    "x_dedup_keepbest" ->
+      s"""WITH RECURSIVE ${ngramPairsCte(0.5)},
+         |edges AS (
+         | SELECT id_a AS u, id_b AS v FROM jpairs
+         | UNION
+         | SELECT id_b AS u, id_a AS v FROM jpairs),
+         |reach AS (
+         | SELECT u AS node, u AS lab FROM edges
+         | UNION
+         | SELECT e.v AS node, r.lab AS lab
+         | FROM reach r JOIN edges e ON e.u = r.node),
+         |labels AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node),
+         |members AS (
+         | SELECT d.doc_id, d.n_chars, l.label
+         | FROM documents d JOIN labels l ON l.node = d.doc_id),
+         |winners AS (
+         | SELECT label, FIRST(doc_id ORDER BY n_chars DESC, doc_id) AS w
+         | FROM members GROUP BY label)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (
+         | SELECT m.doc_id FROM members m
+         | JOIN winners w ON m.label = w.label AND m.doc_id <> w.w)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Union of the jpairs text chain and the lang-blocked decimal-cosine
     // pairs, then the x_dedup_drop recursive closure over BOTH.

@@ -150,6 +150,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: `|A∩B| / |A|` — the
+    * excerpt/quote detector Jaccard misses (a paragraph quoted inside a
+    * 100× longer document has tiny Jaccard but containment ≈ 1 from the
+    * short side). The standard decontamination relation for "benchmark
+    * text embedded in a crawl page". Output: (id_small, id_big,
+    * containment, jaccard) for ordered pairs where the SMALLER gram set's
+    * containment clears `minContainment` (ties in size break by id).
+    *
+    * Same inverted-index scale shape as [[ngramJaccardPairs]]: 8-byte
+    * gram hashes only, set sizes ride the exploded rows, one equi-join +
+    * one pair aggregation.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int,
+                            minContainment: Double): DataFrame = {
+    val g = df.select(col(idCol).as("id"),
+      graft.plans.HashExpressions.ngramHashes(tokens(col(textCol)), shingleN).as("ghs"))
+    val ex = g.select(col("id"), size(col("ghs")).as("sz"), explode(col("ghs")).as("gh"))
+    ex.as("a").join(ex.as("b"),
+        col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("a.sz").as("sza"),
+        col("b.id").as("idb"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
+      // orient each pair so the smaller set is the contained side
+      .select(
+        when(col("sza") <= col("szb"), col("ida")).otherwise(col("idb")).as("id_small"),
+        when(col("sza") <= col("szb"), col("idb")).otherwise(col("ida")).as("id_big"),
+        least(col("sza"), col("szb")).as("sz_small"),
+        (col("sza") + col("szb") - col("inter")).as("uni"),
+        col("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("sz_small").cast("double"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .where(col("containment") >= minContainment)
+      .select(col("id_small"), col("id_big"), col("containment"), col("jaccard"))
+  }
+
   /** Connected components over a near-dup pair list — min-label
     * propagation with a pointer-jumping shortcut: each round a node takes
     * the minimum label among itself and its neighbors, then jumps to its
@@ -518,6 +556,36 @@ object Dedup {
       .join(index.select(col("bk")), Seq("bk"), "left_semi")
       .select(col("__nd_id")).distinct()
     newDf.join(doomed, newDf(idCol) === doomed("__nd_id"), "left_anti")
+  }
+
+  /** [[dropNearDuplicates]] with a QUALITY winner instead of min-id: each
+    * near-dup cluster keeps its best row by (`scoreCol` DESC, id ASC) —
+    * "keep the longest / highest-quality copy", the policy real curation
+    * uses (the min-id convention keeps whichever copy crawled first).
+    *
+    * One extra aggregation over the (clustered-rows)-sized frame: the
+    * winner per component is a single min-of-struct with map-side
+    * partials ((−score, id) lexicographic — no window, no rank shuffle
+    * of the full table). Unpaired rows keep themselves untouched.
+    */
+  def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String,
+                                 scoreCol: String,
+                                 pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs) // (id, label) — paired rows only
+    // null score = worst (a scoreless copy never beats a scored one)
+    val scored = df.select(col(idCol).cast("long").as("__kb_id"),
+        coalesce(col(scoreCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("__kb_s"))
+      .join(comps, col("__kb_id") === col("id"))
+    val winners = scored
+      .groupBy(col("label"))
+      .agg(min(struct((-col("__kb_s")).as("ns"), col("__kb_id").as("i")))
+        .as("best"))
+      .select(col("best.i").as("__kb_winner"))
+    val doomed = scored
+      .join(winners, col("__kb_id") === col("__kb_winner"), "left_anti")
+      .select(col("__kb_id"))
+    df.join(doomed, df(idCol) === col("__kb_id"), "left_anti")
   }
 
   /** Hybrid near-duplicate drop: a document is a duplicate if it matches

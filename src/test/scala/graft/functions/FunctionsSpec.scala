@@ -771,6 +771,47 @@ class FunctionsSpec extends SparkSpec {
     assert(z.forall(_ == 0.0))
   }
 
+  test("ngramContainmentPairs catches short-in-long excerpts Jaccard misses") {
+    import spark.implicits._
+    val excerpt = "alpha beta gamma delta epsilon zeta"
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ") + " " + excerpt
+    val docs = Seq(
+      (1L, excerpt),                 // 2 grams (6 tokens, n=5)
+      (2L, long),                    // excerpt embedded in 60+ tokens
+      (3L, "totally unrelated words about something else entirely here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(docs, "doc_id", "text", 5, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 1's grams all appear in doc 2: containment 1, Jaccard tiny
+    assert(out.contains((1L, 2L)))
+    val (c, j) = out((1L, 2L))
+    assert(c == 1.0 && j < 0.1)
+    // Jaccard at the same threshold misses the pair entirely
+    val jp = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5).count()
+    assert(jp == 0L)
+  }
+
+  test("dropNearDuplicatesKeepBest keeps the highest-scored cluster member") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L, "the quick brown fox jumps over the lazy dog"),
+      (2L, 99L, "the quick brown fox jumps over the lazy dog again"), // best
+      (3L, 50L, "the quick brown fox jumps over the lazy dog too"),
+      (4L, 1L, "unrelated standalone document with its own words")
+    ).toDF("doc_id", "score", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
+    val kept = Dedup.dropNearDuplicatesKeepBest(docs, "doc_id", "score", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 4L)) // min-id policy would have kept 1
+    // score tie breaks to the smaller id
+    val tied = docs.withColumn("score", lit(7L))
+    val keptTied = Dedup.dropNearDuplicatesKeepBest(tied, "doc_id", "score",
+        Dedup.ngramJaccardPairs(tied, "doc_id", "text", 5, 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(keptTied.toSeq == Seq(1L, 4L))
+  }
+
   test("hybridNearDupDrop: text and semantic pairs bridge into one cluster") {
     import spark.implicits._
     // 1–2 textual dups; 2–3 semantic dups (same lang, near-identical
