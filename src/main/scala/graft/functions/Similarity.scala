@@ -686,31 +686,69 @@ object Similarity {
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, k: Int, margin: Int = 40): DataFrame = {
     require(k >= 1 && margin >= 0)
-    val spark = df.sparkSession
-    import spark.implicits._
     val base = df.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    // norms hoisted per ROW (not per pair): the pair loop pays ONE native
+    // dot, not three — at q·N pairs the recomputed-norm version is the
+    // whole query's cost
     val q = base.select(col(idCol).cast("long").as("__qid"),
-      col(vecCol).as("__qv"), col(labelCol).cast("long").as("__ql"))
+      col(vecCol).as("__qv"), col(labelCol).cast("long").as("__ql"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("__qn"))
     val c = base.select(col(idCol).cast("long").as("__cid"),
-      col(vecCol).as("__cv"), col(labelCol).cast("long").as("__cl"))
-    val scored = c.crossJoin(broadcast(q))
+      col(vecCol).as("__cv"), col(labelCol).cast("long").as("__cl"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("__cn"))
+    // All-pairs stream built so the partial top-k′ collapses BEFORE any
+    // exchange (the knnJoinBlocked shape): the QUERY side streams,
+    // repartitioned by qid so every query's pairs are co-located — the
+    // partial WindowGroupLimit heap then reduces each query to k′ rows
+    // inside the scoring stage; the corpus side broadcasts, exploded
+    // over salts and matched on qid-mod-salt so the pair generator is a
+    // codegen'd BroadcastHashJoin, never a BroadcastNestedLoopJoin
+    // (which runs row-at-a-time outside codegen — measured 4× slower on
+    // this 25M-pair stream at sf0.1).
+    // small salt count: its only job is bounding the per-key match list
+    // in the broadcast hashmap — streamed-side parallelism comes from
+    // the qid repartition, and each extra salt DUPLICATES every corpus
+    // vector in the broadcast (32 salts = a 50 MB humongous-allocation
+    // storm that showed up as multi-second GC variance at sf0.1)
+    val nSalt = 4
+    val defaultPar = df.sparkSession.sparkContext.defaultParallelism
+    val cS = broadcast(c.withColumn("__salt",
+      explode(array((0 until nSalt).map(lit(_)): _*))))
+    val scored = q
+      .repartition(defaultPar, col("__qid"))
+      .withColumn("__salt", pmod(col("__qid"), lit(nSalt)).cast("int"))
+      .join(cS, Seq("__salt"))
       .where(col("__cl") =!= col("__ql"))
       .select(col("__qid"), col("__cid"),
-        cosine(col("__cv"), col("__qv")).as("__s"))
-    val cand = scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._3, t._2))
-      .agg(topKByScore(k + margin).toColumn.name("cands"))
-      .toDF("__qid", "cands")
-      .select(col("__qid"), explode(col("cands")).as("cc"))
-      .select(col("__qid"), col("cc._2").as("__cid"))
+        (dotNative(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+          .as("__s"))
+    // candidate trim as a rank-filter — Spark plans it as partial+final
+    // WindowGroupLimit heaps fully inside codegen, so the exchange
+    // carries q·k′ candidates, never the all-pairs stream (every query
+    // here is also a corpus row, so the typed top-k′ Aggregator that
+    // knnJoin uses for its SMALL broadcast query side would drag the
+    // full scored stream through JVM-object serialization — measured 6×
+    // slower at sf0.1)
+    val cand = scored
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__qid")).orderBy(col("__s").desc, col("__cid"))))
+      .where(col("__r") <= k + margin)
+      .select(col("__qid"), col("__cid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qid")).orderBy(col("cos").desc, col("__cid"))
-    broadcast(cand)
-      .join(c, "__cid")
-      .join(broadcast(q), "__qid")
+    // exact rescore with the decimal norms hoisted per ROW — identical
+    // bits to cosineExact (same expressions, evaluated once per id
+    // instead of once per candidate pair)
+    // no broadcast hints: AQE picks the small side at runtime (a hinted
+    // broadcast of the candidate list forces its whole upstream pair
+    // scan into the broadcast-build path)
+    cand
+      .join(c.withColumn("__cn2", norm2Exact(col("__cv"))), "__cid")
+      .join(q.withColumn("__qn2", norm2Exact(col("__qv"))), "__qid")
       .select(col("__qid"), col("__ql"), col("__cid"), col("__cl"),
-        round(cosineExact(col("__cv"), col("__qv")), 9).as("cos"))
+        round(dotExact(col("__cv"), col("__qv")) /
+          sqrt(col("__cn2") * col("__qn2")), 9).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("__qid").as("query_id"), col("__ql").as("query_label"),
