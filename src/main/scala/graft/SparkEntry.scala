@@ -1827,14 +1827,13 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------------
-  // DuckDB oracles. Omitted keys (x_simhash, x_lsh_ann) have no honest
-  // oracle: simhash's Hamming similarity is genuinely different from
-  // n-gram Jaccard (it both misses 0.95-Jaccard pairs and finds pairs
-  // below 0.2 on this corpus — verified empirically), and the corpus'
-  // nearest cosine neighbors sit at 0.27-0.33 (near-orthogonal), so no
-  // LSH probe radius short of the whole corpus can pin recall = 1.
-  // Both remain rows-only with their equivalence properties spec-proven
-  // (DedupSpec / FunctionsSpec).
+  // DuckDB oracles — every query key has one. x_simhash and x_lsh_ann
+  // (formerly rows-only: simhash's Hamming similarity is genuinely
+  // different from n-gram Jaccard, and the corpus' nearest cosine
+  // neighbors sit at 0.27-0.33, so natural-structure recall can't be
+  // pinned) are oracled on PLANTED structure instead: the query derives
+  // deterministic near-dup copies in-plan and the oracle pins the
+  // found_by_* flag TRUE on each planted pair (VERDICT r6 #5).
   // ---------------------------------------------------------------------
 
   /** Exact 5-gram Jaccard pairs as a DuckDB CTE chain ending in
