@@ -994,6 +994,31 @@ object SparkEntry {
           "vec_id", "embedding", "label", threshold = 0.0)
         .orderBy("vec_id")),
 
+    // First-class k-means: deterministic spherical Lloyd with cross-
+    // engine-exact arithmetic (decimal-exact dots and sums, round-9
+    // centroids each round) — cluster ids as data, not just the internal
+    // IVF quantizer. Per round: one map-only assignment pass + one
+    // (k × dim)-grid aggregation with map-side partials. The DuckDB
+    // oracle unrolls both Lloyd rounds and hash-matches cluster ids AND
+    // cosines bit-for-bit.
+    "x_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, rounds = 2)
+        .orderBy("vec_id")),
+
+    // Cluster-balanced selection (the SemDeDup/DataComp curation move:
+    // sample evenly across embedding-space clusters so no topic mode
+    // dominates): k-means clusters → exact deterministic k-per-cluster
+    // by md5 order — repartition/rerun-invariant, like x_sample_k.
+    "x_cluster_sample" -> ((s, dir) => {
+      val assigned = Similarity.kmeansAssign(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, rounds = 2)
+      Corpus.exactKPerStratum(
+          assigned.select(col("cluster"), col("vec_id")),
+          "cluster", "vec_id", k = 20)
+        .orderBy("cluster", "vec_id")
+    }),
+
     // Context-window chunking: 64-token chunks with stride 48 (16-token
     // overlap), exploded to rows. The lambda runs per CHUNK; slice +
     // array_join do the token work natively.
@@ -1866,6 +1891,84 @@ object SparkEntry {
        | JOIN sizes sa ON sa.doc_id = id_a
        | JOIN sizes sb ON sb.doc_id = id_b
        | WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= $minJaccard)""".stripMargin
+
+  /** One unrolled Lloyd round for the k-means oracle: assignment by
+    * exact-decimal dot against the previous round's centroids `prev`,
+    * decimal-exact normalized-mean recenter (empty clusters keep their
+    * centroid via the grid LEFT JOIN), exact-norm re-unitization, round 9
+    * — each step the mirror of [[graft.functions.Similarity.kmeansTrain]].
+    */
+  private def kmeansRoundCte(r: Int, prev: String): String =
+    s"""d$r AS (
+       | SELECT e.vec_id, c.c,
+       |  CAST(SUM(CAST(e.x * c.w AS DECIMAL(30,15))) AS DOUBLE) AS dot
+       | FROM e JOIN vv USING (vec_id) JOIN $prev c ON c.pos = e.pos
+       | GROUP BY 1, 2),
+       |a$r AS (
+       | SELECT vec_id, c FROM (
+       |  SELECT vec_id, c,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rk
+       |  FROM d$r) WHERE rk = 1),
+       |m$r AS (
+       | SELECT a.c, e.pos,
+       |  ROUND(CAST(SUM(CAST(e.x / SQRT(n.n2) AS DECIMAL(30,15))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 9) AS m
+       | FROM e JOIN n USING (vec_id) JOIN a$r a USING (vec_id)
+       | GROUP BY 1, 2),
+       |g$r AS (
+       | SELECT p.c, p.pos, COALESCE(m$r.m, p.w) AS m
+       | FROM $prev p LEFT JOIN m$r ON m$r.c = p.c AND m$r.pos = p.pos),
+       |u$r AS (
+       | SELECT c, CAST(SUM(CAST(m * m AS DECIMAL(30,15))) AS DOUBLE) AS n2c
+       | FROM g$r GROUP BY 1),
+       |c$r AS (
+       | SELECT g.c, g.pos, ROUND(g.m / SQRT(u.n2c), 9) AS w
+       | FROM g$r g JOIN u$r u USING (c))""".stripMargin
+
+  /** The full k-means chain (k=8, rounds=2, id-ordered seeds) ending in
+    * `kassign(vec_id, cluster, cos_to_centroid)` — shared by x_kmeans and
+    * x_cluster_sample. Every arithmetic step decimal-exact or a single
+    * IEEE double op, so cluster ids and cosines hash-match bit-for-bit.
+    */
+  private val kmeansCte: String =
+    s"""v AS (SELECT vec_id, embedding FROM embeddings
+       |      WHERE embedding IS NOT NULL),
+       |e0 AS (
+       | SELECT vec_id,
+       |  unnest(list_transform(range(1, len(embedding) + 1),
+       |    i -> {'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+       | FROM v),
+       |e AS (SELECT vec_id, CAST(u.pos AS INT) AS pos, u.x AS x FROM e0),
+       |n AS (
+       | SELECT vec_id,
+       |  CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS n2
+       | FROM e GROUP BY 1),
+       |vv AS (SELECT vec_id FROM n WHERE n2 > 0),
+       |sid AS (
+       | SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS c
+       | FROM vv ORDER BY vec_id LIMIT 8),
+       |c0 AS (
+       | SELECT s.c, e.pos, ROUND(e.x / SQRT(n.n2), 9) AS w
+       | FROM sid s JOIN e ON e.vec_id = s.vec_id JOIN n ON n.vec_id = s.vec_id),
+       |${kmeansRoundCte(1, "c0")},
+       |${kmeansRoundCte(2, "c1")},
+       |dfin AS (
+       | SELECT e.vec_id, c.c,
+       |  CAST(SUM(CAST(e.x * c.w AS DECIMAL(30,15))) AS DOUBLE) AS dot
+       | FROM e JOIN vv USING (vec_id) JOIN c2 c ON c.pos = e.pos
+       | GROUP BY 1, 2),
+       |afin AS (
+       | SELECT vec_id, c, dot FROM (
+       |  SELECT vec_id, c, dot,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rk
+       |  FROM dfin) WHERE rk = 1),
+       |cn AS (
+       | SELECT c, CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE) AS n2c
+       | FROM c2 GROUP BY 1),
+       |kassign AS (
+       | SELECT afin.vec_id, afin.c AS cluster,
+       |  ROUND(afin.dot / SQRT(n.n2 * cn.n2c), 9) AS cos_to_centroid
+       | FROM afin JOIN n ON n.vec_id = afin.vec_id JOIN cn ON cn.c = afin.c)""".stripMargin
 
   /** Brute-force exact cosine top-10 — shared by x_cosine_topk and
     * x_ivf_ann (IVF probing every bucket is exhaustive, so its output must
@@ -3463,6 +3566,25 @@ object SparkEntry {
         | ROUND(CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) /
         |   CAST(COUNT(*) AS DOUBLE), 9) AS centroid
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // Full unrolled 2-round Lloyd chain — cluster ids AND cosines must
+    // hash-match the engine's bit-for-bit.
+    "x_kmeans" ->
+      s"""WITH $kmeansCte
+         |SELECT vec_id, cluster, cos_to_centroid FROM kassign
+         |ORDER BY vec_id""".stripMargin,
+
+    // Same chain + the exactKPerStratum md5 rank (the x_sample_k
+    // discipline) per cluster.
+    "x_cluster_sample" ->
+      s"""WITH $kmeansCte
+         |SELECT cluster, vec_id FROM (
+         | SELECT cluster, vec_id,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster
+         |    ORDER BY md5(CAST(cluster AS VARCHAR) || ':' ||
+         |                 CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         | FROM kassign)
+         |WHERE rk <= 20 ORDER BY cluster, vec_id""".stripMargin,
 
     "x_chunk" ->
       """WITH toks AS (

@@ -624,6 +624,121 @@ object Similarity {
     Dedup.dropNearDuplicates(df, idCol, pairs)
   }
 
+  /** Deterministic spherical k-means over an embedding column with
+    * CROSS-ENGINE-EXACT arithmetic — clustering as a first-class corpus
+    * operator (topic balancing, diversity-aware selection, cluster-level
+    * curation stats), not just the internal IVF quantizer
+    * ([[refineCentroids]], whose double `avg` is order-sensitive and
+    * therefore fine for candidate generation but not for oracled
+    * cluster ids).
+    *
+    * Determinism recipe (the [[principalComponent]] /
+    * [[graft.functions.Corpus.trainLinearProbe]] discipline):
+    *  - seeds = the `k` vectors with the SMALLEST ids, unit-normalized —
+    *    no RNG, no engine-specific hash, reproducible from the data alone;
+    *  - assignment = argmax over exact-decimal dots ([[dotExact]]),
+    *    ties to the smaller cluster id;
+    *  - recenter = per-(cluster, dim) mean of NORM-SCALED components
+    *    (spherical k-means' normalized mean), summed in DECIMAL(30,15)
+    *    (order-independent), divided once in double, rounded to 9
+    *    decimals; empty clusters keep their previous centroid;
+    *  - each new centroid is re-unit-normalized (exact-decimal norm) and
+    *    rounded to 9 decimals — so every round's centroids are short
+    *    decimal literals any engine reproduces bit-for-bit.
+    *
+    * Scale shape: per round, one MAP-ONLY assignment pass (k·dim literal
+    * dots inside the scan projection — no shuffle) plus one aggregation
+    * whose exchange is the map-side-combined (cluster, dim) grid — k×dim
+    * decimal partials per partition, independent of corpus size. Driver
+    * state is the k×dim centroid table, same contract as the
+    * codebook/gradient collects. Zero-norm and null vectors are dropped
+    * (they have no direction to cluster).
+    *
+    * @return (idCol, cluster, cos_to_centroid) — cluster 0-based in
+    *         seed-id order, cosine exact-decimal and rounded 9
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, rounds: Int): DataFrame = {
+    val cents = kmeansTrain(df, idCol, vecCol, k, rounds)
+    val v = col(vecCol)
+    val centLit = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+    // project the cluster id ONCE, then score against the selected
+    // centroid — referencing the argmax expression twice would pay the
+    // k exact-dot kernel twice per row
+    df.where(v.isNotNull && norm2Exact(v) > 0.0)
+      .select(col(idCol), v.as("__v"),
+        kmeansClusterExpr(v, cents).as("cluster"))
+      .select(col(idCol), col("cluster"),
+        round(cosineExact(col("__v"),
+          element_at(centLit, col("cluster") + 1)), 9)
+          .as("cos_to_centroid"))
+  }
+
+  /** The trained [[kmeansAssign]] centroid table (k × dim doubles,
+    * unit-norm, rounded 9) — exposed so downstream stages (balanced
+    * sampling, per-cluster stats, cluster-pruned search) can reuse one
+    * training run.
+    */
+  def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, rounds: Int): Array[Array[Double]] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 0, s"negative rounds: $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(vecCol)
+    val vecs = df.where(v.isNotNull && norm2Exact(v) > 0.0)
+    // engine-side unitization (transform + round) so the decimal-exact
+    // norm and ROUND semantics are the engine's own, not a driver re-
+    // implementation that could round differently
+    val seedRows = vecs.orderBy(col(idCol)).limit(k)
+      .select(col(idCol),
+        transform(v, x =>
+          round(x.cast("double") / sqrt(norm2Exact(v)), 9)).as("c"))
+      .orderBy(col(idCol))
+      .collect()
+    var cents: Array[Array[Double]] =
+      seedRows.map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to rounds) {
+      // pre-project cluster + norm BEFORE the explode: a projection in
+      // the same select as a generator is re-evaluated per OUTPUT row,
+      // so inlining the k-dot argmax there would pay it dim× per vector
+      // (measured 6-10× slower at dim 64)
+      val means = vecs
+        .select(kmeansClusterExpr(v, cents).as("__c"),
+          sqrt(norm2Exact(v)).as("__n"), v.as("__v"))
+        .select(col("__c"), col("__n"),
+          posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("__c"), col("pos"))
+        .agg(round(
+          sum((col("x").cast("double") / col("__n"))
+            .cast(DecimalType(30, 15))).cast("double") /
+            count(lit(1)).cast("double"), 9).as("m"))
+        .collect()
+      val next = cents.map(_.clone) // empty clusters keep their centroid
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // re-unit-normalize through a tiny engine frame (k rows)
+      val normed = spark
+        .createDataset(next.toIndexedSeq.zipWithIndex.map {
+          case (m, c) => (c, m.toSeq)
+        })
+        .toDF("c", "m")
+        .select(col("c"), transform(col("m"), x =>
+          round(x / sqrt(norm2Exact(col("m"))), 9)).as("u"))
+        .orderBy("c").collect()
+      cents = normed.map(_.getSeq[Double](1).toArray)
+    }
+    cents
+  }
+
+  /** Argmax-of-exact-dots cluster id against literal centroids, ties to
+    * the smaller index (array_position returns the FIRST match).
+    */
+  private def kmeansClusterExpr(v: Column,
+                                cents: Array[Array[Double]]): Column = {
+    val dots = array(cents.map(c => dotExact(v, array(c.map(lit(_)): _*))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× storage/bandwidth cut before ANN indexing. Per vector:
     * `scale = 127 / max|v_i|`, `q_i = round(v_i · scale)` ∈ [−127, 127]

@@ -859,4 +859,51 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
     for (d <- 0 until 3) assert(single(d) == out((0, d)))
   }
+
+  test("kmeansAssign: separates planted directions; null/zero dropped; " +
+    "repartition-invariant") {
+    import spark.implicits._
+    // two tight direction bundles + noise-free members, a null and a zero
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f, 0f),
+      3L -> Seq(0.95f, 0.05f, 0f, 0f),
+      4L -> Seq(0f, 0f, 1f, 0f), 5L -> Seq(0f, 0.1f, 0.9f, 0f),
+      6L -> Seq(0f, 0.05f, 0.95f, 0f),
+      7L -> null, 8L -> Seq(0f, 0f, 0f, 0f))
+    val df = rows.toDF("id", "v")
+    val out = Similarity.kmeansAssign(df, "id", "v", k = 2, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // null and zero vectors dropped, everyone else assigned
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // the two bundles land in different clusters (seeds = ids 1 and 2,
+    // round 1 pulls centroid 1 to the second bundle)
+    assert(byCluster.values.toSet ==
+      Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L)))
+    // cosine to own centroid is high and within [-1, 1]
+    assert(out.forall(t => t._3 > 0.9 && t._3 <= 1.0))
+    // identical output under a different physical partitioning — the
+    // decimal-exact discipline makes clustering layout-independent
+    val re = Similarity.kmeansAssign(df.repartition(7), "id", "v", 2, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
+  test("kmeansTrain: k beyond distinct members keeps empty clusters at " +
+    "their seed; centroids stay unit-norm") {
+    import spark.implicits._
+    val df = Seq(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0f, 0.99f, 0.01f, 0f)).toDF("id", "v")
+    val cents = Similarity.kmeansTrain(df, "id", "v", k = 3, rounds = 2)
+    assert(cents.length == 3 && cents.forall(_.length == 4))
+    // every centroid unit-norm to round-9 tolerance
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6, s"non-unit centroid: ${c.toSeq}")
+    }
+    // cluster 0's seed direction (dim 0) has exactly one member, and it
+    // stays there; empty-cluster carry never produces NaN
+    assert(cents.forall(_.forall(x => !x.isNaN)))
+  }
 }
