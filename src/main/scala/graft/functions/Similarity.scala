@@ -189,9 +189,13 @@ object Similarity {
     var cents = seeds.map(unit)
     val nrm = sqrt(graft.plans.HashExpressions.dotF(col(vecCol), col(vecCol)))
     for (_ <- 1 to iters) {
+      // norm pre-projected BELOW the explode: an expression inlined in a
+      // generator select is re-evaluated per OUTPUT row — dim× the dot
+      // kernel per vector (the kmeansTrain lesson)
       val means = df
         .withColumn("__b", graft.plans.HashExpressions.argMaxDot(col(vecCol), cents.flatten, dim))
-        .select(col("__b"), nrm.as("n"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .withColumn("__n", nrm)
+        .select(col("__b"), col("__n").as("n"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("__b", "pos").agg(avg(col("x") / col("n")).as("m"))
         .collect()
       val next = cents.map(_.clone)
