@@ -724,6 +724,15 @@ object SparkEntry {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(100)),
 
+    // Sparse lexical retrieval: TF-IDF cosine top-k through an inverted
+    // index on bigram-shingle hashes (unigrams are non-selective on this
+    // fixture's 31-word vocabulary); df-pruning bounds every posting
+    // list, and the query-side postings broadcast into the index join.
+    "x_tfidf_topk" -> ((s, dir) =>
+      Corpus.tfidfTopK(t(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 101 === 0, k = 10, ngram = 2, maxDfRatio = 0.5)
+        .orderBy("query_id", "rank")),
+
     // Unigram LM perplexity signal: the corpus trains its own token
     // distribution and every doc scores its per-token −ln p under it —
     // one query, two hash-keyed shuffles, corpus total broadcast.
@@ -2688,6 +2697,50 @@ object SparkEntry {
         | ROUND(CAST(SUM(CAST(s AS DECIMAL(30,15))) AS DOUBLE), 9) AS bm25
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Groups by the bigram STRING where the engine groups by the 8-byte
+    // gram hash — identical tf/df absent a 64-bit collision (the
+    // x_perplexity convention). Every ln input is an integral double
+    // (a count); products cast to DECIMAL before summation; the final
+    // divide and ROUND(…, 9) mirror the engine expression exactly.
+    "x_tfidf_topk" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+        |   i -> list_extract(tok, i) || ' ' || list_extract(tok, i + 1))) AS gram
+        | FROM toks),
+        |tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |keptf AS (
+        | SELECT gram, df, n
+        | FROM (SELECT gram, COUNT(*) AS df FROM tf GROUP BY 1) CROSS JOIN nd
+        | WHERE CAST(df AS DOUBLE) <= 0.5 * CAST(n AS DOUBLE)),
+        |posting AS (
+        | SELECT doc_id, gram,
+        |  CAST(tf AS DOUBLE) * (LN(CAST(n AS DOUBLE)) - LN(CAST(df AS DOUBLE))) AS w
+        | FROM tf JOIN keptf USING (gram)),
+        |norms AS (
+        | SELECT doc_id, SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+        | FROM posting GROUP BY 1),
+        |dots AS (
+        | SELECT q.doc_id AS query_id, p.doc_id AS doc_id,
+        |  CAST(SUM(CAST(q.w * p.w AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        | FROM posting p JOIN posting q USING (gram)
+        | WHERE q.doc_id % 101 = 0 AND p.doc_id <> q.doc_id
+        | GROUP BY 1, 2),
+        |rk AS (
+        | SELECT query_id, doc_id, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+        | FROM (SELECT query_id, d.doc_id, ROUND(dot / (qn.nrm * dn.nrm), 9) AS cos
+        |       FROM dots d
+        |       JOIN norms qn ON qn.doc_id = d.query_id
+        |       JOIN norms dn ON dn.doc_id = d.doc_id))
+        |SELECT query_id, doc_id, cos, rank FROM rk WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // Groups by the token STRING where the engine groups by xxhash64 —
     // identical counts absent a 64-bit collision. ln only ever sees

@@ -120,6 +120,96 @@ object Corpus {
       .select(id, round(col("bm25raw"), 9).as("bm25"))
   }
 
+  /** Sparse lexical top-k retrieval: for every query document, its `k`
+    * most TF-IDF-cosine-similar corpus documents, with candidate
+    * generation through an inverted index — the sparse counterpart of the
+    * dense ANN family ([[graft.functions.Similarity.knnJoin]]), and the
+    * standard shape for decontamination review, near-dup triage and
+    * lexical RAG-style indexing over a crawl.
+    *
+    * Terms are `ngram`-token shingles keyed by their 8-byte hash
+    * ([[graft.plans.HashExpressions.ngramHashesAll]] — bodies never
+    * shuffle); weights are `tf · (ln N − ln df)` with both `ln` inputs
+    * integral doubles (counts — the cross-engine-exactness rule of
+    * [[unigramNll]]); per-pair dot products and per-doc norms accumulate
+    * products in DECIMAL so partial-aggregation order cannot flip bits.
+    * Terms with `df > maxDfRatio · N` are pruned — simultaneously the
+    * stopword cut and THE scale lever: it bounds every posting list, so
+    * candidate generation degrades gracefully instead of degenerating to
+    * all-pairs on boilerplate-heavy corpora (`maxDfRatio < 1` is required:
+    * it also guarantees every kept term has `idf > 0`, making norms
+    * strictly positive — no 0/0 cosine can reach the engine-vs-oracle
+    * divide).
+    *
+    * Capability target: retrieval a user of the reference engine would
+    * hand-roll as tokenize/score `Map` closures plus a `Reduce` rollup
+    * (reference operations/transform/map.go:25-35, reduce.go:16-44) —
+    * here one declarative plan with a real inverted-index join.
+    *
+    * Shuffle profile: token instances collapse map-side to
+    * `(doc, gram-hash, tf)` before the first exchange; `df` aggregates
+    * 8-byte hashes; the doc-frequency table joins back hash-keyed
+    * (vocabulary-sized — NOT broadcast, n-gram vocabularies outgrow the
+    * driver at crawl scale); the query-side postings (q · doc-terms rows)
+    * broadcast into the inverted-index equi-join on the gram hash, whose
+    * output is bounded by Σ_term df_q(t)·df(t) ≤ q·terms·(maxDfRatio·N)
+    * — never all-pairs; per-(query, doc) partials combine map-side; the
+    * final top-k is a rank-truncated window (WindowGroupLimit partial
+    * heaps, the [[graft.functions.Similarity.knnJoinBlocked]] shape).
+    * Docs with fewer than `ngram` tokens have no shingles and drop out of
+    * both sides by construction.
+    *
+    * @param isQuery boolean column marking the query documents
+    * @return (query_id, doc_id, cos, rank), rank 1..k per query by
+    *   (cos desc, doc_id); self-pairs excluded
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                isQuery: Column, k: Int, ngram: Int = 2,
+                maxDfRatio: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(ngram >= 1, s"ngram must be positive: $ngram")
+    require(maxDfRatio > 0.0 && maxDfRatio < 1.0,
+      s"maxDfRatio must be in (0, 1): $maxDfRatio")
+    val id = col(idCol)
+    val tf = df
+      .select(id.cast("long").as("__id"), isQuery.cast("boolean").as("__q"),
+        graft.plans.HashExpressions
+          .ngramHashesAll(TextFunctions.tokens(col(textCol)), ngram).as("__g"))
+      .select(col("__id"), col("__q"), explode(col("__g")).as("__th"))
+      .groupBy("__id", "__q", "__th").agg(count(lit(1)).as("__tf"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val kept = tf.groupBy("__th").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("__df").cast("double") <=
+        lit(maxDfRatio) * col("__n").cast("double"))
+    val posting = tf.join(kept, "__th")
+      .select(col("__id"), col("__q"), col("__th"),
+        (col("__tf").cast("double") *
+          (log(col("__n").cast("double")) - log(col("__df").cast("double"))))
+          .as("__w"))
+    val norms = posting.groupBy("__id").agg(
+      sqrt(sum((col("__w") * col("__w")).cast(DecimalType(30, 15)))
+        .cast("double")).as("__nrm"))
+    val qp = posting.where(col("__q"))
+      .select(col("__id").as("__qid"), col("__th"), col("__w").as("__qw"))
+    val dots = posting.join(broadcast(qp), Seq("__th"))
+      .where(col("__id") =!= col("__qid"))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(sum((col("__qw") * col("__w")).cast(DecimalType(30, 15)))
+        .cast("double").as("__dot"))
+    val qn = norms.select(col("__id").as("__qid"), col("__nrm").as("__qn"))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("cos").desc, col("__id"))
+    dots
+      .join(norms, "__id")
+      .join(broadcast(qn), "__qid")
+      .select(col("__qid"), col("__id"),
+        round(col("__dot") / (col("__qn") * col("__nrm")), 9).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("__id").as("doc_id"),
+        col("cos"), col("rank"))
+  }
+
   /** Unigram LM negative log-likelihood of every document under the
     * corpus's own token distribution — the CCNet-style perplexity quality
     * signal (a doc whose tokens are globally rare scores high; boilerplate

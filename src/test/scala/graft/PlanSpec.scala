@@ -29,6 +29,28 @@ class PlanSpec extends SparkSpec {
     assert(plan("r_join").contains("BroadcastHashJoin"))
   }
 
+  test("x_tfidf_topk: inverted-index equi-join candidates, WindowGroupLimit top-k") {
+    val p = plan("x_tfidf_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"tfidf retrieval fell back to all-pairs:\n$p")
+    // the only nested loops allowed are the 1-row corpus-count stat
+    // broadcasts (`crossJoin(broadcast(nDocs))`, the bm25 shape): one per
+    // replay of the posting lineage in the diamond (posting ×2 / norms /
+    // qn — identical subtrees AQE collapses via ReusedExchange at run
+    // time). Each is a Cross build of a single-row IdentityBroadcastMode;
+    // a data×data fallback would be an Inner/condition-free BNLJ.
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 4,
+      s"unexpected nested loop in tfidf retrieval:\n$p")
+    // candidate generation must be the hash equi-join on the gram hash
+    assert(p.contains("BroadcastHashJoin [__th"),
+      s"inverted-index join is not a hash equi-join:\n$p")
+    // the rank <= k filter over the per-query window must stay partial +
+    // final top-k heaps, never a full scored-candidate sort+shuffle
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"tfidf top-k lost the per-partition heap:\n$p")
+  }
+
   test("dedup/ANN candidate generation is equi-join-sized (no nested loop)") {
     Seq("x_simhash", "x_minhash_neardup", "x_lsh_ann", "x_ngram_jaccard",
         "x_embed_neardup", "x_fuzzy_join")

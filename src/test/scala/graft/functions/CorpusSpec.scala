@@ -60,6 +60,59 @@ class CorpusSpec extends SparkSpec {
     assert(out(4L) > 0.0)
   }
 
+  private lazy val retrievalDocs = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "common alpha beta gamma"),
+        Row(2L, "common alpha beta gamma"),
+        Row(3L, "common alpha beta delta"),
+        Row(4L, "common epsilon zeta eta"),
+        Row(5L, "x"))),
+      schema)
+  }
+
+  test("tfidfTopK: identical doc ranks first at cos 1.0; df-pruned terms generate no candidates") {
+    val out = Corpus.tfidfTopK(retrievalDocs, "id", "text",
+      col("id") === 1, k = 10, ngram = 1, maxDfRatio = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // "common" has df = 4 of 5 docs > 0.7·5 → pruned: doc 4 shares ONLY the
+    // pruned term, so the inverted index never pairs it with the query;
+    // doc 5 shares nothing; the query never retrieves itself.
+    assert(out.map(_._2).toSet == Set(2L, 3L))
+    val byRank = out.sortBy(_._4)
+    assert(byRank.head == ((1L, 2L, 1.0, 1L))) // identical kept-term vector
+    assert(byRank(1)._2 == 3L && byRank(1)._3 > 0.0 && byRank(1)._3 < 1.0)
+  }
+
+  test("tfidfTopK is repartition-invariant") {
+    val a = Corpus.tfidfTopK(retrievalDocs, "id", "text",
+      col("id") === 1, k = 10, ngram = 1, maxDfRatio = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val b = Corpus.tfidfTopK(retrievalDocs.repartition(7), "id", "text",
+      col("id") === 1, k = 10, ngram = 1, maxDfRatio = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("tfidfTopK: docs below the shingle width drop out of both sides") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a b c"), Row(2L, "a b c"), Row(3L, "c"))),
+      schema)
+    val out = Corpus.tfidfTopK(d, "id", "text", col("id") === 1,
+      k = 5, ngram = 2, maxDfRatio = 0.9)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((2L, 1.0))) // doc 3 has no bigrams
+    intercept[IllegalArgumentException] {
+      Corpus.tfidfTopK(d, "id", "text", col("id") === 1, k = 5,
+        ngram = 1, maxDfRatio = 1.0)
+    }
+  }
+
   test("hashStratifiedSample is deterministic and respects per-stratum rates") {
     val base = spark.range(0, 2000).select(
       col("id"), when(col("id") % 2 === 0, "en").otherwise("xx").as("lang"))
