@@ -733,6 +733,20 @@ object SparkEntry {
         col("doc_id") % 101 === 0, k = 10, ngram = 2, maxDfRatio = 0.5)
         .orderBy("query_id", "rank")),
 
+    // Hybrid-retrieval fusion: RRF over two shingle widths of the sparse
+    // ranker — rank-based, so incomparable score scales fuse without
+    // calibration, and the fusion stage itself moves only top-k-sized
+    // lists (the cost lives in the upstream rankers).
+    "x_rrf_fuse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isQ = col("doc_id") % 101 === 0
+      Corpus.rrfFuse(Seq(
+        Corpus.tfidfTopK(docs, "doc_id", "text", isQ, k = 10, ngram = 2),
+        Corpus.tfidfTopK(docs, "doc_id", "text", isQ, k = 10, ngram = 3)),
+        k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Unigram LM perplexity signal: the corpus trains its own token
     // distribution and every doc scores its per-token −ln p under it —
     // one query, two hash-keyed shuffles, corpus total broadcast.
@@ -1877,6 +1891,59 @@ object SparkEntry {
     * (whitespace tokens; docs shorter than one gram collapse to a single
     * whole-text gram).
     */
+  /** Shared base CTEs for the TF-IDF retrieval oracles: whitespace
+    * tokens (the engine's `TextFunctions.tokens` contract) + corpus doc
+    * count. */
+  private val tfidfBaseCte: String =
+    """toks AS (
+      | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+      |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+      | FROM documents),
+      |nd AS (SELECT COUNT(*) AS n FROM documents)""".stripMargin
+
+  /** TF-IDF top-k retrieval oracle chain for one shingle width `n`,
+    * CTE-prefixed with `p` so several widths can coexist in one query
+    * (the RRF fusion oracle). Groups by the gram STRING where the engine
+    * groups by the 8-byte hash — identical tf/df absent a collision; the
+    * arithmetic mirrors `Corpus.tfidfTopK` op-for-op. Ends with `<p>rk`:
+    * (query_id, doc_id, cos, rank). */
+  private def tfidfRkCte(n: Int, p: String, maxDfRatio: Double = 0.5,
+                         qmod: Int = 101): String = {
+    val gramExpr = (0 until n).map(j => s"list_extract(tok, i + $j)")
+      .mkString(" || ' ' || ")
+    val hi = if (n == 2) "len(tok)" else s"len(tok) - ${n - 2}"
+    s"""${p}grams AS (
+       | SELECT doc_id, unnest(list_transform(range(1, $hi),
+       |   i -> $gramExpr)) AS gram
+       | FROM toks),
+       |${p}tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM ${p}grams GROUP BY 1, 2),
+       |${p}keptf AS (
+       | SELECT gram, df, n
+       | FROM (SELECT gram, COUNT(*) AS df FROM ${p}tf GROUP BY 1) CROSS JOIN nd
+       | WHERE CAST(df AS DOUBLE) <= $maxDfRatio * CAST(n AS DOUBLE)),
+       |${p}posting AS (
+       | SELECT doc_id, gram,
+       |  CAST(tf AS DOUBLE) * (LN(CAST(n AS DOUBLE)) - LN(CAST(df AS DOUBLE))) AS w
+       | FROM ${p}tf JOIN ${p}keptf USING (gram)),
+       |${p}norms AS (
+       | SELECT doc_id, SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+       | FROM ${p}posting GROUP BY 1),
+       |${p}dots AS (
+       | SELECT q.doc_id AS query_id, p.doc_id AS doc_id,
+       |  CAST(SUM(CAST(q.w * p.w AS DECIMAL(30,15))) AS DOUBLE) AS dot
+       | FROM ${p}posting p JOIN ${p}posting q USING (gram)
+       | WHERE q.doc_id % $qmod = 0 AND p.doc_id <> q.doc_id
+       | GROUP BY 1, 2),
+       |${p}rk AS (
+       | SELECT query_id, doc_id, cos,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+       | FROM (SELECT query_id, d.doc_id, ROUND(dot / (qn.nrm * dn.nrm), 9) AS cos
+       |       FROM ${p}dots d
+       |       JOIN ${p}norms qn ON qn.doc_id = d.query_id
+       |       JOIN ${p}norms dn ON dn.doc_id = d.doc_id))""".stripMargin
+  }
+
   private def ngramPairsCte(minJaccard: Double,
                             from: String = "documents"): String =
     raw"""toks AS (
@@ -2704,42 +2771,33 @@ object SparkEntry {
     // (a count); products cast to DECIMAL before summation; the final
     // divide and ROUND(…, 9) mirror the engine expression exactly.
     "x_tfidf_topk" ->
-      """WITH toks AS (
-        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
-        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
-        | FROM documents),
-        |grams AS (
-        | SELECT doc_id, unnest(list_transform(range(1, len(tok)),
-        |   i -> list_extract(tok, i) || ' ' || list_extract(tok, i + 1))) AS gram
-        | FROM toks),
-        |tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
-        |nd AS (SELECT COUNT(*) AS n FROM documents),
-        |keptf AS (
-        | SELECT gram, df, n
-        | FROM (SELECT gram, COUNT(*) AS df FROM tf GROUP BY 1) CROSS JOIN nd
-        | WHERE CAST(df AS DOUBLE) <= 0.5 * CAST(n AS DOUBLE)),
-        |posting AS (
-        | SELECT doc_id, gram,
-        |  CAST(tf AS DOUBLE) * (LN(CAST(n AS DOUBLE)) - LN(CAST(df AS DOUBLE))) AS w
-        | FROM tf JOIN keptf USING (gram)),
-        |norms AS (
-        | SELECT doc_id, SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
-        | FROM posting GROUP BY 1),
-        |dots AS (
-        | SELECT q.doc_id AS query_id, p.doc_id AS doc_id,
-        |  CAST(SUM(CAST(q.w * p.w AS DECIMAL(30,15))) AS DOUBLE) AS dot
-        | FROM posting p JOIN posting q USING (gram)
-        | WHERE q.doc_id % 101 = 0 AND p.doc_id <> q.doc_id
-        | GROUP BY 1, 2),
-        |rk AS (
-        | SELECT query_id, doc_id, cos,
+      s"""WITH $tfidfBaseCte,
+        |${tfidfRkCte(2, "g2")}
+        |SELECT query_id, doc_id, cos, rank FROM g2rk WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Fusion itself is pure rank arithmetic: each contribution is one
+    // double divide of integral doubles; contributions accumulate in
+    // DECIMAL (the engine's discipline) so union order cannot flip bits.
+    "x_rrf_fuse" ->
+      s"""WITH $tfidfBaseCte,
+        |${tfidfRkCte(2, "g2")},
+        |${tfidfRkCte(3, "g3")},
+        |u AS (
+        | SELECT query_id, doc_id,
+        |  CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)) AS contrib
+        | FROM g2rk WHERE rank <= 10
+        | UNION ALL
+        | SELECT query_id, doc_id,
+        |  CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)) AS contrib
+        | FROM g3rk WHERE rank <= 10),
+        |f AS (SELECT query_id, doc_id,
+        |  CAST(SUM(CAST(contrib AS DECIMAL(30,15))) AS DOUBLE) AS rrf
+        | FROM u GROUP BY 1, 2),
+        |frk AS (SELECT query_id, doc_id, rrf,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
-        | FROM (SELECT query_id, d.doc_id, ROUND(dot / (qn.nrm * dn.nrm), 9) AS cos
-        |       FROM dots d
-        |       JOIN norms qn ON qn.doc_id = d.query_id
-        |       JOIN norms dn ON dn.doc_id = d.doc_id))
-        |SELECT query_id, doc_id, cos, rank FROM rk WHERE rank <= 10
+        |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank FROM f)
+        |SELECT query_id, doc_id, rrf, rank FROM frk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
     // Groups by the token STRING where the engine groups by xxhash64 —

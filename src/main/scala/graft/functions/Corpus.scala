@@ -210,6 +210,49 @@ object Corpus {
         col("cos"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked retrieval
+    * lists: each list contributes `1/(c + rank)` per (query, doc) and the
+    * fused score is the sum — the standard hybrid-retrieval combiner
+    * (sparse [[tfidfTopK]] + dense [[graft.functions.Similarity.knnJoin]]
+    * lists, or multiple shingle widths of the same ranker). Rank-based,
+    * so incomparable score scales fuse without calibration.
+    *
+    * Determinism: each contribution is ONE double divide of
+    * integral-valued doubles (identical across engines); contributions
+    * accumulate in DECIMAL so list order and shuffle order cannot flip
+    * bits; ties break by doc_id.
+    *
+    * Shuffle profile: input lists are already top-k-sized (q·k rows
+    * each), so the union + (query, doc) aggregation moves L·q·k tiny
+    * rows with map-side partials; the final per-query top-k is a
+    * rank-truncated window (WindowGroupLimit heaps). Nothing here is
+    * data-sized — the expensive part is the upstream rankers.
+    *
+    * @param lists ranked lists, each with (query_id, doc_id, rank)
+    * @param k     fused neighbors kept per query
+    * @param c     RRF damping constant (60 in the original paper)
+    * @return (query_id, doc_id, rrf, rank), rank 1..k per query by
+    *   (rrf desc, doc_id)
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one list")
+    require(k >= 1, s"k must be positive: $k")
+    require(c >= 0, s"c must be non-negative: $c")
+    val tagged = lists.map(_.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      (lit(1.0) / (lit(c).cast("double") + col("rank").cast("double")))
+        .as("__contrib")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    tagged.reduce(_ union _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__contrib").cast(DecimalType(30, 15)))
+        .cast("double").as("rrf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Unigram LM negative log-likelihood of every document under the
     * corpus's own token distribution — the CCNet-style perplexity quality
     * signal (a doc whose tokens are globally rare scores high; boilerplate

@@ -113,6 +113,25 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: shared docs outrank single-list docs, ties break by doc_id") {
+    val schema = StructType(Seq(
+      StructField("query_id", LongType), StructField("doc_id", LongType),
+      StructField("rank", LongType)))
+    def list(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3))), schema)
+    val a = list(Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L)))
+    val b = list(Seq((1L, 11L, 1L), (1L, 12L, 2L), (2L, 21L, 1L)))
+    val out = Corpus.rrfFuse(Seq(a, b), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    // q1: doc 11 appears in both lists (1/61 + 1/62) > doc 10 (1/61) > doc 12 (1/62)
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq(11L, 10L, 12L))
+    // q2: docs 20 and 21 tie at 1/61 — doc_id breaks the tie
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq == Seq(20L, 21L))
+    val q2 = out.filter(_._1 == 2L)
+    assert(q2(0)._3 == q2(1)._3)
+  }
+
   test("hashStratifiedSample is deterministic and respects per-stratum rates") {
     val base = spark.range(0, 2000).select(
       col("id"), when(col("id") % 2 === 0, "en").otherwise("xx").as("lang"))
