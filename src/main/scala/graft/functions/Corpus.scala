@@ -318,24 +318,21 @@ object Corpus {
     */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
-    val txt = coalesce(col(textCol), lit(""))
-    // sequence guard: sequence(1, 0) counts DOWN in Spark, so an empty
-    // doc must short-circuit to an empty array, not [1, 0]
-    val chars = df.select(id,
-      explode(when(length(txt) >= 1,
-          transform(sequence(lit(1), length(txt)), i => txt.substr(i, lit(1))))
-        .otherwise(array().cast("array<string>"))).as("__c"))
-    val cnt = chars.groupBy(id, col("__c")).agg(count(lit(1)).as("__k"))
-    val agg = cnt.groupBy(id).agg(
-      sum(col("__k")).as("__n"),
-      sum((col("__k").cast("double") * log(col("__k").cast("double")))
-        .cast(DecimalType(30, 15))).cast("double").as("__s"))
-    df.select(id)
-      .join(agg, Seq(idCol), "left")
+    // ONE codegen'd map pass: the kernel builds the per-doc code-point
+    // counts and the decimal-accumulated Σ k·ln k in row-local memory
+    // (CharEntropyStats documents the bit-parity contract with the
+    // relational explode+groupBy chain this replaced — the DuckDB oracle
+    // is unchanged and still hash-matches). Zero shuffles at any scale;
+    // the former shape exchanged one row per character.
+    val st = graft.plans.HashExpressions
+      .charEntropyStats(coalesce(col(textCol), lit("")))
+    df.select(id, st.as("__st"))
       .select(id,
-        coalesce(col("__n"), lit(0L)).as("n_chars"),
-        round(log(col("__n").cast("double")) -
-          col("__s") / col("__n").cast("double"), 9).as("char_entropy"))
+        col("__st.n").as("n_chars"),
+        // __st.s is null exactly when n = 0 — entropy stays null for
+        // empty docs, the left-join contract of the old formulation
+        round(log(col("__st.n").cast("double")) -
+          col("__st.s") / col("__st.n").cast("double"), 9).as("char_entropy"))
   }
 
   /** `ln 0.4` as an exact double literal. The Stupid-Backoff discount is

@@ -746,7 +746,73 @@ case class DotProductExactF(left: Expression, right: Expression)
   override def prettyName: String = "dot_exact_f"
 }
 
+/** Per-document character-entropy statistics in ONE map-side pass:
+  * `struct(n: total code points, s: Σ_c decimal15(k_c · ln k_c) as
+  * double)`. Replaces the per-codepoint explode + (id, char) shuffle
+  * formulation of `Corpus.charEntropy` — at crawl scale that exchanged
+  * one row per character; this kernel exchanges nothing.
+  *
+  * Bit-parity contract with the relational chain it replaces (and the
+  * DuckDB oracle): `ln` is `StrictMath.log` (what Spark's `log()`
+  * compiles to), each `k·ln k` product is one double multiply, each
+  * product rounds to DECIMAL(_,15) via HALF_UP (Spark's
+  * `Cast(double→decimal)` semantics) and the rounded terms sum exactly —
+  * so summation order is irrelevant and the result matches
+  * `sum(cast(k*ln(k) as decimal(30,15)))` bit for bit. Characters are
+  * Unicode code points, matching `length()`/`substr()`.
+  * Empty input → (0, null).
+  */
+case class CharEntropyStats(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s", DoubleType, nullable = true)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.catalogString}")
+    }
+  def kernel(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, java.lang.Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      val boxed = Integer.valueOf(cp)
+      val prev = counts.get(boxed)
+      counts.put(boxed, if (prev == null) 1L else prev + 1L)
+      n += 1
+    }
+    if (n == 0L)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, null))
+    var sum = java.math.BigDecimal.ZERO.setScale(15)
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val k = it.next().longValue()
+      val prod = k.toDouble * StrictMath.log(k.toDouble)
+      sum = sum.add(java.math.BigDecimal.valueOf(prod)
+        .setScale(15, java.math.RoundingMode.HALF_UP))
+      if (sum.precision > 30)
+        throw new ArithmeticException(
+          s"$prettyName: running sum $sum cannot be represented as Decimal(30, 15)")
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, sum.doubleValue))
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
+    copy(child = newChild)
+  override def prettyName: String = "char_entropy_stats"
+}
+
 object HashExpressions {
+  def charEntropyStats(text: Column): Column =
+    ColumnBridge.column(CharEntropyStats(ColumnBridge.expression(text)))
   def minhashSignature(grams: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(grams), numHashes))
   def simhash64(tokens: Column): Column =
