@@ -735,13 +735,19 @@ object Similarity {
   }
 
   /** Argmax-of-exact-dots cluster id against literal centroids, ties to
-    * the smaller index (array_position returns the FIRST match).
+    * the smaller index. One fused two-phase kernel
+    * ([[graft.plans.ArgMaxDotExact]]): double dots decide when the winner
+    * leads by more than the error bound; near-ties recompute with the
+    * decimal pipeline — bit-identical to the k-column
+    * `array_position(dots, array_max(dots)) - 1` composition this
+    * replaced (which paid k·dim BigDecimal ops per row unconditionally),
+    * and still matching the DuckDB oracle's unrolled decimal dots on
+    * ties.
     */
   private def kmeansClusterExpr(v: Column,
-                                cents: Array[Array[Double]]): Column = {
-    val dots = array(cents.map(c => dotExact(v, array(c.map(lit(_)): _*))): _*)
-    (array_position(dots, array_max(dots)) - 1).cast("int")
-  }
+                                cents: Array[Array[Double]]): Column =
+    if (cents.isEmpty) lit(null).cast("int") // empty corpus → no clusters
+    else graft.plans.HashExpressions.argMaxDotExact(v, cents.flatten, cents.head.length)
 
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× storage/bandwidth cut before ANN indexing. Per vector:

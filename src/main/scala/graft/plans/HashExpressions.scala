@@ -746,6 +746,107 @@ case class DotProductExactF(left: Expression, right: Expression)
   override def prettyName: String = "dot_exact_f"
 }
 
+/** Exact-decimal argmax over a centroid table, two-phase: the k dots run
+  * in plain doubles first; when the winner's lead over the runner-up
+  * exceeds a scale-aware error bound, the double argmax IS the decimal
+  * argmax (and no decimal tie is possible), so the expensive pipeline is
+  * skipped. Only near-ties (or non-finite dots) recompute every dot with
+  * the DotProductExactF discipline — per-term HALF_UP rounding to 15
+  * decimals, exact summation, `.doubleValue` — and take the first
+  * maximum, reproducing `array_position(dots, array_max(dots)) - 1` over
+  * k [[DotProductExactF]] columns bit-for-bit at a fraction of the cost
+  * (the composed form paid k·dim BigDecimal ops per row unconditionally).
+  *
+  * Same cross-engine contract as the composed form: the k-means oracle
+  * unrolls the identical decimal dots in DuckDB and the assignment must
+  * match on ties and near-ties — which is exactly when this kernel falls
+  * back to the decimal path.
+  */
+case class ArgMaxDotExact(child: Expression, flatCentroids: Array[Double], dim: Int)
+    extends UnaryExpression {
+  require(dim >= 1 && flatCentroids.length % dim == 0,
+    "centroid table not rectangular")
+  private val nCentroids = flatCentroids.length / dim
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.arrayOf(FloatType, child.dataType, prettyName)
+  private def exactDot(arr: ArrayData, c: Int): Double = {
+    var sum = java.math.BigDecimal.ZERO.setScale(15)
+    val off = c * dim
+    var d = 0
+    while (d < dim) {
+      val prod = arr.getFloat(d).toDouble * flatCentroids(off + d)
+      if (java.lang.Double.isNaN(prod) || java.lang.Double.isInfinite(prod))
+        throw new ArithmeticException(
+          s"$prettyName: non-finite product $prod cannot be represented as Decimal(30, 15)")
+      sum = sum.add(java.math.BigDecimal.valueOf(prod)
+        .setScale(15, java.math.RoundingMode.HALF_UP))
+      if (sum.precision > 30)
+        throw new ArithmeticException(
+          s"$prettyName: running sum $sum cannot be represented as Decimal(30, 15)")
+      d += 1
+    }
+    sum.doubleValue
+  }
+  def kernel(arr: ArrayData): java.lang.Integer = {
+    if (arr.numElements() != dim) return null
+    var i = 0
+    while (i < dim) { if (arr.isNullAt(i)) return null; i += 1 }
+    var best = 0
+    var bestV = Double.NegativeInfinity
+    var second = Double.NegativeInfinity
+    var maxAbsTerm = 0.0
+    var c = 0
+    while (c < nCentroids) {
+      var dp = 0.0
+      var d = 0
+      val off = c * dim
+      while (d < dim) {
+        val t = arr.getFloat(d) * flatCentroids(off + d)
+        val a = math.abs(t)
+        if (a > maxAbsTerm) maxAbsTerm = a
+        dp += t
+        d += 1
+      }
+      if (dp > bestV) { second = bestV; bestV = dp; best = c }
+      else if (dp > second) second = dp
+      c += 1
+    }
+    // |double dot − decimal dot| ≤ dim·(term-rounding 0.5e-15 + double
+    // summation error ~dim·ulp(maxTerm)); this bound is ≥ 4 orders above
+    // both for any realistic dim, and scales with the input's magnitude
+    val margin = dim.toDouble * (maxAbsTerm + 1.0) * 1e-12
+    if (nCentroids == 1) return Integer.valueOf(0)
+    if (java.lang.Double.isNaN(bestV) || !(bestV - second > margin)) {
+      var bestExact = Double.NegativeInfinity
+      var bestIdx = -1
+      c = 0
+      while (c < nCentroids) {
+        val e = exactDot(arr, c) // strictly greater: first max wins, the
+        if (e > bestExact) { bestExact = e; bestIdx = c } // array_position rule
+        c += 1
+      }
+      Integer.valueOf(bestIdx)
+    } else Integer.valueOf(best)
+  }
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = kernel(input.asInstanceOf[ArrayData])
+    if (r == null) null else r.intValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("argmaxexact", this, this.getClass.getName)
+      val r = ctx.freshName("amxr")
+      s"""java.lang.Integer $r = $ref.kernel($input);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.intValue(); }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxDotExact =
+    copy(child = newChild)
+  override def prettyName: String = "argmax_dot_exact"
+}
+
 /** Per-document character-entropy statistics in ONE map-side pass:
   * `struct(n: total code points, s: Σ_c decimal15(k_c · ln k_c) as
   * double)`. Replaces the per-codepoint explode + (id, char) shuffle
@@ -813,6 +914,8 @@ case class CharEntropyStats(child: Expression)
 object HashExpressions {
   def charEntropyStats(text: Column): Column =
     ColumnBridge.column(CharEntropyStats(ColumnBridge.expression(text)))
+  def argMaxDotExact(vec: Column, flatCentroids: Array[Double], dim: Int): Column =
+    ColumnBridge.column(ArgMaxDotExact(ColumnBridge.expression(vec), flatCentroids, dim))
   def minhashSignature(grams: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(grams), numHashes))
   def simhash64(tokens: Column): Column =

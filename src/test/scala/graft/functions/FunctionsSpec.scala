@@ -172,6 +172,44 @@ class FunctionsSpec extends SparkSpec {
     assert(byId(1L) > byId(2L) && byId(2L) > byId(3L))
   }
 
+  test("argmax_dot_exact ≡ composed array_position(array_max) over exact dots") {
+    // the fused two-phase kernel replaced the k-column composition on the
+    // k-means assignment path; the decimal fallback must fire on exact
+    // ties (duplicate centroid → FIRST index wins) and null totality must
+    // match the composed form (null element / length mismatch → null)
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val cents: Array[Array[Double]] = Array.tabulate(6, dim)((_, _) =>
+      (rnd.nextDouble() - 0.5) * 2)
+    cents(4) = cents(2).clone() // exact decimal tie: 2 must beat 4
+    val vecs: Seq[Seq[java.lang.Float]] = (0 until 200).map(_ =>
+      Seq.fill(dim)(java.lang.Float.valueOf((rnd.nextFloat() - 0.5f) * 4f))) ++ Seq(
+      cents(2).map(d => java.lang.Float.valueOf(d.toFloat)).toSeq, // sits ON the duplicated centroid
+      Seq.fill(dim)(java.lang.Float.valueOf(0.0f)),                // all-zero: every dot ties at 0
+      (Seq(null: java.lang.Float) ++ Seq.fill(dim - 1)(java.lang.Float.valueOf(1.0f))), // null elem
+      Seq(java.lang.Float.valueOf(1.0f)))                          // length mismatch
+    val schema = StructType(Seq(StructField("v", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map(Row(_)), 4), schema)
+    val composed = {
+      val dots = array(cents.map(c =>
+        Similarity.dotExact(col("v"), array(c.map(lit(_)): _*))): _*)
+      (array_position(dots, array_max(dots)) - 1).cast("int")
+    }
+    val out = df.select(
+      graft.plans.HashExpressions.argMaxDotExact(col("v"), cents.flatten, dim).as("k"),
+      composed.as("c")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null drift: $r")
+      if (!r.isNullAt(0)) assert(r.getInt(0) == r.getInt(1), s"argmax drift: $r")
+    }
+    // the tie rows really resolved to the smaller duplicate index
+    val tieRow = df.where(size(col("v")) === dim)
+      .select(graft.plans.HashExpressions.argMaxDotExact(col("v"), cents.flatten, dim))
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(!tieRow.contains(4), "duplicate centroid 4 must never win over 2")
+  }
+
   test("native dot_exact_f is bit-identical to the HOF decimal formulation") {
     // the native kernel replaced the interpreted aggregate/zip_with tree
     // on every oracle-hashed exact-cosine path — any drift here is a
