@@ -733,6 +733,20 @@ object SparkEntry {
         col("doc_id") % 101 === 0, k = 10, ngram = 2, maxDfRatio = 0.5)
         .orderBy("query_id", "rank")),
 
+    // Persisted-index probe: the inverted index freezes the snapshot's
+    // idf/norms; later arrivals score against it without re-reading the
+    // indexed bodies — build-once/probe-incrementally, the incremental-
+    // dedup convention applied to retrieval.
+    "x_tfidf_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (postings, dict) = Corpus.tfidfIndex(
+        docs.where(col("doc_id") % 3 === 0), "doc_id", "text")
+      val queries = docs.where(
+        col("doc_id") % 3 =!= 0 && col("doc_id") % 97 === 1)
+      Corpus.tfidfProbeIndex(queries, "doc_id", "text", postings, dict, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Hybrid-retrieval fusion: RRF over two shingle widths of the sparse
     // ranker — rank-based, so incomparable score scales fuse without
     // calibration, and the fusion stage itself moves only top-k-sized
@@ -2774,6 +2788,52 @@ object SparkEntry {
       s"""WITH $tfidfBaseCte,
         |${tfidfRkCte(2, "g2")}
         |SELECT query_id, doc_id, cos, rank FROM g2rk WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Index-side stats (df, N, norms) come from the %3==0 snapshot ONLY;
+    // query grams without an index idf drop (they can't match postings).
+    // The doc side is pre-normalized (wn = w/nrm) exactly as the engine
+    // stores it, so the probe's cosine is dot/qnrm alone.
+    "x_tfidf_probe" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+        |   i -> list_extract(tok, i) || ' ' || list_extract(tok, i + 1))) AS gram
+        | FROM toks),
+        |itf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM g
+        |        WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+        |inn AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 = 0),
+        |dict AS (
+        | SELECT gram, LN(CAST(n AS DOUBLE)) - LN(CAST(df AS DOUBLE)) AS idf
+        | FROM (SELECT gram, COUNT(*) AS df FROM itf GROUP BY 1) CROSS JOIN inn
+        | WHERE CAST(df AS DOUBLE) <= 0.5 * CAST(n AS DOUBLE)),
+        |iw AS (SELECT doc_id, gram, CAST(tf AS DOUBLE) * idf AS w
+        |       FROM itf JOIN dict USING (gram)),
+        |inorm AS (SELECT doc_id,
+        |  SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+        | FROM iw GROUP BY 1),
+        |post AS (SELECT doc_id, gram, w / nrm AS wn
+        |         FROM iw JOIN inorm USING (doc_id)),
+        |qtf AS (SELECT doc_id AS query_id, gram, COUNT(*) AS tf FROM g
+        |        WHERE doc_id % 3 <> 0 AND doc_id % 97 = 1 GROUP BY 1, 2),
+        |qwt AS (SELECT query_id, gram, CAST(tf AS DOUBLE) * idf AS qw
+        |        FROM qtf JOIN dict USING (gram)),
+        |qn AS (SELECT query_id,
+        |  SQRT(CAST(SUM(CAST(qw * qw AS DECIMAL(30,15))) AS DOUBLE)) AS qnrm
+        | FROM qwt GROUP BY 1),
+        |dots AS (SELECT query_id, p.doc_id,
+        |  CAST(SUM(CAST(qw * wn AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        | FROM post p JOIN qwt q USING (gram) GROUP BY 1, 2),
+        |rk AS (
+        | SELECT query_id, doc_id, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+        | FROM (SELECT d.query_id, d.doc_id, ROUND(dot / qn.qnrm, 9) AS cos
+        |       FROM dots d JOIN qn ON qn.query_id = d.query_id))
+        |SELECT query_id, doc_id, cos, rank FROM rk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
     // Fusion itself is pure rank arithmetic: each contribution is one

@@ -210,6 +210,91 @@ object Corpus {
         col("cos"), col("rank"))
   }
 
+  /** Build the persistable state of a TF-IDF inverted index over a
+    * corpus snapshot: `(postings, dict)` where `postings` =
+    * (doc_id, __th gram-hash, wn = tf·idf/‖doc‖ — the doc side
+    * pre-normalized so probes never re-read corpus norms) and `dict` =
+    * (__th, idf) with idf frozen at build time (`ln N − ln df` over the
+    * INDEXED corpus — later probes score against the snapshot's
+    * statistics, the [[graft.functions.Dedup.dedupAgainstIndex]]
+    * convention). Write both to parquet and [[tfidfProbeIndex]] new
+    * arrivals without touching the indexed bodies again — the
+    * build-once/probe-incrementally split that matters when the index
+    * side is the 100 TB corpus. Same df-pruning lever and ln/DECIMAL
+    * discipline as [[tfidfTopK]].
+    */
+  def tfidfIndex(df: DataFrame, idCol: String, textCol: String,
+                 ngram: Int = 2, maxDfRatio: Double = 0.5): (DataFrame, DataFrame) = {
+    require(ngram >= 1, s"ngram must be positive: $ngram")
+    require(maxDfRatio > 0.0 && maxDfRatio < 1.0,
+      s"maxDfRatio must be in (0, 1): $maxDfRatio")
+    val tf = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.plans.HashExpressions
+          .ngramHashesAll(TextFunctions.tokens(col(textCol)), ngram).as("__g"))
+      .select(col("doc_id"), explode(col("__g")).as("__th"))
+      .groupBy("doc_id", "__th").agg(count(lit(1)).as("__tf"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val dict = tf.groupBy("__th").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("__df").cast("double") <=
+        lit(maxDfRatio) * col("__n").cast("double"))
+      .select(col("__th"),
+        (log(col("__n").cast("double")) - log(col("__df").cast("double")))
+          .as("idf"))
+    val w = tf.join(dict, "__th")
+      .select(col("doc_id"), col("__th"),
+        (col("__tf").cast("double") * col("idf")).as("__w"))
+    val norms = w.groupBy("doc_id").agg(
+      sqrt(sum((col("__w") * col("__w")).cast(DecimalType(30, 15)))
+        .cast("double")).as("__nrm"))
+    val postings = w.join(norms, "doc_id")
+      .select(col("doc_id"), col("__th"), (col("__w") / col("__nrm")).as("wn"))
+    (postings, dict)
+  }
+
+  /** Probe a [[tfidfIndex]] snapshot with new query documents: top-k
+    * indexed docs per query by TF-IDF cosine under the INDEX's frozen
+    * statistics. Query grams missing from the index dictionary carry no
+    * idf and drop out (they cannot match any posting anyway); a query
+    * whose every gram is unindexed has no candidates and is absent.
+    *
+    * Shuffle profile: the query side collapses to (query, gram-hash, tf)
+    * map-side and — being the small arrival batch — broadcasts into both
+    * the dict join and the posting equi-join; the index side streams
+    * (the 100 TB side never re-shuffles); per-(query, doc) partials
+    * combine map-side; top-k = WindowGroupLimit heaps.
+    */
+  def tfidfProbeIndex(queries: DataFrame, idCol: String, textCol: String,
+                      postings: DataFrame, dict: DataFrame,
+                      k: Int, ngram: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(ngram >= 1, s"ngram must be positive: $ngram")
+    val qtf = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        graft.plans.HashExpressions
+          .ngramHashesAll(TextFunctions.tokens(col(textCol)), ngram).as("__g"))
+      .select(col("query_id"), explode(col("__g")).as("__th"))
+      .groupBy("query_id", "__th").agg(count(lit(1)).as("__tf"))
+    val qw = qtf.join(dict, "__th")
+      .select(col("query_id"), col("__th"),
+        (col("__tf").cast("double") * col("idf")).as("__qw"))
+    val qn = qw.groupBy("query_id").agg(
+      sqrt(sum((col("__qw") * col("__qw")).cast(DecimalType(30, 15)))
+        .cast("double")).as("__qn"))
+    val dots = postings.join(broadcast(qw), Seq("__th"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum((col("__qw") * col("wn")).cast(DecimalType(30, 15)))
+        .cast("double").as("__dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    dots.join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(col("__dot") / col("__qn"), 9).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked retrieval
     * lists: each list contributes `1/(c + rank)` per (query, doc) and the
     * fused score is the sum — the standard hybrid-retrieval combiner

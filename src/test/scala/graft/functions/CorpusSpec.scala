@@ -113,6 +113,32 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("tfidfIndex/tfidfProbeIndex: probe survives a parquet round-trip, frozen idf") {
+    val (postings, dict) = Corpus.tfidfIndex(retrievalDocs, "id", "text",
+      ngram = 1, maxDfRatio = 0.7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfidf-idx").toString
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    dict.write.mode("overwrite").parquet(s"$dir/dict")
+    val p2 = spark.read.parquet(s"$dir/postings")
+    val d2 = spark.read.parquet(s"$dir/dict")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val queries = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(100L, "common alpha beta gamma"), // kept-term vector of docs 1/2
+        Row(101L, "zzz unknownterm"))),       // nothing indexed → absent
+      schema)
+    val out = Corpus.tfidfProbeIndex(queries, "id", "text", p2, d2, k = 10,
+      ngram = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(!out.exists(_._1 == 101L))
+    val q100 = out.filter(_._1 == 100L).sortBy(_._4)
+    // docs 1 and 2 are identical to the query on kept terms → cos 1.0,
+    // tie broken by doc_id; doc 4 (only the pruned term) never appears
+    assert(q100.take(2).map(t => (t._2, t._3)).toSeq == Seq((1L, 1.0), (2L, 1.0)))
+    assert(!q100.exists(_._2 == 4L))
+  }
+
   test("rrfFuse: shared docs outrank single-list docs, ties break by doc_id") {
     val schema = StructType(Seq(
       StructField("query_id", LongType), StructField("doc_id", LongType),
