@@ -733,6 +733,27 @@ object SparkEntry {
         col("doc_id") % 101 === 0, k = 10, ngram = 2, maxDfRatio = 0.5)
         .orderBy("query_id", "rank")),
 
+    // Perceptual-hash image near-dup over the stub decode: planted
+    // byte-local perturbations (2 leading chars swapped) move at most 2
+    // grid cells, so every planted pair sits within Hamming 2 and the
+    // 4-band pigeonhole must surface it; the ORACLE recomputes the whole
+    // chain byte-for-byte (stripe-sum grid, fixed-threshold bits, banded
+    // candidates, exact Hamming) — a full-chain oracle, not pinned recall.
+    "x_phash_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("text").isNotNull)
+      val planted = base
+        .where(col("doc_id") % 7 === 0 && length(col("text")) >= 2)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          concat(lit("~!"), expr("substring(text, 3)")).as("text"))
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        base.unionByName(planted)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
+        "doc_id", "blob", "image", "png")
+      graft.multimodal.Multimodal.phashNearDupPairs(media, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Persisted-index probe: the inverted index freezes the snapshot's
     // idf/norms; later arrivals score against it without re-reading the
     // indexed bodies — build-once/probe-incrementally, the incremental-
@@ -2789,6 +2810,47 @@ object SparkEntry {
         |${tfidfRkCte(2, "g2")}
         |SELECT query_id, doc_id, cos, rank FROM g2rk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Recomputes the engine's whole perceptual chain on ASCII bytes (the
+    // x_multimodal_decode convention): stripe sums mod 256 over byte
+    // positions ≡ c (mod 64), fixed mid-gray threshold, 4×16-bit band
+    // candidate join (complete for Hamming ≤ 3 by pigeonhole), exact
+    // Hamming over the 64-char bit strings.
+    "x_phash_neardup" ->
+      """WITH docs AS (
+        | SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        | UNION ALL
+        | SELECT doc_id + 40000000, '~!' || substr(text, 3) FROM documents
+        | WHERE text IS NOT NULL AND doc_id % 7 = 0 AND length(text) >= 2),
+        |pos AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+        |        FROM docs),
+        |pb AS (SELECT doc_id, (i - 1) % 64 AS c,
+        |        ascii(substr(text, CAST(i AS INTEGER), 1))::BIGINT
+        |          * (2 * ((i - 1) // 64) + 1) AS v FROM pos),
+        |gsum AS (SELECT doc_id, c, (SUM(v) % 256) * 131 % 256 AS s
+        |         FROM pb GROUP BY 1, 2),
+        |allc AS (SELECT d.doc_id, t.c FROM docs d
+        |         CROSS JOIN (SELECT unnest(range(0, 64)) AS c) t),
+        |grid AS (SELECT a.doc_id, a.c, COALESCE(g.s, 0) AS s
+        |         FROM allc a LEFT JOIN gsum g
+        |         ON g.doc_id = a.doc_id AND g.c = a.c),
+        |bits AS (SELECT doc_id,
+        |  string_agg(CASE WHEN s > 127 THEN '1' ELSE '0' END, '' ORDER BY c) AS bs
+        | FROM grid GROUP BY 1),
+        |bk AS (SELECT doc_id, bs, b, substr(bs, CAST(1 + 16 * b AS INTEGER), 16) AS key
+        |       FROM bits CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |          x.bs AS ba, y.bs AS bb
+        |         FROM bk x JOIN bk y
+        |         ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+        |ham AS (SELECT id_a, id_b,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN substr(ba, CAST(i AS INTEGER), 1)
+        |              <> substr(bb, CAST(i AS INTEGER), 1)
+        |         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        | FROM cand)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Index-side stats (df, N, norms) come from the %3==0 snapshot ONLY;
     // query grams without an index idf drop (they can't match postings).

@@ -29,6 +29,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("phashNearDupPairs: byte-local perturbations stay in Hamming range, distant blobs don't pair") {
+    val rows = Seq(
+      (1L, Array.fill(256)(100.toByte)),                    // base
+      (2L, Array.fill(256)(100.toByte)),                    // identical → hamming 0
+      (3L, { val a = Array.fill(256)(100.toByte)            // one byte flipped:
+             a(5) = 250.toByte; a }),                       // only cell 5 can move
+      (4L, Array.fill(256)(50.toByte)))                     // far everywhere
+    val df = spark.createDataFrame(rows.map { case (i, b) => (i, b) })
+      .toDF("media_id", "blob")
+    val media = Multimodal.asMediaTable(df, "media_id", "blob", "image", "png")
+    val out = Multimodal.phashNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 0L)
+    assert(out.get((1L, 3L)).exists(_ <= 1L)) // ≤ 1 cell moved
+    assert(out((2L, 3L)) == out((1L, 3L)))
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // the grid really is byte-local: cell 5 differs, all others equal
+    val grids = Multimodal.imageBitGrid(media).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (g1, g3) = (grids(1L), grids(3L))
+    assert(g1.zip(g3).zipWithIndex.forall { case ((x, y), i) =>
+      if (i == 5) true else x == y })
+    assert(g1.length == 64)
+  }
+
   test("resizeImages: schema preserved, meta dims updated, deterministic") {
     val out = Multimodal.resizeImages(media, 64, 64)
     assert(out.schema == Multimodal.mediaSchema)
