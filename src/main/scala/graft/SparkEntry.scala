@@ -733,6 +733,30 @@ object SparkEntry {
         col("doc_id") % 101 === 0, k = 10, ngram = 2, maxDfRatio = 0.5)
         .orderBy("query_id", "rank")),
 
+    // Leakage-safe split: near-dup clusters (5-gram Jaccard ≥ 0.5,
+    // transitive) split by their min-id representative so no pair
+    // straddles train/test — hashSplit's determinism, cluster-level.
+    "x_leak_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
+      Corpus.leakSafeSplit(docs, "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")).orderBy("doc_id")
+    }),
+
+    // Unicode-script census — the pre-tokenizer multilingual router
+    // (stopword langid assumes you already know which scripts to try);
+    // planted non-Latin suffixes on every 11th doc exercise the
+    // Cyrillic/CJK/Arabic ranges on this ASCII fixture. Map-only.
+    "x_script_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" тест 漢字 ٣٤")))
+            .otherwise(col("text")).as("text"))
+      TF.scriptProfile(docs, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // Perceptual-hash image near-dup over the stub decode: planted
     // byte-local perturbations (2 leading chars swapped) move at most 2
     // grid cells, so every planted pair sits within Hamming 2 and the
@@ -2810,6 +2834,93 @@ object SparkEntry {
         |${tfidfRkCte(2, "g2")}
         |SELECT query_id, doc_id, cos, rank FROM g2rk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Same recursive closure as x_dedup_drop (transitive clusters, min-id
+    // label), then the x_split md5 cutoffs applied to the REPRESENTATIVE
+    // id — identical 'cccd'/'e666' boundaries, cluster-level key.
+    "x_leak_split" ->
+      s"""WITH RECURSIVE ${ngramPairsCte(0.5)},
+         |edges AS (
+         | SELECT id_a AS u, id_b AS v FROM jpairs
+         | UNION
+         | SELECT id_b AS u, id_a AS v FROM jpairs),
+         |reach AS (
+         | SELECT u AS node, u AS lab FROM edges
+         | UNION
+         | SELECT e.v AS node, r.lab AS lab
+         | FROM reach r JOIN edges e ON e.u = r.node),
+         |labels AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node),
+         |rep AS (SELECT doc_id, COALESCE(l.label, doc_id) AS r
+         |        FROM documents LEFT JOIN labels l ON l.node = doc_id)
+         |SELECT doc_id,
+         | CASE WHEN substring(md5(
+         |        'v' || CAST(length(CAST(r AS VARCHAR)) AS VARCHAR)
+         |        || ':' || CAST(r AS VARCHAR)), 1, 4) < 'cccd'
+         |      THEN 'train'
+         |      WHEN substring(md5(
+         |        'v' || CAST(length(CAST(r AS VARCHAR)) AS VARCHAR)
+         |        || ':' || CAST(r AS VARCHAR)), 1, 4) < 'e666'
+         |      THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // Same explicit code-point ranges as plans.ScriptProfile; ascii() in
+    // DuckDB returns the code point of the char, so the planted
+    // Cyrillic/CJK/Arabic suffix classifies identically. The dominant-
+    // script CASE chain mirrors the engine clause-for-clause; counts
+    // CAST to BIGINT (DuckDB SUM(int) is HUGEINT — the budget_select
+    // lesson).
+    "x_script_profile" ->
+      """WITH docs AS (
+        | SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |   THEN text || ' тест 漢字 ٣٤' ELSE text END AS text
+        | FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+        |        FROM docs),
+        |cp AS (SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) AS c
+        |       FROM pos),
+        |cnt AS (SELECT doc_id,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN (c BETWEEN 65 AND 90) OR (c BETWEEN 97 AND 122)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_latin,
+        |  CAST(SUM(CASE WHEN c BETWEEN 48 AND 57 THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
+        |  CAST(SUM(CASE WHEN c BETWEEN 1024 AND 1279 THEN 1 ELSE 0 END) AS BIGINT) AS n_cyrillic,
+        |  CAST(SUM(CASE WHEN c BETWEEN 19968 AND 40959 THEN 1 ELSE 0 END) AS BIGINT) AS n_cjk,
+        |  CAST(SUM(CASE WHEN c BETWEEN 1536 AND 1791 THEN 1 ELSE 0 END) AS BIGINT) AS n_arabic,
+        |  CAST(SUM(CASE WHEN c IN (9, 10, 13, 32) THEN 1 ELSE 0 END) AS BIGINT) AS n_space,
+        |  CAST(SUM(CASE WHEN NOT ((c BETWEEN 65 AND 90) OR (c BETWEEN 97 AND 122)
+        |    OR (c BETWEEN 48 AND 57) OR (c BETWEEN 1024 AND 1279)
+        |    OR (c BETWEEN 19968 AND 40959) OR (c BETWEEN 1536 AND 1791)
+        |    OR c IN (9, 10, 13, 32)) THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+        | FROM cp GROUP BY 1)
+        |SELECT d.doc_id,
+        | COALESCE(n, 0) AS n_chars,
+        | COALESCE(n_latin, 0) AS n_latin, COALESCE(n_digit, 0) AS n_digit,
+        | COALESCE(n_cyrillic, 0) AS n_cyrillic, COALESCE(n_cjk, 0) AS n_cjk,
+        | COALESCE(n_arabic, 0) AS n_arabic, COALESCE(n_space, 0) AS n_space,
+        | COALESCE(n_other, 0) AS n_other,
+        | CASE
+        |  WHEN COALESCE(n_latin, 0) >= COALESCE(n_digit, 0) AND COALESCE(n_latin, 0) >= COALESCE(n_cyrillic, 0)
+        |   AND COALESCE(n_latin, 0) >= COALESCE(n_cjk, 0) AND COALESCE(n_latin, 0) >= COALESCE(n_arabic, 0)
+        |   AND COALESCE(n_latin, 0) >= COALESCE(n_other, 0) AND COALESCE(n_latin, 0) > 0 THEN 'latin'
+        |  WHEN COALESCE(n_digit, 0) >= COALESCE(n_latin, 0) AND COALESCE(n_digit, 0) >= COALESCE(n_cyrillic, 0)
+        |   AND COALESCE(n_digit, 0) >= COALESCE(n_cjk, 0) AND COALESCE(n_digit, 0) >= COALESCE(n_arabic, 0)
+        |   AND COALESCE(n_digit, 0) >= COALESCE(n_other, 0) AND COALESCE(n_digit, 0) > 0 THEN 'digit'
+        |  WHEN COALESCE(n_cyrillic, 0) >= COALESCE(n_latin, 0) AND COALESCE(n_cyrillic, 0) >= COALESCE(n_digit, 0)
+        |   AND COALESCE(n_cyrillic, 0) >= COALESCE(n_cjk, 0) AND COALESCE(n_cyrillic, 0) >= COALESCE(n_arabic, 0)
+        |   AND COALESCE(n_cyrillic, 0) >= COALESCE(n_other, 0) AND COALESCE(n_cyrillic, 0) > 0 THEN 'cyrillic'
+        |  WHEN COALESCE(n_cjk, 0) >= COALESCE(n_latin, 0) AND COALESCE(n_cjk, 0) >= COALESCE(n_digit, 0)
+        |   AND COALESCE(n_cjk, 0) >= COALESCE(n_cyrillic, 0) AND COALESCE(n_cjk, 0) >= COALESCE(n_arabic, 0)
+        |   AND COALESCE(n_cjk, 0) >= COALESCE(n_other, 0) AND COALESCE(n_cjk, 0) > 0 THEN 'cjk'
+        |  WHEN COALESCE(n_arabic, 0) >= COALESCE(n_latin, 0) AND COALESCE(n_arabic, 0) >= COALESCE(n_digit, 0)
+        |   AND COALESCE(n_arabic, 0) >= COALESCE(n_cyrillic, 0) AND COALESCE(n_arabic, 0) >= COALESCE(n_cjk, 0)
+        |   AND COALESCE(n_arabic, 0) >= COALESCE(n_other, 0) AND COALESCE(n_arabic, 0) > 0 THEN 'arabic'
+        |  WHEN COALESCE(n_other, 0) >= COALESCE(n_latin, 0) AND COALESCE(n_other, 0) >= COALESCE(n_digit, 0)
+        |   AND COALESCE(n_other, 0) >= COALESCE(n_cyrillic, 0) AND COALESCE(n_other, 0) >= COALESCE(n_cjk, 0)
+        |   AND COALESCE(n_other, 0) >= COALESCE(n_arabic, 0) AND COALESCE(n_other, 0) > 0 THEN 'other'
+        |  ELSE 'und' END AS main_script
+        |FROM docs d LEFT JOIN cnt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Recomputes the engine's whole perceptual chain on ASCII bytes (the
     // x_multimodal_decode convention): stripe sums mod 256 over byte

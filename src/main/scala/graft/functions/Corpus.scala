@@ -1160,6 +1160,32 @@ object Corpus {
     df.withColumn("split", label)
   }
 
+  /** Leakage-safe split: [[hashSplit]] keyed on the near-duplicate
+    * CLUSTER instead of the document — a near-dup pair straddling
+    * train/test is evaluation leakage (the model is scored on a
+    * paraphrase of its training data), so every document splits by its
+    * connected-component representative (min id;
+    * [[graft.functions.Dedup.connectedComponents]] over any pair stream
+    * — MinHash, SemDeDup, fingerprints) and whole clusters land on one
+    * side. Documents in no pair represent themselves.
+    *
+    * Deterministic and repartition/rerun-invariant like [[hashSplit]];
+    * the only data-sized stages are the component rounds (O(log d)
+    * pointer-jumping, inherited) and one left join of docs to the
+    * (pair-participant-sized, usually far smaller) label table.
+    */
+  def leakSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                    splits: Seq[(String, Double)]): DataFrame = {
+    val comp = graft.functions.Dedup.connectedComponents(pairs)
+      .select(col("id").as("__cid"), col("label").as("__rep"))
+    val withKey = df
+      .join(comp, col(idCol).cast("long") === col("__cid"), "left")
+      .select(df.columns.map(col) :+
+        coalesce(col("__rep"), col(idCol).cast("long")).as("__splitkey"): _*)
+    hashSplit(withKey, "__splitkey", splits)
+      .drop("__splitkey", "__cid", "__rep")
+  }
+
   /** Duplicate-substring span removal — the substring-granular exact
     * dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
     * Language Models Better", the ExactSubstr pass), re-expressed for a

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for large-scale document pipelines.
@@ -97,6 +97,40 @@ object TextFunctions {
   def langId(text: Column): Column =
     graft.plans.HashExpressions.stopwordProfileArgmax(
       tokens(text), LangProfiles.map(_._1), LangProfiles.map(_._2))
+
+  /** Unicode-script census per document — the multilingual routing
+    * prefilter that runs BEFORE any tokenizer choice (stopword langid
+    * assumes you already know roughly which scripts to try; a CJK doc
+    * routed through whitespace tokenization scores garbage). One
+    * codegen'd map pass ([[graft.plans.ScriptProfile]]: explicit
+    * integer code-point ranges, engine-portable), zero shuffles.
+    *
+    * `main_script` is the dominant non-whitespace block — each candidate
+    * in fixed priority order (latin, digit, cyrillic, cjk, arabic,
+    * other) wins iff its count is positive and ≥ every other block, so
+    * ties resolve to the earlier label; all-whitespace/empty docs are
+    * "und". The when-chain is mirrored clause-for-clause in the oracle.
+    *
+    * @return (idCol, n_chars, n_latin, n_digit, n_cyrillic, n_cjk,
+    *          n_arabic, n_space, n_other, main_script)
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = graft.plans.HashExpressions
+      .scriptProfile(coalesce(col(textCol), lit("")))
+    val counts = Seq("latin", "digit", "cyrillic", "cjk", "arabic", "other")
+    def dominant(c: String): Column =
+      counts.filter(_ != c).map(o => col(s"__s.$c") >= col(s"__s.$o"))
+        .reduce(_ && _) && col(s"__s.$c") > 0
+    df.select(col(idCol), st.as("__s"))
+      .select(col(idCol),
+        col("__s.n").as("n_chars"),
+        col("__s.latin").as("n_latin"), col("__s.digit").as("n_digit"),
+        col("__s.cyrillic").as("n_cyrillic"), col("__s.cjk").as("n_cjk"),
+        col("__s.arabic").as("n_arabic"), col("__s.space").as("n_space"),
+        col("__s.other").as("n_other"),
+        counts.foldRight(lit("und"): Column)((c, acc) =>
+          when(dominant(c), lit(c)).otherwise(acc)).as("main_script"))
+  }
 
   /** 64-bit document fingerprint: xxhash64 of the full text. Stable across
     * runs/partitions; join-able; the exact-dedup key of choice at 100 TB

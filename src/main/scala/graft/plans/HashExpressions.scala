@@ -911,7 +911,58 @@ case class CharEntropyStats(child: Expression)
   override def prettyName: String = "char_entropy_stats"
 }
 
+/** Per-document Unicode-script census in one map pass: code-point counts
+  * for the blocks a multilingual curation pipeline routes on (Latin
+  * letters, digits, Cyrillic, CJK unified, Arabic, whitespace, other).
+  * Block boundaries are EXPLICIT integer ranges (not `Character`
+  * properties, whose tables shift across JDKs and never match another
+  * engine): latin = [65,90]∪[97,122], digit = [48,57],
+  * cyrillic = [1024,1279], cjk = [19968,40959], arabic = [1536,1791],
+  * space = {9,10,13,32} — each mirrored verbatim in the DuckDB oracle.
+  * Null text is the caller's to coalesce (the [[CharEntropyStats]]
+  * convention).
+  */
+case class ScriptProfile(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = StructType(
+    Seq("n", "latin", "digit", "cyrillic", "cjk", "arabic", "space", "other")
+      .map(f => StructField(f, LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.catalogString}")
+    }
+  def kernel(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    var n = 0L; var latin = 0L; var digit = 0L; var cyr = 0L
+    var cjk = 0L; var arab = 0L; var space = 0L; var other = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      if ((cp >= 65 && cp <= 90) || (cp >= 97 && cp <= 122)) latin += 1
+      else if (cp >= 48 && cp <= 57) digit += 1
+      else if (cp >= 1024 && cp <= 1279) cyr += 1
+      else if (cp >= 19968 && cp <= 40959) cjk += 1
+      else if (cp >= 1536 && cp <= 1791) arab += 1
+      else if (cp == 9 || cp == 10 || cp == 13 || cp == 32) space += 1
+      else other += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, latin, digit, cyr, cjk, arab, space, other))
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): ScriptProfile =
+    copy(child = newChild)
+  override def prettyName: String = "script_profile"
+}
+
 object HashExpressions {
+  def scriptProfile(text: Column): Column =
+    ColumnBridge.column(ScriptProfile(ColumnBridge.expression(text)))
   def charEntropyStats(text: Column): Column =
     ColumnBridge.column(CharEntropyStats(ColumnBridge.expression(text)))
   def argMaxDotExact(vec: Column, flatCentroids: Array[Double], dim: Int): Column =

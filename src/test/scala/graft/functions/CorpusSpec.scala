@@ -139,6 +139,25 @@ class CorpusSpec extends SparkSpec {
     assert(!q100.exists(_._2 == 4L))
   }
 
+  test("leakSafeSplit: whole near-dup clusters land on one side, singletons unchanged") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val docs = spark.range(0, 300).select(col("id").as("doc_id"))
+    val pairs = spark.createDataFrame(Seq((0L, 1L), (1L, 2L), (10L, 11L)))
+      .toDF("id_a", "id_b")
+    val out = Corpus.leakSafeSplit(docs, "doc_id", pairs, splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // transitive cluster {0,1,2} and pair {10,11} each land together
+    assert(out(0L) == out(1L) && out(1L) == out(2L))
+    assert(out(10L) == out(11L))
+    // singletons split exactly as plain hashSplit on their own id, and
+    // cluster members inherit their min-id representative's split
+    val plain = Corpus.hashSplit(docs, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(0L, 1L, 2L, 10L, 11L)
+    assert((0L until 300L).filterNot(clustered).forall(i => out(i) == plain(i)))
+    assert(out(0L) == plain(0L) && out(10L) == plain(10L))
+  }
+
   test("rrfFuse: shared docs outrank single-list docs, ties break by doc_id") {
     val schema = StructType(Seq(
       StructField("query_id", LongType), StructField("doc_id", LongType),

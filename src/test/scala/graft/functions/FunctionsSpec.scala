@@ -29,6 +29,30 @@ class FunctionsSpec extends SparkSpec {
     assert(out(5L) == 8)
   }
 
+  test("scriptProfile: block counts, dominance priority, und for blank/null, surrogate pairs") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "hello world 42"),
+        Row(2L, "привет мир"),
+        Row(3L, "ab яю"),     // 2 latin vs 2 cyrillic: tie → latin (priority)
+        Row(4L, "   "),
+        Row(5L, null),
+        Row(6L, "😀!"))), // emoji = ONE code point (other) + '!'
+      schema)
+    val out = TextFunctions.scriptProfile(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getString(9))).toMap
+    assert(out(1L) == ((14L, 10L, 0L, "latin")))
+    assert(out(2L)._4 == "cyrillic" && out(2L)._3 == 9L)
+    assert(out(3L)._4 == "latin") // tie resolves to the earlier label
+    assert(out(4L) == ((3L, 0L, 0L, "und")))
+    assert(out(5L) == ((0L, 0L, 0L, "und")))
+    val (n6, _, _, s6) = out(6L)
+    assert(n6 == 2L && s6 == "other") // surrogate pair counted once
+  }
+
   test("langId picks dominant stopword profile") {
     val out = docs.select(col("id"), TextFunctions.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
