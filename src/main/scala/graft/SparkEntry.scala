@@ -733,6 +733,28 @@ object SparkEntry {
         col("doc_id") % 101 === 0, k = 10, ngram = 2, maxDfRatio = 0.5)
         .orderBy("query_id", "rank")),
 
+    // Video scene-level near-dup: blobs split into 64-byte "frames",
+    // each frame gets its perceptual bit-grid, and videos pair on ≥ 2
+    // shared DISTINCT frame signatures (the inverted-index shape —
+    // signature equi-join, never frames × frames). Planted copies damage
+    // exactly one frame (first char swapped), so every planted pair with
+    // ≥ 3 frames must surface with shared_frames = frames − 1.
+    "x_video_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("text").isNotNull)
+      val planted = base
+        .where(col("doc_id") % 13 === 0 && length(col("text")) >= 129)
+        .select((col("doc_id") + 50000000L).as("doc_id"),
+          concat(lit("#"), expr("substring(text, 2)")).as("text"))
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        base.unionByName(planted)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
+        "doc_id", "blob", "video", "mp4")
+      graft.multimodal.Multimodal.videoNearDupByFrames(media,
+          window = 64, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Leakage-safe split: near-dup clusters (5-gram Jaccard ≥ 0.5,
     // transitive) split by their min-id representative so no pair
     // straddles train/test — hashSplit's determinism, cluster-level.
@@ -2834,6 +2856,38 @@ object SparkEntry {
         |${tfidfRkCte(2, "g2")}
         |SELECT query_id, doc_id, cos, rank FROM g2rk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // 64-byte frames with cells = 64 mean one byte per cell, so a frame
+    // cell is ascii·131 mod 256 directly (no stripe sum); signatures
+    // dedup per video BEFORE the pair join, mirroring the engine.
+    "x_video_neardup" ->
+      """WITH docs AS (
+        | SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        | UNION ALL
+        | SELECT doc_id + 50000000, '#' || substr(text, 2) FROM documents
+        | WHERE text IS NOT NULL AND doc_id % 13 = 0 AND length(text) >= 129),
+        |pos AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text
+        |        FROM docs),
+        |gs AS (SELECT doc_id, (i - 1) // 64 AS f, (i - 1) % 64 AS c,
+        |        (ascii(substr(text, CAST(i AS INTEGER), 1)) % 256) * 131 % 256 AS s
+        |       FROM pos),
+        |fr AS (SELECT doc_id, unnest(range(0, (length(text) + 63) // 64)) AS f
+        |       FROM docs),
+        |allc AS (SELECT r.doc_id, r.f, t.c FROM fr r
+        |         CROSS JOIN (SELECT unnest(range(0, 64)) AS c) t),
+        |grid AS (SELECT a.doc_id, a.f, a.c, COALESCE(g.s, 0) AS s
+        |         FROM allc a LEFT JOIN gs g
+        |         ON g.doc_id = a.doc_id AND g.f = a.f AND g.c = a.c),
+        |bits AS (SELECT doc_id, f,
+        |  string_agg(CASE WHEN s > 127 THEN '1' ELSE '0' END, '' ORDER BY c) AS bs
+        | FROM grid GROUP BY 1, 2),
+        |sig AS (SELECT DISTINCT doc_id, bs FROM bits),
+        |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  COUNT(*) AS shared_frames
+        | FROM sig x JOIN sig y ON x.bs = y.bs AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_frames FROM pairs WHERE shared_frames >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Same recursive closure as x_dedup_drop (transitive clusters, min-id
     // label), then the x_split md5 cutoffs applied to the REPRESENTATIVE

@@ -360,6 +360,39 @@ object Dedup {
   /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard ≥
     * `minEstJaccard`. Output: (id_a, id_b, est_jaccard), id_a < id_b.
     */
+  /** Banding plan for a target Jaccard threshold: the (bands,
+    * rowsPerBand) with `bands·rowsPerBand ≤ numHashes` minimizing the
+    * integrated step-function error of the S-curve
+    * `p(s) = 1 − (1 − s^r)^b` — false-positive mass below `threshold`
+    * plus false-negative mass above it (the MMDS ch.3 tuning objective,
+    * evaluated on a fixed 1/1000 grid so the choice is deterministic;
+    * ties prefer fewer rows per band, i.e. the higher-recall plan).
+    * Feed the result to [[minhashNearDupPairs]] / [[minhashBandIndex]]
+    * instead of guessing: at 100 TB the banding decides BOTH the recall
+    * and the candidate-join fan-out, and a plan whose midpoint
+    * `(1/b)^(1/r)` sits far from the threshold wastes one or the other.
+    */
+  def lshPlan(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes >= 1, s"numHashes must be positive: $numHashes")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1): $threshold")
+    def err(b: Int, r: Int): Double = {
+      val n = 1000
+      var e = 0.0
+      var i = 1
+      while (i < n) {
+        val s = i.toDouble / n
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        e += (if (s < threshold) p else 1.0 - p)
+        i += 1
+      }
+      e / n
+    }
+    (1 to numHashes).map(r => (numHashes / r, r))
+      .filter(_._1 >= 1)
+      .minBy { case (b, r) => (err(b, r), r) }
+  }
+
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 5, numHashes: Int = 32,
                           rowsPerBand: Int = 8,

@@ -243,6 +243,62 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Per-frame perceptual bit grids for video rows: the blob splits into
+    * `window`-byte frames (stub stand-in for decode → frame extraction;
+    * the last partial frame included, empty blobs yield zero frames) and
+    * each frame gets its [[StubCodec.lumaGrid]] bit string. Frame
+    * locality mirrors real video: damage to one region damages its frame
+    * and no other. Output (media_id, frame, bits); blobs never leave the
+    * map task.
+    */
+  def videoFrameGrids(media: DataFrame, window: Int = 64): DataFrame = {
+    require(window >= 1, s"window must be positive: $window")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame", LongType, nullable = false),
+      StructField("bits", StringType, nullable = false)))
+    media.select("media_id", "data").where(col("data").isNotNull)
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("data")
+          val id = r.getLong(0)
+          val nFrames = (bytes.length + window - 1) / window
+          (0 until nFrames).iterator.map { f =>
+            val slice = java.util.Arrays.copyOfRange(bytes, f * window,
+              math.min((f + 1) * window, bytes.length))
+            val cells = StubCodec.lumaGrid(slice, 64)
+            Row(id, f.toLong,
+              cells.map(c => if (c > 127) '1' else '0').mkString)
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Video near-dup by shared scene signatures: two videos pair when
+    * they share ≥ `minShared` DISTINCT frame bit-grids — the frame-level
+    * containment test (re-encoded/trimmed copies keep most scenes
+    * byte-identical under a real decoder; here the planted-perturbation
+    * regime). Candidate generation is the signature EQUI-join (the
+    * inverted-index shape: a frame signature is the posting key), never
+    * frames × frames; per-video signatures dedup BEFORE the join. A
+    * boilerplate signature shared by thousands of videos would make its
+    * bucket quadratic — at crawl scale prune high-df signatures first
+    * (the [[graft.functions.Corpus.removeFrequentUnits]] lever; the
+    * df-pruned tfidf join is the same move).
+    */
+  def videoNearDupByFrames(media: DataFrame, window: Int = 64,
+                           minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive: $minShared")
+    val sig = videoFrameGrids(media, window)
+      .select(col("media_id"), col("bits")).distinct()
+    sig.as("x").join(sig.as("y"),
+        col("x.bits") === col("y.bits") &&
+          col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+  }
+
   /** Frame sampling for video rows: one output row per sampled offset.
     * Media with null or non-positive duration (images, malformed rows)
     * produce ZERO frames — not a phantom frame at offset 0.

@@ -29,6 +29,22 @@ class FunctionsSpec extends SparkSpec {
     assert(out(5L) == 8)
   }
 
+  test("lshPlan: midpoint tracks the threshold, higher thresholds take wider bands") {
+    def midpoint(plan: (Int, Int)): Double =
+      math.pow(1.0 / plan._1, 1.0 / plan._2)
+    for (h <- Seq(32, 64, 128); t <- Seq(0.3, 0.5, 0.8)) {
+      val plan @ (b, r) = Dedup.lshPlan(h, t)
+      assert(b * r <= h && b >= 1 && r >= 1)
+      assert(math.abs(midpoint(plan) - t) < 0.2,
+        s"plan $plan for (h=$h, t=$t) has midpoint ${midpoint(plan)}")
+    }
+    // a high threshold needs more rows per band (sharper, right-shifted
+    // S-curve) than a low one
+    assert(Dedup.lshPlan(64, 0.8)._2 > Dedup.lshPlan(64, 0.2)._2)
+    // deterministic
+    assert(Dedup.lshPlan(32, 0.8) == Dedup.lshPlan(32, 0.8))
+  }
+
   test("scriptProfile: block counts, dominance priority, und for blank/null, surrogate pairs") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))

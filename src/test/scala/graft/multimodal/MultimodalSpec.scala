@@ -54,6 +54,24 @@ class MultimodalSpec extends SparkSpec {
     assert(g1.length == 64)
   }
 
+  test("videoNearDupByFrames: shared-scene counting, single shared frame is not enough") {
+    val a = Array.tabulate(300)(j => ((j * 7) % 251).toByte)
+    val b = a.clone; b(10) = 2 // flips frame 0's cell-10 bit (2·131%256=6 ≤ 127)
+    val c = Array.tabulate(300)(j => ((j * 11 + 3) % 251).toByte)
+    val d = a.take(64) ++ Array.tabulate(236)(j => ((j * 13 + 5) % 251).toByte)
+    val df = spark.createDataFrame(Seq((1L, a), (2L, b), (3L, c), (4L, d)))
+      .toDF("media_id", "blob")
+    val media = Multimodal.asMediaTable(df, "media_id", "blob", "video", "mp4")
+    val out = Multimodal.videoNearDupByFrames(media, window = 64, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // videos 1/2 share frames 1..4 (frame 0 damaged); 4 shares ONLY
+    // frame 0 with 1 (< minShared); 3 shares nothing
+    assert(out == Map((1L, 2L) -> 4L))
+    val frames = Multimodal.videoFrameGrids(media, 64)
+      .where(col("media_id") === 1).collect()
+    assert(frames.length == 5) // 300 bytes → 4 full + 1 partial frame
+  }
+
   test("resizeImages: schema preserved, meta dims updated, deterministic") {
     val out = Multimodal.resizeImages(media, 64, 64)
     assert(out.schema == Multimodal.mediaSchema)
