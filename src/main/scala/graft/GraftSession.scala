@@ -92,6 +92,19 @@ object GraftSession {
     reg.createOrReplaceTempFunction("argmax_dot",
       exprs => graft.plans.ArgMaxDot(exprs(0), exprDoubleArray(exprs(1)),
         exprInt(exprs(2))), "scala_udf")
+    // argmax_dot_exact(vec, flat_centroids, dim): the k-means assignment
+    // kernel (two-phase exact-decimal argmax) from SQL text.
+    reg.createOrReplaceTempFunction("argmax_dot_exact",
+      exprs => graft.plans.ArgMaxDotExact(exprs(0), exprDoubleArray(exprs(1)),
+        exprInt(exprs(2))), "scala_udf")
+    // char_entropy_stats(text) → struct(n, s): the map-side census behind
+    // Corpus.charEntropy; entropy = ln(n) − s/n in plain SQL.
+    reg.createOrReplaceTempFunction("char_entropy_stats",
+      exprs => graft.plans.CharEntropyStats(exprs.head), "scala_udf")
+    // script_profile(text) → struct of Unicode-block counts: the
+    // pre-tokenizer multilingual router from SQL text.
+    reg.createOrReplaceTempFunction("script_profile",
+      exprs => graft.plans.ScriptProfile(exprs.head), "scala_udf")
     // dot_f(a, b): the single-pass float-array dot kernel — the SQL user's
     // building block for cosine scoring without the interpreted HOF tax.
     reg.createOrReplaceTempFunction("dot_f",

@@ -19,6 +19,24 @@ class GraftSessionSpec extends SparkSpec {
     assert(row.getInt(4) > 0)   // n_grams
   }
 
+  test("census kernels and exact argmax callable from SQL") {
+    GraftSession.registerFunctions(spark)
+    GraftSession.registerTables(spark, sf())
+    val row = spark.sql(
+      """SELECT
+        |  char_entropy_stats(text).n AS n_chars,
+        |  round(ln(CAST(char_entropy_stats(text).n AS DOUBLE)) -
+        |    char_entropy_stats(text).s /
+        |    CAST(char_entropy_stats(text).n AS DOUBLE), 9) AS ent,
+        |  script_profile(text).latin AS n_latin,
+        |  argmax_dot_exact(embedding, array(CAST(1.0 AS DOUBLE)), 1) AS k
+        |FROM documents CROSS JOIN (SELECT array(CAST(0.5 AS FLOAT)) AS embedding)
+        |WHERE length(text) > 0 LIMIT 1""".stripMargin).collect().head
+    assert(row.getLong(0) > 0 && !row.isNullAt(1))
+    assert(row.getLong(2) > 0)
+    assert(row.getInt(3) == 0)
+  }
+
   test("anchor selectors and bpe_merge_pair callable from SQL") {
     GraftSession.registerFunctions(spark)
     GraftSession.registerTables(spark, sf())
