@@ -1123,6 +1123,15 @@ object SparkEntry {
         .orderBy("cluster", "vec_id")
     }),
 
+    // Cluster-quality diagnostics: size + cohesion (mean/min/max cosine
+    // to own centroid) per cluster — the go/no-go report before using a
+    // clustering for topic balancing. #clusters-sized aggregation.
+    "x_cluster_report" -> ((s, dir) =>
+      Similarity.clusterReport(
+        Similarity.kmeansAssign(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, rounds = 2))
+        .orderBy("cluster")),
+
     // Context-window chunking: 64-token chunks with stride 48 (16-token
     // overlap), exploded to rows. The lambda runs per CHUNK; slice +
     // array_join do the token work natively.
@@ -3971,6 +3980,16 @@ object SparkEntry {
       s"""WITH $kmeansCte
          |SELECT vec_id, cluster, cos_to_centroid FROM kassign
          |ORDER BY vec_id""".stripMargin,
+
+    // Same chain, rolled up per cluster; the mean accumulates the
+    // round-9 cosines in DECIMAL exactly as the engine does.
+    "x_cluster_report" ->
+      s"""WITH $kmeansCte
+         |SELECT cluster, COUNT(*) AS n,
+         | ROUND(CAST(SUM(CAST(cos_to_centroid AS DECIMAL(30,15))) AS DOUBLE) /
+         |   CAST(COUNT(*) AS DOUBLE), 9) AS mean_cos,
+         | MIN(cos_to_centroid) AS min_cos, MAX(cos_to_centroid) AS max_cos
+         |FROM kassign GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     // Same chain + the exactKPerStratum md5 rank (the x_sample_k
     // discipline) per cluster.

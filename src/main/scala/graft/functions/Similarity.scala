@@ -678,6 +678,22 @@ object Similarity {
           .as("cos_to_centroid"))
   }
 
+  /** Per-cluster quality diagnostics over a [[kmeansAssign]] result:
+    * size, mean/min/max cosine-to-centroid — the report that decides
+    * whether a clustering is usable for topic balancing (a huge cluster
+    * with low mean cohesion = an undersplit topic; a tiny one = noise).
+    * One #clusters-sized aggregation with map-side partials; the mean
+    * accumulates the (already round-9) cosines in DECIMAL so the report
+    * is engine-reproducible like everything else in the k-means family.
+    */
+  def clusterReport(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cluster")).agg(
+      count(lit(1)).as("n"),
+      round(sum(col("cos_to_centroid").cast(DecimalType(30, 15)))
+        .cast("double") / count(lit(1)).cast("double"), 9).as("mean_cos"),
+      min(col("cos_to_centroid")).as("min_cos"),
+      max(col("cos_to_centroid")).as("max_cos"))
+
   /** The trained [[kmeansAssign]] centroid table (k × dim doubles,
     * unit-norm, rounded 9) — exposed so downstream stages (balanced
     * sampling, per-cluster stats, cluster-pruned search) can reuse one
