@@ -733,6 +733,22 @@ object SparkEntry {
         col("doc_id") % 101 === 0, k = 10, ngram = 2, maxDfRatio = 0.5)
         .orderBy("query_id", "rank")),
 
+    // Ordered conversion funnel view→click→purchase within 24h of the
+    // first view — per-step user counts; exact integer micros throughout
+    // (the r_sessionize discipline), one user-keyed agg per step.
+    "x_funnel" -> ((s, dir) =>
+      graft.functions.Events.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 86400000000L)
+        .orderBy("step")),
+
+    // Cohort retention: users cohort by the UTC day of their first event;
+    // (cohort_day, day_offset) counts distinct active users. All integer
+    // day arithmetic (epoch micros DIV us-per-day).
+    "x_retention" -> ((s, dir) =>
+      graft.functions.Events.retention(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset")),
+
     // Video scene-level near-dup: blobs split into 64-byte "frames",
     // each frame gets its perceptual bit-grid, and videos pair on ≥ 2
     // shared DISTINCT frame signatures (the inverted-index shape —
@@ -2865,6 +2881,38 @@ object SparkEntry {
         |${tfidfRkCte(2, "g2")}
         |SELECT query_id, doc_id, cos, rank FROM g2rk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Chained step CTEs: step k's MIN(us) over events of its type at or
+    // after step k−1's time; a user counts iff t_k − t_1 ≤ the window.
+    "x_funnel" ->
+      """WITH e AS (
+        | SELECT user_id AS u, epoch_us(ts) AS us, event_type AS t FROM events),
+        |s1 AS (SELECT u, MIN(us) AS t1 FROM e WHERE t = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, t1, MIN(us) AS t2 FROM e JOIN s1 ON e.u = s1.u
+        |       WHERE t = 'click' AND e.us >= s1.t1 GROUP BY e.u, t1),
+        |s3 AS (SELECT e.u, s2.t1, MIN(us) AS t3 FROM e JOIN s2 ON e.u = s2.u
+        |       WHERE t = 'purchase' AND e.us >= s2.t2 GROUP BY e.u, s2.t1)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |  COUNT(*) AS n_users FROM s1 WHERE t1 - t1 <= 86400000000
+        | UNION ALL
+        | SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
+        | WHERE t2 - t1 <= 86400000000
+        | UNION ALL
+        | SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3
+        | WHERE t3 - t1 <= 86400000000)
+        |ORDER BY step""".stripMargin,
+
+    // Integer day arithmetic: epoch_us // 86400000000; DISTINCT (user,
+    // cohort, offset) before the count, mirroring the engine.
+    "x_retention" ->
+      """WITH e AS (
+        | SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d FROM events),
+        |f AS (SELECT u, MIN(d) AS d0 FROM e GROUP BY u),
+        |a AS (SELECT DISTINCT e.u, f.d0, e.d - f.d0 AS off
+        |      FROM e JOIN f ON e.u = f.u)
+        |SELECT d0 AS cohort_day, off AS day_offset, COUNT(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     // 64-byte frames with cells = 64 mean one byte per cell, so a frame
     // cell is ascii·131 mod 256 directly (no stripe sum); signatures

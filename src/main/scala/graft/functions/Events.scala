@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over (user, timestamp, type) streams — the
+  * funnel/retention layer a user of the reference engine would hand-roll
+  * as keyed `Reduce` closures over event rows (reference
+  * operations/transform/reduce.go:16-44), expressed as declarative
+  * chained aggregations with exact integer-microsecond arithmetic (the
+  * r_sessionize discipline: every comparison and difference is on
+  * `unix_micros`, so oracles match bit-for-bit and daylight-saving can't
+  * exist).
+  */
+object Events {
+
+  /** Ordered conversion funnel: step 1's time is the user's earliest
+    * event of `steps(0)`'s type; step k's time is the earliest event of
+    * `steps(k-1)`'s type AT OR AFTER step k−1's time; a user counts for
+    * step k iff `t_k − t_1 ≤ windowUs`. Returns one row per step:
+    * (step, event_type, n_users), monotonically non-increasing.
+    *
+    * Shuffle profile: one (user)-keyed aggregation per step, each with
+    * map-side partial MIN and a hash join back to the (users-sized, far
+    * smaller than events) step-time table — O(steps) data-sized
+    * shuffles, no windows over the raw stream, nothing quadratic. The
+    * final per-step counts are 1-row aggregates unioned into one plan.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowUs >= 0, s"windowUs must be non-negative: $windowUs")
+    val ev = events.select(col(userCol).as("__u"),
+      unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__t"))
+    val stepTables = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (s, i)) =>
+        val k = i + 1
+        Some(prev match {
+          case None =>
+            ev.where(col("__t") === s)
+              .groupBy(col("__u")).agg(min(col("__us")).as("t1"))
+          case Some(acc) =>
+            val keep = (1 until k).map(j => col(s"a.t$j"))
+            ev.as("e").where(col("__t") === s)
+              .join(acc.as("a"), col("e.__u") === col("a.__u"))
+              .where(col("e.__us") >= col(s"a.t${k - 1}"))
+              .groupBy(col("a.__u") +: keep: _*)
+              .agg(min(col("e.__us")).as(s"t$k"))
+        })
+    }.flatten
+    stepTables.zipWithIndex.map { case (t, i) =>
+      val k = i + 1
+      t.where(col(s"t$k") - col("t1") <= windowUs)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(k.toLong).as("step"),
+          lit(steps(i)).as("event_type"), col("n_users"))
+    }.reduce(_ union _)
+  }
+
+  /** Cohort retention: users cohort by the UTC day of their first event
+    * (`epoch_us div 86'400'000'000` — exact integer division), and each
+    * (cohort_day, day_offset) row counts the distinct users of that
+    * cohort active `day_offset` days later (offset 0 = the cohort day
+    * itself, so it equals the cohort size).
+    *
+    * Shuffle profile: one (user)-keyed MIN for the cohort, one distinct
+    * over (user, offset) pairs (≤ users × active-days, with map-side
+    * partials), one (cohort, offset)-keyed count. Exact integers only.
+    */
+  def retention(events: DataFrame, userCol: String,
+                tsCol: String): DataFrame = {
+    val usPerDay = 86400000000L
+    // exact integer floor division (never the double `/`)
+    val ev = events.select(col(userCol).as("__u"),
+      expr(s"unix_micros($tsCol) DIV $usPerDay").as("__d"))
+    val first = ev.groupBy(col("__u")).agg(min(col("__d")).as("__d0"))
+    ev.join(first, "__u")
+      .select(col("__u"), col("__d0"), (col("__d") - col("__d0")).as("__off"))
+      .distinct()
+      .groupBy(col("__d0").as("cohort_day"), col("__off").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

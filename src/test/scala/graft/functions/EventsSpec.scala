@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class EventsSpec extends SparkSpec {
+
+  private val usPerDay = 86400000000L
+
+  private def ev(rows: Seq[(Long, Long, String)]) = {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("us", LongType),
+      StructField("event_type", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3))),
+      schema).select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+      col("event_type"))
+  }
+
+  test("funnel: order matters, window cuts late conversions, counts non-increasing") {
+    val events = ev(Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),
+      (2L, 0L, "click"), (2L, 10L, "view"), // click BEFORE view: step 2 unreached
+      (3L, 0L, "view"), (3L, 200L, "click"), // step 2 outside the window
+      (4L, 0L, "purchase"))) // never entered the funnel
+    val out = Events.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "view", 3L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
+  test("funnel: re-converting after the first qualifying event changes nothing") {
+    val events = ev(Seq(
+      (1L, 0L, "view"), (1L, 5L, "click"), (1L, 7L, "click")))
+    val out = Events.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click"), windowUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("retention: cohort by first-event day, same-day repeats collapse") {
+    val events = ev(Seq(
+      (1L, 100L * usPerDay + 5L, "view"),
+      (1L, 100L * usPerDay + 9L, "click"),  // same day: counts once
+      (1L, 102L * usPerDay + 1L, "view"),
+      (2L, 101L * usPerDay + 2L, "view")))
+    val out = Events.retention(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (100L, 0L) -> 1L, (100L, 2L) -> 1L, (101L, 0L) -> 1L))
+  }
+}
