@@ -171,6 +171,53 @@ object MicroBatch {
           else Iterator.empty
       }(org.apache.spark.sql.Encoders.scalaLong, oe)
 
+  /** Streaming ordered funnel — the incremental counterpart of
+    * [[graft.functions.Events.funnel]]: per-user keyed state
+    * `(nextStep, t1, tLast)` advances greedily through `steps` as events
+    * arrive (each batch's events process in (time, type) order, so
+    * within-batch disorder is absorbed), and a user emits exactly ONE
+    * `(user, completedAtUs)` row — when the final step lands within
+    * `windowUs` of step 1. With batches arriving in event-time order the
+    * emitted set equals the batch funnel's completed-step-N user set:
+    * greedy first-qualifying-event advancement IS the batch definition
+    * (step k = earliest type-k event ≥ t(k−1)).
+    *
+    * State is 3 scalars per user — bounded regardless of stream length;
+    * a completed user's state short-circuits every later batch.
+    */
+  def streamingFunnel(events: org.apache.spark.sql.Dataset[(Long, Long, String)],
+                      steps: Seq[String], windowUs: Long)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Int, Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(Int, Long, Long)]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long)]
+    events.groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[(Int, Long, Long), (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (u: Long, vals: Iterator[(Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Int, Long, Long)]) =>
+          var (idx, t1, tLast) = state.getOption.getOrElse((0, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+          if (idx < steps.length) {
+            vals.toSeq.sortBy(v => (v._2, v._3)).foreach { case (_, us, t) =>
+              if (idx < steps.length && t == steps(idx) &&
+                  (idx == 0 || us >= tLast)) {
+                if (idx == 0) t1 = us
+                tLast = us
+                idx += 1
+                if (idx == steps.length && tLast - t1 <= windowUs)
+                  out += ((u, us))
+              }
+            }
+            state.update((idx, t1, tLast))
+          }
+          out.iterator
+      }
+  }
+
   /** Exactly-once parquet batch sink for `foreachBatch`.
     *
     * `foreachBatch` gives AT-LEAST-once: after a crash between "batch

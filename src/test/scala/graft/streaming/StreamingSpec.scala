@@ -123,6 +123,29 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._1 == "b")) // b never reached 3
   }
 
+  test("streamingFunnel: completion emitted once, order enforced across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String)]
+    val done = MicroBatch.streamingFunnel(input.toDS(),
+      Seq("view", "click", "purchase"), windowUs = 100L)
+    val q = done.writeStream.format("memory").queryName("funnel_done")
+      .outputMode("update").start()
+    // u1 advances across batches; u2's purchase arrives BEFORE its view
+    // (wrong order — must not complete); u3 completes outside the window
+    input.addData((1L, 0L, "view"), (2L, 0L, "purchase"), (3L, 0L, "view"))
+    q.processAllAvailable()
+    input.addData((1L, 10L, "click"), (2L, 5L, "view"), (3L, 10L, "click"))
+    q.processAllAvailable()
+    input.addData((1L, 20L, "purchase"), (2L, 9L, "click"), (3L, 200L, "purchase"),
+      (1L, 30L, "purchase")) // second purchase after completion: ignored
+    q.processAllAvailable()
+    val rows = spark.table("funnel_done").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(rows.toSeq == Seq((1L, 20L)))
+  }
+
   test("stream-stream event-time join: clicks within lag of impressions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
