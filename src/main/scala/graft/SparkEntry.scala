@@ -1829,6 +1829,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Per-node triangle counts on the mutual-kNN graph — the local-
+    // clustering signal; degree-ordered wedge generation keeps the
+    // self-join O(m^1.5) even with hubs, closure is a plain equi-join.
+    "x_triangles" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val edges = Similarity.mutualKnnEdges(e, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 16, kmeansIters = 1,
+        margin = 40, saltBuckets = 2)
+      graft.functions.Graph.triangleCount(edges, "id_a", "id_b")
+        .orderBy("id")
+    }),
+
     // Semi-supervised label propagation: every 5th vector keeps its
     // label as a seed, labels spread 3 hops along the mutual-kNN graph
     // (same exhaustive-probe graph as x_knn_graph), majority vote per
@@ -1997,6 +2009,34 @@ object SparkEntry {
     * (whitespace tokens; docs shorter than one gram collapse to a single
     * whole-text gram).
     */
+  /** Quadratic mutual-kNN graph oracle chain (k = 5, exact decimal
+    * cosines, the x_knn_graph contract) ending with `mutual`
+    * (id_a < id_b, cos). Shared by the graph-analytics oracles. */
+  private val mutualKnnCte: String =
+    """z AS (
+      | SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |  CAST(unnest(c.embedding) AS DOUBLE) AS x,
+      |  CAST(unnest(q.embedding) AS DOUBLE) AS y
+      | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+      |d AS (
+      | SELECT qid, nid,
+      |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
+      |  SUM(CAST(x * x AS DECIMAL(30,15))) AS nc,
+      |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nq
+      | FROM z GROUP BY 1, 2),
+      |r AS (
+      | SELECT qid, nid,
+      |  ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) AS cos,
+      |  ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) DESC,
+      |      nid) AS rank
+      | FROM d),
+      |topk AS (SELECT qid, nid, cos FROM r WHERE rank <= 5),
+      |mutual AS (
+      | SELECT a.qid AS id_a, a.nid AS id_b, a.cos
+      | FROM topk a JOIN topk b ON a.qid = b.nid AND a.nid = b.qid
+      | WHERE a.qid < a.nid)""".stripMargin
+
   /** Shared base CTEs for the TF-IDF retrieval oracles: whitespace
     * tokens (the engine's `TextFunctions.tokens` contract) + corpus doc
     * count. */
@@ -4888,29 +4928,26 @@ object SparkEntry {
         |ORDER BY e.vec_id""".stripMargin,
 
     "x_knn_graph" ->
-      """WITH z AS (
-        | SELECT q.vec_id AS qid, c.vec_id AS nid,
-        |  CAST(unnest(c.embedding) AS DOUBLE) AS x,
-        |  CAST(unnest(q.embedding) AS DOUBLE) AS y
-        | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
-        |d AS (
-        | SELECT qid, nid,
-        |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
-        |  SUM(CAST(x * x AS DECIMAL(30,15))) AS nc,
-        |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nq
-        | FROM z GROUP BY 1, 2),
-        |r AS (
-        | SELECT qid, nid,
-        |  ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) AS cos,
-        |  ROW_NUMBER() OVER (PARTITION BY qid
-        |    ORDER BY ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(nc AS DOUBLE) * CAST(nq AS DOUBLE)), 9) DESC,
-        |      nid) AS rank
-        | FROM d),
-        |topk AS (SELECT qid, nid, cos FROM r WHERE rank <= 5)
-        |SELECT a.qid AS id_a, a.nid AS id_b, a.cos
-        |FROM topk a JOIN topk b ON a.qid = b.nid AND a.nid = b.qid
-        |WHERE a.qid < a.nid
+      s"""WITH $mutualKnnCte
+        |SELECT id_a, id_b, cos FROM mutual
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact triangle enumeration over the same mutual graph: x < y < z
+    // with all three canonical edges present; per-node membership count.
+    "x_triangles" ->
+      s"""WITH $mutualKnnCte,
+        |e AS (SELECT id_a AS u, id_b AS v FROM mutual),
+        |tri AS (SELECT xy.u AS x, xy.v AS y, xz.v AS z
+        |        FROM e xy JOIN e xz ON xz.u = xy.u AND xz.v > xy.v
+        |        JOIN e yz ON yz.u = xy.v AND yz.v = xz.v),
+        |pernode AS (SELECT id, COUNT(*) AS triangles FROM (
+        |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY 1),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT id_a AS id FROM mutual UNION ALL SELECT id_b FROM mutual))
+        |SELECT n.id, COALESCE(p.triangles, CAST(0 AS BIGINT)) AS triangles
+        |FROM nodes n LEFT JOIN pernode p USING (id)
+        |ORDER BY id""".stripMargin,
 
     // Pair CTE mirrors x_embed_neardup (label-blocked exact cosine);
     // closure mirrors x_dedup_drop's recursive reachability CTE.

@@ -134,6 +134,53 @@ object Graph {
     *         (0 for seeds); nodes the labels never reached are absent
     *         (left-join from your node table to keep them as nulls)
     */
+  /** Per-node triangle counts over an undirected simple graph — the
+    * local-clustering signal (dense near-dup neighborhoods, community
+    * cores) over e.g. the mutual-kNN graph. Degree-ordered orientation:
+    * every undirected edge points from its lower-(degree, id) endpoint
+    * to the higher, so each triangle is generated exactly once as a
+    * wedge at its lowest apex, and the wedge self-join fans out by the
+    * ORIENTED out-degree — the classic O(m^1.5) bound that survives
+    * power-law hubs (a degree-d hub contributes wedges only among its
+    * higher-degree neighbors, not C(d,2)).
+    *
+    * Shuffle profile: canonical edge dedup (one distinct), one
+    * degree aggregation, the wedge self-join keyed on the apex, and the
+    * closure check as a plain (u, v) equi-join back to the canonical
+    * edge set — every stage an equi-join/aggregation on 8-byte ids;
+    * found triangles explode to 3 membership rows before the final
+    * per-node count. Nodes with no triangles report 0.
+    *
+    * @return (id, triangles) for every node with ≥ 1 edge
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+        when(lower, col("v")).otherwise(col("u")).as("b"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.a").as("a"),
+        least(col("x.b"), col("y.b")).as("u"),
+        greatest(col("x.b"), col("y.b")).as("v"))
+    val tri = wedges.join(e, Seq("u", "v")) // closing edge exists
+    val members = tri.select(col("a").as("id"))
+      .union(tri.select(col("u").as("id")))
+      .union(tri.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__t"))
+    deg.join(members, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__t"), lit(0L)).as("triangles"))
+  }
+
   def propagateLabels(edges: DataFrame, srcCol: String, dstCol: String,
                       seeds: DataFrame, idCol: String, labelCol: String,
                       rounds: Int): DataFrame = {

@@ -9,6 +9,18 @@ class GraphSpec extends SparkSpec {
   private def edges(pairs: (Long, Long)*) =
     spark.createDataFrame(pairs).toDF("src", "dst")
 
+  test("triangleCount: K4 membership, paths zero, duplicates/loops collapse") {
+    val e = edges(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (2L, 1L), // reversed duplicate must not double-count
+      (5L, 6L), (6L, 7L), // path: nodes present, zero triangles
+      (8L, 8L)) // self loop: dropped, node 8 has no edge left
+    val out = Graph.triangleCount(e, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L))
+  }
+
   test("pageRank matches the hand-computed fixpoint steps") {
     // 1 -> {2,3}, 2 -> 3, 3 -> 1
     val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
