@@ -1829,6 +1829,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Connected components surfaced directly: (node, min-id label) over
+    // the near-dup pair graph — the operator underneath every dedup-drop
+    // and the leak-safe split; O(log d) pointer-jumping rounds.
+    "x_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
+      Dedup.connectedComponents(pairs)
+        .select(col("id"), col("label")).orderBy("id")
+    }),
+
     // Per-node triangle counts on the mutual-kNN graph — the local-
     // clustering signal; degree-ordered wedge generation keeps the
     // self-join O(m^1.5) even with hubs, closure is a plain equi-join.
@@ -4931,6 +4941,22 @@ object SparkEntry {
       s"""WITH $mutualKnnCte
         |SELECT id_a, id_b, cos FROM mutual
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Nodes = pair participants only (the engine's component domain);
+    // label = min reachable id via the recursive closure.
+    "x_components" ->
+      s"""WITH RECURSIVE ${ngramPairsCte(0.5)},
+         |edges AS (
+         | SELECT id_a AS u, id_b AS v FROM jpairs
+         | UNION
+         | SELECT id_b AS u, id_a AS v FROM jpairs),
+         |reach AS (
+         | SELECT u AS node, u AS lab FROM edges
+         | UNION
+         | SELECT e.v AS node, r.lab AS lab
+         | FROM reach r JOIN edges e ON e.u = r.node),
+         |labels AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node)
+         |SELECT node AS id, label FROM labels ORDER BY id""".stripMargin,
 
     // Exact triangle enumeration over the same mutual graph: x < y < z
     // with all three canonical edges present; per-node membership count.
