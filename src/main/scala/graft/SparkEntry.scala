@@ -1851,6 +1851,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Local clustering coefficient: 2T/(deg·(deg−1)) per node over the
+    // same mutual graph — community-density signal; nothing new shuffles
+    // beyond the triangle pipeline.
+    "x_clustering_coef" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val edges = Similarity.mutualKnnEdges(e, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 16, kmeansIters = 1,
+        margin = 40, saltBuckets = 2)
+      graft.functions.Graph.clusteringCoefficient(edges, "id_a", "id_b")
+        .orderBy("id")
+    }),
+
     // Semi-supervised label propagation: every 5th vector keeps its
     // label as a seed, labels spread 3 hops along the mutual-kNN graph
     // (same exhaustive-probe graph as x_knn_graph), majority vote per
@@ -4957,6 +4969,29 @@ object SparkEntry {
          | FROM reach r JOIN edges e ON e.u = r.node),
          |labels AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node)
          |SELECT node AS id, label FROM labels ORDER BY id""".stripMargin,
+
+    // Triangles + degree + the same double arithmetic: 2T/(d(d−1)),
+    // round 9; degree-1 nodes null.
+    "x_clustering_coef" ->
+      s"""WITH $mutualKnnCte,
+        |e AS (SELECT id_a AS u, id_b AS v FROM mutual),
+        |tri AS (SELECT xy.u AS x, xy.v AS y, xz.v AS z
+        |        FROM e xy JOIN e xz ON xz.u = xy.u AND xz.v > xy.v
+        |        JOIN e yz ON yz.u = xy.v AND yz.v = xz.v),
+        |pernode AS (SELECT id, COUNT(*) AS triangles FROM (
+        |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY 1),
+        |deg AS (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT id_a AS id FROM mutual UNION ALL SELECT id_b FROM mutual)
+        | GROUP BY 1)
+        |SELECT d.id, d.deg,
+        | COALESCE(p.triangles, CAST(0 AS BIGINT)) AS triangles,
+        | CASE WHEN d.deg >= 2 THEN
+        |  ROUND(2.0 * CAST(COALESCE(p.triangles, 0) AS DOUBLE) /
+        |    (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 9)
+        | ELSE NULL END AS coef
+        |FROM deg d LEFT JOIN pernode p USING (id)
+        |ORDER BY id""".stripMargin,
 
     // Exact triangle enumeration over the same mutual graph: x < y < z
     // with all three canonical edges present; per-node membership count.

@@ -21,6 +21,19 @@ class GraphSpec extends SparkSpec {
       5L -> 0L, 6L -> 0L, 7L -> 0L))
   }
 
+  test("clusteringCoefficient: clique 1.0, open wedge 0.0, leaves null") {
+    val e = edges(
+      (1L, 2L), (1L, 3L), (2L, 3L), // triangle: coef 1.0 each
+      (3L, 4L), (4L, 5L))           // path: 4 is an open wedge, 5 a leaf
+    val out = Graph.clusteringCoefficient(e, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, Some(1.0))))
+    assert(out(3L)._1 == 3L && out(3L)._3 == Some(0.333333333)) // round(2·1/(3·2), 9)
+    assert(out(4L) == ((2L, 0L, Some(0.0))))
+    assert(out(5L) == ((1L, 0L, None)))
+  }
+
   test("pageRank matches the hand-computed fixpoint steps") {
     // 1 -> {2,3}, 2 -> 3, 3 -> 1
     val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
