@@ -1829,6 +1829,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Personalized PageRank: teleport restricted to a trusted seed set
+    // (customers with custkey % 25 = 0 → node id % 50 = 0) — proximity-
+    // weighted trust through the same bipartite purchase graph.
+    "x_ppr" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.functions.Graph.personalizedPageRank(e,
+          col("id") % 50 === 0, iterations = 5)
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+        .orderBy("id")
+    }),
+
     // Connected components surfaced directly: (node, min-id label) over
     // the near-dup pair graph — the operator underneath every dedup-drop
     // and the leak-safe split; O(log d) pointer-jumping rounds.
@@ -4953,6 +4968,42 @@ object SparkEntry {
       s"""WITH $mutualKnnCte
         |SELECT id_a, id_b, cos FROM mutual
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same unrolled recurrence as x_pagerank with the teleport term
+    // (1−d)·p — p uniform over in-graph seeds, r0 = p; double ops
+    // mirrored (1.0−0.85 as a DOUBLE subtraction, 1.0/ns DOUBLE divide).
+    "x_ppr" -> {
+      def step(i: Int) =
+        s"""r$i AS (
+           | SELECT n.id, n.deg, n.p,
+           |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n.p +
+           |  CAST(0.85 AS DOUBLE) * COALESCE(s.in_sum, CAST(0.0 AS DOUBLE)) AS rank
+           | FROM nodes n LEFT JOIN (
+           |  SELECT e.dst AS dst,
+           |   CAST(SUM(CAST(r.rank / CAST(r.deg AS DOUBLE) AS DECIMAL(30,15)))
+           |     AS DOUBLE) AS in_sum
+           |  FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY e.dst) s
+           | ON n.id = s.dst)""".stripMargin
+      s"""WITH e AS (
+         | SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |nb AS (
+         | SELECT n.id, COALESCE(d.deg, 0) AS deg
+         | FROM (SELECT DISTINCT id FROM
+         |   (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)) n
+         | LEFT JOIN deg d ON n.id = d.src),
+         |ns AS (SELECT COUNT(*) AS ns FROM nb WHERE id % 50 = 0),
+         |nodes AS (
+         | SELECT id, deg,
+         |  CASE WHEN id % 50 = 0
+         |   THEN CAST(1.0 AS DOUBLE) / CAST(ns AS DOUBLE)
+         |   ELSE CAST(0.0 AS DOUBLE) END AS p
+         | FROM nb CROSS JOIN ns),
+         |r0 AS (SELECT id, deg, p, p AS rank FROM nodes),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT id, ROUND(rank, 9) AS rank FROM r5 ORDER BY id""".stripMargin
+    },
 
     // Nodes = pair participants only (the engine's component domain);
     // label = min reachable id via the recursive closure.

@@ -134,6 +134,61 @@ object Graph {
     *         (0 for seeds); nodes the labels never reached are absent
     *         (left-join from your node table to keep them as nulls)
     */
+  /** Personalized PageRank: teleport mass restricted to a seed set — the
+    * curation query "which nodes sit close to this TRUSTED set through
+    * the graph" (seed = vetted domains/docs, edges = similarity/links;
+    * rank = proximity-weighted trust). `isSeed` is a predicate over the
+    * node id column `id`. Teleport vector p is uniform over the seeds
+    * present in the graph; r0 = p and each round applies
+    * `r = (1−d)·p + d·Σ in-contribs` — the same recurrence, per-round
+    * snapshot discipline, and DECIMAL contribution sums as [[pageRank]]
+    * (dangling mass leaks identically; the oracle unrolls the identical
+    * recurrence).
+    */
+  def personalizedPageRank(edges: DataFrame, isSeed: Column,
+                           iterations: Int = 10,
+                           damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
+    def snap(df: DataFrame): DataFrame = snapFor(edges)(df)
+    val e = snap(edges.select(
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodesBase = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+    val seedCnt = nodesBase.where(isSeed).agg(count(lit(1)).as("__ns"))
+    val setup = snap(nodesBase.crossJoin(broadcast(seedCnt))
+      .select(col("id"), col("deg"),
+        when(isSeed, lit(1.0) / col("__ns").cast("double"))
+          .otherwise(lit(0.0)).as("p"))
+      .withColumn("rank", col("p")))
+    val nodes = setup.select(col("id"), col("deg"), col("p"))
+    var ranks = setup
+    var lastSnap = setup
+    var iter = 0
+    while (iter < iterations) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("deg").cast("double")).as("c"))
+      val sums = contribs.groupBy(col("dst"))
+        .agg(sum(col("c").cast(DecimalType(30, 15))).cast("double").as("in_sum"))
+      val next = nodes.join(sums, nodes("id") === sums("dst"), "left")
+        .select(col("id"), col("deg"), col("p"),
+          (lit(1.0 - damping) * col("p") +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+      val s = snap(next)
+      if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
+      lastSnap = s
+      ranks = s
+      iter += 1
+    }
+    e.unpersist(blocking = false)
+    val out = snap(ranks.select(col("id"), col("rank")))
+    if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
+    setup.unpersist(blocking = false)
+    out
+  }
+
   /** Per-node triangle counts over an undirected simple graph — the
     * local-clustering signal (dense near-dup neighborhoods, community
     * cores) over e.g. the mutual-kNN graph. Degree-ordered orientation:

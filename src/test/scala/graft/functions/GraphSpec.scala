@@ -34,6 +34,17 @@ class GraphSpec extends SparkSpec {
     assert(out(5L) == ((1L, 0L, None)))
   }
 
+  test("personalizedPageRank: mass flows from the seed, non-reachable stays zero") {
+    // 1 -> 2, 2 -> 1, 3 -> 1; seed = {1}
+    val e = edges((1L, 2L), (2L, 1L), (3L, 1L))
+    val r = Graph.personalizedPageRank(e, col("id") === 1, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // r0=(1,0,0); r1=(0.15, 0.85, 0); r2=(0.15+0.85·0.85, 0.85·0.15, 0)
+    assert(math.abs(r(1L) - (0.15 + 0.85 * 0.85)) < 1e-12)
+    assert(math.abs(r(2L) - 0.85 * 0.15) < 1e-12)
+    assert(r(3L) == 0.0) // never teleported to, never linked to
+  }
+
   test("pageRank matches the hand-computed fixpoint steps") {
     // 1 -> {2,3}, 2 -> 3, 3 -> 1
     val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
