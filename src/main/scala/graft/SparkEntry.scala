@@ -1829,6 +1829,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // k-core of the mutual-kNN graph (k = 3, 4 peels): dense cluster
+    // cores; the in-plan converged flag makes an unconverged run visible
+    // in the result rather than silently wrong.
+    "x_kcore" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val edges = Similarity.mutualKnnEdges(e, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 16, kmeansIters = 1,
+        margin = 40, saltBuckets = 2)
+      graft.functions.Graph.kCore(edges, "id_a", "id_b", k = 3, rounds = 4)
+        .orderBy("id")
+    }),
+
     // Personalized PageRank: teleport restricted to a trusted seed set
     // (customers with custkey % 25 = 0 → node id % 50 = 0) — proximity-
     // weighted trust through the same bipartite purchase graph.
@@ -4968,6 +4980,31 @@ object SparkEntry {
       s"""WITH $mutualKnnCte
         |SELECT id_a, id_b, cos FROM mutual
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Four peeling rounds unrolled; converged = |kp4| = |kp3| (peeling
+    // is monotone, so count equality is set equality). Round CTEs are
+    // MATERIALIZED — each is referenced several times and DuckDB would
+    // otherwise replay the quadratic mutual-graph chain per reference
+    // (the x_bpe_train lesson; un-materialized this OOMs).
+    "x_kcore" -> {
+      def peel(r: Int) =
+        s"""d$r AS MATERIALIZED (SELECT id, COUNT(*) AS dg FROM (
+           |  SELECT u AS id FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+           | GROUP BY 1),
+           |kp$r AS MATERIALIZED (SELECT id FROM d$r WHERE dg >= 3),
+           |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+           | WHERE u IN (SELECT id FROM kp$r) AND v IN (SELECT id FROM kp$r))""".stripMargin
+      s"""WITH $mutualKnnCte,
+         |e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM mutual),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)),
+         |${(1 to 4).map(peel).mkString(",\n")},
+         |flag AS (SELECT (SELECT COUNT(*) FROM kp4) = (SELECT COUNT(*) FROM kp3)
+         |  AS converged)
+         |SELECT n.id, (kp.id IS NOT NULL) AS in_core, f.converged
+         |FROM nodes n LEFT JOIN kp4 kp USING (id) CROSS JOIN flag f
+         |ORDER BY n.id""".stripMargin
+    },
 
     // Same unrolled recurrence as x_pagerank with the teleport term
     // (1−d)·p — p uniform over in-graph seeds, r0 = p; double ops

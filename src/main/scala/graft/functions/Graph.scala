@@ -189,6 +189,57 @@ object Graph {
     out
   }
 
+  /** k-core membership after `rounds` peeling passes: repeatedly remove
+    * nodes whose CURRENT degree is below `k` (with their edges) — the
+    * dense-core extractor (spam/community cores in link graphs, cluster
+    * cores in near-dup graphs). Peeling is monotone, so the kept set
+    * only shrinks; `converged` reports whether the last pass removed
+    * nothing (the fixpoint = the true k-core) — computed IN the plan, so
+    * an unconverged run is visible in the result, not silently wrong.
+    *
+    * Shuffle profile per round: one degree aggregation + two semi-joins
+    * keyed on 8-byte ids, each round snapshotted (bounded `rounds`, flat
+    * lineage — the [[pageRank]] discipline).
+    *
+    * @return (id, in_core, converged) over every node of the input graph
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    def snap(df: DataFrame): DataFrame = snapFor(edges)(df)
+    val e0 = snap(edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    val allNodes = snap(
+      e0.select(col("u").as("id")).union(e0.select(col("v").as("id"))).distinct())
+    var e = e0
+    var kept: DataFrame = allNodes
+    var keptPrev: DataFrame = allNodes
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("__dg"))
+      val keptNext = snap(deg.where(col("__dg") >= k).select(col("id")))
+      e = snap(e
+        .join(keptNext.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(keptNext.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v")))
+      keptPrev = kept
+      kept = keptNext
+    }
+    // kept ⊆ keptPrev (peeling is monotone), so count equality ⇔ set
+    // equality — the convergence flag costs two 1-row aggregates
+    val flag = kept.agg(count(lit(1)).as("__a"))
+      .crossJoin(keptPrev.agg(count(lit(1)).as("__b")))
+      .select((col("__a") === col("__b")).as("converged"))
+    allNodes
+      .join(kept.withColumn("__in", lit(true)), Seq("id"), "left")
+      .crossJoin(broadcast(flag))
+      .select(col("id"), coalesce(col("__in"), lit(false)).as("in_core"),
+        col("converged"))
+  }
+
   /** Per-node triangle counts over an undirected simple graph — the
     * local-clustering signal (dense near-dup neighborhoods, community
     * cores) over e.g. the mutual-kNN graph. Degree-ordered orientation:

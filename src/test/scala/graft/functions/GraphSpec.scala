@@ -34,6 +34,21 @@ class GraphSpec extends SparkSpec {
     assert(out(5L) == ((1L, 0L, None)))
   }
 
+  test("kCore: cascading peel reaches the core; converged flag honest") {
+    // K4 {1,2,3,4} with a tail 4-5-6: peeling k=2 removes 6, THEN 5
+    val e = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    def run(rounds: Int) = Graph.kCore(e, "src", "dst", k = 2, rounds = rounds)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    val r3 = run(3)
+    assert(r3.forall(_._3), "third pass removes nothing → converged")
+    assert(r3.filter(_._2).map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(r3.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val r2 = run(2)
+    assert(r2.forall(!_._3), "second pass still removed node 5 → not converged")
+    assert(r2.filter(_._2).map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("personalizedPageRank: mass flows from the seed, non-reachable stays zero") {
     // 1 -> 2, 2 -> 1, 3 -> 1; seed = {1}
     val e = edges((1L, 2L), (2L, 1L), (3L, 1L))
