@@ -1829,6 +1829,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Column profiling census over lineitem: rows/nulls/exact distinct
+    // per column, one aggregation job for all columns — DESCRIBE-class
+    // schema QA (swap approx_count_distinct in at 100 TB).
+    "x_profile" -> ((s, dir) =>
+      graft.functions.Stats.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_shipdate", "l_linestatus"))),
+
     // k-core of the mutual-kNN graph (k = 3, 4 peels): dense cluster
     // cores; the in-plan converged flag makes an unconverged run visible
     // in the result rather than silently wrong.
@@ -4980,6 +4988,25 @@ object SparkEntry {
       s"""WITH $mutualKnnCte
         |SELECT id_a, id_b, cos FROM mutual
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // One stats row per column, ordinal-pinned order; COUNT(DISTINCT)
+    // excludes nulls in both engines.
+    "x_profile" ->
+      """SELECT "column", n_rows, n_nulls, n_distinct FROM (
+        | SELECT 0 AS ord, 'l_orderkey' AS "column", COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+        |  COUNT(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+        | UNION ALL SELECT 1, 'l_partkey', COUNT(*), COUNT(*) - COUNT(l_partkey),
+        |  COUNT(DISTINCT l_partkey) FROM lineitem
+        | UNION ALL SELECT 2, 'l_suppkey', COUNT(*), COUNT(*) - COUNT(l_suppkey),
+        |  COUNT(DISTINCT l_suppkey) FROM lineitem
+        | UNION ALL SELECT 3, 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+        |  COUNT(DISTINCT l_returnflag) FROM lineitem
+        | UNION ALL SELECT 4, 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+        |  COUNT(DISTINCT l_shipdate) FROM lineitem
+        | UNION ALL SELECT 5, 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+        |  COUNT(DISTINCT l_linestatus) FROM lineitem)
+        |ORDER BY ord""".stripMargin,
 
     // Four peeling rounds unrolled; converged = |kp4| = |kp3| (peeling
     // is monotone, so count equality is set equality). Round CTEs are

@@ -39,6 +39,37 @@ object Stats {
   private final case class Pending(rank: Long, lo: Double, hi: Double,
                                    offset: Long, size: Long)
 
+  /** Per-column data-profiling census (the `DESCRIBE`-class platform
+    * feature): one row per column with total rows, null count and exact
+    * distinct count — the completeness/cardinality report that drives
+    * join-key selection, partition-key choice and schema QA. ONE scan:
+    * all columns' aggregates ride a single aggregation job with map-side
+    * partials (count-distinct state is per-column; swap
+    * `approx_count_distinct` in for the 100 TB profile where exactness
+    * isn't contractual — the oracle checks the exact form).
+    *
+    * @return (column, n_rows, n_nulls, n_distinct) in `columns` order
+    *   (pinned by an ordinal column so the output order is part of the
+    *   contract), distinct counts EXCLUDING null (count-distinct
+    *   semantics in both engines)
+    */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    val aggs = columns.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = columns.zipWithIndex.map { case (c, i) =>
+      one.select(lit(i).as("__ord"), lit(c).as("column"),
+        col(s"__n_$c").as("n_rows"), col(s"__nn_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"))
+    }
+    stacked.reduce(_ union _).orderBy("__ord")
+      .select("column", "n_rows", "n_nulls", "n_distinct")
+  }
+
   /** Exact linear-interpolation quantiles (the `percentile()` /
     * `quantile_cont` definition: index p·(n−1) over the sorted values,
     * fractional index interpolated). Nulls and NaNs are excluded.

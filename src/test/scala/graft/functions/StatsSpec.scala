@@ -6,6 +6,21 @@ import graft.SparkSpec
 
 class StatsSpec extends SparkSpec {
 
+  test("profile: null-aware counts, distinct excludes nulls, order pinned") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("x", LongType), StructField("y", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a"), Row(1L, null), Row(null, "b"), Row(2L, "a"))),
+      schema)
+    val out = Stats.profile(df, Seq("y", "x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq( // caller's order, not schema order
+      ("y", 4L, 1L, 2L), ("x", 4L, 1L, 2L)))
+  }
+
   private val probs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.95, 1.0)
 
   private def reference(df: org.apache.spark.sql.DataFrame, c: String): Seq[Double] = {
