@@ -742,6 +742,14 @@ object SparkEntry {
         Seq("view", "click", "purchase"), windowUs = 86400000000L)
         .orderBy("step")),
 
+    // Hourly rate-spike flags per event type vs the trailing-6-bucket
+    // mean; integer cross-multiplication decides — no float in the
+    // predicate, the window table is bucket-grained metadata.
+    "x_event_spikes" -> ((s, dir) =>
+      graft.functions.Events.rateSpikes(t(s, dir, "events"),
+        "ts", "event_type", bucketUs = 3600000000L, trailing = 6, factor = 2L)
+        .orderBy("event_type", "bucket")),
+
     // Cohort retention: users cohort by the UTC day of their first event;
     // (cohort_day, day_offset) counts distinct active users. All integer
     // day arithmetic (epoch micros DIV us-per-day).
@@ -2999,6 +3007,24 @@ object SparkEntry {
         | SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3
         | WHERE t3 - t1 <= 86400000000)
         |ORDER BY step""".stripMargin,
+
+    // Same frame (ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING over observed
+    // buckets) and the same integer cross-multiplied predicate.
+    "x_event_spikes" ->
+      """WITH b AS (
+        | SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |  COUNT(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |wn AS (
+        | SELECT event_type, bucket, n,
+        |  SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS ps,
+        |  COUNT(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS pc
+        | FROM b)
+        |SELECT event_type, bucket, n,
+        | (pc = 6 AND n * 6 > 2 * ps) AS spike
+        |FROM wn ORDER BY event_type, bucket""".stripMargin,
 
     // Integer day arithmetic: epoch_us // 86400000000; DISTINCT (user,
     // cohort, offset) before the count, mirroring the engine.

@@ -58,6 +58,39 @@ object Events {
     }.reduce(_ union _)
   }
 
+  /** Rate-spike detection per event type: bucket counts (exact integer
+    * `epoch_us DIV bucketUs`) compared against the mean of the previous
+    * `trailing` OBSERVED buckets of the same type — a bucket spikes when
+    * `n · trailing > factor · Σ(prev n)` with a FULL trailing window,
+    * written as an integer cross-multiplication so no float ever enters
+    * the decision (bit-exact across engines by construction). The
+    * observed-bucket frame (SQL `ROWS BETWEEN trailing PRECEDING AND 1
+    * PRECEDING`) is the documented semantic: silent gaps don't dilute
+    * the baseline, they simply aren't rows.
+    *
+    * Shuffle profile: one (type, bucket) count with map-side partials —
+    * the only data-sized stage; the window runs over the bucket-grained
+    * table (metadata-sized: time-range/bucketUs rows per type).
+    *
+    * @return (event_type, bucket, n, spike)
+    */
+  def rateSpikes(events: DataFrame, tsCol: String, typeCol: String,
+                 bucketUs: Long, trailing: Int, factor: Long): DataFrame = {
+    require(bucketUs >= 1 && trailing >= 1 && factor >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-trailing, -1)
+    events
+      .select(col(typeCol).as("event_type"),
+        expr(s"unix_micros($tsCol) DIV $bucketUs").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      .withColumn("__prev_sum", sum(col("n")).over(w))
+      .withColumn("__prev_cnt", count(col("n")).over(w))
+      .select(col("event_type"), col("bucket"), col("n"),
+        (col("__prev_cnt") === trailing &&
+          col("n") * trailing > lit(factor) * col("__prev_sum")).as("spike"))
+  }
+
   /** Cohort retention: users cohort by the UTC day of their first event
     * (`epoch_us div 86'400'000'000` — exact integer division), and each
     * (cohort_day, day_offset) row counts the distinct users of that

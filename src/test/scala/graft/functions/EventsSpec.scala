@@ -43,6 +43,19 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("rateSpikes: full trailing window required, integer predicate, gaps skipped") {
+    val perBucket = Seq(1, 1, 1, 1, 1, 1, 10) // bucket 6 spikes
+    val rows = perBucket.zipWithIndex.flatMap { case (n, b) =>
+      (0 until n).map(i => (1L, b * 1000L + i, "click"))
+    } ++ Seq((2L, 0L, "view"), (2L, 9000L, "view")) // gappy type: never full window
+    val out = Events.rateSpikes(ev(rows), "ts", "event_type",
+      bucketUs = 1000L, trailing = 6, factor = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(("click", 6L)) == ((10L, true)))
+    assert(out(("click", 5L)) == ((1L, false))) // only 5 prior buckets
+    assert(out(("view", 9L))._2 == false)       // observed-frame count 1 < 6
+  }
+
   test("retention: cohort by first-event day, same-day repeats collapse") {
     val events = ev(Seq(
       (1L, 100L * usPerDay + 5L, "view"),
