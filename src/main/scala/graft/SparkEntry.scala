@@ -824,6 +824,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Snapshot delta audit: the %3==0 slice vs a derived "today" with
+    // removals (%30), edits (%21, ' v2' appended) and arrivals (%33,
+    // shifted ids) — only the delta comes back, fingerprint-compared.
+    "x_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val newSnap = oldSnap.where(col("doc_id") % 30 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 21 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(oldSnap.where(col("doc_id") % 33 === 0)
+          .select((col("doc_id") + 60000000L).as("doc_id"), col("text")))
+      Corpus.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Persisted-index probe: the inverted index freezes the snapshot's
     // idf/norms; later arrivals score against it without re-reading the
     // indexed bodies — build-once/probe-incrementally, the incremental-
@@ -3196,6 +3213,27 @@ object SparkEntry {
         | FROM cand)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Text EQUALITY stands in for the engine's fingerprint compare
+    // (identical verdicts absent a 64-bit collision — the perplexity
+    // convention); unchanged rows filtered out on both sides.
+    "x_snapshot_diff" ->
+      """WITH o AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |nw AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 21 = 0 THEN text || ' v2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 3 = 0 AND doc_id % 30 <> 0
+        | UNION ALL
+        | SELECT doc_id + 60000000, text FROM documents
+        | WHERE doc_id % 3 = 0 AND doc_id % 33 = 0)
+        |SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+        | CASE WHEN o.doc_id IS NULL THEN 'added'
+        |      WHEN nw.doc_id IS NULL THEN 'removed'
+        |      ELSE 'changed' END AS status
+        |FROM o FULL JOIN nw ON o.doc_id = nw.doc_id
+        |WHERE o.doc_id IS NULL OR nw.doc_id IS NULL OR o.text <> nw.text
+        |ORDER BY doc_id""".stripMargin,
 
     // Index-side stats (df, N, norms) come from the %3==0 snapshot ONLY;
     // query grams without an index idf drop (they can't match postings).

@@ -210,6 +210,32 @@ object Corpus {
         col("cos"), col("rank"))
   }
 
+  /** Delta between two corpus snapshots: (id, status) with status ∈
+    * added | removed | changed — the audit that makes an incremental
+    * pipeline trustworthy ("yesterday's index + today's probe" is only
+    * valid if you know what moved). Content comparison is by 8-byte
+    * fingerprint (xxhash64 — bodies never shuffle; a 64-bit collision
+    * reads as unchanged, the corpus-wide hash-key caveat), the id join
+    * is a full outer on longs, and unchanged rows are filtered OUT so
+    * the output is delta-sized, not corpus-sized. Null text compares
+    * like SQL equality: null vs anything is not a detected change (both
+    * engines agree by construction).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).cast("long").as("__ido"),
+      xxhash64(col(textCol)).as("__fo"))
+    val n = newDf.select(col(idCol).cast("long").as("__idn"),
+      xxhash64(col(textCol)).as("__fn"))
+    o.join(n, col("__ido") === col("__idn"), "full_outer")
+      .where(col("__ido").isNull || col("__idn").isNull ||
+        col("__fo") =!= col("__fn"))
+      .select(coalesce(col("__ido"), col("__idn")).as(idCol),
+        when(col("__ido").isNull, "added")
+          .when(col("__idn").isNull, "removed")
+          .otherwise("changed").as("status"))
+  }
+
   /** Build the persistable state of a TF-IDF inverted index over a
     * corpus snapshot: `(postings, dict)` where `postings` =
     * (doc_id, __th gram-hash, wn = tf·idf/‖doc‖ — the doc side

@@ -158,6 +158,18 @@ class CorpusSpec extends SparkSpec {
     assert(out(0L) == plain(0L) && out(10L) == plain(10L))
   }
 
+  test("snapshotDiff: delta-only output with added/removed/changed verdicts") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    def snap(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))), schema)
+    val old = snap(Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    val nw = snap(Seq(1L -> "a", 2L -> "B2", 4L -> "d"))
+    val out = Corpus.snapshotDiff(old, nw, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("rrfFuse: shared docs outrank single-list docs, ties break by doc_id") {
     val schema = StructType(Seq(
       StructField("query_id", LongType), StructField("doc_id", LongType),
