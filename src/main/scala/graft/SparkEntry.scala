@@ -1856,11 +1856,33 @@ object SparkEntry {
 
     // Column profiling census over lineitem: rows/nulls/exact distinct
     // per column, one aggregation job for all columns — DESCRIBE-class
-    // schema QA (swap approx_count_distinct in at 100 TB).
+    // schema QA. Exact mode (approxRsd = 0); the 100 TB sketch mode is
+    // x_profile_approx below.
     "x_profile" -> ((s, dir) =>
       graft.functions.Stats.profile(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
           "l_shipdate", "l_linestatus"))),
+
+    // The profile's 100 TB mode, self-verifying (the x_approx_distinct
+    // pattern): approxRsd > 0 swaps exact count_distinct (an Expand —
+    // the scan × #columns into an exchange carrying the distinct VALUES)
+    // for HLL++ sketches (KB-bounded state, no Expand). The query emits
+    // the EXACT counts plus |approx − exact| ≤ 3·rsd·exact flags; the
+    // oracle recomputes the exact counts and asserts the flags TRUE —
+    // the estimate itself never needs cross-engine agreement.
+    "x_profile_approx" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+      val rsd = 0.02
+      val li = t(s, dir, "lineitem")
+      val ex = graft.functions.Stats.profile(li, cols)
+      val ap = graft.functions.Stats.profile(li, cols, approxRsd = rsd)
+        .select(col("column"), col("n_distinct").as("__approx"))
+      ex.join(ap, "column")
+        .select(col("column"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          (abs(col("__approx") - col("n_distinct")).cast("double")
+            <= lit(3 * rsd) * col("n_distinct").cast("double")).as("within_tol"))
+        .orderBy("column")
+    }),
 
     // k-core of the mutual-kNN graph (k = 3, 4 peels): dense cluster
     // cores; the in-plan converged flag makes an unconverged run visible
@@ -3214,9 +3236,10 @@ object SparkEntry {
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // Text EQUALITY stands in for the engine's fingerprint compare
-    // (identical verdicts absent a 64-bit collision — the perplexity
-    // convention); unchanged rows filtered out on both sides.
+    // Text EQUALITY stands in for the engine's 128-bit fingerprint
+    // compare (identical verdicts modulo a 2^-128 md5 collision);
+    // IS DISTINCT FROM mirrors the engine's null-safe compare — a
+    // null↔non-null transition is a change on BOTH sides by contract.
     "x_snapshot_diff" ->
       """WITH o AS (
         | SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
@@ -3232,7 +3255,8 @@ object SparkEntry {
         |      WHEN nw.doc_id IS NULL THEN 'removed'
         |      ELSE 'changed' END AS status
         |FROM o FULL JOIN nw ON o.doc_id = nw.doc_id
-        |WHERE o.doc_id IS NULL OR nw.doc_id IS NULL OR o.text <> nw.text
+        |WHERE o.doc_id IS NULL OR nw.doc_id IS NULL
+        |   OR o.text IS DISTINCT FROM nw.text
         |ORDER BY doc_id""".stripMargin,
 
     // Index-side stats (df, N, norms) come from the %3==0 snapshot ONLY;
@@ -5071,6 +5095,23 @@ object SparkEntry {
         | UNION ALL SELECT 5, 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
         |  COUNT(DISTINCT l_linestatus) FROM lineitem)
         |ORDER BY ord""".stripMargin,
+
+    // Exact counts recomputed; the HLL++ estimates are asserted only
+    // through the within-3·rsd flags (the x_approx_distinct convention).
+    // Presentation order is BY COLUMN NAME (the query joins exact ×
+    // approx, losing the ordinal).
+    "x_profile_approx" ->
+      """SELECT "column", n_rows, n_nulls, n_distinct, TRUE AS within_tol FROM (
+        | SELECT 'l_orderkey' AS "column", COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+        |  COUNT(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+        | UNION ALL SELECT 'l_partkey', COUNT(*), COUNT(*) - COUNT(l_partkey),
+        |  COUNT(DISTINCT l_partkey) FROM lineitem
+        | UNION ALL SELECT 'l_suppkey', COUNT(*), COUNT(*) - COUNT(l_suppkey),
+        |  COUNT(DISTINCT l_suppkey) FROM lineitem
+        | UNION ALL SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+        |  COUNT(DISTINCT l_returnflag) FROM lineitem)
+        |ORDER BY "column"""".stripMargin,
 
     // Four peeling rounds unrolled; converged = |kp4| = |kp3| (peeling
     // is monotone, so count equality is set equality). Round CTEs are

@@ -213,23 +213,42 @@ object Corpus {
   /** Delta between two corpus snapshots: (id, status) with status ∈
     * added | removed | changed — the audit that makes an incremental
     * pipeline trustworthy ("yesterday's index + today's probe" is only
-    * valid if you know what moved). Content comparison is by 8-byte
-    * fingerprint (xxhash64 — bodies never shuffle; a 64-bit collision
-    * reads as unchanged, the corpus-wide hash-key caveat), the id join
+    * valid if you know what moved). Content comparison is by 128-bit
+    * fingerprint (md5 — bodies never shuffle). 128 bits, not the 8-byte
+    * xxhash64 the dedup family uses: a dedup collision errs toward
+    * DROPPING a row (visible downstream); a diff collision would read a
+    * changed doc as *unchanged* and silently corrupt the audit — the one
+    * place the extra 24 bytes/row buys out an undetectable failure mode.
+    * Null text is explicit: a null↔non-null transition IS a change
+    * (null-safe compare engine-side, IS DISTINCT FROM oracle-side —
+    * both engines agree by contract, not by fixture luck). The id join
     * is a full outer on longs, and unchanged rows are filtered OUT so
-    * the output is delta-sized, not corpus-sized. Null text compares
-    * like SQL equality: null vs anything is not a detected change (both
-    * engines agree by construction).
+    * the output is delta-sized, not corpus-sized.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
-                   idCol: String, textCol: String): DataFrame = {
+                   idCol: String, textCol: String): DataFrame =
+    snapshotDiffWithFingerprint(oldDf, newDf, idCol, textCol,
+      c => md5(c.cast("binary")))
+
+  /** [[snapshotDiff]] with an injectable fingerprint — the
+    * removeFrequentUnitsWithHash testing convention: a spec injects a
+    * deliberately weak hash to manufacture a collision and pin down that
+    * the default 128-bit fingerprint catches what a weak one misses.
+    * The fingerprint must map null to null (md5/xxhash64 column fns do).
+    */
+  private[graft] def snapshotDiffWithFingerprint(
+      oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String,
+      fingerprint: Column => Column): DataFrame = {
     val o = oldDf.select(col(idCol).cast("long").as("__ido"),
-      xxhash64(col(textCol)).as("__fo"))
+      fingerprint(col(textCol)).as("__fo"))
     val n = newDf.select(col(idCol).cast("long").as("__idn"),
-      xxhash64(col(textCol)).as("__fn"))
+      fingerprint(col(textCol)).as("__fn"))
     o.join(n, col("__ido") === col("__idn"), "full_outer")
+      // null-safe inequality: null vs null ⇒ unchanged, null vs value ⇒
+      // changed — matches the oracle's IS DISTINCT FROM explicitly
       .where(col("__ido").isNull || col("__idn").isNull ||
-        col("__fo") =!= col("__fn"))
+        !(col("__fo") <=> col("__fn")))
       .select(coalesce(col("__ido"), col("__idn")).as(idCol),
         when(col("__ido").isNull, "added")
           .when(col("__idn").isNull, "removed")

@@ -40,31 +40,52 @@ object Stats {
                                    offset: Long, size: Long)
 
   /** Per-column data-profiling census (the `DESCRIBE`-class platform
-    * feature): one row per column with total rows, null count and exact
+    * feature): one row per column with total rows, null count and
     * distinct count — the completeness/cardinality report that drives
     * join-key selection, partition-key choice and schema QA. ONE scan:
     * all columns' aggregates ride a single aggregation job with map-side
-    * partials (count-distinct state is per-column; swap
-    * `approx_count_distinct` in for the 100 TB profile where exactness
-    * isn't contractual — the oracle checks the exact form).
+    * partials.
     *
+    * The scale mode is a PARAMETER, not a comment: `approxRsd = 0`
+    * (default) is exact `count_distinct` — Spark plans the multi-column
+    * form as Expand (the scan multiplied by #columns into a partial-
+    * distinct exchange that carries the distinct VALUES themselves);
+    * right when the counts are contractual, ruinous when one column is a
+    * unique id over 100 TB (every id shuffles, × columns). `approxRsd >
+    * 0` swaps in `approx_count_distinct` (HLL++): per-column sketch
+    * state is KB-bounded, the exchange carries sketches not values, and
+    * no Expand multiplies the scan — the 100 TB profile. The approx
+    * mode's tolerance is oracled by x_profile_approx (exact value +
+    * within-3·rsd flag, the x_approx_distinct self-verifying pattern).
+    *
+    * @param approxRsd 0 for exact distinct counts; otherwise the target
+    *   relative standard deviation of the HLL++ estimate (e.g. 0.02)
     * @return (column, n_rows, n_nulls, n_distinct) in `columns` order
     *   (pinned by an ordinal column so the output order is part of the
     *   contract), distinct counts EXCLUDING null (count-distinct
     *   semantics in both engines)
     */
-  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, columns: Seq[String],
+              approxRsd: Double = 0.0): DataFrame = {
     require(columns.nonEmpty, "profile needs at least one column")
-    val aggs = columns.flatMap { c =>
-      Seq(count(lit(1)).as(s"__n_$c"),
-        count(when(col(c).isNull, lit(1))).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"))
+    require(approxRsd >= 0.0 && approxRsd < 1.0,
+      s"approxRsd must be in [0, 1): $approxRsd")
+    // Aggregate aliases are ORDINAL (__nd_0, __nd_1, …), never the raw
+    // column name, and input references are backtick-quoted: a name
+    // containing a dot (legal in DataFrames) would otherwise round-trip
+    // through col()'s parser as a nested-field path and fail analysis.
+    def ref(c: String) = col(s"`${c.replace("`", "``")}`")
+    val aggs = columns.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(lit(1)).as(s"__n_$i"),
+        count(when(ref(c).isNull, lit(1))).as(s"__nn_$i"),
+        (if (approxRsd == 0.0) count_distinct(ref(c))
+         else approx_count_distinct(ref(c), approxRsd)).as(s"__nd_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stacked = columns.zipWithIndex.map { case (c, i) =>
       one.select(lit(i).as("__ord"), lit(c).as("column"),
-        col(s"__n_$c").as("n_rows"), col(s"__nn_$c").as("n_nulls"),
-        col(s"__nd_$c").as("n_distinct"))
+        col(s"__n_$i").as("n_rows"), col(s"__nn_$i").as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"))
     }
     stacked.reduce(_ union _).orderBy("__ord")
       .select("column", "n_rows", "n_nulls", "n_distinct")

@@ -813,10 +813,15 @@ case class ArgMaxDotExact(child: Expression, flatCentroids: Array[Double], dim: 
       else if (dp > second) second = dp
       c += 1
     }
-    // |double dot − decimal dot| ≤ dim·(term-rounding 0.5e-15 + double
-    // summation error ~dim·ulp(maxTerm)); this bound is ≥ 4 orders above
-    // both for any realistic dim, and scales with the input's magnitude
-    val margin = dim.toDouble * (maxAbsTerm + 1.0) * 1e-12
+    // |double dot − decimal dot| ≤ decimal term-rounding (dim·0.5e-15)
+    // + naive double summation error (≤ dim·eps·Σ|t| ≤ dim²·eps·maxTerm,
+    // eps ≈ 1.11e-16). The margin carries BOTH a dim² term and the flat
+    // dim term so the safety factor (~9–18×) stays constant in dim —
+    // a margin linear in dim would shrink toward the worst case at
+    // dim ≈ 4096 and be unsound beyond. A larger margin only routes more
+    // near-ties through the exact-decimal tiebreak (correct, just slower).
+    val margin = dim.toDouble * dim.toDouble * (maxAbsTerm + 1.0) * 1e-15 +
+      dim.toDouble * 2e-15
     if (nCentroids == 1) return Integer.valueOf(0)
     if (java.lang.Double.isNaN(bestV) || !(bestV - second > margin)) {
       var bestExact = Double.NegativeInfinity

@@ -173,17 +173,26 @@ object MicroBatch {
 
   /** Streaming ordered funnel — the incremental counterpart of
     * [[graft.functions.Events.funnel]]: per-user keyed state
-    * `(nextStep, t1, tLast)` advances greedily through `steps` as events
-    * arrive (each batch's events process in (time, type) order, so
-    * within-batch disorder is absorbed), and a user emits exactly ONE
-    * `(user, completedAtUs)` row — when the final step lands within
-    * `windowUs` of step 1. With batches arriving in event-time order the
-    * emitted set equals the batch funnel's completed-step-N user set:
-    * greedy first-qualifying-event advancement IS the batch definition
-    * (step k = earliest type-k event ≥ t(k−1)).
+    * `(nextStep, t1, tLast)` advances through `steps` as events arrive,
+    * and a user emits exactly ONE `(user, completedAtUs)` row — when the
+    * final step lands within `windowUs` of step 1. With batches arriving
+    * in event-time order the emitted set equals the batch funnel's
+    * completed-step-N user set: each advancement RESTARTS the scan over
+    * the batch's time-sorted events and takes the globally earliest
+    * event of the current step's type with `us ≥ tLast` — exactly the
+    * batch recurrence (step k = earliest type-k event ≥ t(k−1),
+    * inclusive). The restart is what makes the equal-timestamp cases
+    * right: a step-(k+1) event that shares its timestamp with step k's
+    * — even one EARLIER in the batch's sort order, or the very SAME
+    * event when steps(k) == steps(k+1) (`≥` is inclusive, so one event
+    * can satisfy consecutive identical steps, as in the batch funnel) —
+    * is re-visited after the state advances instead of being consumed
+    * blind by a single greedy pass.
     *
     * State is 3 scalars per user — bounded regardless of stream length;
-    * a completed user's state short-circuits every later batch.
+    * a completed user's state short-circuits every later batch. Per
+    * batch the rescans cost O(steps × batch-events) per user — steps is
+    * a small constant, and only within-batch work, never state.
     */
   def streamingFunnel(events: org.apache.spark.sql.Dataset[(Long, Long, String)],
                       steps: Seq[String], windowUs: Long)
@@ -202,14 +211,25 @@ object MicroBatch {
           var (idx, t1, tLast) = state.getOption.getOrElse((0, 0L, 0L))
           val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
           if (idx < steps.length) {
-            vals.toSeq.sortBy(v => (v._2, v._3)).foreach { case (_, us, t) =>
-              if (idx < steps.length && t == steps(idx) &&
-                  (idx == 0 || us >= tLast)) {
-                if (idx == 0) t1 = us
-                tLast = us
-                idx += 1
-                if (idx == steps.length && tLast - t1 <= windowUs)
-                  out += ((u, us))
+            val evs = vals.toSeq.sortBy(v => (v._2, v._3))
+            // fixpoint: each advancement restarts the scan so every step
+            // binds to the batch's globally earliest qualifying event —
+            // a continue-in-place greedy pass would consume an equal-
+            // timestamp later-step event before the state could advance
+            var progressed = true
+            while (progressed && idx < steps.length) {
+              progressed = false
+              val it = evs.iterator
+              while (!progressed && it.hasNext) {
+                val (_, us, t) = it.next()
+                if (t == steps(idx) && (idx == 0 || us >= tLast)) {
+                  if (idx == 0) t1 = us
+                  tLast = us
+                  idx += 1
+                  progressed = true
+                  if (idx == steps.length && tLast - t1 <= windowUs)
+                    out += ((u, us))
+                }
               }
             }
             state.update((idx, t1, tLast))

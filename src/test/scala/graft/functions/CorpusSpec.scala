@@ -170,6 +170,39 @@ class CorpusSpec extends SparkSpec {
     assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("snapshotDiff: null text transitions are explicit changes; null→null is unchanged") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    def snap(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))), schema)
+    val old = snap(Seq(1L -> null, 2L -> "b", 3L -> null))
+    val nw = snap(Seq(1L -> "now-set", 2L -> null, 3L -> null))
+    val out = Corpus.snapshotDiff(old, nw, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // null→value and value→null are changes; null→null is NOT (id 3 absent)
+    assert(out == Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  test("snapshotDiff: a weak-hash collision silently reads 'changed' as 'unchanged'; the 128-bit default catches it") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    def snap(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))), schema)
+    // id 1's text changes but COLLIDES under the injected weak hash
+    // (length) — the undetectable-corruption path the 128-bit default
+    // buys out: a diff collision filters the row as unchanged, unlike a
+    // dedup collision which at least errs toward dropping.
+    val old = snap(Seq(1L -> "aaaa", 2L -> "keep"))
+    val nw = snap(Seq(1L -> "bbbb", 2L -> "keep"))
+    val weak = Corpus.snapshotDiffWithFingerprint(old, nw, "id", "text",
+        c => length(c))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(weak.isEmpty, "weak 'hash' must miss the planted collision")
+    val strong = Corpus.snapshotDiff(old, nw, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strong == Map(1L -> "changed"))
+  }
+
   test("rrfFuse: shared docs outrank single-list docs, ties break by doc_id") {
     val schema = StructType(Seq(
       StructField("query_id", LongType), StructField("doc_id", LongType),

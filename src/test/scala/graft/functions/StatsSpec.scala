@@ -21,6 +21,23 @@ class StatsSpec extends SparkSpec {
       ("y", 4L, 1L, 2L), ("x", 4L, 1L, 2L)))
   }
 
+  test("profile: dotted column names survive (ordinal aliases), approx mode bounded") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a column whose NAME contains a dot — legal in DataFrames; raw-name
+    // aliases round-tripped through col() would parse it as a nested path
+    val schema = StructType(Seq(StructField("a.b", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 100L).map(i => Row(i % 37))), schema)
+    val exact = Stats.profile(df, Seq("a.b")).collect().head
+    assert((exact.getString(0), exact.getLong(1), exact.getLong(2),
+      exact.getLong(3)) == (("a.b", 100L, 0L, 37L)))
+    // approx mode: HLL++ estimate within 3·rsd of exact
+    val ap = Stats.profile(df, Seq("a.b"), approxRsd = 0.05).collect().head
+    assert(ap.getLong(1) == 100L && ap.getLong(2) == 0L)
+    assert(math.abs(ap.getLong(3) - 37L) <= 3 * 0.05 * 37L + 1)
+  }
+
   private val probs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.95, 1.0)
 
   private def reference(df: org.apache.spark.sql.DataFrame, c: String): Seq[Double] = {

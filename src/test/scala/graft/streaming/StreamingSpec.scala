@@ -146,6 +146,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 20L)))
   }
 
+  test("streamingFunnel: equal timestamps and repeated step types match the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String)]
+    // steps with a REPEATED type; windows generous
+    val done = MicroBatch.streamingFunnel(input.toDS(),
+      Seq("view", "view", "click"), windowUs = 100L)
+    val q = done.writeStream.format("memory").queryName("funnel_eq")
+      .outputMode("update").start()
+    // u1: one view at t=5 satisfies BOTH view steps (>= is inclusive,
+    // the batch recurrence), click at t=5 shares the timestamp AND sorts
+    // lexicographically before "view" — the single-greedy-pass failure
+    // mode: it would consume the click before the state reaches step 3.
+    // u2: click strictly BEFORE its only view — must not complete.
+    input.addData((1L, 5L, "view"), (1L, 5L, "click"),
+      (2L, 3L, "click"), (2L, 4L, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("funnel_eq").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    // batch-funnel reference: t1 = 5 (earliest view), t2 = 5 (earliest
+    // view ≥ 5 — same event), t3 = 5 (earliest click ≥ 5)
+    assert(rows.toSeq == Seq((1L, 5L)))
+  }
+
   test("stream-stream event-time join: clicks within lag of impressions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
