@@ -1191,11 +1191,7 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-      // per-round checkpoints measure FASTER here than interval=3: the
-      // skipped materializations are cheap (16k-row ranks), while the
-      // 3-round-deep lineage makes each AQE re-plan re-optimize three
-      // chained join+agg rounds (12.9s vs 7.9s at sf0.1, local[32])
-      graft.functions.Graph.pageRank(e, iterations = 5)
+      graft.functions.Graph.pageRank(e, iterations = 5, checkpointInterval = 3)
         .select(col("id"), round(col("rank"), 9).as("rank"))
         .orderBy("id")
     }),

@@ -213,34 +213,50 @@ object Dedup {
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // pinned loop inputs (the Graph.pageRank discipline): edges hash(dst)
+    // + sorted for the per-round neighbor-min merge-join, labels hash(id)
+    // + sorted — both sides of the frontier join read their snapshots
+    // with zero exchange; AQE is off for the in-loop jobs (static plans,
+    // no per-materialization re-planning) but ON for the setup snapshots,
+    // whose upstream (the caller's pair pipeline) wants its decisions.
     val edges = snap(
       pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
         .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-        .distinct())
+        .distinct()
+        .repartition(col("dst")).sortWithinPartitions("dst"))
     var labels = snap(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+      .withColumn("label", col("id"))
+      .repartition(col("id")).sortWithinPartitions("id"))
     var prev: DataFrame = null
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val prop = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("plabel"))
-      // pointer jump: adopt the current label of my label's node (labels
-      // always point at in-component node ids, so the invariant holds)
-      val updated = snap(prop.as("x").join(prop.as("j"),
-          col("x.plabel") === col("j.id"), "left")
-        .select(col("x.id").as("id"), col("x.label").as("label"),
-          coalesce(col("j.plabel"), col("x.plabel")).as("newlabel")))
-      changed = updated.where(col("newlabel") =!= col("label")).count()
-      // free the superseded round's blocks — leaked blocks pile up in
-      // executor storage memory and GC-thrash later queries
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = labels
-      labels = updated.select(col("id"), col("newlabel").as("label"))
-      iter += 1
+    // size gate (Graph.withLoopConfIf): small graphs keep AQE's broadcast
+    // loop plans; big ones take the pinned static path
+    val big = edges.count() >= Graph.PinnedLoopMinRows
+    Graph.withLoopConfIf(big, pairs.sparkSession) {
+      while (changed > 0 && iter < maxIter) {
+        val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        val prop = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+          .select(col("id"), col("label"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("plabel"))
+        // pointer jump: adopt the current label of my label's node (labels
+        // always point at in-component node ids, so the invariant holds)
+        val jumped = prop.as("x").join(prop.as("j"),
+            col("x.plabel") === col("j.id"), "left")
+          .select(col("x.id").as("id"), col("x.label").as("label"),
+            coalesce(col("j.plabel"), col("x.plabel")).as("newlabel"))
+        val updated = snap(
+          if (big) jumped.repartition(col("id")).sortWithinPartitions("id")
+          else jumped)
+        changed = updated.where(col("newlabel") =!= col("label")).count()
+        // free the superseded round's blocks — leaked blocks pile up in
+        // executor storage memory and GC-thrash later queries
+        if (prev != null) prev.unpersist(blocking = false)
+        prev = labels
+        labels = updated.select(col("id"), col("newlabel").as("label"))
+        iter += 1
+      }
     }
     if (changed > 0) {
       val msg = s"connectedComponents: labels still moving after $maxIter rounds " +

@@ -59,8 +59,22 @@ object Graph {
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
 
+    // The loop's join inputs are PINNED: the edge snapshot is hash-
+    // partitioned by src and sorted within partitions, the rank snapshot
+    // by id — a checkpoint preserves both (LogicalRDD keeps the plan's
+    // partitioning/ordering), so every round's contributions merge-join
+    // reads BOTH snapshots with zero exchange and zero edge-side sort.
+    // Without the pin, each round re-shuffled the full edge set; with
+    // AQE on in the loop (see withLoopConf), each materialization also
+    // re-planned the whole in-loop lineage (measured 12.9 s vs 7.9 s at
+    // interval 3, sf0.1 — the re-planning, not the plan, was the cost).
+    // The SETUP snapshots materialize with the caller's AQE setting —
+    // the caller's upstream (often a heavy join/ANN pipeline) wants
+    // AQE's broadcast/skew decisions; only the loop's static, pre-pinned
+    // round jobs run with it off.
     val e = snap(edges.select(
-      col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+        col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(col("src")).sortWithinPartitions("src"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // ONE setup materialization: the initial ranks carry (id, deg, rank);
     // `nodes` is a projection over the same snapshot, not a second
@@ -69,7 +83,8 @@ object Graph {
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
         .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
-          lit(1.0).as("rank")))
+          lit(1.0).as("rank"))
+        .repartition(col("id")).sortWithinPartitions("id"))
     val nodes = ranks.select(col("id"), col("deg"))
     // The sizing count (over the just-materialized setup snapshot) only
     // matters when a reliable dir exists AND rounds will run — without
@@ -84,32 +99,79 @@ object Graph {
     // from the release chain and freed only after the loop.
     val setupSnap: DataFrame = ranks
     var lastSnap: DataFrame = ranks
-    var iter = 0
-    while (iter < iterations) {
-      val contribs = e.join(ranks, e("src") === ranks("id"))
-        .select(col("dst"), (col("rank") / col("deg").cast("double")).as("c"))
-      val sums = contribs.groupBy(col("dst"))
-        .agg(sum(col("c").cast(DecimalType(30, 15))).cast("double").as("in_sum"))
-      val next = nodes.join(sums, nodes("id") === sums("dst"), "left")
-        .select(col("id"), col("deg"),
-          (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-      // materializing every round costs a job per iteration; snapshotting
-      // every checkpointInterval-th round (and the last) bounds lineage
-      // depth at a fraction of that
-      ranks =
-        if ((iter + 1) % checkpointInterval == 0 || iter == iterations - 1) {
-          val s = roundSnap(next)
-          if (!(lastSnap eq setupSnap)) lastSnap.unpersist(blocking = false)
-          lastSnap = s
-          s
-        } else next
-      iter += 1
+    withLoopConf(edges.sparkSession) {
+      var iter = 0
+      while (iter < iterations) {
+        val contribs = e.join(ranks, e("src") === ranks("id"))
+          .select(col("dst"), (col("rank") / col("deg").cast("double")).as("c"))
+        val sums = contribs.groupBy(col("dst"))
+          .agg(sum(col("c").cast(DecimalType(30, 15))).cast("double").as("in_sum"))
+        // ranks-sized merge join: nodes rides its pinned snapshot, sums is
+        // already hash(dst)-partitioned by its aggregation — the round's
+        // ONE data-sized exchange is the contribution aggregation itself.
+        // `next` keeps the id partitioning/ordering for the next round.
+        val next = nodes.join(sums, nodes("id") === sums("dst"), "left")
+          .select(col("id"), col("deg"),
+            (lit(1.0 - damping) +
+              lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        // materializing every round costs a job per iteration; snapshotting
+        // every checkpointInterval-th round (and the last) bounds lineage
+        // depth at a fraction of that
+        ranks =
+          if ((iter + 1) % checkpointInterval == 0 || iter == iterations - 1) {
+            val s = roundSnap(next)
+            if (!(lastSnap eq setupSnap)) lastSnap.unpersist(blocking = false)
+            lastSnap = s
+            s
+          } else next
+        iter += 1
+      }
     }
     e.unpersist(blocking = false)
     setupSnap.unpersist(blocking = false)
     ranks.select(col("id"), col("rank"))
   }
+
+  /** Run the in-loop jobs of an iterative algorithm with AQE off,
+    * restoring the caller's setting afterwards. Inside a snapshot-per-
+    * round loop AQE is pure tax: every materialization re-plans the
+    * lineage accumulated since the last snapshot (re-optimizing the same
+    * chained join+agg rounds over and over), and its runtime re-planning
+    * can't improve plans whose join inputs are already pinned to
+    * checkpointed, pre-partitioned, pre-sorted snapshots. The static
+    * planner compiles each round once, the pinned partitioning does the
+    * rest. Conf scoping is session-global for the duration of the loop —
+    * the engine's entry points run queries sequentially, and every exit
+    * path restores the previous value.
+    */
+  private[functions] def withLoopConf[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Size-gated [[withLoopConf]]: static pinned plans win only when the
+    * loop's tables are beyond broadcast scale (the per-round merge joins
+    * then read pre-partitioned snapshots with zero exchange). Below that,
+    * AQE's runtime small-side broadcasts ARE the best plan — a tiny kept-
+    * list/label table broadcast into the edge scan beats any amount of
+    * partition pinning (measured at sf0.1: gating kCore's 4-round peel
+    * this way is ~2.7× faster than forcing the pinned static path on its
+    * few-thousand-row loop tables). Callers gate on a materialized
+    * snapshot's count — one metadata-cheap job against an already-
+    * persisted table.
+    */
+  private[functions] def withLoopConfIf[T](big: Boolean,
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T =
+    if (big) withLoopConf(spark)(body) else body
+
+  /** Loop tables at or above this row count take the pinned static-plan
+    * path; below it, AQE's broadcast loop plans win (see
+    * [[withLoopConfIf]]). ~4M longs ≈ the order where a loop table stops
+    * being comfortably broadcastable.
+    */
+  private[functions] val PinnedLoopMinRows: Long = 4000000L
 
   /** Semi-supervised label propagation over an undirected graph — the
     * iterative generalization of kNN classification: a handful of seed
@@ -141,17 +203,22 @@ object Graph {
     * node id column `id`. Teleport vector p is uniform over the seeds
     * present in the graph; r0 = p and each round applies
     * `r = (1−d)·p + d·Σ in-contribs` — the same recurrence, per-round
-    * snapshot discipline, and DECIMAL contribution sums as [[pageRank]]
-    * (dangling mass leaks identically; the oracle unrolls the identical
-    * recurrence).
+    * snapshot discipline (every `checkpointInterval`-th round), and
+    * DECIMAL contribution sums as [[pageRank]] (dangling mass leaks
+    * identically; the oracle unrolls the identical recurrence).
     */
   def personalizedPageRank(edges: DataFrame, isSeed: Column,
                            iterations: Int = 10,
-                           damping: Double = 0.85): DataFrame = {
+                           damping: Double = 0.85,
+                           checkpointInterval: Int = 3): DataFrame = {
+    require(checkpointInterval > 0)
     require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
     def snap(df: DataFrame): DataFrame = snapFor(edges)(df)
+    // pinned loop inputs + static in-loop plans — the [[pageRank]]
+    // discipline (setup snapshots materialize with the caller's AQE)
     val e = snap(edges.select(
-      col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+        col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(col("src")).sortWithinPartitions("src"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodesBase = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -162,25 +229,31 @@ object Graph {
       .select(col("id"), col("deg"),
         when(isSeed, lit(1.0) / col("__ns").cast("double"))
           .otherwise(lit(0.0)).as("p"))
-      .withColumn("rank", col("p")))
+      .withColumn("rank", col("p"))
+      .repartition(col("id")).sortWithinPartitions("id"))
     val nodes = setup.select(col("id"), col("deg"), col("p"))
     var ranks = setup
     var lastSnap = setup
-    var iter = 0
-    while (iter < iterations) {
-      val contribs = e.join(ranks, e("src") === ranks("id"))
-        .select(col("dst"), (col("rank") / col("deg").cast("double")).as("c"))
-      val sums = contribs.groupBy(col("dst"))
-        .agg(sum(col("c").cast(DecimalType(30, 15))).cast("double").as("in_sum"))
-      val next = nodes.join(sums, nodes("id") === sums("dst"), "left")
-        .select(col("id"), col("deg"), col("p"),
-          (lit(1.0 - damping) * col("p") +
-            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-      val s = snap(next)
-      if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
-      lastSnap = s
-      ranks = s
-      iter += 1
+    withLoopConf(edges.sparkSession) {
+      var iter = 0
+      while (iter < iterations) {
+        val contribs = e.join(ranks, e("src") === ranks("id"))
+          .select(col("dst"), (col("rank") / col("deg").cast("double")).as("c"))
+        val sums = contribs.groupBy(col("dst"))
+          .agg(sum(col("c").cast(DecimalType(30, 15))).cast("double").as("in_sum"))
+        val next = nodes.join(sums, nodes("id") === sums("dst"), "left")
+          .select(col("id"), col("deg"), col("p"),
+            (lit(1.0 - damping) * col("p") +
+              lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        ranks =
+          if ((iter + 1) % checkpointInterval == 0 || iter == iterations - 1) {
+            val s = snap(next)
+            if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
+            lastSnap = s
+            s
+          } else next
+        iter += 1
+      }
     }
     e.unpersist(blocking = false)
     val out = snap(ranks.select(col("id"), col("rank")))
@@ -208,25 +281,41 @@ object Graph {
     require(k >= 1, s"k must be positive: $k")
     require(rounds >= 1, s"rounds must be positive: $rounds")
     def snap(df: DataFrame): DataFrame = snapFor(edges)(df)
+    // setup snapshots materialize with the caller's AQE (the upstream —
+    // often an ANN pair pipeline — wants its broadcast/skew decisions)
     val e0 = snap(edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
-      .where(col("u") =!= col("v")).distinct())
+      .where(col("u") =!= col("v")).distinct()
+      .repartition(col("u")).sortWithinPartitions("u"))
     val allNodes = snap(
       e0.select(col("u").as("id")).union(e0.select(col("v").as("id"))).distinct())
     var e = e0
     var kept: DataFrame = allNodes
     var keptPrev: DataFrame = allNodes
-    for (_ <- 1 to rounds) {
-      val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("__dg"))
-      val keptNext = snap(deg.where(col("__dg") >= k).select(col("id")))
-      e = snap(e
-        .join(keptNext.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
-        .join(keptNext.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")))
-      keptPrev = kept
-      kept = keptNext
+    // size gate: a small peel loop wants AQE's broadcast semi-joins (the
+    // kept list broadcasts into the edge scan — e never shuffles at all);
+    // a big one wants static plans over re-pinned snapshots
+    val big = e0.count() >= PinnedLoopMinRows
+    withLoopConfIf(big, edges.sparkSession) {
+      for (_ <- 1 to rounds) {
+        val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("__dg"))
+        val keptNext = snap(deg.where(col("__dg") >= k).select(col("id")))
+        // (big path) re-pin the peeled edge set on u each round: both
+        // semi-joins then start from a known partitioning (the kept set
+        // arrives hash(id)-partitioned from its aggregation) instead of
+        // cascading unknowns
+        val peeled = e
+          .join(keptNext.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+          .join(keptNext.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+        e = snap(
+          if (big) peeled.repartition(col("u")).sortWithinPartitions("u")
+          else peeled)
+        keptPrev = kept
+        kept = keptNext
+      }
     }
     // kept ⊆ keptPrev (peeling is monotone), so count equality ⇔ set
     // equality — the convergence flag costs two 1-row aggregates
@@ -341,34 +430,51 @@ object Graph {
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // pinned loop inputs (the [[pageRank]] discipline): the undirected
+    // edge snapshot rides hash(src)+sorted, the state snapshot hash(id)+
+    // sorted — the frontier merge-join reads both with zero exchange;
+    // per round the state re-pins with one node-sized exchange (the
+    // union with the newly-labeled rows discards partitioning). Setup
+    // snapshots materialize with the caller's AQE; only the loop's
+    // static, pre-pinned round jobs run with it off.
     val und = snap(
       edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
         .union(edges.select(col(dstCol).cast("long").as("src"),
-          col(srcCol).cast("long").as("dst"))))
+          col(srcCol).cast("long").as("dst")))
+        .repartition(col("src")).sortWithinPartitions("src"))
     val setup = snap(seeds.select(col(idCol).cast("long").as("id"),
-      col(labelCol).as("label"), lit(0).as("since")))
+        col(labelCol).as("label"), lit(0).as("since"))
+      .repartition(col("id")).sortWithinPartitions("id"))
     var state = setup
     var lastSnap = setup
-    var r = 1
-    while (r <= rounds) {
-      val votes = und.join(state, und("src") === state("id"))
-        .select(col("dst"), col("label"))
-        .join(state.select(col("id").as("dst")), Seq("dst"), "left_anti")
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("__nv"))
-      val pick = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("dst"))
-        .orderBy(col("__nv").desc, col("label").asc)
-      val newly = votes
-        .withColumn("__rk", row_number().over(pick))
-        .where(col("__rk") === 1)
-        .select(col("dst").as("id"), col("label"), lit(r).as("since"))
-      val s = snap(state.union(newly))
-      if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
-      lastSnap = s
-      state = s
-      r += 1
+    // size gate (see withLoopConfIf): a small graph's frontier join wants
+    // AQE's broadcasts; a big one wants static plans over pinned snapshots
+    val big = und.count() >= PinnedLoopMinRows
+    withLoopConfIf(big, edges.sparkSession) {
+      var r = 1
+      while (r <= rounds) {
+        val votes = und.join(state, und("src") === state("id"))
+          .select(col("dst"), col("label"))
+          .join(state.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("__nv"))
+        val pick = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dst"))
+          .orderBy(col("__nv").desc, col("label").asc)
+        val newly = votes
+          .withColumn("__rk", row_number().over(pick))
+          .where(col("__rk") === 1)
+          .select(col("dst").as("id"), col("label"), lit(r).as("since"))
+        val grown = state.union(newly)
+        val s = snap(
+          if (big) grown.repartition(col("id")).sortWithinPartitions("id")
+          else grown)
+        if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
+        lastSnap = s
+        state = s
+        r += 1
+      }
     }
     und.unpersist(blocking = false)
     setup.unpersist(blocking = false)
