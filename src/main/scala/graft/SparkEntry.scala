@@ -1808,6 +1808,41 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Persisted dense ANN index — the tfidfIndex/tfidfProbeIndex
+    // convention applied to embeddings: ivfIndex freezes a deterministic
+    // spherical-k-means quantizer (k=8, 2 rounds — the x_kmeans chain)
+    // plus cluster-filed postings, BOTH round-tripped through parquet
+    // (the probe consumes the persisted artifact, not the live plans,
+    // and the postings are partitioned by cluster so probing prunes
+    // unread lists at the scan). The probe is SUB-exhaustive (nProbe =
+    // 3 of 8) and still hash-oracled: probe selection ranks exact-
+    // decimal dots against the round-9 centroid literals, so DuckDB
+    // replays the entire frozen chain — which lists are probed, which
+    // candidates are scored, and the final ranks — bit-for-bit. The
+    // in_exact_topk flag (vs the in-query brute-force top-5) records
+    // the recall trade IN the oracled output.
+    "x_ivf_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cents, postings) = Similarity.ivfIndex(
+        e, "vec_id", "embedding", nCentroids = 8, rounds = 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+      cents.write.mode("overwrite").parquet(s"$tmp/centroids")
+      postings.write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$tmp/postings")
+      val queries = e.where(col("vec_id") % 125 === 0)
+      val probed = Similarity.ivfProbeIndex(queries, "vec_id", "embedding",
+        s.read.parquet(s"$tmp/centroids"), s.read.parquet(s"$tmp/postings"),
+        k = 5, nProbe = 3, excludeSelf = true)
+      val exact = Similarity.knnJoin(queries, e,
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("in_exact_topk"))
+      probed.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"),
+          coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Blocked batch kNN join — knnJoin when the query side does NOT
     // broadcast (self-kNN-graph shape: queries ⊂ corpus): candidate
     // generation is the coarse-bucket hash EQUI-join (never a broadcast
@@ -2315,6 +2350,74 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "x_ivf_ann" -> cosineTopkOracle,
+
+    // The persisted-IVF probe replayed END-TO-END: the frozen quantizer
+    // is the x_kmeans chain (kmeansCte — smallest-id seeds, 2 exact
+    // Lloyd rounds, round-9 unit centroids), probe selection ranks
+    // decimal-exact (query · centroid) dots with ties to the smaller
+    // cluster, candidates are EXACTLY the nProbe=3 probed lists'
+    // members, and pair scores are decimal-exact round-9 cosines — so
+    // the sub-exhaustive result (including which near-neighbors recall
+    // MISSES) hash-matches. in_exact_topk recomputes the brute-force
+    // top-5 per query; a probe/assignment bug flips rows AND flags.
+    "x_ivf_probe" ->
+      s"""WITH $kmeansCte,
+         |qs AS (
+         | SELECT vec_id AS qid FROM embeddings WHERE vec_id % 125 = 0),
+         |qd AS (
+         | SELECT q.qid, c.c,
+         |  CAST(SUM(CAST(e.x * c.w AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         | FROM qs q JOIN vv ON vv.vec_id = q.qid
+         |  JOIN e ON e.vec_id = q.qid JOIN c2 c ON c.pos = e.pos
+         | GROUP BY 1, 2),
+         |pr AS (
+         | SELECT qid, c FROM (
+         |  SELECT qid, c,
+         |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, c) AS rk
+         |  FROM qd) WHERE rk <= 3),
+         |cand AS (
+         | SELECT p.qid, a.vec_id
+         | FROM pr p JOIN kassign a ON a.cluster = p.c
+         | WHERE a.vec_id <> p.qid),
+         |pd AS (
+         | SELECT cd.qid, cd.vec_id,
+         |  CAST(SUM(CAST(eq.x * ec.x AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         | FROM cand cd
+         |  JOIN e eq ON eq.vec_id = cd.qid
+         |  JOIN e ec ON ec.vec_id = cd.vec_id AND ec.pos = eq.pos
+         | GROUP BY 1, 2),
+         |ranked AS (
+         | SELECT qid AS query_id, vec_id AS neighbor_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         | FROM (
+         |  SELECT pd.qid, pd.vec_id,
+         |   ROUND(pd.dot / SQRT(nc.n2 * nq.n2), 9) AS cos
+         |  FROM pd JOIN n nq ON nq.vec_id = pd.qid
+         |   JOIN n nc ON nc.vec_id = pd.vec_id)),
+         |bfd AS (
+         | SELECT q.qid, ec.vec_id,
+         |  CAST(SUM(CAST(eq.x * ec.x AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         | FROM qs q JOIN e eq ON eq.vec_id = q.qid
+         |  JOIN e ec ON ec.pos = eq.pos
+         |  JOIN vv ON vv.vec_id = ec.vec_id
+         | WHERE ec.vec_id <> q.qid
+         | GROUP BY 1, 2),
+         |bft AS (
+         | SELECT qid, vec_id FROM (
+         |  SELECT bfd.qid, bfd.vec_id,
+         |   ROW_NUMBER() OVER (PARTITION BY bfd.qid
+         |     ORDER BY ROUND(bfd.dot / SQRT(nc.n2 * nq.n2), 9) DESC,
+         |       bfd.vec_id) AS rk
+         |  FROM bfd JOIN n nq ON nq.vec_id = bfd.qid
+         |   JOIN n nc ON nc.vec_id = bfd.vec_id)
+         | WHERE rk <= 5)
+         |SELECT r.query_id, r.neighbor_id, r.cos, r.rank,
+         | (bft.vec_id IS NOT NULL) AS in_exact_topk
+         |FROM ranked r LEFT JOIN bft
+         | ON bft.qid = r.query_id AND bft.vec_id = r.neighbor_id
+         |WHERE r.rank <= 5
+         |ORDER BY r.query_id, r.rank""".stripMargin,
 
     // Same exact top-10 as brute force, plus the recall flag the query
     // computes by joining its PQ answer against the in-query brute-force

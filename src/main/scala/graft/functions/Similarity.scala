@@ -221,6 +221,118 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build the PERSISTABLE state of a dense-vector IVF index — the
+    * [[graft.functions.Corpus.tfidfIndex]] build-once/probe-incrementally
+    * convention applied to embeddings: `(centroids, postings)` where
+    * `centroids` = (cluster, centroid array<double>) is the FROZEN
+    * coarse quantizer (deterministic spherical k-means, [[kmeansTrain]]:
+    * smallest-id seeds, exact-decimal assignment, round-9 unit centroids
+    * — every value a short decimal literal any engine reproduces) and
+    * `postings` = (id, cluster, vec, n2) are the inverted lists: each
+    * corpus vector filed under its exact-decimal-argmax cluster with its
+    * squared norm precomputed. Write both to parquet (partitioning the
+    * postings by `cluster` makes probe-time partition pruning free) and
+    * [[ivfProbeIndex]] tomorrow's queries without touching the indexed
+    * corpus again — the artifact shape every production ANN deployment
+    * stores, previously missing from this family (each ANN query
+    * retrained its quantizer per run).
+    *
+    * Scale shape: training is [[kmeansTrain]] (map-only assignment +
+    * (k × dim)-grid aggregations, driver state = the k×dim centroid
+    * table); filing is ONE map-only pass (k·dim literal dots inside the
+    * scan projection, zero shuffle). Null and zero-norm vectors are
+    * dropped — they have no direction, can't be filed, and can't be
+    * anyone's neighbor.
+    */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int = 16, rounds: Int = 2): (DataFrame, DataFrame) = {
+    require(nCentroids >= 1 && rounds >= 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = kmeansTrain(df, idCol, vecCol, nCentroids, rounds)
+    val centroids = spark
+      .createDataset(cents.toIndexedSeq.zipWithIndex.map {
+        case (c, i) => (i, c.toSeq)
+      })
+      .toDF("cluster", "centroid")
+    val v = col(vecCol)
+    val postings = df.where(v.isNotNull && norm2Exact(v) > 0.0)
+      .select(col(idCol).cast("long").as("id"),
+        kmeansClusterExpr(v, cents).as("cluster"),
+        v.as("vec"), norm2Exact(v).as("n2"))
+    (centroids, postings)
+  }
+
+  /** Probe an [[ivfIndex]] snapshot with a query batch: top-k indexed
+    * vectors per query by exact cosine, scored ONLY inside each query's
+    * `nProbe` nearest inverted lists — the IVF recall/cost trade
+    * (`nProbe = nCentroids` is exhaustive and exact).
+    *
+    * Shuffle profile: the centroid table collects driver-side (k × dim —
+    * the codebook-collect contract) and rides as plan literals, so probe
+    * ranking is a MAP over the query batch (k exact dots + one k-struct
+    * sort per query, corpus-independent); candidate generation is the
+    * `cluster` hash equi-join with the query side BROADCAST (the small
+    * arrival batch — the 100 TB posting side never re-shuffles, and a
+    * cluster-partitioned parquet index prunes unprobed lists at the
+    * scan); the per-query top-k is a rank-truncated window
+    * (WindowGroupLimit partial+final heaps).
+    *
+    * Determinism: probe selection ranks exact-decimal dots against the
+    * round-9 centroid literals (ties to the smaller cluster id) and
+    * pair scores are exact-decimal cosines rounded 9, so sub-exhaustive
+    * probing — WHICH lists are scored and what comes back — is
+    * bit-reproducible cross-engine: the DuckDB oracle replays the whole
+    * frozen-centroid chain, not just an exhaustive special case.
+    *
+    * Queries with null/zero vectors have no direction and are absent.
+    *
+    * @return (query_id, neighbor_id, cos, rank), rank 1..k per query by
+    *         (cos desc, neighbor_id); self-pairs dropped when
+    *         `excludeSelf`
+    */
+  def ivfProbeIndex(queries: DataFrame, qIdCol: String, qVecCol: String,
+                    centroids: DataFrame, postings: DataFrame,
+                    k: Int, nProbe: Int,
+                    excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1 && nProbe >= 1)
+    val cents: Array[Array[Double]] = centroids
+      .select(col("cluster").cast("int"), col("centroid"))
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val nC = cents.length
+    val np = math.min(nProbe, nC)
+    def centArr(i: Int): Column = array(cents(i).map(lit(_)): _*)
+    val qv = col(qVecCol)
+    // k-struct probe ranking inside the projection: (−exact dot, cluster)
+    // sorts ascending = dot desc, ties to the smaller cluster id — the
+    // oracle's ORDER BY dot DESC, c
+    val scoredCents = array((0 until nC).map(i =>
+      struct((-dotExact(qv, centArr(i))).as("negd"), lit(i).as("c"))): _*)
+    val probes = transform(slice(array_sort(scoredCents), 1, np),
+      p => p.getField("c"))
+    val q = queries.where(qv.isNotNull && norm2Exact(qv) > 0.0)
+      .select(col(qIdCol).cast("long").as("__qid"), qv.as("__qv"),
+        norm2Exact(qv).as("__qn2"), explode(probes).as("cluster"))
+    val scored0 = postings.join(broadcast(q), "cluster")
+    val scored =
+      if (excludeSelf) scored0.where(col("id") =!= col("__qid")) else scored0
+    // exact cosine with the per-side norms hoisted: n2 is stored in the
+    // index, __qn2 projected once per query — the pair stage pays one
+    // exact dot. sqrt(n2·qn2) keeps cosineExact's evaluation order, so
+    // values are bit-identical to the one-shot formulation.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("cos").desc, col("id"))
+    scored
+      .select(col("__qid"), col("id"),
+        round(dotExact(col("vec"), col("__qv")) /
+          sqrt(col("n2") * col("__qn2")), 9).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("id").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
   /** Batch k-NN join: for EVERY left (query) row, the top-k right
     * (corpus) rows by cosine — the all-queries generalization of
     * [[bruteForceTopK]] (one vector answers one query; curation pipelines

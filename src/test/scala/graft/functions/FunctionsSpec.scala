@@ -707,6 +707,76 @@ class FunctionsSpec extends SparkSpec {
     assert(selfG.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
       == selfExact)
   }
+  // Persisted IVF index: the probe consumes the PARQUET artifact, not
+  // the live plans — round-trip must be lossless, exhaustive probing
+  // must equal the exact kNN join bit-for-bit, and unindexable vectors
+  // (null / zero-norm) must vanish from postings and probe output.
+  test("ivfIndex: parquet round-trip probe equals live probe; exhaustive equals knnJoin") {
+    import org.apache.spark.sql.types._
+    val dim = 8
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(d => (((seed * 31 + d * 17) % 13) - 6).toFloat / 7f)
+    val schema = StructType(Seq(StructField("vid", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    val all = (0L until 40L).map(i => Row(i, vec(i).toSeq))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(all, 4), schema)
+    val queries = df.where(col("vid") < 5)
+    val corpus = df.where(col("vid") >= 5)
+    val (cents, postings) = Similarity.ivfIndex(corpus, "vid", "v",
+      nCentroids = 4, rounds = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfidx-spec").toString
+    cents.write.parquet(s"$tmp/c")
+    postings.write.partitionBy("cluster").parquet(s"$tmp/p")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val live = rows(Similarity.ivfProbeIndex(queries, "vid", "v",
+      cents, postings, k = 3, nProbe = 4))
+    val persisted = rows(Similarity.ivfProbeIndex(queries, "vid", "v",
+      spark.read.parquet(s"$tmp/c"), spark.read.parquet(s"$tmp/p"),
+      k = 3, nProbe = 4))
+    assert(persisted == live, "parquet round-trip must be lossless")
+    val exact = rows(Similarity.knnJoin(queries, corpus, "vid", "v", "vid", "v",
+      k = 3, margin = 5))
+    assert(persisted == exact, "exhaustive probing (nProbe = nCentroids) must be exact")
+  }
+
+  test("ivfIndex: null/zero-norm vectors are unindexed; sub-exhaustive probe well-formed") {
+    import org.apache.spark.sql.types._
+    val dim = 4
+    val schema = StructType(Seq(StructField("vid", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val rows0: Seq[Row] = Seq(
+      Row(1L, Seq(1f, 0f, 0f, 0f)), Row(2L, Seq(0f, 1f, 0f, 0f)),
+      Row(3L, Seq(0.9f, 0.1f, 0f, 0f)), Row(4L, Seq(0f, 0.9f, 0.2f, 0f)),
+      Row(5L, null),                    // null vector: unindexable
+      Row(6L, Seq(0f, 0f, 0f, 0f)))     // zero norm: no direction
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows0), schema)
+    val (cents, postings) = Similarity.ivfIndex(df, "vid", "v",
+      nCentroids = 2, rounds = 1)
+    val filed = postings.select("id").collect().map(_.getLong(0)).toSet
+    assert(filed == Set(1L, 2L, 3L, 4L), "null/zero vectors must not be filed")
+    // a null-vector query has no direction → absent from the output;
+    // sub-exhaustive probing returns contiguous ranks with exact cosines
+    val out = Similarity.ivfProbeIndex(df, "vid", "v", cents, postings,
+        k = 2, nProbe = 1, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(!out.exists(t => t._1 == 5L || t._1 == 6L))
+    assert(!out.exists(t => t._2 == 5L || t._2 == 6L))
+    out.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq) }
+    // value-correctness: each returned cosine equals the exact pair cosine
+    def fv(i: Long) = rows0(i.toInt - 1).getSeq[Float](1).toArray
+    def cosx(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = a.map(x => x.toDouble * x.toDouble).sum
+      val nb = b.map(x => x.toDouble * x.toDouble).sum
+      BigDecimal(dot / math.sqrt(na * nb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { case (q, n, c, _) => assert(c == cosx(fv(q), fv(n))) }
+  }
+
   // Probe-limited blocked kNN: recall < 1 is the documented IVF trade —
   // but whatever IS returned must be well-formed (contiguous ranks) and
   // value-correct (each pair's cosine equals the exact pair cosine).
