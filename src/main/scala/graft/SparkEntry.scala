@@ -742,6 +742,18 @@ object SparkEntry {
         Seq("view", "click", "purchase"), windowUs = 86400000000L)
         .orderBy("step")),
 
+    // The ONE-shuffle deep-funnel form of the same query: events shuffle
+    // once into per-user groups, the whole step recurrence runs as a
+    // native kernel per user (FunnelReach), and per-step counts come off
+    // a ≤|steps|-row reach histogram — identical semantics (same oracle
+    // as x_funnel), the form that wins at 10+ steps where the k-join
+    // re-scans the event table per step.
+    "x_funnel_deep" -> ((s, dir) =>
+      graft.functions.Events.funnelDeep(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 86400000000L)
+        .orderBy("step")),
+
     // Hourly rate-spike flags per event type vs the trailing-6-bucket
     // mean; integer cross-multiplication decides — no float in the
     // predicate, the window table is bucket-grained metadata.
@@ -2327,6 +2339,29 @@ object SparkEntry {
        |  ROUND(afin.dot / SQRT(n.n2 * cn.n2c), 9) AS cos_to_centroid
        | FROM afin JOIN n ON n.vec_id = afin.vec_id JOIN cn ON cn.c = afin.c)""".stripMargin
 
+  /** The view→click→purchase funnel oracle — shared by x_funnel (k-join
+    * engine form) and x_funnel_deep (one-shuffle kernel form): both
+    * compute the identical step recurrence.
+    */
+  private val funnelOracle: String =
+    """WITH e AS (
+      | SELECT user_id AS u, epoch_us(ts) AS us, event_type AS t FROM events),
+      |s1 AS (SELECT u, MIN(us) AS t1 FROM e WHERE t = 'view' GROUP BY u),
+      |s2 AS (SELECT e.u, t1, MIN(us) AS t2 FROM e JOIN s1 ON e.u = s1.u
+      |       WHERE t = 'click' AND e.us >= s1.t1 GROUP BY e.u, t1),
+      |s3 AS (SELECT e.u, s2.t1, MIN(us) AS t3 FROM e JOIN s2 ON e.u = s2.u
+      |       WHERE t = 'purchase' AND e.us >= s2.t2 GROUP BY e.u, s2.t1)
+      |SELECT * FROM (
+      | SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+      |  COUNT(*) AS n_users FROM s1 WHERE t1 - t1 <= 86400000000
+      | UNION ALL
+      | SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
+      | WHERE t2 - t1 <= 86400000000
+      | UNION ALL
+      | SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3
+      | WHERE t3 - t1 <= 86400000000)
+      |ORDER BY step""".stripMargin
+
   /** Brute-force exact cosine top-10 — shared by x_cosine_topk and
     * x_ivf_ann (IVF probing every bucket is exhaustive, so its output must
     * equal brute force).
@@ -3127,24 +3162,11 @@ object SparkEntry {
 
     // Chained step CTEs: step k's MIN(us) over events of its type at or
     // after step k−1's time; a user counts iff t_k − t_1 ≤ the window.
-    "x_funnel" ->
-      """WITH e AS (
-        | SELECT user_id AS u, epoch_us(ts) AS us, event_type AS t FROM events),
-        |s1 AS (SELECT u, MIN(us) AS t1 FROM e WHERE t = 'view' GROUP BY u),
-        |s2 AS (SELECT e.u, t1, MIN(us) AS t2 FROM e JOIN s1 ON e.u = s1.u
-        |       WHERE t = 'click' AND e.us >= s1.t1 GROUP BY e.u, t1),
-        |s3 AS (SELECT e.u, s2.t1, MIN(us) AS t3 FROM e JOIN s2 ON e.u = s2.u
-        |       WHERE t = 'purchase' AND e.us >= s2.t2 GROUP BY e.u, s2.t1)
-        |SELECT * FROM (
-        | SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
-        |  COUNT(*) AS n_users FROM s1 WHERE t1 - t1 <= 86400000000
-        | UNION ALL
-        | SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
-        | WHERE t2 - t1 <= 86400000000
-        | UNION ALL
-        | SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3
-        | WHERE t3 - t1 <= 86400000000)
-        |ORDER BY step""".stripMargin,
+    "x_funnel" -> funnelOracle,
+
+    // The deep-funnel form computes the SAME function — one oracle, two
+    // engine plans (k filtered joins vs one shuffle + per-user kernel).
+    "x_funnel_deep" -> funnelOracle,
 
     // Same frame (ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING over observed
     // buckets) and the same integer cross-multiplied predicate.

@@ -58,6 +58,52 @@ object Events {
     }.reduce(_ union _)
   }
 
+  /** ONE-shuffle deep funnel — [[funnel]] for many steps: the k-join
+    * form re-scans the event table once per step (fine at 3 steps; a
+    * 10-step funnel pays 10 filtered joins), while this form shuffles
+    * the events ONCE into per-user groups and runs the whole step
+    * recurrence as a single native kernel over each user's collected
+    * events ([[graft.plans.FunnelReach]] — the streaming funnel's
+    * rescan-on-advance state machine run in batch, so equal-timestamp
+    * chains and repeated step types match [[funnel]] exactly; the spec
+    * pins the equivalence). Per-step counts then fall out of a
+    * ≤|steps|-row reach histogram: a user with reach r counts for every
+    * step ≤ r, so `n_users(k) = Σ_{r ≥ k} hist(r)` — metadata-sized.
+    *
+    * Memory note: a user's whole event list materializes in one task
+    * (bounded by the busiest user, not the corpus — the
+    * collect_list-per-key contract); the k-join [[funnel]] keeps
+    * per-user state at one row per step and remains the right form when
+    * single users have pathological event counts.
+    *
+    * @return (step, event_type, n_users) — identical contract to
+    *         [[funnel]], monotonically non-increasing
+    */
+  def funnelDeep(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, steps: Seq[String],
+                 windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowUs >= 0, s"windowUs must be non-negative: $windowUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col(userCol).as("__u"),
+      unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__t"))
+    val hist = ev.groupBy(col("__u"))
+      .agg(collect_list(struct(col("__us"), col("__t"))).as("__evs"))
+      .select(graft.plans.HashExpressions
+        .funnelReach(col("__evs"), steps, windowUs).as("__r"))
+      .where(col("__r") >= 1)
+      .groupBy(col("__r")).agg(count(lit(1)).as("__n"))
+    // k rows × ≤k hist rows: emit every step (zero-count steps included,
+    // the funnel contract), n_users(k) = Σ over reaches ≥ k
+    val stepTable = spark
+      .createDataset(steps.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) })
+      .toDF("step", "event_type")
+    stepTable.join(broadcast(hist), col("__r") >= col("step"), "left")
+      .groupBy(col("step"), col("event_type"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_users"))
+  }
+
   /** Rate-spike detection per event type: bucket counts (exact integer
     * `epoch_us DIV bucketUs`) compared against the mean of the previous
     * `trailing` OBSERVED buckets of the same type — a bucket spikes when

@@ -965,7 +965,97 @@ case class ScriptProfile(child: Expression)
   override def prettyName: String = "script_profile"
 }
 
+/** Greedy funnel progression over ONE user's event array — the batch
+  * kernel of the one-shuffle deep funnel (`Events.funnelDeep`): input is
+  * the user's `array<struct<us: long, t: string>>` events (any order —
+  * the kernel sorts by time itself), output the number of funnel steps
+  * the user completes within `windowUs` of step 1.
+  *
+  * Semantics are EXACTLY the batch recurrence of `Events.funnel` (step k
+  * = earliest event of type steps(k−1) at or AFTER step k−1's time):
+  * each advancement restarts the scan so every step binds to the
+  * globally earliest qualifying event — the restart is what makes
+  * equal-timestamp chains and repeated step types right (one event can
+  * satisfy consecutive identical steps; `≥` is inclusive), the same
+  * fixpoint as the streaming funnel's per-batch pass. The returned reach
+  * is the largest prefix k with t_k − t_1 ≤ windowUs (step times are
+  * nondecreasing, so the window test is a prefix property). Null events
+  * or null fields are skipped; rescans cost O(steps × events) per user —
+  * a small constant times within-group work, never state.
+  */
+case class FunnelReach(child: Expression, steps: Seq[String], windowUs: Long)
+    extends UnaryExpression with KernelCodegen {
+  require(steps.nonEmpty, "funnel needs at least one step")
+  require(windowUs >= 0, s"windowUs must be non-negative: $windowUs")
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+      if s.length == 2 && s(0).dataType == LongType &&
+        s(1).dataType == StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<struct<long, string>>, got ${other.catalogString}")
+  }
+  @transient private lazy val stepU: Array[UTF8String] =
+    steps.map(UTF8String.fromString).toArray
+  def kernel(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    val us = new Array[Long](n)
+    val ty = new Array[UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          us(m) = row.getLong(0); ty(m) = row.getUTF8String(1); m += 1
+        }
+      }
+      i += 1
+    }
+    // time order (secondary order irrelevant — the rescan revisits):
+    // sort both arrays by us with a simple index sort
+    val order = Array.tabulate(m)(identity)
+    // insertion sort on us — per-user event lists are small; avoids boxing
+    var a = 1
+    while (a < m) {
+      val o = order(a); val key = us(o); var b = a - 1
+      while (b >= 0 && us(order(b)) > key) { order(b + 1) = order(b); b -= 1 }
+      order(b + 1) = o
+      a += 1
+    }
+    val stepTimes = new Array[Long](stepU.length)
+    var idx = 0
+    var tLast = 0L
+    var progressed = true
+    while (progressed && idx < stepU.length) {
+      progressed = false
+      var j = 0
+      while (!progressed && j < m) {
+        val k = order(j)
+        if (stepU(idx) == ty(k) && (idx == 0 || us(k) >= tLast)) {
+          tLast = us(k)
+          stepTimes(idx) = tLast
+          idx += 1
+          progressed = true
+        }
+        j += 1
+      }
+    }
+    // reach = largest prefix inside the window (monotone step times)
+    var r = 0
+    while (r < idx && stepTimes(r) - stepTimes(0) <= windowUs) r += 1
+    r
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): FunnelReach =
+    copy(child = newChild)
+  override def prettyName: String = "funnel_reach"
+}
+
 object HashExpressions {
+  def funnelReach(events: Column, steps: Seq[String], windowUs: Long): Column =
+    ColumnBridge.column(FunnelReach(ColumnBridge.expression(events), steps, windowUs))
   def scriptProfile(text: Column): Column =
     ColumnBridge.column(ScriptProfile(ColumnBridge.expression(text)))
   def charEntropyStats(text: Column): Column =

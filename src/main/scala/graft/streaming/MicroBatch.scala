@@ -238,6 +238,66 @@ object MicroBatch {
       }
   }
 
+  /** Streaming rate-spike detection — the incremental counterpart of
+    * [[graft.functions.Events.rateSpikes]]: events `(epochUs, type)`
+    * key by type, and per-type state is `(open bucket, its running
+    * count, ring of the last `trailing` CLOSED bucket counts)` — three
+    * scalars plus a bounded ring regardless of stream length. A
+    * bucket's flag emits exactly once, when the bucket CLOSES (a later
+    * bucket's first event arrives for that type): `spike ⇔ ring is full
+    * ∧ n·trailing > factor·Σring` — the identical integer
+    * cross-multiplication and observed-bucket frame as the batch form
+    * (gaps aren't rows; they don't dilute the baseline), so on
+    * in-order epochs the emitted flags equal the batch flags for every
+    * closed bucket (the still-open tail bucket is the one row batch has
+    * that the stream hasn't emitted yet). Late events for an
+    * already-closed bucket are DROPPED (the watermark analog — the
+    * in-order contract is the same as [[streamingFunnel]]'s).
+    *
+    * @return one `(event_type, bucket, n, spike)` row per closed bucket
+    */
+  def streamingRateSpikes(events: org.apache.spark.sql.Dataset[(Long, String)],
+                          bucketUs: Long, trailing: Int, factor: Long)
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Boolean)] = {
+    require(bucketUs >= 1 && trailing >= 1 && factor >= 1)
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Long, Long, Seq[Long])] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, Seq[Long])]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(String, Long, Long, Boolean)] =
+      org.apache.spark.sql.Encoders.product[(String, Long, Long, Boolean)]
+    events.groupByKey(_._2)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Long, Seq[Long]), (String, Long, Long, Boolean)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (typ: String, vals: Iterator[(Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Seq[Long])]) =>
+          var (open, openN, ring) =
+            state.getOption.getOrElse((Long.MinValue, 0L, Seq.empty[Long]))
+          val out = scala.collection.mutable.ListBuffer
+            .empty[(String, Long, Long, Boolean)]
+          // batch-local (bucket, count) pairs in ascending bucket order —
+          // floorDiv matches SQL's `DIV` on negatives too
+          val counts = vals
+            .map(v => Math.floorDiv(v._1, bucketUs))
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+            .toSeq.sortBy(_._1)
+          counts.foreach { case (b, n) =>
+            if (b == open) openN += n
+            else if (b > open) {
+              if (open != Long.MinValue) {
+                val full = ring.length == trailing
+                out += ((typ, open, openN,
+                  full && openN * trailing > factor * ring.sum))
+                ring = (ring :+ openN).takeRight(trailing)
+              }
+              open = b
+              openN = n
+            } // b < open: late bucket — dropped (in-order contract)
+          }
+          state.update((open, openN, ring))
+          out.iterator
+      }
+  }
+
   /** Exactly-once parquet batch sink for `foreachBatch`.
     *
     * `foreachBatch` gives AT-LEAST-once: after a crash between "batch

@@ -43,6 +43,43 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("funnelDeep equals funnel: fixture, equal timestamps, repeated step types") {
+    // base case: the EventsSpec funnel fixture
+    val base = Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),
+      (2L, 0L, "click"), (2L, 10L, "view"),
+      (3L, 0L, "view"), (3L, 200L, "click"),
+      (4L, 0L, "purchase"))
+    def both(rows: Seq[(Long, Long, String)], steps: Seq[String], w: Long) = {
+      def collect(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+      (collect(Events.funnel(ev(rows), "user_id", "ts", "event_type", steps, w)),
+        collect(Events.funnelDeep(ev(rows), "user_id", "ts", "event_type", steps, w)))
+    }
+    val (f1, d1) = both(base, Seq("view", "click", "purchase"), 100L)
+    assert(d1 == f1)
+    // equal timestamps: click shares step-2's timestamp AND sorts before
+    // "view"; a single greedy pass would consume it too early — user 1
+    // completes in the batch semantics (>= is inclusive)
+    val eq = Seq((1L, 5L, "view"), (1L, 5L, "click"),
+      (2L, 3L, "click"), (2L, 4L, "view"))
+    val (f2, d2) = both(eq, Seq("view", "click"), 100L)
+    assert(d2 == f2 && f2 == Seq((1L, "view", 2L), (2L, "click", 1L)))
+    // repeated step type: ONE view event satisfies both view steps (the
+    // same-event inclusive recurrence); user 2 needs no second view
+    val rep = Seq((1L, 5L, "view"), (1L, 9L, "click"),
+      (2L, 1L, "view"), (2L, 2L, "view"), (2L, 3L, "click"))
+    val (f3, d3) = both(rep, Seq("view", "view", "click"), 100L)
+    assert(d3 == f3 && f3.map(_._3) == Seq(2L, 2L, 2L))
+    // a 5-step funnel (the deep form's home turf) with a mid-window cut
+    val deep = Seq(
+      (1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "c"), (1L, 3L, "d"), (1L, 4L, "e"),
+      (2L, 0L, "a"), (2L, 1L, "b"), (2L, 2L, "c"), (2L, 90L, "d"), (2L, 300L, "e"))
+    val (f4, d4) = both(deep, Seq("a", "b", "c", "d", "e"), 100L)
+    assert(d4 == f4 && f4.map(_._3) == Seq(2L, 2L, 2L, 2L, 1L))
+  }
+
   test("rateSpikes: full trailing window required, integer predicate, gaps skipped") {
     val perBucket = Seq(1, 1, 1, 1, 1, 1, 10) // bucket 6 spikes
     val rows = perBucket.zipWithIndex.flatMap { case (n, b) =>

@@ -171,6 +171,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 5L)))
   }
 
+  test("streamingRateSpikes: closed-bucket flags equal the batch flags on in-order epochs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 1,1,1,1,1,1,10,2 events per bucket for "click" (bucket 6 spikes),
+    // plus a gappy "view" type that never fills its trailing window
+    val perBucket = Seq(1, 1, 1, 1, 1, 1, 10, 2)
+    val rows: Seq[(Long, String)] = perBucket.zipWithIndex.flatMap {
+      case (n, b) => (0 until n).map(i => (b * 1000L + i, "click"))
+    } ++ Seq((0L, "view"), (9000L, "view"))
+    val input = MemoryStream[(Long, String)]
+    val flags = MicroBatch.streamingRateSpikes(input.toDS(),
+      bucketUs = 1000L, trailing = 6, factor = 2L)
+    val q = flags.writeStream.format("memory").queryName("ratespikes")
+      .outputMode("update").start()
+    // in-order epochs: split by time so buckets close across batches
+    val (b1, b2) = rows.sortBy(_._1).splitAt(rows.length / 2)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val streamed = spark.table("ratespikes").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    q.stop()
+    // batch reference over the same events; the stream emits every
+    // CLOSED bucket — all but each type's last observed bucket
+    val batchDf = spark.createDataFrame(rows.map { case (us, t) => (us, t) })
+      .toDF("us", "event_type")
+      .select(org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"),
+        col("event_type"))
+    val batch = graft.functions.Events.rateSpikes(batchDf, "ts", "event_type",
+        bucketUs = 1000L, trailing = 6, factor = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val lastBucket = Map("click" -> 7L, "view" -> 9L)
+    val closed = batch.filter { case ((t, b), _) => b != lastBucket(t) }
+    assert(streamed == closed,
+      s"stream $streamed must equal batch-on-closed-buckets $closed")
+    // the spike itself was emitted with the batch verdict
+    assert(streamed(("click", 6L)) == ((10L, true)))
+  }
+
   test("stream-stream event-time join: clicks within lag of impressions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
