@@ -836,6 +836,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Audio near-dup by banded PCM fingerprint — the phash discipline on
+    // the audio modality: text bytes stand in for a PCM16 stream (stub
+    // framing; the band math is byte-local, so the planted re-encodes —
+    // first two bytes = sample 0 = band 0 perturbed — are pigeonhole-
+    // guaranteed candidates and land within the Hamming budget). Full
+    // chain (16-bit LE samples → odd-weighted floor-mod-65536 bands →
+    // ×131 spread → threshold bits → banding → exact Hamming) mirrored
+    // in DuckDB, bit-exact.
+    "x_audio_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("text").isNotNull)
+      val planted = base
+        .where(col("doc_id") % 7 === 0 && length(col("text")) >= 2)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          concat(lit("~!"), expr("substring(text, 3)")).as("text"))
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        base.select(col("doc_id"), col("text")).unionByName(planted)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
+        "doc_id", "blob", "audio", "pcm16")
+      graft.multimodal.Multimodal.audioNearDupPairs(media, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Snapshot delta audit: the %3==0 slice vs a derived "today" with
     // removals (%30), edits (%21, ' v2' appended) and arrivals (%33,
     // shifted ids) — only the delta comes back, fingerprint-compared.
@@ -3341,6 +3363,53 @@ object SparkEntry {
         |         ON g.doc_id = a.doc_id AND g.c = a.c),
         |bits AS (SELECT doc_id,
         |  string_agg(CASE WHEN s > 127 THEN '1' ELSE '0' END, '' ORDER BY c) AS bs
+        | FROM grid GROUP BY 1),
+        |bk AS (SELECT doc_id, bs, b, substr(bs, CAST(1 + 16 * b AS INTEGER), 16) AS key
+        |       FROM bits CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |          x.bs AS ba, y.bs AS bb
+        |         FROM bk x JOIN bk y
+        |         ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+        |ham AS (SELECT id_a, id_b,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN substr(ba, CAST(i AS INTEGER), 1)
+        |              <> substr(bb, CAST(i AS INTEGER), 1)
+        |         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        | FROM cand)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The audio chain mirrored end-to-end over the (ASCII) text bytes:
+    // 16-bit LE samples from byte pairs, odd-weighted stripe sums in
+    // floor-mod 65536 (DuckDB's % truncates, hence the +65536 fold),
+    // ×131 spread, mid-range threshold, 4-band pigeonhole join, exact
+    // Hamming ≤ 3.
+    "x_audio_neardup" ->
+      """WITH docs AS (
+        | SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        | UNION ALL
+        | SELECT doc_id + 40000000, '~!' || substr(text, 3) FROM documents
+        | WHERE text IS NOT NULL AND doc_id % 7 = 0 AND length(text) >= 2),
+        |sm AS (SELECT doc_id, unnest(range(0, length(text) // 2)) AS k, text
+        |       FROM docs),
+        |ss AS (SELECT doc_id, k,
+        |        CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+        |       FROM (SELECT doc_id, k,
+        |         ascii(substr(text, CAST(2 * k + 1 AS INTEGER), 1))
+        |         + 256 * ascii(substr(text, CAST(2 * k + 2 AS INTEGER), 1)) AS raw
+        |        FROM sm)),
+        |bv AS (SELECT doc_id, k % 64 AS c,
+        |        s * (2 * (k // 64) + 1) AS v FROM ss),
+        |gsum AS (SELECT doc_id, c,
+        |          ((((SUM(v) % 65536) + 65536) % 65536) * 131) % 65536 AS b
+        |         FROM bv GROUP BY 1, 2),
+        |allc AS (SELECT d.doc_id, t.c FROM docs d
+        |         CROSS JOIN (SELECT unnest(range(0, 64)) AS c) t),
+        |grid AS (SELECT a.doc_id, a.c, COALESCE(g.b, 0) AS b
+        |         FROM allc a LEFT JOIN gsum g
+        |         ON g.doc_id = a.doc_id AND g.c = a.c),
+        |bits AS (SELECT doc_id,
+        |  string_agg(CASE WHEN b > 32767 THEN '1' ELSE '0' END, '' ORDER BY c) AS bs
         | FROM grid GROUP BY 1),
         |bk AS (SELECT doc_id, bs, b, substr(bs, CAST(1 + 16 * b AS INTEGER), 16) AS key
         |       FROM bits CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),

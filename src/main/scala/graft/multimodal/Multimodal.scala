@@ -36,10 +36,27 @@ object Multimodal {
     StructField("data", BinaryType),
     StructField("meta", mediaMetaType)))
 
+  /** Pluggable image codec surface: the decode/resize/grid contract every
+    * image operator here programs against. [[StubCodec]] (the default —
+    * deterministic byte-derived outputs, what the DuckDB oracles mirror)
+    * and [[ImageIoCodec]] (real PNG/BMP/GIF decoding via the JDK's
+    * javax.imageio — true dimensions, true pixel means) implement it;
+    * operators take the codec as a parameter, so swapping in a real
+    * decoder changes NO plumbing and touches NO oracle.
+    */
+  trait ImageCodec extends Serializable {
+    /** Decode: (width, height, mean luma). */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Double)
+    /** Decode → scale to (w, h) → re-encode. */
+    def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** `cells`-cell luma grid (values 0..255) — the perceptual-hash input. */
+    def lumaGrid(bytes: Array[Byte], cells: Int): Array[Int]
+  }
+
   /** Deterministic fake codec: all "decode" outputs are pure functions of
     * the input bytes (xxhash-seeded), standing in for libjpeg/ffmpeg.
     */
-  object StubCodec {
+  object StubCodec extends ImageCodec {
     /** "Decode" an image: returns (width, height, meanLuma) derived
       * deterministically from the bytes. Replace with a real decoder.
       */
@@ -116,6 +133,141 @@ object Multimodal {
     }
   }
 
+  /** Real image codec on the JDK's javax.imageio — PNG/BMP/GIF (and JPEG
+    * where the JDK ships the plugin) decode to true dimensions and true
+    * pixel statistics; resize goes decode → bilinear scale → PNG
+    * re-encode. Selectable per operator call; [[StubCodec]] stays the
+    * default so every existing DuckDB oracle (which mirrors the stub's
+    * byte math) is untouched. Undecodable bytes throw
+    * IllegalArgumentException naming the media — fail loudly, don't
+    * fabricate pixels (quarantine upstream, the null-payload policy).
+    */
+  object ImageIoCodec extends ImageCodec {
+    private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"ImageIoCodec: undecodable image bytes (${bytes.length} bytes)")
+      img
+    }
+    /** Rec.601 luma from sRGB, matching the classic perceptual-hash
+      * pipelines: 0.299 R + 0.587 G + 0.114 B.
+      */
+    private def luma(rgb: Int): Double =
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Double) = {
+      val img = read(bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += luma(img.getRGB(x, y)); x += 1 }
+        y += 1
+      }
+      (w, h, sum / (w.toLong * h))
+    }
+    def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = read(bytes)
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+    def lumaGrid(bytes: Array[Byte], cells: Int): Array[Int] = {
+      val side = math.sqrt(cells.toDouble).toInt
+      require(side * side == cells,
+        s"lumaGrid cells must be a perfect square for a real decoder: $cells")
+      val img = read(bytes)
+      // average the lumas of each cell's pixel block over the ORIGINAL
+      // pixels (integer block edges; trailing remainder folds into the
+      // last block) — the canonical aHash/pHash downscale step
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Int](cells)
+      var cy = 0
+      while (cy < side) {
+        val y0 = cy * h / side
+        val y1 = if (cy == side - 1) h else (cy + 1) * h / side
+        var cx = 0
+        while (cx < side) {
+          val x0 = cx * w / side
+          val x1 = if (cx == side - 1) w else (cx + 1) * w / side
+          var sum = 0.0
+          var n = 0
+          var y = y0
+          while (y < math.max(y1, y0 + 1) && y < h) {
+            var x = x0
+            while (x < math.max(x1, x0 + 1) && x < w) {
+              sum += luma(img.getRGB(x, y)); n += 1; x += 1
+            }
+            y += 1
+          }
+          out(cy * side + cx) = if (n == 0) 0 else (sum / n).toInt
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+  }
+
+  /** Deterministic audio "codec": raw bytes ARE the PCM stream (16-bit
+    * little-endian signed samples — stub framing standing in for a
+    * WAV/FLAC decoder; a trailing odd byte is ignored). Byte-LOCAL like
+    * [[StubCodec.lumaGrid]]: one byte feeds one sample feeds one band,
+    * so perturbation locality is exercised end-to-end and the banded
+    * fingerprint math is DuckDB-expressible (the oracle mirrors it).
+    */
+  object AudioStub {
+    /** Bytes → 16-bit LE signed samples (−32768..32767). */
+    def pcmSamples(bytes: Array[Byte]): Array[Int] = {
+      val n = bytes.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val raw = (bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)
+        out(i) = if (raw >= 32768) raw - 65536 else raw
+        i += 1
+      }
+      out
+    }
+
+    /** `cells`-band fingerprint over the sample stream — the 16-bit
+      * analog of [[StubCodec.lumaGrid]]: band c accumulates the odd-
+      * weighted samples of its stripe (weight 2t+1 for the t-th sample
+      * of the stripe) in floor-mod 65536, then spreads by ×131 mod
+      * 65536. floorMod, not `%`: sample sums go negative and the band
+      * value must stay in [0, 65536) for the threshold bit to mean
+      * anything (and for the SQL mirror `((x % 65536) + 65536) % 65536`
+      * to agree).
+      */
+    def bandFingerprint(samples: Array[Int], cells: Int): Array[Int] = {
+      val acc = new Array[Long](cells)
+      var i = 0
+      while (i < samples.length) {
+        val c = i % cells
+        acc(c) += samples(i).toLong * (2L * (i / cells) + 1L)
+        i += 1
+      }
+      val out = new Array[Int](cells)
+      var c = 0
+      while (c < cells) {
+        out(c) = java.lang.Math.floorMod(
+          java.lang.Math.floorMod(acc(c), 65536L) * 131L, 65536L).toInt
+        c += 1
+      }
+      out
+    }
+  }
+
   /** Wrap raw blobs + minimal metadata into the canonical media schema. */
   def asMediaTable(df: DataFrame, idCol: String, bytesCol: String,
                    mediaType: String, format: String): DataFrame =
@@ -137,7 +289,8 @@ object Multimodal {
     * (or NPE-ing the task) are both worse; quarantine nulls upstream if
     * they need accounting.
     */
-  def decodeImages(media: DataFrame): DataFrame = {
+  def decodeImages(media: DataFrame,
+                   codec: ImageCodec = StubCodec): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
@@ -146,7 +299,7 @@ object Multimodal {
     media.select("media_id", "data").where(col("data").isNotNull)
       .mapPartitions { it =>
         it.map { r =>
-          val (w, h, luma) = StubCodec.decodeImage(r.getAs[Array[Byte]]("data"))
+          val (w, h, luma) = codec.decodeImage(r.getAs[Array[Byte]]("data"))
           Row(r.getLong(0), w, h, luma)
         }
       }(Encoders.row(outSchema))
@@ -158,12 +311,13 @@ object Multimodal {
     * deterministically from input bytes + target dims). The blob is
     * transformed in place per partition and never shuffled.
     */
-  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame =
+  def resizeImages(media: DataFrame, width: Int, height: Int,
+                   codec: ImageCodec = StubCodec): DataFrame =
     media.select("media_id", "data", "meta").where(col("data").isNotNull)
       .mapPartitions { it =>
         it.map { r =>
           val in = r.getAs[Array[Byte]]("data")
-          val out = StubCodec.resizeImage(in, width, height)
+          val out = codec.resizeImage(in, width, height)
           val m = if (r.isNullAt(2)) null else r.getStruct(2)
           val meta =
             if (m == null) Row(null, null, width, height, null, null)
@@ -193,14 +347,15 @@ object Multimodal {
     * (media_id, bits) with `bits` a 64-char '0'/'1' string — trivially
     * band-sliceable and engine-portable. Blob never leaves the map task.
     */
-  def imageBitGrid(media: DataFrame): DataFrame = {
+  def imageBitGrid(media: DataFrame,
+                   codec: ImageCodec = StubCodec): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("bits", StringType, nullable = false)))
     media.select("media_id", "data").where(col("data").isNotNull)
       .mapPartitions { it =>
         it.map { r =>
-          val cells = StubCodec.lumaGrid(r.getAs[Array[Byte]]("data"), 64)
+          val cells = codec.lumaGrid(r.getAs[Array[Byte]]("data"), 64)
           Row(r.getLong(0), cells.map(c => if (c > 127) '1' else '0').mkString)
         }
       }(Encoders.row(outSchema))
@@ -218,12 +373,23 @@ object Multimodal {
     * (true near-dup clusters). Returns (id_a, id_b, hamming), id_a <
     * id_b, hamming ≤ maxHamming.
     */
-  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                        codec: ImageCodec = StubCodec): DataFrame =
+    bitsNearDupPairs(imageBitGrid(media, codec), maxHamming)
+
+  /** Pigeonhole-banded Hamming near-dup over ANY (media_id, bits)
+    * 64-bit-string table — the candidate-generation/verify core shared
+    * by [[phashNearDupPairs]] (image) and [[audioNearDupPairs]]:
+    * (maxHamming+1) bands guarantee ≤ maxHamming differing bits leave
+    * ≥ 1 band identical, candidates come from the band-key EQUI-join
+    * (never all-pairs), and the exact Hamming check runs only on
+    * candidates. Returns (id_a, id_b, hamming), id_a < id_b.
+    */
+  private def bitsNearDupPairs(g: DataFrame, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     require(bands >= 1 && 64 % bands == 0,
       s"maxHamming+1 must divide 64: $maxHamming")
     val width = 64 / bands
-    val g = imageBitGrid(media)
     val banded = g.select(col("media_id"), col("bits"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("b"),
@@ -242,6 +408,37 @@ object Multimodal {
     cand.select(col("id_a"), col("id_b"), ham.as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** 64-band audio fingerprint per media row: [[AudioStub.pcmSamples]]
+    * (16-bit LE framing over the raw blob) → [[AudioStub
+    * .bandFingerprint]] → threshold at mid-range (bit c = band c ≥
+    * 32768; fixed threshold for the same bit-locality reason as
+    * [[imageBitGrid]]). Output (media_id, bits), a 64-char '0'/'1'
+    * string; blobs never leave the map task.
+    */
+  def audioBitFingerprint(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bits", StringType, nullable = false)))
+    media.select("media_id", "data").where(col("data").isNotNull)
+      .mapPartitions { it =>
+        it.map { r =>
+          val bands = AudioStub.bandFingerprint(
+            AudioStub.pcmSamples(r.getAs[Array[Byte]]("data")), 64)
+          Row(r.getLong(0),
+            bands.map(b => if (b > 32767) '1' else '0').mkString)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Near-duplicate audio pairs by banded fingerprint Hamming distance —
+    * [[phashNearDupPairs]]' discipline on the PCM stream: a re-encoded
+    * or lightly corrupted copy perturbs few samples, so few bands flip,
+    * and pigeonhole banding recalls it from the band-key equi-join.
+    * Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
+    */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    bitsNearDupPairs(audioBitFingerprint(media), maxHamming)
 
   /** Per-frame perceptual bit grids for video rows: the blob splits into
     * `window`-byte frames (stub stand-in for decode → frame extraction;

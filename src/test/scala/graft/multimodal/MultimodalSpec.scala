@@ -93,6 +93,67 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getSeq[Float](1).length == 16))
   }
 
+  test("ImageIoCodec: real PNG decodes to true dimensions and pixel mean") {
+    // a REAL 4×2 PNG: left half black, right half white — encoded with
+    // the JDK's own writer, decoded through the selectable codec path
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val halfWhite = png(4, 2, (x, _) => if (x < 2) 0x000000 else 0xffffff)
+    val df = spark.createDataFrame(Seq((1L, halfWhite))).toDF("media_id", "blob")
+    val m = Multimodal.asMediaTable(df, "media_id", "blob", "image", "png")
+    val dec = Multimodal.decodeImages(m, Multimodal.ImageIoCodec).collect().head
+    assert(dec.getInt(1) == 4 && dec.getInt(2) == 2)
+    assert(dec.getDouble(3) == 127.5) // (0 + 255) / 2 under Rec.601 luma
+    // resize re-encodes a real PNG whose decoded dims are the target's
+    val resized = Multimodal.resizeImages(m, 2, 1, Multimodal.ImageIoCodec)
+    val again = Multimodal.decodeImages(
+      resized.select(col("media_id"), col("data"), col("meta")),
+      Multimodal.ImageIoCodec).collect().head
+    assert(again.getInt(1) == 2 && again.getInt(2) == 1)
+    // bit grid: 8×8 cells — left half dark ('0'), right half bright ('1')
+    val bits = Multimodal.imageBitGrid(m, Multimodal.ImageIoCodec)
+      .collect().head.getString(1)
+    assert(bits.length == 64)
+    assert(bits.grouped(8).forall(row => row == "00001111"))
+    // the stub path is untouched by the codec's existence
+    val stub = Multimodal.decodeImages(m).collect().head
+    val (w, h, l) = Multimodal.StubCodec.decodeImage(halfWhite)
+    assert((stub.getInt(1), stub.getInt(2), stub.getDouble(3)) == ((w, h, l)))
+  }
+
+  test("audio: 16-bit LE framing, band locality, banded near-dup recall") {
+    // pcmSamples: little-endian signed pairs, trailing odd byte ignored
+    val s = Multimodal.AudioStub.pcmSamples(
+      Array[Byte](0x34, 0x12, 0x00, 0x80.toByte, 0xff.toByte, 0x7f, 0x09))
+    assert(s.toSeq == Seq(0x1234, -32768, 32767))
+    // band locality: flipping one byte moves at most one band
+    val base = Array.tabulate(512)(i => ((i * 37) % 251).toByte)
+    val tweaked = base.clone(); tweaked(11) = (tweaked(11) ^ 0x40).toByte
+    val fb = Multimodal.AudioStub.bandFingerprint(
+      Multimodal.AudioStub.pcmSamples(base), 64)
+    val ft = Multimodal.AudioStub.bandFingerprint(
+      Multimodal.AudioStub.pcmSamples(tweaked), 64)
+    assert(fb.indices.count(i => fb(i) != ft(i)) <= 1)
+    assert(fb.forall(b => b >= 0 && b < 65536))
+    // near-dup: identical + lightly perturbed pair; a far blob stays out
+    val far = Array.tabulate(512)(i => ((i * 91 + 7) % 249).toByte)
+    val df = spark.createDataFrame(Seq(
+      (1L, base), (2L, base.clone), (3L, tweaked), (4L, far)))
+      .toDF("media_id", "blob")
+    val m = Multimodal.asMediaTable(df, "media_id", "blob", "audio", "pcm16")
+    val pairs = Multimodal.audioNearDupPairs(m, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0L)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 1L)
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("sampleFrames: one row per sampled offset") {
     val withDur = media.withColumn("meta",
       struct(col("meta.media_type"), col("meta.format"), col("meta.width"),
