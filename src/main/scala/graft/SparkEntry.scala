@@ -1392,6 +1392,33 @@ object SparkEntry {
           "text", nMerges = 6)
         .orderBy("merge_rank")),
 
+    // Unigram-LM (SentencePiece-style) tokenizer training — the other
+    // mainstream subword family next to BPE: substring seed vocabulary,
+    // 2 Viterbi-EM rounds (exact-decimal DP under round-9 log probs,
+    // deterministic (score, piece-count, length) tiebreaks), char-floor
+    // coverage, prune to 40 + chars. The oracle unrolls BOTH EM rounds —
+    // the 12-position DP and its backtrack included — in DuckDB and
+    // hash-matches counts AND log probs bit-for-bit.
+    "x_unigram_train" -> ((s, dir) =>
+      Corpus.unigramTrain(t(s, dir, "documents"), "text",
+          vocabSize = 40, rounds = 2)
+        .orderBy("piece")),
+
+    // Viterbi encode under the trained unigram vocabulary: map-only over
+    // docs (vocab rides as plan state), per-word max-log-prob
+    // segmentations concatenated in document order. Same unrolled-DP
+    // oracle chain, extended with the per-doc backtrack ordering.
+    "x_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      val vocab = Corpus.unigramTrain(docs, "text", vocabSize = 40, rounds = 2)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toSeq
+      Corpus.unigramEncode(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), array_join(col("pieces"), " ").as("encoded"),
+          col("n_pieces"))
+        .orderBy("doc_id")
+    }),
+
     // Within-document repetition removal (MassiveText intra-doc dedup):
     // every repeat of a unit after its first occurrence in the SAME doc
     // is deleted, order preserved. Exercised at word granularity — the
@@ -2289,6 +2316,121 @@ object SparkEntry {
     * centroid via the grid LEFT JOIN), exact-norm re-unitization, round 9
     * — each step the mirror of [[graft.functions.Similarity.kmeansTrain]].
     */
+  private val unigramMaxWordLen = 12
+  private val unigramMaxPieceLen = 4
+
+  /** Word vocabulary, substring seed counts, and the single-character
+    * coverage set — the base of the unigram-LM tokenizer oracle. Same
+    * tokenization (trim + \s+ split) and the same 1..maxWordLen filter
+    * as [[graft.functions.Corpus.unigramTrain]].
+    */
+  private val unigramBaseCte: String =
+    s"""uw AS MATERIALIZED (
+       | SELECT word AS w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+       | WHERE length(word) BETWEEN 1 AND $unigramMaxWordLen
+       | GROUP BY 1),
+       |useed AS MATERIALIZED (
+       | SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+       |  SELECT w.wc,
+       |   substr(w.w, CAST(ii.i AS INTEGER), CAST(ll.l AS INTEGER)) AS piece
+       |  FROM uw w
+       |   CROSS JOIN (SELECT unnest(range(1, ${unigramMaxWordLen + 1})) AS i) ii
+       |   CROSS JOIN (SELECT unnest(range(1, ${unigramMaxPieceLen + 1})) AS l) ll
+       |  WHERE ii.i + ll.l - 1 <= length(w.w))
+       | GROUP BY 1),
+       |uchars AS MATERIALIZED (SELECT piece FROM useed WHERE length(piece) = 1)""".stripMargin
+
+  /** One unrolled Viterbi-EM round of the unigram tokenizer, reading
+    * piece counts from CTE `cin` and ending in `ucin{r}` (the round's
+    * re-counted vocabulary with the single-character floor): log probs
+    * `round₉(ln c − ln Σc)` as DECIMAL(30,15); a 12-position DP whose
+    * cell p takes the best of the ≤4 piece lengths ending there
+    * (score DESC, piece-count ASC, length ASC — the kernel's exact
+    * tiebreak; unknown single chars score exactly −10⁹); a 12-step
+    * backtrack re-materializing each word's winning pieces (step s = the
+    * s-th piece FROM THE END, kept for the encode oracle's ordering).
+    * Every table is word-vocabulary-sized.
+    */
+  private def unigramRoundCtes(r: Int, cin: String): String = {
+    val dp = (p: Int) => s"udp${r}_$p"
+    val bt = (s: Int) => s"ubt${r}_$s"
+    val dpCtes = (1 to unigramMaxWordLen).map { p =>
+      val branches = (1 to math.min(unigramMaxPieceLen, p)).map { j =>
+        s"""  SELECT d.w, d.wc,
+           |   d.sc + COALESCE(v.lp, CAST(-1000000000 AS DECIMAL(30,15))) AS sc,
+           |   d.np + 1 AS np, $j AS j
+           |  FROM ${dp(p - j)} d LEFT JOIN ulp$r v
+           |   ON v.piece = substr(d.w, ${p - j + 1}, $j)
+           |  WHERE length(d.w) >= $p AND (v.piece IS NOT NULL OR $j = 1)"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""${dp(p)} AS MATERIALIZED (
+         | SELECT w, wc, sc, np, j FROM (
+         |  SELECT w, wc, sc, np, j,
+         |   ROW_NUMBER() OVER (PARTITION BY w
+         |     ORDER BY sc DESC, np ASC, j ASC) AS rk
+         |  FROM (
+         |$branches))
+         | WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val dpa = (1 to unigramMaxWordLen).map(p =>
+      s"SELECT w, $p AS p, j FROM ${dp(p)}").mkString("\n UNION ALL\n ")
+    val btCtes = (1 to unigramMaxWordLen).map { s =>
+      s"""${bt(s)} AS MATERIALIZED (
+         | SELECT b.w, b.wc, b.p - d.j AS p,
+         |  substr(b.w, CAST(b.p - d.j + 1 AS INTEGER), CAST(d.j AS INTEGER)) AS piece,
+         |  $s AS s
+         | FROM ${bt(s - 1)} b JOIN udpa$r d ON d.w = b.w AND d.p = b.p
+         | WHERE b.p > 0)""".stripMargin
+    }.mkString(",\n")
+    val pieces = (1 to unigramMaxWordLen).map(s =>
+      s"SELECT w, wc, piece, s FROM ${bt(s)}").mkString("\n UNION ALL\n ")
+    s"""ulp$r AS MATERIALIZED (
+       | SELECT piece,
+       |  CAST(ROUND(ln(CAST(cnt AS DOUBLE)) -
+       |    ln((SELECT CAST(SUM(cnt) AS DOUBLE) FROM $cin)), 9)
+       |   AS DECIMAL(30,15)) AS lp
+       | FROM $cin),
+       |udp${r}_0 AS MATERIALIZED (
+       | SELECT w, wc, CAST(0 AS DECIMAL(30,15)) AS sc, 0 AS np, 0 AS j FROM uw),
+       |$dpCtes,
+       |udpa$r AS MATERIALIZED (
+       | $dpa),
+       |ubt${r}_0 AS MATERIALIZED (
+       | SELECT w, wc, length(w) AS p, CAST(NULL AS VARCHAR) AS piece, 0 AS s
+       | FROM uw),
+       |$btCtes,
+       |upc$r AS MATERIALIZED (
+       | SELECT w, wc, piece, s FROM (
+       |  $pieces)
+       | WHERE piece IS NOT NULL),
+       |ucnt$r AS MATERIALIZED (
+       | SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM upc$r GROUP BY 1),
+       |ucin$r AS MATERIALIZED (
+       | SELECT piece, cnt FROM ucnt$r
+       | UNION ALL
+       | SELECT c.piece, CAST(1 AS BIGINT) AS cnt FROM uchars c
+       | WHERE c.piece NOT IN (SELECT piece FROM ucnt$r))""".stripMargin
+  }
+
+  /** The full trained-and-pruned unigram vocabulary chain: seed → two
+    * EM rounds → top-40 by (cnt DESC, piece) ∪ all single characters.
+    */
+  private val unigramKeptCte: String =
+    s"""$unigramBaseCte,
+       |${unigramRoundCtes(1, "useed")},
+       |${unigramRoundCtes(2, "ucin1")},
+       |ukept AS MATERIALIZED (
+       | SELECT piece, cnt FROM (
+       |  SELECT piece, cnt,
+       |   ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+       |  FROM ucin2) WHERE rk <= 40
+       | UNION
+       | SELECT c2.piece, c2.cnt FROM ucin2 c2
+       | JOIN uchars ch ON ch.piece = c2.piece)""".stripMargin
+
   private def kmeansRoundCte(r: Int, prev: String): String =
     s"""d$r AS (
        | SELECT e.vec_id, c.c,
@@ -3378,6 +3520,38 @@ object SparkEntry {
         | FROM cand)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Unigram-LM training replayed end-to-end: substring seed, TWO
+    // Viterbi-EM rounds fully unrolled (12-position exact-decimal DP +
+    // backtrack per round, kernel-identical tiebreaks), char floor,
+    // prune, renormalized round-9 log probs — counts AND logp
+    // hash-match bit-for-bit.
+    "x_unigram_train" ->
+      s"""WITH $unigramKeptCte
+         |SELECT piece, cnt,
+         | ROUND(ln(CAST(cnt AS DOUBLE)) -
+         |   ln((SELECT CAST(SUM(cnt) AS DOUBLE) FROM ukept)), 9) AS logp
+         |FROM ukept ORDER BY piece""".stripMargin,
+
+    // Encode = one more unrolled Viterbi pass (round 3) under the FINAL
+    // pruned vocabulary's log probs; per-doc piece order reconstructs
+    // from (word index ASC, backtrack step DESC — step s is the s-th
+    // piece from the word's end).
+    "x_unigram_encode" ->
+      s"""WITH $unigramKeptCte,
+         |${unigramRoundCtes(3, "ukept")},
+         |uwords AS (
+         | SELECT doc_id, wi, list_extract(arr, CAST(wi AS INTEGER)) AS word
+         | FROM (
+         |  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS wi, arr FROM (
+         |   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+         |   FROM documents
+         |   WHERE text IS NOT NULL AND length(trim(text)) > 0)))
+         |SELECT u.doc_id,
+         | string_agg(e.piece, ' ' ORDER BY u.wi ASC, e.s DESC) AS encoded,
+         | CAST(COUNT(*) AS BIGINT) AS n_pieces
+         |FROM uwords u JOIN upc3 e ON e.w = u.word
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // The audio chain mirrored end-to-end over the (ASCII) text bytes:
     // 16-bit LE samples from byte pairs, odd-weighted stripe sums in

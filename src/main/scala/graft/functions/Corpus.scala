@@ -1741,6 +1741,103 @@ object Corpus {
       .withColumn("n_tokens", size(col("bpe_tokens")).cast("long"))
   }
 
+  /** SentencePiece-style unigram-LM tokenizer trainer — the other
+    * mainstream subword family next to [[bpeTrain]]: a piece VOCABULARY
+    * with log probabilities, trained by Viterbi-EM and pruned to size.
+    *
+    *  - Seed: every substring of length ≤ `maxPieceLen` of the word
+    *    vocabulary, occurrence-weighted (single characters always
+    *    included — they guarantee coverage).
+    *  - EM round (×`rounds`): log probs from the current counts
+    *    (`round₉(ln c − ln Σc)` — short decimal literals both engines
+    *    reproduce), then a Viterbi E-step: every word re-segments under
+    *    the model ([[graft.plans.UnigramViterbi]] — exact-decimal DP,
+    *    deterministic tiebreaks) and pieces re-count
+    *    occurrence-weighted; unused single characters keep a count
+    *    floor of 1 (coverage), other unused pieces drop.
+    *  - Prune: top `vocabSize` pieces by (count desc, piece asc), plus
+    *    all single characters; final log probs renormalize over the
+    *    kept set.
+    *
+    * Scale shape (the [[bpeTrain]] discipline): the corpus collapses to
+    * the word vocabulary (Heaps-law-bounded) before ANY per-round work;
+    * each round is one map-only Viterbi pass over that vocabulary plus
+    * one piece-count aggregation with map-side partials; driver state
+    * is the piece vocabulary (vocab-sized, the codebook contract).
+    * Words longer than `maxWordLen` are excluded from training (the
+    * oracle unrolls the DP to that depth).
+    *
+    * @return (piece, cnt, logp) ordered by piece
+    */
+  def unigramTrain(df: DataFrame, textCol: String, vocabSize: Int,
+                   rounds: Int = 2, maxPieceLen: Int = 4,
+                   maxWordLen: Int = 12): DataFrame = {
+    require(vocabSize >= 1 && rounds >= 0 && maxPieceLen >= 1 && maxWordLen >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .where(length(col("__w")).between(1, maxWordLen))
+      .groupBy("__w").agg(count(lit(1)).as("__wc"))
+      .localCheckpoint() // consumed once per round — don't re-tokenize
+    val seedPieces = expr(
+      s"flatten(transform(sequence(1, char_length(__w)), i -> " +
+        s"transform(sequence(i, least(char_length(__w), i + ${maxPieceLen - 1})), " +
+        s"j -> substring(__w, i, j - i + 1))))")
+    var cnts: Map[String, Long] = words
+      .select(col("__wc"), explode(seedPieces).as("__p"))
+      .groupBy("__p").agg(sum(col("__wc")).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val chars = cnts.keySet.filter(p => p.codePointCount(0, p.length) == 1)
+    def logps(c: Map[String, Long]): (Seq[String], Seq[Double]) = {
+      val lnTotal = StrictMath.log(c.values.sum.toDouble)
+      val ps = c.keys.toSeq.sorted
+      (ps, ps.map(p => BigDecimal(StrictMath.log(c(p).toDouble) - lnTotal)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    for (_ <- 1 to rounds) {
+      val (ps, lps) = logps(cnts)
+      val counted = words
+        .select(col("__wc"), explode(graft.plans.HashExpressions
+          .unigramViterbi(col("__w"), ps, lps, maxPieceLen)).as("__p"))
+        .groupBy("__p").agg(sum(col("__wc")).as("__c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      cnts = counted ++ chars.diff(counted.keySet).map(_ -> 1L)
+    }
+    val kept = cnts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(vocabSize).map(_._1).toSet ++ chars
+    val fin = cnts.filter { case (p, _) => kept(p) }
+    val lnTotal = StrictMath.log(fin.values.sum.toDouble)
+    words.unpersist(blocking = false)
+    spark.createDataset(fin.toSeq.sortBy(_._1).map { case (p, c) =>
+      (p, c, BigDecimal(StrictMath.log(c.toDouble) - lnTotal)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toDF("piece", "cnt", "logp")
+  }
+
+  /** Viterbi encode against a trained [[unigramTrain]] vocabulary:
+    * every word takes its max-log-prob segmentation (same kernel, same
+    * deterministic tiebreaks as training) and the per-word piece lists
+    * concatenate in document order. Map-only — the vocabulary rides as
+    * plan state, nothing shuffles (the [[bpeEncode]] shape).
+    *
+    * @param vocab (piece, logp) pairs, e.g.
+    *   `unigramTrain(...).collect()`'s first and third columns
+    * @return (idCol, pieces array<string>, n_pieces)
+    */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[(String, Double)],
+                    maxPieceLen: Int = 4): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    val ps = vocab.map(_._1)
+    val lps = vocab.map(_._2)
+    df.select(col(idCol),
+      flatten(transform(TextFunctions.tokens(col(textCol)),
+        w => graft.plans.HashExpressions
+          .unigramViterbi(w, ps, lps, maxPieceLen))).as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+  }
+
   /** Per-group percentile calibration of a score column — the
     * normalization step between raw quality scoring and cross-group
     * selection: a raw score of 0.4 means different things in different

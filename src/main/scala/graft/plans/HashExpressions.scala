@@ -1053,7 +1053,106 @@ case class FunnelReach(child: Expression, steps: Seq[String], windowUs: Long)
   override def prettyName: String = "funnel_reach"
 }
 
+/** Viterbi-best unigram-LM segmentation of ONE word — the encode/E-step
+  * kernel of the SentencePiece-style tokenizer (`Corpus.unigramTrain` /
+  * `unigramEncode`): maximize the sum of the pieces' log probabilities
+  * over all segmentations into vocabulary pieces of length ≤
+  * `maxPieceLen`.
+  *
+  * Cross-engine determinism contract (the DuckDB oracle unrolls the
+  * identical DP): log probs arrive ROUNDED to 9 decimals and accumulate
+  * as exact decimals (scale 15 — the oracle's DECIMAL(30,15)), so
+  * partial scores are bit-comparable; ties break by (score desc, piece
+  * count asc, last-piece length asc) at every DP cell; a single
+  * character absent from the vocabulary scores exactly −10⁹ (the OOV
+  * floor — guarantees every word segments, and the constant is exact in
+  * both engines). Characters are Unicode code points (the length()/
+  * substr() convention). Vocabulary and log probs ride as plan literals
+  * — vocab-sized driver state, the codebook contract.
+  */
+case class UnigramViterbi(child: Expression, pieces: Seq[String],
+                          logps: Seq[Double], maxPieceLen: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(pieces.length == logps.length, "pieces and logps must align")
+  require(maxPieceLen >= 1, s"maxPieceLen must be positive: $maxPieceLen")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+  @transient private lazy val oovFloor =
+    new java.math.BigDecimal(-1000000000L).setScale(15)
+  @transient private lazy val lpMap: java.util.HashMap[String, java.math.BigDecimal] = {
+    val m = new java.util.HashMap[String, java.math.BigDecimal]()
+    pieces.indices.foreach { i =>
+      m.put(pieces(i), java.math.BigDecimal.valueOf(logps(i)).setScale(15))
+    }
+    m
+  }
+  def kernel(word: UTF8String): ArrayData = {
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    def slice(from: Int, until: Int): String =
+      new String(cps, from, until - from)
+    val score = new Array[java.math.BigDecimal](n + 1)
+    val np = new Array[Int](n + 1)
+    val choice = new Array[Int](n + 1)
+    score(0) = java.math.BigDecimal.ZERO.setScale(15)
+    var p = 1
+    while (p <= n) {
+      var bestS: java.math.BigDecimal = null
+      var bestNp = 0
+      var bestJ = 0
+      var j = 1
+      while (j <= math.min(maxPieceLen, p)) {
+        if (score(p - j) != null) {
+          val piece = slice(p - j, p)
+          val lp0 = lpMap.get(piece)
+          val lp = if (lp0 != null) lp0 else if (j == 1) oovFloor else null
+          if (lp != null) {
+            val s = score(p - j).add(lp)
+            val candNp = np(p - j) + 1
+            val cmp = if (bestS == null) 1 else s.compareTo(bestS)
+            if (cmp > 0 || (cmp == 0 && (candNp < bestNp ||
+                (candNp == bestNp && j < bestJ)))) {
+              bestS = s; bestNp = candNp; bestJ = j
+            }
+          }
+        }
+        j += 1
+      }
+      score(p) = bestS
+      np(p) = bestNp
+      choice(p) = bestJ
+      p += 1
+    }
+    // backtrack (score(n) is non-null: the OOV floor makes every word
+    // reachable through single characters)
+    val out = new Array[AnyRef](np(n))
+    var pos = n
+    var k = np(n) - 1
+    while (pos > 0) {
+      val j = choice(pos)
+      out(k) = UTF8String.fromString(slice(pos - j, pos))
+      k -= 1
+      pos -= j
+    }
+    new GenericArrayData(out)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): UnigramViterbi =
+    copy(child = newChild)
+  override def prettyName: String = "unigram_viterbi"
+}
+
 object HashExpressions {
+  def unigramViterbi(word: Column, pieces: Seq[String], logps: Seq[Double],
+                     maxPieceLen: Int): Column =
+    ColumnBridge.column(UnigramViterbi(ColumnBridge.expression(word),
+      pieces, logps, maxPieceLen))
   def funnelReach(events: Column, steps: Seq[String], windowUs: Long): Column =
     ColumnBridge.column(FunnelReach(ColumnBridge.expression(events), steps, windowUs))
   def scriptProfile(text: Column): Column =
