@@ -333,6 +333,125 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** The PQ-compressed persisted index — [[ivfIndex]] with the raw
+    * vectors replaced by product-quantization codes: `(centroids,
+    * codebooks, postings)` where `codebooks` = (j, code, sub
+    * array<double>) are the m per-subspace codebooks and `postings` =
+    * (id, cluster, pq_codes array<int>, recon_n2) carry m SMALL INTS
+    * per vector plus the reconstruction's squared norm (precomputed at
+    * build so probes never reconstruct for normalization). This is the
+    * memory-bounded serving artifact — dim floats collapse to m codes —
+    * at the cost of approximate (ADC) scores; keep [[ivfIndex]] when
+    * exact rescoring matters more than index size, or rescore the ADC
+    * top-k against the corpus afterwards (the [[ivfPqTopK]] cascade).
+    */
+  def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                 nCentroids: Int = 16, rounds: Int = 2,
+                 m: Int = 8, codebookK: Int = 256,
+                 lloydIters: Int = 1): (DataFrame, DataFrame, DataFrame) = {
+    require(nCentroids >= 1 && rounds >= 0 && m >= 1 && codebookK >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = kmeansTrain(df, idCol, vecCol, nCentroids, rounds)
+    val centroids = spark
+      .createDataset(cents.toIndexedSeq.zipWithIndex.map {
+        case (c, i) => (i, c.toSeq)
+      })
+      .toDF("cluster", "centroid")
+    val v = col(vecCol)
+    val base = df.where(v.isNotNull && norm2Exact(v) > 0.0)
+      .select(col(idCol).cast("long").as("id"),
+        kmeansClusterExpr(v, cents).as("cluster"), v.as("vec"))
+    val (encoded, books) = productQuantize(base, "id", "vec", m, codebookK,
+      lloydIters)
+    val codebooks = spark
+      .createDataset(for {
+        j <- books.indices
+        c <- books(j).indices
+      } yield (j, c, books(j)(c).toSeq))
+      .toDF("j", "code", "sub")
+    // ‖v̂‖² from the codes alone: Σⱼ ‖bookⱼ[codeⱼ]‖² — per-subspace code
+    // norms ship as an m×k literal table
+    val nTab: Seq[Seq[Double]] = books.toIndexedSeq.map(book =>
+      book.toIndexedSeq.map(c => c.map(x => x * x).sum))
+    val reconN2 = aggregate(
+      zip_with(col("pq_codes"), typedLit(nTab), (c, t) => element_at(t, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val postings = encoded.select(col("id"), col("cluster"),
+      col("pq_codes"), reconN2.as("recon_n2"))
+    (centroids, codebooks, postings)
+  }
+
+  /** Probe an [[ivfPqIndex]] snapshot with a query batch: ADC-ranked
+    * top-k per query over the `nProbe` nearest inverted lists — no
+    * vector is ever touched (the index has none); each candidate costs
+    * m codebook lookups and one cached norm.
+    *
+    * Shuffle profile: centroids AND codebooks collect driver-side
+    * (k×dim + m·k·(dim/m) doubles — the codebook contract) and ride as
+    * plan literals; the query batch broadcasts into the cluster
+    * equi-join (the posting side never re-shuffles; a cluster-
+    * partitioned parquet index prunes unprobed lists at the scan);
+    * per-query top-k is a rank-truncated window.
+    *
+    * `adc_cos` = ⟨q, v̂⟩ / (‖v̂‖·‖q‖) — approximate by construction
+    * (quantization error), so this is spec-verified rather than
+    * DuckDB-oracled; rescore survivors against the corpus when exact
+    * ranks matter.
+    *
+    * @return (query_id, neighbor_id, adc_cos, rank), rank 1..k per
+    *         query by (adc_cos desc, neighbor_id)
+    */
+  def ivfPqProbeIndex(queries: DataFrame, qIdCol: String, qVecCol: String,
+                      centroids: DataFrame, codebooks: DataFrame,
+                      postings: DataFrame, k: Int, nProbe: Int,
+                      excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1 && nProbe >= 1)
+    val cents: Array[Array[Double]] = centroids
+      .select(col("cluster").cast("int"), col("centroid"))
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val books: Array[Array[Array[Double]]] = codebooks
+      .select(col("j").cast("int"), col("code").cast("int"), col("sub"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray)
+      .toArray
+    val m = books.length
+    val d = books(0)(0).length
+    val nC = cents.length
+    val np = math.min(nProbe, nC)
+    val qv = col(qVecCol)
+    def centArr(i: Int): Column = array(cents(i).map(lit(_)): _*)
+    val scoredCents = array((0 until nC).map(i =>
+      struct((-dotExact(qv, centArr(i))).as("negd"), lit(i).as("c"))): _*)
+    val probes = transform(slice(array_sort(scoredCents), 1, np),
+      p => p.getField("c"))
+    // per-query ADC numerator: Σⱼ ⟨q_j, book_j[code_j]⟩ — the codebooks
+    // ride as float literals so each term is one native dot
+    def bookF(j: Int): Column = array(books(j).map(c =>
+      array(c.map(x => lit(x.toFloat)): _*)): _*)
+    val q = queries.where(qv.isNotNull && norm2Exact(qv) > 0.0)
+      .select(col(qIdCol).cast("long").as("__qid"), qv.as("__qv"),
+        dotNative(qv, qv).as("__qn2"), explode(probes).as("cluster"))
+    val scored0 = postings.join(broadcast(q), "cluster")
+    val scored =
+      if (excludeSelf) scored0.where(col("id") =!= col("__qid")) else scored0
+    val adcDot = (0 until m).map(j =>
+      dotNative(slice(col("__qv"), j * d + 1, d),
+        element_at(bookF(j), element_at(col("pq_codes"), j + 1) + 1)))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("adc_cos").desc, col("id"))
+    scored
+      .select(col("__qid"), col("id"),
+        (adcDot / (sqrt(col("recon_n2")) * sqrt(col("__qn2")))).as("adc_cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("id").as("neighbor_id"),
+        col("adc_cos"), col("rank"))
+  }
+
   /** Batch k-NN join: for EVERY left (query) row, the top-k right
     * (corpus) rows by cosine — the all-queries generalization of
     * [[bruteForceTopK]] (one vector answers one query; curation pipelines

@@ -777,6 +777,43 @@ class FunctionsSpec extends SparkSpec {
     out.foreach { case (q, n, c, _) => assert(c == cosx(fv(q), fv(n))) }
   }
 
+  // PQ-compressed persisted index: no raw vectors in the postings; in
+  // the lossless regime (codebook ⊇ every distinct subvector, no Lloyd
+  // noise) ADC reconstruction is exact, so exhaustive probing must
+  // recover the exact top-k NEIGHBOR SETS — and the whole artifact must
+  // survive a parquet round-trip.
+  test("ivfPqIndex: parquet round-trip, lossless-ADC exhaustive probe recovers exact sets") {
+    import org.apache.spark.sql.types._
+    val dim = 8
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(d => (((seed * 31 + d * 17) % 13) - 6).toFloat / 7f)
+    val schema = StructType(Seq(StructField("vid", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    val all = (0L until 40L).map(i => Row(i, vec(i).toSeq))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(all, 4), schema)
+    val queries = df.where(col("vid") < 5)
+    val corpus = df.where(col("vid") >= 5)
+    val (cents, bookDf, postings) = Similarity.ivfPqIndex(corpus, "vid", "v",
+      nCentroids = 4, rounds = 1, m = 4, codebookK = 64, lloydIters = 0)
+    // the artifact stores codes, never vectors
+    assert(postings.schema.fieldNames.toSeq ==
+      Seq("id", "cluster", "pq_codes", "recon_n2"))
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq-spec").toString
+    cents.write.parquet(s"$tmp/c")
+    bookDf.write.parquet(s"$tmp/b")
+    postings.write.partitionBy("cluster").parquet(s"$tmp/p")
+    def topSets(d: org.apache.spark.sql.DataFrame) =
+      d.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val probed = topSets(Similarity.ivfPqProbeIndex(queries, "vid", "v",
+      spark.read.parquet(s"$tmp/c"), spark.read.parquet(s"$tmp/b"),
+      spark.read.parquet(s"$tmp/p"), k = 3, nProbe = 4))
+    val exact = topSets(Similarity.knnJoin(queries, corpus, "vid", "v",
+      "vid", "v", k = 3, margin = 5))
+    assert(probed == exact,
+      "lossless ADC + exhaustive probing must recover the exact top-k sets")
+  }
+
   // Probe-limited blocked kNN: recall < 1 is the documented IVF trade —
   // but whatever IS returned must be well-formed (contiguous ranks) and
   // value-correct (each pair's cosine equals the exact pair cosine).
