@@ -279,6 +279,30 @@ class PlanSpec extends SparkSpec {
       s"candidate top-k' not a partial+final WindowGroupLimit:\n$p")
   }
 
+  test("x_ivf_probe: DPP prunes the cluster-partitioned postings, query side broadcasts") {
+    val p = plan("x_ivf_probe")
+    // the persisted-index claim made executable: probing a cluster-
+    // partitioned parquet index must plan a dynamic-partition-pruning
+    // filter on the postings scan (only probed lists are read) with the
+    // broadcast query batch feeding it — and never a nested loop
+    assert(p.contains("dynamicpruning"),
+      s"postings scan lost its partition pruning:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x_funnel_deep: one data-sized exchange (the per-user group), histogram tiny") {
+    val p = plan("x_funnel_deep")
+    // events shuffle ONCE into per-user groups; everything after the
+    // kernel is reach-histogram-sized. The exchanges over the raw event
+    // table must number exactly one (hashpartitioning on the user key).
+    val exchanges = "Exchange hashpartitioning\\(([^,]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.count(_.startsWith("__u")) == 1,
+      s"expected exactly one user-keyed exchange, got $exchanges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("x_perplexity: hash-keyed partial aggs; the only broadcast is the 1-row total") {
     val p = plan("x_perplexity")
     // token instances must collapse map-side (partial HashAggregate)
