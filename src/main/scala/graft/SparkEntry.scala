@@ -858,6 +858,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Window-level audio containment near-dup — the video shared-scene
+    // discipline on the sample stream: planted re-encodes perturb only
+    // sample 0 (first two bytes), so every other window's fingerprint
+    // survives byte-identically and the signature equi-join recalls the
+    // pair; whole chain mirrored in DuckDB.
+    "x_audio_windows" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("text").isNotNull)
+      val planted = base
+        .where(col("doc_id") % 13 === 0 && length(col("text")) >= 200)
+        .select((col("doc_id") + 70000000L).as("doc_id"),
+          concat(lit("~!"), expr("substring(text, 3)")).as("text"))
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        base.unionByName(planted)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
+        "doc_id", "blob", "audio", "pcm16")
+      graft.multimodal.Multimodal.audioNearDupByWindows(media,
+          windowSamples = 32, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Snapshot delta audit: the %3==0 slice vs a derived "today" with
     // removals (%30), edits (%21, ' v2' appended) and arrivals (%33,
     // shifted ids) — only the delta comes back, fingerprint-compared.
@@ -1904,6 +1925,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Incremental index maintenance: the quantizer trains on the OLD
+    // snapshot only (vec_id % 3 ≠ 1), the arrival batch files into the
+    // FROZEN centroids with one map pass (ivfIndexAppend), and the new
+    // postings APPEND to the stored cluster-partitioned parquet — the
+    // old index never moves, the batch never trains. The probe then
+    // reads the grown index; the oracle retrains on the old slice but
+    // assigns EVERYTHING, replaying exactly what the engine persisted.
+    "x_ivf_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val old = e.where(col("vec_id") % 3 =!= 1)
+      val fresh = e.where(col("vec_id") % 3 === 1)
+      val (cents, post) = Similarity.ivfIndex(old, "vec_id", "embedding",
+        nCentroids = 8, rounds = 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+      cents.write.parquet(s"$tmp/centroids")
+      post.write.partitionBy("cluster").parquet(s"$tmp/postings")
+      Similarity.ivfIndexAppend(s.read.parquet(s"$tmp/centroids"), fresh,
+          "vec_id", "embedding")
+        .write.mode("append").partitionBy("cluster").parquet(s"$tmp/postings")
+      val queries = e.where(col("vec_id") % 125 === 0)
+      Similarity.ivfProbeIndex(queries, "vec_id", "embedding",
+          s.read.parquet(s"$tmp/centroids"), s.read.parquet(s"$tmp/postings"),
+          k = 5, nProbe = 3, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // Blocked batch kNN join — knnJoin when the query side does NOT
     // broadcast (self-kNN-graph shape: queries ⊂ corpus): candidate
     // generation is the coarse-bucket hash EQUI-join (never a broadcast
@@ -2431,11 +2478,17 @@ object SparkEntry {
        | SELECT c2.piece, c2.cnt FROM ucin2 c2
        | JOIN uchars ch ON ch.piece = c2.piece)""".stripMargin
 
-  private def kmeansRoundCte(r: Int, prev: String): String =
+  /** @param members CTE naming the TRAINING membership (vec_id set) the
+    *   round aggregates over — "vv" for train-on-everything; a filtered
+    *   subset for the incremental-index oracle (train on the old
+    *   snapshot, assign everything).
+    */
+  private def kmeansRoundCte(r: Int, prev: String,
+                             members: String = "vv"): String =
     s"""d$r AS (
        | SELECT e.vec_id, c.c,
        |  CAST(SUM(CAST(e.x * c.w AS DECIMAL(30,15))) AS DOUBLE) AS dot
-       | FROM e JOIN vv USING (vec_id) JOIN $prev c ON c.pos = e.pos
+       | FROM e JOIN $members USING (vec_id) JOIN $prev c ON c.pos = e.pos
        | GROUP BY 1, 2),
        |a$r AS (
        | SELECT vec_id, c FROM (
@@ -2502,6 +2555,47 @@ object SparkEntry {
        | SELECT afin.vec_id, afin.c AS cluster,
        |  ROUND(afin.dot / SQRT(n.n2 * cn.n2c), 9) AS cos_to_centroid
        | FROM afin JOIN n ON n.vec_id = afin.vec_id JOIN cn ON cn.c = afin.c)""".stripMargin
+
+  /** The incremental-index chain: k-means TRAINS on the old snapshot
+    * only (`vtrain` = vec_id % 3 ≠ 1) but the final assignment covers
+    * EVERY vector — exactly the state of a stored index built on the old
+    * slice and then appended to with the arrivals under the frozen
+    * centroids. Ends in kassign(vec_id, cluster) over the full corpus
+    * plus the c2/cn/n CTEs the probe tail scores with.
+    */
+  private val ivfAppendCte: String =
+    s"""v AS (SELECT vec_id, embedding FROM embeddings
+       |      WHERE embedding IS NOT NULL),
+       |e0 AS (
+       | SELECT vec_id,
+       |  unnest(list_transform(range(1, len(embedding) + 1),
+       |    i -> {'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+       | FROM v),
+       |e AS (SELECT vec_id, CAST(u.pos AS INT) AS pos, u.x AS x FROM e0),
+       |n AS (
+       | SELECT vec_id,
+       |  CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS n2
+       | FROM e GROUP BY 1),
+       |vv AS (SELECT vec_id FROM n WHERE n2 > 0),
+       |vtrain AS (SELECT vec_id FROM vv WHERE vec_id % 3 <> 1),
+       |sid AS (
+       | SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS c
+       | FROM vtrain ORDER BY vec_id LIMIT 8),
+       |c0 AS (
+       | SELECT s.c, e.pos, ROUND(e.x / SQRT(n.n2), 9) AS w
+       | FROM sid s JOIN e ON e.vec_id = s.vec_id JOIN n ON n.vec_id = s.vec_id),
+       |${kmeansRoundCte(1, "c0", "vtrain")},
+       |${kmeansRoundCte(2, "c1", "vtrain")},
+       |dfin AS (
+       | SELECT e.vec_id, c.c,
+       |  CAST(SUM(CAST(e.x * c.w AS DECIMAL(30,15))) AS DOUBLE) AS dot
+       | FROM e JOIN vv USING (vec_id) JOIN c2 c ON c.pos = e.pos
+       | GROUP BY 1, 2),
+       |kassign AS (
+       | SELECT vec_id, c AS cluster FROM (
+       |  SELECT vec_id, c,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rk
+       |  FROM dfin) WHERE rk = 1)""".stripMargin
 
   /** The view→click→purchase funnel oracle — shared by x_funnel (k-join
     * engine form) and x_funnel_deep (one-shuffle kernel form): both
@@ -3553,6 +3647,48 @@ object SparkEntry {
          |FROM uwords u JOIN upc3 e ON e.w = u.word
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // The grown index replayed: train-on-old / assign-all (ivfAppendCte),
+    // then the same sub-exhaustive probe chain as x_ivf_probe — any
+    // divergence between the appended parquet state and a from-scratch
+    // frozen-centroid assignment flips rows.
+    "x_ivf_append" ->
+      s"""WITH $ivfAppendCte,
+         |qs AS (
+         | SELECT vec_id AS qid FROM embeddings WHERE vec_id % 125 = 0),
+         |qd AS (
+         | SELECT q.qid, c.c,
+         |  CAST(SUM(CAST(e.x * c.w AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         | FROM qs q JOIN vv ON vv.vec_id = q.qid
+         |  JOIN e ON e.vec_id = q.qid JOIN c2 c ON c.pos = e.pos
+         | GROUP BY 1, 2),
+         |pr AS (
+         | SELECT qid, c FROM (
+         |  SELECT qid, c,
+         |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, c) AS rk
+         |  FROM qd) WHERE rk <= 3),
+         |cand AS (
+         | SELECT p.qid, a.vec_id
+         | FROM pr p JOIN kassign a ON a.cluster = p.c
+         | WHERE a.vec_id <> p.qid),
+         |pd AS (
+         | SELECT cd.qid, cd.vec_id,
+         |  CAST(SUM(CAST(eq.x * ec.x AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         | FROM cand cd
+         |  JOIN e eq ON eq.vec_id = cd.qid
+         |  JOIN e ec ON ec.vec_id = cd.vec_id AND ec.pos = eq.pos
+         | GROUP BY 1, 2)
+         |SELECT qid AS query_id, vec_id AS neighbor_id, cos, rank FROM (
+         | SELECT qid, vec_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         | FROM (
+         |  SELECT pd.qid, pd.vec_id,
+         |   ROUND(pd.dot / SQRT(nc.n2 * nq.n2), 9) AS cos
+         |  FROM pd JOIN n nq ON nq.vec_id = pd.qid
+         |   JOIN n nc ON nc.vec_id = pd.vec_id))
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     // The audio chain mirrored end-to-end over the (ASCII) text bytes:
     // 16-bit LE samples from byte pairs, odd-weighted stripe sums in
     // floor-mod 65536 (DuckDB's % truncates, hence the +65536 fold),
@@ -3598,6 +3734,46 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
         | FROM cand)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Per-window sample chain mirrored: window w = k DIV 32, in-window
+    // band c = k MOD 32 (single-sample stripes, weight 1), the same
+    // floor-mod-65536 ×131 spread and mid-range bit, DISTINCT per-row
+    // signatures, equi-join containment count ≥ 2.
+    "x_audio_windows" ->
+      """WITH docs AS (
+        | SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        | UNION ALL
+        | SELECT doc_id + 70000000, '~!' || substr(text, 3) FROM documents
+        | WHERE text IS NOT NULL AND doc_id % 13 = 0 AND length(text) >= 200),
+        |sm AS (SELECT doc_id, unnest(range(0, length(text) // 2)) AS k, text
+        |       FROM docs),
+        |ss AS (SELECT doc_id, k,
+        |        CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+        |       FROM (SELECT doc_id, k,
+        |         ascii(substr(text, CAST(2 * k + 1 AS INTEGER), 1))
+        |         + 256 * ascii(substr(text, CAST(2 * k + 2 AS INTEGER), 1)) AS raw
+        |        FROM sm)),
+        |gs AS (SELECT doc_id, k // 32 AS w, k % 32 AS c,
+        |        ((((s % 65536) + 65536) % 65536) * 131) % 65536 AS b
+        |       FROM ss),
+        |wr AS (SELECT doc_id,
+        |        unnest(range(0, ((length(text) // 2) + 31) // 32)) AS w
+        |       FROM docs),
+        |allc AS (SELECT r.doc_id, r.w, t.c FROM wr r
+        |         CROSS JOIN (SELECT unnest(range(0, 64)) AS c) t),
+        |grid AS (SELECT a.doc_id, a.w, a.c, COALESCE(g.b, 0) AS b
+        |         FROM allc a LEFT JOIN gs g
+        |         ON g.doc_id = a.doc_id AND g.w = a.w AND g.c = a.c),
+        |bits AS (SELECT doc_id, w,
+        |  string_agg(CASE WHEN b > 32767 THEN '1' ELSE '0' END, '' ORDER BY c) AS bs
+        | FROM grid GROUP BY 1, 2),
+        |sig AS (SELECT DISTINCT doc_id, bs FROM bits),
+        |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  COUNT(*) AS shared_windows
+        | FROM sig x JOIN sig y ON x.bs = y.bs AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_windows FROM pairs WHERE shared_windows >= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Text EQUALITY stands in for the engine's 128-bit fingerprint

@@ -263,6 +263,37 @@ object Similarity {
     (centroids, postings)
   }
 
+  /** Incremental [[ivfIndex]] maintenance: file NEW vectors into an
+    * existing snapshot's FROZEN quantizer — no retraining, no contact
+    * with the stored postings. One map pass over the arrival batch (the
+    * same exact-decimal assignment as the build, so an appended vector
+    * lands in exactly the cluster a from-scratch rebuild with these
+    * centroids would give it); append the returned rows to the stored
+    * postings (cluster-partitioned parquet appends touch only the
+    * arrivals' partitions). The incremental-dedup convention
+    * (fingerprintIndex → dedupAgainstIndex) applied to index
+    * maintenance: yesterday's 100 TB index never moves, today's batch
+    * never trains.
+    *
+    * Periodically rebuild when drift makes the frozen centroids a poor
+    * quantizer for new arrivals (probe-limited recall decays, not
+    * correctness — assignments stay exact against whatever the
+    * centroids ARE).
+    */
+  def ivfIndexAppend(centroids: DataFrame, df: DataFrame,
+                     idCol: String, vecCol: String): DataFrame = {
+    val cents: Array[Array[Double]] = centroids
+      .select(col("cluster").cast("int"), col("centroid"))
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, "empty centroid table")
+    val v = col(vecCol)
+    df.where(v.isNotNull && norm2Exact(v) > 0.0)
+      .select(col(idCol).cast("long").as("id"),
+        kmeansClusterExpr(v, cents).as("cluster"),
+        v.as("vec"), norm2Exact(v).as("n2"))
+  }
+
   /** Probe an [[ivfIndex]] snapshot with a query batch: top-k indexed
     * vectors per query by exact cosine, scored ONLY inside each query's
     * `nProbe` nearest inverted lists — the IVF recall/cost trade

@@ -496,6 +496,61 @@ object Multimodal {
       .where(col("shared_frames") >= minShared)
   }
 
+  /** Per-window banded audio fingerprints — [[videoFrameGrids]]' shape
+    * on the sample stream: the PCM samples split into `windowSamples`-
+    * sample windows (last partial included, empty blobs yield zero
+    * windows) and each window gets its [[AudioStub.bandFingerprint]]
+    * bit string. Window locality mirrors real audio: damage to one
+    * region damages its window and no other. Output (media_id, window,
+    * bits); blobs never leave the map task.
+    */
+  def audioWindowFingerprints(media: DataFrame,
+                              windowSamples: Int = 32): DataFrame = {
+    require(windowSamples >= 1, s"windowSamples must be positive: $windowSamples")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("window", LongType, nullable = false),
+      StructField("bits", StringType, nullable = false)))
+    media.select("media_id", "data").where(col("data").isNotNull)
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val samples = AudioStub.pcmSamples(r.getAs[Array[Byte]]("data"))
+          val id = r.getLong(0)
+          val nW = (samples.length + windowSamples - 1) / windowSamples
+          (0 until nW).iterator.map { w =>
+            val slice = java.util.Arrays.copyOfRange(samples,
+              w * windowSamples,
+              math.min((w + 1) * windowSamples, samples.length))
+            val bands = AudioStub.bandFingerprint(slice, 64)
+            Row(id, w.toLong,
+              bands.map(b => if (b > 32767) '1' else '0').mkString)
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Audio near-dup by shared window signatures — the
+    * [[videoNearDupByFrames]] containment discipline on the sample
+    * stream: two audio rows pair when they share ≥ `minShared` DISTINCT
+    * window fingerprints (trimmed/partially corrupted copies keep most
+    * windows byte-identical under the byte-local framing). Candidates =
+    * signature EQUI-join (inverted-index shape), per-row signatures
+    * dedup before the join; prune high-df signatures at crawl scale
+    * (the removeFrequentUnits lever).
+    */
+  def audioNearDupByWindows(media: DataFrame, windowSamples: Int = 32,
+                            minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive: $minShared")
+    val sig = audioWindowFingerprints(media, windowSamples)
+      .select(col("media_id"), col("bits")).distinct()
+    sig.as("x").join(sig.as("y"),
+        col("x.bits") === col("y.bits") &&
+          col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .where(col("shared_windows") >= minShared)
+  }
+
   /** Frame sampling for video rows: one output row per sampled offset.
     * Media with null or non-positive duration (images, malformed rows)
     * produce ZERO frames — not a phantom frame at offset 0.

@@ -777,6 +777,35 @@ class FunctionsSpec extends SparkSpec {
     out.foreach { case (q, n, c, _) => assert(c == cosx(fv(q), fv(n))) }
   }
 
+  // Incremental maintenance: appending arrivals under the frozen
+  // quantizer must equal a from-scratch filing of the combined corpus
+  // against the SAME centroids — and never touch the old postings.
+  test("ivfIndexAppend: append ≡ rebuild under frozen centroids") {
+    import org.apache.spark.sql.types._
+    val dim = 8
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(d => (((seed * 31 + d * 17) % 13) - 6).toFloat / 7f)
+    val schema = StructType(Seq(StructField("vid", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    val all = (0L until 40L).map(i => Row(i, vec(i).toSeq))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(all, 4), schema)
+    val old = df.where(col("vid") < 25)
+    val fresh = df.where(col("vid") >= 25)
+    val (cents, oldPost) = Similarity.ivfIndex(old, "vid", "v",
+      nCentroids = 4, rounds = 1)
+    val appended = Similarity.ivfIndexAppend(cents, fresh, "vid", "v")
+    def filed(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // appended rows carry only the arrivals
+    assert(filed(appended).keySet == (25L until 40L).toSet)
+    // and each files exactly where the frozen quantizer would put it in
+    // a from-scratch pass over everything
+    val rebuilt = filed(Similarity.ivfIndexAppend(cents, df, "vid", "v"))
+    val combined = filed(oldPost) ++ filed(appended)
+    assert(combined == rebuilt)
+  }
+
   // PQ-compressed persisted index: no raw vectors in the postings; in
   // the lossless regime (codebook ⊇ every distinct subvector, no Lloyd
   // noise) ADC reconstruction is exact, so exhaustive probing must

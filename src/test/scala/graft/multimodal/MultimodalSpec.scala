@@ -154,6 +154,28 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("audioNearDupByWindows: trimmed-copy recall, window locality, partial last window") {
+    val base = Array.tabulate(300)(i => ((i * 37) % 251).toByte) // 150 samples → 5 windows
+    val damaged = base.clone(); damaged(0) = (damaged(0) ^ 0x55).toByte // sample 0 → window 0 only
+    val far = Array.tabulate(300)(i => ((i * 91 + 7) % 249).toByte)
+    val df = spark.createDataFrame(Seq(
+      (1L, base), (2L, damaged), (3L, far))).toDF("media_id", "blob")
+    val m = Multimodal.asMediaTable(df, "media_id", "blob", "audio", "pcm16")
+    // window fingerprints: 5 windows each (last partial: 150 = 4×32 + 22)
+    val grids = Multimodal.audioWindowFingerprints(m, windowSamples = 32)
+      .collect().groupBy(_.getLong(0))
+    assert(grids(1L).length == 5 && grids(1L).forall(_.getString(2).length == 64))
+    // damage to sample 0 flips only window 0's signature
+    val b1 = grids(1L).map(r => r.getLong(1) -> r.getString(2)).toMap
+    val b2 = grids(2L).map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert((1L to 4L).forall(w => b1(w) == b2(w)) && b1(0L) != b2(0L))
+    val pairs = Multimodal.audioNearDupByWindows(m, windowSamples = 32,
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 2L)).exists(_ >= 4L), s"damaged copy must pair: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("sampleFrames: one row per sampled offset") {
     val withDur = media.withColumn("meta",
       struct(col("meta.media_type"), col("meta.format"), col("meta.width"),
