@@ -1746,8 +1746,10 @@ object Corpus {
     * with log probabilities, trained by Viterbi-EM and pruned to size.
     *
     *  - Seed: every substring of length ≤ `maxPieceLen` of the word
-    *    vocabulary, occurrence-weighted (single characters always
-    *    included — they guarantee coverage).
+    *    vocabulary, occurrence-weighted, CAPPED at the `maxSeedPieces`
+    *    most frequent (the SentencePiece seed-prune — the one driver
+    *    collect here that is not inherently bounded); single characters
+    *    always included — they guarantee coverage.
     *  - EM round (×`rounds`): log probs from the current counts
     *    (`round₉(ln c − ln Σc)` — short decimal literals both engines
     *    reproduce), then a Viterbi E-step: every word re-segments under
@@ -1771,8 +1773,10 @@ object Corpus {
     */
   def unigramTrain(df: DataFrame, textCol: String, vocabSize: Int,
                    rounds: Int = 2, maxPieceLen: Int = 4,
-                   maxWordLen: Int = 12): DataFrame = {
+                   maxWordLen: Int = 12,
+                   maxSeedPieces: Int = 1 << 20): DataFrame = {
     require(vocabSize >= 1 && rounds >= 0 && maxPieceLen >= 1 && maxWordLen >= 1)
+    require(maxSeedPieces >= 1)
     val spark = df.sparkSession
     import spark.implicits._
     val words = df
@@ -1784,10 +1788,27 @@ object Corpus {
       s"flatten(transform(sequence(1, char_length(__w)), i -> " +
         s"transform(sequence(i, least(char_length(__w), i + ${maxPieceLen - 1})), " +
         s"j -> substring(__w, i, j - i + 1))))")
-    var cnts: Map[String, Long] = words
+    val seedAll = words
       .select(col("__wc"), explode(seedPieces).as("__p"))
       .groupBy("__p").agg(sum(col("__wc")).as("__c"))
+    // The seed vocabulary is the one piece of driver state that is NOT
+    // inherently bounded (all substrings ≤ maxPieceLen of the word
+    // vocabulary — fine for Heaps-law word counts, ruinous for 10⁷+
+    // distinct words), so it is CAPPED engine-side before the collect:
+    // top maxSeedPieces by (count desc, piece asc) — the SentencePiece
+    // seed-prune. The bare rank-≤-k filter right above its window keeps
+    // the plan a WindowGroupLimit top-k (partial per-partition heaps),
+    // never a global sort; single characters (coverage) ride a separate
+    // alphabet-sized collect and merge driver-side.
+    val seedTop = seedAll
+      .withColumn("__rk", row_number().over(Window
+        .orderBy(col("__c").desc, col("__p").asc)))
+      .where(col("__rk") <= maxSeedPieces)
+      .select(col("__p"), col("__c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seedChars = seedAll.where(length(col("__p")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var cnts: Map[String, Long] = seedChars ++ seedTop
     val chars = cnts.keySet.filter(p => p.codePointCount(0, p.length) == 1)
     def logps(c: Map[String, Long]): (Seq[String], Seq[Double]) = {
       val lnTotal = StrictMath.log(c.values.sum.toDouble)

@@ -57,6 +57,16 @@ class UnigramSpec extends SparkSpec {
       assert(math.abs(lp - (math.log(c / total))) < 1e-8) }
   }
 
+  test("unigramTrain: maxSeedPieces caps the seed collect, chars still covered") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, "abab cdcd")).toDF("doc_id", "text")
+    // a cap far below the full substring count: training still works and
+    // every character still survives (coverage rides its own collect)
+    val out = Corpus.unigramTrain(docs, "text", vocabSize = 5, rounds = 1,
+        maxSeedPieces = 3)
+      .collect().map(r => r.getString(0)).toSet
+    assert(Set("a", "b", "c", "d").subsetOf(out))
+  }
+
   test("unigramEncode: pieces concatenate back to the words, doc order kept") {
     val docs = Seq((1L, "abab cd"), (2L, "abab abab")).toDF("doc_id", "text")
     val vocab = Corpus.unigramTrain(docs, "text", vocabSize = 8, rounds = 2)
