@@ -298,6 +298,49 @@ object MicroBatch {
       }
   }
 
+  /** Streaming cohort retention — the incremental counterpart of
+    * [[graft.functions.Events.retention]]: events `(user, epochUs)` key
+    * by user; state = (cohort day = the user's FIRST observed day,
+    * emitted day-offsets). Each batch emits one `(user, cohort_day,
+    * day_offset)` row per NEWLY observed offset — exactly once — so the
+    * (cohort_day, day_offset) → n_users table is a trivial idempotent
+    * rollup of the emitted stream (a foreachBatch upsert; a chained
+    * in-stream aggregation after flatMapGroupsWithState is a Spark
+    * restriction). Grouping the emitted rows equals the batch
+    * [[graft.functions.Events.retention]] on in-order epochs; events
+    * for days BEFORE the known cohort day (out-of-order arrivals) are
+    * dropped — the watermark analog, the same in-order contract as
+    * [[streamingFunnel]]. State per user = 1 + #active-days longs —
+    * bounded by stream duration in days, never by event count.
+    */
+  def streamingRetention(events: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    val usPerDay = 86400000000L
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Long, Seq[Long])] =
+      org.apache.spark.sql.Encoders.product[(Long, Seq[Long])]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)]
+    events.groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (u: Long, vals: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Seq[Long])]) =>
+          val days = vals.map(v => Math.floorDiv(v._2, usPerDay))
+            .toSeq.distinct.sorted
+          if (days.isEmpty) Iterator.empty
+          else {
+            var (first, emitted) =
+              state.getOption.getOrElse((Long.MaxValue, Seq.empty[Long]))
+            if (first == Long.MaxValue) first = days.head
+            val offs = days.map(_ - first)
+              .filter(o => o >= 0 && !emitted.contains(o))
+            state.update((first, emitted ++ offs))
+            offs.iterator.map(o => (u, first, o))
+          }
+      }
+  }
+
   /** Exactly-once parquet batch sink for `foreachBatch`.
     *
     * `foreachBatch` gives AT-LEAST-once: after a crash between "batch

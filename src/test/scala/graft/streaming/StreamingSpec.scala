@@ -212,6 +212,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(("click", 6L)) == ((10L, true)))
   }
 
+  test("streamingRetention: emitted (user, cohort, offset) rows roll up to the batch retention") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day = 86400000000L
+    // user 1: active day 100 (twice), 102; user 2: day 101 — mirrors the
+    // EventsSpec retention fixture; same-day repeats must emit once
+    val rows: Seq[(Long, Long)] = Seq(
+      (1L, 100L * day + 5L), (1L, 100L * day + 9L),
+      (1L, 102L * day + 1L), (2L, 101L * day + 2L))
+    val input = MemoryStream[(Long, Long)]
+    val q = MicroBatch.streamingRetention(input.toDS())
+      .writeStream.format("memory").queryName("retention_inc")
+      .outputMode("update").start()
+    val (b1, b2) = rows.sortBy(_._2).splitAt(2)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    // re-delivering an already-emitted (user, day) must emit nothing new
+    input.addData((1L, 100L * day + 77L)); q.processAllAvailable()
+    val emitted = spark.table("retention_inc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    assert(emitted.length == emitted.distinct.length, "offsets must emit exactly once")
+    // driver-side rollup of the increments ≡ batch retention
+    val rolled = emitted.groupBy(t => (t._2, t._3))
+      .map { case (k, vs) => k -> vs.map(_._1).distinct.length.toLong }
+    val batchDf = spark.createDataFrame(rows).toDF("user_id", "us")
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"))
+    val batch = graft.functions.Events.retention(batchDf, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rolled == batch, s"rollup $rolled must equal batch $batch")
+  }
+
   test("stream-stream event-time join: clicks within lag of impressions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
