@@ -86,6 +86,20 @@ object GraftSession {
     // chain in rank order to encode against a trained merge table.
     reg.createOrReplaceTempFunction("bpe_merge_pair",
       exprs => graft.plans.BpeMergePair(exprs(0), exprString(exprs(1)), exprString(exprs(2))), "scala_udf")
+    // funnel_reach(events, array(steps...), windowUs): the deep-funnel
+    // per-user kernel from SQL text — events as array<struct<us, t>>,
+    // steps as a foldable string-array literal.
+    reg.createOrReplaceTempFunction("funnel_reach",
+      exprs => graft.plans.FunnelReach(exprs(0),
+        exprStringArray(exprs(1)).toIndexedSeq, exprLong(exprs(2))), "scala_udf")
+    // unigram_viterbi(word, array(pieces...), array(logps...), maxPieceLen):
+    // the unigram-LM segmentation kernel from SQL text — vocabulary rides
+    // as two parallel foldable array literals (plan-time state in the DSL
+    // path too).
+    reg.createOrReplaceTempFunction("unigram_viterbi",
+      exprs => graft.plans.UnigramViterbi(exprs(0),
+        exprStringArray(exprs(1)).toIndexedSeq,
+        exprDoubleArray(exprs(2)).toIndexedSeq, exprInt(exprs(3))), "scala_udf")
     // argmax_dot(vec, flat_centroids, dim): the IVF/PQ assignment kernel
     // from SQL text — centroids as a foldable array literal (they are
     // plan-time literals in the DSL path too, so SQL loses nothing).
@@ -185,6 +199,29 @@ object GraftSession {
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(s"expected int literal, got $other")
     }
+
+  private def exprLong(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+    e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"expected long literal, got $other")
+    }
+
+  /** Evaluate a foldable string-array argument (SQL `array('a','b')`). */
+  private def exprStringArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Array[String] = {
+    require(e.foldable, s"expected a foldable array literal, got $e")
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType).map {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"expected string array element, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"expected array literal, got $other")
+    }
+  }
 
   /** Evaluate a foldable numeric-array argument (SQL `array(…)` literal)
     * to the flat centroid table [[graft.plans.ArgMaxDot]] expects.

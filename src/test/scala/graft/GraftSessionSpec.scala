@@ -105,6 +105,21 @@ class GraftSessionSpec extends SparkSpec {
     assert(f.filterExpr(col("cnt") > 0).df.count() > 0)
   }
   // VERDICT r4 item 9: the IVF assignment kernel must be SQL-expressible.
+  test("funnel_reach and unigram_viterbi callable from SQL") {
+    GraftSession.registerFunctions(spark)
+    val row = spark.sql(
+      """SELECT
+        |  funnel_reach(array(struct(5L, 'view'), struct(5L, 'click')),
+        |    array('view', 'click'), 100L) AS reach,
+        |  unigram_viterbi('abc',
+        |    array('ab', 'c', 'a', 'b'),
+        |    array(CAST(-0.5 AS DOUBLE), CAST(-0.6 AS DOUBLE),
+        |      CAST(-2.0 AS DOUBLE), CAST(-2.0 AS DOUBLE)), 4) AS pieces
+        |""".stripMargin).collect().head
+    assert(row.getInt(0) == 2)
+    assert(row.getSeq[String](1) == Seq("ab", "c"))
+  }
+
   test("argmax_dot callable from SQL with literal centroids") {
     GraftSession.registerFunctions(spark)
     // centroids (0,1) and (1,0), flattened; query vector (1, 0.1)
