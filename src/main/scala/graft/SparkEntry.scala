@@ -3710,13 +3710,15 @@ object SparkEntry {
         |        FROM sm)),
         |bv AS (SELECT doc_id, k % 64 AS c,
         |        s * (2 * (k // 64) + 1) AS v FROM ss),
-        |gsum AS (SELECT doc_id, c,
-        |          ((((SUM(v) % 65536) + 65536) % 65536) * 131) % 65536 AS b
-        |         FROM bv GROUP BY 1, 2),
+        |gsum AS (SELECT doc_id, c, SUM(v) AS sv FROM bv GROUP BY 1, 2),
+        |dn AS (SELECT doc_id, length(text) // 2 AS ns FROM docs),
         |allc AS (SELECT d.doc_id, t.c FROM docs d
         |         CROSS JOIN (SELECT unnest(range(0, 64)) AS c) t),
-        |grid AS (SELECT a.doc_id, a.c, COALESCE(g.b, 0) AS b
-        |         FROM allc a LEFT JOIN gsum g
+        |grid AS (SELECT a.doc_id, a.c,
+        |          ((((COALESCE(g.sv, 0) + d.ns * (a.c + 1)) % 65536)
+        |            + 65536) % 65536 * 131) % 65536 AS b
+        |         FROM allc a JOIN dn d ON d.doc_id = a.doc_id
+        |         LEFT JOIN gsum g
         |         ON g.doc_id = a.doc_id AND g.c = a.c),
         |bits AS (SELECT doc_id,
         |  string_agg(CASE WHEN b > 32767 THEN '1' ELSE '0' END, '' ORDER BY c) AS bs
@@ -3754,15 +3756,17 @@ object SparkEntry {
         |         ascii(substr(text, CAST(2 * k + 1 AS INTEGER), 1))
         |         + 256 * ascii(substr(text, CAST(2 * k + 2 AS INTEGER), 1)) AS raw
         |        FROM sm)),
-        |gs AS (SELECT doc_id, k // 32 AS w, k % 32 AS c,
-        |        ((((s % 65536) + 65536) % 65536) * 131) % 65536 AS b
-        |       FROM ss),
-        |wr AS (SELECT doc_id,
-        |        unnest(range(0, ((length(text) // 2) + 31) // 32)) AS w
-        |       FROM docs),
-        |allc AS (SELECT r.doc_id, r.w, t.c FROM wr r
+        |gs AS (SELECT doc_id, k // 32 AS w, k % 32 AS c, s AS sv FROM ss),
+        |wr AS (SELECT doc_id, w,
+        |        LEAST(32, (length(text) // 2) - 32 * w) AS wn
+        |       FROM (SELECT doc_id, text,
+        |         unnest(range(0, ((length(text) // 2) + 31) // 32)) AS w
+        |        FROM docs)),
+        |allc AS (SELECT r.doc_id, r.w, r.wn, t.c FROM wr r
         |         CROSS JOIN (SELECT unnest(range(0, 64)) AS c) t),
-        |grid AS (SELECT a.doc_id, a.w, a.c, COALESCE(g.b, 0) AS b
+        |grid AS (SELECT a.doc_id, a.w, a.c,
+        |          ((((COALESCE(g.sv, 0) + a.wn * (a.c + 1)) % 65536)
+        |            + 65536) % 65536 * 131) % 65536 AS b
         |         FROM allc a LEFT JOIN gs g
         |         ON g.doc_id = a.doc_id AND g.w = a.w AND g.c = a.c),
         |bits AS (SELECT doc_id, w,

@@ -243,11 +243,22 @@ object Multimodal {
     /** `cells`-band fingerprint over the sample stream — the 16-bit
       * analog of [[StubCodec.lumaGrid]]: band c accumulates the odd-
       * weighted samples of its stripe (weight 2t+1 for the t-th sample
-      * of the stripe) in floor-mod 65536, then spreads by ×131 mod
-      * 65536. floorMod, not `%`: sample sums go negative and the band
-      * value must stay in [0, 65536) for the threshold bit to mean
-      * anything (and for the SQL mirror `((x % 65536) + 65536) % 65536`
-      * to agree).
+      * of the stripe) PLUS a length-keyed offset `n·(c+1)` (n = sample
+      * count), in floor-mod 65536, then spreads by ×131 mod 65536.
+      * floorMod, not `%`: sample sums go negative and the band value
+      * must stay in [0, 65536) for the threshold bit to mean anything
+      * (and for the SQL mirror `((x % 65536) + 65536) % 65536` to
+      * agree).
+      *
+      * The length term is the bucket-explosion guard: without it every
+      * stream shorter than `cells` samples leaves its tail bands at an
+      * identical 0, and the banded near-dup join inherits one shared
+      * all-zero band key per short-doc cohort (measured at sf0.1: a
+      * 524-doc bucket, 156k candidate pairs — 35× the image path).
+      * Mixing n into every band partitions those cohorts by length
+      * while keeping byte-locality intact: a same-length perturbation
+      * shifts identical offsets on both sides, so one flipped sample
+      * still moves exactly one band.
       */
     def bandFingerprint(samples: Array[Int], cells: Int): Array[Int] = {
       val acc = new Array[Long](cells)
@@ -257,11 +268,13 @@ object Multimodal {
         acc(c) += samples(i).toLong * (2L * (i / cells) + 1L)
         i += 1
       }
+      val n = samples.length.toLong
       val out = new Array[Int](cells)
       var c = 0
       while (c < cells) {
         out(c) = java.lang.Math.floorMod(
-          java.lang.Math.floorMod(acc(c), 65536L) * 131L, 65536L).toInt
+          java.lang.Math.floorMod(acc(c) + n * (c + 1L), 65536L) * 131L,
+          65536L).toInt
         c += 1
       }
       out
