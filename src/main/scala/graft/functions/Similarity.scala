@@ -322,10 +322,18 @@ object Similarity {
     *         (cos desc, neighbor_id); self-pairs dropped when
     *         `excludeSelf`
     */
+  /** @param broadcastQueries true (default) hints the query side into
+    *   the cluster join — right for the small-arrival-batch regime
+    *   (and what makes the partition-pruning subquery fire on a
+    *   cluster-partitioned index). Pass false when the probe batch is
+    *   itself corpus-sized: the join falls back to a plain hash
+    *   equi-join on `cluster` and AQE picks the strategy.
+    */
   def ivfProbeIndex(queries: DataFrame, qIdCol: String, qVecCol: String,
                     centroids: DataFrame, postings: DataFrame,
                     k: Int, nProbe: Int,
-                    excludeSelf: Boolean = false): DataFrame = {
+                    excludeSelf: Boolean = false,
+                    broadcastQueries: Boolean = true): DataFrame = {
     require(k >= 1 && nProbe >= 1)
     val cents: Array[Array[Double]] = centroids
       .select(col("cluster").cast("int"), col("centroid"))
@@ -342,10 +350,11 @@ object Similarity {
       struct((-dotExact(qv, centArr(i))).as("negd"), lit(i).as("c"))): _*)
     val probes = transform(slice(array_sort(scoredCents), 1, np),
       p => p.getField("c"))
-    val q = queries.where(qv.isNotNull && norm2Exact(qv) > 0.0)
+    val q0 = queries.where(qv.isNotNull && norm2Exact(qv) > 0.0)
       .select(col(qIdCol).cast("long").as("__qid"), qv.as("__qv"),
         norm2Exact(qv).as("__qn2"), explode(probes).as("cluster"))
-    val scored0 = postings.join(broadcast(q), "cluster")
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val scored0 = postings.join(q, "cluster")
     val scored =
       if (excludeSelf) scored0.where(col("id") =!= col("__qid")) else scored0
     // exact cosine with the per-side norms hoisted: n2 is stored in the
@@ -436,7 +445,8 @@ object Similarity {
   def ivfPqProbeIndex(queries: DataFrame, qIdCol: String, qVecCol: String,
                       centroids: DataFrame, codebooks: DataFrame,
                       postings: DataFrame, k: Int, nProbe: Int,
-                      excludeSelf: Boolean = false): DataFrame = {
+                      excludeSelf: Boolean = false,
+                      broadcastQueries: Boolean = true): DataFrame = {
     require(k >= 1 && nProbe >= 1)
     val cents: Array[Array[Double]] = centroids
       .select(col("cluster").cast("int"), col("centroid"))
@@ -462,10 +472,12 @@ object Similarity {
     // ride as float literals so each term is one native dot
     def bookF(j: Int): Column = array(books(j).map(c =>
       array(c.map(x => lit(x.toFloat)): _*)): _*)
-    val q = queries.where(qv.isNotNull && norm2Exact(qv) > 0.0)
+    val q0 = queries.where(qv.isNotNull && norm2Exact(qv) > 0.0)
       .select(col(qIdCol).cast("long").as("__qid"), qv.as("__qv"),
         dotNative(qv, qv).as("__qn2"), explode(probes).as("cluster"))
-    val scored0 = postings.join(broadcast(q), "cluster")
+    // the broadcastQueries trade is [[ivfProbeIndex]]'s
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val scored0 = postings.join(q, "cluster")
     val scored =
       if (excludeSelf) scored0.where(col("id") =!= col("__qid")) else scored0
     val adcDot = (0 until m).map(j =>
