@@ -1251,6 +1251,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // HITS hubs/authorities over the same purchase graph — the other
+    // classic link fixpoint (customers = hubs, suppliers = authorities):
+    // 3 mutual-reinforcement rounds, DECIMAL contribution sums, L2
+    // normalizers as 1-row broadcasts, round-9 scores between
+    // half-rounds so the unrolled oracle matches bit-for-bit.
+    "x_hits" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.functions.Graph.hits(e, rounds = 3).orderBy("id")
+    }),
+
     // Z-order (Morton) codes — the clustering key behind
     // Sinks.zorderedParquet's multi-dimensional data skipping.
     "x_zorder" -> ((s, dir) =>
@@ -4801,6 +4815,53 @@ object SparkEntry {
     // fixed rounds unroll into 5 identical step CTEs. All float ops are
     // written double-explicit ((1.0 - 0.85) stays a double SUB — DuckDB
     // would otherwise fold it in exact DECIMAL, a different constant).
+    // Three HITS rounds unrolled: per half-round a DECIMAL contribution
+    // sum over the edge join, an exact-decimal L2 normalizer, and a
+    // round-9 normalized score consumed by the next half-round — every
+    // value a short decimal literal, so hubs AND authorities hash-match.
+    // CTEs MATERIALIZED (each h/a table feeds two consumers).
+    "x_hits" -> {
+      def round(i: Int) =
+        s"""araw$i AS MATERIALIZED (
+           | SELECT n.id, COALESCE(s.ar, CAST(0.0 AS DOUBLE)) AS ar
+           | FROM nodes n LEFT JOIN (
+           |  SELECT e.dst AS dst,
+           |   CAST(SUM(CAST(h.h AS DECIMAL(30,15))) AS DOUBLE) AS ar
+           |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst) s
+           | ON n.id = s.dst),
+           |an$i AS MATERIALIZED (
+           | SELECT CAST(SUM(CAST(ar * ar AS DECIMAL(30,15))) AS DOUBLE) AS s2
+           | FROM araw$i),
+           |a$i AS MATERIALIZED (
+           | SELECT id, CASE WHEN s2 > 0 THEN ROUND(ar / SQRT(s2), 9)
+           |   ELSE CAST(0.0 AS DOUBLE) END AS a
+           | FROM araw$i, an$i),
+           |hraw$i AS MATERIALIZED (
+           | SELECT n.id, COALESCE(s.hr, CAST(0.0 AS DOUBLE)) AS hr
+           | FROM nodes n LEFT JOIN (
+           |  SELECT e.src AS src,
+           |   CAST(SUM(CAST(a.a AS DECIMAL(30,15))) AS DOUBLE) AS hr
+           |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src) s
+           | ON n.id = s.src),
+           |hn$i AS MATERIALIZED (
+           | SELECT CAST(SUM(CAST(hr * hr AS DECIMAL(30,15))) AS DOUBLE) AS s2
+           | FROM hraw$i),
+           |h$i AS MATERIALIZED (
+           | SELECT id, CASE WHEN s2 > 0 THEN ROUND(hr / SQRT(s2), 9)
+           |   ELSE CAST(0.0 AS DOUBLE) END AS h
+           | FROM hraw$i, hn$i)""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         | SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS MATERIALIZED (
+         | SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT h3.id, h3.h AS hub, a3.a AS authority
+         |FROM h3 JOIN a3 ON a3.id = h3.id ORDER BY h3.id""".stripMargin
+    },
+
     "x_pagerank" -> {
       def step(i: Int) =
         s"""r$i AS (

@@ -173,6 +173,90 @@ object Graph {
     */
   private[functions] val PinnedLoopMinRows: Long = 4000000L
 
+  /** HITS hubs and authorities (Kleinberg 1999) over a directed edge
+    * list — the OTHER classic link-analysis fixpoint next to
+    * [[pageRank]], and the one curation reaches for on bipartite
+    * reference graphs (doc→cited-source: authorities = trusted sources,
+    * hubs = well-referenced survey docs; customer→supplier purchase
+    * graphs read the same way). Per round: `a(v) = Σ_{u→v} h(u)` then
+    * L2-normalize, `h(u) = Σ_{u→v} a(v)` then L2-normalize — mutual
+    * reinforcement, scores in [0, 1].
+    *
+    * Determinism (the [[pageRank]]/kmeans discipline): contribution
+    * sums accumulate in DECIMAL (order-free), the normalizer is one
+    * exact-decimal sum of double squares, each normalized score is two
+    * IEEE ops (divide, sqrt) rounded to 9 decimals BETWEEN half-rounds —
+    * so every round's inputs are short decimal literals any engine
+    * reproduces and the unrolled oracle hash-matches bit-for-bit.
+    *
+    * Scale shape: the edge table snapshots in TWO pinned layouts — one
+    * hash(src)+sorted for the authority half-round's merge join, one
+    * hash(dst)+sorted for the hub half-round — so neither half-round
+    * ever re-shuffles edges; the data-sized exchange per half-round is
+    * the contribution aggregation; normalizers are 1-row broadcasts;
+    * AQE is scoped off for the loop jobs ([[withLoopConf]]).
+    *
+    * @return (id, hub, authority) for every node, round-9 doubles;
+    *         an empty-normalizer round (edgeless graph) pins scores 0
+    */
+  def hits(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    def snap(df: DataFrame): DataFrame = snapFor(edges)(df)
+    val sel = edges.select(
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val eSrc = snap(sel.repartition(col("src")).sortWithinPartitions("src"))
+    val eDst = snap(sel.repartition(col("dst")).sortWithinPartitions("dst"))
+    val nodes = snap(
+      eSrc.select(col("src").as("id")).union(eSrc.select(col("dst").as("id")))
+        .distinct().repartition(col("id")).sortWithinPartitions("id"))
+    val dec = DecimalType(30, 15)
+    def normalized(full: DataFrame, rawCol: String, outCol: String): DataFrame = {
+      val s2 = full.agg(
+        sum((col(rawCol) * col(rawCol)).cast(dec)).cast("double").as("__s2"))
+      full.crossJoin(broadcast(s2))
+        .select(col("id"),
+          when(col("__s2") > 0.0,
+            round(col(rawCol) / sqrt(col("__s2")), 9))
+            .otherwise(lit(0.0)).as(outCol))
+    }
+    var hubs = nodes.withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    var lastH: DataFrame = null
+    var lastA: DataFrame = null
+    withLoopConf(edges.sparkSession) {
+      for (_ <- 1 to rounds) {
+        val aRaw = eSrc.join(hubs, eSrc("src") === hubs("id"))
+          .groupBy(eSrc("dst"))
+          .agg(sum(col("h").cast(dec)).cast("double").as("__ar"))
+        val aFull = nodes.join(aRaw, nodes("id") === aRaw("dst"), "left")
+          .select(col("id"), coalesce(col("__ar"), lit(0.0)).as("__ar"))
+        val a = snap(normalized(aFull, "__ar", "a")
+          .repartition(col("id")).sortWithinPartitions("id"))
+        if (lastA != null) lastA.unpersist(blocking = false)
+        lastA = a
+        auth = a
+        val hRaw = eDst.join(auth, eDst("dst") === auth("id"))
+          .groupBy(eDst("src"))
+          .agg(sum(col("a").cast(dec)).cast("double").as("__hr"))
+        val hFull = nodes.join(hRaw, nodes("id") === hRaw("src"), "left")
+          .select(col("id"), coalesce(col("__hr"), lit(0.0)).as("__hr"))
+        val h = snap(normalized(hFull, "__hr", "h")
+          .repartition(col("id")).sortWithinPartitions("id"))
+        if (lastH != null) lastH.unpersist(blocking = false)
+        lastH = h
+        hubs = h
+      }
+    }
+    val out = snap(hubs.join(auth, "id")
+      .select(col("id"), col("h").as("hub"), col("a").as("authority")))
+    eSrc.unpersist(blocking = false)
+    eDst.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    if (lastH != null) lastH.unpersist(blocking = false)
+    if (lastA != null) lastA.unpersist(blocking = false)
+    out
+  }
+
   /** Semi-supervised label propagation over an undirected graph — the
     * iterative generalization of kNN classification: a handful of seed
     * labels spread hop by hop along similarity edges ([[Similarity

@@ -100,6 +100,43 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
   }
 
+  test("hits: hand-computed one-round hubs/authorities, mutual reinforcement") {
+    // 1→3, 2→3, 3→4: node 3 is the authority (two in-links), 1 and 2 are
+    // equal hubs (each points at the strong authority), 4 contributes
+    // nothing as a hub
+    val out = Graph.hits(edges((1L, 3L), (2L, 3L), (3L, 4L)), rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // round 1 by hand: a_raw = in-degree (h0 = 1) → a3 = 2/√5, a4 = 1/√5
+    val a3 = r9(2.0 / math.sqrt(5.0)); val a4 = r9(1.0 / math.sqrt(5.0))
+    // h_raw(1) = h_raw(2) = a3, h_raw(3) = a4; L2-normalize, round 9
+    val hs = math.sqrt(
+      BigDecimal(a3 * a3).setScale(15, BigDecimal.RoundingMode.HALF_UP).toDouble * 2 +
+        BigDecimal(a4 * a4).setScale(15, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val h12 = r9(a3 / hs); val h3 = r9(a4 / hs)
+    assert(out == List(
+      (1L, h12, 0.0), (2L, h12, 0.0), (3L, h3, a3), (4L, 0.0, a4)))
+    // authority mass concentrates on node 3; hubs 1 and 2 tie above 3
+    assert(a3 > a4 && h12 > h3)
+  }
+
+  test("hits: edgeless normalizer pins scores to zero, more rounds stay bounded") {
+    // self-loop only: canonical edges survive (3,3)… actually a self-loop
+    // IS an edge here (directed multigraph) — node reinforces itself
+    val out = Graph.hits(edges((7L, 7L)), rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toList
+    assert(out == List((7L, 1.0, 1.0))) // sole node: normalized to 1
+    val multi = Graph.hits(
+      edges((1L, 2L), (1L, 2L), (3L, 2L)), rounds = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // parallel edges weight the hub: h(1) > h(3); all scores in [0, 1]
+    assert(multi(1L)._1 > multi(3L)._1)
+    assert(multi.values.forall(t => t._1 >= 0.0 && t._1 <= 1.0 &&
+      t._2 >= 0.0 && t._2 <= 1.0))
+  }
+
   test("propagateLabels: labels travel one hop per round, since records arrival") {
     // chain 1-2-3-4-5, seed at node 1
     val out = prop(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
