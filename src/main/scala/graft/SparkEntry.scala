@@ -1253,7 +1253,7 @@ object SparkEntry {
 
     // HITS hubs/authorities over the same purchase graph — the other
     // classic link fixpoint (customers = hubs, suppliers = authorities):
-    // 3 mutual-reinforcement rounds, DECIMAL contribution sums, L2
+    // 2 mutual-reinforcement rounds, DECIMAL contribution sums, L2
     // normalizers as 1-row broadcasts, round-9 scores between
     // half-rounds so the unrolled oracle matches bit-for-bit.
     "x_hits" -> ((s, dir) => {
@@ -1262,7 +1262,7 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.functions.Graph.hits(e, rounds = 3).orderBy("id")
+      graft.functions.Graph.hits(e, rounds = 2).orderBy("id")
     }),
 
     // Z-order (Morton) codes — the clustering key behind
@@ -4815,7 +4815,7 @@ object SparkEntry {
     // fixed rounds unroll into 5 identical step CTEs. All float ops are
     // written double-explicit ((1.0 - 0.85) stays a double SUB — DuckDB
     // would otherwise fold it in exact DECIMAL, a different constant).
-    // Three HITS rounds unrolled: per half-round a DECIMAL contribution
+    // Two HITS rounds unrolled: per half-round a DECIMAL contribution
     // sum over the edge join, an exact-decimal L2 normalizer, and a
     // round-9 normalized score consumed by the next half-round — every
     // value a short decimal literal, so hubs AND authorities hash-match.
@@ -4857,9 +4857,9 @@ object SparkEntry {
          | SELECT DISTINCT id FROM
          |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
          |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM nodes),
-         |${(1 to 3).map(round).mkString(",\n")}
-         |SELECT h3.id, h3.h AS hub, a3.a AS authority
-         |FROM h3 JOIN a3 ON a3.id = h3.id ORDER BY h3.id""".stripMargin
+         |${(1 to 2).map(round).mkString(",\n")}
+         |SELECT h2.id, h2.h AS hub, a2.a AS authority
+         |FROM h2 JOIN a2 ON a2.id = h2.id ORDER BY h2.id""".stripMargin
     },
 
     "x_pagerank" -> {

@@ -202,14 +202,20 @@ object Graph {
   def hits(edges: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be positive: $rounds")
     def snap(df: DataFrame): DataFrame = snapFor(edges)(df)
-    val sel = edges.select(
-      col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    val eSrc = snap(sel.repartition(col("src")).sortWithinPartitions("src"))
-    val eDst = snap(sel.repartition(col("dst")).sortWithinPartitions("dst"))
+    // the second layout derives from the FIRST snapshot — the caller's
+    // upstream (often a join pipeline) materializes once, not per layout
+    val eSrc = snap(edges.select(
+        col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(col("src")).sortWithinPartitions("src"))
+    val eDst = snap(eSrc.repartition(col("dst")).sortWithinPartitions("dst"))
     val nodes = snap(
       eSrc.select(col("src").as("id")).union(eSrc.select(col("dst").as("id")))
         .distinct().repartition(col("id")).sortWithinPartitions("id"))
     val dec = DecimalType(30, 15)
+    // the raw-score table is SNAPPED before the normalizer reads it:
+    // the 1-row Σx² aggregate and the normalized projection both consume
+    // the snapshot, so the data-sized contribution join+agg runs exactly
+    // once per half-round (lazy, it would run twice)
     def normalized(full: DataFrame, rawCol: String, outCol: String): DataFrame = {
       val s2 = full.agg(
         sum((col(rawCol) * col(rawCol)).cast(dec)).cast("double").as("__s2"))
@@ -228,22 +234,22 @@ object Graph {
         val aRaw = eSrc.join(hubs, eSrc("src") === hubs("id"))
           .groupBy(eSrc("dst"))
           .agg(sum(col("h").cast(dec)).cast("double").as("__ar"))
-        val aFull = nodes.join(aRaw, nodes("id") === aRaw("dst"), "left")
+        val aFull = snap(nodes.join(aRaw, nodes("id") === aRaw("dst"), "left")
           .select(col("id"), coalesce(col("__ar"), lit(0.0)).as("__ar"))
-        val a = snap(normalized(aFull, "__ar", "a")
           .repartition(col("id")).sortWithinPartitions("id"))
+        val a = normalized(aFull, "__ar", "a")
         if (lastA != null) lastA.unpersist(blocking = false)
-        lastA = a
+        lastA = aFull
         auth = a
         val hRaw = eDst.join(auth, eDst("dst") === auth("id"))
           .groupBy(eDst("src"))
           .agg(sum(col("a").cast(dec)).cast("double").as("__hr"))
-        val hFull = nodes.join(hRaw, nodes("id") === hRaw("src"), "left")
+        val hFull = snap(nodes.join(hRaw, nodes("id") === hRaw("src"), "left")
           .select(col("id"), coalesce(col("__hr"), lit(0.0)).as("__hr"))
-        val h = snap(normalized(hFull, "__hr", "h")
           .repartition(col("id")).sortWithinPartitions("id"))
+        val h = normalized(hFull, "__hr", "h")
         if (lastH != null) lastH.unpersist(blocking = false)
-        lastH = h
+        lastH = hFull
         hubs = h
       }
     }
