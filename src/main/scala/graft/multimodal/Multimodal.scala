@@ -219,6 +219,18 @@ object Multimodal {
     }
   }
 
+  /** Pluggable audio codec surface: bytes → mono 16-bit PCM samples —
+    * the contract every audio operator programs against. [[AudioStub]]
+    * (default — raw bytes ARE the stream, what the DuckDB oracles
+    * mirror) and [[WavCodec]] (real RIFF/WAVE parsing — header-located
+    * data chunk, channel mixdown) implement it; swapping in the real
+    * decoder changes no plumbing and touches no oracle (the image-codec
+    * convention).
+    */
+  trait AudioCodec extends Serializable {
+    def pcmSamples(bytes: Array[Byte]): Array[Int]
+  }
+
   /** Deterministic audio "codec": raw bytes ARE the PCM stream (16-bit
     * little-endian signed samples — stub framing standing in for a
     * WAV/FLAC decoder; a trailing odd byte is ignored). Byte-LOCAL like
@@ -226,7 +238,7 @@ object Multimodal {
     * so perturbation locality is exercised end-to-end and the banded
     * fingerprint math is DuckDB-expressible (the oracle mirrors it).
     */
-  object AudioStub {
+  object AudioStub extends AudioCodec {
     /** Bytes → 16-bit LE signed samples (−32768..32767). */
     def pcmSamples(bytes: Array[Byte]): Array[Int] = {
       val n = bytes.length / 2
@@ -279,6 +291,102 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** Real RIFF/WAVE codec — no external libraries, the container format
+    * is a chunk walk: `RIFF….WAVE`, an `fmt ` chunk (PCM format tag,
+    * channel count, sample rate, bits/sample), a `data` chunk holding
+    * the interleaved samples. Supports 16-bit PCM; multi-channel audio
+    * mixes down to mono by per-frame channel average (truncating toward
+    * zero — deterministic integer math). Malformed or non-PCM16 bytes
+    * fail loudly (the ImageIoCodec policy — never fabricate samples).
+    */
+  object WavCodec extends AudioCodec {
+    /** (sampleRate, channels, bitsPerSample, dataOffset, dataLength). */
+    def parseHeader(bytes: Array[Byte]): (Int, Int, Int, Int, Int) = {
+      def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def u32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+      require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        s"WavCodec: not a RIFF/WAVE stream (${bytes.length} bytes)")
+      var off = 12
+      var rate = -1; var ch = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+        val id = tag(off)
+        val size = u32(off + 4)
+        if (id == "fmt ") {
+          require(size >= 16 && off + 8 + 16 <= bytes.length,
+            "WavCodec: truncated fmt chunk")
+          val fmt = u16(off + 8)
+          require(fmt == 1, s"WavCodec: only PCM supported (format tag $fmt)")
+          ch = u16(off + 10)
+          rate = u32(off + 12)
+          bits = u16(off + 22)
+          require(bits == 16, s"WavCodec: only 16-bit PCM supported ($bits)")
+          require(ch >= 1, s"WavCodec: bad channel count $ch")
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = math.min(size, bytes.length - dataOff)
+        }
+        // chunks are word-aligned: odd sizes carry a pad byte
+        off += 8 + size + (size & 1)
+      }
+      require(rate > 0, "WavCodec: missing fmt chunk")
+      require(dataOff >= 0, "WavCodec: missing data chunk")
+      (rate, ch, bits, dataOff, dataLen)
+    }
+
+    /** Mono 16-bit samples: per-frame average over channels. */
+    def pcmSamples(bytes: Array[Byte]): Array[Int] = {
+      val (_, ch, _, dataOff, dataLen) = parseHeader(bytes)
+      val frames = dataLen / (2 * ch)
+      val out = new Array[Int](frames)
+      var f = 0
+      while (f < frames) {
+        var sum = 0
+        var c = 0
+        while (c < ch) {
+          val o = dataOff + 2 * (f * ch + c)
+          val raw = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+          sum += (if (raw >= 32768) raw - 65536 else raw)
+          c += 1
+        }
+        out(f) = sum / ch
+        f += 1
+      }
+      out
+    }
+
+    /** Typed metadata from the header: (sampleRate, channels, nSamples,
+      * durationMs) — the decode-stats entry point.
+      */
+    def describe(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+      val (rate, ch, _, _, dataLen) = parseHeader(bytes)
+      val frames = dataLen.toLong / (2L * ch)
+      (rate, ch, frames, frames * 1000L / rate)
+    }
+  }
+
+  /** Distributed WAV decode: per-row header stats — the audio analog of
+    * [[decodeImages]]. Output (media_id, sample_rate, channels,
+    * n_samples, duration_ms); blobs never leave the map task.
+    */
+  def decodeWavMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    media.select("media_id", "data").where(col("data").isNotNull)
+      .mapPartitions { it =>
+        it.map { r =>
+          val (rate, ch, n, ms) = WavCodec.describe(r.getAs[Array[Byte]]("data"))
+          Row(r.getLong(0), rate, ch, n, ms)
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** Wrap raw blobs + minimal metadata into the canonical media schema. */
@@ -429,7 +537,8 @@ object Multimodal {
     * [[imageBitGrid]]). Output (media_id, bits), a 64-char '0'/'1'
     * string; blobs never leave the map task.
     */
-  def audioBitFingerprint(media: DataFrame): DataFrame = {
+  def audioBitFingerprint(media: DataFrame,
+                          codec: AudioCodec = AudioStub): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("bits", StringType, nullable = false)))
@@ -437,7 +546,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val bands = AudioStub.bandFingerprint(
-            AudioStub.pcmSamples(r.getAs[Array[Byte]]("data")), 64)
+            codec.pcmSamples(r.getAs[Array[Byte]]("data")), 64)
           Row(r.getLong(0),
             bands.map(b => if (b > 32767) '1' else '0').mkString)
         }
@@ -450,8 +559,9 @@ object Multimodal {
     * and pigeonhole banding recalls it from the band-key equi-join.
     * Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
     */
-  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
-    bitsNearDupPairs(audioBitFingerprint(media), maxHamming)
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                        codec: AudioCodec = AudioStub): DataFrame =
+    bitsNearDupPairs(audioBitFingerprint(media, codec), maxHamming)
 
   /** Per-frame perceptual bit grids for video rows: the blob splits into
     * `window`-byte frames (stub stand-in for decode → frame extraction;
@@ -518,7 +628,8 @@ object Multimodal {
     * bits); blobs never leave the map task.
     */
   def audioWindowFingerprints(media: DataFrame,
-                              windowSamples: Int = 32): DataFrame = {
+                              windowSamples: Int = 32,
+                              codec: AudioCodec = AudioStub): DataFrame = {
     require(windowSamples >= 1, s"windowSamples must be positive: $windowSamples")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -527,7 +638,7 @@ object Multimodal {
     media.select("media_id", "data").where(col("data").isNotNull)
       .mapPartitions { it =>
         it.flatMap { r =>
-          val samples = AudioStub.pcmSamples(r.getAs[Array[Byte]]("data"))
+          val samples = codec.pcmSamples(r.getAs[Array[Byte]]("data"))
           val id = r.getLong(0)
           val nW = (samples.length + windowSamples - 1) / windowSamples
           (0 until nW).iterator.map { w =>
@@ -552,9 +663,10 @@ object Multimodal {
     * (the removeFrequentUnits lever).
     */
   def audioNearDupByWindows(media: DataFrame, windowSamples: Int = 32,
-                            minShared: Int = 2): DataFrame = {
+                            minShared: Int = 2,
+                            codec: AudioCodec = AudioStub): DataFrame = {
     require(minShared >= 1, s"minShared must be positive: $minShared")
-    val sig = audioWindowFingerprints(media, windowSamples)
+    val sig = audioWindowFingerprints(media, windowSamples, codec)
       .select(col("media_id"), col("bits")).distinct()
     sig.as("x").join(sig.as("y"),
         col("x.bits") === col("y.bits") &&

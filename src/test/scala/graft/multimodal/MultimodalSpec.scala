@@ -176,6 +176,44 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("WavCodec: real RIFF/WAVE parse, stereo mixdown, codec-selectable near-dup") {
+    // hand-assemble a 16-bit stereo WAV: 3 frames at 8kHz,
+    // L/R = (1000,2000), (-4,2), (-32768,-32768)
+    def le16(v: Int) = Array(((v & 0xff).toByte), (((v >> 8) & 0xff).toByte))
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val pcm: Array[Byte] = Array(1000, 2000, -4, 2, -32768, -32768)
+      .flatMap(v => le16(if (v < 0) v + 65536 else v))
+    val wav: Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + pcm.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+        le32(8000 * 2 * 2) ++ le16(4) ++ le16(16) ++
+        "data".getBytes ++ le32(pcm.length) ++ pcm
+    val (rate, ch, bits, _, dataLen) = Multimodal.WavCodec.parseHeader(wav)
+    assert((rate, ch, bits, dataLen) == ((8000, 2, 16, 12)))
+    // mono mixdown: channel average, truncation toward zero
+    assert(Multimodal.WavCodec.pcmSamples(wav).toSeq ==
+      Seq(1500, -1, -32768))
+    val (r2, c2, n2, ms2) = Multimodal.WavCodec.describe(wav)
+    assert((r2, c2, n2) == ((8000, 2, 3L)) && ms2 == 3L * 1000 / 8000)
+    // the decode-stats operator and the codec-selectable near-dup both
+    // run the real parser; a bit-identical WAV copy pairs at hamming 0
+    val df = spark.createDataFrame(Seq((1L, wav), (2L, wav.clone)))
+      .toDF("media_id", "blob")
+    val m = Multimodal.asMediaTable(df, "media_id", "blob", "audio", "wav")
+    val meta = Multimodal.decodeWavMeta(m).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(meta(1L) == ((8000, 2, 3L)))
+    val pairs = Multimodal.audioNearDupPairs(m, maxHamming = 3,
+        codec = Multimodal.WavCodec)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 0L))
+    // malformed bytes fail loudly, never fabricate samples
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.pcmSamples("not a wav at all".getBytes)
+    }
+  }
+
   test("sampleFrames: one row per sampled offset") {
     val withDur = media.withColumn("meta",
       struct(col("meta.media_type"), col("meta.format"), col("meta.width"),
