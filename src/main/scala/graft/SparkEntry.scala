@@ -1454,6 +1454,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Greedy WordPiece encode (the BERT tokenizer) against a vocabulary
+    // derived deterministically from the unigram trainer (pieces + their
+    // ##-continuation forms): longest-match-first per position, map-only.
+    // The oracle replays the vocabulary chain AND the forward walk.
+    "x_wordpiece" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      val pieces = Corpus.unigramTrain(docs, "text", vocabSize = 40, rounds = 2)
+        .collect().map(_.getString(0)).toSeq
+      Corpus.wordpieceEncode(docs, "doc_id", "text",
+          pieces ++ pieces.map("##" + _))
+        .select(col("doc_id"), array_join(col("pieces"), " ").as("encoded"),
+          col("n_pieces"))
+        .orderBy("doc_id")
+    }),
+
     // Within-document repetition removal (MassiveText intra-doc dedup):
     // every repeat of a unit after its first occurrence in the SAME doc
     // is deleted, order preserved. Exercised at word granularity — the
@@ -2497,6 +2513,55 @@ object SparkEntry {
     *   subset for the incremental-index oracle (train on the old
     *   snapshot, assign everything).
     */
+  /** The WordPiece forward walk unrolled over the word vocabulary:
+    * `wvocab` doubles every trained piece as an initial and a
+    * `##`-continuation entry; each step takes the longest match at the
+    * current position (no ties — a (body, continuation) pair occurs
+    * once); a word completes iff its furthest position reaches its
+    * length, else it collapses to '[UNK]' (the BERT rule). Steps carry
+    * their index so per-doc assembly orders pieces forward.
+    */
+  private val wordpieceCtes: String = {
+    val steps = (1 to unigramMaxWordLen).map { s =>
+      s"""wps$s AS MATERIALIZED (
+         | SELECT word, pos, body, cont, len FROM (
+         |  SELECT b.word, b.pos, v.body, v.cont, v.len,
+         |   ROW_NUMBER() OVER (PARTITION BY b.word ORDER BY v.len DESC) AS rk
+         |  FROM wp${s - 1} b JOIN wvocab v
+         |   ON v.cont = (b.pos > 0)
+         |   AND v.body = substr(b.word, CAST(b.pos + 1 AS INTEGER),
+         |     CAST(v.len AS INTEGER))
+         |  WHERE b.pos < length(b.word)) WHERE rk = 1),
+         |wp$s AS MATERIALIZED (
+         | SELECT word, pos + len AS pos FROM wps$s)""".stripMargin
+    }.mkString(",\n")
+    val allSteps = (1 to unigramMaxWordLen).map(s =>
+      s"SELECT word, $s AS s, body, cont FROM wps$s").mkString("\n  UNION ALL\n  ")
+    val allPos = (0 to unigramMaxWordLen).map(s =>
+      s"SELECT word, pos FROM wp$s").mkString("\n  UNION ALL\n  ")
+    s"""wvocab AS MATERIALIZED (
+       | SELECT piece AS body, FALSE AS cont, length(piece) AS len FROM ukept
+       | UNION ALL
+       | SELECT piece AS body, TRUE AS cont, length(piece) AS len FROM ukept),
+       |wp0 AS (SELECT w AS word, 0 AS pos FROM uw),
+       |$steps,
+       |wreach AS MATERIALIZED (
+       | SELECT word, MAX(pos) AS reached FROM (
+       |  $allPos) GROUP BY 1),
+       |wok AS MATERIALIZED (
+       | SELECT r.word FROM wreach r JOIN uw ON uw.w = r.word
+       | WHERE r.reached = length(r.word)),
+       |wpieces AS MATERIALIZED (
+       | SELECT word, s,
+       |  CASE WHEN cont THEN '##' || body ELSE body END AS piece
+       | FROM (
+       |  $allSteps)
+       | WHERE word IN (SELECT word FROM wok)
+       | UNION ALL
+       | SELECT w AS word, 1 AS s, '[UNK]' AS piece FROM uw
+       | WHERE w NOT IN (SELECT word FROM wok))""".stripMargin
+  }
+
   private def kmeansRoundCte(r: Int, prev: String,
                              members: String = "vv"): String =
     s"""d$r AS (
@@ -3702,6 +3767,25 @@ object SparkEntry {
          |   JOIN n nc ON nc.vec_id = pd.vec_id))
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // The WordPiece walk replayed on the same trained-vocabulary chain:
+    // every step's longest match, the completion test, the [UNK]
+    // collapse rule, and forward piece order per doc.
+    "x_wordpiece" ->
+      s"""WITH $unigramKeptCte,
+         |$wordpieceCtes,
+         |uwords AS (
+         | SELECT doc_id, wi, list_extract(arr, CAST(wi AS INTEGER)) AS word
+         | FROM (
+         |  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS wi, arr FROM (
+         |   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+         |   FROM documents
+         |   WHERE text IS NOT NULL AND length(trim(text)) > 0)))
+         |SELECT u.doc_id,
+         | string_agg(p.piece, ' ' ORDER BY u.wi ASC, p.s ASC) AS encoded,
+         | CAST(COUNT(*) AS BIGINT) AS n_pieces
+         |FROM uwords u JOIN wpieces p ON p.word = u.word
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // The audio chain mirrored end-to-end over the (ASCII) text bytes:
     // 16-bit LE samples from byte pairs, odd-weighted stripe sums in

@@ -1859,6 +1859,30 @@ object Corpus {
       .withColumn("n_pieces", size(col("pieces")).cast("long"))
   }
 
+  /** Greedy WordPiece encoding against a GIVEN vocabulary — the third
+    * mainstream subword family's encoder (the BERT tokenizer: longest-
+    * match-first per position, `##`-prefixed continuation pieces, whole
+    * word → `unk` when any position fails to match; see
+    * [[graft.plans.WordpieceEncode]] for the exact published
+    * semantics). No trainer here by design: WordPiece training is BPE
+    * with a likelihood objective, and production use overwhelmingly
+    * encodes against a SHIPPED vocabulary (e.g. BERT's) — which is this
+    * op. Map-only, vocabulary as plan state, the [[bpeEncode]] /
+    * [[unigramEncode]] shape.
+    *
+    * @return (idCol, pieces array<string>, n_pieces)
+    */
+  def wordpieceEncode(df: DataFrame, idCol: String, textCol: String,
+                      vocab: Seq[String], unk: String = "[UNK]",
+                      maxPieceLen: Int = 4): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    df.select(col(idCol),
+      flatten(transform(TextFunctions.tokens(col(textCol)),
+        w => graft.plans.HashExpressions
+          .wordpieceEncode(w, vocab, unk, maxPieceLen))).as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+  }
+
   /** Per-group percentile calibration of a score column — the
     * normalization step between raw quality scoring and cross-group
     * selection: a raw score of 0.4 means different things in different

@@ -1148,7 +1148,69 @@ case class UnigramViterbi(child: Expression, pieces: Seq[String],
   override def prettyName: String = "unigram_viterbi"
 }
 
+/** Greedy longest-match-first WordPiece segmentation of ONE word (the
+  * BERT tokenizer's algorithm): at each position take the LONGEST
+  * vocabulary piece that matches — continuation positions (pos > 0)
+  * match against the piece's `##`-prefixed form — and if any position
+  * has no match the WHOLE word collapses to the single `unk` token
+  * (the published semantics: no partial fallback). Characters are
+  * Unicode code points; vocabulary rides as a plan literal (vocab-sized
+  * driver state). Purely deterministic — no scores, no ties (a (body,
+  * continuation) pair occurs at most once in a set vocabulary) — so the
+  * DuckDB oracle unrolls the identical forward walk.
+  */
+case class WordpieceEncode(child: Expression, vocab: Seq[String],
+                           unk: String, maxPieceLen: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(vocab.nonEmpty, "empty vocabulary")
+  require(maxPieceLen >= 1, s"maxPieceLen must be positive: $maxPieceLen")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val unkU = UTF8String.fromString(unk)
+  def kernel(word: UTF8String): ArrayData = {
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](4)
+    var pos = 0
+    while (pos < n) {
+      var len = math.min(maxPieceLen, n - pos)
+      var matched: String = null
+      var matchedLen = 0
+      while (matched == null && len >= 1) {
+        val body = new String(cps, pos, len)
+        val cand = if (pos == 0) body else "##" + body
+        if (vocabSet.contains(cand)) { matched = cand; matchedLen = len }
+        len -= 1
+      }
+      if (matched == null)
+        return new GenericArrayData(Array[AnyRef](unkU))
+      out += UTF8String.fromString(matched)
+      pos += matchedLen // code-point advance (matched.length is UTF-16 units)
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): WordpieceEncode =
+    copy(child = newChild)
+  override def prettyName: String = "wordpiece_encode"
+}
+
 object HashExpressions {
+  def wordpieceEncode(word: Column, vocab: Seq[String], unk: String,
+                      maxPieceLen: Int): Column =
+    ColumnBridge.column(WordpieceEncode(ColumnBridge.expression(word),
+      vocab, unk, maxPieceLen))
   def unigramViterbi(word: Column, pieces: Seq[String], logps: Seq[Double],
                      maxPieceLen: Int): Column =
     ColumnBridge.column(UnigramViterbi(ColumnBridge.expression(word),

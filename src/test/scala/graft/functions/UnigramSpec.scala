@@ -67,6 +67,25 @@ class UnigramSpec extends SparkSpec {
     assert(Set("a", "b", "c", "d").subsetOf(out))
   }
 
+  test("wordpieceEncode: longest match wins, ## continuation, whole-word UNK collapse") {
+    def encode(text: String, vocab: Seq[String]): Seq[String] =
+      Corpus.wordpieceEncode(Seq((1L, text)).toDF("id", "text"),
+          "id", "text", vocab)
+        .head().getAs[scala.collection.Seq[String]](1).toSeq
+    val v = Seq("un", "aff", "able", "##aff", "##able", "##ab", "a", "##a",
+      "##b", "##l", "##e", "##f", "##n", "u")
+    // BERT's canonical example shape: longest-match-first at each position
+    assert(encode("unaffable", v) == Seq("un", "##aff", "##able"))
+    // initial vs continuation forms are distinct vocab entries
+    assert(encode("able", v) == Seq("able"))
+    // any unmatched position collapses the WHOLE word to [UNK]
+    assert(encode("unzip", v) == Seq("[UNK]"))
+    // multiple words, empty-safe
+    assert(encode("able unaffable", v) ==
+      Seq("able", "un", "##aff", "##able"))
+    assert(encode("", v) == Seq.empty)
+  }
+
   test("unigramEncode: pieces concatenate back to the words, doc order kept") {
     val docs = Seq((1L, "abab cd"), (2L, "abab abab")).toDF("doc_id", "text")
     val vocab = Corpus.unigramTrain(docs, "text", vocabSize = 8, rounds = 2)
