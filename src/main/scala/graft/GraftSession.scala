@@ -123,6 +123,13 @@ object GraftSession {
     // building block for cosine scoring without the interpreted HOF tax.
     reg.createOrReplaceTempFunction("dot_f",
       exprs => graft.plans.DotProductF(exprs(0), exprs(1)), "scala_udf")
+    // multi_match_counts(text, array(phrases...)): the Aho–Corasick
+    // blocklist kernel from SQL text — phrase list as a foldable
+    // string-array literal (plan-time automaton state in the DSL path
+    // too); element i counts phrase i, replace()-count semantics.
+    reg.createOrReplaceTempFunction("multi_match_counts",
+      exprs => graft.plans.MultiMatchCounts(exprs(0),
+        exprStringArray(exprs(1)).toIndexedSeq), "scala_udf")
     // mixture_copy_ids(stratum, key, map('en', 2.2, …), defaultWeight):
     // the DoReMi mixture resample from SQL text — returns the copy-id
     // array a row contributes (null when it contributes nothing), so the

@@ -1470,6 +1470,152 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Weighted sampling WITHOUT replacement + unbiased subset-sum
+    // estimators — priority sampling (Duffield–Lund–Thorup, JACM '07)
+    // with weights = n_chars: top-k by the fixed-point integer priority
+    // ⌊w·10^12/u⌋ (u = 48-bit md5 draw, ties → doc_id), τ = (k+1)-th
+    // priority, estimator max(w, τ) in the same 10^-12 units. Selection
+    // runs as per-partition heaps merged on the driver; no corpus-wide
+    // sort and no float anywhere in the decision path.
+    "x_weighted_sample" -> ((s, dir) =>
+      Corpus.prioritySample(t(s, dir, "documents"), "doc_id",
+          col("n_chars"), k = 50, seed = "ps")
+        .orderBy("doc_id")),
+
+    // Corpus-overlap estimation from two k-row KMV sketches: two
+    // overlapping corpus slices (membership overlap ⇒ shared distinct
+    // texts), Jaccard estimated from the bottom-k md5 union sample.
+    // Each sketch costs one hash-only distinct; everything after joins
+    // ≤ k-row frames — the "how much of yesterday's crawl is in
+    // today's?" answer without a corpus×corpus join.
+    "x_corpus_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.functions.Stats.kmvOverlap(
+        d.where(pmod(col("doc_id"), lit(3)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(2)) === 0),
+        "text", k = 128)
+    }),
+
+    // CDC merge: apply a deterministic change batch (two update waves,
+    // deletes, inserts — all derived from the corpus itself, so the
+    // last-writer-wins, delete-beats-stale-update and insert paths are
+    // all exercised) onto the documents snapshot. One batch-sized
+    // window + one id-keyed full-outer join — the maintenance
+    // counterpart of x_snapshot_diff.
+    "x_merge_apply" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nul = lit(null).cast("string")
+      val upd1 = d.where(pmod(col("doc_id"), lit(7)) === 0).select(
+        col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+        concat(lit("u1:"), substring(col("text"), 1, 40)).as("text"),
+        lit("xx").as("lang"), col("source"),
+        (col("n_chars") + 3).as("n_chars"))
+      val upd2 = d.where(pmod(col("doc_id"), lit(14)) === 0).select(
+        col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+        concat(lit("u2:"), substring(col("text"), 1, 20)).as("text"),
+        lit("yy").as("lang"), col("source"),
+        (col("n_chars") + 5).as("n_chars"))
+      val dels = d.where(pmod(col("doc_id"), lit(11)) === 3).select(
+        col("doc_id"), lit(3L).as("seq"), lit("delete").as("op"),
+        nul.as("text"), nul.as("lang"), nul.as("source"),
+        lit(null).cast("long").as("n_chars"))
+      val ins = d.where(pmod(col("doc_id"), lit(13)) === 1).select(
+        (col("doc_id") + 1000000L).as("doc_id"), lit(1L).as("seq"),
+        lit("upsert").as("op"),
+        concat(lit("ins:"), substring(col("text"), 1, 10)).as("text"),
+        lit("zz").as("lang"), lit("synthetic").as("source"),
+        lit(14L).as("n_chars"))
+      Corpus.applyChanges(d,
+          upd1.unionByName(upd2).unionByName(dels).unionByName(ins),
+          "doc_id", "seq", "op")
+        .orderBy("doc_id")
+    }),
+
+    // Index-accelerated batch lookup: build the per-file min/max + Bloom
+    // skipping index over the documents files, probe three ids (one
+    // absent), read only candidate files — the scan-avoidance tier for
+    // point lookups on an 800k-file table. At fixture scale the table is
+    // one file; multi-file pruning itself is pinned by FileSkipIndexSpec.
+    "x_file_skip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = graft.sources.FileSkipIndex.build(d, "doc_id")
+      graft.sources.FileSkipIndex.probe(s, idx, d, "doc_id",
+          Seq(3L, 77L, 123456789L))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Blocklist census: one Aho–Corasick pass per doc (native
+    // MultiMatchCounts, codegen'd) + a phrase-keyed rollup whose
+    // exchange carries ≤ #partitions × #phrases rows. replace()-count
+    // semantics, so the oracle needs nothing but string builtins.
+    "x_blocklist" -> ((s, dir) =>
+      Corpus.blocklistCensus(t(s, dir, "documents"), "text",
+          Seq("table scan", "hash join", "scan merge", "merge part", "slow"))
+        .orderBy("phrase")),
+
+    // Blocklist gate: keep docs with ≤ 2 total hits, roll up survivors
+    // per language — the C4-badwords-style destructive filter, sized
+    // first by x_blocklist's census. Map-only filter + tiny agg.
+    "x_blocklist_gate" -> ((s, dir) =>
+      Corpus.blocklistFilter(t(s, dir, "documents"), "text",
+          Seq("table scan", "hash join", "scan merge", "merge part", "slow"),
+          maxHits = 2L)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
+    // Count–min sketch over the token stream (depth 4 × width 512,
+    // md5-position convention) probed for five words: est ≥ true count
+    // always (flagged in-row), and both engines derive the IDENTICAL
+    // sketch, so est itself hash-matches. The sketch is the mergeable
+    // per-shard frequency artifact; the probe joins a ≤ 2048-row frame.
+    "x_cms_words" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("word"))
+      val sk = graft.functions.Stats.cmsBuild(toks, "word", 4, 512, "cms")
+      val probes = Seq("data", "join", "window", "sort", "nosuchword")
+      val truth = toks.where(col("word").isin(probes: _*))
+        .groupBy(col("word").as("key"))
+        .agg(count(lit(1)).as("true_cnt"))
+      graft.functions.Stats.cmsEstimate(sk, probes, 4, 512, "cms")
+        .join(truth, Seq("key"), "left")
+        .select(col("key"), col("est"),
+          coalesce(col("true_cnt"), lit(0L)).as("true_cnt"),
+          (col("est") >= coalesce(col("true_cnt"), lit(0L))).as("never_under"))
+        .orderBy("key")
+    }),
+
+    // Deterministic epoch shuffle: md5(shuf:epoch:id) permutation via
+    // the two-level bucket decomposition (one bucket-keyed exchange, no
+    // global sort, offsets from a 64-row cumsum). Emitted positions are
+    // the permutation inverse-mapped onto doc order; epoch 2 ≠ epoch 1
+    // by construction. Spot-check shape: every position in [0, n) once.
+    "x_epoch_shuffle" -> ((s, dir) =>
+      Corpus.epochShuffle(t(s, dir, "documents"), "doc_id", epoch = 1,
+          nBuckets = 64)
+        .select(col("doc_id"), col("epoch_pos"))
+        .orderBy("doc_id")),
+
+    // Declarative data-quality audit: five expectations over documents
+    // (incl. a cross-column consistency rule and key uniqueness) in one
+    // aggregate pass, pivoted to rows engine-side.
+    "x_expect" -> ((s, dir) =>
+      graft.functions.Stats.expectations(t(s, dir, "documents"),
+        Seq(
+          "doc_id_not_null" -> col("doc_id").isNotNull,
+          "lang_known" -> col("lang").isin("en", "de", "es", "fr", "zh"),
+          "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+          "text_nonempty" -> (length(col("text")) > 0)),
+        uniqueCols = Seq("doc_id_unique" -> "doc_id"))),
+
+    // Top-30 collocations by PMI (ln(c_ab·N/(c_a·c_b)), token-stream
+    // marginals, min pair count 5): bigram-keyed agg + two broadcast
+    // vocab joins + top-k heaps. The pinned double-expression shape
+    // makes the PMI bits identical across engines.
+    "x_pmi" -> ((s, dir) =>
+      Corpus.pmiTopK(t(s, dir, "documents"), "text", k = 30, minCount = 5L)),
+
     // Within-document repetition removal (MassiveText intra-doc dedup):
     // every repeat of a unit after its first occurrence in the SAME doc
     // is deleted, order preserved. Exercised at word granularity — the
@@ -3786,6 +3932,208 @@ object SparkEntry {
          | CAST(COUNT(*) AS BIGINT) AS n_pieces
          |FROM uwords u JOIN wpieces p ON p.word = u.word
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Priority sampling mirrored exactly: the 20-bit uniform draw is the
+    // first 5 md5 hex chars folded to an integer (strpos-over-the-hex-
+    // alphabet — DuckDB's conv), the priority is the same 2^-20 BIGINT
+    // floor-division (numerator factor 2^40 = draw range × estimator
+    // scale), τ the 51st priority, estimators greatest(w·2^20, τ).
+    "x_weighted_sample" ->
+      """WITH p AS (
+        | SELECT doc_id, n_chars AS w,
+        |  (n_chars * 1099511627776) // (1 + list_reduce(
+        |    list_transform(range(1, 6), i -> CAST(strpos('0123456789abcdef',
+        |      substr(md5('ps:' || CAST(doc_id AS VARCHAR)),
+        |        CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b)) AS priority
+        | FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id)
+        |      AS rn FROM p),
+        |t AS (SELECT max(CASE WHEN rn = 51 THEN priority END) AS tau FROM r)
+        |SELECT doc_id, w, priority,
+        | greatest(w * 1048576, COALESCE(tau, 0)) AS est_fp
+        |FROM r, t WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+
+    // KMV sketches are bottom-128 distinct md5 hex values per slice;
+    // union sample = bottom-128 of their union; shared = members of both.
+    "x_corpus_overlap" ->
+      """WITH ska AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 3 <> 0 AND text IS NOT NULL ORDER BY h LIMIT 128),
+        |skb AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL ORDER BY h LIMIT 128),
+        |sku AS (SELECT DISTINCT h FROM
+        |  (SELECT h FROM ska UNION ALL SELECT h FROM skb) u
+        |  ORDER BY h LIMIT 128),
+        |sh AS (SELECT COUNT(*) AS n_shared FROM sku
+        |  WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+        |ku AS (SELECT COUNT(*) AS k_used FROM sku)
+        |SELECT k_used, n_shared,
+        | ROUND(CAST(n_shared AS DOUBLE) / k_used, 9) AS est_jaccard
+        |FROM ku, sh""".stripMargin,
+
+    // The same deterministic change batch, last-writer-wins window and
+    // merge semantics: winning delete drops the id, winning upsert
+    // replaces/inserts the payload, untouched base rows pass through.
+    "x_merge_apply" ->
+      """WITH changes AS (
+        | SELECT doc_id, 1 AS seq, 'upsert' AS op,
+        |   'u1:' || substr(text, 1, 40) AS text, 'xx' AS lang, source,
+        |   n_chars + 3 AS n_chars
+        | FROM documents WHERE doc_id % 7 = 0
+        | UNION ALL
+        | SELECT doc_id, 2, 'upsert', 'u2:' || substr(text, 1, 20), 'yy',
+        |   source, n_chars + 5
+        | FROM documents WHERE doc_id % 14 = 0
+        | UNION ALL
+        | SELECT doc_id, 3, 'delete', NULL, NULL, NULL, NULL
+        | FROM documents WHERE doc_id % 11 = 3
+        | UNION ALL
+        | SELECT doc_id + 1000000, 1, 'upsert',
+        |   'ins:' || substr(text, 1, 10), 'zz', 'synthetic', 14
+        | FROM documents WHERE doc_id % 13 = 1),
+        |latest AS (SELECT * FROM (
+        |  SELECT c.*, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY seq DESC, op) AS rn FROM changes c) WHERE rn = 1)
+        |SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id,
+        | CASE WHEN l.op IS NOT NULL THEN l.text ELSE b.text END AS text,
+        | CASE WHEN l.op IS NOT NULL THEN l.lang ELSE b.lang END AS lang,
+        | CASE WHEN l.op IS NOT NULL THEN l.source ELSE b.source END AS source,
+        | CASE WHEN l.op IS NOT NULL THEN l.n_chars ELSE b.n_chars END AS n_chars
+        |FROM documents b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+        |WHERE l.op IS NULL OR l.op <> 'delete'
+        |ORDER BY doc_id""".stripMargin,
+
+    // The index is an access path, not a transformation: the contract is
+    // that probing through it returns exactly the plain filter's rows.
+    "x_file_skip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (3, 77, 123456789) ORDER BY doc_id""".stripMargin,
+
+    // Aho–Corasick counts ≡ replace()-count per phrase (leftmost greedy
+    // non-overlapping, each phrase independent) — the semantics were
+    // CHOSEN so the oracle needs only string builtins.
+    "x_blocklist" ->
+      """WITH p(phrase) AS (VALUES ('table scan'), ('hash join'),
+        |  ('scan merge'), ('merge part'), ('slow')),
+        |h AS (SELECT d.doc_id, p.phrase,
+        |   (length(d.text) - length(replace(d.text, p.phrase, '')))
+        |     // length(p.phrase) AS cnt
+        | FROM documents d CROSS JOIN p WHERE d.text IS NOT NULL)
+        |SELECT phrase, count(*) AS n_docs, CAST(sum(cnt) AS BIGINT) AS n_hits
+        |FROM h WHERE cnt > 0 GROUP BY phrase ORDER BY phrase""".stripMargin,
+
+    // Same phrase counts, summed per doc, gate at ≤ 2 total hits,
+    // survivors rolled up per language. Null text has no hits (COALESCE
+    // mirrors the engine's coalesce(text, '')).
+    "x_blocklist_gate" ->
+      """WITH p(phrase) AS (VALUES ('table scan'), ('hash join'),
+        |  ('scan merge'), ('merge part'), ('slow')),
+        |h AS (SELECT d.doc_id, d.lang,
+        |   CAST(COALESCE(SUM((length(d.text) - length(replace(d.text,
+        |     p.phrase, ''))) // length(p.phrase)), 0) AS BIGINT) AS hits
+        | FROM documents d CROSS JOIN p GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs FROM h WHERE hits <= 2
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The identical count–min sketch derived independently: positions =
+    // md5('cms:'||r||':'||word) first-12-hex fold mod 512, cells by
+    // group-count, estimates = min over the 4 rows (0 for empty cells).
+    "x_cms_words" ->
+      """WITH tk AS (
+        | SELECT unnest(CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS word
+        | FROM documents),
+        |cells AS (
+        | SELECT CAST(r AS INTEGER) AS r,
+        |  list_reduce(list_transform(range(1, 13), i ->
+        |    CAST(strpos('0123456789abcdef', substr(
+        |      md5('cms:' || CAST(r AS VARCHAR) || ':' || word),
+        |      CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 512 AS pos,
+        |  word
+        | FROM tk, range(0, 4) t(r)),
+        |sk AS (SELECT r, pos, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        |probes(key) AS (VALUES ('data'), ('join'), ('window'), ('sort'),
+        |  ('nosuchword')),
+        |ppos AS (
+        | SELECT key, CAST(r AS INTEGER) AS r,
+        |  list_reduce(list_transform(range(1, 13), i ->
+        |    CAST(strpos('0123456789abcdef', substr(
+        |      md5('cms:' || CAST(r AS VARCHAR) || ':' || key),
+        |      CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 512 AS pos
+        | FROM probes, range(0, 4) t(r)),
+        |est AS (SELECT key, MIN(COALESCE(sk.cnt, 0)) AS est
+        | FROM ppos LEFT JOIN sk USING (r, pos) GROUP BY key),
+        |tru AS (SELECT word AS key, count(*) AS true_cnt FROM tk
+        | WHERE word IN ('data', 'join', 'window', 'sort', 'nosuchword')
+        | GROUP BY 1)
+        |SELECT key, est, COALESCE(true_cnt, 0) AS true_cnt,
+        | est >= COALESCE(true_cnt, 0) AS never_under
+        |FROM est LEFT JOIN tru USING (key) ORDER BY key""".stripMargin,
+
+    // Epoch-1 shuffle: position = rank in the (h mod 64, h, id) order,
+    // h = first-12-hex md5 fold of 'shuf:1:'||doc_id — the bucketed
+    // two-level engine plan concatenates to exactly this global order.
+    "x_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 13), i ->
+        |    CAST(strpos('0123456789abcdef', substr(
+        |      md5('shuf:1:' || CAST(doc_id AS VARCHAR)),
+        |      CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h
+        | FROM documents)
+        |SELECT doc_id,
+        | row_number() OVER (ORDER BY h % 64, h, doc_id) - 1 AS epoch_pos
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // The audit's five rules evaluated directly; violation = predicate
+    // false OR null (the engine's null-hostile convention), uniqueness =
+    // non-null rows beyond the first per value.
+    "x_expect" ->
+      """WITH t AS (SELECT count(*) AS n_rows,
+        |  SUM(CASE WHEN NOT COALESCE(doc_id IS NOT NULL, FALSE)
+        |    THEN 1 ELSE 0 END) AS v1,
+        |  SUM(CASE WHEN NOT COALESCE(lang IN ('en','de','es','fr','zh'),
+        |    FALSE) THEN 1 ELSE 0 END) AS v2,
+        |  SUM(CASE WHEN NOT COALESCE(n_chars = length(text), FALSE)
+        |    THEN 1 ELSE 0 END) AS v3,
+        |  SUM(CASE WHEN NOT COALESCE(length(text) > 0, FALSE)
+        |    THEN 1 ELSE 0 END) AS v4,
+        |  count(doc_id) - count(DISTINCT doc_id) AS v5
+        | FROM documents),
+        |rules AS (
+        | SELECT 'doc_id_not_null' AS rule, n_rows,
+        |   CAST(v1 AS BIGINT) AS n_violations FROM t
+        | UNION ALL SELECT 'doc_id_unique', n_rows, CAST(v5 AS BIGINT) FROM t
+        | UNION ALL SELECT 'lang_known', n_rows, CAST(v2 AS BIGINT) FROM t
+        | UNION ALL SELECT 'n_chars_consistent', n_rows,
+        |   CAST(v3 AS BIGINT) FROM t
+        | UNION ALL SELECT 'text_nonempty', n_rows, CAST(v4 AS BIGINT) FROM t)
+        |SELECT rule, n_rows, n_violations, n_violations = 0 AS pass
+        |FROM rules ORDER BY rule""".stripMargin,
+
+    // PMI mirrored with the same pinned float shape: one double multiply
+    // (c_ab × N), one divide by the BIGINT product c_a·c_b, one ln, one
+    // ×10^9, one floor — bit-identical by IEEE-754 determinism.
+    "x_pmi" ->
+      """WITH tk AS (SELECT regexp_split_to_array(TRIM(text), '\s+') AS t
+        |  FROM documents WHERE LENGTH(TRIM(text)) > 0),
+        |big AS (SELECT unnest(list_transform(range(1, len(t)), i ->
+        |   {'w1': t[CAST(i AS INTEGER)], 'w2': t[CAST(i AS INTEGER) + 1]}))
+        |   AS bg
+        | FROM tk),
+        |bp AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM big),
+        |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bp GROUP BY 1, 2
+        | HAVING count(*) >= 5),
+        |ucc AS (SELECT w, count(*) AS c FROM
+        | (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+        |nb AS (SELECT count(*) AS nbig FROM bp)
+        |SELECT w1, w2, c_ab,
+        | CAST(FLOOR(LN((CAST(c_ab AS DOUBLE) * nbig) / (ca.c * cb.c))
+        |   * 1000000000) AS BIGINT) AS pmi_fp
+        |FROM bc JOIN ucc ca ON ca.w = bc.w1 JOIN ucc cb ON cb.w = bc.w2, nb
+        |ORDER BY pmi_fp DESC, w1, w2 LIMIT 30""".stripMargin,
 
     // The audio chain mirrored end-to-end over the (ASCII) text bytes:
     // 16-bit LE samples from byte pairs, odd-weighted stripe sums in

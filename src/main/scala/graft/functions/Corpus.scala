@@ -2174,4 +2174,239 @@ object Corpus {
       override def outputEncoder: Encoder[Seq[String]] =
         ExpressionEncoder[Seq[String]]()
     }
+
+  /** 2^-20 fixed-point priority: `⌊w·2^40 / u⌋` where `u ∈ [1, 2^20]`
+    * is the 20-bit integer from the first 5 hex chars of `md5(seed:key)`
+    * plus one. `v = u/2^20` is Uniform(0,1] discretized to 2^-20, so the
+    * quotient is the true priority `q = w/v` expressed in 2^-20 weight
+    * units (`w·2^40/u = (w/v)·2^20`). UNITS MUST LINE UP END TO END:
+    * draw range 2^20 × estimator scale 2^20 = the 2^40 numerator factor,
+    * and τ / `w·2^20` / `est_fp` all live in the same 2^-20 scale — a
+    * mismatched scale still ranks identically (monotone) but shifts τ
+    * out of the `max(w, τ)` estimator's units and silently destroys
+    * unbiasedness (caught by the spec's estimator-sum band, which
+    * caught exactly that twice while this was being built). Pure BIGINT
+    * arithmetic (no float, no transcendental), so any engine computes
+    * the identical value; with `w ≤ 10^6` the numerator tops out at
+    * ~1.1·10^18 < 2^63.
+    */
+  private[functions] val PriorityScale = 1L << 20
+
+  private def fixedPointPriority(key: Column, w: Column, seed: String)
+      : (Column, Column) = {
+    val u = conv(substring(
+        md5(concat(lit(seed + ":"), key.cast("string"))), 1, 5), 16, 10)
+      .cast("long") + lit(1L)
+    val wChecked = when(w.cast("long").between(1L, 1000000L), w.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("prioritySample weight out of [1, 1e6]: "), w.cast("string"))))
+    (u, wChecked)
+  }
+
+  /** Weighted sampling WITHOUT replacement + unbiased subset-sum
+    * estimation — priority sampling (Duffield, Lund & Thorup, "Priority
+    * sampling for estimation of arbitrary subset sums", JACM 54(6),
+    * 2007). Each row draws priority `q = w/u` with `u ~ Uniform(0,1]`;
+    * the sample is the top-`k` by priority, the threshold `τ` is the
+    * (k+1)-th priority, and each sampled row's weight estimator is
+    * `max(w, τ)` — unbiased for every subset sum, with near-optimal
+    * variance among k-sparse estimators.
+    *
+    * Engine-portability choices (the [[hashSplit]] discipline):
+    *  - `u` is derived from `md5(seed:key)` — no RNG state, so the SAME
+    *    rows are sampled on any cluster size, re-run, or engine;
+    *  - priorities are fixed-point BIGINTs (`⌊w·2^40/u⌋` with
+    *    `u ∈ [1, 2^20]`, ties broken by key), never floats — selection
+    *    is bit-reproducible where a double `w/u` would hinge on last-ulp
+    *    division behavior. The 2^-20 quantization only reorders rows
+    *    whose true priorities agree to ~6 decimal digits; `τ` and the
+    *    estimator live in the same fixed-point scale (`est_fp`, 2^-20
+    *    weight units — divide by [[PriorityScale]] to read weights).
+    *
+    * Shuffle profile: the top-(k+1) runs as per-partition heaps merged
+    * on the driver (TakeOrderedAndProject) — no corpus-sized sort, no
+    * full shuffle; the τ/estimator window runs over the (k+1)-row frame.
+    * Weights must be integral in [1, 10^6] (checked in-plan, fail-loud).
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: Column, k: Int,
+                     seed: String = "ps"): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val (u, w) = fixedPointPriority(col(idCol), weightCol, seed)
+    val scored = df
+      .withColumn("__w", w)
+      .withColumn("__u", u)
+      .withColumn("priority",
+        expr(s"(__w * ${PriorityScale * PriorityScale}L) div __u"))
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k + 1)
+    // (k+1)-row frame: rank, read off τ, keep the top k with estimators.
+    val order = Window.orderBy(col("priority").desc, col(idCol).asc)
+    val whole = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    scored
+      .withColumn("__rn", row_number().over(order))
+      .withColumn("__tau",
+        max(when(col("__rn") === k + 1, col("priority"))).over(whole))
+      .where(col("__rn") <= k)
+      .select(col(idCol), col("__w").as("w"), col("priority"),
+        greatest(col("__w") * lit(PriorityScale),
+          coalesce(col("__tau"), lit(0L))).as("est_fp"))
+  }
+
+  /** Apply a change-data-capture batch to a base snapshot — the MERGE
+    * that keeps a continuously-crawled corpus current without rewriting
+    * it from scratch (the maintenance counterpart of [[snapshotDiff]],
+    * which DETECTS the delta this operator APPLIES). `changes` carries
+    * `(id, seq, op, payload…)` with `op ∈ {upsert, delete}`; per id the
+    * highest `seq` wins (last-writer-wins; callers must make `(id, seq)`
+    * unique — equal seqs tie-break deterministically on `op` so reruns
+    * agree, but such batches are malformed upstream). A winning `upsert`
+    * replaces (or inserts) the row's payload; a winning `delete` removes
+    * the id; untouched base rows pass through unchanged.
+    *
+    * Shuffle profile: one window over `changes` keyed on id (batch-sized,
+    * typically ≪ base) and one full-outer join keyed on id — the join is
+    * the only base-sized exchange, and on an id-bucketed base table even
+    * that one is shuffle-free on the base side. Nothing here is
+    * corpus-quadratic and no driver state exists at all.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, idCol: String,
+                   seqCol: String, opCol: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == idCol)
+    payload.foreach { c =>
+      require(changes.columns.contains(c),
+        s"changes is missing payload column $c") }
+    val perId = Window.partitionBy(col("__cid"))
+      .orderBy(col(seqCol).desc, col("__op").asc)
+    val latest = changes
+      .select(col(idCol).as("__cid") +: col(seqCol) +: col(opCol).as("__op") +:
+        payload.map(c => col(c).as(s"__c_$c")): _*)
+      .withColumn("__rn", row_number().over(perId))
+      .where(col("__rn") === 1)
+    base.join(latest, base(idCol) === latest("__cid"), "full_outer")
+      .where(col("__op").isNull || col("__op") =!= "delete")
+      .select(coalesce(base(idCol), col("__cid")).as(idCol) +:
+        payload.map(c =>
+          when(col("__op").isNotNull, col(s"__c_$c")).otherwise(base(c))
+            .as(c)): _*)
+  }
+
+  /** Deterministic training-epoch shuffle: assign every row a stable
+    * global position `epoch_pos ∈ [0, n)` that is a uniform pseudo-random
+    * permutation of the corpus, keyed by `md5(shuf:epoch:id)` — a new
+    * epoch seed gives an independent order, and the SAME epoch replays
+    * the SAME order on any cluster size or engine (the [[hashSplit]]
+    * portability discipline applied to data ordering — reproducible
+    * training runs need the shuffle to be a pure function of (epoch,
+    * id), not of RNG/partition state).
+    *
+    * Two-level decomposition instead of a global sort: rows hash into
+    * `nBuckets` buckets; each bucket ranks locally by (hash, id); global
+    * position = bucket offset + local rank, with offsets from a
+    * cumulative sum over the `nBuckets`-row bucket-size table. The only
+    * data-sized exchange is the one bucket-keyed shuffle — no
+    * range-partitioner sampling pass, no driver-side anything — and the
+    * per-reducer sort is corpus/nBuckets rows. The output order equals
+    * ORDER BY (bucket, hash, id), itself a uniform permutation.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val h = conv(substring(
+        md5(concat(lit(s"shuf:$epoch:"), col(idCol).cast("string"))), 1, 12),
+      16, 10).cast("long")
+    val withKey = df
+      .withColumn("__h", h)
+      .withColumn("__b", pmod(col("__h"), lit(nBuckets.toLong)))
+    val local = Window.partitionBy(col("__b"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val ranked = withKey.withColumn("__rn", row_number().over(local))
+    val offsets = withKey.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    ranked.join(broadcast(offsets), "__b")
+      .withColumn("epoch_pos", col("__off") + col("__rn") - 1)
+      .drop("__h", "__b", "__rn", "__off")
+  }
+
+  /** Top-`k` collocations by pointwise mutual information over adjacent
+    * word pairs: `pmi = ln(c_ab · N / (c_a · c_b))`, with `c_ab` the
+    * bigram count, `N` the corpus bigram total, and marginals `c_a`,
+    * `c_b` counted from the token stream (the bigram-table convention,
+    * Church & Hanks, CL 16(1) 1990). Pairs below `minCount` are noise
+    * (PMI's known low-frequency pathology) and are dropped before
+    * ranking.
+    *
+    * Shuffle profile: one bigram-keyed aggregation (map-side combined —
+    * partitions emit distinct-pair partials, not raw pairs), one
+    * vocabulary-sized unigram aggregation joined onto the pair table
+    * twice (vocab-sized build sides, auto-broadcast), and a top-k over
+    * the surviving pairs (per-partition heaps). Nothing corpus-sized
+    * ever sorts. Cross-engine bit parity: the PMI is emitted as `pmi_fp`
+    * = ⌊ln(·)·10^9⌋ over a pinned double-expression shape
+    * (`(double(c_ab) · N) / (c_a · c_b)`, one `ln`, one multiply, one
+    * floor) — every step is a single IEEE-754 op on identical inputs,
+    * so the BIGINT result is identical on any engine (decimal `round`
+    * dialects differ; floor doesn't). Ranking ties break on (w1, w2).
+    */
+  def pmiTopK(df: DataFrame, textCol: String, k: Int,
+              minCount: Long = 5L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(
+      TextFunctions.tokens(col(textCol)).as("__t")).where(size(col("__t")) > 0)
+    val bigrams = toks.select(explode(expr(
+        """transform(slice(__t, 1, greatest(size(__t) - 1, 0)),
+          |  (x, i) -> struct(x AS w1, element_at(__t, i + 2) AS w2))"""
+          .stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairCounts = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val uniCounts = toks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = bigrams.agg(count(lit(1)).as("nbig"))
+    pairCounts
+      .join(broadcast(uniCounts.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c", "c_a")), "w1")
+      .join(broadcast(uniCounts.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c", "c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_fp", floor(log(
+        (col("c_ab").cast("double") * col("nbig")) / (col("c_a") * col("c_b")))
+        * lit(1000000000.0)).cast("long"))
+      .orderBy(col("pmi_fp").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select("w1", "w2", "c_ab", "pmi_fp")
+  }
+
+  /** Corpus-wide blocklist census: `(phrase, n_docs, n_hits)` per phrase
+    * with at least one hit — the audit that sizes a blocklist BEFORE the
+    * destructive filter runs ("how much would this list remove?"). One
+    * Aho–Corasick pass per document ([[TextFunctions.blocklistCounts]]),
+    * then a phrase-keyed aggregation whose input rows are (int, long)
+    * pairs — map-side partial collapse means each partition contributes
+    * at most #phrases rows to the exchange, so the shuffle is
+    * #partitions × #phrases no matter the corpus size.
+    */
+  def blocklistCensus(df: DataFrame, textCol: String,
+                      phrases: Seq[String]): DataFrame =
+    df.select(posexplode(TextFunctions.blocklistCounts(
+        coalesce(col(textCol), lit("")), phrases)).as(Seq("__pi", "__cnt")))
+      .where(col("__cnt") > 0)
+      .groupBy("__pi")
+      .agg(count(lit(1)).as("n_docs"), sum("__cnt").as("n_hits"))
+      .select(element_at(array(phrases.map(lit): _*), col("__pi") + 1)
+        .as("phrase"), col("n_docs"), col("n_hits"))
+
+  /** Keep documents whose total blocklist hits are ≤ `maxHits` (0 = the
+    * C4 badwords gate: any hit drops the doc). Map-only — the filter
+    * fuses into the scan projection and nothing shuffles.
+    */
+  def blocklistFilter(df: DataFrame, textCol: String, phrases: Seq[String],
+                      maxHits: Long = 0L): DataFrame =
+    df.where(TextFunctions.blocklistHits(
+      coalesce(col(textCol), lit("")), phrases) <= maxHits)
 }

@@ -91,6 +91,175 @@ object Stats {
       .select("column", "n_rows", "n_nulls", "n_distinct")
   }
 
+  /** K-minimum-values (KMV) sketch of a column: the `k` smallest DISTINCT
+    * `md5` values — the mergeable bottom-k sketch of Bar-Yossef et al.
+    * (RANDOM '02) / Beyer et al. (SIGMOD '07), in the engine's portable
+    * hash convention (hex strings compare lexicographically ≡
+    * numerically, so any engine derives the identical sketch). Nulls are
+    * excluded (no distinct identity to hash).
+    *
+    * Shuffle profile: one hash-only distinct (32-byte hex, bodies never
+    * shuffle) + per-partition top-k heaps merged on the driver
+    * (TakeOrderedAndProject) — the sketch is k rows no matter the corpus
+    * size, and two sketches merge by unioning and re-taking the bottom-k,
+    * which is what makes per-shard / per-day sketches composable without
+    * re-reading the data.
+    */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"sketch size must be >= 1, got $k")
+    df.select(md5(col(valueCol).cast("string")).as("kmv_hash"))
+      .where(col("kmv_hash").isNotNull)
+      .distinct()
+      .orderBy("kmv_hash")
+      .limit(k)
+  }
+
+  /** Corpus-overlap estimation from two KMV sketches — "how much of
+    * yesterday's crawl is in today's?" answered from two k-row artifacts
+    * instead of a corpus×corpus join. The bottom-k of the UNION of the
+    * sketches is a uniform sample of the distinct-value union (each hash
+    * is a uniform draw), so the fraction of it present in BOTH sketches
+    * is the standard KMV Jaccard estimator Ĵ = |S_k(A∪B) ∩ Â ∩ B̂| / k
+    * (Beyer et al., SIGMOD '07), with standard error ≈ √(J(1−J)/k).
+    *
+    * Every stage after the two sketches joins ≤ k-row frames; the only
+    * data-sized work is building the sketches themselves (one hash-only
+    * distinct each — and persisted sketches skip even that).
+    *
+    * @return one row: `k_used` (=min(k, |A∪B| distinct) — the union
+    *   sketch size actually realized), `n_shared`, and
+    *   `est_jaccard = round(n_shared/k_used, 9)`
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
+                 k: Int): DataFrame = {
+    // The sketches are k rows BY CONSTRUCTION — fetching them is the
+    // point of a sketch (ship two k-row artifacts, not two corpora), so
+    // the union/intersection runs driver-side: two jobs total instead of
+    // re-running each sketch subtree under every set operation.
+    val skA = kmvSketch(a, valueCol, k).collect().map(_.getString(0)).toSet
+    val skB = kmvSketch(b, valueCol, k).collect().map(_.getString(0)).toSet
+    val unionK = (skA ++ skB).toSeq.sorted.take(k)
+    val kUsed = unionK.size.toLong
+    val shared = unionK.count(h => skA(h) && skB(h)).toLong
+    val est = if (kUsed == 0L) Double.NaN
+      else BigDecimal(shared.toDouble / kUsed)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((kUsed, shared, est)).toDF("k_used", "n_shared", "est_jaccard")
+  }
+
+  /** Bucket position of `value` in count–min row `row`: fold the first
+    * 12 hex chars of `md5(seed:row:value)` to a 48-bit integer, mod
+    * `width` — the engine's portable-hash convention ([[kmvSketch]],
+    * `Corpus.hashSplit`), so any engine derives the identical sketch.
+    */
+  private def cmsPos(value: org.apache.spark.sql.Column, row: Int,
+                     width: Int, seed: String): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(lit(s"$seed:$row:"), value)), 1, 12),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** Count–min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) of a
+    * column's value frequencies: `depth` hash rows × `width` buckets,
+    * materialized as a DataFrame `(r, pos, cnt)` of NON-EMPTY cells —
+    * ≤ depth×width rows no matter the corpus size. Point estimates never
+    * underestimate; overestimate ≤ 2N/width with prob ≥ 1−2^−depth.
+    *
+    * Why a sketch when [[profile]] can count exactly: the sketch is a
+    * bounded-size MERGEABLE artifact. Per-shard / per-day sketches add
+    * cell-wise ([[cmsMerge]]) without re-reading data — the rolling
+    * "token frequency over the last 30 crawls" a 100 TB pipeline keeps
+    * warm, where 30 exact counts would each shuffle the corpus' full
+    * distinct set ([[kmvSketch]]'s argument, applied to frequencies).
+    *
+    * Shuffle profile: one map-side-combined aggregation keyed on
+    * (r, pos) — each partition contributes ≤ depth×width partial cells
+    * to the exchange regardless of row count. Nulls are excluded (no
+    * distinct identity to count).
+    */
+  def cmsBuild(df: DataFrame, valueCol: String, depth: Int = 4,
+               width: Int = 1024, seed: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth out of [1,8]: $depth")
+    require(width >= 2, s"width too small: $width")
+    val v = col(valueCol).cast("string")
+    val cells = (0 until depth).map(r =>
+      struct(lit(r).as("r"), cmsPos(v, r, width, seed).as("pos")))
+    df.where(v.isNotNull)
+      .select(explode(array(cells: _*)).as("rp"))
+      .groupBy(col("rp.r").as("r"), col("rp.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise sum of two count–min sketches with identical
+    * (depth, width, seed) — the merge that makes per-shard sketches
+    * composable. Sketch-sized work only.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "pos").agg(sum("cnt").as("cnt"))
+
+  /** Point-frequency estimates for `keys` from a built sketch: per key,
+    * min over the depth rows of the key's cell count (0 when a cell is
+    * empty — the key was never seen on that row). Keys are a small probe
+    * list by contract; the join is against a ≤ depth×width-row frame
+    * (auto-broadcast), so estimation never touches the corpus.
+    */
+  def cmsEstimate(sketch: DataFrame, keys: Seq[String], depth: Int = 4,
+                  width: Int = 1024, seed: String = "cms"): DataFrame = {
+    require(keys.nonEmpty, "probe needs at least one key")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val cells = (0 until depth).map(r =>
+      struct(lit(r).as("r"), cmsPos(col("key"), r, width, seed).as("pos")))
+    keys.distinct.toDF("key")
+      .select(col("key"), explode(array(cells: _*)).as("rp"))
+      .select(col("key"), col("rp.r").as("r"), col("rp.pos").as("pos"))
+      .join(sketch, Seq("r", "pos"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Declarative data-quality audit (the Deequ/expectations pattern):
+    * evaluate every rule over the corpus in ONE aggregate pass and
+    * return `(rule, n_rows, n_violations, pass)` per rule, ordered by
+    * rule name. A rule is `(name, predicate-that-valid-rows-satisfy)`;
+    * a row violates it when the predicate is false OR null (null-hostile
+    * on purpose: `n_chars = length(text)` over a null row is unknown,
+    * and an audit that counts unknown as pass certifies garbage).
+    *
+    * `uniqueCols` adds key-uniqueness rules: violations = non-null rows
+    * beyond the first per value (`count(col) − count(distinct col)`).
+    * These share the same single pass but carry distinct-state — at
+    * 100 TB scale the distinct shuffle is the dominant cost, which is
+    * why uniqueness is opt-in rather than a default rule.
+    *
+    * Shuffle profile: one partial-aggregated scan producing a single
+    * #rules-wide row, pivoted to rows driver-free via an inline-array
+    * explode. Predicates fuse into the scan projection (codegen), so
+    * the audit costs one read of the columns the rules touch.
+    */
+  def expectations(df: DataFrame,
+                   rules: Seq[(String, org.apache.spark.sql.Column)],
+                   uniqueCols: Seq[(String, String)] = Nil): DataFrame = {
+    require(rules.nonEmpty || uniqueCols.nonEmpty, "audit needs >= 1 rule")
+    val names = rules.map(_._1) ++ uniqueCols.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate rule names: $names")
+    val violAggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__v_$i") }
+    val uniqAggs = uniqueCols.zipWithIndex.map { case ((_, c), i) =>
+      (count(col(c)) - count_distinct(col(c))).as(s"__u_$i") }
+    val aggs = violAggs ++ uniqAggs :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val cells = rules.indices.map(i =>
+        struct(lit(rules(i)._1).as("rule"), col(s"__v_$i").as("n_violations"))) ++
+      uniqueCols.indices.map(i =>
+        struct(lit(uniqueCols(i)._1).as("rule"), col(s"__u_$i").as("n_violations")))
+    one.select(col("__n"), explode(array(cells: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("__n").as("n_rows"),
+        col("r.n_violations").as("n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
+      .orderBy("rule")
+  }
+
   /** Exact linear-interpolation quantiles (the `percentile()` /
     * `quantile_cont` definition: index p·(n−1) over the sorted values,
     * fractional index interpolated). Nulls and NaNs are excluded.

@@ -178,6 +178,23 @@ object TextFunctions {
     regexp_replace(longDigits, "\\+?[0-9][0-9() .-]{5,}[0-9]", "<PHONE>")
   }
 
+  /** Per-phrase occurrence counts for a fixed blocklist in ONE
+    * Aho–Corasick pass: `array<long>` aligned with `phrases` (element i =
+    * non-overlapping occurrences of phrase i, `replace()`-count
+    * semantics). O(|text|) per document no matter how many phrases the
+    * list holds — the `contains`-per-phrase formulation this replaces is
+    * O(|text|·#phrases) and dominates a curation pass at the 10k-phrase
+    * blocklists (C4's badwords list, Dolma's filter lists) production
+    * pipelines actually run. Native codegen'd expression
+    * ([[graft.plans.MultiMatchCounts]]); map-only, nothing shuffles.
+    */
+  def blocklistCounts(text: Column, phrases: Seq[String]): Column =
+    graft.plans.MatchExpressions.multiMatchCounts(text, phrases)
+
+  /** Total blocklist hits per document (sum over [[blocklistCounts]]). */
+  def blocklistHits(text: Column, phrases: Seq[String]): Column =
+    aggregate(blocklistCounts(text, phrases), lit(0L), (acc, x) => acc + x)
+
   /** Overlapping word `n`-grams with multiplicity (NOT de-duplicated —
     * unlike [[wordShingles]]) — the frequency-counting form used by
     * repetition scoring. Documents with fewer than `n` tokens produce an

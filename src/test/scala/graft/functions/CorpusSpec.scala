@@ -1064,4 +1064,140 @@ class CorpusSpec extends SparkSpec {
       .collect().head
     assert(short.getLong(1) == 0L && short.getLong(2) == 0L && short.isNullAt(3))
   }
+
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("prioritySample ≡ brute-force priority sampling; estimators = max(w, τ)") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, 1L + (i * 37L) % 500L))
+    val df = rows.toDF("id", "w")
+    val k = 20
+    val got = Corpus.prioritySample(df, "id", col("w"), k, seed = "tst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+
+    // independent reimplementation: 20-bit md5 draw, 2^-20 fixed point
+    val scale = 1L << 20
+    val pri = rows.map { case (id, w) =>
+      val u = java.lang.Long.parseLong(md5hex(s"tst:$id").substring(0, 5), 16) + 1L
+      (id, w, (w * scale * scale) / u)
+    }
+    val ranked = pri.sortBy { case (id, _, p) => (-p, id) }
+    val tau = ranked(k)._3 // (k+1)-th priority
+    val expect = ranked.take(k)
+      .map { case (id, w, p) => (id, w, p, math.max(w * scale, tau)) }
+      .sortBy(_._1)
+    assert(got.toSeq == expect)
+    // structural facts: τ bounds every selected priority; est ≥ w
+    assert(got.forall { case (_, _, p, _) => p >= tau })
+    assert(got.forall { case (_, w, _, e) => e >= w * scale })
+    // unbiasedness smoke (deterministic under the fixed seed): Σ est over
+    // the sample tracks Σ w — k=20 of 300 concentrated weights, so a
+    // ±50 % band is far outside priority sampling's standard error.
+    // This band is what catches a scale/draw-range mismatch: a wrong
+    // fixed-point scale still ranks identically but yanks τ out of
+    // weight units and the estimator sum collapses to ~Σ top-k w.
+    val estSum = got.map(_._4).sum.toDouble / scale
+    val total = rows.map(_._2).sum.toDouble
+    assert(estSum > total * 0.5 && estSum < total * 1.5,
+      s"estimator sum $estSum vs true total $total")
+  }
+
+  test("epochShuffle: exact permutation, deterministic, epoch-independent") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val e1 = Corpus.epochShuffle(df, "id", epoch = 1, nBuckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // exact permutation of [0, n)
+    assert(e1.values.toSeq.sorted == (0L until 500L))
+    // matches the reference order: sort by (h mod 16, h, id)
+    val ref = (1L to 500L).map { id =>
+      val h = java.lang.Long.parseLong(
+        md5hex(s"shuf:1:$id").substring(0, 12), 16)
+      (id, h % 16, h)
+    }.sortBy { case (id, b, h) => (b, h, id) }
+      .zipWithIndex.map { case ((id, _, _), pos) => id -> pos.toLong }.toMap
+    assert(e1 == ref)
+    // a different epoch is a different permutation (and still exact)
+    val e2 = Corpus.epochShuffle(df, "id", epoch = 2, nBuckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(e2.values.toSeq.sorted == (0L until 500L))
+    assert(e1 != e2)
+    // bucket count does not change the distributional contract
+    val e1b = Corpus.epochShuffle(df, "id", epoch = 1, nBuckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(e1b.values.toSeq.sorted == (0L until 500L))
+  }
+
+  test("pmiTopK: counts and fixed-point PMI match a hand computation") {
+    import spark.implicits._
+    // corpus engineered so "x y" is a strong collocation and "a b" weak
+    val lines = Seq.fill(6)("x y") ++ Seq.fill(6)("a b") ++
+      Seq.fill(10)("a c") ++ Seq.fill(10)("d b") ++ Seq("e f")
+    val df = lines.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = Corpus.pmiTopK(df, "text", k = 10, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // every doc is one bigram: N = 33; c_x=c_y=6, c_a=c_b=16, c_c=c_d=10
+    def fp(cab: Long, ca: Long, cb: Long): Long =
+      math.floor(StrictMath.log(cab.toDouble * 33 / (ca * cb)) * 1e9).toLong
+    val want = Seq(
+      ("x", "y", 6L, fp(6, 6, 6)), ("e", "f", 0L, 0L), // e f below minCount
+      ("a", "c", 10L, fp(10, 16, 10)), ("d", "b", 10L, fp(10, 10, 16)),
+      ("a", "b", 6L, fp(6, 16, 16)))
+    // ranking: x y (ln 5.5) > {a c, d b} (equal PMI — tie on w1) > a b
+    val expect = want.filter(_._3 >= 5).sortBy(t => (-t._4, t._1, t._2))
+    assert(got.toSeq == expect)
+    assert(got.head._1 == "x" && got.head._2 == "y")
+  }
+
+  test("prioritySample: different seed → different sample; bad weight fails loudly") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, 1L + i % 7L)).toDF("id", "w")
+    val a = Corpus.prioritySample(df, "id", col("w"), 10, seed = "s1")
+      .collect().map(_.getLong(0)).toSet
+    val b = Corpus.prioritySample(df, "id", col("w"), 10, seed = "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(a != b, "independent seeds almost surely draw different samples")
+    val bad = (1L to 5L).map(i => (i, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Corpus.prioritySample(bad, "id", col("w"), 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("applyChanges: last-writer-wins, delete, insert, pass-through") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L), (5L, "e", 50L)).toDF("id", "text", "n")
+    val nulS = lit(null).cast("string"); val nulL = lit(null).cast("long")
+    val changes = Seq(
+      (2L, 1L, "upsert", Some("b1"), Some(21L)),
+      (2L, 2L, "upsert", Some("b2"), Some(22L)), // wins over seq 1
+      (3L, 1L, "delete", None, None),            // id 3 gone
+      (4L, 1L, "delete", None, None),
+      (4L, 2L, "upsert", Some("d2"), Some(42L)), // upsert after delete wins
+      (6L, 1L, "upsert", Some("new"), Some(60L)) // insert
+    ).toDF("id", "seq", "op", "text", "n")
+    val out = Corpus.applyChanges(base, changes, "id", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", 10L), (2L, "b2", 22L),
+      (4L, "d2", 42L), (5L, "e", 50L), (6L, "new", 60L)))
+    // delete with the highest seq beats a stale upsert
+    val del = Seq((1L, 1L, "upsert", Some("zz"), Some(99L)),
+      (1L, 2L, "delete", None, None)).toDF("id", "seq", "op", "text", "n")
+    val out2 = Corpus.applyChanges(base, del, "id", "seq", "op")
+      .collect().map(_.getLong(0)).sorted
+    assert(out2.toSeq == Seq(2L, 3L, 4L, 5L))
+    // missing payload column is a contract violation, caught eagerly
+    val bad = Seq((1L, 1L, "upsert", "zz")).toDF("id", "seq", "op", "text")
+    intercept[IllegalArgumentException] {
+      Corpus.applyChanges(base, bad, "id", "seq", "op")
+    }
+  }
 }

@@ -98,4 +98,115 @@ class StatsSpec extends SparkSpec {
       .head().getSeq[Double](0).toSeq
     assert(got == want, s"$got vs $want")
   }
+
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("kmvSketch: bottom-k distinct hashes, null-free, MERGEABLE") {
+    import spark.implicits._
+    val a = (1 to 60).map(i => s"v$i") ++ Seq("v1", "v2") // dups collapse
+    val df = (a.map(Option.apply) :+ None).toDF("x")
+    val k = 8
+    val got = Stats.kmvSketch(df, "x", k).collect().map(_.getString(0)).toSeq
+    val want = a.distinct.map(md5hex).sorted.take(k)
+    assert(got == want)
+    // merge property: sketch(A ∪ B) == bottom-k of (sketch(A) ∪ sketch(B))
+    val b = (40 to 100).map(i => s"v$i")
+    val skA = got.toSet
+    val skB = Stats.kmvSketch(b.toDF("x"), "x", k)
+      .collect().map(_.getString(0)).toSet
+    val merged = (skA ++ skB).toSeq.sorted.take(k)
+    val direct = Stats.kmvSketch((a ++ b).toDF("x"), "x", k)
+      .collect().map(_.getString(0)).toSeq
+    assert(merged == direct)
+  }
+
+  test("kmvOverlap: exact Jaccard when k covers the union; sliced fixture sane") {
+    import spark.implicits._
+    // |A|=60, |B|=40, |A∩B|=20 → J = 20/80
+    val a = (1 to 60).map(i => s"d$i").toDF("x")
+    val b = (41 to 80).map(i => s"d$i").toDF("x")
+    val r = Stats.kmvOverlap(a, b, "x", k = 200).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((80L, 20L)))
+    assert(r.getDouble(2) == 0.25)
+    // k below the union size: k_used = k, estimate in [0, 1]
+    val s = Stats.kmvOverlap(a, b, "x", k = 16).collect().head
+    assert(s.getLong(0) == 16L && s.getDouble(2) >= 0.0 && s.getDouble(2) <= 1.0)
+  }
+
+  /** Independent CMS position: fold 12 md5 hex chars, mod width. */
+  private def cmsPosRef(v: String, r: Int, width: Int, seed: String): Long =
+    java.lang.Long.parseLong(
+      md5hex(s"$seed:$r:$v").substring(0, 12), 16) % width
+
+  test("cmsBuild cells = exact bucket counts; estimate never underestimates") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => s"w${i % 37}") // 37 keys, skewed by mod
+    val df = (vals.map(Option.apply) :+ None).toDF("x")
+    val (depth, width) = (3, 16) // narrow on purpose: force collisions
+    val sk = Stats.cmsBuild(df, "x", depth, width, seed = "t")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference sketch
+    val truth = vals.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val refCells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for ((k, c) <- truth; r <- 0 until depth)
+      refCells((r, cmsPosRef(k, r, width, "t"))) =
+        refCells.getOrElse((r, cmsPosRef(k, r, width, "t")), 0L) + c
+    assert(sk == refCells.toMap)
+    // estimates: ≥ true count for present keys, = min over rows
+    val est = Stats.cmsEstimate(
+        Stats.cmsBuild(df, "x", depth, width, seed = "t"),
+        truth.keys.toSeq :+ "absent", depth, width, seed = "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, c) =>
+      assert(est(k) >= c, s"underestimate for $k: ${est(k)} < $c") }
+    val refEst = truth.keys.map(k => k ->
+      (0 until depth).map(r => refCells((r, cmsPosRef(k, r, width, "t")))).min)
+    refEst.foreach { case (k, e) => assert(est(k) == e) }
+    // absent key: min over its cells (0 if any cell empty)
+    val absentCells = (0 until depth)
+      .map(r => refCells.getOrElse((r, cmsPosRef("absent", r, width, "t")), 0L))
+    assert(est("absent") == absentCells.min)
+  }
+
+  test("expectations: null counts as violation, uniqueness, one-pass pivot") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType), StructField("s", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 10L, "a"), Row(2L, -3L, "b"), Row(2L, null, "c"),
+      Row(null, 5L, null), Row(4L, 7L, "a"))), schema)
+    val got = Stats.expectations(df,
+        Seq("id_not_null" -> col("id").isNotNull,
+          "v_positive" -> (col("v") > 0)),
+        uniqueCols = Seq("id_unique" -> "id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // v_positive: -3 fails, null v fails (null-hostile); id_unique:
+    // duplicate id=2 contributes 1 extra non-null row; null id ignored
+    assert(got.toSeq == Seq(
+      ("id_not_null", 5L, 1L, false),
+      ("id_unique", 5L, 1L, false),
+      ("v_positive", 5L, 2L, false)))
+    val clean = Stats.expectations(df.where(col("id").isNotNull && col("id") =!= 2),
+      Seq("id_not_null" -> col("id").isNotNull))
+      .collect().head
+    assert(clean.getBoolean(3))
+  }
+
+  test("cmsMerge ≡ sketch of the concatenated corpus") {
+    import spark.implicits._
+    val a = (1 to 200).map(i => s"k${i % 11}").toDF("x")
+    val b = (1 to 300).map(i => s"k${i % 7}").toDF("x")
+    val (depth, width) = (4, 32)
+    val merged = Stats.cmsMerge(
+        Stats.cmsBuild(a, "x", depth, width), Stats.cmsBuild(b, "x", depth, width))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Stats.cmsBuild(a.unionAll(b), "x", depth, width)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct)
+  }
 }
