@@ -172,22 +172,39 @@ object Stats {
     * warm, where 30 exact counts would each shuffle the corpus' full
     * distinct set ([[kmvSketch]]'s argument, applied to frequencies).
     *
-    * Shuffle profile: one map-side-combined aggregation keyed on
-    * (r, pos) — each partition contributes ≤ depth×width partial cells
-    * to the exchange regardless of row count. Nulls are excluded (no
-    * distinct identity to count).
+    * Shuffle profile, two shapes by `preAggregate`:
+    *  - `true` (default, right for token/word streams): count per VALUE
+    *    first (map-side combined, vocabulary-sized exchange), then hash
+    *    each distinct value once — md5 cost is depth × |vocab|, not
+    *    depth × |rows| (a 7× wall-clock cut on the fixture's token
+    *    stream). Wrong shape when values are near-unique: the value agg
+    *    would exchange the full distinct set.
+    *  - `false` (right for high-cardinality columns — ids, urls): hash
+    *    every row, aggregate straight on (r, pos) — the exchange is
+    *    ≤ depth×width partial cells per partition NO MATTER the
+    *    cardinality; values themselves never shuffle.
+    * Both produce the identical sketch. Nulls are excluded (no distinct
+    * identity to count).
     */
   def cmsBuild(df: DataFrame, valueCol: String, depth: Int = 4,
-               width: Int = 1024, seed: String = "cms"): DataFrame = {
+               width: Int = 1024, seed: String = "cms",
+               preAggregate: Boolean = true): DataFrame = {
     require(depth >= 1 && depth <= 8, s"depth out of [1,8]: $depth")
     require(width >= 2, s"width too small: $width")
     val v = col(valueCol).cast("string")
-    val cells = (0 until depth).map(r =>
-      struct(lit(r).as("r"), cmsPos(v, r, width, seed).as("pos")))
-    df.where(v.isNotNull)
-      .select(explode(array(cells: _*)).as("rp"))
-      .groupBy(col("rp.r").as("r"), col("rp.pos").as("pos"))
-      .agg(count(lit(1)).as("cnt"))
+    def cells(value: org.apache.spark.sql.Column) = (0 until depth).map(r =>
+      struct(lit(r).as("r"), cmsPos(value, r, width, seed).as("pos")))
+    if (preAggregate)
+      df.where(v.isNotNull)
+        .groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
+        .select(explode(array(cells(col("__v")): _*)).as("rp"), col("__c"))
+        .groupBy(col("rp.r").as("r"), col("rp.pos").as("pos"))
+        .agg(sum(col("__c")).as("cnt"))
+    else
+      df.where(v.isNotNull)
+        .select(explode(array(cells(v): _*)).as("rp"))
+        .groupBy(col("rp.r").as("r"), col("rp.pos").as("pos"))
+        .agg(count(lit(1)).as("cnt"))
   }
 
   /** Cell-wise sum of two count–min sketches with identical

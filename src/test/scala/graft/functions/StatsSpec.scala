@@ -208,5 +208,10 @@ class StatsSpec extends SparkSpec {
     val direct = Stats.cmsBuild(a.unionAll(b), "x", depth, width)
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(merged == direct)
+    // both shuffle shapes produce the identical sketch
+    val rowPath = Stats.cmsBuild(a.unionAll(b), "x", depth, width,
+        preAggregate = false)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rowPath == direct)
   }
 }
