@@ -130,6 +130,11 @@ object GraftSession {
     reg.createOrReplaceTempFunction("multi_match_counts",
       exprs => graft.plans.MultiMatchCounts(exprs(0),
         exprStringArray(exprs(1)).toIndexedSeq), "scala_udf")
+    // unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD'): the corpus-
+    // hygiene normalizer Spark's builtin surface lacks.
+    reg.createOrReplaceTempFunction("unicode_normalize",
+      exprs => graft.plans.UnicodeNormalize(exprs(0),
+        exprString(exprs(1))), "scala_udf")
     // mixture_copy_ids(stratum, key, map('en', 2.2, …), defaultWeight):
     // the DoReMi mixture resample from SQL text — returns the copy-id
     // array a row contributes (null when it contributes nothing), so the

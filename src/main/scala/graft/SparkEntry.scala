@@ -1609,6 +1609,24 @@ object SparkEntry {
           "text_nonempty" -> (length(col("text")) > 0)),
         uniqueCols = Seq("doc_id_unique" -> "doc_id"))),
 
+    // Unicode NFC normalization (native codegen'd expression): the
+    // fixture text is ASCII, so the query MANUFACTURES the decomposed
+    // form (every 'e' → 'e' + combining acute U+0301), normalizes it,
+    // and pins (a) the combining pairs composed away (length math) and
+    // (b) bytewise equality with the precomposed é replacement — the
+    // exact property that makes hash-dedup safe on mixed-encoder crawls.
+    // NFC is frozen by Unicode's stability policy, so the JDK and
+    // DuckDB's utf8proc agree on every assigned character.
+    "x_nfc" -> ((s, dir) => {
+      val dec = replace(col("text"), lit("e"), lit("e\u0301"))
+      val nfc = graft.functions.TextFunctions.unicodeNormalize(dec, "NFC")
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(dec).as("n_dec"), length(nfc).as("n_nfc"),
+          (nfc === replace(col("text"), lit("e"), lit("\u00e9")))
+            .as("composed_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Top-30 collocations by PMI (ln(c_ab·N/(c_a·c_b)), token-stream
     // marginals, min pair count 5): bigram-keyed agg + two broadcast
     // vocab joins + top-k heaps. The pinned double-expression shape
@@ -4112,6 +4130,16 @@ object SparkEntry {
         | UNION ALL SELECT 'text_nonempty', n_rows, CAST(v4 AS BIGINT) FROM t)
         |SELECT rule, n_rows, n_violations, n_violations = 0 AS pass
         |FROM rules ORDER BY rule""".stripMargin,
+
+    // The same manufactured decomposition through utf8proc's NFC:
+    // chr(769) = U+0301 combining acute, chr(233) = precomposed é.
+    "x_nfc" ->
+      """SELECT doc_id,
+        | length(replace(text, 'e', 'e' || chr(769))) AS n_dec,
+        | length(nfc_normalize(replace(text, 'e', 'e' || chr(769)))) AS n_nfc,
+        | nfc_normalize(replace(text, 'e', 'e' || chr(769)))
+        |   = replace(text, 'e', chr(233)) AS composed_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // PMI mirrored with the same pinned float shape: one double multiply
     // (c_ab × N), one divide by the BIGINT product c_a·c_b, one ln, one

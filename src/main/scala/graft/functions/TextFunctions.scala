@@ -178,6 +178,15 @@ object TextFunctions {
     regexp_replace(longDigits, "\\+?[0-9][0-9() .-]{5,}[0-9]", "<PHONE>")
   }
 
+  /** Unicode normalization as a codegen'd native expression
+    * ([[graft.plans.UnicodeNormalize]]): form ∈ NFC/NFD/NFKC/NFKD.
+    * Run before [[fingerprint]]/dedup — composed and decomposed
+    * encodings of the same text are different byte strings to every
+    * hash until normalized. ASCII rows take a scan-only fast path.
+    */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    graft.plans.UnicodeExpressions.unicodeNormalize(text, form)
+
   /** Per-phrase occurrence counts for a fixed blocklist in ONE
     * Aho–Corasick pass: `array<long>` aligned with `phrases` (element i =
     * non-overlapping occurrences of phrase i, `replace()`-count

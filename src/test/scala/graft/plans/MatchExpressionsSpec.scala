@@ -89,6 +89,42 @@ class MatchExpressionsSpec extends SparkSpec {
     assert(lax.toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("unicode_normalize: NFC composes, NFD decomposes, NFKC folds compat") {
+    val dec = "cafe\u0301"      // decomposed e + combining acute
+    val pre = "caf\u00e9"       // precomposed \u00e9
+    val lig = "\ufb01le"        // fi ligature (compatibility char)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, dec), Row(2L, pre), Row(3L, lig),
+        Row(4L, "plain ascii"), Row(5L, null))),
+      StructType(Seq(StructField("id", LongType), StructField("t", StringType))))
+    import graft.functions.TextFunctions.unicodeNormalize
+    val out = df.select(col("id"),
+        unicodeNormalize(col("t"), "NFC").as("nfc"),
+        unicodeNormalize(col("t"), "NFD").as("nfd"),
+        unicodeNormalize(col("t"), "NFKC").as("nfkc"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(out(1L) == ((pre, dec, pre)))
+    assert(out(2L) == ((pre, dec, pre)))
+    assert(out(3L) == ((lig, lig, "file"))) // NFC keeps the ligature, NFKC folds it
+    assert(out(4L) == (("plain ascii", "plain ascii", "plain ascii")))
+    assert(out(5L) == null)
+    // normalized dedup keys collapse the two encodings (the point of the op)
+    val keys = df.where(col("id").isin(1L, 2L))
+      .select(xxhash64(unicodeNormalize(col("t"), "NFC"))).distinct().count()
+    assert(keys == 1L)
+    // SQL registration + bad form fails loudly
+    graft.GraftSession.registerFunctions(spark)
+    df.createOrReplaceTempView("un_docs")
+    assert(spark.sql("SELECT unicode_normalize(t, 'NFC') FROM un_docs WHERE id = 1")
+      .collect().head.getString(0) == pre)
+    val e = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize(t, 'NFX') FROM un_docs").collect()
+    }
+    assert(e.getMessage.contains("NFX") || e.getCause != null)
+  }
+
   test("automaton scales: 1000-phrase list, counts still exact") {
     val many = (0 until 1000).map(i => s"tok$i")
     val text = "tok7 tok42 tok7 tok999 tok1000 tok99"
