@@ -127,6 +127,74 @@ class MultimodalSpec extends SparkSpec {
     assert((stub.getInt(1), stub.getInt(2), stub.getDouble(3)) == ((w, h, l)))
   }
 
+  test("GifCodec: real animated-GIF frames, still/1-frame agreement, codec-selectable near-dup") {
+    def frame(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      img
+    }
+    def gif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+      writer.dispose(); out.close()
+      bos.toByteArray
+    }
+    val (black, white, gray) = (frame(0x000000), frame(0xffffff), frame(0x808080))
+    // real multi-frame decode: 3 frames, each grid uniform at its luma
+    val grids = Multimodal.GifCodec.frameGrids(gif(Seq(black, white, gray)), 64)
+    assert(grids.length == 3)
+    assert(grids(0).forall(_ == 0) && grids(1).forall(_ == 255))
+    assert(grids(2).forall(c => c >= 120 && c <= 135))
+    // a still PNG and its 1-frame GIF produce the SAME grid (shared
+    // block-average path) — modality boundaries don't change fingerprints
+    val bosP = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(white, "png", bosP)
+    assert(Multimodal.ImageIoCodec.lumaGrid(bosP.toByteArray, 64).toSeq ==
+      grids(1).toSeq)
+    // codec-selectable near-dup: two GIFs sharing 2 real frames pair;
+    // one shared frame does not reach minShared. Frames must be
+    // PATTERNED — uniform colors all collapse to all-0/all-1 bit grids
+    // (every cell crosses the 127 threshold together), which is also
+    // why a real pHash thresholds against the median, not a constant.
+    def pat(p: (Int, Int) => Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, if (p(x, y)) 0xffffff else 0x000000)
+      img
+    }
+    val (f1, f2, f3) = (pat((x, _) => x < 4), pat((_, y) => y < 4),
+      pat((x, y) => (x + y) % 2 == 0))
+    val (f4, f5, f6) = (pat((x, _) => x >= 4), pat((_, y) => y >= 4),
+      pat((x, y) => x == y))
+    val a = gif(Seq(f1, f2, f3))
+    val b = gif(Seq(f2, f3, f4))
+    val c = gif(Seq(f5, f6, f1))
+    val df = spark.createDataFrame(Seq((1L, a), (2L, b), (3L, c)))
+      .toDF("media_id", "blob")
+    val m = Multimodal.asMediaTable(df, "media_id", "blob", "video", "gif")
+    val pairs = Multimodal.videoNearDupByFramesWith(m, Multimodal.GifCodec,
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a∩b = {f2, f3} pairs; a∩c = {f1} stays below minShared
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)))
+    // fail-loud on junk bytes
+    intercept[IllegalArgumentException] {
+      Multimodal.GifCodec.frameGrids("not a gif".getBytes, 64)
+    }
+    // the stub path is untouched by the codec's existence
+    val stubGrids = Multimodal.VideoStub(64).frameGrids(a, 64)
+    assert(stubGrids.length == (a.length + 63) / 64)
+  }
+
   test("audio: 16-bit LE framing, band locality, banded near-dup recall") {
     // pcmSamples: little-endian signed pairs, trailing odd byte ignored
     val s = Multimodal.AudioStub.pcmSamples(
