@@ -1482,6 +1482,26 @@ object SparkEntry {
           col("n_chars"), k = 50, seed = "ps")
         .orderBy("doc_id")),
 
+    // Stratified priority sampling: an independent weighted top-20 per
+    // language, each with its own τ and unbiased estimators — ONE
+    // group-keyed exchange, WindowGroupLimit heap-truncated before the
+    // shuffle. Same fixed-point discipline as x_weighted_sample.
+    "x_weighted_sample_lang" -> ((s, dir) =>
+      Corpus.prioritySampleByGroup(t(s, dir, "documents"), "doc_id",
+          col("n_chars"), "lang", k = 20, seed = "ps")
+        .orderBy("lang", "doc_id")),
+
+    // Last-touch attribution: every purchase credits the latest
+    // click/view/signup by the same user in the prior 7 days — one
+    // user-keyed window pass (running struct-max, integer microsecond
+    // arithmetic), no per-conversion joins, 'none' when nothing
+    // in-window precedes it.
+    "x_attribution" -> ((s, dir) =>
+      graft.functions.Events.lastTouchAttribution(t(s, dir, "events"),
+          "user_id", "ts", "event_type", Seq("click", "view", "signup"),
+          "purchase", 7L * 86400L * 1000000L)
+        .orderBy("event_id")),
+
     // Corpus-overlap estimation from two k-row KMV sketches: two
     // overlapping corpus slices (membership overlap ⇒ shared distinct
     // texts), Jaccard estimated from the bottom-k md5 union sample.
@@ -3971,6 +3991,48 @@ object SparkEntry {
         |SELECT doc_id, w, priority,
         | greatest(w * 1048576, COALESCE(tau, 0)) AS est_fp
         |FROM r, t WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+
+    // Per-language priority sampling: identical draw/scale math, rank
+    // and τ partitioned by lang (τ = each group's 21st priority).
+    "x_weighted_sample_lang" ->
+      """WITH p AS (
+        | SELECT lang, doc_id, n_chars AS w,
+        |  (n_chars * 1099511627776) // (1 + list_reduce(
+        |    list_transform(range(1, 6), i -> CAST(strpos('0123456789abcdef',
+        |      substr(md5('ps:' || CAST(doc_id AS VARCHAR)),
+        |        CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b)) AS priority
+        | FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY priority DESC, doc_id) AS rn FROM p),
+        |t AS (SELECT lang, max(CASE WHEN rn = 21 THEN priority END) AS tau
+        |      FROM r GROUP BY lang)
+        |SELECT r.lang, doc_id, w, priority,
+        | greatest(w * 1048576, COALESCE(tau, 0)) AS est_fp
+        |FROM r JOIN t ON r.lang = t.lang
+        |WHERE rn <= 20 ORDER BY r.lang, doc_id""".stripMargin,
+
+    // The same one-window attribution: running struct-max over the
+    // strictly-preceding frame, 7-day microsecond gate, 'none' rows
+    // keep null touch columns.
+    "x_attribution" ->
+      """WITH w AS (SELECT event_id, user_id, event_type, ts,
+        |  max(CASE WHEN event_type IN ('click', 'view', 'signup') THEN
+        |    {'us': epoch_us(ts), 'eid': event_id, 'et': event_type} END)
+        |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        | FROM events)
+        |SELECT event_id, user_id,
+        | CASE WHEN touch IS NOT NULL
+        |   AND epoch_us(ts) - touch.us <= 604800000000
+        |  THEN touch.et ELSE 'none' END AS touch_type,
+        | CASE WHEN touch IS NOT NULL
+        |   AND epoch_us(ts) - touch.us <= 604800000000
+        |  THEN touch.eid END AS touch_event,
+        | CASE WHEN touch IS NOT NULL
+        |   AND epoch_us(ts) - touch.us <= 604800000000
+        |  THEN epoch_us(ts) - touch.us END AS gap_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // KMV sketches are bottom-128 distinct md5 hex values per slice;
     // union sample = bottom-128 of their union; shared = members of both.

@@ -2253,6 +2253,41 @@ object Corpus {
           coalesce(col("__tau"), lit(0L))).as("est_fp"))
   }
 
+  /** [[prioritySample]] stratified: an independent top-`k` priority
+    * sample PER GROUP (per language, per source, per domain), each with
+    * its own threshold `τ_g` and unbiased per-group estimators — "give
+    * me 10k docs per language, weighted by length, with calibrated
+    * subset-sum estimates" in one pass. Seeding includes the key only
+    * (not the group), so a row keeps its draw even if regrouped.
+    *
+    * Shuffle profile: ONE group-keyed exchange. The rank ≤ k+1 filter
+    * over the group window is Spark's WindowGroupLimit shape — per-
+    * partition (group, heap) truncation BEFORE the exchange, so the
+    * shuffle carries ≤ (k+1) rows per group per partition, not the
+    * corpus; τ and estimators then run over ≤ (k+1)-row group frames.
+    */
+  def prioritySampleByGroup(df: DataFrame, idCol: String, weightCol: Column,
+                            groupCol: String, k: Int,
+                            seed: String = "ps"): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val (u, w) = fixedPointPriority(col(idCol), weightCol, seed)
+    val order = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(idCol).asc)
+    val whole = Window.partitionBy(col(groupCol))
+    df.withColumn("__w", w)
+      .withColumn("__u", u)
+      .withColumn("priority",
+        expr(s"(__w * ${PriorityScale * PriorityScale}L) div __u"))
+      .withColumn("__rn", row_number().over(order))
+      .where(col("__rn") <= k + 1)
+      .withColumn("__tau",
+        max(when(col("__rn") === k + 1, col("priority"))).over(whole))
+      .where(col("__rn") <= k)
+      .select(col(groupCol), col(idCol), col("__w").as("w"), col("priority"),
+        greatest(col("__w") * lit(PriorityScale),
+          coalesce(col("__tau"), lit(0L))).as("est_fp"))
+  }
+
   /** Apply a change-data-capture batch to a base snapshot — the MERGE
     * that keeps a continuously-crawled corpus current without rewriting
     * it from scratch (the maintenance counterpart of [[snapshotDiff]],

@@ -160,4 +160,43 @@ object Events {
       .groupBy(col("__d0").as("cohort_day"), col("__off").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Last-touch attribution: for every conversion event, the most recent
+    * preceding touch event by the same user within `windowUs` — the
+    * marketing-analytics primitive behind "which channel gets credit".
+    * Returns one row per conversion: (event_id, user, touch_type,
+    * touch_event, gap_us), with `touch_type = 'none'` (null touch
+    * columns) when no in-window touch precedes it.
+    *
+    * One user-keyed window pass over the stream — no per-conversion
+    * joins, no self-join: the candidate touch rides along as a running
+    * `max(struct(ts, event_id, type))` over the preceding frame
+    * (struct ordering is lexicographic, so "latest ts, ties to highest
+    * event id" is exactly the struct max — integer-exact, no floats).
+    * Strictly-preceding frame (`ROWS … 1 PRECEDING`), so a conversion
+    * at the same microsecond as a touch does NOT attribute to it —
+    * same-instant causality is not causality.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, touchTypes: Seq[String],
+                           convType: String, windowUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(windowUs > 0, s"window must be positive: $windowUs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(expr(s"unix_micros($tsCol)").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = max(when(col(typeCol).isin(touchTypes: _*),
+      struct(expr(s"unix_micros($tsCol)").as("us"),
+        col("event_id").as("eid"), col(typeCol).as("et")))).over(w)
+    val inWindow = col("__touch").isNotNull &&
+      (expr(s"unix_micros($tsCol)") - col("__touch.us")) <= windowUs
+    events.withColumn("__touch", touch)
+      .where(col(typeCol) === convType)
+      .select(col("event_id"), col(userCol).as("user_id"),
+        when(inWindow, col("__touch.et")).otherwise("none").as("touch_type"),
+        when(inWindow, col("__touch.eid")).as("touch_event"),
+        when(inWindow,
+          expr(s"unix_micros($tsCol)") - col("__touch.us")).as("gap_us"))
+  }
 }

@@ -1170,6 +1170,35 @@ class CorpusSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("prioritySampleByGroup ≡ independent prioritySample per group; small groups take all") {
+    import spark.implicits._
+    // three groups with distinct sizes: 200, 120, and 8 (< k) rows
+    val rows = (1L to 200L).map(i => (i, "en", 1L + (i * 37L) % 500L)) ++
+      (201L to 320L).map(i => (i, "fr", 1L + (i * 53L) % 300L)) ++
+      (321L to 328L).map(i => (i, "xx", 10L * i))
+    val df = rows.toDF("id", "lang", "w")
+    val k = 15
+    val got = Corpus.prioritySampleByGroup(df, "id", col("w"), "lang", k,
+        seed = "tst")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .groupBy(_._1).map { case (g, a) => g -> a.map(t =>
+        (t._2, t._3, t._4, t._5)).sortBy(_._1).toSeq }
+    // the per-group result IS prioritySample run on that group's slice:
+    // seeding is key-only, so draws are identical on the filtered frame
+    for (g <- Seq("en", "fr", "xx")) {
+      val solo = Corpus.prioritySample(df.where(col("lang") === g)
+          .select("id", "w"), "id", col("w"), k, seed = "tst")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      assert(got(g) == solo, s"group $g diverges from the per-slice sample")
+    }
+    // the < k group is taken whole with τ = 0 ⇒ est_fp = w · 2^20 exactly
+    assert(got("xx").size == 8)
+    assert(got("xx").forall { case (_, w, _, e) => e == w * (1L << 20) })
+  }
+
   test("applyChanges: last-writer-wins, delete, insert, pass-through") {
     import spark.implicits._
     val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),

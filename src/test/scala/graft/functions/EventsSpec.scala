@@ -104,4 +104,43 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(
       (100L, 0L) -> 1L, (100L, 2L) -> 1L, (101L, 0L) -> 1L))
   }
+
+  private def evId(rows: Seq[(Long, Long, Long, String)]) = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("us", LongType), StructField("event_type", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3, r._4))),
+      schema).select(col("event_id"), col("user_id"),
+      timestamp_micros(col("us")).as("ts"), col("event_type"))
+  }
+
+  test("lastTouchAttribution: latest in-window touch wins, strict precedence, ties by id") {
+    val events = evId(Seq(
+      // user 1: click@10 then view@20 → purchase@25 credits the view
+      (1L, 1L, 10L, "click"), (2L, 1L, 20L, "view"), (3L, 1L, 25L, "purchase"),
+      // user 2: touch outside the 100µs window → 'none'
+      (4L, 2L, 0L, "click"), (5L, 2L, 200L, "purchase"),
+      // user 3: touch at the SAME microsecond as the purchase → not causal
+      (6L, 3L, 50L, "click"), (7L, 3L, 50L, "purchase"),
+      // user 4: two touches at the same ts → higher event_id breaks the tie
+      (8L, 4L, 5L, "click"), (9L, 4L, 5L, "view"), (10L, 4L, 7L, "purchase"),
+      // user 5: a prior purchase is NOT a touch
+      (11L, 5L, 1L, "purchase"), (12L, 5L, 9L, "purchase"),
+      // user 6: window boundary is inclusive (gap == windowUs attributes)
+      (13L, 6L, 0L, "view"), (14L, 6L, 100L, "purchase")))
+    val out = Events.lastTouchAttribution(events, "user_id", "ts", "event_type",
+        Seq("click", "view"), "purchase", windowUs = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+         if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out == Map(
+      3L  -> (("view", Some(2L), Some(5L))),
+      5L  -> (("none", None, None)),
+      7L  -> (("none", None, None)),
+      10L -> (("view", Some(9L), Some(2L))),
+      11L -> (("none", None, None)),
+      12L -> (("none", None, None)),
+      14L -> (("view", Some(13L), Some(100L)))))
+  }
 }
