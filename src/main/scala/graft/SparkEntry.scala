@@ -4013,14 +4013,15 @@ object SparkEntry {
         |WHERE rn <= 20 ORDER BY r.lang, doc_id""".stripMargin,
 
     // The same one-window attribution: running struct-max over the
-    // strictly-preceding frame, 7-day microsecond gate, 'none' rows
-    // keep null touch columns.
+    // strictly-preceding RANGE frame (same-microsecond touches are
+    // excluded, and cannot shadow an earlier valid touch), 7-day
+    // microsecond gate, 'none' rows keep null touch columns.
     "x_attribution" ->
       """WITH w AS (SELECT event_id, user_id, event_type, ts,
         |  max(CASE WHEN event_type IN ('click', 'view', 'signup') THEN
         |    {'us': epoch_us(ts), 'eid': event_id, 'et': event_type} END)
-        |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
         | FROM events)
         |SELECT event_id, user_id,
         | CASE WHEN touch IS NOT NULL

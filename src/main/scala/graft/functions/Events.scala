@@ -173,27 +173,32 @@ object Events {
     * `max(struct(ts, event_id, type))` over the preceding frame
     * (struct ordering is lexicographic, so "latest ts, ties to highest
     * event id" is exactly the struct max — integer-exact, no floats).
-    * Strictly-preceding frame (`ROWS … 1 PRECEDING`), so a conversion
-    * at the same microsecond as a touch does NOT attribute to it —
-    * same-instant causality is not causality.
+    * Strictly-preceding RANGE frame (`RANGE … 1 PRECEDING` on the
+    * microsecond timestamp), so a conversion at the same microsecond
+    * as a touch does NOT attribute to it — same-instant causality is
+    * not causality. A RANGE frame (not ROWS) matters twice here: a
+    * same-instant touch is excluded even when it sorts as a preceding
+    * row, and it cannot shadow an earlier in-window touch that should
+    * get the credit.
     */
   def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
                            typeCol: String, touchTypes: Seq[String],
-                           convType: String, windowUs: Long): DataFrame = {
+                           convType: String, windowUs: Long,
+                           eventIdCol: String = "event_id"): DataFrame = {
     require(touchTypes.nonEmpty, "need at least one touch type")
     require(windowUs > 0, s"window must be positive: $windowUs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol))
-      .orderBy(expr(s"unix_micros($tsCol)").asc, col("event_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      .orderBy(expr(s"unix_micros($tsCol)").asc)
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val touch = max(when(col(typeCol).isin(touchTypes: _*),
       struct(expr(s"unix_micros($tsCol)").as("us"),
-        col("event_id").as("eid"), col(typeCol).as("et")))).over(w)
+        col(eventIdCol).as("eid"), col(typeCol).as("et")))).over(w)
     val inWindow = col("__touch").isNotNull &&
       (expr(s"unix_micros($tsCol)") - col("__touch.us")) <= windowUs
     events.withColumn("__touch", touch)
       .where(col(typeCol) === convType)
-      .select(col("event_id"), col(userCol).as("user_id"),
+      .select(col(eventIdCol).as("event_id"), col(userCol).as("user_id"),
         when(inWindow, col("__touch.et")).otherwise("none").as("touch_type"),
         when(inWindow, col("__touch.eid")).as("touch_event"),
         when(inWindow,

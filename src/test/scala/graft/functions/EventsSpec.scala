@@ -128,7 +128,9 @@ class EventsSpec extends SparkSpec {
       // user 5: a prior purchase is NOT a touch
       (11L, 5L, 1L, "purchase"), (12L, 5L, 9L, "purchase"),
       // user 6: window boundary is inclusive (gap == windowUs attributes)
-      (13L, 6L, 0L, "view"), (14L, 6L, 100L, "purchase")))
+      (13L, 6L, 0L, "view"), (14L, 6L, 100L, "purchase"),
+      // user 7: a same-instant touch must not SHADOW the earlier valid one
+      (15L, 7L, 40L, "click"), (16L, 7L, 50L, "view"), (17L, 7L, 50L, "purchase")))
     val out = Events.lastTouchAttribution(events, "user_id", "ts", "event_type",
         Seq("click", "view"), "purchase", windowUs = 100L)
       .collect().map(r => r.getLong(0) ->
@@ -141,6 +143,7 @@ class EventsSpec extends SparkSpec {
       10L -> (("view", Some(9L), Some(2L))),
       11L -> (("none", None, None)),
       12L -> (("none", None, None)),
-      14L -> (("view", Some(13L), Some(100L)))))
+      14L -> (("view", Some(13L), Some(100L))),
+      17L -> (("click", Some(15L), Some(10L)))))
   }
 }
