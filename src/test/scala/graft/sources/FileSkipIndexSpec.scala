@@ -58,6 +58,52 @@ class FileSkipIndexSpec extends SparkSpec {
     assert(counts.forall(c => c >= 1L && c < 8L), counts.toString)
   }
 
+  test("build params and format are stored; probe works from a persisted index") {
+    val first = index.head()
+    assert(first.getInt(5) == (1 << 14) && first.getInt(6) == 3 &&
+      first.getString(7) == "parquet")
+    // parquet round-trip: tomorrow's probe reads params from the artifact
+    val ip = java.nio.file.Files.createTempDirectory("fskip-idx").toString
+    index.write.mode("overwrite").parquet(ip)
+    val persisted = spark.read.parquet(ip)
+    val got = FileSkipIndex.probe(spark, persisted, table, "doc_id", Seq(123L))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(123L))
+  }
+
+  test("non-default params round-trip through the index (no free probe params)") {
+    val idx = FileSkipIndex.build(table, "doc_id", bloomBits = 1 << 10, numProbes = 5)
+    val r = idx.head()
+    assert(r.getInt(5) == (1 << 10) && r.getInt(6) == 5)
+    val got = FileSkipIndex.probe(spark, idx, table, "doc_id", Seq(0L, 250L))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(0L, 250L))
+  }
+
+  test("orc source: format is sniffed from the plan and used by probe") {
+    val d = java.nio.file.Files.createTempDirectory("fskip-orc").toString
+    table.write.mode("overwrite").orc(d)
+    val orc = spark.read.orc(d)
+    val idx = FileSkipIndex.build(orc, "doc_id")
+    assert(idx.head().getString(7) == "orc")
+    val got = FileSkipIndex.probe(spark, idx, orc, "doc_id", Seq(42L))
+      .select("doc_id", "lang").collect()
+    assert(got.length == 1 && got(0).getLong(0) == 42L)
+  }
+
+  test("an index mixing rows from two different builds is refused") {
+    val mixed = index.union(
+      FileSkipIndex.build(table, "doc_id", bloomBits = 1 << 10))
+    val e = intercept[IllegalArgumentException] {
+      FileSkipIndex.candidateFiles(mixed, Seq(1L)).collect()
+    }
+    assert(e.getMessage.contains("different builds"))
+    val e2 = intercept[IllegalArgumentException] {
+      FileSkipIndex.probe(spark, index.drop("fmt"), table, "doc_id", Seq(1L))
+    }
+    assert(e2.getMessage.contains("missing column"))
+  }
+
   test("no false negatives: every (file, id) pair passes its own candidate check") {
     val sample = table.select(col("_metadata.file_path").as("f"), col("doc_id"))
       .where(pmod(col("doc_id"), lit(11)) === 0)
