@@ -1647,10 +1647,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Top-30 collocations by PMI (ln(c_ab·N/(c_a·c_b)), token-stream
-    // marginals, min pair count 5): bigram-keyed agg + two broadcast
-    // vocab joins + top-k heaps. The pinned double-expression shape
-    // makes the PMI bits identical across engines.
+    // Top-30 collocations by PMI (token-stream marginals, min pair
+    // count 5): bigram-keyed agg + two broadcast vocab joins + top-k
+    // heaps. Output is exact integer counts; the rank key is the exact
+    // rational c_ab·N/(c_a·c_b) (same order as PMI — ln is monotone)
+    // via correctly-rounded double ops only, so no libm ln can flake.
     "x_pmi" -> ((s, dir) =>
       Corpus.pmiTopK(t(s, dir, "documents"), "text", k = 30, minCount = 5L)),
 
@@ -4204,9 +4205,10 @@ object SparkEntry {
         |   = replace(text, 'e', chr(233)) AS composed_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // PMI mirrored with the same pinned float shape: one double multiply
-    // (c_ab × N), one divide by the BIGINT product c_a·c_b, one ln, one
-    // ×10^9, one floor — bit-identical by IEEE-754 determinism.
+    // PMI mirrored as exact integers: the output is only counts, and
+    // the ranking rational c_ab·N/(c_a·c_b) uses double multiply/divide
+    // (correctly rounded by IEEE-754 — identical bits on any engine,
+    // which ln from a platform libm is NOT guaranteed to be).
     "x_pmi" ->
       """WITH tk AS (SELECT regexp_split_to_array(TRIM(text), '\s+') AS t
         |  FROM documents WHERE LENGTH(TRIM(text)) > 0),
@@ -4220,11 +4222,11 @@ object SparkEntry {
         |ucc AS (SELECT w, count(*) AS c FROM
         | (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
         |nb AS (SELECT count(*) AS nbig FROM bp)
-        |SELECT w1, w2, c_ab,
-        | CAST(FLOOR(LN((CAST(c_ab AS DOUBLE) * nbig) / (ca.c * cb.c))
-        |   * 1000000000) AS BIGINT) AS pmi_fp
+        |SELECT w1, w2, c_ab, ca.c AS c_a, cb.c AS c_b, nbig
         |FROM bc JOIN ucc ca ON ca.w = bc.w1 JOIN ucc cb ON cb.w = bc.w2, nb
-        |ORDER BY pmi_fp DESC, w1, w2 LIMIT 30""".stripMargin,
+        |ORDER BY (CAST(c_ab AS DOUBLE) * CAST(nbig AS DOUBLE))
+        |   / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) DESC, w1, w2
+        |LIMIT 30""".stripMargin,
 
     // The audio chain mirrored end-to-end over the (ASCII) text bytes:
     // 16-bit LE samples from byte pairs, odd-weighted stripe sums in

@@ -2380,12 +2380,16 @@ object Corpus {
     * vocabulary-sized unigram aggregation joined onto the pair table
     * twice (vocab-sized build sides, auto-broadcast), and a top-k over
     * the surviving pairs (per-partition heaps). Nothing corpus-sized
-    * ever sorts. Cross-engine bit parity: the PMI is emitted as `pmi_fp`
-    * = ⌊ln(·)·10^9⌋ over a pinned double-expression shape
-    * (`(double(c_ab) · N) / (c_a · c_b)`, one `ln`, one multiply, one
-    * floor) — every step is a single IEEE-754 op on identical inputs,
-    * so the BIGINT result is identical on any engine (decimal `round`
-    * dialects differ; floor doesn't). Ranking ties break on (w1, w2).
+    * ever sorts. Cross-engine exactness: the output carries only the
+    * EXACT integers `(c_ab, c_a, c_b, nbig)` — the PMI itself is
+    * `ln(c_ab·nbig/(c_a·c_b))`, one local `ln` away for a consumer —
+    * and the ranking key is the rational `c_ab·nbig/(c_a·c_b)` (the
+    * same ordering as PMI, since ln is monotone) evaluated as double
+    * multiply/divide only. IEEE-754 REQUIRES those ops (and the
+    * int→double conversions) to be correctly rounded, so any engine
+    * ranks identically; `ln` carries no such guarantee across libm
+    * implementations, which is why no transcendental appears in either
+    * the values or the sort key. Ranking ties break on (w1, w2).
     */
   def pmiTopK(df: DataFrame, textCol: String, k: Int,
               minCount: Long = 5L): DataFrame = {
@@ -2409,12 +2413,12 @@ object Corpus {
       .join(broadcast(uniCounts.withColumnRenamed("w", "w2")
         .withColumnRenamed("c", "c_b")), "w2")
       .crossJoin(broadcast(n))
-      .withColumn("pmi_fp", floor(log(
-        (col("c_ab").cast("double") * col("nbig")) / (col("c_a") * col("c_b")))
-        * lit(1000000000.0)).cast("long"))
-      .orderBy(col("pmi_fp").desc, col("w1").asc, col("w2").asc)
+      .withColumn("__ratio",
+        (col("c_ab").cast("double") * col("nbig").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double")))
+      .orderBy(col("__ratio").desc, col("w1").asc, col("w2").asc)
       .limit(k)
-      .select("w1", "w2", "c_ab", "pmi_fp")
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "nbig")
   }
 
   /** Corpus-wide blocklist census: `(phrase, n_docs, n_hits)` per phrase

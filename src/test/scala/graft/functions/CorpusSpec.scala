@@ -1132,7 +1132,7 @@ class CorpusSpec extends SparkSpec {
     assert(e1b.values.toSeq.sorted == (0L until 500L))
   }
 
-  test("pmiTopK: counts and fixed-point PMI match a hand computation") {
+  test("pmiTopK: exact counts, exact-rational ranking, hand computation") {
     import spark.implicits._
     // corpus engineered so "x y" is a strong collocation and "a b" weak
     val lines = Seq.fill(6)("x y") ++ Seq.fill(6)("a b") ++
@@ -1141,17 +1141,15 @@ class CorpusSpec extends SparkSpec {
       .toDF("id", "text")
     val got = Corpus.pmiTopK(df, "text", k = 10, minCount = 5L)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3)))
+        r.getLong(3), r.getLong(4), r.getLong(5)))
     // every doc is one bigram: N = 33; c_x=c_y=6, c_a=c_b=16, c_c=c_d=10
-    def fp(cab: Long, ca: Long, cb: Long): Long =
-      math.floor(StrictMath.log(cab.toDouble * 33 / (ca * cb)) * 1e9).toLong
-    val want = Seq(
-      ("x", "y", 6L, fp(6, 6, 6)), ("e", "f", 0L, 0L), // e f below minCount
-      ("a", "c", 10L, fp(10, 16, 10)), ("d", "b", 10L, fp(10, 10, 16)),
-      ("a", "b", 6L, fp(6, 16, 16)))
-    // ranking: x y (ln 5.5) > {a c, d b} (equal PMI — tie on w1) > a b
-    val expect = want.filter(_._3 >= 5).sortBy(t => (-t._4, t._1, t._2))
-    assert(got.toSeq == expect)
+    // ("e","f") is below minCount and must not appear
+    val want = Seq( // ranked by c_ab·N/(c_a·c_b): 5.5 > {a c, d b: 2.0625} > 0.77
+      ("x", "y", 6L, 6L, 6L, 33L),
+      ("a", "c", 10L, 16L, 10L, 33L), // equal ratios — tie on w1
+      ("d", "b", 10L, 10L, 16L, 33L),
+      ("a", "b", 6L, 16L, 16L, 33L))
+    assert(got.toSeq == want)
     assert(got.head._1 == "x" && got.head._2 == "y")
   }
 
