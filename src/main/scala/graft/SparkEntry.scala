@@ -1959,6 +1959,17 @@ object SparkEntry {
         .select(col("vec_id"), col("label")).orderBy("vec_id")
     }),
 
+    // Density clustering with a noise verdict (DBSCAN in cosine space,
+    // label-blocked ε-pairs): core = ≥ minPts ε-neighbors incl. self,
+    // cluster = min core id of the core-core component, border takes
+    // its smallest adjacent cluster — order-free, engine-exact.
+    "x_dbscan" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.dbscan(e, "vec_id", "embedding", "label",
+          minCos = 0.25, minPts = 4, saltBuckets = 4)
+        .orderBy("id")
+    }),
+
     // Batch kNN join: top-5 cosine neighbors for EVERY query vector in
     // one corpus scan (bounded top-k' aggregator keeps the shuffle
     // candidate-sized), exact-decimal rescore + rank — oracle is the full
@@ -6391,6 +6402,58 @@ object SparkEntry {
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT node FROM comps WHERE complabel <> node)
         |ORDER BY vec_id""".stripMargin,
+
+    // DBSCAN mirrored: the x_semdedup pair CTE at 0.25, neighbor counts
+    // over both pair directions, core = cnt+1 >= 4, min-label closure
+    // over CORE-core edges only, border = min adjacent core cluster.
+    "x_dbscan" ->
+      """WITH RECURSIVE z AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(unnest(a.embedding) AS DOUBLE) AS x,
+        |  CAST(unnest(b.embedding) AS DOUBLE) AS y
+        | FROM embeddings a JOIN embeddings b
+        |   ON a.label = b.label AND a.vec_id < b.vec_id),
+        |d AS (
+        | SELECT id_a, id_b,
+        |  SUM(CAST(x * y AS DECIMAL(30,15))) AS dot,
+        |  SUM(CAST(x * x AS DECIMAL(30,15))) AS na,
+        |  SUM(CAST(y * y AS DECIMAL(30,15))) AS nb
+        | FROM z GROUP BY id_a, id_b),
+        |cpairs AS (
+        | SELECT id_a, id_b FROM d
+        | WHERE ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) >= 0.25),
+        |adj AS (
+        | SELECT id_a AS id, id_b AS nbr FROM cpairs
+        | UNION ALL SELECT id_b, id_a FROM cpairs),
+        |cores AS (
+        | SELECT e.vec_id AS id FROM embeddings e
+        | WHERE 1 + (SELECT COUNT(*) FROM adj WHERE adj.id = e.vec_id) >= 4),
+        |cedges AS (
+        | SELECT p.id_a, p.id_b FROM cpairs p
+        | JOIN cores ca ON ca.id = p.id_a JOIN cores cb ON cb.id = p.id_b),
+        |cadj AS (
+        | SELECT id_a AS u, id_b AS v FROM cedges
+        | UNION SELECT id_b, id_a FROM cedges),
+        |reach AS (
+        | SELECT id AS node, id AS lab FROM cores
+        | UNION
+        | SELECT a.v AS node, r.lab FROM reach r JOIN cadj a ON a.u = r.node),
+        |clab AS (SELECT node AS id, MIN(lab) AS cluster FROM reach GROUP BY node),
+        |blab AS (
+        | SELECT adj.id, MIN(c.cluster) AS bc
+        | FROM adj JOIN clab c ON c.id = adj.nbr
+        |   JOIN cores co ON co.id = adj.nbr
+        | GROUP BY adj.id)
+        |SELECT e.vec_id AS id,
+        | CASE WHEN co.id IS NOT NULL THEN 'core'
+        |      WHEN b.bc IS NOT NULL THEN 'border'
+        |      ELSE 'noise' END AS role,
+        | CASE WHEN co.id IS NOT NULL THEN c.cluster ELSE b.bc END AS cluster
+        |FROM embeddings e
+        |LEFT JOIN cores co ON co.id = e.vec_id
+        |LEFT JOIN clab c ON c.id = e.vec_id
+        |LEFT JOIN blab b ON b.id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     "x_multimodal_bytes" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, n_chars

@@ -902,6 +902,74 @@ object Similarity {
     Dedup.dropNearDuplicates(df, idCol, pairs)
   }
 
+  /** Density-based clustering (DBSCAN, Ester et al. KDD'96) in cosine
+    * space — the clustering family member k-means can't imitate:
+    * clusters of arbitrary shape and an explicit NOISE verdict, which
+    * is what embedding-corpus curation wants for "dense topical cores
+    * vs isolated junk". ε-neighborhood = `cos ≥ minCos`; a node is
+    * `core` when its ε-neighborhood (self included, the paper's
+    * |N_ε(p)| ≥ minPts) has at least `minPts` members; `border` when
+    * non-core but ε-adjacent to a core; `noise` otherwise.
+    *
+    * Determinism (classic DBSCAN is scan-order-dependent on border
+    * assignment; this formulation is order-free and engine-exact):
+    * cluster label = the MINIMUM core id of the core's connected
+    * component (core-core ε-edges only), and a border node adjacent to
+    * several clusters takes the smallest label. Cosines come from
+    * [[cosineNearDupBlocked]]'s exact-decimal two-phase kernel.
+    *
+    * Scale shape: pair generation is the salted block equi-join (never
+    * an all-pairs nested loop; within-block recall is exact and
+    * cross-block ε-pairs are missed — the standard blocked-dedup trade,
+    * so grow block granularity with the corpus); neighbor counts are a
+    * map-side-combined aggregation over pair endpoints; the component
+    * step is `Dedup.connectedComponents`' O(log d) pointer jumping over
+    * CORE-core edges only (≤ the pair list); border assignment is one
+    * equi-join + min-aggregation on 8-byte ids. Nothing corpus-sized
+    * sorts, nothing collects.
+    *
+    * @return (id, role ∈ core|border|noise, cluster) — cluster is the
+    *         component's min core id, null for noise
+    */
+  def dbscan(df: DataFrame, idCol: String, vecCol: String,
+             blockCol: String, minCos: Double, minPts: Int,
+             saltBuckets: Int = 1): DataFrame = {
+    require(minPts >= 1, s"minPts must be positive: $minPts")
+    val pairs = cosineNearDupBlocked(df, idCol, vecCol, blockCol, minCos,
+      saltBuckets)
+    // both directions once: each ε-pair contributes to both endpoints
+    val adj = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    val nbrCnt = adj.groupBy("id").agg(count(lit(1)).as("__n"))
+    val nodes = df.select(col(idCol).cast("long").as("id"))
+      .join(nbrCnt, Seq("id"), "left")
+      .select(col("id"),
+        ((coalesce(col("__n"), lit(0L)) + 1L) >= minPts).as("is_core"))
+    val core = nodes.where(col("is_core")).select(col("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id_a")), "id_a")
+      .join(core.select(col("id").as("id_b")), "id_b")
+      .select("id_a", "id_b")
+    // cores in a component share its min id; a core with no core
+    // neighbor is its own singleton cluster (label = own id)
+    val coreLabel = core
+      .join(Dedup.connectedComponents(coreEdges), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
+    // border = non-core ε-adjacent to a core; smallest adjacent cluster
+    val borderLabel = adj
+      .join(coreLabel.withColumnRenamed("id", "nbr"), Seq("nbr"))
+      .groupBy("id").agg(min(col("cluster")).as("__bc"))
+    nodes
+      .join(coreLabel, Seq("id"), "left")
+      .join(borderLabel, Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_core"), lit("core"))
+          .when(col("__bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("is_core"), col("cluster"))
+          .otherwise(col("__bc")).as("cluster"))
+  }
+
   /** Deterministic spherical k-means over an embedding column with
     * CROSS-ENGINE-EXACT arithmetic — clustering as a first-class corpus
     * operator (topic balancing, diversity-aware selection, cluster-level

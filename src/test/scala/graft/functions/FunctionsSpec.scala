@@ -542,6 +542,56 @@ class FunctionsSpec extends SparkSpec {
     assert(got.subsetOf(clustered))
   }
 
+  // DBSCAN on crafted 2D geometry: angles make every ε-decision wide
+  // (margins ≫ float error), so roles and labels are hand-checkable.
+  test("dbscan: cores, border takes smallest adjacent cluster, noise, blocking") {
+    import spark.implicits._
+    def v(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // block 0: dense cluster A (0..6°, all pairwise cos ≥ cos6° ≈ .9945),
+    // border at 14° (ε-adjacent to 4° and 6° only at τ=.98 ≈ 11.5°),
+    // noise at 60°, dense cluster B at 90..96°.
+    // block 1: a point at 8° — inside A's ε-ball but UNREACHABLE across
+    // the block boundary, so it must come out noise.
+    val rows = Seq(
+      (1L, v(0), 0), (2L, v(2), 0), (3L, v(4), 0), (4L, v(6), 0),
+      (5L, v(14), 0), (6L, v(60), 0),
+      (7L, v(90), 0), (8L, v(92), 0), (9L, v(94), 0), (10L, v(96), 0),
+      (11L, v(8), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.dbscan(df, "vec_id", "embedding", "label",
+        minCos = 0.98, minPts = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ("core", Some(1L)), 2L -> ("core", Some(1L)),
+      3L -> ("core", Some(1L)), 4L -> ("core", Some(1L)),
+      5L -> ("border", Some(1L)), 6L -> ("noise", None),
+      7L -> ("core", Some(7L)), 8L -> ("core", Some(7L)),
+      9L -> ("core", Some(7L)), 10L -> ("core", Some(7L)),
+      11L -> ("noise", None)))
+    // looser minPts: the border point becomes core and joins cluster 1;
+    // at minPts=1 even the isolated points are singleton cores
+    val loose = Similarity.dbscan(df, "vec_id", "embedding", "label",
+        minCos = 0.98, minPts = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(loose(5L) == ("core", Some(1L)))
+    val single = Similarity.dbscan(df, "vec_id", "embedding", "label",
+        minCos = 0.98, minPts = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(single(6L) == ("core", Some(6L)) && single(11L) == ("core", Some(11L)))
+    // salted pair generation changes nothing
+    val salted = Similarity.dbscan(df, "vec_id", "embedding", "label",
+        minCos = 0.98, minPts = 4, saltBuckets = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(salted == got)
+  }
+
   test("editDistancePairs equals the naive quadratic join at several radii") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))
