@@ -1502,6 +1502,28 @@ object SparkEntry {
           "purchase", 7L * 86400L * 1000000L)
         .orderBy("event_id")),
 
+    // Compaction planning: pack (lang/source, total chars) segments
+    // into 10k-char bins by cumulative-quota packing — (size desc,
+    // name) order, bin = exclusive-prefix div target; the two-level
+    // band decomposition keeps the prefix sum single-reducer-free.
+    // (The file-listing path over _metadata is CompactionSpec's.)
+    "x_compaction" -> ((s, dir) => {
+      val seg = t(s, dir, "documents")
+        .groupBy(concat_ws("/", col("lang"), col("source")).as("seg"))
+        .agg(sum(col("n_chars")).as("sz"))
+      graft.sources.Compaction.plan(seg, "seg", "sz", targetBytes = 10000L)
+        .orderBy("name")
+    }),
+
+    // First-order Markov transition census: one user-keyed lag pass,
+    // pair-keyed agg with map-side partials (≤ #types² rows per
+    // partition), exact integer counts — MLE probability = n/n_from
+    // left to the consumer.
+    "x_transitions" -> ((s, dir) =>
+      graft.functions.Events.transitionCounts(t(s, dir, "events"),
+          "user_id", "ts", "event_type")
+        .orderBy("from_type", "to_type")),
+
     // Corpus-overlap estimation from two k-row KMV sketches: two
     // overlapping corpus slices (membership overlap ⇒ shared distinct
     // texts), Jaccard estimated from the bottom-k md5 union sample.
@@ -4046,6 +4068,32 @@ object SparkEntry {
         |   AND epoch_us(ts) - touch.us <= 604800000000
         |  THEN epoch_us(ts) - touch.us END AS gap_us
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // The plan's two-level prefix decomposition collapses to one plain
+    // exclusive cumsum over the identical (size DESC, name) total order.
+    "x_compaction" ->
+      """WITH seg AS (SELECT lang || '/' || source AS name,
+        |  CAST(SUM(n_chars) AS BIGINT) AS size
+        | FROM documents GROUP BY 1),
+        |c AS (SELECT name, size,
+        |  COALESCE(SUM(size) OVER (ORDER BY size DESC, name
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_start
+        | FROM seg)
+        |SELECT name, size, bin_start // 10000 AS bin, bin_start
+        |FROM c ORDER BY name""".stripMargin,
+
+    // The same lag pass: per-user (epoch_us, event_id) order, pair
+    // counts, from-type rollup as a window over the aggregated table.
+    "x_transitions" ->
+      """WITH seq AS (SELECT event_type AS to_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS from_type
+        | FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM seq
+        | WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | SUM(n) OVER (PARTITION BY from_type) AS n_from
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     // KMV sketches are bottom-128 distinct md5 hex values per slice;
     // union sample = bottom-128 of their union; shared = members of both.

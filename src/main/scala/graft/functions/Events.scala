@@ -204,4 +204,43 @@ object Events {
         when(inWindow,
           expr(s"unix_micros($tsCol)") - col("__touch.us")).as("gap_us"))
   }
+
+  /** First-order Markov transition census over per-user event sequences:
+    * for every ordered pair of event types, how often does `from`
+    * immediately precede `to` in some user's stream — the behavioral
+    * transition matrix behind next-action prediction, anomaly scoring
+    * ("this session's transitions are improbable") and funnel design
+    * (which steps users ACTUALLY take, vs the ones we hypothesized).
+    *
+    * Returns (from_type, to_type, n, n_from): `n` transitions observed,
+    * `n_from` = total transitions leaving `from_type` — so the MLE
+    * transition probability is the exact rational n / n_from, left to
+    * the consumer (no float in the output; the [[Corpus.pmiTopK]]
+    * exactness discipline).
+    *
+    * Sequence order is (unix_micros(ts), eventIdCol) per user — the
+    * attribution tiebreak, so equal-timestamp events have one
+    * well-defined order on any engine.
+    *
+    * Scale shape: ONE user-keyed window pass (lag) over the stream,
+    * then an aggregation whose exchange carries (type, type) pairs
+    * after map-side partials — at most #types² rows per partition, no
+    * matter the event volume; the `n_from` rollup is a #types²-sized
+    * window over the aggregated table, not the stream.
+    */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String,
+                       eventIdCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(expr(s"unix_micros($tsCol)").asc, col(eventIdCol).asc)
+    val counts = events
+      .select(col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .where(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    counts.withColumn("n_from",
+      sum(col("n")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("from_type"))))
+  }
 }

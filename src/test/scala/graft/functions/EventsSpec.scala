@@ -115,6 +115,23 @@ class EventsSpec extends SparkSpec {
       timestamp_micros(col("us")).as("ts"), col("event_type"))
   }
 
+  test("transitionCounts: per-user adjacency, tie order by event id, exact rollup") {
+    val events = evId(Seq(
+      // user 1: a → b → b → c
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "b"), (4L, 1L, 40L, "c"),
+      // user 2: same-ts pair ordered by event id → a → c, then c → a
+      (5L, 2L, 5L, "a"), (6L, 2L, 5L, "c"), (7L, 2L, 9L, "a"),
+      // user 3: single event — no transitions
+      (8L, 3L, 1L, "b")))
+    val got = Events.transitionCounts(events, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("a", "b") -> (1L, 2L), ("a", "c") -> (1L, 2L),
+      ("b", "b") -> (1L, 2L), ("b", "c") -> (1L, 2L),
+      ("c", "a") -> (1L, 1L)))
+  }
+
   test("lastTouchAttribution: latest in-window touch wins, strict precedence, ties by id") {
     val events = evId(Seq(
       // user 1: click@10 then view@20 → purchase@25 credits the view
