@@ -662,6 +662,18 @@ object SparkEntry {
         .orderBy("user_id", "h")
     }),
 
+    // Linear gap interpolation on the hourly grid — the fill rule
+    // forward-fill can't express; exact integer buckets, IEEE-only
+    // formula (no transcendentals), observed values pass through.
+    "x_interpolate" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          expr("unix_micros(ts) div 3600000000").as("t"))
+        .agg(dsum(col("value"), 6).as("v"))
+      graft.functions.Events.interpolate(hourly, "user_id", "t", "v")
+        .orderBy("user_id", "t")
+    }),
+
     // Per-language heavy hitters: one bounded-state MG aggregate per
     // group, exact recount against each group's own threshold.
     "x_heavy_by_lang" -> ((s, dir) =>
@@ -4068,6 +4080,31 @@ object SparkEntry {
         |   AND epoch_us(ts) - touch.us <= 604800000000
         |  THEN epoch_us(ts) - touch.us END AS gap_us
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // The same grid + neighbor-carry windows; the interpolation formula
+    // is mirrored op-for-op (conversions, one divide, multiply, add).
+    "x_interpolate" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 AS t,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+        | FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, unnest(range(mn, mx + 1)) AS t
+        | FROM (SELECT user_id, MIN(t) AS mn, MAX(t) AS mx FROM b GROUP BY 1)),
+        |j AS (SELECT g.user_id, g.t, b.v FROM g
+        | LEFT JOIN b ON b.user_id = g.user_id AND b.t = g.t),
+        |w AS (SELECT user_id, t, v,
+        |  last_value(CASE WHEN v IS NOT NULL THEN {'t': t, 'v': v} END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |  first_value(CASE WHEN v IS NOT NULL THEN {'t': t, 'v': v} END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+        | FROM j)
+        |SELECT user_id, t,
+        | CASE WHEN v IS NOT NULL THEN v
+        |  ELSE p.v + (n.v - p.v) *
+        |   (CAST(t - p.t AS DOUBLE) / CAST(n.t - p.t AS DOUBLE)) END AS v,
+        | CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS kind
+        |FROM w ORDER BY user_id, t""".stripMargin,
 
     // The plan's two-level prefix decomposition collapses to one plain
     // exclusive cumsum over the identical (size DESC, name) total order.

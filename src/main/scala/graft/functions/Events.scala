@@ -205,6 +205,62 @@ object Events {
           expr(s"unix_micros($tsCol)") - col("__touch.us")).as("gap_us"))
   }
 
+  /** Linear interpolation over a bucketed per-key time series — the
+    * gap-filling rule `x_resample`'s forward-fill can't express: a
+    * missing bucket strictly between two observed ones takes
+    * `v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev)`.
+    * Input is one row per OBSERVED (key, bucket) with `bucketCol` an
+    * integer grid index (bucket timestamps first: `unix_micros(ts) div
+    * step`) — integer buckets keep every time difference exact.
+    *
+    * Returns the full per-key grid [min bucket, max bucket] × step 1:
+    * (key, bucket, v, kind) with kind `obs` (value passed through
+    * untouched — never re-derived from the formula) or `interp`.
+    * Leading/trailing buckets outside the observed span don't exist by
+    * construction (the grid starts/ends at observations), so there is
+    * no extrapolation rule to get wrong.
+    *
+    * Determinism: the formula is int64→double conversions, one divide,
+    * one multiply, one add — all IEEE-correctly-rounded, so any engine
+    * reproduces the bits ([[Corpus.pmiTopK]]'s no-transcendentals
+    * discipline).
+    *
+    * Scale shape: the grid explodes from a per-key (min, max) aggregate
+    * (no driver-side time loop), and every window/join keys on the
+    * series key — nothing global, nothing quadratic. Dense-gap caveat:
+    * a key whose span is huge but observations sparse materializes its
+    * full grid; bound the bucket width accordingly.
+    */
+  def interpolate(df: DataFrame, keyCol: String, bucketCol: String,
+                  valCol: String): DataFrame = {
+    val obs = df.select(col(keyCol).as("__k"),
+      col(bucketCol).cast("long").as("__t"), col(valCol).cast("double").as("__v"))
+    val grid = obs.groupBy(col("__k"))
+      .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1"))
+      .select(col("__k"),
+        explode(sequence(col("__t0"), col("__t1"))).as("__t"))
+    val joined = grid.join(obs, Seq("__k", "__t"), "left")
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__t").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__t").asc)
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val prev = last(when(col("__v").isNotNull,
+      struct(col("__t").as("t"), col("__v").as("v"))), ignoreNulls = true).over(wPrev)
+    val next = first(when(col("__v").isNotNull,
+      struct(col("__t").as("t"), col("__v").as("v"))), ignoreNulls = true).over(wNext)
+    joined
+      .withColumn("__p", prev).withColumn("__n", next)
+      .select(col("__k").as(keyCol), col("__t").as(bucketCol),
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(col("__p.v") + (col("__n.v") - col("__p.v")) *
+            ((col("__t") - col("__p.t")).cast("double") /
+              (col("__n.t") - col("__p.t")).cast("double"))).as(valCol),
+        when(col("__v").isNotNull, lit("obs")).otherwise(lit("interp"))
+          .as("kind"))
+  }
+
   /** First-order Markov transition census over per-user event sequences:
     * for every ordered pair of event types, how often does `from`
     * immediately precede `to` in some user's stream — the behavioral

@@ -115,6 +115,29 @@ class EventsSpec extends SparkSpec {
       timestamp_micros(col("us")).as("ts"), col("event_type"))
   }
 
+  test("interpolate: exact line between observations, obs pass through, spans per key") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("t", LongType), StructField("v", DoubleType)))
+    val obs = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      // key 1: observed at 10 (1.0) and 14 (9.0) → 11,12,13 on the line
+      Row(1L, 10L, 1.0), Row(1L, 14L, 9.0),
+      // key 2: single observation → just itself
+      Row(2L, 5L, 4.5),
+      // key 3: flat segment and a second slope
+      Row(3L, 0L, 2.0), Row(3L, 2L, 2.0), Row(3L, 3L, 8.0))), schema)
+    val got = Events.interpolate(obs, "k", "t", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getString(3))).toMap
+    assert(got == Map(
+      (1L, 10L) -> (1.0, "obs"), (1L, 11L) -> (3.0, "interp"),
+      (1L, 12L) -> (5.0, "interp"), (1L, 13L) -> (7.0, "interp"),
+      (1L, 14L) -> (9.0, "obs"),
+      (2L, 5L) -> (4.5, "obs"),
+      (3L, 0L) -> (2.0, "obs"), (3L, 1L) -> (2.0, "interp"),
+      (3L, 2L) -> (2.0, "obs"), (3L, 3L) -> (8.0, "obs")))
+  }
+
   test("transitionCounts: per-user adjacency, tie order by event id, exact rollup") {
     val events = evId(Seq(
       // user 1: a → b → b → c
