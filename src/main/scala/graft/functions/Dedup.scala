@@ -539,6 +539,73 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
+  /** One comparator of a [[recordLinkage]] rule: fields `aCol`/`bCol`
+    * agree when their Levenshtein distance is ≤ `maxDist` (0 = exact
+    * equality); agreement contributes `weight` to the pair's score.
+    * Null on either side never agrees.
+    */
+  final case class LinkField(aCol: String, bCol: String, weight: Long,
+                             maxDist: Int = 0)
+
+  /** Scored record linkage across two tables (the Fellegi–Sunter
+    * agreement-weight shape, deterministic integer scoring): candidate
+    * pairs come from a BLOCKING equi-join (`aBlock = bBlock` — never a
+    * cartesian compare), each field comparator adds its weight when the
+    * two values agree within its edit tolerance, and pairs scoring
+    * below `minScore` are dropped. `keepBest` keeps one row per left
+    * record: highest score, ties to the smallest right id — the
+    * "which master record is this crawl duplicate of" resolution step
+    * that exact-key joins can't do once names have typos.
+    *
+    * Integer weights make every score exact (no float w-agreement
+    * logs — rank by weight sums, calibrate weights offline), and the
+    * per-pair comparators are Spark's codegen'd `levenshtein`, so the
+    * block join stays inside whole-stage codegen.
+    *
+    * Scale shape: ONE equi-join on the block key (salt upstream if a
+    * block is hot), per-pair map work only, and the keep-best step is a
+    * max-struct aggregation with map-side partials — no window over
+    * the pair stream. Block granularity bounds the quadratic term,
+    * exactly the [[Similarity.cosineNearDupBlocked]] trade.
+    *
+    * @return (id_a, id_b, score, n_agree), score ≥ minScore
+    */
+  def recordLinkage(a: DataFrame, b: DataFrame, aId: String, bId: String,
+                    aBlock: String, bBlock: String, fields: Seq[LinkField],
+                    minScore: Long, keepBest: Boolean = false): DataFrame = {
+    require(fields.nonEmpty, "need at least one field comparator")
+    require(fields.forall(f => f.weight > 0 && f.maxDist >= 0),
+      "weights must be positive, tolerances non-negative")
+    val left = a.select(col(aId).cast("long").as("id_a") +:
+      col(aBlock).as("__blk") +: fields.zipWithIndex.map { case (f, i) =>
+        col(f.aCol).as(s"__a$i") }: _*)
+    val right = b.select(col(bId).cast("long").as("id_b") +:
+      col(bBlock).as("__blk") +: fields.zipWithIndex.map { case (f, i) =>
+        col(f.bCol).as(s"__b$i") }: _*)
+    val agree = fields.zipWithIndex.map { case (f, i) =>
+      val d =
+        if (f.maxDist == 0) (col(s"__a$i") === col(s"__b$i"))
+        else levenshtein(col(s"__a$i"), col(s"__b$i")) <= f.maxDist
+      coalesce(d, lit(false))
+    }
+    val score = agree.zip(fields)
+      .map { case (ok, f) => when(ok, lit(f.weight)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val nAgree = agree
+      .map(ok => when(ok, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    val scored = left.join(right, "__blk")
+      .select(col("id_a"), col("id_b"), score.as("score"),
+        nAgree.as("n_agree"))
+      .where(col("score") >= minScore)
+    if (!keepBest) scored
+    else scored
+      .groupBy(col("id_a"))
+      .agg(max(struct(col("score"), (-col("id_b")).as("nb"),
+        col("n_agree"))).as("__best"))
+      .select(col("id_a"), (-col("__best.nb")).as("id_b"),
+        col("__best.score").as("score"), col("__best.n_agree").as("n_agree"))
+  }
+
   /** Content-fingerprint index of a corpus: the distinct 8-byte
     * fingerprints of `textCol` (or any fingerprint expression — e.g.
     * [[TextFunctions.minShingleFingerprint]] for edit-robust matching).

@@ -592,6 +592,38 @@ class FunctionsSpec extends SparkSpec {
     assert(salted == got)
   }
 
+  test("recordLinkage: weights, tolerance, threshold, keep-best ties, nulls") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, 1, "alice smith", "555-0001", "gold"),
+      (2L, 1, "bob jones", "555-0002", "iron"),
+      (3L, 2, "carol wu", null.asInstanceOf[String], "gold"))
+      .toDF("id", "blk", "name", "phone", "seg")
+    val b = Seq(
+      (10L, 1, "alice smith", "555-0001", "gold"),  // exact: 80
+      (11L, 1, "alice smyth", "555-0001", "iron"),  // name d=1 + phone: 70
+      (12L, 1, "zelda quux", "555-0002", "iron"),   // phone+seg only: 40 (drop)
+      (13L, 1, "bob jonesx", "555-0002", "iron"),   // name d=1+phone+seg: 80
+      (14L, 1, "bob jonesy", "555-0002", "iron"),   // same 80 — tie on id_b
+      (15L, 2, "carol wu", null.asInstanceOf[String], "gold"), // null ≠ null: 50
+      (16L, 3, "alice smith", "555-0001", "gold"))  // other block: no pair
+      .toDF("id", "blk", "name", "phone", "seg")
+    val fields = Seq(Dedup.LinkField("name", "name", 40L, 1),
+      Dedup.LinkField("phone", "phone", 30L), Dedup.LinkField("seg", "seg", 10L))
+    val all = Dedup.recordLinkage(a, b, "id", "id", "blk", "blk", fields,
+        minScore = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(all == Map(
+      (1L, 10L) -> (80L, 3L), (1L, 11L) -> (70L, 2L),
+      (2L, 13L) -> (80L, 3L), (2L, 14L) -> (80L, 3L),
+      (3L, 15L) -> (50L, 2L)))
+    val best = Dedup.recordLinkage(a, b, "id", "id", "blk", "blk", fields,
+        minScore = 50L, keepBest = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(best == Map(1L -> (10L, 80L), 2L -> (13L, 80L), 3L -> (15L, 50L)))
+  }
+
   test("editDistancePairs equals the naive quadratic join at several radii") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))
