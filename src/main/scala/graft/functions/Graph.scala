@@ -346,10 +346,13 @@ object Graph {
       }
     }
     e.unpersist(blocking = false)
-    val out = snap(ranks.select(col("id"), col("rank")))
-    if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
-    setup.unpersist(blocking = false)
-    out
+    // the last round always snapshotted `ranks`, so its lineage is
+    // already cut — a further output snapshot would only buy another
+    // job. `lastSnap` stays live (it backs the returned frame); `setup`
+    // is safe to release because the final snapshot no longer reads it.
+    if (iterations > 0 && !(lastSnap eq setup))
+      setup.unpersist(blocking = false)
+    ranks.select(col("id"), col("rank"))
   }
 
   /** k-core membership after `rounds` peeling passes: repeatedly remove
