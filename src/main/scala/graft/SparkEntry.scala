@@ -662,6 +662,16 @@ object SparkEntry {
         .orderBy("user_id", "h")
     }),
 
+    // Winsorize the event values at the exact discrete 2nd/98th
+    // percentile cuts: order statistics found by histogram bisection
+    // (never a global sort), map-only clamp with literal cuts; output
+    // doubles are element selections, so cross-engine bit-exact.
+    "x_winsorize" -> ((s, dir) =>
+      graft.functions.Stats.winsorize(
+          t(s, dir, "events").select(col("event_id"), col("value")),
+          "value", 0.02, 0.98, "v_w")
+        .orderBy("event_id")),
+
     // Linear gap interpolation on the hourly grid — the fill rule
     // forward-fill can't express; exact integer buckets, IEEE-only
     // formula (no transcendentals), observed values pass through.
@@ -4135,6 +4145,27 @@ object SparkEntry {
         |   AND epoch_us(ts) - touch.us <= 604800000000
         |  THEN epoch_us(ts) - touch.us END AS gap_us
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // Cuts mirrored as OFFSET element selection at rank ceil(p·n)−1 —
+    // the same discrete convention, no interpolation to diverge.
+    "x_winsorize" ->
+      """WITH v AS (SELECT value AS x FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |n AS (SELECT COUNT(*) AS c FROM v),
+        |cl AS (SELECT x FROM v ORDER BY x LIMIT 1 OFFSET
+        |  (SELECT GREATEST(CAST(ceil(0.02 * c) AS BIGINT) - 1, 0) FROM n)),
+        |ch AS (SELECT x FROM v ORDER BY x LIMIT 1 OFFSET
+        |  (SELECT LEAST(c - 1,
+        |     GREATEST(CAST(ceil(0.98 * c) AS BIGINT) - 1, 0)) FROM n)),
+        |o AS (SELECT event_id, value,
+        |  CASE WHEN value IS NULL OR isnan(value) THEN value
+        |   ELSE GREATEST((SELECT x FROM cl),
+        |     LEAST((SELECT x FROM ch), value)) END AS v_w
+        | FROM events)
+        |SELECT event_id, value, v_w,
+        | CASE WHEN value IS NULL OR isnan(value) THEN FALSE
+        |  ELSE value <> v_w END AS v_w_clipped
+        |FROM o ORDER BY event_id""".stripMargin,
 
     // The same grid + neighbor-carry windows; the interpolation formula
     // is mirrored op-for-op (conversions, one divide, multiply, add).

@@ -289,20 +289,57 @@ object Stats {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       s"probabilities must be in [0,1]: $probs")
     require(buckets >= 2 && maxCollect >= 1)
-    val vals = df.select(col(valueCol).cast("double").as("v"))
-      .where(col("v").isNotNull && !isnan(col("v")))
-    val head = vals.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
-      max(col("v")).as("hi")).head()
-    val n = head.getLong(0)
-    require(n > 0, s"exactQuantiles: no non-null values in $valueCol")
-    val (gLo, gHi) = (head.getDouble(1), head.getDouble(2))
+    val (vals, n, gLo, gHi) = headStats(df, valueCol)
 
     // 0-based fractional positions; the integer ranks we must materialize.
     val positions = probs.map(p => p * (n - 1))
     val needed: Seq[Long] = positions
       .flatMap(pos => Seq(math.floor(pos).toLong, math.ceil(pos).toLong))
       .distinct.sorted
+    val resolved = resolveRanks(vals, n, gLo, gHi, needed, buckets, maxCollect)
 
+    positions.map { pos =>
+      val (kLo, kHi) = (math.floor(pos).toLong, math.ceil(pos).toLong)
+      val (vLo, vHi) = (resolved(kLo), resolved(kHi))
+      if (kLo == kHi) vLo else vLo + (pos - kLo) * (vHi - vLo)
+    }
+  }
+
+  /** The EXACT data values at the given 0-based sorted ranks (nulls and
+    * NaNs excluded) — [[exactQuantiles]]' rank-resolution core without
+    * the interpolation step: every returned double is a value that
+    * OCCURS in the column, which is what order-statistic consumers
+    * ([[winsorize]]'s cut points, discrete quantiles) need for
+    * cross-engine bit-exactness — no interpolation arithmetic to
+    * diverge, just element selection.
+    */
+  def exactValueAtRanks(df: DataFrame, valueCol: String, ranks: Seq[Long],
+                        buckets: Int = 4096,
+                        maxCollect: Int = 1 << 20): Map[Long, Double] = {
+    require(ranks.nonEmpty && ranks.forall(_ >= 0L),
+      s"ranks must be non-negative: $ranks")
+    require(buckets >= 2 && maxCollect >= 1)
+    val (vals, n, gLo, gHi) = headStats(df, valueCol)
+    require(ranks.forall(_ < n), s"rank out of range (n=$n): $ranks")
+    resolveRanks(vals, n, gLo, gHi, ranks.distinct.sorted, buckets,
+      maxCollect).toMap
+  }
+
+  private def headStats(df: DataFrame,
+                        valueCol: String): (DataFrame, Long, Double, Double) = {
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+    val head = vals.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+      max(col("v")).as("hi")).head()
+    val n = head.getLong(0)
+    require(n > 0, s"no non-null values in $valueCol")
+    (vals, n, head.getDouble(1), head.getDouble(2))
+  }
+
+  private def resolveRanks(vals: DataFrame, n: Long, gLo: Double,
+                           gHi: Double, needed: Seq[Long], buckets: Int,
+                           maxCollect: Int)
+      : scala.collection.Map[Long, Double] = {
     var pending: Seq[Pending] = needed.map(r => Pending(r, gLo, gHi, r, n))
     val resolved = scala.collection.mutable.Map[Long, Double]()
 
@@ -404,11 +441,44 @@ object Stats {
         }
       }
     }
+    resolved
+  }
 
-    positions.map { pos =>
-      val (kLo, kHi) = (math.floor(pos).toLong, math.ceil(pos).toLong)
-      val (vLo, vHi) = (resolved(kLo), resolved(kHi))
-      if (kLo == kHi) vLo else vLo + (pos - kLo) * (vHi - vLo)
-    }
+  /** Winsorization: clamp a numeric column to its [pLow, pHigh]
+    * DISCRETE quantile cuts — the standard heavy-tail guard before any
+    * mean/variance-based scoring (a single corrupt 1e308 length can
+    * poison a z-scored quality signal; clipping at the 1st/99th
+    * percentile bounds the damage without dropping rows).
+    *
+    * Cuts are ORDER STATISTICS of the data (rank `ceil(p·n)`, 1-based,
+    * over the non-null non-NaN values — the lower discrete-quantile
+    * convention), found exactly by [[exactValueAtRanks]]' histogram
+    * bisection: every cut is a value that occurs in the column, and the
+    * clamp is pure element selection (greatest/least) — no arithmetic
+    * on the values, so output doubles are bit-identical on any engine.
+    *
+    * Scale shape: a handful of driver-coordinated counting passes to
+    * resolve two ranks (each a full-scan aggregate with bounded driver
+    * state — never a global sort), then ONE map-only clamp pass with
+    * the cuts as literals. Nulls/NaNs pass through unclamped.
+    *
+    * @return `df` + `outCol` (the clamped value) + `outCol_clipped`
+    */
+  def winsorize(df: DataFrame, valueCol: String, pLow: Double,
+                pHigh: Double, outCol: String = "winsorized"): DataFrame = {
+    require(pLow >= 0.0 && pHigh <= 1.0 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1: ($pLow, $pHigh)")
+    val (_, n, _, _) = headStats(df, valueCol)
+    def rank0(p: Double): Long =
+      math.min(n - 1, math.max(0L, math.ceil(p * n).toLong - 1L))
+    val (rLo, rHi) = (rank0(pLow), rank0(pHigh))
+    val cuts = exactValueAtRanks(df, valueCol, Seq(rLo, rHi))
+    val (loCut, hiCut) = (cuts(rLo), cuts(rHi))
+    val v = col(valueCol).cast("double")
+    val clamped = greatest(lit(loCut), least(lit(hiCut), v))
+    df.withColumn(outCol,
+        when(v.isNull || isnan(v), v).otherwise(clamped))
+      .withColumn(s"${outCol}_clipped",
+        when(v.isNull || isnan(v), lit(false)).otherwise(v =!= col(outCol)))
   }
 }

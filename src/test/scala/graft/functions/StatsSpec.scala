@@ -197,6 +197,38 @@ class StatsSpec extends SparkSpec {
     assert(clean.getBoolean(3))
   }
 
+  test("exactValueAtRanks returns occurring values at exact sorted positions") {
+    import spark.implicits._
+    val xs = Seq(5.0, 1.0, 9.0, 3.0, 3.0, 7.0, 2.0)
+    val df = xs.toDF("x")
+    val got = Stats.exactValueAtRanks(df, "x", Seq(0L, 3L, 6L))
+    val sorted = xs.sorted
+    assert(got == Map(0L -> sorted(0), 3L -> sorted(3), 6L -> sorted(6)))
+    intercept[IllegalArgumentException] {
+      Stats.exactValueAtRanks(df, "x", Seq(7L))
+    }
+  }
+
+  test("winsorize: cuts are order statistics, clamp is element selection, nulls pass") {
+    import spark.implicits._
+    // 100 values 1..100 plus an outlier pair and a null
+    val df = ((1 to 100).map(_.toDouble) ++ Seq(1e9, -1e9))
+      .map(Option(_)).:+(None).toDF("x")
+    val out = Stats.winsorize(df, "x", 0.02, 0.98, "w")
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Double]),
+        Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2)))
+    // n=102: lo rank ceil(.02*102)=3 → 3rd smallest = 2.0 (after -1e9, 1.0)
+    // hi rank ceil(.98*102)=100 → 100th = 99.0
+    val m = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m(Some(-1e9)) == (Some(2.0), true))
+    assert(m(Some(1e9)) == (Some(99.0), true))
+    assert(m(Some(1.0)) == (Some(2.0), true))
+    assert(m(Some(50.0)) == (Some(50.0), false))
+    assert(m(Some(99.0)) == (Some(99.0), false))
+    assert(m(Some(100.0)) == (Some(99.0), true))
+    assert(m(None) == (None, false))
+  }
+
   test("cmsMerge ≡ sketch of the concatenated corpus") {
     import spark.implicits._
     val a = (1 to 200).map(i => s"k${i % 11}").toDF("x")
