@@ -662,6 +662,19 @@ object SparkEntry {
         .orderBy("user_id", "h")
     }),
 
+    // Distribution drift between two corpus slices over a fixed
+    // reference binning: exact per-bin counts, |p_a−p_b| as an exact
+    // rational numerator over the common denominator — no float ratio,
+    // no log; nBins-sized exchanges only.
+    "x_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.functions.Stats.histogramDrift(
+          d.where(pmod(col("doc_id"), lit(3)) =!= 0),
+          d.where(pmod(col("doc_id"), lit(2)) === 0),
+          "n_chars", nBins = 24, lo = 0.0, hi = 600.0)
+        .orderBy("bin")
+    }),
+
     // Winsorize the event values at the exact discrete 2nd/98th
     // percentile cuts: order statistics found by histogram bisection
     // (never a global sort), map-only clamp with literal cuts; output
@@ -4145,6 +4158,29 @@ object SparkEntry {
         |   AND epoch_us(ts) - touch.us <= 604800000000
         |  THEN epoch_us(ts) - touch.us END AS gap_us
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // Same fixed binning (floor of identical double ops, edge clamp),
+    // HUGEINT cross products for the exact |p_a−p_b| numerator.
+    "x_drift" ->
+      """WITH g AS (SELECT unnest(range(0, 24)) AS bin),
+        |ha AS (SELECT LEAST(23, GREATEST(0,
+        |    CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 25.0) AS INT)))
+        |    AS bin, count(*) AS n_a
+        | FROM documents WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL
+        | GROUP BY 1),
+        |hb AS (SELECT LEAST(23, GREATEST(0,
+        |    CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 25.0) AS INT)))
+        |    AS bin, count(*) AS n_b
+        | FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        | GROUP BY 1),
+        |j AS (SELECT g.bin, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        | FROM g LEFT JOIN ha ON ha.bin = g.bin LEFT JOIN hb ON hb.bin = g.bin),
+        |tt AS (SELECT SUM(n_a) AS n_a_tot, SUM(n_b) AS n_b_tot FROM j)
+        |SELECT bin, 0.0 + bin * 25.0 AS lo_edge, n_a, n_b,
+        | ABS(CAST(n_a AS HUGEINT) * n_b_tot - CAST(n_b AS HUGEINT) * n_a_tot)
+        |   AS l1_num,
+        | n_a_tot, n_b_tot
+        |FROM j, tt ORDER BY bin""".stripMargin,
 
     // Cuts mirrored as OFFSET element selection at rank ceil(p·n)−1 —
     // the same discrete convention, no interpolation to diverge.

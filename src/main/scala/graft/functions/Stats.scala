@@ -444,6 +444,57 @@ object Stats {
     resolved
   }
 
+  /** Distribution drift between two corpus versions, as exact integers —
+    * "did the new crawl shift?" at the level `snapshotDiff` (row
+    * identity) and `profile` (single-corpus moments) can't see. Both
+    * sides histogram over the SAME fixed reference binning (explicit
+    * [lo, hi) × nBins — fixed edges are the production convention:
+    * yesterday's report stays comparable when today's outliers move),
+    * values outside the range clamp into the edge bins.
+    *
+    * Per bin: (bin, lo_edge, n_a, n_b, l1_num, n_a_tot, n_b_tot) where
+    * `l1_num = |n_a·n_b_tot − n_b·n_a_tot|` in DECIMAL — the numerator
+    * of |p_a − p_b| over the common denominator n_a_tot·n_b_tot, so the
+    * L1 drift (and any PSI-style score) is a consumer-side exact
+    * rational; no log, no float ratio in the output (the
+    * [[graft.functions.Corpus.pmiTopK]] discipline). Empty bins appear
+    * with zero counts — a bin present in A and absent in B is exactly
+    * the signal.
+    *
+    * Scale shape: two map-side-combined aggregations whose exchanges
+    * carry ≤ nBins rows per partition, one nBins-sized outer join —
+    * corpus size never shuffles.
+    */
+  def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                     nBins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 1, s"need at least one bin: $nBins")
+    require(lo < hi, s"need lo < hi: ($lo, $hi)")
+    val w = (hi - lo) / nBins
+    def binned(df: DataFrame, out: String): DataFrame =
+      df.select(col(valueCol).cast("double").as("__x"))
+        .where(col("__x").isNotNull && !isnan(col("__x")))
+        .select(least(lit(nBins - 1), greatest(lit(0),
+          floor((col("__x") - lit(lo)) / lit(w)).cast("int"))).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val grid = spark.createDataset(0 until nBins).toDF("bin")
+    val joined = grid
+      .join(binned(a, "n_a"), Seq("bin"), "left")
+      .join(binned(b, "n_b"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum(col("n_a")).as("n_a_tot"),
+      sum(col("n_b")).as("n_b_tot"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), (lit(lo) + col("bin") * lit(w)).as("lo_edge"),
+        col("n_a"), col("n_b"),
+        abs(col("n_a").cast(dec) * col("n_b_tot") -
+          col("n_b").cast(dec) * col("n_a_tot")).as("l1_num"),
+        col("n_a_tot"), col("n_b_tot"))
+  }
+
   /** Winsorization: clamp a numeric column to its [pLow, pHigh]
     * DISCRETE quantile cuts — the standard heavy-tail guard before any
     * mean/variance-based scoring (a single corrupt 1e308 length can

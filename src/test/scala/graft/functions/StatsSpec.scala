@@ -197,6 +197,25 @@ class StatsSpec extends SparkSpec {
     assert(clean.getBoolean(3))
   }
 
+  test("histogramDrift: fixed edges, out-of-range clamps, empty bins, exact rational") {
+    import spark.implicits._
+    val a = Seq(-5.0, 0.0, 1.0, 10.0, 11.0, 99.0).toDF("x") // bins (w=10): 0,0,0,1,1,3(clamp? 99/10=9→clamp 3)
+    val b = Seq(5.0, 25.0, 35.0, 200.0).toDF("x")           // bins: 0,2,3,3(clamp)
+    val got = Stats.histogramDrift(a, b, "x", nBins = 4, lo = 0.0, hi = 40.0)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3),
+          r.getDecimal(4).longValueExact(), r.getLong(5), r.getLong(6))))
+      .toMap
+    // a: -5→0, 0→0, 1→0, 10→1, 11→1, 99→3 ; b: 5→0, 25→2, 35→3, 200→3
+    assert(got == Map(
+      0 -> ((0.0, 3L, 1L, 3L * 4 - 1L * 6, 6L, 4L)),
+      1 -> ((10.0, 2L, 0L, 2L * 4, 6L, 4L)),
+      2 -> ((20.0, 0L, 1L, 6L, 6L, 4L)),
+      3 -> ((30.0, 1L, 2L, math.abs(1L * 4 - 2L * 6), 6L, 4L))))
+    // L1 drift = sum(l1_num) / (n_a_tot * n_b_tot) = (6+8+6+8)/24
+    assert(got.values.map(_._4).sum == 28L)
+  }
+
   test("exactValueAtRanks returns occurring values at exact sorted positions") {
     import spark.implicits._
     val xs = Seq(5.0, 1.0, 9.0, 3.0, 3.0, 7.0, 2.0)
