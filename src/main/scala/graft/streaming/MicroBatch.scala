@@ -341,6 +341,58 @@ object MicroBatch {
       }
   }
 
+  /** Streaming Markov transition census — the incremental counterpart
+    * of [[graft.functions.Events.transitionCounts]]: events
+    * `(user, epochUs, eventId, type)` key by user; state = the user's
+    * LAST event `(us, eventId, type)`. Each batch sorts its per-user
+    * slice by `(us, eventId)` (the batch tiebreak), chains it onto the
+    * remembered last event, and emits one `(from_type, to_type, n)`
+    * delta row per observed pair — so the global transition matrix is
+    * an idempotent `SUM` rollup of the emitted stream (foreachBatch
+    * upsert; a chained in-stream aggregation after
+    * flatMapGroupsWithState is a Spark restriction). Group-summing the
+    * emitted deltas equals the batch census on in-order epochs; an
+    * event sorting BEFORE the remembered last (out-of-order arrival)
+    * is dropped and does not advance the state — the same in-order
+    * contract as [[streamingFunnel]]/[[streamingRetention]]. State per
+    * user = 3 scalars, independent of event count.
+    */
+  def streamingTransitions(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, String)])
+      : org.apache.spark.sql.Dataset[(String, String, Long)] = {
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Long, Long, String)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, String)]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(String, String, Long)] =
+      org.apache.spark.sql.Encoders.product[(String, String, Long)]
+    events.groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (_: Long, vals: Iterator[(Long, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, String)]) =>
+          val sorted = vals.toSeq.sortBy(v => (v._2, v._3))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var last: Option[(Long, Long, String)] = state.getOption
+            val pairs = scala.collection.mutable.LinkedHashMap
+              .empty[(String, String), Long]
+            sorted.foreach { v =>
+              val inOrder = last.forall(l =>
+                v._2 > l._1 || (v._2 == l._1 && v._3 >= l._2))
+              if (inOrder) {
+                last.foreach { l =>
+                  val k = (l._3, v._4)
+                  pairs(k) = pairs.getOrElse(k, 0L) + 1L
+                }
+                last = Some((v._2, v._3, v._4))
+              } // else: out-of-order — dropped, state not advanced
+            }
+            last.foreach(state.update)
+            pairs.iterator.map { case ((f, t), n) => (f, t, n) }
+          }
+      }
+  }
+
   /** Exactly-once parquet batch sink for `foreachBatch`.
     *
     * `foreachBatch` gives AT-LEAST-once: after a crash between "batch

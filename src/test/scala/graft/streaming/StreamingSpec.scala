@@ -245,6 +245,42 @@ class StreamingSpec extends SparkSpec {
     assert(rolled == batch, s"rollup $rolled must equal batch $batch")
   }
 
+  test("streamingTransitions: delta rollup ≡ batch census; out-of-order dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (user, us, event_id, type): user 1 a→b→b→c split across batches
+    // (the b→b transition crosses the batch boundary through state);
+    // user 2 same-ts pair ordered by event id
+    val rows: Seq[(Long, Long, Long, String)] = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (1L, 30L, 3L, "b"), (1L, 40L, 4L, "c"),
+      (2L, 5L, 5L, "a"), (2L, 5L, 6L, "c"))
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val q = MicroBatch.streamingTransitions(input.toDS())
+      .writeStream.format("memory").queryName("transitions_inc")
+      .outputMode("update").start()
+    input.addData(rows.take(2) :+ rows(4)); q.processAllAvailable()
+    input.addData(Seq(rows(2), rows(3), rows(5))); q.processAllAvailable()
+    // an event sorting before user 1's last (us=40) must not emit or
+    // advance state
+    input.addData((1L, 25L, 9L, "z")); q.processAllAvailable()
+    val rolled = spark.table("transitions_inc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case (k, vs) => k -> vs.map(_._3).sum }
+    q.stop()
+    val batchDf = spark.createDataFrame(rows)
+      .toDF("user_id", "us", "event_id", "event_type")
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"),
+        col("event_type"))
+    val batch = graft.functions.Events.transitionCounts(
+        batchDf, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rolled == batch, s"rollup $rolled must equal batch $batch")
+    assert(batch == Map(("a", "b") -> 1L, ("b", "b") -> 1L,
+      ("b", "c") -> 1L, ("a", "c") -> 1L))
+  }
+
   test("stream-stream event-time join: clicks within lag of impressions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
