@@ -685,6 +685,16 @@ object SparkEntry {
           "value", 0.02, 0.98, "v_w")
         .orderBy("event_id")),
 
+    // Per-language winsorization: cuts computed independently per
+    // group from ONE group-keyed window pass (values sort within their
+    // group, never globally), #groups-sized cut table joined back.
+    "x_winsorize_lang" -> ((s, dir) =>
+      graft.functions.Stats.winsorizeByGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars")),
+          "n_chars", "lang", 0.05, 0.95, "v_w")
+        .orderBy("doc_id")),
+
     // Linear gap interpolation on the hourly grid — the fill rule
     // forward-fill can't express; exact integer buckets, IEEE-only
     // formula (no transcendentals), observed values pass through.
@@ -4158,6 +4168,30 @@ object SparkEntry {
         |   AND epoch_us(ts) - touch.us <= 604800000000
         |  THEN epoch_us(ts) - touch.us END AS gap_us
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // Same per-group rank selection: row_number + group count in one
+    // window, value at rank LEAST(n, GREATEST(1, ceil(p·n))).
+    "x_winsorize_lang" ->
+      """WITH v AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+        |r AS (SELECT g, x,
+        |  row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |  COUNT(*) OVER (PARTITION BY g) AS n FROM v),
+        |cuts AS (SELECT g,
+        |  MAX(CASE WHEN rn = LEAST(n, GREATEST(1,
+        |    CAST(ceil(0.05 * n) AS BIGINT))) THEN x END) AS lo,
+        |  MAX(CASE WHEN rn = LEAST(n, GREATEST(1,
+        |    CAST(ceil(0.95 * n) AS BIGINT))) THEN x END) AS hi
+        | FROM r GROUP BY g)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        | CASE WHEN d.n_chars IS NULL OR c.lo IS NULL
+        |  THEN CAST(d.n_chars AS DOUBLE)
+        |  ELSE GREATEST(c.lo, LEAST(c.hi, CAST(d.n_chars AS DOUBLE))) END AS v_w,
+        | CASE WHEN d.n_chars IS NULL OR c.lo IS NULL THEN FALSE
+        |  ELSE CAST(d.n_chars AS DOUBLE) <> GREATEST(c.lo,
+        |    LEAST(c.hi, CAST(d.n_chars AS DOUBLE))) END AS v_w_clipped
+        |FROM documents d LEFT JOIN cuts c ON d.lang IS NOT DISTINCT FROM c.g
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Same fixed binning (floor of identical double ops, edge clamp),
     // HUGEINT cross products for the exact |p_a−p_b| numerator.

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed exact order statistics.
@@ -442,6 +443,53 @@ object Stats {
       }
     }
     resolved
+  }
+
+  /** Per-group winsorization — [[winsorize]] with the cut points
+    * computed INDEPENDENTLY per group (per-language length clipping,
+    * per-source score clipping: one global cut is wrong the moment the
+    * groups have different scales). Same discrete `ceil(p·n)` order-
+    * statistic convention, same element-selection exactness.
+    *
+    * Scale shape differs from the global form: the cuts come from ONE
+    * group-keyed window pass (rank + per-group count inside the same
+    * sorted window — values sort within their group's partitions, never
+    * globally) producing a #groups-sized cut table that joins back on
+    * the group key (map-side after the aggregation, broadcast when
+    * small). Right when groups are many and individually bounded; for
+    * ONE giant group, [[winsorize]]'s bisection does the same job with
+    * bounded memory and no sort at all.
+    *
+    * Null/NaN VALUES pass through unclamped (flag false) and don't
+    * shift ranks; rows of a group with no clampable values pass
+    * through; a null GROUP is its own group (SQL grouping semantics).
+    */
+  def winsorizeByGroup(df: DataFrame, valueCol: String, groupCol: String,
+                       pLow: Double, pHigh: Double,
+                       outCol: String = "winsorized"): DataFrame = {
+    require(pLow >= 0.0 && pHigh <= 1.0 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1: ($pLow, $pHigh)")
+    val v = col(valueCol).cast("double")
+    val vals = df.select(col(groupCol).as("__g"), v.as("__x"))
+      .where(col("__x").isNotNull && !isnan(col("__x")))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__x").asc)
+    val ranked = vals
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+    def rank1(p: Double): Column =
+      least(col("__n"), greatest(lit(1L), ceil(lit(p) * col("__n")).cast("long")))
+    val cuts = ranked
+      .groupBy(col("__g"))
+      .agg(max(when(col("__rn") === rank1(pLow), col("__x"))).as("__lo"),
+        max(when(col("__rn") === rank1(pHigh), col("__x"))).as("__hi"))
+    val clamped = greatest(col("__lo"), least(col("__hi"), v))
+    df.join(cuts, df(groupCol) <=> cuts("__g"), "left")
+      .withColumn(outCol,
+        when(v.isNull || isnan(v) || col("__lo").isNull, v).otherwise(clamped))
+      .withColumn(s"${outCol}_clipped",
+        when(v.isNull || isnan(v) || col("__lo").isNull, lit(false))
+          .otherwise(v =!= col(outCol)))
+      .drop("__g", "__lo", "__hi")
   }
 
   /** Distribution drift between two corpus versions, as exact integers —

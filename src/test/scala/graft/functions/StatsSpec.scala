@@ -248,6 +248,36 @@ class StatsSpec extends SparkSpec {
     assert(m(None) == (None, false))
   }
 
+  test("winsorizeByGroup ≡ independent per-group winsorize; null group is a group") {
+    import spark.implicits._
+    val df = ((1 to 50).map(i => (Some("a"), Some(i.toDouble))) ++
+      Seq((Some("a"), Some(1e6))) ++
+      (1 to 20).map(i => (Some("b"), Some(i * 100.0))) ++
+      Seq((None: Option[String], Some(7.0)), (Some("a"), None: Option[Double])))
+      .toDF("g", "x")
+    val got = Stats.winsorizeByGroup(df, "x", "g", 0.05, 0.95, "w")
+      .collect().map(r => (Option(r.get(0)).map(_.toString),
+        Option(r.get(1)).map(_.asInstanceOf[Double])) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))))
+      .toMap
+    // group a: n=51; lo rank ceil(.05*51)=3 → 3.0; hi rank ceil(.95*51)=49 → 49.0
+    assert(got((Some("a"), Some(1e6))) == ((Some(49.0), true)))
+    assert(got((Some("a"), Some(1.0))) == ((Some(3.0), true)))
+    assert(got((Some("a"), Some(25.0))) == ((Some(25.0), false)))
+    // group b: n=20; lo rank 1 → 100.0; hi rank 19 → 1900.0
+    assert(got((Some("b"), Some(2000.0))) == ((Some(1900.0), true)))
+    assert(got((Some("b"), Some(500.0))) == ((Some(500.0), false)))
+    // null group: its own singleton group — rank 1 both cuts, unclipped
+    assert(got((None, Some(7.0))) == ((Some(7.0), false)))
+    // null value passes through
+    assert(got((Some("a"), None)) == ((None, false)))
+    // per-group cuts equal the global winsorize run on that group alone
+    val aOnly = Stats.winsorize(df.where(col("g") === "a"), "x", 0.05, 0.95, "w")
+      .collect().map(r => Option(r.get(1)).map(_.asInstanceOf[Double]) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(aOnly(Some(1e6)) == Some(49.0) && aOnly(Some(1.0)) == Some(3.0))
+  }
+
   test("cmsMerge ≡ sketch of the concatenated corpus") {
     import spark.implicits._
     val a = (1 to 200).map(i => s"k${i % 11}").toDF("x")
