@@ -1587,6 +1587,13 @@ object SparkEntry {
         .orderBy("name")
     }),
 
+    // 3-step journey census: one user-keyed k-lag window pass, path-
+    // keyed agg with map-side partials, minCount tail guard.
+    "x_paths" -> ((s, dir) =>
+      graft.functions.Events.pathCounts(t(s, dir, "events"),
+          "user_id", "ts", "event_type", k = 3, minCount = 5L)
+        .orderBy(col("n").desc, col("path"))),
+
     // First-order Markov transition census: one user-keyed lag pass,
     // pair-keyed agg with map-side partials (≤ #types² rows per
     // partition), exact integer counts — MLE probability = n/n_from
@@ -4274,6 +4281,20 @@ object SparkEntry {
         | FROM seg)
         |SELECT name, size, bin_start // 10000 AS bin, bin_start
         |FROM c ORDER BY name""".stripMargin,
+
+    // Same k-lag chain: two lags over the (epoch_us, event_id) order,
+    // full windows only, '>'-joined path strings.
+    "x_paths" ->
+      """WITH seq AS (SELECT
+        |  lag(event_type, 2) OVER w AS s0,
+        |  lag(event_type, 1) OVER w AS s1,
+        |  event_type AS s2
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
+        |FROM seq WHERE s0 IS NOT NULL AND s1 IS NOT NULL
+        |GROUP BY 1 HAVING count(*) >= 5
+        |ORDER BY n DESC, path""".stripMargin,
 
     // The same lag pass: per-user (epoch_us, event_id) order, pair
     // counts, from-type rollup as a window over the aggregated table.

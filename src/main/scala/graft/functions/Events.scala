@@ -261,6 +261,37 @@ object Events {
           .as("kind"))
   }
 
+  /** k-step path census — [[transitionCounts]] generalized to sliding
+    * windows of `k` CONSECUTIVE events per user: "which 3-step journeys
+    * actually happen, and how often" (the sequence-mining census behind
+    * funnel design and anomaly triage). A path is the '>'-joined type
+    * sequence; every length-k window of a user's (ts, id)-ordered
+    * stream counts once; paths below `minCount` are dropped.
+    *
+    * Scale shape: one user-keyed window pass building the k-lag chain
+    * (k small-constant lags over one sorted frame, no self-joins), then
+    * a path-keyed aggregation with map-side partials — the exchange
+    * carries distinct paths per partition, bounded by min(#types^k,
+    * partition rows); `minCount` is the tail guard at large k.
+    */
+  def pathCounts(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, k: Int, minCount: Long = 1L,
+                 eventIdCol: String = "event_id"): DataFrame = {
+    require(k >= 2, s"paths need at least 2 steps: $k")
+    require(minCount >= 1, s"minCount must be positive: $minCount")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(expr(s"unix_micros($tsCol)").asc, col(eventIdCol).asc)
+    val steps = (k - 1 to 0 by -1).map(j =>
+      if (j == 0) col(typeCol) else lag(col(typeCol), j).over(w))
+    events
+      .select(concat_ws(">", steps: _*).as("path"),
+        steps.map(_.isNotNull).reduce(_ && _).as("__full"))
+      .where(col("__full"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   /** First-order Markov transition census over per-user event sequences:
     * for every ordered pair of event types, how often does `from`
     * immediately precede `to` in some user's stream — the behavioral

@@ -138,6 +138,29 @@ class EventsSpec extends SparkSpec {
       (3L, 2L) -> (2.0, "obs"), (3L, 3L) -> (8.0, "obs")))
   }
 
+  test("pathCounts: sliding k-windows, cross-user isolation, minCount") {
+    val events = evId(Seq(
+      // user 1: a b c d → paths abc, bcd
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "c"), (4L, 1L, 40L, "d"),
+      // user 2: a b c → abc (n=2 with user 1's)
+      (5L, 2L, 1L, "a"), (6L, 2L, 2L, "b"), (7L, 2L, 3L, "c"),
+      // user 3: only 2 events — no 3-path
+      (8L, 3L, 1L, "a"), (9L, 3L, 2L, "b")))
+    val got = Events.pathCounts(events, "user_id", "ts", "event_type", k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a>b>c" -> 2L, "b>c>d" -> 1L))
+    val filtered = Events.pathCounts(events, "user_id", "ts", "event_type",
+        k = 3, minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(filtered == Map("a>b>c" -> 2L))
+    // k=2 degenerates to the transition census counts
+    val k2 = Events.pathCounts(events, "user_id", "ts", "event_type", k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trans = Events.transitionCounts(events, "user_id", "ts", "event_type")
+      .collect().map(r => s"${r.getString(0)}>${r.getString(1)}" -> r.getLong(2)).toMap
+    assert(k2 == trans)
+  }
+
   test("transitionCounts: per-user adjacency, tie order by event id, exact rollup") {
     val events = evId(Seq(
       // user 1: a → b → b → c
