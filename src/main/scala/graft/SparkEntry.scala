@@ -1587,6 +1587,13 @@ object SparkEntry {
         .orderBy("name")
     }),
 
+    // Per-session table (30-min gap): lag + running sum in one user-
+    // keyed window pass, (user, session)-keyed agg — exact micros.
+    "x_sessions" -> ((s, dir) =>
+      graft.functions.Events.sessionize(t(s, dir, "events"),
+          "user_id", "ts", gapUs = 1800000000L)
+        .orderBy("user", "session_seq")),
+
     // 3-step journey census: one user-keyed k-lag window pass, path-
     // keyed agg with map-side partials, minCount tail guard.
     "x_paths" -> ((s, dir) =>
@@ -4281,6 +4288,22 @@ object SparkEntry {
         | FROM seg)
         |SELECT name, size, bin_start // 10000 AS bin, bin_start
         |FROM c ORDER BY name""".stripMargin,
+
+    // Same lag + running-sum session ids, per-session min/max/count.
+    "x_sessions" ->
+      """WITH m AS (SELECT user_id AS user, event_id, epoch_us(ts) AS us,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+        |    > 1800000000 THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sid AS (SELECT user, us,
+        |  1 + SUM(new_s) OVER (PARTITION BY user ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM m)
+        |SELECT user, session_seq, MIN(us) AS start_us, MAX(us) AS end_us,
+        | count(*) AS n_events, MAX(us) - MIN(us) AS duration_us
+        |FROM sid GROUP BY user, session_seq
+        |ORDER BY user, session_seq""".stripMargin,
 
     // Same k-lag chain: two lags over the (epoch_us, event_id) order,
     // full windows only, '>'-joined path strings.

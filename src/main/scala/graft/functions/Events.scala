@@ -261,6 +261,42 @@ object Events {
           .as("kind"))
   }
 
+  /** Gap-based sessionization as a per-SESSION table: consecutive
+    * events of a user belong to one session while the gap stays ≤
+    * `gapUs`; a longer gap opens the next session. Returns one row per
+    * session — (user, session_seq (1-based), start_us, end_us,
+    * n_events, duration_us) — the table session-level metrics (bounce
+    * rate, dwell time, sessions/user) aggregate from.
+    *
+    * Exact integer microseconds throughout (the r_sessionize
+    * discipline); event order per user is (unix_micros, eventIdCol).
+    *
+    * Scale shape: one user-keyed window pass marks session starts
+    * (lag + running sum in the same sorted frame), then a
+    * (user, session)-keyed aggregation with map-side partials — both
+    * exchanges key on the user, nothing global.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gapUs: Long, eventIdCol: String = "event_id"): DataFrame = {
+    require(gapUs > 0, s"gap must be positive: $gapUs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user"))
+      .orderBy(col("__us").asc, col(eventIdCol).asc)
+    events
+      .select(col(userCol).as("user"), col(eventIdCol),
+        expr(s"unix_micros($tsCol)").as("__us"))
+      .withColumn("__new",
+        when(col("__us") - lag(col("__us"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__new")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)) + 1L)
+      .groupBy(col("user"), col("session_seq"))
+      .agg(min(col("__us")).as("start_us"), max(col("__us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
   /** k-step path census — [[transitionCounts]] generalized to sliding
     * windows of `k` CONSECUTIVE events per user: "which 3-step journeys
     * actually happen, and how often" (the sequence-mining census behind

@@ -138,6 +138,27 @@ class EventsSpec extends SparkSpec {
       (3L, 2L) -> (2.0, "obs"), (3L, 3L) -> (8.0, "obs")))
   }
 
+  test("sessionize: gap boundary inclusive, tie order, per-session aggregates") {
+    val g = 100L
+    val events = evId(Seq(
+      // user 1: gap exactly g stays in session; g+1 opens session 2
+      (1L, 1L, 0L, "a"), (2L, 1L, 100L, "b"), (3L, 1L, 201L, "c"),
+      (4L, 1L, 250L, "d"),
+      // user 2: single event
+      (5L, 2L, 7L, "a"),
+      // user 3: same-ts events collapse into one session regardless of id order
+      (6L, 3L, 50L, "a"), (7L, 3L, 50L, "b"), (8L, 3L, 400L, "c")))
+    val got = Events.sessionize(events, "user_id", "ts", gapUs = g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == Map(
+      (1L, 1L) -> (0L, 100L, 2L, 100L),
+      (1L, 2L) -> (201L, 250L, 2L, 49L),
+      (2L, 1L) -> (7L, 7L, 1L, 0L),
+      (3L, 1L) -> (50L, 50L, 2L, 0L),
+      (3L, 2L) -> (400L, 400L, 1L, 0L)))
+  }
+
   test("pathCounts: sliding k-windows, cross-user isolation, minCount") {
     val events = evId(Seq(
       // user 1: a b c d → paths abc, bcd
