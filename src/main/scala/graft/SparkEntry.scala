@@ -1587,6 +1587,15 @@ object SparkEntry {
         .orderBy("name")
     }),
 
+    // Multi-touch attribution: per-user range join executed as the
+    // (user, window-bin) equi-join — conversions explode over ≤ 2 bins,
+    // exact time gate prunes; credit = 1/n_touches exact rational.
+    "x_multitouch" -> ((s, dir) =>
+      graft.functions.Events.linearAttribution(t(s, dir, "events"),
+          "user_id", "ts", "event_type", Seq("click", "view", "signup"),
+          "purchase", 7L * 86400L * 1000000L)
+        .orderBy("event_id", "touch_event")),
+
     // Per-session table (30-min gap): lag + running sum in one user-
     // keyed window pass, (user, session)-keyed agg — exact micros.
     "x_sessions" -> ((s, dir) =>
@@ -4288,6 +4297,25 @@ object SparkEntry {
         | FROM seg)
         |SELECT name, size, bin_start // 10000 AS bin, bin_start
         |FROM c ORDER BY name""".stripMargin,
+
+    // The binned range join collapses to a plain inequality join in the
+    // oracle; zero-touch conversions kept via LEFT JOIN, n over pairs.
+    "x_multitouch" ->
+      """WITH tch AS (SELECT user_id AS u, epoch_us(ts) AS ut,
+        |  event_id AS touch_event, event_type AS touch_type
+        | FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |cv AS (SELECT user_id, epoch_us(ts) AS uc, event_id
+        | FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT cv.event_id, tch.touch_event, tch.touch_type,
+        |  cv.uc - tch.ut AS gap_us
+        | FROM cv JOIN tch ON tch.u = cv.user_id
+        |  AND tch.ut BETWEEN cv.uc - 604800000000 AND cv.uc - 1),
+        |pn AS (SELECT *, COUNT(*) OVER (PARTITION BY event_id) AS n_touches
+        | FROM p)
+        |SELECT cv.event_id, cv.user_id, pn.touch_event, pn.touch_type,
+        | pn.gap_us, COALESCE(pn.n_touches, 0) AS n_touches
+        |FROM cv LEFT JOIN pn ON pn.event_id = cv.event_id
+        |ORDER BY cv.event_id, pn.touch_event""".stripMargin,
 
     // Same lag + running-sum session ids, per-session min/max/count.
     "x_sessions" ->

@@ -328,6 +328,58 @@ object Events {
       .where(col("n") >= minCount)
   }
 
+  /** Linear (multi-touch) attribution — [[lastTouchAttribution]]'s
+    * winner-take-all rule replaced by equal credit over EVERY strictly-
+    * preceding in-window touch: one row per (conversion, touch) with
+    * `n_touches` alongside, so each touch's credit is the exact
+    * rational `1 / n_touches` (consumer-side — no float share in the
+    * output). Conversions with no in-window touch emit one row with
+    * null touch columns and `n_touches = 0`. Same gates as last-touch:
+    * strict precedence (a same-microsecond touch earns nothing),
+    * inclusive window boundary.
+    *
+    * Scale shape: this is a per-user RANGE join, executed as the
+    * binned equi-join (the [[graft.operators.RangeJoin]] recipe with
+    * the user key folded into the join key): touches land in one
+    * `windowUs`-wide time bin each, conversions explode over the ≤ 2
+    * bins their window covers, the join keys on (user, bin), and the
+    * exact time gate prunes the candidates. Never a per-user cross
+    * join; per-conversion fan-out is bounded by the touches actually
+    * in its window. The `n_touches` count rides a conversion-keyed
+    * window over the (already window-bounded) pair stream.
+    */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, touchTypes: Seq[String],
+                        convType: String, windowUs: Long,
+                        eventIdCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(windowUs > 0, s"window must be positive: $windowUs")
+    val us = expr(s"unix_micros($tsCol)")
+    def binOf(v: Column): Column =
+      ((v - pmod(v, lit(windowUs))) / lit(windowUs)).cast("long")
+    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), us.as("__ut"),
+        col(eventIdCol).as("touch_event"), col(typeCol).as("touch_type"))
+      .withColumn("__bin", binOf(col("__ut")))
+    val convs = events.where(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), us.as("__uc"),
+        col(eventIdCol).as("event_id"))
+    val cb = convs.withColumn("__bin",
+      explode(sequence(binOf(col("__uc") - windowUs), binOf(col("__uc") - 1))))
+    val pairs = cb.join(touches, Seq("__u", "__bin"))
+      .where(col("__ut").between(col("__uc") - windowUs, col("__uc") - 1))
+      .select(col("event_id"), col("touch_event"), col("touch_type"),
+        (col("__uc") - col("__ut")).as("gap_us"))
+    val n = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+    convs.select(col("event_id"), col("__u").as("user_id"))
+      .join(pairs.withColumn("n_touches", count(lit(1)).over(n)),
+        Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("touch_event"),
+        col("touch_type"), col("gap_us"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"))
+  }
+
   /** First-order Markov transition census over per-user event sequences:
     * for every ordered pair of event types, how often does `from`
     * immediately precede `to` in some user's stream — the behavioral

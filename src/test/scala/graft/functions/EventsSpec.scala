@@ -138,6 +138,34 @@ class EventsSpec extends SparkSpec {
       (3L, 2L) -> (2.0, "obs"), (3L, 3L) -> (8.0, "obs")))
   }
 
+  test("linearAttribution: every in-window touch credited equally, edges match lastTouch") {
+    val events = evId(Seq(
+      // user 1: two touches in window + one same-instant (excluded) +
+      // one outside the window
+      (1L, 1L, 0L, "click"), (2L, 1L, 60L, "view"), (3L, 1L, 150L, "click"),
+      (4L, 1L, 150L, "purchase"),
+      // user 2: no touches at all
+      (5L, 2L, 9L, "purchase"),
+      // user 3: boundary gap == windowUs attributes
+      (6L, 3L, 0L, "view"), (7L, 3L, 100L, "purchase")))
+    val got = Events.linearAttribution(events, "user_id", "ts", "event_type",
+        Seq("click", "view"), "purchase", windowUs = 100L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(5)))
+      .toSet
+    // conversion 4 (us=150, window [50,149]): touch 2 only (touch 1 at 0
+    // is outside, touch 3 same-instant excluded) → n=1
+    assert(got == Set(
+      (4L, Some(2L), 1L), (5L, None, 0L), (7L, Some(6L), 1L)))
+    // a conversion with BOTH touches in window splits credit: n=2 rows
+    val events2 = evId(Seq(
+      (1L, 1L, 10L, "click"), (2L, 1L, 20L, "view"), (3L, 1L, 50L, "purchase")))
+    val both = Events.linearAttribution(events2, "user_id", "ts", "event_type",
+        Seq("click", "view"), "purchase", windowUs = 100L)
+      .collect().map(r => (r.getLong(2), r.getLong(4), r.getLong(5))).toSet
+    assert(both == Set((1L, 40L, 2L), (2L, 30L, 2L)))
+  }
+
   test("sessionize: gap boundary inclusive, tie order, per-session aggregates") {
     val g = 100L
     val events = evId(Seq(
