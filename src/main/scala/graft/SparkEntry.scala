@@ -755,28 +755,28 @@ object SparkEntry {
 
     // Scored record linkage: customers vs a deterministically-corrupted
     // copy (every 3rd name reversed, every 7th typo'd, every 5th
-    // balance shifted), nation-blocked, integer agreement weights
-    // (name 40 w/ edit-tol 1, acctbal 30 exact, segment 10 exact),
+    // balance shifted), blocked on (nation, segment) — the composite
+    // blocking key bounds each block's quadratic term — with integer
+    // agreement weights (name 40 w/ edit-tol 1, acctbal 30 exact),
     // keep-best per left record with smallest-id ties. Exercises true
     // matches through typos, dropped below-threshold pairs, and
     // deterministic false positives from near-identical names — all
     // exact-integer scored.
     "x_linkage" -> ((s, dir) => {
       val c = t(s, dir, "customer")
+        .withColumn("c_blk", concat_ws("|", col("c_nationkey"), col("c_mktsegment")))
       val dirty = c.select((col("c_custkey") + 1000000L).as("d_id"),
-        col("c_nationkey").as("d_nation"),
+        col("c_blk").as("d_blk"),
         when(col("c_custkey") % 3 === 0, reverse(col("c_name")))
           .when(col("c_custkey") % 7 === 0, concat(col("c_name"), lit("x")))
           .otherwise(col("c_name")).as("d_name"),
         when(col("c_custkey") % 5 === 0, col("c_acctbal") + 1.0)
-          .otherwise(col("c_acctbal")).as("d_bal"),
-        col("c_mktsegment").as("d_seg"))
+          .otherwise(col("c_acctbal")).as("d_bal"))
       graft.functions.Dedup.recordLinkage(c, dirty, "c_custkey", "d_id",
-          "c_nationkey", "d_nation",
+          "c_blk", "d_blk",
           Seq(graft.functions.Dedup.LinkField("c_name", "d_name", 40L, 1),
-            graft.functions.Dedup.LinkField("c_acctbal", "d_bal", 30L),
-            graft.functions.Dedup.LinkField("c_mktsegment", "d_seg", 10L)),
-          minScore = 50L, keepBest = true)
+            graft.functions.Dedup.LinkField("c_acctbal", "d_bal", 30L)),
+          minScore = 40L, keepBest = true)
         .orderBy("id_a")
     }),
 
@@ -3728,29 +3728,28 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Linkage mirrored: same corruption, same integer weights, same
-    // nation blocking; keep-best = row_number over (score desc, id_b).
+    // (nation, segment) blocking; keep-best = row_number over
+    // (score desc, id_b).
     "x_linkage" ->
       """WITH dirty AS (SELECT c_custkey + 1000000 AS d_id,
-        |  c_nationkey AS d_nation,
+        |  c_nationkey || '|' || c_mktsegment AS d_blk,
         |  CASE WHEN c_custkey % 3 = 0 THEN reverse(c_name)
         |       WHEN c_custkey % 7 = 0 THEN c_name || 'x'
         |       ELSE c_name END AS d_name,
         |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1.0
-        |       ELSE c_acctbal END AS d_bal,
-        |  c_mktsegment AS d_seg
+        |       ELSE c_acctbal END AS d_bal
         | FROM customer),
         |scored AS (SELECT c.c_custkey AS id_a, d.d_id AS id_b,
         |  (CASE WHEN levenshtein(c.c_name, d.d_name) <= 1 THEN 40 ELSE 0 END
-        |   + CASE WHEN c.c_acctbal = d.d_bal THEN 30 ELSE 0 END
-        |   + CASE WHEN c.c_mktsegment = d.d_seg THEN 10 ELSE 0 END) AS score,
+        |   + CASE WHEN c.c_acctbal = d.d_bal THEN 30 ELSE 0 END) AS score,
         |  (CASE WHEN levenshtein(c.c_name, d.d_name) <= 1 THEN 1 ELSE 0 END
-        |   + CASE WHEN c.c_acctbal = d.d_bal THEN 1 ELSE 0 END
-        |   + CASE WHEN c.c_mktsegment = d.d_seg THEN 1 ELSE 0 END) AS n_agree
-        | FROM customer c JOIN dirty d ON c.c_nationkey = d.d_nation),
+        |   + CASE WHEN c.c_acctbal = d.d_bal THEN 1 ELSE 0 END) AS n_agree
+        | FROM customer c JOIN dirty d
+        |  ON c.c_nationkey || '|' || c.c_mktsegment = d.d_blk),
         |best AS (SELECT id_a, id_b, score, n_agree,
         |  row_number() OVER (PARTITION BY id_a
         |    ORDER BY score DESC, id_b) AS rn
-        | FROM scored WHERE score >= 50)
+        | FROM scored WHERE score >= 40)
         |SELECT id_a, id_b, CAST(score AS BIGINT) AS score,
         | CAST(n_agree AS BIGINT) AS n_agree
         |FROM best WHERE rn = 1 ORDER BY id_a""".stripMargin,

