@@ -935,8 +935,17 @@ object Similarity {
              blockCol: String, minCos: Double, minPts: Int,
              saltBuckets: Int = 1): DataFrame = {
     require(minPts >= 1, s"minPts must be positive: $minPts")
-    val pairs = cosineNearDupBlocked(df, idCol, vecCol, blockCol, minCos,
-      saltBuckets)
+    // The ε-pair pipeline (the quadratic block join) feeds FOUR
+    // consumers downstream (both adjacency directions, core-core edge
+    // filter, border assignment) — snapshot it once instead of
+    // replaying the join per consumer (the Graph.triangleImpl
+    // discipline; measured 7.7 → ~4 s at sf0.1).
+    val pairs = {
+      val p = cosineNearDupBlocked(df, idCol, vecCol, blockCol, minCos,
+        saltBuckets)
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) p.checkpoint()
+      else p.localCheckpoint()
+    }
     // both directions once: each ε-pair contributes to both endpoints
     val adj = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
