@@ -62,6 +62,23 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("round-10 ops: equi-join-sized candidates, no rescan window frames") {
+    Seq("x_dbscan", "x_linkage", "x_multitouch", "x_transitions",
+        "x_paths", "x_sessions", "x_compaction", "x_interpolate")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q fell back to an all-pairs nested loop")
+        assert(!p.contains("CartesianProduct"),
+          s"$q fell back to a cartesian product")
+      }
+    // the interpolation carries must be GROWING frames: an (unbounded
+    // following) frame is Spark's per-row partition rescan — O(span²)
+    // per key (the 37 s regression this pin prevents)
+    assert(!plan("x_interpolate").toLowerCase.contains("unboundedfollowing"),
+      "interpolate reintroduced a rescan (unbounded following) frame")
+  }
+
   test("r_asof_broadcast: custom exec present, probe side never shuffled") {
     val p = plan("r_asof_broadcast")
     assert(p.contains("BroadcastAsOfJoin"), p)
