@@ -212,10 +212,19 @@ object Graph {
       eSrc.select(col("src").as("id")).union(eSrc.select(col("dst").as("id")))
         .distinct().repartition(col("id")).sortWithinPartitions("id"))
     val dec = DecimalType(30, 15)
-    // the raw-score table is SNAPPED before the normalizer reads it:
-    // the 1-row Σx² aggregate and the normalized projection both consume
-    // the snapshot, so the data-sized contribution join+agg runs exactly
-    // once per half-round (lazy, it would run twice)
+    // the raw-score table is CACHED (lazy persist) before the
+    // normalizer reads it: the 1-row Σx² aggregate and the normalized
+    // projection both consume the cache, so the data-sized contribution
+    // join+agg runs once per half-round — WITHOUT an eager
+    // materialization job per half-round (a checkpoint here cost
+    // 2 driver-coordinated jobs per round; the caches materialize
+    // inside the single output job instead, from a per-round bounded
+    // plan since InMemoryRelation truncates downstream planning). Every
+    // cache stays live until the output snapshot has materialized — an
+    // in-loop release would cascade recomputation of BOTH consumers
+    // through every earlier round.
+    val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cache(df: DataFrame): DataFrame = { val p = df.persist(); live += p; p }
     def normalized(full: DataFrame, rawCol: String, outCol: String): DataFrame = {
       val s2 = full.agg(
         sum((col(rawCol) * col(rawCol)).cast(dec)).cast("double").as("__s2"))
@@ -227,39 +236,32 @@ object Graph {
     }
     var hubs = nodes.withColumn("h", lit(1.0))
     var auth: DataFrame = null
-    var lastH: DataFrame = null
-    var lastA: DataFrame = null
     withLoopConf(edges.sparkSession) {
       for (_ <- 1 to rounds) {
         val aRaw = eSrc.join(hubs, eSrc("src") === hubs("id"))
           .groupBy(eSrc("dst"))
           .agg(sum(col("h").cast(dec)).cast("double").as("__ar"))
-        val aFull = snap(nodes.join(aRaw, nodes("id") === aRaw("dst"), "left")
+        val aFull = cache(nodes.join(aRaw, nodes("id") === aRaw("dst"), "left")
           .select(col("id"), coalesce(col("__ar"), lit(0.0)).as("__ar"))
           .repartition(col("id")).sortWithinPartitions("id"))
-        val a = normalized(aFull, "__ar", "a")
-        if (lastA != null) lastA.unpersist(blocking = false)
-        lastA = aFull
-        auth = a
+        auth = normalized(aFull, "__ar", "a")
         val hRaw = eDst.join(auth, eDst("dst") === auth("id"))
           .groupBy(eDst("src"))
           .agg(sum(col("a").cast(dec)).cast("double").as("__hr"))
-        val hFull = snap(nodes.join(hRaw, nodes("id") === hRaw("src"), "left")
+        val hFull = cache(nodes.join(hRaw, nodes("id") === hRaw("src"), "left")
           .select(col("id"), coalesce(col("__hr"), lit(0.0)).as("__hr"))
           .repartition(col("id")).sortWithinPartitions("id"))
-        val h = normalized(hFull, "__hr", "h")
-        if (lastH != null) lastH.unpersist(blocking = false)
-        lastH = hFull
-        hubs = h
+        hubs = normalized(hFull, "__hr", "h")
       }
     }
+    // the ONE eager job of the whole fixpoint: materializes every
+    // half-round cache inline, then cuts lineage for the caller
     val out = snap(hubs.join(auth, "id")
       .select(col("id"), col("h").as("hub"), col("a").as("authority")))
     eSrc.unpersist(blocking = false)
     eDst.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    if (lastH != null) lastH.unpersist(blocking = false)
-    if (lastA != null) lastA.unpersist(blocking = false)
+    live.foreach(_.unpersist(blocking = false))
     out
   }
 
