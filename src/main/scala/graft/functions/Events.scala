@@ -230,9 +230,17 @@ object Events {
     * series key — nothing global, nothing quadratic. Dense-gap caveat:
     * a key whose span is huge but observations sparse materializes its
     * full grid; bound the bucket width accordingly.
+    *
+    * `maxGapBuckets` caps how long a gap may be bridged: a missing
+    * bucket whose surrounding observations are further than
+    * `maxGapBuckets` apart keeps a NULL value with kind `gap` — a
+    * sensor that was silent for a week has no line worth drawing
+    * through the outage. Default bridges everything.
     */
   def interpolate(df: DataFrame, keyCol: String, bucketCol: String,
-                  valCol: String): DataFrame = {
+                  valCol: String,
+                  maxGapBuckets: Long = Long.MaxValue): DataFrame = {
+    require(maxGapBuckets >= 2, s"a bridgeable gap spans >= 2 buckets: $maxGapBuckets")
     val obs = df.select(col(keyCol).as("__k"),
       col(bucketCol).cast("long").as("__t"), col(valCol).cast("double").as("__v"))
     val grid = obs.groupBy(col("__k"))
@@ -256,15 +264,18 @@ object Events {
       struct(col("__t").as("t"), col("__v").as("v"))), ignoreNulls = true).over(wPrev)
     val next = last(when(col("__v").isNotNull,
       struct(col("__t").as("t"), col("__v").as("v"))), ignoreNulls = true).over(wNextRev)
+    val bridgeable = (col("__n.t") - col("__p.t")) <= maxGapBuckets
     joined
       .withColumn("__p", prev).withColumn("__n", next)
       .select(col("__k").as(keyCol), col("__t").as(bucketCol),
         when(col("__v").isNotNull, col("__v"))
-          .otherwise(col("__p.v") + (col("__n.v") - col("__p.v")) *
-            ((col("__t") - col("__p.t")).cast("double") /
-              (col("__n.t") - col("__p.t")).cast("double"))).as(valCol),
-        when(col("__v").isNotNull, lit("obs")).otherwise(lit("interp"))
-          .as("kind"))
+          .when(bridgeable,
+            col("__p.v") + (col("__n.v") - col("__p.v")) *
+              ((col("__t") - col("__p.t")).cast("double") /
+                (col("__n.t") - col("__p.t")).cast("double"))).as(valCol),
+        when(col("__v").isNotNull, lit("obs"))
+          .when(bridgeable, lit("interp"))
+          .otherwise(lit("gap")).as("kind"))
   }
 
   /** Gap-based sessionization as a per-SESSION table: consecutive

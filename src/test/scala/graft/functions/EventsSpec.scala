@@ -210,6 +210,28 @@ class EventsSpec extends SparkSpec {
     assert(k2 == trans)
   }
 
+  test("interpolate: maxGapBuckets leaves unbridgeable outages as explicit gaps") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("t", LongType), StructField("v", DoubleType)))
+    val obs = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 0L, 0.0), Row(1L, 2L, 4.0), Row(1L, 10L, 100.0))), schema)
+    val got = Events.interpolate(obs, "k", "t", "v", maxGapBuckets = 4L)
+      .collect().map(r => r.getLong(1) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2))), r.getString(3)))
+      .toMap
+    // 0→2 bridges (gap 2 ≤ 4); 2→10 is an outage (gap 8 > 4)
+    assert(got(0L) == ((Some(0.0), "obs")))
+    assert(got(1L) == ((Some(2.0), "interp")))
+    assert(got(2L) == ((Some(4.0), "obs")))
+    (3L to 9L).foreach(t => assert(got(t) == ((None, "gap")), s"t=$t"))
+    assert(got(10L) == ((Some(100.0), "obs")))
+    // default bridges everything
+    val all = Events.interpolate(obs, "k", "t", "v")
+      .collect().filter(_.getString(3) == "gap")
+    assert(all.isEmpty)
+  }
+
   test("transitionCounts: per-user adjacency, tie order by event id, exact rollup") {
     val events = evId(Seq(
       // user 1: a → b → b → c
