@@ -675,6 +675,14 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Pre-flight join audit: exact inner-join cardinality + hottest
+    // key from the two key-count tables — the join itself never runs,
+    // fact bodies never shuffle.
+    "x_join_card" -> ((s, dir) =>
+      graft.functions.Stats.joinCardinality(
+        t(s, dir, "lineitem"), t(s, dir, "orders"),
+        "l_orderkey", "o_orderkey")),
+
     // Winsorize the event values at the exact discrete 2nd/98th
     // percentile cuts: order statistics found by histogram bisection
     // (never a global sort), map-only clamp with literal cuts; output
@@ -4237,6 +4245,21 @@ object SparkEntry {
         |   AS l1_num,
         | n_a_tot, n_b_tot
         |FROM j, tt ORDER BY bin""".stripMargin,
+
+    // Count-table join mirror; hottest key ties to the largest string.
+    "x_join_card" ->
+      """WITH ca AS (SELECT l_orderkey AS k, count(*) AS na FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |cb AS (SELECT o_orderkey AS k, count(*) AS nb FROM orders
+        |  WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |p AS (SELECT ca.k, CAST(na AS HUGEINT) * nb AS pp
+        | FROM ca JOIN cb ON ca.k = cb.k),
+        |m AS (SELECT CAST(k AS VARCHAR) AS k, pp FROM p
+        | ORDER BY pp DESC, CAST(k AS VARCHAR) DESC LIMIT 1)
+        |SELECT COALESCE((SELECT SUM(pp) FROM p), 0) AS n_pairs,
+        | (SELECT COUNT(*) FROM p) AS n_keys_matched,
+        | COALESCE((SELECT pp FROM m), 0) AS max_key_pairs,
+        | (SELECT k FROM m) AS hottest_key""".stripMargin,
 
     // Cuts mirrored as OFFSET element selection at rank ceil(p·n)−1 —
     // the same discrete convention, no interpolation to diverge.

@@ -445,6 +445,42 @@ object Stats {
     resolved
   }
 
+  /** Exact equi-join cardinality WITHOUT running the join — the
+    * pre-flight audit for "will this join explode": inner-join output
+    * rows = Σ_k cnt_a(k)·cnt_b(k), computed over the two key-count
+    * tables (each #distinct-keys-sized — metadata next to the fact
+    * tables they summarize). Returns one row:
+    * (n_pairs, n_keys_matched, max_key_pairs, hottest_key) — n_pairs
+    * in DECIMAL (a skewed 10¹²×10¹² key overflows any long),
+    * `hottest_key` the key contributing the most output rows (ties to
+    * the largest key string — deterministic), the number a skew-join
+    * salt or AQE threshold decision actually needs.
+    *
+    * Null keys never join (SQL semantics), so they are excluded — the
+    * estimate matches what the real join would produce exactly.
+    *
+    * Scale shape: two map-side-combined count aggregations, one
+    * count-table equi-join, one 1-row rollup. The fact tables shuffle
+    * only their 8-byte keys; bodies stay in place.
+    */
+  def joinCardinality(a: DataFrame, b: DataFrame, keyA: String,
+                      keyB: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ca = a.where(col(keyA).isNotNull)
+      .groupBy(col(keyA).as("__k")).agg(count(lit(1)).as("__na"))
+    val cb = b.where(col(keyB).isNotNull)
+      .groupBy(col(keyB).as("__k")).agg(count(lit(1)).as("__nb"))
+    ca.join(cb, "__k")
+      .select(col("__k"), (col("__na").cast(dec) * col("__nb")).as("__p"))
+      .agg(sum(col("__p")).as("__sum"), count(lit(1)).as("n_keys_matched"),
+        max(struct(col("__p"), col("__k").cast("string").as("k"))).as("__m"))
+      .select(
+        coalesce(col("__sum"), lit(0).cast(dec)).as("n_pairs"),
+        col("n_keys_matched"),
+        coalesce(col("__m.__p"), lit(0).cast(dec)).as("max_key_pairs"),
+        col("__m.k").as("hottest_key"))
+  }
+
   /** Per-group winsorization — [[winsorize]] with the cut points
     * computed INDEPENDENTLY per group (per-language length clipping,
     * per-source score clipping: one global cut is wrong the moment the

@@ -248,6 +248,21 @@ class StatsSpec extends SparkSpec {
     assert(m(None) == (None, false))
   }
 
+  test("joinCardinality equals the real join's count; nulls excluded; empty → zeros") {
+    import spark.implicits._
+    val a = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None).toDF("k")
+    val b = Seq(Some(1L), Some(2L), Some(2L), Some(4L), None).toDF("k")
+    val r = Stats.joinCardinality(a, b, "k", "k").head()
+    val real = a.as("x").join(b.as("y"), col("x.k") === col("y.k")).count()
+    assert(r.getDecimal(0).longValueExact() == real && real == 4L)
+    assert(r.getLong(1) == 2L) // keys 1 and 2 match
+    assert(r.getDecimal(2).longValueExact() == 2L) // both keys contribute 2
+    assert(r.getString(3) == "2") // tie on pairs → largest key string
+    val empty = Stats.joinCardinality(a.where(col("k") > 10), b, "k", "k").head()
+    assert(empty.getDecimal(0).longValueExact() == 0L && empty.getLong(1) == 0L
+      && empty.isNullAt(3))
+  }
+
   test("winsorizeByGroup ≡ independent per-group winsorize; null group is a group") {
     import spark.implicits._
     val df = ((1 to 50).map(i => (Some("a"), Some(i.toDouble))) ++
