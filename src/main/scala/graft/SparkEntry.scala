@@ -4325,9 +4325,10 @@ object SparkEntry {
     "x_multitouch" ->
       """WITH tch AS (SELECT user_id AS u, epoch_us(ts) AS ut,
         |  event_id AS touch_event, event_type AS touch_type
-        | FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        | FROM events
+        | WHERE event_type IN ('click', 'view', 'signup') AND ts IS NOT NULL),
         |cv AS (SELECT user_id, epoch_us(ts) AS uc, event_id
-        | FROM events WHERE event_type = 'purchase'),
+        | FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
         |p AS (SELECT cv.event_id, tch.touch_event, tch.touch_type,
         |  cv.uc - tch.ut AS gap_us
         | FROM cv JOIN tch ON tch.u = cv.user_id
@@ -4344,7 +4345,7 @@ object SparkEntry {
       """WITH m AS (SELECT user_id AS user, event_id, epoch_us(ts) AS us,
         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
         |    > 1800000000 THEN 1 ELSE 0 END AS new_s
-        | FROM events
+        | FROM events WHERE ts IS NOT NULL
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |sid AS (SELECT user, us,
         |  1 + SUM(new_s) OVER (PARTITION BY user ORDER BY us, event_id
@@ -4362,10 +4363,11 @@ object SparkEntry {
         |  lag(event_type, 2) OVER w AS s0,
         |  lag(event_type, 1) OVER w AS s1,
         |  event_type AS s2
-        | FROM events
+        | FROM events WHERE ts IS NOT NULL
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
         |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
-        |FROM seq WHERE s0 IS NOT NULL AND s1 IS NOT NULL
+        |FROM seq
+        |WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
         |GROUP BY 1 HAVING count(*) >= 5
         |ORDER BY n DESC, path""".stripMargin,
 
@@ -4375,7 +4377,7 @@ object SparkEntry {
       """WITH seq AS (SELECT event_type AS to_type,
         |  lag(event_type) OVER (PARTITION BY user_id
         |    ORDER BY epoch_us(ts), event_id) AS from_type
-        | FROM events),
+        | FROM events WHERE ts IS NOT NULL),
         |c AS (SELECT from_type, to_type, count(*) AS n FROM seq
         | WHERE from_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,

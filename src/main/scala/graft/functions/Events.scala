@@ -302,6 +302,7 @@ object Events {
     events
       .select(col(userCol).as("user"), col(eventIdCol),
         expr(s"unix_micros($tsCol)").as("__us"))
+      .where(col("__us").isNotNull)
       .withColumn("__new",
         when(col("__us") - lag(col("__us"), 1).over(w) > gapUs, 1L)
           .otherwise(0L))
@@ -338,6 +339,7 @@ object Events {
     val steps = (k - 1 to 0 by -1).map(j =>
       if (j == 0) col(typeCol) else lag(col(typeCol), j).over(w))
     events
+      .where(expr(s"unix_micros($tsCol)").isNotNull)
       .select(concat_ws(">", steps: _*).as("path"),
         steps.map(_.isNotNull).reduce(_ && _).as("__full"))
       .where(col("__full"))
@@ -374,11 +376,11 @@ object Events {
     val us = expr(s"unix_micros($tsCol)")
     def binOf(v: Column): Column =
       ((v - pmod(v, lit(windowUs))) / lit(windowUs)).cast("long")
-    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+    val touches = events.where(col(typeCol).isin(touchTypes: _*) && us.isNotNull)
       .select(col(userCol).as("__u"), us.as("__ut"),
         col(eventIdCol).as("touch_event"), col(typeCol).as("touch_type"))
       .withColumn("__bin", binOf(col("__ut")))
-    val convs = events.where(col(typeCol) === convType)
+    val convs = events.where(col(typeCol) === convType && us.isNotNull)
       .select(col(userCol).as("__u"), us.as("__uc"),
         col(eventIdCol).as("event_id"))
     val cb = convs.withColumn("__bin",
@@ -412,7 +414,9 @@ object Events {
     *
     * Sequence order is (unix_micros(ts), eventIdCol) per user — the
     * attribution tiebreak, so equal-timestamp events have one
-    * well-defined order on any engine.
+    * well-defined order on any engine. Null-timestamp events have no
+    * position in time and are excluded (the convention across this
+    * family: pathCounts, sessionize, attribution).
     *
     * Scale shape: ONE user-keyed window pass (lag) over the stream,
     * then an aggregation whose exchange carries (type, type) pairs
@@ -427,6 +431,7 @@ object Events {
       .partitionBy(col(userCol))
       .orderBy(expr(s"unix_micros($tsCol)").asc, col(eventIdCol).asc)
     val counts = events
+      .where(expr(s"unix_micros($tsCol)").isNotNull)
       .select(col(typeCol).as("to_type"),
         lag(col(typeCol), 1).over(w).as("from_type"))
       .where(col("from_type").isNotNull)
