@@ -526,6 +526,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("sum_value"))
         .orderBy("hour", "event_type")),
 
+    // Sliding (hopping) event-time windows — the tumbling twin above
+    // generalized: 6 h windows every 2 h, each event counted into
+    // width/slide = 3 overlapping windows via Spark's native window()
+    // explode (codegen'd; exact epoch-µs alignment arithmetic both
+    // engines reproduce bit-for-bit).
+    "r_hopping_window" -> ((s, dir) =>
+      t(s, dir, "events").where(col("ts").isNotNull)
+        .groupBy(window(col("ts"), "6 hours", "2 hours").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("win_start", "event_type")),
+
     // ----- training-data pipeline extensions (x*) -----
 
     // Token counting: whitespace tokens + BPE-ish subword proxy.
@@ -1331,6 +1345,25 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Weighted shortest paths from the anchor customers (custkey % 50
+    // == 0) over the undirected purchase graph, edge weight = cheapest
+    // line quantity ever shipped between the pair: Bellman–Ford with
+    // delta-set relaxation, 4 bounded rounds, exact integers end-to-end
+    // — the unrolled oracle hash-matches, converged flag in-plan.
+    "x_sssp" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"),
+          col("l_quantity").cast("long").as("w"))
+      val und = base.union(
+        base.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      graft.functions.Graph
+        .shortestPathsInt(und, col("id") % 100 === 0, rounds = 4)
+        .orderBy("id")
+    }),
+
     // HITS hubs/authorities over the same purchase graph — the other
     // classic link fixpoint (customers = hubs, suppliers = authorities):
     // 2 mutual-reinforcement rounds, DECIMAL contribution sums, L2
@@ -1626,6 +1659,26 @@ object SparkEntry {
       graft.functions.Events.transitionCounts(t(s, dir, "events"),
           "user_id", "ts", "event_type")
         .orderBy("from_type", "to_type")),
+
+    // k-anonymity audit on customer quasi-identifiers: every
+    // (nation, segment) combination shared by fewer than 10 customers
+    // is a linkable group; the dataset-level verdict (row/group census,
+    // achieved anonymity k) rides every row as constant columns.
+    "x_kanon" -> ((s, dir) =>
+      graft.functions.Stats.kAnonymity(
+          t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment")),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // Market-basket association pairs over orders: parts co-occurring
+    // in ≥ 2 orders, with exact support counts and floor-ppm
+    // confidences — pair generation is the order-keyed self-equi-join
+    // (never an item cross product), oversized baskets guarded out.
+    "x_basket_pairs" -> ((s, dir) =>
+      graft.functions.Events.associationPairs(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy("item_a", "item_b")),
 
     // Corpus-overlap estimation from two k-row KMV sketches: two
     // overlapping corpus slices (membership overlap ⇒ shared distinct
@@ -3552,6 +3605,22 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Window membership reproduced arithmetically: an event at epoch-µs
+    // t belongs to the 3 windows starting at slide·(t//slide − j),
+    // j ∈ 0..2 (start ≤ t < start+width holds unconditionally when
+    // width = 3·slide).
+    "r_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t, event_type, value
+        |  FROM events WHERE ts IS NOT NULL),
+        |j AS (SELECT unnest(range(0, 3)) AS j)
+        |SELECT
+        | make_timestamp(7200000000 * (t // 7200000000 - j)) AS win_start,
+        | make_timestamp(7200000000 * (t // 7200000000 - j)
+        |   + 21600000000) AS win_end,
+        | event_type, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM e, j GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin,
+
     "x_token_count" ->
       """SELECT doc_id,
         | CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
@@ -4383,6 +4452,40 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         | SUM(n) OVER (PARTITION BY from_type) AS n_from
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // One QI census, 1-row summary joined onto the risky groups.
+    "x_kanon" ->
+      """WITH census AS (
+        | SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_n
+        | FROM customer GROUP BY 1, 2),
+        |s AS (SELECT CAST(SUM(group_n) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS n_groups, MIN(group_n) AS anonymity_k FROM census)
+        |SELECT c.c_nationkey, c.c_mktsegment, c.group_n,
+        | s.n_rows, s.n_groups, s.anonymity_k
+        |FROM census c, s WHERE c.group_n < 10
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // Same mining universe: distinct (order, part) membership, baskets
+    // over 1000 items excluded everywhere, pair counts from the basket
+    // self-join, confidences as exact floor parts-per-million.
+    "x_basket_pairs" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sized AS (SELECT bk FROM m GROUP BY bk HAVING COUNT(*) <= 1000),
+        |kept AS (SELECT m.bk, m.it FROM m JOIN sized USING (bk)),
+        |itn AS (SELECT it, COUNT(*) AS n FROM kept GROUP BY it),
+        |tot AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM kept),
+        |p AS (SELECT l.it AS item_a, r.it AS item_b, COUNT(*) AS pair_n
+        | FROM kept l JOIN kept r ON l.bk = r.bk AND l.it < r.it
+        | GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT item_a, item_b, pair_n, a.n AS a_n, b.n AS b_n,
+        | t.n_baskets,
+        | (pair_n * 1000000) // a.n AS conf_ab_ppm,
+        | (pair_n * 1000000) // b.n AS conf_ba_ppm
+        |FROM p JOIN itn a ON p.item_a = a.it
+        | JOIN itn b ON p.item_b = b.it, tot t
+        |ORDER BY item_a, item_b""".stripMargin,
 
     // KMV sketches are bottom-128 distinct md5 hex values per slice;
     // union sample = bottom-128 of their union; shared = members of both.
@@ -5759,6 +5862,41 @@ object SparkEntry {
          |r0 AS (SELECT id, deg, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
          |${(1 to 5).map(step).mkString(",\n")}
          |SELECT id, ROUND(rank, 9) AS rank FROM r5 ORDER BY id""".stripMargin
+    },
+
+    // Unrolled Bellman–Ford: each round re-relaxes from the FULL dist
+    // table (provably equal to the engine's delta-set relaxation after
+    // the same round count — old candidates can't beat applied minima);
+    // converged ⇔ round 4 changed nothing ⇔ d3 ≡ d4 as (id, dist) sets.
+    "x_sssp" -> {
+      def step(i: Int) =
+        s"""d$i AS MATERIALIZED (
+           | SELECT id, MIN(dist) AS dist FROM (
+           |  SELECT id, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS id, d.dist + e.w AS dist
+           |  FROM d${i - 1} d JOIN eu e ON e.src = d.id)
+           | GROUP BY id)""".stripMargin
+      s"""WITH e0 AS (
+         | SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         |  CAST(l_quantity AS BIGINT) AS w
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |eu AS MATERIALIZED (
+         | SELECT src, dst, MIN(w) AS w FROM (
+         |  SELECT src, dst, w FROM e0
+         |  UNION ALL SELECT dst AS src, src AS dst, w FROM e0)
+         | GROUP BY src, dst),
+         |d0 AS (
+         | SELECT id, CAST(0 AS BIGINT) AS dist FROM (
+         |  SELECT DISTINCT id FROM
+         |   (SELECT src AS id FROM eu UNION ALL SELECT dst AS id FROM eu))
+         | WHERE id % 100 = 0),
+         |${(1 to 4).map(step).mkString(",\n")}
+         |SELECT d4.id, d4.dist,
+         | (SELECT COUNT(*) FROM d4) =
+         | (SELECT COUNT(*) FROM d3 JOIN d4
+         |   ON d3.id = d4.id AND d3.dist = d4.dist) AS converged
+         |FROM d4 ORDER BY id""".stripMargin
     },
 
     // Bit-exact Morton interleave: sums of disjoint-bit terms == OR.

@@ -440,4 +440,62 @@ object Events {
       sum(col("n")).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("from_type"))))
   }
+
+  /** Market-basket association pairs: for every unordered item pair
+    * co-occurring in at least `minSupport` baskets, the exact counts an
+    * association rule is made of — `pair_n` (baskets containing both),
+    * `a_n`/`b_n` (baskets containing each), `n_baskets` (total), and
+    * both directed confidences in exact parts-per-million (floor of the
+    * rational — integer arithmetic only, so cross-engine bit parity is
+    * structural; lift = pair_n·n_baskets / (a_n·b_n) is left to the
+    * caller's precision since its product can exceed 64 bits at fleet
+    * scale). Pairs are canonical (`item_a` < `item_b`); multiplicity
+    * within a basket never double-counts (presence, not quantity).
+    *
+    * Scale shape: pair generation is a SELF-EQUI-JOIN on the basket key
+    * — never an item cross product — so its fan-out per basket is
+    * C(size, 2). That makes one pathological mega-basket (a crawl
+    * session with 10⁴ items) a quadratic bomb, which is why
+    * `maxBasketSize` is a first-class guard: basket sizes are counted
+    * first (one aggregation) and oversized baskets are dropped from
+    * pair generation AND from the per-item/total denominators, keeping
+    * the emitted confidences exactly consistent with the mined
+    * universe. The `minSupport` filter prunes the long pair tail before
+    * the per-item count join, so the join input is the surviving pairs,
+    * not every pair ever seen. All shuffles key on basket or item ids.
+    *
+    * @return (item_a, item_b, pair_n, a_n, b_n, n_baskets,
+    *         conf_ab_ppm, conf_ba_ppm)
+    */
+  def associationPairs(df: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long = 2L,
+                       maxBasketSize: Int = 1000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be positive: $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
+    val m = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .where(col("__bk").isNotNull && col("__it").isNotNull)
+      .distinct()
+    val sized = m.groupBy(col("__bk")).agg(count(lit(1)).as("__sz"))
+      .where(col("__sz") <= maxBasketSize)
+      .select(col("__bk"))
+    val kept = m.join(sized, Seq("__bk"), "left_semi")
+    val itemN = kept.groupBy(col("__it")).agg(count(lit(1)).as("__in"))
+    val total = kept.select(col("__bk")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = kept.as("l").join(kept.as("r"),
+        col("l.__bk") === col("r.__bk") && col("l.__it") < col("r.__it"))
+      .groupBy(col("l.__it").as("item_a"), col("r.__it").as("item_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .where(col("pair_n") >= minSupport)
+    pairs
+      .join(itemN.select(col("__it").as("item_a"), col("__in").as("a_n")),
+        Seq("item_a"))
+      .join(itemN.select(col("__it").as("item_b"), col("__in").as("b_n")),
+        Seq("item_b"))
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("pair_n"),
+        col("a_n"), col("b_n"), col("n_baskets"),
+        expr("pair_n * 1000000L div a_n").as("conf_ab_ppm"),
+        expr("pair_n * 1000000L div b_n").as("conf_ba_ppm"))
+  }
 }

@@ -518,6 +518,105 @@ object Graph {
     result
   }
 
+  /** Bounded-round multi-source shortest paths over integer edge
+    * weights — Bellman–Ford with delta-set relaxation (the Pregel SSSP
+    * shape; reference analogue: the iterative fixpoints its users build
+    * on repeated reduce rounds, e.g. sif operations/reduce.go:12). The
+    * curation read: "how far is every node from a trusted seed set"
+    * (weighted trust radius, supply-chain distance, citation hops with
+    * per-link costs) — [[propagateLabels]]' `since` column already
+    * answers the UNWEIGHTED hop-count question, so this exists for the
+    * case where links carry costs and a 2-hop cheap path must beat a
+    * 1-hop expensive one.
+    *
+    * Semantics (exact, integer): `dist(v)` = minimum total weight over
+    * walks from any source node to `v` using at most `rounds` edges.
+    * With non-negative weights and `rounds` ≥ the graph's shortest-path
+    * hop diameter this IS the shortest-path distance; `converged`
+    * (computed IN the plan, kCore-style) reports whether the last round
+    * improved nothing — i.e. whether the fixpoint was reached. Only
+    * reached nodes appear. Parallel edges collapse to their cheapest
+    * weight; weights may be any integers (a bounded-walk minimum is
+    * well-defined even with negative edges), sources relax from dist 0.
+    *
+    * Scale shape (the [[pageRank]] discipline): the deduped edge table
+    * snapshots once, pinned hash(src)+sorted, so every round's frontier
+    * join merge-joins with zero edge-side exchange; the round's ONE
+    * data-sized exchange is the min-aggregation of relaxation
+    * candidates keyed on dst (map-side partial min). Delta-set
+    * relaxation makes round work proportional to the out-edges of nodes
+    * whose distance IMPROVED last round — not the whole graph — and the
+    * node-sized merge is a full-outer join of the pinned dist snapshot
+    * against the aggregation's own hash(dst) partitioning (no extra
+    * exchange). Each round snapshots (id, dist, improved) once; dist
+    * and delta are projections of that single snapshot. AQE is scoped
+    * off only when the edge set is beyond broadcast scale
+    * ([[withLoopConfIf]]): a small frontier wants AQE's broadcast
+    * joins, a big one wants the static pinned plans.
+    *
+    * @param isSource predicate over the node id column `id` selecting
+    *                 the source set (evaluated against the node table
+    *                 derived from the edges, like [[personalizedPageRank]]'s
+    *                 `isSeed`)
+    * @return (id, dist, converged) for every node reached within
+    *         `rounds` edges
+    */
+  def shortestPathsInt(edges: DataFrame, isSource: Column, rounds: Int,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       wCol: String = "w"): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    def snap(df: DataFrame): DataFrame = snapFor(edges)(df)
+    // setup snapshots materialize with the caller's AQE (upstream often
+    // wants its broadcast/skew decisions); cheapest parallel edge wins
+    val e = snap(edges.select(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(col("src")).sortWithinPartitions("src"))
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+    val setup = snap(nodes.where(isSource)
+      .select(col("id"), lit(0L).as("dist"), lit(true).as("improved"))
+      .repartition(col("id")).sortWithinPartitions("id"))
+    var state = setup // (id, dist, improved-last-round)
+    var lastSnap = setup
+    val big = e.count() >= PinnedLoopMinRows
+    withLoopConfIf(big, edges.sparkSession) {
+      var r = 1
+      while (r <= rounds) {
+        val delta = state.where(col("improved")).select(col("id"), col("dist"))
+        val cand = e.join(delta, e("src") === delta("id"))
+          .select(col("dst"), (col("dist") + col("w")).as("nd"))
+          .groupBy(col("dst")).agg(min(col("nd")).as("nd"))
+        val dist = state.select(col("id"), col("dist"))
+        // least() skips nulls: an unreached node takes nd, an unrelaxed
+        // one keeps dist; `improved` = strictly better or newly reached
+        val merged = dist.join(cand, dist("id") === cand("dst"), "full_outer")
+          .select(coalesce(dist("id"), cand("dst")).as("id"),
+            least(col("dist"), col("nd")).as("__d"),
+            (col("dist").isNull ||
+              (col("nd").isNotNull && col("nd") < col("dist"))).as("improved"))
+          .withColumnRenamed("__d", "dist")
+          .select(col("id"), col("dist"), col("improved"))
+        val s = snap(
+          if (big) merged.repartition(col("id")).sortWithinPartitions("id")
+          else merged)
+        if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
+        lastSnap = s
+        state = s
+        r += 1
+      }
+    }
+    e.unpersist(blocking = false)
+    setup.unpersist(blocking = false)
+    // converged ⇔ the final round improved nothing — two 1-row aggregates
+    val flag = state.agg(
+        sum(when(col("improved"), lit(1L)).otherwise(lit(0L))).as("__imp"))
+      .select((coalesce(col("__imp"), lit(0L)) === 0L).as("converged"))
+    state.crossJoin(broadcast(flag))
+      .select(col("id"), col("dist"), col("converged"))
+  }
+
   def propagateLabels(edges: DataFrame, srcCol: String, dstCol: String,
                       seeds: DataFrame, idCol: String, labelCol: String,
                       rounds: Int): DataFrame = {

@@ -481,6 +481,41 @@ object Stats {
         col("__m.k").as("hottest_key"))
   }
 
+  /** k-anonymity audit over quasi-identifier columns — the re-
+    * identification pre-flight for a corpus about to be shared or
+    * trained on: every QI combination shared by FEWER than `k` rows is
+    * a group whose members a joiner could single out. Returns one row
+    * per at-risk group (its QI values + `group_n`), each row also
+    * carrying the dataset-level verdict as constant columns (the
+    * kCore-flag convention — the audit's summary travels IN the
+    * result, not in a side channel): `n_rows`/`n_groups` over the
+    * whole census and `anonymity_k` = the SMALLEST group size, i.e.
+    * the k for which the dataset actually IS k-anonymous. An empty
+    * result ⇔ the data is k-anonymous at the requested k.
+    *
+    * Null QI values form their own groups (SQL grouping semantics) —
+    * a null birthdate shared by 3 rows is exactly as linkable as any
+    * other 3-row combination.
+    *
+    * Scale shape: ONE census aggregation over the QI key (map-side
+    * partials; the exchange carries QI tuples + counts, never rows),
+    * a 1-row summary aggregate over the census, and the risky filter
+    * on the same census — the fact table shuffles nothing but its QI
+    * projection.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2: $k")
+    val census = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+    val summary = census.agg(
+      sum(col("group_n")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("group_n")).as("anonymity_k"))
+    census.where(col("group_n") < k)
+      .crossJoin(broadcast(summary))
+  }
+
   /** Per-group winsorization — [[winsorize]] with the cut points
     * computed INDEPENDENTLY per group (per-language length clipping,
     * per-source score clipping: one global cut is wrong the moment the

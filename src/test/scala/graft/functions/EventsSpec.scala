@@ -280,4 +280,38 @@ class EventsSpec extends SparkSpec {
       14L -> (("view", Some(13L), Some(100L))),
       17L -> (("click", Some(15L), Some(10L)))))
   }
+
+  test("associationPairs: presence not quantity, canonical pairs, size guard consistent") {
+    val rows = Seq(
+      // basket 1: {a,b,c}; basket 2: {a,b} with item a listed TWICE
+      // (multiplicity must not double-count); basket 3: {a,c};
+      // basket 4: {d,e,f,g} — over the size cap, excluded everywhere
+      (10L, "a"), (10L, "b"), (10L, "c"),
+      (20L, "a"), (20L, "a"), (20L, "b"),
+      (30L, "a"), (30L, "c"),
+      (40L, "d"), (40L, "e"), (40L, "f"), (40L, "g"))
+    val df = spark.createDataFrame(rows).toDF("bk", "it")
+    val out = Events.associationPairs(df, "bk", "it",
+        minSupport = 2L, maxBasketSize = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // surviving universe = baskets {1,2,3}: a in 3, b in 2, c in 2;
+    // (a,b) in 2, (a,c) in 2, (b,c) in 1 (below minSupport)
+    assert(out == Map(
+      ("a", "b") -> ((2L, 3L, 2L, 3L, 666666L, 1000000L)),
+      ("a", "c") -> ((2L, 3L, 2L, 3L, 666666L, 1000000L))))
+  }
+
+  test("associationPairs: minSupport 1 keeps singletons, null keys dropped") {
+    val rows = Seq(
+      (Some(1L), Some("x")), (Some(1L), Some("y")),
+      (Some(2L), Some("x")), (None, Some("z")), (Some(3L), None))
+    val df = spark.createDataFrame(rows).toDF("bk", "it")
+    val out = Events.associationPairs(df, "bk", "it", minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    // null basket / null item rows never mine; universe = baskets {1,2}
+    assert(out == Map(("x", "y") -> ((1L, 2L))))
+  }
 }

@@ -34,6 +34,35 @@ class GraphSpec extends SparkSpec {
     assert(out(5L) == ((1L, 0L, None)))
   }
 
+  private def wedges(triples: (Long, Long, Long)*) =
+    spark.createDataFrame(triples).toDF("src", "dst", "w")
+
+  test("shortestPathsInt: relaxation beats the direct edge; bounded rounds honest") {
+    // 1→2 direct costs 10 (parallel 12 collapses to the min), but
+    // 1→3→2 costs 3 — found only by the second round; 4→5 is
+    // source-free and must not appear
+    val e = wedges((1L, 2L, 10L), (1L, 2L, 12L), (1L, 3L, 1L),
+      (3L, 2L, 2L), (4L, 5L, 7L))
+    def run(rounds: Int) =
+      Graph.shortestPathsInt(e, col("id") === 1L, rounds).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // after one round only direct edges are settled, and the round
+    // improved rows — converged must be false
+    assert(run(1) == Map(1L -> ((0L, false)), 2L -> ((10L, false)),
+      3L -> ((1L, false))))
+    // round 2 relaxes 2 down to 3; round 3 improves nothing → converged
+    assert(run(3) == Map(1L -> ((0L, true)), 2L -> ((3L, true)),
+      3L -> ((1L, true))))
+  }
+
+  test("shortestPathsInt: multi-source takes the nearer seed") {
+    val e = wedges((1L, 2L, 5L), (6L, 2L, 1L), (4L, 5L, 7L))
+    val out = Graph.shortestPathsInt(e, col("id").isin(1L, 6L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(1L -> ((0L, true)), 6L -> ((0L, true)),
+      2L -> ((1L, true))))
+  }
+
   test("kCore: cascading peel reaches the core; converged flag honest") {
     // K4 {1,2,3,4} with a tail 4-5-6: peeling k=2 removes 6, THEN 5
     val e = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),

@@ -293,6 +293,31 @@ class StatsSpec extends SparkSpec {
     assert(aOnly(Some(1e6)) == Some(49.0) && aOnly(Some(1.0)) == Some(3.0))
   }
 
+  test("kAnonymity: risky groups only, null QI is a group, summary constant") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("zip", StringType), StructField("age", IntegerType)))
+    val rows = Seq(
+      Row("94110", 30), Row("94110", 30), Row("94110", 30), // safe at k=3
+      Row("94110", 31), Row("94110", 31),                   // risky (2)
+      Row(null, 40), Row(null, 40),                         // null QI risky (2)
+      Row("10001", 55))                                     // risky (1)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = Stats.kAnonymity(df, Seq("zip", "age"), k = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      (Some("94110"), 31) -> ((2L, 8L, 4L, 1L)),
+      (None, 40)          -> ((2L, 8L, 4L, 1L)),
+      (Some("10001"), 55) -> ((1L, 8L, 4L, 1L))))
+    // a projection whose every group reaches k yields an empty report
+    assert(Stats.kAnonymity(
+      df.where(col("zip").isNull || col("zip") === "94110"),
+      Seq("zip"), k = 2).count() == 0L)
+  }
+
   test("cmsMerge ≡ sketch of the concatenated corpus") {
     import spark.implicits._
     val a = (1 to 200).map(i => s"k${i % 11}").toDF("x")
