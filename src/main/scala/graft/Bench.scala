@@ -70,7 +70,13 @@ object Bench {
     // cost round 7 its round-over-round record for 90 queries). Path
     // overridable for ad-hoc runs; failures are non-fatal — the artifact
     // is a nice-to-have, the stdout line is the contract.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // A SCOPED run (SPARK_GRAFT_QUERIES set) must never clobber the full
+    // record — round 9's restore commit exists because it did exactly
+    // that. Subsets default to /tmp; only unscoped runs land in-repo.
+    val defaultOut =
+      if (only.isDefined) "/tmp/graft_bench_subset.json"
+      else "/root/repo/BENCH_FULL.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -478,7 +478,16 @@ object Events {
     val sized = m.groupBy(col("__bk")).agg(count(lit(1)).as("__sz"))
       .where(col("__sz") <= maxBasketSize)
       .select(col("__bk"))
-    val kept = m.join(sized, Seq("__bk"), "left_semi")
+    // the mining universe feeds FOUR consumers (both self-join sides,
+    // the per-item counts, the basket total) — snapshot it once so the
+    // upstream distinct + size guard don't replay per consumer (the
+    // dbscan pair-pipeline discipline; measured 5.2 s → the join cost
+    // alone at sf0.1)
+    val keptPlan = m.join(sized, Seq("__bk"), "left_semi")
+    val kept =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        keptPlan.checkpoint()
+      else keptPlan.localCheckpoint()
     val itemN = kept.groupBy(col("__it")).agg(count(lit(1)).as("__in"))
     val total = kept.select(col("__bk")).distinct()
       .agg(count(lit(1)).as("n_baskets"))

@@ -573,11 +573,14 @@ object Graph {
         col(wCol).cast("long").as("w"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .repartition(col("src")).sortWithinPartitions("src"))
-    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
-      .distinct()
-    val setup = snap(nodes.where(isSource)
-      .select(col("id"), lit(0L).as("dist"), lit(true).as("improved"))
-      .repartition(col("id")).sortWithinPartitions("id"))
+    // isSource filters BEFORE the distinct (Catalyst pushes it into both
+    // union branches), so the dedup aggregation runs over the source
+    // sliver, not every endpoint of every edge
+    val setup = snap(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .where(isSource).distinct()
+        .select(col("id"), lit(0L).as("dist"), lit(true).as("improved"))
+        .repartition(col("id")).sortWithinPartitions("id"))
     var state = setup // (id, dist, improved-last-round)
     var lastSnap = setup
     val big = e.count() >= PinnedLoopMinRows
