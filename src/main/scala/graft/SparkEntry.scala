@@ -1660,6 +1660,18 @@ object SparkEntry {
           "user_id", "ts", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // Per-user exact spending trend: least-squares slope of value
+    // against the hour index since 2024-01-01 (fixture epoch; offsets
+    // non-negative so div == floor in both engines), emitted as the
+    // exact rational slope_num/slope_den in value-micro-units per hour.
+    "x_trend" -> ((s, dir) =>
+      graft.functions.Events.trendStats(
+          t(s, dir, "events").where(col("ts").isNotNull)
+            .withColumn("hour_idx", expr(
+              "(unix_micros(ts) - 1704067200000000L) div 3600000000L")),
+          "user_id", "hour_idx", "value")
+        .orderBy("user_id")),
+
     // k-anonymity audit on customer quasi-identifiers: every
     // (nation, segment) combination shared by fewer than 10 customers
     // is a linkable group; the dataset-level verdict (row/group census,
@@ -4452,6 +4464,28 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         | SUM(n) OVER (PARTITION BY from_type) AS n_from
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // Same micro-unit scaling, HUGEINT products (int128 exact), final
+    // DECIMAL(38,0) casts to mirror Spark's schema.
+    "x_trend" ->
+      """WITH p AS (
+        | SELECT user_id,
+        |  CAST((epoch_us(ts) - 1704067200000000) // 3600000000
+        |    AS HUGEINT) AS x,
+        |  CAST(floor(value * 1000000.0) AS HUGEINT) AS y
+        | FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |a AS (
+        | SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |  SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        | FROM p GROUP BY user_id)
+        |SELECT user_id, n,
+        | CAST(sx AS DECIMAL(38,0)) AS sum_x,
+        | CAST(sy AS DECIMAL(38,0)) AS sum_y_micro,
+        | CAST(sxy AS DECIMAL(38,0)) AS sum_xy_micro,
+        | CAST(sxx AS DECIMAL(38,0)) AS sum_xx,
+        | CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+        | CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den
+        |FROM a ORDER BY user_id""".stripMargin,
 
     // One QI census, 1-row summary joined onto the risky groups.
     "x_kanon" ->

@@ -441,6 +441,47 @@ object Events {
         .partitionBy(col("from_type"))))
   }
 
+  /** Per-key exact least-squares trend: the slope of `valueCol` against
+    * an integer bucket index `xCol`, emitted as an EXACT RATIONAL —
+    * `slope_num / slope_den` where `num = n·Σxy − Σx·Σy` and
+    * `den = n·Σx² − (Σx)²` — plus the raw sums the caller can derive
+    * intercept/R² from ("is this user's spend rising", "is this
+    * source's quality drifting", per key, no float in the output). The
+    * value is scaled to exact integer micro-units first
+    * (`floor(value·10⁶)` — one IEEE multiply + floor both engines
+    * reproduce bit-for-bit, the calibrateScores convention), so every
+    * aggregate and the num/den products are integer arithmetic in
+    * DECIMAL(38,0) — nothing rounds, order never matters. `slope_num`
+    * is therefore in micro-value units per bucket. `slope_den` ≥ 0,
+    * and 0 ⇔ all of a key's points share one bucket (slope undefined;
+    * the row still reports its sums). Null x or value rows are
+    * excluded (they have no position on either axis).
+    *
+    * Scale shape: ONE key-keyed aggregation with map-side partials —
+    * the exchange carries 6 numbers per key, never points. At 10⁹
+    * points per key the DECIMAL(38,0) sums still cannot overflow
+    * (|x| ≤ 10¹², |y_micro| ≤ 10¹⁵ keeps every product under 10³⁸).
+    */
+  def trendStats(df: DataFrame, keyCol: String, xCol: String,
+                 valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(xCol).cast("long").cast(d38)
+    val y = floor(col(valueCol) * lit(1000000.0)).cast("long").cast(d38)
+    df.where(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(d38).as("sum_x"),
+        sum(y).cast(d38).as("sum_y_micro"),
+        sum(x * y).cast(d38).as("sum_xy_micro"),
+        sum(x * x).cast(d38).as("sum_xx"))
+      .select(col(keyCol), col("n"), col("sum_x"), col("sum_y_micro"),
+        col("sum_xy_micro"), col("sum_xx"),
+        (col("n").cast(d38) * col("sum_xy_micro") -
+          col("sum_x") * col("sum_y_micro")).cast(d38).as("slope_num"),
+        (col("n").cast(d38) * col("sum_xx") -
+          col("sum_x") * col("sum_x")).cast(d38).as("slope_den"))
+  }
+
   /** Market-basket association pairs: for every unordered item pair
     * co-occurring in at least `minSupport` baskets, the exact counts an
     * association rule is made of — `pair_n` (baskets containing both),

@@ -56,6 +56,23 @@ object MicroBatch {
       .select(col("window.start").as("window_start"),
         col(keyCol), col("cnt"))
 
+  /** Watermarked SLIDING-window aggregation — the streaming dual of the
+    * batch r_hopping_window query: each event counts into
+    * width/slide overlapping windows; a window emits once the
+    * watermark passes its end, so state is O(open windows × keys), the
+    * slide only changing the constant. Exactly [[windowedAgg]] with the
+    * slide parameter — the shape Spark's native window() was built for.
+    */
+  def slidingAgg(stream: DataFrame, tsCol: String, keyCol: String,
+                 windowDur: String, slideDur: String,
+                 watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur, slideDur), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("cnt"))
+
   /** Streaming gap-based sessionization via native session windows —
     * the streaming dual of the batch sessionize query: a session extends
     * while events arrive within `gap` of the previous one, and closes

@@ -281,6 +281,27 @@ class EventsSpec extends SparkSpec {
       17L -> (("click", Some(15L), Some(10L)))))
   }
 
+  test("trendStats: exact rational slope, one-bucket key degenerates, nulls excluded") {
+    val rows = Seq(
+      // key 1: perfect line y = x + 1 → slope 1.0 = 1e6 micro/bucket
+      (1L, Some(0L), Some(1.0)), (1L, Some(1L), Some(2.0)),
+      (1L, Some(2L), Some(3.0)),
+      // key 2: all points in one bucket → slope_den 0
+      (2L, Some(5L), Some(1.5)), (2L, Some(5L), Some(2.5)),
+      // key 3: null x / null value rows contribute nothing
+      (3L, Some(0L), Some(1.0)), (3L, None, Some(9.0)), (3L, Some(1L), None))
+    val df = spark.createDataFrame(rows).toDF("k", "x", "v")
+    val out = Events.trendStats(df, "k", "x", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(6).longValueExact,
+          r.getDecimal(7).longValueExact))).toMap
+    // key 1: n=3 sx=3 sy=6e6 sxy=8e6 sxx=5 → num = 24e6−18e6, den = 15−9
+    assert(out == Map(
+      1L -> ((3L, 6000000L, 6L)),
+      2L -> ((2L, 0L, 0L)),
+      3L -> ((1L, 0L, 0L))))
+  }
+
   test("associationPairs: presence not quantity, canonical pairs, size guard consistent") {
     val rows = Seq(
       // basket 1: {a,b,c}; basket 2: {a,b} with item a listed TWICE

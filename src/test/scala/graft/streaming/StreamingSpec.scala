@@ -62,6 +62,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:00:00.0", "b", 1L)))
   }
 
+  test("sliding windows: one event lands in width/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "k")
+
+    val agg = MicroBatch.slidingAgg(df, "ts", "k",
+      "10 minutes", "5 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("slideagg")
+      .outputMode("complete").start()
+
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData((ts(7), "a"), (ts(8), "a"), (ts(12), "a"))
+    q.processAllAvailable()
+    val rows = spark.table("slideagg")
+      .collect().map(r =>
+        (r.getTimestamp(0).toString, r.getString(2), r.getLong(3))).toSet
+    q.stop()
+    // 10:07/10:08 belong to [10:00,10:10) and [10:05,10:15);
+    // 10:12 to [10:05,10:15) and [10:10,10:20)
+    assert(rows == Set(
+      ("2024-01-01 10:00:00.0", "a", 2L),
+      ("2024-01-01 10:05:00.0", "a", 3L),
+      ("2024-01-01 10:10:00.0", "a", 1L)))
+  }
+
   test("session windows: gap-separated bursts become separate sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
