@@ -1660,6 +1660,16 @@ object SparkEntry {
           "user_id", "ts", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // Robust per-type outlier flags: Hampel rule |v − med| > 3·mad with
+    // both medians as exact lower-median order statistics — one wild
+    // value can't drag the fences the way a z-score's mean/stddev can.
+    "x_outliers" -> ((s, dir) =>
+      graft.functions.Stats.madOutliers(
+          t(s, dir, "events").select(
+            col("event_id"), col("event_type"), col("value")),
+          "value", "event_type", k = 3.0)
+        .orderBy("event_id")),
+
     // Per-user exact spending trend: least-squares slope of value
     // against the hour index since 2024-01-01 (fixture epoch; offsets
     // non-negative so div == floor in both engines), emitted as the
@@ -4464,6 +4474,29 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         | SUM(n) OVER (PARTITION BY from_type) AS n_from
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // Both medians as the element at rank (n+1)//2 — value ties make
+    // the selected VALUE deterministic whatever the tie order.
+    "x_outliers" ->
+      """WITH base AS (SELECT event_id, event_type, value FROM events),
+        |elig AS (SELECT event_type AS g, value AS v FROM base
+        | WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r1 AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |  COUNT(*) OVER (PARTITION BY g) AS n FROM elig),
+        |med AS (SELECT g, v AS med FROM r1 WHERE rn = (n + 1) // 2),
+        |d AS (SELECT b.event_type AS g, ABS(b.value - m.med) AS dv
+        | FROM base b JOIN med m ON b.event_type = m.g
+        | WHERE b.value IS NOT NULL AND NOT isnan(b.value)),
+        |r2 AS (SELECT g, dv, row_number() OVER (PARTITION BY g ORDER BY dv) AS rn,
+        |  COUNT(*) OVER (PARTITION BY g) AS n FROM d),
+        |mad AS (SELECT g, dv AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT b.event_id, b.event_type, b.value, m.med, md.mad,
+        | CASE WHEN b.value IS NOT NULL AND NOT isnan(b.value)
+        |       AND m.med IS NOT NULL AND md.mad IS NOT NULL
+        |      THEN ABS(b.value - m.med) > 3.0 * md.mad END AS is_outlier
+        |FROM base b LEFT JOIN med m ON b.event_type = m.g
+        | LEFT JOIN mad md ON b.event_type = md.g
+        |ORDER BY event_id""".stripMargin,
 
     // Same micro-unit scaling, HUGEINT products (int128 exact), final
     // DECIMAL(38,0) casts to mirror Spark's schema.

@@ -481,6 +481,59 @@ object Stats {
         col("__m.k").as("hottest_key"))
   }
 
+  /** Per-group robust outlier flags via the median-absolute-deviation
+    * rule: a row is an outlier when `|value − med| > k·mad`, with `med`
+    * the group's lower-median VALUE and `mad` the lower median of the
+    * group's absolute deviations — the clipping/fences answer that,
+    * unlike z-scores, one wild value cannot drag (both med and mad have
+    * a 50% breakdown point; the Hampel filter convention, k ≈ 3).
+    * "Lower median" = the element at sorted position `(n+1) div 2` —
+    * an ORDER STATISTIC of occurring values (the [[winsorize]]
+    * exactness discipline), so both medians, every deviation
+    * (one IEEE subtract), and the `k·mad` gate (one IEEE multiply) are
+    * bit-reproducible across engines and partitionings.
+    *
+    * Null/NaN values pass through with a NULL verdict (they have no
+    * position in the order statistics and don't shift anyone's rank);
+    * rows of a group with no eligible values report null med/mad. A
+    * group that is > 50% one value has mad = 0 — every deviation > 0
+    * then flags, the documented sharpness of the MAD rule on
+    * low-variance data.
+    *
+    * Scale shape: two group-keyed window passes (values sort within
+    * their group's partitions, never globally) each reduced to a
+    * #groups-sized median table that joins back on the group key
+    * (broadcast when small). For ONE giant group, compose
+    * [[exactValueAtRanks]]' bisection twice instead — same statistic,
+    * bounded memory, no sort.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(k >= 0.0, s"negative k: $k")
+    val w = org.apache.spark.sql.expressions.Window
+    val eligible = col(valueCol).isNotNull && !isnan(col(valueCol))
+    val medOf = (in: DataFrame, g: String, v: String, out: String) =>
+      in.withColumn("__rn", row_number().over(
+          w.partitionBy(col(g)).orderBy(col(v))))
+        .withColumn("__n", count(lit(1)).over(w.partitionBy(col(g))))
+        .where(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col(g), col(v).as(out))
+    val med = medOf(
+      df.where(eligible).select(col(groupCol).as("__g"), col(valueCol).as("__v")),
+      "__g", "__v", "med")
+    val withMed = df.join(med, df(groupCol) === med("__g"), "left").drop("__g")
+    val mad = medOf(
+      withMed.where(eligible && col("med").isNotNull)
+        .select(col(groupCol).as("__g"),
+          abs(col(valueCol) - col("med")).as("__d")),
+      "__g", "__d", "mad")
+    withMed.join(mad, withMed(groupCol) === mad("__g"), "left").drop("__g")
+      .withColumn("is_outlier",
+        when(eligible && col("med").isNotNull && col("mad").isNotNull,
+          abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
+          .otherwise(lit(null).cast("boolean")))
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the re-
     * identification pre-flight for a corpus about to be shared or
     * trained on: every QI combination shared by FEWER than `k` rows is

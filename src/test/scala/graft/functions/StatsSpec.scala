@@ -318,6 +318,34 @@ class StatsSpec extends SparkSpec {
       Seq("zip"), k = 2).count() == 0L)
   }
 
+  test("madOutliers: robust fences, zero-mad sharpness, null verdict null") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("v", DoubleType)))
+    val rows = Seq(
+      // group a: med=2, mad=1 → only the 100 flags (|98| > 3)
+      Row(1L, "a", 1.0), Row(2L, "a", 2.0), Row(3L, "a", 3.0),
+      Row(4L, "a", 100.0),
+      // group b: >50% one value → mad=0, any deviation flags
+      Row(5L, "b", 5.0), Row(6L, "b", 5.0), Row(7L, "b", 5.0),
+      Row(8L, "b", 6.0),
+      // group c: only a null value → null med/mad, null verdict
+      Row(9L, "c", null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = Stats.madOutliers(df, "v", "g").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getBoolean(5))))).toMap
+    assert(out(1L) == ((Some(2.0), Some(1.0), Some(false))))
+    assert(out(4L) == ((Some(2.0), Some(1.0), Some(true))))
+    assert(out(5L) == ((Some(5.0), Some(0.0), Some(false))))
+    assert(out(8L) == ((Some(5.0), Some(0.0), Some(true))))
+    assert(out(9L) == ((None, None, None)))
+  }
+
   test("cmsMerge ≡ sketch of the concatenated corpus") {
     import spark.implicits._
     val a = (1 to 200).map(i => s"k${i % 11}").toDF("x")
