@@ -1660,6 +1660,24 @@ object SparkEntry {
           "user_id", "ts", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // Retrieval evaluation: per-language top-10 ranking (longest docs
+    // first — a deterministic stand-in ranker) scored against the
+    // src0-membership relevance set: hits@k, first relevant rank,
+    // precision/recall as exact floor-ppm.
+    "x_retrieval_eval" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val ranked = d.select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+      val qrels = d.where(col("source") === "src0")
+        .select(col("lang"), col("doc_id"))
+      Corpus.retrievalEval(ranked, qrels, "lang", "doc_id", "rank", k = 10)
+        .orderBy("lang")
+    }),
+
     // Robust per-type outlier flags: Hampel rule |v − med| > 3·mad with
     // both medians as exact lower-median order statistics — one wild
     // value can't drag the fences the way a z-score's mean/stddev can.
@@ -4474,6 +4492,27 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         | SUM(n) OVER (PARTITION BY from_type) AS n_from
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // Same ranking and relevance universe; metrics as floor-ppm ints.
+    "x_retrieval_eval" ->
+      """WITH ranked AS (
+        | SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_chars DESC, doc_id) AS rank
+        | FROM documents),
+        |topk AS (SELECT lang, doc_id, rank FROM ranked WHERE rank <= 10),
+        |rel AS (SELECT DISTINCT lang, doc_id FROM documents
+        | WHERE source = 'src0' AND lang IS NOT NULL AND doc_id IS NOT NULL),
+        |nrel AS (SELECT lang, COUNT(*) AS n_rel FROM rel GROUP BY lang),
+        |h AS (SELECT t.lang, COUNT(*) AS h, MIN(t.rank) AS first_rel_rank
+        | FROM topk t JOIN rel r ON t.lang = r.lang AND t.doc_id = r.doc_id
+        | GROUP BY t.lang)
+        |SELECT n.lang, n.n_rel, COALESCE(h.h, 0) AS hits_at_k,
+        | h.first_rel_rank,
+        | (COALESCE(h.h, 0) * 1000000) // 10 AS precision_ppm,
+        | (COALESCE(h.h, 0) * 1000000) // n.n_rel AS recall_ppm
+        |FROM nrel n LEFT JOIN h ON n.lang = h.lang
+        |ORDER BY n.lang""".stripMargin,
 
     // Both medians as the element at rank (n+1)//2 — value ties make
     // the selected VALUE deterministic whatever the tie order.

@@ -383,6 +383,46 @@ object Corpus {
       .where(col("rank") <= k)
   }
 
+  /** Retrieval-quality evaluation of a ranked list against a relevance
+    * set — the measurement rung of the retrieval family ([[tfidfTopK]] /
+    * [[bm25]] / [[rrfFuse]] produce rankings; this scores them): per
+    * query, `n_rel` (relevant docs), `hits_at_k` (relevant found in the
+    * top-k), `first_rel_rank` (the MRR@k numerator's denominator — null
+    * when no relevant doc made the cut), and precision/recall@k as
+    * exact floor parts-per-million (integer arithmetic only — the
+    * [[graft.functions.Events.associationPairs]] convention; MRR/MAP
+    * averaging is one aggregation the caller does at whatever precision
+    * they accept). Queries with no relevant documents are excluded —
+    * every metric is undefined there (0/0) — and duplicate qrel rows
+    * collapse.
+    *
+    * Scale shape: the rank filter cuts the ranked input to q·k rows
+    * BEFORE any join; qrels dedup + per-query counts are one
+    * aggregation each; the hit join keys on (query, doc). Nothing is
+    * corpus-sized — like [[rrfFuse]], the expensive part is the
+    * upstream ranker, never the evaluation.
+    */
+  def retrievalEval(ranked: DataFrame, qrels: DataFrame, queryCol: String,
+                    docCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val rel = qrels.select(col(queryCol).as("__q"), col(docCol).as("__d"))
+      .where(col("__q").isNotNull && col("__d").isNotNull)
+      .distinct()
+    val nRel = rel.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
+    val topk = ranked.where(col(rankCol) <= k)
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).cast("long").as("__r"))
+    val hits = topk.join(rel, Seq("__q", "__d"))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("__h"), min(col("__r")).as("first_rel_rank"))
+    nRel.join(hits, Seq("__q"), "left")
+      .select(col("__q").as(queryCol), col("n_rel"),
+        coalesce(col("__h"), lit(0L)).as("hits_at_k"),
+        col("first_rel_rank"),
+        expr(s"coalesce(__h, 0L) * 1000000L div ${k}L").as("precision_ppm"),
+        expr("coalesce(__h, 0L) * 1000000L div n_rel").as("recall_ppm"))
+  }
+
   /** Unigram LM negative log-likelihood of every document under the
     * corpus's own token distribution — the CCNet-style perplexity quality
     * signal (a doc whose tokens are globally rare scores high; boilerplate

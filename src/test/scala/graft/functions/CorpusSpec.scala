@@ -1227,4 +1227,30 @@ class CorpusSpec extends SparkSpec {
       Corpus.applyChanges(base, bad, "id", "seq", "op")
     }
   }
+
+  test("retrievalEval: hits/first-rank/ppm metrics, no-rel queries excluded, dup qrels collapse") {
+    import spark.implicits._
+    val ranked = Seq(
+      ("q1", 9L, 1L), ("q1", 2L, 2L), ("q1", 3L, 3L), // k=2 cuts rank 3
+      ("q2", 5L, 1L), ("q2", 8L, 2L),
+      ("q4", 1L, 1L)) // q4's relevant doc is not ranked at all
+      .toDF("q", "doc", "rank")
+    val qrels = Seq(
+      ("q1", 2L), ("q1", 2L), ("q1", 3L), ("q1", 4L), // dup (q1,2) collapses
+      ("q2", 5L),
+      ("q3", 6L),  // q3 never ranked: still reported (hits 0)
+      ("q4", 7L))
+      .toDF("q", "doc")
+    val out = Corpus.retrievalEval(ranked, qrels, "q", "doc", "rank", k = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      // q1: rel {2,3,4}, top-2 = {9,2} → 1 hit at rank 2
+      "q1" -> ((3L, 1L, Some(2L), 500000L, 333333L)),
+      "q2" -> ((1L, 1L, Some(1L), 500000L, 1000000L)),
+      "q3" -> ((1L, 0L, None, 0L, 0L)),
+      "q4" -> ((1L, 0L, None, 0L, 0L))))
+  }
 }
