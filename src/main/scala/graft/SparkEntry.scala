@@ -1660,6 +1660,17 @@ object SparkEntry {
           "user_id", "ts", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // Token-level corpus drift: the 100 tokens whose rates differ most
+    // between two slices, ranked by the exact cross-product statistic
+    // |c_a·N_b − c_b·N_a| (integer — no float ratio in a ranking key).
+    "x_token_shift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Corpus.tokenShiftTopK(
+        d.where(pmod(col("doc_id"), lit(3)) === 0),
+        d.where(pmod(col("doc_id"), lit(3)) =!= 0),
+        "text", k = 100)
+    }),
+
     // Retrieval evaluation: per-language top-10 ranking (longest docs
     // first — a deterministic stand-in ranker) scored against the
     // src0-membership relevance set: hits@k, first relevant rank,
@@ -4492,6 +4503,29 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         | SUM(n) OVER (PARTITION BY from_type) AS n_from
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // Same slices, HUGEINT cross-products, DECIMAL(38,0) schema mirror.
+    "x_token_shift" ->
+      """WITH ta AS (
+        | SELECT unnest(CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS token
+        | FROM documents WHERE doc_id % 3 = 0),
+        |tb AS (
+        | SELECT unnest(CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS token
+        | FROM documents WHERE doc_id % 3 <> 0),
+        |ca AS (SELECT token, COUNT(*) AS c_a FROM ta GROUP BY token),
+        |cb AS (SELECT token, COUNT(*) AS c_b FROM tb GROUP BY token),
+        |na AS (SELECT CAST(COALESCE(SUM(c_a), 0) AS BIGINT) AS n_a FROM ca),
+        |nb AS (SELECT CAST(COALESCE(SUM(c_b), 0) AS BIGINT) AS n_b FROM cb),
+        |j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+        |  COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+        | FROM ca FULL OUTER JOIN cb ON ca.token = cb.token)
+        |SELECT j.token, j.c_a, j.c_b, n_a, n_b,
+        | CAST(abs(CAST(j.c_a AS HUGEINT) * n_b
+        |   - CAST(j.c_b AS HUGEINT) * n_a) AS DECIMAL(38,0)) AS shift
+        |FROM j, na, nb
+        |ORDER BY shift DESC, token LIMIT 100""".stripMargin,
 
     // Same ranking and relevance universe; metrics as floor-ppm ints.
     "x_retrieval_eval" ->

@@ -423,6 +423,50 @@ object Corpus {
         expr("coalesce(__h, 0L) * 1000000L div n_rel").as("recall_ppm"))
   }
 
+  /** Top-k distribution-shifted tokens between two corpus slices —
+    * "which words drove the drift between yesterday's crawl and
+    * today's" at token grain (the token-level companion to
+    * [[graft.functions.Stats.histogramDrift]]'s value-level view).
+    * Tokens rank by the cross-product statistic
+    * `shift = |c_a·N_b − c_b·N_a|` — the common-denominator numerator
+    * of `|c_a/N_a − c_b/N_b|`, so the ordering equals the
+    * rate-difference ordering while staying EXACT INTEGER arithmetic
+    * (the pmiTopK lesson: a transcendental or a float ratio in a
+    * ranking key is a latent cross-engine flake; a DECIMAL(38,0)
+    * product is not). Ties break token-ascending. Output keeps the raw
+    * counts and totals so the consumer can form any normalized
+    * statistic at their own precision.
+    *
+    * Scale shape: one vocab-sized count aggregation per slice (the
+    * x_vocab shape — instances collapse map-side, the exchange carries
+    * (token, count)), a vocab-sized full-outer join, two 1-row total
+    * broadcasts, and a global top-k (TakeOrdered — never a full sort).
+    * At 10¹² tokens the products stay under 10³⁸ by a wide margin.
+    */
+  def tokenShiftTopK(a: DataFrame, b: DataFrame, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val d38 = DecimalType(38, 0)
+    def counts(df: DataFrame) = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val na = counts(a).agg(sum(col("c")).as("n_a"))
+    val nb = counts(b).agg(sum(col("c")).as("n_b"))
+    counts(a).withColumnRenamed("c", "c_a")
+      .join(counts(b).withColumnRenamed("c", "c_b"), Seq("token"), "full_outer")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("token"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("shift",
+        abs(col("c_a").cast(d38) * col("n_b").cast(d38) -
+          col("c_b").cast(d38) * col("n_a").cast(d38)).cast(d38))
+      .orderBy(col("shift").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Unigram LM negative log-likelihood of every document under the
     * corpus's own token distribution — the CCNet-style perplexity quality
     * signal (a doc whose tokens are globally rare scores high; boilerplate

@@ -1228,6 +1228,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("tokenShiftTopK: rate-difference order, one-sided tokens, equal rates shift zero") {
+    import spark.implicits._
+    val a = Seq("x x x y", "z").toDF("text")      // N_a = 5
+    val b = Seq("x y y y y", "w w w w w").toDF("text") // N_b = 10
+    val out = Corpus.tokenShiftTopK(a, b, "text", k = 10)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDecimal(5).longValueExact))).toList
+    // shifts: x |3·10−1·5|=25, y |1·10−4·5|=10, z |1·10−0|=10,
+    // w |0−5·5|=25 — ties: (w before x at 25), (y before z at 10)
+    assert(out == List(
+      ("w", (0L, 5L, 25L)), ("x", (3L, 1L, 25L)),
+      ("y", (1L, 4L, 10L)), ("z", (1L, 0L, 10L))))
+  }
+
   test("retrievalEval: hits/first-rank/ppm metrics, no-rel queries excluded, dup qrels collapse") {
     import spark.implicits._
     val ranked = Seq(
