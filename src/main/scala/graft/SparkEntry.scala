@@ -1660,6 +1660,18 @@ object SparkEntry {
           "user_id", "ts", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // Group-median imputation: nulls planted deterministically
+    // (event_id % 7), filled with the type's exact lower-median value;
+    // the was_filled flag marks rows a consumer must still handle.
+    "x_impute" -> ((s, dir) =>
+      graft.functions.Stats.imputeByGroup(
+          t(s, dir, "events").select(col("event_id"), col("event_type"),
+            when(pmod(col("event_id"), lit(7)) === 0,
+              lit(null).cast("double"))
+              .otherwise(col("value")).as("value")),
+          "value", "event_type", strategy = "median")
+        .orderBy("event_id")),
+
     // Token-level corpus drift: the 100 tokens whose rates differ most
     // between two slices, ranked by the exact cross-product statistic
     // |c_a·N_b − c_b·N_a| (integer — no float ratio in a ranking key).
@@ -4503,6 +4515,24 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         | SUM(n) OVER (PARTITION BY from_type) AS n_from
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // Same planted nulls, same lower-median rank selection.
+    "x_impute" ->
+      """WITH base AS (SELECT event_id, event_type,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        | FROM events),
+        |elig AS (SELECT event_type AS g, value AS v FROM base
+        | WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |  COUNT(*) OVER (PARTITION BY g) AS n FROM elig),
+        |f AS (SELECT g, v AS fill FROM r WHERE rn = (n + 1) // 2)
+        |SELECT b.event_id, b.event_type, b.value,
+        | CASE WHEN b.value IS NOT NULL AND NOT isnan(b.value) THEN b.value
+        |      ELSE f.fill END AS imputed,
+        | (NOT (b.value IS NOT NULL AND NOT isnan(b.value)))
+        |   AND f.fill IS NOT NULL AS imputed_was_filled
+        |FROM base b LEFT JOIN f ON b.event_type = f.g
+        |ORDER BY event_id""".stripMargin,
 
     // Same slices, HUGEINT cross-products, DECIMAL(38,0) schema mirror.
     "x_token_shift" ->

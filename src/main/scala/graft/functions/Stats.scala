@@ -510,19 +510,12 @@ object Stats {
   def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
                   k: Double = 3.0): DataFrame = {
     require(k >= 0.0, s"negative k: $k")
-    val w = org.apache.spark.sql.expressions.Window
     val eligible = col(valueCol).isNotNull && !isnan(col(valueCol))
-    val medOf = (in: DataFrame, g: String, v: String, out: String) =>
-      in.withColumn("__rn", row_number().over(
-          w.partitionBy(col(g)).orderBy(col(v))))
-        .withColumn("__n", count(lit(1)).over(w.partitionBy(col(g))))
-        .where(col("__rn") === expr("(__n + 1) div 2"))
-        .select(col(g), col(v).as(out))
-    val med = medOf(
+    val med = lowerMedianBy(
       df.where(eligible).select(col(groupCol).as("__g"), col(valueCol).as("__v")),
       "__g", "__v", "med")
     val withMed = df.join(med, df(groupCol) === med("__g"), "left").drop("__g")
-    val mad = medOf(
+    val mad = lowerMedianBy(
       withMed.where(eligible && col("med").isNotNull)
         .select(col(groupCol).as("__g"),
           abs(col(valueCol) - col("med")).as("__d")),
@@ -532,6 +525,66 @@ object Stats {
         when(eligible && col("med").isNotNull && col("mad").isNotNull,
           abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
           .otherwise(lit(null).cast("boolean")))
+  }
+
+  /** Per-group lower-median (element at sorted position `(n+1) div 2`)
+    * — the exact order statistic [[madOutliers]] and [[imputeByGroup]]
+    * share: one group-keyed window pass reduced to a #groups-sized
+    * table. Ties among equal values leave the selected VALUE
+    * deterministic whatever the tie order.
+    */
+  private def lowerMedianBy(in: DataFrame, g: String, v: String,
+                            out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    in.withColumn("__rn", row_number().over(
+        w.partitionBy(col(g)).orderBy(col(v))))
+      .withColumn("__n", count(lit(1)).over(w.partitionBy(col(g))))
+      .where(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(g), col(v).as(out))
+  }
+
+  /** Per-group null/NaN imputation — fill each ineligible value with
+    * its group's exact statistic: `median` (lower-median order
+    * statistic — robust, always an occurring value) or `mode` (most
+    * frequent value, ties to the smallest — the categorical-ish
+    * choice). Adds `outCol` (the filled value) and `outCol_was_filled`;
+    * rows of a group with NO eligible values stay null with the flag
+    * false (inventing a value across groups would be a silent lie —
+    * the flag tells the consumer which rows still need a strategy).
+    *
+    * Scale shape: one group-keyed pass (ranked window for median, a
+    * (group, value) count + per-group top-1 for mode) reduced to a
+    * #groups-sized fill table joined back on the group key (broadcast
+    * when small). The [[winsorizeByGroup]] caveat applies: for ONE
+    * giant group use [[exactValueAtRanks]]' bisection instead.
+    */
+  def imputeByGroup(df: DataFrame, valueCol: String, groupCol: String,
+                    strategy: String = "median",
+                    outCol: String = "imputed"): DataFrame = {
+    require(strategy == "median" || strategy == "mode",
+      s"unknown strategy: $strategy (median|mode)")
+    val w = org.apache.spark.sql.expressions.Window
+    val eligible = col(valueCol).isNotNull && !isnan(col(valueCol))
+    val fills =
+      if (strategy == "median")
+        lowerMedianBy(
+          df.where(eligible)
+            .select(col(groupCol).as("__g"), col(valueCol).as("__v")),
+          "__g", "__v", "__fill")
+      else
+        df.where(eligible)
+          .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__rn", row_number().over(
+            w.partitionBy(col("__g")).orderBy(col("__c").desc, col("__v").asc)))
+          .where(col("__rn") === 1)
+          .select(col("__g"), col("__v").as("__fill"))
+    df.join(fills, df(groupCol) === fills("__g"), "left").drop("__g")
+      .withColumn(outCol,
+        when(eligible, col(valueCol)).otherwise(col("__fill")))
+      .withColumn(s"${outCol}_was_filled",
+        !eligible && col("__fill").isNotNull)
+      .drop("__fill")
   }
 
   /** k-anonymity audit over quasi-identifier columns — the re-

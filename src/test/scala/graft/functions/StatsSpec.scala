@@ -346,6 +346,36 @@ class StatsSpec extends SparkSpec {
     assert(out(9L) == ((None, None, None)))
   }
 
+  test("imputeByGroup: median and mode fills, NaN replaced, empty group stays null") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("v", DoubleType)))
+    val rows = Seq(
+      Row(1L, "a", 1.0), Row(2L, "a", 3.0), Row(3L, "a", null),
+      Row(4L, "b", 2.0), Row(5L, "b", 2.0), Row(6L, "b", 3.0),
+      Row(7L, "b", Double.NaN),
+      Row(8L, "c", null)) // group with no eligible values
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    def got(strategy: String) =
+      Stats.imputeByGroup(df, "v", "g", strategy).collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            r.getBoolean(4)))).toMap
+    val med = got("median")
+    assert(med(3L) == ((Some(1.0), true)))  // lower median of {1,3}
+    assert(med(7L) == ((Some(2.0), true)))  // NaN counts as missing
+    assert(med(8L) == ((None, false)))      // nothing to fill from
+    assert(med(1L) == ((Some(1.0), false)))
+    val mode = got("mode")
+    assert(mode(3L) == ((Some(1.0), true))) // tie {1,3} → smallest
+    assert(mode(7L) == ((Some(2.0), true))) // 2.0 occurs twice
+    intercept[IllegalArgumentException] {
+      Stats.imputeByGroup(df, "v", "g", "mean")
+    }
+  }
+
   test("cmsMerge ≡ sketch of the concatenated corpus") {
     import spark.implicits._
     val a = (1 to 200).map(i => s"k${i % 11}").toDF("x")
