@@ -1660,6 +1660,15 @@ object SparkEntry {
           "user_id", "ts", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // Equal-frequency decile feature: bucket index from 9 exact
+    // order-statistic cuts resolved by bisection (no global sort —
+    // the scale-honest ntile), assignment a map-only projection.
+    "x_qbucket" -> ((s, dir) =>
+      graft.functions.Stats.quantileBucket(
+          t(s, dir, "events").select(col("event_id"), col("value")),
+          "value", nBuckets = 10)
+        .orderBy("event_id")),
+
     // Group-median imputation: nulls planted deterministically
     // (event_id % 7), filled with the type's exact lower-median value;
     // the was_filled flag marks rows a consumer must still handle.
@@ -4515,6 +4524,22 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         | SUM(n) OVER (PARTITION BY from_type) AS n_from
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // The oracle's one global window IS the naive plan the operator
+    // avoids; cuts at 1-based ranks (i·n)//10 + 1, bucket = #cuts ≤ v.
+    "x_qbucket" -> {
+      val inList = (1 to 9).map(i => s"($i * n) // 10 + 1").mkString(", ")
+      s"""WITH elig AS (SELECT value AS v FROM events
+         | WHERE value IS NOT NULL AND NOT isnan(value)),
+         |nn AS (SELECT COUNT(*) AS n FROM elig),
+         |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM elig),
+         |cuts AS (SELECT r.v FROM r, nn WHERE r.rn IN ($inList))
+         |SELECT e.event_id, e.value,
+         | CASE WHEN e.value IS NOT NULL AND NOT isnan(e.value)
+         |      THEN (SELECT COUNT(*) FROM cuts c WHERE c.v <= e.value)
+         | END AS bucket
+         |FROM events e ORDER BY event_id""".stripMargin
+    },
 
     // Same planted nulls, same lower-median rank selection.
     "x_impute" ->

@@ -527,6 +527,41 @@ object Stats {
           .otherwise(lit(null).cast("boolean")))
   }
 
+  /** Equal-frequency bucketing (quantile discretization): each row gets
+    * the bucket index of its value among `nBuckets − 1` cut points
+    * computed as EXACT order statistics — `cut_i` = the value at
+    * 0-based sorted rank `(i·n) div nBuckets` — so the feature a model
+    * trains on is reproducible bit-for-bit across engines and runs
+    * (the [[winsorize]] exactness discipline). `bucket(v)` = number of
+    * cuts ≤ v, in [0, nBuckets − 1]; heavy repeated values make buckets
+    * legitimately unequal (counts, not interpolation, decide). Null/NaN
+    * values get a null bucket and shift no ranks.
+    *
+    * Scale shape: the cuts resolve via [[exactValueAtRanks]]' bisection
+    * (a few counting passes, NO global sort — the single-reducer
+    * `ntile()` window this op replaces is exactly what doesn't survive
+    * 100 TB), then assignment is a map-only projection against the
+    * ≤ nBuckets-sized cut literal.
+    */
+  def quantileBucket(df: DataFrame, valueCol: String, nBuckets: Int,
+                     outCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val eligible = col(valueCol).isNotNull && !isnan(col(valueCol))
+    val n = df.where(eligible).count()
+    require(n > 0, s"no non-null values in $valueCol")
+    val ranks = (1 until nBuckets).map(i => i * n / nBuckets).distinct
+    val byRank = exactValueAtRanks(df, valueCol, ranks)
+    // one cut per DISTINCT rank (equal-VALUE cuts from different ranks
+    // stay — the bucket index then honestly skips past the heavy value)
+    val cuts = ranks.sorted.map(byRank)
+    val cutsArr = array(cuts.map(lit(_)): _*)
+    df.withColumn(outCol,
+      when(eligible,
+        size(filter(cutsArr, c => c <= col(valueCol).cast("double")))
+          .cast("long"))
+        .otherwise(lit(null).cast("long")))
+  }
+
   /** Per-group lower-median (element at sorted position `(n+1) div 2`)
     * — the exact order statistic [[madOutliers]] and [[imputeByGroup]]
     * share: one group-keyed window pass reduced to a #groups-sized

@@ -346,6 +346,23 @@ class StatsSpec extends SparkSpec {
     assert(out(9L) == ((None, None, None)))
   }
 
+  test("quantileBucket: order-statistic cuts, boundary goes down, null bucket null") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val rows = (1 to 10).map(i => Row(i.toLong, i.toDouble)) :+ Row(11L, null)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = Stats.quantileBucket(df, "v", nBuckets = 4).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // n=10, cuts at 0-based ranks 2,5,7 → values 3,6,8; bucket = #cuts ≤ v
+    val expect = Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 2L, 7L -> 2L, 8L -> 3L, 9L -> 3L, 10L -> 3L)
+    expect.foreach { case (id, b) => assert(out(id) == Some(b), s"id $id") }
+    assert(out(11L).isEmpty)
+  }
+
   test("imputeByGroup: median and mode fills, NaN replaced, empty group stays null") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
