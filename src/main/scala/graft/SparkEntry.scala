@@ -1660,6 +1660,13 @@ object SparkEntry {
           "user_id", "ts", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // Lexical diversity census: type-token + distinct-bigram ratios as
+    // floor-ppm ints, computed entirely inside one scan projection —
+    // zero shuffles, nothing leaves its map task.
+    "x_diversity" -> ((s, dir) =>
+      Corpus.diversitySignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Equal-frequency decile feature: bucket index from 9 exact
     // order-statistic cuts resolved by bisection (no global sort —
     // the scale-honest ntile), assignment a map-only projection.
@@ -4524,6 +4531,30 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         | SUM(n) OVER (PARTITION BY from_type) AS n_from
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // Same token split, 1-based list bigrams, len()/list_distinct.
+    "x_diversity" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS t
+        | FROM documents),
+        |g AS (SELECT doc_id, t,
+        |  CASE WHEN len(t) >= 2
+        |       THEN list_transform(range(1, CAST(len(t) AS INTEGER)),
+        |         i -> t[i] || ' ' || t[i + 1])
+        |       ELSE []::VARCHAR[] END AS bg
+        | FROM d)
+        |SELECT doc_id,
+        | len(t) AS n_tokens,
+        | len(list_distinct(t)) AS n_distinct_tokens,
+        | len(bg) AS n_bigrams,
+        | len(list_distinct(bg)) AS n_distinct_bigrams,
+        | CASE WHEN len(t) > 0
+        |      THEN (len(list_distinct(t)) * 1000000) // len(t) END AS ttr_ppm,
+        | CASE WHEN len(bg) > 0
+        |      THEN (len(list_distinct(bg)) * 1000000) // len(bg)
+        | END AS distinct_bigram_ppm
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // The oracle's one global window IS the naive plan the operator
     // avoids; cuts at 1-based ranks (i·n)//10 + 1, bucket = #cuts ≤ v.

@@ -39,6 +39,45 @@ object Corpus {
     * (id, hash) groups, then the per-doc rollups co-partition on the id.
     * Nothing is quadratic and no full document body ever shuffles.
     */
+  /** Per-document lexical diversity census — type-token ratio and
+    * distinct-bigram ratio as exact floor-ppm integers (the distinct-n
+    * diversity signal: templated/boilerplate docs score low, natural
+    * prose high — the complement of [[repetitionSignals]]' top-gram
+    * concentration view). Bigrams are space-joined token pairs
+    * (tokens are whitespace-free by construction, so the join is
+    * collision-free — no hashing, no caveat). Docs with no tokens (or
+    * no bigrams) report null ratios rather than a fake 0.
+    *
+    * Scale shape: ZERO shuffles — every count is an array op inside
+    * one scan projection (tokens, array_distinct, a zip_with bigram
+    * build); nothing leaves its map task, the cheapest possible shape
+    * for a per-doc census.
+    */
+  def diversitySignals(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol), toks.as("__t"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__t"))).cast("long").as("n_distinct_tokens"),
+        when(size(col("__t")) >= 2,
+          zip_with(
+            slice(col("__t"), lit(1), size(col("__t")) - 1),
+            slice(col("__t"), lit(2), size(col("__t")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>")).as("__bg"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct_tokens"),
+        size(col("__bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("__bg"))).cast("long")
+          .as("n_distinct_bigrams"))
+      .withColumn("ttr_ppm", expr(
+        "CASE WHEN n_tokens > 0 " +
+          "THEN n_distinct_tokens * 1000000L div n_tokens END"))
+      .withColumn("distinct_bigram_ppm", expr(
+        "CASE WHEN n_bigrams > 0 " +
+          "THEN n_distinct_bigrams * 1000000L div n_bigrams END"))
+  }
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
     // Both branches hash via the native NgramHashesAll expression (one

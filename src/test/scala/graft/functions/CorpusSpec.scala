@@ -1228,6 +1228,25 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("diversitySignals: ratios exact, single-token and empty docs null out") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b"),   // toks 4/2 distinct; bigrams: "a b","b a","a b" → 3/2
+      (2L, "x"),         // one token: no bigrams
+      (3L, ""),          // no tokens at all
+      (4L, "p q r")      // all distinct: ttr 1e6, bigrams 2/2
+    ).toDF("doc_id", "text")
+    val out = Corpus.diversitySignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    assert(out(1L) == ((4L, 2L, 3L, 2L, Some(500000L), Some(666666L))))
+    assert(out(2L) == ((1L, 1L, 0L, 0L, Some(1000000L), None)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, None, None)))
+    assert(out(4L) == ((3L, 3L, 2L, 2L, Some(1000000L), Some(1000000L))))
+  }
+
   test("tokenShiftTopK: rate-difference order, one-sided tokens, equal rates shift zero") {
     import spark.implicits._
     val a = Seq("x x x y", "z").toDF("text")      // N_a = 5
