@@ -208,6 +208,12 @@ object Graph {
         col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .repartition(col("src")).sortWithinPartitions("src"))
     val eDst = snap(eSrc.repartition(col("dst")).sortWithinPartitions("dst"))
+    // needed only for the FINAL zero-fill: in-loop score tables stay
+    // SPARSE (nodes with no in-/out-edges score 0, and zeros change
+    // neither the Σx² normalizer nor any contribution sum — so the
+    // per-half-round all-nodes left join + re-pin the earlier shape
+    // paid bought nothing; each half-round's aggregation already
+    // leaves its output hash-partitioned on the next join's key)
     val nodes = snap(
       eSrc.select(col("src").as("id")).union(eSrc.select(col("dst").as("id")))
         .distinct().repartition(col("id")).sortWithinPartitions("id"))
@@ -225,39 +231,41 @@ object Graph {
     // through every earlier round.
     val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cache(df: DataFrame): DataFrame = { val p = df.persist(); live += p; p }
-    def normalized(full: DataFrame, rawCol: String, outCol: String): DataFrame = {
-      val s2 = full.agg(
+    def normalized(sparse: DataFrame, rawCol: String, outCol: String): DataFrame = {
+      val s2 = sparse.agg(
         sum((col(rawCol) * col(rawCol)).cast(dec)).cast("double").as("__s2"))
-      full.crossJoin(broadcast(s2))
+      sparse.crossJoin(broadcast(s2))
         .select(col("id"),
           when(col("__s2") > 0.0,
             round(col(rawCol) / sqrt(col("__s2")), 9))
             .otherwise(lit(0.0)).as(outCol))
     }
-    var hubs = nodes.withColumn("h", lit(1.0))
+    // initial hub score 1.0: src-side rows suffice — a node with no
+    // out-edges contributes to no authority sum
+    var hubs: DataFrame =
+      eSrc.select(col("src").as("id")).distinct().withColumn("h", lit(1.0))
     var auth: DataFrame = null
     withLoopConf(edges.sparkSession) {
       for (_ <- 1 to rounds) {
-        val aRaw = eSrc.join(hubs, eSrc("src") === hubs("id"))
+        val aRaw = cache(eSrc.join(hubs, eSrc("src") === hubs("id"))
           .groupBy(eSrc("dst"))
           .agg(sum(col("h").cast(dec)).cast("double").as("__ar"))
-        val aFull = cache(nodes.join(aRaw, nodes("id") === aRaw("dst"), "left")
-          .select(col("id"), coalesce(col("__ar"), lit(0.0)).as("__ar"))
-          .repartition(col("id")).sortWithinPartitions("id"))
-        auth = normalized(aFull, "__ar", "a")
-        val hRaw = eDst.join(auth, eDst("dst") === auth("id"))
+          .select(col("dst").as("id"), col("__ar")))
+        auth = normalized(aRaw, "__ar", "a")
+        val hRaw = cache(eDst.join(auth, eDst("dst") === auth("id"))
           .groupBy(eDst("src"))
           .agg(sum(col("a").cast(dec)).cast("double").as("__hr"))
-        val hFull = cache(nodes.join(hRaw, nodes("id") === hRaw("src"), "left")
-          .select(col("id"), coalesce(col("__hr"), lit(0.0)).as("__hr"))
-          .repartition(col("id")).sortWithinPartitions("id"))
-        hubs = normalized(hFull, "__hr", "h")
+          .select(col("src").as("id"), col("__hr")))
+        hubs = normalized(hRaw, "__hr", "h")
       }
     }
     // the ONE eager job of the whole fixpoint: materializes every
-    // half-round cache inline, then cuts lineage for the caller
-    val out = snap(hubs.join(auth, "id")
-      .select(col("id"), col("h").as("hub"), col("a").as("authority")))
+    // half-round cache inline, zero-fills the nodes the sparse loop
+    // never scored, then cuts lineage for the caller
+    val out = snap(nodes
+      .join(hubs, Seq("id"), "left").join(auth, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0.0)).as("hub"),
+        coalesce(col("a"), lit(0.0)).as("authority")))
     eSrc.unpersist(blocking = false)
     eDst.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
