@@ -836,6 +836,15 @@ object SparkEntry {
         Seq("view", "click", "purchase"), windowUs = 86400000000L)
         .orderBy("step")),
 
+    // Time-to-convert: one row per user completing the whole funnel in
+    // the window, with exact integer-µs latency — feed to
+    // exactQuantiles/quantileBucket for the percentile view.
+    "x_funnel_latency" -> ((s, dir) =>
+      graft.functions.Events.funnelLatency(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 86400000000L)
+        .orderBy("user_id")),
+
     // The ONE-shuffle deep-funnel form of the same query: events shuffle
     // once into per-user groups, the whole step recurrence runs as a
     // native kernel per user (FunnelReach), and per-step counts come off
@@ -3133,14 +3142,21 @@ object SparkEntry {
     * engine form) and x_funnel_deep (one-shuffle kernel form): both
     * compute the identical step recurrence.
     */
-  private val funnelOracle: String =
-    """WITH e AS (
+  /** The greedy step-time CTE chain x_funnel / x_funnel_deep /
+    * x_funnel_latency share (s3 carries t1 AND t3 for the window gate
+    * and the latency).
+    */
+  private val funnelStepsCte: String =
+    """e AS (
       | SELECT user_id AS u, epoch_us(ts) AS us, event_type AS t FROM events),
       |s1 AS (SELECT u, MIN(us) AS t1 FROM e WHERE t = 'view' GROUP BY u),
       |s2 AS (SELECT e.u, t1, MIN(us) AS t2 FROM e JOIN s1 ON e.u = s1.u
       |       WHERE t = 'click' AND e.us >= s1.t1 GROUP BY e.u, t1),
       |s3 AS (SELECT e.u, s2.t1, MIN(us) AS t3 FROM e JOIN s2 ON e.u = s2.u
-      |       WHERE t = 'purchase' AND e.us >= s2.t2 GROUP BY e.u, s2.t1)
+      |       WHERE t = 'purchase' AND e.us >= s2.t2 GROUP BY e.u, s2.t1)""".stripMargin
+
+  private val funnelOracle: String =
+    s"""WITH $funnelStepsCte
       |SELECT * FROM (
       | SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
       |  COUNT(*) AS n_users FROM s1 WHERE t1 - t1 <= 86400000000
@@ -3996,6 +4012,14 @@ object SparkEntry {
     // Chained step CTEs: step k's MIN(us) over events of its type at or
     // after step k−1's time; a user counts iff t_k − t_1 ≤ the window.
     "x_funnel" -> funnelOracle,
+
+    // Same CTE chain; s3's (t1, t3) carry the gate and the latency.
+    "x_funnel_latency" ->
+      s"""WITH $funnelStepsCte
+        |SELECT u AS user_id, t1 AS t_first_us, t3 AS t_final_us,
+        | t3 - t1 AS latency_us
+        |FROM s3 WHERE t3 - t1 <= 86400000000
+        |ORDER BY user_id""".stripMargin,
 
     // The deep-funnel form computes the SAME function — one oracle, two
     // engine plans (k filtered joins vs one shuffle + per-user kernel).

@@ -33,7 +33,24 @@ object Events {
     require(windowUs >= 0, s"windowUs must be non-negative: $windowUs")
     val ev = events.select(col(userCol).as("__u"),
       unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__t"))
-    val stepTables = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+    val stepTables = funnelStepTables(ev, steps)
+    stepTables.zipWithIndex.map { case (t, i) =>
+      val k = i + 1
+      t.where(col(s"t$k") - col("t1") <= windowUs)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(k.toLong).as("step"),
+          lit(steps(i)).as("event_type"), col("n_users"))
+    }.reduce(_ union _)
+  }
+
+  /** The per-step time-table fold [[funnel]] and [[funnelLatency]]
+    * share: table k = users reaching step k, with their greedy step
+    * times t1..tk (step k's time = earliest event of that type AT OR
+    * AFTER t(k−1)).
+    */
+  private def funnelStepTables(ev: DataFrame,
+                               steps: Seq[String]): Seq[DataFrame] =
+    steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (s, i)) =>
         val k = i + 1
         Some(prev match {
@@ -49,13 +66,34 @@ object Events {
               .agg(min(col("e.__us")).as(s"t$k"))
         })
     }.flatten
-    stepTables.zipWithIndex.map { case (t, i) =>
-      val k = i + 1
-      t.where(col(s"t$k") - col("t1") <= windowUs)
-        .agg(count(lit(1)).as("n_users"))
-        .select(lit(k.toLong).as("step"),
-          lit(steps(i)).as("event_type"), col("n_users"))
-    }.reduce(_ union _)
+
+  /** Per-user conversion latency for funnel completers — [[funnel]]'s
+    * missing output: not HOW MANY users converted but HOW LONG each
+    * took (the time-to-convert distribution product teams fence SLAs
+    * on; feed the result to [[graft.functions.Stats.exactQuantiles]] /
+    * [[graft.functions.Stats.quantileBucket]] for the percentile
+    * view). One row per user completing EVERY step within `windowUs`:
+    * (user, t_first_us, t_final_us, latency_us) — exact integer
+    * microseconds, the same greedy earliest-at-or-after step chaining
+    * as [[funnel]] (so `count(*)` here always equals the funnel's last
+    * step's n_users; the greedy chain is the funnel semantics, not the
+    * globally-minimal latency). Same shuffle profile as [[funnel]]:
+    * one user-keyed min-aggregation per step joined to the shrinking
+    * completer table.
+    */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String],
+                    windowUs: Long): DataFrame = {
+    require(steps.size >= 2, "latency needs at least two funnel steps")
+    require(windowUs >= 0, s"windowUs must be non-negative: $windowUs")
+    val ev = events.select(col(userCol).as("__u"),
+      unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__t"))
+    val k = steps.size
+    funnelStepTables(ev, steps).last
+      .where(col(s"t$k") - col("t1") <= windowUs)
+      .select(col("__u").as(userCol),
+        col("t1").as("t_first_us"), col(s"t$k").as("t_final_us"),
+        (col(s"t$k") - col("t1")).as("latency_us"))
   }
 
   /** ONE-shuffle deep funnel — [[funnel]] for many steps: the k-join

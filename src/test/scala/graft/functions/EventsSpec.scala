@@ -281,6 +281,27 @@ class EventsSpec extends SparkSpec {
       17L -> (("click", Some(15L), Some(10L)))))
   }
 
+  test("funnelLatency: completers only, window gate, greedy anchor at earliest first step") {
+    val events = ev(Seq(
+      // user 1: clean chain → latency 20
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),
+      // user 2: completes but outside the 100µs window
+      (2L, 0L, "view"), (2L, 50L, "click"), (2L, 200L, "purchase"),
+      // user 3: never purchases
+      (3L, 0L, "view"), (3L, 1L, "click"),
+      // user 4: a later view would give latency 2, but the funnel
+      // anchors at the EARLIEST first step (t1 = 0) → latency 7
+      (4L, 0L, "view"), (4L, 5L, "view"), (4L, 6L, "click"),
+      (4L, 7L, "purchase")))
+    val out = Events.funnelLatency(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((0L, 20L, 20L)),
+      4L -> ((0L, 7L, 7L))))
+  }
+
   test("trendStats: exact rational slope, one-bucket key degenerates, nulls excluded") {
     val rows = Seq(
       // key 1: perfect line y = x + 1 → slope 1.0 = 1e6 micro/bucket
