@@ -79,6 +79,32 @@ class PlanSpec extends SparkSpec {
       "interpolate reintroduced a rescan (unbounded following) frame")
   }
 
+  test("round-10 second wave: every pair generator and join is equi-keyed") {
+    // x_sssp / x_kanon / x_token_shift intentionally carry 1-row
+    // broadcast cross joins (converged flag / audit summary / corpus
+    // totals — the kCore convention), which plan as
+    // BroadcastNestedLoopJoin by design; they still must not produce a
+    // CartesianProduct (a data×data cross would never broadcast)
+    val oneRowBroadcasts =
+      Set("x_sssp", "x_kanon", "x_token_shift", "x_basket_pairs")
+    Seq("x_sssp", "x_basket_pairs", "x_kanon", "x_trend", "x_outliers",
+        "x_impute", "x_retrieval_eval", "x_token_shift", "x_qbucket",
+        "x_diversity", "x_funnel_latency", "r_hopping_window")
+      .foreach { q =>
+        val p = plan(q)
+        if (!oneRowBroadcasts(q))
+          assert(!p.contains("BroadcastNestedLoopJoin"),
+            s"$q fell back to an all-pairs nested loop")
+        assert(!p.contains("CartesianProduct"),
+          s"$q fell back to a cartesian product")
+      }
+    // the diversity census must stay a pure scan projection: any
+    // exchange means an array op leaked into a shuffle stage
+    assert(!plan("x_diversity").split("Sort \\[doc_id")(0)
+      .contains("Exchange"),
+      "diversity census shuffles before its presentation sort")
+  }
+
   test("r_asof_broadcast: custom exec present, probe side never shuffled") {
     val p = plan("r_asof_broadcast")
     assert(p.contains("BroadcastAsOfJoin"), p)
