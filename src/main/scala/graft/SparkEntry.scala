@@ -4689,7 +4689,8 @@ object SparkEntry {
         |  CAST((epoch_us(ts) - 1704067200000000) // 3600000000
         |    AS HUGEINT) AS x,
         |  CAST(floor(value * 1000000.0) AS HUGEINT) AS y
-        | FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        | FROM events
+        | WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
         |a AS (
         | SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
         |  SUM(x * y) AS sxy, SUM(x * x) AS sxx

@@ -492,8 +492,10 @@ object Events {
     * DECIMAL(38,0) — nothing rounds, order never matters. `slope_num`
     * is therefore in micro-value units per bucket. `slope_den` ≥ 0,
     * and 0 ⇔ all of a key's points share one bucket (slope undefined;
-    * the row still reports its sums). Null x or value rows are
-    * excluded (they have no position on either axis).
+    * the row still reports its sums). Null x and null/NaN value rows
+    * are excluded (they have no position on either axis — and a NaN
+    * that passed the gate would count into `n` while its micro-unit
+    * cast nulls out of every sum, silently skewing the slope).
     *
     * Scale shape: ONE key-keyed aggregation with map-side partials —
     * the exchange carries 6 numbers per key, never points. At 10⁹
@@ -505,7 +507,8 @@ object Events {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val x = col(xCol).cast("long").cast(d38)
     val y = floor(col(valueCol) * lit(1000000.0)).cast("long").cast(d38)
-    df.where(col(xCol).isNotNull && col(valueCol).isNotNull)
+    df.where(col(xCol).isNotNull && col(valueCol).isNotNull &&
+        !isnan(col(valueCol)))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(x).cast(d38).as("sum_x"),

@@ -330,6 +330,45 @@ object MicroBatch {
     * [[streamingFunnel]]. State per user = 1 + #active-days longs —
     * bounded by stream duration in days, never by event count.
     */
+  /** Incremental per-key exact trend — the streaming dual of
+    * [[graft.functions.Events.trendStats]]: points `(key, x, value)`
+    * keep 5 integer accumulators per key (n, Σx, Σy_µ, Σxy_µ, Σx² —
+    * value scaled to micro-units by the same floor(v·10⁶), NaN
+    * skipped) and every trigger emits the key's running sums plus the
+    * slope rational `num = n·Σxy − Σx·Σy`, `den = n·Σx² − (Σx)²` — the
+    * live drift signal without replaying history. Sums are associative
+    * and commutative, so the emitted state after any prefix of batches
+    * equals the batch operator over the same rows (spec-pinned);
+    * arithmetic is Long (overflow bound: |x| ≤ 10⁴, |y_µ| ≤ 10⁹ keeps
+    * every product safe past 10⁵ points/key — the batch form's
+    * DECIMAL(38,0) is the fleet-scale audit path). State per key = 5
+    * longs, independent of point count.
+    */
+  def streamingTrend(points: org.apache.spark.sql.Dataset[(Long, Long, Double)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long, Long, Long)] = {
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Long)]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Long, Long, Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Long, Long, Long, Long)]
+    points.groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .mapGroupsWithState[(Long, Long, Long, Long, Long),
+                          (Long, Long, Long, Long, Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (n, sx, sy, sxy, sxx) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L))
+          rows.foreach { case (_, x, v) =>
+            if (!v.isNaN) {
+              val y = math.floor(v * 1000000.0).toLong
+              n += 1; sx += x; sy += y; sxy += x * y; sxx += x * x
+            }
+          }
+          state.update((n, sx, sy, sxy, sxx))
+          (key, n, sx, sy, sxy, sxx, n * sxy - sx * sy, n * sxx - sx * sx)
+      }
+  }
+
   def streamingRetention(events: org.apache.spark.sql.Dataset[(Long, Long)])
       : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
     val usPerDay = 86400000000L

@@ -309,8 +309,10 @@ class EventsSpec extends SparkSpec {
       (1L, Some(2L), Some(3.0)),
       // key 2: all points in one bucket → slope_den 0
       (2L, Some(5L), Some(1.5)), (2L, Some(5L), Some(2.5)),
-      // key 3: null x / null value rows contribute nothing
-      (3L, Some(0L), Some(1.0)), (3L, None, Some(9.0)), (3L, Some(1L), None))
+      // key 3: null x / null value / NaN rows contribute nothing —
+      // a NaN past the gate would inflate n while nulling out of sums
+      (3L, Some(0L), Some(1.0)), (3L, None, Some(9.0)),
+      (3L, Some(1L), None), (3L, Some(2L), Some(Double.NaN)))
     val df = spark.createDataFrame(rows).toDF("k", "x", "v")
     val out = Events.trendStats(df, "k", "x", "v")
       .collect().map(r => r.getLong(0) ->

@@ -238,6 +238,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(("click", 6L)) == ((10L, true)))
   }
 
+  test("streamingTrend: latest emitted state per key equals the batch trendStats") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // key 1: a perfect line split across two batches; key 2 all in one
+    // bucket; a NaN point must not touch any accumulator
+    val rows: Seq[(Long, Long, Double)] = Seq(
+      (1L, 0L, 1.0), (1L, 1L, 2.0), (1L, 2L, 3.0),
+      (2L, 5L, 1.5), (2L, 5L, 2.5), (2L, 5L, Double.NaN))
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = MicroBatch.streamingTrend(input.toDS())
+      .writeStream.format("memory").queryName("trend_inc")
+      .outputMode("update").start()
+    val (b1, b2) = rows.splitAt(2)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val latest = spark.table("trend_inc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+    q.stop()
+    val batch = graft.functions.Events.trendStats(
+        spark.createDataFrame(rows).toDF("k", "x", "v"), "k", "x", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(0), r.getLong(1), r.getDecimal(2).longValueExact,
+          r.getDecimal(3).longValueExact, r.getDecimal(4).longValueExact,
+          r.getDecimal(5).longValueExact, r.getDecimal(6).longValueExact,
+          r.getDecimal(7).longValueExact))).toMap
+    assert(latest == batch,
+      s"streaming state $latest must equal batch sums $batch")
+  }
+
   test("streamingRetention: emitted (user, cohort, offset) rows roll up to the batch retention") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
