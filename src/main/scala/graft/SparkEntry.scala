@@ -1676,6 +1676,14 @@ object SparkEntry {
       Corpus.diversitySignals(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Column-dependence audit: the orders priority×status contingency
+    // table with the exact cross-product dependence score per cell —
+    // the "is this feature leaking into that label/split" census.
+    "x_contingency" -> ((s, dir) =>
+      graft.functions.Stats.contingency(
+          t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+        .orderBy("o_orderpriority", "o_orderstatus")),
+
     // Equal-frequency decile feature: bucket index from 9 exact
     // order-statistic cuts resolved by bisection (no global sort —
     // the scale-honest ntile), assignment a map-only projection.
@@ -4579,6 +4587,23 @@ object SparkEntry {
         |      THEN (len(list_distinct(bg)) * 1000000) // len(bg)
         | END AS distinct_bigram_ppm
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Same census; HUGEINT cross-products, DECIMAL(38,0) schema mirror.
+    "x_contingency" ->
+      """WITH cells AS (
+        | SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS n_ab
+        | FROM orders
+        | WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        | GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY a),
+        |cb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_total FROM cells)
+        |SELECT c.a AS o_orderpriority, c.b AS o_orderstatus, c.n_ab,
+        | ra.n_a, cb.n_b, tot.n_total,
+        | CAST(abs(CAST(c.n_ab AS HUGEINT) * tot.n_total
+        |   - CAST(ra.n_a AS HUGEINT) * cb.n_b) AS DECIMAL(38,0)) AS dep
+        |FROM cells c JOIN ra ON c.a = ra.a JOIN cb ON c.b = cb.b, tot
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
 
     // The oracle's one global window IS the naive plan the operator
     // avoids; cuts at 1-based ranks (i·n)//10 + 1, bucket = #cuts ≤ v.

@@ -527,6 +527,42 @@ object Stats {
           .otherwise(lit(null).cast("boolean")))
   }
 
+  /** Column-dependence census over two categorical columns — the
+    * contingency table with an EXACT dependence score per cell:
+    * `dep = |n_ab·N − n_a·n_b|`, the common-denominator numerator of
+    * `|P(a,b) − P(a)·P(b)|` (the [[graft.functions.Corpus.tokenShiftTopK]]
+    * / pmiTopK discipline: a DECIMAL(38,0) cross product instead of a
+    * float ratio, so the ranking is engine- and order-exact). The
+    * feature-leakage audit: a (feature, label) or (split, source) pair
+    * whose cells score high is dependent — e.g. a train/test split
+    * correlated with a quality column means the eval set isn't
+    * exchangeable. Independent columns score every cell near 0. Null
+    * rows are excluded (SQL joins couldn't carry a null category
+    * consistently, and joinCardinality set the "nulls never join"
+    * convention).
+    *
+    * Scale shape: one (a, b)-keyed census with map-side partials, two
+    * marginal aggregations OVER the census (#cells-sized, never the
+    * fact table again), a 1-row total broadcast — the fact table is
+    * scanned once and shuffles only its two-column projection.
+    */
+  def contingency(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n_ab"))
+    val ra = cells.groupBy(col(aCol)).agg(sum(col("n_ab")).as("n_a"))
+    val cb = cells.groupBy(col(bCol)).agg(sum(col("n_ab")).as("n_b"))
+    val tot = cells.agg(sum(col("n_ab")).as("n_total"))
+    cells.join(ra, Seq(aCol)).join(cb, Seq(bCol))
+      .crossJoin(broadcast(tot))
+      .select(col(aCol), col(bCol), col("n_ab"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("n_total").cast("long").as("n_total"),
+        abs(col("n_ab").cast(d38) * col("n_total").cast(d38) -
+          col("n_a").cast(d38) * col("n_b").cast(d38)).cast(d38).as("dep"))
+  }
+
   /** Equal-frequency bucketing (quantile discretization): each row gets
     * the bucket index of its value among `nBuckets − 1` cut points
     * computed as EXACT order statistics — `cut_i` = the value at

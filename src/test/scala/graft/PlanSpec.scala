@@ -85,11 +85,12 @@ class PlanSpec extends SparkSpec {
     // totals — the kCore convention), which plan as
     // BroadcastNestedLoopJoin by design; they still must not produce a
     // CartesianProduct (a data×data cross would never broadcast)
-    val oneRowBroadcasts =
-      Set("x_sssp", "x_kanon", "x_token_shift", "x_basket_pairs")
+    val oneRowBroadcasts = Set("x_sssp", "x_kanon", "x_token_shift",
+      "x_basket_pairs", "x_contingency")
     Seq("x_sssp", "x_basket_pairs", "x_kanon", "x_trend", "x_outliers",
         "x_impute", "x_retrieval_eval", "x_token_shift", "x_qbucket",
-        "x_diversity", "x_funnel_latency", "r_hopping_window")
+        "x_diversity", "x_funnel_latency", "r_hopping_window",
+        "x_contingency")
       .foreach { q =>
         val p = plan(q)
         if (!oneRowBroadcasts(q))

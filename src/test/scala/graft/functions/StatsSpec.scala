@@ -346,6 +346,29 @@ class StatsSpec extends SparkSpec {
     assert(out(9L) == ((None, None, None)))
   }
 
+  test("contingency: independent columns score zero, dependent cells score the gap") {
+    import spark.implicits._
+    // perfectly independent 2×2: every cell n·N − r·c = 4·16 − 8·8 = 0
+    val ind = Seq.tabulate(16)(i => (s"a${i % 2}", s"b${(i / 2) % 2}"))
+      .toDF("x", "y")
+    val zero = Stats.contingency(ind, "x", "y").collect()
+      .map(r => r.getDecimal(6).longValueExact)
+    assert(zero.forall(_ == 0L) && zero.length == 4)
+    // fully dependent: a0→b0, a1→b1 (2 rows each); null rows excluded
+    val dep = Seq(
+      (Some("a0"), Some("b0")), (Some("a0"), Some("b0")),
+      (Some("a1"), Some("b1")), (Some("a1"), Some("b1")),
+      (None, Some("b9")), (Some("a9"), None)).toDF("x", "y")
+    val out = Stats.contingency(dep, "x", "y").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDecimal(6).longValueExact))).toMap
+    // each cell: |2·4 − 2·2| = 4
+    assert(out == Map(
+      ("a0", "b0") -> ((2L, 2L, 2L, 4L, 4L)),
+      ("a1", "b1") -> ((2L, 2L, 2L, 4L, 4L))))
+  }
+
   test("quantileBucket: order-statistic cuts, boundary goes down, null bucket null") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
