@@ -1676,6 +1676,16 @@ object SparkEntry {
       Corpus.diversitySignals(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Monotone-drift audit: exact Spearman rank-correlation pieces of
+    // value against event time — ranks assigned WITHOUT a global sort
+    // (two-level bucket decomposition), doubled through ties, rho as an
+    // exact integer rational.
+    "x_spearman" -> ((s, dir) =>
+      graft.functions.Stats.spearmanPieces(
+        t(s, dir, "events").select(
+          expr("unix_micros(ts)").as("t_us"), col("value")),
+        "t_us", "value")),
+
     // Column-dependence audit: the orders priority×status contingency
     // table with the exact cross-product dependence score per cell —
     // the "is this feature leaking into that label/split" census.
@@ -4587,6 +4597,28 @@ object SparkEntry {
         |      THEN (len(list_distinct(bg)) * 1000000) // len(bg)
         | END AS distinct_bigram_ppm
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // The oracle's global RANK() windows ARE the naive plan the
+    // operator decomposes; 2·avg-rank = 2·RANK() + tie_count − 1.
+    "x_spearman" ->
+      """WITH base AS (
+        | SELECT CAST(epoch_us(ts) AS DOUBLE) AS a, value AS b FROM events
+        | WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+        |r AS (SELECT
+        |  2 * RANK() OVER (ORDER BY a)
+        |    + COUNT(*) OVER (PARTITION BY a) - 1 AS r2a,
+        |  2 * RANK() OVER (ORDER BY b)
+        |    + COUNT(*) OVER (PARTITION BY b) - 1 AS r2b
+        | FROM base),
+        |s AS (SELECT COUNT(*) AS n,
+        |  SUM(CAST(r2a - r2b AS HUGEINT) * (r2a - r2b)) AS d2
+        | FROM r)
+        |SELECT n, CAST(d2 AS DECIMAL(38,0)) AS sum_d2_4x,
+        | CAST(2 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+        |   - 3 * d2 AS DECIMAL(38,0)) AS rho_num,
+        | CAST(2 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+        |   AS DECIMAL(38,0)) AS rho_den
+        |FROM s""".stripMargin,
 
     // Same census; HUGEINT cross-products, DECIMAL(38,0) schema mirror.
     "x_contingency" ->

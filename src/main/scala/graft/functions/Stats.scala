@@ -527,6 +527,87 @@ object Stats {
           .otherwise(lit(null).cast("boolean")))
   }
 
+  /** Doubled average rank (2·avg-rank stays integer through ties) of
+    * every distinct value of `valueCol`, WITHOUT a global sort: values
+    * bucket by ~`buckets` exact order-statistic cuts, the cumsum runs
+    * per bucket over the DISTINCT-value table, and bucket offsets come
+    * from a ≤buckets-row rollup (the packOffsets/calibrateScores
+    * two-level decomposition, applied to the value axis). Returns
+    * (`__v`, `outCol`) for join-back on the value.
+    */
+  private def avgRank2x(df: DataFrame, valueCol: String, outCol: String,
+                        buckets: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val ranks = (1 until buckets).map(i => i * n / buckets)
+      .distinct.filter(_ < n)
+    val cuts =
+      if (ranks.isEmpty) Seq.empty[Double]
+      else { val m = exactValueAtRanks(df, valueCol, ranks); ranks.sorted.map(m) }
+    val bk =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(array(cuts.map(lit(_)): _*),
+        c => c <= col("__v").cast("double")))
+    val vals = df.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__nv"))
+      .withColumn("__bk", bk)
+    val smallerInBucket = coalesce(
+      sum(col("__nv")).over(w.partitionBy(col("__bk")).orderBy(col("__v"))
+        .rowsBetween(w.unboundedPreceding, -1)), lit(0L))
+    // ≤buckets rows: the only unpartitioned window is metadata-sized
+    // (the Compaction band-offset precedent)
+    val offs = vals.groupBy(col("__bk")).agg(sum(col("__nv")).as("__bt"))
+      .select(col("__bk"), coalesce(sum(col("__bt")).over(
+        w.orderBy(col("__bk")).rowsBetween(w.unboundedPreceding, -1)),
+        lit(0L)).as("__boff"))
+    vals.join(broadcast(offs), Seq("__bk"))
+      .select(col("__v"),
+        // min rank = offset+smaller+1; 2·avg = 2·min + (n_v − 1)
+        (lit(2L) * (col("__boff") + smallerInBucket + 1L) +
+          col("__nv") - 1L).as(outCol))
+  }
+
+  /** Exact Spearman rank-correlation pieces between two numeric
+    * columns — the continuous companion to [[contingency]]'s
+    * categorical dependence audit (with `x = epoch time` it reads as a
+    * Mann–Kendall-style monotone-drift measure). Ranks use the classic
+    * average-rank-over-ties convention, carried as DOUBLED ranks so
+    * ties never create a fraction; the output is one row of exact
+    * integers: `n`, `sum_d2_4x` = Σ(2rₐ − 2r_b)², and the rho rational
+    * `rho_num / rho_den` with `rho_den = 2n(n²−1)` and
+    * `rho_num = rho_den − 3·sum_d2_4x` (the Σd² formula — the common
+    * practical variant; Pearson-on-ranks tie correction is the
+    * caller's refinement if they need it). Rows where either column is
+    * null/NaN are excluded first (pairwise-complete), so both rankings
+    * run over the same row set.
+    *
+    * Scale shape: each ranking is [[avgRank2x]]'s two-level
+    * decomposition — a distinct-value census, per-bucket cumsum
+    * windows, a ≤buckets-row offset rollup — never a global sort; the
+    * rank tables join back on the value and one 1-row aggregation
+    * finishes. At 10¹⁰ rows the n³ term still fits DECIMAL(38,0).
+    */
+  def spearmanPieces(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(aCol).cast("double").as("__a"),
+        col(bCol).cast("double").as("__b"))
+      .where(col("__a").isNotNull && !isnan(col("__a")) &&
+        col("__b").isNotNull && !isnan(col("__b")))
+    val ra = avgRank2x(base.select(col("__a").as("__v")), "__v", "__r2a")
+    val rb = avgRank2x(base.select(col("__b").as("__v")), "__v", "__r2b")
+    base
+      .join(ra.withColumnRenamed("__v", "__a"), Seq("__a"))
+      .join(rb.withColumnRenamed("__v", "__b"), Seq("__b"))
+      .agg(count(lit(1)).as("n"),
+        sum(((col("__r2a") - col("__r2b")) *
+          (col("__r2a") - col("__r2b"))).cast(d38)).cast(d38)
+          .as("sum_d2_4x"))
+      .select(col("n"), col("sum_d2_4x"),
+        (lit(2L).cast(d38) * col("n") * (col("n") * col("n") - 1L) -
+          lit(3L).cast(d38) * col("sum_d2_4x")).cast(d38).as("rho_num"),
+        (lit(2L).cast(d38) * col("n") * (col("n") * col("n") - 1L))
+          .cast(d38).as("rho_den"))
+  }
+
   /** Column-dependence census over two categorical columns — the
     * contingency table with an EXACT dependence score per cell:
     * `dep = |n_ab·N − n_a·n_b|`, the common-denominator numerator of

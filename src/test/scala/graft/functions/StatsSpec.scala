@@ -346,6 +346,24 @@ class StatsSpec extends SparkSpec {
     assert(out(9L) == ((None, None, None)))
   }
 
+  test("spearmanPieces: perfect +/-1, tie average ranks, NaN rows excluded") {
+    import spark.implicits._
+    def pieces(rows: Seq[(Double, Double)]) = {
+      val r = Stats.spearmanPieces(rows.toDF("a", "b"), "a", "b").head()
+      (r.getLong(0), r.getDecimal(1).longValueExact,
+        r.getDecimal(2).longValueExact, r.getDecimal(3).longValueExact)
+    }
+    // perfect monotone → d2 0, rho = 1 exactly
+    assert(pieces(Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)))
+      == ((3L, 0L, 48L, 48L)))
+    // perfect inverse → rho_num = −rho_den
+    assert(pieces(Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)))
+      == ((3L, 32L, -48L, 48L)))
+    // tie: b = (5,5,9) → doubled avg ranks (3,3,6); NaN row excluded
+    assert(pieces(Seq((1.0, 5.0), (2.0, 5.0), (3.0, 9.0),
+      (4.0, Double.NaN))) == ((3L, 2L, 42L, 48L)))
+  }
+
   test("contingency: independent columns score zero, dependent cells score the gap") {
     import spark.implicits._
     // perfectly independent 2×2: every cell n·N − r·c = 4·16 − 8·8 = 0
