@@ -72,4 +72,37 @@ object Compaction {
   def planSummary(planned: DataFrame): DataFrame =
     planned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n_items"), sum(col("size")).as("total_bytes"))
+
+  /** Execute a [[planFiles]] plan: rewrite the table so each bin becomes
+    * ONE parquet file under `outDir/bin=<k>/`. A single distributed job,
+    * not a driver loop over bins: rows rejoin their bin via a broadcast
+    * of the (metadata-sized) plan on `_metadata.file_path`, hash-
+    * repartition on `bin` puts every bin's rows in exactly one task, and
+    * the dynamic-partition write emits one file per bin directory.
+    * Files the plan doesn't cover are left out (and counted — a partial
+    * plan must be visible, not silently dropped); pass the full
+    * [[planFiles]] output for a whole-table rewrite.
+    *
+    * @return (bin, n_rows) per written bin — the job's own audit
+    */
+  def execute(df: DataFrame, planned: DataFrame, outDir: String): DataFrame = {
+    val spark = df.sparkSession
+    val withBin = df
+      .withColumn("__file", col("_metadata.file_path"))
+      .join(broadcast(planned.select(col("name").as("__file"), col("bin"))),
+        Seq("__file"), "left")
+    val uncovered = withBin.where(col("bin").isNull).count()
+    if (uncovered > 0)
+      System.err.println(
+        s"[graft] WARN Compaction.execute: $uncovered rows in files the " +
+          "plan does not cover — excluded from the rewrite")
+    val covered = withBin.where(col("bin").isNotNull).drop("__file")
+    covered
+      .repartition(col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(outDir)
+    // partition-dir values re-read as the inferred (int) type — pin long
+    spark.read.parquet(outDir)
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
 }

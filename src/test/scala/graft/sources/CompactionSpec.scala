@@ -59,4 +59,34 @@ class CompactionSpec extends SparkSpec {
     assert(planned.forall(_._2 > 0L))
     assert(planned.map(_._3).min == 0L)
   }
+
+  test("execute: one file per bin, rows preserved, uncovered files excluded") {
+    val d = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .repartitionByRange(6, col("doc_id"))
+      .write.mode("overwrite").parquet(d)
+    val table = spark.read.parquet(d)
+    val planned = Compaction.planFiles(table, targetBytes = 64 * 1024L)
+    val audit = Compaction.execute(table, planned, out)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rewritten = spark.read.parquet(out)
+    // multiset preserved (bin is an added column; the payload matches)
+    assert(rewritten.count() == table.count())
+    assert(rewritten.select(col("doc_id")).except(
+      table.select(col("doc_id"))).count() == 0L)
+    // exactly one file per bin directory
+    val perBin = rewritten
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(countDistinct(col("_metadata.file_path")).as("nf"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perBin.values.forall(_ == 1L), s"files per bin: $perBin")
+    assert(audit.keySet == perBin.keySet && audit.values.sum == table.count())
+    // a plan covering only some files must exclude (and count) the rest
+    val firstFile = planned.select(col("name")).head().getString(0)
+    val partial = Compaction.execute(table,
+      planned.where(col("name") === firstFile),
+      java.nio.file.Files.createTempDirectory("graft-compact-p").toString)
+    assert(partial.collect().map(_.getLong(1)).sum < table.count())
+  }
 }
