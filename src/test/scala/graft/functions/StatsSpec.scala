@@ -364,6 +364,48 @@ class StatsSpec extends SparkSpec {
       (4.0, Double.NaN))) == ((3L, 2L, 42L, 48L)))
   }
 
+  test("spearmanPieces ≡ driver brute force on seeded data with heavy ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // draw from a SMALL value domain so ties are everywhere
+    val rows = Seq.fill(300)((rnd.nextInt(7).toDouble, rnd.nextInt(5).toDouble))
+    def rank2x(vs: Seq[Double]): Map[Double, Long] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val first = sorted.indexOf(v) + 1L
+        val cnt = sorted.count(_ == v).toLong
+        v -> (2L * first + cnt - 1L)
+      }.toMap
+    }
+    val (ra, rb) = (rank2x(rows.map(_._1)), rank2x(rows.map(_._2)))
+    val expectD2 = rows.map { case (a, b) =>
+      val d = ra(a) - rb(b); d * d
+    }.sum
+    val r = Stats.spearmanPieces(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getLong(0) == 300L)
+    assert(r.getDecimal(1).longValueExact == expectD2)
+  }
+
+  test("quantileBucket ≡ driver brute force; buckets monotone in value") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vs = Seq.fill(257)(rnd.nextInt(40).toDouble) // heavy ties
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val nB = 8
+    val out = Stats.quantileBucket(df, "v", nB).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val n = vs.length.toLong
+    val sorted = vs.sorted
+    val cuts = (1 until nB).map(i => i * n / nB).distinct
+      .map(r => sorted(r.toInt))
+    vs.zipWithIndex.foreach { case (v, i) =>
+      assert(out(i.toLong) == cuts.count(_ <= v).toLong, s"value $v")
+    }
+    // monotone: a larger value never lands in a smaller bucket
+    val byV = vs.zipWithIndex.map { case (v, i) => v -> out(i.toLong) }.sorted
+    assert(byV.sliding(2).forall(p => p.head._2 <= p.last._2))
+  }
+
   test("contingency: independent columns score zero, dependent cells score the gap") {
     import spark.implicits._
     // perfectly independent 2×2: every cell n·N − r·c = 4·16 − 8·8 = 0
