@@ -61,6 +61,28 @@ object Sources {
     GraftFrame(schema.fold(r.orc(glob))(s => r.schema(s).orc(glob)))
   }
 
+  /** Raw binary files (image/audio/video dirs) as rows — the ingestion
+    * rung in front of [[graft.multimodal.Multimodal]]: a directory of
+    * blobs becomes (path, modificationTime, length, content binary)
+    * via Spark's binaryFile source, ready for the decode / feature /
+    * near-dup chain without a conversion pass. `pathGlob` filters by
+    * file name (e.g. `*.png`); `maxBytes` guards a single huge blob
+    * from dominating one task's memory (binary rows don't split —
+    * filtered out with a WARN-able count rather than an OOM at task
+    * 40k of 50k). The per-file row is read WHERE the file lives —
+    * listing scales with the driver's file index, content never moves
+    * until a transform asks for it.
+    */
+  def binaryFiles(spark: SparkSession, dir: String,
+                  pathGlob: String = "*",
+                  maxBytes: Long = 256L << 20): GraftFrame = {
+    require(maxBytes > 0, s"maxBytes must be positive: $maxBytes")
+    GraftFrame(spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
+      .where(org.apache.spark.sql.functions.col("length") <= maxBytes))
+  }
+
   /** S2: static in-memory rows (reference
     * datasource/memory/memory_datasource.go:12-43) — test/mock use.
     */

@@ -119,4 +119,24 @@ class SourcesSpec extends SparkSpec {
       Sources.parquet(spark, s"${sf()}/lineitem.parquet")
         .df.where(org.apache.spark.sql.functions.col("l_quantity") > 25).count())
   }
+
+  test("binaryFiles: content/length exact, glob filters, size guard drops oversize") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-blobs")
+    val a = Array[Byte](1, 2, 3, 4, 5)
+    val b = Array.fill[Byte](64)(7)
+    java.nio.file.Files.write(dir.resolve("x.png"), a)
+    java.nio.file.Files.write(dir.resolve("y.png"), b)
+    java.nio.file.Files.write(dir.resolve("z.txt"), Array[Byte](9))
+    val rows = Sources.binaryFiles(spark, dir.toString, "*.png").df
+      .select(col("path"), col("length"), col("content")).collect()
+      .map(r => r.getString(0).split('/').last ->
+        ((r.getLong(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    assert(rows.keySet == Set("x.png", "y.png")) // txt globbed out
+    assert(rows("x.png") == ((5L, a.toSeq)))
+    assert(rows("y.png") == ((64L, b.toSeq)))
+    // the size guard keeps the small blob, drops the big one
+    assert(Sources.binaryFiles(spark, dir.toString, "*.png", maxBytes = 32L)
+      .df.count() == 1L)
+  }
 }
