@@ -290,4 +290,29 @@ class MultimodalSpec extends SparkSpec {
     // duration 100ms sampled every 40ms → offsets 0,40,80 per media row
     assert(frames.count() == 9)
   }
+
+  test("ingestion rung: a directory of real PNGs flows binaryFiles → decode") {
+    import org.apache.spark.sql.functions._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-imgs")
+    java.nio.file.Files.write(dir.resolve("black.png"), png(3, 2, 0x000000))
+    java.nio.file.Files.write(dir.resolve("white.png"), png(5, 4, 0xffffff))
+    val blobs = graft.sources.Sources
+      .binaryFiles(spark, dir.toString, "*.png").df
+      .select(xxhash64(col("path")).as("id"), col("path"), col("content"))
+    val media = Multimodal.asMediaTable(blobs, "id", "content", "image", "png")
+    val dec = Multimodal.decodeImages(media, Multimodal.ImageIoCodec)
+      .join(blobs.select(col("id").as("media_id"), col("path")), "media_id")
+      .collect().map(r => r.getString(4).split('/').last ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(dec("black.png") == ((3, 2, 0.0)))
+    assert(dec("white.png") == ((5, 4, 255.0)))
+  }
 }
