@@ -104,6 +104,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan("x_diversity").split("Sort \\[doc_id")(0)
       .contains("Exchange"),
       "diversity census shuffles before its presentation sort")
+    // spearman's whole point is rank assignment WITHOUT a global sort —
+    // its plan must contain no global Sort at all (its windows sort
+    // within bucket partitions; printed as `Sort [...], false, 0`)
+    assert(!plan("x_spearman").linesIterator.exists(l =>
+      l.contains("Sort [") && l.contains("], true, 0")),
+      "spearman reintroduced a global sort")
   }
 
   test("r_asof_broadcast: custom exec present, probe side never shuffled") {
