@@ -1680,6 +1680,21 @@ object SparkEntry {
       Corpus.diversitySignals(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Co-missingness census: nulls planted on two independent cadences
+    // (event_id % 7 and % 5), pattern = null-mask string per row — the
+    // "are these columns missing TOGETHER" audit in one aggregation.
+    "x_missingness" -> ((s, dir) =>
+      graft.functions.Stats.missingness(
+          t(s, dir, "events").select(
+            when(pmod(col("event_id"), lit(7)) === 0,
+              lit(null).cast("double")).otherwise(col("value")).as("value"),
+            when(pmod(col("event_id"), lit(5)) === 0,
+              lit(null).cast("string"))
+              .otherwise(col("event_type")).as("event_type"),
+            col("user_id")),
+          Seq("value", "event_type", "user_id"))
+        .orderBy("pattern")),
+
     // Monotone-drift audit: exact Spearman rank-correlation pieces of
     // value against event time — ranks assigned WITHOUT a global sort
     // (two-level bucket decomposition), doubled through ties, rho as an
@@ -4601,6 +4616,22 @@ object SparkEntry {
         |      THEN (len(list_distinct(bg)) * 1000000) // len(bg)
         | END AS distinct_bigram_ppm
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Same planted cadences, same mask construction.
+    "x_missingness" ->
+      """WITH base AS (SELECT
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS t,
+        |  user_id AS u FROM events),
+        |p AS (SELECT
+        |  (CASE WHEN v IS NULL OR isnan(v) THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN t IS NULL THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN u IS NULL THEN '1' ELSE '0' END) AS pattern
+        | FROM base)
+        |SELECT pattern, COUNT(*) AS n,
+        | CAST(length(pattern) - length(replace(pattern, '1', ''))
+        |   AS BIGINT) AS n_null_cols
+        |FROM p GROUP BY pattern ORDER BY pattern""".stripMargin,
 
     // The oracle's global RANK() windows ARE the naive plan the
     // operator decomposes; 2·avg-rank = 2·RANK() + tie_count − 1.

@@ -527,6 +527,42 @@ object Stats {
           .otherwise(lit(null).cast("boolean")))
   }
 
+  /** Missingness-pattern census: one row per distinct null-mask over
+    * `cols` with its row count — the CO-missingness view [[profile]]'s
+    * per-column null counts can't give (three columns each 10% null is
+    * a different dataset when they're null TOGETHER: one broken
+    * ingestion path vs three independent ones; imputation and row-drop
+    * decisions hinge on exactly this). The mask is a string like
+    * `"101"` in `cols` order (1 = missing), so patterns read directly
+    * against the column list; per-pattern `n` plus each pattern's
+    * null-column count `n_null_cols` for quick sorting. NaN counts as
+    * missing for float/double columns (consistent with every eligible-
+    * value gate in this file).
+    *
+    * Scale shape: ONE aggregation keyed on the mask (map-side
+    * partials; the exchange carries ≤ 2^|cols| distinct masks, a
+    * metadata-sized census regardless of row count).
+    */
+  def missingness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val isMissing = (c: String) => {
+      val dt = df.schema(c).dataType
+      val base = col(s"`${c.replace("`", "``")}`")
+      val miss = dt match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          base.isNull || isnan(base)
+        case _ => base.isNull
+      }
+      when(miss, lit("1")).otherwise(lit("0"))
+    }
+    df.select(concat_ws("", cols.map(isMissing): _*).as("pattern"))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("n"))
+      .withColumn("n_null_cols",
+        (length(col("pattern")) -
+          length(regexp_replace(col("pattern"), "1", ""))).cast("long"))
+  }
+
   /** Doubled average rank (2·avg-rank stays integer through ties) of
     * every distinct value of `valueCol`, WITHOUT a global sort: values
     * bucket by ~`buckets` exact order-statistic cuts, the cumsum runs

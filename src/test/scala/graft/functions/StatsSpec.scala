@@ -364,6 +364,24 @@ class StatsSpec extends SparkSpec {
       (4.0, Double.NaN))) == ((3L, 2L, 42L, 48L)))
   }
 
+  test("missingness: pattern census exact, NaN is missing, backtick column survives") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", DoubleType), StructField("b.x", StringType)))
+    val rows = Seq(
+      Row(1.0, "s"), Row(1.0, "s"),          // 00 ×2
+      Row(null, "s"),                         // 10
+      Row(Double.NaN, null),                  // 11 (NaN counts as missing)
+      Row(2.0, null))                         // 01
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = Stats.missingness(df, Seq("a", "b.x")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "00" -> ((2L, 0L)), "10" -> ((1L, 1L)),
+      "11" -> ((1L, 2L)), "01" -> ((1L, 1L))))
+  }
+
   test("spearmanPieces ≡ driver brute force on seeded data with heavy ties") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
