@@ -489,16 +489,23 @@ object Corpus {
     def counts(df: DataFrame) = df
       .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
-    val na = counts(a).agg(sum(col("c")).as("n_a"))
-    val nb = counts(b).agg(sum(col("c")).as("n_b"))
-    counts(a).withColumnRenamed("c", "c_a")
+    // totals derive from the JOINED vocab table (Σc_a over it = N_a —
+    // every token appears exactly once); the vocab table snapshots once
+    // (it is vocab-sized) so its two consumers — the 1-row totals and
+    // the scored output — never replay the tokenize+count subtrees
+    val mergedPlan = counts(a).withColumnRenamed("c", "c_a")
       .join(counts(b).withColumnRenamed("c", "c_b"), Seq("token"), "full_outer")
-      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
       .select(col("token"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
-        coalesce(col("c_b"), lit(0L)).as("c_b"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"))
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val merged =
+      if (a.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        mergedPlan.checkpoint()
+      else mergedPlan.localCheckpoint()
+    val tot = merged.agg(
+      coalesce(sum(col("c_a")), lit(0L)).as("n_a"),
+      coalesce(sum(col("c_b")), lit(0L)).as("n_b"))
+    merged.crossJoin(broadcast(tot))
       .withColumn("shift",
         abs(col("c_a").cast(d38) * col("n_b").cast(d38) -
           col("c_b").cast(d38) * col("n_a").cast(d38)).cast(d38))

@@ -571,15 +571,35 @@ object Stats {
     * two-level decomposition, applied to the value axis). Returns
     * (`__v`, `outCol`) for join-back on the value.
     */
+  /** One head pass (count + min + max) shared with the bisection —
+    * callers that need n AND rank values pay ONE scan for the head
+    * stats instead of a count job plus [[exactValueAtRanks]]'
+    * internal recount. Empty input yields (0, empty) instead of
+    * throwing, so callers keep their empty-frame semantics.
+    */
+  private def valueAtFractionRanks(df: DataFrame, valueCol: String,
+                                   ranksOf: Long => Seq[Long],
+                                   buckets: Int = 4096,
+                                   maxCollect: Int = 1 << 20)
+      : (Long, Map[Long, Double]) = {
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+    val head = vals.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+      max(col("v")).as("hi")).head()
+    val n = head.getLong(0)
+    if (n == 0L) return (0L, Map.empty)
+    val ranks = ranksOf(n).distinct.filter(r => r >= 0L && r < n).sorted
+    if (ranks.isEmpty) (n, Map.empty)
+    else (n, resolveRanks(vals, n, head.getDouble(1), head.getDouble(2),
+      ranks, buckets, maxCollect).toMap)
+  }
+
   private def avgRank2x(df: DataFrame, valueCol: String, outCol: String,
                         buckets: Int = 32): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val n = df.count()
-    val ranks = (1 until buckets).map(i => i * n / buckets)
-      .distinct.filter(_ < n)
-    val cuts =
-      if (ranks.isEmpty) Seq.empty[Double]
-      else { val m = exactValueAtRanks(df, valueCol, ranks); ranks.sorted.map(m) }
+    val (_, byRank) = valueAtFractionRanks(df, valueCol,
+      m => (1 until buckets).map(i => i * m / buckets))
+    val cuts = byRank.keys.toSeq.sorted.map(byRank)
     val bk =
       if (cuts.isEmpty) lit(0)
       else size(filter(array(cuts.map(lit(_)): _*),
@@ -630,17 +650,21 @@ object Stats {
         col("__b").isNotNull && !isnan(col("__b")))
     val ra = avgRank2x(base.select(col("__a").as("__v")), "__v", "__r2a")
     val rb = avgRank2x(base.select(col("__b").as("__v")), "__v", "__r2b")
+    // every multiplication happens in DECIMAL(38,0): at fleet scale
+    // n² and a squared doubled-rank difference (up to 4n²) both
+    // overflow Long — the oracle's HUGEINT products would then diverge
+    // from silently wrapped 64-bit math
+    val d = (col("__r2a") - col("__r2b")).cast(d38)
+    val nD = col("n").cast(d38)
     base
       .join(ra.withColumnRenamed("__v", "__a"), Seq("__a"))
       .join(rb.withColumnRenamed("__v", "__b"), Seq("__b"))
       .agg(count(lit(1)).as("n"),
-        sum(((col("__r2a") - col("__r2b")) *
-          (col("__r2a") - col("__r2b"))).cast(d38)).cast(d38)
-          .as("sum_d2_4x"))
+        sum(d * d).cast(d38).as("sum_d2_4x"))
       .select(col("n"), col("sum_d2_4x"),
-        (lit(2L).cast(d38) * col("n") * (col("n") * col("n") - 1L) -
+        (lit(2L).cast(d38) * nD * (nD * nD - lit(1L).cast(d38)) -
           lit(3L).cast(d38) * col("sum_d2_4x")).cast(d38).as("rho_num"),
-        (lit(2L).cast(d38) * col("n") * (col("n") * col("n") - 1L))
+        (lit(2L).cast(d38) * nD * (nD * nD - lit(1L).cast(d38)))
           .cast(d38).as("rho_den"))
   }
 
@@ -700,13 +724,13 @@ object Stats {
                      outCol: String = "bucket"): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
     val eligible = col(valueCol).isNotNull && !isnan(col(valueCol))
-    val n = df.where(eligible).count()
+    // one head pass covers the count AND seeds the bisection
+    val (n, byRank) = valueAtFractionRanks(df, valueCol,
+      m => (1 until nBuckets).map(i => i * m / nBuckets))
     require(n > 0, s"no non-null values in $valueCol")
-    val ranks = (1 until nBuckets).map(i => i * n / nBuckets).distinct
-    val byRank = exactValueAtRanks(df, valueCol, ranks)
     // one cut per DISTINCT rank (equal-VALUE cuts from different ranks
     // stay — the bucket index then honestly skips past the heavy value)
-    val cuts = ranks.sorted.map(byRank)
+    val cuts = byRank.keys.toSeq.sorted.map(byRank)
     val cutsArr = array(cuts.map(lit(_)): _*)
     df.withColumn(outCol,
       when(eligible,

@@ -91,11 +91,23 @@ object Compaction {
       .withColumn("__file", col("_metadata.file_path"))
       .join(broadcast(planned.select(col("name").as("__file"), col("bin"))),
         Seq("__file"), "left")
-    val uncovered = withBin.where(col("bin").isNull).count()
-    if (uncovered > 0)
+    // one pass counts both totals (count(bin) skips nulls)
+    val cnt = withBin.agg(count(lit(1)).as("__t"), count(col("bin")).as("__c"))
+      .head()
+    val (total, coveredN) = (cnt.getLong(0), cnt.getLong(1))
+    if (coveredN < total)
       System.err.println(
-        s"[graft] WARN Compaction.execute: $uncovered rows in files the " +
-          "plan does not cover — excluded from the rewrite")
+        s"[graft] WARN Compaction.execute: ${total - coveredN} rows in " +
+          "files the plan does not cover — excluded from the rewrite")
+    if (coveredN == 0L) {
+      // nothing to rewrite: an empty parquet dir has no schema to
+      // re-read — return the empty audit directly instead of crashing
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("bin", LongType),
+          StructField("n_rows", LongType, nullable = false))))
+    }
     val covered = withBin.where(col("bin").isNotNull).drop("__file")
     covered
       .repartition(col("bin"))

@@ -99,11 +99,15 @@ class PlanSpec extends SparkSpec {
         assert(!p.contains("CartesianProduct"),
           s"$q fell back to a cartesian product")
       }
-    // the diversity census must stay a pure scan projection: any
-    // exchange means an array op leaked into a shuffle stage
-    assert(!plan("x_diversity").split("Sort \\[doc_id")(0)
-      .contains("Exchange"),
-      "diversity census shuffles before its presentation sort")
+    // the diversity census must stay a pure scan projection: the ONLY
+    // exchange allowed anywhere in the plan is the presentation sort's
+    // own rangepartitioning — a hash or single-partition exchange means
+    // an array op leaked into a shuffle stage (plans print root-first,
+    // so the census sits BELOW the sort line, not above it)
+    val divPlan = plan("x_diversity")
+    assert(!divPlan.contains("Exchange hashpartitioning") &&
+      !divPlan.contains("Exchange SinglePartition"),
+      "diversity census leaked a non-presentation shuffle")
     // spearman's whole point is rank assignment WITHOUT a global sort —
     // its plan must contain no global Sort at all (its windows sort
     // within bucket partitions; printed as `Sort [...], false, 0`)
