@@ -956,12 +956,14 @@ object Stats {
                 pHigh: Double, outCol: String = "winsorized"): DataFrame = {
     require(pLow >= 0.0 && pHigh <= 1.0 && pLow < pHigh,
       s"need 0 <= pLow < pHigh <= 1: ($pLow, $pHigh)")
-    val (_, n, _, _) = headStats(df, valueCol)
-    def rank0(p: Double): Long =
+    // one head pass seeds both the rank arithmetic and the bisection
+    // (the valueAtFractionRanks sharing — no separate count scan)
+    def rank0(n: Long)(p: Double): Long =
       math.min(n - 1, math.max(0L, math.ceil(p * n).toLong - 1L))
-    val (rLo, rHi) = (rank0(pLow), rank0(pHigh))
-    val cuts = exactValueAtRanks(df, valueCol, Seq(rLo, rHi))
-    val (loCut, hiCut) = (cuts(rLo), cuts(rHi))
+    val (n, cuts) = valueAtFractionRanks(df, valueCol,
+      m => Seq(rank0(m)(pLow), rank0(m)(pHigh)))
+    require(n > 0, s"no non-null values in $valueCol")
+    val (loCut, hiCut) = (cuts(rank0(n)(pLow)), cuts(rank0(n)(pHigh)))
     val v = col(valueCol).cast("double")
     val clamped = greatest(lit(loCut), least(lit(hiCut), v))
     df.withColumn(outCol,
