@@ -490,7 +490,12 @@ object Events {
     * reproduce bit-for-bit, the calibrateScores convention), so every
     * aggregate and the num/den products are integer arithmetic in
     * DECIMAL(38,0) — nothing rounds, order never matters. `slope_num`
-    * is therefore in micro-value units per bucket. `slope_den` ≥ 0,
+    * is therefore in micro-value units per bucket. Overflow contract:
+    * the num/den products stay exact while `2·n²·X·Y < 10³⁸` per key
+    * (X = max |x|, Y = max |y_micro|) — e.g. hour-bucket x (X ≈ 10⁴)
+    * and 10³-scale values (Y ≈ 10⁹) are safe beyond 10⁹ points/key;
+    * past the bound Spark's non-ANSI decimal returns NULL slope
+    * columns (visible, never silently wrong). `slope_den` ≥ 0,
     * and 0 ⇔ all of a key's points share one bucket (slope undefined;
     * the row still reports its sums). Null x and null/NaN value rows
     * are excluded (they have no position on either axis — and a NaN
@@ -498,9 +503,7 @@ object Events {
     * cast nulls out of every sum, silently skewing the slope).
     *
     * Scale shape: ONE key-keyed aggregation with map-side partials —
-    * the exchange carries 6 numbers per key, never points. At 10⁹
-    * points per key the DECIMAL(38,0) sums still cannot overflow
-    * (|x| ≤ 10¹², |y_micro| ≤ 10¹⁵ keeps every product under 10³⁸).
+    * the exchange carries 6 numbers per key, never points.
     */
   def trendStats(df: DataFrame, keyCol: String, xCol: String,
                  valueCol: String): DataFrame = {

@@ -563,14 +563,6 @@ object Stats {
           length(regexp_replace(col("pattern"), "1", ""))).cast("long"))
   }
 
-  /** Doubled average rank (2·avg-rank stays integer through ties) of
-    * every distinct value of `valueCol`, WITHOUT a global sort: values
-    * bucket by ~`buckets` exact order-statistic cuts, the cumsum runs
-    * per bucket over the DISTINCT-value table, and bucket offsets come
-    * from a ≤buckets-row rollup (the packOffsets/calibrateScores
-    * two-level decomposition, applied to the value axis). Returns
-    * (`__v`, `outCol`) for join-back on the value.
-    */
   /** One head pass (count + min + max) shared with the bisection —
     * callers that need n AND rank values pay ONE scan for the head
     * stats instead of a count job plus [[exactValueAtRanks]]'
@@ -594,6 +586,14 @@ object Stats {
       ranks, buckets, maxCollect).toMap)
   }
 
+  /** Doubled average rank (2·avg-rank stays integer through ties) of
+    * every distinct value of `valueCol`, WITHOUT a global sort: values
+    * bucket by ~`buckets` exact order-statistic cuts, the cumsum runs
+    * per bucket over the DISTINCT-value table, and bucket offsets come
+    * from a ≤buckets-row rollup (the packOffsets/calibrateScores
+    * two-level decomposition, applied to the value axis). Returns
+    * (`__v`, `outCol`) for join-back on the value.
+    */
   private def avgRank2x(df: DataFrame, valueCol: String, outCol: String,
                         buckets: Int = 32): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -644,10 +644,18 @@ object Stats {
     */
   def spearmanPieces(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val base = df.select(col(aCol).cast("double").as("__a"),
+    // base feeds two rankings (each: head pass + bisection passes +
+    // distinct-value census) and the final join — snapshot it once so
+    // none of those jobs replays the caller's upstream (the
+    // tokenShiftTopK/associationPairs discipline)
+    val basePlan = df.select(col(aCol).cast("double").as("__a"),
         col(bCol).cast("double").as("__b"))
       .where(col("__a").isNotNull && !isnan(col("__a")) &&
         col("__b").isNotNull && !isnan(col("__b")))
+    val base =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        basePlan.checkpoint()
+      else basePlan.localCheckpoint()
     val ra = avgRank2x(base.select(col("__a").as("__v")), "__v", "__r2a")
     val rb = avgRank2x(base.select(col("__b").as("__v")), "__v", "__r2b")
     // every multiplication happens in DECIMAL(38,0): at fleet scale

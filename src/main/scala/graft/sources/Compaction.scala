@@ -87,19 +87,20 @@ object Compaction {
     */
   def execute(df: DataFrame, planned: DataFrame, outDir: String): DataFrame = {
     val spark = df.sparkSession
-    val withBin = df
-      .withColumn("__file", col("_metadata.file_path"))
-      .join(broadcast(planned.select(col("name").as("__file"), col("bin"))),
-        Seq("__file"), "left")
-    // one pass counts both totals (count(bin) skips nulls)
-    val cnt = withBin.agg(count(lit(1)).as("__t"), count(col("bin")).as("__c"))
-      .head()
-    val (total, coveredN) = (cnt.getLong(0), cnt.getLong(1))
-    if (coveredN < total)
+    val planFiles = planned.select(col("name").as("__file"), col("bin"))
+    // coverage is decidable at FILE granularity: the distinct listing
+    // projects only the metadata column, so the pre-flight never pays a
+    // data-column scan — the rewrite's one data pass is the write itself
+    val files = df.select(col("_metadata.file_path").as("__file")).distinct()
+    val uncoveredFiles =
+      files.join(broadcast(planFiles), Seq("__file"), "left_anti").count()
+    if (uncoveredFiles > 0)
       System.err.println(
-        s"[graft] WARN Compaction.execute: ${total - coveredN} rows in " +
-          "files the plan does not cover — excluded from the rewrite")
-    if (coveredN == 0L) {
+        s"[graft] WARN Compaction.execute: $uncoveredFiles files the plan " +
+          "does not cover — their rows are excluded from the rewrite")
+    val coveredFiles =
+      files.join(broadcast(planFiles), Seq("__file"), "left_semi").count()
+    if (coveredFiles == 0L) {
       // nothing to rewrite: an empty parquet dir has no schema to
       // re-read — return the empty audit directly instead of crashing
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -108,7 +109,10 @@ object Compaction {
         StructType(Seq(StructField("bin", LongType),
           StructField("n_rows", LongType, nullable = false))))
     }
-    val covered = withBin.where(col("bin").isNotNull).drop("__file")
+    val covered = df
+      .withColumn("__file", col("_metadata.file_path"))
+      .join(broadcast(planFiles), Seq("__file"))
+      .drop("__file")
     covered
       .repartition(col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(outDir)

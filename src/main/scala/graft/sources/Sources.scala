@@ -67,11 +67,14 @@ object Sources {
     * via Spark's binaryFile source, ready for the decode / feature /
     * near-dup chain without a conversion pass. `pathGlob` filters by
     * file name (e.g. `*.png`); `maxBytes` guards a single huge blob
-    * from dominating one task's memory (binary rows don't split —
-    * filtered out with a WARN-able count rather than an OOM at task
-    * 40k of 50k). The per-file row is read WHERE the file lives —
-    * listing scales with the driver's file index, content never moves
-    * until a transform asks for it.
+    * from dominating one task's memory (binary rows don't split — an
+    * oversize file is filtered by a plain `length` predicate rather
+    * than OOMing at task 40k of 50k; the source stays LAZY, so audit
+    * the drop count with `where(length > maxBytes).count()` on the
+    * unfiltered read if the pipeline needs it on record). The per-file
+    * row is read WHERE the file lives — listing scales with the
+    * driver's file index, content never moves until a transform asks
+    * for it.
     */
   def binaryFiles(spark: SparkSession, dir: String,
                   pathGlob: String = "*",
