@@ -527,6 +527,51 @@ object Stats {
           .otherwise(lit(null).cast("boolean")))
   }
 
+  /** Schema diff between two corpus versions — the metadata rung next
+    * to [[graft.functions.Corpus.snapshotDiff]] (row-level) and
+    * [[histogramDrift]] (value-level): one row per column that was
+    * added, removed, type-changed, or nullability-changed between `a`
+    * and `b`, with both sides' types spelled out. Purely driver-side
+    * metadata (no job runs); an empty result ⇔ schemas are identical
+    * in the compared dimensions. Column order changes are NOT flagged
+    * (column identity is by name — the convention of every by-name
+    * operator here).
+    */
+  def schemaDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val am = a.schema.map(f => f.name -> f).toMap
+    val bm = b.schema.map(f => f.name -> f).toMap
+    val rows =
+      (am.keySet -- bm.keySet).toSeq.sorted.map { c =>
+        Row(c, "removed", am(c).dataType.simpleString, null,
+          am(c).nullable.toString, null)
+      } ++
+      (bm.keySet -- am.keySet).toSeq.sorted.map { c =>
+        Row(c, "added", null, bm(c).dataType.simpleString,
+          null, bm(c).nullable.toString)
+      } ++
+      (am.keySet & bm.keySet).toSeq.sorted.flatMap { c =>
+        val (fa, fb) = (am(c), bm(c))
+        if (fa.dataType != fb.dataType)
+          Some(Row(c, "type_changed", fa.dataType.simpleString,
+            fb.dataType.simpleString, fa.nullable.toString,
+            fb.nullable.toString))
+        else if (fa.nullable != fb.nullable)
+          Some(Row(c, "nullability_changed", fa.dataType.simpleString,
+            fb.dataType.simpleString, fa.nullable.toString,
+            fb.nullable.toString))
+        else None
+      }
+    val schema = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("change", StringType, nullable = false),
+      StructField("type_a", StringType), StructField("type_b", StringType),
+      StructField("nullable_a", StringType), StructField("nullable_b", StringType)))
+    a.sparkSession.createDataFrame(
+      a.sparkSession.sparkContext.parallelize(rows), schema)
+  }
+
   /** Missingness-pattern census: one row per distinct null-mask over
     * `cols` with its row count — the CO-missingness view [[profile]]'s
     * per-column null counts can't give (three columns each 10% null is

@@ -364,6 +364,28 @@ class StatsSpec extends SparkSpec {
       (4.0, Double.NaN))) == ((3L, 2L, 42L, 48L)))
   }
 
+  test("schemaDiff: added/removed/type/nullability changes; identical schemas empty") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sa = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("gone", StringType),
+      StructField("widened", IntegerType),
+      StructField("relaxed", StringType, nullable = false)))
+    val sb = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("widened", LongType),
+      StructField("relaxed", StringType, nullable = true),
+      StructField("fresh", DoubleType)))
+    def empty(s: StructType) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], s)
+    val out = Stats.schemaDiff(empty(sa), empty(sb)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("gone" -> "removed", "fresh" -> "added",
+      "widened" -> "type_changed", "relaxed" -> "nullability_changed"))
+    assert(Stats.schemaDiff(empty(sa), empty(sa)).count() == 0L)
+  }
+
   test("missingness: pattern census exact, NaN is missing, backtick column survives") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
