@@ -1680,6 +1680,16 @@ object SparkEntry {
       Corpus.diversitySignals(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Purged temporal split: train before 2024-01-20, per-user 12 h
+    // embargo anchored at each user's last training row, exact µs.
+    "x_temporal_split" -> ((s, dir) =>
+      Corpus.temporalSplit(
+          t(s, dir, "events").select(
+            col("event_id"), col("user_id"), col("ts")),
+          "user_id", "ts",
+          cutoffUs = 1705708800000000L, embargoUs = 43200000000L)
+        .orderBy("event_id")),
+
     // Co-missingness census: nulls planted on two independent cadences
     // (event_id % 7 and % 5), pattern = null-mask string per row — the
     // "are these columns missing TOGETHER" audit in one aggregation.
@@ -4616,6 +4626,22 @@ object SparkEntry {
         |      THEN (len(list_distinct(bg)) * 1000000) // len(bg)
         | END AS distinct_bigram_ppm
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Same per-key last-train anchor and strict embargo bound.
+    "x_temporal_split" ->
+      """WITH lt AS (
+        | SELECT user_id AS k, MAX(epoch_us(ts)) AS last_train FROM events
+        | WHERE ts IS NOT NULL AND epoch_us(ts) < 1705708800000000
+        | GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.ts,
+        | CASE WHEN e.ts IS NULL THEN NULL
+        |      WHEN epoch_us(e.ts) < 1705708800000000 THEN 'train'
+        |      WHEN lt.last_train IS NOT NULL
+        |       AND epoch_us(e.ts) < lt.last_train + 43200000000
+        |      THEN 'embargoed'
+        |      ELSE 'eval' END AS split
+        |FROM events e LEFT JOIN lt ON e.user_id = lt.k
+        |ORDER BY event_id""".stripMargin,
 
     // Same planted cadences, same mask construction.
     "x_missingness" ->

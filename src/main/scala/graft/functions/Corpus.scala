@@ -1349,6 +1349,42 @@ object Corpus {
     * pointer-jumping, inherited) and one left join of docs to the
     * (pair-participant-sized, usually far smaller) label table.
     */
+  /** Purged temporal split — the time-series counterpart of
+    * [[leakSafeSplit]] (de Prado's purged walk-forward convention):
+    * rows before `cutoffUs` train, rows at/after it evaluate, EXCEPT
+    * that each key's earliest eval rows are EMBARGOED while they sit
+    * within `embargoUs` of that key's LAST training row — the buffer
+    * that stops near-boundary temporal leakage (a user's behavior at
+    * cutoff+1µs is effectively the training row at cutoff−1µs). The
+    * embargo is PER KEY, anchored at the key's own last train
+    * timestamp, not a global band — a key idle for a month before the
+    * cutoff gets no dead zone it doesn't need. Adds `split` ∈
+    * ('train' | 'eval' | 'embargoed'); null-ts rows get a null split
+    * (no position in time — the engine-wide convention). Exact integer
+    * microseconds throughout.
+    *
+    * Scale shape: one key-keyed MAX aggregation over the train side
+    * (map-side partials, key-sized output) joined back on the key
+    * (broadcast when small); everything else is a map-side predicate.
+    */
+  def temporalSplit(df: DataFrame, keyCol: String, tsCol: String,
+                    cutoffUs: Long, embargoUs: Long): DataFrame = {
+    require(embargoUs >= 0, s"negative embargo: $embargoUs")
+    val us = unix_micros(col(tsCol))
+    val lastTrain = df.where(us.isNotNull && us < cutoffUs)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(max(unix_micros(col(tsCol))).as("__last"))
+    df.join(lastTrain, df(keyCol) === lastTrain("__k"), "left")
+      .drop("__k")
+      .withColumn("split",
+        when(us.isNull, lit(null).cast("string"))
+          .when(us < cutoffUs, lit("train"))
+          .when(col("__last").isNotNull && us < col("__last") + embargoUs,
+            lit("embargoed"))
+          .otherwise(lit("eval")))
+      .drop("__last")
+  }
+
   def leakSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
                     splits: Seq[(String, Double)]): DataFrame = {
     val comp = graft.functions.Dedup.connectedComponents(pairs)

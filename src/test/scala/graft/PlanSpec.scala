@@ -90,7 +90,8 @@ class PlanSpec extends SparkSpec {
     Seq("x_sssp", "x_basket_pairs", "x_kanon", "x_trend", "x_outliers",
         "x_impute", "x_retrieval_eval", "x_token_shift", "x_qbucket",
         "x_diversity", "x_funnel_latency", "r_hopping_window",
-        "x_contingency", "x_spearman", "x_missingness")
+        "x_contingency", "x_spearman", "x_missingness",
+        "x_temporal_split")
       .foreach { q =>
         val p = plan(q)
         if (!oneRowBroadcasts(q))

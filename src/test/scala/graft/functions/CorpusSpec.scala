@@ -1228,6 +1228,29 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("temporalSplit: per-key embargo anchors at last train row, boundaries strict") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("us", LongType)))
+    val rows = Seq(
+      Row(1L, 1L, 90L),   // train (90 < 100)
+      Row(2L, 1L, 120L),  // embargoed (last=90, 120 < 140)
+      Row(3L, 1L, 140L),  // eval: strict bound (140 !< 140)
+      Row(4L, 2L, 110L),  // eval: key 2 has NO train rows → no embargo
+      Row(5L, 3L, 100L),  // eval: cutoff itself is eval-side, no key-3 train
+      Row(6L, 4L, null))  // null ts → null split
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .select(col("id"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val out = Corpus.temporalSplit(df, "k", "ts",
+        cutoffUs = 100L, embargoUs = 50L)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(
+      1L -> Some("train"), 2L -> Some("embargoed"), 3L -> Some("eval"),
+      4L -> Some("eval"), 5L -> Some("eval"), 6L -> None))
+  }
+
   test("diversitySignals: ratios exact, single-token and empty docs null out") {
     import spark.implicits._
     val df = Seq(
