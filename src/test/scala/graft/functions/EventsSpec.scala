@@ -347,6 +347,30 @@ class EventsSpec extends SparkSpec {
       ("a", "c") -> ((2L, 3L, 2L, 3L, 666666L, 1000000L))))
   }
 
+  test("associationPairs ≡ driver brute force on seeded baskets") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(400)((rnd.nextInt(60).toLong, s"i${rnd.nextInt(12)}"))
+    val df = spark.createDataFrame(rows).toDF("bk", "it")
+    val baskets = rows.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .toMap.filter(_._2.size <= 5)
+    val itemN = baskets.values.toSeq.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val expect = baskets.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2L)
+    val got = Events.associationPairs(df, "bk", "it",
+        minSupport = 2L, maxBasketSize = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == expect.keySet)
+    val nB = baskets.size.toLong
+    got.foreach { case (p, (pairN, aN, bN, tot)) =>
+      assert(pairN == expect(p) && aN == itemN(p._1) &&
+        bN == itemN(p._2) && tot == nB, s"pair $p")
+    }
+  }
+
   test("associationPairs: minSupport 1 keeps singletons, null keys dropped") {
     val rows = Seq(
       (Some(1L), Some("x")), (Some(1L), Some("y")),
