@@ -1680,6 +1680,14 @@ object SparkEntry {
       Corpus.diversitySignals(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Cohort LTV curves: per (cohort day, day offset) active users,
+    // day value and the cohort's cumulative value — decimal-summed,
+    // cumsum over the aggregated grid only.
+    "x_cohort_value" -> ((s, dir) =>
+      graft.functions.Events.cohortValue(t(s, dir, "events"),
+          "user_id", "ts", "value")
+        .orderBy("cohort_day", "day_offset")),
+
     // Purged temporal split: train before 2024-01-20, per-user 12 h
     // embargo anchored at each user's last training row, exact µs.
     "x_temporal_split" -> ((s, dir) =>
@@ -4626,6 +4634,23 @@ object SparkEntry {
         |      THEN (len(list_distinct(bg)) * 1000000) // len(bg)
         | END AS distinct_bigram_ppm
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Same integer day floor, decimal day sums, grid-sized cumsum.
+    "x_cohort_value" ->
+      """WITH ev AS (
+        | SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d,
+        |  COALESCE(CAST(value AS DECIMAL(28,6)), 0) AS v
+        | FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT u, MIN(d) AS d0 FROM ev GROUP BY u),
+        |g AS (SELECT f.d0 AS cohort_day, ev.d - f.d0 AS day_offset,
+        |  COUNT(DISTINCT ev.u) AS n_users, SUM(ev.v) AS dv
+        | FROM ev JOIN f ON ev.u = f.u GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_users,
+        | CAST(dv AS DOUBLE) AS day_value,
+        | CAST(SUM(dv) OVER (PARTITION BY cohort_day ORDER BY day_offset
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS cum_value
+        |FROM g ORDER BY cohort_day, day_offset""".stripMargin,
 
     // Same per-key last-train anchor and strict embargo bound.
     "x_temporal_split" ->

@@ -199,6 +199,44 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort LTV curve — [[retention]]'s value-weighted sibling: per
+    * (cohort day, day offset), the number of active users, that day's
+    * total value, and the cohort's CUMULATIVE value through that offset
+    * (the lifetime-value curve "how much has the Jan-3 cohort produced
+    * by day k"). Value sums accumulate in DECIMAL(28,6) (order-free)
+    * and only cast to double at the edge, so the curve is
+    * engine-reproducible; null-value events count as activity with
+    * value 0; null-ts events have no day and are excluded.
+    *
+    * Shuffle profile: one user-keyed MIN (cohort assignment, map-side
+    * partials), one (cohort, offset)-keyed aggregation, and the cumsum
+    * window runs over the AGGREGATED (cohort, offset) grid — metadata-
+    * sized (cohorts × horizon), partitioned by cohort, never the event
+    * stream.
+    */
+  def cohortValue(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val ev = events.where(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        expr(s"unix_micros($tsCol) DIV $usPerDay").as("__d"),
+        coalesce(col(valueCol).cast(dec), lit(0).cast(dec)).as("__v"))
+    val first = ev.groupBy(col("__u")).agg(min(col("__d")).as("__d0"))
+    val grid = ev.join(first, "__u")
+      .groupBy(col("__d0").as("cohort_day"),
+        (col("__d") - col("__d0")).as("day_offset"))
+      .agg(countDistinct(col("__u")).as("n_users"),
+        sum(col("__v")).as("__day_v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid.select(col("cohort_day"), col("day_offset"), col("n_users"),
+      col("__day_v").cast("double").as("day_value"),
+      sum(col("__day_v")).over(w).cast("double").as("cum_value"))
+  }
+
   /** Last-touch attribution: for every conversion event, the most recent
     * preceding touch event by the same user within `windowUs` — the
     * marketing-analytics primitive behind "which channel gets credit".

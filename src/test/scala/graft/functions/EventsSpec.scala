@@ -281,6 +281,30 @@ class EventsSpec extends SparkSpec {
       17L -> (("click", Some(15L), Some(10L)))))
   }
 
+  test("cohortValue: cohort by first day, null value is activity, cum exact") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val day = 86400000000L
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("us", LongType),
+      StructField("value", DoubleType)))
+    val rows = Seq(
+      Row(1L, 0L * day + 5L, 10.0), Row(1L, 0L * day + 9L, 2.0),
+      Row(1L, 2L * day + 1L, 5.0),
+      Row(2L, 2L * day + 2L, 7.0),
+      Row(3L, 2L * day + 3L, null), // activity with value 0
+      Row(4L, null, 99.0))          // no day: excluded entirely
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val out = Events.cohortValue(df, "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      (0L, 0L) -> ((1L, 12.0, 12.0)),
+      (0L, 2L) -> ((1L, 5.0, 17.0)),
+      (2L, 0L) -> ((2L, 7.0, 7.0))))
+  }
+
   test("funnelLatency: completers only, window gate, greedy anchor at earliest first step") {
     val events = ev(Seq(
       // user 1: clean chain → latency 20
