@@ -1680,6 +1680,14 @@ object SparkEntry {
       Corpus.diversitySignals(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // DAU/MAU stickiness per observed day, trailing 30 days, exact
+    // floor-ppm ratio — the deduped activity table explodes to the
+    // days it supports instead of a 30× sliding re-scan of the stream.
+    "x_stickiness" -> ((s, dir) =>
+      graft.functions.Events.stickiness(t(s, dir, "events"),
+          "user_id", "ts", windowDays = 30)
+        .orderBy("day")),
+
     // Cohort LTV curves: per (cohort day, day offset) active users,
     // day value and the cohort's cumulative value — decimal-summed,
     // cumsum over the aggregated grid only.
@@ -4634,6 +4642,20 @@ object SparkEntry {
         |      THEN (len(list_distinct(bg)) * 1000000) // len(bg)
         | END AS distinct_bigram_ppm
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Same dedup-then-explode decomposition in SQL.
+    "x_stickiness" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |dau AS (SELECT d AS day, COUNT(*) AS dau FROM ud GROUP BY d),
+        |sup AS (SELECT DISTINCT u, d + j AS day FROM ud,
+        | (SELECT unnest(range(0, 30)) AS j)),
+        |mau AS (SELECT day, COUNT(*) AS mau FROM sup GROUP BY day)
+        |SELECT dau.day, dau.dau, mau.mau,
+        | (dau.dau * 1000000) // mau.mau AS stickiness_ppm
+        |FROM dau JOIN mau ON dau.day = mau.day
+        |ORDER BY dau.day""".stripMargin,
 
     // Same integer day floor, decimal day sums, grid-sized cumsum.
     "x_cohort_value" ->

@@ -237,6 +237,43 @@ object Events {
       sum(col("__day_v")).over(w).cast("double").as("cum_value"))
   }
 
+  /** Engagement stickiness (DAU/MAU): per observed day, the distinct
+    * active users that day, the distinct users active in the trailing
+    * `windowDays` window, and their ratio as exact floor
+    * parts-per-million — the classic product-engagement ratio with no
+    * float in the output. Early days report the honest partial-history
+    * MAU (the window is "last `windowDays` days of available data",
+    * not padded). Null-user or null-ts events are excluded (an
+    * anonymous event has no user to be sticky).
+    *
+    * Scale shape: a sliding DISTINCT is the naive trap here (a 30-day
+    * distinct window over raw events re-scans each day 30×); instead
+    * the (user, day) activity table dedups ONCE, each user-day
+    * explodes to the ≤`windowDays` future days it supports (a bounded
+    * ×window blowup of the already-deduped activity table, NOT the
+    * event stream), and MAU falls out of one (user, day)-keyed dedup +
+    * count. Every stage is an aggregation on small keys.
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+                 windowDays: Int = 30): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive: $windowDays")
+    val usPerDay = 86400000000L
+    val ud = events
+      .where(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        expr(s"unix_micros($tsCol) DIV $usPerDay").as("__d"))
+      .distinct()
+    val dau = ud.groupBy(col("__d").as("day")).agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("__u"), explode(sequence(col("__d"),
+        col("__d") + lit(windowDays - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        expr("dau * 1000000L div mau").as("stickiness_ppm"))
+  }
+
   /** Last-touch attribution: for every conversion event, the most recent
     * preceding touch event by the same user within `windowUs` — the
     * marketing-analytics primitive behind "which channel gets credit".

@@ -91,7 +91,7 @@ class PlanSpec extends SparkSpec {
         "x_impute", "x_retrieval_eval", "x_token_shift", "x_qbucket",
         "x_diversity", "x_funnel_latency", "r_hopping_window",
         "x_contingency", "x_spearman", "x_missingness",
-        "x_temporal_split", "x_cohort_value")
+        "x_temporal_split", "x_cohort_value", "x_stickiness")
       .foreach { q =>
         val p = plan(q)
         if (!oneRowBroadcasts(q))

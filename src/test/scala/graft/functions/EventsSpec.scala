@@ -281,6 +281,29 @@ class EventsSpec extends SparkSpec {
       17L -> (("click", Some(15L), Some(10L)))))
   }
 
+  test("stickiness: trailing window, dedup within day, partial history honest") {
+    val day = 86400000000L
+    // user 1 active days 0 and 2 (twice on day 2); user 2 day 2 only;
+    // user 3 day 0 only
+    val events = ev(Seq(
+      (1L, 0L * day + 1L, "a"), (1L, 2L * day + 1L, "a"),
+      (1L, 2L * day + 2L, "b"), (2L, 2L * day + 3L, "a"),
+      (3L, 0L * day + 9L, "a")))
+    val out = Events.stickiness(events, "user_id", "ts", windowDays = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // window 2: day 0 sees {1,3}; day 2's window {1,2} sees only {1,2}
+    assert(out == Map(
+      0L -> ((2L, 2L, 1000000L)),
+      2L -> ((2L, 2L, 1000000L))))
+    // window 3: day 2's MAU now reaches day 0 → {1,2,3}, dau still 2
+    val w3 = Events.stickiness(events, "user_id", "ts", windowDays = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(w3(2L) == ((2L, 3L, 666666L)))
+    assert(w3(0L) == ((2L, 2L, 1000000L)))
+  }
+
   test("cohortValue: cohort by first day, null value is activity, cum exact") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
