@@ -1369,7 +1369,12 @@ object Corpus {
     */
   def temporalSplit(df: DataFrame, keyCol: String, tsCol: String,
                     cutoffUs: Long, embargoUs: Long): DataFrame = {
-    require(embargoUs >= 0, s"negative embargo: $embargoUs")
+    // upper bound: `__last + embargoUs` must not wrap Long — a wrapped
+    // negative bound would silently label every embargoed row 'eval',
+    // the exact leakage this operator exists to prevent. 2^61 µs is
+    // ~73k years: every real embargo fits, every overflow is caught.
+    require(embargoUs >= 0 && embargoUs < (1L << 61),
+      s"embargo out of range [0, 2^61): $embargoUs")
     val us = unix_micros(col(tsCol))
     val lastTrain = df.where(us.isNotNull && us < cutoffUs)
       .groupBy(col(keyCol).as("__k"))

@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** FLOOR division of epoch-µs into `unitUs` buckets — `DIV` truncates
+    * toward zero, so a pre-1970 timestamp would land one bucket HIGH
+    * and diverge from the oracles' `//` (floor) arithmetic; the
+    * pmod-then-div form floors exactly for any sign (pmod is always
+    * non-negative, and the subtraction makes the dividend exactly
+    * divisible).
+    */
+  private def floorBucket(tsCol: String, unitUs: Long): org.apache.spark.sql.Column =
+    expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${unitUs}L))" +
+      s" div ${unitUs}L")
+
   /** Ordered conversion funnel: step 1's time is the user's earliest
     * event of `steps(0)`'s type; step k's time is the earliest event of
     * `steps(k-1)`'s type AT OR AFTER step k−1's time; a user counts for
@@ -143,7 +154,7 @@ object Events {
   }
 
   /** Rate-spike detection per event type: bucket counts (exact integer
-    * `epoch_us DIV bucketUs`) compared against the mean of the previous
+    * floor division — [[floorBucket]]) compared against the mean of the previous
     * `trailing` OBSERVED buckets of the same type — a bucket spikes when
     * `n · trailing > factor · Σ(prev n)` with a FULL trailing window,
     * written as an integer cross-multiplication so no float ever enters
@@ -166,7 +177,7 @@ object Events {
       .rowsBetween(-trailing, -1)
     events
       .select(col(typeCol).as("event_type"),
-        expr(s"unix_micros($tsCol) DIV $bucketUs").as("bucket"))
+        floorBucket(tsCol, bucketUs).as("bucket"))
       .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
       .withColumn("__prev_sum", sum(col("n")).over(w))
       .withColumn("__prev_cnt", count(col("n")).over(w))
@@ -190,7 +201,7 @@ object Events {
     val usPerDay = 86400000000L
     // exact integer floor division (never the double `/`)
     val ev = events.select(col(userCol).as("__u"),
-      expr(s"unix_micros($tsCol) DIV $usPerDay").as("__d"))
+      floorBucket(tsCol, usPerDay).as("__d"))
     val first = ev.groupBy(col("__u")).agg(min(col("__d")).as("__d0"))
     ev.join(first, "__u")
       .select(col("__u"), col("__d0"), (col("__d") - col("__d0")).as("__off"))
@@ -205,8 +216,11 @@ object Events {
     * (the lifetime-value curve "how much has the Jan-3 cohort produced
     * by day k"). Value sums accumulate in DECIMAL(28,6) (order-free)
     * and only cast to double at the edge, so the curve is
-    * engine-reproducible; null-value events count as activity with
-    * value 0; null-ts events have no day and are excluded.
+    * engine-reproducible; null- and NaN-value events count as activity
+    * with value 0 (NaN gated before the cast — never a silent
+    * cast-to-null), null-ts events have no day, and null-USER events
+    * have no cohort to belong to — both excluded (the stickiness
+    * convention).
     *
     * Shuffle profile: one user-keyed MIN (cohort assignment, map-side
     * partials), one (cohort, offset)-keyed aggregation, and the cumsum
@@ -218,10 +232,15 @@ object Events {
                   valueCol: String): DataFrame = {
     val usPerDay = 86400000000L
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    // NaN is gated explicitly BEFORE the decimal cast: a non-ANSI cast
+    // would silently turn NaN (or a > 10²² double) into null → 0 —
+    // undocumented data loss the oracle (which errors on the cast)
+    // would expose as a parity break
+    val vSafe = when(!isnan(col(valueCol)), col(valueCol)).cast(dec)
     val ev = events.where(col(tsCol).isNotNull)
       .select(col(userCol).as("__u"),
-        expr(s"unix_micros($tsCol) DIV $usPerDay").as("__d"),
-        coalesce(col(valueCol).cast(dec), lit(0).cast(dec)).as("__v"))
+        floorBucket(tsCol, usPerDay).as("__d"),
+        coalesce(vSafe, lit(0).cast(dec)).as("__v"))
     val first = ev.groupBy(col("__u")).agg(min(col("__d")).as("__d0"))
     val grid = ev.join(first, "__u")
       .groupBy(col("__d0").as("cohort_day"),
@@ -261,7 +280,7 @@ object Events {
     val ud = events
       .where(col(tsCol).isNotNull && col(userCol).isNotNull)
       .select(col(userCol).as("__u"),
-        expr(s"unix_micros($tsCol) DIV $usPerDay").as("__d"))
+        floorBucket(tsCol, usPerDay).as("__d"))
       .distinct()
     val dau = ud.groupBy(col("__d").as("day")).agg(count(lit(1)).as("dau"))
     val mau = ud

@@ -540,6 +540,16 @@ object Stats {
   def schemaDiff(a: DataFrame, b: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    // Spark permits duplicate column names (join outputs); a by-name
+    // diff over them would silently keep the LAST field per name and
+    // could report "identical" across a real conflict — fail loudly
+    def dupes(s: org.apache.spark.sql.types.StructType): Seq[String] =
+      s.map(_.name).groupBy(identity).collect {
+        case (n, occ) if occ.size > 1 => n
+      }.toSeq.sorted
+    val dup = (dupes(a.schema) ++ dupes(b.schema)).distinct
+    require(dup.isEmpty,
+      s"schemaDiff needs unique column names; duplicated: ${dup.mkString(", ")}")
     val am = a.schema.map(f => f.name -> f).toMap
     val bm = b.schema.map(f => f.name -> f).toMap
     val rows =

@@ -304,6 +304,18 @@ class EventsSpec extends SparkSpec {
     assert(w3(0L) == ((2L, 2L, 1000000L)))
   }
 
+  test("day bucketing FLOORS pre-1970 timestamps (no truncate-toward-zero merge)") {
+    val day = 86400000000L
+    // one event 1µs before epoch, one 1µs after: truncating division
+    // would merge both into 'day 0'; flooring keeps them apart
+    val events = ev(Seq((1L, -1L, "a"), (1L, 1L, "a"), (2L, -day, "a")))
+    val out = Events.retention(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // user 1: cohort day −1, offsets 0 (day −1) and 1 (day 0);
+    // user 2: exactly at −day → day −1, its own cohort row merges in
+    assert(out == Map((-1L, 0L) -> 2L, (-1L, 1L) -> 1L))
+  }
+
   test("cohortValue: cohort by first day, null value is activity, cum exact") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
