@@ -1251,6 +1251,35 @@ class CorpusSpec extends SparkSpec {
       4L -> Some("eval"), 5L -> Some("eval"), 6L -> None))
   }
 
+  test("temporalSplit ≡ driver brute force on seeded random events") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(23)
+    val cutoff = 500L
+    val embargo = 120L
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+    val lastTrain = rows.filter(_._3 < cutoff).groupBy(_._2)
+      .view.mapValues(_.map(_._3).max).toMap
+    val expect = rows.map { case (id, k, us) =>
+      id -> (if (us < cutoff) "train"
+        else if (lastTrain.get(k).exists(lt => us < lt + embargo)) "embargoed"
+        else "eval")
+    }.toMap
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("us", LongType)))
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3))),
+        schema)
+      .select(col("id"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val got = Corpus.temporalSplit(df, "k", "ts", cutoff, embargo)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == expect)
+    // the whole point: every embargoed row would otherwise leak as eval
+    assert(got.values.count(_ == "embargoed") > 0, "fixture never embargoed")
+  }
+
   test("diversitySignals: ratios exact, single-token and empty docs null out") {
     import spark.implicits._
     val df = Seq(
