@@ -2599,6 +2599,10 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
+      // interval 3 measured best HERE (10.7 s at interval 5 vs 6.0 s):
+      // unlike x_pagerank, PPR's per-round plan carries the teleport
+      // column through every join, and the 5-round unmaterialized chain
+      // recomputes it per consumer — don't copy the pagerank setting
       graft.functions.Graph.personalizedPageRank(e,
           col("id") % 50 === 0, iterations = 5)
         .select(col("id"), round(col("rank"), 9).as("rank"))
