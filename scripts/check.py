@@ -38,6 +38,21 @@ def eq(a, b):
         return a == b
     return a == b
 
+def concrete_types(query):
+    """column -> concrete DuckDB type (via DESCRIBE, not the coarse
+    DBAPI category — the round-10 blind spot: Decimal('13') == 13 in
+    Python while the driver hashes typed values, so only the concrete
+    type catches a BIGINT-vs-HUGEINT/DECIMAL divergence)."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {query}").fetchall()}
+
+def int128ish(t):
+    """int128-class types the driver's hasher can't canonicalize."""
+    if t in ("HUGEINT", "UHUGEINT"):
+        return True
+    if t.startswith("DECIMAL("):
+        return int(t[8:].split(",")[0]) > 18
+    return False
+
 fails = 0
 for name in sorted(only if only else oracle):
     if name not in oracle:
@@ -46,13 +61,13 @@ for name in sorted(only if only else oracle):
     try:
         mine = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         mrows, mcols = mine.fetchall(), [d[0] for d in mine.description]
-        mtypes = [str(d[1]) for d in mine.description]
+        mt = concrete_types(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
     except Exception as e:
         print(f"FAIL {name}: cannot read result: {e}"); fails += 1; continue
     try:
         orc = con.execute(sql)
         orows, ocols = orc.fetchall(), [d[0] for d in orc.description]
-        otypes = [str(d[1]) for d in orc.description]
+        ot = concrete_types(f"({sql})")
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
 
@@ -60,10 +75,20 @@ for name in sorted(only if only else oracle):
     onames, odata = canon(orows, ocols)
     if mnames != onames:
         print(f"FAIL {name}: columns {mnames} vs oracle {onames}"); fails += 1; continue
-    mt = dict(zip(mcols, mtypes)); ot = dict(zip(ocols, otypes))
-    tmismatch = [c for c in mnames if mt[c] != ot[c]]
+    # Concrete-dtype mismatch is a FAIL, not a WARN: the driver's gate
+    # hashes typed values, so a value-equal result in a different
+    # concrete type still reads as a mismatch there (round-10 lesson —
+    # 9 value-correct queries failed on exactly this).
+    tmismatch = [c for c in mnames if mt.get(c) != ot.get(c)]
     if tmismatch:
-        print(f"WARN {name}: dtype mismatch {[(c, mt[c], ot[c]) for c in tmismatch]}")
+        print(f"FAIL {name}: dtype mismatch {[(c, mt.get(c), ot.get(c)) for c in tmismatch]}")
+        fails += 1; continue
+    wide = [c for c in mnames if int128ish(mt.get(c, "")) or int128ish(ot.get(c, ""))]
+    if wide:
+        print(f"FAIL {name}: int128-class column(s) {wide} — the driver's "
+              f"hasher can't canonicalize HUGEINT/DECIMAL(>18); narrow to "
+              f"BIGINT (or VARCHAR) on BOTH sides")
+        fails += 1; continue
     if len(mdata) != len(odata):
         print(f"FAIL {name}: rows {len(mdata)} vs oracle {len(odata)}"); fails += 1; continue
     bad = None

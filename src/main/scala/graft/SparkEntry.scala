@@ -30,6 +30,21 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
+  /** Driver-gate convention (round-10 verdict): NO int128-class type —
+    * Spark DECIMAL(38,*) or DuckDB HUGEINT — may appear in an oracled
+    * output; the gate's hasher can't canonicalize int128 values and
+    * reads value-equal results as mismatched. Library functions keep
+    * their overflow-safe DECIMAL(38,0) API; the oracled query narrows
+    * at the edge with this guard: a non-null value outside int64 range
+    * raises in-plan (visible) instead of the non-ANSI cast's silent
+    * null. Every oracle mirrors with CAST(... AS BIGINT).
+    */
+  private def big(c: Column, name: String): Column =
+    when(c.isNotNull && c.cast("long").isNull,
+      raise_error(concat(lit(s"int64 overflow narrowing '$name': "),
+        c.cast("string"))).cast("long"))
+      .otherwise(c.cast("long")).as(name)
+
   /** Optional comma-separated query-name subset from SPARK_GRAFT_QUERIES —
     * the shared Bench/Verify local-iteration filter (driver leaves it
     * unset and runs everything).
@@ -686,6 +701,9 @@ object SparkEntry {
           d.where(pmod(col("doc_id"), lit(3)) =!= 0),
           d.where(pmod(col("doc_id"), lit(2)) === 0),
           "n_chars", nBins = 24, lo = 0.0, hi = 600.0)
+        .select(col("bin").cast("long").as("bin"), col("lo_edge"),
+          col("n_a"), col("n_b"), big(col("l1_num"), "l1_num"),
+          col("n_a_tot"), col("n_b_tot"))
         .orderBy("bin")
     }),
 
@@ -694,8 +712,10 @@ object SparkEntry {
     // fact bodies never shuffle.
     "x_join_card" -> ((s, dir) =>
       graft.functions.Stats.joinCardinality(
-        t(s, dir, "lineitem"), t(s, dir, "orders"),
-        "l_orderkey", "o_orderkey")),
+          t(s, dir, "lineitem"), t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey")
+        .select(big(col("n_pairs"), "n_pairs"), col("n_keys_matched"),
+          big(col("max_key_pairs"), "max_key_pairs"), col("hottest_key"))),
 
     // Winsorize the event values at the exact discrete 2nd/98th
     // percentile cuts: order statistics found by histogram bisection
@@ -721,9 +741,13 @@ object SparkEntry {
     // forward-fill can't express; exact integer buckets, IEEE-only
     // formula (no transcendentals), observed values pass through.
     "x_interpolate" -> ((s, dir) => {
+      // pmod-then-div floors for any sign (the Events.floorBucket
+      // discipline) — plain `div` truncates toward zero and would land
+      // a pre-1970 timestamp one bucket HIGH of the oracle's `//`
       val hourly = t(s, dir, "events")
         .groupBy(col("user_id"),
-          expr("unix_micros(ts) div 3600000000").as("t"))
+          expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L))" +
+            " div 3600000000L").as("t"))
         .agg(dsum(col("value"), 6).as("v"))
       graft.functions.Events.interpolate(hourly, "user_id", "t", "v")
         .orderBy("user_id", "t")
@@ -1342,18 +1366,18 @@ object SparkEntry {
     // PageRank authority over the customer->supplier purchase graph
     // (ids disambiguated into one space: cust*2, supp*2+1). 5 damped
     // rounds, decimal-summed contributions — bit-reproducible, so the
-    // unrolled-SQL oracle hash-matches. interval 5 = one snapshot job
-    // for the whole run: with AQE scoped off in-loop the static planner
-    // compiles the 5-round chain once, so deep lineage no longer pays
-    // the re-planning that made interval 3 the best choice (measured
-    // 6.7 vs 7.0 s at sf0.1).
+    // unrolled-SQL oracle hash-matches. interval 3, NOT 5: the round-10
+    // full-suite bench recorded 9.99 s at interval 5 vs 6.12 s at 3
+    // (the isolated 6.7-vs-7.0 reading that motivated 5 didn't survive
+    // in-suite; PPR's own measurement, 6.0 vs 10.7 s, predicted this).
+    // Loop-constant decisions trust full-suite numbers only.
     "x_pagerank" -> ((s, dir) => {
       val e = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.functions.Graph.pageRank(e, iterations = 5, checkpointInterval = 5)
+      graft.functions.Graph.pageRank(e, iterations = 5, checkpointInterval = 3)
         .select(col("id"), round(col("rank"), 9).as("rank"))
         .orderBy("id")
     }),
@@ -1727,9 +1751,11 @@ object SparkEntry {
     // exact integer rational.
     "x_spearman" -> ((s, dir) =>
       graft.functions.Stats.spearmanPieces(
-        t(s, dir, "events").select(
-          expr("unix_micros(ts)").as("t_us"), col("value")),
-        "t_us", "value")),
+          t(s, dir, "events").select(
+            expr("unix_micros(ts)").as("t_us"), col("value")),
+          "t_us", "value")
+        .select(col("n"), big(col("sum_d2_4x"), "sum_d2_4x"),
+          big(col("rho_num"), "rho_num"), big(col("rho_den"), "rho_den"))),
 
     // Column-dependence audit: the orders priority×status contingency
     // table with the exact cross-product dependence score per cell —
@@ -1737,6 +1763,7 @@ object SparkEntry {
     "x_contingency" -> ((s, dir) =>
       graft.functions.Stats.contingency(
           t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+        .withColumn("dep", big(col("dep"), "dep"))
         .orderBy("o_orderpriority", "o_orderstatus")),
 
     // Equal-frequency decile feature: bucket index from 9 exact
@@ -1766,9 +1793,10 @@ object SparkEntry {
     "x_token_shift" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Corpus.tokenShiftTopK(
-        d.where(pmod(col("doc_id"), lit(3)) === 0),
-        d.where(pmod(col("doc_id"), lit(3)) =!= 0),
-        "text", k = 100)
+          d.where(pmod(col("doc_id"), lit(3)) === 0),
+          d.where(pmod(col("doc_id"), lit(3)) =!= 0),
+          "text", k = 100)
+        .withColumn("shift", big(col("shift"), "shift"))
     }),
 
     // Retrieval evaluation: per-language top-10 ranking (longest docs
@@ -1809,6 +1837,13 @@ object SparkEntry {
             .withColumn("hour_idx", expr(
               "(unix_micros(ts) - 1704067200000000L) div 3600000000L")),
           "user_id", "hour_idx", "value")
+        .select(col("user_id"), col("n"),
+          big(col("sum_x"), "sum_x"),
+          big(col("sum_y_micro"), "sum_y_micro"),
+          big(col("sum_xy_micro"), "sum_xy_micro"),
+          big(col("sum_xx"), "sum_xx"),
+          big(col("slope_num"), "slope_num"),
+          big(col("slope_den"), "slope_den"))
         .orderBy("user_id")),
 
     // k-anonymity audit on customer quasi-identifiers: every
@@ -1970,9 +2005,36 @@ object SparkEntry {
       val dec = replace(col("text"), lit("e"), lit("e\u0301"))
       val nfc = graft.functions.TextFunctions.unicodeNormalize(dec, "NFC")
       t(s, dir, "documents")
-        .select(col("doc_id"), length(dec).as("n_dec"), length(nfc).as("n_nfc"),
+        .select(col("doc_id"),
+          // long, not Spark length()'s INT: DuckDB length() is BIGINT
+          length(dec).cast("long").as("n_dec"),
+          length(nfc).cast("long").as("n_nfc"),
           (nfc === replace(col("text"), lit("e"), lit("\u00e9")))
             .as("composed_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // HTML → text extraction (curation rung 0): fixture text planted
+    // inside a deterministic page — script/style/comment machinery,
+    // a link-saturated nav and footer (die by link density), a
+    // too-short block, and an entity-bearing prose div. Map-only; the
+    // extraction rules mirror in DuckDB replace/regexp primitives.
+    "x_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>t</title><style>p{color:red}</style>" +
+          "<script type=\"text/javascript\">var x = \"</p>\";</script>" +
+          "</head><body><div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/a\">A</a> <a href=\"/b\">B</a></div>" +
+          "<!-- boilerplate --><p>"),
+        col("text"),
+        lit("</p><p>Too short.</p><div>Read the fine &amp; friendly " +
+          "manual &lt;here&gt; with <a href=\"/more\">one link</a> and " +
+          "plenty of surrounding prose to stay under the density rule." +
+          "</div><footer><a href=\"/x\">x</a><a href=\"/y\">y</a>" +
+          "</footer></body></html>"))
+      Corpus.htmlExtract(
+          t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
         .orderBy("doc_id")
     }),
 
@@ -4462,8 +4524,9 @@ object SparkEntry {
         |FROM documents d LEFT JOIN cuts c ON d.lang IS NOT DISTINCT FROM c.g
         |ORDER BY d.doc_id""".stripMargin,
 
-    // Same fixed binning (floor of identical double ops, edge clamp),
-    // HUGEINT cross products for the exact |p_a−p_b| numerator.
+    // Same fixed binning (floor of identical double ops, edge clamp);
+    // HUGEINT cross products internally, every output column narrowed
+    // to BIGINT/DOUBLE (no int128 type survives to the gate's hasher).
     "x_drift" ->
       """WITH g AS (SELECT unnest(range(0, 24)) AS bin),
         |ha AS (SELECT LEAST(23, GREATEST(0,
@@ -4478,10 +4541,11 @@ object SparkEntry {
         | GROUP BY 1),
         |j AS (SELECT g.bin, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
         | FROM g LEFT JOIN ha ON ha.bin = g.bin LEFT JOIN hb ON hb.bin = g.bin),
-        |tt AS (SELECT SUM(n_a) AS n_a_tot, SUM(n_b) AS n_b_tot FROM j)
-        |SELECT bin, 0.0 + bin * 25.0 AS lo_edge, n_a, n_b,
-        | ABS(CAST(n_a AS HUGEINT) * n_b_tot - CAST(n_b AS HUGEINT) * n_a_tot)
-        |   AS l1_num,
+        |tt AS (SELECT CAST(SUM(n_a) AS BIGINT) AS n_a_tot,
+        |  CAST(SUM(n_b) AS BIGINT) AS n_b_tot FROM j)
+        |SELECT bin, CAST(0.0 + bin * 25.0 AS DOUBLE) AS lo_edge, n_a, n_b,
+        | CAST(ABS(CAST(n_a AS HUGEINT) * n_b_tot
+        |   - CAST(n_b AS HUGEINT) * n_a_tot) AS BIGINT) AS l1_num,
         | n_a_tot, n_b_tot
         |FROM j, tt ORDER BY bin""".stripMargin,
 
@@ -4495,9 +4559,9 @@ object SparkEntry {
         | FROM ca JOIN cb ON ca.k = cb.k),
         |m AS (SELECT CAST(k AS VARCHAR) AS k, pp FROM p
         | ORDER BY pp DESC, CAST(k AS VARCHAR) DESC LIMIT 1)
-        |SELECT COALESCE((SELECT SUM(pp) FROM p), 0) AS n_pairs,
+        |SELECT CAST(COALESCE((SELECT SUM(pp) FROM p), 0) AS BIGINT) AS n_pairs,
         | (SELECT COUNT(*) FROM p) AS n_keys_matched,
-        | COALESCE((SELECT pp FROM m), 0) AS max_key_pairs,
+        | CAST(COALESCE((SELECT pp FROM m), 0) AS BIGINT) AS max_key_pairs,
         | (SELECT k FROM m) AS hottest_key""".stripMargin,
 
     // Cuts mirrored as OFFSET element selection at rank ceil(p·n)−1 —
@@ -4553,8 +4617,9 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS size
         | FROM documents GROUP BY 1),
         |c AS (SELECT name, size,
-        |  COALESCE(SUM(size) OVER (ORDER BY size DESC, name
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_start
+        |  CAST(COALESCE(SUM(size) OVER (ORDER BY size DESC, name
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS bin_start
         | FROM seg)
         |SELECT name, size, bin_start // 10000 AS bin, bin_start
         |FROM c ORDER BY name""".stripMargin,
@@ -4587,8 +4652,9 @@ object SparkEntry {
         | FROM events WHERE ts IS NOT NULL
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |sid AS (SELECT user, us,
-        |  1 + SUM(new_s) OVER (PARTITION BY user ORDER BY us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  CAST(1 + SUM(new_s) OVER (PARTITION BY user ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS session_seq
         | FROM m)
         |SELECT user, session_seq, MIN(us) AS start_us, MAX(us) AS end_us,
         | count(*) AS n_events, MAX(us) - MIN(us) AS duration_us
@@ -4620,7 +4686,7 @@ object SparkEntry {
         |c AS (SELECT from_type, to_type, count(*) AS n FROM seq
         | WHERE from_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        | SUM(n) OVER (PARTITION BY from_type) AS n_from
+        | CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
         |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     // Same token split, 1-based list bigrams, len()/list_distinct.
@@ -4725,14 +4791,15 @@ object SparkEntry {
         |s AS (SELECT COUNT(*) AS n,
         |  SUM(CAST(r2a - r2b AS HUGEINT) * (r2a - r2b)) AS d2
         | FROM r)
-        |SELECT n, CAST(d2 AS DECIMAL(38,0)) AS sum_d2_4x,
+        |SELECT n, CAST(d2 AS BIGINT) AS sum_d2_4x,
         | CAST(2 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
-        |   - 3 * d2 AS DECIMAL(38,0)) AS rho_num,
+        |   - 3 * d2 AS BIGINT) AS rho_num,
         | CAST(2 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
-        |   AS DECIMAL(38,0)) AS rho_den
+        |   AS BIGINT) AS rho_den
         |FROM s""".stripMargin,
 
-    // Same census; HUGEINT cross-products, DECIMAL(38,0) schema mirror.
+    // Same census; HUGEINT cross-products internally, dep narrowed to
+    // BIGINT at the edge (mirrors the engine's big() guard).
     "x_contingency" ->
       """WITH cells AS (
         | SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS n_ab
@@ -4745,7 +4812,7 @@ object SparkEntry {
         |SELECT c.a AS o_orderpriority, c.b AS o_orderstatus, c.n_ab,
         | ra.n_a, cb.n_b, tot.n_total,
         | CAST(abs(CAST(c.n_ab AS HUGEINT) * tot.n_total
-        |   - CAST(ra.n_a AS HUGEINT) * cb.n_b) AS DECIMAL(38,0)) AS dep
+        |   - CAST(ra.n_a AS HUGEINT) * cb.n_b) AS BIGINT) AS dep
         |FROM cells c JOIN ra ON c.a = ra.a JOIN cb ON c.b = cb.b, tot
         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
 
@@ -4783,7 +4850,8 @@ object SparkEntry {
         |FROM base b LEFT JOIN f ON b.event_type = f.g
         |ORDER BY event_id""".stripMargin,
 
-    // Same slices, HUGEINT cross-products, DECIMAL(38,0) schema mirror.
+    // Same slices; HUGEINT cross-products internally, shift narrowed
+    // to BIGINT at the edge (mirrors the engine's big() guard).
     "x_token_shift" ->
       """WITH ta AS (
         | SELECT unnest(CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
@@ -4802,7 +4870,7 @@ object SparkEntry {
         | FROM ca FULL OUTER JOIN cb ON ca.token = cb.token)
         |SELECT j.token, j.c_a, j.c_b, n_a, n_b,
         | CAST(abs(CAST(j.c_a AS HUGEINT) * n_b
-        |   - CAST(j.c_b AS HUGEINT) * n_a) AS DECIMAL(38,0)) AS shift
+        |   - CAST(j.c_b AS HUGEINT) * n_a) AS BIGINT) AS shift
         |FROM j, na, nb
         |ORDER BY shift DESC, token LIMIT 100""".stripMargin,
 
@@ -4850,8 +4918,8 @@ object SparkEntry {
         | LEFT JOIN mad md ON b.event_type = md.g
         |ORDER BY event_id""".stripMargin,
 
-    // Same micro-unit scaling, HUGEINT products (int128 exact), final
-    // DECIMAL(38,0) casts to mirror Spark's schema.
+    // Same micro-unit scaling, HUGEINT products (int128 exact), finals
+    // narrowed to BIGINT (mirrors the engine's big() guard).
     "x_trend" ->
       """WITH p AS (
         | SELECT user_id,
@@ -4859,18 +4927,19 @@ object SparkEntry {
         |    AS HUGEINT) AS x,
         |  CAST(floor(value * 1000000.0) AS HUGEINT) AS y
         | FROM events
-        | WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+        | WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+        |   AND abs(value) <= 9200000000000.0),
         |a AS (
         | SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
         |  SUM(x * y) AS sxy, SUM(x * x) AS sxx
         | FROM p GROUP BY user_id)
         |SELECT user_id, n,
-        | CAST(sx AS DECIMAL(38,0)) AS sum_x,
-        | CAST(sy AS DECIMAL(38,0)) AS sum_y_micro,
-        | CAST(sxy AS DECIMAL(38,0)) AS sum_xy_micro,
-        | CAST(sxx AS DECIMAL(38,0)) AS sum_xx,
-        | CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-        | CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den
+        | CAST(sx AS BIGINT) AS sum_x,
+        | CAST(sy AS BIGINT) AS sum_y_micro,
+        | CAST(sxy AS BIGINT) AS sum_xy_micro,
+        | CAST(sxx AS BIGINT) AS sum_xx,
+        | CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        | CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
         |FROM a ORDER BY user_id""".stripMargin,
 
     // One QI census, 1-row summary joined onto the risky groups.
@@ -5075,6 +5144,51 @@ object SparkEntry {
         | nfc_normalize(replace(text, 'e', 'e' || chr(769)))
         |   = replace(text, 'e', chr(233)) AS composed_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same planted page, same three-stage extraction: the regexes use
+    // only the shared Java/RE2 subset, the density rule is an integer
+    // cross-multiplication, entities unescape in the same fixed order
+    // (&amp; last) — so clean_text matches byte-for-byte.
+    "x_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>t</title><style>p{color:red}</style>' ||
+        |  '<script type="text/javascript">var x = "</p>";</script>' ||
+        |  '</head><body><div class="nav"><a href="/">Home</a> ' ||
+        |  '<a href="/a">A</a> <a href="/b">B</a></div>' ||
+        |  '<!-- boilerplate --><p>' || text ||
+        |  '</p><p>Too short.</p><div>Read the fine &amp; friendly ' ||
+        |  'manual &lt;here&gt; with <a href="/more">one link</a> and ' ||
+        |  'plenty of surrounding prose to stay under the density rule.' ||
+        |  '</div><footer><a href="/x">x</a><a href="/y">y</a>' ||
+        |  '</footer></body></html>' AS html
+        | FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |b AS (SELECT doc_id, string_split(regexp_replace(t,
+        |  '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article|header|footer|nav|blockquote|pre)[^>]*>',
+        |  chr(10), 'g'), chr(10)) AS blocks FROM s3),
+        |c AS (SELECT doc_id, list_transform(blocks, x -> {
+        |  'txt': trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'),
+        |    '[ \t\r\n]+', ' ', 'g')),
+        |  'lc': len(x) - len(replace(x, '<a ', ''))}) AS cb FROM b),
+        |k AS (SELECT doc_id,
+        |  list_filter(cb, s -> len(s['txt']) >= 30
+        |    AND s['lc'] * 10 <= len(s['txt']) * 3) AS kb,
+        |  len(list_filter(cb, s -> len(s['txt']) > 0)) AS n_blocks
+        | FROM c)
+        |SELECT doc_id,
+        | replace(replace(replace(replace(replace(replace(
+        |   array_to_string(list_transform(kb, s -> s['txt']), chr(10)),
+        |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |   '&nbsp;', ' '), '&amp;', '&') AS clean_text,
+        | CAST(n_blocks AS BIGINT) AS n_blocks,
+        | CAST(len(kb) AS BIGINT) AS n_blocks_kept,
+        | len(kb) >= 1 AS kept
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // PMI mirrored as exact integers: the output is only counts, and
     // the ranking rational c_ab·N/(c_a·c_b) uses double multiply/divide

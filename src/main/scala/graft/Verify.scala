@@ -4,6 +4,17 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  import org.apache.spark.sql.types._
+  /** True if the type contains (possibly nested) a decimal wider than
+    * 18 digits — the int128 class the driver's gate can't hash. */
+  private def hasWideDecimal(dt: DataType): Boolean = dt match {
+    case d: DecimalType   => d.precision > 18
+    case s: StructType    => s.fields.exists(f => hasWideDecimal(f.dataType))
+    case a: ArrayType     => hasWideDecimal(a.elementType)
+    case m: MapType       => hasWideDecimal(m.keyType) || hasWideDecimal(m.valueType)
+    case _                => false
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,7 +47,21 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val res = fn(spark, sfDir)
+        // Gate-type guard (round-10 lesson): the driver's hasher can't
+        // canonicalize int128-class values, so an oracled output with a
+        // DECIMAL(p>18) column hash-fails even when every value matches
+        // its oracle. Fail HERE, by column name, not 9 rounds later.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val wide = res.schema.fields.collect {
+            case f if hasWideDecimal(f.dataType) => s"${f.name}: ${f.dataType.sql}"
+          }
+          require(wide.isEmpty,
+            s"oracled query '$name' emits int128-class column(s) " +
+              s"${wide.mkString(", ")} — narrow to BIGINT at the query edge " +
+              "(SparkEntry.big) and CAST the oracle to BIGINT")
+        }
+        res.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>

@@ -1025,6 +1025,77 @@ object Corpus {
       (size(units) - size(kept)).cast("long").as("n_units_removed"))
   }
 
+  /** HTML → text extraction gate — rung 0 of the curation chain, in
+    * front of [[gopherGate]]/[[c4Gate]]: real crawls start at markup,
+    * not clean text. Three stages, all inside one scan projection:
+    * (1) `<script>`/`<style>` bodies and `<!-- -->` comments are
+    * removed wholesale (they are code, not content); (2) block-level
+    * tags (`p div br li h1-6 tr td table section article header footer
+    * nav blockquote pre ul ol th`) become block boundaries, remaining
+    * inline tags strip to spaces, whitespace normalizes; (3) each
+    * block survives iff its text has ≥ `minBlockChars` chars AND its
+    * link density stays under one `<a ` anchor per `charsPerLink`
+    * text chars — the boilerplate heuristic (nav bars / footers are
+    * short and link-saturated; body prose is long and link-sparse),
+    * written as the integer cross-multiplication
+    * `linkChars·charsPerLink ≤ 3·textChars` (linkChars = 3·#anchors by
+    * construction) so no float enters the decision. Surviving blocks
+    * join by \n and the five COMMON entities unescape in a FIXED
+    * documented order (`&lt; &gt; &quot; &#39; &nbsp;` then `&amp;`
+    * last — a literal `&amp;lt;` therefore over-unescapes to `<`, the
+    * price of staying a replace chain any engine mirrors exactly).
+    * Output: (idCol, clean_text, n_blocks, n_blocks_kept, kept) —
+    * every input row present and flagged, filtering is the caller's
+    * one-liner (the [[c4Gate]] contract). Null html gates like "".
+    *
+    * Map-only, zero shuffles: regex/replace/array lambdas in the scan
+    * projection — at 100 TB the gate costs exactly one pass, and the
+    * regexes use only the common Java/RE2 subset (`(?is)`, `[^>]*`,
+    * non-greedy `.*?`, explicit `[ \t\r\n]` classes) so the DuckDB
+    * oracle reproduces it bit-for-bit.
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
+                  minBlockChars: Int = 30,
+                  charsPerLink: Int = 10): DataFrame = {
+    require(minBlockChars >= 1, s"minBlockChars must be positive: $minBlockChars")
+    require(charsPerLink >= 1, s"charsPerLink must be positive: $charsPerLink")
+    val raw = coalesce(col(htmlCol), lit(""))
+    val noScript = regexp_replace(raw,
+      lit("(?is)<script[^>]*>.*?</script>"), lit(" "))
+    val noStyle = regexp_replace(noScript,
+      lit("(?is)<style[^>]*>.*?</style>"), lit(" "))
+    val noComment = regexp_replace(noStyle, lit("(?s)<!--.*?-->"), lit(" "))
+    val blockTags = "p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section" +
+      "|article|header|footer|nav|blockquote|pre"
+    val blocks = split(
+      regexp_replace(noComment, lit(s"(?i)</?($blockTags)[^>]*>"), lit("\n")),
+      "\n", -1)
+    // per block: visible text (inline tags → spaces, whitespace
+    // normalized) + anchor mass (3·#links — '<a ' is 3 chars, so the
+    // density rule needs no division)
+    val cleaned = transform(blocks, b => {
+      val txt = trim(regexp_replace(
+        regexp_replace(b, lit("<[^>]*>"), lit(" ")),
+        lit("[ \\t\\r\\n]+"), lit(" ")))
+      struct(txt.as("txt"),
+        (length(b) - length(replace(b, lit("<a "), lit("")))).as("lc"))
+    })
+    val keptBlocks = filter(cleaned, s =>
+      length(s("txt")) >= minBlockChars &&
+        s("lc") * lit(charsPerLink) <= length(s("txt")) * lit(3))
+    val joined = array_join(transform(keptBlocks, s => s("txt")), "\n")
+    // fixed unescape order, &amp; LAST (see Scaladoc)
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(joined) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    df.select(col(idCol),
+      unescaped.as("clean_text"),
+      size(filter(cleaned, s => length(s("txt")) > 0)).cast("long")
+        .as("n_blocks"),
+      size(keptBlocks).cast("long").as("n_blocks_kept"),
+      (size(keptBlocks) >= 1).as("kept"))
+  }
+
   /** C4-style rule-based cleaning gate (Raffel et al. 2020 §2.2 — the
     * published heuristics behind the C4 corpus, independently
     * re-expressed): a LINE survives iff its trimmed form ends in terminal

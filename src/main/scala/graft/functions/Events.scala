@@ -232,11 +232,14 @@ object Events {
                   valueCol: String): DataFrame = {
     val usPerDay = 86400000000L
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
-    // NaN is gated explicitly BEFORE the decimal cast: a non-ANSI cast
-    // would silently turn NaN (or a > 10²² double) into null → 0 —
-    // undocumented data loss the oracle (which errors on the cast)
-    // would expose as a parity break
-    val vSafe = when(!isnan(col(valueCol)), col(valueCol)).cast(dec)
+    // NaN AND out-of-range magnitudes are gated explicitly BEFORE the
+    // decimal cast: a non-ANSI cast silently turns NaN or a |v| ≥ 10²²
+    // double into null → coalesce 0 — undocumented data loss the oracle
+    // (which errors on the cast) would expose as a parity break. Gated
+    // rows contribute 0 by the SAME rule on both engines; the bound is
+    // DECIMAL(28,6)'s integral capacity (22 digits).
+    val vSafe = when(!isnan(col(valueCol)) && abs(col(valueCol)) < lit(1e22),
+      col(valueCol)).cast(dec)
     val ev = events.where(col(tsCol).isNotNull)
       .select(col(userCol).as("__u"),
         floorBucket(tsCol, usPerDay).as("__d"),
@@ -506,17 +509,21 @@ object Events {
     require(touchTypes.nonEmpty, "need at least one touch type")
     require(windowUs > 0, s"window must be positive: $windowUs")
     val us = expr(s"unix_micros($tsCol)")
-    def binOf(v: Column): Column =
-      ((v - pmod(v, lit(windowUs))) / lit(windowUs)).cast("long")
+    // integer `div`, not `/`: Spark's `/` on longs is a DOUBLE divide,
+    // exact only below 2^53 (the Compaction.plan trap) — the subtraction
+    // makes the dividend exactly divisible, pmod floors for any sign
+    // (the floorBucket discipline, here over a shiftable expression)
+    def binOf(v: String): Column =
+      expr(s"(($v) - pmod(($v), ${windowUs}L)) div ${windowUs}L")
     val touches = events.where(col(typeCol).isin(touchTypes: _*) && us.isNotNull)
       .select(col(userCol).as("__u"), us.as("__ut"),
         col(eventIdCol).as("touch_event"), col(typeCol).as("touch_type"))
-      .withColumn("__bin", binOf(col("__ut")))
+      .withColumn("__bin", binOf("__ut"))
     val convs = events.where(col(typeCol) === convType && us.isNotNull)
       .select(col(userCol).as("__u"), us.as("__uc"),
         col(eventIdCol).as("event_id"))
     val cb = convs.withColumn("__bin",
-      explode(sequence(binOf(col("__uc") - windowUs), binOf(col("__uc") - 1))))
+      explode(sequence(binOf(s"__uc - ${windowUs}L"), binOf("__uc - 1L"))))
     val pairs = cb.join(touches, Seq("__u", "__bin"))
       .where(col("__ut").between(col("__uc") - windowUs, col("__uc") - 1))
       .select(col("event_id"), col("touch_event"), col("touch_type"),
@@ -604,8 +611,14 @@ object Events {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val x = col(xCol).cast("long").cast(d38)
     val y = floor(col(valueCol) * lit(1000000.0)).cast("long").cast(d38)
+    // |v| ≤ 9.2e12 gates the micro-unit long cast the same way NaN is
+    // gated: beyond it floor(v·10⁶) exceeds int64 and the non-ANSI cast
+    // nulls — the row would count into n while dropping out of every
+    // sum, silently skewing the slope. Excluded rows are excluded from
+    // n too, and streamingTrend applies the identical rule so batch and
+    // streaming state stay row-for-row equivalent.
     df.where(col(xCol).isNotNull && col(valueCol).isNotNull &&
-        !isnan(col(valueCol)))
+        !isnan(col(valueCol)) && abs(col(valueCol)) <= lit(9.2e12))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(x).cast(d38).as("sum_x"),

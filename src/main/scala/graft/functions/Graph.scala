@@ -129,6 +129,14 @@ object Graph {
     }
     e.unpersist(blocking = false)
     setupSnap.unpersist(blocking = false)
+    // RETENTION (the PPR convention): the returned frame is backed by
+    // the final round's snapshot, which stays live — releasing it here
+    // would recompute the whole loop on first use, and a defensive
+    // copy-out materialization costs one extra job per call. Long-lived
+    // sessions invoking this repeatedly accumulate one cached snapshot
+    // per call until GC (localCheckpoint RDDs are GC-collected once the
+    // returned frame is unreachable; reliable checkpoint files live
+    // until the checkpoint dir is cleaned).
     ranks.select(col("id"), col("rank"))
   }
 
@@ -620,6 +628,9 @@ object Graph {
     }
     e.unpersist(blocking = false)
     setup.unpersist(blocking = false)
+    // RETENTION: the returned frame rides the final snapshot (`state`),
+    // which stays live — see pageRank's note; one cached snapshot per
+    // call persists until the result is unreachable.
     // converged ⇔ the final round improved nothing — two 1-row aggregates
     val flag = state.agg(
         sum(when(col("improved"), lit(1L)).otherwise(lit(0L))).as("__imp"))

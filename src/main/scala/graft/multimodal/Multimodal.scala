@@ -294,6 +294,115 @@ object Multimodal {
     }
   }
 
+  /** Real raw-video container decode for YUV4MPEG2 (.y4m) — the
+    * uncompressed interchange format every ffmpeg/x264 pipeline can
+    * emit, parsed directly from its published layout (one ASCII header
+    * line `YUV4MPEG2 W<w> H<h> ...`, then per frame an ASCII `FRAME`
+    * line followed by planar Y, Cb, Cr data). No codec library: the Y
+    * plane IS the luma raster, so each frame grids by block-averaging
+    * raw plane bytes with [[ImageIoCodec.imageGrid]]'s exact edge
+    * conventions (integer block edges, trailing remainder folds into
+    * the last block) — a flat-gray frame of value v grids to all-v,
+    * and two containers of the same frames fingerprint identically.
+    * Supported chroma taggings: C420* (any suffix), C422, C444, Cmono —
+    * chroma planes are sized and SKIPPED (near-dup fingerprints are
+    * luma-only, the pHash convention). Truncated or non-Y4M bytes
+    * throw, naming the defect — the fail-loud WavCodec/GifCodec policy.
+    */
+  object Y4mCodec extends VideoCodec {
+    private val Magic = "YUV4MPEG2"
+
+    /** (width, height, bytes per frame's chroma planes). */
+    private[multimodal] def parseHeader(header: String): (Int, Int, Int) = {
+      val parts = header.split(' ')
+      require(parts.nonEmpty && parts(0) == Magic,
+        s"Y4mCodec: not a YUV4MPEG2 stream (header '${header.take(20)}')")
+      var w = -1; var h = -1; var chroma = "420"
+      parts.iterator.drop(1).filter(_.nonEmpty).foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'C' => chroma = p.substring(1)
+          case _   => () // F (rate), I (interlace), A (aspect), X: ignored
+        }
+      }
+      require(w > 0 && h > 0, s"Y4mCodec: missing/bad W/H ($w x $h)")
+      val cw = (w + 1) / 2
+      val ch = (h + 1) / 2
+      val chromaBytes =
+        if (chroma.startsWith("420")) 2 * cw * ch
+        else if (chroma.startsWith("422")) 2 * cw * h
+        else if (chroma.startsWith("444")) 2 * w * h
+        else if (chroma.startsWith("mono")) 0
+        else throw new IllegalArgumentException(
+          s"Y4mCodec: unsupported chroma sampling C$chroma")
+      (w, h, chromaBytes)
+    }
+
+    def frameGrids(bytes: Array[Byte], cells: Int): Seq[Array[Int]] = {
+      def lineEnd(from: Int): Int = {
+        var i = from
+        while (i < bytes.length && bytes(i) != '\n') i += 1
+        require(i < bytes.length, "Y4mCodec: unterminated header line")
+        i
+      }
+      val hEnd = lineEnd(0)
+      val (w, h, chromaBytes) =
+        parseHeader(new String(bytes, 0, hEnd, "US-ASCII"))
+      val frameBytes = w * h + chromaBytes
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      var off = hEnd + 1
+      while (off < bytes.length) {
+        val fEnd = lineEnd(off)
+        val fLine = new String(bytes, off, fEnd - off, "US-ASCII")
+        require(fLine == "FRAME" || fLine.startsWith("FRAME "),
+          s"Y4mCodec: expected FRAME marker at offset $off, got '${fLine.take(10)}'")
+        require(fEnd + 1 + frameBytes <= bytes.length,
+          s"Y4mCodec: truncated frame at offset $off " +
+            s"(need $frameBytes plane bytes)")
+        out += planeGrid(bytes, fEnd + 1, w, h, cells)
+        off = fEnd + 1 + frameBytes
+      }
+      require(out.nonEmpty, s"Y4mCodec: no frames (${bytes.length} bytes)")
+      out.toSeq
+    }
+
+    /** [[ImageIoCodec.imageGrid]] over a raw luma plane: identical
+      * block edges and remainder folding, value = the plane byte.
+      */
+    private def planeGrid(bytes: Array[Byte], off: Int, w: Int, h: Int,
+                          cells: Int): Array[Int] = {
+      val side = math.sqrt(cells.toDouble).toInt
+      require(side * side == cells,
+        s"lumaGrid cells must be a perfect square for a real decoder: $cells")
+      val out = new Array[Int](cells)
+      var cy = 0
+      while (cy < side) {
+        val y0 = cy * h / side
+        val y1 = if (cy == side - 1) h else (cy + 1) * h / side
+        var cx = 0
+        while (cx < side) {
+          val x0 = cx * w / side
+          val x1 = if (cx == side - 1) w else (cx + 1) * w / side
+          var sum = 0.0
+          var n = 0
+          var y = y0
+          while (y < math.max(y1, y0 + 1) && y < h) {
+            var x = x0
+            while (x < math.max(x1, x0 + 1) && x < w) {
+              sum += (bytes(off + y * w + x) & 0xff); n += 1; x += 1
+            }
+            y += 1
+          }
+          out(cy * side + cx) = if (n == 0) 0 else (sum / n).toInt
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+  }
+
   /** Pluggable audio codec surface: bytes → mono 16-bit PCM samples —
     * the contract every audio operator programs against. [[AudioStub]]
     * (default — raw bytes ARE the stream, what the DuckDB oracles

@@ -359,7 +359,11 @@ object MicroBatch {
           var (n, sx, sy, sxy, sxx) =
             state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L))
           rows.foreach { case (_, x, v) =>
-            if (!v.isNaN) {
+            // |v| ≤ 9.2e12 mirrors batch trendStats' micro-unit gate:
+            // Double.toLong SATURATES at Long.MaxValue where the batch
+            // cast nulls, so without the shared gate the two states
+            // diverge on such inputs (batch ≡ streaming contract)
+            if (!v.isNaN && math.abs(v) <= 9.2e12) {
               val y = math.floor(v * 1000000.0).toLong
               n += 1; sx += x; sy += y; sxy += x * y; sxx += x * x
             }

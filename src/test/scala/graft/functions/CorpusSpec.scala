@@ -593,6 +593,48 @@ class CorpusSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("htmlExtract: script/style/comment removal, link-density boilerplate, entities") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("html", StringType)))
+    val prose = "This paragraph is long enough to clear the thirty " +
+      "character floor easily."
+    val rows = Seq(
+      // machinery dies wholesale; prose block survives
+      Row(1L, "<html><head><style>p{x:1}</style><script>var a=\"</p>\";" +
+        "</script></head><body><!-- c --><p>" + prose + "</p></body></html>"),
+      // nav: 3 anchors, tiny text → link density kills it; prose stays
+      Row(2L, "<div><a href=\"/\">Home</a> <a href=\"/a\">A</a> " +
+        "<a href=\"/b\">B</a></div><p>" + prose + "</p>"),
+      // one link inside long prose stays under 1 link / 10 chars
+      Row(3L, "<p>" + prose + " With <a href=\"/m\">one link</a> only " +
+        "and lots more text around it to dilute the anchor.</p>"),
+      // short block dies by minBlockChars even with zero links
+      Row(4L, "<p>Too short.</p>"),
+      // entities unescape in the fixed order, &amp; last
+      Row(5L, "<p>fish &amp; chips cost &lt;five&gt; &quot;euros&quot; " +
+        "&#39;today&#39; and&nbsp;always more words here.</p>"),
+      Row(6L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Corpus.htmlExtract(df, "id", "html")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((prose, 1L, 1L, true)))
+    assert(out(2L) == ((prose, 2L, 1L, true))) // nav counted, not kept
+    assert(out(3L)._3 == 1L && out(3L)._4 &&
+      out(3L)._1.contains("one link only"))
+    assert(out(4L) == (("", 1L, 0L, false)))
+    assert(out(5L)._1 == "fish & chips cost <five> \"euros\" 'today' " +
+      "and always more words here.")
+    assert(out(6L) == (("", 0L, 0L, false)))
+    assert(out.size == 6)
+    // the gate is a pure projection: no exchange anywhere in its plan
+    val plan = Corpus.htmlExtract(df, "id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("dedupAgainstIndex drops exactly the indexed content") {
     import graft.functions.Dedup
     val schema = StructType(Seq(

@@ -195,6 +195,92 @@ class MultimodalSpec extends SparkSpec {
     assert(stubGrids.length == (a.length + 63) / 64)
   }
 
+  test("Y4mCodec: real YUV4MPEG2 container — frame count/dims, image-grid parity, near-dup") {
+    def y4m(w: Int, h: Int, chroma: String,
+            yPlanes: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C$chroma\n"
+        .getBytes("US-ASCII"))
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val chromaBytes =
+        if (chroma.startsWith("420")) 2 * cw * ch
+        else if (chroma.startsWith("422")) 2 * cw * h
+        else if (chroma.startsWith("444")) 2 * w * h
+        else 0
+      yPlanes.foreach { y =>
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        bos.write(y)
+        bos.write(new Array[Byte](chromaBytes)) // chroma: sized, skipped
+      }
+      bos.toByteArray
+    }
+    def flat(w: Int, h: Int, v: Int): Array[Byte] =
+      Array.fill(w * h)(v.toByte)
+    // true frame count and per-frame luma from a real 3-frame container
+    val blob = y4m(8, 8, "420jpeg",
+      Seq(flat(8, 8, 0), flat(8, 8, 255), flat(8, 8, 0x80)))
+    val grids = Multimodal.Y4mCodec.frameGrids(blob, 64)
+    assert(grids.length == 3)
+    assert(grids(0).forall(_ == 0) && grids(1).forall(_ == 255))
+    assert(grids(2).forall(_ == 0x80))
+    // grid parity with the image path: a grayscale raster (R=G=B=Y)
+    // gridded as a PNG still tracks the SAME raster gridded as a Y4M
+    // frame to within 1 luma level — exact equality is impossible
+    // because Rec.601's double weights sum to 0.99999999999999989, so
+    // the image path's per-pixel luma of gray v can floor to v−1 while
+    // the Y4M path reads the plane byte v directly
+    val pattern = Array.tabulate(64)(i =>
+      (((i % 8) * 32 + (i / 8) * 3) & 0xff).toByte)
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = pattern(y * 8 + x) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bosP = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bosP)
+    val viaPng = Multimodal.ImageIoCodec.lumaGrid(bosP.toByteArray, 64)
+    val viaY4m = Multimodal.Y4mCodec
+      .frameGrids(y4m(8, 8, "444", Seq(pattern)), 64).head
+    assert(viaPng.zip(viaY4m).forall { case (a, b) => math.abs(a - b) <= 1 })
+    // odd dims + mono chroma (no chroma planes) parse by the spec's sizes
+    val odd = y4m(5, 3, "mono", Seq(flat(5, 3, 7), flat(5, 3, 9)))
+    assert(Multimodal.Y4mCodec.frameGrids(odd, 1).map(_.head) == Seq(7, 9))
+    // codec-selectable near-dup over real containers: 2 shared frames
+    // pair, 1 shared frame stays below minShared (patterned frames —
+    // the GifCodec threshold lesson)
+    def pat(p: (Int, Int) => Boolean): Array[Byte] =
+      Array.tabulate(64)(i => (if (p(i % 8, i / 8)) 255 else 0).toByte)
+    val (f1, f2, f3) = (pat((x, _) => x < 4), pat((_, y) => y < 4),
+      pat((x, y) => (x + y) % 2 == 0))
+    val (f4, f5) = (pat((x, _) => x >= 4), pat((x, y) => x == y))
+    val df = spark.createDataFrame(Seq(
+        (1L, y4m(8, 8, "420", Seq(f1, f2, f3))),
+        (2L, y4m(8, 8, "420", Seq(f2, f3, f4))),
+        (3L, y4m(8, 8, "420", Seq(f5, f4, f1)))))
+      .toDF("media_id", "blob")
+    val m = Multimodal.asMediaTable(df, "media_id", "blob", "video", "y4m")
+    val pairs = Multimodal.videoNearDupByFramesWith(m, Multimodal.Y4mCodec,
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)))
+    // fail-loud: junk magic, truncated frame data, unsupported chroma
+    intercept[IllegalArgumentException] {
+      Multimodal.Y4mCodec.frameGrids("MPEG4 who knows\n".getBytes, 64)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Y4mCodec.frameGrids(
+        blob.dropRight(10), 64) // last frame loses 10 plane bytes
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Y4mCodec.frameGrids(
+        y4m(8, 8, "411", Seq(flat(8, 8, 1))), 64)
+    }
+    // the stub path is untouched by the codec's existence
+    assert(Multimodal.VideoStub(64).frameGrids(blob, 64).length ==
+      (blob.length + 63) / 64)
+  }
+
   test("audio: 16-bit LE framing, band locality, banded near-dup recall") {
     // pcmSamples: little-endian signed pairs, trailing odd byte ignored
     val s = Multimodal.AudioStub.pcmSamples(
