@@ -1567,6 +1567,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Byte-level (total) BPE seeding + round trip: every 7th doc gets a
+    // planted accented/CJK/emoji suffix, every word decomposes to
+    // 2-hex-char byte tokens (no [UNK] possible), and `lossless`
+    // witnesses that concat-hex → bytes → UTF-8 reassembles the
+    // whitespace-normalized text exactly. Merge application over byte
+    // tokens shares x_bpe_encode's already-oracled kernel; this query
+    // oracles the byte alphabet itself, so merges stay empty here.
+    "x_bpe_bytes" -> ((s, dir) => {
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" héllo 漢字🦉")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("__norm", array_join(TF.tokens(col("text")), " "))
+      Corpus.bpeByteEncode(planted, "doc_id", "text", merges = Nil,
+          carryCols = Seq("__norm"))
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("bpe_tokens"), " ").as("tokens_joined"),
+          col("decoded"),
+          (col("decoded") === col("__norm")).as("lossless"))
+        .orderBy("doc_id")
+    }),
+
     // Full in-engine BPE training: 6 merge rules learned iteratively
     // from the corpus (pair argmax per round, deterministic (cnt DESC,
     // l, r) tiebreak; greedy left-to-right re-tokenize via the native
@@ -4588,9 +4611,10 @@ object SparkEntry {
     // The same grid + neighbor-carry windows; the interpolation formula
     // is mirrored op-for-op (conversions, one divide, multiply, add).
     "x_interpolate" ->
-      """WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 AS t,
+      """WITH b0 AS (SELECT user_id, epoch_us(ts) // 3600000000 AS t,
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
         | FROM events GROUP BY 1, 2),
+        |b AS (SELECT * FROM b0 WHERE v IS NOT NULL),
         |g AS (SELECT user_id, unnest(range(mn, mx + 1)) AS t
         | FROM (SELECT user_id, MIN(t) AS mn, MAX(t) AS mx FROM b GROUP BY 1)),
         |j AS (SELECT g.user_id, g.t, b.v FROM g
@@ -6622,6 +6646,35 @@ object SparkEntry {
         |FROM g ORDER BY doc_id""".stripMargin,
 
     // In-engine BPE training, 6 rounds unrolled: each round counts
+    // Same planted suffix, same byte rendering: hex(encode(w)) is the
+    // UTF-8 byte sequence in BOTH engines, split into 2-char tokens;
+    // decode(unhex(..)) reverses it, so `lossless` is witnessed, not
+    // assumed.
+    "x_bpe_bytes" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' héllo 漢字🦉'
+        |       ELSE text END AS text
+        | FROM documents),
+        |t AS (SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS ws
+        | FROM d),
+        |e AS (SELECT doc_id, ws,
+        |  list_transform(ws, w -> list_transform(
+        |    range(1, len(hex(encode(w))) // 2 + 1),
+        |    i -> substr(lower(hex(encode(w))), CAST(i AS INT) * 2 - 1, 2)))
+        |    AS wt
+        | FROM t)
+        |SELECT doc_id,
+        | CAST(len(flatten(wt)) AS BIGINT) AS n_tokens,
+        | array_to_string(flatten(wt), ' ') AS tokens_joined,
+        | array_to_string(list_transform(wt,
+        |   ts -> decode(unhex(array_to_string(ts, '')))), ' ') AS decoded,
+        | array_to_string(list_transform(wt,
+        |   ts -> decode(unhex(array_to_string(ts, '')))), ' ')
+        |   = array_to_string(ws, ' ') AS lossless
+        |FROM e ORDER BY doc_id""".stripMargin,
+
     // vocab-weighted adjacent pairs, takes the argmax ((cnt DESC, l, r)
     // tiebreak), and re-tokenizes with the same greedy left-to-right
     // merge closed form (runs of overlapping matches merge at odd

@@ -1983,6 +1983,53 @@ object Corpus {
       .withColumn("n_tokens", size(col("bpe_tokens")).cast("long"))
   }
 
+  /** Byte-level BPE encode — [[bpeEncode]] made TOTAL over arbitrary
+    * Unicode (the GPT-2 byte-alphabet idea, re-expressed in an
+    * oracle-friendly rendering): each word decomposes to its UTF-8
+    * BYTES, each byte rendered as a 2-char lowercase hex token (a
+    * fixed 256-piece seed alphabet), and the merge rules then apply in
+    * rank order exactly as in [[bpeEncode]] (the same greedy
+    * left-to-right [[graft.plans.BpeMergePair]] pass). A merged token
+    * is the concatenation of its parts' hex, so EVERY token at every
+    * stage is an even-length hex string that decodes back to bytes —
+    * no `[UNK]` exists by construction: a word no merge touches is
+    * simply its byte sequence, whatever script or emoji it is.
+    *
+    * `decoded` is the losslessness witness: every word reassembles
+    * from its tokens (concat hex → bytes → UTF-8) and words re-join by
+    * single spaces, equal to the whitespace-normalized input for ANY
+    * input — the property a byte-level tokenizer buys over the
+    * word-vocabulary encoders, asserted by spec and oracle rather than
+    * promised.
+    *
+    * Map-only, zero shuffles; merges ride as plan state (the
+    * [[bpeEncode]] shape).
+    *
+    * @return (idCol, bpe_tokens array<string>, n_tokens, decoded)
+    */
+  def bpeByteEncode(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)],
+                    carryCols: Seq[String] = Nil): DataFrame = {
+    val bytesOf = (w: Column) => {
+      val hx = lower(hex(encode(w, "UTF-8")))
+      transform(sequence(lit(1), (length(hx) / 2).cast("int")),
+        i => hx.substr(i * 2 - 1, lit(2)))
+    }
+    val encodeWord = (w: Column) =>
+      merges.foldLeft(bytesOf(w)) { case (t, (l, r)) =>
+        graft.plans.HashExpressions.bpeMergePair(t, l, r)
+      }
+    df.select(col(idCol) +: carryCols.map(col) :+
+        transform(TextFunctions.tokens(col(textCol)),
+          w => encodeWord(w)).as("__wt"): _*)
+      .select(col(idCol) +: carryCols.map(col) :+
+        flatten(col("__wt")).as("bpe_tokens") :+
+        size(flatten(col("__wt"))).cast("long").as("n_tokens") :+
+        array_join(transform(col("__wt"),
+          ts => decode(unhex(array_join(ts, "")), "UTF-8")), " ")
+          .as("decoded"): _*)
+  }
+
   /** SentencePiece-style unigram-LM tokenizer trainer — the other
     * mainstream subword family next to [[bpeTrain]]: a piece VOCABULARY
     * with log probabilities, trained by Viterbi-EM and pruned to size.

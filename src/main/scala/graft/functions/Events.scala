@@ -360,11 +360,21 @@ object Events {
     * reproduces the bits ([[Corpus.pmiTopK]]'s no-transcendentals
     * discipline).
     *
-    * Scale shape: the grid explodes from a per-key (min, max) aggregate
-    * (no driver-side time loop), and every window/join keys on the
-    * series key — nothing global, nothing quadratic. Dense-gap caveat:
-    * a key whose span is huge but observations sparse materializes its
-    * full grid; bound the bucket width accordingly.
+    * Scale shape: ONE key-keyed window pass (a single `lead`) turns the
+    * observations into consecutive-pair SEGMENTS, and each segment
+    * explodes its own half-open bucket range `[t, next_t)` (the last
+    * observation emits itself) — no grid join, no second sort, no
+    * re-scan of the upstream. This replaced a grid-aggregate + outer
+    * join + two neighbor-carry window passes (4 exchanges, upstream
+    * evaluated twice) that measured 5.4 s at sf0.1 where this form
+    * needs one exchange. Dense-gap caveat: a key whose span is huge but
+    * observations sparse still materializes its full grid; bound the
+    * bucket width accordingly.
+    *
+    * Null values are NOT observations: they are excluded up front (a
+    * null can't anchor a line), so the grid spans the first to last
+    * NON-NULL bucket per key. Input carries one row per (key, bucket)
+    * (the contract — it comes from an aggregation).
     *
     * `maxGapBuckets` caps how long a gap may be bridged: a missing
     * bucket whose surrounding observations are further than
@@ -377,38 +387,30 @@ object Events {
                   maxGapBuckets: Long = Long.MaxValue): DataFrame = {
     require(maxGapBuckets >= 2, s"a bridgeable gap spans >= 2 buckets: $maxGapBuckets")
     val obs = df.select(col(keyCol).as("__k"),
-      col(bucketCol).cast("long").as("__t"), col(valCol).cast("double").as("__v"))
-    val grid = obs.groupBy(col("__k"))
-      .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1"))
-      .select(col("__k"),
-        explode(sequence(col("__t0"), col("__t1"))).as("__t"))
-    val joined = grid.join(obs, Seq("__k", "__t"), "left")
-    // BOTH carries are GROWING frames (unboundedPreceding → current):
-    // the next-observation carry runs over the DESCENDING order instead
-    // of using a (current → unboundedFollowing) frame, which Spark
-    // executes by rescanning the remainder of the partition per row —
-    // O(span²) per key (measured 37 s for a 1M-row grid at sf0.1; the
-    // two growing frames run it in ~2 s).
-    val wPrev = org.apache.spark.sql.expressions.Window
+        col(bucketCol).cast("long").as("__t"),
+        col(valCol).cast("double").as("__v"))
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__k")).orderBy(col("__t").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wNextRev = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__k")).orderBy(col("__t").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val prev = last(when(col("__v").isNotNull,
-      struct(col("__t").as("t"), col("__v").as("v"))), ignoreNulls = true).over(wPrev)
-    val next = last(when(col("__v").isNotNull,
-      struct(col("__t").as("t"), col("__v").as("v"))), ignoreNulls = true).over(wNextRev)
-    val bridgeable = (col("__n.t") - col("__p.t")) <= maxGapBuckets
-    joined
-      .withColumn("__p", prev).withColumn("__n", next)
-      .select(col("__k").as(keyCol), col("__t").as(bucketCol),
-        when(col("__v").isNotNull, col("__v"))
+    val seg = obs.select(col("__k"), col("__t"), col("__v"),
+      lead(col("__t"), 1).over(w).as("__nt"),
+      lead(col("__v"), 1).over(w).as("__nv"))
+    val bridgeable = (col("__nt") - col("__t")) <= maxGapBuckets
+    // greatest(..) guards a duplicate (key, bucket) input row (nt == t)
+    // from Spark's descending-sequence surprise — it re-emits the
+    // observation instead of fabricating [t, t−1]
+    seg
+      .select(col("__k"), col("__t"), col("__v"), col("__nt"), col("__nv"),
+        explode(sequence(col("__t"),
+          greatest(coalesce(col("__nt") - 1, col("__t")), col("__t"))))
+          .as("__tt"))
+      .select(col("__k").as(keyCol), col("__tt").as(bucketCol),
+        when(col("__tt") === col("__t"), col("__v"))
           .when(bridgeable,
-            col("__p.v") + (col("__n.v") - col("__p.v")) *
-              ((col("__t") - col("__p.t")).cast("double") /
-                (col("__n.t") - col("__p.t")).cast("double"))).as(valCol),
-        when(col("__v").isNotNull, lit("obs"))
+            col("__v") + (col("__nv") - col("__v")) *
+              ((col("__tt") - col("__t")).cast("double") /
+                (col("__nt") - col("__t")).cast("double"))).as(valCol),
+        when(col("__tt") === col("__t"), lit("obs"))
           .when(bridgeable, lit("interp"))
           .otherwise(lit("gap")).as("kind"))
   }

@@ -84,4 +84,39 @@ class BpeSpec extends SparkSpec {
     assert(out(2L)._1 == Seq.empty && out(2L)._2 == 0L)
     assert(out(3L)._1 == Seq("z", "z", "z"))
   }
+
+  test("bpeByteEncode: total over arbitrary Unicode, lossless reassembly, byte merges") {
+    // no [UNK] ever: CJK, emoji (4-byte UTF-8), combining accents, and
+    // plain ASCII all decompose to hex byte tokens and reassemble
+    val texts = Seq(
+      (1L, "the theme"),
+      (2L, "漢字 🦉 café café"), // precomposed AND combining é
+      (3L, ""),
+      (4L, "mixed 漢ascii字 ému"))
+    val out = Corpus.bpeByteEncode(texts.toDF("doc_id", "text"),
+        "doc_id", "text", merges = Nil)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[scala.collection.Seq[String]]("bpe_tokens").toSeq,
+          r.getLong(2), r.getString(3)))).toMap
+    // seed tokens are exactly the UTF-8 bytes, 2 hex chars each
+    assert(out(1L)._1 == "thetheme".getBytes("UTF-8").toSeq
+      .map(b => f"${b & 0xff}%02x"))
+    // lossless witness: decoded == whitespace-normalized input, for
+    // every script (the property word-vocabulary encoders lack)
+    texts.foreach { case (id, txt) =>
+      val norm = txt.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(out(id)._3 == norm, s"doc $id")
+    }
+    // 🦉 is one codepoint, four UTF-8 bytes → four seed tokens
+    assert(out(2L)._1.count(_ == "f0") == 1) // its lead byte
+    // merges operate on hex tokens exactly like character BPE: 't''h'
+    // is 74+68, th+e is 7468+65; merged tokens stay decodable hex
+    val merged = Corpus.bpeByteEncode(
+        Seq((1L, "the theme")).toDF("doc_id", "text"),
+        "doc_id", "text", merges = Seq(("74", "68"), ("7468", "65")))
+      .head()
+    assert(merged.getAs[scala.collection.Seq[String]]("bpe_tokens").toSeq ==
+      Seq("746865", "746865", "6d", "65")) // [the] [the] m e
+    assert(merged.getString(3) == "the theme") // still lossless
+  }
 }
