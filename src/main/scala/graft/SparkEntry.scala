@@ -45,6 +45,71 @@ object SparkEntry {
         c.cast("string"))).cast("long"))
       .otherwise(c.cast("long")).as(name)
 
+  /** Deterministic per-doc URL for the x_url_canon / x_domain_stats
+    * fixtures: five shapes exercising every canonicalization rule
+    * (mirrored verbatim in both oracles).
+    */
+  private def plantedUrl: Column = expr(
+    """CASE CAST(doc_id % 5 AS INT)
+      | WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Path/Page?utm_source=x&b=2&a=1#frag'
+      | WHEN 1 THEN concat('https://news.example.co.uk/a/', doc_id,
+      |   '?id=', doc_id, '&utm_campaign=z')
+      | WHEN 2 THEN concat('https://cdn.static.example.org:8080/lib.js?v=',
+      |   doc_id % 7, '&utm_medium=y&fbclid=f')
+      | WHEN 3 THEN 'http://example.net'
+      | ELSE concat('https://Sub.Domain.Example.com/x%20y/', lang,
+      |   '?gclid=abc')
+      |END""".stripMargin)
+
+  /** The DuckDB mirror of [[plantedUrl]] + the staged canonicalization
+    * chain (CTEs d, p1..p8), shared by the x_url_canon and
+    * x_domain_stats oracles; `selectCols` carries extra columns through
+    * the `SELECT *` stages. Plain concatenation, not interpolation —
+    * the regexes contain `$` anchors.
+    */
+  private def urlCanonOracleChain(selectCols: String): String =
+    "WITH d AS (SELECT " + selectCols + "\n" +
+      """ CASE CAST(doc_id % 5 AS INT)
+        |  WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Path/Page?utm_source=x&b=2&a=1#frag'
+        |  WHEN 1 THEN 'https://news.example.co.uk/a/' || doc_id ||
+        |    '?id=' || doc_id || '&utm_campaign=z'
+        |  WHEN 2 THEN 'https://cdn.static.example.org:8080/lib.js?v=' ||
+        |    (doc_id % 7) || '&utm_medium=y&fbclid=f'
+        |  WHEN 3 THEN 'http://example.net'
+        |  ELSE 'https://Sub.Domain.Example.com/x%20y/' || lang || '?gclid=abc'
+        | END AS url
+        | FROM documents),
+        |p1 AS (SELECT *, TRIM(url) AS u FROM d),
+        |p2 AS (SELECT *,
+        |  regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.-]*://') AS hs,
+        |  regexp_replace(u, '#.*$', '') AS nf FROM p1),
+        |p3 AS (SELECT *,
+        |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p2),
+        |p4 AS (SELECT *,
+        |  lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport,
+        |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM p3),
+        |p5 AS (SELECT *,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       ELSE hostport END AS host FROM p4),
+        |p6 AS (SELECT *,
+        |  CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+        |       ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+        |  list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+        |    x -> x <> '') AS ap FROM p5),
+        |p7 AS (SELECT *,
+        |  list_sort(list_filter(ap, x -> NOT (
+        |    starts_with(regexp_extract(x, '^([^=]*)', 1), 'utm_')
+        |    OR regexp_extract(x, '^([^=]*)', 1) IN ('gclid','fbclid','msclkid'))))
+        |    AS kp FROM p6),
+        |p8 AS (SELECT *,
+        |  regexp_replace(regexp_replace(host, ':[0-9]+$', ''),
+        |    '^www\.', '') AS bare,
+        |  string_split(regexp_replace(regexp_replace(host, ':[0-9]+$', ''),
+        |    '^www\.', ''), '.') AS lbl FROM p7)
+        |""".stripMargin
+
   /** Optional comma-separated query-name subset from SPARK_GRAFT_QUERIES —
     * the shared Bench/Verify local-iteration filter (driver leaves it
     * unset and runs everything).
@@ -2060,6 +2125,30 @@ object SparkEntry {
           "doc_id", "html")
         .orderBy("doc_id")
     }),
+
+    // Crawl-URL canonicalization: five planted URL shapes per doc
+    // exercise every rule — case folding, default-port strip, fragment
+    // drop, tracking-param removal, param sorting, bare-root path,
+    // non-default port retained, co.uk registered-domain heuristic.
+    // Map-only; every stage mirrors in DuckDB regex/list primitives.
+    "x_url_canon" -> ((s, dir) =>
+      Corpus.urlCanonicalize(
+          t(s, dir, "documents").select(col("doc_id"),
+            plantedUrl.as("url")),
+          "doc_id", "url")
+        .orderBy("doc_id")),
+
+    // Per-domain curation rollup over the canonical key: dup pressure
+    // (n_docs − n_urls), volume, stripped-tracker census — one
+    // domain-keyed aggregation after the map-only canonicalizer.
+    "x_domain_stats" -> ((s, dir) =>
+      Corpus.domainStats(
+          Corpus.urlCanonicalize(
+            t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+              plantedUrl.as("url")),
+            "doc_id", "url", carryCols = Seq("n_chars")),
+          "n_chars")
+        .orderBy("registered_domain")),
 
     // Top-30 collocations by PMI (token-stream marginals, min pair
     // count 5): bigram-keyed agg + two broadcast vocab joins + top-k
@@ -6674,6 +6763,55 @@ object SparkEntry {
         |   ts -> decode(unhex(array_to_string(ts, '')))), ' ')
         |   = array_to_string(ws, ' ') AS lossless
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // Same planted URLs, same staged canonicalization (regex subset
+    // shared by Java and RE2, list sort/filter for params) — canonical
+    // strings match byte-for-byte.
+    "x_url_canon" ->
+      (urlCanonOracleChain("doc_id,") +
+        """SELECT doc_id,
+          | CASE WHEN hs THEN scheme || '://' || host || path ||
+          |   CASE WHEN len(kp) > 0 THEN '?' || array_to_string(kp, '&')
+          |        ELSE '' END
+          | END AS url_canon,
+          | CASE WHEN hs THEN host END AS host,
+          | CASE WHEN hs THEN
+          |   CASE WHEN len(lbl) <= 2 THEN bare
+          |        WHEN length(lbl[-1]) = 2 AND lbl[-2] IN
+          |          ('co','com','net','org','gov','ac','edu')
+          |          THEN lbl[-3] || '.' || lbl[-2] || '.' || lbl[-1]
+          |        ELSE lbl[-2] || '.' || lbl[-1] END
+          | END AS registered_domain,
+          | CASE WHEN hs THEN CAST(len(ap) - len(kp) AS BIGINT)
+          | END AS n_params_stripped
+          |FROM p8 ORDER BY doc_id""".stripMargin),
+
+    // The rollup over the same chain; SUMs cast to BIGINT (DuckDB
+    // SUM(BIGINT) is HUGEINT — the §2.7 convention).
+    "x_domain_stats" ->
+      (urlCanonOracleChain("doc_id, n_chars,") +
+        """,fin AS (SELECT n_chars,
+          | CASE WHEN hs THEN scheme || '://' || host || path ||
+          |   CASE WHEN len(kp) > 0 THEN '?' || array_to_string(kp, '&')
+          |        ELSE '' END
+          | END AS url_canon,
+          | CASE WHEN hs THEN
+          |   CASE WHEN len(lbl) <= 2 THEN bare
+          |        WHEN length(lbl[-1]) = 2 AND lbl[-2] IN
+          |          ('co','com','net','org','gov','ac','edu')
+          |          THEN lbl[-3] || '.' || lbl[-2] || '.' || lbl[-1]
+          |        ELSE lbl[-2] || '.' || lbl[-1] END
+          | END AS registered_domain,
+          | CASE WHEN hs THEN CAST(len(ap) - len(kp) AS BIGINT)
+          | END AS n_params_stripped
+          | FROM p8)
+          |SELECT registered_domain,
+          | CAST(COUNT(*) AS BIGINT) AS n_docs,
+          | CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_urls,
+          | CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+          | CAST(SUM(n_params_stripped) AS BIGINT) AS n_params_stripped
+          |FROM fin WHERE registered_domain IS NOT NULL
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // vocab-weighted adjacent pairs, takes the argmax ((cnt DESC, l, r)
     // tiebreak), and re-tokenizes with the same greedy left-to-right

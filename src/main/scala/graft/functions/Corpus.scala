@@ -1025,6 +1025,109 @@ object Corpus {
       (size(units) - size(kept)).cast("long").as("n_units_removed"))
   }
 
+  /** Crawl-URL canonicalization — the dedup key a web corpus actually
+    * joins on: the same page arrives as `HTTP://WWW.Example.COM:80/a`
+    * and `http://example.com/a?utm_source=x`, and exact-dedup without a
+    * canonical form silently keeps both. One scan projection emits:
+    *
+    *  - `url_canon`: scheme + host lowercased, default port stripped
+    *    (http:80 / https:443; other ports kept), fragment dropped,
+    *    empty path normalized to `/`, tracking params removed
+    *    (`utm_*` prefix + the `extraTracking` set), surviving params
+    *    SORTED (param order is transport noise, not identity) and
+    *    re-joined. Path case and percent-escapes are preserved
+    *    untouched — paths are case-sensitive by spec and %-decoding
+    *    without charset context corrupts more than it canonicalizes.
+    *  - `host`: the lowercased, port-stripped authority.
+    *  - `registered_domain`: eTLD+1 by the documented HEURISTIC (no
+    *    public-suffix list ships here): drop one leading `www.`, then
+    *    take the last two labels — or three when the TLD is 2 chars
+    *    and the 2nd-level label is one of co/com/net/org/gov/ac/edu
+    *    (the common ccTLD second-levels, e.g. `example.co.uk`). The
+    *    grouping key for per-domain curation stats and politeness
+    *    budgets; a real PSL plugs in by replacing this one column.
+    *  - `n_params_stripped`: how many params the cleaner removed —
+    *    the observability column for "is this tracker list earning
+    *    its keep".
+    *
+    * Userinfo (`user@host`) is not parsed (stays in `host` — the
+    * crawl sources this targets never emit it; documented, not
+    * hidden). Null/schemeless urls pass through with null parts.
+    * Map-only, zero shuffles; regex/array primitives from the common
+    * Java/RE2 subset only, so the DuckDB oracle mirrors bit-for-bit.
+    */
+  def urlCanonicalize(df: DataFrame, idCol: String, urlCol: String,
+                      extraTracking: Seq[String] =
+                        Seq("gclid", "fbclid", "msclkid"),
+                      carryCols: Seq[String] = Nil): DataFrame = {
+    val u = trim(col(urlCol))
+    val hasScheme = u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    val noFrag = regexp_replace(u, lit("#.*$"), lit(""))
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag,
+      lit("^[A-Za-z][A-Za-z0-9+.-]*://"), lit(""))
+    val hostport = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(hostport, lit(":80$"), lit("")))
+      .when(scheme === "https",
+        regexp_replace(hostport, lit(":443$"), lit("")))
+      .otherwise(hostport)
+    val pathq = regexp_replace(rest, lit("^[^/?]*"), lit(""))
+    val rawPath = regexp_extract(pathq, "^([^?]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val allParams = filter(split(query, "&", -1), p => p =!= "")
+    val isTracking = (p: Column) => {
+      val name = regexp_extract(p, "^([^=]*)", 1)
+      name.startsWith("utm_") ||
+        extraTracking.map(t => name === t).reduceOption(_ || _)
+          .getOrElse(lit(false))
+    }
+    val keptParams = array_sort(filter(allParams, p => !isTracking(p)))
+    val canon = concat(scheme, lit("://"), host, path,
+      when(size(keptParams) > 0,
+        concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit("")))
+    // the grouping key derives from the hostNAME: a non-default port
+    // stays in `host`/`url_canon` (it names a different authority) but
+    // never in the domain rollup key
+    val bare = regexp_replace(
+      regexp_replace(host, lit(":[0-9]+$"), lit("")),
+      lit("^www\\."), lit(""))
+    val labels = split(bare, "\\.", -1)
+    val n = size(labels)
+    val ccSecond = Seq("co", "com", "net", "org", "gov", "ac", "edu")
+    val needThree = n >= 3 &&
+      length(element_at(labels, -1)) === 2 &&
+      element_at(labels, -2).isin(ccSecond: _*)
+    val regDomain = when(n <= 2, bare)
+      .when(needThree, concat_ws(".", element_at(labels, -3),
+        element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(concat_ws(".", element_at(labels, -2),
+        element_at(labels, -1)))
+    df.select(col(idCol) +: carryCols.map(col) :+
+      when(hasScheme, canon).as("url_canon") :+
+      when(hasScheme, host).as("host") :+
+      when(hasScheme, regDomain).as("registered_domain") :+
+      when(hasScheme, (size(allParams) - size(keptParams)).cast("long"))
+        .as("n_params_stripped"): _*)
+  }
+
+  /** Per-domain curation rollup over [[urlCanonicalize]]'s grouping
+    * key: docs, canonical-URL cardinality (exact — crawl dup pressure
+    * is `n_docs − n_urls`), total chars, and the stripped-param volume.
+    * One domain-keyed aggregation with map-side partials; the fact
+    * table shuffles only its (domain, url, chars) projection.
+    */
+  def domainStats(canonicalized: DataFrame, charsCol: String): DataFrame =
+    canonicalized
+      .where(col("registered_domain").isNotNull)
+      .groupBy(col("registered_domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_canon")).as("n_urls"),
+        sum(col(charsCol)).as("n_chars"),
+        sum(col("n_params_stripped")).as("n_params_stripped"))
+
   /** HTML → text extraction gate — rung 0 of the curation chain, in
     * front of [[gopherGate]]/[[c4Gate]]: real crawls start at markup,
     * not clean text. Three stages, all inside one scan projection:

@@ -635,6 +635,54 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("urlCanonicalize: case/port/fragment/tracker rules, registered-domain heuristic") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("url", StringType)))
+    val rows = Seq(
+      Row(1L, "HTTP://WWW.Example.COM:80/Path/Page?utm_source=x&b=2&a=1#frag"),
+      Row(2L, "https://news.example.co.uk/a/7?id=7&utm_campaign=z"),
+      Row(3L, "https://cdn.static.example.org:8080/lib.js?v=3&utm_medium=y&fbclid=f"),
+      Row(4L, "http://example.net"),
+      Row(5L, "https://Sub.Domain.Example.com/x%20y?gclid=abc"),
+      Row(6L, "not-a-url"), // schemeless → null parts
+      Row(7L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Corpus.urlCanonicalize(df, "id", "url")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)),
+          Option(r.getString(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    // scheme+host lowercase, :80 stripped, fragment gone, utm_ gone,
+    // params sorted, PATH CASE PRESERVED
+    assert(out(1L) == ((Some("http://www.example.com/Path/Page?a=1&b=2"),
+      Some("www.example.com"), Some("example.com"), Some(1L))))
+    // co.uk → three-label registered domain
+    assert(out(2L) == ((Some("https://news.example.co.uk/a/7?id=7"),
+      Some("news.example.co.uk"), Some("example.co.uk"), Some(1L))))
+    // non-default port kept in host/canon, never in the domain key
+    assert(out(3L) == ((Some("https://cdn.static.example.org:8080/lib.js?v=3"),
+      Some("cdn.static.example.org:8080"), Some("example.org"), Some(2L))))
+    // bare root normalizes to '/'
+    assert(out(4L) == ((Some("http://example.net/"),
+      Some("example.net"), Some("example.net"), Some(0L))))
+    // all params stripped → no '?'; percent-escapes untouched
+    assert(out(5L) == ((Some("https://sub.domain.example.com/x%20y"),
+      Some("sub.domain.example.com"), Some("example.com"), Some(1L))))
+    assert(out(6L) == ((None, None, None, None)))
+    assert(out(7L) == ((None, None, None, None)))
+    // the rollup groups by the canonical key: two docs, one URL
+    val dup = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1L, "http://a.com/p?utm_source=1"),
+        Row(2L, "HTTP://A.COM:80/p"))), schema)
+      .withColumn("n_chars", lit(10L))
+    val stats = Corpus.domainStats(
+        Corpus.urlCanonicalize(dup, "id", "url", carryCols = Seq("n_chars")),
+        "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(stats.toSeq == Seq(("a.com", 2L, 1L, 20L, 1L)))
+  }
+
   test("dedupAgainstIndex drops exactly the indexed content") {
     import graft.functions.Dedup
     val schema = StructType(Seq(
