@@ -61,6 +61,22 @@ object SparkEntry {
       |   '?gclid=abc')
       |END""".stripMargin)
 
+  /** Deterministic line structure planted over the single-line fixture
+    * text (10-token lines, every 3rd line unpunctuated) — the
+    * x_c4_gate / x_curation_funnel input, mirrored in both oracles.
+    */
+  private def plantedLines: Column = {
+    val toks = when(length(trim(col("text"))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    val nChunks = ((size(toks) + 9) / 10).cast("int")
+    val lines = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1), i =>
+        concat(array_join(slice(toks, i * 10 + 1, lit(10)), " "),
+          when(i % 3 === 2, "").otherwise("."))))
+    array_join(lines, "\n")
+  }
+
   /** The DuckDB mirror of [[plantedUrl]] + the staged canonicalization
     * chain (CTEs d, p1..p8), shared by the x_url_canon and
     * x_domain_stats oracles; `selectCols` carries extra columns through
@@ -1531,17 +1547,21 @@ object SparkEntry {
     // ipsum). Map-only: the whole derivation + gate runs inside the scan
     // projection, zero exchanges before the presentation sort.
     "x_c4_gate" -> ((s, dir) => {
-      val toks = when(length(trim(col("text"))) === 0,
-          array().cast("array<string>"))
-        .otherwise(split(trim(col("text")), "\\s+"))
-      val nChunks = ((size(toks) + 9) / 10).cast("int")
-      val lines = when(size(toks) === 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), nChunks - 1), i =>
-          concat(array_join(slice(toks, i * 10 + 1, lit(10)), " "),
-            when(i % 3 === 2, "").otherwise("."))))
       val derived = t(s, dir, "documents")
-        .select(col("doc_id"), array_join(lines, "\n").as("ltext"))
+        .select(col("doc_id"), plantedLines.as("ltext"))
       Corpus.c4Gate(derived, "doc_id", "ltext").orderBy("doc_id")
+    }),
+
+    // Stage-by-stage curation funnel over the planted line structure:
+    // input → C4 survivors → Gopher survivors, each stage reporting
+    // docs + token volume — the retention table a 100 TB curation run
+    // publishes ("which gate costs how much corpus"). Three 1-row
+    // map-only aggregates unioned.
+    "x_curation_funnel" -> ((s, dir) => {
+      val derived = t(s, dir, "documents")
+        .select(col("doc_id"), plantedLines.as("ltext"))
+      Corpus.curationFunnel(derived, "doc_id", "ltext",
+        minWords = 30, minStop = 1).orderBy("stage")
     }),
 
     // Incremental NEAR-dup dedup — the near-dup analogue of
@@ -2123,6 +2143,21 @@ object SparkEntry {
       Corpus.htmlExtract(
           t(s, dir, "documents").select(col("doc_id"), html.as("html")),
           "doc_id", "html")
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary coverage audit: the corpus's own top-100 word vocab
+    // (the x_vocab table) scored back over every document — per-doc
+    // OOV counts and floor-ppm rate, the measurement in front of any
+    // tokenizer/UNK decision. Explode + broadcast vocab join + one
+    // doc-keyed agg.
+    "x_vocab_coverage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val vocab = d.select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100)
+      Corpus.vocabCoverage(d, "doc_id", "text", vocab)
         .orderBy("doc_id")
     }),
 
@@ -6639,6 +6674,77 @@ object SparkEntry {
         |   AND NOT contains(lower(ltext), 'lorem ipsum')) AS kept
         |FROM gated ORDER BY doc_id""".stripMargin,
 
+    // The funnel composes the two gate oracles end-to-end: planted
+    // lines → C4 survivors (clean_text) → Gopher(30,1) survivors, each
+    // stage one (docs, tokens) row; token sums CAST to BIGINT.
+    "x_curation_funnel" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |lined AS (
+        | SELECT doc_id,
+        |  list_transform(range((len(tok) + 9) // 10), i ->
+        |    array_to_string(tok[i * 10 + 1 : i * 10 + 10], ' ') ||
+        |    CASE WHEN i % 3 = 2 THEN '' ELSE '.' END) AS lines
+        | FROM toks),
+        |gated AS (
+        | SELECT doc_id, lines,
+        |  list_filter(lines, l ->
+        |    right(TRIM(l), 1) IN ('.', '!', '?', '"') AND
+        |    len(regexp_split_to_array(TRIM(l), '\s+')) >= 3) AS kept_lines,
+        |  array_to_string(lines, chr(10)) AS ltext
+        | FROM lined),
+        |c4 AS (
+        | SELECT doc_id,
+        |  array_to_string(list_transform(kept_lines, l -> TRIM(l)), chr(10)) AS ct,
+        |  (len(kept_lines) >= 3 AND NOT contains(ltext, '{')
+        |    AND NOT contains(lower(ltext), 'lorem ipsum')) AS kept
+        | FROM gated),
+        |s1d AS (SELECT doc_id, ct,
+        |  CASE WHEN LENGTH(TRIM(ct)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(ct), '\s+') END AS tok
+        | FROM c4 WHERE kept),
+        |gm AS (
+        | SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n_words,
+        |  COALESCE(list_aggregate(list_transform(tok, w -> LENGTH(w)), 'sum'), 0) AS char_sum,
+        |  len(list_filter(tok, w -> lower(w) <> upper(w))) AS n_alpha,
+        |  LENGTH(ct) - LENGTH(replace(ct, '#', '')) AS n_hash,
+        |  (LENGTH(ct) - LENGTH(replace(ct, '...', ''))) / 3 AS n_ell,
+        |  (CASE WHEN list_contains(tok, 'the') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'be') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'to') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'of') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'and') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'that') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'have') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(tok, 'with') THEN 1 ELSE 0 END) AS n_stop
+        | FROM s1d),
+        |g2 AS (SELECT doc_id, tok, n_words,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |    ELSE ROUND(CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE), 9) END AS mwl,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE), 9) END AS sym,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 9) END AS af,
+        |  n_stop
+        | FROM gm),
+        |s2d AS (SELECT doc_id, tok FROM g2
+        | WHERE n_words >= 30 AND n_words <= 100000 AND mwl >= 3.0
+        |   AND mwl <= 10.0 AND sym < 0.1 AND af > 0.8 AND n_stop >= 1),
+        |r0 AS (SELECT CAST(0 AS BIGINT) AS stage, 'input' AS gate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(len(tok)), 0) AS BIGINT) AS n_tokens FROM toks),
+        |r1 AS (SELECT CAST(1 AS BIGINT) AS stage, 'c4_gate' AS gate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(len(tok)), 0) AS BIGINT) AS n_tokens FROM s1d),
+        |r2 AS (SELECT CAST(2 AS BIGINT) AS stage, 'gopher_gate' AS gate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(len(tok)), 0) AS BIGINT) AS n_tokens FROM s2d)
+        |SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL
+        |SELECT * FROM r2 ORDER BY stage""".stripMargin,
+
     // Planted-recall oracle: the re-crawl list is pure arithmetic on the
     // eligibility predicate; dropped_by_index is PINNED TRUE — the band
     // index's recall on real near-duplicates is what the compare checks.
@@ -6763,6 +6869,32 @@ object SparkEntry {
         |   ts -> decode(unhex(array_to_string(ts, '')))), ' ')
         |   = array_to_string(ws, ' ') AS lossless
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // Same top-100 vocab, same exact-match coverage; the ppm is the
+    // exact floor rational, BIGINT everywhere per the §2.7 convention.
+    "x_vocab_coverage" ->
+      """WITH tk AS (SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS t
+        | FROM documents),
+        |v AS (SELECT token FROM (
+        |  SELECT unnest(t) AS token FROM tk) z
+        | GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 100),
+        |e AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+        |j AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(SUM(LENGTH(e.tok)) AS BIGINT) AS n_token_chars
+        | FROM e LEFT JOIN v ON e.tok = v.token GROUP BY e.doc_id)
+        |SELECT tk.doc_id,
+        | COALESCE(j.n_tokens, 0) AS n_tokens,
+        | COALESCE(j.n_oov, 0) AS n_oov,
+        | CASE WHEN COALESCE(j.n_tokens, 0) > 0
+        |      THEN (COALESCE(j.n_oov, 0) * 1000000) // j.n_tokens
+        | END AS oov_ppm,
+        | COALESCE(j.n_token_chars, 0) AS n_token_chars
+        |FROM tk LEFT JOIN j ON tk.doc_id = j.doc_id
+        |ORDER BY tk.doc_id""".stripMargin,
 
     // Same planted URLs, same staged canonicalization (regex subset
     // shared by Java and RE2, list sort/filter for params) — canonical

@@ -1199,6 +1199,46 @@ object Corpus {
       (size(keptBlocks) >= 1).as("kept"))
   }
 
+  /** Stage-by-stage curation funnel — the retention table a 100 TB
+    * curation run publishes: how many documents and tokens survive
+    * each gate of the standard chain (input → [[c4Gate]] →
+    * [[gopherGate]]), so "which rule costs how much corpus" is a
+    * 3-row report, not an archaeology project. Stage 1 counts tokens
+    * of the C4-CLEANED text (the text the next gate actually sees);
+    * stage 2 re-counts the same cleaned text for Gopher survivors.
+    *
+    * Scale shape: each stage is a map-only gate pass reduced to ONE
+    * row (count + token-sum aggregate with map-side partials), the
+    * three rows union — no data-sized shuffle anywhere. The later
+    * stages re-evaluate the earlier gates (they are pure projections;
+    * at 100 TB a pipeline materializes between rungs anyway, and this
+    * report would then read the materialized rung instead).
+    *
+    * @return (stage, gate, n_docs, n_tokens) — 3 rows
+    */
+  def curationFunnel(df: DataFrame, idCol: String, textCol: String,
+                     minWords: Long = 50L, maxWords: Long = 100000L,
+                     minStop: Int = 2, minLineTokens: Int = 3,
+                     minLines: Int = 3): DataFrame = {
+    def toksOf(c: Column) = size(TextFunctions.tokens(c)).cast("long")
+    val s0 = df.select(col(idCol), col(textCol).as("__t"))
+    val s1 = c4Gate(s0, idCol, "__t", minLineTokens, minLines)
+      .where(col("kept"))
+      .select(col(idCol), col("clean_text").as("__t"))
+    val s2 = gopherGate(s1, idCol, "__t", minWords, maxWords, minStop,
+        carryCols = Seq("__t"))
+      .where(col("kept"))
+      .select(col(idCol), col("__t"))
+    def stageRow(stage: Long, gate: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(toksOf(col("__t"))), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(gate).as("gate"),
+          col("n_docs"), col("n_tokens"))
+    stageRow(0L, "input", s0)
+      .unionAll(stageRow(1L, "c4_gate", s1))
+      .unionAll(stageRow(2L, "gopher_gate", s2))
+  }
+
   /** C4-style rule-based cleaning gate (Raffel et al. 2020 §2.2 — the
     * published heuristics behind the C4 corpus, independently
     * re-expressed): a LINE survives iff its trimmed form ends in terminal
@@ -2084,6 +2124,50 @@ object Corpus {
       flatten(transform(TextFunctions.tokens(col(textCol)),
         w => encodeWord(w))).as("bpe_tokens"))
       .withColumn("n_tokens", size(col("bpe_tokens")).cast("long"))
+  }
+
+  /** Tokenizer/vocabulary coverage audit — the measurement in front of
+    * every tokenizer decision: given a piece VOCABULARY (trained BPE
+    * pieces, a WordPiece list, or simply the corpus's top-K words),
+    * how much of each document does it actually cover? Per doc:
+    * `n_tokens` (whitespace tokens), `n_oov` (tokens missing from the
+    * vocabulary — what a word-level encoder would UNK), `oov_ppm`
+    * (exact floor parts-per-million; null for empty docs), and
+    * `n_token_chars` (total characters across tokens — with
+    * `n_tokens`, the chars-per-token compression a byte/subword
+    * tokenizer is evaluated on). Zero-token docs report explicit
+    * zeros, not absence. Token identity is EXACT string match (the
+    * [[TextFunctions.tokens]] convention; casefold upstream if the
+    * vocab is casefolded).
+    *
+    * Scale shape: token explode + BROADCAST vocab join (a vocabulary
+    * is vocab-sized by definition — if it weren't broadcastable it
+    * wouldn't fit a tokenizer either) + one doc-keyed re-aggregation;
+    * the corpus shuffles only (doc_id, counts).
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame,
+                    vocabTokenCol: String = "token"): DataFrame = {
+    val base = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val v = vocab.select(col(vocabTokenCol).as("__vt"))
+      .where(col("__vt").isNotNull).distinct()
+      .withColumn("__in", lit(1))
+    val perDoc = base
+      .select(col(idCol), explode(col("__toks")).as("__tok"))
+      .join(broadcast(v), col("__tok") === col("__vt"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("__oov"),
+        sum(length(col("__tok")).cast("long")).as("__chars"))
+    base.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        coalesce(col("__oov"), lit(0L)).as("n_oov"),
+        expr("CASE WHEN coalesce(__n, 0L) > 0 " +
+          "THEN coalesce(__oov, 0L) * 1000000L div __n END").as("oov_ppm"),
+        coalesce(col("__chars"), lit(0L)).as("n_token_chars"))
   }
 
   /** Byte-level BPE encode — [[bpeEncode]] made TOTAL over arbitrary

@@ -635,6 +635,53 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("curationFunnel: per-stage retention, monotone, token counts track cleaned text") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // doc 1: survives both gates (3 terminal lines × 10 words, stoppy)
+    val good = (1 to 3).map(_ =>
+      "the cat and the dog have fun with that hat.").mkString("\n")
+    val rows = Seq(
+      Row(1L, good),
+      // doc 2: dies at C4 (unpunctuated lines)
+      Row(2L, "no terminal punctuation here at all folks\nstill none"),
+      // doc 3: passes C4, dies at Gopher (too few words after clean)
+      Row(3L, "one two three.\nfour five six.\nseven eight nine."),
+      Row(4L, ""))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Corpus.curationFunnel(df, "id", "text",
+        minWords = 30, minStop = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L)._1 == "input" && out(0L)._2 == 4L)
+    assert(out(1L)._1 == "c4_gate" && out(1L)._2 == 2L) // docs 1, 3
+    assert(out(2L)._1 == "gopher_gate" && out(2L)._2 == 1L) // doc 1
+    // tokens: stage 1 counts the CLEANED text (doc1 30 + doc3 9)
+    assert(out(1L)._3 == 39L)
+    assert(out(2L)._3 == 30L)
+    // retention is monotone by construction
+    assert(out(0L)._2 >= out(1L)._2 && out(1L)._2 >= out(2L)._2)
+    assert(out(0L)._3 >= out(1L)._3 && out(1L)._3 >= out(2L)._3)
+  }
+
+  test("vocabCoverage: exact-match OOV counts, floor ppm, zero-token docs report zeros") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat"), (2L, "zzz qqq"), (3L, ""),
+      (4L, "the the unknownword")).toDF("doc_id", "text")
+    val vocab = Seq("the", "cat", "sat", "unused").toDF("token")
+    val out = Corpus.vocabCoverage(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((3L, 0L, Some(0L), 9L)))
+    assert(out(2L) == ((2L, 2L, Some(1000000L), 6L)))
+    assert(out(3L) == ((0L, 0L, None, 0L)))
+    // 1 OOV of 3 → floor(1e6/3) = 333333
+    assert(out(4L) == ((3L, 1L, Some(333333L), 17L)))
+    assert(out.size == 4)
+  }
+
   test("urlCanonicalize: case/port/fragment/tracker rules, registered-domain heuristic") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("url", StringType)))
