@@ -2173,6 +2173,36 @@ object SparkEntry {
           "doc_id", "url")
         .orderBy("doc_id")),
 
+    // Crawl → links → canonical domains → edge census: hrefs extracted
+    // from planted pages (both quote styles + a relative link that
+    // canonicalizes to nothing), destinations canonicalized, sources =
+    // each doc's own planted URL domain — the domain link graph
+    // pageRank/HITS run on, built entirely from this library's rungs.
+    "x_link_graph" -> ((s, dir) => {
+      val page = concat(lit("<p>"), col("text"), lit("</p>" +
+          "<a href=\"https://www.example.com/a?utm_source=z&x=1\">one</a>" +
+          "<a href='http://news.example.co.uk:80/b'>two</a>" +
+          "<a href=\"/relative/path\">rel</a>"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("<a href=\"https://other.site.io/c\">x</a>"))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents")
+      val links = Corpus.htmlLinks(
+        docs.select(col("doc_id"), page.as("html")), "doc_id", "html")
+      val dst = Corpus.urlCanonicalize(
+          links.select(col("doc_id"), col("href")), "doc_id", "href")
+        .select(col("doc_id"), col("registered_domain").as("dst_domain"))
+        .where(col("dst_domain").isNotNull)
+      val src = Corpus.urlCanonicalize(
+          docs.select(col("doc_id"), col("lang"), plantedUrl.as("url")),
+          "doc_id", "url")
+        .select(col("doc_id"), col("registered_domain").as("src_domain"))
+      dst.join(src, "doc_id")
+        .groupBy(col("src_domain"), col("dst_domain"))
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy("src_domain", "dst_domain")
+    }),
+
     // Per-domain curation rollup over the canonical key: dup pressure
     // (n_docs − n_urls), volume, stripped-tracker census — one
     // domain-keyed aggregation after the map-only canonicalizer.
@@ -6917,6 +6947,67 @@ object SparkEntry {
           | CASE WHEN hs THEN CAST(len(ap) - len(kp) AS BIGINT)
           | END AS n_params_stripped
           |FROM p8 ORDER BY doc_id""".stripMargin),
+
+    // Same planted pages and hrefs; the domain of an absolute URL
+    // reduces to hostport → strip-any-port → strip-www → label rule
+    // (equivalent to the engine's strip-default-then-strip-all since
+    // the domain key never keeps a port); relative hrefs canonicalize
+    // to nothing on both sides.
+    "x_link_graph" ->
+      """WITH d AS (SELECT doc_id,
+        |  '<p>' || text || '</p>' ||
+        |  '<a href="https://www.example.com/a?utm_source=z&x=1">one</a>' ||
+        |  '<a href=''http://news.example.co.uk:80/b''>two</a>' ||
+        |  '<a href="/relative/path">rel</a>' ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN '<a href="https://other.site.io/c">x</a>'
+        |       ELSE '' END AS html,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |   WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Path/Page?utm_source=x&b=2&a=1#frag'
+        |   WHEN 1 THEN 'https://news.example.co.uk/a/' || doc_id ||
+        |     '?id=' || doc_id || '&utm_campaign=z'
+        |   WHEN 2 THEN 'https://cdn.static.example.org:8080/lib.js?v=' ||
+        |     (doc_id % 7) || '&utm_medium=y&fbclid=f'
+        |   WHEN 3 THEN 'http://example.net'
+        |   ELSE 'https://Sub.Domain.Example.com/x%20y/' || lang || '?gclid=abc'
+        |  END AS src_url
+        | FROM documents),
+        |l AS (SELECT doc_id, src_url, unnest(regexp_extract_all(html,
+        |  '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']*)["'']', 1)) AS href
+        | FROM d),
+        |hp AS (SELECT doc_id, src_url,
+        |  CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+        |   THEN lower(regexp_extract(
+        |     regexp_replace(href, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        |     '^([^/?]+)', 1)) END AS dhp,
+        |  lower(regexp_extract(
+        |     regexp_replace(regexp_replace(TRIM(src_url), '#.*$', ''),
+        |       '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        |     '^([^/?]+)', 1)) AS shp
+        | FROM l),
+        |bd AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(dhp, ':[0-9]+$', ''),
+        |    '^www\.', '') AS dbare,
+        |  regexp_replace(regexp_replace(shp, ':[0-9]+$', ''),
+        |    '^www\.', '') AS sbare
+        | FROM hp WHERE dhp IS NOT NULL),
+        |dd AS (SELECT doc_id, dbare, sbare,
+        |  string_split(dbare, '.') AS dl, string_split(sbare, '.') AS sl
+        | FROM bd),
+        |edges AS (SELECT
+        |  CASE WHEN len(sl) <= 2 THEN sbare
+        |       WHEN length(sl[-1]) = 2 AND sl[-2] IN
+        |         ('co','com','net','org','gov','ac','edu')
+        |         THEN sl[-3] || '.' || sl[-2] || '.' || sl[-1]
+        |       ELSE sl[-2] || '.' || sl[-1] END AS src_domain,
+        |  CASE WHEN len(dl) <= 2 THEN dbare
+        |       WHEN length(dl[-1]) = 2 AND dl[-2] IN
+        |         ('co','com','net','org','gov','ac','edu')
+        |         THEN dl[-3] || '.' || dl[-2] || '.' || dl[-1]
+        |       ELSE dl[-2] || '.' || dl[-1] END AS dst_domain
+        | FROM dd)
+        |SELECT src_domain, dst_domain, COUNT(*) AS n_links
+        |FROM edges GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The rollup over the same chain; SUMs cast to BIGINT (DuckDB
     // SUM(BIGINT) is HUGEINT — the §2.7 convention).

@@ -1113,6 +1113,25 @@ object Corpus {
         .as("n_params_stripped"): _*)
   }
 
+  /** Outbound-link extraction — the web-graph edge source: every
+    * `href="…"` / `href='…'` of an `<a>` tag, one row per (doc, href)
+    * in document order (`link_idx`). Composes with
+    * [[urlCanonicalize]] into the canonical link graph pageRank/HITS
+    * run on (crawl → links → canonical domains → edges). Extraction
+    * is regex over the common Java/RE2 subset: the anchor tag's
+    * attribute list is scanned for one href, either quote style,
+    * value taken verbatim (no resolution of relative urls — that
+    * needs the base url, the caller's join). Docs with no links emit
+    * nothing (edges, not docs, are the unit here). Map-only explode.
+    */
+  def htmlLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(coalesce(col(htmlCol), lit("")),
+      lit("(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
+    df.select(col(idCol), posexplode(hrefs).as(Seq("link_idx", "href")))
+      .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
+        col("href"))
+  }
+
   /** Per-domain curation rollup over [[urlCanonicalize]]'s grouping
     * key: docs, canonical-URL cardinality (exact — crawl dup pressure
     * is `n_docs − n_urls`), total chars, and the stripped-param volume.

@@ -664,6 +664,22 @@ class CorpusSpec extends SparkSpec {
     assert(out(0L)._3 >= out(1L)._3 && out(1L)._3 >= out(2L)._3)
   }
 
+  test("htmlLinks: both quote styles, document order, linkless docs emit nothing") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("html", StringType)))
+    val rows = Seq(
+      Row(1L, "<p>x</p><a href=\"https://a.com/1\">A</a> mid " +
+        "<a class='y' href='/rel'>B</a><A HREF=\"http://b.io\">C</A>"),
+      Row(2L, "<p>no links at all</p>"),
+      Row(3L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Corpus.htmlLinks(df, "id", "html")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // document order via link_idx; case-insensitive tag match
+    assert(out.toSeq.sortBy(r => (r._1, r._2)) == Seq(
+      (1L, 0L, "https://a.com/1"), (1L, 1L, "/rel"), (1L, 2L, "http://b.io")))
+  }
+
   test("vocabCoverage: exact-match OOV counts, floor ppm, zero-token docs report zeros") {
     import spark.implicits._
     val docs = Seq((1L, "the cat sat"), (2L, "zzz qqq"), (3L, ""),
