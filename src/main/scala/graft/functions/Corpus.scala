@@ -1721,6 +1721,14 @@ object Corpus {
     // anchor positions: one compiled pass per document (native
     // expression), not a per-position interpreted HOF
     val anchors = anchorsOf(txt)
+    // The anchor table feeds three consumers (hash census, exact-string
+    // recount, span-marking semi-join) and is deliberately NOT
+    // snapshotted, unlike removeFrequentUnits' units: anchors are
+    // k-gram strings at ~1/density of corpus bytes, so materializing
+    // them costs about a corpus copy while re-running the compiled
+    // anchor map is cheap — measured at sf0.1, snapshotting was a wash
+    // (2.3 → 2.5 s). Callers whose upstream is more than a scan should
+    // materialize THAT before calling.
     val a = df
       .select(id, explode(anchors).as("__s"), txt.as("__t"))
       .select(id, col("__s"), col("__t").substr(col("__s") + 1, lit(k)).as("__w"))
@@ -1921,9 +1929,20 @@ object Corpus {
       df: DataFrame, idCol: String, unitsCol: Column, minDf: Long,
       joiner: String, unitHash: Column => Column): DataFrame = {
     require(minDf >= 2, s"minDf < 2 would delete every unit: $minDf")
-    val units = df
+    // units feeds THREE consumers (hash-df census, exact-string confirm,
+    // the anti-join rebuild) — snapshot it once so the body-sized
+    // explode doesn't replay the caller's upstream per consumer (the
+    // associationPairs/spearman discipline; measured 3.8 → 3.2 s at
+    // sf0.1 for x_line_dedup). Cost at 100 TB: one exploded-units
+    // materialization vs three full re-scans of the upstream — the
+    // snapshot wins whenever the upstream is more than a bare scan.
+    val unitsPlan = df
       .select(col(idCol), posexplode(unitsCol).as(Seq("__pos", "__u")))
       .withColumn("__uh", unitHash(col("__u")))
+    val units =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        unitsPlan.checkpoint()
+      else unitsPlan.localCheckpoint()
     val frequentHashes = units
       .groupBy(col("__uh")).agg(count_distinct(col(idCol)).as("__df"))
       .where(col("__df") >= minDf)
