@@ -1874,6 +1874,33 @@ object SparkEntry {
         .withColumn("dep", big(col("dep"), "dep"))
         .orderBy("o_orderpriority", "o_orderstatus")),
 
+    // Exact ROC-AUC of a score against a label via the Mann–Whitney
+    // rank-sum identity — doubled average ranks (ties count ½), no
+    // global sort, the AUC as an exact integer rational; finals
+    // narrowed to BIGINT per the §2.7 gate convention.
+    "x_auc" -> ((s, dir) =>
+      graft.functions.Stats.aucPieces(
+          t(s, dir, "documents").select(
+            col("n_chars").cast("double").as("score"),
+            (col("lang") === "en").as("label")),
+          "score", "label")
+        .select(col("n_pos"), col("n_neg"),
+          big(col("sum_r2_pos"), "sum_r2_pos"),
+          big(col("auc_num"), "auc_num"),
+          big(col("auc_den"), "auc_den"))),
+
+    // Calibration reliability table: fixed-width score bins, exact
+    // per-bin positives (floor-ppm rate), decimal-summed mean score —
+    // "does a 0.7 mean 70%". Empty bins emitted, never silently holed.
+    "x_reliability" -> ((s, dir) =>
+      graft.functions.Stats.reliabilityDiagram(
+          t(s, dir, "documents").select(
+            (pmod(col("n_chars"), lit(100)).cast("double") / lit(100.0))
+              .as("score"),
+            (col("lang") === "en").as("label")),
+          "score", "label", nBins = 10, lo = 0.0, hi = 1.0)
+        .orderBy("bin")),
+
     // Equal-frequency decile feature: bucket index from 9 exact
     // order-statistic cuts resolved by bisection (no global sort —
     // the scale-honest ntile), assignment a map-only projection.
@@ -4993,6 +5020,55 @@ object SparkEntry {
         |   - CAST(ra.n_a AS HUGEINT) * cb.n_b) AS BIGINT) AS dep
         |FROM cells c JOIN ra ON c.a = ra.a JOIN cb ON c.b = cb.b, tot
         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    // The same doubled-rank convention as x_spearman's oracle; HUGEINT
+    // rank sums narrowed to BIGINT at the edge.
+    "x_auc" ->
+      """WITH base AS (
+        | SELECT CAST(n_chars AS DOUBLE) AS s, (lang = 'en') AS y
+        | FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT y,
+        |  2 * RANK() OVER (ORDER BY s)
+        |    + COUNT(*) OVER (PARTITION BY s) - 1 AS r2
+        | FROM base),
+        |agg AS (SELECT
+        |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+        |  SUM(CASE WHEN y THEN CAST(r2 AS HUGEINT) ELSE 0 END) AS sr2
+        | FROM r)
+        |SELECT n_pos, n_neg, CAST(sr2 AS BIGINT) AS sum_r2_pos,
+        | CAST(sr2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT)
+        |   AS auc_num,
+        | CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS BIGINT) AS auc_den
+        |FROM agg""".stripMargin,
+
+    // Same fixed binning; lo_edge/binning mirror the engine's DOUBLE
+    // arithmetic op-for-op (0.1 is inexact in binary — a decimal-typed
+    // 0.1·bin would round differently), mean via DECIMAL(28,9) sum.
+    "x_reliability" ->
+      """WITH base AS (
+        | SELECT CAST(n_chars % 100 AS DOUBLE) / 100.0 AS s,
+        |  (lang = 'en') AS y
+        | FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |b AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR(
+        |    (s - CAST(0.0 AS DOUBLE)) / CAST(0.1 AS DOUBLE)) AS INT)))
+        |    AS bin, s, y
+        | FROM base),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  SUM(CAST(s AS DECIMAL(28,9))) AS ssum
+        | FROM b GROUP BY bin),
+        |grid AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin)
+        |SELECT grid.bin,
+        | CAST(0.0 AS DOUBLE) + CAST(grid.bin AS DOUBLE) * CAST(0.1 AS DOUBLE)
+        |   AS lo_edge,
+        | COALESCE(g.n, 0) AS n,
+        | COALESCE(g.n_pos, 0) AS n_pos,
+        | CASE WHEN COALESCE(g.n, 0) > 0
+        |      THEN (COALESCE(g.n_pos, 0) * 1000000) // g.n END AS frac_pos_ppm,
+        | CAST(g.ssum AS DOUBLE) / CAST(g.n AS DOUBLE) AS mean_score
+        |FROM grid LEFT JOIN g ON g.bin = grid.bin
+        |ORDER BY grid.bin""".stripMargin,
 
     // The oracle's one global window IS the naive plan the operator
     // avoids; cuts at 1-based ranks (i·n)//10 + 1, bucket = #cuts ≤ v.

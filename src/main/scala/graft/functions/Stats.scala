@@ -677,6 +677,103 @@ object Stats {
           col("__nv") - 1L).as(outCol))
   }
 
+  /** Exact ROC-AUC pieces via the Mann–Whitney rank-sum identity —
+    * the one-number ranking quality of a score against a boolean label
+    * ("does the quality model actually rank good docs above bad"),
+    * computed EXACTLY and without a global sort:
+    * `AUC = (Σ 2·r⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻)` where `2·r⁺` are the
+    * positives' DOUBLED average ranks over the pooled scores (the
+    * [[spearmanPieces]] tie convention — average ranks make ties
+    * contribute exactly ½, the standard AUC-with-ties definition).
+    * Output is one row of exact integers: `n_pos`, `n_neg`,
+    * `sum_r2_pos`, and the rational `auc_num / auc_den`
+    * (`auc_den = 2·n⁺·n⁻`; 0 ⇔ one class is absent, AUC undefined,
+    * the row still reports its counts). Rows with null/NaN score or
+    * null label are excluded (pairwise-complete). All products in
+    * DECIMAL(38,0) — at 10¹⁰ rows the rank sum (≤ 2n²) overflows
+    * int64, never this; oracled callers narrow at the query edge per
+    * the no-int128 gate convention.
+    *
+    * Scale shape: ONE ranking via [[avgRank2x]]'s two-level
+    * decomposition (distinct-value census + per-bucket cumsum + a
+    * ≤buckets-row offset rollup — no global sort), a value join-back,
+    * one 1-row aggregation.
+    */
+  def aucPieces(df: DataFrame, scoreCol: String,
+                labelCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // base feeds the ranking (head pass + bisection + census) and the
+    // final join — snapshot once (the spearmanPieces discipline)
+    val basePlan = df.select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && !isnan(col("__s")) &&
+        col("__y").isNotNull)
+    val base =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        basePlan.checkpoint()
+      else basePlan.localCheckpoint()
+    val ranks = avgRank2x(base.select(col("__s").as("__v")), "__v", "__r2")
+    val nPosD = col("n_pos").cast(d38)
+    base.join(ranks.withColumnRenamed("__v", "__s"), Seq("__s"))
+      .agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("n_neg"),
+        sum(when(col("__y"), col("__r2")).otherwise(lit(0L)).cast(d38))
+          .cast(d38).as("sum_r2_pos"))
+      .select(col("n_pos"), col("n_neg"), col("sum_r2_pos"),
+        (col("sum_r2_pos") - nPosD * (nPosD + lit(1L).cast(d38)))
+          .cast(d38).as("auc_num"),
+        (lit(2L).cast(d38) * nPosD * col("n_neg").cast(d38))
+          .cast(d38).as("auc_den"))
+  }
+
+  /** Calibration reliability table — [[aucPieces]] tells you the score
+    * RANKS well; this tells you whether its VALUES mean what they say:
+    * scores bucket into `nBins` fixed-width bins over [lo, hi) (edge
+    * values clamp to the boundary bins, the [[histogramDrift]]
+    * convention), and each bin reports how often the label is actually
+    * true — a calibrated score has `frac_pos ≈ bin center`. Exact
+    * integer counts, `frac_pos_ppm` the exact floor rational, and the
+    * bin's mean score decimal-accumulated (order-free) then emitted as
+    * one double divide. Empty bins are emitted with zero counts (a
+    * reliability curve with silent holes misreads as calibrated).
+    * Null/NaN scores and null labels are excluded.
+    *
+    * Scale shape: one map-only binning pass + a ≤nBins-keyed
+    * aggregation; the bin grid crossJoins a broadcast 1-row nothing —
+    * it IS the small side.
+    */
+  def reliabilityDiagram(df: DataFrame, scoreCol: String, labelCol: String,
+                         nBins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 1, s"need at least one bin: $nBins")
+    require(lo < hi, s"need lo < hi: ($lo, $hi)")
+    val w = (hi - lo) / nBins
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val binned = df.select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && !isnan(col("__s")) &&
+        col("__y").isNotNull)
+      .select(least(lit(nBins - 1), greatest(lit(0),
+        floor((col("__s") - lit(lo)) / lit(w)).cast("int"))).cast("long")
+        .as("bin"), col("__s"), col("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s").cast(dec)).as("__ssum"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    spark.createDataset(0 until nBins).toDF("b")
+      .select(col("b").cast("long").as("bin"))
+      .join(binned, Seq("bin"), "left")
+      .select(col("bin"), (lit(lo) + col("bin") * lit(w)).as("lo_edge"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        expr("CASE WHEN coalesce(n, 0L) > 0 " +
+          "THEN coalesce(n_pos, 0L) * 1000000L div n END").as("frac_pos_ppm"),
+        (col("__ssum").cast("double") / col("n").cast("double"))
+          .as("mean_score"))
+  }
+
   /** Exact Spearman rank-correlation pieces between two numeric
     * columns — the continuous companion to [[contingency]]'s
     * categorical dependence audit (with `x = epoch time` it reads as a

@@ -533,4 +533,62 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(rowPath == direct)
   }
+
+  test("aucPieces: Mann–Whitney identity, ties count half, one-class degenerate") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("s", DoubleType), StructField("y", BooleanType)))
+    def run(rows: Seq[Row]): (Long, Long, java.math.BigDecimal,
+        java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = Stats.aucPieces(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), schema), "s", "y").head()
+      (r.getLong(0), r.getLong(1), r.getDecimal(2), r.getDecimal(3),
+        r.getDecimal(4))
+    }
+    // perfect separation → AUC 1: num == den
+    val (p1, n1, _, num1, den1) = run(Seq(
+      Row(1.0, false), Row(2.0, false), Row(3.0, true), Row(4.0, true)))
+    assert(p1 == 2L && n1 == 2L)
+    assert(num1.longValueExact == 8L && den1.longValueExact == 8L)
+    // tie between a positive and a negative contributes exactly half:
+    // scores [1,1,2], labels [F,T,T] → AUC 3/4
+    val (_, _, sr2, num2, den2) = run(Seq(
+      Row(1.0, false), Row(1.0, true), Row(2.0, true)))
+    assert(sr2.longValueExact == 9L) // 2·avg ranks: 3 (tied pair) + 6
+    assert(num2.longValueExact == 3L && den2.longValueExact == 4L)
+    // reversed scores → AUC 0
+    val (_, _, _, num3, _) = run(Seq(
+      Row(4.0, false), Row(3.0, false), Row(1.0, true), Row(2.0, true)))
+    assert(num3.longValueExact == 0L)
+    // one class absent → den 0 (undefined), counts still honest
+    val (p4, n4, _, _, den4) = run(Seq(Row(1.0, true), Row(2.0, true)))
+    assert(p4 == 2L && n4 == 0L && den4.longValueExact == 0L)
+    // null/NaN rows excluded
+    val (p5, n5, _, _, _) = run(Seq(
+      Row(Double.NaN, true), Row(null, true), Row(1.0, false), Row(2.0, true)))
+    assert(p5 == 1L && n5 == 1L)
+  }
+
+  test("reliabilityDiagram: clamped bins, floor ppm, empty bins emitted, decimal mean") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("s", DoubleType), StructField("y", BooleanType)))
+    val rows = Seq(
+      Row(0.05, true), Row(0.05, false), Row(-0.3, false), // clamp low → bin 0
+      Row(0.95, true), Row(1.2, true),                     // clamp high → bin 9
+      Row(null, true), Row(Double.NaN, false))             // excluded
+    val out = Stats.reliabilityDiagram(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema),
+        "s", "y", nBins = 10, lo = 0.0, hi = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(out.size == 10) // every bin present, empty or not
+    assert(out(0L) == ((3L, 1L, Some(333333L), Some(-0.2 / 3.0))))
+    assert(out(9L) == ((2L, 2L, Some(1000000L), Some(2.15 / 2.0))))
+    (1L to 8L).foreach(b => assert(out(b) == ((0L, 0L, None, None)), s"bin $b"))
+  }
 }
