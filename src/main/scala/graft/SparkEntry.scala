@@ -1889,6 +1889,16 @@ object SparkEntry {
           big(col("auc_num"), "auc_num"),
           big(col("auc_den"), "auc_den"))),
 
+    // Confusion report of a shipped gate (pred = long doc, label = en):
+    // exact tp/fp/tn/fn, precision/recall/F1/accuracy as floor ppm,
+    // degenerate denominators NULL (never a fabricated 0 or 1).
+    "x_confusion" -> ((s, dir) =>
+      graft.functions.Stats.confusionStats(
+        t(s, dir, "documents").select(
+          (col("n_chars") >= 200).as("pred"),
+          (col("lang") === "en").as("label")),
+        "pred", "label")),
+
     // Calibration reliability table: fixed-width score bins, exact
     // per-bin positives (floor-ppm rate), decimal-summed mean score —
     // "does a 0.7 mean 70%". Empty bins emitted, never silently holed.
@@ -5041,6 +5051,34 @@ object SparkEntry {
         |   AS auc_num,
         | CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS BIGINT) AS auc_den
         |FROM agg""".stripMargin,
+
+    // Same gate, same floor-ppm rationals; NULL rows excluded + counted.
+    "x_confusion" ->
+      """WITH base AS (SELECT (n_chars >= 200) AS p, (lang = 'en') AS y
+        |  FROM documents),
+        |a AS (SELECT
+        |  CAST(SUM(CASE WHEN p IS NOT NULL AND y IS NOT NULL AND p AND y
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN p IS NOT NULL AND y IS NOT NULL AND p AND NOT y
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN p IS NOT NULL AND y IS NOT NULL
+        |    AND NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  CAST(SUM(CASE WHEN p IS NOT NULL AND y IS NOT NULL AND NOT p AND y
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN p IS NULL OR y IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_excluded
+        | FROM base)
+        |SELECT tp, fp, tn, fn, n_excluded,
+        | CASE WHEN tp + fp > 0
+        |      THEN (tp * 1000000) // (tp + fp) END AS precision_ppm,
+        | CASE WHEN tp + fn > 0
+        |      THEN (tp * 1000000) // (tp + fn) END AS recall_ppm,
+        | CASE WHEN 2 * tp + fp + fn > 0
+        |      THEN (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f1_ppm,
+        | CASE WHEN tp + fp + tn + fn > 0
+        |      THEN ((tp + tn) * 1000000) // (tp + fp + tn + fn)
+        | END AS accuracy_ppm
+        |FROM a""".stripMargin,
 
     // Same fixed binning; lo_edge/binning mirror the engine's DOUBLE
     // arithmetic op-for-op (0.1 is inexact in binary — a decimal-typed

@@ -727,6 +727,47 @@ object Stats {
           .cast(d38).as("auc_den"))
   }
 
+  /** Binary-gate confusion report — the deployment-side companion to
+    * [[aucPieces]] (AUC evaluates the SCORE; this evaluates the
+    * thresholded GATE actually shipped): one row of exact counts
+    * (tp/fp/tn/fn) plus precision/recall/F1 as exact floor
+    * parts-per-million — `f1_ppm = 2·tp·10⁶ div (2·tp + fp + fn)`, the
+    * algebraic form that needs no intermediate ratio. Degenerate
+    * denominators (no predicted positives / no actual positives /
+    * nothing at all) yield NULL ppm, never a fabricated 0 or 1 — a
+    * gate that predicts nothing positive has UNDEFINED precision, and
+    * pretending otherwise hides exactly the failure this report
+    * exists to catch. Rows with a null on either side are excluded
+    * and reported in `n_excluded`.
+    *
+    * Scale shape: ONE map-only classification pass reduced to a 1-row
+    * aggregate with map-side partials — nothing shuffles but four
+    * counters.
+    */
+  def confusionStats(df: DataFrame, predCol: String,
+                     labelCol: String): DataFrame = {
+    val p = col(predCol).cast("boolean")
+    val y = col(labelCol).cast("boolean")
+    val both = p.isNotNull && y.isNotNull
+    df.agg(
+        sum(when(both && p && y, 1L).otherwise(0L)).as("tp"),
+        sum(when(both && p && !y, 1L).otherwise(0L)).as("fp"),
+        sum(when(both && !p && !y, 1L).otherwise(0L)).as("tn"),
+        sum(when(both && !p && y, 1L).otherwise(0L)).as("fn"),
+        sum(when(both, 0L).otherwise(1L)).as("n_excluded"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"), col("n_excluded"),
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000L div (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000L div (tp + fn) END")
+          .as("recall_ppm"),
+        expr("CASE WHEN 2L * tp + fp + fn > 0 " +
+          "THEN 2L * tp * 1000000L div (2L * tp + fp + fn) END")
+          .as("f1_ppm"),
+        expr("CASE WHEN tp + fp + tn + fn > 0 " +
+          "THEN (tp + tn) * 1000000L div (tp + fp + tn + fn) END")
+          .as("accuracy_ppm"))
+  }
+
   /** Calibration reliability table — [[aucPieces]] tells you the score
     * RANKS well; this tells you whether its VALUES mean what they say:
     * scores bucket into `nBins` fixed-width bins over [lo, hi) (edge

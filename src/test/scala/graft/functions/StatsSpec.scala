@@ -570,6 +570,32 @@ class StatsSpec extends SparkSpec {
     assert(p5 == 1L && n5 == 1L)
   }
 
+  test("confusionStats: exact counts, floor ppm, degenerate denominators stay NULL") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("p", BooleanType), StructField("y", BooleanType)))
+    def run(rows: Seq[Row]) = {
+      val r = Stats.confusionStats(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), schema), "p", "y").head()
+      ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+        (5 to 8).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+    }
+    // tp=2 fp=1 tn=1 fn=1: precision 2/3, recall 2/3, f1 4/6, acc 3/5
+    val (c1, m1) = run(Seq(Row(true, true), Row(true, true), Row(true, false),
+      Row(false, false), Row(false, true), Row(null, true), Row(true, null)))
+    assert(c1 == ((2L, 1L, 1L, 1L, 2L)))
+    assert(m1 == Seq(Some(666666L), Some(666666L), Some(666666L), Some(600000L)))
+    // gate that predicts nothing positive: precision UNDEFINED, not 0
+    val (c2, m2) = run(Seq(Row(false, true), Row(false, false)))
+    assert(c2 == ((0L, 0L, 1L, 1L, 0L)))
+    assert(m2 == Seq(None, Some(0L), Some(0L), Some(500000L)))
+    // empty input: everything NULL except zero counts
+    val (c3, m3) = run(Seq(Row(null, null)))
+    assert(c3 == ((0L, 0L, 0L, 0L, 1L)))
+    assert(m3 == Seq(None, None, None, None))
+  }
+
   test("reliabilityDiagram: clamped bins, floor ppm, empty bins emitted, decimal mean") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
