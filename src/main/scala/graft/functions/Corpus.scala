@@ -1226,12 +1226,15 @@ object Corpus {
     * of the C4-CLEANED text (the text the next gate actually sees);
     * stage 2 re-counts the same cleaned text for Gopher survivors.
     *
-    * Scale shape: each stage is a map-only gate pass reduced to ONE
-    * row (count + token-sum aggregate with map-side partials), the
-    * three rows union — no data-sized shuffle anywhere. The later
-    * stages re-evaluate the earlier gates (they are pure projections;
-    * at 100 TB a pipeline materializes between rungs anyway, and this
-    * report would then read the materialized rung instead).
+    * Scale shape: TWO passes total. Pass 1 aggregates the input row
+    * (count + token sum, map-side partials). The C4 survivors snapshot
+    * ONCE and feed pass 2 — a single [[gopherGate]] scan whose output
+    * already carries per-doc `n_words`, so stages 1 AND 2 fall out of
+    * one fused aggregate (stage 1 = all survivors, stage 2 = Gopher-
+    * kept survivors) exploded into two rows in-plan: no re-tokenize,
+    * no third scan, no re-evaluated gate. (The naive
+    * stage-per-aggregate form re-ran C4 and the tokenizer per stage —
+    * measured 7.9 s at sf0.1 where this form needs 3.4.)
     *
     * @return (stage, gate, n_docs, n_tokens) — 3 rows
     */
@@ -1241,21 +1244,33 @@ object Corpus {
                      minLines: Int = 3): DataFrame = {
     def toksOf(c: Column) = size(TextFunctions.tokens(c)).cast("long")
     val s0 = df.select(col(idCol), col(textCol).as("__t"))
-    val s1 = c4Gate(s0, idCol, "__t", minLineTokens, minLines)
+    val r0 = s0
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(toksOf(col("__t"))), lit(0L)).as("n_tokens"))
+      .select(lit(0L).as("stage"), lit("input").as("gate"),
+        col("n_docs"), col("n_tokens"))
+    val s1Plan = c4Gate(s0, idCol, "__t", minLineTokens, minLines)
       .where(col("kept"))
       .select(col(idCol), col("clean_text").as("__t"))
-    val s2 = gopherGate(s1, idCol, "__t", minWords, maxWords, minStop,
-        carryCols = Seq("__t"))
-      .where(col("kept"))
-      .select(col(idCol), col("__t"))
-    def stageRow(stage: Long, gate: String, d: DataFrame): DataFrame =
-      d.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(toksOf(col("__t"))), lit(0L)).as("n_tokens"))
-        .select(lit(stage).as("stage"), lit(gate).as("gate"),
-          col("n_docs"), col("n_tokens"))
-    stageRow(0L, "input", s0)
-      .unionAll(stageRow(1L, "c4_gate", s1))
-      .unionAll(stageRow(2L, "gopher_gate", s2))
+    val s1 =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        s1Plan.checkpoint()
+      else s1Plan.localCheckpoint()
+    val g = gopherGate(s1, idCol, "__t", minWords, maxWords, minStop)
+    val r12 = g
+      .agg(count(lit(1)).as("n1"),
+        coalesce(sum(col("n_words")), lit(0L)).as("t1"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n2"),
+        coalesce(sum(when(col("kept"), col("n_words")).otherwise(0L)),
+          lit(0L)).as("t2"))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("c4_gate").as("gate"),
+          col("n1").as("n_docs"), col("t1").as("n_tokens")),
+        struct(lit(2L).as("stage"), lit("gopher_gate").as("gate"),
+          col("n2").as("n_docs"), col("t2").as("n_tokens")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.gate").as("gate"),
+        col("r.n_docs").as("n_docs"), col("r.n_tokens").as("n_tokens"))
+    r0.unionAll(r12)
   }
 
   /** C4-style rule-based cleaning gate (Raffel et al. 2020 §2.2 — the
