@@ -5087,7 +5087,8 @@ object SparkEntry {
       """WITH base AS (
         | SELECT CAST(n_chars % 100 AS DOUBLE) / 100.0 AS s,
         |  (lang = 'en') AS y
-        | FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        | FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |   AND abs(CAST(n_chars % 100 AS DOUBLE) / 100.0) < 1e19),
         |b AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR(
         |    (s - CAST(0.0 AS DOUBLE)) / CAST(0.1 AS DOUBLE)) AS INT)))
         |    AS bin, s, y

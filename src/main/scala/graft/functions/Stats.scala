@@ -714,12 +714,16 @@ object Stats {
       else basePlan.localCheckpoint()
     val ranks = avgRank2x(base.select(col("__s").as("__v")), "__v", "__r2")
     val nPosD = col("n_pos").cast(d38)
+    // coalesce: an empty eligible set reports honest zeros (den 0 ⇒
+    // undefined AUC), not a row of nulls — SUM over nothing is null
     base.join(ranks.withColumnRenamed("__v", "__s"), Seq("__s"))
       .agg(
-        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col("__y"), 0L).otherwise(1L)).as("n_neg"),
-        sum(when(col("__y"), col("__r2")).otherwise(lit(0L)).cast(d38))
-          .cast(d38).as("sum_r2_pos"))
+        coalesce(sum(when(col("__y"), 1L).otherwise(0L)), lit(0L))
+          .as("n_pos"),
+        coalesce(sum(when(col("__y"), 0L).otherwise(1L)), lit(0L))
+          .as("n_neg"),
+        coalesce(sum(when(col("__y"), col("__r2")).otherwise(lit(0L))
+          .cast(d38)), lit(0L).cast(d38)).cast(d38).as("sum_r2_pos"))
       .select(col("n_pos"), col("n_neg"), col("sum_r2_pos"),
         (col("sum_r2_pos") - nPosD * (nPosD + lit(1L).cast(d38)))
           .cast(d38).as("auc_num"),
@@ -749,12 +753,19 @@ object Stats {
     val p = col(predCol).cast("boolean")
     val y = col(labelCol).cast("boolean")
     val both = p.isNotNull && y.isNotNull
+    // coalesce: a fully empty input reports honest zero counts (SUM
+    // over nothing is null)
     df.agg(
-        sum(when(both && p && y, 1L).otherwise(0L)).as("tp"),
-        sum(when(both && p && !y, 1L).otherwise(0L)).as("fp"),
-        sum(when(both && !p && !y, 1L).otherwise(0L)).as("tn"),
-        sum(when(both && !p && y, 1L).otherwise(0L)).as("fn"),
-        sum(when(both, 0L).otherwise(1L)).as("n_excluded"))
+        coalesce(sum(when(both && p && y, 1L).otherwise(0L)), lit(0L))
+          .as("tp"),
+        coalesce(sum(when(both && p && !y, 1L).otherwise(0L)), lit(0L))
+          .as("fp"),
+        coalesce(sum(when(both && !p && !y, 1L).otherwise(0L)), lit(0L))
+          .as("tn"),
+        coalesce(sum(when(both && !p && y, 1L).otherwise(0L)), lit(0L))
+          .as("fn"),
+        coalesce(sum(when(both, 0L).otherwise(1L)), lit(0L))
+          .as("n_excluded"))
       .select(col("tp"), col("fp"), col("tn"), col("fn"), col("n_excluded"),
         expr("CASE WHEN tp + fp > 0 THEN tp * 1000000L div (tp + fp) END")
           .as("precision_ppm"),
@@ -790,10 +801,16 @@ object Stats {
     require(lo < hi, s"need lo < hi: ($lo, $hi)")
     val w = (hi - lo) / nBins
     val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    // |s| < 10¹⁹ gates the DECIMAL(28,9) mean accumulation the same way
+    // NaN is gated: a wilder score would clamp into a boundary bin but
+    // its decimal cast would null out of the bin's sum while still
+    // counting into n — the silent-skew failure the trendStats gate
+    // closes; such a score has no meaningful place on a [lo, hi)
+    // calibration axis anyway, so the row is excluded outright
     val binned = df.select(col(scoreCol).cast("double").as("__s"),
         col(labelCol).cast("boolean").as("__y"))
       .where(col("__s").isNotNull && !isnan(col("__s")) &&
-        col("__y").isNotNull)
+        abs(col("__s")) < lit(1e19) && col("__y").isNotNull)
       .select(least(lit(nBins - 1), greatest(lit(0),
         floor((col("__s") - lit(lo)) / lit(w)).cast("int"))).cast("long")
         .as("bin"), col("__s"), col("__y"))
