@@ -823,8 +823,9 @@ object SparkEntry {
     // formula (no transcendentals), observed values pass through.
     "x_interpolate" -> ((s, dir) => {
       // pmod-then-div floors for any sign (the Events.floorBucket
-      // discipline) — plain `div` truncates toward zero and would land
-      // a pre-1970 timestamp one bucket HIGH of the oracle's `//`
+      // discipline). DuckDB `//` truncates toward zero (NOT floor), so
+      // the oracle mirrors the same subtract-positive-mod-then-divide
+      // form — the numerator is exactly divisible, where trunc = floor
       val hourly = t(s, dir, "events")
         .groupBy(col("user_id"),
           expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L))" +
@@ -2234,6 +2235,10 @@ object SparkEntry {
           docs.select(col("doc_id"), col("lang"), plantedUrl.as("url")),
           "doc_id", "url")
         .select(col("doc_id"), col("registered_domain").as("src_domain"))
+        // mirror the dst filter: a null src (unparseable base URL) has
+        // no place in the edge list, and NULL ordering differs between
+        // engines (Spark NULLS FIRST vs DuckDB NULLS LAST)
+        .where(col("src_domain").isNotNull)
       dst.join(src, "doc_id")
         .groupBy(col("src_domain"), col("dst_domain"))
         .agg(count(lit(1)).as("n_links"))
@@ -4801,8 +4806,14 @@ object SparkEntry {
 
     // The same grid + neighbor-carry windows; the interpolation formula
     // is mirrored op-for-op (conversions, one divide, multiply, add).
+    // Bucketing mirrors the engine's FLOOR semantics: DuckDB `//`
+    // truncates toward zero, so a positive mod is subtracted first —
+    // the numerator becomes exactly divisible (trunc = floor there),
+    // keeping pre-1970 timestamps one bucket LOW on both engines.
     "x_interpolate" ->
-      """WITH b0 AS (SELECT user_id, epoch_us(ts) // 3600000000 AS t,
+      """WITH b0 AS (SELECT user_id,
+        |  (epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000)
+        |    % 3600000000) // 3600000000 AS t,
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
         | FROM events GROUP BY 1, 2),
         |b AS (SELECT * FROM b0 WHERE v IS NOT NULL),
@@ -5089,8 +5100,9 @@ object SparkEntry {
         |  (lang = 'en') AS y
         | FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
         |   AND abs(CAST(n_chars % 100 AS DOUBLE) / 100.0) < 1e19),
-        |b AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR(
-        |    (s - CAST(0.0 AS DOUBLE)) / CAST(0.1 AS DOUBLE)) AS INT)))
+        |b AS (SELECT CAST(FLOOR(LEAST(CAST(9 AS DOUBLE), GREATEST(
+        |    CAST(0 AS DOUBLE),
+        |    (s - CAST(0.0 AS DOUBLE)) / CAST(0.1 AS DOUBLE)))) AS BIGINT)
         |    AS bin, s, y
         | FROM base),
         |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
@@ -7122,7 +7134,8 @@ object SparkEntry {
         |       ELSE dl[-2] || '.' || dl[-1] END AS dst_domain
         | FROM dd)
         |SELECT src_domain, dst_domain, COUNT(*) AS n_links
-        |FROM edges GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM edges WHERE src_domain IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The rollup over the same chain; SUMs cast to BIGINT (DuckDB
     // SUM(BIGINT) is HUGEINT — the §2.7 convention).

@@ -811,9 +811,13 @@ object Stats {
         col(labelCol).cast("boolean").as("__y"))
       .where(col("__s").isNotNull && !isnan(col("__s")) &&
         abs(col("__s")) < lit(1e19) && col("__y").isNotNull)
-      .select(least(lit(nBins - 1), greatest(lit(0),
-        floor((col("__s") - lit(lo)) / lit(w)).cast("int"))).cast("long")
-        .as("bin"), col("__s"), col("__y"))
+      // clamp in DOUBLE space BEFORE floor/cast: a wild-but-gated score
+      // (|s| up to 1e19) would overflow any integer cast of the raw
+      // floor; least/greatest on the double ratio pins it into
+      // [0, nBins-1] first, so floor's long result is always in range
+      .select(floor(least(lit((nBins - 1).toDouble), greatest(lit(0.0),
+        (col("__s") - lit(lo)) / lit(w)))).as("bin"),
+        col("__s"), col("__y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),

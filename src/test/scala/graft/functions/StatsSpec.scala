@@ -617,4 +617,25 @@ class StatsSpec extends SparkSpec {
     assert(out(9L) == ((2L, 2L, Some(1000000L), Some(2.15 / 2.0))))
     (1L to 8L).foreach(b => assert(out(b) == ((0L, 0L, None, None)), s"bin $b"))
   }
+
+  test("reliabilityDiagram: wild-but-gated scores clamp into boundary bins, no integer overflow") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("s", DoubleType), StructField("y", BooleanType)))
+    // |s| far past int32·binWidth but under the 1e19 gate: the clamp
+    // must happen in DOUBLE space, before any integer cast
+    val rows = Seq(
+      Row(9.0e18, true), Row(-9.0e18, false), Row(0.5, true),
+      Row(1.0e19, true)) // past the gate → excluded outright
+    val out = Stats.reliabilityDiagram(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema),
+        "s", "y", nBins = 10, lo = 0.0, hi = 1.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(9L) == ((1L, 1L))) // 9e18 clamped high
+    assert(out(0L) == ((1L, 0L))) // -9e18 clamped low
+    assert(out(5L) == ((1L, 1L)))
+    assert(out.values.map(_._1).sum == 3L) // 1e19 excluded by the gate
+  }
 }
