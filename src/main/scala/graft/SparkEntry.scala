@@ -126,6 +126,20 @@ object SparkEntry {
         |    '^www\.', ''), '.') AS lbl FROM p7)
         |""".stripMargin
 
+  /** One DuckDB fixpoint step of RFC 3986 dot-segment removal — the
+    * SAME six ordered rules as Corpus.dotStep (replace-all where the
+    * engine replaces all, anchored where anchored), spliced around the
+    * argument expression. The x_resolve_links oracle iterates it to
+    * fixpoint in a recursive CTE. Plain concatenation — the patterns
+    * contain `$` anchors.
+    */
+  private def dotStepSql(x: String): String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(" + x +
+      ", '/\\./', '/', 'g'), '/\\.$', '/'), '^/\\.\\./', '/'), " +
+      "'^/\\.\\.$', '/'), '/[^/]+/\\.\\./', '/', 'g'), " +
+      "'/[^/]+/\\.\\.$', '/')"
+
   /** Optional comma-separated query-name subset from SPARK_GRAFT_QUERIES —
     * the shared Bench/Verify local-iteration filter (driver leaves it
     * unset and runs everything).
@@ -2217,32 +2231,64 @@ object SparkEntry {
     // each doc's own planted URL domain — the domain link graph
     // pageRank/HITS run on, built entirely from this library's rungs.
     "x_link_graph" -> ((s, dir) => {
+      // planted page now includes the RELATIVE / protocol-relative /
+      // `..` links a real crawl is mostly made of — resolved against
+      // each doc's own canonical URL before canonicalization, they
+      // become self-domain (intra-site) edges instead of being dropped
       val page = concat(lit("<p>"), col("text"), lit("</p>" +
           "<a href=\"https://www.example.com/a?utm_source=z&x=1\">one</a>" +
           "<a href='http://news.example.co.uk:80/b'>two</a>" +
-          "<a href=\"/relative/path\">rel</a>"),
+          "<a href=\"/relative/path\">rel</a>" +
+          "<a href=\"../up/one\">up</a>" +
+          "<a href=\"//proto.example.io/p\">pr</a>"),
         when(pmod(col("doc_id"), lit(3)) === 0,
           lit("<a href=\"https://other.site.io/c\">x</a>"))
           .otherwise(lit("")))
       val docs = t(s, dir, "documents")
-      val links = Corpus.htmlLinks(
-        docs.select(col("doc_id"), page.as("html")), "doc_id", "html")
-      val dst = Corpus.urlCanonicalize(
-          links.select(col("doc_id"), col("href")), "doc_id", "href")
-        .select(col("doc_id"), col("registered_domain").as("dst_domain"))
-        .where(col("dst_domain").isNotNull)
       val src = Corpus.urlCanonicalize(
           docs.select(col("doc_id"), col("lang"), plantedUrl.as("url")),
           "doc_id", "url")
-        .select(col("doc_id"), col("registered_domain").as("src_domain"))
-        // mirror the dst filter: a null src (unparseable base URL) has
-        // no place in the edge list, and NULL ordering differs between
-        // engines (Spark NULLS FIRST vs DuckDB NULLS LAST)
+        .select(col("doc_id"), col("url_canon"),
+          col("registered_domain").as("src_domain"))
+        // a null src (unparseable base URL) has no place in the edge
+        // list, and NULL ordering differs between engines (Spark
+        // NULLS FIRST vs DuckDB NULLS LAST)
         .where(col("src_domain").isNotNull)
-      dst.join(src, "doc_id")
-        .groupBy(col("src_domain"), col("dst_domain"))
+      val links = Corpus.htmlLinks(
+        docs.select(col("doc_id"), page.as("html")), "doc_id", "html")
+      // one doc_id equi-join hands every link its base URL; resolution
+      // + canonicalization stay map-only after it
+      val dst = Corpus.urlCanonicalize(
+          Corpus.resolveLinks(links.join(src, "doc_id"),
+              "href", "url_canon")
+            .select(col("doc_id"), col("src_domain"), col("href_resolved")),
+          "doc_id", "href_resolved", carryCols = Seq("src_domain"))
+        .select(col("src_domain"), col("registered_domain").as("dst_domain"))
+        .where(col("dst_domain").isNotNull)
+      dst.groupBy(col("src_domain"), col("dst_domain"))
         .agg(count(lit(1)).as("n_links"))
         .orderBy("src_domain", "dst_domain")
+    }),
+
+    // RFC 3986 §5 reference resolution pinned end-to-end: ten href
+    // shapes (relative, ./, ../ chains, rooted, protocol-relative,
+    // absolute-with-dots, query-only, fragment-only, opaque scheme)
+    // against each doc's planted base URL; the DuckDB oracle runs the
+    // SAME six-rule dot-segment fixpoint via a recursive CTE — one
+    // algorithm, two engines, bit-for-bit.
+    "x_resolve_links" -> ((s, dir) => {
+      val hrefs = Seq("g", "./g?y#s", "../../x", "/rooted/../x",
+        "//proto.example.io/a/./b",
+        "https://abs.example.com/a/b/../c?z",
+        "?q=2", "#frag", "g/../h/./", "mailto:x@example.com")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), plantedUrl.as("base"))
+      val links = docs.select(col("doc_id"), col("base"),
+        posexplode(array(hrefs.map(lit): _*)).as(Seq("link_idx", "href")))
+      Corpus.resolveLinks(links, "href", "base")
+        .select(col("doc_id"), col("link_idx").cast("long").as("link_idx"),
+          col("href"), col("href_resolved"))
+        .orderBy("doc_id", "link_idx")
     }),
 
     // Per-domain curation rollup over the canonical key: dup pressure
@@ -7080,12 +7126,20 @@ object SparkEntry {
     // (equivalent to the engine's strip-default-then-strip-all since
     // the domain key never keeps a port); relative hrefs canonicalize
     // to nothing on both sides.
+    // Domain-level mirror of resolution: an absolute href carries its
+    // own host, a protocol-relative one its own host + base validity,
+    // an opaque scheme dies in canonicalization, and EVERY relative /
+    // rooted href lands on the base authority — so its registered
+    // domain IS the src domain. The full path algebra is pinned
+    // separately by x_resolve_links' recursive-CTE oracle.
     "x_link_graph" ->
       """WITH d AS (SELECT doc_id,
         |  '<p>' || text || '</p>' ||
         |  '<a href="https://www.example.com/a?utm_source=z&x=1">one</a>' ||
         |  '<a href=''http://news.example.co.uk:80/b''>two</a>' ||
         |  '<a href="/relative/path">rel</a>' ||
+        |  '<a href="../up/one">up</a>' ||
+        |  '<a href="//proto.example.io/p">pr</a>' ||
         |  CASE WHEN doc_id % 3 = 0
         |       THEN '<a href="https://other.site.io/c">x</a>'
         |       ELSE '' END AS html,
@@ -7102,22 +7156,30 @@ object SparkEntry {
         |l AS (SELECT doc_id, src_url, unnest(regexp_extract_all(html,
         |  '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']*)["'']', 1)) AS href
         | FROM d),
-        |hp AS (SELECT doc_id, src_url,
-        |  CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
-        |   THEN lower(regexp_extract(
-        |     regexp_replace(href, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-        |     '^([^/?]+)', 1)) END AS dhp,
+        |sp AS (SELECT doc_id, href,
         |  lower(regexp_extract(
         |     regexp_replace(regexp_replace(TRIM(src_url), '#.*$', ''),
         |       '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
         |     '^([^/?]+)', 1)) AS shp
         | FROM l),
+        |hp AS (SELECT doc_id, shp,
+        |  CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+        |   THEN lower(regexp_extract(
+        |     regexp_replace(href, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        |     '^([^/?]+)', 1))
+        |  WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+        |   THEN NULL
+        |  WHEN starts_with(href, '//')
+        |   THEN lower(regexp_extract(href, '^//([^/?]+)', 1))
+        |  WHEN shp IS NOT NULL AND shp <> '' THEN shp
+        |  END AS dhp
+        | FROM sp),
         |bd AS (SELECT doc_id,
         |  regexp_replace(regexp_replace(dhp, ':[0-9]+$', ''),
         |    '^www\.', '') AS dbare,
         |  regexp_replace(regexp_replace(shp, ':[0-9]+$', ''),
         |    '^www\.', '') AS sbare
-        | FROM hp WHERE dhp IS NOT NULL),
+        | FROM hp WHERE dhp IS NOT NULL AND dhp <> ''),
         |dd AS (SELECT doc_id, dbare, sbare,
         |  string_split(dbare, '.') AS dl, string_split(sbare, '.') AS sl
         | FROM bd),
@@ -7134,8 +7196,107 @@ object SparkEntry {
         |       ELSE dl[-2] || '.' || dl[-1] END AS dst_domain
         | FROM dd)
         |SELECT src_domain, dst_domain, COUNT(*) AS n_links
-        |FROM edges WHERE src_domain IS NOT NULL
+        |FROM edges WHERE src_domain IS NOT NULL AND src_domain <> ''
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The SAME six-rule dot-segment fixpoint as the engine, iterated
+    // by a recursive CTE; branch selection and base/href parsing
+    // mirror Corpus.resolveLinks op-for-op.
+    "x_resolve_links" ->
+      ("""WITH RECURSIVE d AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |   WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Path/Page?utm_source=x&b=2&a=1#frag'
+        |   WHEN 1 THEN 'https://news.example.co.uk/a/' || doc_id ||
+        |     '?id=' || doc_id || '&utm_campaign=z'
+        |   WHEN 2 THEN 'https://cdn.static.example.org:8080/lib.js?v=' ||
+        |     (doc_id % 7) || '&utm_medium=y&fbclid=f'
+        |   WHEN 3 THEN 'http://example.net'
+        |   ELSE 'https://Sub.Domain.Example.com/x%20y/' || lang || '?gclid=abc'
+        |  END AS base
+        | FROM documents),
+        |l AS (SELECT doc_id, base, CAST(x.link_idx AS BIGINT) AS link_idx,
+        |   x.href
+        | FROM d CROSS JOIN (VALUES
+        |   (0, 'g'), (1, './g?y#s'), (2, '../../x'), (3, '/rooted/../x'),
+        |   (4, '//proto.example.io/a/./b'),
+        |   (5, 'https://abs.example.com/a/b/../c?z'),
+        |   (6, '?q=2'), (7, '#frag'), (8, 'g/../h/./'),
+        |   (9, 'mailto:x@example.com')) AS x(link_idx, href)),
+        |s1 AS (SELECT doc_id, link_idx, href,
+        |  regexp_replace(href, '#.*$', '') AS h,
+        |  regexp_replace(TRIM(base), '#.*$', '') AS b FROM l),
+        |s2 AS (SELECT *,
+        |  regexp_matches(b, '^[A-Za-z][A-Za-z0-9+.-]*://') AS bok,
+        |  regexp_extract(b, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,
+        |  regexp_replace(b, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS brest,
+        |  regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://') AS habs,
+        |  regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') AS hopq
+        | FROM s1),
+        |s3 AS (SELECT *,
+        |  regexp_extract(brest, '^([^/?]+)', 1) AS bhost,
+        |  regexp_replace(brest, '^[^/?]*', '') AS bpathq,
+        |  regexp_extract(h, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS ascheme,
+        |  regexp_replace(h, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS arest,
+        |  regexp_extract(h, '^//([^/?]+)', 1) AS phost,
+        |  regexp_replace(h, '^//[^/?]*', '') AS ppathq
+        | FROM s2),
+        |s4 AS (SELECT *,
+        |  regexp_extract(bpathq, '^([^?]*)', 1) AS bpath,
+        |  regexp_extract(bpathq, '(\?.*)$', 1) AS bquery,
+        |  bscheme || '://' || bhost AS bpre,
+        |  regexp_extract(h, '^([^?]*)', 1) AS hpath,
+        |  regexp_extract(h, '(\?.*)$', 1) AS hquery,
+        |  regexp_extract(arest, '^([^/?]+)', 1) AS ahost,
+        |  regexp_replace(arest, '^[^/?]*', '') AS apathq,
+        |  regexp_extract(ppathq, '^([^?]*)', 1) AS ppath,
+        |  regexp_extract(ppathq, '(\?.*)$', 1) AS pquery
+        | FROM s3),
+        |s5 AS (SELECT *,
+        |  regexp_extract(apathq, '^([^?]*)', 1) AS apath,
+        |  regexp_extract(apathq, '(\?.*)$', 1) AS aquery,
+        |  CASE WHEN regexp_extract(bpath, '^(.*/)', 1) = '' THEN '/'
+        |       ELSE regexp_extract(bpath, '^(.*/)', 1) END AS bdir
+        | FROM s4),
+        |tri AS (SELECT doc_id, link_idx, href,
+        |  CASE WHEN h IS NOT NULL AND hopq AND NOT habs THEN h
+        |   END AS verbatim,
+        |  CASE WHEN h IS NULL THEN NULL
+        |       WHEN habs THEN ascheme || '://' || ahost
+        |       WHEN hopq THEN NULL
+        |       WHEN NOT bok THEN NULL
+        |       WHEN starts_with(h, '//') THEN bscheme || '://' || phost
+        |       ELSE bpre END AS pre,
+        |  CASE WHEN habs THEN apath
+        |       WHEN hopq OR NOT bok THEN NULL
+        |       WHEN starts_with(h, '//') THEN ppath
+        |       WHEN starts_with(h, '/') THEN hpath
+        |       WHEN h = '' THEN bpath
+        |       WHEN starts_with(h, '?') THEN bpath
+        |       ELSE bdir || hpath END AS p0,
+        |  CASE WHEN habs THEN aquery
+        |       WHEN hopq OR NOT bok THEN NULL
+        |       WHEN starts_with(h, '//') THEN pquery
+        |       WHEN starts_with(h, '/') THEN hquery
+        |       WHEN h = '' THEN bquery
+        |       WHEN starts_with(h, '?') THEN h
+        |       ELSE hquery END AS suf
+        | FROM s5),
+        |rec AS (
+        | SELECT doc_id, link_idx, p0 AS p, """.stripMargin +
+        dotStepSql("p0") + """ AS np
+        | FROM tri WHERE pre IS NOT NULL
+        | UNION ALL
+        | SELECT doc_id, link_idx, np, """.stripMargin +
+        dotStepSql("np") + """
+        | FROM rec WHERE np <> p),
+        |fix AS (SELECT doc_id, link_idx, p FROM rec WHERE np = p)
+        |SELECT t.doc_id, t.link_idx, t.href,
+        |  CASE WHEN t.verbatim IS NOT NULL THEN t.verbatim
+        |       WHEN t.pre IS NOT NULL THEN t.pre || f.p || t.suf
+        |  END AS href_resolved
+        |FROM tri t LEFT JOIN fix f
+        |  ON f.doc_id = t.doc_id AND f.link_idx = t.link_idx
+        |ORDER BY t.doc_id, t.link_idx""".stripMargin),
 
     // The rollup over the same chain; SUMs cast to BIGINT (DuckDB
     // SUM(BIGINT) is HUGEINT — the §2.7 convention).

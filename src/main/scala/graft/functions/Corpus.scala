@@ -1132,6 +1132,119 @@ object Corpus {
         col("href"))
   }
 
+  /** One fixpoint step of RFC 3986 §5.2.4 dot-segment removal on a
+    * rooted path: six ordered replace-ALL rules, each of which either
+    * no-ops or deletes at least one `.`/`..` segment. Iterating the
+    * step to its fixpoint reproduces `remove_dot_segments` exactly for
+    * paths that start with `/` (the only paths [[resolveLinks]] feeds
+    * it) — the `..`-at-root drop (rules 3-4) and the pop (rules 5-6)
+    * compose the same way the RFC's left-to-right stack walk does,
+    * because a leftmost replace can never skip a poppable segment to
+    * its left. The SAME rule chain runs in the DuckDB oracle (a
+    * recursive-CTE fixpoint), so both engines share one algorithm
+    * instead of two implementations proven equal by hope.
+    */
+  private def dotStep(p: Column): Column = {
+    val r1 = regexp_replace(p, lit("/\\./"), lit("/"))
+    val r2 = regexp_replace(r1, lit("/\\.$"), lit("/"))
+    val r3 = regexp_replace(r2, lit("^/\\.\\./"), lit("/"))
+    val r4 = regexp_replace(r3, lit("^/\\.\\.$"), lit("/"))
+    val r5 = regexp_replace(r4, lit("/[^/]+/\\.\\./"), lit("/"))
+    regexp_replace(r5, lit("/[^/]+/\\.\\.$"), lit("/"))
+  }
+
+  /** `remove_dot_segments` as a bounded fold: each non-fixpoint
+    * [[dotStep]] removes ≥1 segment, so `#segments + 1` applications
+    * always reach the fixpoint; the extra applications are no-ops.
+    * Pure column expression — stays inside the scan projection.
+    */
+  private def removeDotSegments(path: Column): Column =
+    aggregate(sequence(lit(0), size(split(path, "/", -1))),
+      path, (acc, _) => dotStep(acc))
+
+  /** RFC 3986 §5 reference resolution of an outbound `href` against
+    * the page's own base URL — the join [[htmlLinks]]' doc promises:
+    * raw hrefs in a real crawl are MOSTLY relative, and a link graph
+    * built on verbatim hrefs silently drops the majority of its true
+    * intra-site edges. Adds `outCol` with the absolute target:
+    *
+    *  - scheme-ful hierarchical href (`x://…`): taken as-is, its own
+    *    dot-segments collapsed (§5.2.2 strict);
+    *  - opaque scheme (`mailto:`, `javascript:`, `g:h`): verbatim —
+    *    no hierarchy to resolve; [[urlCanonicalize]] downstream nulls
+    *    non-`://` forms out of the graph;
+    *  - protocol-relative `//host/p`: base SCHEME + href;
+    *  - root-relative `/p`: base scheme://authority + href;
+    *  - query-only `?q`: base path kept, query replaced;
+    *  - empty / fragment-only: the page itself (base sans fragment);
+    *  - relative `p`, `../p`, `./p`: merged onto the base path's
+    *    directory (§5.3: up to the last `/`; `/` when the base path is
+    *    empty), then dot-collapsed.
+    *
+    * Fragments are stripped on both sides first (resolution feeds the
+    * link GRAPH; `#s` targets the same resource). Scheme/host case and
+    * percent-escapes pass through untouched — normalization is
+    * [[urlCanonicalize]]'s job, one step later. A null or schemeless
+    * base nulls every branch that needs it (absolute hrefs still
+    * resolve). `%2e`-encoded dots are NOT decoded (documented:
+    * %-decoding without charset context corrupts more than it fixes).
+    * Map-only, zero shuffles — regex/replace column expressions in the
+    * scan projection, mirrored op-for-op by the DuckDB oracle.
+    */
+  def resolveLinks(df: DataFrame, hrefCol: String, baseUrlCol: String,
+                   outCol: String = "href_resolved"): DataFrame = {
+    val h = regexp_replace(col(hrefCol), lit("#.*$"), lit(""))
+    val b = regexp_replace(trim(col(baseUrlCol)), lit("#.*$"), lit(""))
+    // base parts (case preserved; hostport keeps any port)
+    val bOk = b.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    val bScheme = regexp_extract(b, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val bRest = regexp_replace(b, lit("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      lit(""))
+    val bHost = regexp_extract(bRest, "^([^/?]+)", 1)
+    val bPathQ = regexp_replace(bRest, lit("^[^/?]*"), lit(""))
+    val bPath = regexp_extract(bPathQ, "^([^?]*)", 1)
+    val bQuery = regexp_extract(bPathQ, "(\\?.*)$", 1) // "" when absent
+    val bPre = concat(bScheme, lit("://"), bHost)
+    // href parts for the path-carrying branches
+    val hPath = regexp_extract(h, "^([^?]*)", 1)
+    val hQuery = regexp_extract(h, "(\\?.*)$", 1)
+    // §5.3 merge: base path up to and incl. the last '/'; '/' when the
+    // base path is empty (authority present ⇒ rooted)
+    val bDir = when(regexp_extract(bPath, "^(.*/)", 1) === "", lit("/"))
+      .otherwise(regexp_extract(bPath, "^(.*/)", 1))
+    val hierAbs = h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    val opaque = h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    // hierarchical absolute href re-parsed the same way as the base
+    val aScheme = regexp_extract(h, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val aRest = regexp_replace(h, lit("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      lit(""))
+    val aHost = regexp_extract(aRest, "^([^/?]+)", 1)
+    val aPathQ = regexp_replace(aRest, lit("^[^/?]*"), lit(""))
+    val aPath = regexp_extract(aPathQ, "^([^?]*)", 1)
+    val aQuery = regexp_extract(aPathQ, "(\\?.*)$", 1)
+    // protocol-relative href: authority + path + query from the href
+    val pHost = regexp_extract(h, "^//([^/?]+)", 1)
+    val pPathQ = regexp_replace(h, lit("^//[^/?]*"), lit(""))
+    val pPath = regexp_extract(pPathQ, "^([^?]*)", 1)
+    val pQuery = regexp_extract(pPathQ, "(\\?.*)$", 1)
+    val assemble = (pre: Column, path: Column, suf: Column) =>
+      concat(pre, removeDotSegments(path), suf)
+    val baseGuard = (c: Column) => when(bOk, c)
+    val resolved =
+      when(h.isNull, lit(null).cast("string"))
+        .when(hierAbs, assemble(concat(aScheme, lit("://"), aHost),
+          aPath, aQuery))
+        .when(opaque, h)
+        .when(h.startsWith("//"),
+          baseGuard(assemble(concat(bScheme, lit("://"), pHost),
+            pPath, pQuery)))
+        .when(h.startsWith("/"), baseGuard(assemble(bPre, hPath, hQuery)))
+        .when(h === "", baseGuard(assemble(bPre, bPath, bQuery)))
+        .when(h.startsWith("?"), baseGuard(assemble(bPre, bPath, h)))
+        .otherwise(baseGuard(assemble(bPre, concat(bDir, hPath), hQuery)))
+    df.withColumn(outCol, resolved)
+  }
+
   /** Per-domain curation rollup over [[urlCanonicalize]]'s grouping
     * key: docs, canonical-URL cardinality (exact — crawl dup pressure
     * is `n_docs − n_urls`), total chars, and the stripped-param volume.

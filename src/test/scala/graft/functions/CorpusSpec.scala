@@ -680,6 +680,115 @@ class CorpusSpec extends SparkSpec {
       (1L, 0L, "https://a.com/1"), (1L, 1L, "/rel"), (1L, 2L, "http://b.io")))
   }
 
+  test("resolveLinks: RFC 3986 §5.4 normal reference-resolution examples") {
+    import spark.implicits._
+    // the RFC's own base (authority 'a', path /b/c/d;p, query ?q)
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "g:h" -> "g:h",
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q", // fragment stripped by design
+      "g#s" -> "http://a/b/c/g",
+      "g?y#s" -> "http://a/b/c/g?y",
+      ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    val out = Corpus.resolveLinks(
+        cases.map(_._1).toDF("href").withColumn("base", lit(base)),
+        "href", "base")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    cases.foreach { case (href, want) =>
+      assert(out(href) == want, s"href '$href'") }
+  }
+
+  test("resolveLinks: RFC 3986 §5.4.2 abnormal examples + engine edges") {
+    import spark.implicits._
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      // .. past root drops (RFC abnormal set)
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      // dot-segments in the QUERY are data, not hierarchy
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      // hierarchical absolute hrefs collapse their own dots (§5.2.2)
+      "https://abs.example.com/a/b/../c?z" -> "https://abs.example.com/a/c?z",
+      // protocol-relative takes the base scheme, keeps its own path
+      "//proto.example.io/a/./b" -> "http://proto.example.io/a/b",
+      // opaque schemes pass verbatim
+      "mailto:x@example.com" -> "mailto:x@example.com")
+    val out = Corpus.resolveLinks(
+        cases.map(_._1).toDF("href").withColumn("base", lit(base)),
+        "href", "base")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    cases.foreach { case (href, want) =>
+      assert(out(href) == want, s"href '$href'") }
+  }
+
+  test("resolveLinks: pathless/odd bases, null and schemeless bases") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("href", StringType), StructField("base", StringType)))
+    val rows = Seq(
+      // empty base path ⇒ directory is '/'
+      Row("g", "http://example.net"),
+      Row("?q=1", "http://example.net"),
+      Row("", "HTTP://WWW.Example.COM:80/Path/Page?utm_source=x#frag"),
+      // case and port preserved verbatim (canonicalization is later)
+      Row("../up", "HTTP://WWW.Example.COM:80/Path/Page?x=1"),
+      // null / schemeless base: relative dies, absolute survives
+      Row("g", null),
+      Row("https://ok.example.org/x", null),
+      Row("g", "not a url"),
+      Row(null, "http://a/b"))
+    val out = Corpus.resolveLinks(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema), "href", "base")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        Option(r.getString(2))).toMap
+    assert(out((Some("g"), Some("http://example.net"))) ==
+      Some("http://example.net/g"))
+    assert(out((Some("?q=1"), Some("http://example.net"))) ==
+      Some("http://example.net?q=1"))
+    assert(out((Some(""),
+      Some("HTTP://WWW.Example.COM:80/Path/Page?utm_source=x#frag"))) ==
+      Some("HTTP://WWW.Example.COM:80/Path/Page?utm_source=x"))
+    assert(out((Some("../up"),
+      Some("HTTP://WWW.Example.COM:80/Path/Page?x=1"))) ==
+      Some("HTTP://WWW.Example.COM:80/up"))
+    assert(out((Some("g"), None)) == None)
+    assert(out((Some("https://ok.example.org/x"), None)) ==
+      Some("https://ok.example.org/x"))
+    assert(out((Some("g"), Some("not a url"))) == None)
+    assert(out((None, Some("http://a/b"))) == None)
+  }
+
   test("vocabCoverage: exact-match OOV counts, floor ppm, zero-token docs report zeros") {
     import spark.implicits._
     val docs = Seq((1L, "the cat sat"), (2L, "zzz qqq"), (3L, ""),
