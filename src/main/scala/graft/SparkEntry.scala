@@ -1926,6 +1926,45 @@ object SparkEntry {
           "score", "label", nBins = 10, lo = 0.0, hi = 1.0)
         .orderBy("bin")),
 
+    // Per-language AUC: one Mann–Whitney row per slice (ranks within
+    // group via the grouped two-level decomposition — no global or
+    // per-group sort), because a global 0.9 can hide a coin-flip score
+    // on one language; finals narrowed to BIGINT per the §2.7 gate.
+    "x_auc_by_group" -> ((s, dir) =>
+      graft.functions.Stats.aucPiecesByGroup(
+          t(s, dir, "documents").select(col("lang"),
+            col("n_chars").cast("double").as("score"),
+            (pmod(col("doc_id"), lit(2)) === 0).as("label")),
+          "score", "label", "lang")
+        .select(col("lang"), col("n_pos"), col("n_neg"),
+          big(col("sum_r2_pos"), "sum_r2_pos"),
+          big(col("auc_num"), "auc_num"),
+          big(col("auc_den"), "auc_den"))
+        .orderBy("lang")),
+
+    // Per-language confusion report of the shipped gate — the form a
+    // per-slice quality gate is monitored in; one group-keyed
+    // aggregation with map-side partials.
+    "x_confusion_by_group" -> ((s, dir) =>
+      graft.functions.Stats.confusionStatsByGroup(
+          t(s, dir, "documents").select(col("lang"),
+            (col("n_chars") >= 200).as("pred"),
+            (pmod(col("doc_id"), lit(2)) === 0).as("label")),
+          "pred", "label", "lang")
+        .orderBy("lang")),
+
+    // Per-language calibration table: "0.7 means 70%" must hold per
+    // slice; full (group × bin) grid emitted for every group with
+    // eligible rows.
+    "x_reliability_by_group" -> ((s, dir) =>
+      graft.functions.Stats.reliabilityDiagramByGroup(
+          t(s, dir, "documents").select(col("lang"),
+            (pmod(col("n_chars"), lit(100)).cast("double") / lit(100.0))
+              .as("score"),
+            (pmod(col("doc_id"), lit(2)) === 0).as("label")),
+          "score", "label", "lang", nBins = 10, lo = 0.0, hi = 1.0)
+        .orderBy("lang", "bin")),
+
     // Equal-frequency decile feature: bucket index from 9 exact
     // order-statistic cuts resolved by bisection (no global sort —
     // the scale-honest ntile), assignment a map-only projection.
@@ -5166,6 +5205,91 @@ object SparkEntry {
         | CAST(g.ssum AS DOUBLE) / CAST(g.n AS DOUBLE) AS mean_score
         |FROM grid LEFT JOIN g ON g.bin = grid.bin
         |ORDER BY grid.bin""".stripMargin,
+
+    // Per-group mirror of x_auc: the same doubled-rank algebra with
+    // RANK/COUNT windows partitioned by the slice.
+    "x_auc_by_group" ->
+      """WITH base AS (
+        | SELECT lang AS g, CAST(n_chars AS DOUBLE) AS s,
+        |  (doc_id % 2 = 0) AS y
+        | FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |  AND doc_id IS NOT NULL),
+        |r AS (SELECT g, y,
+        |  2 * RANK() OVER (PARTITION BY g ORDER BY s)
+        |    + COUNT(*) OVER (PARTITION BY g, s) - 1 AS r2
+        | FROM base),
+        |agg AS (SELECT g,
+        |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+        |  SUM(CASE WHEN y THEN CAST(r2 AS HUGEINT) ELSE 0 END) AS sr2
+        | FROM r GROUP BY g)
+        |SELECT g AS lang, n_pos, n_neg, CAST(sr2 AS BIGINT) AS sum_r2_pos,
+        | CAST(sr2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT)
+        |   AS auc_num,
+        | CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS BIGINT) AS auc_den
+        |FROM agg ORDER BY lang""".stripMargin,
+
+    // Per-group mirror of x_confusion: same exact counts and floor-ppm
+    // rationals, grouped by the slice.
+    "x_confusion_by_group" ->
+      """WITH base AS (SELECT lang AS g, (n_chars >= 200) AS p,
+        |  (doc_id % 2 = 0) AS y
+        | FROM documents WHERE lang IS NOT NULL),
+        |a AS (SELECT g,
+        |  CAST(SUM(CASE WHEN p IS NOT NULL AND y IS NOT NULL AND p AND y
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN p IS NOT NULL AND y IS NOT NULL AND p AND NOT y
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN p IS NOT NULL AND y IS NOT NULL
+        |    AND NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  CAST(SUM(CASE WHEN p IS NOT NULL AND y IS NOT NULL AND NOT p AND y
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN p IS NULL OR y IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_excluded
+        | FROM base GROUP BY g)
+        |SELECT g AS lang, tp, fp, tn, fn, n_excluded,
+        | CASE WHEN tp + fp > 0
+        |      THEN (tp * 1000000) // (tp + fp) END AS precision_ppm,
+        | CASE WHEN tp + fn > 0
+        |      THEN (tp * 1000000) // (tp + fn) END AS recall_ppm,
+        | CASE WHEN 2 * tp + fp + fn > 0
+        |      THEN (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f1_ppm,
+        | CASE WHEN tp + fp + tn + fn > 0
+        |      THEN ((tp + tn) * 1000000) // (tp + fp + tn + fn)
+        | END AS accuracy_ppm
+        |FROM a ORDER BY lang""".stripMargin,
+
+    // Per-group mirror of x_reliability: same double-space clamp and
+    // floor ppm; the grid is every observed group × all ten bins.
+    "x_reliability_by_group" ->
+      """WITH base AS (
+        | SELECT lang AS g, CAST(n_chars % 100 AS DOUBLE) / 100.0 AS s,
+        |  (doc_id % 2 = 0) AS y
+        | FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |   AND doc_id IS NOT NULL
+        |   AND abs(CAST(n_chars % 100 AS DOUBLE) / 100.0) < 1e19),
+        |b AS (SELECT g, CAST(FLOOR(LEAST(CAST(9 AS DOUBLE), GREATEST(
+        |    CAST(0 AS DOUBLE),
+        |    (s - CAST(0.0 AS DOUBLE)) / CAST(0.1 AS DOUBLE)))) AS BIGINT)
+        |    AS bin, s, y
+        | FROM base),
+        |gr AS (SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  SUM(CAST(s AS DECIMAL(28,9))) AS ssum
+        | FROM b GROUP BY g, bin),
+        |grid AS (SELECT DISTINCT g, CAST(bb.b AS BIGINT) AS bin
+        |  FROM gr CROSS JOIN (SELECT unnest(range(0, 10)) AS b) bb)
+        |SELECT grid.g AS lang, grid.bin,
+        | CAST(0.0 AS DOUBLE) + CAST(grid.bin AS DOUBLE) * CAST(0.1 AS DOUBLE)
+        |   AS lo_edge,
+        | COALESCE(gr.n, 0) AS n,
+        | COALESCE(gr.n_pos, 0) AS n_pos,
+        | CASE WHEN COALESCE(gr.n, 0) > 0
+        |      THEN (COALESCE(gr.n_pos, 0) * 1000000) // gr.n
+        | END AS frac_pos_ppm,
+        | CAST(gr.ssum AS DOUBLE) / CAST(gr.n AS DOUBLE) AS mean_score
+        |FROM grid LEFT JOIN gr ON gr.g = grid.g AND gr.bin = grid.bin
+        |ORDER BY lang, grid.bin""".stripMargin,
 
     // The oracle's one global window IS the naive plan the operator
     // avoids; cuts at 1-based ranks (i·n)//10 + 1, bucket = #cuts ≤ v.

@@ -836,6 +836,166 @@ object Stats {
           .as("mean_score"))
   }
 
+  /** [[avgRank2x]] with a group key: doubled average ranks of every
+    * distinct (group, value) pair, ranks counted WITHIN the group.
+    * Same two-level decomposition — the bucket cuts stay GLOBAL (one
+    * shared order-statistic pass; per-group cuts would cost one
+    * bisection per group), the cumsum window partitions by
+    * (group, bucket), and the offset rollup is a (#groups × ≤buckets)-
+    * row broadcast. Global cuts can't balance every group's buckets
+    * under group↔value correlation, but each window partition is still
+    * bounded by that bucket's distinct values — the same guarantee the
+    * ungrouped form gives. Assumes slice-like group cardinality
+    * (languages, sources): the offset table must broadcast.
+    */
+  private def avgRank2xByGroup(df: DataFrame, groupCol: String,
+                               valueCol: String, outCol: String,
+                               buckets: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val (_, byRank) = valueAtFractionRanks(df, valueCol,
+      m => (1 until buckets).map(i => i * m / buckets))
+    val cuts = byRank.keys.toSeq.sorted.map(byRank)
+    val bk =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(array(cuts.map(lit(_)): _*),
+        c => c <= col("__v").cast("double")))
+    val vals = df.groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__nv"))
+      .withColumn("__bk", bk)
+    val smallerInBucket = coalesce(
+      sum(col("__nv")).over(w.partitionBy(col("__g"), col("__bk"))
+        .orderBy(col("__v")).rowsBetween(w.unboundedPreceding, -1)),
+      lit(0L))
+    val offs = vals.groupBy(col("__g"), col("__bk"))
+      .agg(sum(col("__nv")).as("__bt"))
+      .select(col("__g"), col("__bk"), coalesce(sum(col("__bt")).over(
+        w.partitionBy(col("__g")).orderBy(col("__bk"))
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)).as("__boff"))
+    vals.join(broadcast(offs), Seq("__g", "__bk"))
+      .select(col("__g"), col("__v"),
+        (lit(2L) * (col("__boff") + smallerInBucket + 1L) +
+          col("__nv") - 1L).as(outCol))
+  }
+
+  /** Per-slice [[aucPieces]] — one Mann–Whitney AUC row PER GROUP
+    * (language, source, …), because quality-gate drift is per-slice in
+    * practice: a corpus-global AUC of 0.9 can hide a coin-flip score
+    * on one language. Same exact algebra, ranks computed within each
+    * group by [[avgRank2xByGroup]]'s decomposition (no global OR
+    * per-group sort). Null groups are excluded like null labels — a
+    * row that can't name its slice can't drift it. Output one row per
+    * group: (groupCol, n_pos, n_neg, sum_r2_pos, auc_num, auc_den),
+    * DECIMAL(38,0) exact; oracled callers narrow at the query edge.
+    */
+  def aucPiecesByGroup(df: DataFrame, scoreCol: String, labelCol: String,
+                       groupCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val basePlan = df.select(col(groupCol).as("__g"),
+        col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__g").isNotNull && col("__s").isNotNull &&
+        !isnan(col("__s")) && col("__y").isNotNull)
+    val base =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        basePlan.checkpoint()
+      else basePlan.localCheckpoint()
+    val ranks = avgRank2xByGroup(
+      base.select(col("__g"), col("__s").as("__v")), "__g", "__v", "__r2")
+    val nPosD = col("n_pos").cast(d38)
+    base.join(ranks.withColumnRenamed("__v", "__s"), Seq("__g", "__s"))
+      .groupBy(col("__g"))
+      .agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("n_neg"),
+        sum(when(col("__y"), col("__r2")).otherwise(lit(0L)).cast(d38))
+          .cast(d38).as("sum_r2_pos"))
+      .select(col("__g").as(groupCol), col("n_pos"), col("n_neg"),
+        col("sum_r2_pos"),
+        (col("sum_r2_pos") - nPosD * (nPosD + lit(1L).cast(d38)))
+          .cast(d38).as("auc_num"),
+        (lit(2L).cast(d38) * nPosD * col("n_neg").cast(d38))
+          .cast(d38).as("auc_den"))
+  }
+
+  /** Per-slice [[confusionStats]]: the shipped gate's tp/fp/tn/fn and
+    * floor-ppm precision/recall/F1/accuracy PER GROUP — the form a
+    * per-language quality gate is actually monitored in. Same exact
+    * counts and honest-NULL degenerate denominators; null groups
+    * excluded. One group-keyed aggregation with map-side partials.
+    */
+  def confusionStatsByGroup(df: DataFrame, predCol: String,
+                            labelCol: String, groupCol: String): DataFrame = {
+    val p = col(predCol).cast("boolean")
+    val y = col(labelCol).cast("boolean")
+    val both = p.isNotNull && y.isNotNull
+    df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(both && p && y, 1L).otherwise(0L)).as("tp"),
+        sum(when(both && p && !y, 1L).otherwise(0L)).as("fp"),
+        sum(when(both && !p && !y, 1L).otherwise(0L)).as("tn"),
+        sum(when(both && !p && y, 1L).otherwise(0L)).as("fn"),
+        sum(when(both, 0L).otherwise(1L)).as("n_excluded"))
+      .select(col(groupCol), col("tp"), col("fp"), col("tn"), col("fn"),
+        col("n_excluded"),
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000L div (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000L div (tp + fn) END")
+          .as("recall_ppm"),
+        expr("CASE WHEN 2L * tp + fp + fn > 0 " +
+          "THEN 2L * tp * 1000000L div (2L * tp + fp + fn) END")
+          .as("f1_ppm"),
+        expr("CASE WHEN tp + fp + tn + fn > 0 " +
+          "THEN (tp + tn) * 1000000L div (tp + fp + tn + fn) END")
+          .as("accuracy_ppm"))
+  }
+
+  /** Per-slice [[reliabilityDiagram]]: the calibration table PER GROUP
+    * — "a 0.7 means 70%" must hold per language, not just on the
+    * corpus average. Same double-space clamp, exact floor-ppm rates
+    * and decimal-summed means; every (group, bin) cell of the grid is
+    * emitted for groups with ≥1 eligible row (a group whose rows are
+    * all excluded has nothing to calibrate). Null groups excluded.
+    * Scale: one (group, bin)-keyed aggregation; the grid is the
+    * aggregated table's distinct groups × nBins — metadata-sized.
+    */
+  def reliabilityDiagramByGroup(df: DataFrame, scoreCol: String,
+                                labelCol: String, groupCol: String,
+                                nBins: Int, lo: Double,
+                                hi: Double): DataFrame = {
+    require(nBins >= 1, s"need at least one bin: $nBins")
+    require(lo < hi, s"need lo < hi: ($lo, $hi)")
+    val w = (hi - lo) / nBins
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val binned = df.select(col(groupCol).as("__g"),
+        col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__g").isNotNull && col("__s").isNotNull &&
+        !isnan(col("__s")) && abs(col("__s")) < lit(1e19) &&
+        col("__y").isNotNull)
+      .select(col("__g"), floor(least(lit((nBins - 1).toDouble),
+        greatest(lit(0.0), (col("__s") - lit(lo)) / lit(w)))).as("bin"),
+        col("__s"), col("__y"))
+      .groupBy(col("__g"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s").cast(dec)).as("__ssum"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = binned.select(col("__g")).distinct()
+      .crossJoin(spark.createDataset(0 until nBins).toDF("b")
+        .select(col("b").cast("long").as("bin")))
+    grid.join(binned, Seq("__g", "bin"), "left")
+      .select(col("__g").as(groupCol), col("bin"),
+        (lit(lo) + col("bin") * lit(w)).as("lo_edge"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        expr("CASE WHEN coalesce(n, 0L) > 0 " +
+          "THEN coalesce(n_pos, 0L) * 1000000L div n END").as("frac_pos_ppm"),
+        (col("__ssum").cast("double") / col("n").cast("double"))
+          .as("mean_score"))
+  }
+
   /** Exact Spearman rank-correlation pieces between two numeric
     * columns — the continuous companion to [[contingency]]'s
     * categorical dependence audit (with `x = epoch time` it reads as a

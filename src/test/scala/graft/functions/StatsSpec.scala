@@ -618,6 +618,53 @@ class StatsSpec extends SparkSpec {
     (1L to 8L).foreach(b => assert(out(b) == ((0L, 0L, None, None)), s"bin $b"))
   }
 
+  test("per-group eval trio: each group's row equals the ungrouped op run on that slice") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("s", DoubleType),
+      StructField("pred", BooleanType), StructField("y", BooleanType)))
+    // ties within and across groups, a degenerate all-positive group,
+    // null group/score/label rows
+    val rows = Seq(
+      Row("a", 0.1, true, true), Row("a", 0.1, false, false),
+      Row("a", 0.7, true, true), Row("a", 0.9, false, false),
+      Row("b", 0.1, true, true), Row("b", 0.5, true, false),
+      Row("b", 0.5, false, true), Row("b", 0.5, true, false),
+      Row("c", 0.3, true, true), Row("c", 0.8, true, true), // one class
+      Row(null, 0.4, true, true),                           // null group
+      Row("a", null, true, true), Row("a", 0.2, true, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3),
+      schema)
+    val key = (r: Row) => r.getString(0)
+
+    val aucG = Stats.aucPiecesByGroup(df, "s", "y", "g")
+      .collect().map(r => key(r) -> r.toSeq.tail).toMap
+    val confG = Stats.confusionStatsByGroup(df, "pred", "y", "g")
+      .collect().map(r => key(r) -> r.toSeq.tail).toMap
+    val relG = Stats.reliabilityDiagramByGroup(df, "s", "y", "g",
+        nBins = 4, lo = 0.0, hi = 1.0)
+      .collect().groupBy(key).map { case (g, rs) =>
+        g -> rs.sortBy(_.getLong(1)).map(_.toSeq.tail).toSeq }
+    assert(aucG.keySet == Set("a", "b", "c"))
+    assert(confG.keySet == Set("a", "b", "c"))
+    assert(relG.keySet == Set("a", "b", "c"))
+    Seq("a", "b", "c").foreach { g =>
+      val slice = df.where(col("g") === g)
+      assert(aucG(g) == Stats.aucPieces(slice, "s", "y").head().toSeq,
+        s"auc group $g")
+      assert(confG(g) ==
+        Stats.confusionStats(slice, "pred", "y").head().toSeq
+          .take(confG(g).size),
+        s"confusion group $g (excluded null-group rows differ by design)")
+      assert(relG(g) == Stats.reliabilityDiagram(slice, "s", "y", 4, 0.0, 1.0)
+        .orderBy("bin").collect().map(_.toSeq).toSeq,
+        s"reliability group $g")
+    }
+    // degenerate group: AUC undefined ⇒ den 0, confusion recall defined
+    assert(aucG("c").last == java.math.BigDecimal.valueOf(0).setScale(0))
+  }
+
   test("reliabilityDiagram: wild-but-gated scores clamp into boundary bins, no integer overflow") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
