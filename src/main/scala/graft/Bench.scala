@@ -52,19 +52,32 @@ object Bench {
     val only = SparkEntry.querySubset
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
-    val pass1 = names.map(n => n -> timed(n)).toMap
-    val pass2 = names.map(n => n -> timed(n)).toMap
-    // min over the successful samples; "failed" only if neither ran
+    // min-of-N (default 2, SPARK_GRAFT_BENCH_REPEAT to raise): same-commit
+    // driver-vs-local runs have disagreed by up to 4.6× on individual
+    // queries under suite-level contention, generating phantom watch-list
+    // regressions two rounds running; the min is the query's actual cost
+    // and every raw pass is persisted so spread is auditable.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .map(_.toInt).getOrElse(2).max(1)
+    val passes: Seq[Map[String, Option[Double]]] =
+      (1 to repeat).map(_ => names.map(n => n -> timed(n)).toMap)
+    // min over the successful samples; "failed" only if no pass ran it
     val results: Map[String, Option[Double]] = names.map { n =>
-      n -> (pass1(n).toSeq ++ pass2(n).toSeq).minOption
+      n -> passes.flatMap(_(n)).minOption
     }.toMap
-    val qs = results.toSeq.sortBy(_._1).map {
-      case (k, Some(v)) => s"\"" + k + "\":" + v
-      case (k, None)    => s"\"" + k + "\":\"failed\""
-    }.mkString("{", ",", "}")
+    def passJson(p: Map[String, Option[Double]]): String =
+      p.toSeq.sortBy(_._1).map {
+        case (k, Some(v)) => s"\"" + k + "\":" + v
+        case (k, None)    => s"\"" + k + "\":\"failed\""
+      }.mkString("{", ",", "}")
+    val qs = passJson(results)
     val failed = results.collect { case (k, None) => k }.toSeq.sorted
     val total = results.values.flatten.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+    // the persisted artifact additionally carries every raw pass (the
+    // stdout contract line stays min-only and parseable as before)
+    val fileLine = line.dropRight(1) +
+      s""","runs":${passes.map(passJson).mkString("[", ",", "]")}}"""
     // The one-line stdout contract stays; ALSO persist the full per-query
     // JSON to a file (stdout tail-capture truncates a 160-query map, which
     // cost round 7 its round-over-round record for 90 queries). Path
@@ -79,7 +92,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        fileLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] full per-query JSON written to $outPath")
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
