@@ -2342,6 +2342,33 @@ object SparkEntry {
           "n_chars")
         .orderBy("registered_domain")),
 
+    // PSL-backed registered domains: longest-match against a real
+    // Public-Suffix-List grammar (plain/wildcard/exception rules,
+    // default rule fallback) over a planted host mix — the distinct-
+    // host mapping join the heuristic's github.io-class failures
+    // upgrade through.
+    "x_psl_domains" -> ((s, dir) => {
+      import s.implicits._
+      val psl = Seq("com", "net", "org", "uk", "co.uk", "io",
+        "github.io", "au", "com.au", "*.play", "!www.play").toDF("suffix")
+      val hosts = t(s, dir, "documents").select(col("doc_id"),
+        expr("""CASE CAST(doc_id % 7 AS INT)
+          | WHEN 0 THEN 'www.example.com'
+          | WHEN 1 THEN 'news.example.co.uk'
+          | WHEN 2 THEN 'a.b.github.io'
+          | WHEN 3 THEN 'Foo.Bar.PLAY'
+          | WHEN 4 THEN 'x.www.play'
+          | WHEN 5 THEN 'shop.com.au'
+          | ELSE 'cdn.static.example.org:8080'
+          |END""".stripMargin).as("host"))
+      hosts.select(col("doc_id"), lower(col("host")).as("host"))
+        .join(Corpus.pslRegisteredDomains(hosts, "host", psl),
+          Seq("host"), "left")
+        .select(col("doc_id"), col("host"), col("public_suffix"),
+          col("registered_domain_psl"))
+        .orderBy("doc_id")
+    }),
+
     // Top-30 collocations by PMI (token-stream marginals, min pair
     // count 5): bigram-keyed agg + two broadcast vocab joins + top-k
     // heaps. Output is exact integer counts; the rank key is the exact
@@ -7448,6 +7475,61 @@ object SparkEntry {
           | CAST(SUM(n_params_stripped) AS BIGINT) AS n_params_stripped
           |FROM fin WHERE registered_domain IS NOT NULL
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // The PSL algorithm mirrored: candidate label-suffixes unnested,
+    // plain/exception rules joined on the candidate, wildcard rules on
+    // its after-first-label tail; exception wins, else longest, else
+    // the default rule (bare TLD).
+    "x_psl_domains" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |   WHEN 0 THEN 'www.example.com'
+        |   WHEN 1 THEN 'news.example.co.uk'
+        |   WHEN 2 THEN 'a.b.github.io'
+        |   WHEN 3 THEN 'Foo.Bar.PLAY'
+        |   WHEN 4 THEN 'x.www.play'
+        |   WHEN 5 THEN 'shop.com.au'
+        |   ELSE 'cdn.static.example.org:8080'
+        |  END AS host
+        | FROM documents),
+        |hh AS (SELECT doc_id, lower(host) AS host,
+        |  string_split(regexp_replace(regexp_replace(lower(host),
+        |    ':[0-9]+$', ''), '\.$', ''), '.') AS labels
+        | FROM d),
+        |hn AS (SELECT doc_id, host, labels, len(labels) AS n FROM hh),
+        |c AS (SELECT doc_id, labels, n,
+        |   unnest(range(1, n + 1)) AS i FROM hn),
+        |cc AS (SELECT doc_id, n, n - i + 1 AS clen,
+        |   array_to_string(labels[CAST(i AS INT):], '.') AS cand FROM c),
+        |rules AS (SELECT * FROM (VALUES
+        |  ('plain','com'),('plain','net'),('plain','org'),('plain','uk'),
+        |  ('plain','co.uk'),('plain','io'),('plain','github.io'),
+        |  ('plain','au'),('plain','com.au'),
+        |  ('wild','play'),('exc','www.play')) r(kind, base)),
+        |m AS (
+        | SELECT cc.doc_id,
+        |   CASE WHEN r.kind = 'exc' THEN cc.clen - 1 ELSE cc.clen END
+        |     AS ps_len,
+        |   r.kind = 'exc' AS is_exc
+        | FROM cc JOIN rules r
+        |   ON r.kind IN ('plain','exc') AND r.base = cc.cand
+        | UNION ALL
+        | SELECT cc.doc_id, cc.clen, FALSE
+        | FROM cc JOIN rules r
+        |   ON r.kind = 'wild' AND cc.cand LIKE '%.%'
+        |  AND r.base = regexp_replace(cc.cand, '^[^.]+\.', '')),
+        |agg AS (SELECT doc_id,
+        |  MAX(CASE WHEN is_exc THEN ps_len END) AS exc_len,
+        |  MAX(CASE WHEN NOT is_exc THEN ps_len END) AS norm_len
+        | FROM m GROUP BY doc_id)
+        |SELECT hn.doc_id, hn.host,
+        | array_to_string(labels[CAST(n - COALESCE(exc_len, norm_len, 1)
+        |   + 1 AS INT):], '.') AS public_suffix,
+        | CASE WHEN n > COALESCE(exc_len, norm_len, 1)
+        |  THEN array_to_string(labels[CAST(n - COALESCE(exc_len,
+        |    norm_len, 1) AS INT):], '.') END AS registered_domain_psl
+        |FROM hn LEFT JOIN agg ON agg.doc_id = hn.doc_id
+        |ORDER BY hn.doc_id""".stripMargin,
 
     // vocab-weighted adjacent pairs, takes the argmax ((cnt DESC, l, r)
     // tiebreak), and re-tokenizes with the same greedy left-to-right

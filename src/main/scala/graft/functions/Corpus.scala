@@ -1245,6 +1245,106 @@ object Corpus {
     df.withColumn(outCol, resolved)
   }
 
+  /** Public-Suffix-List-backed registered domains — the upgrade path
+    * from [[urlCanonicalize]]'s documented eTLD+1 HEURISTIC, which
+    * groups thousands of unrelated `github.io` / `blogspot.com`-class
+    * sites into one "registered domain" for politeness budgets and
+    * domain stats. Takes the PSL as a one-column DataFrame of rules in
+    * the list's own grammar: plain suffixes (`com`, `co.uk`,
+    * `github.io`), wildcards (`*.ck` — any single label under the base
+    * is a public suffix), and exceptions (`!www.ck` — carved back out
+    * of a wildcard; its own suffix is one label shorter). Resolution
+    * follows the PSL algorithm: an exception match wins outright,
+    * otherwise the LONGEST matching rule, otherwise the default rule
+    * `*` (the bare TLD). Comment lines (`//`) and blanks are ignored,
+    * so the published file loads as-is.
+    *
+    * Returns a DISTINCT-host mapping table
+    * (`host` lowercased, `public_suffix`, `registered_domain_psl` —
+    * null when the host IS a public suffix) for the caller to join
+    * back: at 100 TB the distinct-host set is crawl-frontier-sized,
+    * orders smaller than the row count, and the mapping is computed
+    * once, not per row. Ports and one trailing dot are stripped for
+    * matching but the `host` key keeps the caller's port so the
+    * join-back is exact. Scale shape: candidate suffixes explode to
+    * ≤#labels rows per distinct host, the rule table BROADCASTS
+    * (the real PSL is ~10⁴ rows), and one host-keyed aggregation picks
+    * the winning rule.
+    */
+  def pslRegisteredDomains(df: DataFrame, hostCol: String,
+                           psl: DataFrame): DataFrame = {
+    val rules = psl.select(trim(lower(col(psl.columns.head))).as("rule"))
+      .where(col("rule").isNotNull && col("rule") =!= "" &&
+        !col("rule").startsWith("//"))
+      .select(
+        when(col("rule").startsWith("!"), lit("exc"))
+          .when(col("rule").startsWith("*."), lit("wild"))
+          .otherwise(lit("plain")).as("kind"),
+        regexp_replace(col("rule"), "^(!|\\*\\.)", "").as("base"))
+      .distinct()
+    val hosts = df.select(lower(col(hostCol)).as("host"))
+      .where(col("host").isNotNull && col("host") =!= "")
+      .distinct()
+      .select(col("host"), split(
+        regexp_replace(regexp_replace(col("host"), ":[0-9]+$", ""),
+          "\\.$", ""), "\\.", -1).as("labels"))
+      .withColumn("n", size(col("labels")))
+    // every label-suffix of the host, longest first: cand at 0-based
+    // position i spans labels[i+1..n] ⇒ clen = n − i
+    val cand = hosts.select(col("host"), col("n"),
+        posexplode(transform(sequence(lit(1), col("n")), i =>
+          array_join(slice(col("labels"), i, col("n") - i + 1), ".")))
+          .as(Seq("off", "cand")))
+      .withColumn("clen", col("n") - col("off"))
+    val plainExc = cand
+      .join(broadcast(rules.where(col("kind") =!= "wild")),
+        col("base") === col("cand"))
+      .select(col("host"),
+        when(col("kind") === "exc", col("clen") - 1).otherwise(col("clen"))
+          .as("ps_len"),
+        (col("kind") === "exc").as("is_exc"))
+    val wild = cand.where(col("cand").contains("."))
+      .join(broadcast(rules.where(col("kind") === "wild")),
+        col("base") === regexp_replace(col("cand"), "^[^.]+\\.", ""))
+      .select(col("host"), col("clen").as("ps_len"), lit(false).as("is_exc"))
+    val agg = plainExc.unionByName(wild).groupBy(col("host"))
+      .agg(max(when(col("is_exc"), col("ps_len"))).as("exc_len"),
+        max(when(!col("is_exc"), col("ps_len"))).as("norm_len"))
+    hosts.join(agg, Seq("host"), "left")
+      .select(col("host"), col("labels"), col("n"),
+        coalesce(col("exc_len"), col("norm_len"), lit(1)).as("ps_len"))
+      .select(col("host"),
+        array_join(slice(col("labels"), col("n") - col("ps_len") + 1,
+          col("ps_len")), ".").as("public_suffix"),
+        when(col("n") > col("ps_len"),
+          array_join(slice(col("labels"), col("n") - col("ps_len"),
+            col("ps_len") + 1), ".")).as("registered_domain_psl"))
+  }
+
+  /** [[urlCanonicalize]] with the `registered_domain` column computed
+    * from a real PSL instead of the heuristic: same canonical URL,
+    * host and tracking-param behavior, with the domain rollup key
+    * resolved through [[pslRegisteredDomains]]' distinct-host mapping
+    * (one extra host-keyed join against a distinct-host-sized table).
+    * The heuristic variant stays the default everywhere — this is the
+    * opt-in for deployments that ship the published list.
+    */
+  def urlCanonicalizePsl(df: DataFrame, idCol: String, urlCol: String,
+                         psl: DataFrame,
+                         extraTracking: Seq[String] =
+                           Seq("gclid", "fbclid", "msclkid"),
+                         carryCols: Seq[String] = Nil): DataFrame = {
+    val canon = urlCanonicalize(df, idCol, urlCol, extraTracking, carryCols)
+    val mapping = pslRegisteredDomains(canon, "host", psl)
+      .select(col("host"), col("registered_domain_psl"))
+    canon.drop("registered_domain")
+      .join(mapping, Seq("host"), "left")
+      .select(col(idCol) +: carryCols.map(col) :+ col("url_canon") :+
+        col("host") :+
+        col("registered_domain_psl").as("registered_domain") :+
+        col("n_params_stripped"): _*)
+  }
+
   /** Per-domain curation rollup over [[urlCanonicalize]]'s grouping
     * key: docs, canonical-URL cardinality (exact — crawl dup pressure
     * is `n_docs − n_urls`), total chars, and the stripped-param volume.

@@ -789,6 +789,60 @@ class CorpusSpec extends SparkSpec {
     assert(out((None, Some("http://a/b"))) == None)
   }
 
+  test("pslRegisteredDomains: longest match, wildcard, exception, default rule") {
+    import spark.implicits._
+    val psl = Seq(
+      "// comment lines and blanks are ignored", "",
+      "com", "net", "uk", "co.uk", "au", "com.au", "io", "github.io",
+      "*.play", "!www.play").toDF("suffix")
+    val hosts = Seq(
+      "www.example.com",        // plain TLD → example.com
+      "news.example.co.uk",     // longest match co.uk beats uk
+      "shop.com.au",            // com.au beats au
+      "a.b.github.io",          // private-registry suffix → b.github.io
+      "GitHub.IO",              // host IS a public suffix → null
+      "Foo.Bar.PLAY",           // wildcard *.play → bar.play is the suffix
+      "x.www.play",             // exception !www.play → suffix is play
+      "cdn.example.org:8080",   // port stripped for matching, kept in key
+      "unknowntld",             // default rule: bare TLD, no registrable
+      "host.unknowntld").toDF("h")
+    val out = Corpus.pslRegisteredDomains(hosts, "h", psl)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(out("www.example.com") == (("com", Some("example.com"))))
+    assert(out("news.example.co.uk") == (("co.uk", Some("example.co.uk"))))
+    assert(out("shop.com.au") == (("com.au", Some("shop.com.au"))))
+    assert(out("a.b.github.io") == (("github.io", Some("b.github.io"))))
+    assert(out("github.io") == (("github.io", None)))
+    assert(out("foo.bar.play") == (("bar.play", Some("foo.bar.play"))))
+    assert(out("x.www.play") == (("play", Some("www.play"))))
+    // default rule * : org is not in this toy list
+    assert(out("cdn.example.org:8080") == (("org", Some("example.org"))))
+    assert(out("unknowntld") == (("unknowntld", None)))
+    assert(out("host.unknowntld") ==
+      (("unknowntld", Some("host.unknowntld"))))
+    assert(out.size == 10) // distinct lowercased hosts
+  }
+
+  test("urlCanonicalizePsl: same canonical url/host, PSL-resolved rollup key") {
+    import spark.implicits._
+    val psl = Seq("com", "io", "github.io").toDF("suffix")
+    val df = Seq(
+      (1L, "https://A.B.GitHub.io/x?utm_source=t&k=1"),
+      (2L, "http://www.example.com:80/y"),
+      (3L, "not a url")).toDF("id", "url")
+    val out = Corpus.urlCanonicalizePsl(df, "id", "url", psl)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)),
+          Option(r.getString(3))))).toMap
+    assert(out(1L) == ((Some("https://a.b.github.io/x?k=1"),
+      Some("a.b.github.io"), Some("b.github.io"))))
+    // heuristic would also say example.com here; PSL agrees via 'com'
+    assert(out(2L) == ((Some("http://www.example.com/y"),
+      Some("www.example.com"), Some("example.com"))))
+    assert(out(3L) == ((None, None, None)))
+  }
+
   test("vocabCoverage: exact-match OOV counts, floor ppm, zero-token docs report zeros") {
     import spark.implicits._
     val docs = Seq((1L, "the cat sat"), (2L, "zzz qqq"), (3L, ""),
