@@ -498,10 +498,7 @@ object Corpus {
       .select(col("token"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
-    val merged =
-      if (a.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        mergedPlan.checkpoint()
-      else mergedPlan.localCheckpoint()
+    val merged = Snapshots.snapshot(mergedPlan)
     val tot = merged.agg(
       coalesce(sum(col("c_a")), lit(0L)).as("n_a"),
       coalesce(sum(col("c_b")), lit(0L)).as("n_b"))
@@ -1465,10 +1462,7 @@ object Corpus {
     val s1Plan = c4Gate(s0, idCol, "__t", minLineTokens, minLines)
       .where(col("kept"))
       .select(col(idCol), col("clean_text").as("__t"))
-    val s1 =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        s1Plan.checkpoint()
-      else s1Plan.localCheckpoint()
+    val s1 = Snapshots.snapshot(s1Plan)
     val g = gopherGate(s1, idCol, "__t", minWords, maxWords, minStop)
     val r12 = g
       .agg(count(lit(1)).as("n1"),
@@ -2167,10 +2161,7 @@ object Corpus {
     val unitsPlan = df
       .select(col(idCol), posexplode(unitsCol).as(Seq("__pos", "__u")))
       .withColumn("__uh", unitHash(col("__u")))
-    val units =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        unitsPlan.checkpoint()
-      else unitsPlan.localCheckpoint()
+    val units = Snapshots.snapshot(unitsPlan)
     val frequentHashes = units
       .groupBy(col("__uh")).agg(count_distinct(col(idCol)).as("__df"))
       .where(col("__df") >= minDf)
@@ -2327,9 +2318,7 @@ object Corpus {
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     require(nMerges >= 1 && nMerges <= 4096, s"unreasonable nMerges: $nMerges")
     val spark = df.sparkSession
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def snap(d: DataFrame): DataFrame =
-      if (reliable) d.checkpoint() else d.localCheckpoint()
+    def snap(d: DataFrame): DataFrame = Snapshots.snapshot(d)
     val chars = (w: Column) =>
       transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
     val setup = snap(df
@@ -2521,11 +2510,12 @@ object Corpus {
     require(maxSeedPieces >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    val words = df
+    // bounded, vocab-sized — executor memory by deliberate choice
+    // (consumed once per round; don't re-tokenize)
+    val words = Snapshots.boundedLocal(df
       .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
       .where(length(col("__w")).between(1, maxWordLen))
-      .groupBy("__w").agg(count(lit(1)).as("__wc"))
-      .localCheckpoint() // consumed once per round — don't re-tokenize
+      .groupBy("__w").agg(count(lit(1)).as("__wc")))
     val seedPieces = expr(
       s"flatten(transform(sequence(1, char_length(__w)), i -> " +
         s"transform(sequence(i, least(char_length(__w), i + ${maxPieceLen - 1})), " +

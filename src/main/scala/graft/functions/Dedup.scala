@@ -210,9 +210,7 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           strict: Boolean = false): DataFrame = {
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def snap(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def snap(df: DataFrame): DataFrame = Snapshots.snapshot(df)
     // pinned loop inputs (the Graph.pageRank discipline): edges hash(dst)
     // + sorted for the per-round neighbor-min merge-join, labels hash(id)
     // + sorted — both sides of the frontier join read their snapshots
@@ -294,9 +292,7 @@ object Dedup {
     */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25,
                               strict: Boolean = false): DataFrame = {
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def snap(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def snap(df: DataFrame): DataFrame = Snapshots.snapshot(df)
     // Every node mentioned in `pairs` must appear in the output — nodes
     // whose only pair is a self-pair have no proper edge and are re-added
     // as their own singleton component at the end.

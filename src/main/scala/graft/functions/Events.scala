@@ -677,11 +677,7 @@ object Events {
     // upstream distinct + size guard don't replay per consumer (the
     // dbscan pair-pipeline discipline; measured 5.2 s → the join cost
     // alone at sf0.1)
-    val keptPlan = m.join(sized, Seq("__bk"), "left_semi")
-    val kept =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        keptPlan.checkpoint()
-      else keptPlan.localCheckpoint()
+    val kept = Snapshots.snapshot(m.join(sized, Seq("__bk"), "left_semi"))
     val itemN = kept.groupBy(col("__it")).agg(count(lit(1)).as("__in"))
     val total = kept.select(col("__bk")).distinct()
       .agg(count(lit(1)).as("n_baskets"))

@@ -56,8 +56,7 @@ object Graph {
     require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
     require(checkpointInterval > 0)
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def snap(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def snap(df: DataFrame): DataFrame = Snapshots.snapshot(df)
 
     // The loop's join inputs are PINNED: the edge snapshot is hash-
     // partitioned by src and sorted within partitions, the rank snapshot
@@ -91,8 +90,11 @@ object Graph {
     // one, every round localCheckpoints regardless, so don't pay the job.
     val smallTable = reliable && iterations > 0 &&
       ranks.count() < reliableSnapshotMinRows
+    // small-table rounds stay in executor memory by deliberate choice
+    // (bounded, node-sized state — the Snapshots.boundedLocal contract);
+    // everything else rides the shared reliable-or-fail-loud path
     def roundSnap(df: DataFrame): DataFrame =
-      if (reliable && !smallTable) df.checkpoint() else df.localCheckpoint()
+      if (smallTable) Snapshots.boundedLocal(df) else Snapshots.snapshot(df)
     // the snapshot currently backing `ranks`' lineage — only superseded
     // snapshots are released, never one a live plan still reads through.
     // The setup snapshot backs `nodes` for EVERY round, so it is excluded
@@ -467,9 +469,7 @@ object Graph {
   }
 
   private def snapFor(df: DataFrame)(target: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      target.checkpoint()
-    else target.localCheckpoint()
+    Snapshots.snapshot(target)
 
   /** Shared triangle pipeline over a SNAPPED canonical edge set — the
     * edge table is consumed four times (degree, orientation, wedge
@@ -643,9 +643,7 @@ object Graph {
                       seeds: DataFrame, idCol: String, labelCol: String,
                       rounds: Int): DataFrame = {
     require(rounds >= 0, s"negative rounds: $rounds")
-    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def snap(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def snap(df: DataFrame): DataFrame = Snapshots.snapshot(df)
     // pinned loop inputs (the [[pageRank]] discipline): the undirected
     // edge snapshot rides hash(src)+sorted, the state snapshot hash(id)+
     // sorted — the frontier merge-join reads both with zero exchange;

@@ -940,12 +940,9 @@ object Similarity {
     // filter, border assignment) — snapshot it once instead of
     // replaying the join per consumer (the Graph.triangleImpl
     // discipline; measured 7.7 → ~4 s at sf0.1).
-    val pairs = {
-      val p = cosineNearDupBlocked(df, idCol, vecCol, blockCol, minCos,
-        saltBuckets)
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) p.checkpoint()
-      else p.localCheckpoint()
-    }
+    val pairs = Snapshots.snapshot(
+      cosineNearDupBlocked(df, idCol, vecCol, blockCol, minCos,
+        saltBuckets))
     // both directions once: each ε-pair contributes to both endpoints
     val adj = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))

@@ -708,10 +708,7 @@ object Stats {
         col(labelCol).cast("boolean").as("__y"))
       .where(col("__s").isNotNull && !isnan(col("__s")) &&
         col("__y").isNotNull)
-    val base =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        basePlan.checkpoint()
-      else basePlan.localCheckpoint()
+    val base = Snapshots.snapshot(basePlan)
     val ranks = avgRank2x(base.select(col("__s").as("__v")), "__v", "__r2")
     val nPosD = col("n_pos").cast(d38)
     // coalesce: an empty eligible set reports honest zeros (den 0 ⇒
@@ -895,10 +892,7 @@ object Stats {
         col(labelCol).cast("boolean").as("__y"))
       .where(col("__g").isNotNull && col("__s").isNotNull &&
         !isnan(col("__s")) && col("__y").isNotNull)
-    val base =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        basePlan.checkpoint()
-      else basePlan.localCheckpoint()
+    val base = Snapshots.snapshot(basePlan)
     val ranks = avgRank2xByGroup(
       base.select(col("__g"), col("__s").as("__v")), "__g", "__v", "__r2")
     val nPosD = col("n_pos").cast(d38)
@@ -1026,10 +1020,7 @@ object Stats {
         col(bCol).cast("double").as("__b"))
       .where(col("__a").isNotNull && !isnan(col("__a")) &&
         col("__b").isNotNull && !isnan(col("__b")))
-    val base =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        basePlan.checkpoint()
-      else basePlan.localCheckpoint()
+    val base = Snapshots.snapshot(basePlan)
     val ra = avgRank2x(base.select(col("__a").as("__v")), "__v", "__r2a")
     val rb = avgRank2x(base.select(col("__b").as("__v")), "__v", "__r2b")
     // every multiplication happens in DECIMAL(38,0): at fleet scale
