@@ -70,12 +70,10 @@ object Corpus {
         size(col("__bg")).cast("long").as("n_bigrams"),
         size(array_distinct(col("__bg"))).cast("long")
           .as("n_distinct_bigrams"))
-      .withColumn("ttr_ppm", expr(
-        "CASE WHEN n_tokens > 0 " +
-          "THEN n_distinct_tokens * 1000000L div n_tokens END"))
-      .withColumn("distinct_bigram_ppm", expr(
-        "CASE WHEN n_bigrams > 0 " +
-          "THEN n_distinct_bigrams * 1000000L div n_bigrams END"))
+      .withColumn("ttr_ppm",
+        expr(Stats.ppmSql("n_distinct_tokens", "n_tokens")))
+      .withColumn("distinct_bigram_ppm",
+        expr(Stats.ppmSql("n_distinct_bigrams", "n_bigrams")))
   }
 
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -458,8 +456,9 @@ object Corpus {
       .select(col("__q").as(queryCol), col("n_rel"),
         coalesce(col("__h"), lit(0L)).as("hits_at_k"),
         col("first_rel_rank"),
-        expr(s"coalesce(__h, 0L) * 1000000L div ${k}L").as("precision_ppm"),
-        expr("coalesce(__h, 0L) * 1000000L div n_rel").as("recall_ppm"))
+        expr(Stats.ppmSql("coalesce(__h, 0L)", s"${k}L"))
+          .as("precision_ppm"),
+        expr(Stats.ppmSql("coalesce(__h, 0L)", "n_rel")).as("recall_ppm"))
   }
 
   /** Top-k distribution-shifted tokens between two corpus slices —
@@ -2420,8 +2419,7 @@ object Corpus {
       .select(col(idCol),
         coalesce(col("__n"), lit(0L)).as("n_tokens"),
         coalesce(col("__oov"), lit(0L)).as("n_oov"),
-        expr("CASE WHEN coalesce(__n, 0L) > 0 " +
-          "THEN coalesce(__oov, 0L) * 1000000L div __n END").as("oov_ppm"),
+        expr(Stats.ppmSql("coalesce(__oov, 0L)", "__n")).as("oov_ppm"),
         coalesce(col("__chars"), lit(0L)).as("n_token_chars"))
   }
 

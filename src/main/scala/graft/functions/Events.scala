@@ -293,7 +293,7 @@ object Events {
       .groupBy(col("day")).agg(count(lit(1)).as("mau"))
     dau.join(mau, "day")
       .select(col("day"), col("dau"), col("mau"),
-        expr("dau * 1000000L div mau").as("stickiness_ppm"))
+        expr(Stats.ppmSql("dau", "mau")).as("stickiness_ppm"))
   }
 
   /** Last-touch attribution: for every conversion event, the most recent
@@ -694,7 +694,7 @@ object Events {
       .crossJoin(broadcast(total))
       .select(col("item_a"), col("item_b"), col("pair_n"),
         col("a_n"), col("b_n"), col("n_baskets"),
-        expr("pair_n * 1000000L div a_n").as("conf_ab_ppm"),
-        expr("pair_n * 1000000L div b_n").as("conf_ba_ppm"))
+        expr(Stats.ppmSql("pair_n", "a_n")).as("conf_ab_ppm"),
+        expr(Stats.ppmSql("pair_n", "b_n")).as("conf_ba_ppm"))
   }
 }

@@ -618,6 +618,23 @@ object Stats {
           length(regexp_replace(col("pattern"), "1", ""))).cast("long"))
   }
 
+  /** SQL fragment: exact floor parts-per-million `num·10⁶ div den`,
+    * NULL when `den` is not positive (the degenerate-denominator
+    * convention — never a fabricated 0 or 1), with a raise_error guard
+    * on the numerator: past |num| ≈ 9.22·10¹² the int64 product
+    * `num · 10⁶` would wrap SILENTLY. The repo reasons about 10¹³-row
+    * extremes in its docs, so at that scale the report must die
+    * loudly, not skew quietly (the `big()` convention). Shared by
+    * every floor-ppm emitter (confusion/reliability/stickiness/
+    * confidence/TTR/retrieval/vocab-coverage).
+    */
+  def ppmSql(num: String, den: String): String =
+    s"CASE WHEN ($den) > 0 THEN (CASE " +
+      s"WHEN ($num) BETWEEN -9223372036854L AND 9223372036854L " +
+      s"THEN CAST(($num) AS BIGINT) * 1000000L " +
+      s"ELSE CAST(raise_error(concat('ppm int64 overflow: ', " +
+      s"CAST(($num) AS STRING))) AS BIGINT) END) div ($den) END"
+
   /** One head pass (count + min + max) shared with the bisection —
     * callers that need n AND rank values pay ONE scan for the head
     * stats instead of a count job plus [[exactValueAtRanks]]'
@@ -764,16 +781,10 @@ object Stats {
         coalesce(sum(when(both, 0L).otherwise(1L)), lit(0L))
           .as("n_excluded"))
       .select(col("tp"), col("fp"), col("tn"), col("fn"), col("n_excluded"),
-        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000L div (tp + fp) END")
-          .as("precision_ppm"),
-        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000L div (tp + fn) END")
-          .as("recall_ppm"),
-        expr("CASE WHEN 2L * tp + fp + fn > 0 " +
-          "THEN 2L * tp * 1000000L div (2L * tp + fp + fn) END")
-          .as("f1_ppm"),
-        expr("CASE WHEN tp + fp + tn + fn > 0 " +
-          "THEN (tp + tn) * 1000000L div (tp + fp + tn + fn) END")
-          .as("accuracy_ppm"))
+        expr(ppmSql("tp", "tp + fp")).as("precision_ppm"),
+        expr(ppmSql("tp", "tp + fn")).as("recall_ppm"),
+        expr(ppmSql("2L * tp", "2L * tp + fp + fn")).as("f1_ppm"),
+        expr(ppmSql("tp + tn", "tp + fp + tn + fn")).as("accuracy_ppm"))
   }
 
   /** Calibration reliability table — [[aucPieces]] tells you the score
@@ -827,8 +838,7 @@ object Stats {
       .select(col("bin"), (lit(lo) + col("bin") * lit(w)).as("lo_edge"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
-        expr("CASE WHEN coalesce(n, 0L) > 0 " +
-          "THEN coalesce(n_pos, 0L) * 1000000L div n END").as("frac_pos_ppm"),
+        expr(ppmSql("coalesce(n_pos, 0L)", "n")).as("frac_pos_ppm"),
         (col("__ssum").cast("double") / col("n").cast("double"))
           .as("mean_score"))
   }
@@ -932,16 +942,10 @@ object Stats {
         sum(when(both, 0L).otherwise(1L)).as("n_excluded"))
       .select(col(groupCol), col("tp"), col("fp"), col("tn"), col("fn"),
         col("n_excluded"),
-        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000L div (tp + fp) END")
-          .as("precision_ppm"),
-        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000L div (tp + fn) END")
-          .as("recall_ppm"),
-        expr("CASE WHEN 2L * tp + fp + fn > 0 " +
-          "THEN 2L * tp * 1000000L div (2L * tp + fp + fn) END")
-          .as("f1_ppm"),
-        expr("CASE WHEN tp + fp + tn + fn > 0 " +
-          "THEN (tp + tn) * 1000000L div (tp + fp + tn + fn) END")
-          .as("accuracy_ppm"))
+        expr(ppmSql("tp", "tp + fp")).as("precision_ppm"),
+        expr(ppmSql("tp", "tp + fn")).as("recall_ppm"),
+        expr(ppmSql("2L * tp", "2L * tp + fp + fn")).as("f1_ppm"),
+        expr(ppmSql("tp + tn", "tp + fp + tn + fn")).as("accuracy_ppm"))
   }
 
   /** Per-slice [[reliabilityDiagram]]: the calibration table PER GROUP
@@ -984,8 +988,7 @@ object Stats {
         (lit(lo) + col("bin") * lit(w)).as("lo_edge"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
-        expr("CASE WHEN coalesce(n, 0L) > 0 " +
-          "THEN coalesce(n_pos, 0L) * 1000000L div n END").as("frac_pos_ppm"),
+        expr(ppmSql("coalesce(n_pos, 0L)", "n")).as("frac_pos_ppm"),
         (col("__ssum").cast("double") / col("n").cast("double"))
           .as("mean_score"))
   }

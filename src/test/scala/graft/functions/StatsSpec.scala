@@ -618,6 +618,23 @@ class StatsSpec extends SparkSpec {
     (1L to 8L).foreach(b => assert(out(b) == ((0L, 0L, None, None)), s"bin $b"))
   }
 
+  test("ppmSql: exact floor ppm, NULL degenerate denominator, loud int64 overflow") {
+    import spark.implicits._
+    val df = Seq((1L, 3L), (0L, 0L), (2L, 0L)).toDF("n", "d")
+    val out = df.selectExpr(Stats.ppmSql("n", "d") + " AS p")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.toSeq == Seq(Some(333333L), None, None))
+    // numerator past the wrap point dies loudly, never silently skews
+    val wild = Seq((9223372036855L, 10L)).toDF("n", "d")
+    val e = intercept[Exception](
+      wild.selectExpr(Stats.ppmSql("n", "d") + " AS p").collect())
+    assert(e.getMessage.contains("ppm int64 overflow"))
+    // the guard boundary itself still computes exactly
+    val edge = Seq((9223372036854L, 7L)).toDF("n", "d")
+    assert(edge.selectExpr(Stats.ppmSql("n", "d") + " AS p")
+      .head().getLong(0) == 9223372036854L * 1000000L / 7L)
+  }
+
   test("per-group eval trio: each group's row equals the ungrouped op run on that slice") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
