@@ -453,6 +453,119 @@ object MicroBatch {
       }
   }
 
+  /** Same wrap guard as `Stats.ppmSql`: counts past ~9.22·10¹² would
+    * overflow `n·10⁶`; the live gate dies loudly like the batch one.
+    */
+  private def ppmOrThrow(n: Long, d: Long): Option[Long] =
+    if (d <= 0L) None
+    else if (n > 9223372036854L)
+      throw new IllegalStateException(s"ppm int64 overflow: $n")
+    else Some(n * 1000000L / d)
+
+  /** Streaming confusion report — the incremental dual of
+    * [[graft.functions.Stats.confusionStatsByGroup]]: rows
+    * `(group, pred, label)` keep 5 long counters per group
+    * (tp/fp/tn/fn/n_excluded — a None on either side counts excluded,
+    * the batch null contract), and every trigger emits the group's
+    * running counts plus the same floor-ppm
+    * precision/recall/F1/accuracy with NULL (None) degenerate
+    * denominators. Counters are associative and commutative, so the
+    * emitted state after any prefix of batches equals the batch
+    * operator over the same rows (spec-pinned); the latest row per
+    * group IS the report — an idempotent upsert, no replay. State per
+    * group = 5 longs, independent of row count; the ppm wrap guard
+    * matches `Stats.ppmSql` (loud past ~9.22·10¹²).
+    */
+  def streamingConfusion(
+      rows: org.apache.spark.sql.Dataset[(String, Option[Boolean], Option[Boolean])])
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Long, Long, Long,
+          Option[Long], Option[Long], Option[Long], Option[Long])] = {
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Long)]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(String, Long, Long,
+        Long, Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
+      org.apache.spark.sql.Encoders.product[(String, Long, Long, Long, Long,
+        Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+    rows.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .mapGroupsWithState[(Long, Long, Long, Long, Long),
+          (String, Long, Long, Long, Long, Long,
+           Option[Long], Option[Long], Option[Long], Option[Long])](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (g: String, vals: Iterator[(String, Option[Boolean], Option[Boolean])],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (tp, fp, tn, fn, ex) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L))
+          vals.foreach {
+            case (_, Some(p), Some(y)) =>
+              if (p && y) tp += 1
+              else if (p) fp += 1
+              else if (!y) tn += 1
+              else fn += 1
+            case _ => ex += 1
+          }
+          state.update((tp, fp, tn, fn, ex))
+          (g, tp, fp, tn, fn, ex,
+            ppmOrThrow(tp, tp + fp), ppmOrThrow(tp, tp + fn),
+            ppmOrThrow(2 * tp, 2 * tp + fp + fn),
+            ppmOrThrow(tp + tn, tp + fp + tn + fn))
+      }
+  }
+
+  /** Streaming calibration table — the incremental dual of
+    * [[graft.functions.Stats.reliabilityDiagramByGroup]]: rows
+    * `(group, score, label)` gate exactly like the batch op
+    * (NaN and |s| ≥ 10¹⁹ excluded), clamp-bin in DOUBLE space with the
+    * same formula, and key by `(group, bin)`. State per cell =
+    * (n, n_pos, Σscore) with the score sum carried at DECIMAL scale 9
+    * HALF_UP — the precise semantics of the batch `cast(DECIMAL(28,9))`
+    * accumulation, so the emitted mean is bit-identical to the batch
+    * mean over the same rows (spec-pinned). Every trigger emits the
+    * cell's running (group, bin, n, n_pos, frac_pos_ppm, mean_score);
+    * the latest row per cell is the upsert. Empty-grid completion
+    * (zero-count bins) is the consumer's static left join, exactly as
+    * in the batch op's own grid step. State per observed cell = 2
+    * longs + 1 decimal, independent of row count.
+    */
+  def streamingReliability(
+      rows: org.apache.spark.sql.Dataset[(String, Double, Boolean)],
+      nBins: Int, lo: Double, hi: Double)
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Long,
+          Option[Long], Double)] = {
+    require(nBins >= 1, s"need at least one bin: $nBins")
+    require(lo < hi, s"need lo < hi: ($lo, $hi)")
+    val w = (hi - lo) / nBins
+    def binOf(s: Double): Long =
+      math.floor(math.min((nBins - 1).toDouble,
+        math.max(0.0, (s - lo) / w))).toLong
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Long, Long, BigDecimal)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, BigDecimal)]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(String, Long, Long,
+        Long, Option[Long], Double)] =
+      org.apache.spark.sql.Encoders.product[(String, Long, Long, Long,
+        Option[Long], Double)]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[(String, Long)] =
+      org.apache.spark.sql.Encoders.product[(String, Long)]
+    rows.filter(v => !v._2.isNaN && math.abs(v._2) < 1e19)
+      .groupByKey(v => (v._1, binOf(v._2)))
+      .mapGroupsWithState[(Long, Long, BigDecimal),
+          (String, Long, Long, Long, Option[Long], Double)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (key: (String, Long), vals: Iterator[(String, Double, Boolean)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, BigDecimal)]) =>
+          var (n, np, ssum) = state.getOption
+            .getOrElse((0L, 0L, BigDecimal(0).setScale(9)))
+          vals.foreach { case (_, s, y) =>
+            n += 1
+            if (y) np += 1
+            ssum += BigDecimal(s)
+              .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          }
+          state.update((n, np, ssum))
+          (key._1, key._2, n, np, ppmOrThrow(np, n),
+            ssum.toDouble / n.toDouble)
+      }
+  }
+
   /** Exactly-once parquet batch sink for `foreachBatch`.
     *
     * `foreachBatch` gives AT-LEAST-once: after a crash between "batch

@@ -269,6 +269,70 @@ class StreamingSpec extends SparkSpec {
       s"streaming state $latest must equal batch sums $batch")
   }
 
+  test("streamingConfusion: latest emitted state per group equals the batch confusion report") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows: Seq[(String, Option[Boolean], Option[Boolean])] = Seq(
+      ("a", Some(true), Some(true)), ("a", Some(true), Some(false)),
+      ("a", Some(false), Some(true)), ("a", Some(false), Some(false)),
+      ("b", Some(true), Some(true)), ("b", None, Some(true)), // excluded
+      ("c", Some(false), Some(false)))                        // degenerate
+    val input = MemoryStream[(String, Option[Boolean], Option[Boolean])]
+    val q = MicroBatch.streamingConfusion(input.toDS())
+      .writeStream.format("memory").queryName("conf_inc")
+      .outputMode("update").start()
+    val (b1, b2) = rows.splitAt(3)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val latest = spark.table("conf_inc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), opt(r, 6), opt(r, 7), opt(r, 8),
+        opt(r, 9)))
+      .groupBy(_._1)
+      .map { case (g, vs) =>
+        g -> vs.maxBy(v => v._2 + v._3 + v._4 + v._5 + v._6) }
+    q.stop()
+    val batch = graft.functions.Stats.confusionStatsByGroup(
+        spark.createDataset(rows).toDF("g", "pred", "y"), "pred", "y", "g")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), opt(r, 6), opt(r, 7), opt(r, 8),
+          opt(r, 9)))).toMap
+    assert(latest == batch)
+  }
+
+  test("streamingReliability: latest cell state equals the batch diagram, mean bit-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows: Seq[(String, Double, Boolean)] = Seq(
+      ("a", 0.05, true), ("a", 0.07, false), ("a", 0.95, true),
+      ("a", -0.3, false), ("a", 1.7, true),     // clamp both ends
+      ("b", 0.33, true), ("b", 0.34, true),
+      ("b", Double.NaN, true), ("b", 2.0e19, false)) // gated out
+    val input = MemoryStream[(String, Double, Boolean)]
+    val q = MicroBatch.streamingReliability(input.toDS(), 10, 0.0, 1.0)
+      .writeStream.format("memory").queryName("rel_inc")
+      .outputMode("update").start()
+    val (b1, b2) = rows.splitAt(4)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val latest = spark.table("rel_inc").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    q.stop()
+    val batch = graft.functions.Stats.reliabilityDiagramByGroup(
+        spark.createDataset(rows).toDF("g", "s", "y"), "s", "y", "g",
+        nBins = 10, lo = 0.0, hi = 1.0)
+      .where(col("n") > 0) // the stream has no empty-grid rows by design
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(latest == batch,
+      s"streaming cells $latest must equal batch cells $batch")
+  }
+
   test("streamingRetention: emitted (user, cohort, offset) rows roll up to the batch retention") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
