@@ -1167,6 +1167,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Trigram Stupid-Backoff (the context rung above x_bigram_nll):
+    // seen-trigram ratio, else 0.4 x bigram ratio, else 0.4^2 x unigram,
+    // else 0.4^2/N — count ratios only, the two -ln(0.4) terms the same
+    // baked literal on both engines.
+    "x_trigram_nll" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.trigramNll(docs, docs.where(col("doc_id") % 10 < 8),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): every doc in the raw
     // pool scores ln(p_target/p_raw) under hashed unigram+bigram bucket
     // models of a 2-source "quality" target vs the whole pool — the
@@ -5960,6 +5971,62 @@ object SparkEntry {
         | FROM sc GROUP BY 1)
         |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
         | ROUND(per.s / CAST(per.n_bigrams AS DOUBLE), 9) AS avg_nll
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // The same backoff CASE over string-keyed count tables (the engine
+    // groups on xxhash64 keys — collision-free at fixture scale, the
+    // x_bigram_nll convention); zipped unnests build the trigram
+    // positions, both -ln(0.4) terms are the identical literal added
+    // left-to-right as in the engine.
+    "x_trigram_nll" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |tr AS (SELECT * FROM toks WHERE doc_id % 10 < 8),
+        |c1 AS (SELECT t, COUNT(*) AS c1
+        |  FROM (SELECT unnest(tok) AS t FROM tr) GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS N FROM c1),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM (
+        |  SELECT unnest(tok[1:len(tok)-1]) AS w1,
+        |         unnest(tok[2:len(tok)]) AS w2 FROM tr) GROUP BY 1, 2),
+        |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM (
+        |  SELECT unnest(tok[1:len(tok)-2]) AS w1,
+        |         unnest(tok[2:len(tok)-1]) AS w2,
+        |         unnest(tok[3:len(tok)]) AS w3 FROM tr) GROUP BY 1, 2, 3),
+        |tf AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, unnest(tok[1:len(tok)-2]) AS w1,
+        |         unnest(tok[2:len(tok)-1]) AS w2,
+        |         unnest(tok[3:len(tok)]) AS w3 FROM toks) GROUP BY 1, 2, 3, 4),
+        |sc AS (
+        | SELECT tf.doc_id, tf.tf, CAST(tf.tf AS DOUBLE) * (
+        |   CASE WHEN t3.c3 IS NOT NULL AND b12.c2 IS NOT NULL
+        |     THEN ln(CAST(b12.c2 AS DOUBLE)) - ln(CAST(t3.c3 AS DOUBLE))
+        |   WHEN b23.c2 IS NOT NULL AND u2.c1 IS NOT NULL
+        |     THEN CAST(0.916290731874155 AS DOUBLE)
+        |       + ln(CAST(u2.c1 AS DOUBLE)) - ln(CAST(b23.c2 AS DOUBLE))
+        |   WHEN u3.c1 IS NOT NULL
+        |     THEN CAST(0.916290731874155 AS DOUBLE)
+        |       + CAST(0.916290731874155 AS DOUBLE)
+        |       + ln(CAST(n.N AS DOUBLE)) - ln(CAST(u3.c1 AS DOUBLE))
+        |   ELSE CAST(0.916290731874155 AS DOUBLE)
+        |     + CAST(0.916290731874155 AS DOUBLE)
+        |     + ln(CAST(n.N AS DOUBLE))
+        |   END) AS nll
+        | FROM tf
+        |   LEFT JOIN c3 t3 ON tf.w1 = t3.w1 AND tf.w2 = t3.w2
+        |     AND tf.w3 = t3.w3
+        |   LEFT JOIN c2 b12 ON tf.w1 = b12.w1 AND tf.w2 = b12.w2
+        |   LEFT JOIN c2 b23 ON tf.w2 = b23.w1 AND tf.w3 = b23.w2
+        |   LEFT JOIN c1 u2 ON tf.w2 = u2.t
+        |   LEFT JOIN c1 u3 ON tf.w3 = u3.t
+        |   CROSS JOIN n),
+        |per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(CAST(nll AS DECIMAL(30,15))) AS DOUBLE) AS s
+        | FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_trigrams, 0) AS n_trigrams,
+        | ROUND(per.s / CAST(per.n_trigrams AS DOUBLE), 9) AS avg_nll
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -685,6 +685,106 @@ object Corpus {
         round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
   }
 
+  /** Trigram Stupid-Backoff NLL — the context rung above [[bigramNll]]
+    * (Brants et al. 2007, "Large Language Models in Machine
+    * Translation": at web scale, unnormalized count ratios with a
+    * fixed 0.4 backoff factor match smoothed KN for selection
+    * purposes at a fraction of the cost). Per trigram position
+    * (3..n of each doc):
+    *
+    *   S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)         seen trigram
+    *              | 0.4·c(w₂w₃)/c(w₂)          backoff to bigram
+    *              | 0.4²·c(w₃)/N               backoff to unigram
+    *              | 0.4²·(1/N)                 unseen everywhere
+    *
+    * emitted as per-doc avg negative-log score, the same
+    * cross-engine transcendental discipline as [[bigramNll]]: every
+    * `ln` input is an integral count, the two −ln(0.4) terms are the
+    * SAME baked literal added in the same order, and per-doc sums
+    * accumulate in DECIMAL(30,15) before the one double divide.
+    *
+    * Shuffle profile: three train-count aggregations (unigram /
+    * bigram / trigram, map-side partials), the doc side collapses to
+    * (doc, trigram, tf) before its one data-sized exchange, then
+    * hash-key left joins against the count tables and a per-doc
+    * rollup — bodies never shuffle, N is a 1-row broadcast.
+    *
+    * @return (idCol, n_trigrams, avg_nll) — avg_nll null for docs
+    *         with < 3 tokens (nothing to score, reported honestly)
+    */
+  def trigramNll(df: DataFrame, train: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val toks = col("__tk")
+    def withToks(d: DataFrame, keep: Column*): DataFrame =
+      d.select(keep :+ TextFunctions.tokens(col(textCol)).as("__tk"): _*)
+    def bigramKeys(d: DataFrame): DataFrame =
+      withToks(d)
+        .select(explode(
+          transform(slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (t, i) => struct(element_at(toks, i + 1).as("w1"), t.as("w2"))))
+          .as("__bg"))
+        .select(xxhash64(col("__bg.w1"), col("__bg.w2")).as("__h12"))
+    def trigramKeys(d: DataFrame, keep: Column*): DataFrame =
+      withToks(d, keep: _*)
+        .select(keep :+ explode(
+          transform(slice(toks, lit(3), greatest(size(toks) - 2, lit(0))),
+            (t, i) => struct(element_at(toks, i + 1).as("w1"),
+              element_at(toks, i + 2).as("w2"), t.as("w3"))))
+          .as("__tg"): _*)
+        .select(keep
+          :+ xxhash64(col("__tg.w1"), col("__tg.w2"), col("__tg.w3"))
+            .as("__h123")
+          :+ xxhash64(col("__tg.w1"), col("__tg.w2")).as("__h12")
+          :+ xxhash64(col("__tg.w2"), col("__tg.w3")).as("__h23")
+          :+ xxhash64(col("__tg.w2")).as("__h2")
+          :+ xxhash64(col("__tg.w3")).as("__h3"): _*)
+    val trainToks = train
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .select(xxhash64(col("__t")).as("__h"))
+    val c1 = trainToks.groupBy(col("__h")).agg(count(lit(1)).as("__c1"))
+    val n = c1.agg(sum(col("__c1")).as("__N"))
+    val c2 = bigramKeys(train)
+      .groupBy(col("__h12")).agg(count(lit(1)).as("__c2"))
+    val c3 = trigramKeys(train)
+      .groupBy(col("__h123")).agg(count(lit(1)).as("__c3"))
+    val tf = trigramKeys(df, id)
+      .groupBy(id, col("__h123"), col("__h12"), col("__h23"),
+        col("__h2"), col("__h3"))
+      .agg(count(lit(1)).as("__tf"))
+    val backoff1 = lit(-Ln04)
+    val scored = tf
+      .join(c3, Seq("__h123"), "left")
+      .join(c2.withColumnRenamed("__c2", "__c12"), Seq("__h12"), "left")
+      .join(c2.withColumnRenamed("__h12", "__h23")
+        .withColumnRenamed("__c2", "__c23"), Seq("__h23"), "left")
+      .join(c1.withColumnRenamed("__h", "__h2")
+        .withColumnRenamed("__c1", "__cw2"), Seq("__h2"), "left")
+      .join(c1.withColumnRenamed("__h", "__h3")
+        .withColumnRenamed("__c1", "__cw3"), Seq("__h3"), "left")
+      .crossJoin(broadcast(n))
+      .select(id, col("__tf"),
+        (col("__tf").cast("double") *
+          when(col("__c3").isNotNull && col("__c12").isNotNull,
+            log(col("__c12").cast("double")) - log(col("__c3").cast("double")))
+          .when(col("__c23").isNotNull && col("__cw2").isNotNull,
+            backoff1 + log(col("__cw2").cast("double")) -
+              log(col("__c23").cast("double")))
+          .when(col("__cw3").isNotNull,
+            backoff1 + backoff1 + log(col("__N").cast("double")) -
+              log(col("__cw3").cast("double")))
+          .otherwise(backoff1 + backoff1 + log(col("__N").cast("double"))))
+          .as("__nll"))
+      .groupBy(id).agg(
+        sum(col("__tf")).as("__n"),
+        sum(col("__nll").cast(DecimalType(30, 15))).cast("double").as("__s"))
+    df.select(id)
+      .join(scored, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("__n"), lit(0L)).as("n_trigrams"),
+        round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * NeurIPS): per-document log importance weight `ln(p_target(x) /
     * p_raw(x))` under hashed-n-gram bag-of-features unigram models of a

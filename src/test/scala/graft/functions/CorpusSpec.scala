@@ -789,6 +789,30 @@ class CorpusSpec extends SparkSpec {
     assert(out((None, Some("http://a/b"))) == None)
   }
 
+  test("trigramNll: Stupid-Backoff ladder — trigram, 0.4·bigram, 0.4²·unigram, 0.4²/N") {
+    import spark.implicits._
+    val train = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"), // seen trigram: c3=1, c12(a,b)=2 → ln2
+      (2L, "x a b"), // bigram backoff: c23(a,b)=2, c(a)=2 → −ln0.4
+      (3L, "x y c"), // unigram backoff: c(c)=1, N=6 → 2·−ln0.4 + ln6
+      (4L, "x y z"), // unseen everywhere → 2·−ln0.4 + ln6
+      (5L, "a b"))   // too short to score
+      .toDF("doc_id", "text")
+    val out = Corpus.trigramNll(docs, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    val b = 0.916290731874155 // −ln(0.4), the baked literal
+    def close(got: Option[Double], want: Double): Boolean =
+      got.exists(g => math.abs(g - want) < 1e-9)
+    assert(out(1L)._1 == 1L && close(out(1L)._2, math.log(2.0)))
+    assert(close(out(2L)._2, b + math.log(2.0) - math.log(2.0)))
+    assert(close(out(3L)._2, b + b + math.log(6.0) - math.log(1.0)))
+    assert(close(out(4L)._2, b + b + math.log(6.0)))
+    assert(out(5L) == ((0L, None)))
+  }
+
   test("pslRegisteredDomains: longest match, wildcard, exception, default rule") {
     import spark.implicits._
     val psl = Seq(
