@@ -2295,11 +2295,14 @@ object SparkEntry {
           lit("<a href=\"https://other.site.io/c\">x</a>"))
           .otherwise(lit("")))
       val docs = t(s, dir, "documents")
-      val src = Corpus.urlCanonicalize(
+      // Pin both canonicalize projections: their null-filters and the
+      // final aggregate would otherwise re-evaluate the 20-regex chain
+      // per consumer (predicate pushdown substitutes the expression)
+      val src = graft.functions.Pin.pin(Corpus.urlCanonicalize(
           docs.select(col("doc_id"), col("lang"), plantedUrl.as("url")),
           "doc_id", "url")
         .select(col("doc_id"), col("url_canon"),
-          col("registered_domain").as("src_domain"))
+          col("registered_domain").as("src_domain")))
         // a null src (unparseable base URL) has no place in the edge
         // list, and NULL ordering differs between engines (Spark
         // NULLS FIRST vs DuckDB NULLS LAST)
@@ -2308,12 +2311,12 @@ object SparkEntry {
         docs.select(col("doc_id"), page.as("html")), "doc_id", "html")
       // one doc_id equi-join hands every link its base URL; resolution
       // + canonicalization stay map-only after it
-      val dst = Corpus.urlCanonicalize(
+      val dst = graft.functions.Pin.pin(Corpus.urlCanonicalize(
           Corpus.resolveLinks(links.join(src, "doc_id"),
               "href", "url_canon")
             .select(col("doc_id"), col("src_domain"), col("href_resolved")),
           "doc_id", "href_resolved", carryCols = Seq("src_domain"))
-        .select(col("src_domain"), col("registered_domain").as("dst_domain"))
+        .select(col("src_domain"), col("registered_domain").as("dst_domain")))
         .where(col("dst_domain").isNotNull)
       dst.groupBy(col("src_domain"), col("dst_domain"))
         .agg(count(lit(1)).as("n_links"))

@@ -1338,7 +1338,17 @@ object Corpus {
         .when(h === "", baseGuard(assemble(bPre, bPath, bQuery)))
         .when(h.startsWith("?"), baseGuard(assemble(bPre, bPath, h)))
         .otherwise(baseGuard(assemble(bPre, concat(bDir, hPath), hQuery)))
-    df.withColumn(outCol, resolved)
+    // Materialization barrier: the resolved URL is an ~800-node
+    // expression (branch CASE + the dot-segment fold). A downstream
+    // projection that reads it many times — urlCanonicalize derives
+    // ~15 columns from its input — would have CollapseProject inline
+    // the whole tree into EVERY reference, multiplying the regex work
+    // and blowing past the codegen size limit into interpreted mode
+    // (measured: 457 KB plan, 23.7 s vs 3.4 s at sf0.1). explode of a
+    // 1-element array is a Generate node: projections never collapse
+    // across it, so the value computes ONCE per row and downstream
+    // reads an attribute. No shuffle, partitioning preserved.
+    df.select(col("*"), explode(array(resolved)).as(outCol))
   }
 
   /** Public-Suffix-List-backed registered domains — the upgrade path
