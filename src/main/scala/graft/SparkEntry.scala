@@ -2269,10 +2269,12 @@ object SparkEntry {
     // non-default port retained, co.uk registered-domain heuristic.
     // Map-only; every stage mirrors in DuckDB regex/list primitives.
     "x_url_canon" -> ((s, dir) =>
-      Corpus.urlCanonicalize(
+      // pinned: the orderBy's sort key would otherwise re-inline the
+      // 20-regex chain (the Pin round-12 lesson)
+      graft.functions.Pin.pin(Corpus.urlCanonicalize(
           t(s, dir, "documents").select(col("doc_id"),
             plantedUrl.as("url")),
-          "doc_id", "url")
+          "doc_id", "url"))
         .orderBy("doc_id")),
 
     // Crawl → links → canonical domains → edge census: hrefs extracted
@@ -2348,11 +2350,13 @@ object SparkEntry {
     // (n_docs − n_urls), volume, stripped-tracker census — one
     // domain-keyed aggregation after the map-only canonicalizer.
     "x_domain_stats" -> ((s, dir) =>
+      // pinned: the rollup's filter, grouping key and countDistinct
+      // would each re-inline the canonicalize chain
       Corpus.domainStats(
-          Corpus.urlCanonicalize(
+          graft.functions.Pin.pin(Corpus.urlCanonicalize(
             t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
               plantedUrl.as("url")),
-            "doc_id", "url", carryCols = Seq("n_chars")),
+            "doc_id", "url", carryCols = Seq("n_chars"))),
           "n_chars")
         .orderBy("registered_domain")),
 

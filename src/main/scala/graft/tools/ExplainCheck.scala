@@ -22,7 +22,11 @@ object ExplainCheck {
         s"broadcastJoins=${n("BroadcastHashJoin")} " +
         s"sortMergeJoins=${n("SortMergeJoin")} " +
         s"nestedLoop=${n("BroadcastNestedLoopJoin")} " +
-        s"cartesian=${n("CartesianProduct")}")
+        s"cartesian=${n("CartesianProduct")} " +
+        // plan size + regex-node count: the x_link_graph round-12
+        // lesson — a collapsed expensive projection shows up as a
+        // plan orders of magnitude bigger than its peers
+        s"planChars=${plan.length} regexNodes=${n("regexp_")}")
     }
     spark.stop()
   }
