@@ -133,12 +133,17 @@ object SparkEntry {
     * fixpoint in a recursive CTE. Plain concatenation — the patterns
     * contain `$` anchors.
     */
-  private def dotStepSql(x: String): String =
+  private def dotStepSql(x: String): String = {
+    // "anything but . or ..", empty included — RE2 has no lookahead,
+    // so the exclusion is spelled as an alternation (mirrors
+    // Corpus.PoppableSeg exactly)
+    val seg = "(?:|[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       "regexp_replace(regexp_replace(" + x +
       ", '/\\./', '/', 'g'), '/\\.$', '/'), '^/\\.\\./', '/'), " +
-      "'^/\\.\\.$', '/'), '/[^/]+/\\.\\./', '/', 'g'), " +
-      "'/[^/]+/\\.\\.$', '/')"
+      "'^/\\.\\.$', '/'), '/" + seg + "/\\.\\./', '/', 'g'), " +
+      "'/" + seg + "/\\.\\.$', '/')"
+  }
 
   /** Optional comma-separated query-name subset from SPARK_GRAFT_QUERIES —
     * the shared Bench/Verify local-iteration filter (driver leaves it

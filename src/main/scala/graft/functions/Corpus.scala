@@ -1236,17 +1236,29 @@ object Corpus {
     * it) — the `..`-at-root drop (rules 3-4) and the pop (rules 5-6)
     * compose the same way the RFC's left-to-right stack walk does,
     * because a leftmost replace can never skip a poppable segment to
-    * its left. The SAME rule chain runs in the DuckDB oracle (a
-    * recursive-CTE fixpoint), so both engines share one algorithm
-    * instead of two implementations proven equal by hope.
+    * its left. The poppable segment is "anything but `.` or `..`",
+    * EMPTY included (`/a//../b` pops the empty stack entry exactly as
+    * the RFC walk does) — written as an RE2-safe alternation because
+    * the oracle's regex engine has no lookahead. Popping a literal
+    * `.`/`..` segment instead would mis-collapse runs the single-pass
+    * rules haven't cleared yet (`/a/cc/./././..` must become `/a/`,
+    * not `/a/cc/` — a `..` may never consume a dot segment), so those
+    * wait for the next fixpoint iteration. Whenever any dot segment
+    * remains some rule still fires, so the fixpoint never stalls. The
+    * SAME rule chain runs in the DuckDB oracle (a recursive-CTE
+    * fixpoint) — one algorithm, two engines — and the
+    * CurationPropertySpec fuzzes it against an independent stack-walk
+    * reference over adversarial segment soup (dot runs, empty
+    * segments, dotted names, trailing slashes).
     */
+  private val PoppableSeg = "(?:|[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
   private def dotStep(p: Column): Column = {
     val r1 = regexp_replace(p, lit("/\\./"), lit("/"))
     val r2 = regexp_replace(r1, lit("/\\.$"), lit("/"))
     val r3 = regexp_replace(r2, lit("^/\\.\\./"), lit("/"))
     val r4 = regexp_replace(r3, lit("^/\\.\\.$"), lit("/"))
-    val r5 = regexp_replace(r4, lit("/[^/]+/\\.\\./"), lit("/"))
-    regexp_replace(r5, lit("/[^/]+/\\.\\.$"), lit("/"))
+    val r5 = regexp_replace(r4, lit("/" + PoppableSeg + "/\\.\\./"), lit("/"))
+    regexp_replace(r5, lit("/" + PoppableSeg + "/\\.\\.$"), lit("/"))
   }
 
   /** `remove_dot_segments` as a bounded fold: each non-fixpoint

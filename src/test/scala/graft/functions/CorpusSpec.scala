@@ -735,6 +735,14 @@ class CorpusSpec extends SparkSpec {
       "g/../h" -> "http://a/b/c/h",
       "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
       "g;x=1/../y" -> "http://a/b/c/y",
+      // fuzz-found regressions, pinned: a `..` may never consume a dot
+      // segment the single-pass rules haven't cleared yet…
+      "./././.." -> "http://a/b/",
+      "cc/./././.." -> "http://a/b/c/",
+      "cc/a/../../.." -> "http://a/b/",
+      // …and an EMPTY segment is a poppable stack entry
+      "x//../y" -> "http://a/b/c/x/y",
+      "x///../y" -> "http://a/b/c/x//y",
       // dot-segments in the QUERY are data, not hierarchy
       "g?y/./x" -> "http://a/b/c/g?y/./x",
       "g?y/../x" -> "http://a/b/c/g?y/../x",

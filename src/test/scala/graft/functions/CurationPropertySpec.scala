@@ -124,4 +124,95 @@ class CurationPropertySpec extends SparkSpec {
       assert(got == want, s"seed=$seed obs=$obs maxGap=$maxGap")
     }
   }
+
+  // --- resolveLinks: regex fixpoint ≡ RFC 3986 §5.2.4 stack walk --------
+  // An INDEPENDENT implementation of remove_dot_segments (the RFC's own
+  // left-to-right stack algorithm, transcribed) fuzzed against the
+  // engine's six-rule replace-all fixpoint over adversarial segment soup
+  // — dot runs, empty segments, dotted-name segments, trailing slashes.
+  private def rfcRemoveDots(path: String): String = {
+    val out = new StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) {
+        in = "/" + in.substring(4)
+        val i = out.lastIndexOf("/")
+        out.setLength(if (i >= 0) i else 0)
+      } else if (in == "/..") {
+        in = "/"
+        val i = out.lastIndexOf("/")
+        out.setLength(if (i >= 0) i else 0)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val i = in.indexOf('/', 1)
+        val seg = if (i == -1) in else in.substring(0, i)
+        out.append(seg)
+        in = if (i == -1) "" else in.substring(i)
+      }
+    }
+    out.toString
+  }
+
+  private val segGen: Gen[String] =
+    Gen.oneOf("a", "b", "cc", "", ".", "..", "...", ".x", "x.", "..y")
+
+  private val rootedPathGen: Gen[String] = for {
+    n <- Gen.choose(0, 7)
+    segs <- Gen.listOfN(n, segGen)
+    trail <- Gen.oneOf("", "/")
+  } yield "/" + segs.mkString("/") + trail
+
+  test("resolveLinks dot-collapse ≡ the RFC stack walk on 400 fuzzed rooted paths") {
+    val paths = (1 to 400).map(i =>
+      rootedPathGen(Gen.Parameters.default, Seed(i.toLong)).get).distinct
+      // '//'-led strings are network-path references (protocol-relative
+      // authority), not rooted paths — a different, correct branch
+      .filterNot(_.startsWith("//"))
+    val df = paths.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "href").withColumn("base", lit("http://h"))
+    val got = Corpus.resolveLinks(df, "href", "base")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    paths.zipWithIndex.foreach { case (p, i) =>
+      assert(got(i.toLong) == "http://h" + rfcRemoveDots(p),
+        s"path '$p'")
+    }
+  }
+
+  test("resolveLinks relative merge ≡ the RFC reference on 300 fuzzed (base, href) pairs") {
+    def refResolve(basePath: String, href: String): String = {
+      val (hp, hq) = href.span(_ != '?')
+      val merged =
+        if (hp.startsWith("/")) hp
+        else {
+          val i = basePath.lastIndexOf('/')
+          (if (i == -1) "/" else basePath.take(i + 1)) + hp
+        }
+      "http://h" + rfcRemoveDots(merged) + hq
+    }
+    val relGen: Gen[(String, String)] = for {
+      bp <- rootedPathGen
+      n <- Gen.choose(1, 5)
+      segs <- Gen.listOfN(n, segGen)
+      q <- Gen.oneOf("", "?k=1", "?y/./x")
+    } yield (bp, segs.mkString("/") + q)
+    val cases = (1 to 300).map(i =>
+      relGen(Gen.Parameters.default, Seed(1000L + i)).get)
+      .distinct
+      // an href that is empty or query-only before '?' takes the
+      // same-document branch, and '//'-led hrefs the network-path
+      // branch — both covered by the RFC example spec
+      .filter { case (_, h) => h.takeWhile(_ != '?').nonEmpty }
+      .filterNot { case (_, h) => h.startsWith("//") }
+    val df = cases.zipWithIndex.map { case ((bp, h), i) =>
+      (i.toLong, h, "http://h" + bp) }.toDF("id", "href", "base")
+    val got = Corpus.resolveLinks(df, "href", "base")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    cases.zipWithIndex.foreach { case ((bp, h), i) =>
+      assert(got(i.toLong) == refResolve(bp, h), s"base '$bp' href '$h'")
+    }
+  }
 }
