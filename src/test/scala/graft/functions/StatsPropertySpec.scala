@@ -114,4 +114,117 @@ class StatsPropertySpec extends SparkSpec {
       assert(got == want, s"sample $i (nQ=$nQ nC=$nC k=$k)")
     }
   }
+
+  // --- aucPiecesByGroup ≡ the O(n²) Mann–Whitney pair count -------------
+  // auc_num doubles the pair statistic: 2·#{score⁺ > score⁻} + #{ties},
+  // so a brute-force pair walk is an exact independent oracle. Heavy tie
+  // pools, null/NaN rows, one-class and single-row groups included.
+  test("aucPiecesByGroup == brute-force pair counting on 15 sampled datasets") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("s", DoubleType),
+      StructField("y", BooleanType)))
+    val rowGen: Gen[(String, Option[Double], Option[Boolean])] = for {
+      g <- Gen.oneOf("a", "b", "c", "d")
+      s <- Gen.oneOf(Gen.oneOf(0.0, 1.0, 2.0).map(Some(_)),
+        Gen.chooseNum(-5.0, 5.0).map(Some(_)),
+        Gen.const(Option.empty[Double]),
+        Gen.const(Some(Double.NaN)))
+      y <- Gen.oneOf(Some(true), Some(false), Option.empty[Boolean])
+    } yield (g, s, y)
+    (1 to 15).foreach { i =>
+      val n = Gen.chooseNum(1, 60).apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val rows = Gen.listOfN(n, rowGen)(Gen.Parameters.default,
+        Seed(500L + i)).get
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (g, s, y) =>
+          Row(g, s.map(Double.box).orNull, y.map(Boolean.box).orNull) }, 3),
+        schema)
+      val got = Stats.aucPiecesByGroup(df, "s", "y", "g")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            r.getDecimal(4).longValueExact, r.getDecimal(5).longValueExact)))
+        .toMap
+      val eligible = rows.collect {
+        case (g, Some(s), Some(y)) if !s.isNaN => (g, s, y) }
+      val want = eligible.groupBy(_._1).map { case (g, rs) =>
+        val pos = rs.filter(_._3).map(_._2)
+        val neg = rs.filterNot(_._3).map(_._2)
+        val num = pos.iterator.map(p =>
+          2L * neg.count(p > _) + neg.count(p == _)).sum
+        g -> ((pos.size.toLong, neg.size.toLong, num,
+          2L * pos.size * neg.size))
+      }
+      assert(got == want, s"sample $i")
+    }
+  }
+
+  // --- pslRegisteredDomains ≡ a brute-force PSL walk --------------------
+  // Independent reference: enumerate every candidate suffix, apply the
+  // published precedence (exception wins, else longest, else the bare
+  // TLD), take one more label. Random hosts × random rule subsets.
+  test("pslRegisteredDomains == brute-force PSL resolution on 12 sampled rule sets") {
+    import spark.implicits._
+    val rulePool = Seq("com", "io", "github.io", "co.uk", "uk", "play",
+      "a.b", "*.play", "*.io", "!www.play", "!x.io", "!uk")
+    val labelPool = Seq("a", "b", "github", "io", "co", "uk", "com",
+      "play", "www", "x")
+    val hostGen: Gen[String] = for {
+      n <- Gen.choose(1, 5)
+      labs <- Gen.listOfN(n, Gen.oneOf(labelPool))
+      port <- Gen.oneOf("", ":80", ":8080")
+    } yield labs.mkString(".") + port
+    def ref(host: String, rules: Seq[String]): (String, Option[String]) = {
+      val bare = host.toLowerCase.replaceAll(":[0-9]+$", "")
+        .replaceAll("\\.$", "")
+      val labels = bare.split("\\.", -1).toSeq
+      val n = labels.size
+      val parsed = rules.map(_.trim.toLowerCase)
+        .filter(r => r.nonEmpty && !r.startsWith("//"))
+        .map { r =>
+          if (r.startsWith("!")) ("exc", r.drop(1))
+          else if (r.startsWith("*.")) ("wild", r.drop(2))
+          else ("plain", r)
+        }.distinct
+      val hits = for {
+        (kind, base) <- parsed
+        i <- 0 until n
+        cand = labels.drop(i).mkString(".")
+        clen = n - i
+        hit <- kind match {
+          case "plain" if cand == base => Some((clen, false))
+          case "exc" if cand == base   => Some((clen - 1, true))
+          case "wild" if cand.contains(".") &&
+            cand.split("\\.", 2)(1) == base => Some((clen, false))
+          case _ => None
+        }
+      } yield hit
+      val exc = hits.collect { case (l, true) => l }
+      val norm = hits.collect { case (l, false) => l }
+      val psLen =
+        if (exc.nonEmpty) exc.max else if (norm.nonEmpty) norm.max else 1
+      val ps = labels.takeRight(psLen).mkString(".")
+      val reg = if (n > psLen) Some(labels.takeRight(psLen + 1).mkString("."))
+        else None
+      (ps, reg)
+    }
+    (1 to 12).foreach { i =>
+      val rules = Gen.someOf(rulePool)(Gen.Parameters.default,
+        Seed(i.toLong)).get.toSeq
+      if (rules.nonEmpty) {
+        val hosts = Gen.listOfN(40, hostGen)(Gen.Parameters.default,
+          Seed(700L + i)).get.distinct
+        val got = Corpus.pslRegisteredDomains(
+            hosts.toDF("h"), "h", rules.toDF("suffix"))
+          .collect().map(r => r.getString(0) ->
+            ((r.getString(1), Option(r.getString(2))))).toMap
+        hosts.foreach { h =>
+          assert(got(h.toLowerCase) == ref(h, rules),
+            s"sample $i host '$h' rules $rules")
+        }
+      }
+    }
+  }
 }
