@@ -2340,7 +2340,11 @@ object SparkEntry {
       val hrefs = Seq("g", "./g?y#s", "../../x", "/rooted/../x",
         "//proto.example.io/a/./b",
         "https://abs.example.com/a/b/../c?z",
-        "?q=2", "#frag", "g/../h/./", "mailto:x@example.com")
+        "?q=2", "#frag", "g/../h/./", "mailto:x@example.com",
+        // the fuzz-found pop-rule regressions, pinned CROSS-ENGINE: a
+        // `..` never consumes an uncleared dot segment, `..` never
+        // pops `..`, and empty segments pop like any stack entry
+        "cc/./././..", "cc/a/../../..", "x//../y")
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), plantedUrl.as("base"))
       val links = docs.select(col("doc_id"), col("base"),
@@ -7451,7 +7455,9 @@ object SparkEntry {
         |   (4, '//proto.example.io/a/./b'),
         |   (5, 'https://abs.example.com/a/b/../c?z'),
         |   (6, '?q=2'), (7, '#frag'), (8, 'g/../h/./'),
-        |   (9, 'mailto:x@example.com')) AS x(link_idx, href)),
+        |   (9, 'mailto:x@example.com'),
+        |   (10, 'cc/./././..'), (11, 'cc/a/../../..'),
+        |   (12, 'x//../y')) AS x(link_idx, href)),
         |s1 AS (SELECT doc_id, link_idx, href,
         |  regexp_replace(href, '#.*$', '') AS h,
         |  regexp_replace(TRIM(base), '#.*$', '') AS b FROM l),
