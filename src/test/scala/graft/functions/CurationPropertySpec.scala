@@ -125,6 +125,82 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  // --- trigramNll ≡ a driver-side Stupid-Backoff reference --------------
+  // Tiny-vocab random corpora maximize collisions across all four
+  // backoff rungs; unseen-word docs exercise the unigram/OOV floors.
+  test("trigramNll == driver-side Stupid-Backoff on 12 sampled corpora") {
+    import spark.implicits._
+    val b = 0.916290731874155
+    def toks(s: String) = s.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def ref(train: Seq[String], doc: String): (Long, Option[Double]) = {
+      val tt = train.flatMap(toks)
+      val c1 = tt.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = tt.size.toLong
+      val c2 = train.map(toks).flatMap(_.sliding(2).filter(_.size == 2))
+        .map(w => (w(0), w(1))).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val c3 = train.map(toks).flatMap(_.sliding(3).filter(_.size == 3))
+        .map(w => (w(0), w(1), w(2))).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val tris = toks(doc).sliding(3).filter(_.size == 3).toSeq
+      if (tris.isEmpty) (0L, None)
+      else {
+        val nlls = tris.map { w =>
+          val (w1, w2, w3) = (w(0), w(1), w(2))
+          c3.get((w1, w2, w3)).zip(c2.get((w1, w2))) match {
+            case Some((t, bi)) =>
+              math.log(bi.toDouble) - math.log(t.toDouble)
+            case None => c2.get((w2, w3)).zip(c1.get(w2)) match {
+              case Some((bi, u)) =>
+                b + math.log(u.toDouble) - math.log(bi.toDouble)
+              case None => c1.get(w3) match {
+                case Some(u) =>
+                  b + b + math.log(n.toDouble) - math.log(u.toDouble)
+                case None => b + b + math.log(n.toDouble)
+              }
+            }
+          }
+        }
+        (tris.size.toLong, Some(nlls.sum / tris.size))
+      }
+    }
+    val docGen: Gen[String] = for {
+      len <- Gen.choose(0, 9)
+      ws <- Gen.listOfN(len, Gen.frequency(
+        8 -> Gen.oneOf("a", "b", "c", "d"), 1 -> Gen.const("zz")))
+    } yield ws.mkString(" ")
+    (1 to 12).foreach { i =>
+      val nTrain = Gen.choose(2, 4)
+        .apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val nDocs = Gen.choose(1, 6)
+        .apply(Gen.Parameters.default, Seed(50L + i)).get
+      val texts = Gen.listOfN(nTrain + nDocs, docGen)
+        .apply(Gen.Parameters.default, Seed(100L + i)).get
+      val (train, docs) = texts.splitAt(nTrain)
+      // a train slice with zero tokens has no model — skip that draw
+      if (train.exists(t => toks(t).nonEmpty)) {
+        val trainDf = train.zipWithIndex
+          .map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+        val docsDf = docs.zipWithIndex
+          .map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+        val got = Corpus.trigramNll(docsDf, trainDf, "doc_id", "text")
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1),
+              if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+        docs.zipWithIndex.foreach { case (t, j) =>
+          val (wantN, wantAvg) = ref(train, t)
+          val (gotN, gotAvg) = got(j.toLong)
+          assert(gotN == wantN, s"sample $i doc '$t' n")
+          (gotAvg, wantAvg) match {
+            case (Some(g), Some(w)) =>
+              assert(math.abs(g - w) < 1e-9, s"sample $i doc '$t': $g vs $w")
+            case (g, w) => assert(g == w, s"sample $i doc '$t'")
+          }
+        }
+      }
+    }
+  }
+
   // --- resolveLinks: regex fixpoint ≡ RFC 3986 §5.2.4 stack walk --------
   // An INDEPENDENT implementation of remove_dot_segments (the RFC's own
   // left-to-right stack algorithm, transcribed) fuzzed against the
