@@ -333,6 +333,49 @@ class StreamingSpec extends SparkSpec {
       s"streaming cells $latest must equal batch cells $batch")
   }
 
+  test("streamingConfusion: stream == batch under random multi-way batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // deterministic pseudo-random rows + split points (no RNG in tests)
+    (1 to 3).foreach { seed =>
+      val rows: Seq[(String, Option[Boolean], Option[Boolean])] =
+        (0 until 24).map { j =>
+          val h = (j * 2654435761L + seed * 40503L) & 0x7fffffff
+          val g = "g" + (h % 3)
+          val p = if ((h >> 3) % 7 == 0) None else Some((h >> 4) % 2 == 0)
+          val y = if ((h >> 5) % 9 == 0) None else Some((h >> 6) % 2 == 0)
+          (g, p, y)
+        }
+      val cut1 = (seed * 7) % 20 + 2
+      val cut2 = cut1 + (seed * 5) % (23 - cut1) + 1
+      val input = MemoryStream[(String, Option[Boolean], Option[Boolean])]
+      val q = MicroBatch.streamingConfusion(input.toDS())
+        .writeStream.format("memory").queryName(s"conf_fuzz_$seed")
+        .outputMode("update").start()
+      Seq(rows.take(cut1), rows.slice(cut1, cut2), rows.drop(cut2))
+        .filter(_.nonEmpty).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+      def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      val latest = spark.table(s"conf_fuzz_$seed").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), opt(r, 6), opt(r, 7), opt(r, 8),
+          opt(r, 9)))
+        .groupBy(_._1)
+        .map { case (g, vs) =>
+          g -> vs.maxBy(v => v._2 + v._3 + v._4 + v._5 + v._6) }
+      q.stop()
+      val batch = graft.functions.Stats.confusionStatsByGroup(
+          spark.createDataset(rows).toDF("g", "pred", "y"), "pred", "y", "g")
+        .collect().map(r => r.getString(0) ->
+          ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), opt(r, 6), opt(r, 7), opt(r, 8),
+            opt(r, 9)))).toMap
+      assert(latest == batch, s"seed $seed cuts ($cut1, $cut2)")
+    }
+  }
+
   test("streamingRetention: emitted (user, cohort, offset) rows roll up to the batch retention") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
