@@ -2274,12 +2274,12 @@ object SparkEntry {
     // non-default port retained, co.uk registered-domain heuristic.
     // Map-only; every stage mirrors in DuckDB regex/list primitives.
     "x_url_canon" -> ((s, dir) =>
-      // pinned: the orderBy's sort key would otherwise re-inline the
-      // 20-regex chain (the Pin round-12 lesson)
-      graft.functions.Pin.pin(Corpus.urlCanonicalize(
+      // urlCanonicalize pins internally (round-12 lesson made
+      // structural in round 13): the orderBy reads plain attributes
+      Corpus.urlCanonicalize(
           t(s, dir, "documents").select(col("doc_id"),
             plantedUrl.as("url")),
-          "doc_id", "url"))
+          "doc_id", "url")
         .orderBy("doc_id")),
 
     // Crawl → links → canonical domains → edge census: hrefs extracted
@@ -2302,14 +2302,13 @@ object SparkEntry {
           lit("<a href=\"https://other.site.io/c\">x</a>"))
           .otherwise(lit("")))
       val docs = t(s, dir, "documents")
-      // Pin both canonicalize projections: their null-filters and the
-      // final aggregate would otherwise re-evaluate the 20-regex chain
-      // per consumer (predicate pushdown substitutes the expression)
-      val src = graft.functions.Pin.pin(Corpus.urlCanonicalize(
+      // both canonicalize projections pin internally, so the
+      // null-filters and the final aggregate read plain attributes
+      val src = Corpus.urlCanonicalize(
           docs.select(col("doc_id"), col("lang"), plantedUrl.as("url")),
           "doc_id", "url")
         .select(col("doc_id"), col("url_canon"),
-          col("registered_domain").as("src_domain")))
+          col("registered_domain").as("src_domain"))
         // a null src (unparseable base URL) has no place in the edge
         // list, and NULL ordering differs between engines (Spark
         // NULLS FIRST vs DuckDB NULLS LAST)
@@ -2318,12 +2317,12 @@ object SparkEntry {
         docs.select(col("doc_id"), page.as("html")), "doc_id", "html")
       // one doc_id equi-join hands every link its base URL; resolution
       // + canonicalization stay map-only after it
-      val dst = graft.functions.Pin.pin(Corpus.urlCanonicalize(
+      val dst = Corpus.urlCanonicalize(
           Corpus.resolveLinks(links.join(src, "doc_id"),
               "href", "url_canon")
             .select(col("doc_id"), col("src_domain"), col("href_resolved")),
           "doc_id", "href_resolved", carryCols = Seq("src_domain"))
-        .select(col("src_domain"), col("registered_domain").as("dst_domain")))
+        .select(col("src_domain"), col("registered_domain").as("dst_domain"))
         .where(col("dst_domain").isNotNull)
       dst.groupBy(col("src_domain"), col("dst_domain"))
         .agg(count(lit(1)).as("n_links"))
@@ -2359,13 +2358,11 @@ object SparkEntry {
     // (n_docs − n_urls), volume, stripped-tracker census — one
     // domain-keyed aggregation after the map-only canonicalizer.
     "x_domain_stats" -> ((s, dir) =>
-      // pinned: the rollup's filter, grouping key and countDistinct
-      // would each re-inline the canonicalize chain
       Corpus.domainStats(
-          graft.functions.Pin.pin(Corpus.urlCanonicalize(
+          Corpus.urlCanonicalize(
             t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
               plantedUrl.as("url")),
-            "doc_id", "url", carryCols = Seq("n_chars"))),
+            "doc_id", "url", carryCols = Seq("n_chars")),
           "n_chars")
         .orderBy("registered_domain")),
 

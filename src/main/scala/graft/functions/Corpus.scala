@@ -1155,24 +1155,25 @@ object Corpus {
   def urlCanonicalize(df: DataFrame, idCol: String, urlCol: String,
                       extraTracking: Seq[String] =
                         Seq("gclid", "fbclid", "msclkid"),
-                      carryCols: Seq[String] = Nil): DataFrame = {
+                      carryCols: Seq[String] = Nil,
+                      pin: Boolean = true): DataFrame = {
     val u = trim(col(urlCol))
     val hasScheme = u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
-    val noFrag = regexp_replace(u, lit("#.*$"), lit(""))
+    val noFrag = regexp_replace(u, lit("#.*\\z"), lit(""))
     val scheme = lower(regexp_extract(noFrag,
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag,
       lit("^[A-Za-z][A-Za-z0-9+.-]*://"), lit(""))
     val hostport = lower(regexp_extract(rest, "^([^/?]+)", 1))
     val host = when(scheme === "http",
-        regexp_replace(hostport, lit(":80$"), lit("")))
+        regexp_replace(hostport, lit(":80\\z"), lit("")))
       .when(scheme === "https",
-        regexp_replace(hostport, lit(":443$"), lit("")))
+        regexp_replace(hostport, lit(":443\\z"), lit("")))
       .otherwise(hostport)
     val pathq = regexp_replace(rest, lit("^[^/?]*"), lit(""))
     val rawPath = regexp_extract(pathq, "^([^?]*)", 1)
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val query = regexp_extract(pathq, "\\?(.*)\\z", 1)
     val allParams = filter(split(query, "&", -1), p => p =!= "")
     val isTracking = (p: Column) => {
       val name = regexp_extract(p, "^([^=]*)", 1)
@@ -1188,7 +1189,7 @@ object Corpus {
     // stays in `host`/`url_canon` (it names a different authority) but
     // never in the domain rollup key
     val bare = regexp_replace(
-      regexp_replace(host, lit(":[0-9]+$"), lit("")),
+      regexp_replace(host, lit(":[0-9]+\\z"), lit("")),
       lit("^www\\."), lit(""))
     val labels = split(bare, "\\.", -1)
     val n = size(labels)
@@ -1201,12 +1202,20 @@ object Corpus {
         element_at(labels, -2), element_at(labels, -1)))
       .otherwise(concat_ws(".", element_at(labels, -2),
         element_at(labels, -1)))
-    df.select(col(idCol) +: carryCols.map(col) :+
+    val out = df.select(col(idCol) +: carryCols.map(col) :+
       when(hasScheme, canon).as("url_canon") :+
       when(hasScheme, host).as("host") :+
       when(hasScheme, regDomain).as("registered_domain") :+
       when(hasScheme, (size(allParams) - size(keptParams)).cast("long"))
         .as("n_params_stripped"): _*)
+    // The barrier lives IN the library function, not at call sites: any
+    // consumer that filters/sorts/aggregates on these derived columns
+    // would otherwise have CollapseProject + predicate pushdown
+    // re-inline the 20-regex chain per reference (measured on
+    // x_link_graph before pinning: 457 KB plan, codegen fallback,
+    // 23.7 s vs 3.4 s at sf0.1). `pin = false` is the opt-out for a
+    // caller that immediately writes/collects this exact projection.
+    if (pin) Pin.pin(out) else out
   }
 
   /** Outbound-link extraction — the web-graph edge source: every
@@ -1252,13 +1261,18 @@ object Corpus {
     * segments, dotted names, trailing slashes).
     */
   private val PoppableSeg = "(?:|[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
+  // End anchors are \z, not $: Java's $ also matches BEFORE a trailing
+  // '\n' while the oracle's RE2 $ matches only end-of-text, so a
+  // trailing-newline path (hrefs are captured with a newline-admitting
+  // [^"']* class) would resolve differently across engines (ADVICE r12).
+  // \z in Java == $ in RE2: one semantics, two engines.
   private def dotStep(p: Column): Column = {
     val r1 = regexp_replace(p, lit("/\\./"), lit("/"))
-    val r2 = regexp_replace(r1, lit("/\\.$"), lit("/"))
+    val r2 = regexp_replace(r1, lit("/\\.\\z"), lit("/"))
     val r3 = regexp_replace(r2, lit("^/\\.\\./"), lit("/"))
-    val r4 = regexp_replace(r3, lit("^/\\.\\.$"), lit("/"))
+    val r4 = regexp_replace(r3, lit("^/\\.\\.\\z"), lit("/"))
     val r5 = regexp_replace(r4, lit("/" + PoppableSeg + "/\\.\\./"), lit("/"))
-    regexp_replace(r5, lit("/" + PoppableSeg + "/\\.\\.$"), lit("/"))
+    regexp_replace(r5, lit("/" + PoppableSeg + "/\\.\\.\\z"), lit("/"))
   }
 
   /** `remove_dot_segments` as a bounded fold: each non-fixpoint
@@ -1301,8 +1315,8 @@ object Corpus {
     */
   def resolveLinks(df: DataFrame, hrefCol: String, baseUrlCol: String,
                    outCol: String = "href_resolved"): DataFrame = {
-    val h = regexp_replace(col(hrefCol), lit("#.*$"), lit(""))
-    val b = regexp_replace(trim(col(baseUrlCol)), lit("#.*$"), lit(""))
+    val h = regexp_replace(col(hrefCol), lit("#.*\\z"), lit(""))
+    val b = regexp_replace(trim(col(baseUrlCol)), lit("#.*\\z"), lit(""))
     // base parts (case preserved; hostport keeps any port)
     val bOk = b.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
     val bScheme = regexp_extract(b, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
@@ -1311,11 +1325,11 @@ object Corpus {
     val bHost = regexp_extract(bRest, "^([^/?]+)", 1)
     val bPathQ = regexp_replace(bRest, lit("^[^/?]*"), lit(""))
     val bPath = regexp_extract(bPathQ, "^([^?]*)", 1)
-    val bQuery = regexp_extract(bPathQ, "(\\?.*)$", 1) // "" when absent
+    val bQuery = regexp_extract(bPathQ, "(\\?.*)\\z", 1) // "" when absent
     val bPre = concat(bScheme, lit("://"), bHost)
     // href parts for the path-carrying branches
     val hPath = regexp_extract(h, "^([^?]*)", 1)
-    val hQuery = regexp_extract(h, "(\\?.*)$", 1)
+    val hQuery = regexp_extract(h, "(\\?.*)\\z", 1)
     // §5.3 merge: base path up to and incl. the last '/'; '/' when the
     // base path is empty (authority present ⇒ rooted)
     val bDir = when(regexp_extract(bPath, "^(.*/)", 1) === "", lit("/"))
@@ -1329,12 +1343,12 @@ object Corpus {
     val aHost = regexp_extract(aRest, "^([^/?]+)", 1)
     val aPathQ = regexp_replace(aRest, lit("^[^/?]*"), lit(""))
     val aPath = regexp_extract(aPathQ, "^([^?]*)", 1)
-    val aQuery = regexp_extract(aPathQ, "(\\?.*)$", 1)
+    val aQuery = regexp_extract(aPathQ, "(\\?.*)\\z", 1)
     // protocol-relative href: authority + path + query from the href
     val pHost = regexp_extract(h, "^//([^/?]+)", 1)
     val pPathQ = regexp_replace(h, lit("^//[^/?]*"), lit(""))
     val pPath = regexp_extract(pPathQ, "^([^?]*)", 1)
-    val pQuery = regexp_extract(pPathQ, "(\\?.*)$", 1)
+    val pQuery = regexp_extract(pPathQ, "(\\?.*)\\z", 1)
     val assemble = (pre: Column, path: Column, suf: Column) =>
       concat(pre, removeDotSegments(path), suf)
     val baseGuard = (c: Column) => when(bOk, c)
@@ -1404,8 +1418,8 @@ object Corpus {
       .where(col("host").isNotNull && col("host") =!= "")
       .distinct()
       .select(col("host"), split(
-        regexp_replace(regexp_replace(col("host"), ":[0-9]+$", ""),
-          "\\.$", ""), "\\.", -1).as("labels"))
+        regexp_replace(regexp_replace(col("host"), ":[0-9]+\\z", ""),
+          "\\.\\z", ""), "\\.", -1).as("labels"))
       .withColumn("n", size(col("labels")))
     // every label-suffix of the host, longest first: cand at 0-based
     // position i spans labels[i+1..n] ⇒ clen = n − i
@@ -1509,7 +1523,8 @@ object Corpus {
     */
   def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
                   minBlockChars: Int = 30,
-                  charsPerLink: Int = 10): DataFrame = {
+                  charsPerLink: Int = 10,
+                  pin: Boolean = true): DataFrame = {
     require(minBlockChars >= 1, s"minBlockChars must be positive: $minBlockChars")
     require(charsPerLink >= 1, s"charsPerLink must be positive: $charsPerLink")
     val raw = coalesce(col(htmlCol), lit(""))
@@ -1541,12 +1556,18 @@ object Corpus {
     val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(joined) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
-    df.select(col(idCol),
+    val out = df.select(col(idCol),
       unescaped.as("clean_text"),
       size(filter(cleaned, s => length(s("txt")) > 0)).cast("long")
         .as("n_blocks"),
       size(keptBlocks).cast("long").as("n_blocks_kept"),
       (size(keptBlocks) >= 1).as("kept"))
+    // Same CollapseProject exposure as [[urlCanonicalize]]: the caller's
+    // contract is `where(kept)` + downstream reads of `clean_text` —
+    // exactly the filter-pushdown + multi-reference shape that would
+    // re-inline the whole extraction chain per consumer. Barrier inside
+    // the function; `pin = false` opts out for write-immediately callers.
+    if (pin) Pin.pin(out) else out
   }
 
   /** Stage-by-stage curation funnel — the retention table a 100 TB

@@ -170,6 +170,12 @@ object TextFunctions {
     * half-masked. Deterministic regex replacement, codegen'd, map-only;
     * the conservative patterns favor recall over precision, the right
     * trade for training-data redaction.
+    *
+    * Column-level, so CollapseProject CAN re-inline the 3-regex chain
+    * into every downstream reference — cheap enough here (3 nodes, vs
+    * the ~800 of a URL-resolution chain), but a caller that fans a
+    * scrubbed column out to many consumers should wrap the projection
+    * in [[graft.functions.Pin.pin]].
     */
   def scrubPii(text: Column): Column = {
     val email = regexp_replace(text,

@@ -486,7 +486,12 @@ object MicroBatch {
         Long, Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
       org.apache.spark.sql.Encoders.product[(String, Long, Long, Long, Long,
         Long, Option[Long], Option[Long], Option[Long], Option[Long])]
-    rows.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+    // null group keys are excluded, matching the batch op's
+    // `groupCol IS NOT NULL` filter — without this, groupByKey happily
+    // keys on null and the claimed stream == batch equality breaks on
+    // the first null-group row (ADVICE r12)
+    rows.filter(_._1 != null)
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
       .mapGroupsWithState[(Long, Long, Long, Long, Long),
           (String, Long, Long, Long, Long, Long,
            Option[Long], Option[Long], Option[Long], Option[Long])](
@@ -545,7 +550,9 @@ object MicroBatch {
         Option[Long], Double)]
     implicit val keyEnc: org.apache.spark.sql.Encoder[(String, Long)] =
       org.apache.spark.sql.Encoders.product[(String, Long)]
-    rows.filter(v => !v._2.isNaN && math.abs(v._2) < 1e19)
+    // null group keys excluded like the batch op's `__g IS NOT NULL`
+    // (the streamingConfusion ADVICE r12 contract, applied symmetrically)
+    rows.filter(v => v._1 != null && !v._2.isNaN && math.abs(v._2) < 1e19)
       .groupByKey(v => (v._1, binOf(v._2)))
       .mapGroupsWithState[(Long, Long, BigDecimal),
           (String, Long, Long, Long, Option[Long], Double)](

@@ -430,6 +430,47 @@ class PlanSpec extends SparkSpec {
       s"anchor positions not computed by the native expression:\n$p")
   }
 
+  // VERDICT r12 item 1b: the 457 KB-plan / 23.7 s CollapseProject cliff
+  // (x_link_graph, round 12) showed up as a plan string an order of
+  // magnitude bigger than its peers, stuffed with re-inlined regexp_
+  // nodes. ExplainCheck printed the numbers for a human; this is the
+  // FAILING gate. Every declared query: no CartesianProduct, plan under
+  // a global ceiling; the regex-heavy URL/HTML queries additionally pin
+  // tight per-query planChars/regexNodes budgets so a dropped barrier
+  // (e.g. someone removing the pin inside urlCanonicalize) fails here,
+  // not in a 7× bench regression two rounds later.
+  test("whole board: no cartesian product, plan size under ceilings") {
+    // measured r13 (post-internal-pin): x_link_graph 39.7 KB / 629
+    // regex nodes, x_url_canon 15.0 KB / 238, x_domain_stats 16.4 KB /
+    // 238, x_resolve_links 9.7 KB / 151, x_html_extract 4.6 KB / 24;
+    // board-wide max 89.5 KB (x_ivfpq_ann, zero regex). Ceilings are
+    // ~1.3-2× measured — loose enough for optimizer drift, tight
+    // enough that one re-inlined canonicalize chain (>10× today's
+    // node count) trips immediately.
+    val charCeil = Map(
+      "x_link_graph" -> 50000, "x_url_canon" -> 30000,
+      "x_domain_stats" -> 30000, "x_resolve_links" -> 20000,
+      "x_html_extract" -> 10000, "x_psl_domains" -> 40000)
+    val regexCeil = Map(
+      "x_link_graph" -> 800, "x_url_canon" -> 350,
+      "x_domain_stats" -> 350, "x_resolve_links" -> 250,
+      "x_html_extract" -> 50)
+    val globalCharCeil = 200000
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = plan(q)
+      val chars = p.length
+      val regexes = "regexp_".r.findAllIn(p).length
+      Seq(
+        Option.when(p.contains("CartesianProduct"))(s"$q: CartesianProduct"),
+        Option.when(chars > charCeil.getOrElse(q, globalCharCeil))(
+          s"$q: planChars=$chars > ${charCeil.getOrElse(q, globalCharCeil)}"),
+        regexCeil.get(q).collect { case c if regexes > c =>
+          s"$q: regexNodes=$regexes > $c" }
+      ).flatten
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("x_pack_spans: no window keys on the bare global order") {
     val p = plan("x_pack_spans")
     // both data-sized windows must partition by the bucket column — a

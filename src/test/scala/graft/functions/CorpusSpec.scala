@@ -797,6 +797,28 @@ class CorpusSpec extends SparkSpec {
     assert(out((None, Some("http://a/b"))) == None)
   }
 
+  // ADVICE r12: Java's $ also matches before a trailing '\n' while the
+  // oracle's RE2 $ matches only end-of-text; hrefs are captured with a
+  // newline-admitting [^"']* class, so a trailing-newline href used to
+  // dot-collapse/fragment-strip on the Spark side only. The patterns now
+  // anchor with \z — this pins the ALIGNED (RE2) semantics: a trailing
+  // newline defeats the end-anchored rules identically on both engines.
+  test("resolveLinks: trailing-newline hrefs follow RE2 end-of-text anchoring") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("href", StringType), StructField("base", StringType)))
+    val rows = Seq(
+      Row("g/.\n", "http://h/a/b"),   // end-anchored dot rule must NOT fire
+      Row("g#f\n", "http://h/a/b"),   // fragment after \n is not strippable
+      Row("g\n", "http://h/a/b"))     // plain carry-through
+    val out = Corpus.resolveLinks(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema), "href", "base")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out("g/.\n") == "http://h/a/g/.\n")
+    assert(out("g#f\n") == "http://h/a/g#f\n")
+    assert(out("g\n") == "http://h/a/g\n")
+  }
+
   test("trigramNll: Stupid-Backoff ladder — trigram, 0.4·bigram, 0.4²·unigram, 0.4²/N") {
     import spark.implicits._
     val train = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
