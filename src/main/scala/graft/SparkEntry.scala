@@ -1183,6 +1183,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated trigram Kneser-Ney (Chen & Goodman 1999) on the same
+    // 80/20 split as x_trigram_nll: D = 3/4 exactly, continuation
+    // counts for the lower orders, uniform 1/V floor at the unigram
+    // level. Each level's probability is the exact rational A/B, so
+    // nll = ln B - ln A keeps every ln input an integral-valued double
+    // -- the DuckDB oracle unrolls the same three-level CASE with the
+    // identical expression tree.
+    "x_kn_nll" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.knNll(docs, docs.where(col("doc_id") % 10 < 8),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): every doc in the raw
     // pool scores ln(p_target/p_raw) under hashed unigram+bigram bucket
     // models of a 2-source "quality" target vs the whole pool — the
@@ -6035,6 +6049,82 @@ object SparkEntry {
         |   LEFT JOIN c1 u2 ON tf.w2 = u2.t
         |   LEFT JOIN c1 u3 ON tf.w3 = u3.t
         |   CROSS JOIN n),
+        |per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(CAST(nll AS DECIMAL(30,15))) AS DOUBLE) AS s
+        | FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_trigrams, 0) AS n_trigrams,
+        | ROUND(per.s / CAST(per.n_trigrams AS DOUBLE), 9) AS avg_nll
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Interpolated Kneser-Ney, the same exact-rational ladder unrolled:
+    // counts over string trigrams (the engine's xxhash64 keys are
+    // collision-free at fixture scale), every A/B computed in DOUBLE
+    // with the engine's exact association order, ln only of those
+    // integral-valued products.
+    "x_kn_nll" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |tr AS (SELECT * FROM toks WHERE doc_id % 10 < 8),
+        |tri AS (SELECT w1, w2, w3 FROM (
+        |  SELECT unnest(tok[1:len(tok)-2]) AS w1,
+        |         unnest(tok[2:len(tok)-1]) AS w2,
+        |         unnest(tok[3:len(tok)]) AS w3 FROM tr)),
+        |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, COUNT(*) AS c2 FROM tri GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT w1, w2, w3 FROM tri),
+        |f2 AS (SELECT w1, w2, COUNT(*) AS f2 FROM ty GROUP BY 1, 2),
+        |kn2 AS (SELECT w2, w3, COUNT(*) AS kn2 FROM ty GROUP BY 1, 2),
+        |bt AS (SELECT DISTINCT w2, w3 FROM ty),
+        |mid AS (SELECT w2, COUNT(*) AS mid FROM ty GROUP BY 1),
+        |f1 AS (SELECT w2, COUNT(*) AS f1 FROM bt GROUP BY 1),
+        |kn1 AS (SELECT w3, COUNT(*) AS kn1 FROM bt GROUP BY 1),
+        |sc1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncc,
+        |  CAST(COUNT(DISTINCT w3) AS BIGINT) AS v1 FROM bt),
+        |sc2 AS (SELECT CAST(COUNT(DISTINCT t) + 1 AS BIGINT) AS v
+        |  FROM (SELECT unnest(tok) AS t FROM tr)),
+        |tf AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, unnest(tok[1:len(tok)-2]) AS w1,
+        |         unnest(tok[2:len(tok)-1]) AS w2,
+        |         unnest(tok[3:len(tok)]) AS w3 FROM toks) GROUP BY 1, 2, 3, 4),
+        |j AS (
+        | SELECT tf.doc_id, tf.tf, t3.c3, ctx.c2, f2.f2, kn2.kn2,
+        |   mid.mid, f1.f1, kn1.kn1, sc1.ncc, sc1.v1, sc2.v
+        | FROM tf
+        |   LEFT JOIN c3 t3 ON tf.w1 = t3.w1 AND tf.w2 = t3.w2
+        |     AND tf.w3 = t3.w3
+        |   LEFT JOIN ctx ON tf.w1 = ctx.w1 AND tf.w2 = ctx.w2
+        |   LEFT JOIN f2 ON tf.w1 = f2.w1 AND tf.w2 = f2.w2
+        |   LEFT JOIN kn2 ON tf.w2 = kn2.w2 AND tf.w3 = kn2.w3
+        |   LEFT JOIN mid ON tf.w2 = mid.w2
+        |   LEFT JOIN f1 ON tf.w2 = f1.w2
+        |   LEFT JOIN kn1 ON tf.w3 = kn1.w3
+        |   CROSS JOIN sc1 CROSS JOIN sc2),
+        |e1 AS (SELECT *,
+        |  GREATEST(COALESCE(CAST(kn1 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |      * CAST(4.0 AS DOUBLE) - CAST(3.0 AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE)) * CAST(v AS DOUBLE)
+        |    + CAST(3.0 AS DOUBLE) * CAST(v1 AS DOUBLE) AS a1,
+        |  CAST(4.0 AS DOUBLE) * CAST(v AS DOUBLE)
+        |    * CAST(ncc AS DOUBLE) AS b1 FROM j),
+        |e2 AS (SELECT *,
+        |  GREATEST(COALESCE(CAST(kn2 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |      * CAST(4.0 AS DOUBLE) - CAST(3.0 AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE)) * b1
+        |    + CAST(3.0 AS DOUBLE) * CAST(f1 AS DOUBLE) * a1 AS a2,
+        |  CAST(4.0 AS DOUBLE) * CAST(mid AS DOUBLE) * b1 AS b2 FROM e1),
+        |e3 AS (SELECT *,
+        |  GREATEST(COALESCE(CAST(c3 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |      * CAST(4.0 AS DOUBLE) - CAST(3.0 AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE)) * b2
+        |    + CAST(3.0 AS DOUBLE) * CAST(f2 AS DOUBLE) * a2 AS a3,
+        |  CAST(4.0 AS DOUBLE) * CAST(c2 AS DOUBLE) * b2 AS b3 FROM e2),
+        |sc AS (SELECT doc_id, tf, CAST(tf AS DOUBLE) * (
+        |   CASE WHEN c2 IS NOT NULL THEN ln(b3) - ln(a3)
+        |        WHEN mid IS NOT NULL THEN ln(b2) - ln(a2)
+        |        ELSE ln(b1) - ln(a1) END) AS nll FROM e3),
         |per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
         |  CAST(SUM(CAST(nll AS DECIMAL(30,15))) AS DOUBLE) AS s
         | FROM sc GROUP BY 1)

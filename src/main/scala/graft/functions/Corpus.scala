@@ -785,6 +785,139 @@ object Corpus {
         round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
   }
 
+  /** Interpolated trigram Kneser–Ney NLL (Chen & Goodman 1999, "An
+    * Empirical Study of Smoothing Techniques for Language Modeling") —
+    * the smoothing CCNet-class quality filters actually ship, one rung
+    * above [[trigramNll]]'s Stupid Backoff. Absolute discount
+    * `D = 3/4` (EXACTLY representable in binary — no decimal-vs-binary
+    * drift), lower orders use CONTINUATION counts (how many distinct
+    * contexts a unit completes), and the unigram level interpolates
+    * with the uniform `1/V` floor (V = train vocab + 1 OOV slot) so no
+    * token has zero mass:
+    *
+    *   P₃(w₃|w₁w₂) = max(c(w₁w₂w₃)−D,0)/c(w₁w₂) + D·N1+(w₁w₂•)/c(w₁w₂)·P₂
+    *   P₂(w₃|w₂)   = max(N1+(•w₂w₃)−D,0)/N1+(•w₂•) + D·N1+(w₂•)/N1+(•w₂•)·P₁
+    *   P₁(w₃)      = (max(N1+(•w₃)−D,0) + D·V₁/V)/N1+(••)
+    *
+    * falling back one level whole when the conditioning context is
+    * unseen (c(w₁w₂)=0 → P₂; w₂ unseen mid-trigram → P₁). All counts
+    * are over TRAIN trigram instances/types; V₁ = distinct final words.
+    *
+    * Cross-engine exactness: with D = 3/4, each level's probability is
+    * the exact rational Aᵢ/Bᵢ with
+    *
+    *   A₁ = max(4·N1+(•w₃)−3,0)·V + 3·V₁          B₁ = 4·V·N1+(••)
+    *   A₂ = max(4·N1+(•w₂w₃)−3,0)·B₁ + 3·N1+(w₂•)·A₁   B₂ = 4·N1+(•w₂•)·B₁
+    *   A₃ = max(4·c₃−3,0)·B₂ + 3·N1+(w₁w₂•)·A₂         B₂·4·c₂ = B₃
+    *
+    * and nll = ln Bᵢ − ln Aᵢ — every ln input is an INTEGRAL-valued
+    * double (the [[trigramNll]] discipline extended through the
+    * interpolation: the log-of-a-sum problem dissolves because the sum
+    * happens in the integer numerator, not in probability space).
+    * Aᵢ/Bᵢ stay exactly integral while < 2⁵³ (they do at fixture
+    * scales); past that the products are still bit-identical across
+    * engines because the factors and the association order are pinned
+    * and IEEE multiplication is deterministic. Aᵢ > 0 always: V₁ ≥ 1
+    * whenever train has a trigram, and each level's interpolation
+    * weight (3·fwd·Aᵢ₋₁) is positive exactly when its branch is taken.
+    * Per-doc sums accumulate in DECIMAL(30,15); one double divide +
+    * round(9) at the end.
+    *
+    * Shuffle profile (the trigramNll shape plus one distinct): raw
+    * train trigrams aggregate to instance counts (c₃/c₂) and collapse
+    * ONCE to the type set (distinct 8-byte keys) from which every
+    * continuation table derives by map-side-partial counts; the doc
+    * side collapses to (doc, trigram, tf) before its one data-sized
+    * exchange; scoring is five hash-key left joins + a 1-row broadcast
+    * of (N1+(••), V₁, V). Bodies never shuffle.
+    *
+    * @return (idCol, n_trigrams, avg_nll) — null avg_nll for docs with
+    *         < 3 tokens; train must contain ≥ 1 trigram (ln(0) guard:
+    *         the model is undefined over an empty type set)
+    */
+  def knNll(df: DataFrame, train: DataFrame,
+            idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val toks = col("__tk")
+    def trigramKeys(d: DataFrame, keep: Column*): DataFrame =
+      d.select(keep :+ TextFunctions.tokens(col(textCol)).as("__tk"): _*)
+        .select(keep :+ explode(
+          transform(slice(toks, lit(3), greatest(size(toks) - 2, lit(0))),
+            (t, i) => struct(element_at(toks, i + 1).as("w1"),
+              element_at(toks, i + 2).as("w2"), t.as("w3"))))
+          .as("__tg"): _*)
+        .select(keep
+          :+ xxhash64(col("__tg.w1"), col("__tg.w2"), col("__tg.w3"))
+            .as("__h123")
+          :+ xxhash64(col("__tg.w1"), col("__tg.w2")).as("__h12")
+          :+ xxhash64(col("__tg.w2"), col("__tg.w3")).as("__h23")
+          :+ xxhash64(col("__tg.w2")).as("__h2")
+          :+ xxhash64(col("__tg.w3")).as("__h3"): _*)
+    val raw = trigramKeys(train)
+    val c3 = raw.groupBy(col("__h123")).agg(count(lit(1)).as("__c3"))
+    val ctx = raw.groupBy(col("__h12")).agg(count(lit(1)).as("__c2"))
+    // the trigram TYPE set — every continuation count is a group-count
+    // over it (distinct by the full key; the per-level keys ride along)
+    val types = raw
+      .groupBy(col("__h123"))
+      .agg(first(col("__h12")).as("__h12"), first(col("__h23")).as("__h23"),
+        first(col("__h2")).as("__h2"), first(col("__h3")).as("__h3"))
+    val fwd2 = types.groupBy(col("__h12")).agg(count(lit(1)).as("__f2"))
+    val kn2 = types.groupBy(col("__h23")).agg(count(lit(1)).as("__kn2"))
+    val bt = types.select(col("__h2"), col("__h3")).distinct()
+    val mid = types.groupBy(col("__h2")).agg(count(lit(1)).as("__mid"))
+    val fwd1 = bt.groupBy(col("__h2")).agg(count(lit(1)).as("__f1"))
+    val kn1 = bt.groupBy(col("__h3")).agg(count(lit(1)).as("__kn1"))
+    val scal = bt.agg(count(lit(1)).as("__ncc"),
+        countDistinct(col("__h3")).as("__v1"))
+      .crossJoin(train
+        .select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
+        .agg((countDistinct(xxhash64(col("__t"))) + 1L).as("__v")))
+    // ctx and fwd2 (resp. mid and fwd1) share their key universe —
+    // every instance key appears in the type set — so they merge with
+    // one inner join each and cost the probe side a single lookup
+    val ctxT = ctx.join(fwd2, Seq("__h12"))
+    val midT = mid.join(fwd1, Seq("__h2"))
+    val tf = trigramKeys(df, id)
+      .groupBy(id, col("__h123"), col("__h12"), col("__h23"),
+        col("__h2"), col("__h3"))
+      .agg(count(lit(1)).as("__tf"))
+    def dbl(c: String) = col(c).cast("double")
+    val dV = dbl("__v"); val dV1 = dbl("__v1"); val dNcc = dbl("__ncc")
+    // explicit COALESCE before GREATEST: Spark's greatest skips nulls
+    // while other engines' may propagate them — coalescing keeps the
+    // mirrored SQL a literal transliteration
+    def disc(cnt: String) =
+      greatest(coalesce(dbl(cnt), lit(0.0)) * lit(4.0) - lit(3.0), lit(0.0))
+    val a1 = disc("__kn1") * dV + lit(3.0) * dV1
+    val b1 = lit(4.0) * dV * dNcc
+    val a2 = disc("__kn2") * b1 + lit(3.0) * dbl("__f1") * a1
+    val b2 = lit(4.0) * dbl("__mid") * b1
+    val a3 = disc("__c3") * b2 + lit(3.0) * dbl("__f2") * a2
+    val b3 = lit(4.0) * dbl("__c2") * b2
+    val scored = tf
+      .join(c3, Seq("__h123"), "left")
+      .join(ctxT, Seq("__h12"), "left")
+      .join(kn2, Seq("__h23"), "left")
+      .join(midT, Seq("__h2"), "left")
+      .join(kn1, Seq("__h3"), "left")
+      .crossJoin(broadcast(scal))
+      .select(id, col("__tf"),
+        (col("__tf").cast("double") *
+          when(col("__c2").isNotNull, log(b3) - log(a3))
+            .when(col("__mid").isNotNull, log(b2) - log(a2))
+            .otherwise(log(b1) - log(a1)))
+          .as("__nll"))
+      .groupBy(id).agg(
+        sum(col("__tf")).as("__n"),
+        sum(col("__nll").cast(DecimalType(30, 15))).cast("double").as("__s"))
+    df.select(id)
+      .join(scored, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("__n"), lit(0L)).as("n_trigrams"),
+        round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * NeurIPS): per-document log importance weight `ln(p_target(x) /
     * p_raw(x))` under hashed-n-gram bag-of-features unigram models of a
