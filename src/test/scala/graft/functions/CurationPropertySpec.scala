@@ -19,14 +19,16 @@ class CurationPropertySpec extends SparkSpec {
   // column safe as a join/dedup key across pipeline stages that may
   // re-canonicalize defensively.
   private val urlGen: Gen[String] = for {
-    scheme <- Gen.oneOf("http", "https", "HTTP", "ftp")
+    scheme <- Gen.oneOf("http", "https", "HTTP", "ftp", "hTtPs")
     www <- Gen.oneOf("", "www.", "WWW.")
     host <- Gen.oneOf("Example.COM", "a.b.example.co.uk", "x.io",
-      "cdn.site.org", "localhost")
-    port <- Gen.oneOf("", ":80", ":443", ":8080")
-    path <- Gen.oneOf("", "/", "/A/b", "/x%20y", "/p/q/r")
+      "cdn.site.org", "localhost", "h0st.c0m", "deep.a.b.c.example.ac.at")
+    port <- Gen.oneOf("", ":80", ":443", ":8080", ":65535")
+    path <- Gen.oneOf("", "/", "/A/b", "/x%20y", "/p/q/r", "/p/q/r/",
+      "/CASE/Stays")
     params <- Gen.someOf(Seq("a=1", "b=2", "utm_source=x", "gclid=g",
-      "z", "utm_campaign=c", "id=9"))
+      "z", "utm_campaign=c", "id=9", "utm_", "b=", "B=1", "fbclid=f",
+      "gclidx=keepme"))
     frag <- Gen.oneOf("", "#frag", "#a/b?c")
   } yield {
     val q = if (params.isEmpty) "" else "?" + params.mkString("&")
@@ -52,6 +54,68 @@ class CurationPropertySpec extends SparkSpec {
         ((r.getString(1), r.getString(2), r.getString(3)))).toMap
     once.foreach { case (i, v) =>
       assert(again(i) == v, s"not a fixed point for ${urls(i.toInt - 0)}")
+    }
+  }
+
+  // --- urlCanonicalize ≡ a java.net.URI-based reference ------------------
+  // The resolveLinks lesson applied to the 20-regex canonicalizer: an
+  // INDEPENDENT parse (java.net.URI's raw getters) re-derives every
+  // output column and the fuzz compares all four. Documented exclusions
+  // stay excluded by construction, not by filtering: the generator emits
+  // no userinfo (stays in `host` verbatim — documented) and %-escapes
+  // pass through untouched on both sides (raw getters, no decode).
+  test("urlCanonicalize == java.net.URI reference on 120 sampled URLs") {
+    val ccSecond = Set("co", "com", "net", "org", "gov", "ac", "edu")
+    val tracking = Set("gclid", "fbclid", "msclkid")
+    def ref(url: String): (Option[String], Option[String], Option[String],
+        Option[Long]) = {
+      val u = url.trim
+      if (!u.matches("(?s)^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+        (None, None, None, None)
+      else {
+        val uri = new java.net.URI(u)
+        val scheme = uri.getScheme.toLowerCase
+        val rawHost = Option(uri.getHost).getOrElse(
+          fail(s"URI could not parse host of $u"))
+        val port = uri.getPort
+        val keepPort = port != -1 &&
+          !(scheme == "http" && port == 80) &&
+          !(scheme == "https" && port == 443)
+        val host = rawHost.toLowerCase + (if (keepPort) s":$port" else "")
+        val path = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
+        val all = Option(uri.getRawQuery).toSeq
+          .flatMap(_.split("&", -1)).filter(_.nonEmpty)
+        def isTrk(p: String) = {
+          val name = p.takeWhile(_ != '=')
+          name.startsWith("utm_") || tracking(name)
+        }
+        val kept = all.filterNot(isTrk).sorted
+        val canon = s"$scheme://$host$path" +
+          (if (kept.nonEmpty) "?" + kept.mkString("&") else "")
+        val bare = host.replaceFirst(":[0-9]+$", "")
+          .replaceFirst("^www\\.", "")
+        val labels = bare.split("\\.", -1)
+        val regDomain =
+          if (labels.length <= 2) bare
+          else if (labels.last.length == 2 &&
+            ccSecond(labels(labels.length - 2)))
+            labels.takeRight(3).mkString(".")
+          else labels.takeRight(2).mkString(".")
+        (Some(canon), Some(host), Some(regDomain),
+          Some((all.size - kept.size).toLong))
+      }
+    }
+    val urls = (1 to 120).map(i => urlGen(Gen.Parameters.default,
+      Seed(7000L + i)).get)
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val got = Corpus.urlCanonicalize(df, "id", "url")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)),
+          Option(r.getString(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    urls.zipWithIndex.foreach { case (u, i) =>
+      assert(got(i.toLong) == ref(u), s"divergence on '$u'")
     }
   }
 
