@@ -651,6 +651,57 @@ object Dedup {
         numHashes, rowsPerBand)).as("bk"))
       .distinct()
 
+  /** [[minhashBandIndex]] as a PERSISTABLE artifact with its banding
+    * scheme attached — the [[graft.functions.Similarity.ivfIndex]]
+    * build/append ritual applied to near-dup maintenance. Returns
+    * `(params, index)`: `params` is the 1-row frame
+    * (shingle_n, num_hashes, rows_per_band) that freezes the scheme
+    * (the banding analogue of the IVF frozen quantizer — the hash seeds
+    * derive deterministically from the hash index, so these three ints
+    * ARE the whole scheme), `index` is the [[minhashBandIndex]] band-key
+    * set. Persist both; tomorrow's batch appends through
+    * [[minhashBandIndexAppend]] without rescanning yesterday's bodies.
+    */
+  def minhashBandIndexBuild(df: DataFrame, textCol: String,
+                            shingleN: Int = 5, numHashes: Int = 32,
+                            rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val params = Seq((shingleN, numHashes, rowsPerBand))
+      .toDF("shingle_n", "num_hashes", "rows_per_band")
+    (params, minhashBandIndex(df, textCol, shingleN, numHashes, rowsPerBand))
+  }
+
+  /** Incremental [[minhashBandIndexBuild]] maintenance: band-key the
+    * arrival batch under the STORED scheme — one map-only pass over the
+    * new bodies (explode + distinct of the batch's own keys), zero
+    * contact with the stored index. Union the returned keys onto the
+    * stored ones (parquet append; duplicate keys across days are
+    * harmless — [[nearDedupAgainstIndex]] probes with a semi-join) and
+    * the result equals a from-scratch rebuild over old ∪ new, key for
+    * key (spec-pinned).
+    *
+    * REFUSES a mixed build loudly: the params frame must hold exactly
+    * one distinct scheme row. A careless union of two indexes built
+    * with different knobs is precisely the silent-recall-loss bug this
+    * guard exists for — band keys from different schemes never collide
+    * meaningfully, so the merged index would "work" while detecting
+    * nothing across the seam.
+    */
+  def minhashBandIndexAppend(params: DataFrame, newDf: DataFrame,
+                             textCol: String): DataFrame = {
+    val rows = params
+      .select(col("shingle_n").cast("int"), col("num_hashes").cast("int"),
+        col("rows_per_band").cast("int"))
+      .distinct().collect()
+    require(rows.length == 1,
+      s"mixed-scheme band index: ${rows.length} distinct param rows " +
+        "(one banding scheme per index; rebuild instead of unioning " +
+        "indexes built with different knobs)")
+    val r = rows.head
+    minhashBandIndex(newDf, textCol, r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
   /** Incremental NEAR-dup dedup — drop every document of `newDf` that
     * collides with yesterday's corpus in ANY MinHash band (a
     * [[minhashBandIndex]] frame). Detection probability for a new doc at

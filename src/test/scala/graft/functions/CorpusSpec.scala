@@ -1101,6 +1101,51 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(11L), s"got $kept")
   }
 
+  // VERDICT r12 item 4: the band-index append ritual mirrors
+  // ivfIndexAppend — stored scheme, map-only append, loud mixed-build
+  // refusal.
+  test("minhashBandIndexAppend: append == rebuild; mixed schemes refuse") {
+    import graft.functions.Dedup
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val old = df(Seq(
+      Row(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      Row(2L, "one two three four five six seven eight nine ten eleven")))
+    val batch = df(Seq(
+      Row(10L, "alpha beta gamma delta epsilon zeta eta theta iota new"),
+      Row(11L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk")))
+    val both = df(Seq(
+      Row(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      Row(2L, "one two three four five six seven eight nine ten eleven"),
+      Row(10L, "alpha beta gamma delta epsilon zeta eta theta iota new"),
+      Row(11L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk")))
+    val (params, index) = Dedup.minhashBandIndexBuild(old, "text",
+      shingleN = 3, numHashes = 16, rowsPerBand = 2)
+    // append = map-only keys of the batch under the STORED scheme;
+    // old ∪ appended must equal a from-scratch rebuild key for key
+    val appended = Dedup.minhashBandIndexAppend(params, batch, "text")
+    val merged = index.unionByName(appended).distinct()
+      .collect().map(_.get(0)).toSet
+    val rebuilt = Dedup.minhashBandIndex(both, "text",
+        shingleN = 3, numHashes = 16, rowsPerBand = 2)
+      .collect().map(_.get(0)).toSet
+    assert(merged == rebuilt)
+    // the persisted-scheme probe still detects the near-dup re-crawl
+    val kept = Dedup.nearDedupAgainstIndex(batch, "id", "text",
+        index, shingleN = 3, numHashes = 16, rowsPerBand = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L), s"got $kept")
+    // a union of two different schemes' params must refuse loudly
+    val (params2, _) = Dedup.minhashBandIndexBuild(old, "text",
+      shingleN = 5, numHashes = 16, rowsPerBand = 4)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minhashBandIndexAppend(params.unionByName(params2), batch, "text")
+    }
+    assert(ex.getMessage.contains("mixed-scheme"))
+  }
+
   test("removeFrequentUnits: a hash collision cannot delete a rare unit") {
     // plant a collision with a deliberately weak hash (first character):
     // "common header" (df=3, boilerplate) collides with "celestial rarity"
