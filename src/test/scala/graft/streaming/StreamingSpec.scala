@@ -376,6 +376,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  // VERDICT r12 item 5: after ANY prefix of batches the latest emitted
+  // pieces per group must equal batch aucPiecesByGroup over the same
+  // rows with the bin INDEX as the score — the binned distribution's
+  // Mann–Whitney statistics are exact by construction (ties-within-bin
+  // = the standard ½ convention), the binning itself is the documented
+  // approximation.
+  test("streamingAuc: emitted pieces equal batch aucPiecesByGroup on bin-quantized scores") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val nBins = 10; val lo = 0.0; val hi = 1.0
+    val w = (hi - lo) / nBins
+    def binOf(s: Double): Int =
+      math.floor(math.min((nBins - 1).toDouble,
+        math.max(0.0, (s - lo) / w))).toInt
+    val rows: Seq[(String, Double, Boolean)] = Seq(
+      ("a", 0.05, true), ("a", 0.07, false), ("a", 0.95, true),
+      ("a", -0.3, false), ("a", 1.7, true),      // clamp both ends
+      ("a", 0.33, false), ("a", 0.34, true),     // same bin, mixed labels
+      ("b", 0.5, true), ("b", 0.5, true),        // degenerate: no negatives
+      ("b", Double.NaN, true),                   // gated out
+      ("c", 0.2, false), ("c", 0.8, true), ("c", 0.21, false))
+    val input = MemoryStream[(String, Double, Boolean)]
+    val q = MicroBatch.streamingAuc(input.toDS(), nBins, lo, hi)
+      .writeStream.format("memory").queryName("auc_inc")
+      .outputMode("update").start()
+    val cuts = Seq(4, 9, rows.size)
+    var prev = 0
+    cuts.foreach { cut =>
+      input.addData(rows.slice(prev, cut)); q.processAllAvailable()
+      prev = cut
+      val latest = spark.table("auc_inc").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDecimal(3).longValueExact, r.getDecimal(4).longValueExact,
+          r.getDecimal(5).longValueExact))
+        .groupBy(_._1)
+        .map { case (g, vs) => g -> vs.maxBy(v => v._2 + v._3) }
+      val batch = graft.functions.Stats.aucPiecesByGroup(
+          spark.createDataset(rows.take(cut))
+            .filter(v => !v._2.isNaN)
+            .map(v => (v._1, binOf(v._2).toLong, v._3))
+            .toDF("g", "s", "y"), "s", "y", "g")
+        .collect().map(r => r.getString(0) ->
+          ((r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDecimal(3).longValueExact, r.getDecimal(4).longValueExact,
+            r.getDecimal(5).longValueExact))).toMap
+      assert(latest == batch, s"prefix $cut: $latest vs $batch")
+    }
+    q.stop()
+    // the degenerate group reports auc_den = 0 (undefined AUC), honestly
+    val b = spark.table("auc_inc").collect()
+      .filter(_.getString(0) == "b").maxBy(r => r.getLong(1) + r.getLong(2))
+    assert(b.getLong(1) == 2L && b.getLong(2) == 0L &&
+      b.getDecimal(5).longValueExact == 0L)
+  }
+
   test("streamingRetention: emitted (user, cohort, offset) rows roll up to the batch retention") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
