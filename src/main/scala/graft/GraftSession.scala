@@ -47,6 +47,103 @@ object GraftSession {
     spark
   }
 
+  /** The individual checks behind [[validateScaleConf]], over explicit
+    * inputs so the policy is unit-testable without mutating a shared
+    * SparkContext (a checkpoint directory cannot be UNset once set).
+    * Returns human-readable violations; empty = compliant.
+    */
+  def scaleConfViolations(hasCheckpointDir: Boolean,
+                          requireReliable: Boolean,
+                          aqeEnabled: Boolean,
+                          skewJoinEnabled: Boolean,
+                          broadcastThresholdBytes: Long,
+                          shufflePartitions: Int,
+                          defaultParallelism: Int): Seq[String] = Seq(
+    Option.when(!hasCheckpointDir)(
+      "no checkpoint directory: every lineage-cutting op (graph loops, " +
+        "rank decompositions, fused curation passes) falls back to " +
+        "localCheckpoint() — executor-memory blocks that die with their " +
+        "executor and cannot be recomputed past the lineage cut. Call " +
+        "spark.sparkContext.setCheckpointDir(<reliable path>)"),
+    Option.when(!requireReliable)(
+      s"${graft.functions.Snapshots.RequireReliableKey} is not true: a " +
+        "future session (or a code path that loses the directory) would " +
+        "degrade to localCheckpoint() SILENTLY instead of failing loud. " +
+        "Set it so the deployment says 'reliable or nothing'"),
+    Option.when(!aqeEnabled)(
+      "spark.sql.adaptive.enabled=false: runtime re-planning, skew-join " +
+        "splitting and partition coalescing are off — the engine's " +
+        "operators assume AQE outside their explicitly scoped loops"),
+    Option.when(!skewJoinEnabled)(
+      "spark.sql.adaptive.skewJoin.enabled=false: one hot key serializes " +
+        "its whole join partition at 100 TB"),
+    Option.when(broadcastThresholdBytes <= 0L)(
+      "autoBroadcastJoinThreshold disabled (<= 0): dimension tables, " +
+        "probe batches and sketch indexes would all shuffle-join"),
+    Option.when(broadcastThresholdBytes > (1L << 31))(
+      s"autoBroadcastJoinThreshold $broadcastThresholdBytes > 2 GiB: " +
+        "past Spark's broadcast-table hard limit; driver OOM risk"),
+    Option.when(shufflePartitions < defaultParallelism)(
+      s"spark.sql.shuffle.partitions=$shufflePartitions < cluster " +
+        s"parallelism $defaultParallelism: shuffles leave cores idle " +
+        "before AQE can coalesce anything")
+  ).flatten
+
+  /** 100 TB preflight — ONE call before a cluster run that turns the
+    * deployment checklist into a loud failure instead of a silent
+    * degradation: reliable checkpoints (directory set AND the
+    * [[graft.functions.Snapshots.RequireReliableKey]] fail-loud
+    * contract armed), AQE + skew-join splitting on, a sane broadcast
+    * threshold, shuffle parallelism at least the cluster's. On
+    * success it prints the per-operator scale levers a deployment
+    * should size deliberately (they all have measured-at-sf0.1
+    * defaults but 100 TB wants explicit choices). `failFast = false`
+    * returns the violation list instead of throwing — the report
+    * form for notebooks.
+    */
+  def validateScaleConf(spark: SparkSession,
+                        failFast: Boolean = true): Seq[String] = {
+    val sc = spark.sparkContext
+    val thresholdStr =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val threshold =
+      try org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(thresholdStr)
+      catch { case _: Exception => -1L }
+    val violations = scaleConfViolations(
+      hasCheckpointDir = sc.getCheckpointDir.isDefined,
+      requireReliable = spark.conf
+        .get(graft.functions.Snapshots.RequireReliableKey, "false").toBoolean,
+      aqeEnabled = spark.conf
+        .get("spark.sql.adaptive.enabled", "true").toBoolean,
+      skewJoinEnabled = spark.conf
+        .get("spark.sql.adaptive.skewJoin.enabled", "true").toBoolean,
+      broadcastThresholdBytes = threshold,
+      shufflePartitions = spark.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt,
+      defaultParallelism = sc.defaultParallelism)
+    if (violations.isEmpty)
+      // the levers a 100 TB run should set deliberately, one place
+      System.err.println(
+        """[graft] scale preflight OK. Levers to size for the run:
+          |  ANN:    ivfIndex/ivfProbeIndex nCentroids + nProbe (recall/cost),
+          |          knnJoinBlocked margin + saltBuckets (skew spread)
+          |  Dedup:  Dedup.lshPlan picks (numHashes, rowsPerBand) from a
+          |          target Jaccard S-curve; minhashBandIndexBuild freezes it
+          |  Text:   removeFrequentUnits maxDfRatio, heavyHitters support,
+          |          budgetSelect/packOffsets bucket counts
+          |  Joins:  spark.graft.rangeJoin.binWidth (range-join rewrite),
+          |          broadcast() hints on probe batches
+          |  Loops:  checkpointInterval on pagerank/ppr/components (lineage
+          |          depth vs write cost — full-suite-measured default 3)"""
+          .stripMargin)
+    else if (failFast)
+      throw new IllegalStateException(
+        ("scale preflight FAILED:" +: violations.map("  - " + _))
+          .mkString("\n"))
+    violations
+  }
+
   /** Install graft's optimizer rules on a live session (idempotent).
     * Currently: the opt-in binned range-join rewrite
     * ([[graft.plans.RangeJoinRewrite]], enabled by setting

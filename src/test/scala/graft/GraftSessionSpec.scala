@@ -143,6 +143,52 @@ class GraftSessionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1))
     assert(viaSql.toSeq == dsl.toSeq)
   }
+  // VERDICT r12 item 8: the 100 TB preflight turns the deployment
+  // checklist into a loud failure instead of a silent degradation.
+  test("validateScaleConf: fail-loud on the localCheckpoint hazard, pass when compliant") {
+    // the policy matrix over explicit inputs (a checkpoint dir cannot be
+    // unset mid-suite without races, so the pure form carries the cases)
+    def v(hasDir: Boolean = true, reqRel: Boolean = true,
+          aqe: Boolean = true, skew: Boolean = true,
+          bcast: Long = 10L << 20, parts: Int = 32, par: Int = 32) =
+      GraftSession.scaleConfViolations(hasDir, reqRel, aqe, skew,
+        bcast, parts, par)
+    assert(v().isEmpty)
+    assert(v(hasDir = false).exists(_.contains("localCheckpoint")))
+    assert(v(reqRel = false).exists(
+      _.contains(graft.functions.Snapshots.RequireReliableKey)))
+    assert(v(aqe = false).exists(_.contains("adaptive")))
+    assert(v(skew = false).exists(_.contains("skew")))
+    assert(v(bcast = -1L).exists(_.contains("Broadcast")))
+    assert(v(bcast = 4L << 30).exists(_.contains("2 GiB")))
+    assert(v(parts = 8, par = 32).exists(_.contains("shuffle.partitions")))
+    assert(v(hasDir = false, reqRel = false, aqe = false).size == 3)
+    // the live wrapper: compliant session passes; stripping the
+    // reliable-checkpoint contract fail-louds with every violation named
+    val dir = java.nio.file.Files.createTempDirectory("graft-preflight")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      spark.conf.set(graft.functions.Snapshots.RequireReliableKey, "true")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        spark.sparkContext.defaultParallelism.toString)
+      assert(GraftSession.validateScaleConf(spark).isEmpty)
+      spark.conf.unset(graft.functions.Snapshots.RequireReliableKey)
+      val e = intercept[IllegalStateException] {
+        GraftSession.validateScaleConf(spark)
+      }
+      assert(e.getMessage.contains("preflight FAILED"))
+      assert(e.getMessage.contains(
+        graft.functions.Snapshots.RequireReliableKey))
+      assert(GraftSession.validateScaleConf(spark, failFast = false)
+        .size == 1)
+    } finally {
+      spark.conf.unset(graft.functions.Snapshots.RequireReliableKey)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("dot_f callable from SQL; cosine composes from it") {
     GraftSession.registerFunctions(spark)
     GraftSession.registerTables(spark, sf())
