@@ -2320,7 +2320,8 @@ object SparkEntry {
       // null-filters and the final aggregate read plain attributes
       val src = Corpus.urlCanonicalize(
           docs.select(col("doc_id"), col("lang"), plantedUrl.as("url")),
-          "doc_id", "url")
+          "doc_id", "url",
+          outputs = Seq("url_canon", "registered_domain"))
         .select(col("doc_id"), col("url_canon"),
           col("registered_domain").as("src_domain"))
         // a null src (unparseable base URL) has no place in the edge
@@ -2335,7 +2336,8 @@ object SparkEntry {
           Corpus.resolveLinks(links.join(src, "doc_id"),
               "href", "url_canon")
             .select(col("doc_id"), col("src_domain"), col("href_resolved")),
-          "doc_id", "href_resolved", carryCols = Seq("src_domain"))
+          "doc_id", "href_resolved", carryCols = Seq("src_domain"),
+          outputs = Seq("registered_domain"))
         .select(col("src_domain"), col("registered_domain").as("dst_domain"))
         .where(col("dst_domain").isNotNull)
       dst.groupBy(col("src_domain"), col("dst_domain"))
@@ -2376,7 +2378,9 @@ object SparkEntry {
           Corpus.urlCanonicalize(
             t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
               plantedUrl.as("url")),
-            "doc_id", "url", carryCols = Seq("n_chars")),
+            "doc_id", "url", carryCols = Seq("n_chars"),
+            outputs = Seq("url_canon", "registered_domain",
+              "n_params_stripped")),
           "n_chars")
         .orderBy("registered_domain")),
 

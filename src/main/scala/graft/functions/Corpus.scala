@@ -1285,11 +1285,28 @@ object Corpus {
     * Map-only, zero shuffles; regex/array primitives from the common
     * Java/RE2 subset only, so the DuckDB oracle mirrors bit-for-bit.
     */
+  /** @param outputs which derived columns to emit (and therefore
+    *   compute): any subset of url_canon / host / registered_domain /
+    *   n_params_stripped. The internal barrier that protects consumers
+    *   from CollapseProject re-inlining ALSO blocks Catalyst's column
+    *   pruning — by design, they are the same mechanism — so a caller
+    *   that consumes two of the four columns should say so here and
+    *   not pay the other two chains' per-row regex work (measured on
+    *   x_link_graph: all-four cost +1.4 s over the consumed-two at
+    *   sf0.1).
+    */
   def urlCanonicalize(df: DataFrame, idCol: String, urlCol: String,
                       extraTracking: Seq[String] =
                         Seq("gclid", "fbclid", "msclkid"),
                       carryCols: Seq[String] = Nil,
-                      pin: Boolean = true): DataFrame = {
+                      pin: Boolean = true,
+                      outputs: Seq[String] = Seq("url_canon", "host",
+                        "registered_domain", "n_params_stripped"))
+      : DataFrame = {
+    val known = Seq("url_canon", "host", "registered_domain",
+      "n_params_stripped")
+    require(outputs.nonEmpty && outputs.forall(known.contains),
+      s"outputs must be a non-empty subset of $known: $outputs")
     val u = trim(col(urlCol))
     val hasScheme = u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
     val noFrag = regexp_replace(u, lit("#.*\\z"), lit(""))
@@ -1335,12 +1352,16 @@ object Corpus {
         element_at(labels, -2), element_at(labels, -1)))
       .otherwise(concat_ws(".", element_at(labels, -2),
         element_at(labels, -1)))
-    val out = df.select(col(idCol) +: carryCols.map(col) :+
-      when(hasScheme, canon).as("url_canon") :+
-      when(hasScheme, host).as("host") :+
-      when(hasScheme, regDomain).as("registered_domain") :+
-      when(hasScheme, (size(allParams) - size(keptParams)).cast("long"))
-        .as("n_params_stripped"): _*)
+    val derived = Map[String, Column](
+      "url_canon" -> when(hasScheme, canon).as("url_canon"),
+      "host" -> when(hasScheme, host).as("host"),
+      "registered_domain" ->
+        when(hasScheme, regDomain).as("registered_domain"),
+      "n_params_stripped" ->
+        when(hasScheme, (size(allParams) - size(keptParams)).cast("long"))
+          .as("n_params_stripped"))
+    val out = df.select(col(idCol) +: carryCols.map(col) :++
+      known.filter(outputs.contains).map(derived): _*)
     // The barrier lives IN the library function, not at call sites: any
     // consumer that filters/sorts/aggregates on these derived columns
     // would otherwise have CollapseProject + predicate pushdown
@@ -1599,10 +1620,13 @@ object Corpus {
                          extraTracking: Seq[String] =
                            Seq("gclid", "fbclid", "msclkid"),
                          carryCols: Seq[String] = Nil): DataFrame = {
-    val canon = urlCanonicalize(df, idCol, urlCol, extraTracking, carryCols)
+    // the heuristic registered_domain is never consumed here — its chain
+    // is pruned at the source (see urlCanonicalize's `outputs` doc)
+    val canon = urlCanonicalize(df, idCol, urlCol, extraTracking, carryCols,
+      outputs = Seq("url_canon", "host", "n_params_stripped"))
     val mapping = pslRegisteredDomains(canon, "host", psl)
       .select(col("host"), col("registered_domain_psl"))
-    canon.drop("registered_domain")
+    canon
       .join(mapping, Seq("host"), "left")
       .select(col(idCol) +: carryCols.map(col) :+ col("url_canon") :+
         col("host") :+
