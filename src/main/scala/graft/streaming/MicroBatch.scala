@@ -649,6 +649,72 @@ object MicroBatch {
       }
   }
 
+  /** Streaming distribution drift against a FROZEN reference histogram —
+    * the live dual of [[graft.functions.Stats.histogramDrift]] and the
+    * last member of the streaming eval family (confusion / reliability /
+    * AUC / drift). The production monitoring shape: side A is
+    * yesterday's batch profile, frozen as `reference` bin counts over
+    * the same fixed [lo, hi) × nBins grid; side B is the live stream,
+    * accumulated per group as `nBins` long counters. Every trigger
+    * emits, for each group that saw data, the full per-bin drift table
+    * in the batch op's exact-integer shape: `(group, bin, lo_edge,
+    * n_a, n_b, l1_num, n_a_tot, n_b_tot)` with
+    * `l1_num = |n_a·n_b_tot − n_b·n_a_tot|` computed in BigInt — the
+    * numerator of |p_a − p_b| over the common denominator, so L1/PSI
+    * scores stay consumer-side exact rationals, no float ratio ever
+    * emitted. The latest (group, bin) row is the upsert; the emitted
+    * table after any prefix of batches is value-identical to the batch
+    * op run on (reference values, prefix rows of that group)
+    * (spec-pinned). Gating matches batch: NaN excluded, out-of-range
+    * clamps into edge bins, null groups excluded (the batch family's
+    * IS NOT NULL contract). State per group = nBins longs.
+    */
+  def streamingDrift(
+      rows: org.apache.spark.sql.Dataset[(String, Double)],
+      reference: Seq[Long], nBins: Int, lo: Double, hi: Double)
+      : org.apache.spark.sql.Dataset[(String, Long, Double, Long, Long,
+          BigDecimal, Long, Long)] = {
+    require(nBins >= 1, s"need at least one bin: $nBins")
+    require(lo < hi, s"need lo < hi: ($lo, $hi)")
+    require(reference.length == nBins,
+      s"reference histogram has ${reference.length} bins, grid has $nBins")
+    require(reference.forall(_ >= 0L), "negative reference count")
+    val w = (hi - lo) / nBins
+    // the batch op's binning exactly: floor((x−lo)/w) clamped into the
+    // edge bins (least/greatest over the INT bin, not the double)
+    def binOf(x: Double): Int =
+      math.min(nBins - 1,
+        math.max(0, math.floor((x - lo) / w).toInt))
+    val refTot = reference.map(BigInt(_)).sum
+    require(refTot.isValidLong, "reference total overflows long")
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Tuple1[Seq[Long]]] =
+      org.apache.spark.sql.Encoders.product[Tuple1[Seq[Long]]]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(String, Long, Double,
+        Long, Long, BigDecimal, Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(String, Long, Double,
+        Long, Long, BigDecimal, Long, Long)]
+    rows.filter(v => v._1 != null && !v._2.isNaN)
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[Tuple1[Seq[Long]],
+          (String, Long, Double, Long, Long, BigDecimal, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (g: String, vals: Iterator[(String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[Tuple1[Seq[Long]]]) =>
+          val cnt = state.getOption.map(_._1.toArray)
+            .getOrElse(Array.fill(nBins)(0L))
+          vals.foreach { case (_, x) => cnt(binOf(x)) += 1 }
+          state.update(Tuple1(cnt.toSeq))
+          val bTot = cnt.sum
+          (0 until nBins).iterator.map { b =>
+            val l1 = (BigInt(reference(b)) * bTot -
+              BigInt(cnt(b)) * refTot).abs
+            (g, b.toLong, lo + b * w, reference(b), cnt(b),
+              BigDecimal(l1), refTot.toLong, bTot)
+          }
+      }
+  }
+
   /** Exactly-once parquet batch sink for `foreachBatch`.
     *
     * `foreachBatch` gives AT-LEAST-once: after a crash between "batch

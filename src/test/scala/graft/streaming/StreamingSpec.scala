@@ -431,6 +431,61 @@ class StreamingSpec extends SparkSpec {
       b.getDecimal(5).longValueExact == 0L)
   }
 
+  // streamingDrift completes the streaming eval family: after any
+  // prefix, the latest emitted (group, bin) table must equal batch
+  // histogramDrift(reference values, that group's prefix rows) — same
+  // fixed grid, same clamping, l1_num the same exact integer.
+  test("streamingDrift: emitted per-bin table equals batch histogramDrift per group") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val nBins = 6; val lo = 0.0; val hi = 60.0
+    val w = (hi - lo) / nBins
+    def binOf(x: Double): Int =
+      math.min(nBins - 1, math.max(0, math.floor((x - lo) / w).toInt))
+    val refVals = Seq(5.0, 7.0, 15.0, 15.0, 25.0, 43.0, 59.0, 100.0) // 100 clamps
+    val reference = {
+      val c = Array.fill(nBins)(0L)
+      refVals.foreach(x => c(binOf(x)) += 1)
+      c.toSeq
+    }
+    val rows: Seq[(String, Double)] = Seq(
+      ("a", 3.0), ("a", 14.0), ("a", -9.0),   // -9 clamps into bin 0
+      ("b", 55.0), ("a", 27.0), ("b", 61.0),  // 61 clamps into bin 5
+      ("a", Double.NaN),                       // gated out
+      ("a", 44.0), ("b", 8.0))
+    val input = MemoryStream[(String, Double)]
+    val q = MicroBatch.streamingDrift(input.toDS(), reference, nBins, lo, hi)
+      .writeStream.format("memory").queryName("drift_inc")
+      .outputMode("update").start()
+    val cuts = Seq(3, 6, rows.size)
+    var prev = 0
+    cuts.foreach { cut =>
+      input.addData(rows.slice(prev, cut)); q.processAllAvailable()
+      prev = cut
+      val latest = spark.table("drift_inc").collect()
+        .map(r => ((r.getString(0), r.getLong(1)),
+          (r.getDouble(2), r.getLong(3), r.getLong(4),
+            r.getDecimal(5).longValueExact, r.getLong(6), r.getLong(7))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._6) }
+      val seen = rows.take(cut).filter(v => !v._2.isNaN)
+      seen.map(_._1).distinct.foreach { g =>
+        val batch = graft.functions.Stats.histogramDrift(
+            refVals.toDF("v"),
+            seen.filter(_._1 == g).map(_._2).toDF("v"),
+            "v", nBins, lo, hi)
+          .collect().map(r => r.getInt(0).toLong ->
+            ((r.getDouble(1), r.getLong(2), r.getLong(3),
+              r.getDecimal(4).longValueExact, r.getLong(5), r.getLong(6))))
+          .toMap
+        (0 until nBins).foreach { b =>
+          assert(latest((g, b.toLong)) == batch(b.toLong),
+            s"prefix $cut group $g bin $b")
+        }
+      }
+    }
+    q.stop()
+  }
+
   test("streamingRetention: emitted (user, cohort, offset) rows roll up to the batch retention") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
