@@ -807,6 +807,22 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Per-language drift over the same fixed binning: a global
+    // histogram can read flat while one language's distribution walks
+    // away — the grid is (observed langs) x (all 12 bins), empty bins
+    // at zero, per-group exact totals and l1 numerators.
+    "x_drift_by_group" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.functions.Stats.histogramDriftByGroup(
+          d.where(pmod(col("doc_id"), lit(3)) =!= 0),
+          d.where(pmod(col("doc_id"), lit(2)) === 0),
+          "n_chars", "lang", nBins = 12, lo = 0.0, hi = 600.0)
+        .select(col("lang"), col("bin").cast("long").as("bin"),
+          col("lo_edge"), col("n_a"), col("n_b"),
+          big(col("l1_num"), "l1_num"), col("n_a_tot"), col("n_b_tot"))
+        .orderBy("lang", "bin")
+    }),
+
     // Pre-flight join audit: exact inner-join cardinality + hottest
     // key from the two key-count tables — the join itself never runs,
     // fact bodies never shuffle.
@@ -4921,6 +4937,40 @@ object SparkEntry {
         |   - CAST(n_b AS HUGEINT) * n_a_tot) AS BIGINT) AS l1_num,
         | n_a_tot, n_b_tot
         |FROM j, tt ORDER BY bin""".stripMargin,
+
+    // Per-group drift mirror: (observed langs) x (generate_series bins)
+    // grid, identical double-arithmetic binning, per-group HUGEINT
+    // cross products narrowed at the edge.
+    "x_drift_by_group" ->
+      """WITH g AS (SELECT DISTINCT lang AS lg FROM documents
+        |  WHERE lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND (doc_id % 3 <> 0 OR doc_id % 2 = 0)),
+        |grid AS (SELECT lg, CAST(b AS INT) AS bin
+        | FROM g, generate_series(0, 11) AS t(b)),
+        |ha AS (SELECT lang AS lg, LEAST(11, GREATEST(0,
+        |    CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 50.0) AS INT)))
+        |    AS bin, count(*) AS n_a
+        | FROM documents WHERE doc_id % 3 <> 0 AND lang IS NOT NULL
+        |   AND n_chars IS NOT NULL
+        | GROUP BY 1, 2),
+        |hb AS (SELECT lang AS lg, LEAST(11, GREATEST(0,
+        |    CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 50.0) AS INT)))
+        |    AS bin, count(*) AS n_b
+        | FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+        |   AND n_chars IS NOT NULL
+        | GROUP BY 1, 2),
+        |j AS (SELECT grid.lg, grid.bin, COALESCE(n_a, 0) AS n_a,
+        |  COALESCE(n_b, 0) AS n_b
+        | FROM grid LEFT JOIN ha ON ha.lg = grid.lg AND ha.bin = grid.bin
+        |   LEFT JOIN hb ON hb.lg = grid.lg AND hb.bin = grid.bin),
+        |tt AS (SELECT lg, CAST(SUM(n_a) AS BIGINT) AS n_a_tot,
+        |  CAST(SUM(n_b) AS BIGINT) AS n_b_tot FROM j GROUP BY 1)
+        |SELECT j.lg AS lang, CAST(j.bin AS BIGINT) AS bin,
+        | CAST(0.0 + j.bin * 50.0 AS DOUBLE) AS lo_edge, n_a, n_b,
+        | CAST(ABS(CAST(n_a AS HUGEINT) * n_b_tot
+        |   - CAST(n_b AS HUGEINT) * n_a_tot) AS BIGINT) AS l1_num,
+        | n_a_tot, n_b_tot
+        |FROM j JOIN tt ON j.lg = tt.lg ORDER BY lang, bin""".stripMargin,
 
     // Count-table join mirror; hottest key ties to the largest string.
     "x_join_card" ->

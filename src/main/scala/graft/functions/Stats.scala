@@ -1308,6 +1308,63 @@ object Stats {
         col("n_a_tot"), col("n_b_tot"))
   }
 
+  /** Per-slice [[histogramDrift]] — corpus-shift detection per group
+    * (language, source, domain bucket): drift is per-slice in practice
+    * exactly like gate confusion is, and a global histogram can read
+    * flat while one language's distribution walks away. Same fixed
+    * reference binning, exact integer counts, and the |p_a − p_b|
+    * numerator `|n_a·n_b_tot − n_b·n_a_tot|` in DECIMAL over each
+    * GROUP's own totals. The grid is (observed groups) × (all bins) —
+    * a group present in either side emits its full bin range, empty
+    * bins at zero (a bin draining to zero in B is the signal); null
+    * groups are excluded (the by-group family's IS NOT NULL contract).
+    *
+    * Scale shape: two (group, bin)-keyed aggregations with map-side
+    * partials (exchanges carry ≤ groups·nBins rows), a groups-sized
+    * distinct, one groups×nBins grid join and a groups-sized totals
+    * join — corpus size never shuffles. The streaming dual is
+    * [[graft.streaming.MicroBatch.streamingDrift]] with side A frozen.
+    */
+  def histogramDriftByGroup(a: DataFrame, b: DataFrame, valueCol: String,
+                            groupCol: String, nBins: Int,
+                            lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 1, s"need at least one bin: $nBins")
+    require(lo < hi, s"need lo < hi: ($lo, $hi)")
+    val w = (hi - lo) / nBins
+    def binned(df: DataFrame, out: String): DataFrame =
+      df.select(col(groupCol).as("__g"),
+          col(valueCol).cast("double").as("__x"))
+        .where(col("__g").isNotNull &&
+          col("__x").isNotNull && !isnan(col("__x")))
+        .select(col("__g"), least(lit(nBins - 1), greatest(lit(0),
+          floor((col("__x") - lit(lo)) / lit(w)).cast("int"))).as("bin"))
+        .groupBy(col("__g"), col("bin")).agg(count(lit(1)).as(out))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ga = binned(a, "n_a")
+    val gb = binned(b, "n_b")
+    val groups = ga.select(col("__g"))
+      .unionByName(gb.select(col("__g"))).distinct()
+    val grid = groups
+      .crossJoin(spark.createDataset(0 until nBins).toDF("bin"))
+    val joined = grid
+      .join(ga, Seq("__g", "bin"), "left")
+      .join(gb, Seq("__g", "bin"), "left")
+      .select(col("__g"), col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.groupBy(col("__g"))
+      .agg(sum(col("n_a")).as("n_a_tot"), sum(col("n_b")).as("n_b_tot"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    joined.join(totals, Seq("__g"))
+      .select(col("__g").as(groupCol), col("bin"),
+        (lit(lo) + col("bin") * lit(w)).as("lo_edge"),
+        col("n_a"), col("n_b"),
+        abs(col("n_a").cast(dec) * col("n_b_tot") -
+          col("n_b").cast(dec) * col("n_a_tot")).as("l1_num"),
+        col("n_a_tot"), col("n_b_tot"))
+  }
+
   /** Winsorization: clamp a numeric column to its [pLow, pHigh]
     * DISCRETE quantile cuts — the standard heavy-tail guard before any
     * mean/variance-based scoring (a single corrupt 1e308 length can

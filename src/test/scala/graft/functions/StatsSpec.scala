@@ -216,6 +216,42 @@ class StatsSpec extends SparkSpec {
     assert(got.values.map(_._4).sum == 28L)
   }
 
+  // the by-group family convention: every group's rows equal the
+  // ungrouped op run on that slice; null groups excluded; a group
+  // observed in only one side still emits its full bin range
+  test("histogramDriftByGroup: each group row == histogramDrift on that slice") {
+    import spark.implicits._
+    val a = Seq(("en", -5.0), ("en", 1.0), ("en", 11.0), ("de", 25.0),
+      ("de", 99.0), (null.asInstanceOf[String], 7.0)).toDF("g", "x")
+    val b = Seq(("en", 5.0), ("en", 35.0), ("fr", 12.0),
+      (null.asInstanceOf[String], 1.0)).toDF("g", "x")
+    val got = Stats.histogramDriftByGroup(a, b, "x", "g",
+        nBins = 4, lo = 0.0, hi = 40.0)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getDecimal(5).longValueExact(), r.getLong(6), r.getLong(7))))
+      .toMap
+    // observed groups en/de/fr × 4 bins; nulls gone
+    assert(got.keySet.map(_._1) == Set("en", "de", "fr"))
+    assert(got.size == 12)
+    Seq("en", "de", "fr").foreach { g =>
+      val slice = Stats.histogramDrift(
+          a.where(col("g") <=> g).select(col("x")),
+          b.where(col("g") <=> g).select(col("x")),
+          "x", nBins = 4, lo = 0.0, hi = 40.0)
+        .collect().map(r => r.getInt(0) ->
+          ((r.getDouble(1), r.getLong(2), r.getLong(3),
+            r.getDecimal(4).longValueExact(), r.getLong(5), r.getLong(6))))
+        .toMap
+      (0 until 4).foreach { bin =>
+        assert(got((g, bin)) == slice(bin), s"group $g bin $bin")
+      }
+    }
+    // fr appears only in side b: full bin range, n_a_tot = 0
+    assert(got(("fr", 1))._2 == 0L && got(("fr", 1))._3 == 1L &&
+      got(("fr", 1))._5 == 0L)
+  }
+
   test("exactValueAtRanks returns occurring values at exact sorted positions") {
     import spark.implicits._
     val xs = Seq(5.0, 1.0, 9.0, 3.0, 3.0, 7.0, 2.0)
