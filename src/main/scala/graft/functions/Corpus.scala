@@ -335,6 +335,77 @@ object Corpus {
     (postings, dict)
   }
 
+  /** [[tfidfIndex]] as the full persistable artifact with its build
+    * scheme attached — the third member of the index-maintenance trio
+    * ([[graft.functions.Similarity.ivfIndex]] froze its quantizer,
+    * [[graft.functions.Dedup.minhashBandIndexBuild]] its banding
+    * scheme; here the frozen state is the dict's idf AND the
+    * extraction knobs). Returns `(params, postings, dict)`: `params`
+    * is the 1-row (ngram, max_df_ratio) frame — the dict is only
+    * meaningful for grams extracted the same way, so the knobs persist
+    * WITH it; `postings`/`dict` are [[tfidfIndex]]'s. Persist all
+    * three; tomorrow's crawl appends through [[tfidfIndexAppend]].
+    */
+  def tfidfIndexBuild(df: DataFrame, idCol: String, textCol: String,
+                      ngram: Int = 2, maxDfRatio: Double = 0.5)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val params = Seq((ngram, maxDfRatio)).toDF("ngram", "max_df_ratio")
+    val (postings, dict) = tfidfIndex(df, idCol, textCol, ngram, maxDfRatio)
+    (params, postings, dict)
+  }
+
+  /** Incremental [[tfidfIndexBuild]] maintenance: file NEW documents
+    * into the index under the FROZEN dictionary — no df recount, no
+    * contact with the stored postings. Each arrival's grams weight by
+    * the dict's snapshot idf (grams outside the dict drop — they can
+    * match no posting and would need a df the snapshot doesn't have),
+    * normalize by the arrival's own norm, and the returned rows append
+    * onto the stored postings: [[tfidfProbeIndex]] then retrieves old
+    * and new docs alike against one consistent statistic. The
+    * ivfIndexAppend convention — yesterday's 100 TB postings never
+    * move, today's batch never recounts — with the same honest decay
+    * note: as the corpus drifts, frozen idf ages (retrieval quality
+    * decays, not correctness); rebuild on your drift cadence
+    * ([[graft.functions.Stats.histogramDrift]] tells you when).
+    *
+    * REFUSES a mixed build loudly: one distinct (ngram, max_df_ratio)
+    * row or the append dies — grams extracted under a different ngram
+    * silently match nothing, the same seam bug the band-index guard
+    * exists for.
+    *
+    * Scale shape: one (doc, gram) tf aggregation over the ARRIVAL
+    * batch, a broadcast dict join, a per-arrival-doc norm — the stored
+    * index never reads.
+    */
+  def tfidfIndexAppend(params: DataFrame, dict: DataFrame,
+                       newDf: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val rows = params
+      .select(col("ngram").cast("int"), col("max_df_ratio").cast("double"))
+      .distinct().collect()
+    require(rows.length == 1,
+      s"mixed-scheme tfidf index: ${rows.length} distinct param rows " +
+        "(one extraction scheme per index; rebuild instead of unioning " +
+        "indexes built with different knobs)")
+    val ngram = rows.head.getInt(0)
+    val tf = newDf
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.plans.HashExpressions
+          .ngramHashesAll(TextFunctions.tokens(col(textCol)), ngram).as("__g"))
+      .select(col("doc_id"), explode(col("__g")).as("__th"))
+      .groupBy("doc_id", "__th").agg(count(lit(1)).as("__tf"))
+    val w = tf.join(broadcast(dict), "__th")
+      .select(col("doc_id"), col("__th"),
+        (col("__tf").cast("double") * col("idf")).as("__w"))
+    val norms = w.groupBy("doc_id").agg(
+      sqrt(sum((col("__w") * col("__w")).cast(DecimalType(30, 15)))
+        .cast("double")).as("__nrm"))
+    w.join(norms, "doc_id")
+      .select(col("doc_id"), col("__th"), (col("__w") / col("__nrm")).as("wn"))
+  }
+
   /** Probe a [[tfidfIndex]] snapshot with new query documents: top-k
     * indexed docs per query by TF-IDF cosine under the INDEX's frozen
     * statistics. Query grams missing from the index dictionary carry no

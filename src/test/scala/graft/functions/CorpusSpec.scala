@@ -139,6 +139,49 @@ class CorpusSpec extends SparkSpec {
     assert(!q100.exists(_._2 == 4L))
   }
 
+  // the index-maintenance trio's third member: append files new docs
+  // under the FROZEN dict; re-filing the original corpus under its own
+  // dict reproduces the stored postings exactly (append ≡ rebuild with
+  // frozen statistics), and the probe retrieves appended docs against
+  // the same snapshot idf.
+  test("tfidfIndexAppend: frozen-dict filing == stored postings; probe finds appends; mixed refuses") {
+    val (params, postings, dict) = Corpus.tfidfIndexBuild(
+      retrievalDocs, "id", "text", ngram = 1, maxDfRatio = 0.7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // append ≡ rebuild-with-frozen-stats, exact: the original corpus
+    // re-filed under its own frozen dict is the stored posting set
+    assert(rows(Corpus.tfidfIndexAppend(params, dict, retrievalDocs,
+      "id", "text")) == rows(postings))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(50L, "common alpha beta gamma"),   // twin of indexed content
+        Row(51L, "zzz unknownterm onlynovel"))), // no dict gram → no rows
+      schema)
+    val appended = Corpus.tfidfIndexAppend(params, dict, batch, "id", "text")
+    assert(appended.where(col("doc_id") === 51L).count() == 0L)
+    // probing old ∪ appended retrieves the appended doc at cos 1.0 for
+    // its own text (consistent snapshot statistics across the seam)
+    val merged = postings.unionByName(appended)
+    val queries = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(100L, "common alpha beta gamma"))), schema)
+    val got = Corpus.tfidfProbeIndex(queries, "id", "text", merged, dict,
+        k = 10, ngram = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(50L) == 1.0)
+    // a union of two schemes' params refuses loudly
+    val (params2, _, _) = Corpus.tfidfIndexBuild(
+      retrievalDocs, "id", "text", ngram = 2, maxDfRatio = 0.7)
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.tfidfIndexAppend(params.unionByName(params2), dict, batch,
+        "id", "text")
+    }
+    assert(ex.getMessage.contains("mixed-scheme"))
+  }
+
   test("leakSafeSplit: whole near-dup clusters land on one side, singletons unchanged") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val docs = spark.range(0, 300).select(col("id").as("doc_id"))
