@@ -1154,6 +1154,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Incremental retrieval-index maintenance (the ivfIndexAppend ritual
+    // on the sparse side): the dict's idf freezes at build time over the
+    // OLD snapshot, the arrival batch files into it with one map pass +
+    // broadcast dict join (tfidfIndexAppend — the stored postings never
+    // read), the new postings APPEND onto the stored parquet, and the
+    // probe retrieves old and appended docs against one consistent
+    // statistic. The oracle replays the frozen-idf weighting of the
+    // arrival batch exactly — appended docs weight by the SNAPSHOT's
+    // idf, not a recount.
+    "x_tfidf_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.where(col("doc_id") % 3 === 0)
+      val fresh = docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 2)
+      val (params, post, dict) = Corpus.tfidfIndexBuild(old, "doc_id", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tfidfapp").toString
+      params.write.parquet(s"$tmp/params")
+      dict.write.parquet(s"$tmp/dict")
+      post.write.parquet(s"$tmp/postings")
+      Corpus.tfidfIndexAppend(s.read.parquet(s"$tmp/params"),
+          s.read.parquet(s"$tmp/dict"), fresh, "doc_id", "text")
+        .write.mode("append").parquet(s"$tmp/postings")
+      val queries = docs.where(
+        col("doc_id") % 3 =!= 0 && col("doc_id") % 7 =!= 2 &&
+          col("doc_id") % 97 === 1)
+      Corpus.tfidfProbeIndex(queries, "doc_id", "text",
+          s.read.parquet(s"$tmp/postings"), s.read.parquet(s"$tmp/dict"),
+          k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Hybrid-retrieval fusion: RRF over two shingle widths of the sparse
     // ranker — rank-based, so incomparable score scales fuse without
     // calibration, and the fusion stage itself moves only top-k-sized
@@ -5950,6 +5980,63 @@ object SparkEntry {
         |         FROM iw JOIN inorm USING (doc_id)),
         |qtf AS (SELECT doc_id AS query_id, gram, COUNT(*) AS tf FROM g
         |        WHERE doc_id % 3 <> 0 AND doc_id % 97 = 1 GROUP BY 1, 2),
+        |qwt AS (SELECT query_id, gram, CAST(tf AS DOUBLE) * idf AS qw
+        |        FROM qtf JOIN dict USING (gram)),
+        |qn AS (SELECT query_id,
+        |  SQRT(CAST(SUM(CAST(qw * qw AS DECIMAL(30,15))) AS DOUBLE)) AS qnrm
+        | FROM qwt GROUP BY 1),
+        |dots AS (SELECT query_id, p.doc_id,
+        |  CAST(SUM(CAST(qw * wn AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        | FROM post p JOIN qwt q USING (gram) GROUP BY 1, 2),
+        |rk AS (
+        | SELECT query_id, doc_id, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+        | FROM (SELECT d.query_id, d.doc_id, ROUND(dot / qn.qnrm, 9) AS cos
+        |       FROM dots d JOIN qn ON qn.query_id = d.query_id))
+        |SELECT query_id, doc_id, cos, rank FROM rk WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // The frozen-idf append replayed: dict (n, df, idf) comes from the
+    // indexed slice ONLY; the arrival batch's postings weight by that
+    // snapshot idf (grams outside the dict drop), normalize by their own
+    // norm, and union onto the stored postings — exactly what the engine
+    // persisted via parquet append.
+    "x_tfidf_append" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+        |   i -> list_extract(tok, i) || ' ' || list_extract(tok, i + 1))) AS gram
+        | FROM toks),
+        |itf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM g
+        |        WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+        |inn AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 = 0),
+        |dict AS (
+        | SELECT gram, LN(CAST(n AS DOUBLE)) - LN(CAST(df AS DOUBLE)) AS idf
+        | FROM (SELECT gram, COUNT(*) AS df FROM itf GROUP BY 1) CROSS JOIN inn
+        | WHERE CAST(df AS DOUBLE) <= 0.5 * CAST(n AS DOUBLE)),
+        |iw AS (SELECT doc_id, gram, CAST(tf AS DOUBLE) * idf AS w
+        |       FROM itf JOIN dict USING (gram)),
+        |inorm AS (SELECT doc_id,
+        |  SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+        | FROM iw GROUP BY 1),
+        |atf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM g
+        |        WHERE doc_id % 3 <> 0 AND doc_id % 7 = 2 GROUP BY 1, 2),
+        |aw AS (SELECT doc_id, gram, CAST(tf AS DOUBLE) * idf AS w
+        |       FROM atf JOIN dict USING (gram)),
+        |anorm AS (SELECT doc_id,
+        |  SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+        | FROM aw GROUP BY 1),
+        |post AS (
+        | SELECT doc_id, gram, w / nrm AS wn FROM iw JOIN inorm USING (doc_id)
+        | UNION ALL
+        | SELECT doc_id, gram, w / nrm AS wn FROM aw JOIN anorm USING (doc_id)),
+        |qtf AS (SELECT doc_id AS query_id, gram, COUNT(*) AS tf FROM g
+        |        WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 2 AND doc_id % 97 = 1
+        |        GROUP BY 1, 2),
         |qwt AS (SELECT query_id, gram, CAST(tf AS DOUBLE) * idf AS qw
         |        FROM qtf JOIN dict USING (gram)),
         |qn AS (SELECT query_id,

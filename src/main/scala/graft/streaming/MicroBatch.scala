@@ -715,6 +715,74 @@ object MicroBatch {
       }
   }
 
+  /** Streaming heavy-hitter NOMINATION — the live dual of
+    * [[graft.functions.Corpus.heavyHitters]]' sketch pass. The batch op
+    * is two-pass (Misra–Gries nominates a certain superset, an exact
+    * recount adjudicates); a stream can run pass 1 continuously and leave
+    * adjudication to the next batch window, which is exactly the shape
+    * shipped here: per-bucket MG state, every trigger re-emitting the
+    * surviving candidates with their lower-bound estimates.
+    *
+    * Buckets are the scale lever: a single global MG would serialize the
+    * whole stream through one state key, so tokens spread over `buckets`
+    * states by `pmod(xxhash64(token), buckets)` (the engine's standard
+    * 8-byte key hash). Because a token lives in exactly ONE bucket, the
+    * classic MG guarantee applies per bucket with the bucket's own mass:
+    * every token with true count > bucketTotal/(capacity+1) survives in
+    * its bucket's summary, and since bucketTotal ≤ streamTotal the
+    * GLOBAL guarantee follows — any token above streamTotal/(capacity+1)
+    * is certainly nominated. Estimates never overcount and undercount by
+    * at most bucketTotal/(capacity+1) (each decrement event burns
+    * capacity+1 units of inserted mass); a bucket that never overflowed
+    * its `capacity` distinct tokens reports EXACT counts. All
+    * spec-pinned, order-independently — MG's surviving SET can depend on
+    * arrival order, its guarantees cannot, so the pins are the
+    * guarantees, not a bit-layout.
+    *
+    * State per bucket = ≤ capacity (token, long) entries + one total
+    * long — independent of stream length. Output per trigger per touched
+    * bucket: (bucket, token, est, bucket_total), candidates sorted for
+    * deterministic emission order; the latest rows per bucket are the
+    * upsert (a candidate absent from its bucket's newest emission was
+    * decremented away). Nulls drop (the family's null-gate contract).
+    *
+    * Cite: reference stats service (stats.go:12-157) tracks fixed
+    * counters only; a bounded-state streaming top-k has no counterpart.
+    */
+  def streamingHeavyHitters(
+      toks: org.apache.spark.sql.Dataset[String],
+      capacity: Int, buckets: Int)
+      : org.apache.spark.sql.Dataset[(Long, String, Long, Long)] = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val mg = graft.functions.Corpus.misraGries(capacity)
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Map[String, Long], Long)] =
+      org.apache.spark.sql.Encoders.product[(Map[String, Long], Long)]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, String, Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(Long, String, Long, Long)]
+    toks.filter(_ != null)
+      .select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("value")),
+          org.apache.spark.sql.functions.lit(buckets.toLong)).as("_1"),
+        col("value").as("_2"))
+      .as[(Long, String)]
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[(Map[String, Long], Long),
+          (Long, String, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (b: Long, vals: Iterator[(Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Map[String, Long], Long)]) =>
+          var (m, tot) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          vals.foreach { case (_, t) => m = mg.reduce(m, t); tot += 1 }
+          state.update((m, tot))
+          m.toSeq.sortBy(_._1).iterator.map { case (t, est) => (b, t, est, tot) }
+      }
+  }
+
   /** Exactly-once parquet batch sink for `foreachBatch`.
     *
     * `foreachBatch` gives AT-LEAST-once: after a crash between "batch

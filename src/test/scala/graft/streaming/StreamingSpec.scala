@@ -770,4 +770,92 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "stream and batch split assignment diverged")
     assert(got.map(_._2).distinct.sorted == Seq("test", "train", "val"))
   }
+
+  // streamingHeavyHitters pins the MG GUARANTEES (order-independent),
+  // not a state bit-layout: nomination superset, never-overcount,
+  // bounded undercount, and the nominate→batch-recount round-trip
+  // reproducing batch heavyHitters exactly.
+  test("streamingHeavyHitters: nomination superset + bounds + exact round-trip") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val capacity = 3; val buckets = 2
+    // skewed stream: zipf-ish head + a tail of singletons
+    val toks: Seq[String] =
+      Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++ Seq.fill(12)("gamma") ++
+        (0 until 30).map(i => s"tail$i") ++ Seq.fill(8)("delta")
+    val input = MemoryStream[String]
+    val q = MicroBatch.streamingHeavyHitters(input.toDS(), capacity, buckets)
+      .writeStream.format("memory").queryName("hh_inc")
+      .outputMode("update").start()
+    val cuts = Seq(30, 70, toks.size)
+    var prev = 0
+    cuts.foreach { cut =>
+      input.addData(toks.slice(prev, cut)); q.processAllAvailable(); prev = cut
+    }
+    q.stop()
+    val emitted = spark.table("hh_inc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // final state per bucket = the rows of its newest emission
+    val lastTot = emitted.groupBy(_._1).map { case (b, vs) => b -> vs.map(_._4).max }
+    val fin = emitted.filter(v => v._3 > 0 && v._4 == lastTot(v._1))
+    // ground truth, bucketed the engine's way (xxhash64 via the SQL expr)
+    val bucketOf = toks.distinct.toDF("t")
+      .select(col("t"), pmod(xxhash64(col("t")), lit(buckets.toLong)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trueCnt = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bucketTot = toks.groupBy(bucketOf).view.mapValues(_.size.toLong).toMap
+    assert(fin.forall(v => v._4 == bucketTot(v._1)), "bucket totals must be exact")
+    // (1) per-bucket superset guarantee ⇒ global superset guarantee
+    val nominated = fin.map(v => (v._1, v._2)).toSet
+    trueCnt.foreach { case (t, c) =>
+      val b = bucketOf(t)
+      if (c.toDouble > bucketTot(b).toDouble / (capacity + 1))
+        assert(nominated.contains((b, t)), s"MG must nominate $t (cnt $c)")
+    }
+    // (2) estimates never overcount; undercount ≤ bucketTotal/(capacity+1)
+    fin.foreach { case (b, t, est, tot) =>
+      assert(est <= trueCnt(t), s"$t overcounted: $est > ${trueCnt(t)}")
+      assert(trueCnt(t) - est <= tot / (capacity + 1),
+        s"$t undercount ${trueCnt(t) - est} beyond bound ${tot / (capacity + 1)}")
+    }
+    // (3) nominate → exact batch recount ≡ batch heavyHitters (pass 2 is
+    // the adjudicator; stream pass-1 nomination must not lose an answer)
+    val total = toks.size.toLong
+    val cands = fin.map(_._2).distinct.toSet
+    val recount = trueCnt.filter { case (t, c) =>
+      cands.contains(t) && c.toDouble > total.toDouble / capacity }
+    val batch = graft.functions.Corpus.heavyHitters(
+        toks.toDF("text"), "text", capacity)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(recount == batch, s"round-trip $recount must equal batch $batch")
+  }
+
+  // a bucket that never overflows its capacity keeps EXACT counts after
+  // every prefix — the documented exactness regime, order-independent
+  test("streamingHeavyHitters: exact counts while under capacity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val toks = Seq("a", "b", "a", "c", "a", "b", "c", "c", "c")
+    val input = MemoryStream[String]
+    // capacity ≥ distinct tokens ⇒ no decrement event can ever fire
+    val q = MicroBatch.streamingHeavyHitters(input.toDS(), capacity = 8,
+        buckets = 3)
+      .writeStream.format("memory").queryName("hh_exact")
+      .outputMode("update").start()
+    val cuts = Seq(4, toks.size)
+    var prev = 0
+    cuts.foreach { cut =>
+      input.addData(toks.slice(prev, cut)); q.processAllAvailable(); prev = cut
+      val emitted = spark.table("hh_exact").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val lastTot = emitted.groupBy(_._1)
+        .map { case (b, vs) => b -> vs.map(_._4).max }
+      val fin = emitted.filter(v => v._4 == lastTot(v._1))
+        .map(v => v._2 -> v._3).toMap
+      val expect = toks.take(cut).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      assert(fin == expect, s"prefix $cut: $fin must equal exact $expect")
+    }
+    q.stop()
+  }
 }
