@@ -101,16 +101,34 @@ object GraftSession {
     * returns the violation list instead of throwing — the report
     * form for notebooks.
     */
+  /** Unparseable ≠ disabled: aliasing a malformed
+    * autoBroadcastJoinThreshold onto -1 would tell the operator to
+    * "enable broadcasting" when the real fix is the typo'd string.
+    * Runtime `conf.set` validates the value, but spark-defaults.conf /
+    * --conf at launch can still deliver garbage — surface it as its own
+    * violation, with a placeholder default so the threshold checks
+    * don't ALSO fire a misleading disabled/oversized message.
+    */
+  private[graft] def parseBroadcastThreshold(
+      thresholdStr: String): (Long, Option[String]) = {
+    // plain longs first: byteStringAsBytes rejects negatives, but "-1"
+    // is the documented disable value and must reach the disabled check
+    val parsed = thresholdStr.trim.toLongOption.orElse(
+      try Some(org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(thresholdStr))
+      catch { case _: Exception => None })
+    (parsed.getOrElse(10L * 1024 * 1024),
+      Option.when(parsed.isEmpty)(
+        s"spark.sql.autoBroadcastJoinThreshold='$thresholdStr' is " +
+          "unparseable (expected bytes or a size like '32MB')"))
+  }
+
   def validateScaleConf(spark: SparkSession,
                         failFast: Boolean = true): Seq[String] = {
     val sc = spark.sparkContext
-    val thresholdStr =
-      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    val threshold =
-      try org.apache.spark.network.util.JavaUtils
-        .byteStringAsBytes(thresholdStr)
-      catch { case _: Exception => -1L }
-    val violations = scaleConfViolations(
+    val (threshold, parseViolation) = parseBroadcastThreshold(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val violations = parseViolation.toSeq ++ scaleConfViolations(
       hasCheckpointDir = sc.getCheckpointDir.isDefined,
       requireReliable = spark.conf
         .get(graft.functions.Snapshots.RequireReliableKey, "false").toBoolean,

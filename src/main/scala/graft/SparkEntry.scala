@@ -1179,8 +1179,8 @@ object SparkEntry {
         col("doc_id") % 3 =!= 0 && col("doc_id") % 7 =!= 2 &&
           col("doc_id") % 97 === 1)
       Corpus.tfidfProbeIndex(queries, "doc_id", "text",
-          s.read.parquet(s"$tmp/postings"), s.read.parquet(s"$tmp/dict"),
-          k = 10)
+          s.read.parquet(s"$tmp/params"), s.read.parquet(s"$tmp/postings"),
+          s.read.parquet(s"$tmp/dict"), k = 10)
         .orderBy("query_id", "rank")
     }),
 

@@ -382,14 +382,7 @@ object Corpus {
   def tfidfIndexAppend(params: DataFrame, dict: DataFrame,
                        newDf: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
-    val rows = params
-      .select(col("ngram").cast("int"), col("max_df_ratio").cast("double"))
-      .distinct().collect()
-    require(rows.length == 1,
-      s"mixed-scheme tfidf index: ${rows.length} distinct param rows " +
-        "(one extraction scheme per index; rebuild instead of unioning " +
-        "indexes built with different knobs)")
-    val ngram = rows.head.getInt(0)
+    val ngram = frozenTfidfNgram(params)
     val tf = newDf
       .select(col(idCol).cast("long").as("doc_id"),
         graft.plans.HashExpressions
@@ -405,6 +398,34 @@ object Corpus {
     w.join(norms, "doc_id")
       .select(col("doc_id"), col("__th"), (col("__w") / col("__nrm")).as("wn"))
   }
+
+  // The one-row frozen-scheme read shared by append and probe: the dict
+  // is only meaningful for grams extracted the same way, so BOTH
+  // maintenance paths refuse a mixed params frame loudly.
+  private def frozenTfidfNgram(params: DataFrame): Int = {
+    val rows = params
+      .select(col("ngram").cast("int"), col("max_df_ratio").cast("double"))
+      .distinct().collect()
+    require(rows.length == 1,
+      s"mixed-scheme tfidf index: ${rows.length} distinct param rows " +
+        "(one extraction scheme per index; rebuild instead of unioning " +
+        "indexes built with different knobs)")
+    rows.head.getInt(0)
+  }
+
+  /** [[tfidfProbeIndex]] under the index's FROZEN extraction scheme:
+    * `ngram` comes from the persisted params frame instead of a free
+    * parameter, closing the probe-side seam the append guard already
+    * closes on writes — query grams extracted under a different ngram
+    * hash to different 8-byte keys, match nothing, and would silently
+    * return empty/garbage top-k. Prefer this overload whenever the
+    * index came from [[tfidfIndexBuild]]; mixed params refuse loudly.
+    */
+  def tfidfProbeIndex(queries: DataFrame, idCol: String, textCol: String,
+                      params: DataFrame, postings: DataFrame,
+                      dict: DataFrame, k: Int): DataFrame =
+    tfidfProbeIndex(queries, idCol, textCol, postings, dict, k,
+      frozenTfidfNgram(params))
 
   /** Probe a [[tfidfIndex]] snapshot with new query documents: top-k
     * indexed docs per query by TF-IDF cosine under the INDEX's frozen
@@ -944,6 +965,17 @@ object Corpus {
       .crossJoin(train
         .select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
         .agg((countDistinct(xxhash64(col("__t"))) + 1L).as("__v")))
+      // the documented "train must contain ≥ 1 trigram" contract,
+      // ENFORCED: an all-short train gives __ncc = 0 → B₁ = 0 → ln(0)
+      // nulls that are indistinguishable from legitimate <3-token
+      // nulls downstream. Fail loudly instead (one expression on the
+      // 1-row totals frame — no extra job, the append-guard ethos).
+      .select(
+        when(col("__ncc") > 0L, col("__ncc"))
+          .otherwise(raise_error(lit("knNll: train contains no trigram " +
+            "(every doc has < 3 tokens) — the KN model is undefined " +
+            "over an empty type set"))).as("__ncc"),
+        col("__v1"), col("__v"))
     // ctx and fwd2 (resp. mid and fwd1) share their key universe —
     // every instance key appears in the type set — so they merge with
     // one inner join each and cost the probe side a single lookup
@@ -1431,8 +1463,10 @@ object Corpus {
       "n_params_stripped" ->
         when(hasScheme, (size(allParams) - size(keptParams)).cast("long"))
           .as("n_params_stripped"))
+    // emitted in the CALLER's requested order — a caller reading
+    // positionally must get the columns where it asked for them
     val out = df.select(col(idCol) +: carryCols.map(col) :++
-      known.filter(outputs.contains).map(derived): _*)
+      outputs.distinct.map(derived): _*)
     // The barrier lives IN the library function, not at call sites: any
     // consumer that filters/sorts/aggregates on these derived columns
     // would otherwise have CollapseProject + predicate pushdown
@@ -1742,6 +1776,10 @@ object Corpus {
     * Output: (idCol, clean_text, n_blocks, n_blocks_kept, kept) —
     * every input row present and flagged, filtering is the caller's
     * one-liner (the [[c4Gate]] contract). Null html gates like "".
+    * `outputs` selects (and orders) the derived subset, pruned BEFORE
+    * the internal barrier — the barrier blocks Catalyst column pruning
+    * by design, so a counts-only consumer should say so and skip the
+    * clean_text join+unescape chain (the [[urlCanonicalize]] lesson).
     *
     * Map-only, zero shuffles: regex/replace/array lambdas in the scan
     * projection — at 100 TB the gate costs exactly one pass, and the
@@ -1752,9 +1790,14 @@ object Corpus {
   def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
                   minBlockChars: Int = 30,
                   charsPerLink: Int = 10,
-                  pin: Boolean = true): DataFrame = {
+                  pin: Boolean = true,
+                  outputs: Seq[String] = Seq("clean_text", "n_blocks",
+                    "n_blocks_kept", "kept")): DataFrame = {
     require(minBlockChars >= 1, s"minBlockChars must be positive: $minBlockChars")
     require(charsPerLink >= 1, s"charsPerLink must be positive: $charsPerLink")
+    val known = Seq("clean_text", "n_blocks", "n_blocks_kept", "kept")
+    require(outputs.nonEmpty && outputs.forall(known.contains),
+      s"outputs must be a non-empty subset of $known: $outputs")
     val raw = coalesce(col(htmlCol), lit(""))
     val noScript = regexp_replace(raw,
       lit("(?is)<script[^>]*>.*?</script>"), lit(" "))
@@ -1784,12 +1827,17 @@ object Corpus {
     val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(joined) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
-    val out = df.select(col(idCol),
-      unescaped.as("clean_text"),
-      size(filter(cleaned, s => length(s("txt")) > 0)).cast("long")
-        .as("n_blocks"),
-      size(keptBlocks).cast("long").as("n_blocks_kept"),
-      (size(keptBlocks) >= 1).as("kept"))
+    // same outputs pruning as [[urlCanonicalize]]: the barrier below
+    // blocks Catalyst column pruning, so a counts-only consumer (funnel
+    // rollups) must be able to skip the clean_text join+unescape chain
+    // here, BEFORE the barrier — emitted in the caller's order
+    val derived = Map[String, Column](
+      "clean_text" -> unescaped.as("clean_text"),
+      "n_blocks" -> size(filter(cleaned, s => length(s("txt")) > 0))
+        .cast("long").as("n_blocks"),
+      "n_blocks_kept" -> size(keptBlocks).cast("long").as("n_blocks_kept"),
+      "kept" -> (size(keptBlocks) >= 1).as("kept"))
+    val out = df.select(col(idCol) +: outputs.distinct.map(derived): _*)
     // Same CollapseProject exposure as [[urlCanonicalize]]: the caller's
     // contract is `where(kept)` + downstream reads of `clean_text` —
     // exactly the filter-pushdown + multi-reference shape that would

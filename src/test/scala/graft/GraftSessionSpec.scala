@@ -182,6 +182,15 @@ class GraftSessionSpec extends SparkSpec {
         graft.functions.Snapshots.RequireReliableKey))
       assert(GraftSession.validateScaleConf(spark, failFast = false)
         .size == 1)
+      // unparseable threshold ≠ disabled: its own violation, NOT the
+      // misleading "disabled (<= 0)" advice (runtime conf.set validates,
+      // but spark-defaults.conf at launch can still deliver garbage, so
+      // the parse helper is tested directly)
+      val (fb, vio) = GraftSession.parseBroadcastThreshold("abc")
+      assert(vio.exists(_.contains("unparseable")) && fb > 0L, (fb, vio))
+      assert(GraftSession.parseBroadcastThreshold("32MB") ==
+        ((32L << 20, None)))
+      assert(GraftSession.parseBroadcastThreshold("-1") == ((-1L, None)))
     } finally {
       spark.conf.unset(graft.functions.Snapshots.RequireReliableKey)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)

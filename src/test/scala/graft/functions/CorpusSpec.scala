@@ -168,11 +168,13 @@ class CorpusSpec extends SparkSpec {
     val queries = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
         Row(100L, "common alpha beta gamma"))), schema)
-    val got = Corpus.tfidfProbeIndex(queries, "id", "text", merged, dict,
-        k = 10, ngram = 1)
+    // the frozen-params probe overload reads ngram=1 from the persisted
+    // scheme — no free parameter to typo on the probe path
+    val got = Corpus.tfidfProbeIndex(queries, "id", "text", params, merged,
+        dict, k = 10)
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
     assert(got(50L) == 1.0)
-    // a union of two schemes' params refuses loudly
+    // a union of two schemes' params refuses loudly — on append AND probe
     val (params2, _, _) = Corpus.tfidfIndexBuild(
       retrievalDocs, "id", "text", ngram = 2, maxDfRatio = 0.7)
     val ex = intercept[IllegalArgumentException] {
@@ -180,6 +182,11 @@ class CorpusSpec extends SparkSpec {
         "id", "text")
     }
     assert(ex.getMessage.contains("mixed-scheme"))
+    val exp = intercept[IllegalArgumentException] {
+      Corpus.tfidfProbeIndex(queries, "id", "text",
+        params.unionByName(params2), merged, dict, k = 10)
+    }
+    assert(exp.getMessage.contains("mixed-scheme"))
   }
 
   test("leakSafeSplit: whole near-dup clusters land on one side, singletons unchanged") {
@@ -676,6 +683,17 @@ class CorpusSpec extends SparkSpec {
     val plan = Corpus.htmlExtract(df, "id", "html")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
+    // outputs pruning (the urlCanonicalize lesson): a counts-only
+    // consumer skips the clean_text join+unescape chain behind the
+    // barrier, and the columns come back in the CALLER's order
+    val counts = Corpus.htmlExtract(df, "id", "html",
+      outputs = Seq("kept", "n_blocks_kept"))
+    assert(counts.columns.toSeq == Seq("id", "kept", "n_blocks_kept"))
+    val cm = counts.collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(cm(2L) == ((true, 1L)) && cm(4L) == ((false, 0L)))
+    assert(!counts.queryExecution.executedPlan.toString
+      .toLowerCase.contains("clean_text"))
   }
 
   test("curationFunnel: per-stage retention, monotone, token counts track cleaned text") {
@@ -1004,6 +1022,14 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     assert(stats.toSeq == Seq(("a.com", 2L, 1L, 20L, 1L)))
+    // outputs come back in the CALLER's requested order — a positional
+    // reader must find the columns where it asked for them
+    val ord = Corpus.urlCanonicalize(df, "id", "url",
+      outputs = Seq("host", "url_canon"))
+    assert(ord.columns.toSeq == Seq("id", "host", "url_canon"))
+    val o1 = ord.where(col("id") === 1L).collect().head
+    assert(o1.getString(1) == "www.example.com" &&
+      o1.getString(2) == "http://www.example.com/Path/Page?a=1&b=2")
   }
 
   test("dedupAgainstIndex drops exactly the indexed content") {

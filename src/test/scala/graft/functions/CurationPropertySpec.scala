@@ -352,6 +352,22 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  // the documented train-must-have-a-trigram contract is ENFORCED: an
+  // all-short train must die loudly, not emit nulls indistinguishable
+  // from legitimate <3-token nulls
+  test("knNll: trigram-free train fails loudly instead of silent nulls") {
+    import spark.implicits._
+    val train = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Corpus.knNll(docs, train, "doc_id", "text").collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("no trigram"), chain)
+  }
+
   // --- resolveLinks: regex fixpoint ≡ RFC 3986 §5.2.4 stack walk --------
   // An INDEPENDENT implementation of remove_dot_segments (the RFC's own
   // left-to-right stack algorithm, transcribed) fuzzed against the
