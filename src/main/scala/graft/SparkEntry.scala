@@ -1205,6 +1205,15 @@ object SparkEntry {
       Corpus.unigramNll(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // CCNet head/middle/tail: per-LANGUAGE perplexity terciles (bucket
+    // 0 = most fluent third under the corpus's own unigram LM). The
+    // x_perplexity scoring plus one group-keyed window pass over the
+    // #docs-sized score table; zero-token docs keep null score+bucket.
+    "x_ppl_buckets" -> ((s, dir) =>
+      Corpus.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text",
+          "lang", nBuckets = 3)
+        .orderBy(col("doc_id"))),
+
     // Stupid-Backoff bigram LM (Brants et al. 2007): LM trained on the
     // deterministic 80% doc_id-modulo slice, every doc scored — the
     // next-order CCNet quality signal above x_perplexity. Count-ratio
@@ -2049,6 +2058,17 @@ object SparkEntry {
           t(s, dir, "events").select(col("event_id"), col("value")),
           "value", nBuckets = 10)
         .orderBy("event_id")),
+
+    // Per-language decile feature — the cuts computed independently
+    // per group (one global grid is wrong across languages with
+    // different length scales); one group-keyed window pass reduced to
+    // a #langs-sized cut-array table, assignment map-only.
+    "x_qbucket_by_lang" -> ((s, dir) =>
+      graft.functions.Stats.quantileBucketByGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars")),
+          "n_chars", "lang", nBuckets = 10)
+        .orderBy("doc_id")),
 
     // Group-median imputation: nulls planted deterministically
     // (event_id % 7), filled with the type's exact lower-median value;
@@ -5456,6 +5476,32 @@ object SparkEntry {
          |FROM events e ORDER BY event_id""".stripMargin
     },
 
+    // Grouped form of the x_qbucket convention: 1-based ranks
+    // (i·n)//10 + 1 PER GROUP (IN dedupes collapsed ranks), bucket =
+    // #cuts ≤ v within the row's group; docs of a group with no
+    // eligible values keep a NULL bucket via the correlated count
+    // guard.
+    "x_qbucket_by_lang" -> {
+      val inList = (1 to 9).map(i => s"($i * n) // 10 + 1").mkString(", ")
+      s"""WITH elig AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+         | FROM documents
+         | WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+         |r AS (SELECT g, v,
+         |  row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         |  COUNT(*) OVER (PARTITION BY g) AS n FROM elig),
+         |cuts AS (SELECT g, v FROM r WHERE rn IN ($inList))
+         |SELECT d.doc_id, d.lang, d.n_chars,
+         | CASE WHEN d.n_chars IS NOT NULL
+         |       AND NOT isnan(CAST(d.n_chars AS DOUBLE))
+         |       AND EXISTS (SELECT 1 FROM cuts c
+         |                   WHERE c.g IS NOT DISTINCT FROM d.lang)
+         |      THEN (SELECT COUNT(*) FROM cuts c
+         |            WHERE c.g IS NOT DISTINCT FROM d.lang
+         |              AND c.v <= CAST(d.n_chars AS DOUBLE))
+         | END AS bucket
+         |FROM documents d ORDER BY doc_id""".stripMargin
+    },
+
     // Same planted nulls, same lower-median rank selection.
     "x_impute" ->
       """WITH base AS (SELECT event_id, event_type,
@@ -6100,6 +6146,46 @@ object SparkEntry {
         | ROUND(per.s / CAST(per.n_tokens AS DOUBLE), 9) AS avg_nll
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // The x_perplexity scoring CTEs verbatim, then the grouped
+    // x_qbucket_by_lang convention over the rounded avg_nll doubles
+    // (bit-identical across engines, so rank order matches): tercile
+    // cuts at 1-based ranks (i·n)//3 + 1 per language, bucket = #cuts
+    // ≤ score; zero-token docs (null score) shift no ranks.
+    "x_ppl_buckets" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |inst AS (SELECT doc_id, unnest(tok) AS t FROM toks),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM inst GROUP BY 1, 2),
+        |c AS (SELECT t, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS N FROM c),
+        |per AS (
+        | SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(CAST(tf.tf AS DOUBLE) *
+        |    (ln(CAST(n.N AS DOUBLE)) - ln(CAST(c.cnt AS DOUBLE)))
+        |    AS DECIMAL(30,15))) AS DOUBLE) AS s
+        | FROM tf JOIN c USING (t) CROSS JOIN n GROUP BY 1),
+        |scored AS (
+        | SELECT d.doc_id, d.lang, COALESCE(per.n_tokens, 0) AS n_tokens,
+        |  ROUND(per.s / CAST(per.n_tokens AS DOUBLE), 9) AS avg_nll
+        | FROM documents d LEFT JOIN per USING (doc_id)),
+        |r AS (SELECT lang AS g, avg_nll AS v,
+        |  row_number() OVER (PARTITION BY lang ORDER BY avg_nll) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        | FROM scored WHERE avg_nll IS NOT NULL AND NOT isnan(avg_nll)),
+        |cuts AS (SELECT g, v FROM r
+        | WHERE rn IN ((1 * n) // 3 + 1, (2 * n) // 3 + 1))
+        |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.avg_nll,
+        | CASE WHEN sc.avg_nll IS NOT NULL AND NOT isnan(sc.avg_nll)
+        |       AND EXISTS (SELECT 1 FROM cuts c2
+        |                   WHERE c2.g IS NOT DISTINCT FROM sc.lang)
+        |      THEN (SELECT COUNT(*) FROM cuts c2
+        |            WHERE c2.g IS NOT DISTINCT FROM sc.lang
+        |              AND c2.v <= sc.avg_nll)
+        | END AS ppl_bucket
+        |FROM scored sc ORDER BY doc_id""".stripMargin,
 
     // Stupid-Backoff chain over STRING-grouped counts (engine groups by
     // xxhash64 — identical modulo a 64-bit collision). Zipped parallel

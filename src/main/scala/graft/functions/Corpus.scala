@@ -647,6 +647,33 @@ object Corpus {
         round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document with [[unigramNll]] and split each group (language) into
+    * `nBuckets` equal-frequency bands by that score — bucket 0 is the
+    * group's most-fluent (lowest-perplexity) "head", the last bucket
+    * its "tail"; CCNet's head/middle/tail is exactly `nBuckets = 3`.
+    * The cuts are computed INDEPENDENTLY per group
+    * ([[graft.functions.Stats.quantileBucketByGroup]] — one global cut
+    * grid is wrong across languages whose LM scores live on different
+    * scales), with its exact order-statistic convention, so the band a
+    * doc lands in is reproducible bit-for-bit. Docs with zero tokens
+    * keep a null score and a null bucket and shift no ranks.
+    *
+    * Scale shape: [[unigramNll]]'s (distinct (doc, token-hash) pairs
+    * shuffle, bodies never do) + one group-keyed window pass over the
+    * #docs-sized score table reduced to a #groups-sized cut array.
+    *
+    * @return (idCol, groupCol, n_tokens, avg_nll, ppl_bucket)
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, nBuckets: Int = 3,
+                        outCol: String = "ppl_bucket"): DataFrame = {
+    val scored = df.select(col(idCol), col(groupCol))
+      .join(unigramNll(df, idCol, textCol), Seq(idCol), "left")
+    Stats.quantileBucketByGroup(scored, "avg_nll", groupCol, nBuckets,
+      outCol)
+  }
+
   /** Per-document character-distribution entropy — the compression-proxy
     * gibberish detector (low entropy = repeated-character spam, high
     * entropy = random bytes / encoded binary; natural language sits in a

@@ -1115,6 +1115,57 @@ object Stats {
         .otherwise(lit(null).cast("long")))
   }
 
+  /** Per-group equal-frequency bucketing — [[quantileBucket]] with the
+    * cut points computed INDEPENDENTLY per group (per-language
+    * perplexity terciles, per-source score deciles: one global cut
+    * grid is wrong the moment the groups have different scales — the
+    * CCNet head/middle/tail split is exactly this op at nBuckets = 3).
+    * Same discrete convention as the global form: within each group,
+    * `cut_i` = the value at 1-based sorted rank `(i·n) div nBuckets
+    * + 1`, one cut per DISTINCT rank (equal-VALUE cuts from different
+    * ranks stay — the bucket index then honestly skips past the heavy
+    * value), `bucket(v)` = number of cuts ≤ v in [0, nBuckets − 1].
+    * Null/NaN values get a null bucket and shift no ranks; rows of a
+    * group with NO eligible values get a null bucket; a null GROUP is
+    * its own group (SQL grouping semantics).
+    *
+    * Scale shape ([[winsorizeByGroup]]'s): the cuts come from ONE
+    * group-keyed window pass (values sort within their group's
+    * partitions, never globally) reduced to a #groups-sized cut-array
+    * table joined back on the group key (broadcast when small);
+    * assignment is a map-only filter against the ≤ (nBuckets−1)-long
+    * per-group array. Right when groups are many and individually
+    * bounded; for ONE giant group, [[quantileBucket]]'s bisection does
+    * the same job with no sort at all.
+    */
+  def quantileBucketByGroup(df: DataFrame, valueCol: String,
+                            groupCol: String, nBuckets: Int,
+                            outCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val v = col(valueCol).cast("double")
+    val eligible = col(valueCol).isNotNull && !isnan(v)
+    val vals = df.where(eligible)
+      .select(col(groupCol).as("__g"), v.as("__x"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__x").asc)
+    val ranked = vals
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+    // 1-based cut ranks, deduped per group (n < nBuckets collapses
+    // neighbouring ranks — fewer, not duplicated, cuts)
+    val rankSet = array_distinct(array((1 until nBuckets).map(i =>
+      expr(s"($i * __n) div $nBuckets + 1").cast("long")): _*))
+    val cuts = ranked
+      .where(array_contains(rankSet, col("__rn").cast("long")))
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_list(col("__x"))).as("__cuts"))
+    df.join(cuts, df(groupCol) <=> cuts("__g"), "left")
+      .withColumn(outCol,
+        when(eligible && col("__cuts").isNotNull,
+          size(filter(col("__cuts"), c => c <= v)).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .drop("__g", "__cuts")
+  }
+
   /** Per-group lower-median (element at sorted position `(n+1) div 2`)
     * — the exact order statistic [[madOutliers]] and [[imputeByGroup]]
     * share: one group-keyed window pass reduced to a #groups-sized

@@ -715,6 +715,68 @@ object MicroBatch {
       }
   }
 
+  /** Streaming quantiles over a fixed binning — the bounded-state live
+    * dual of [[graft.functions.Stats.exactQuantiles]]. Exact streaming
+    * order statistics need unbounded state; the production compromise
+    * shipped here is the [[streamingDrift]] state shape (per-group
+    * `nBins` long counters over an explicit [lo, hi) grid, values
+    * outside clamping into the edge bins) with quantiles read off the
+    * histogram: for each requested probability `p` the emitted row is
+    * the BIN containing the order statistic at 1-based rank
+    * `min(n, floor(p·n) + 1)` — [[graft.functions.Stats.quantileBucket]]'s
+    * cut-rank convention — as `(group, p, n, bin, q_lo_edge)`. This is
+    * EXACT for bin-quantized values by construction (every value in a
+    * bin is its lo_edge, so the rank-th smallest quantized value IS the
+    * emitted edge — spec-pinned value-identical to a driver-side exact
+    * quantile of the quantized prefix after any batch split); for raw
+    * values the error is bounded by one bin width, the documented
+    * approximation. Gating matches the family: null groups and NaN
+    * values drop; the latest (group, p) row is the upsert. State per
+    * group = nBins longs, independent of stream length.
+    */
+  def streamingQuantiles(
+      rows: org.apache.spark.sql.Dataset[(String, Double)],
+      probs: Seq[Double], nBins: Int, lo: Double, hi: Double)
+      : org.apache.spark.sql.Dataset[(String, Double, Long, Long, Double)] = {
+    require(nBins >= 1, s"need at least one bin: $nBins")
+    require(lo < hi, s"need lo < hi: ($lo, $hi)")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be non-empty within [0, 1]: $probs")
+    val w = (hi - lo) / nBins
+    def binOf(x: Double): Int =
+      math.min(nBins - 1, math.max(0, math.floor((x - lo) / w).toInt))
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Tuple1[Seq[Long]]] =
+      org.apache.spark.sql.Encoders.product[Tuple1[Seq[Long]]]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(String, Double, Long,
+        Long, Double)] =
+      org.apache.spark.sql.Encoders.product[(String, Double, Long, Long, Double)]
+    rows.filter(v => v._1 != null && !v._2.isNaN)
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[Tuple1[Seq[Long]],
+          (String, Double, Long, Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (g: String, vals: Iterator[(String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[Tuple1[Seq[Long]]]) =>
+          val cnt = state.getOption.map(_._1.toArray)
+            .getOrElse(Array.fill(nBins)(0L))
+          vals.foreach { case (_, x) => cnt(binOf(x)) += 1 }
+          state.update(Tuple1(cnt.toSeq))
+          val n = cnt.sum
+          probs.iterator.map { p =>
+            val rank = math.min(n, math.floor(p * n).toLong + 1L)
+            var cum = 0L; var b = 0; var found = -1
+            while (b < nBins && found < 0) {
+              cum += cnt(b)
+              if (cum >= rank) found = b
+              b += 1
+            }
+            val bin = math.max(found, 0)
+            (g, p, n, bin.toLong, lo + bin * w)
+          }
+      }
+  }
+
   /** Streaming heavy-hitter NOMINATION — the live dual of
     * [[graft.functions.Corpus.heavyHitters]]' sketch pass. The batch op
     * is two-pass (Misra–Gries nominates a certain superset, an exact

@@ -55,6 +55,32 @@ class StatsPropertySpec extends SparkSpec {
       4 -> Gen.oneOf((1 to 50).map(i => s"t$i"))))
   } yield xs
 
+  test("quantileBucketByGroup == driver brute force on 12 sampled grouped multisets") {
+    import spark.implicits._
+    (1 to 12).foreach { i =>
+      val xs = valuesGen(Gen.Parameters.default, Seed(1000L + i)).get
+      // 1-5 groups of uneven sizes, some smaller than nBuckets
+      val nGroups = 1 + i % 5
+      val rows = xs.zipWithIndex.map { case (v, j) =>
+        (j.toLong, s"g${j % nGroups}", v)
+      }
+      val nB = 2 + i % 9
+      val got = Stats.quantileBucketByGroup(
+          rows.toDF("id", "g", "v").repartition(3), "v", "g", nB)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      rows.groupBy(_._2).foreach { case (g, slice) =>
+        val sorted = slice.map(_._3).sorted
+        val n = sorted.size.toLong
+        val cuts = (1 until nB).map(i2 => (i2 * n / nB).toInt).distinct
+          .map(sorted(_))
+        slice.foreach { case (id, _, v) =>
+          assert(got(id) == cuts.count(_ <= v).toLong,
+            s"seed $i group $g id $id value $v (n=$n, nB=$nB)")
+        }
+      }
+    }
+  }
+
   test("misraGries superset guarantee holds on 10 sampled streams x 3 capacities") {
     import spark.implicits._
     (1 to 10).foreach { i =>

@@ -522,6 +522,57 @@ class StatsSpec extends SparkSpec {
     assert(out(11L).isEmpty)
   }
 
+  test("quantileBucketByGroup ≡ quantileBucket on each group's slice") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // three groups with deliberately different scales + heavy ties
+    val rows = (0 until 300).map { i =>
+      val g = Seq("en", "zh", "de")(i % 3)
+      val v = g match {
+        case "en" => rnd.nextInt(40).toDouble
+        case "zh" => 1000.0 + rnd.nextInt(7)   // heavy ties
+        case _    => rnd.nextDouble() * 5
+      }
+      (i.toLong, g, v)
+    }
+    val df = rows.toDF("id", "g", "v")
+    val got = Stats.quantileBucketByGroup(df, "v", "g", nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    Seq("en", "zh", "de").foreach { g =>
+      val slice = rows.filter(_._2 == g).map(t => (t._1, t._3)).toDF("id", "v")
+      val expect = Stats.quantileBucket(slice, "v", nBuckets = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      expect.foreach { case (id, b) =>
+        assert(got(id) == b, s"group $g id $id")
+      }
+    }
+  }
+
+  test("quantileBucketByGroup: null group is a group, gated rows and empty groups null") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("v", DoubleType)))
+    val rows = Seq(
+      Row(1L, "a", 1.0), Row(2L, "a", 2.0), Row(3L, "a", 3.0),
+      Row(4L, "a", 4.0),
+      Row(5L, null, 1.0), Row(6L, null, 10.0),
+      Row(7L, "a", null), Row(8L, "a", Double.NaN),
+      Row(9L, "empty", null)) // group with no eligible values
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = Stats.quantileBucketByGroup(df, "v", "g", nBuckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // group a: n=4, cut at 1-based rank (1·4)div2+1=3 → value 3.0
+    assert(out(1L) == Some(0L) && out(2L) == Some(0L))
+    assert(out(3L) == Some(1L) && out(4L) == Some(1L))
+    // null group: n=2, cut at rank 2 → 10.0
+    assert(out(5L) == Some(0L) && out(6L) == Some(1L))
+    // gated values and eligible-empty groups stay null
+    assert(out(7L).isEmpty && out(8L).isEmpty && out(9L).isEmpty)
+  }
+
   test("imputeByGroup: median and mode fills, NaN replaced, empty group stays null") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -486,6 +486,51 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  // streamingQuantiles is exact over the BINNED distribution: after any
+  // prefix, the latest (group, p) row must carry the bin of the exact
+  // order statistic at rank min(n, floor(p·n)+1) — quantileBucket's cut
+  // convention — of the group's bin-quantized prefix values.
+  test("streamingQuantiles: emitted bins equal exact quantiles of the quantized prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val nBins = 8; val lo = 0.0; val hi = 80.0
+    val w = (hi - lo) / nBins
+    def binOf(x: Double): Int =
+      math.min(nBins - 1, math.max(0, math.floor((x - lo) / w).toInt))
+    val probs = Seq(0.1, 0.5, 0.9, 1.0)
+    val rows: Seq[(String, Double)] = Seq(
+      ("a", 3.0), ("a", 14.0), ("a", -9.0),   // -9 clamps into bin 0
+      ("b", 55.0), ("a", 27.0), ("b", 91.0),  // 91 clamps into bin 7
+      ("a", Double.NaN), (null, 5.0),          // both gated out
+      ("a", 44.0), ("b", 8.0), ("a", 44.0), ("b", 79.9))
+    val input = MemoryStream[(String, Double)]
+    val q = MicroBatch.streamingQuantiles(input.toDS(), probs, nBins, lo, hi)
+      .writeStream.format("memory").queryName("quant_inc")
+      .outputMode("update").start()
+    val cuts = Seq(3, 7, rows.size)
+    var prev = 0
+    cuts.foreach { cut =>
+      input.addData(rows.slice(prev, cut)); q.processAllAvailable()
+      prev = cut
+      val latest = spark.table("quant_inc").collect()
+        .map(r => ((r.getString(0), r.getDouble(1)),
+          (r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      val seen = rows.take(cut).filter(v => v._1 != null && !v._2.isNaN)
+      seen.map(_._1).distinct.foreach { g =>
+        val bins = seen.filter(_._1 == g).map(v => binOf(v._2)).sorted
+        val n = bins.length.toLong
+        probs.foreach { p =>
+          val rank = math.min(n, math.floor(p * n).toLong + 1L)
+          val expectBin = bins((rank - 1).toInt).toLong
+          assert(latest((g, p)) == ((n, expectBin, lo + expectBin * w)),
+            s"prefix $cut group $g p $p")
+        }
+      }
+    }
+    q.stop()
+  }
+
   test("streamingRetention: emitted (user, cohort, offset) rows roll up to the batch retention") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
