@@ -3058,6 +3058,33 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
           "l_shipdate", "l_linestatus"))),
 
+    // Stats-maintenance append ritual (the ivf/band/tfidf shape on the
+    // profile side): yesterday's slice reduces ONCE to exactly
+    // mergeable sufficient statistics (decimal sums, counts, min/max)
+    // persisted as a #columns-row parquet artifact; today's arrivals
+    // fold in by addition — equal to a full rescan bit-for-bit, which
+    // is precisely what the oracle computes. Nulls planted on
+    // event_id % 7 exercise the completeness census.
+    "x_moments_append" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        when(pmod(col("event_id"), lit(7)) === 0,
+          lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      val cols = Seq("user_id", "value")
+      val old = e.where(pmod(col("event_id"), lit(10)) < 7)
+      val arr = e.where(pmod(col("event_id"), lit(10)) >= 7)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-moments").toString
+      graft.functions.Stats.momentsBuild(old, cols)
+        .write.mode("overwrite").parquet(tmp)
+      graft.functions.Stats.momentsAppend(s.read.parquet(tmp), arr, cols)
+        .select(col("column"), col("n_rows"), col("n_nulls"), col("n"),
+          col("sum").cast("double").as("sum_v"),
+          col("sum_sq").cast("double").as("sum_sq"),
+          col("vmin"), col("vmax"))
+        .orderBy("column")
+    }),
+
     // The profile's 100 TB mode, self-verifying (the x_approx_distinct
     // pattern): approxRsd > 0 swaps exact count_distinct (an Expand —
     // the scan × #columns into an exchange carrying the distinct VALUES)
@@ -8537,6 +8564,51 @@ object SparkEntry {
 
     // One stats row per column, ordinal-pinned order; COUNT(DISTINCT)
     // excludes nulls in both engines.
+    // The oracle IS the full rescan the ritual avoids: moments over
+    // history ∪ arrivals directly — merge ≡ rescan is the claim under
+    // test. Decimal accumulation mirrored at scale 6 (NOT 15: Spark
+    // decimalizes a double via its shortest string, DuckDB via the
+    // exact binary expansion — at scale 15 the two round different
+    // per-value decimals and 10k-value sums drift ~1e-11; at scale 6
+    // both agree for ≤6-fractional-digit values, see momentsBuild);
+    // the v*v product is one double op before the decimal cast on
+    // both engines, double narrowing only at the end.
+    "x_moments_append" ->
+      """WITH base AS (SELECT event_id, user_id,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        | FROM events)
+        |SELECT "column", n_rows, n_nulls, n, sum_v, sum_sq, vmin, vmax
+        |FROM (
+        | SELECT 'user_id' AS "column", COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(user_id) AS n_nulls,
+        |  COUNT(CASE WHEN user_id IS NOT NULL
+        |    AND NOT isnan(CAST(user_id AS DOUBLE)) THEN 1 END) AS n,
+        |  CAST(COALESCE(SUM(CAST(CASE WHEN user_id IS NOT NULL
+        |    AND NOT isnan(CAST(user_id AS DOUBLE))
+        |    THEN CAST(user_id AS DOUBLE) END AS DECIMAL(30,6))),
+        |    0) AS DOUBLE) AS sum_v,
+        |  CAST(COALESCE(SUM(CAST(CASE WHEN user_id IS NOT NULL
+        |    AND NOT isnan(CAST(user_id AS DOUBLE))
+        |    THEN CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)
+        |    END AS DECIMAL(30,6))), 0) AS DOUBLE) AS sum_sq,
+        |  MIN(CAST(user_id AS DOUBLE)) AS vmin,
+        |  MAX(CAST(user_id AS DOUBLE)) AS vmax
+        | FROM base
+        | UNION ALL
+        | SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+        |  COUNT(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+        |    THEN 1 END),
+        |  CAST(COALESCE(SUM(CAST(CASE WHEN value IS NOT NULL
+        |    AND NOT isnan(value) THEN value END AS DECIMAL(30,6))),
+        |    0) AS DOUBLE),
+        |  CAST(COALESCE(SUM(CAST(CASE WHEN value IS NOT NULL
+        |    AND NOT isnan(value) THEN value * value
+        |    END AS DECIMAL(30,6))), 0) AS DOUBLE),
+        |  MIN(CASE WHEN NOT isnan(value) THEN value END),
+        |  MAX(CASE WHEN NOT isnan(value) THEN value END)
+        | FROM base)
+        |ORDER BY "column"""".stripMargin,
+
     "x_profile" ->
       """SELECT "column", n_rows, n_nulls, n_distinct FROM (
         | SELECT 0 AS ord, 'l_orderkey' AS "column", COUNT(*) AS n_rows,

@@ -92,6 +92,118 @@ object Stats {
       .select("column", "n_rows", "n_nulls", "n_distinct")
   }
 
+  /** Mergeable per-column moments profile — the build half of the
+    * stats-maintenance ritual ([[momentsAppend]]): one scan reduces
+    * each column to the EXACTLY mergeable sufficient statistics
+    * `(n_rows, n_nulls, n, sum, sum_sq, vmin, vmax)`, so tomorrow's
+    * arrivals fold into yesterday's persisted profile by addition —
+    * mean/variance are consumer-side arithmetic and the history is
+    * never rescanned. The merge is exact because the sums accumulate
+    * in DECIMAL(30,15) (order-free, associative — the
+    * [[graft.functions.Corpus.unigramNll]] discipline), not in
+    * floating point; min/max merge by comparison. `n` counts eligible
+    * (non-null, non-NaN) values — the moments' own denominator —
+    * while `n_rows`/`n_nulls` keep the completeness census.
+    * Distinct counts are deliberately ABSENT: they don't merge
+    * exactly ([[profile]] rescans; the HLL rollup is the mergeable
+    * sketch path).
+    *
+    * `sumScale` is the decimal scale of the accumulators and a
+    * CROSS-ENGINE contract, deliberately coarser than the usual
+    * (30,15): Spark converts a double to decimal through its SHORTEST
+    * string ("376.43") while other engines expand the binary value
+    * exactly (376.42999999999999545…), so at scale 15 the two round
+    * DIFFERENT per-value decimals and a large sum drifts at ~1e-11
+    * (measured: x_moments_append failed by one final-double ulp at
+    * sf0.01 with scale 15). At scale 6 both paths round to the same
+    * decimal for any value with ≤ 6 fractional digits — the
+    * money-like columns this profile is for; sums of such values are
+    * then EXACT and merge exactly.
+    *
+    * Scale shape: ONE aggregation job with map-side partials (all
+    * columns ride the same pass, the [[profile]] shape); the artifact
+    * is #columns rows however large the slice.
+    *
+    * @return (ord, column, n_rows, n_nulls, n, sum, sum_sq, vmin,
+    *         vmax) in `columns` order; sum/sum_sq
+    *         DECIMAL(30, sumScale) — the artifact keeps the exact
+    *         decimals, a final consumer narrows to double
+    */
+  def momentsBuild(df: DataFrame, columns: Seq[String],
+                   sumScale: Int = 6): DataFrame = {
+    require(columns.nonEmpty, "momentsBuild needs at least one column")
+    require(sumScale >= 0 && sumScale <= 15,
+      s"sumScale must be in [0, 15]: $sumScale")
+    val d3015 = org.apache.spark.sql.types.DecimalType(30, sumScale)
+    def ref(c: String) = col(s"`${c.replace("`", "``")}`")
+    val aggs = columns.zipWithIndex.flatMap { case (c, i) =>
+      val v = ref(c).cast("double")
+      val elig = when(ref(c).isNotNull && !isnan(v), v)
+      Seq(count(lit(1)).as(s"__n_$i"),
+        count(when(ref(c).isNull, lit(1))).as(s"__nn_$i"),
+        count(elig).as(s"__ne_$i"),
+        coalesce(sum(elig.cast(d3015)), lit(0).cast(d3015)).cast(d3015)
+          .as(s"__s_$i"),
+        coalesce(sum((elig * elig).cast(d3015)), lit(0).cast(d3015))
+          .cast(d3015).as(s"__sq_$i"),
+        min(elig).as(s"__mn_$i"),
+        max(elig).as(s"__mx_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    columns.zipWithIndex.map { case (c, i) =>
+      one.select(lit(i.toLong).as("ord"), lit(c).as("column"),
+        col(s"__n_$i").as("n_rows"), col(s"__nn_$i").as("n_nulls"),
+        col(s"__ne_$i").as("n"), col(s"__s_$i").as("sum"),
+        col(s"__sq_$i").as("sum_sq"),
+        col(s"__mn_$i").as("vmin"), col(s"__mx_$i").as("vmax"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Fold a batch of arrivals into a persisted [[momentsBuild]]
+    * profile — the stats-family append ritual (the ivf / minhash-band /
+    * tfidf index-maintenance shape): counts and decimal sums ADD,
+    * min/max COMPARE, and the result is bit-identical to a full
+    * rescan of history ∪ arrivals (decimal addition is associative;
+    * spec- and oracle-pinned). Refuses loudly when the artifact's
+    * column set differs from the requested one — filing arrivals
+    * under a different schema would silently corrupt the profile
+    * (the frozen-params contract every append ritual carries). The
+    * artifact read is #columns rows (bounded), the arrivals cost one
+    * [[momentsBuild]] scan; history is never touched. The accumulator
+    * scale is FROZEN in the artifact's schema and read from it here —
+    * the arrival batch files at the stored scale, never a caller-
+    * supplied one (the frozen-params contract, structurally).
+    */
+  def momentsAppend(profile: DataFrame, arrivals: DataFrame,
+                    columns: Seq[String]): DataFrame = {
+    val storedScale = profile.schema("sum").dataType match {
+      case d: org.apache.spark.sql.types.DecimalType => d.scale
+      case other => throw new IllegalArgumentException(
+        s"momentsAppend: artifact 'sum' column is $other, not DECIMAL " +
+          "— not a momentsBuild artifact")
+    }
+    val d3015 = org.apache.spark.sql.types.DecimalType(30, storedScale)
+    // #columns rows by construction — the bounded-collect guard
+    val stored = profile.select(col("column")).collect()
+      .map(_.getString(0)).toSet
+    require(stored == columns.toSet,
+      s"momentsAppend: artifact columns $stored do not match " +
+        s"requested $columns — rebuild or fix the column list " +
+        "(mixed-schema appends corrupt the profile)")
+    profile.select(col("ord"), col("column"), col("n_rows"),
+        col("n_nulls"), col("n"), col("sum").cast(d3015).as("sum"),
+        col("sum_sq").cast(d3015).as("sum_sq"), col("vmin"), col("vmax"))
+      .unionAll(momentsBuild(arrivals, columns, storedScale))
+      .groupBy(col("ord"), col("column"))
+      .agg(sum(col("n_rows")).cast("long").as("n_rows"),
+        sum(col("n_nulls")).cast("long").as("n_nulls"),
+        sum(col("n")).cast("long").as("n"),
+        sum(col("sum")).cast(d3015).as("sum"),
+        sum(col("sum_sq")).cast(d3015).as("sum_sq"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"))
+  }
+
   /** K-minimum-values (KMV) sketch of a column: the `k` smallest DISTINCT
     * `md5` values — the mergeable bottom-k sketch of Bar-Yossef et al.
     * (RANDOM '02) / Beyer et al. (SIGMOD '07), in the engine's portable

@@ -573,6 +573,41 @@ class StatsSpec extends SparkSpec {
     assert(out(7L).isEmpty && out(8L).isEmpty && out(9L).isEmpty)
   }
 
+  test("momentsAppend ≡ rebuild on the union; mixed column sets refuse") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("a", DoubleType),
+      StructField("b", LongType)))
+    val oldRows = Seq(
+      Row(1L, 1.5, 10L), Row(2L, -2.25, 20L), Row(3L, null, 30L),
+      Row(4L, Double.NaN, null))
+    val newRows = Seq(
+      Row(5L, 7.125, 40L), Row(6L, null, 50L), Row(7L, 0.0, 60L))
+    def df(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val cols = Seq("a", "b")
+    val appended = Stats.momentsAppend(
+        Stats.momentsBuild(df(oldRows), cols), df(newRows), cols)
+      .collect().map(r => r.getString(1) -> r.toSeq.drop(1)).toMap
+    val rebuilt = Stats.momentsBuild(df(oldRows ++ newRows), cols)
+      .collect().map(r => r.getString(1) -> r.toSeq.drop(1)).toMap
+    assert(appended == rebuilt)
+    // spot-check the census against hand counts: a has 2 nulls, 1 NaN
+    // (counted in n_rows, absent from n_nulls AND from n)
+    val a = Stats.momentsBuild(df(oldRows ++ newRows), cols).collect()
+      .find(_.getString(1) == "a").get
+    assert(a.getLong(2) == 7L && a.getLong(3) == 2L && a.getLong(4) == 4L)
+    assert(a.getDouble(7) == -2.25 && a.getDouble(8) == 7.125)
+    // frozen-schema contract: filing arrivals under a different column
+    // list must refuse, not corrupt
+    val err = intercept[IllegalArgumentException] {
+      Stats.momentsAppend(
+        Stats.momentsBuild(df(oldRows), Seq("a")), df(newRows), cols)
+    }
+    assert(err.getMessage.contains("do not match"))
+  }
+
   test("imputeByGroup: median and mode fills, NaN replaced, empty group stays null") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
