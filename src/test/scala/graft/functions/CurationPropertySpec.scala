@@ -458,4 +458,171 @@ class CurationPropertySpec extends SparkSpec {
       assert(got(i.toLong) == refResolve(bp, h), s"base '$bp' href '$h'")
     }
   }
+
+  // --- htmlExtract ≡ an independent character-level scanner --------------
+  // The resolveLinks/urlCanonicalize lesson applied to the third big
+  // regex chain: the reference below implements htmlExtract's DOCUMENTED
+  // semantics with indexOf/regionMatches scanning — no java.util.regex —
+  // so a regex-semantics surprise (greediness, alternation-prefix
+  // matching, unclosed constructs) diverges instead of being silently
+  // shared. Counting is in CODE POINTS (Spark's length()), not UTF-16
+  // units.
+
+  /** Remove every `open[^>]*> … close` span (open matched case-
+    * insensitively as a PREFIX, tag ending at the first '>'; close is a
+    * literal). Unclosed constructs stay verbatim — regex `.*?` with a
+    * required terminator matches nothing without one.
+    */
+  private def refRemoveSpans(s: String, open: String, close: String,
+                             openNeedsGt: Boolean): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val start = indexOfCi(s, open, i)
+      if (start < 0) { sb.append(s.substring(i)); i = s.length }
+      else {
+        val afterOpen =
+          if (!openNeedsGt) start + open.length
+          else {
+            val gt = s.indexOf('>', start + open.length)
+            if (gt < 0) -1 else gt + 1
+          }
+        val closeAt =
+          if (afterOpen < 0) -1 else indexOfCi(s, close, afterOpen)
+        if (closeAt < 0) { sb.append(s.substring(i)); i = s.length }
+        else {
+          sb.append(s.substring(i, start)).append(' ')
+          i = closeAt + close.length
+        }
+      }
+    }
+    sb.toString
+  }
+
+  private def indexOfCi(s: String, needle: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i <= s.length - needle.length) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private val refBlockNames = Seq("p", "div", "br", "li", "ul", "ol",
+    "h1", "h2", "h3", "h4", "h5", "h6", "tr", "td", "th", "table",
+    "section", "article", "header", "footer", "nav", "blockquote", "pre")
+
+  /** The scanner reference for htmlExtract's whole chain. */
+  private def refExtract(html: String, minBlockChars: Int,
+                         charsPerLink: Int): (String, Long, Long, Boolean) = {
+    val raw = Option(html).getOrElse("")
+    val noScript = refRemoveSpans(raw, "<script", "</script>",
+      openNeedsGt = true)
+    val noStyle = refRemoveSpans(noScript, "<style", "</style>",
+      openNeedsGt = true)
+    val noComment = refRemoveSpans(noStyle, "<!--", "-->",
+      openNeedsGt = false)
+    // block boundaries: '<' '/'? (blockName-as-PREFIX) [^>]* '>' → '\n'
+    // (regex alternation matches the name as a prefix — <pre>, <lie>,
+    // <person> are all boundaries via pre/li/p + [^>]*)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < noComment.length) {
+      val c = noComment.charAt(i)
+      if (c != '<') { sb.append(c); i += 1 }
+      else {
+        val j = if (i + 1 < noComment.length &&
+          noComment.charAt(i + 1) == '/') i + 2 else i + 1
+        val named = refBlockNames.exists(n =>
+          noComment.regionMatches(true, j, n, 0, n.length))
+        val gt = noComment.indexOf('>', j)
+        if (named && gt >= 0) { sb.append('\n'); i = gt + 1 }
+        else { sb.append(c); i += 1 }
+      }
+    }
+    val blocks = sb.toString.split("\n", -1)
+    def codePoints(s: String): Int = s.codePointCount(0, s.length)
+    def blockText(b: String): String = {
+      // inline tags → ' ' (unclosed '<' stays), whitespace runs → ' ',
+      // then trim SPACES only (post-normalization ends are spaces)
+      val t = new StringBuilder
+      var k = 0
+      while (k < b.length) {
+        val ch = b.charAt(k)
+        if (ch == '<') {
+          val gt = b.indexOf('>', k + 1)
+          if (gt < 0) { t.append(b.substring(k)); k = b.length }
+          else { t.append(' '); k = gt + 1 }
+        } else { t.append(ch); k += 1 }
+      }
+      val norm = new StringBuilder
+      var inWs = false
+      t.toString.foreach { ch =>
+        if (ch == ' ' || ch == '\t' || ch == '\r' || ch == '\n') {
+          if (!inWs) norm.append(' '); inWs = true
+        } else { norm.append(ch); inWs = false }
+      }
+      norm.toString.stripPrefix(" ").stripSuffix(" ")
+    }
+    def linkChars(b: String): Int = {
+      var k = 0; var cnt = 0
+      while (k >= 0) {
+        k = b.indexOf("<a ", k)
+        if (k >= 0) { cnt += 1; k += 3 }
+      }
+      cnt * 3
+    }
+    val cleaned = blocks.map(b => (blockText(b), linkChars(b)))
+    val kept = cleaned.filter { case (txt, lc) =>
+      codePoints(txt) >= minBlockChars &&
+        lc.toLong * charsPerLink <= codePoints(txt).toLong * 3
+    }
+    val joined = kept.map(_._1).mkString("\n")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(joined) { case (s, (e, ch)) => s.replace(e, ch) }
+    (unescaped, cleaned.count(_._1.nonEmpty).toLong, kept.length.toLong,
+      kept.nonEmpty)
+  }
+
+  private val htmlFragGen: Gen[String] = Gen.oneOf(
+    Gen.oneOf("lorem ipsum dolor sit amet", "x", "a longer run of prose " +
+      "that comfortably clears the block minimum on its own merits",
+      "short &amp; sweet", "tabs\tand\r\nnewlines", "&lt;tag&gt;",
+      "&amp;lt;double&nbsp;escape&#39;", "stray < bracket", "dangling >",
+      "ünïcödé prose with enough characters to keep a block alive"),
+    Gen.oneOf("<a href=\"u\">link text</a>", "<A HREF='u'>CAPS LINK</A>",
+      "<a  href='v'>double space</a>", "<a>bare anchor</a>",
+      "<a href=\"w\">l1</a> <a href=\"w\">l2</a> <a href=\"w\">l3</a>"),
+    Gen.oneOf("<p>", "</p>", "<div class='c'>", "</div>", "<br/>",
+      "<LI>", "<h3>", "</H6>", "<person>", "<pre>", "<lie>", "<hz>",
+      "<table >", "<div title=\"a>b\">", "<blockquote cite='q'>",
+      "<nav>", "</article>"),
+    Gen.oneOf("<script type='t'>var a = '<p>not content</p>';</script>",
+      "<script>if (a < b) { x() }</script>", "<scripty>still a script</script>",
+      "<SCRIPT>CAPS</SCRIPT>", "<script>unclosed script tail",
+      "<style>p { color: red }</style>", "<style media=x>h1{}</style>",
+      "<style>unclosed style tail"),
+    Gen.oneOf("<!-- a comment -->", "<!-- <div>hidden</div> -->",
+      "<!-- unclosed comment tail", "<!---->", "<!-- > -->"))
+
+  test("htmlExtract == independent scanner reference on 80 sampled documents") {
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(1, 24)
+      frags <- Gen.listOfN(n, htmlFragGen)
+      sep <- Gen.oneOf(" ", "", "\n")
+    } yield frags.mkString(sep)
+    val docs = (1 to 80).map(i =>
+      docGen(Gen.Parameters.default, Seed(7000L + i)).get)
+    val df = docs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "html")
+    val got = Corpus.htmlExtract(df, "id", "html")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    docs.zipWithIndex.foreach { case (h, i) =>
+      assert(got(i.toLong) == refExtract(h, 30, 10),
+        s"doc $i: ${h.take(200)}")
+    }
+  }
 }
