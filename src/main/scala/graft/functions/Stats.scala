@@ -183,17 +183,22 @@ object Stats {
           "— not a momentsBuild artifact")
     }
     val d3015 = org.apache.spark.sql.types.DecimalType(30, storedScale)
-    // #columns rows by construction — the bounded-collect guard
-    val stored = profile.select(col("column")).collect()
-      .map(_.getString(0)).toSet
-    require(stored == columns.toSet,
-      s"momentsAppend: artifact columns $stored do not match " +
-        s"requested $columns — rebuild or fix the column list " +
-        "(mixed-schema appends corrupt the profile)")
+    // #columns rows by construction — the bounded-collect guard. The
+    // arrival build REUSES the artifact's (ord → column) assignment,
+    // not the caller's list order: the rows merge on (ord, column), so
+    // building the arrivals in a reordered caller list would file each
+    // column under a different ord and silently split every column
+    // into two half-profiles instead of one merged row.
+    val stored = profile.select(col("ord"), col("column")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    require(stored.map(_._2).toSet == columns.toSet,
+      s"momentsAppend: artifact columns ${stored.map(_._2).toSet} do " +
+        s"not match requested $columns — rebuild or fix the column " +
+        "list (mixed-schema appends corrupt the profile)")
     profile.select(col("ord"), col("column"), col("n_rows"),
         col("n_nulls"), col("n"), col("sum").cast(d3015).as("sum"),
         col("sum_sq").cast(d3015).as("sum_sq"), col("vmin"), col("vmax"))
-      .unionAll(momentsBuild(arrivals, columns, storedScale))
+      .unionAll(momentsBuild(arrivals, stored.map(_._2), storedScale))
       .groupBy(col("ord"), col("column"))
       .agg(sum(col("n_rows")).cast("long").as("n_rows"),
         sum(col("n_nulls")).cast("long").as("n_nulls"),

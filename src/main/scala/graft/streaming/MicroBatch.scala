@@ -777,6 +777,72 @@ object MicroBatch {
       }
   }
 
+  /** Streaming moments census — the live dual of
+    * [[graft.functions.Stats.momentsBuild]], per GROUP: counts
+    * (rows / nulls / eligible), decimal sums of value and value², and
+    * min/max, accumulated as bounded state (7 scalars per group) and
+    * re-emitted every trigger. The emitted row after any prefix is
+    * value-identical to batch `momentsBuild` run on that group's
+    * prefix (spec-pinned): per-value decimalization mirrors the batch
+    * op exactly — `BigDecimal.valueOf(v)` (the double's SHORTEST
+    * string, Spark's own double→decimal path) then `setScale(sumScale,
+    * HALF_UP)` — and decimal addition is order-free, so stream
+    * batching cannot flip a bit. NaN values count in `n_rows` but in
+    * neither `n_nulls` nor `n` (the batch gate); null VALUES are part
+    * of the census; null GROUPS drop (the streaming family's key
+    * contract). The latest row per group is the upsert; `vmin`/`vmax`
+    * are None until the group sees an eligible value.
+    */
+  def streamingMoments(
+      rows: org.apache.spark.sql.Dataset[(String, Option[Double])],
+      sumScale: Int = 6)
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Long,
+          BigDecimal, BigDecimal, Option[Double], Option[Double])] = {
+    require(sumScale >= 0 && sumScale <= 15,
+      s"sumScale must be in [0, 15]: $sumScale")
+    def dec(v: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(v))
+        .setScale(sumScale, BigDecimal.RoundingMode.HALF_UP)
+    type St = (Long, Long, Long, BigDecimal, BigDecimal,
+      Option[Double], Option[Double])
+    implicit val stateEnc: org.apache.spark.sql.Encoder[St] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, BigDecimal,
+        BigDecimal, Option[Double], Option[Double])]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(String, Long, Long,
+        Long, BigDecimal, BigDecimal, Option[Double], Option[Double])] =
+      org.apache.spark.sql.Encoders.product[(String, Long, Long, Long,
+        BigDecimal, BigDecimal, Option[Double], Option[Double])]
+    val zero: St = (0L, 0L, 0L, BigDecimal(0).setScale(sumScale),
+      BigDecimal(0).setScale(sumScale), None, None)
+    rows.filter(_._1 != null)
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .mapGroupsWithState[St, (String, Long, Long, Long, BigDecimal,
+          BigDecimal, Option[Double], Option[Double])](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (g: String, vals: Iterator[(String, Option[Double])],
+         state: org.apache.spark.sql.streaming.GroupState[St]) =>
+          var (nRows, nNulls, n, s, sq, mn, mx) =
+            state.getOption.getOrElse(zero)
+          vals.foreach { case (_, ov) =>
+            nRows += 1
+            ov match {
+              case None => nNulls += 1
+              case Some(v) if v.isNaN => ()
+              case Some(v) =>
+                n += 1
+                s += dec(v)
+                // one double multiply BEFORE decimalizing — the batch
+                // op casts (v * v) as one double expression
+                sq += dec(v * v)
+                mn = Some(mn.fold(v)(math.min(_, v)))
+                mx = Some(mx.fold(v)(math.max(_, v)))
+            }
+          }
+          state.update((nRows, nNulls, n, s, sq, mn, mx))
+          (g, nRows, nNulls, n, s, sq, mn, mx)
+      }
+  }
+
   /** Streaming heavy-hitter NOMINATION — the live dual of
     * [[graft.functions.Corpus.heavyHitters]]' sketch pass. The batch op
     * is two-pass (Misra–Gries nominates a certain superset, an exact

@@ -606,6 +606,12 @@ class StatsSpec extends SparkSpec {
         Stats.momentsBuild(df(oldRows), Seq("a")), df(newRows), cols)
     }
     assert(err.getMessage.contains("do not match"))
+    // a REORDERED caller list must not split columns across ords: the
+    // arrival build files under the artifact's ord assignment
+    val reordered = Stats.momentsAppend(
+        Stats.momentsBuild(df(oldRows), cols), df(newRows), cols.reverse)
+      .collect().map(r => r.getString(1) -> r.toSeq.drop(1)).toMap
+    assert(reordered == rebuilt)
   }
 
   test("imputeByGroup: median and mode fills, NaN replaced, empty group stays null") {

@@ -531,6 +531,58 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  // streamingMoments is the live dual of Stats.momentsBuild: after any
+  // prefix, the latest row per group must be value-identical to the
+  // batch op run on that group's prefix slice — counts, decimal sums
+  // (numeric equality across encoder scales), min/max, NaN/null gating.
+  test("streamingMoments: emitted census equals batch momentsBuild per group") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows: Seq[(String, Option[Double])] = Seq(
+      ("a", Some(1.5)), ("a", None), ("b", Some(-2.25)),
+      ("a", Some(Double.NaN)), (null, Some(9.0)),   // null group drops
+      ("b", Some(376.43)), ("a", Some(0.0)), ("b", None),
+      ("a", Some(7.125)))
+    val input = MemoryStream[(String, Option[Double])]
+    val q = MicroBatch.streamingMoments(input.toDS())
+      .writeStream.format("memory").queryName("moments_inc")
+      .outputMode("update").start()
+    val cuts = Seq(3, 6, rows.size)
+    var prev = 0
+    cuts.foreach { cut =>
+      input.addData(rows.slice(prev, cut)); q.processAllAvailable()
+      prev = cut
+      val latest = spark.table("moments_inc").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5)),
+            Option(r.get(6)).map(_.asInstanceOf[Double]),
+            Option(r.get(7)).map(_.asInstanceOf[Double]))))
+        .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).maxBy(_._1) }
+      val seen = rows.take(cut).filter(_._1 != null)
+      seen.map(_._1).distinct.foreach { g =>
+        val slice = seen.filter(_._1 == g).map(_._2)
+        val schema = StructType(Seq(StructField("v", DoubleType)))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            slice.map(o => Row(o.map(Double.box).orNull))), schema)
+        val b = graft.functions.Stats.momentsBuild(df, Seq("v")).head()
+        val (nr, nn, ne, s, sq, mn, mx) = latest(g)
+        assert(nr == b.getLong(2) && nn == b.getLong(3) &&
+          ne == b.getLong(4), s"prefix $cut group $g counts")
+        assert(s.compare(BigDecimal(b.getDecimal(5))) == 0 &&
+          sq.compare(BigDecimal(b.getDecimal(6))) == 0,
+          s"prefix $cut group $g sums")
+        assert(mn == Option(b.get(7)).map(_.asInstanceOf[Double]) &&
+          mx == Option(b.get(8)).map(_.asInstanceOf[Double]),
+          s"prefix $cut group $g min/max")
+      }
+    }
+    q.stop()
+  }
+
   test("streamingRetention: emitted (user, cohort, offset) rows roll up to the batch retention") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
