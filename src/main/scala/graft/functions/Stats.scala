@@ -139,22 +139,40 @@ object Stats {
     val aggs = columns.zipWithIndex.flatMap { case (c, i) =>
       val v = ref(c).cast("double")
       val elig = when(ref(c).isNotNull && !isnan(v), v)
+      // cast-survivor counts ride along so overflow is DETECTED, not
+      // silently absorbed: a value past DECIMAL(30,scale)'s range casts
+      // to null under non-ANSI evaluation and would otherwise drop out
+      // of the sum while still counting in n — the exactness contract
+      // demands a loud failure instead
       Seq(count(lit(1)).as(s"__n_$i"),
         count(when(ref(c).isNull, lit(1))).as(s"__nn_$i"),
         count(elig).as(s"__ne_$i"),
-        coalesce(sum(elig.cast(d3015)), lit(0).cast(d3015)).cast(d3015)
-          .as(s"__s_$i"),
-        coalesce(sum((elig * elig).cast(d3015)), lit(0).cast(d3015))
-          .cast(d3015).as(s"__sq_$i"),
+        count(elig.cast(d3015)).as(s"__nc_$i"),
+        count((elig * elig).cast(d3015)).as(s"__ncq_$i"),
+        sum(elig.cast(d3015)).cast(d3015).as(s"__s_$i"),
+        sum((elig * elig).cast(d3015)).cast(d3015).as(s"__sq_$i"),
         min(elig).as(s"__mn_$i"),
         max(elig).as(s"__mx_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     columns.zipWithIndex.map { case (c, i) =>
+      // fail-loud overflow guard (the knNll raise_error-on-the-totals
+      // ethos): per-value cast nulls (__nc/__ncq < __ne) or a null
+      // TOTAL with eligible rows (the sum itself overflowed the
+      // decimal) abort; only the legitimate empty case coalesces to 0
+      def guarded(s: Column, castCnt: Column, what: String): Column =
+        when(castCnt =!= col(s"__ne_$i") ||
+            (col(s"__ne_$i") > 0L && s.isNull),
+          raise_error(lit(s"momentsBuild: $what of column '$c' " +
+            s"overflows DECIMAL(30,$sumScale) — lower sumScale or " +
+            "pre-scale the column")))
+          .otherwise(coalesce(s, lit(0).cast(d3015)))
       one.select(lit(i.toLong).as("ord"), lit(c).as("column"),
         col(s"__n_$i").as("n_rows"), col(s"__nn_$i").as("n_nulls"),
-        col(s"__ne_$i").as("n"), col(s"__s_$i").as("sum"),
-        col(s"__sq_$i").as("sum_sq"),
+        col(s"__ne_$i").as("n"),
+        guarded(col(s"__s_$i"), col(s"__nc_$i"), "sum").as("sum"),
+        guarded(col(s"__sq_$i"), col(s"__ncq_$i"), "sum of squares")
+          .as("sum_sq"),
         col(s"__mn_$i").as("vmin"), col(s"__mx_$i").as("vmax"))
     }.reduce(_ unionAll _)
   }
@@ -203,10 +221,24 @@ object Stats {
       .agg(sum(col("n_rows")).cast("long").as("n_rows"),
         sum(col("n_nulls")).cast("long").as("n_nulls"),
         sum(col("n")).cast("long").as("n"),
-        sum(col("sum")).cast(d3015).as("sum"),
-        sum(col("sum_sq")).cast(d3015).as("sum_sq"),
+        sum(col("sum")).cast(d3015).as("__ms"),
+        sum(col("sum_sq")).cast(d3015).as("__msq"),
         min(col("vmin")).as("vmin"),
         max(col("vmax")).as("vmax"))
+      // both inputs carry non-null sums (momentsBuild's guard), so a
+      // null merged total means the MERGE overflowed the decimal —
+      // fail loudly, never a silent null profile
+      .select(col("ord"), col("column"), col("n_rows"), col("n_nulls"),
+        col("n"),
+        when(col("__ms").isNull, raise_error(lit(
+          "momentsAppend: merged sum overflows " +
+            s"DECIMAL(30,$storedScale) — rebuild at a lower sumScale")))
+          .otherwise(col("__ms")).as("sum"),
+        when(col("__msq").isNull, raise_error(lit(
+          "momentsAppend: merged sum of squares overflows " +
+            s"DECIMAL(30,$storedScale) — rebuild at a lower sumScale")))
+          .otherwise(col("__msq")).as("sum_sq"),
+        col("vmin"), col("vmax"))
   }
 
   /** K-minimum-values (KMV) sketch of a column: the `k` smallest DISTINCT

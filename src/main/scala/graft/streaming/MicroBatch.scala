@@ -723,8 +723,12 @@ object MicroBatch {
     * outside clamping into the edge bins) with quantiles read off the
     * histogram: for each requested probability `p` the emitted row is
     * the BIN containing the order statistic at 1-based rank
-    * `min(n, floor(p·n) + 1)` — [[graft.functions.Stats.quantileBucket]]'s
-    * cut-rank convention — as `(group, p, n, bin, q_lo_edge)`. This is
+    * `min(n, floor(p·n) + 1)`, with `p·n` floored in EXACT decimal
+    * arithmetic (p read as the decimal it prints as — no binary-double
+    * artifacts: 0.29·100 floors to 29, not the double product's 28).
+    * For p an exact decimal i/k (deciles, quartiles) this is
+    * [[graft.functions.Stats.quantileBucket]]'s cut rank
+    * `(i·n) div k + 1`; output `(group, p, n, bin, q_lo_edge)`. This is
     * EXACT for bin-quantized values by construction (every value in a
     * bin is its lo_edge, so the rank-th smallest quantized value IS the
     * emitted edge — spec-pinned value-identical to a driver-side exact
@@ -764,7 +768,18 @@ object MicroBatch {
           state.update(Tuple1(cnt.toSeq))
           val n = cnt.sum
           probs.iterator.map { p =>
-            val rank = math.min(n, math.floor(p * n).toLong + 1L)
+            // rank in EXACT decimal arithmetic: p is read as the decimal
+            // it prints as (BigDecimal.valueOf) and p·n floors without
+            // binary-double artifacts — double 0.29*100 is 28.999…
+            // (rank 29), the decimal is exactly 29 (rank 30). For p an
+            // exact decimal i/k (deciles, quartiles) this IS
+            // quantileBucket's cut rank (i·n) div k + 1; a p like
+            // 1.0/3 prints as 0.3333333333333333 and sits one rank
+            // below the integer tercile when 3 | n — pass decimal
+            // probs for decimal semantics.
+            val rank = math.min(n,
+              (BigDecimal(java.math.BigDecimal.valueOf(p)) * BigDecimal(n))
+                .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong + 1L)
             var cum = 0L; var b = 0; var found = -1
             while (b < nBins && found < 0) {
               cum += cnt(b)
@@ -791,38 +806,51 @@ object MicroBatch {
     * neither `n_nulls` nor `n` (the batch gate); null VALUES are part
     * of the census; null GROUPS drop (the streaming family's key
     * contract). The latest row per group is the upsert; `vmin`/`vmax`
-    * are None until the group sees an eligible value.
+    * are None until the group sees an eligible value. The sums are
+    * emitted (and stored) as exact PLAIN decimal strings — the
+    * encoder's DecimalType(38,18) would cap integer digits at 20 and
+    * null an overflowing state write silently; strings carry any
+    * magnitude exactly (parse with BigDecimal).
     */
   def streamingMoments(
       rows: org.apache.spark.sql.Dataset[(String, Option[Double])],
       sumScale: Int = 6)
       : org.apache.spark.sql.Dataset[(String, Long, Long, Long,
-          BigDecimal, BigDecimal, Option[Double], Option[Double])] = {
+          String, String, Option[Double], Option[Double])] = {
     require(sumScale >= 0 && sumScale <= 15,
       s"sumScale must be in [0, 15]: $sumScale")
     def dec(v: Double): BigDecimal =
       BigDecimal(java.math.BigDecimal.valueOf(v))
         .setScale(sumScale, BigDecimal.RoundingMode.HALF_UP)
-    type St = (Long, Long, Long, BigDecimal, BigDecimal,
+    // the decimal sums travel (state AND output) as exact PLAIN decimal
+    // strings, not encoder decimals: Spark's BigDecimal encoder is
+    // DecimalType(38,18) — only 20 integer digits, far below batch
+    // momentsBuild's DECIMAL(30,6) headroom — and an overflowing state
+    // write would null the sum mid-stream (ADVICE-class silent
+    // corruption). toPlainString/parse round-trips exactly at any
+    // magnitude; arithmetic stays BigDecimal.
+    type St = (Long, Long, Long, String, String,
       Option[Double], Option[Double])
     implicit val stateEnc: org.apache.spark.sql.Encoder[St] =
-      org.apache.spark.sql.Encoders.product[(Long, Long, Long, BigDecimal,
-        BigDecimal, Option[Double], Option[Double])]
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, String,
+        String, Option[Double], Option[Double])]
     implicit val outEnc: org.apache.spark.sql.Encoder[(String, Long, Long,
-        Long, BigDecimal, BigDecimal, Option[Double], Option[Double])] =
+        Long, String, String, Option[Double], Option[Double])] =
       org.apache.spark.sql.Encoders.product[(String, Long, Long, Long,
-        BigDecimal, BigDecimal, Option[Double], Option[Double])]
-    val zero: St = (0L, 0L, 0L, BigDecimal(0).setScale(sumScale),
-      BigDecimal(0).setScale(sumScale), None, None)
+        String, String, Option[Double], Option[Double])]
+    val zeroS = BigDecimal(0).setScale(sumScale).underlying.toPlainString
+    val zero: St = (0L, 0L, 0L, zeroS, zeroS, None, None)
     rows.filter(_._1 != null)
       .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
-      .mapGroupsWithState[St, (String, Long, Long, Long, BigDecimal,
-          BigDecimal, Option[Double], Option[Double])](
+      .mapGroupsWithState[St, (String, Long, Long, Long, String,
+          String, Option[Double], Option[Double])](
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
         (g: String, vals: Iterator[(String, Option[Double])],
          state: org.apache.spark.sql.streaming.GroupState[St]) =>
-          var (nRows, nNulls, n, s, sq, mn, mx) =
+          var (nRows, nNulls, n, sStr, sqStr, mn, mx) =
             state.getOption.getOrElse(zero)
+          var s = BigDecimal(new java.math.BigDecimal(sStr))
+          var sq = BigDecimal(new java.math.BigDecimal(sqStr))
           vals.foreach { case (_, ov) =>
             nRows += 1
             ov match {
@@ -838,8 +866,10 @@ object MicroBatch {
                 mx = Some(mx.fold(v)(math.max(_, v)))
             }
           }
-          state.update((nRows, nNulls, n, s, sq, mn, mx))
-          (g, nRows, nNulls, n, s, sq, mn, mx)
+          val sOut = s.underlying.toPlainString
+          val sqOut = sq.underlying.toPlainString
+          state.update((nRows, nNulls, n, sOut, sqOut, mn, mx))
+          (g, nRows, nNulls, n, sOut, sqOut, mn, mx)
       }
   }
 

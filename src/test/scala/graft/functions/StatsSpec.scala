@@ -614,6 +614,41 @@ class StatsSpec extends SparkSpec {
     assert(reordered == rebuilt)
   }
 
+  test("momentsBuild: decimal overflow fails loudly, never a silent zero") {
+    import spark.implicits._
+    // epoch-micro magnitudes: v*v ~ 2.9e30 > DECIMAL(30,6)'s 1e24 cap.
+    // Under ANSI (Spark 4 default) the cast itself throws
+    // NUMERIC_VALUE_OUT_OF_RANGE; under non-ANSI it NULLS the value and
+    // the in-plan guard raises "overflows" instead of reporting a
+    // sum_sq of 0 with n = 2. Either way: loud, never silent.
+    val df = Seq(1.7e15, 2.0e15).toDF("v")
+    val e = intercept[Exception] {
+      Stats.momentsBuild(df, Seq("v")).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("overflows") ||
+      chain.contains("cannot be represented as Decimal"), chain)
+    // non-ANSI sessions take the guard path — pin it explicitly
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e2 = intercept[Exception] {
+        Stats.momentsBuild(df, Seq("v")).collect()
+      }
+      val chain2 = Iterator.iterate[Throwable](e2)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain2.contains("overflows"), chain2)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+    // in-range magnitudes still build fine
+    val ok = Stats.momentsBuild(Seq(1.0e8, 2.0e8).toDF("v"), Seq("v"))
+      .head()
+    assert(ok.getLong(4) == 2L &&
+      BigDecimal(ok.getDecimal(6)).compare(BigDecimal("5.0e16")) == 0)
+  }
+
   test("imputeByGroup: median and mode fills, NaN replaced, empty group stays null") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -521,7 +521,9 @@ class StreamingSpec extends SparkSpec {
         val bins = seen.filter(_._1 == g).map(v => binOf(v._2)).sorted
         val n = bins.length.toLong
         probs.foreach { p =>
-          val rank = math.min(n, math.floor(p * n).toLong + 1L)
+          val rank = math.min(n,
+            (BigDecimal(java.math.BigDecimal.valueOf(p)) * BigDecimal(n))
+              .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong + 1L)
           val expectBin = bins((rank - 1).toInt).toLong
           assert(latest((g, p)) == ((n, expectBin, lo + expectBin * w)),
             s"prefix $cut group $g p $p")
@@ -529,6 +531,32 @@ class StreamingSpec extends SparkSpec {
       }
     }
     q.stop()
+  }
+
+  // The rank arithmetic is decimal-exact: p = 0.29 over 100 values
+  // must select rank 30 (decimal 0.29·100 = 29 exactly) where the
+  // double product 28.999…96 would floor to rank 29 — one whole order
+  // statistic lower. nBins = 80 with unit-width bins makes the
+  // difference observable.
+  test("streamingQuantiles: decimal-exact rank (0.29 of 100 selects rank 30)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows: Seq[(String, Double)] =
+      new scala.util.Random(11).shuffle((0 until 100).toList)
+        .map(v => ("c", v.toDouble))
+    val input = MemoryStream[(String, Double)]
+    val q = MicroBatch.streamingQuantiles(input.toDS(), Seq(0.29),
+        nBins = 80, lo = 0.0, hi = 80.0)
+      .writeStream.format("memory").queryName("quant_dec")
+      .outputMode("update").start()
+    input.addData(rows.take(50)); q.processAllAvailable()
+    input.addData(rows.drop(50)); q.processAllAvailable()
+    val fin = spark.table("quant_dec").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .maxBy(_._1)
+    q.stop()
+    // rank 30 = value 29 (values 0..79 in unit bins; 80+ clamp to 79)
+    assert(fin == ((100L, 29L, 29.0)), s"got $fin")
   }
 
   // streamingMoments is the live dual of Stats.momentsBuild: after any
@@ -557,7 +585,7 @@ class StreamingSpec extends SparkSpec {
       val latest = spark.table("moments_inc").collect()
         .map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3),
-            BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5)),
+            BigDecimal(r.getString(4)), BigDecimal(r.getString(5)),
             Option(r.get(6)).map(_.asInstanceOf[Double]),
             Option(r.get(7)).map(_.asInstanceOf[Double]))))
         .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).maxBy(_._1) }
