@@ -139,4 +139,44 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.binaryFiles(spark, dir.toString, "*.png", maxBytes = 32L)
       .df.count() == 1L)
   }
+
+  test("warc: Content-Length framing survives an embedded decoy marker; strict vs salvage") {
+    val crlf = "\r\n"
+    def rec(typ: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+      val h = s"WARC/1.0${crlf}WARC-Type: $typ$crlf" +
+        (if (uri != null) s"WARC-Target-URI: $uri$crlf" else "") +
+        s"WARC-Date: 2026-08-16T00:00:00Z$crlf" +
+        s"content-length: ${payload.length}$crlf$crlf" // case-insensitive
+      h.getBytes("ISO-8859-1") ++ payload ++ (crlf + crlf).getBytes("ISO-8859-1")
+    }
+    // an HTML payload legally containing the record marker — delimiter
+    // scanning would split here; Content-Length framing must not
+    val decoy =
+      s"<html>body$crlf${crlf}WARC/1.0${crlf}fake: x</html>".getBytes("UTF-8")
+    val utf8 = "ünïcödé ✓ payload".getBytes("UTF-8")
+    val bytes = rec("warcinfo", null, "software: graft".getBytes("UTF-8")) ++
+      rec("response", "http://ex.com/a", decoy) ++
+      rec("response", "http://ex.com/b", utf8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc")
+    java.nio.file.Files.write(dir.resolve("t.warc"), bytes)
+    val rows = Sources.warc(spark, dir.toString).df
+      .orderBy("record_idx").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(2) == "warcinfo" && rows(0).getString(3) == null)
+    assert(rows(1).getString(3) == "http://ex.com/a" &&
+      rows(1).getLong(6) == decoy.length.toLong)
+    assert(java.util.Arrays.equals(
+      rows(1).getAs[Array[Byte]]("payload"), decoy))
+    assert(java.util.Arrays.equals(
+      rows(2).getAs[Array[Byte]]("payload"), utf8))
+    // truncated mid-payload: strict fails loudly with file+offset,
+    // salvage keeps the intact prefix and drops the broken tail
+    val truncated = bytes.dropRight(utf8.length)
+    val e = intercept[IllegalArgumentException] {
+      Sources.parseWarcRecords("f.warc", truncated, strict = true).toList
+    }
+    assert(e.getMessage.contains("overruns") && e.getMessage.contains("f.warc"))
+    assert(Sources.parseWarcRecords("f.warc", truncated, strict = false)
+      .toList.map(_._3) == List("warcinfo", "response"))
+  }
 }
