@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** RFC 9309 robots exclusion: group selection (robotsParse) and the
+  * longest-match wildcard gate (robotsGate), with the regex-translation
+  * matcher fuzzed against an independent greedy wildcard reference (no
+  * regex) — the resolveLinks/htmlExtract lesson applied to the third
+  * URL-family matcher.
+  */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("robotsParse: groups, comments, shared UA blocks, star fallback, empty rules drop") {
+    val txt = Seq(
+      "# global comment",
+      "User-agent: *",
+      "Disallow: /private/   # trailing comment",
+      "Allow:", //                  empty value → no rule (RFC)
+      "Crawl-delay: 10", //         unknown directive ignored
+      "",
+      "User-agent: graftbot",
+      "User-Agent: otherbot", //    consecutive UA lines share the block
+      "disallow: /graft/", //       case-insensitive directive
+      "Allow: /graft/ok",
+      "",
+      "User-agent: GRAFTBOT", //    second group for the agent MERGES (RFC)
+      "Disallow: /extra/"
+    ).mkString("\n")
+    val df = Seq(("Ex.com", txt)).toDF("host", "robots")
+    def rules(agent: String) =
+      Corpus.robotsParse(df, "host", "robots", agent).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rules("*") == Set(("ex.com", "disallow", "/private/")))
+    assert(rules("graftbot") == Set(
+      ("ex.com", "disallow", "/graft/"), ("ex.com", "allow", "/graft/ok"),
+      ("ex.com", "disallow", "/extra/")))
+    assert(rules("otherbot") == Set(
+      ("ex.com", "disallow", "/graft/"), ("ex.com", "allow", "/graft/ok")))
+    // an agent with no exact group falls back to the * groups
+    assert(rules("nobody") == Set(("ex.com", "disallow", "/private/")))
+  }
+
+  test("robotsGate: RFC 9309 precedence table") {
+    // (rules on this URL's host, path+query, expected allowed)
+    val cases: Seq[(Seq[(String, String)], String, Boolean)] = Seq(
+      (Seq("allow" -> "/p", "disallow" -> "/"), "/page", true),
+      (Seq("allow" -> "/folder", "disallow" -> "/folder"), "/folder/x", true),
+      (Seq("allow" -> "/page", "disallow" -> "/*.htm"), "/page.htm", false),
+      (Seq("allow" -> "/$", "disallow" -> "/"), "/", true),
+      (Seq("allow" -> "/$", "disallow" -> "/"), "/x", false),
+      (Seq.empty, "/anything", true)) // no rules for the host → allowed
+    val rules = cases.zipWithIndex.flatMap { case ((rs, _, _), i) =>
+      rs.map { case (d, p) => (s"h$i.com", d, p) }
+    } :+ (("unrelated.com", "disallow", "/")) // someone else's rules
+    val urls = cases.zipWithIndex.map { case ((_, path, _), i) =>
+      (i.toLong, s"http://h$i.com$path")
+    }
+    val out = Corpus.robotsGate(urls.toDF("id", "url"), "id", "url",
+        rules.toDF("host", "directive", "pattern"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    cases.zipWithIndex.foreach { case ((_, path, want), i) =>
+      assert(out(i.toLong) == want, s"case $i path $path")
+    }
+  }
+
+  /** Independent greedy wildcard matcher — segments between `*` found
+    * leftmost in order, optional `$` pins the last segment to the end.
+    * No java.util.regex anywhere.
+    */
+  private def refMatch(pattern: String, target: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val core = if (anchored) pattern.dropRight(1) else pattern
+    val segs = core.split("\\*", -1).toList
+    if (!target.startsWith(segs.head)) return false
+    var pos = segs.head.length
+    val mids = if (anchored) segs.tail.dropRight(1) else segs.tail
+    for (sg <- mids) {
+      val at = target.indexOf(sg, pos)
+      if (at < 0) return false
+      pos = at + sg.length
+    }
+    if (!anchored) true
+    else if (segs.size == 1) pos == target.length
+    else target.length - segs.last.length >= pos && target.endsWith(segs.last)
+  }
+
+  test("robots matcher == independent greedy wildcard reference on 250 pairs") {
+    val segGen = Gen.stringOf(Gen.oneOf('a', 'b', '/', '.', 'h', 't', 'm'))
+    val patGen: Gen[String] = for {
+      n <- Gen.choose(1, 4)
+      segs <- Gen.listOfN(n, segGen)
+      lead <- Gen.oneOf("/", "*", "/*")
+      anchor <- Gen.oneOf("", "$")
+    } yield (lead + segs.mkString("*") + anchor)
+    val pathGen: Gen[String] = for {
+      segs <- Gen.listOfN(3, segGen)
+      q <- Gen.oneOf("", "?id=1", "?a=b.htm")
+    } yield "/" + segs.mkString("/") + q
+    val cases = (1 to 250).map { i =>
+      val p = patGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val t = pathGen(Gen.Parameters.default, Seed(10000L + i)).get
+      (p, t)
+    }.filter(_._1.nonEmpty)
+    val rules = cases.zipWithIndex.map { case ((p, _), i) =>
+      (s"h$i.com", "disallow", p)
+    }.toDF("host", "directive", "pattern")
+    val urls = cases.zipWithIndex.map { case ((_, t), i) =>
+      (i.toLong, s"http://h$i.com$t")
+    }.toDF("id", "url")
+    val out = Corpus.robotsGate(urls, "id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    cases.zipWithIndex.foreach { case ((p, t), i) =>
+      assert(out(i.toLong) == !refMatch(p, t),
+        s"pattern '$p' target '$t' engineAllowed=${out(i.toLong)}")
+    }
+  }
+}
