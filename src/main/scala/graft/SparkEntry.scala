@@ -2362,6 +2362,31 @@ object SparkEntry {
           "doc_id", "url")
         .orderBy("doc_id")),
 
+    // RFC 9309 robots gate over the planted crawl URLs: per-host rule
+    // table (broadcast), wildcard patterns compiled to anchored
+    // regexes over the shared Java/RE2 subset, longest-pattern wins
+    // with allow on ties. The five URL shapes cover longest-allow
+    // beats shorter-disallow, wildcard-through-query, a $-anchor that
+    // must NOT fire plus a mid-wildcard that does, a no-rules host,
+    // and allow-"/$" losing to disallow-"/" off the root.
+    "x_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq(
+        ("www.example.com", "disallow", "/Path/*"),
+        ("www.example.com", "allow", "/Path/Page"),
+        ("news.example.co.uk", "disallow", "/a/*?id=*"),
+        ("cdn.static.example.org:8080", "disallow", "*.js$"),
+        ("cdn.static.example.org:8080", "disallow", "*fbclid*"),
+        ("sub.domain.example.com", "allow", "/$"),
+        ("sub.domain.example.com", "disallow", "/"))
+        .toDF("host", "directive", "pattern")
+      Corpus.robotsGate(
+          t(s, dir, "documents").select(col("doc_id"),
+            plantedUrl.as("url")),
+          "doc_id", "url", rules)
+        .orderBy("doc_id")
+    }),
+
     // Crawl → links → canonical domains → edge census: hrefs extracted
     // from planted pages (both quote styles + a relative link that
     // canonicalizes to nothing), destinations canonicalized, sources =
@@ -7677,6 +7702,53 @@ object SparkEntry {
     // Same planted URLs, same staged canonicalization (regex subset
     // shared by Java and RE2, list sort/filter for params) — canonical
     // strings match byte-for-byte.
+    // Same planted URLs and authority extraction (the canon chain's
+    // p1–p5), same regex translation of the wildcard rules (escape the
+    // RE2/Java-shared metacharacters, * → .*, trailing $ → \z), same
+    // longest/allow/pattern window order — precedence decided
+    // identically on both engines.
+    "x_robots_gate" ->
+      (urlCanonOracleChain("doc_id,") +
+        """,tgt AS (SELECT doc_id, u AS url,
+          |  CASE WHEN hs THEN host END AS host,
+          |  CASE WHEN hs THEN
+          |    CASE WHEN pathq = '' THEN '/'
+          |         WHEN starts_with(pathq, '?') THEN '/' || pathq
+          |         ELSE pathq END
+          |  END AS target
+          | FROM p5),
+          |rr(rhost, directive, pattern) AS (VALUES
+          |  ('www.example.com', 'disallow', '/Path/*'),
+          |  ('www.example.com', 'allow', '/Path/Page'),
+          |  ('news.example.co.uk', 'disallow', '/a/*?id=*'),
+          |  ('cdn.static.example.org:8080', 'disallow', '*.js$'),
+          |  ('cdn.static.example.org:8080', 'disallow', '*fbclid*'),
+          |  ('sub.domain.example.com', 'allow', '/$'),
+          |  ('sub.domain.example.com', 'disallow', '/')),
+          |rx AS (SELECT lower(rhost) AS rhost, directive, pattern,
+          |  '^' || replace(
+          |     regexp_replace(
+          |       CASE WHEN pattern LIKE '%$' THEN
+          |         substring(pattern, 1, length(pattern) - 1)
+          |       ELSE pattern END,
+          |       '([\.\^\$\+\?\(\)\[\]\{\}\|\\])', '\\\1', 'g'),
+          |     '*', '.*')
+          |  || CASE WHEN pattern LIKE '%$' THEN '\z' ELSE '' END AS rxp,
+          |  length(pattern) AS plen
+          | FROM rr WHERE pattern <> ''),
+          |j AS (SELECT t.doc_id, t.url, t.host, t.target,
+          |   r.directive, r.pattern, r.plen,
+          |   COALESCE(regexp_matches(t.target, r.rxp), FALSE) AS m
+          |  FROM tgt t LEFT JOIN rx r ON t.host = r.rhost),
+          |pk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |   ORDER BY m DESC, plen DESC, (directive = 'allow') DESC,
+          |            pattern ASC) AS rn FROM j)
+          |SELECT doc_id, url, host, target AS pathq,
+          |  (NOT m) OR directive = 'allow' AS allowed,
+          |  CASE WHEN m THEN pattern END AS matched_pattern,
+          |  CASE WHEN m THEN directive END AS matched_directive
+          |FROM pk WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
     "x_url_canon" ->
       (urlCanonOracleChain("doc_id,") +
         """SELECT doc_id,

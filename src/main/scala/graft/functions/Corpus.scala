@@ -1766,6 +1766,146 @@ object Corpus {
         col("n_params_stripped"): _*)
   }
 
+  /** robots.txt group selection (RFC 9309 §2.2.1) — parse each host's
+    * robots body into the (directive, pattern) rules that apply to
+    * `agent`: lines classify case-insensitively into `User-agent:` /
+    * `Allow:` / `Disallow:` (comments stripped at `#`, other lines
+    * ignored), CONSECUTIVE User-agent lines share the rule block that
+    * follows, all groups naming the agent merge (RFC: "more than one
+    * group matching ... MUST be combined"), and the `*` groups apply
+    * only to hosts with NO exact-agent group. Empty-pattern rules drop
+    * (an empty `Disallow:` means unrestricted, i.e. no rule). Agent
+    * matching is exact on the lowercased product token — the practical
+    * subset; RFC's longest-prefix product-token refinement is out of
+    * scope and documented here.
+    *
+    * Scale shape: one explode over robots bodies (small by nature —
+    * the fetch layer caps them), two host-partitioned window passes for
+    * the group structure, config-sized output (host, directive,
+    * pattern) that [[robotsGate]] broadcasts.
+    */
+  def robotsParse(df: DataFrame, hostCol: String, txtCol: String,
+                  agent: String = "*"): DataFrame = {
+    val a = agent.toLowerCase
+    val w = Window.partitionBy(col("__h")).orderBy(col("__i"))
+    val lines = df.select(lower(col(hostCol)).as("__h"),
+        posexplode(split(coalesce(col(txtCol), lit("")), "\n"))
+          .as(Seq("__i", "__l0")))
+      .select(col("__h"), col("__i"),
+        trim(regexp_replace(col("__l0"), lit("#.*\\z"), lit(""))).as("__l"))
+    val isUa = lower(col("__l")).startsWith("user-agent:")
+    val isAllow = lower(col("__l")).startsWith("allow:")
+    val isDis = lower(col("__l")).startsWith("disallow:")
+    val lineVal = trim(expr("substring(__l, locate(':', __l) + 1)"))
+    val marked = lines
+      .withColumn("__ua", isUa)
+      .withColumn("__gs",
+        col("__ua") && !coalesce(lag(col("__ua"), 1).over(w), lit(false)))
+      .withColumn("__g", sum(col("__gs").cast("long")).over(w))
+    val uaVals = marked.where(col("__ua"))
+      .select(col("__h"), col("__g"), lower(lineVal).as("__agent"))
+    val exact = uaVals.where(col("__agent") === a)
+      .select(col("__h"), col("__g")).distinct()
+    val star = uaVals.where(col("__agent") === "*")
+      .select(col("__h"), col("__g")).distinct()
+    val chosen = exact.unionByName(
+      star.join(exact.select("__h").distinct(), Seq("__h"), "left_anti"))
+    marked.where(isAllow || isDis)
+      .select(col("__h"), col("__g"),
+        when(isAllow, lit("allow")).otherwise(lit("disallow"))
+          .as("directive"),
+        lineVal.as("pattern"))
+      .where(col("pattern") =!= "")
+      .join(chosen, Seq("__h", "__g"))
+      .select(col("__h").as("host"), col("directive"), col("pattern"))
+      .distinct()
+  }
+
+  /** robots.txt URL gate (RFC 9309 §2.2.2) — flag every crawl URL
+    * allowed/disallowed under a per-host rule table (host, directive
+    * in {allow, disallow}, pattern): patterns match the URL's
+    * path+query as a PREFIX with `*` wildcards and an optional
+    * trailing `$` end anchor; among matching rules the LONGEST pattern
+    * (octet length) wins, ties break toward allow (the RFC's
+    * least-restrictive tie rule); a URL with no matching rule — or a
+    * host with no rules at all — is allowed. Matching compiles each
+    * rule to an anchored regex over the common Java/RE2 subset
+    * (metacharacters escaped, `*` → `.*`, trailing `$` → `\z` — the
+    * round-12 `\z`-not-`$` lesson), mirrored verbatim in the DuckDB
+    * oracle and fuzzed against an independent driver-side greedy
+    * matcher (no regex) in the spec.
+    *
+    * Host extraction reuses [[urlCanonicalize]]'s authority rules
+    * (lowercase, default port stripped) so `rules.host` joins the
+    * canon pipeline's `host` column directly; schemeless URLs gate as
+    * allowed with null host (nothing to join — the caller's quarantine
+    * decision, not this op's).
+    *
+    * Scale shape: one hash join on host (rule table broadcast when
+    * config-sized), per-(url, candidate-rule) regex evaluation
+    * (Spark's last-pattern cache amortizes compiles within a rule
+    * run), and one per-URL window over the ≤ #host-rules candidates.
+    * Bodies never enter; the URL projection is all that shuffles.
+    *
+    * @return (idCol, url, host, pathq, allowed, matched_pattern,
+    *         matched_directive) — matched_* null when no rule matched
+    */
+  def robotsGate(urls: DataFrame, idCol: String, urlCol: String,
+                 rules: DataFrame): DataFrame = {
+    val u = trim(col(urlCol))
+    val hasScheme = u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    val noFrag = regexp_replace(u, lit("#.*\\z"), lit(""))
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag,
+      lit("^[A-Za-z][A-Za-z0-9+.-]*://"), lit(""))
+    val hostport = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(hostport, lit(":80\\z"), lit("")))
+      .when(scheme === "https",
+        regexp_replace(hostport, lit(":443\\z"), lit("")))
+      .otherwise(hostport)
+    val pathq0 = regexp_replace(rest, lit("^[^/?]*"), lit(""))
+    val target = when(pathq0 === "", lit("/"))
+      .when(pathq0.startsWith("?"), concat(lit("/"), pathq0))
+      .otherwise(pathq0)
+    val base = urls.select(col(idCol), u.as("url"),
+      when(hasScheme, host).as("__host"),
+      when(hasScheme, target).as("__target"))
+    // rule pattern → anchored regex: trailing $ peels off first (an
+    // interior $ is a literal octet per RFC), metacharacters escape,
+    // * becomes .*, the anchor returns as \z
+    val pat = col("pattern")
+    val anchored = pat.endsWith("$")
+    val core = when(anchored,
+      expr("substring(pattern, 1, length(pattern) - 1)")).otherwise(pat)
+    val escaped = regexp_replace(core,
+      lit("([\\.\\^\\$\\+\\?\\(\\)\\[\\]\\{\\}\\|\\\\])"), lit("\\\\$1"))
+    val rx = concat(lit("^"), replace(escaped, lit("*"), lit(".*")),
+      when(anchored, lit("\\z")).otherwise(lit("")))
+    val r = rules
+      .where(col("pattern") =!= "")
+      .select(lower(col("host")).as("__host"), col("directive"),
+        col("pattern"), rx.as("__rx"),
+        length(col("pattern")).as("__plen"))
+    val joined = base.join(r, Seq("__host"), "left")
+      .withColumn("__m",
+        coalesce(regexp_like(col("__target"), col("__rx")), lit(false)))
+    // one row per URL: matching rules first, then longest pattern,
+    // allow before disallow on equal length, pattern text pinning the
+    // remaining (semantically equivalent) ties for the oracle
+    val w = Window.partitionBy(col(idCol)).orderBy(
+      col("__m").desc, col("__plen").desc,
+      (col("directive") === "allow").desc, col("pattern").asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("url"), col("__host").as("host"),
+        col("__target").as("pathq"),
+        (!col("__m") || col("directive") === "allow").as("allowed"),
+        when(col("__m"), col("pattern")).as("matched_pattern"),
+        when(col("__m"), col("directive")).as("matched_directive"))
+  }
+
   /** Per-domain curation rollup over [[urlCanonicalize]]'s grouping
     * key: docs, canonical-URL cardinality (exact — crawl dup pressure
     * is `n_docs − n_urls`), total chars, and the stripped-param volume.
