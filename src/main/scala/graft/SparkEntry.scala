@@ -1374,6 +1374,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy("doc_id")),
 
+    // Rendezvous sharding under today's 32 nodes AND tomorrow's 33:
+    // the moved set is exactly the keys the new shard wins (every
+    // moved row's shard_next = 32 — visible in the result), ~1/33 of
+    // the corpus instead of modulo-remapping's near-total rewrite.
+    // Map-only; the oracle re-derives both argmaxes from one shared
+    // md5 weight table.
+    "x_shard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      Corpus.rendezvousShard(
+          Corpus.rendezvousShard(d, "doc_id", 32, "shard"),
+          "doc_id", 33, "shard_next")
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("shard_next").cast("long").as("shard_next"),
+          (col("shard") =!= col("shard_next")).as("moved"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-document boilerplate removal (C4/MassiveText line dedup):
     // any 10-word span occurring in ≥2 distinct documents is deleted
     // from every document containing it. Unit doc-frequency aggregates
@@ -6831,6 +6848,26 @@ object SparkEntry {
         |      THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // One md5 weight table (the same length-prefixed encoding + '#'
+    // separator), argmax over i < 32 for today's map and over all 33
+    // for tomorrow's — hex strings compare lexicographically ≡
+    // numerically on both engines.
+    "x_shard" ->
+      """WITH k AS (SELECT doc_id,
+        |  'v' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+        |    || ':' || CAST(doc_id AS VARCHAR) AS ek
+        | FROM documents),
+        |w AS (SELECT doc_id, r.i AS i,
+        |   md5(ek || '#' || CAST(r.i AS VARCHAR)) AS h
+        | FROM k, range(0, 33) r(i)),
+        |s1 AS (SELECT doc_id, CAST(arg_max(i, h) AS BIGINT) AS shard
+        | FROM w WHERE i < 32 GROUP BY doc_id),
+        |s2 AS (SELECT doc_id, CAST(arg_max(i, h) AS BIGINT) AS shard_next
+        | FROM w GROUP BY doc_id)
+        |SELECT s1.doc_id, s1.shard, s2.shard_next,
+        |  s1.shard <> s2.shard_next AS moved
+        |FROM s1 JOIN s2 USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Units are the same 10-word spans (partial tail included) the Spark
     // side derives via wordSpans(text, 10); df counts DISTINCT docs.

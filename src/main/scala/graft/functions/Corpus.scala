@@ -2375,6 +2375,40 @@ object Corpus {
     df.withColumn("split", label)
   }
 
+  /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    * 1998, the stable-resharding primitive modulo-hashing lacks: each
+    * key lands on `argmax_i md5(key # i)`, so growing `nShards` by one
+    * moves EXACTLY the keys the new shard wins (≈ 1/(n+1) of them) and
+    * moves them ONLY to the new shard — every other key's argmax is
+    * unchanged by adding a candidate it didn't pick. Re-sharding a
+    * 100 TB corpus from N to N+k nodes therefore rewrites k/(N+k) of
+    * the data instead of nearly all of it (modulo re-mapping moves
+    * 1 − 1/lcm-ish, in practice almost everything). Both properties
+    * are spec-pinned exactly, not approximately.
+    *
+    * Hashing is the engine's portable convention ([[hashSplit]] /
+    * [[graft.functions.Stats.kmvSketch]]): length-prefixed key
+    * encoding, md5 hex compared lexicographically (≡ numerically) —
+    * any ANSI engine derives the identical shard, which is what makes
+    * the assignment usable as a cross-system contract (the
+    * x_shard oracle recomputes it in DuckDB bit-for-bit).
+    *
+    * Scale shape: map-only projection — an nShards-element array of
+    * (hash, i) structs folded to its max per row; no shuffle, no
+    * state. nShards is bounded (≤ 4096) because the per-row work is
+    * linear in it — rendezvous is for NODE counts, not key counts.
+    */
+  def rendezvousShard(df: DataFrame, keyCol: String, nShards: Int,
+                      outCol: String = "shard"): DataFrame = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"nShards must be in [1, 4096]: $nShards")
+    val enc = encodeForHash(col(keyCol))
+    val weights = transform(sequence(lit(0), lit(nShards - 1)), i =>
+      struct(md5(concat(enc, lit("#"), i.cast("string"))).as("h"),
+        i.cast("int").as("s")))
+    df.withColumn(outCol, array_max(weights).getField("s"))
+  }
+
   /** Leakage-safe split: [[hashSplit]] keyed on the near-duplicate
     * CLUSTER instead of the document — a near-dup pair straddling
     * train/test is evaluation leakage (the model is scored on a

@@ -1822,4 +1822,28 @@ class CorpusSpec extends SparkSpec {
       "q3" -> ((1L, 0L, None, 0L, 0L)),
       "q4" -> ((1L, 0L, None, 0L, 0L))))
   }
+
+  test("rendezvousShard: moved keys go ONLY to the new shard, ~1/(n+1) of them") {
+    import spark.implicits._
+    val keys = (0 until 500).map(i => Tuple1(s"doc-$i-${i * 31}"))
+      .toDF("k")
+    val both = Corpus.rendezvousShard(
+        Corpus.rendezvousShard(keys, "k", 16, "s16"), "k", 17, "s17")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    // the rendezvous stability guarantee, EXACT: adding shard 16 can
+    // only change a key's argmax if 16 wins it — a moved key moves to
+    // the new shard, never between old ones
+    val moved = both.filter { case (_, a, b) => a != b }
+    assert(moved.forall(_._3 == 16),
+      s"keys moved between OLD shards: ${moved.filterNot(_._3 == 16).take(3).toSeq}")
+    // expected moved fraction 1/17 ≈ 5.9%; 500 draws → generous bounds
+    assert(moved.length > 8 && moved.length < 62, s"moved ${moved.length}/500")
+    // every old shard gets keys (500 keys / 16 shards — an empty shard
+    // would mean a biased hash)
+    assert(both.map(_._2).distinct.length == 16)
+    // deterministic: same input, same assignment
+    val again = Corpus.rendezvousShard(keys, "k", 16, "s16")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(both.forall { case (k, a, _) => again(k) == a })
+  }
 }
