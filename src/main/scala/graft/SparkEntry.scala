@@ -7771,7 +7771,7 @@ object SparkEntry {
           |       '([\.\^\$\+\?\(\)\[\]\{\}\|\\])', '\\\1', 'g'),
           |     '*', '.*')
           |  || CASE WHEN pattern LIKE '%$' THEN '\z' ELSE '' END AS rxp,
-          |  length(pattern) AS plen
+          |  strlen(pattern) AS plen
           | FROM rr WHERE pattern <> ''),
           |j AS (SELECT t.doc_id, t.url, t.host, t.target,
           |   r.directive, r.pattern, r.plen,

@@ -1415,6 +1415,36 @@ object Corpus {
     * Map-only, zero shuffles; regex/array primitives from the common
     * Java/RE2 subset only, so the DuckDB oracle mirrors bit-for-bit.
     */
+  /** The URL-family's shared authority extraction — ONE definition of
+    * "scheme / host (lowercased, default port stripped) / path+query"
+    * consumed by [[urlCanonicalize]] and [[robotsGate]], so the
+    * rules.host ↔ canon-host join contract cannot drift when the host
+    * rules evolve (a divergent copy would silently stop matching and
+    * gate everything as allowed).
+    */
+  private[functions] final case class UrlAuthority(
+      u: Column, hasScheme: Column, scheme: Column, rest: Column,
+      hostport: Column, host: Column, pathq: Column)
+
+  private[functions] def urlAuthority(urlCol: String): UrlAuthority = {
+    val u = trim(col(urlCol))
+    val hasScheme = u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    val noFrag = regexp_replace(u, lit("#.*\\z"), lit(""))
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag,
+      lit("^[A-Za-z][A-Za-z0-9+.-]*://"), lit(""))
+    val hostport = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(hostport, lit(":80\\z"), lit("")))
+      .when(scheme === "https",
+        regexp_replace(hostport, lit(":443\\z"), lit("")))
+      .otherwise(hostport)
+    val pathq = regexp_replace(rest, lit("^[^/?]*"), lit(""))
+    UrlAuthority(u, hasScheme, scheme, rest, hostport, host, pathq)
+  }
+
+
   /** @param outputs which derived columns to emit (and therefore
     *   compute): any subset of url_canon / host / registered_domain /
     *   n_params_stripped. The internal barrier that protects consumers
@@ -1437,20 +1467,12 @@ object Corpus {
       "n_params_stripped")
     require(outputs.nonEmpty && outputs.forall(known.contains),
       s"outputs must be a non-empty subset of $known: $outputs")
-    val u = trim(col(urlCol))
-    val hasScheme = u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
-    val noFrag = regexp_replace(u, lit("#.*\\z"), lit(""))
-    val scheme = lower(regexp_extract(noFrag,
-      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val rest = regexp_replace(noFrag,
-      lit("^[A-Za-z][A-Za-z0-9+.-]*://"), lit(""))
-    val hostport = lower(regexp_extract(rest, "^([^/?]+)", 1))
-    val host = when(scheme === "http",
-        regexp_replace(hostport, lit(":80\\z"), lit("")))
-      .when(scheme === "https",
-        regexp_replace(hostport, lit(":443\\z"), lit("")))
-      .otherwise(hostport)
-    val pathq = regexp_replace(rest, lit("^[^/?]*"), lit(""))
+    val parts = urlAuthority(urlCol)
+    val u = parts.u
+    val hasScheme = parts.hasScheme
+    val scheme = parts.scheme
+    val host = parts.host
+    val pathq = parts.pathq
     val rawPath = regexp_extract(pathq, "^([^?]*)", 1)
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
     val query = regexp_extract(pathq, "\\?(.*)\\z", 1)
@@ -1769,11 +1791,16 @@ object Corpus {
   /** robots.txt group selection (RFC 9309 §2.2.1) — parse each host's
     * robots body into the (directive, pattern) rules that apply to
     * `agent`: lines classify case-insensitively into `User-agent:` /
-    * `Allow:` / `Disallow:` (comments stripped at `#`, other lines
-    * ignored), CONSECUTIVE User-agent lines share the rule block that
-    * follows, all groups naming the agent merge (RFC: "more than one
-    * group matching ... MUST be combined"), and the `*` groups apply
-    * only to hosts with NO exact-agent group. Empty-pattern rules drop
+    * `Allow:` / `Disallow:` (comments stripped at `#`, CRLF bodies —
+    * the real HTTP case — handled, other lines ignored), a RUN of
+    * User-agent lines shares the rule block that follows (per the RFC
+    * grammar, blank/comment/unknown lines between them do NOT split
+    * the run — only a rule line ends it), all groups naming the agent
+    * merge (RFC: "more than one group matching ... MUST be
+    * combined"), and the `*` groups apply only to hosts with NO
+    * exact-agent group. A host appearing with MORE than one body
+    * refuses loudly (interleaved line numbering would scramble group
+    * structure silently). Empty-pattern rules drop
     * (an empty `Disallow:` means unrestricted, i.e. no rule). Agent
     * matching is exact on the lowercased product token — the practical
     * subset; RFC's longest-prefix product-token refinement is out of
@@ -1788,16 +1815,38 @@ object Corpus {
                   agent: String = "*"): DataFrame = {
     val a = agent.toLowerCase
     val w = Window.partitionBy(col("__h")).orderBy(col("__i"))
-    val lines = df.select(lower(col(hostCol)).as("__h"),
-        posexplode(split(coalesce(col(txtCol), lit("")), "\n"))
-          .as(Seq("__i", "__l0")))
+    // ONE body per host, enforced in-plan: a second row for the same
+    // host would interleave its exploded line numbers with the first
+    // body's and scramble the group structure nondeterministically —
+    // refuse loudly instead (robots.txt is one-per-authority by
+    // construction; concatenate upstream if you really have shards)
+    val oneBody = df.select(lower(col(hostCol)).as("__h"),
+        coalesce(col(txtCol), lit("")).as("__txt"))
+      .withColumn("__nb",
+        count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .select(col("__h"),
+        when(col("__nb") === 1L, col("__txt"))
+          .otherwise(raise_error(concat(
+            lit("robotsParse: multiple robots bodies for host '"),
+            col("__h"), lit("' — one body per host"))))
+          .as("__txt"))
+    // split tolerates CRLF bodies (the real-world HTTP case): a
+    // trailing \r would otherwise survive trim (Spark trims spaces
+    // only) and poison every agent token and pattern
+    val lines = oneBody.select(col("__h"),
+        posexplode(split(col("__txt"), "\r?\n")).as(Seq("__i", "__l0")))
       .select(col("__h"), col("__i"),
         trim(regexp_replace(col("__l0"), lit("#.*\\z"), lit(""))).as("__l"))
     val isUa = lower(col("__l")).startsWith("user-agent:")
     val isAllow = lower(col("__l")).startsWith("allow:")
     val isDis = lower(col("__l")).startsWith("disallow:")
     val lineVal = trim(expr("substring(__l, locate(':', __l) + 1)"))
+    // group structure is computed over SIGNIFICANT lines only (UA and
+    // rule lines): RFC 9309's grammar keeps UA lines separated by
+    // blank/comment/unknown lines in the SAME group-start run, so
+    // those lines must not break the lag chain
     val marked = lines
+      .where(isUa || isAllow || isDis)
       .withColumn("__ua", isUa)
       .withColumn("__gs",
         col("__ua") && !coalesce(lag(col("__ua"), 1).over(w), lit(false)))
@@ -1852,26 +1901,15 @@ object Corpus {
     */
   def robotsGate(urls: DataFrame, idCol: String, urlCol: String,
                  rules: DataFrame): DataFrame = {
-    val u = trim(col(urlCol))
-    val hasScheme = u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
-    val noFrag = regexp_replace(u, lit("#.*\\z"), lit(""))
-    val scheme = lower(regexp_extract(noFrag,
-      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val rest = regexp_replace(noFrag,
-      lit("^[A-Za-z][A-Za-z0-9+.-]*://"), lit(""))
-    val hostport = lower(regexp_extract(rest, "^([^/?]+)", 1))
-    val host = when(scheme === "http",
-        regexp_replace(hostport, lit(":80\\z"), lit("")))
-      .when(scheme === "https",
-        regexp_replace(hostport, lit(":443\\z"), lit("")))
-      .otherwise(hostport)
-    val pathq0 = regexp_replace(rest, lit("^[^/?]*"), lit(""))
-    val target = when(pathq0 === "", lit("/"))
-      .when(pathq0.startsWith("?"), concat(lit("/"), pathq0))
-      .otherwise(pathq0)
-    val base = urls.select(col(idCol), u.as("url"),
-      when(hasScheme, host).as("__host"),
-      when(hasScheme, target).as("__target"))
+    // ONE authority definition shared with urlCanonicalize — the
+    // rules.host join contract cannot drift from the canon pipeline
+    val parts = urlAuthority(urlCol)
+    val target = when(parts.pathq === "", lit("/"))
+      .when(parts.pathq.startsWith("?"), concat(lit("/"), parts.pathq))
+      .otherwise(parts.pathq)
+    val base = urls.select(col(idCol), parts.u.as("url"),
+      when(parts.hasScheme, parts.host).as("__host"),
+      when(parts.hasScheme, target).as("__target"))
     // rule pattern → anchored regex: trailing $ peels off first (an
     // interior $ is a literal octet per RFC), metacharacters escape,
     // * becomes .*, the anchor returns as \z
@@ -1887,7 +1925,9 @@ object Corpus {
       .where(col("pattern") =!= "")
       .select(lower(col("host")).as("__host"), col("directive"),
         col("pattern"), rx.as("__rx"),
-        length(col("pattern")).as("__plen"))
+        // octet length, not character count — RFC 9309 ranks by "the
+        // most octets"; they differ on multibyte patterns
+        octet_length(col("pattern")).as("__plen"))
     val joined = base.join(r, Seq("__host"), "left")
       .withColumn("__m",
         coalesce(regexp_like(col("__target"), col("__rx")), lit(false)))

@@ -140,7 +140,7 @@ object Sources {
     var dead = false
     def fail(msg: String): Unit = {
       if (strict) throw new IllegalArgumentException(
-        s"readWarc: $msg in $path at byte $i")
+        s"Sources.warc: $msg in $path at byte $i")
       dead = true // salvage mode: keep the parsed prefix, drop the tail
     }
     def startsWith(at: Int, s: String): Boolean =

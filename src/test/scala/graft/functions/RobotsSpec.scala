@@ -45,6 +45,46 @@ class RobotsSpec extends SparkSpec {
     assert(rules("nobody") == Set(("ex.com", "disallow", "/private/")))
   }
 
+  test("robotsParse: CRLF bodies, blank lines inside a UA run, duplicate hosts refuse") {
+    // the real-world HTTP case: CRLF line endings must not poison
+    // agent tokens or patterns (Spark's trim strips spaces only)
+    val crlfBody = "User-agent: *\r\nDisallow: /private/ # staff\r\n"
+    val crlf = Corpus.robotsParse(
+        Seq(("ex.com", crlfBody)).toDF("host", "robots"),
+        "host", "robots", "*")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(crlf == Set(("disallow", "/private/")))
+    // RFC 9309 grammar: blank/comment lines between User-agent lines
+    // do NOT split the group-start run — both agents share the rules
+    val gapped = Seq(
+      "User-agent: graftbot",
+      "",
+      "# both bots share this block",
+      "User-agent: otherbot",
+      "Disallow: /x").mkString("\n")
+    Seq("graftbot", "otherbot").foreach { ag =>
+      val got = Corpus.robotsParse(
+          Seq(("h.com", gapped)).toDF("host", "robots"),
+          "host", "robots", ag)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSet
+      assert(got == Set(("disallow", "/x")), s"agent $ag")
+    }
+    // two bodies for one host would interleave line numbering and
+    // scramble groups silently — must refuse loudly instead
+    val e = intercept[Exception] {
+      Corpus.robotsParse(
+          Seq(("dup.com", "User-agent: *\nDisallow: /a"),
+            ("dup.com", "User-agent: *\nDisallow: /b"))
+            .toDF("host", "robots"),
+          "host", "robots", "*")
+        .collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("multiple robots bodies"), chain)
+  }
+
   test("robotsGate: RFC 9309 precedence table") {
     // (rules on this URL's host, path+query, expected allowed)
     val cases: Seq[(Seq[(String, String)], String, Boolean)] = Seq(
