@@ -1870,6 +1870,28 @@ object Corpus {
       .distinct()
   }
 
+  /** Sitemap discovery from robots.txt — the `Sitemap:` directive
+    * lives OUTSIDE the user-agent groups and applies regardless of
+    * agent (sitemaps.org protocol, referenced by RFC 9309 §2.2.4's
+    * other-records provision), so this is a separate extraction from
+    * [[robotsParse]]'s group machinery: every `Sitemap:` line's
+    * absolute URL, one row per (host, sitemap_url), CRLF-tolerant,
+    * comments stripped, duplicates collapsed. The crawl scheduler's
+    * seed list — join it back to [[robotsGate]]-filtered frontiers.
+    * Map-only explode; no windows (no group structure to track).
+    */
+  def robotsSitemaps(df: DataFrame, hostCol: String,
+                     txtCol: String): DataFrame =
+    df.select(lower(col(hostCol)).as("host"),
+        explode(split(coalesce(col(txtCol), lit("")), "\r?\n")).as("__l0"))
+      .select(col("host"),
+        trim(regexp_replace(col("__l0"), lit("#.*\\z"), lit(""))).as("__l"))
+      .where(lower(col("__l")).startsWith("sitemap:"))
+      .select(col("host"),
+        trim(expr("substring(__l, locate(':', __l) + 1)")).as("sitemap_url"))
+      .where(col("sitemap_url") =!= "")
+      .distinct()
+
   /** robots.txt URL gate (RFC 9309 §2.2.2) — flag every crawl URL
     * allowed/disallowed under a per-host rule table (host, directive
     * in {allow, disallow}, pattern): patterns match the URL's

@@ -85,6 +85,23 @@ class RobotsSpec extends SparkSpec {
     assert(chain.contains("multiple robots bodies"), chain)
   }
 
+  test("robotsSitemaps: agent-independent, CRLF-tolerant, URL colons survive") {
+    val txt = Seq(
+      "Sitemap: https://ex.com/sitemap.xml\r", //  CRLF line
+      "User-agent: *",
+      "Disallow: /x",
+      "sitemap: https://ex.com/news.xml # comment", // ci key, comment
+      "Sitemap:", //                                   empty → dropped
+      "Sitemap: https://ex.com/sitemap.xml" //         duplicate collapses
+    ).mkString("\n")
+    val got = Corpus.robotsSitemaps(
+        Seq(("Ex.com", txt)).toDF("host", "robots"), "host", "robots")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("ex.com", "https://ex.com/sitemap.xml"),
+      ("ex.com", "https://ex.com/news.xml")))
+  }
+
   test("robotsGate: RFC 9309 precedence table") {
     // (rules on this URL's host, path+query, expected allowed)
     val cases: Seq[(Seq[(String, String)], String, Boolean)] = Seq(
