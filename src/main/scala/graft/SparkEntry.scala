@@ -26,6 +26,32 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.readTable(spark, dir, name)
 
+  /** Scratch dir for the index/stat append rituals (x_tfidf_append,
+    * x_ivf_probe, x_ivf_append, x_moments_append): the persisted
+    * artifact must outlive the query's LAZY plan (the returned
+    * DataFrame reads it at action time), so deletion can't be eager —
+    * one JVM shutdown hook recursively removes every scratch root, so
+    * repeated bench passes don't accrete parquet artifacts in /tmp.
+    */
+  private val scratchRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRoots.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: java.io.IOException => () } // exit-path: best effort
+      }))
+  }
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchRoots.add(p)
+    p.toString
+  }
+
   /** Exact sum of a double column: decimal accumulation, double result. */
   private def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
@@ -1168,7 +1194,7 @@ object SparkEntry {
       val old = docs.where(col("doc_id") % 3 === 0)
       val fresh = docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 2)
       val (params, post, dict) = Corpus.tfidfIndexBuild(old, "doc_id", "text")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tfidfapp").toString
+      val tmp = scratchDir("graft-tfidfapp")
       params.write.parquet(s"$tmp/params")
       dict.write.parquet(s"$tmp/dict")
       post.write.parquet(s"$tmp/postings")
@@ -3005,7 +3031,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val (cents, postings) = Similarity.ivfIndex(
         e, "vec_id", "embedding", nCentroids = 8, rounds = 2)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+      val tmp = scratchDir("graft-ivfidx")
       cents.write.mode("overwrite").parquet(s"$tmp/centroids")
       postings.write.mode("overwrite").partitionBy("cluster")
         .parquet(s"$tmp/postings")
@@ -3036,7 +3062,7 @@ object SparkEntry {
       val fresh = e.where(col("vec_id") % 3 === 1)
       val (cents, post) = Similarity.ivfIndex(old, "vec_id", "embedding",
         nCentroids = 8, rounds = 2)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+      val tmp = scratchDir("graft-ivfapp")
       cents.write.parquet(s"$tmp/centroids")
       post.write.partitionBy("cluster").parquet(s"$tmp/postings")
       Similarity.ivfIndexAppend(s.read.parquet(s"$tmp/centroids"), fresh,
@@ -3115,8 +3141,7 @@ object SparkEntry {
       val cols = Seq("user_id", "value")
       val old = e.where(pmod(col("event_id"), lit(10)) < 7)
       val arr = e.where(pmod(col("event_id"), lit(10)) >= 7)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-moments").toString
+      val tmp = scratchDir("graft-moments")
       graft.functions.Stats.momentsBuild(old, cols)
         .write.mode("overwrite").parquet(tmp)
       graft.functions.Stats.momentsAppend(s.read.parquet(tmp), arr, cols)

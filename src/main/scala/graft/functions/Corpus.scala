@@ -1832,9 +1832,14 @@ object Corpus {
           .as("__txt"))
     // split tolerates CRLF bodies (the real-world HTTP case): a
     // trailing \r would otherwise survive trim (Spark trims spaces
-    // only) and poison every agent token and pattern
+    // only) and poison every agent token and pattern. A UTF-8 BOM on
+    // the first line gets the same tolerance — a BOM-prefixed
+    // "User-agent:" would fail the prefix match, the group run would
+    // never start, and the politeness gate would FAIL OPEN (all rules
+    // silently dropped, everything allowed).
     val lines = oneBody.select(col("__h"),
-        posexplode(split(col("__txt"), "\r?\n")).as(Seq("__i", "__l0")))
+        posexplode(split(regexp_replace(col("__txt"),
+          lit("\\A\uFEFF"), lit("")), "\r?\n")).as(Seq("__i", "__l0")))
       .select(col("__h"), col("__i"),
         trim(regexp_replace(col("__l0"), lit("#.*\\z"), lit(""))).as("__l"))
     val isUa = lower(col("__l")).startsWith("user-agent:")
@@ -1883,7 +1888,8 @@ object Corpus {
   def robotsSitemaps(df: DataFrame, hostCol: String,
                      txtCol: String): DataFrame =
     df.select(lower(col(hostCol)).as("host"),
-        explode(split(coalesce(col(txtCol), lit("")), "\r?\n")).as("__l0"))
+        explode(split(regexp_replace(coalesce(col(txtCol), lit("")),
+          lit("\\A\uFEFF"), lit("")), "\r?\n")).as("__l0"))
       .select(col("host"),
         trim(regexp_replace(col("__l0"), lit("#.*\\z"), lit(""))).as("__l"))
       .where(lower(col("__l")).startsWith("sitemap:"))
@@ -1911,6 +1917,16 @@ object Corpus {
     * canon pipeline's `host` column directly; schemeless URLs gate as
     * allowed with null host (nothing to join — the caller's quarantine
     * decision, not this op's).
+    *
+    * Percent-encoding subset (documented like the exact-agent-token
+    * subset above): pattern and path+query compare as the RAW strings
+    * they arrived in — no percent-decode/re-encode pass on either
+    * side, so `/a%2Fb` in a rule does not match a literal `/a/b` path
+    * and vice versa (RFC 9309 §2.2.2 expects consistent
+    * percent-encoding handling; this op delivers consistency by
+    * normalizing NEITHER side). Run both the frontier and the rule
+    * table through the same canonicalization upstream if crawl
+    * sources mix encodings.
     *
     * Scale shape: one hash join on host (rule table broadcast when
     * config-sized), per-(url, candidate-rule) regex evaluation

@@ -102,9 +102,14 @@ object Sources {
     * byte ranges a reader could seek; production archives are ~1 GB by
     * convention, usually per-record gzip members), so the unit of
     * parallelism is the FILE — `binaryFile` rows parse WHERE they are,
-    * payload bytes never shuffle in this op, and `maxBytes` refuses a
-    * single runaway archive rather than OOMing one task (the
-    * [[binaryFiles]] guard). Malformed framing (missing/short
+    * payload bytes never shuffle in this op. An archive over `maxBytes`
+    * FAILS LOUDLY under `strict = true` (path + size in the message —
+    * production archives sit near the 1 GB convention, so a silent
+    * drop here would be realistic whole-archive data loss, not a
+    * corner case); under `strict = false` the oversized file is
+    * DROPPED WHOLE, same salvage posture as a broken tail — audit the
+    * drop with `binaryFiles(...).df.where(length > maxBytes)` if the
+    * run needs it on record. Malformed framing (missing/short
     * Content-Length, unterminated header) FAILS LOUDLY under
     * `strict = true` (file + byte offset in the message); with
     * `strict = false` the file's parsed prefix is kept and the broken
@@ -116,9 +121,24 @@ object Sources {
            maxBytes: Long = 1L << 30,
            strict: Boolean = true): GraftFrame = {
     import spark.implicits._
-    val rows = binaryFiles(spark, dir, pathGlob, maxBytes).df
-      .select(org.apache.spark.sql.functions.col("path"),
-        org.apache.spark.sql.functions.col("content"))
+    import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
+    // binaryFiles' length guard is a silent filter — right for blob
+    // dirs, wrong for archives, where one dropped file is millions of
+    // records. Strict mode converts the guard to a loud refusal.
+    val files =
+      if (strict)
+        spark.read.format("binaryFile").option("pathGlobFilter", pathGlob)
+          .load(dir)
+          .select(
+            when(col("length") > maxBytes,
+              raise_error(concat(
+                lit("Sources.warc: archive exceeds maxBytes ("),
+                col("length"), lit(s" > $maxBytes bytes): "), col("path"))))
+              .otherwise(col("path")).as("path"),
+            col("content"))
+      else binaryFiles(spark, dir, pathGlob, maxBytes).df
+        .select(col("path"), col("content"))
+    val rows = files
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => parseWarcRecords(p, bytes, strict) }
       .toDF("path", "record_idx", "warc_type", "target_uri",

@@ -54,6 +54,19 @@ class RobotsSpec extends SparkSpec {
         "host", "robots", "*")
       .collect().map(r => (r.getString(1), r.getString(2))).toSet
     assert(crlf == Set(("disallow", "/private/")))
+    // a UTF-8 BOM before the first User-agent line must not defeat the
+    // prefix match — an unstripped BOM would drop every rule and fail
+    // the politeness gate OPEN (everything allowed)
+    val bom = Corpus.robotsParse(
+        Seq(("ex.com", "\uFEFF" + crlfBody)).toDF("host", "robots"),
+        "host", "robots", "*")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(bom == Set(("disallow", "/private/")))
+    assert(Corpus.robotsSitemaps(
+        Seq(("ex.com", "\uFEFFSitemap: https://ex.com/s.xml"))
+          .toDF("host", "robots"), "host", "robots")
+      .collect().map(_.getString(1)).toSet
+      == Set("https://ex.com/s.xml"))
     // RFC 9309 grammar: blank/comment lines between User-agent lines
     // do NOT split the group-start run — both agents share the rules
     val gapped = Seq(

@@ -178,5 +178,16 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("overruns") && e.getMessage.contains("f.warc"))
     assert(Sources.parseWarcRecords("f.warc", truncated, strict = false)
       .toList.map(_._3) == List("warcinfo", "response"))
+    // oversized archive: strict REFUSES loudly (a silent whole-archive
+    // drop at the ~1 GB production size would be realistic data loss);
+    // salvage drops the file whole, same posture as a broken tail
+    val cap = bytes.length.toLong - 1
+    val big = intercept[Exception] {
+      Sources.warc(spark, dir.toString, maxBytes = cap).df.collect()
+    }
+    assert(big.getMessage.contains("exceeds maxBytes") &&
+      big.getMessage.contains("t.warc"))
+    assert(Sources.warc(spark, dir.toString, maxBytes = cap,
+      strict = false).df.count() == 0L)
   }
 }
