@@ -87,6 +87,40 @@ object SparkEntry {
       |   '?gclid=abc')
       |END""".stripMargin)
 
+  /** Deterministic per-doc sitemap body for x_sitemap: three shapes
+    * (pretty-printed urlset, sitemapindex, compact urlset with entity
+    * soup and a malformed priority), mirrored verbatim in the oracle.
+    * chr(10), never '\n' — DuckDB string literals don't process
+    * backslash escapes while Spark's do, so a literal newline spelled
+    * '\n' would build DIFFERENT documents on the two engines.
+    */
+  private def plantedSitemap: Column = expr(
+    """CASE CAST(doc_id % 3 AS INT)
+      | WHEN 0 THEN concat(
+      |  '<?xml version="1.0" encoding="UTF-8"?>', chr(10),
+      |  '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+      |  chr(10), '  <url>', chr(10),
+      |  '    <loc> https://www.example.com/p?id=', doc_id,
+      |  '&amp;ref=home </loc>', chr(10),
+      |  '    <lastmod>2026-0', 1 + doc_id % 9, '-15</lastmod>', chr(10),
+      |  '    <changefreq>Daily</changefreq>', chr(10),
+      |  '    <priority>0.', doc_id % 10, '</priority>', chr(10),
+      |  '  </url>', chr(10),
+      |  '  <url><loc>https://www.example.com/', doc_id, '</loc></url>',
+      |  chr(10), '</urlset>')
+      | WHEN 1 THEN concat(
+      |  '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+      |  '<sitemap><loc>https://maps.example.org/s', doc_id % 50,
+      |  '.xml.gz</loc><lastmod>2026-07-0', 1 + doc_id % 9,
+      |  '</lastmod></sitemap>',
+      |  '<sitemap><loc>https://maps.example.org/news.xml</loc></sitemap>',
+      |  '</sitemapindex>')
+      | ELSE concat('<urlset><url><loc>http://h', doc_id % 7,
+      |  '.example.net/a&amp;b&apos;c</loc>',
+      |  '<changefreq>WEEKLY</changefreq>',
+      |  '<priority>high</priority></url></urlset>')
+      |END""".stripMargin)
+
   /** Deterministic line structure planted over the single-line fixture
     * text (10-token lines, every 3rd line unpunctuated) — the
     * x_c4_gate / x_curation_funnel input, mirrored in both oracles.
@@ -2429,6 +2463,24 @@ object SparkEntry {
           "doc_id", "url", rules)
         .orderBy("doc_id")
     }),
+
+    // Sitemap document parsing — the robotsSitemaps → frontier chain's
+    // second half: three planted body shapes per doc cover a
+    // pretty-printed urlset (multi-line <loc> with surrounding
+    // whitespace, &amp; in the URL, enum-case changefreq, numeric
+    // priority, a minimal second entry), a sitemapindex (child
+    // sitemap URLs + partial lastmod), and a compact urlset with two
+    // entities in loc and a malformed priority (→ null). chr(10)
+    // builds the newlines on BOTH engines (DuckDB string literals
+    // don't process backslash escapes; Spark's do — chr(10) is the
+    // one spelling with a single meaning). Map-only parse, mirrored
+    // regex-for-regex in the oracle.
+    "x_sitemap" -> ((s, dir) =>
+      Corpus.sitemapParse(
+          t(s, dir, "documents").select(col("doc_id"),
+            plantedSitemap.as("xml")),
+          "doc_id", "xml")
+        .orderBy("doc_id", "entry_idx")),
 
     // Crawl → links → canonical domains → edge census: hrefs extracted
     // from planted pages (both quote styles + a relative link that
@@ -7810,6 +7862,73 @@ object SparkEntry {
           |  CASE WHEN m THEN pattern END AS matched_pattern,
           |  CASE WHEN m THEN directive END AS matched_directive
           |FROM pk WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    // Same planted bodies (chr(10) newlines — identical spelling on
+    // both engines), same root detection, same block extraction and
+    // per-field regexes over the shared Java/RE2 subset, same
+    // fixed-order entity chain with &amp; LAST, same lenient priority
+    // cast. range(1,3) explodes block indexes (≤ 2 entries per planted
+    // body); blocks[i] + i-1 mirror posexplode.
+    "x_sitemap" ->
+      """WITH d AS (SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT)
+        |  WHEN 0 THEN
+        |   '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+        |   '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        |   || chr(10) || '  <url>' || chr(10) ||
+        |   '    <loc> https://www.example.com/p?id=' || doc_id ||
+        |   '&amp;ref=home </loc>' || chr(10) ||
+        |   '    <lastmod>2026-0' || (1 + doc_id % 9) || '-15</lastmod>' ||
+        |   chr(10) ||
+        |   '    <changefreq>Daily</changefreq>' || chr(10) ||
+        |   '    <priority>0.' || (doc_id % 10) || '</priority>' || chr(10) ||
+        |   '  </url>' || chr(10) ||
+        |   '  <url><loc>https://www.example.com/' || doc_id ||
+        |   '</loc></url>' || chr(10) || '</urlset>'
+        |  WHEN 1 THEN
+        |   '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        |   || '<sitemap><loc>https://maps.example.org/s' || (doc_id % 50) ||
+        |   '.xml.gz</loc><lastmod>2026-07-0' || (1 + doc_id % 9) ||
+        |   '</lastmod></sitemap>' ||
+        |   '<sitemap><loc>https://maps.example.org/news.xml</loc></sitemap>'
+        |   || '</sitemapindex>'
+        |  ELSE '<urlset><url><loc>http://h' || (doc_id % 7) ||
+        |   '.example.net/a&amp;b&apos;c</loc>' ||
+        |   '<changefreq>WEEKLY</changefreq>' ||
+        |   '<priority>high</priority></url></urlset>'
+        | END AS xml FROM documents),
+        |r AS (SELECT doc_id, xml,
+        |  lower(regexp_extract(xml,
+        |    '(?is)<\s*(urlset|sitemapindex)[\s>]', 1)) AS root FROM d),
+        |b AS (SELECT doc_id, root,
+        |  CASE WHEN root = 'urlset' THEN
+        |    regexp_extract_all(xml, '(?is)<url\s*>.*?</url\s*>')
+        |  WHEN root = 'sitemapindex' THEN
+        |    regexp_extract_all(xml, '(?is)<sitemap\s*>.*?</sitemap\s*>')
+        |  ELSE [] END AS blocks FROM r),
+        |e AS (SELECT doc_id, root, i - 1 AS entry_idx, blocks[i] AS blk
+        |  FROM b, (SELECT unnest(range(1, 3)) AS i) ii
+        |  WHERE i <= len(blocks)),
+        |f AS (SELECT doc_id, entry_idx,
+        |  CASE WHEN root = 'urlset' THEN 'url' ELSE 'sitemap' END AS kind,
+        |  NULLIF(regexp_extract(blk,
+        |    '(?is)<loc\s*>\s*(.*?)\s*</loc\s*>', 1), '') AS loc0,
+        |  NULLIF(regexp_extract(blk,
+        |    '(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>', 1), '') AS lastmod,
+        |  lower(NULLIF(regexp_extract(blk,
+        |    '(?is)<changefreq\s*>\s*(.*?)\s*</changefreq\s*>', 1), ''))
+        |    AS changefreq,
+        |  TRY_CAST(regexp_extract(blk,
+        |    '(?is)<priority\s*>\s*(.*?)\s*</priority\s*>', 1) AS DOUBLE)
+        |    AS priority
+        | FROM e)
+        |SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx, kind,
+        |  replace(replace(replace(replace(replace(loc0,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&apos;', ''''), '&amp;', '&') AS loc,
+        |  lastmod, changefreq, priority
+        |FROM f WHERE loc0 IS NOT NULL
+        |ORDER BY doc_id, entry_idx""".stripMargin,
 
     "x_url_canon" ->
       (urlCanonOracleChain("doc_id,") +

@@ -1898,6 +1898,103 @@ object Corpus {
       .where(col("sitemap_url") =!= "")
       .distinct()
 
+  /** Sitemap document parser (sitemaps.org protocol) — the second half
+    * of the crawl-scheduler seed chain [[robotsSitemaps]] starts: each
+    * input row is one FETCHED sitemap body (idCol, xml), each output
+    * row one entry of it. Both document kinds parse from the root
+    * element: `<urlset>` emits its `<url>` children as kind `url`
+    * (loc, lastmod, changefreq, priority), `<sitemapindex>` emits its
+    * `<sitemap>` children as kind `sitemap` (loc, lastmod — the CHILD
+    * sitemap URLs). Index recursion is the caller's explicit second
+    * pass by design (fetch the kind=`sitemap` locs, re-call this
+    * parser) — depth is a crawl-politeness decision, not a parser
+    * loop. `.gz` bodies decompress at INGESTION via the existing codec
+    * path ([[graft.sources.v2.GraftFilesSource]] `option("codec",
+    * "auto")` — sitemaps.org allows gzipped documents); this op takes
+    * the decoded text.
+    *
+    * Parsing subset (documented like [[htmlExtract]]'s entity rules):
+    * entry tags are the protocol's literal `<url>`/`<sitemap>`
+    * (attribute-free per the schema; namespace-prefixed variants and
+    * CDATA sections are out of scope), field values trim surrounding
+    * whitespace (pretty-printed documents put `<loc>` values on their
+    * own line), and loc unescapes the five XML entities in a FIXED
+    * order — `&lt; &gt; &quot; &apos;` then `&amp;` LAST (the spec
+    * REQUIRES `&` in URLs be escaped as `&amp;`, so this is the hot
+    * path, not a corner). lastmod stays the raw W3C-datetime string
+    * (precision varies legally from `2026` to full RFC 3339 — parsing
+    * is the consumer's call), changefreq lowercases to the protocol's
+    * enum case, priority is a lenient double (malformed → null).
+    *
+    * Error posture (the [[robotsParse]] fail-open lesson): a non-empty
+    * body with NO urlset/sitemapindex root REFUSES loudly under
+    * `strict = true` (a scrambled fetch that silently parsed to zero
+    * entries would evaporate a whole site from the frontier), as does
+    * an entry with no `<loc>` (the one REQUIRED field); with
+    * `strict = false` both drop silently — the salvage posture. Null/
+    * blank bodies emit zero rows in either mode (nothing was fetched —
+    * not a parse failure).
+    *
+    * Scale shape: map-only — regex extraction in the scan projection,
+    * one posexplode per body, zero shuffles; bodies never leave their
+    * task. All regexes stay in the shared Java/RE2 subset (`(?is)`,
+    * non-greedy `.*?`, `\s`) so the DuckDB oracle replays the parse
+    * bit-for-bit.
+    *
+    * @return (idCol, entry_idx, kind ∈ {url, sitemap}, loc, lastmod,
+    *         changefreq, priority)
+    */
+  def sitemapParse(df: DataFrame, idCol: String, xmlCol: String,
+                   strict: Boolean = true): DataFrame = {
+    val xml = regexp_replace(coalesce(col(xmlCol), lit("")),
+      lit("\\A\uFEFF"), lit(""))
+    val root = lower(regexp_extract(xml,
+      "(?is)<\\s*(urlset|sitemapindex)[\\s>]", 1))
+    val rootChecked =
+      if (!strict) root
+      // rlike, not trim: Spark's trim strips spaces only, so a
+      // newline-only body would read as non-blank (the robots CRLF
+      // lesson applied to blankness)
+      else when(xml.rlike("[^ \\t\\r\\n]") && root === "",
+        raise_error(concat(
+          lit("Corpus.sitemapParse: no urlset/sitemapindex root in "),
+          col(idCol).cast("string")))).otherwise(root)
+    val blocks = when(col("__root") === "urlset",
+        regexp_extract_all(col("__xml"),
+          lit("(?is)<url\\s*>.*?</url\\s*>"), lit(0)))
+      .when(col("__root") === "sitemapindex",
+        regexp_extract_all(col("__xml"),
+          lit("(?is)<sitemap\\s*>.*?</sitemap\\s*>"), lit(0)))
+      .otherwise(array().cast("array<string>"))
+    def field(tag: String): Column =
+      nullif(regexp_extract(col("__b"),
+        s"(?is)<$tag\\s*>\\s*(.*?)\\s*</$tag\\s*>", 1), lit(""))
+    // fixed unescape order, &amp; LAST (see Scaladoc) — same chain
+    // discipline as [[htmlExtract]], with XML's &apos; for HTML's &#39;
+    val locUnescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(field("loc")) { case (c, (e, ch)) =>
+        replace(c, lit(e), lit(ch)) }
+    val loc =
+      if (!strict) locUnescaped
+      else coalesce(locUnescaped, raise_error(concat(
+        lit("Corpus.sitemapParse: entry without <loc> in sitemap "),
+        col(idCol).cast("string"))).cast("string"))
+    df.select(col(idCol), rootChecked.as("__root"), xml.as("__xml"))
+      .select(col(idCol), col("__root"),
+        posexplode(blocks).as(Seq("__i", "__b")))
+      .select(col(idCol), col("__i").cast("long").as("entry_idx"),
+        when(col("__root") === "urlset", lit("url"))
+          .otherwise(lit("sitemap")).as("kind"),
+        loc.as("loc"),
+        field("lastmod").as("lastmod"),
+        lower(field("changefreq")).as("changefreq"),
+        expr("try_cast(regexp_extract(__b, " +
+          "'(?is)<priority\\\\s*>\\\\s*(.*?)\\\\s*</priority\\\\s*>', 1) " +
+          "as double)").as("priority"))
+      .where(col("loc").isNotNull)
+  }
+
   /** robots.txt URL gate (RFC 9309 §2.2.2) — flag every crawl URL
     * allowed/disallowed under a per-host rule table (host, directive
     * in {allow, disallow}, pattern): patterns match the URL's
