@@ -2482,6 +2482,69 @@ object SparkEntry {
           "doc_id", "xml")
         .orderBy("doc_id", "entry_idx")),
 
+    // Oracle witness for the WARC source (Sources.warc): a bounded
+    // document slice (doc_id % 97 — ≤ N/97+1 rows, the documented
+    // fixture bound) serializes to a deterministic two-shard archive
+    // ON THE EXECUTORS (foreachPartition — the fixture writer runs
+    // where the docs are; a production archiver would target the
+    // cluster DFS through the same per-partition shape), then reads
+    // BACK through the real Content-Length-framed parser. The oracle
+    // never sees WARC bytes: it replays the framing formulas straight
+    // off documents — shard = doc_id % 2, per-shard record index,
+    // octet (not char) Content-Length, byte-exact payload roundtrip —
+    // so a framing bug on either the write or the read side breaks
+    // the hash.
+    "x_warc" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("graft-warcfix")
+      val slice = t(s, dir, "documents")
+        .where(col("doc_id") % 97 === 0)
+        .select(pmod(col("doc_id"), lit(2)).cast("int").as("shard"),
+          col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      // shard rows sort contiguously inside each task, so the writer
+      // emits one whole file per shard run regardless of how the
+      // hash placement packs the two shards into tasks
+      slice.repartition(2, col("shard"))
+        .sortWithinPartitions("shard", "doc_id")
+        .as[(Int, Long, String)]
+        .foreachPartition { (it: Iterator[(Int, Long, String)]) =>
+          val crlf = "\r\n"
+          var out: java.io.OutputStream = null
+          var cur = -1
+          for ((shard, docId, text) <- it) {
+            if (shard != cur) {
+              if (out != null) out.close()
+              out = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(
+                  s"$tmp/part-$shard.warc"))
+              cur = shard
+            }
+            val payload = text.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)
+            out.write((s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+              s"WARC-Target-URI: https://ex.com/$docId$crlf" +
+              s"WARC-Date: 2026-08-16T00:00:00Z$crlf" +
+              s"Content-Type: text/plain$crlf" +
+              s"Content-Length: ${payload.length}$crlf$crlf")
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+            out.write(payload)
+            out.write((crlf + crlf).getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1))
+          }
+          if (out != null) out.close()
+        }
+      graft.sources.Sources.warc(s, tmp).df
+        .select(
+          regexp_extract(col("target_uri"), "/(\\d+)\\z", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("path"), "part-(\\d+)\\.warc\\z", 1)
+            .cast("int").as("shard"),
+          col("record_idx"), col("warc_type"), col("target_uri"),
+          col("warc_date"), col("content_type"), col("content_length"),
+          decode(col("payload"), "UTF-8").as("payload_text"))
+        .orderBy("doc_id")
+    }),
+
     // Crawl → links → canonical domains → edge census: hrefs extracted
     // from planted pages (both quote styles + a relative link that
     // canonicalizes to nothing), destinations canonicalized, sources =
@@ -7929,6 +7992,26 @@ object SparkEntry {
         |  lastmod, changefreq, priority
         |FROM f WHERE loc0 IS NOT NULL
         |ORDER BY doc_id, entry_idx""".stripMargin,
+
+    // The oracle replays the FRAMING FORMULAS, not the bytes: shard by
+    // doc_id parity, record index by per-shard doc_id order,
+    // Content-Length as the OCTET length of the UTF-8 payload
+    // (octet_length(encode(..)) — char count would diverge on any
+    // multibyte text), payload roundtripped verbatim. Constant headers
+    // mirror the writer's constants.
+    "x_warc" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 2 AS INT) AS shard,
+        |  row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id)
+        |    - 1 AS record_idx,
+        |  'response' AS warc_type,
+        |  'https://ex.com/' || doc_id AS target_uri,
+        |  '2026-08-16T00:00:00Z' AS warc_date,
+        |  'text/plain' AS content_type,
+        |  octet_length(encode(COALESCE(text, ''))) AS content_length,
+        |  COALESCE(text, '') AS payload_text
+        |FROM documents WHERE doc_id % 97 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "x_url_canon" ->
       (urlCanonOracleChain("doc_id,") +
