@@ -453,6 +453,111 @@ object MicroBatch {
       }
   }
 
+  /** Streaming gap sessionization — the event-time dual of
+    * [[graft.functions.Events.sessionize]], and the one member of the
+    * family with a REAL state timeout: events `(user, epochUs,
+    * eventId)` key by user; state = the OPEN session `(session_seq,
+    * start_us, last_us, last_event_id, n_events, open)`. Each batch
+    * sorts its per-user slice by `(us, eventId)` (the batch tiebreak)
+    * and chains it onto the open session: a gap > `gapUs` CLOSES the
+    * session — one emitted row `(user, session_seq, start_us, end_us,
+    * n_events, duration_us)`, exactly the batch sessionize schema —
+    * and opens the next. When the event-time watermark passes
+    * `last_us + gapUs` the group TIMES OUT and the still-open session
+    * emits (the streaming analog of the batch table's final session),
+    * so once the watermark drains past the data, the emitted rows ≡
+    * the batch sessionize table on in-order epochs (spec-pinned).
+    *
+    * Two layers drop disorder: Spark's own late filter removes rows
+    * whose event time is already below the WATERMARK before they reach
+    * this operator (the coarse guard — at scale that is most of the
+    * straggler mass, governed by `watermarkDelay`), and inside the
+    * slack this operator's in-order check drops anything sorting
+    * before the group's remembered last event.
+    *
+    * Contracts shared with the family: out-of-order arrivals (sorting
+    * before the remembered last event) drop without advancing state;
+    * `session_seq` SURVIVES a timeout, so a returning user continues
+    * the batch numbering instead of restarting at 1 (the closed
+    * marker is one boolean — state per user stays 6 scalars,
+    * independent of event count). The timeout timestamp rounds UP to
+    * the next millisecond above `last_us + gapUs` (GroupState speaks
+    * ms, epochs are µs) and clamps above the current watermark, so a
+    * session can time out LATE by < 1 ms of event time but never
+    * early — timing out early would emit a session the next in-gap
+    * event should have extended.
+    *
+    * Scale shape: one user-keyed stateful shuffle, constant state per
+    * user, emission ∝ closed sessions per trigger. `watermarkDelay`
+    * is the out-of-order slack traded against emission latency.
+    */
+  def streamingSessions(events: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+                        gapUs: Long, watermarkDelay: String = "0 seconds")
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    require(gapUs > 0, s"gap must be positive: $gapUs")
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Long, Boolean)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Long, Boolean)]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Long, Long)]
+    implicit val rowEnc: org.apache.spark.sql.Encoder[(Long, Long, Long, java.sql.Timestamp)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, java.sql.Timestamp)]
+    // EventTimeTimeout needs a watermark on a real timestamp column
+    // that SURVIVES into the stateful operator's input (Spark's check
+    // looks for the watermark-tagged attribute there), so __ts rides
+    // along in the tuple even though the state logic reads only `us`
+    val withWm = events.toDF("user", "us", "event_id")
+      .withColumn("__ts", timestamp_micros(col("us")))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, Long, Long, java.sql.Timestamp)](rowEnc)
+    withWm.groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Boolean),
+                              (Long, Long, Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, vals: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long, Long, Long, Boolean)]) =>
+          if (state.hasTimedOut) {
+            val (seq, start, last, lastId, n, open) = state.get
+            // keep (seq, last) so numbering and the in-order contract
+            // survive the close; no new timeout — constant-size state
+            // simply rests until the user returns
+            state.update((seq, start, last, lastId, 0L, false))
+            if (open) Iterator.single((user, seq, start, last, n, last - start))
+            else Iterator.empty
+          } else {
+            val sorted = vals.map(v => (v._2, v._3)).toSeq.sorted
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              var (seq, start, last, lastId, n, open) =
+                state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, false))
+              val closed = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Long, Long, Long, Long, Long)]
+              sorted.foreach { case (us, id) =>
+                if (seq == 0L) { // first event ever: open session 1
+                  seq = 1L; start = us; last = us; lastId = id
+                  n = 1L; open = true
+                } else if (us > last || (us == last && id >= lastId)) {
+                  if (!open) { // returning after a timeout-close
+                    seq += 1L; start = us; n = 0L; open = true
+                  } else if (us - last > gapUs) { // gap: close + reopen
+                    closed += ((user, seq, start, last, n, last - start))
+                    seq += 1L; start = us; n = 0L
+                  }
+                  last = us; lastId = id; n += 1L
+                } // else: out-of-order — dropped, state not advanced
+              }
+              state.update((seq, start, last, lastId, n, open))
+              // fire strictly AFTER last_us + gapUs: ceil to the next
+              // ms, clamped above the watermark (required by Spark)
+              val fireMs = Math.floorDiv(last + gapUs, 1000L) + 1L
+              state.setTimeoutTimestamp(
+                math.max(fireMs, state.getCurrentWatermarkMs + 1L))
+              closed.iterator
+            }
+          }
+      }
+  }
+
   /** Same wrap guard as `Stats.ppmSql`: counts past ~9.22·10¹² would
     * overflow `n·10⁶`; the live gate dies loudly like the batch one.
     */

@@ -983,4 +983,58 @@ class StreamingSpec extends SparkSpec {
     }
     q.stop()
   }
+
+  // cross-batch session merge, gap-close, watermark timeout emission,
+  // out-of-order drop, and seq continuity after a timeout — the
+  // emitted set must equal the batch sessionize on the in-order events
+  test("streamingSessions: emitted sessions equal batch sessionize on in-order epochs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long)] // (user, us, event_id)
+    val q = MicroBatch.streamingSessions(input.toDS(), gapUs = 100L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    // b1: u1 opens a session (2 events), u2 opens one. All µs values
+    // stay under 1000 so the ms-floored watermark stays 0 until the
+    // sentinel pushes it — Spark's OWN late filter must not eat the
+    // events meant for OUR in-order logic
+    input.addData((1L, 10L, 1L), (1L, 60L, 2L), (2L, 70L, 3L))
+    q.processAllAvailable()
+    // b2: u1's 130 EXTENDS (gap 70 ≤ 100, cross-batch merge), 300
+    // CLOSES session 1 in-line (gap 170) and opens session 2; u2's 50
+    // sorts BEFORE its remembered 70 — out-of-order, dropped by the
+    // family contract (it is above the watermark, so the drop is this
+    // operator's, not Spark's)
+    input.addData((1L, 130L, 4L), (1L, 300L, 5L), (2L, 50L, 6L))
+    q.processAllAvailable()
+    // b3 advances the watermark far past every open session's
+    // last+gap; the timeouts FIRE in b4 (a batch runs against the
+    // PREVIOUS batch's watermark), emitting u1's session 2 and u2's
+    // only session without any closing event
+    input.addData((9L, 1000000L, 7L)); q.processAllAvailable()
+    input.addData((9L, 2000000L, 8L)); q.processAllAvailable()
+    // b5: u1 RETURNS after its timeout-close — numbering must continue
+    // at 3, not restart; two more watermark pushes drain it out
+    input.addData((1L, 3000000L, 9L)); q.processAllAvailable()
+    input.addData((9L, 5000000L, 10L)); q.processAllAvailable()
+    input.addData((9L, 6000000L, 11L)); q.processAllAvailable()
+    val got = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .filter(_._1 != 9L).toSet // the sentinel's own sessions are noise
+    q.stop()
+    // batch reference: Events.sessionize over exactly the IN-ORDER
+    // arrivals (u2's 500 excluded — the family's in-order contract)
+    val inOrder = Seq((1L, 10L, 1L), (1L, 60L, 2L), (1L, 130L, 4L),
+      (1L, 300L, 5L), (1L, 3000000L, 9L), (2L, 70L, 3L))
+    val batch = graft.functions.Events.sessionize(
+        inOrder.toDF("user", "us", "event_id")
+          .select(col("user"), timestamp_micros(col("us")).as("ts"),
+            col("event_id")),
+        "user", "ts", gapUs = 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == batch, s"streaming $got must equal batch $batch")
+  }
 }
