@@ -67,8 +67,23 @@ object Bench {
           s"[bench] unparseable SPARK_GRAFT_BENCH_REPEAT='$v', using default 2"))
         2
     }
-    var passes: Seq[Map[String, Option[Double]]] =
-      (1 to repeat).map(_ => names.map(n => n -> timed(n)).toMap)
+    // Machine load bracketing each pass (VERDICT r13 item 6): driver
+    // re-runs under co-tenant contention have read up to 2× the
+    // builder's best pass — with the 1-minute loadavg persisted per
+    // pass, a contended sample is machine-distinguishable from a code
+    // regression in ONE artifact, no forensic cross-referencing.
+    def loadAvg(): Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.rint(l * 100) / 100 // -1.0 where the platform has no loadavg
+    }
+    def runPass(): (Map[String, Option[Double]], Double, Double) = {
+      val l0 = loadAvg()
+      val p = names.map(n => n -> timed(n)).toMap
+      (p, l0, loadAvg())
+    }
+    var passes: Seq[(Map[String, Option[Double]], Double, Double)] =
+      (1 to repeat).map(_ => runPass())
     // Adaptive escalation (VERDICT r12 item 7): driver-side same-commit
     // runs have disagreed by 1.31× total under contention. When the
     // recorded passes' totals (over queries successful in every pass)
@@ -76,9 +91,9 @@ object Bench {
     // min is taken over three samples instead of two. The decision is
     // recorded in the persisted artifact ("adaptive_pass": true) so a
     // 3-run record is distinguishable from a 2-run one.
-    def passTotals(ps: Seq[Map[String, Option[Double]]]): Seq[Double] = {
-      val common = names.filter(n => ps.forall(_(n).isDefined))
-      ps.map(p => common.flatMap(p(_)).sum)
+    def passTotals(ps: Seq[(Map[String, Option[Double]], Double, Double)]): Seq[Double] = {
+      val common = names.filter(n => ps.forall(_._1(n).isDefined))
+      ps.map(p => common.flatMap(p._1(_)).sum)
     }
     val spread0 = {
       val t = passTotals(passes).filter(_ > 0)
@@ -87,11 +102,11 @@ object Bench {
     val adaptive = repeat >= 2 && spread0 > 1.15
     if (adaptive) {
       System.err.println(f"[bench] pass totals spread ${spread0}%.2f× > 1.15× — running one more pass")
-      passes = passes :+ names.map(n => n -> timed(n)).toMap
+      passes = passes :+ runPass()
     }
     // min over the successful samples; "failed" only if no pass ran it
     val results: Map[String, Option[Double]] = names.map { n =>
-      n -> passes.flatMap(_(n)).minOption
+      n -> passes.flatMap(_._1(n)).minOption
     }.toMap
     def passJson(p: Map[String, Option[Double]]): String =
       p.toSeq.sortBy(_._1).map {
@@ -102,11 +117,15 @@ object Bench {
     val failed = results.collect { case (k, None) => k }.toSeq.sorted
     val total = results.values.flatten.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
-    // the persisted artifact additionally carries every raw pass (the
-    // stdout contract line stays min-only and parseable as before)
+    // the persisted artifact additionally carries every raw pass, each
+    // bracketed by its 1-minute loadavg (the stdout contract line
+    // stays min-only and parseable as before)
+    val runsJson = passes.map { case (p, l0, l1) =>
+      s"""{"load_start":$l0,"load_end":$l1,"queries":${passJson(p)}}"""
+    }.mkString("[", ",", "]")
     val fileLine = line.dropRight(1) +
       s""","adaptive_pass":$adaptive""" +
-      s""","runs":${passes.map(passJson).mkString("[", ",", "]")}}"""
+      s""","runs":$runsJson}"""
     // The one-line stdout contract stays; ALSO persist the full per-query
     // JSON to a file (stdout tail-capture truncates a 160-query map, which
     // cost round 7 its round-over-round record for 90 queries). Path

@@ -3130,6 +3130,11 @@ object Corpus {
           i => struct(element_at(col("__toks"), i + 1).as("l"),
             element_at(col("__toks"), i + 2).as("r"))))
         .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      // driver bound: ONE row per merge (limit(1)), nMerges ≤ 4096
+      // round-trips total — inherent to BPE's sequential merge rule,
+      // and each round's job aggregates the WORD-TYPE table (vocab
+      // rows), never the corpus; at 100× the cost is nMerges × job
+      // latency, not nMerges × data
       val top = vocab.select(col("__f"), explode(pairsCol).as("p"))
         .groupBy(col("p.l").as("__l"), col("p.r").as("__r"))
         .agg(sum(col("__f")).as("__cnt"))
