@@ -1312,6 +1312,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Modified Kneser-Ney (Chen & Goodman 1999 section 3 — KenLM's
+    // default smoothing) on the same split: three discounts per level
+    // estimated from that level's count-of-counts, KenLM's
+    // --discount_fallback (0.5/1.0/1.5) where a level is degenerate.
+    // On this corpus the trigram level estimates (healthy n1..n4), the
+    // continuation-count levels fall back — both branches of the
+    // in-plan CASE are live. The oracle re-derives the integer d/Q
+    // discount algebra and unrolls the identical three-level ladder.
+    "x_mkn_nll" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.mknNll(docs, docs.where(col("doc_id") % 10 < 8),
+          "doc_id", "text", discountFallback = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): every doc in the raw
     // pool scores ln(p_target/p_raw) under hashed unigram+bigram bucket
     // models of a 2-source "quality" target vs the whole pool — the
@@ -2730,6 +2745,109 @@ object SparkEntry {
         TF.normalize(col("text")).as("norm"),
         TF.scrubPii(dirty).as("scrubbed"))
         .orderBy("doc_id")
+    }),
+
+    // Typed PII census over doc text with deterministic synthetic PII
+    // appended: an email, a dotted quad whose octet validity flips with
+    // doc_id (doc_id % 300 crosses 255), a phone, and a card that is
+    // Luhn-valid on even ids only — every precision gate (octet range,
+    // size window, mod-10) exercises BOTH branches across the fixture.
+    // Map-only; the oracle replays the shared-subset regexes and the
+    // Luhn fold with DuckDB list lambdas.
+    "x_pii_census" -> ((s, dir) => {
+      val planted = concat(coalesce(col("text"), lit("")),
+        lit(" Contact: user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ip=10."),
+        (col("doc_id") % 300).cast("string"),
+        lit(".0.1 tel=+1 (555) 01"), (col("doc_id") % 10).cast("string"),
+        lit("-2345 card="),
+        when(col("doc_id") % 2 === 0, lit("4111 1111 1111 1111"))
+          .otherwise(lit("4111 1111 1111 1112")))
+      Corpus.piiCensus(
+          t(s, dir, "documents").select(col("doc_id"), planted.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Cohen's kappa per language over planted double-annotation: rater 2
+    // disagrees on every 4th doc (one class up, mod 3), each rater skips
+    // its own stripe (nulls excluded, not a class). Exact integer core
+    // (n·o − e)/(n² − e), one double division LAST.
+    "x_kappa" -> ((s, dir) => {
+      val r1 = when(col("doc_id") % 13 === 0, lit(null).cast("long"))
+        .otherwise((col("doc_id") * 7) % 3)
+      val r2 = when(col("doc_id") % 17 === 0, lit(null).cast("long"))
+        .otherwise(when(col("doc_id") % 4 === 0, (r1 + 1) % 3)
+          .otherwise(r1))
+      graft.functions.Stats.cohenKappaByGroup(
+          t(s, dir, "documents").select(col("lang"), r1.as("r1"),
+            r2.as("r2")),
+          "lang", "r1", "r2")
+        .orderBy("lang")
+    }),
+
+    // Small-file compaction planning over a planted inventory: five
+    // partition dirs, file sizes sweeping 1 KB..1.4 MB so both actions
+    // and multi-file bins occur; first-fit-with-overflow cumsum bins,
+    // never across dirs. Metadata-sized; one dir-keyed window.
+    "x_compaction" -> ((s, dir) => {
+      val files = t(s, dir, "documents").select(
+        concat(lit("dt="), (col("doc_id") % 5).cast("string")).as("dir"),
+        concat(lit("part-"), lpad(col("doc_id").cast("string"), 8, "0"))
+          .as("path"),
+        ((col("doc_id") * 37) % 1400000 + 1000).as("bytes"))
+      graft.functions.Layout.compactionPlan(files, "dir", "path", "bytes",
+          targetBytes = 1000000L)
+        .orderBy("dir", "path")
+    }),
+
+    // Crawl revisit scheduling over a planted frontier: changefreq
+    // cycles through all seven sitemaps.org values plus an unknown and
+    // a null (→ daily default), last_crawl is null on every 5th URL
+    // (tier-0 never-fetched) — so tiering, the never rule, the daily
+    // default, the due window and the per-host top-3 cutoff all
+    // exercise both branches. One filter + one WindowGroupLimit rank.
+    "x_revisit" -> ((s, dir) => {
+      val cf = element_at(array(lit("always"), lit("hourly"), lit("daily"),
+        lit("weekly"), lit("monthly"), lit("yearly"), lit("never"),
+        lit("Sometimes")), (col("doc_id") % 8).cast("int") + 1)
+      val frontier = t(s, dir, "documents").select(
+        concat(lit("h"), (col("doc_id") % 37).cast("string")).as("host"),
+        concat(lit("https://h"), (col("doc_id") % 37).cast("string"),
+          lit(".example.com/p"), col("doc_id").cast("string")).as("url"),
+        when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+          .otherwise(cf).as("changefreq"),
+        when(col("doc_id") % 5 === 0, lit(null).cast("long"))
+          .otherwise(lit(1700000000L) + (col("doc_id") * 7919) % 30000000L)
+          .as("last_crawl"))
+      Corpus.revisitSchedule(frontier, "host", "url", "changefreq",
+          "last_crawl", nowSec = 1730000000L, perHostK = 3)
+        .orderBy("host", "wave")
+    }),
+
+    // Anchor-text aggregation over planted HTML: every doc links two
+    // targets (entity + nested-tag anchors, single- and double-quoted
+    // hrefs, an empty image-only anchor every 6th doc), then the
+    // per-target top-2 terms roll up — what the web "calls" each URL.
+    // Extraction is map-only; the rollup is one count aggregation and
+    // a WindowGroupLimit rank.
+    "x_anchor_text" -> ((s, dir) => {
+      val html = concat(
+        lit("<p>intro</p><a href=\"https://t"),
+        (col("doc_id") % 23).cast("string"),
+        lit(".example.com/\">Read &amp; learn <b>more</b></a> <a class='x' href='/local/p"),
+        (col("doc_id") % 7).cast("string"), lit("'>page "),
+        (col("doc_id") % 7).cast("string"), lit(" notes</a>"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("<a href=\"https://t"),
+            (col("doc_id") % 23).cast("string"),
+            lit(".example.com/\"><img src=\"i.png\"/></a>")))
+          .otherwise(lit("")))
+      val links = Corpus.htmlAnchorTexts(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+      Corpus.anchorTermsTopK(links, "href", "anchor", k = 2)
+        .orderBy("target", "rank")
     }),
 
     // End-to-end near-dup removal: detect pairs (exact n-gram Jaccard),
@@ -6569,6 +6687,180 @@ object SparkEntry {
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Modified KN: the x_kn_nll ladder with per-level (Q, d1, d2, d3)
+    // integer discounts re-derived from count-of-counts in BIGINT (the
+    // estimate-or-fallback CASE transliterated), per-context gamma class
+    // counts (N1/N2/N3+), and the same three-level CASE over integral-
+    // valued doubles in the engine's exact association order.
+    "x_mkn_nll" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |tr AS (SELECT * FROM toks WHERE doc_id % 10 < 8),
+        |tri AS (SELECT w1, w2, w3 FROM (
+        |  SELECT unnest(tok[1:len(tok)-2]) AS w1,
+        |         unnest(tok[2:len(tok)-1]) AS w2,
+        |         unnest(tok[3:len(tok)]) AS w3 FROM tr)),
+        |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, COUNT(*) AS c2 FROM tri GROUP BY 1, 2),
+        |g3 AS (SELECT w1, w2,
+        |  CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g31,
+        |  CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g32,
+        |  CAST(SUM(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS g33
+        | FROM c3 GROUP BY 1, 2),
+        |ty AS (SELECT w1, w2, w3 FROM c3),
+        |kn2 AS (SELECT w2, w3, COUNT(*) AS kn2 FROM ty GROUP BY 1, 2),
+        |mid AS (SELECT w2, COUNT(*) AS mid FROM ty GROUP BY 1),
+        |g2 AS (SELECT w2,
+        |  CAST(SUM(CASE WHEN kn2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g21,
+        |  CAST(SUM(CASE WHEN kn2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g22,
+        |  CAST(SUM(CASE WHEN kn2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS g23
+        | FROM kn2 GROUP BY 1),
+        |bt AS (SELECT DISTINCT w2, w3 FROM ty),
+        |kn1 AS (SELECT w3, COUNT(*) AS kn1 FROM bt GROUP BY 1),
+        |sc1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncc FROM bt),
+        |vc AS (SELECT
+        |  CAST(SUM(CASE WHEN kn1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1c,
+        |  CAST(SUM(CASE WHEN kn1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2c,
+        |  CAST(SUM(CASE WHEN kn1 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS v3c
+        | FROM kn1),
+        |sc2 AS (SELECT CAST(COUNT(DISTINCT t) + 1 AS BIGINT) AS v
+        |  FROM (SELECT unnest(tok) AS t FROM tr)),
+        |cc3 AS (SELECT
+        |  CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(SUM(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(SUM(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        | FROM c3),
+        |es3 AS (SELECT (n1 + 2*n2)*n2*n3 AS q, n1*n2*n3 AS d1,
+        |  (2*n2*(n1 + 2*n2) - 3*n1*n3)*n3 AS d2,
+        |  (3*n3*(n1 + 2*n2) - 4*n1*n4)*n2 AS d3, n1, n2, n3, n4 FROM cc3),
+        |dl3 AS (SELECT
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
+        |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
+        |   THEN q ELSE 2 END AS q3,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
+        |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
+        |   THEN d1 ELSE 1 END AS d31,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
+        |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
+        |   THEN d2 ELSE 2 END AS d32,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
+        |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
+        |   THEN d3 ELSE 3 END AS d33 FROM es3),
+        |cc2 AS (SELECT
+        |  CAST(SUM(CASE WHEN kn2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN kn2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(SUM(CASE WHEN kn2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(SUM(CASE WHEN kn2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        | FROM kn2),
+        |es2 AS (SELECT (n1 + 2*n2)*n2*n3 AS q, n1*n2*n3 AS d1,
+        |  (2*n2*(n1 + 2*n2) - 3*n1*n3)*n3 AS d2,
+        |  (3*n3*(n1 + 2*n2) - 4*n1*n4)*n2 AS d3, n1, n2, n3, n4 FROM cc2),
+        |dl2 AS (SELECT
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
+        |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
+        |   THEN q ELSE 2 END AS q2,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
+        |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
+        |   THEN d1 ELSE 1 END AS d21,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
+        |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
+        |   THEN d2 ELSE 2 END AS d22,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
+        |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
+        |   THEN d3 ELSE 3 END AS d23 FROM es2),
+        |cc1 AS (SELECT
+        |  CAST(SUM(CASE WHEN kn1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN kn1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(SUM(CASE WHEN kn1 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(SUM(CASE WHEN kn1 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        | FROM kn1),
+        |es1 AS (SELECT (n1 + 2*n2)*n2*n3 AS q, n1*n2*n3 AS d1,
+        |  (2*n2*(n1 + 2*n2) - 3*n1*n3)*n3 AS d2,
+        |  (3*n3*(n1 + 2*n2) - 4*n1*n4)*n2 AS d3, n1, n2, n3, n4 FROM cc1),
+        |dl1 AS (SELECT
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
+        |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
+        |   THEN q ELSE 2 END AS q1,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
+        |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
+        |   THEN d1 ELSE 1 END AS d11,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
+        |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
+        |   THEN d2 ELSE 2 END AS d12,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
+        |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
+        |   THEN d3 ELSE 3 END AS d13 FROM es1),
+        |tf AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, unnest(tok[1:len(tok)-2]) AS w1,
+        |         unnest(tok[2:len(tok)-1]) AS w2,
+        |         unnest(tok[3:len(tok)]) AS w3 FROM toks) GROUP BY 1, 2, 3, 4),
+        |j AS (
+        | SELECT tf.doc_id, tf.tf, t3.c3, ctx.c2, g3.g31, g3.g32, g3.g33,
+        |   kn2.kn2, mid.mid, g2.g21, g2.g22, g2.g23, kn1.kn1,
+        |   sc1.ncc, vc.v1c, vc.v2c, vc.v3c, sc2.v,
+        |   dl3.q3, dl3.d31, dl3.d32, dl3.d33,
+        |   dl2.q2, dl2.d21, dl2.d22, dl2.d23,
+        |   dl1.q1, dl1.d11, dl1.d12, dl1.d13
+        | FROM tf
+        |   LEFT JOIN c3 t3 ON tf.w1 = t3.w1 AND tf.w2 = t3.w2
+        |     AND tf.w3 = t3.w3
+        |   LEFT JOIN ctx ON tf.w1 = ctx.w1 AND tf.w2 = ctx.w2
+        |   LEFT JOIN g3 ON tf.w1 = g3.w1 AND tf.w2 = g3.w2
+        |   LEFT JOIN kn2 ON tf.w2 = kn2.w2 AND tf.w3 = kn2.w3
+        |   LEFT JOIN mid ON tf.w2 = mid.w2
+        |   LEFT JOIN g2 ON tf.w2 = g2.w2
+        |   LEFT JOIN kn1 ON tf.w3 = kn1.w3
+        |   CROSS JOIN sc1 CROSS JOIN vc CROSS JOIN sc2
+        |   CROSS JOIN dl3 CROSS JOIN dl2 CROSS JOIN dl1),
+        |e1 AS (SELECT *,
+        |  GREATEST(COALESCE(CAST(kn1 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |      * CAST(q1 AS DOUBLE)
+        |      - (CASE WHEN kn1 = 1 THEN CAST(d11 AS DOUBLE)
+        |              WHEN kn1 = 2 THEN CAST(d12 AS DOUBLE)
+        |              ELSE CAST(d13 AS DOUBLE) END),
+        |    CAST(0.0 AS DOUBLE)) * CAST(v AS DOUBLE)
+        |    + (CAST(d11 AS DOUBLE) * CAST(v1c AS DOUBLE)
+        |       + CAST(d12 AS DOUBLE) * CAST(v2c AS DOUBLE)
+        |       + CAST(d13 AS DOUBLE) * CAST(v3c AS DOUBLE)) AS a1,
+        |  CAST(ncc AS DOUBLE) * CAST(q1 AS DOUBLE)
+        |    * CAST(v AS DOUBLE) AS b1 FROM j),
+        |e2 AS (SELECT *,
+        |  GREATEST(COALESCE(CAST(kn2 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |      * CAST(q2 AS DOUBLE)
+        |      - (CASE WHEN kn2 = 1 THEN CAST(d21 AS DOUBLE)
+        |              WHEN kn2 = 2 THEN CAST(d22 AS DOUBLE)
+        |              ELSE CAST(d23 AS DOUBLE) END),
+        |    CAST(0.0 AS DOUBLE)) * b1
+        |    + (CAST(d21 AS DOUBLE) * CAST(g21 AS DOUBLE)
+        |       + CAST(d22 AS DOUBLE) * CAST(g22 AS DOUBLE)
+        |       + CAST(d23 AS DOUBLE) * CAST(g23 AS DOUBLE)) * a1 AS a2,
+        |  CAST(mid AS DOUBLE) * CAST(q2 AS DOUBLE) * b1 AS b2 FROM e1),
+        |e3 AS (SELECT *,
+        |  GREATEST(COALESCE(CAST(c3 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |      * CAST(q3 AS DOUBLE)
+        |      - (CASE WHEN c3 = 1 THEN CAST(d31 AS DOUBLE)
+        |              WHEN c3 = 2 THEN CAST(d32 AS DOUBLE)
+        |              ELSE CAST(d33 AS DOUBLE) END),
+        |    CAST(0.0 AS DOUBLE)) * b2
+        |    + (CAST(d31 AS DOUBLE) * CAST(g31 AS DOUBLE)
+        |       + CAST(d32 AS DOUBLE) * CAST(g32 AS DOUBLE)
+        |       + CAST(d33 AS DOUBLE) * CAST(g33 AS DOUBLE)) * a2 AS a3,
+        |  CAST(c2 AS DOUBLE) * CAST(q3 AS DOUBLE) * b2 AS b3 FROM e2),
+        |sc AS (SELECT doc_id, tf, CAST(tf AS DOUBLE) * (
+        |   CASE WHEN c2 IS NOT NULL THEN ln(b3) - ln(a3)
+        |        WHEN mid IS NOT NULL THEN ln(b2) - ln(a2)
+        |        ELSE ln(b1) - ln(a1) END) AS nll FROM e3),
+        |per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(CAST(nll AS DECIMAL(30,15))) AS DOUBLE) AS s
+        | FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_trigrams, 0) AS n_trigrams,
+        | ROUND(per.s / CAST(per.n_trigrams AS DOUBLE), 9) AS avg_nll
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // DSIR chain: identical md5-prefix feature buckets (2 hex chars =
     // 256-bucket space), add-1 smoothing over the full space so every ln
     // input is an integral-valued double; the normalizer term n·(ln(Nr+B)
@@ -8737,6 +9029,180 @@ object SparkEntry {
         |   '[0-9]{9,}', '<ID>', 'g'),
         |   '\+?[0-9][0-9() .-]{5,}[0-9]', '<PHONE>', 'g') AS scrubbed
         |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    // PII census: the same planted text, the same shared-subset shape
+    // regexes, and the precision gates as list lambdas — octet filter
+    // (no octet > 255), card size window on the separator-stripped
+    // digits, and the Luhn fold (reversed digits, odd positions as-is,
+    // even doubled minus 9 over 4) as list_sum over list_transform.
+    "x_pii_census" ->
+      """WITH src AS (
+        | SELECT doc_id, COALESCE(text, '') || ' Contact: user' ||
+        |  CAST(doc_id AS VARCHAR) || '@mail.example.com ip=10.' ||
+        |  CAST(doc_id % 300 AS VARCHAR) || '.0.1 tel=+1 (555) 01' ||
+        |  CAST(doc_id % 10 AS VARCHAR) || '-2345 card=' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '4111 1111 1111 1111'
+        |       ELSE '4111 1111 1111 1112' END AS t
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id,
+        |  regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS emails,
+        |  regexp_extract_all(t,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b') AS ips,
+        |  regexp_extract_all(t, '\+?[0-9][0-9() .-]{5,}[0-9]') AS phones,
+        |  list_filter(list_transform(
+        |    regexp_extract_all(t, '\b[0-9][0-9 -]{11,21}[0-9]\b'),
+        |    x -> regexp_replace(x, '[^0-9]', '', 'g')),
+        |   d -> len(d) >= 13 AND len(d) <= 19) AS sized
+        | FROM src),
+        |v AS (
+        | SELECT doc_id, emails, ips, phones, sized,
+        |  list_filter(sized, d -> list_sum(list_transform(
+        |    range(1, len(d) + 1),
+        |    i -> CASE WHEN i % 2 = 1
+        |      THEN CAST(substring(reverse(d), CAST(i AS INTEGER), 1)
+        |        AS INTEGER)
+        |      ELSE CAST(substring(reverse(d), CAST(i AS INTEGER), 1)
+        |          AS INTEGER) * 2
+        |        - CASE WHEN CAST(substring(reverse(d), CAST(i AS INTEGER),
+        |            1) AS INTEGER) > 4 THEN 9 ELSE 0 END
+        |      END)) % 10 = 0) AS luhn_ok
+        | FROM c)
+        |SELECT doc_id,
+        | CAST(len(emails) AS BIGINT) AS n_email,
+        | CAST(len(list_filter(ips, x -> len(list_filter(
+        |   string_split(x, '.'),
+        |   o -> CAST(o AS INTEGER) > 255)) = 0)) AS BIGINT) AS n_ipv4,
+        | CAST(len(phones) AS BIGINT) AS n_phone,
+        | CAST(len(luhn_ok) AS BIGINT) AS n_card,
+        | CAST(len(sized) - len(luhn_ok) AS BIGINT) AS n_card_like
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // Cohen's kappa: the same planted raters, marginals joined on
+    // (lang, label), the exact integer core with the single double
+    // division last — NULLIF guards the degenerate n² = e case.
+    "x_kappa" ->
+      """WITH lab AS (SELECT lang,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE (doc_id * 7) % 3 END AS r1,
+        |  CASE WHEN doc_id % 17 = 0 THEN NULL
+        |       WHEN doc_id % 4 = 0 THEN ((CASE WHEN doc_id % 13 = 0
+        |         THEN NULL ELSE (doc_id * 7) % 3 END) + 1) % 3
+        |       ELSE CASE WHEN doc_id % 13 = 0 THEN NULL
+        |         ELSE (doc_id * 7) % 3 END END AS r2
+        | FROM documents),
+        |p AS (SELECT * FROM lab WHERE r1 IS NOT NULL AND r2 IS NOT NULL),
+        |base AS (SELECT lang, COUNT(*) AS n,
+        |  SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS o
+        | FROM p GROUP BY 1),
+        |m1 AS (SELECT lang, r1 AS l, COUNT(*) AS n1 FROM p GROUP BY 1, 2),
+        |m2 AS (SELECT lang, r2 AS l, COUNT(*) AS n2 FROM p GROUP BY 1, 2),
+        |e AS (SELECT m1.lang, SUM(n1 * n2) AS e FROM m1
+        |  JOIN m2 ON m1.lang = m2.lang AND m1.l = m2.l GROUP BY 1)
+        |SELECT base.lang, CAST(n AS BIGINT) AS n,
+        | CAST(o AS BIGINT) AS n_agree,
+        | ROUND((CAST(n AS DOUBLE) * CAST(o AS DOUBLE) - CAST(e AS DOUBLE))
+        |   / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |     - CAST(e AS DOUBLE), CAST(0.0 AS DOUBLE)), 9) AS kappa
+        |FROM base JOIN e ON base.lang = e.lang
+        |ORDER BY base.lang""".stripMargin,
+
+    // Compaction plan: the dir-keyed running-size window with explicit
+    // ROWS framing, the same floor((cum − bytes)/target) bin formula.
+    "x_compaction" ->
+      """WITH f AS (SELECT 'dt=' || CAST(doc_id % 5 AS VARCHAR) AS dir,
+        |  'part-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path,
+        |  (doc_id * 37) % 1400000 + 1000 AS bytes FROM documents),
+        |c AS (SELECT dir, path, CAST(bytes AS BIGINT) AS bytes,
+        |  CASE WHEN bytes < 1000000 THEN 'compact' ELSE 'keep' END
+        |    AS action,
+        |  SUM(CASE WHEN bytes < 1000000 THEN bytes ELSE 0 END) OVER (
+        |    PARTITION BY dir ORDER BY path
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM f)
+        |SELECT dir, path, bytes, action,
+        | CASE WHEN bytes < 1000000 THEN CAST(FLOOR(
+        |   CAST(cum - bytes AS DOUBLE) / 1000000.0) AS BIGINT)
+        | END AS group_id
+        |FROM c ORDER BY dir, path""".stripMargin,
+
+    // Revisit scheduling: the changefreq→interval CASE, the due
+    // predicate (never-fetched OR non-never past its interval), and the
+    // (tier, overdue desc, url) politeness rank replayed as one window.
+    "x_revisit" ->
+      """WITH f AS (
+        | SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+        |  'https://h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p'
+        |    || CAST(doc_id AS VARCHAR) AS url,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE list_extract(
+        |    ['always','hourly','daily','weekly','monthly','yearly',
+        |     'never','Sometimes'], CAST(doc_id % 8 AS INTEGER) + 1)
+        |   END AS changefreq,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |   ELSE 1700000000 + (doc_id * 7919) % 30000000 END AS last_crawl
+        | FROM documents),
+        |i AS (SELECT *, CASE lower(COALESCE(changefreq, ''))
+        |   WHEN 'always' THEN 0 WHEN 'hourly' THEN 3600
+        |   WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
+        |   WHEN 'monthly' THEN 2592000 WHEN 'yearly' THEN 31536000
+        |   WHEN 'never' THEN NULL ELSE 86400 END AS itv FROM f),
+        |d AS (SELECT host, url, last_crawl,
+        |   CASE WHEN last_crawl IS NOT NULL
+        |    THEN 1730000000 - (last_crawl + itv) END AS overdue_sec
+        |  FROM i
+        |  WHERE last_crawl IS NULL OR (lower(COALESCE(changefreq, ''))
+        |    <> 'never' AND last_crawl + itv <= 1730000000)),
+        |r AS (SELECT host, url, overdue_sec,
+        |   row_number() OVER (PARTITION BY host ORDER BY
+        |     CASE WHEN last_crawl IS NULL THEN 0 ELSE 1 END ASC,
+        |     COALESCE(overdue_sec, 9223372036854775807) DESC,
+        |     url ASC) AS wave
+        |  FROM d)
+        |SELECT host, url, CAST(wave AS BIGINT) AS wave,
+        | CAST(overdue_sec AS BIGINT) AS overdue_sec
+        |FROM r WHERE wave <= 3 ORDER BY host, wave""".stripMargin,
+
+    // Anchor texts: href/inner pairs via list_zip of the two capture
+    // groups (same RE2/Java-shared pattern), the tag-strip + fixed-order
+    // entity chain + whitespace collapse replayed verbatim, then the
+    // count + rank window.
+    "x_anchor_text" ->
+      """WITH src AS (
+        | SELECT doc_id, '<p>intro</p><a href="https://t' ||
+        |  CAST(doc_id % 23 AS VARCHAR) ||
+        |  '.example.com/">Read &amp; learn <b>more</b></a> <a class=''x'' href=''/local/p'
+        |  || CAST(doc_id % 7 AS VARCHAR) || '''>page ' ||
+        |  CAST(doc_id % 7 AS VARCHAR) || ' notes</a>' ||
+        |  CASE WHEN doc_id % 6 = 0 THEN '<a href="https://t' ||
+        |    CAST(doc_id % 23 AS VARCHAR) ||
+        |    '.example.com/"><img src="i.png"/></a>' ELSE '' END AS h
+        | FROM documents),
+        |l AS (SELECT unnest(list_zip(
+        |   regexp_extract_all(h,
+        |    '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']*)["''][^>]*>(.*?)</a\s*>',
+        |    1),
+        |   regexp_extract_all(h,
+        |    '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']*)["''][^>]*>(.*?)</a\s*>',
+        |    2))) AS z
+        |  FROM src),
+        |a AS (SELECT z[1] AS target,
+        |   TRIM(regexp_replace(
+        |     replace(replace(replace(replace(replace(replace(
+        |       regexp_replace(z[2], '(?s)<[^>]*>', ' ', 'g'),
+        |       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |       '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+        |     '\s+', ' ', 'g')) AS anchor
+        |  FROM l),
+        |t AS (SELECT target, unnest(
+        |   CASE WHEN LENGTH(TRIM(lower(anchor))) = 0 THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(TRIM(lower(anchor)), '\s+')
+        |   END) AS term FROM a),
+        |c AS (SELECT target, term, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT target, term, n, row_number() OVER (
+        |   PARTITION BY target ORDER BY n DESC, term ASC) AS rank FROM c)
+        |SELECT target, term, n, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 2 ORDER BY target, rank""".stripMargin,
 
     "x_ngram_jaccard" ->
       s"""WITH ${ngramPairsCte(0.2)}

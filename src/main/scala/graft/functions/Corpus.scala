@@ -1048,6 +1048,226 @@ object Corpus {
         round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
   }
 
+  /** Modified Kneser–Ney trigram NLL (Chen & Goodman 1999 §3 — the
+    * smoothing KenLM ships as its default): [[knNll]]'s interpolated
+    * ladder, but each level carries THREE discounts estimated from that
+    * level's count-of-count statistics n₁..n₄ (number of n-gram types
+    * whose count is exactly 1..4):
+    *
+    *   Y  = n₁/(n₁+2n₂)
+    *   D₁ = 1 − 2Y·n₂/n₁ = n₁/(n₁+2n₂)
+    *   D₂ = 2 − 3Y·n₃/n₂
+    *   D₃₊ = 3 − 4Y·n₄/n₃
+    *
+    * and the interpolation weight becomes γ(ctx) = (D₁N₁(ctx) +
+    * D₂N₂(ctx) + D₃₊N₃₊(ctx))/c(ctx) where Nⱼ(ctx) counts the
+    * continuations of ctx whose count is exactly j (≥3 for the last).
+    * Lower orders use continuation counts and the unigram level
+    * interpolates with the uniform 1/V floor, exactly as [[knNll]].
+    *
+    * Degenerate count-of-counts (any nᵢ = 0, or an estimated discount
+    * outside (0, j]) make the estimator undefined; KenLM refuses with
+    * "could not calculate Kneser-Ney discounts" unless given
+    * `--discount_fallback`, which substitutes D₁/D₂/D₃₊ = 0.5/1.0/1.5
+    * for the broken level. `discountFallback` mirrors that switch:
+    * false (the default) raises on the first degenerate level, true
+    * swaps in the fallback discounts FOR THAT LEVEL ONLY — healthy
+    * levels keep their estimates. The choice is made per level inside
+    * the plan (a CASE over the 1-row count-of-counts frame), so one
+    * query serves corpora on both sides of the validity line.
+    *
+    * Cross-engine exactness extends [[knNll]]'s exact-rational ladder
+    * to data-dependent discounts. Per level, all three discounts share
+    * the integer denominator Q = (n₁+2n₂)·n₂·n₃ with integer
+    * numerators
+    *
+    *   d₁ = n₁·n₂·n₃
+    *   d₂ = (2n₂(n₁+2n₂) − 3n₁n₃)·n₃
+    *   d₃ = (3n₃(n₁+2n₂) − 4n₁n₄)·n₂
+    *
+    * (fallback: Q = 2, d = 1/2/3), so each level's probability is
+    * again a rational Aᵢ/Bᵢ built from integral-valued doubles:
+    *
+    *   Aᵢ = max(cᵢ·Qᵢ − d_{k(cᵢ)}, 0)·Bᵢ₋₁ + Gᵢ·Aᵢ₋₁
+    *   Bᵢ = ctotᵢ·Qᵢ·Bᵢ₋₁          (A₀ = 1, B₀ = V)
+    *
+    * with k(c) the count class (1, 2, ≥3) and Gᵢ = d₁N₁ + d₂N₂ +
+    * d₃N₃₊ over the row's context. Every ln input is integral while
+    * < 2⁵³; beyond that the factors and association order are pinned so
+    * IEEE rounding is engine-identical (the [[knNll]] contract). The
+    * validity guards keep every d strictly positive, so Gᵢ > 0 and the
+    * c=1/2/3 clamps are exact (j·Q − dⱼ ≥ 0 ⟺ Dⱼ ≤ j).
+    *
+    * Shuffle profile = [[knNll]] plus three O(1)-row conditional-sum
+    * aggregations over tables the fixed-D version already builds
+    * (count-of-counts from c₃/kn₂/kn₁) and two map-side class-count
+    * extensions of existing aggregations (Nⱼ ride the γ-context
+    * group-bys). Scoring is the same five hash-key left joins + one
+    * 1-row broadcast, now carrying 14 scalars instead of 3. Bodies
+    * never shuffle.
+    *
+    * @return (idCol, n_trigrams, avg_nll) — null avg_nll for docs with
+    *         < 3 tokens; train must contain ≥ 1 trigram, and (unless
+    *         `discountFallback`) healthy count-of-counts at all levels
+    */
+  def mknNll(df: DataFrame, train: DataFrame,
+             idCol: String, textCol: String,
+             discountFallback: Boolean = false): DataFrame = {
+    val id = col(idCol)
+    val toks = col("__tk")
+    def trigramKeys(d: DataFrame, keep: Column*): DataFrame =
+      d.select(keep :+ TextFunctions.tokens(col(textCol)).as("__tk"): _*)
+        .select(keep :+ explode(
+          transform(slice(toks, lit(3), greatest(size(toks) - 2, lit(0))),
+            (t, i) => struct(element_at(toks, i + 1).as("w1"),
+              element_at(toks, i + 2).as("w2"), t.as("w3"))))
+          .as("__tg"): _*)
+        .select(keep
+          :+ xxhash64(col("__tg.w1"), col("__tg.w2"), col("__tg.w3"))
+            .as("__h123")
+          :+ xxhash64(col("__tg.w1"), col("__tg.w2")).as("__h12")
+          :+ xxhash64(col("__tg.w2"), col("__tg.w3")).as("__h23")
+          :+ xxhash64(col("__tg.w2")).as("__h2")
+          :+ xxhash64(col("__tg.w3")).as("__h3"): _*)
+    val raw = trigramKeys(train)
+    // level-3 counts keep their context key so the γ₃ class counts fall
+    // out of ONE aggregation (no second pass over raw)
+    val c3 = raw.groupBy(col("__h123"))
+      .agg(count(lit(1)).as("__c3"), first(col("__h12")).as("__h12"),
+        first(col("__h23")).as("__h23"), first(col("__h2")).as("__h2"),
+        first(col("__h3")).as("__h3"))
+    val ctx = raw.groupBy(col("__h12")).agg(count(lit(1)).as("__c2"))
+    // count class of a count column: 1 / 2 / ≥3 flags for the Nⱼ sums
+    def cls(c: Column, j: Int): Column =
+      if (j < 3) when(c === j, 1L).otherwise(0L)
+      else when(c >= 3L, 1L).otherwise(0L)
+    val g3 = c3.groupBy(col("__h12")).agg(
+      sum(cls(col("__c3"), 1)).as("__g31"),
+      sum(cls(col("__c3"), 2)).as("__g32"),
+      sum(cls(col("__c3"), 3)).as("__g33"))
+    val kn2 = c3.groupBy(col("__h23"))
+      .agg(count(lit(1)).as("__kn2"), first(col("__h2")).as("__h2"))
+    val mid = c3.groupBy(col("__h2")).agg(count(lit(1)).as("__mid"))
+    val g2 = kn2.groupBy(col("__h2")).agg(
+      sum(cls(col("__kn2"), 1)).as("__g21"),
+      sum(cls(col("__kn2"), 2)).as("__g22"),
+      sum(cls(col("__kn2"), 3)).as("__g23"))
+    val bt = c3.select(col("__h2"), col("__h3")).distinct()
+    val kn1 = bt.groupBy(col("__h3")).agg(count(lit(1)).as("__kn1"))
+    // per-level count-of-counts → (Q, d₁, d₂, d₃) with the
+    // estimate-or-fallback CASE resolved inside the plan; all integer
+    // (Long) arithmetic — magnitudes stay < 2⁶³ for any corpus whose
+    // type counts fit a 32-bit int, documented at the formula above
+    def discounts(counts: DataFrame, c: String, lvl: String,
+                  lvlName: String): DataFrame = {
+      val cc = counts.agg(
+        sum(cls(col(c), 1)).as("__n1"), sum(cls(col(c), 2)).as("__n2"),
+        sum(when(col(c) === 3L, 1L).otherwise(0L)).as("__n3"),
+        sum(when(col(c) === 4L, 1L).otherwise(0L)).as("__n4"))
+      val s = col("__n1") + lit(2L) * col("__n2")
+      val est = cc.select(
+        (s * col("__n2") * col("__n3")).as("__q"),
+        (col("__n1") * col("__n2") * col("__n3")).as("__d1"),
+        ((lit(2L) * col("__n2") * s - lit(3L) * col("__n1") * col("__n3"))
+          * col("__n3")).as("__d2"),
+        ((lit(3L) * col("__n3") * s - lit(4L) * col("__n1") * col("__n4"))
+          * col("__n2")).as("__d3"),
+        col("__n1"), col("__n2"), col("__n3"), col("__n4"))
+      val valid = col("__n1") > 0L && col("__n2") > 0L &&
+        col("__n3") > 0L && col("__n4") > 0L &&
+        col("__d1") > 0L && col("__d2") > 0L && col("__d3") > 0L &&
+        col("__d1") <= col("__q") && col("__d2") <= lit(2L) * col("__q") &&
+        col("__d3") <= lit(3L) * col("__q")
+      def pick(c: Column, fb: Long, nm: String): Column =
+        (if (discountFallback) when(valid, c).otherwise(lit(fb))
+         else when(valid, c).otherwise(raise_error(concat(
+           lit(s"mknNll: degenerate count-of-counts at the $lvlName " +
+             s"(n1..n4 = "), col("__n1").cast("string"), lit(", "),
+           col("__n2").cast("string"), lit(", "),
+           col("__n3").cast("string"), lit(", "),
+           col("__n4").cast("string"),
+           lit(") — the modified KN discounts are undefined; pass " +
+             "discountFallback = true for KenLM's 0.5/1.0/1.5")))))
+          .as(nm)
+      est.select(pick(col("__q"), 2L, s"__q$lvl"),
+        pick(col("__d1"), 1L, s"__d${lvl}1"),
+        pick(col("__d2"), 2L, s"__d${lvl}2"),
+        pick(col("__d3"), 3L, s"__d${lvl}3"))
+    }
+    // γ₁'s class counts over kn₁ double as that level's count-of-count
+    // inputs, so the unigram scalars frame feeds both
+    val scal = bt.agg(count(lit(1)).as("__ncc"))
+      .crossJoin(kn1.agg(
+        sum(cls(col("__kn1"), 1)).as("__v1c"),
+        sum(cls(col("__kn1"), 2)).as("__v2c"),
+        sum(cls(col("__kn1"), 3)).as("__v3c")))
+      .crossJoin(train
+        .select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
+        .agg((countDistinct(xxhash64(col("__t"))) + 1L).as("__v")))
+      .crossJoin(discounts(c3, "__c3", "3", "trigram level"))
+      .crossJoin(discounts(kn2, "__kn2", "2", "bigram level"))
+      .crossJoin(discounts(kn1, "__kn1", "1", "unigram level"))
+      .select(
+        when(col("__ncc") > 0L, col("__ncc"))
+          .otherwise(raise_error(lit("mknNll: train contains no trigram " +
+            "(every doc has < 3 tokens) — the KN model is undefined " +
+            "over an empty type set"))).as("__ncc"),
+        col("__v1c"), col("__v2c"), col("__v3c"), col("__v"),
+        col("__q3"), col("__d31"), col("__d32"), col("__d33"),
+        col("__q2"), col("__d21"), col("__d22"), col("__d23"),
+        col("__q1"), col("__d11"), col("__d12"), col("__d13"))
+    val tf = trigramKeys(df, id)
+      .groupBy(id, col("__h123"), col("__h12"), col("__h23"),
+        col("__h2"), col("__h3"))
+      .agg(count(lit(1)).as("__tf"))
+    def dbl(c: String) = col(c).cast("double")
+    // count-class discount pick and the clamped top term, one per level;
+    // a null count coalesces to 0 so the clamp floors at 0 regardless of
+    // which dⱼ the (then-irrelevant) class CASE lands on
+    def dsel(cnt: String, lvl: String): Column =
+      when(col(cnt) === 1L, dbl(s"__d${lvl}1"))
+        .when(col(cnt) === 2L, dbl(s"__d${lvl}2"))
+        .otherwise(dbl(s"__d${lvl}3"))
+    def top(cnt: String, lvl: String): Column =
+      greatest(coalesce(dbl(cnt), lit(0.0)) * dbl(s"__q$lvl")
+        - dsel(cnt, lvl), lit(0.0))
+    val g1 = dbl("__d11") * dbl("__v1c") + dbl("__d12") * dbl("__v2c") +
+      dbl("__d13") * dbl("__v3c")
+    val gg2 = dbl("__d21") * dbl("__g21") + dbl("__d22") * dbl("__g22") +
+      dbl("__d23") * dbl("__g23")
+    val gg3 = dbl("__d31") * dbl("__g31") + dbl("__d32") * dbl("__g32") +
+      dbl("__d33") * dbl("__g33")
+    val a1 = top("__kn1", "1") * dbl("__v") + g1
+    val b1 = dbl("__ncc") * dbl("__q1") * dbl("__v")
+    val a2 = top("__kn2", "2") * b1 + gg2 * a1
+    val b2 = dbl("__mid") * dbl("__q2") * b1
+    val a3 = top("__c3", "3") * b2 + gg3 * a2
+    val b3 = dbl("__c2") * dbl("__q3") * b2
+    val scored = tf
+      .join(c3.select(col("__h123"), col("__c3")), Seq("__h123"), "left")
+      .join(ctx, Seq("__h12"), "left")
+      .join(g3, Seq("__h12"), "left")
+      .join(kn2.select(col("__h23"), col("__kn2")), Seq("__h23"), "left")
+      .join(mid, Seq("__h2"), "left")
+      .join(g2, Seq("__h2"), "left")
+      .join(kn1, Seq("__h3"), "left")
+      .crossJoin(broadcast(scal))
+      .select(id, col("__tf"),
+        (col("__tf").cast("double") *
+          when(col("__c2").isNotNull, log(b3) - log(a3))
+            .when(col("__mid").isNotNull, log(b2) - log(a2))
+            .otherwise(log(b1) - log(a1)))
+          .as("__nll"))
+      .groupBy(id).agg(
+        sum(col("__tf")).as("__n"),
+        sum(col("__nll").cast(DecimalType(30, 15))).cast("double").as("__s"))
+    df.select(id)
+      .join(scored, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("__n"), lit(0L)).as("n_trigrams"),
+        round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * NeurIPS): per-document log importance weight `ln(p_target(x) /
     * p_raw(x))` under hashed-n-gram bag-of-features unigram models of a
@@ -1543,6 +1763,67 @@ object Corpus {
     df.select(col(idCol), posexplode(hrefs).as(Seq("link_idx", "href")))
       .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
         col("href"))
+  }
+
+  /** `<a>` pairs of (href, cleaned anchor text) — the classic
+    * web-ranking signal [[htmlLinks]] drops: what OTHER pages call a
+    * URL. Same href extraction subset as htmlLinks (quoted hrefs, `.`
+    * spans newlines via `(?is)`), the anchor is everything to the
+    * first `</a>`, cleaned by: inner tags → space, the five XML
+    * entities + HTML's `&#39;` unescaped in fixed order (`&amp;`
+    * LAST — the [[sitemapParse]] chain discipline), whitespace
+    * collapsed, trimmed. An image-only or empty anchor yields `''`
+    * (kept, not nulled: the link exists, its text is empty — callers
+    * aggregating terms naturally drop it because it has no tokens).
+    * Nested `<a>` is invalid HTML; first-`</a>` termination is the
+    * documented behavior. Map-only regex extraction, one posexplode;
+    * bodies never shuffle.
+    *
+    * @return (idCol, link_idx, href, anchor)
+    */
+  def htmlAnchorTexts(df: DataFrame, idCol: String,
+                      htmlCol: String): DataFrame = {
+    val html = coalesce(col(htmlCol), lit(""))
+    val pat = lit("(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']" +
+      "[^>]*>(.*?)</a\\s*>")
+    val pairs = zip_with(
+      regexp_extract_all(html, pat, lit(1)),
+      regexp_extract_all(html, pat, lit(2)),
+      (h, t) => struct(h.as("href"), t.as("inner")))
+    val noTags = regexp_replace(col("__l.inner"), "(?s)<[^>]*>", " ")
+    val unesc = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    df.select(col(idCol), posexplode(pairs).as(Seq("link_idx", "__l")))
+      .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
+        col("__l.href").as("href"),
+        trim(regexp_replace(unesc, "\\s+", " ")).as("anchor"))
+  }
+
+  /** Top-k anchor terms per link target — aggregate what the web calls
+    * each URL ([[htmlAnchorTexts]] output, or any (target, text)
+    * frame). Terms are lowercased whitespace tokens; rank is by
+    * (count desc, term asc) so ties are deterministic. The rank filter
+    * plans as WindowGroupLimit (per-target top-k heaps before the
+    * exchange — never a global sort); the only data-sized exchange is
+    * the (target, term) count aggregation with map-side partials.
+    *
+    * @return (target, term, n, rank), ≤ k rows per target
+    */
+  def anchorTermsTopK(links: DataFrame, targetCol: String,
+                      anchorCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    links
+      .select(col(targetCol).as("target"),
+        explode(TextFunctions.tokens(lower(col(anchorCol)))).as("term"))
+      .groupBy(col("target"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("target"))
+          .orderBy(col("n").desc, col("term").asc)))
+      .where(col("rank") <= k)
+      .select(col("target"), col("term"), col("n"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** One fixpoint step of RFC 3986 §5.2.4 dot-segment removal on a
@@ -2079,6 +2360,68 @@ object Corpus {
         (!col("__m") || col("directive") === "allow").as("allowed"),
         when(col("__m"), col("pattern")).as("matched_pattern"),
         when(col("__m"), col("directive")).as("matched_directive"))
+  }
+
+  /** Crawl revisit scheduling — the policy rung after
+    * [[robotsSitemaps]] → [[sitemapParse]] → [[robotsGate]] seed the
+    * frontier: given per-URL `changefreq` hints (sitemaps.org enum) and
+    * the last crawl time, emit this cycle's fetch plan with per-host
+    * politeness budgets.
+    *
+    * Interval per changefreq (the protocol's hint semantics — unknown
+    * or absent values default to daily, `never` means revisit only if
+    * never fetched): always→0s, hourly→3600, daily→86400,
+    * weekly→604800, monthly→2 592 000 (30d), yearly→31 536 000 (365d).
+    * Case-insensitive ([[sitemapParse]] already lowercases, but raw
+    * feeds may not).
+    *
+    * A URL is DUE when it was never crawled (`lastCrawlCol` null —
+    * tier 0, always scheduled first) or when
+    * `last_crawl + interval ≤ nowSec` and changefreq ≠ never (tier 1,
+    * most-overdue first). Within a host, due URLs rank by
+    * (tier asc, overdue desc, url asc) and only the top `perHostK`
+    * survive — `wave` (1-based rank) is the politeness slot: a crawler
+    * issuing one fetch per host per cycle consumes wave 1 this cycle,
+    * wave 2 the next. `overdue_sec` is null for never-fetched rows.
+    *
+    * Shuffle profile: one filter + one host-keyed rank window that
+    * plans as WindowGroupLimit (per-host top-k heaps before the
+    * exchange, never a global sort) — the frontier shuffles once on
+    * host, bodies are never in the plan. At 100 TB-frontier scale the
+    * host key is the natural politeness partitioning; feed the output
+    * to [[rendezvousShard]] to pin hosts to fetcher shards.
+    *
+    * @param nowSec   scheduling instant (epoch seconds) — a PARAMETER,
+    *                 not a clock read: plans must be reproducible
+    * @return (host, url, wave, overdue_sec) — due URLs only,
+    *         ≤ perHostK per host
+    */
+  def revisitSchedule(frontier: DataFrame, hostCol: String, urlCol: String,
+                      changefreqCol: String, lastCrawlCol: String,
+                      nowSec: Long, perHostK: Int): DataFrame = {
+    require(perHostK >= 1, "perHostK must be at least 1")
+    val freq = lower(coalesce(col(changefreqCol), lit("")))
+    val interval = when(freq === "always", 0L)
+      .when(freq === "hourly", 3600L)
+      .when(freq === "daily", 86400L)
+      .when(freq === "weekly", 604800L)
+      .when(freq === "monthly", 2592000L)
+      .when(freq === "yearly", 31536000L)
+      .when(freq === "never", lit(null).cast("long"))
+      .otherwise(86400L)
+    val lastC = col(lastCrawlCol)
+    val due = lastC.isNull ||
+      (freq =!= "never" && lastC + interval <= lit(nowSec))
+    val overdue = when(lastC.isNotNull, lit(nowSec) - (lastC + interval))
+    frontier.where(due)
+      .select(col(hostCol).as("host"), col(urlCol).as("url"),
+        overdue.as("__ovd"), lastC)
+      .withColumn("wave", row_number().over(Window.partitionBy(col("host"))
+        .orderBy(when(col(lastCrawlCol).isNull, 0).otherwise(1).asc,
+          coalesce(col("__ovd"), lit(Long.MaxValue)).desc, col("url").asc)))
+      .where(col("wave") <= perHostK)
+      .select(col("host"), col("url"), col("wave").cast("long").as("wave"),
+        col("__ovd").as("overdue_sec"))
   }
 
   /** Per-domain curation rollup over [[urlCanonicalize]]'s grouping
@@ -3978,4 +4321,55 @@ object Corpus {
                       maxHits: Long = 0L): DataFrame =
     df.where(TextFunctions.blocklistHits(
       coalesce(col(textCol), lit("")), phrases) <= maxHits)
+
+  /** Per-document typed PII census — the measurement half of a
+    * redaction pipeline (the BigCode/CCNet pattern: census first to
+    * size the problem and tune patterns, then scrub with
+    * [[TextFunctions.scrubPii]]). Counts per document:
+    *
+    *  - `n_email`   — RFC-ish mailbox matches
+    *  - `n_ipv4`    — dotted quads whose four octets are all ≤ 255
+    *    (the shape regex alone counts `999.999.999.999` — the octet
+    *    gate is the precision step)
+    *  - `n_phone`   — phone-shaped runs (digits with `()`/space/./-
+    *    separators, ≥ 7 digits-ish) — recall-oriented by design
+    *  - `n_card`    — card-shaped runs (13–19 digits after separator
+    *    strip) that PASS the Luhn mod-10 check
+    *    ([[TextFunctions.luhnValid]])
+    *  - `n_card_like` — card-shaped runs that FAIL Luhn: the
+    *    false-positive mass the check filtered, worth monitoring (a
+    *    rising ratio means a new digit-run artifact in the corpus)
+    *
+    * Families are counted INDEPENDENTLY over the raw text: a card
+    * number is usually also a phone-shaped run, and that's reported,
+    * not deduplicated — the census measures pattern exposure, it does
+    * not partition spans. All patterns live in the Java/RE2-shared
+    * regex subset (no lookahead/backrefs; `\b` means the same word
+    * boundary in both), so a SQL oracle reproduces the counts exactly.
+    * Map-only: one projection over the scan, nothing shuffles, bodies
+    * never leave their task.
+    */
+  def piiCensus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val ips = regexp_extract_all(txt,
+      lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit(0))
+    val ipValid = filter(ips, c =>
+      !exists(split(c, "\\."), o => o.cast("int") > 255))
+    val cardDigits = transform(
+      regexp_extract_all(txt, lit("\\b[0-9][0-9 -]{11,21}[0-9]\\b"), lit(0)),
+      c => regexp_replace(c, "[^0-9]", ""))
+    val sized = filter(cardDigits,
+      d => length(d) >= 13 && length(d) <= 19)
+    val luhnOk = filter(sized, d => TextFunctions.luhnValid(d))
+    df.select(col(idCol),
+      size(regexp_extract_all(txt,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+        .cast("long").as("n_email"),
+      size(ipValid).cast("long").as("n_ipv4"),
+      size(regexp_extract_all(txt,
+        lit("\\+?[0-9][0-9() .-]{5,}[0-9]"), lit(0)))
+        .cast("long").as("n_phone"),
+      size(luhnOk).cast("long").as("n_card"),
+      (size(sized) - size(luhnOk)).cast("long").as("n_card_like"))
+  }
 }

@@ -27,4 +27,42 @@ object Layout {
         .bitwiseOR(shiftleft(shiftright(bm, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
   }
+
+  /** Small-file compaction plan over a file inventory — the maintenance
+    * job a 100 TB table needs continuously (streaming sinks and
+    * per-task writers leave KB–MB files; every one costs a task, a
+    * footer fetch and an open at read time). Within each partition
+    * directory, files smaller than `targetBytes` are binned in path
+    * order by running size: `group_id = floor((cumsum − bytes) /
+    * targetBytes)` — first-fit with overflow, so every group's total
+    * lands in `[targetBytes, targetBytes + maxfile)` except the last
+    * (exact first-fit needs a stateful scan; the cumsum form is
+    * window-expressible, deterministic, and within one file of
+    * optimal for the many-small-files case this exists for). Files
+    * already ≥ targetBytes keep themselves: `action = 'keep'`,
+    * null group.
+    *
+    * Never compacts across directories — a partition dir is the unit
+    * of both query pruning and rewrite atomicity. Shuffle profile:
+    * inventory-sized (metadata, ~#files rows — NOT data), one
+    * dir-keyed cumsum window; no global single-reducer window.
+    *
+    * @return (dirCol, pathCol, bytes, action, group_id) — every input
+    *         file exactly once
+    */
+  def compactionPlan(files: DataFrame, dirCol: String, pathCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val bytes = col(bytesCol).cast("long")
+    val small = bytes < targetBytes
+    val cum = sum(when(small, bytes).otherwise(0L)).over(
+      Window.partitionBy(col(dirCol)).orderBy(col(pathCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    files.select(col(dirCol), col(pathCol), bytes.as("bytes"),
+        when(small, lit("compact")).otherwise(lit("keep")).as("action"),
+        when(small,
+          floor((cum - bytes).cast("double") / lit(targetBytes.toDouble))
+            .cast("long")).as("group_id"))
+  }
 }

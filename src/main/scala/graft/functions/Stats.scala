@@ -1604,4 +1604,58 @@ object Stats {
       .withColumn(s"${outCol}_clipped",
         when(v.isNull || isnan(v), lit(false)).otherwise(v =!= col(outCol)))
   }
+
+  /** Cohen's κ per group — the inter-annotator agreement statistic a
+    * labeling pipeline's QA loop runs per language / task / batch
+    * (κ = chance-corrected agreement between two raters; Cohen 1960).
+    * Exact integer core, no probability-space accumulation:
+    *
+    *   κ = (n·o − e) / (n² − e)
+    *
+    * with n = labeled pairs, o = agreements, e = Σ_k n1ₖ·n2ₖ (the
+    * expected-agreement mass from the two raters' marginals). The one
+    * double division happens LAST on exact integral inputs (n ≤ 2²⁶
+    * keeps every product < 2⁵³ — beyond that the factors are still
+    * pinned), so a SQL oracle reproduces κ bit-for-bit. Rows where
+    * either label is null are excluded (unlabeled ≠ a label class —
+    * the [[contingency]] convention). κ is null when n² = e (both
+    * raters constant and equal: chance agreement is total, the
+    * statistic is undefined) and null for groups with n = 0.
+    *
+    * Shuffle profile: one (group, l1, l2) cell aggregation with
+    * map-side partials, two marginal rollups of the CELL table (≤
+    * #groups·#labels rows, never the data again), one (group, label)
+    * equi-join of the marginals, two group-keyed rollups. Bodies never
+    * shuffle; everything after the first aggregation is label-space
+    * sized.
+    *
+    * @return (groupCol, n, n_agree, kappa) — one row per group with ≥ 1
+    *         labeled pair
+    */
+  def cohenKappaByGroup(df: DataFrame, groupCol: String, r1Col: String,
+                        r2Col: String): DataFrame = {
+    val g = col(groupCol)
+    val cells = df
+      .where(col(r1Col).isNotNull && col(r2Col).isNotNull)
+      .groupBy(g, col(r1Col).as("__l1"), col(r2Col).as("__l2"))
+      .agg(count(lit(1)).as("__c"))
+    val base = cells.groupBy(g).agg(
+      sum(col("__c")).as("__n"),
+      sum(when(col("__l1") === col("__l2"), col("__c")).otherwise(0L))
+        .as("__o"))
+    val m1 = cells.groupBy(g, col("__l1").as("__l"))
+      .agg(sum(col("__c")).as("__n1"))
+    val m2 = cells.groupBy(g, col("__l2").as("__l"))
+      .agg(sum(col("__c")).as("__n2"))
+    val e = m1.join(m2, Seq(groupCol, "__l"))
+      .groupBy(g).agg(sum(col("__n1") * col("__n2")).as("__e"))
+    base.join(e, Seq(groupCol))
+      .select(g, col("__n").cast("long").as("n"),
+        col("__o").cast("long").as("n_agree"),
+        round(
+          (col("__n").cast("double") * col("__o").cast("double")
+            - col("__e").cast("double")) /
+          nullif(col("__n").cast("double") * col("__n").cast("double")
+            - col("__e").cast("double"), lit(0.0)), 9).as("kappa"))
+  }
 }

@@ -184,6 +184,25 @@ object TextFunctions {
     regexp_replace(longDigits, "\\+?[0-9][0-9() .-]{5,}[0-9]", "<PHONE>")
   }
 
+  /** Luhn checksum validity (ISO/IEC 7812 mod-10) of a pure-digit
+    * string — the standard payment-card check digit, the precision gate
+    * a PII census needs to separate real card numbers from arbitrary
+    * digit runs. Declarative (transform + aggregate over the reversed
+    * digits), codegen-friendly, map-only; an empty or non-digit input
+    * yields null (not false) — callers AND it with their own shape
+    * checks, where null collapses to "drop" on both engines.
+    */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val total = aggregate(
+      transform(sequence(lit(1), length(digits)), i => {
+        val d = rev.substr(i, lit(1)).cast("int")
+        when(i % 2 === 1, d).otherwise(d * 2 - when(d > 4, 9).otherwise(0))
+      }),
+      lit(0), (acc, x) => acc + x)
+    total % 10 === 0
+  }
+
   /** Unicode normalization as a codegen'd native expression
     * ([[graft.plans.UnicodeNormalize]]): form ∈ NFC/NFD/NFKC/NFKD.
     * Run before [[fingerprint]]/dedup — composed and decomposed

@@ -348,6 +348,44 @@ class CorpusSpec extends SparkSpec {
     assert(out == "mail <EMAIL> id <ID> call <PHONE> ok")
   }
 
+  test("luhnValid accepts mod-10-clean numbers and rejects off-by-one") {
+    // classic test numbers: Visa/MC/Amex/Discover valid; +1 digit flips
+    val cases = Seq(
+      ("4111111111111111", true), ("5500005555555559", true),
+      ("378282246310005", true), ("6011111111111117", true),
+      ("4111111111111112", false), ("1234567812345678", false))
+    val got = spark.createDataFrame(cases).toDF("d", "want")
+      .select(TextFunctions.luhnValid(col("d")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r))
+  }
+
+  test("piiCensus: typed counts with octet and Luhn precision gates") {
+    import spark.implicits._
+    val docs = Seq(
+      // one of each, card Luhn-valid, ip in range
+      (1L, "mail a.b@ex.org from 10.0.255.7 call +1 (555) 867-5309 " +
+        "pay 4111 1111 1111 1111 now"),
+      // shape matches that FAIL the precision gates: octet 999, Luhn-off
+      (2L, "bad ip 999.1.2.3 bad card 4111-1111-1111-1112"),
+      // digit run too short/long for a card; no other PII
+      (3L, "code 1234 5678 90 and 11111111111111111111111111 end"),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Corpus.piiCensus(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // independent-families contract: the ip, the phone AND the card all
+    // count as phone-shaped runs → n_phone 3
+    assert(got(1L) == ((1L, 1L, 3L, 1L, 0L)),
+      s"valid row counts ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 2L, 0L, 1L)), s"gate row ${got(2L)}")
+    assert(got(3L)._4 == 0L && got(3L)._5 == 0L, s"sized-out ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(got(5L) == ((0L, 0L, 0L, 0L, 0L)), "null text is a zero row")
+  }
+
   test("packOffsets equals the naive global-window cumsum at any bucket width") {
     import org.apache.spark.sql.expressions.Window
     val base = spark.range(0, 300).select(
@@ -739,6 +777,38 @@ class CorpusSpec extends SparkSpec {
     // document order via link_idx; case-insensitive tag match
     assert(out.toSeq.sortBy(r => (r._1, r._2)) == Seq(
       (1L, 0L, "https://a.com/1"), (1L, 1L, "/rel"), (1L, 2L, "http://b.io")))
+  }
+
+  test("htmlAnchorTexts: tag strip, entity chain, empty anchors kept as ''") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<a href=\"u1\">Read &amp; learn\n <b>more</b></a>" +
+        "<a href='u2'><img src='i.png'/></a>" +
+        "<a href=\"u3\">A &lt;tag&gt; &quot;q&quot; &#39;s&#39;</a>"),
+      (2L, "<p>linkless</p>"))
+      .toDF("id", "html")
+    val out = Corpus.htmlAnchorTexts(df, "id", "html")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSeq.sortBy(r => (r._1, r._2))
+    assert(out == Seq(
+      (1L, 0L, "u1", "Read & learn more"),
+      (1L, 1L, "u2", ""),
+      (1L, 2L, "u3", "A <tag> \"q\" 's'")))
+  }
+
+  test("anchorTermsTopK: per-target counts, deterministic tie ranks, k cutoff") {
+    import spark.implicits._
+    val links = Seq(
+      ("u1", "fast spark engine"), ("u1", "Fast engine"), ("u1", "engine"),
+      ("u2", ""), ("u2", "solo")).toDF("href", "anchor")
+    val out = Corpus.anchorTermsTopK(links, "href", "anchor", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq.sortBy(r => (r._1, r._4))
+    // u1: engine×3, fast×2 (case-folded), spark×1 cut by k=2;
+    // u2: the empty anchor contributes no terms at all
+    assert(out == Seq(
+      ("u1", "engine", 3L, 1L), ("u1", "fast", 2L, 2L),
+      ("u2", "solo", 1L, 1L)))
   }
 
   test("resolveLinks: RFC 3986 §5.4 normal reference-resolution examples") {

@@ -61,4 +61,26 @@ class LayoutSpec extends SparkSpec {
     assert(avgSpread < 0.75 * globalSpread,
       s"z-order produced no user_id clustering: avg $avgSpread vs global $globalSpread")
   }
+
+  test("compactionPlan: bin totals, keep threshold, per-dir isolation") {
+    import spark.implicits._
+    val files =
+      (1 to 40).map(i => ("dt=a", f"p-$i%04d", 300L)) ++ // 40×300 = 4 bins
+      Seq(("dt=a", "q-big", 5000L),                       // ≥ target: keep
+          ("dt=b", "r-1", 900L), ("dt=b", "r-2", 900L))   // own dir's bins
+    val out = Layout.compactionPlan(files.toDF("dir", "path", "bytes"),
+        "dir", "path", "bytes", targetBytes = 3000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.length == 43, "every input file exactly once")
+    val big = out.find(_._2 == "q-big").get
+    assert(big._4 == "keep" && big._5.isEmpty)
+    // 40 × 300 B at target 3000 → exactly 10 per bin, 4 bins, in path order
+    val aBins = out.filter(f => f._1 == "dt=a" && f._4 == "compact")
+      .groupBy(_._5.get).view.mapValues(_.map(_._3).sum).toMap
+    assert(aBins == Map(0L -> 3000L, 1L -> 3000L, 2L -> 3000L, 3L -> 3000L),
+      aBins.toString)
+    // dt=b never merges into dt=a's bins; 1800 < target → one bin
+    assert(out.filter(_._1 == "dt=b").flatMap(_._5).distinct.toSeq == Seq(0L))
+  }
 }

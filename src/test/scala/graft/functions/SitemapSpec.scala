@@ -97,4 +97,52 @@ class SitemapSpec extends SparkSpec {
       "\uFEFF<urlset><url><loc>https://ex.com/x</loc></url></urlset>"))
       .collect().map(_.getString(3)).toSeq == Seq("https://ex.com/x"))
   }
+
+  // --- revisitSchedule: the policy rung after the parse -----------------
+
+  private def sched(rows: Seq[(String, String, String, java.lang.Long)],
+                    k: Int = 3) =
+    Corpus.revisitSchedule(
+      rows.toDF("host", "url", "changefreq", "last_crawl"),
+      "host", "url", "changefreq", "last_crawl",
+      nowSec = 1000000L, perHostK = k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+      .sortBy(r => (r._1, r._3))
+
+  test("revisitSchedule: tiers, the never rule, the daily default") {
+    val L = (x: Long) => java.lang.Long.valueOf(x)
+    val out = sched(Seq(
+      // never fetched \u2192 tier 0, first regardless of others' overdue
+      ("h1", "u/new", "hourly", null),
+      // hourly, crawled 10ks ago \u2192 overdue 10000-3600 = 6400
+      ("h1", "u/hr", "hourly", L(990000L)),
+      // daily, crawled 90ks ago \u2192 overdue 90000-86400 = 3600
+      ("h1", "u/day", "daily", L(910000L)),
+      // daily, crawled 50ks ago \u2192 not due (50000 < 86400)
+      ("h1", "u/fresh", "daily", L(950000L)),
+      // never + crawled once \u2192 not due, ever
+      ("h1", "u/never", "never", L(1L)),
+      // unknown changefreq \u2192 daily default; 100ks ago \u2192 due
+      ("h2", "u/odd", "sometimes", L(900000L)),
+      // null changefreq \u2192 daily default; 10ks ago \u2192 not due
+      ("h2", "u/nullcf", null, L(990000L))))
+    assert(out == Seq(
+      ("h1", "u/new", 1L, None),
+      ("h1", "u/hr", 2L, Some(6400L)),
+      ("h1", "u/day", 3L, Some(3600L)),
+      ("h2", "u/odd", 1L, Some(13600L))), out.toString)
+  }
+
+  test("revisitSchedule: perHostK cuts the per-host tail, not other hosts") {
+    val L = (x: Long) => java.lang.Long.valueOf(x)
+    val rows = (1 to 5).map(i =>
+      ("h1", s"u/$i", "always", L(1000000L - i * 10))) :+
+      (("h2", "u/only", "always", L(999990L)))
+    val out = sched(rows, k = 2)
+    // always \u2192 interval 0, overdue = now - last: u/5 most overdue
+    assert(out == Seq(
+      ("h1", "u/5", 1L, Some(50L)), ("h1", "u/4", 2L, Some(40L)),
+      ("h2", "u/only", 1L, Some(10L))), out.toString)
+  }
 }

@@ -865,4 +865,28 @@ class StatsSpec extends SparkSpec {
     assert(out(5L) == ((1L, 1L)))
     assert(out.values.map(_._1).sum == 3L) // 1e19 excluded by the gate
   }
+
+  test("cohenKappaByGroup: textbook 2x2 value, null exclusion, degenerate null") {
+    import spark.implicits._
+    // Cohen 1960-style worked example: a=20 agree-yes, d=15 agree-no,
+    // b=5 (r1 yes/r2 no), c=10 → po=0.7, pe=0.5, kappa = 0.4 exactly
+    val g1 = Seq.fill(20)(("g1", "y", "y")) ++ Seq.fill(15)(("g1", "n", "n")) ++
+      Seq.fill(5)(("g1", "y", "n")) ++ Seq.fill(10)(("g1", "n", "y"))
+    // a group with unlabeled rows: the nulls must not count as a class
+    val g2 = Seq(("g2", "y", "y"), ("g2", "y", null), ("g2", null, "n"),
+      ("g2", "y", "n"))
+    // degenerate: both raters constant and equal → pe = 1, kappa null
+    val g3 = Seq.fill(4)(("g3", "y", "y"))
+    val out = Stats.cohenKappaByGroup(
+        (g1 ++ g2 ++ g3).toDF("g", "r1", "r2"), "g", "r1", "r2")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out("g1") == ((50L, 35L, Some(0.4))), out("g1").toString)
+    assert(out("g2")._1 == 2L && out("g2")._2 == 1L, out("g2").toString)
+    // g2 by hand (nulls excluded): pairs (y,y),(y,n) → n=2, o=1;
+    // marginals r1={y:2}, r2={y:1,n:1} → e = 2·1 = 2 (only shared
+    // labels contribute) → kappa = (2·1−2)/(4−2) = 0
+    assert(out("g2")._3 == Some(0.0), out("g2").toString)
+    assert(out("g3") == ((4L, 4L, None)), "pe=1 must yield null, not NaN")
+  }
 }
