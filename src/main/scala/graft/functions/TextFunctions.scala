@@ -203,6 +203,16 @@ object TextFunctions {
     total % 10 === 0
   }
 
+  /** Deflate compression ratio (compressed/raw bytes) as a codegen'd
+    * native expression ([[graft.plans.DeflateRatio]]) — the
+    * Gopher-lineage quality tail-cutter: boilerplate/repetition
+    * compresses far below prose, noise/minified/encoded blobs sit near
+    * 1.0. Empty → 1.0 (neutral), null → null. No SQL oracle exists for
+    * a codec — property-pinned in spec, like the other real codecs.
+    */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    graft.plans.CompressExpressions.deflateRatio(text, level)
+
   /** Unicode normalization as a codegen'd native expression
     * ([[graft.plans.UnicodeNormalize]]): form ∈ NFC/NFD/NFKC/NFKD.
     * Run before [[fingerprint]]/dedup — composed and decomposed
