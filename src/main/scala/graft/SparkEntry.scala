@@ -2786,11 +2786,27 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
-    // Small-file compaction planning over a planted inventory: five
-    // partition dirs, file sizes sweeping 1 KB..1.4 MB so both actions
-    // and multi-file bins occur; first-fit-with-overflow cumsum bins,
-    // never across dirs. Metadata-sized; one dir-keyed window.
-    "x_compaction" -> ((s, dir) => {
+    // Fleiss' kappa per language over a planted 3-rater panel in long
+    // format: raters 2 and 3 defect on their own doc_id stripes (one
+    // and two classes up, mod 4). The exact integer core runs in
+    // DECIMAL(38,0) / HUGEINT with the single double division last.
+    "x_fleiss" -> ((s, dir) => {
+      val r1 = (col("doc_id") * 3) % 4
+      val r2 = when(col("doc_id") % 5 === 0, (r1 + 1) % 4).otherwise(r1)
+      val r3 = when(col("doc_id") % 7 === 0, (r1 + 2) % 4).otherwise(r1)
+      val longFmt = t(s, dir, "documents").select(col("lang"),
+        col("doc_id"), explode(array(r1, r2, r3)).as("label"))
+      graft.functions.Stats.fleissKappaByGroup(longFmt, "lang", "doc_id",
+          "label")
+        .orderBy("lang")
+    }),
+
+    // Partition-scoped compaction planning over a planted inventory
+    // (the dir-isolated complement of x_compaction's global packer):
+    // five partition dirs, file sizes sweeping 1 KB..1.4 MB so both
+    // actions and multi-file bins occur; first-fit-with-overflow cumsum
+    // bins, never across dirs. Metadata-sized; one dir-keyed window.
+    "x_compaction_dirs" -> ((s, dir) => {
       val files = t(s, dir, "documents").select(
         concat(lit("dt="), (col("doc_id") % 5).cast("string")).as("dir"),
         concat(lit("part-"), lpad(col("doc_id").cast("string"), 8, "0"))
@@ -9108,9 +9124,42 @@ object SparkEntry {
         |FROM base JOIN e ON base.lang = e.lang
         |ORDER BY base.lang""".stripMargin,
 
-    // Compaction plan: the dir-keyed running-size window with explicit
-    // ROWS framing, the same floor((cum − bytes)/target) bin formula.
-    "x_compaction" ->
+    // Fleiss' kappa: the same planted panel unnested, the integer core
+    // (D(A−B) − B(n−1)C) / (B(n−1)(D−C)) in HUGEINT mirroring the
+    // engine's DECIMAL(38,0), NULLIF guarding pe = 1.
+    "x_fleiss" ->
+      """WITH r AS (SELECT lang, doc_id, unnest([
+        |   (doc_id * 3) % 4,
+        |   CASE WHEN doc_id % 5 = 0 THEN ((doc_id * 3) % 4 + 1) % 4
+        |        ELSE (doc_id * 3) % 4 END,
+        |   CASE WHEN doc_id % 7 = 0 THEN ((doc_id * 3) % 4 + 2) % 4
+        |        ELSE (doc_id * 3) % 4 END]) AS label
+        | FROM documents),
+        |c AS (SELECT lang, doc_id, label, COUNT(*) AS c
+        | FROM r GROUP BY 1, 2, 3),
+        |it AS (SELECT lang, doc_id, SUM(c) AS n, SUM(c * c) AS ai
+        | FROM c GROUP BY 1, 2),
+        |pg AS (SELECT lang, COUNT(*) AS nn, MIN(n) AS nr, SUM(ai) AS a
+        | FROM it GROUP BY 1),
+        |mg AS (SELECT lang, label, SUM(c) AS m FROM c GROUP BY 1, 2),
+        |cg AS (SELECT lang,
+        |  SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS cc
+        | FROM mg GROUP BY 1)
+        |SELECT pg.lang, CAST(nn AS BIGINT) AS n_items,
+        | CAST(nr AS BIGINT) AS n_raters,
+        | ROUND(CAST(CAST(nn * nr AS HUGEINT) * CAST(nn * nr AS HUGEINT)
+        |     * CAST(a - nn * nr AS HUGEINT)
+        |   - CAST(nn * nr AS HUGEINT) * CAST(nr - 1 AS HUGEINT) * cc
+        |   AS DOUBLE)
+        |  / NULLIF(CAST(CAST(nn * nr AS HUGEINT) * CAST(nr - 1 AS HUGEINT)
+        |   * (CAST(nn * nr AS HUGEINT) * CAST(nn * nr AS HUGEINT) - cc)
+        |   AS DOUBLE), CAST(0.0 AS DOUBLE)), 9) AS kappa
+        |FROM pg JOIN cg ON pg.lang = cg.lang
+        |ORDER BY pg.lang""".stripMargin,
+
+    // Dir-scoped compaction plan: the dir-keyed running-size window with
+    // explicit ROWS framing, the same floor((cum − bytes)/target) bins.
+    "x_compaction_dirs" ->
       """WITH f AS (SELECT 'dt=' || CAST(doc_id % 5 AS VARCHAR) AS dir,
         |  'part-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path,
         |  (doc_id * 37) % 1400000 + 1000 AS bytes FROM documents),

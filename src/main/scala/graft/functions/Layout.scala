@@ -28,24 +28,30 @@ object Layout {
     }
   }
 
-  /** Small-file compaction plan over a file inventory — the maintenance
-    * job a 100 TB table needs continuously (streaming sinks and
-    * per-task writers leave KB–MB files; every one costs a task, a
-    * footer fetch and an open at read time). Within each partition
-    * directory, files smaller than `targetBytes` are binned in path
-    * order by running size: `group_id = floor((cumsum − bytes) /
+  /** PARTITION-SCOPED small-file compaction plan — the dir-isolated
+    * complement of [[graft.sources.Compaction.plan]]: that planner
+    * packs one global namespace with a two-level banded prefix sum
+    * (the extreme-file-count path); this one never bins across
+    * partition directories — a partition dir is the unit of both query
+    * pruning and rewrite atomicity, so compacting across dirs would
+    * destroy partition pruning — and adds the keep threshold a parquet
+    * maintenance pass needs (files already at target size are not
+    * rewritten).
+    *
+    * Within each dir, files smaller than `targetBytes` are binned in
+    * path order by running size: `group_id = floor((cumsum − bytes) /
     * targetBytes)` — first-fit with overflow, so every group's total
     * lands in `[targetBytes, targetBytes + maxfile)` except the last
     * (exact first-fit needs a stateful scan; the cumsum form is
     * window-expressible, deterministic, and within one file of
     * optimal for the many-small-files case this exists for). Files
-    * already ≥ targetBytes keep themselves: `action = 'keep'`,
-    * null group.
+    * ≥ targetBytes keep themselves: `action = 'keep'`, null group.
     *
-    * Never compacts across directories — a partition dir is the unit
-    * of both query pruning and rewrite atomicity. Shuffle profile:
-    * inventory-sized (metadata, ~#files rows — NOT data), one
-    * dir-keyed cumsum window; no global single-reducer window.
+    * Shuffle profile: inventory-sized (metadata, ~#files rows — NOT
+    * data), one DIR-KEYED cumsum window — the dir key is what makes
+    * the window parallel, so no global single-reducer stage and no
+    * band decomposition needed (each dir's file count is bounded by
+    * the table's own partition sizing).
     *
     * @return (dirCol, pathCol, bytes, action, group_id) — every input
     *         file exactly once

@@ -1605,6 +1605,78 @@ object Stats {
         when(v.isNull || isnan(v), lit(false)).otherwise(v =!= col(outCol)))
   }
 
+  /** Fleiss' κ per group — chance-corrected agreement for PANELS
+    * (Fleiss 1971): the n ≥ 2 raters are interchangeable and enter as
+    * per-item label counts c_ij, the shape a 3-way or 5-way annotation
+    * batch actually lands in. Input is LONG format: one row per (item,
+    * assignment); rater identity never matters. Exact integer core —
+    * with A = Σᵢⱼ c²ᵢⱼ, B = N·n, C = Σⱼ m²ⱼ (label marginals), D = B²:
+    *
+    *   κ = (D·(A−B) − B·(n−1)·C) / (B·(n−1)·(D−C))
+    *
+    * (the textbook (P̄−P̄ₑ)/(1−P̄ₑ) over the common denominator), all
+    * products in DECIMAL(38,0) so nothing rounds before the ONE double
+    * division — bit-exact cross-engine, the [[cohenKappaByGroup]]
+    * discipline at panel scale. κ is null when D = C (all mass on one
+    * label: chance agreement is total).
+    *
+    * Fleiss is UNDEFINED over ragged panels: a group whose items carry
+    * different assignment counts fails loudly (filter incomplete items
+    * upstream — silently averaging mixed n misstates P̄ₑ), as does a
+    * single-rater group (n−1 = 0). Null labels are excluded BEFORE the
+    * completeness check, so a null shows up as raggedness, not as a
+    * label class.
+    *
+    * Shuffle profile: one (group, item, label) cell aggregation with
+    * map-side partials, then everything is item- or label-space sized
+    * (two rollups, one group join). Bodies never shuffle.
+    *
+    * @return (groupCol, n_items, n_raters, kappa)
+    */
+  def fleissKappaByGroup(df: DataFrame, groupCol: String, itemCol: String,
+                         labelCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = col(groupCol)
+    val cells = df.where(col(labelCol).isNotNull)
+      .groupBy(g, col(itemCol).as("__it"), col(labelCol).as("__lb"))
+      .agg(count(lit(1)).as("__c"))
+    val items = cells.groupBy(g, col("__it"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c") * col("__c")).as("__ai"))
+    val perG = items.groupBy(g).agg(
+      count(lit(1)).as("__N"),
+      min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"),
+      sum(col("__ai")).as("__A"))
+    val cG = cells.groupBy(g, col("__lb")).agg(sum(col("__c")).as("__m"))
+      .groupBy(g).agg(sum(col("__m").cast(d38) * col("__m").cast(d38))
+        .as("__C"))
+    val n = when(col("__nmin") =!= col("__nmax"),
+        raise_error(concat(lit("fleissKappaByGroup: ragged panel in " +
+          "group "), g.cast("string"),
+          lit(" (item assignment counts span "),
+          col("__nmin").cast("string"), lit(".."),
+          col("__nmax").cast("string"),
+          lit(") — Fleiss' kappa is undefined over mixed n; filter " +
+            "incomplete items first"))))
+      .when(col("__nmin") < 2L,
+        raise_error(concat(lit("fleissKappaByGroup: group "),
+          g.cast("string"),
+          lit(" has single-rater items — kappa needs n >= 2"))))
+      .otherwise(col("__nmin"))
+    perG.join(cG, Seq(groupCol))
+      .withColumn("__nr", n)
+      .select(g, col("__N").cast("long").as("n_items"),
+        col("__nr").cast("long").as("n_raters"),
+        round({
+          val b = (col("__N") * col("__nr")).cast(d38)
+          val d = b * b
+          val num = d * (col("__A") - col("__N") * col("__nr")).cast(d38) -
+            b * (col("__nr") - lit(1L)).cast(d38) * col("__C")
+          val den = b * (col("__nr") - lit(1L)).cast(d38) * (d - col("__C"))
+          num.cast("double") / nullif(den.cast("double"), lit(0.0))
+        }, 9).as("kappa"))
+  }
+
   /** Cohen's κ per group — the inter-annotator agreement statistic a
     * labeling pipeline's QA loop runs per language / task / batch
     * (κ = chance-corrected agreement between two raters; Cohen 1960).

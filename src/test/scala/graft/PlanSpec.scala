@@ -14,6 +14,28 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  // A Scala Map LITERAL silently keeps the last entry on a duplicate
+  // key — a new query reusing an existing name shadows the old query
+  // AND can mispair query/oracle (the two maps may resolve the dup in
+  // different positions). The Map itself can't witness this, so parse
+  // the source: every declared key must appear EXACTLY once per map.
+  test("SparkEntry maps declare every query key exactly once") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // count source occurrences of each KNOWN query key: a duplicate
+    // declaration survives into the map (last wins), so counting its
+    // literals exposes the shadowed twin the Map can't show
+    val dups = SparkEntry.queries.keySet.toSeq.filter { k =>
+      ("\"" + k + "\" ->").r.findAllMatchIn(src).size != 2
+    }
+    // exactly 2 = one queries entry + one oracleSql entry
+    assert(dups.isEmpty,
+      s"keys not declared exactly twice (query + oracle): ${dups.sorted}")
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      "queries and oracleSql must cover the same names")
+  }
+
   test("t3_filter: predicate pushdown and column pruning reach the scan") {
     val p = plan("t3_filter")
     assert(p.contains("PushedFilters: ["), p.linesIterator.take(5).mkString("\n"))

@@ -866,6 +866,59 @@ class StatsSpec extends SparkSpec {
     assert(out.values.map(_._1).sum == 3L) // 1e19 excluded by the gate
   }
 
+  test("fleissKappaByGroup == probability-space Fleiss 1971 reference") {
+    import spark.implicits._
+    // 12 items × 3 raters over 3 labels with planted disagreement
+    val rows = (0 until 12).flatMap { i =>
+      val base = (i * 5) % 3
+      val l2 = if (i % 4 == 0) (base + 1) % 3 else base
+      val l3 = if (i % 3 == 0) (base + 2) % 3 else base
+      Seq(("g", i.toLong, base.toLong), ("g", i.toLong, l2.toLong),
+        ("g", i.toLong, l3.toLong))
+    }
+    // independent reference: textbook P̄/P̄ₑ in probability space
+    val byItem = rows.groupBy(_._2).values.toSeq
+    val nI = byItem.size; val nR = 3
+    val po = byItem.map { it =>
+      val cs = it.groupBy(_._3).values.map(_.size)
+      cs.map(c => c * (c - 1)).sum.toDouble / (nR * (nR - 1))
+    }.sum / nI
+    val pe = rows.groupBy(_._3).values
+      .map(v => math.pow(v.size.toDouble / (nI * nR), 2)).sum
+    val want = (po - pe) / (1 - pe)
+    val got = Stats.fleissKappaByGroup(rows.toDF("g", "item", "label"),
+        "g", "item", "label")
+      .head()
+    assert(got.getLong(1) == nI && got.getLong(2) == nR)
+    assert(math.abs(got.getDouble(3) - want) < 1e-9,
+      s"${got.getDouble(3)} vs $want")
+  }
+
+  test("fleissKappaByGroup: ragged/single-rater refuse; unanimous is null") {
+    import spark.implicits._
+    val ragged = Seq(("g", 1L, 0L), ("g", 1L, 1L), ("g", 2L, 0L))
+    val e1 = intercept[Exception] {
+      Stats.fleissKappaByGroup(ragged.toDF("g", "item", "label"),
+        "g", "item", "label").collect()
+    }
+    assert(Iterator.iterate[Throwable](e1)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString
+      .contains("ragged panel"))
+    val solo = Seq(("g", 1L, 0L), ("g", 2L, 1L))
+    val e2 = intercept[Exception] {
+      Stats.fleissKappaByGroup(solo.toDF("g", "item", "label"),
+        "g", "item", "label").collect()
+    }
+    assert(Iterator.iterate[Throwable](e2)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString
+      .contains("n >= 2"))
+    // every assignment the same label: pe = 1, kappa undefined → null
+    val flat = (1L to 4L).flatMap(i => Seq(("g", i, 7L), ("g", i, 7L)))
+    val out = Stats.fleissKappaByGroup(flat.toDF("g", "item", "label"),
+      "g", "item", "label").head()
+    assert(out.isNullAt(3), "pe = 1 must yield null, not NaN")
+  }
+
   test("cohenKappaByGroup: textbook 2x2 value, null exclusion, degenerate null") {
     import spark.implicits._
     // Cohen 1960-style worked example: a=20 agree-yes, d=15 agree-no,
