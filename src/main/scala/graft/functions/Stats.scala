@@ -1631,7 +1631,9 @@ object Stats {
     * map-side partials, then everything is item- or label-space sized
     * (two rollups, one group join). Bodies never shuffle.
     *
-    * @return (groupCol, n_items, n_raters, kappa)
+    * @return (groupCol, n_items, n_raters, kappa); a NULL group key
+    *         drops with the equi-join (coalesce upstream if ungrouped
+    *         rows must score)
     */
   def fleissKappaByGroup(df: DataFrame, groupCol: String, itemCol: String,
                          labelCol: String): DataFrame = {
@@ -1702,7 +1704,8 @@ object Stats {
     * sized.
     *
     * @return (groupCol, n, n_agree, kappa) — one row per group with ≥ 1
-    *         labeled pair
+    *         labeled pair; a NULL group key drops with the equi-joins
+    *         (coalesce the key upstream if ungrouped rows must score)
     */
   def cohenKappaByGroup(df: DataFrame, groupCol: String, r1Col: String,
                         r2Col: String): DataFrame = {
