@@ -309,6 +309,28 @@ class PlanSpec extends SparkSpec {
   // innocent expression change between filter and window would silently
   // restore the full per-partition sort — pin the optimization in both
   // physical plans.
+  // Round-14 queries: pin each one's scale-critical plan property so a
+  // future refactor that silently degrades it fails here, not at 100×.
+  test("round-14 ops: window heaps, map-only censors, no cartesian") {
+    // revisit scheduling and anchor top-k: per-key rank filters must
+    // stay WindowGroupLimit heaps (never a global sort)
+    Seq("x_revisit", "x_anchor_text").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost its per-key top-k heap:\n${p.take(2000)}")
+    }
+    // the PII census is a map-only projection: nothing may shuffle
+    // except the presentation sort
+    val pii = plan("x_pii_census")
+    assert("Exchange".r.findAllIn(pii).size <= 2,
+      s"x_pii_census gained a shuffle beyond the presentation sort:\n$pii")
+    // kappa/fleiss/mkn: label-space joins, never a cartesian; mkn's
+    // 1-row scalar frames ride BroadcastNestedLoopJoin by design
+    Seq("x_kappa", "x_fleiss", "x_mkn_nll", "x_compaction_dirs").foreach {
+      q => assert(!plan(q).contains("CartesianProduct"), q)
+    }
+  }
+
   test("rank-filter top-k plans run as WindowGroupLimit, not a full sort") {
     import org.apache.spark.sql.functions.{col, lit, struct, slice}
     // x_sample_k drives exactKPerStratum end-to-end
