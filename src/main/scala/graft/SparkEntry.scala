@@ -2786,6 +2786,17 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Readability census over the planted line structure (10-token
+    // sentences, every 3rd unpunctuated — so the sentence count is a
+    // real signal, not the clamp): Flesch ease + FK grade from
+    // deterministic vowel-group syllables. Map-only.
+    "x_readability" -> ((s, dir) =>
+      Corpus.readabilityCensus(
+          t(s, dir, "documents").select(col("doc_id"),
+            plantedLines.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Fleiss' kappa per language over a planted 3-rater panel in long
     // format: raters 2 and 3 defect on their own doc_id stripes (one
     // and two classes up, mod 4). The exact integer core runs in
@@ -9123,6 +9134,49 @@ object SparkEntry {
         |     - CAST(e AS DOUBLE), CAST(0.0 AS DOUBLE)), 9) AS kappa
         |FROM base JOIN e ON base.lang = e.lang
         |ORDER BY base.lang""".stripMargin,
+
+    // Readability: the same planted lines, sentence runs counted over
+    // the joined text, the per-token vowel-group fold as list lambdas
+    // (COALESCE(list_sum, 0) — DuckDB's empty-list sum is NULL), the
+    // two score polynomials in identical association order.
+    "x_readability" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |lined AS (
+        | SELECT doc_id,
+        |  array_to_string(list_transform(range((len(tok) + 9) // 10), i ->
+        |    array_to_string(tok[i * 10 + 1 : i * 10 + 10], ' ') ||
+        |    CASE WHEN i % 3 = 2 THEN '' ELSE '.' END),
+        |   chr(10)) AS t
+        | FROM toks),
+        |c AS (
+        | SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(t)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(t), '\s+') END AS wtok,
+        |  CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT) AS sraw
+        | FROM lined),
+        |m AS (
+        | SELECT doc_id, CAST(len(wtok) AS BIGINT) AS w,
+        |  GREATEST(sraw, 1) AS s,
+        |  CAST(COALESCE(list_sum(list_transform(wtok, x ->
+        |    GREATEST(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1))),
+        |    0) AS BIGINT) AS y
+        | FROM c)
+        |SELECT doc_id, w AS n_words,
+        | CASE WHEN w = 0 THEN 0 ELSE s END AS n_sentences,
+        | y AS n_syllables,
+        | CASE WHEN w > 0 THEN ROUND(CAST(206.835 AS DOUBLE)
+        |   - CAST(1.015 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |   - CAST(84.6 AS DOUBLE) * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)),
+        |   9) END AS reading_ease,
+        | CASE WHEN w > 0 THEN ROUND(
+        |   CAST(0.39 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |   + CAST(11.8 AS DOUBLE) * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+        |   - CAST(15.59 AS DOUBLE), 9) END AS fk_grade
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Fleiss' kappa: the same planted panel unnested, the integer core
     // (D(A−B) − B(n−1)C) / (B(n−1)(D−C)) in HUGEINT mirroring the

@@ -4322,6 +4322,57 @@ object Corpus {
     df.where(TextFunctions.blocklistHits(
       coalesce(col(textCol), lit("")), phrases) <= maxHits)
 
+  /** Per-document readability census — Flesch Reading Ease and
+    * Flesch–Kincaid grade level (Kincaid et al. 1975), the classic
+    * inputs to educational-quality document scoring. All three counts
+    * are deterministic so a SQL oracle reproduces the scores
+    * bit-for-bit:
+    *
+    *  - words      = whitespace tokens
+    *  - sentences  = maximal `[.!?]+` runs, clamped to ≥ 1 for any
+    *    non-empty text (unpunctuated prose is one long sentence, not a
+    *    division by zero)
+    *  - syllables  = per word, the count of vowel-GROUP runs
+    *    `[aeiouy]+` in the lowercased token, clamped to ≥ 1 (a
+    *    digits-only token still costs one syllable) — the standard
+    *    dictionary-free heuristic; it over/under-counts silent-e words
+    *    equally across engines, which is what matters for a FILTER
+    *    feature (the absolute scale is calibrated downstream)
+    *
+    *   ease  = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    *   grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+    *
+    * Empty/null text → zero counts, null scores. Map-only: token and
+    * regex arithmetic inside the scan projection, nothing shuffles.
+    *
+    * @return (idCol, n_words, n_sentences, n_syllables, reading_ease,
+    *         fk_grade)
+    */
+  def readabilityCensus(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val toks = TextFunctions.tokens(txt)
+    val w = size(toks)
+    val sRaw = size(regexp_extract_all(txt, lit("[.!?]+"), lit(0)))
+    val s = greatest(sRaw, lit(1))
+    val y = aggregate(
+      transform(toks, t =>
+        greatest(size(regexp_extract_all(lower(t), lit("[aeiouy]+"),
+          lit(0))), lit(1))),
+      lit(0), (a, x) => a + x)
+    def d(c: Column) = c.cast("double")
+    df.select(col(idCol),
+      w.cast("long").as("n_words"),
+      when(w === 0, lit(0L)).otherwise(s.cast("long")).as("n_sentences"),
+      y.cast("long").as("n_syllables"),
+      when(w > 0, round(
+        lit(206.835) - lit(1.015) * (d(w) / d(s)) -
+          lit(84.6) * (d(y) / d(w)), 9)).as("reading_ease"),
+      when(w > 0, round(
+        lit(0.39) * (d(w) / d(s)) + lit(11.8) * (d(y) / d(w)) -
+          lit(15.59), 9)).as("fk_grade"))
+  }
+
   /** Per-document typed PII census — the measurement half of a
     * redaction pipeline (the BigCode/CCNet pattern: census first to
     * size the problem and tune patterns, then scrub with

@@ -386,6 +386,27 @@ class CorpusSpec extends SparkSpec {
     assert(got(5L) == ((0L, 0L, 0L, 0L, 0L)), "null text is a zero row")
   }
 
+  test("readabilityCensus: hand counts, clamps, empty/null totality") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox. It jumps! Over"), // 7 w, 2 sent, 8 syl
+      (2L, "no punctuation here"),                 // sentence clamp → 1
+      (3L, "123 456"),                             // vowelless clamp → 1 each
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Corpus.readabilityCensus(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val ease1 = BigDecimal(206.835 - 1.015 * (7.0 / 2.0) - 84.6 * (8.0 / 7.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((7L, 2L, 8L, Some(ease1))), got(1L).toString)
+    assert(got(2L)._2 == 1L, "unpunctuated text is one sentence, not /0")
+    assert(got(3L) == ((2L, 1L, 2L, got(3L)._4)) && got(3L)._4.isDefined)
+    assert(got(4L) == ((0L, 0L, 0L, None)))
+    assert(got(5L) == ((0L, 0L, 0L, None)), "null text is a zero row")
+  }
+
   test("packOffsets equals the naive global-window cumsum at any bucket width") {
     import org.apache.spark.sql.expressions.Window
     val base = spark.range(0, 300).select(
