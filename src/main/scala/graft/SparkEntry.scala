@@ -6715,7 +6715,9 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     // Modified KN: the x_kn_nll ladder with per-level (Q, d1, d2, d3)
-    // integer discounts re-derived from count-of-counts in BIGINT (the
+    // integer discounts re-derived from count-of-counts in HUGEINT —
+    // mirroring the engine's DECIMAL(38,0) cubics, which Long/BIGINT
+    // would wrap past ~10^6 types per count class — (the
     // estimate-or-fallback CASE transliterated), per-context gamma class
     // counts (N1/N2/N3+), and the same three-level CASE over integral-
     // valued doubles in the engine's exact association order.
@@ -6760,9 +6762,12 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
         |  CAST(SUM(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
         | FROM c3),
-        |es3 AS (SELECT (n1 + 2*n2)*n2*n3 AS q, n1*n2*n3 AS d1,
-        |  (2*n2*(n1 + 2*n2) - 3*n1*n3)*n3 AS d2,
-        |  (3*n3*(n1 + 2*n2) - 4*n1*n4)*n2 AS d3, n1, n2, n3, n4 FROM cc3),
+        |es3 AS (SELECT (h1 + 2*h2)*h2*h3 AS q, h1*h2*h3 AS d1,
+        |  (2*h2*(h1 + 2*h2) - 3*h1*h3)*h3 AS d2,
+        |  (3*h3*(h1 + 2*h2) - 4*h1*h4)*h2 AS d3, n1, n2, n3, n4
+        | FROM (SELECT CAST(n1 AS HUGEINT) AS h1, CAST(n2 AS HUGEINT) AS h2,
+        |   CAST(n3 AS HUGEINT) AS h3, CAST(n4 AS HUGEINT) AS h4,
+        |   n1, n2, n3, n4 FROM cc3)),
         |dl3 AS (SELECT
         |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
         |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
@@ -6782,9 +6787,12 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN kn2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
         |  CAST(SUM(CASE WHEN kn2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
         | FROM kn2),
-        |es2 AS (SELECT (n1 + 2*n2)*n2*n3 AS q, n1*n2*n3 AS d1,
-        |  (2*n2*(n1 + 2*n2) - 3*n1*n3)*n3 AS d2,
-        |  (3*n3*(n1 + 2*n2) - 4*n1*n4)*n2 AS d3, n1, n2, n3, n4 FROM cc2),
+        |es2 AS (SELECT (h1 + 2*h2)*h2*h3 AS q, h1*h2*h3 AS d1,
+        |  (2*h2*(h1 + 2*h2) - 3*h1*h3)*h3 AS d2,
+        |  (3*h3*(h1 + 2*h2) - 4*h1*h4)*h2 AS d3, n1, n2, n3, n4
+        | FROM (SELECT CAST(n1 AS HUGEINT) AS h1, CAST(n2 AS HUGEINT) AS h2,
+        |   CAST(n3 AS HUGEINT) AS h3, CAST(n4 AS HUGEINT) AS h4,
+        |   n1, n2, n3, n4 FROM cc2)),
         |dl2 AS (SELECT
         |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
         |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q
@@ -6804,9 +6812,12 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN kn1 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
         |  CAST(SUM(CASE WHEN kn1 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
         | FROM kn1),
-        |es1 AS (SELECT (n1 + 2*n2)*n2*n3 AS q, n1*n2*n3 AS d1,
-        |  (2*n2*(n1 + 2*n2) - 3*n1*n3)*n3 AS d2,
-        |  (3*n3*(n1 + 2*n2) - 4*n1*n4)*n2 AS d3, n1, n2, n3, n4 FROM cc1),
+        |es1 AS (SELECT (h1 + 2*h2)*h2*h3 AS q, h1*h2*h3 AS d1,
+        |  (2*h2*(h1 + 2*h2) - 3*h1*h3)*h3 AS d2,
+        |  (3*h3*(h1 + 2*h2) - 4*h1*h4)*h2 AS d3, n1, n2, n3, n4
+        | FROM (SELECT CAST(n1 AS HUGEINT) AS h1, CAST(n2 AS HUGEINT) AS h2,
+        |   CAST(n3 AS HUGEINT) AS h3, CAST(n4 AS HUGEINT) AS h4,
+        |   n1, n2, n3, n4 FROM cc1)),
         |dl1 AS (SELECT
         |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND d1 > 0
         |    AND d2 > 0 AND d3 > 0 AND d1 <= q AND d2 <= 2*q AND d3 <= 3*q

@@ -1085,6 +1085,13 @@ object Corpus {
     *   d₂ = (2n₂(n₁+2n₂) − 3n₁n₃)·n₃
     *   d₃ = (3n₃(n₁+2n₂) − 4n₁n₄)·n₂
     *
+    * computed in DECIMAL(38,0) (HUGEINT in the mirrored SQL): the
+    * cubics grow ~8n³ in the count-of-counts, which wraps a 64-bit
+    * integer once a count class passes ~10⁶ types — and a wrapped-but-
+    * positive d/Q would pass the validity gates. DECIMAL(38,0) is
+    * exact to ~10¹² types per class; past that an overflow is NULL and
+    * resolves as degenerate (loud raise, or the declared fallback).
+    *
     * (fallback: Q = 2, d = 1/2/3), so each level's probability is
     * again a rational Aᵢ/Bᵢ built from integral-valued doubles:
     *
@@ -1155,23 +1162,31 @@ object Corpus {
     val bt = c3.select(col("__h2"), col("__h3")).distinct()
     val kn1 = bt.groupBy(col("__h3")).agg(count(lit(1)).as("__kn1"))
     // per-level count-of-counts → (Q, d₁, d₂, d₃) with the
-    // estimate-or-fallback CASE resolved inside the plan; all integer
-    // (Long) arithmetic — magnitudes stay < 2⁶³ for any corpus whose
-    // type counts fit a 32-bit int, documented at the formula above
+    // estimate-or-fallback CASE resolved inside the plan. The cubic
+    // products run in DECIMAL(38,0) (the kappa discipline), NOT Long:
+    // d₂ grows ~8n³ in the type counts, so Long wraps once
+    // count-of-counts pass ~10⁶ types — and a wrapped-but-positive
+    // value would sail through the validity gates below. DECIMAL(38,0)
+    // holds the cubics exactly up to ~10¹² types per class (beyond any
+    // trigram inventory), and a hypothetical decimal overflow yields
+    // NULL, which the validity CASE treats as degenerate — loud raise
+    // (or the explicit fallback discounts), never a silent wrong d/Q
     def discounts(counts: DataFrame, c: String, lvl: String,
                   lvlName: String): DataFrame = {
+      val d38 = DecimalType(38, 0)
       val cc = counts.agg(
         sum(cls(col(c), 1)).as("__n1"), sum(cls(col(c), 2)).as("__n2"),
         sum(when(col(c) === 3L, 1L).otherwise(0L)).as("__n3"),
         sum(when(col(c) === 4L, 1L).otherwise(0L)).as("__n4"))
-      val s = col("__n1") + lit(2L) * col("__n2")
+      def h(n: String) = col(n).cast(d38)
+      val s = h("__n1") + lit(2L) * h("__n2")
       val est = cc.select(
-        (s * col("__n2") * col("__n3")).as("__q"),
-        (col("__n1") * col("__n2") * col("__n3")).as("__d1"),
-        ((lit(2L) * col("__n2") * s - lit(3L) * col("__n1") * col("__n3"))
-          * col("__n3")).as("__d2"),
-        ((lit(3L) * col("__n3") * s - lit(4L) * col("__n1") * col("__n4"))
-          * col("__n2")).as("__d3"),
+        (s * h("__n2") * h("__n3")).as("__q"),
+        (h("__n1") * h("__n2") * h("__n3")).as("__d1"),
+        ((lit(2L) * h("__n2") * s - lit(3L) * h("__n1") * h("__n3"))
+          * h("__n3")).as("__d2"),
+        ((lit(3L) * h("__n3") * s - lit(4L) * h("__n1") * h("__n4"))
+          * h("__n2")).as("__d3"),
         col("__n1"), col("__n2"), col("__n3"), col("__n4"))
       val valid = col("__n1") > 0L && col("__n2") > 0L &&
         col("__n3") > 0L && col("__n4") > 0L &&

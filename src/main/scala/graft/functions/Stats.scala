@@ -1625,7 +1625,10 @@ object Stats {
     * upstream — silently averaging mixed n misstates P̄ₑ), as does a
     * single-rater group (n−1 = 0). Null labels are excluded BEFORE the
     * completeness check, so a null shows up as raggedness, not as a
-    * label class.
+    * label class — INCLUDING an item whose labels are ALL null: it
+    * keeps its seat in the item census with assignment count 0 and
+    * trips the same ragged refusal (it must not silently vanish from
+    * n_items, and it must not count as a labeled item either).
     *
     * Shuffle profile: one (group, item, label) cell aggregation with
     * map-side partials, then everything is item- or label-space sized
@@ -1639,12 +1642,18 @@ object Stats {
                          labelCol: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = col(groupCol)
-    val cells = df.where(col(labelCol).isNotNull)
+    // null-label assignments form their own cell so a fully-unlabeled
+    // item still reaches the item census (with __n = 0 → raggedness),
+    // but they never contribute to counts or marginals
+    val allCells = df
       .groupBy(g, col(itemCol).as("__it"), col(labelCol).as("__lb"))
       .agg(count(lit(1)).as("__c"))
-    val items = cells.groupBy(g, col("__it"))
-      .agg(sum(col("__c")).as("__n"),
-        sum(col("__c") * col("__c")).as("__ai"))
+    val cells = allCells.where(col("__lb").isNotNull)
+    val items = allCells.groupBy(g, col("__it"))
+      .agg(sum(when(col("__lb").isNotNull, col("__c")).otherwise(0L))
+          .as("__n"),
+        sum(when(col("__lb").isNotNull, col("__c") * col("__c"))
+          .otherwise(0L)).as("__ai"))
     val perG = items.groupBy(g).agg(
       count(lit(1)).as("__N"),
       min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"),

@@ -15,10 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Raw-deflate (nowrap — no zlib header/checksum: 6 fewer constant
   * bytes that would bias short documents), compression level pinned by
-  * the caller (default 6). One pass per row over a thread-local
-  * `Deflater` (reset between rows, never shared across tasks), no
-  * other state — map-only, fuses into whole-stage codegen through
-  * [[KernelCodegen]] like the hash/unicode kernels.
+  * the caller (default 6). One pass per row over a JVM-wide per-thread
+  * `Deflater` (see [[DeflateRatio$]] for the native-resource bound;
+  * reset between rows, never shared across tasks), no other state —
+  * map-only, fuses into whole-stage codegen through [[KernelCodegen]]
+  * like the hash/unicode kernels.
   *
   * Empty text → 1.0 by definition (no signal, neutral — NOT the ~2-byte
   * empty-block artifact a raw division would produce; callers gate on
@@ -45,21 +46,11 @@ case class DeflateRatio(child: Expression, level: Int)
         s"$prettyName expects string, got ${other.catalogString}")
     }
 
-  // one native zlib stream per executor THREAD, reset() between rows —
-  // per-row allocation would dominate short documents, and a single
-  // shared Deflater would race across the concurrent tasks that all
-  // reference this expression instance from the same generated plan
-  @transient private lazy val deflaters =
-    new ThreadLocal[java.util.zip.Deflater] {
-      override def initialValue(): java.util.zip.Deflater =
-        new java.util.zip.Deflater(level, true)
-    }
-
   def kernel(s: UTF8String): Double = {
     val raw = s.getBytes
     if (raw.length == 0) 1.0
     else {
-      val d = deflaters.get()
+      val d = DeflateRatio.forLevel(level)
       d.reset()
       d.setInput(raw)
       d.finish()
@@ -75,6 +66,28 @@ case class DeflateRatio(child: Expression, level: Int)
   override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
     copy(child = newChild)
   override def prettyName: String = "deflate_ratio"
+}
+
+object DeflateRatio {
+  // One native zlib stream per (executor thread, compression level),
+  // SHARED across every DeflateRatio instance in every plan — reset()
+  // between rows. Per-row allocation would dominate short documents; a
+  // single shared Deflater would race across concurrent tasks; and a
+  // per-instance ThreadLocal would accrue one native stream per plan
+  // that ever used compressionRatio (never end()ed until finalization).
+  // Native-resource bound: at most |threads| × 9 Deflaters per executor
+  // JVM for its lifetime — fixed, not plan-count-proportional.
+  private val deflaters =
+    new ThreadLocal[java.util.HashMap[Int, java.util.zip.Deflater]] {
+      override def initialValue() =
+        new java.util.HashMap[Int, java.util.zip.Deflater]
+    }
+  private[plans] def forLevel(level: Int): java.util.zip.Deflater = {
+    val m = deflaters.get()
+    var d = m.get(level)
+    if (d == null) { d = new java.util.zip.Deflater(level, true); m.put(level, d) }
+    d
+  }
 }
 
 object CompressExpressions {

@@ -26,8 +26,12 @@ class PlanSpec extends SparkSpec {
     // count source occurrences of each KNOWN query key: a duplicate
     // declaration survives into the map (last wins), so counting its
     // literals exposes the shadowed twin the Map can't show
+    // Pattern.quote the key: a name containing a regex metacharacter
+    // (".", "+") must count literally, not as a pattern, or the gate
+    // itself miscounts
     val dups = SparkEntry.queries.keySet.toSeq.filter { k =>
-      ("\"" + k + "\" ->").r.findAllMatchIn(src).size != 2
+      (java.util.regex.Pattern.quote("\"" + k + "\" ->")).r
+        .findAllMatchIn(src).size != 2
     }
     // exactly 2 = one queries entry + one oracleSql entry
     assert(dups.isEmpty,

@@ -917,6 +917,18 @@ class StatsSpec extends SparkSpec {
     val out = Stats.fleissKappaByGroup(flat.toDF("g", "item", "label"),
       "g", "item", "label").head()
     assert(out.isNullAt(3), "pe = 1 must yield null, not NaN")
+    // an item whose labels are ALL null keeps its seat in the item
+    // census with assignment count 0 — raggedness, never a silent drop
+    val allNull = Seq(("g", 1L, Some(0L)), ("g", 1L, Some(1L)),
+      ("g", 2L, None), ("g", 2L, None))
+    val e3 = intercept[Exception] {
+      Stats.fleissKappaByGroup(allNull.toDF("g", "item", "label"),
+        "g", "item", "label").collect()
+    }
+    assert(Iterator.iterate[Throwable](e3)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString
+      .contains("ragged panel"),
+      "fully-unlabeled item must surface as raggedness")
   }
 
   test("cohenKappaByGroup: textbook 2x2 value, null exclusion, degenerate null") {
