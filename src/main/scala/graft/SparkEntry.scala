@@ -1567,6 +1567,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // fastText-style hashed-n-gram classifier inference with planted
+    // dyadic weights (w_b = (((b*37) % 13) - 6)/8, bias -0.25): unigram
+    // + bigram features, md5-16-bit buckets mod 64, decimal-exact mean
+    // pooling — map-only, zero shuffles beyond the presentation sort.
+    // prob (the true sigmoid) stays out of the oracle: JVM and C libm
+    // exp() diverge by 1 ulp on ~0.4% of inputs (see the scaladoc).
+    "x_fasttext" -> ((s, dir) =>
+      Corpus.fastTextScore(t(s, dir, "documents"), "doc_id", "text",
+          weights = (0 until 64).map(b => (((b * 37) % 13) - 6) / 8.0),
+          bias = -0.25)
+        .drop("prob")
+        .orderBy("doc_id")),
+
     // Symmetric int8 quantization of embeddings (map-only, inside the
     // scan projection); exploded to scalar rows for the oracle compare.
     "x_quantize" -> ((s, dir) => {
@@ -7612,6 +7625,38 @@ object SparkEntry {
 
     // Same unrolled training chain, then w·x scoring with the ROUNDED
     // published weights (what a consumer of the weight table would use).
+    // fastText inference: the same feature list (unigrams + positional
+    // bigrams), the '0x'-cast md5 bucket, DECIMAL(30,15) weight sums,
+    // and the sign-thresholded label — score exact, prob not oracled.
+    "x_fasttext" ->
+      """WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |wt AS (SELECT list_transform(range(0, 64),
+        |  b -> (CAST((b*37) % 13 AS DOUBLE) - CAST(6.0 AS DOUBLE))
+        |    / CAST(8.0 AS DOUBLE)) AS w),
+        |f AS (SELECT doc_id, list_concat(tok,
+        |   list_transform(range(1, len(tok)),
+        |     i -> tok[i] || ' ' || tok[i+1])) AS feats
+        | FROM toks),
+        |s AS (SELECT doc_id, len(feats) AS n,
+        |  COALESCE(list_sum(list_transform(feats,
+        |    g -> CAST(w[CAST(CAST(CONCAT('0x', substring(md5(g), 1, 4))
+        |      AS INTEGER) % 64 AS INTEGER) + 1] AS DECIMAL(30,15)))),
+        |   CAST(0 AS DECIMAL(30,15))) AS sm
+        | FROM f CROSS JOIN wt),
+        |sc AS (SELECT doc_id, n,
+        |  CASE WHEN n > 0
+        |   THEN CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |     + CAST(-0.25 AS DOUBLE)
+        |   ELSE CAST(-0.25 AS DOUBLE) END AS score
+        | FROM s)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_feats,
+        | ROUND(score, 9) AS score,
+        | CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     "x_probe_score" ->
       ("""WITH toks AS (
         | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]

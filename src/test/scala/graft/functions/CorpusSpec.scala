@@ -407,6 +407,35 @@ class CorpusSpec extends SparkSpec {
     assert(got(5L) == ((0L, 0L, 0L, None)), "null text is a zero row")
   }
 
+  test("readabilityCensus: doc-level syllable count == per-token formula on fuzzed Unicode") {
+    import spark.implicits._
+    // the round-14 implementation, verbatim: per-token vowel-run count
+    // with the >= 1 clamp — the doc-level rewrite must be value-equal
+    def perTokenSyllables(txt: org.apache.spark.sql.Column) = {
+      val t = coalesce(txt, lit(""))
+      aggregate(
+        transform(TextFunctions.tokens(t), tok =>
+          greatest(size(regexp_extract_all(lower(tok), lit("[aeiouy]+"),
+            lit(0))), lit(1))),
+        lit(0), (a, x) => a + x)
+    }
+    val rnd = new scala.util.Random(1504)
+    val alphabet =
+      "aeiouyAEIOUY bcdXYZ0189.!?\t\nÆæéÉΣσς中文 %$*-_~  "
+    val docs = (1L to 300L).map { i =>
+      val n = rnd.nextInt(60)
+      (i, (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    } :+ (301L, "") :+ (302L, "ΑΣ ΒΣ xyz") :+ (303L, "rhythm 123 ---")
+    val df = docs.toDF("doc_id", "text")
+    val got = Corpus.readabilityCensus(df, "doc_id", "text")
+      .select(col("doc_id"), col("n_syllables"))
+    val want = df.select(col("doc_id"),
+      perTokenSyllables(col("text")).cast("long").as("n_syllables"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "doc-level rewrite diverged from the per-token formula")
+  }
+
   test("packOffsets equals the naive global-window cumsum at any bucket width") {
     import org.apache.spark.sql.expressions.Window
     val base = spark.range(0, 300).select(
@@ -1425,6 +1454,59 @@ class CorpusSpec extends SparkSpec {
     }.toMap
     assert(got == expect)
     assert(got(4L) == 0.0)
+  }
+
+  test("fastTextScore equals an independent driver scorer on fuzzed docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1507)
+    val dim = 32
+    // dyadic weights (k/1024): exact in double AND at decimal scale 15,
+    // so the equivalence pins the hash/feature/fold logic, not cast luck
+    val w = Array.fill(dim)((rnd.nextInt(16385) - 8192) / 1024.0)
+    val bias = -0.125
+    val words = Vector("the", "ein", "fox", "数据", "naïve", "x1", "--",
+      "Σmma", "a.b", "q")
+    val docs = (1L to 150L).map { i =>
+      val n = rnd.nextInt(12)
+      (i, (0 until n).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    } :+ (151L, "") :+ (152L, null.asInstanceOf[String]) :+ (153L, "solo")
+    val df = docs.toDF("doc_id", "text")
+    val got = Corpus.fastTextScore(df, "doc_id", "text", w.toSeq, bias)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    def bucketOf(f: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % dim
+    }
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    docs.foreach { case (id, text) =>
+      val toks = Option(text).getOrElse("").trim match {
+        case "" => Array.empty[String]
+        case t => t.split("\\s+")
+      }
+      val feats = toks ++ toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" "))
+      var s = java.math.BigDecimal.ZERO.setScale(15)
+      feats.foreach(f => s = s.add(java.math.BigDecimal
+        .valueOf(w(bucketOf(f))).setScale(15, java.math.RoundingMode.HALF_UP)))
+      val score =
+        if (feats.nonEmpty) s.doubleValue / feats.length + bias else bias
+      val prob = 1.0 / (1.0 + math.exp(-score))
+      val label = if (score >= 0) "keep" else "drop"
+      assert(got(id) == ((feats.length.toLong, r9(score), r9(prob), label)),
+        s"doc $id: got ${got(id)}, want " +
+          s"(${feats.length}, ${r9(score)}, ${r9(prob)}, $label)")
+    }
+    // bigrams=false drops the pair features
+    val uni = Corpus.fastTextScore(df.where(col("doc_id") === 3L),
+      "doc_id", "text", w.toSeq, bias, bigrams = false).head()
+    val base = docs.find(_._1 == 3L).get._2.trim.split("\\s+")
+      .filter(_.nonEmpty)
+    assert(uni.getLong(1) == base.length.toLong)
   }
 
   test("unigramNll equals a driver unigram LM with decimal-exact sums") {
