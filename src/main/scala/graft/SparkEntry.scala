@@ -56,6 +56,22 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
+  /** UTF-8 bytes mis-decoded as windows-1252 — plants deterministic
+    * mojibake for x_mojibake (clean originals in source, artifacts
+    * derived, never hand-typed). Uses the WHATWG table, NOT the JDK
+    * charset (whose decoder U+FFFDs the five undefined bytes). */
+  private def moji(s: String): String =
+    Corpus.decodeAsCp1252(s.getBytes("UTF-8"))
+  private val mojiS1 = moji(" Café — naïve ½")
+  private val mojiS2 = moji(" “quoted” cost €99 ™")
+
+  /** The [[Corpus.mojibakePairs]] replace chain as DuckDB SQL — the
+    * oracle is generated from the SAME table the engine folds, so the
+    * two sides cannot drift. Artifacts/targets never contain ASCII
+    * quotes (all chars ≥ U+0080), so no literal escaping is needed. */
+  private def mojiSqlChain(e: String, pairs: Seq[(String, String)]): String =
+    pairs.foldLeft(e) { case (x, (a, r)) => s"replace($x, '$a', '$r')" }
+
   /** Driver-gate convention (round-10 verdict): NO int128-class type —
     * Spark DECIMAL(38,*) or DuckDB HUGEINT — may appear in an oracled
     * output; the gate's hasher can't canonicalize int128 values and
@@ -2767,6 +2783,20 @@ object SparkEntry {
     // size window, mod-10) exercises BOTH branches across the fixture.
     // Map-only; the oracle replays the shared-subset regexes and the
     // Luhn fold with DuckDB list lambdas.
+    // Mojibake census + repair over planted double-encoding damage:
+    // two artifact suffixes (derived from clean text via the real
+    // UTF-8→cp1252 mis-decode, never hand-typed) land on 2/3 of docs;
+    // the deterministic replace chain repairs them and the length
+    // arithmetic counts 3-char vs 2-char fixes. Map-only.
+    "x_mojibake" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 1, concat(col("text"), lit(mojiS1)))
+          .when(col("doc_id") % 3 === 2, concat(col("text"), lit(mojiS2)))
+          .otherwise(col("text")).as("text"))
+      Corpus.mojibakeRepair(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "x_pii_census" -> ((s, dir) => {
       val planted = concat(coalesce(col("text"), lit("")),
         lit(" Contact: user"), col("doc_id").cast("string"),
@@ -9118,6 +9148,26 @@ object SparkEntry {
     // (no octet > 255), card size window on the separator-stripped
     // digits, and the Luhn fold (reversed digits, odd positions as-is,
     // even doubled minus 9 over 4) as list_sum over list_transform.
+    // Mojibake: the identical planted suffixes and the replace chain
+    // GENERATED from Corpus.mojibakePairs (3-char stage, then 2-char),
+    // counts from the same length deltas.
+    "x_mojibake" -> {
+      val (three, two) = Corpus.mojibakePairs.partition(_._1.length == 3)
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 1 THEN text || '$mojiS1'
+         |       WHEN doc_id % 3 = 2 THEN text || '$mojiS2'
+         |       ELSE text END AS t FROM documents),
+         |a AS (SELECT doc_id, t, ${mojiSqlChain("t", three)} AS t3 FROM p),
+         |b AS (SELECT doc_id, t, t3, ${mojiSqlChain("t3", two)} AS t2
+         |  FROM a)
+         |SELECT doc_id, t2 AS repaired,
+         | CAST((length(t) - length(t3)) // 2 AS BIGINT) AS n_fix3,
+         | CAST(length(t3) - length(t2) AS BIGINT) AS n_fix2,
+         | (length(t) - length(t3)) // 2 + (length(t3) - length(t2)) > 0
+         |   AS mojibake
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
     "x_pii_census" ->
       """WITH src AS (
         | SELECT doc_id, COALESCE(text, '') || ' Contact: user' ||

@@ -4009,6 +4009,107 @@ object Corpus {
           .as("label"))
   }
 
+  /** The mojibake artifact table: for every repairable target character
+    * `c`, the string that appears when c's UTF-8 bytes are mis-decoded
+    * as windows-1252 — "é" (C3 A9) surfaces as "Ã©", "’" (E2 80 99) as
+    * "â€™", NBSP (C2 A0) as "Â " followed by a real space. Decoding
+    * uses an EXPLICIT WHATWG Encoding Standard index table — not the
+    * JDK charset, whose decoder replaces the five bytes cp1252 leaves
+    * undefined (81 8D 8F 90 9D) with U+FFFD and would collapse the
+    * artifacts of Á/Í/Ï/Ð/Ý into one ambiguous string; WHATWG (and
+    * every lenient web decoder) maps them to the corresponding C1
+    * controls, keeping all 123 artifacts distinct. The table is a
+    * deterministic function of the Unicode + WHATWG tables, no
+    * guessing.
+    *
+    * Targets: U+00A0–U+00FF (the Latin-1 supplement — accented Latin,
+    * ×÷, currency, NBSP) plus the 27 cp1252 specials (curly quotes,
+    * dashes, €, ™, Œœ ŠšŽž Ÿ ƒ ˆ ˜ …). Pairs are ordered 3-char
+    * artifacts FIRST, then 2-char, each class by target codepoint —
+    * the replace-chain contract [[mojibakeRepair]] and its SQL oracle
+    * both follow. Chain order is part of the operator's semantics:
+    * text that itself LOOKS like mojibake is inherently ambiguous, and
+    * the pinned order makes the engine and any mirror resolve the
+    * ambiguity identically.
+    */
+  /** WHATWG windows-1252 decode: bytes 0x80–0x9F via the standard's
+    * index (undefined positions → the C1 controls), everything else
+    * Latin-1 identity. */
+  def decodeAsCp1252(bytes: Array[Byte]): String = {
+    val specials = Map(0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x192,
+      0x84 -> 0x201E, 0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021,
+      0x88 -> 0x2C6, 0x89 -> 0x2030, 0x8A -> 0x160, 0x8B -> 0x2039,
+      0x8C -> 0x152, 0x8E -> 0x17D, 0x91 -> 0x2018, 0x92 -> 0x2019,
+      0x93 -> 0x201C, 0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013,
+      0x97 -> 0x2014, 0x98 -> 0x2DC, 0x99 -> 0x2122, 0x9A -> 0x161,
+      0x9B -> 0x203A, 0x9C -> 0x153, 0x9E -> 0x17E, 0x9F -> 0x178)
+    bytes.map { b =>
+      val v = b & 0xFF
+      specials.getOrElse(v, v).toChar
+    }.mkString
+  }
+
+  val mojibakePairs: Seq[(String, String)] = {
+    val specials = Seq(0x152, 0x153, 0x160, 0x161, 0x178, 0x17D, 0x17E,
+      0x192, 0x2C6, 0x2DC, 0x2013, 0x2014, 0x2018, 0x2019, 0x201A,
+      0x201C, 0x201D, 0x201E, 0x2020, 0x2021, 0x2022, 0x2026, 0x2030,
+      0x2039, 0x203A, 0x20AC, 0x2122)
+    def pair(cp: Int): (String, String) = {
+      val target = new String(Character.toChars(cp))
+      (decodeAsCp1252(target.getBytes("UTF-8")), target)
+    }
+    ((0xA0 to 0xFF).map(pair) ++ specials.map(pair))
+      .sortBy { case (a, t) => (-a.length, t.codePointAt(0)) }
+  }
+
+  /** Mojibake (UTF-8-mis-decoded-as-windows-1252) census + repair —
+    * the encoding-damage gate a web-corpus pipeline runs before any
+    * text statistic (a corpus with "Ã©" for every "é" poisons
+    * tokenizers, LM perplexity and dedup shingles alike). Detection
+    * and repair are ONE deterministic replace chain over
+    * [[mojibakePairs]] — no statistical model, no charset sniffing —
+    * so the operation is bit-reproducible on any engine with literal
+    * string replace.
+    *
+    * Counts fall out of length arithmetic, not extra scans: every
+    * 3-char artifact repairs to 1 char (shrink 2), every 2-char to 1
+    * (shrink 1), so `n_fix3 = (len₀ − len₃)/2` and
+    * `n_fix2 = len₃ − len₂` where len₃/len₂ measure after the
+    * 3-char and 2-char chain stages.
+    *
+    * Repair domain (documented, not guessed): for text whose original
+    * form contains none of the artifact LEAD characters (Ã Â Å Æ Ë â —
+    * the windows-1252 images of UTF-8 lead bytes), corrupt→repair
+    * round-trips exactly, and artifact-free text is a fixpoint; text
+    * that already looks like mojibake is inherently ambiguous and
+    * resolves by chain order (one or more layers may peel per call).
+    * Both properties are spec-pinned over fuzzed Unicode.
+    *
+    * Scale shape: map-only — the whole chain is one scan projection;
+    * zero shuffles, bodies never leave their task. The chain is ~123
+    * literal replaces per row; at 100 TB the same table compiles into
+    * a single-pass Aho–Corasick kernel expression, but the chain IS
+    * the reference semantics (sequential, ordered) that any faster
+    * kernel must reproduce.
+    *
+    * @return (idCol, repaired, n_fix3, n_fix2, mojibake)
+    */
+  def mojibakeRepair(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val (three, two) = mojibakePairs.partition(_._1.length == 3)
+    def chain(c: Column, pairs: Seq[(String, String)]): Column =
+      pairs.foldLeft(c) { case (e, (a, r)) => replace(e, lit(a), lit(r)) }
+    df.select(col(idCol), coalesce(col(textCol), lit("")).as("__t0"))
+      .withColumn("__t3", chain(col("__t0"), three))
+      .withColumn("__t2", chain(col("__t3"), two))
+      .select(col(idCol), col("__t2").as("repaired"),
+        ((length(col("__t0")) - length(col("__t3"))) / lit(2))
+          .cast("long").as("n_fix3"),
+        (length(col("__t3")) - length(col("__t2")))
+          .cast("long").as("n_fix2"))
+      .withColumn("mojibake", col("n_fix3") + col("n_fix2") > 0L)
+  }
+
   // Unambiguous hash-input encoding shared by mixtureCopyIds/hashSplit:
   // length-prefixed value ("v<len>:<value>") or the null sentinel "n".
   private[functions] def encodeForHash(c: Column): Column = {

@@ -1456,6 +1456,65 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == 0.0)
   }
 
+  test("mojibakeRepair: round-trip, idempotence, hand examples, counts") {
+    import spark.implicits._
+    // independent WHATWG windows-1252 decoder (NOT Corpus's): indexes
+    // transcribed from the Encoding Standard table, undefined bytes →
+    // C1 controls — the JDK charset would U+FFFD them
+    val whatwg = Map(0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ',
+      0x84 -> '„', 0x85 -> '…', 0x86 -> '†',
+      0x87 -> '‡', 0x88 -> 'ˆ', 0x89 -> '‰',
+      0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+      0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’',
+      0x93 -> '“', 0x94 -> '”', 0x95 -> '•',
+      0x96 -> '–', 0x97 -> '—', 0x98 -> '˜',
+      0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+      0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
+    def corrupt(s: String): String = s.getBytes("UTF-8")
+      .map(b => whatwg.getOrElse(b & 0xFF, (b & 0xFF).toChar)).mkString
+    // fuzz domain: the documented repairable set (Latin-1 supplement +
+    // cp1252 specials + ASCII), MINUS the six artifact lead chars —
+    // text already containing Ã/Â/Å/Æ/Ë/â is inherently ambiguous
+    val leads = "ÃÂÅÆËâ".toSet
+    val targets = Corpus.mojibakePairs.map(_._2).filterNot(t =>
+      leads.contains(t.head)).mkString
+    val alphabet = targets + "abc XYZ 09.!? "
+    val rnd = new scala.util.Random(1509)
+    val cases = (1L to 200L).map { i =>
+      val n = rnd.nextInt(40)
+      (i, (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    }
+    val dirty = cases.map { case (i, s) => (i, corrupt(s)) }.toDF("id", "t")
+    val got = Corpus.mojibakeRepair(dirty, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    cases.foreach { case (i, s) =>
+      assert(got(i)._1 == s, s"round-trip failed for case $i: " +
+        s"'${corrupt(s)}' repaired to '${got(i)._1}', want '$s'")
+      // count arithmetic: every non-ASCII char in s costs one fix
+      val n3 = s.count(c => c.toString.getBytes("UTF-8").length == 3).toLong
+      val n2 = s.count(c => c.toString.getBytes("UTF-8").length == 2).toLong
+      assert((got(i)._2, got(i)._3) == ((n3, n2)), s"counts for case $i")
+      assert(got(i)._4 == (n3 + n2 > 0), s"flag for case $i")
+    }
+    // idempotence: artifact-free text (ASCII, CJK, already-repaired
+    // output) is a fixpoint with zero counts
+    val clean = Seq((1L, "plain ascii text."), (2L, "中文テキスト"),
+      (3L, "mixed é ü ’ — clean"), (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    Corpus.mojibakeRepair(clean, "id", "t").collect().foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L && !r.getBoolean(4),
+        s"clean text flagged: $r")
+    }
+    // hand examples: the classic artifacts
+    val hand = Seq((1L, "donâ€™t CafÃ© Â½ â‚¬5")).toDF("id", "t")
+    val h = Corpus.mojibakeRepair(hand, "id", "t").head()
+    assert(h.getString(1) == "don’t Café ½ €5", h.getString(1))
+    assert(h.getLong(2) == 2L && h.getLong(3) == 2L) // ’ € | é ½
+  }
+
   test("fastTextScore equals an independent driver scorer on fuzzed docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(1507)
