@@ -72,6 +72,23 @@ object SparkEntry {
   private def mojiSqlChain(e: String, pairs: Seq[(String, String)]): String =
     pairs.foldLeft(e) { case (x, (a, r)) => s"replace($x, '$a', '$r')" }
 
+  /** DuckDB mirror of Corpus.pctNormalize (RFC 3986 §6.2.2): split on
+    * '%', per tail part uppercase-or-decode the hex triplet, rejoin.
+    * `e` must be a bare column name (it is spliced several times). */
+  private def pctNormSql(e: String): String = {
+    val h1 = s"(strpos('0123456789abcdef', lower(substring(p, 1, 1))) - 1)"
+    val h2 = s"(strpos('0123456789abcdef', lower(substring(p, 2, 1))) - 1)"
+    val v = s"($h1 * 16 + $h2)"
+    s"""str_split($e, '%')[1] || COALESCE(array_to_string(
+       |  list_transform(str_split($e, '%')[2:], p ->
+       |   CASE WHEN length(p) >= 2 AND $h1 >= 0 AND $h2 >= 0
+       |    THEN CASE WHEN ($v BETWEEN 48 AND 57) OR ($v BETWEEN 65 AND 90)
+       |           OR ($v BETWEEN 97 AND 122) OR $v IN (45, 46, 95, 126)
+       |      THEN chr(CAST($v AS INTEGER)) || substring(p, 3)
+       |      ELSE '%' || upper(substring(p, 1, 2)) || substring(p, 3) END
+       |    ELSE '%' || p END), ''), '')""".stripMargin
+  }
+
   /** Driver-gate convention (round-10 verdict): NO int128-class type —
     * Spark DECIMAL(38,*) or DuckDB HUGEINT — may appear in an oracled
     * output; the gate's hasher can't canonicalize int128 values and
@@ -2489,7 +2506,14 @@ object SparkEntry {
     // with allow on ties. The five URL shapes cover longest-allow
     // beats shorter-disallow, wildcard-through-query, a $-anchor that
     // must NOT fire plus a mid-wildcard that does, a no-rules host,
-    // and allow-"/$" losing to disallow-"/" off the root.
+    // and allow-"/$" losing to disallow-"/" off the root. The three
+    // added sub.domain rules exercise percent normalization against
+    // the /x%20y/ path: %78 decodes to the unreserved x and matches
+    // with the NORMALIZED octet length ranking it above the literal
+    // spelling, %20 (reserved: space) stays encoded and matches
+    // literally, %2F stays distinct from / and never matches
+    // (hex-case normalization is spec-pinned — no planted path
+    // carries a lettered reserved triplet to witness it here).
     "x_robots_gate" -> ((s, dir) => {
       import s.implicits._
       val rules = Seq(
@@ -2499,7 +2523,10 @@ object SparkEntry {
         ("cdn.static.example.org:8080", "disallow", "*.js$"),
         ("cdn.static.example.org:8080", "disallow", "*fbclid*"),
         ("sub.domain.example.com", "allow", "/$"),
-        ("sub.domain.example.com", "disallow", "/"))
+        ("sub.domain.example.com", "disallow", "/"),
+        ("sub.domain.example.com", "allow", "/x%20y/*"),
+        ("sub.domain.example.com", "disallow", "/%78%20y/e*"),
+        ("sub.domain.example.com", "disallow", "/x%2Fy/*"))
         .toDF("host", "directive", "pattern")
       Corpus.robotsGate(
           t(s, dir, "documents").select(col("doc_id"),
@@ -8291,33 +8318,43 @@ object SparkEntry {
     // identically on both engines.
     "x_robots_gate" ->
       (urlCanonOracleChain("doc_id,") +
-        """,tgt AS (SELECT doc_id, u AS url,
+        raw""",tg0 AS (SELECT doc_id, u AS url,
           |  CASE WHEN hs THEN host END AS host,
           |  CASE WHEN hs THEN
           |    CASE WHEN pathq = '' THEN '/'
           |         WHEN starts_with(pathq, '?') THEN '/' || pathq
           |         ELSE pathq END
-          |  END AS target
+          |  END AS tgt0
           | FROM p5),
+          |tgt AS (SELECT doc_id, url, host,
+          |  CASE WHEN tgt0 IS NOT NULL THEN ${pctNormSql("tgt0")} END
+          |    AS target
+          | FROM tg0),
           |rr(rhost, directive, pattern) AS (VALUES
           |  ('www.example.com', 'disallow', '/Path/*'),
           |  ('www.example.com', 'allow', '/Path/Page'),
           |  ('news.example.co.uk', 'disallow', '/a/*?id=*'),
-          |  ('cdn.static.example.org:8080', 'disallow', '*.js$'),
+          |  ('cdn.static.example.org:8080', 'disallow', '*.js$$'),
           |  ('cdn.static.example.org:8080', 'disallow', '*fbclid*'),
-          |  ('sub.domain.example.com', 'allow', '/$'),
-          |  ('sub.domain.example.com', 'disallow', '/')),
+          |  ('sub.domain.example.com', 'allow', '/$$'),
+          |  ('sub.domain.example.com', 'disallow', '/'),
+          |  ('sub.domain.example.com', 'allow', '/x%20y/*'),
+          |  ('sub.domain.example.com', 'disallow', '/%78%20y/e*'),
+          |  ('sub.domain.example.com', 'disallow', '/x%2Fy/*')),
+          |rn0 AS (SELECT rhost, directive, pattern,
+          |  ${pctNormSql("pattern")} AS pn
+          | FROM rr WHERE pattern <> ''),
           |rx AS (SELECT lower(rhost) AS rhost, directive, pattern,
           |  '^' || replace(
           |     regexp_replace(
-          |       CASE WHEN pattern LIKE '%$' THEN
-          |         substring(pattern, 1, length(pattern) - 1)
-          |       ELSE pattern END,
-          |       '([\.\^\$\+\?\(\)\[\]\{\}\|\\])', '\\\1', 'g'),
+          |       CASE WHEN pn LIKE '%$$' THEN
+          |         substring(pn, 1, length(pn) - 1)
+          |       ELSE pn END,
+          |       '([\.\^\$$\+\?\(\)\[\]\{\}\|\\])', '\\\1', 'g'),
           |     '*', '.*')
-          |  || CASE WHEN pattern LIKE '%$' THEN '\z' ELSE '' END AS rxp,
-          |  strlen(pattern) AS plen
-          | FROM rr WHERE pattern <> ''),
+          |  || CASE WHEN pn LIKE '%$$' THEN '\z' ELSE '' END AS rxp,
+          |  strlen(pn) AS plen
+          | FROM rn0),
           |j AS (SELECT t.doc_id, t.url, t.host, t.target,
           |   r.directive, r.pattern, r.plen,
           |   COALESCE(regexp_matches(t.target, r.rxp), FALSE) AS m

@@ -2311,15 +2311,19 @@ object Corpus {
     * allowed with null host (nothing to join — the caller's quarantine
     * decision, not this op's).
     *
-    * Percent-encoding subset (documented like the exact-agent-token
-    * subset above): pattern and path+query compare as the RAW strings
-    * they arrived in — no percent-decode/re-encode pass on either
-    * side, so `/a%2Fb` in a rule does not match a literal `/a/b` path
-    * and vice versa (RFC 9309 §2.2.2 expects consistent
-    * percent-encoding handling; this op delivers consistency by
-    * normalizing NEITHER side). Run both the frontier and the rule
-    * table through the same canonicalization upstream if crawl
-    * sources mix encodings.
+    * Percent-encoding: BOTH pattern and path+query pass through the
+    * same RFC 3986 §6.2.2 normalization before comparing — hex digits
+    * uppercase (`%3a` → `%3A`), triplets encoding UNRESERVED octets
+    * (ALPHA / DIGIT / `-._~`) decode (`%7E` → `~`), every other
+    * triplet stays encoded — so `%2F` remains distinct from a literal
+    * `/` (decoding it would invent path structure) while equivalent
+    * spellings of the same URL compare equal, the consistency RFC
+    * 9309 §2.2.2 expects. A lone `%` not followed by two hex digits
+    * is kept literally (robots patterns are not required to be valid
+    * URLs). Rule ranking uses the octet length of the NORMALIZED
+    * pattern (spelling must not change precedence); `matched_pattern`
+    * reports the rule's original text; the returned `pathq` is the
+    * normalized form actually matched.
     *
     * Scale shape: one hash join on host (rule table broadcast when
     * config-sized), per-(url, candidate-rule) regex evaluation
@@ -2330,35 +2334,70 @@ object Corpus {
     * @return (idCol, url, host, pathq, allowed, matched_pattern,
     *         matched_directive) — matched_* null when no rule matched
     */
+  /** RFC 3986 §6.2.2 percent-encoding normalization, the [[robotsGate]]
+    * comparison form: hex digits uppercase, triplets encoding
+    * UNRESERVED octets (ALPHA / DIGIT / `-._~`) decode, all other
+    * triplets (including `%2F` and `%2A`) stay encoded — so encoded
+    * slashes never collapse into path structure and an encoded `*`
+    * never becomes a wildcard. A `%` not followed by two hex digits
+    * passes through literally. Pure array ops over a `%`-split —
+    * map-only, mirrored expression-for-expression in the oracle SQL.
+    */
+  private def pctNormalize(c: Column): Column = {
+    val hex = "0123456789abcdef"
+    val parts = split(c, "%", -1)
+    val fixed = transform(
+      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), p => {
+        val v1 = instr(lit(hex), lower(p.substr(lit(1), lit(1)))) - 1
+        val v2 = instr(lit(hex), lower(p.substr(lit(2), lit(1)))) - 1
+        val v = v1 * 16 + v2
+        val valid = length(p) >= 2 && v1 >= 0 && v2 >= 0
+        val unreserved = (v >= 48 && v <= 57) || (v >= 65 && v <= 90) ||
+          (v >= 97 && v <= 122) || v === 45 || v === 46 || v === 95 ||
+          v === 126
+        val rest = p.substr(lit(3), length(p))
+        when(valid && unreserved,
+          concat(call_function("char", v), rest))
+          .when(valid,
+            concat(lit("%"), upper(p.substr(lit(1), lit(2))), rest))
+          .otherwise(concat(lit("%"), p))
+      })
+    concat(element_at(parts, 1), array_join(fixed, ""))
+  }
+
   def robotsGate(urls: DataFrame, idCol: String, urlCol: String,
                  rules: DataFrame): DataFrame = {
     // ONE authority definition shared with urlCanonicalize — the
     // rules.host join contract cannot drift from the canon pipeline
     val parts = urlAuthority(urlCol)
-    val target = when(parts.pathq === "", lit("/"))
-      .when(parts.pathq.startsWith("?"), concat(lit("/"), parts.pathq))
-      .otherwise(parts.pathq)
+    val target = pctNormalize(
+      when(parts.pathq === "", lit("/"))
+        .when(parts.pathq.startsWith("?"), concat(lit("/"), parts.pathq))
+        .otherwise(parts.pathq))
     val base = urls.select(col(idCol), parts.u.as("url"),
       when(parts.hasScheme, parts.host).as("__host"),
       when(parts.hasScheme, target).as("__target"))
-    // rule pattern → anchored regex: trailing $ peels off first (an
-    // interior $ is a literal octet per RFC), metacharacters escape,
+    // rule pattern → percent-normalize, then anchored regex: trailing
+    // $ peels off first (an interior $ is a literal octet per RFC;
+    // normalization never produces one), metacharacters escape,
     // * becomes .*, the anchor returns as \z
-    val pat = col("pattern")
+    val pat = col("__pn")
     val anchored = pat.endsWith("$")
     val core = when(anchored,
-      expr("substring(pattern, 1, length(pattern) - 1)")).otherwise(pat)
+      expr("substring(__pn, 1, length(__pn) - 1)")).otherwise(pat)
     val escaped = regexp_replace(core,
       lit("([\\.\\^\\$\\+\\?\\(\\)\\[\\]\\{\\}\\|\\\\])"), lit("\\\\$1"))
     val rx = concat(lit("^"), replace(escaped, lit("*"), lit(".*")),
       when(anchored, lit("\\z")).otherwise(lit("")))
     val r = rules
       .where(col("pattern") =!= "")
+      .withColumn("__pn", pctNormalize(col("pattern")))
       .select(lower(col("host")).as("__host"), col("directive"),
         col("pattern"), rx.as("__rx"),
-        // octet length, not character count — RFC 9309 ranks by "the
-        // most octets"; they differ on multibyte patterns
-        octet_length(col("pattern")).as("__plen"))
+        // octet length of the NORMALIZED pattern, not character count
+        // — RFC 9309 ranks by "the most octets", and spelling must not
+        // change precedence
+        octet_length(col("__pn")).as("__plen"))
     val joined = base.join(r, Seq("__host"), "left")
       .withColumn("__m",
         coalesce(regexp_like(col("__target"), col("__rx")), lit(false)))

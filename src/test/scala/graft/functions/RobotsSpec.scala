@@ -138,6 +138,45 @@ class RobotsSpec extends SparkSpec {
     }
   }
 
+  test("robotsGate: RFC 3986 percent-encoding normalization") {
+    // (rules for this case's host, path, expected allowed)
+    val cases: Seq[(Seq[(String, String)], String, Boolean)] = Seq(
+      // %2F stays distinct from a literal slash — in BOTH directions
+      (Seq("disallow" -> "/a%2Fb"), "/a/b", true),
+      (Seq("disallow" -> "/a/b"), "/a%2Fb", true),
+      (Seq("disallow" -> "/a%2Fb"), "/a%2Fb", false),
+      // hex case normalizes: %2f in the rule matches %2F in the path
+      (Seq("disallow" -> "/a%2fb"), "/a%2Fb", false),
+      (Seq("disallow" -> "/a%2Fb"), "/a%2fb", false),
+      // unreserved octets decode on both sides: %7E == ~, %61 == a
+      (Seq("disallow" -> "/%7Euser/*"), "/~user/docs", false),
+      (Seq("disallow" -> "/~user/*"), "/%7Euser/docs", false),
+      (Seq("disallow" -> "/%61dmin"), "/admin", false),
+      // %2A never becomes a wildcard (reserved octet stays encoded)
+      (Seq("disallow" -> "/x%2Ay"), "/xZZy", true),
+      (Seq("disallow" -> "/x%2Ay"), "/x%2Ay", false),
+      // malformed % is a literal octet, not an error
+      (Seq("disallow" -> "/50%"), "/50%", false),
+      (Seq("disallow" -> "/50%2"), "/50%2", false))
+    val rules = cases.zipWithIndex.flatMap { case ((rs, _, _), i) =>
+      rs.map { case (d, p) => (s"n$i.com", d, p) }
+    }
+    val urls = cases.zipWithIndex.map { case ((_, path, _), i) =>
+      (i.toLong, s"http://n$i.com$path")
+    }
+    val out = Corpus.robotsGate(urls.toDF("id", "url"), "id", "url",
+        rules.toDF("host", "directive", "pattern"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(4),
+        r.getString(3)))).toMap
+    cases.zipWithIndex.foreach { case ((_, path, want), i) =>
+      assert(out(i.toLong)._1 == want,
+        s"case $i path $path: ${out(i.toLong)}")
+    }
+    // the returned pathq is the NORMALIZED form actually matched
+    assert(out(5L)._2 == "/~user/docs", out(5L)._2)
+    assert(out(4L)._2 == "/a%2Fb", out(4L)._2)
+  }
+
   /** Independent greedy wildcard matcher — segments between `*` found
     * leftmost in order, optional `$` pins the last segment to the end.
     * No java.util.regex anywhere.
