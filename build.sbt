@@ -27,6 +27,10 @@ val jdk17AddOpens = Seq(
 // suite runs twice in one JVM (observed 5-10x per-query inflation vs a
 // targeted run). The bench box has 128 GiB; -Xms pinned to -Xmx avoids
 // growth pauses mid-measurement.
+// Two-tier test gates: `sbt smoke` skips the @Heavy-tagged integration
+// suites (whole-board plan builds, iterative-loop end-to-ends) for the
+// fast inner loop; plain `sbt test` stays the full certification gate.
+addCommandAlias("smoke", "testOnly * -- -l graft.Heavy")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

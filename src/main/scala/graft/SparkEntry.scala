@@ -120,6 +120,33 @@ object SparkEntry {
       |   '?gclid=abc')
       |END""".stripMargin)
 
+  /** Four planted robots-body shapes for x_crawl_delay (chr(10)
+    * newlines — the one spelling both engines agree on): exact-beats-
+    * star, star-only with max-merge + malformed, exact group WITHOUT
+    * the directive (star must not leak in), negative dropped + UA-run
+    * sharing.
+    */
+  private def plantedRobotsBody: Column = expr(
+    """CASE CAST(doc_id % 4 AS INT)
+      | WHEN 0 THEN concat('User-agent: *', chr(10),
+      |   'Crawl-delay: 10', chr(10),
+      |   'User-agent: graftbot', chr(10),
+      |   'Disallow: /tmp', chr(10),
+      |   'Crawl-delay: 2.5')
+      | WHEN 1 THEN concat('User-agent: *', chr(10),
+      |   'Crawl-delay: 1', chr(10),
+      |   'Crawl-delay: fast', chr(10),
+      |   'Crawl-delay: 4')
+      | WHEN 2 THEN concat('User-agent: graftbot', chr(10),
+      |   'Disallow: /a', chr(10),
+      |   'User-agent: *', chr(10),
+      |   'Crawl-delay: 7')
+      | ELSE concat('User-agent: other', chr(10),
+      |   'User-agent: graftbot', chr(10),
+      |   'Crawl-delay: -3', chr(10),
+      |   'Crawl-delay: 0.5')
+      |END""".stripMargin)
+
   /** Deterministic per-doc sitemap body for x_sitemap: three shapes
     * (pretty-printed urlset, sitemapindex, compact urlset with entity
     * soup and a malformed priority), mirrored verbatim in the oracle.
@@ -2810,6 +2837,20 @@ object SparkEntry {
     // size window, mod-10) exercises BOTH branches across the fixture.
     // Map-only; the oracle replays the shared-subset regexes and the
     // Luhn fold with DuckDB list lambdas.
+    // Crawl-delay politeness extraction over 12 planted robots bodies
+    // (one per host), agent graftbot: exact-agent group beats *, a
+    // host whose exact group lacks the directive stays absent (the *
+    // delay must NOT leak in), max-merge over repeated lines,
+    // malformed and negative values drop, UA runs share the delay.
+    "x_crawl_delay" -> ((s, dir) => {
+      val bodies = t(s, dir, "documents").where(col("doc_id") < 12)
+        .select(concat(lit("h"), col("doc_id").cast("string"),
+            lit(".example.com")).as("host"),
+          plantedRobotsBody.as("robots"))
+      Corpus.robotsCrawlDelay(bodies, "host", "robots", "graftbot")
+        .orderBy("host")
+    }),
+
     // Mojibake census + repair over planted double-encoding damage:
     // two artifact suffixes (derived from clean text via the real
     // UTF-8→cp1252 mis-decode, never hand-typed) land on 2/3 of docs;
@@ -9185,6 +9226,64 @@ object SparkEntry {
     // (no octet > 255), card size window on the separator-stripped
     // digits, and the Luhn fold (reversed digits, odd positions as-is,
     // even doubled minus 9 over 4) as list_sum over list_transform.
+    // Crawl-delay: the group grammar replayed in SQL — positional line
+    // zip (parallel unnest), lag/sum run detection in two window
+    // stages, exact-else-star group choice, TRY_CAST gate, MAX merge.
+    "x_crawl_delay" ->
+      """WITH d AS (SELECT 'h' || CAST(doc_id AS VARCHAR) ||
+        |   '.example.com' AS host,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |   WHEN 0 THEN 'User-agent: *' || chr(10) ||
+        |    'Crawl-delay: 10' || chr(10) || 'User-agent: graftbot' ||
+        |    chr(10) || 'Disallow: /tmp' || chr(10) || 'Crawl-delay: 2.5'
+        |   WHEN 1 THEN 'User-agent: *' || chr(10) ||
+        |    'Crawl-delay: 1' || chr(10) || 'Crawl-delay: fast' ||
+        |    chr(10) || 'Crawl-delay: 4'
+        |   WHEN 2 THEN 'User-agent: graftbot' || chr(10) ||
+        |    'Disallow: /a' || chr(10) || 'User-agent: *' || chr(10) ||
+        |    'Crawl-delay: 7'
+        |   ELSE 'User-agent: other' || chr(10) ||
+        |    'User-agent: graftbot' || chr(10) || 'Crawl-delay: -3' ||
+        |    chr(10) || 'Crawl-delay: 0.5'
+        |  END AS body
+        | FROM documents WHERE doc_id < 12),
+        |ln AS (SELECT host, unnest(range(1, len(p) + 1)) AS i,
+        |   unnest(p) AS l0
+        | FROM (SELECT host, str_split(body, chr(10)) AS p FROM d)),
+        |lt AS (SELECT host, i,
+        |   trim(regexp_replace(l0, '#.*', '')) AS l FROM ln),
+        |sig AS (SELECT host, i, l,
+        |   starts_with(lower(l), 'user-agent:') AS ua,
+        |   starts_with(lower(l), 'crawl-delay:') AS cd
+        | FROM lt
+        | WHERE starts_with(lower(l), 'user-agent:')
+        |    OR starts_with(lower(l), 'allow:')
+        |    OR starts_with(lower(l), 'disallow:')
+        |    OR starts_with(lower(l), 'crawl-delay:')),
+        |g0 AS (SELECT *, (ua AND NOT COALESCE(
+        |   lag(ua) OVER (PARTITION BY host ORDER BY i), FALSE)) AS gs
+        | FROM sig),
+        |g AS (SELECT *, SUM(CASE WHEN gs THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY host ORDER BY i) AS grp FROM g0),
+        |uav AS (SELECT host, grp,
+        |   lower(trim(substring(l, strpos(l, ':') + 1))) AS agent
+        | FROM g WHERE ua),
+        |ex AS (SELECT DISTINCT host, grp FROM uav
+        | WHERE agent = 'graftbot'),
+        |st AS (SELECT DISTINCT host, grp FROM uav WHERE agent = '*'),
+        |ch AS (SELECT host, grp FROM ex UNION
+        |       SELECT host, grp FROM st
+        |        WHERE host NOT IN (SELECT host FROM ex)),
+        |dl AS (SELECT host, grp,
+        |   TRY_CAST(trim(substring(l, strpos(l, ':') + 1)) AS DOUBLE)
+        |     AS dsec
+        | FROM g WHERE cd),
+        |ok AS (SELECT dl.host, dsec FROM dl
+        | JOIN ch ON dl.host = ch.host AND dl.grp = ch.grp
+        | WHERE dsec IS NOT NULL AND dsec >= 0)
+        |SELECT host, MAX(dsec) AS crawl_delay_sec
+        |FROM ok GROUP BY 1 ORDER BY host""".stripMargin,
+
     // Mojibake: the identical planted suffixes and the replace chain
     // GENERATED from Corpus.mojibakePairs (3-char stage, then 2-char),
     // counts from the same length deltas.

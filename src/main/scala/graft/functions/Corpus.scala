@@ -2171,6 +2171,83 @@ object Corpus {
       .distinct()
   }
 
+  /** Crawl-delay extraction from robots.txt — the de-facto politeness
+    * directive (honored by Bing/Yandex-class crawlers; not part of RFC
+    * 9309, which is why [[robotsParse]] doesn't emit it): per host,
+    * the `Crawl-delay: <seconds>` value from the groups that apply to
+    * `agent`, selected by the SAME exact-agent-else-`*` policy and
+    * group grammar as [[robotsParse]] (one body per host enforced
+    * loudly, CRLF/BOM/comment tolerance, UA runs).
+    *
+    * One DOCUMENTED divergence from robotsParse's line classification:
+    * a `Crawl-delay:` line is a RULE line here — it ends a User-agent
+    * run, the way de-facto parsers treat it — while robotsParse
+    * ignores it entirely (RFC 9309 grammar: unknown records). A body
+    * whose UA runs are interleaved with crawl-delay lines can
+    * therefore group differently between the two ops; for RFC-pure
+    * gating semantics use robotsParse, for politeness pacing use this.
+    *
+    * Values parse leniently: `try_cast` to double, negatives and
+    * non-numerics drop (a malformed delay must not stall a fetcher —
+    * absence means "no directive", the crawler's default pacing).
+    * Multiple surviving values for one host (merged groups, repeated
+    * lines) take the MAXIMUM — the most polite reading. Feed the
+    * output to [[revisitSchedule]]'s per-host waves: wave k fetches no
+    * earlier than `k · crawl_delay_sec` into the cycle.
+    *
+    * Scale shape: robotsParse's — one explode over config-sized robots
+    * bodies, two host-partitioned windows, host-keyed max. Output is
+    * (host, crawl_delay_sec), hosts with a valid directive only.
+    */
+  def robotsCrawlDelay(df: DataFrame, hostCol: String, txtCol: String,
+                       agent: String = "*"): DataFrame = {
+    val a = agent.toLowerCase
+    val w = Window.partitionBy(col("__h")).orderBy(col("__i"))
+    val oneBody = df.select(lower(col(hostCol)).as("__h"),
+        coalesce(col(txtCol), lit("")).as("__txt"))
+      .withColumn("__nb",
+        count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .select(col("__h"),
+        when(col("__nb") === 1L, col("__txt"))
+          .otherwise(raise_error(concat(
+            lit("robotsCrawlDelay: multiple robots bodies for host '"),
+            col("__h"), lit("' — one body per host"))))
+          .as("__txt"))
+    val lines = oneBody.select(col("__h"),
+        posexplode(split(regexp_replace(col("__txt"),
+          lit("\\A\uFEFF"), lit("")), "\r?\n")).as(Seq("__i", "__l0")))
+      .select(col("__h"), col("__i"),
+        trim(regexp_replace(col("__l0"), lit("#.*\\z"), lit(""))).as("__l"))
+    val isUa = lower(col("__l")).startsWith("user-agent:")
+    val isAllow = lower(col("__l")).startsWith("allow:")
+    val isDis = lower(col("__l")).startsWith("disallow:")
+    val isCd = lower(col("__l")).startsWith("crawl-delay:")
+    val lineVal = trim(expr("substring(__l, locate(':', __l) + 1)"))
+    val marked = lines
+      .where(isUa || isAllow || isDis || isCd)
+      .withColumn("__ua", isUa)
+      .withColumn("__gs",
+        col("__ua") && !coalesce(lag(col("__ua"), 1).over(w), lit(false)))
+      .withColumn("__g", sum(col("__gs").cast("long")).over(w))
+    val uaVals = marked.where(col("__ua"))
+      .select(col("__h"), col("__g"), lower(lineVal).as("__agent"))
+    val exact = uaVals.where(col("__agent") === a)
+      .select(col("__h"), col("__g")).distinct()
+    val star = uaVals.where(col("__agent") === "*")
+      .select(col("__h"), col("__g")).distinct()
+    val chosen = exact.unionByName(
+      star.join(exact.select("__h").distinct(), Seq("__h"), "left_anti"))
+    marked.where(isCd)
+      .select(col("__h"), col("__g"),
+        expr("try_cast(trim(substring(__l, locate(':', __l) + 1)) " +
+          "as double)").as("__d"))
+      .where(col("__d").isNotNull && col("__d") >= 0.0)
+      .join(chosen, Seq("__h", "__g"))
+      .groupBy(col("__h"))
+      .agg(max(col("__d")).as("crawl_delay_sec"))
+      .select(col("__h").as("host"), col("crawl_delay_sec"))
+  }
+
   /** Sitemap discovery from robots.txt — the `Sitemap:` directive
     * lives OUTSIDE the user-agent groups and applies regardless of
     * agent (sitemaps.org protocol, referenced by RFC 9309 §2.2.4's

@@ -7,6 +7,7 @@ package graft
   * candidate generation staying equi-join-sized, top-k avoiding a global
   * sort.
   */
+@graft.Heavy // top-tier suite by measured wall time; excluded from `sbt smoke`
 class PlanSpec extends SparkSpec {
 
   private def plan(name: String): String = {
@@ -328,6 +329,15 @@ class PlanSpec extends SparkSpec {
     val pii = plan("x_pii_census")
     assert("Exchange".r.findAllIn(pii).size <= 2,
       s"x_pii_census gained a shuffle beyond the presentation sort:\n$pii")
+    // fastText inference and the mojibake chain are map-only too:
+    // literal weight table / replace chain inside the scan projection,
+    // no joins, nothing beyond the presentation sort
+    Seq("x_fasttext", "x_mojibake").foreach { q =>
+      val p = plan(q)
+      assert("Exchange".r.findAllIn(p).size <= 2,
+        s"$q gained a shuffle beyond the presentation sort:\n$p")
+      assert(!p.contains("Join"), s"$q gained a join:\n$p")
+    }
     // kappa/fleiss/mkn: label-space joins, never a cartesian; mkn's
     // 1-row scalar frames ride BroadcastNestedLoopJoin by design
     Seq("x_kappa", "x_fleiss", "x_mkn_nll", "x_compaction_dirs").foreach {

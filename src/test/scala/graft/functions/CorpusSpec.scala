@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.SparkSpec
 
+@graft.Heavy // top-tier suite by measured wall time; excluded from `sbt smoke`
 class CorpusSpec extends SparkSpec {
 
   private lazy val docs = {

@@ -10,6 +10,7 @@ import graft.SparkSpec
   * fixed seeds (the scalatest/scalacheck bridge isn't on the offline
   * classpath — the StatsPropertySpec pattern).
   */
+@graft.Heavy // top-tier suite by measured wall time; excluded from `sbt smoke`
 class CurationPropertySpec extends SparkSpec {
   import spark.implicits._
 

@@ -138,6 +138,42 @@ class RobotsSpec extends SparkSpec {
     }
   }
 
+  test("robotsCrawlDelay: group choice, max-merge, lenient values, run ends") {
+    val bodies = Seq(
+      // exact group beats *, decimal value
+      ("a.com", "User-agent: *\nCrawl-delay: 10\n" +
+        "User-agent: bot\nDisallow: /x\nCrawl-delay: 2.5"),
+      // star-only: malformed ignored, max of survivors
+      ("b.com", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: zip\n" +
+        "Crawl-delay: 4"),
+      // exact group exists WITHOUT the directive: star must not leak
+      ("c.com", "User-agent: bot\nDisallow: /a\n" +
+        "User-agent: *\nCrawl-delay: 7"),
+      // UA run shares the block; negative drops
+      ("d.com", "User-agent: other\nUser-agent: bot\n" +
+        "Crawl-delay: -3\nCrawl-delay: 0.5"),
+      // a crawl-delay line ENDS a UA run (de-facto rule line): the
+      // first UA's delay must NOT attach to the second UA's group
+      ("e.com", "User-agent: *\nCrawl-delay: 9\n" +
+        "User-agent: bot\nDisallow: /y"),
+      // CRLF + comments + case-insensitive directive
+      ("f.com", "user-AGENT: bot # ours\r\ncrawl-DELAY: 3 # slow\r\n"))
+      .toDF("host", "robots")
+    val got = Corpus.robotsCrawlDelay(bodies, "host", "robots", "bot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a.com" -> 2.5, "b.com" -> 4.0, "d.com" -> 0.5,
+      "f.com" -> 3.0), got.toString)
+    // multiple bodies for one host refuse loudly
+    val dup = Seq(("x.com", "User-agent: *\nCrawl-delay: 1"),
+      ("x.com", "User-agent: *\nCrawl-delay: 2")).toDF("host", "robots")
+    val e = intercept[Exception] {
+      Corpus.robotsCrawlDelay(dup, "host", "robots").collect()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString
+      .contains("one body per host"))
+  }
+
   test("robotsGate: RFC 3986 percent-encoding normalization") {
     // (rules for this case's host, path, expected allowed)
     val cases: Seq[(Seq[(String, String)], String, Boolean)] = Seq(

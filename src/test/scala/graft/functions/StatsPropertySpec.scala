@@ -9,6 +9,7 @@ import graft.SparkSpec
   * with fixed seeds (the scalatest/scalacheck bridge isn't on the
   * offline classpath — same pattern as ReducePropertySpec).
   */
+@graft.Heavy // top-tier suite by measured wall time; excluded from `sbt smoke`
 class StatsPropertySpec extends SparkSpec {
 
   // value pools that stress each regime: continuous, heavy-duplicate,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+@graft.Heavy // top-tier suite by measured wall time; excluded from `sbt smoke`
 class StatsSpec extends SparkSpec {
 
   test("profile: null-aware counts, distinct excludes nulls, order pinned") {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+@graft.Heavy // top-tier suite by measured wall time; excluded from `sbt smoke`
 class FileSkipIndexSpec extends SparkSpec {
 
   // Multi-file fixture: documents range-partitioned into 8 parquet files,

@@ -12,6 +12,7 @@ import graft.SparkSpec
   * over generator batches, terminated externally), plus the watermarked
   * event-time upgrade.
   */
+@graft.Heavy // top-tier suite by measured wall time; excluded from `sbt smoke`
 class StreamingSpec extends SparkSpec {
 
   test("per-batch pipeline: each micro-batch reduced in isolation") {
