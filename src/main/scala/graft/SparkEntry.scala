@@ -1179,6 +1179,20 @@ object SparkEntry {
       TF.scriptProfile(docs, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // Mixed-script confusable census: every 9th doc gains a planted
+    // suffix with a Cyrillic-a "paypal", a Greek-Eta "Hello", a pure-
+    // Cyrillic word (NOT mixed) and Han+Latin "Tokyo" (legit bilingual,
+    // NOT mixed) — codepoints spelled via \u escapes here and chr() in
+    // the oracle so no invisible character can drift. Map-only.
+    "x_mixed_script" -> ((s, dir) => {
+      val mixSuffix = " p\u0430ypal \u0397ello " +
+        "\u0442\u0435\u0441\u0442 \u6771\u4eacTokyo"
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(mixSuffix)))
+          .otherwise(col("text")).as("text"))
+      TF.mixedScriptCensus(docs, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // Perceptual-hash image near-dup over the stub decode: planted
     // byte-local perturbations (2 leading chars swapped) move at most 2
     // grid cells, so every planted pair sits within Hamming 2 and the
@@ -5151,6 +5165,34 @@ object SparkEntry {
     // Same explicit code-point ranges as plans.ScriptProfile; ascii() in
     // DuckDB returns the code point of the char, so the planted
     // Cyrillic/CJK/Arabic suffix classifies identically. The dominant-
+    // Mixed-script census: same planted suffix via chr() codepoints,
+    // the same three explicit-range containment tests (\x{...} — the
+    // regex spelling Java and RE2 share), list min as the witness.
+    "x_mixed_script" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN text || ' p' || chr(1072) ||
+        |    'ypal ' || chr(919) || 'ello ' || chr(1090) || chr(1077) ||
+        |    chr(1089) || chr(1090) || ' ' || chr(26481) || chr(20140) ||
+        |    'Tokyo'
+        |  ELSE text END AS text FROM documents),
+        |tk AS (SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM d),
+        |fl AS (SELECT doc_id, tok, list_filter(tok, t ->
+        |   (regexp_matches(t, '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]')
+        |     AND regexp_matches(t, '[\x{0370}-\x{03FF}]'))
+        |   OR (regexp_matches(t, '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]')
+        |     AND regexp_matches(t, '[\x{0400}-\x{04FF}]'))
+        |   OR (regexp_matches(t, '[\x{0370}-\x{03FF}]')
+        |     AND regexp_matches(t, '[\x{0400}-\x{04FF}]'))) AS fx
+        | FROM tk)
+        |SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+        | CAST(len(fx) AS BIGINT) AS n_mixed,
+        | CASE WHEN len(fx) > 0 THEN list_aggregate(fx, 'min') END
+        |   AS mixed_example
+        |FROM fl ORDER BY doc_id""".stripMargin,
+
     // script CASE chain mirrors the engine clause-for-clause; counts
     // CAST to BIGINT (DuckDB SUM(int) is HUGEINT — the budget_select
     // lesson).

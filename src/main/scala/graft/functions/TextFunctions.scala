@@ -132,6 +132,48 @@ object TextFunctions {
           when(dominant(c), lit(c)).otherwise(acc)).as("main_script"))
   }
 
+  /** Mixed-script token census — the Unicode TR39-style confusable
+    * signal: a token mixing letters from two of the THREE mutually
+    * confusable alphabets (Latin, Greek, Cyrillic) is the classic
+    * spoof/typosquat/encoding-damage shape ("pаypal" with a Cyrillic а
+    * survives every ASCII filter and poisons dedup keys and URL
+    * joins). Exactly these three scripts mix: Latin+Han, Latin+kana,
+    * Han+Hangul etc. are LEGITIMATE bilingual text (TR39's
+    * highly-restrictive profile allows them) and stay unflagged.
+    *
+    * Script membership is decided by EXPLICIT code-point ranges (the
+    * [[scriptProfile]] portability discipline — no engine's Unicode
+    * script table is consulted, so Java and RE2 agree by construction):
+    * Latin = ASCII letters + Latin-1/Extended letters (× ÷ carved
+    * out), Greek = U+0370–03FF, Cyrillic = U+0400–04FF. Detection is
+    * three `\x{...}`-range regex containment tests per token — the one
+    * regex spelling Java and RE2 share.
+    *
+    * Map-only: tokens, three rlikes inside an array filter, a count
+    * and a lexicographic min — zero shuffles, bodies never move.
+    *
+    * @return (idCol, n_tokens, n_mixed, mixed_example) —
+    *         mixed_example is the lexicographically smallest flagged
+    *         token (deterministic witness), null when none
+    */
+  def mixedScriptCensus(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = tokens(coalesce(col(textCol), lit("")))
+    val latin = "[A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}" +
+      "\\x{00F8}-\\x{024F}]"
+    val greek = "[\\x{0370}-\\x{03FF}]"
+    val cyr = "[\\x{0400}-\\x{04FF}]"
+    def mixed(t: Column): Column = {
+      val l = t.rlike(latin); val g = t.rlike(greek); val c = t.rlike(cyr)
+      (l && g) || (l && c) || (g && c)
+    }
+    val flagged = filter(toks, mixed _)
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(flagged).cast("long").as("n_mixed"),
+      when(size(flagged) > 0, array_min(flagged)).as("mixed_example"))
+  }
+
   /** 64-bit document fingerprint: xxhash64 of the full text. Stable across
     * runs/partitions; join-able; the exact-dedup key of choice at 100 TB
     * (8 bytes shuffled instead of the document body).

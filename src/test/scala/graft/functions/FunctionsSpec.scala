@@ -70,6 +70,56 @@ class FunctionsSpec extends SparkSpec {
     assert(n6 == 2L && s6 == "other") // surrogate pair counted once
   }
 
+  test("mixedScriptCensus: confusable triangle flags, legit bilingual passes") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "pаypal visits Ηello"), // Cyr-a + Greek-Eta mixes
+        Row(2L, "тест plain"), // pure Cyr + pure Latin: no
+        Row(3L, "東京Tokyo café 42"), // Han+Latin legit; Latin-1 é
+        Row(4L, "αб"),                   // Greek+Cyrillic in one token
+        Row(5L, ""), Row(6L, null),
+        Row(7L, "x9×y"))), // × (00D7) carved out of the Latin range
+      schema)
+    val out = TextFunctions.mixedScriptCensus(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getString(3))))).toMap
+    assert(out(1L) == ((3L, 2L, Some("pаypal"))), out(1L).toString)
+    assert(out(2L) == ((2L, 0L, None)))
+    assert(out(3L) == ((3L, 0L, None)), "Han+Latin must stay unflagged")
+    assert(out(4L) == ((1L, 1L, Some("αб"))))
+    assert(out(5L) == ((0L, 0L, None)) && out(6L) == ((0L, 0L, None)))
+    assert(out(7L) == ((1L, 0L, None)), "multiplication sign is not a letter")
+    // fuzz vs an independent range classifier
+    val rnd = new scala.util.Random(1511)
+    val pool = "abZéøœαΩбЯ中9.- "
+    val cases = (1L to 120L).map { i =>
+      (i, (0 until rnd.nextInt(30)).map(_ => pool(rnd.nextInt(pool.length)))
+        .mkString)
+    }
+    def cls(c: Char): Int = // the documented ranges, transcribed
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= 0xC0 && c <= 0xD6) || (c >= 0xD8 && c <= 0xF6) ||
+        (c >= 0xF8 && c <= 0x24F)) 1
+      else if (c >= 0x370 && c <= 0x3FF) 2
+      else if (c >= 0x400 && c <= 0x4FF) 3
+      else 0
+    def refMixed(t: String): Boolean =
+      t.map(cls).filter(_ > 0).distinct.size >= 2
+    val got = TextFunctions.mixedScriptCensus(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(cases.map(c => Row(c._1, c._2))),
+          schema), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    cases.foreach { case (i, s) =>
+      val want = s.trim.split("\\s+").filter(_.nonEmpty)
+        .count(refMixed).toLong
+      assert(got(i) == want, s"case $i '$s': got ${got(i)}, want $want")
+    }
+  }
+
   test("langId picks dominant stopword profile") {
     val out = docs.select(col("id"), TextFunctions.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
