@@ -2541,6 +2541,17 @@ object SparkEntry {
           "doc_id", "url")
         .orderBy("doc_id")),
 
+    // Crawl-frontier URL features over the five planted URL shapes:
+    // default-port strip vs kept 8080, depth/params/ext extraction,
+    // the no-path host, schemeless never occurs here (all five carry
+    // schemes — the null branch is spec territory). Map-only.
+    "x_url_features" -> ((s, dir) =>
+      Corpus.urlFeatures(
+          t(s, dir, "documents").select(col("doc_id"),
+            plantedUrl.as("url")),
+          "doc_id", "url")
+        .orderBy("doc_id")),
+
     // RFC 9309 robots gate over the planted crawl URLs: per-host rule
     // table (broadcast), wildcard patterns compiled to anchored
     // regexes over the shared Java/RE2 subset, longest-pattern wins
@@ -8399,6 +8410,39 @@ object SparkEntry {
     // RE2/Java-shared metacharacters, * → .*, trailing $ → \z), same
     // longest/allow/pattern window order — precedence decided
     // identically on both engines.
+    // URL features: the canon chain to p5, then the feature algebra
+    // (path/query split at the first ?, port-stripped host labels,
+    // non-empty-segment counts, the 1-5-alnum extension).
+    "x_url_features" ->
+      (urlCanonOracleChain("doc_id,") +
+        """,f0 AS (SELECT doc_id, u, hs, host,
+          |  CASE WHEN strpos(pathq, '?') > 0
+          |    THEN substring(pathq, 1, strpos(pathq, '?') - 1)
+          |    ELSE pathq END AS pth,
+          |  CASE WHEN strpos(pathq, '?') > 0
+          |    THEN substring(pathq, strpos(pathq, '?') + 1)
+          |    ELSE '' END AS qry,
+          |  regexp_replace(host, ':[0-9]+$', '') AS hnp
+          | FROM p5)
+          |SELECT doc_id, u AS url,
+          | CASE WHEN hs THEN host END AS host,
+          | CASE WHEN hs THEN CAST(len(list_filter(str_split(pth, '/'),
+          |   s -> s <> '')) AS BIGINT) END AS path_depth,
+          | CASE WHEN hs THEN CAST(length(pth) AS BIGINT) END
+          |   AS path_chars,
+          | CASE WHEN hs THEN CAST(len(list_filter(str_split(qry, '&'),
+          |   s -> s <> '')) AS BIGINT) END AS n_params,
+          | CASE WHEN hs THEN CAST(len(str_split(hnp, '.')) AS BIGINT)
+          |   END AS host_labels,
+          | CASE WHEN hs THEN regexp_matches(hnp, '[0-9]') END
+          |   AS host_digits,
+          | CASE WHEN hs THEN regexp_matches(hnp, '(^|\.)xn--') END
+          |   AS is_idn,
+          | CASE WHEN hs THEN
+          |   lower(regexp_extract(pth, '\.([A-Za-z0-9]{1,5})$', 1)) END
+          |   AS ext
+          |FROM f0 ORDER BY doc_id""".stripMargin),
+
     "x_robots_gate" ->
       (urlCanonOracleChain("doc_id,") +
         raw""",tg0 AS (SELECT doc_id, u AS url,

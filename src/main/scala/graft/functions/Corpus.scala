@@ -2084,6 +2084,59 @@ object Corpus {
         col("n_params_stripped"): _*)
   }
 
+  /** Crawl-frontier URL features — the shape signals a scheduler ranks
+    * candidate URLs by before any fetch happens (frontier
+    * prioritization: shallow paths on clean hosts first; deep,
+    * parameter-heavy, digit-ridden or punycode URLs are the classic
+    * low-yield / spam / infinite-calendar tails). All features derive
+    * from [[urlAuthority]] — the SAME parse the canon pipeline and
+    * robotsGate use, so a frontier scored here joins them without
+    * re-parsing drift. Map-only; one projection, nothing shuffles.
+    *
+    * Feature contract (each deterministic and engine-portable):
+    *  - `path_depth`   — non-empty `/` segments of the path (query
+    *    excluded): /a/b/c?x=1 → 3, bare host → 0
+    *  - `path_chars`   — octet-free character length of the path
+    *  - `n_params`     — non-empty `&`-separated query params
+    *  - `host_labels`  — dot-separated labels of the port-stripped
+    *    host
+    *  - `host_digits`  — the port-stripped host contains a digit
+    *    (IP-literal / dga-ish signal)
+    *  - `is_idn`       — any host label is punycode (`xn--` prefix)
+    *  - `ext`          — lowercased final extension of the path's last
+    *    segment (1–5 alphanumerics), '' when none
+    *
+    * Schemeless rows keep their url with every feature null (nothing
+    * to parse — the caller's quarantine decision, the robotsGate
+    * convention).
+    *
+    * @return (idCol, url, host, path_depth, path_chars, n_params,
+    *         host_labels, host_digits, is_idn, ext)
+    */
+  def urlFeatures(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val parts = urlAuthority(urlCol)
+    val qPos = instr(parts.pathq, "?")
+    val path = when(qPos > 0, parts.pathq.substr(lit(1), qPos - 1))
+      .otherwise(parts.pathq)
+    val query = when(qPos > 0,
+      parts.pathq.substr(qPos + 1, length(parts.pathq))).otherwise(lit(""))
+    val hostNoPort = regexp_replace(parts.host, lit(":[0-9]+\\z"), lit(""))
+    def nonEmptyCount(c: Column, sep: String): Column =
+      size(filter(split(c, sep, -1), s => s =!= ""))
+    def feat(c: Column): Column = when(parts.hasScheme, c)
+    df.select(col(idCol), parts.u.as("url"),
+      feat(parts.host).as("host"),
+      feat(nonEmptyCount(path, "/")).cast("long").as("path_depth"),
+      feat(length(path)).cast("long").as("path_chars"),
+      feat(nonEmptyCount(query, "&")).cast("long").as("n_params"),
+      feat(size(split(hostNoPort, "\\.", -1))).cast("long")
+        .as("host_labels"),
+      feat(hostNoPort.rlike("[0-9]")).as("host_digits"),
+      feat(hostNoPort.rlike("(^|\\.)xn--")).as("is_idn"),
+      feat(lower(regexp_extract(path, "\\.([A-Za-z0-9]{1,5})\\z", 1)))
+        .as("ext"))
+  }
+
   /** robots.txt group selection (RFC 9309 §2.2.1) — parse each host's
     * robots body into the (directive, pattern) rules that apply to
     * `agent`: lines classify case-insensitively into `User-agent:` /

@@ -1457,6 +1457,35 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L) == 0.0)
   }
 
+  test("urlFeatures: depth/params/ext algebra, ports, idn, schemeless nulls") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://a.example.com/x/y/z.HTML?a=1&b=2&&c=3"),
+      (2L, "http://example.net"),                    // bare host: all zeros
+      (3L, "https://cdn.example.org:8080/lib.min.js?v=7"),
+      (4L, "http://xn--bcher-kva.example/a%20b/"),   // punycode label
+      (5L, "https://10.0.0.1/deep//path/?"),         // digits, empty segs
+      (6L, "not a url"),                             // schemeless → nulls
+      (7L, "HTTP://HOST.COM:80/File.TXT"))           // default port strips
+      .toDF("id", "url")
+    val got = Corpus.urlFeatures(urls, "id", "url")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long) = {
+      val r = got(id)
+      (r.getString(2), r.getLong(3), r.getLong(5), r.getLong(6),
+        r.getBoolean(7), r.getBoolean(8), r.getString(9))
+    }
+    assert(f(1L) == (("a.example.com", 3L, 3L, 3L, false, false, "html")))
+    assert(f(2L) == (("example.net", 0L, 0L, 2L, false, false, "")))
+    assert(f(3L) == (("cdn.example.org:8080", 1L, 1L, 3L, false, false,
+      "js")), f(3L).toString) // port kept in host, stripped for labels
+    assert(f(4L)._5 == false && f(4L)._6 == true && f(4L)._2 == 1L)
+    assert(f(5L) == (("10.0.0.1", 2L, 0L, 4L, true, false, "")),
+      f(5L).toString) // empty segments and empty params don't count
+    assert((2 to 9).forall(got(6L).isNullAt), "schemeless must be all-null")
+    assert(f(7L) == (("host.com", 1L, 0L, 2L, false, false, "txt")))
+  }
+
   test("mojibakeRepair: round-trip, idempotence, hand examples, counts") {
     import spark.implicits._
     // independent WHATWG windows-1252 decoder (NOT Corpus's): indexes
