@@ -796,6 +796,25 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // Language ID: stopword-profile argmax heuristic.
+    // Scored language ID over planted multilingual suffixes: German /
+    // French / Spanish stopword runs flip the verdict on their docs, a
+    // planted 1-1 en/de tie reads margin 0 with en winning by profile
+    // order. All-integer outputs; map-only.
+    "x_langid_scored" -> ((s, dir) => {
+      val txt = when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" der die das und ist nicht")))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit(" le la et les des est")))
+        .when(col("doc_id") % 5 === 3,
+          concat(col("text"), lit(" el los las y que")))
+        .when(col("doc_id") % 5 === 4, lit("the und"))
+        .otherwise(col("text"))
+      TF.langIdScored(
+          t(s, dir, "documents").select(col("doc_id"), txt.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "x_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), col("lang"),
@@ -4800,6 +4819,41 @@ object SparkEntry {
         |    ELSE CAST(LENGTH(regexp_replace(text, '[^.,!?;:''"()-]', '', 'g')) AS DOUBLE)
         |         / CAST(LENGTH(text) AS DOUBLE) END) AS quality
         |FROM toks ORDER BY doc_id""".stripMargin,
+    // Scored langid: the same stopword hit counts as BIGINT list
+    // filters, DESC list sort for top/second, the profile-order CASE.
+    "x_langid_scored" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 1
+        |    THEN text || ' der die das und ist nicht'
+        |   WHEN doc_id % 5 = 2 THEN text || ' le la et les des est'
+        |   WHEN doc_id % 5 = 3 THEN text || ' el los las y que'
+        |   WHEN doc_id % 5 = 4 THEN 'the und'
+        |   ELSE text END AS text
+        | FROM documents),
+        |tk AS (SELECT doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM d),
+        |h AS (SELECT doc_id,
+        |  CAST(len(list_filter(tok, t -> lower(t) IN ('the','a','of','and','to','is','in'))) AS BIGINT) AS h_en,
+        |  CAST(len(list_filter(tok, t -> lower(t) IN ('der','die','das','und','ist','nicht','ein'))) AS BIGINT) AS h_de,
+        |  CAST(len(list_filter(tok, t -> lower(t) IN ('le','la','et','les','des','un','est'))) AS BIGINT) AS h_fr,
+        |  CAST(len(list_filter(tok, t -> lower(t) IN ('el','los','las','de','y','que','un'))) AS BIGINT) AS h_es,
+        |  CAST(len(list_filter(tok, t -> lower(t) IN ('的','是','了','不','在','我','有'))) AS BIGINT) AS h_zh
+        | FROM tk),
+        |s AS (SELECT *,
+        |  list_sort([h_en, h_de, h_fr, h_es, h_zh], 'DESC') AS srt
+        | FROM h)
+        |SELECT doc_id,
+        | CASE WHEN srt[1] = 0 THEN 'und'
+        |      WHEN h_en = srt[1] THEN 'en'
+        |      WHEN h_de = srt[1] THEN 'de'
+        |      WHEN h_fr = srt[1] THEN 'fr'
+        |      WHEN h_es = srt[1] THEN 'es'
+        |      ELSE 'zh' END AS lang,
+        | CASE WHEN srt[1] > 0 THEN srt[1] ELSE 0 END AS n_hits,
+        | CASE WHEN srt[1] > 0 THEN srt[1] - srt[2] ELSE 0 END AS margin
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "x_langid" ->
       """WITH toks AS (

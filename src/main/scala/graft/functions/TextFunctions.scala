@@ -98,6 +98,45 @@ object TextFunctions {
     graft.plans.HashExpressions.stopwordProfileArgmax(
       tokens(text), LangProfiles.map(_._1), LangProfiles.map(_._2))
 
+  /** Scored language ID — [[langId]]'s verdict plus the CONFIDENCE a
+    * routing pipeline needs (the CCNet pattern: high-margin docs take
+    * the cheap path, low-margin docs route to a heavier identifier or
+    * quarantine). Per language, `hits` counts tokens in that
+    * language's stopword profile (case-insensitive, [[LangProfiles]]);
+    * the verdict is the argmax with ties resolved by profile order
+    * (the [[langId]] contract — spec-pinned equal to the codegen'd
+    * kernel on fuzzed text), `n_hits` is the winner's count and
+    * `margin = top − second` over the full hit vector (a tie at the
+    * top reads margin 0 — exactly the "don't trust this" signal).
+    * Zero hits anywhere → ("und", 0, 0).
+    *
+    * All-integer outputs, so the oracle reproduces them exactly; the
+    * second-best hit count comes from a 5-element array sort, not a
+    * pairwise CASE pyramid. Map-only: |profiles| array filters inside
+    * one scan projection, zero shuffles.
+    *
+    * @return (idCol, lang, n_hits, margin)
+    */
+  def langIdScored(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val toks = tokens(coalesce(col(textCol), lit("")))
+    val hits = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => lower(t).isin(words: _*)))
+    }
+    val hitArr = array(hits.map(_._2.cast("long")): _*)
+    val sorted = sort_array(hitArr, asc = false)
+    val top = element_at(sorted, 1)
+    val second = element_at(sorted, 2)
+    val lang = hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
+      when(h.cast("long") === top && top > 0L, lit(l)).otherwise(acc)
+    }
+    // foldRight keeps the FIRST profile-order winner: later whens wrap
+    // earlier ones as the otherwise branch, so en beats de on a tie
+    df.select(col(idCol), lang.as("lang"),
+      when(top > 0L, top).otherwise(0L).as("n_hits"),
+      when(top > 0L, top - second).otherwise(0L).as("margin"))
+  }
+
   /** Unicode-script census per document — the multilingual routing
     * prefilter that runs BEFORE any tokenizer choice (stopword langid
     * assumes you already know roughly which scripts to try; a CJK doc

@@ -333,7 +333,7 @@ class PlanSpec extends SparkSpec {
     // literal weight table / replace chain inside the scan projection,
     // no joins, nothing beyond the presentation sort
     Seq("x_fasttext", "x_mojibake", "x_mixed_script",
-        "x_url_features").foreach { q =>
+        "x_url_features", "x_langid_scored").foreach { q =>
       val p = plan(q)
       assert("Exchange".r.findAllIn(p).size <= 2,
         s"$q gained a shuffle beyond the presentation sort:\n$p")

@@ -70,6 +70,47 @@ class FunctionsSpec extends SparkSpec {
     assert(n6 == 2L && s6 == "other") // surrogate pair counted once
   }
 
+  test("langIdScored: verdict == langId kernel, margins, ties, und") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val directed = Seq(
+      Row(1L, "the cat is in the hat"),       // en, clear margin
+      Row(2L, "der Hund ist nicht ein Fisch"), // de
+      Row(3L, "the und"),                      // 1-1 tie: en by order, margin 0
+      Row(4L, "xyzzy plugh"),                  // no hits: und/0/0
+      Row(5L, ""), Row(6L, null))
+    val got = TextFunctions.langIdScored(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(directed), schema), "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L)._1 == "en" && got(1L)._3 >= 1L)
+    assert(got(2L)._1 == "de")
+    assert(got(3L) == (("en", 1L, 0L)), "tie must read en by order, margin 0")
+    assert(got(4L) == (("und", 0L, 0L)))
+    assert(got(5L) == (("und", 0L, 0L)) && got(6L) == (("und", 0L, 0L)))
+    // fuzz: the declarative scored verdict must equal the codegen'd
+    // langId kernel on arbitrary stopword soup
+    val pool = TextFunctions.LangProfiles.flatMap(_._2) ++
+      Seq("zz", "Qq", "123", "")
+    val rnd = new scala.util.Random(1513)
+    val cases = (1L to 150L).map { i =>
+      (i, (0 until rnd.nextInt(14)).map(_ => pool(rnd.nextInt(pool.length)))
+        .mkString(" "))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map(c => Row(c._1, c._2))), schema)
+    val scored = TextFunctions.langIdScored(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kernel = df.select(col("id"),
+        TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (i, s) =>
+      assert(scored(i) == kernel(i),
+        s"case $i '$s': scored ${scored(i)} vs kernel ${kernel(i)}")
+    }
+  }
+
   test("mixedScriptCensus: confusable triangle flags, legit bilingual passes") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))
