@@ -877,6 +877,27 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
         .limit(100)),
 
+    // Zipf rank-frequency fit over the top-500 vocabulary: OLS of
+    // ln cnt on ln rank (slope ~ -1 on natural text; template/spam
+    // bends it) — the one-number corpus-health dual of x_vocab. Both
+    // ln inputs are integral doubles, OLS sums ride DECIMAL(30,15),
+    // the closing scalar arithmetic is pinned-order doubles.
+    "x_zipf" -> ((s, dir) =>
+      Corpus.zipfFit(t(s, dir, "documents"), "text", maxRank = 500)),
+
+    // Heaps'-law vocabulary growth: cumulative distinct types vs
+    // cumulative tokens at 1000-doc checkpoints (types charged to
+    // their min-doc_id bucket = exact prefix semantics). Dataset-sizing
+    // instrument: a flattening curve is the saturation/duplication
+    // signal. Exact integers end-to-end; the only ordered window runs
+    // over the config-sized bucket table. Width 50 reads 10 checkpoints
+    // from the 500-doc fixture (100 at sf0.1) — a real curve, not one
+    // degenerate point.
+    "x_heaps" -> ((s, dir) =>
+      Corpus.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+          bucketWidth = 50L)
+        .orderBy("bucket")),
+
     // Mergeable-sketch rollup (Datasketches HLL): per-nation sketches of
     // distinct customers, UNIONED up to region level without rescanning
     // the fact table — the pattern that makes multi-granularity distinct
@@ -4973,6 +4994,65 @@ object SparkEntry {
         | FROM documents)
         |SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token
         |ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    // Zipf OLS mirrored term-for-term: ln only ever sees an integral
+    // double (rank, count), products are correctly-rounded double
+    // multiplies, sums accumulate in DECIMAL(30,15), and the
+    // slope/intercept/r2 expressions spell the identical pinned
+    // association order as the Spark tree.
+    "x_zipf" ->
+      raw"""WITH tk AS (
+        | SELECT unnest(CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0
+        |   THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS t
+        | FROM documents),
+        |tc AS (SELECT t, COUNT(*) AS c FROM tk GROUP BY 1),
+        |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+        |  FROM tc ORDER BY c DESC, t LIMIT 500),
+        |s AS (SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+        | CAST(SUM(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(30,15))) AS DOUBLE) AS sy,
+        | CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+        |   AS DECIMAL(30,15))) AS DOUBLE) AS sxy,
+        | CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+        |   AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+        | CAST(SUM(CAST(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+        |   AS DECIMAL(30,15))) AS DOUBLE) AS syy
+        | FROM top)
+        |SELECT CAST(n AS BIGINT) AS n_ranks,
+        | ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |   / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS zipf_slope,
+        | ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |   / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+        |   / CAST(n AS DOUBLE), 9) AS zipf_intercept,
+        | ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |     * (CAST(n AS DOUBLE) * sxy - sx * sy))
+        |   / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |     * (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS r2
+        |FROM s""".stripMargin,
+
+    // Heaps growth mirrored with floor-div buckets and window sums
+    // (HUGEINT -> BIGINT casts per the DuckDB SUM convention); types
+    // charged to MIN(bucket) exactly as the Spark min-agg.
+    "x_heaps" ->
+      raw"""WITH d AS (SELECT doc_id // 50 AS b,
+        |  CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0
+        |    THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |spine AS (SELECT b, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(tok)) AS BIGINT) AS nt FROM d GROUP BY 1),
+        |ft AS (SELECT t, MIN(b) AS fb
+        | FROM (SELECT b, unnest(tok) AS t FROM d) GROUP BY 1),
+        |nw AS (SELECT fb AS b, COUNT(*) AS nn FROM ft GROUP BY 1)
+        |SELECT s.b AS bucket, CAST(s.n_docs AS BIGINT) AS n_docs,
+        | CAST(COALESCE(nw.nn, 0) AS BIGINT) AS new_types,
+        | CAST(SUM(s.nt) OVER (ORDER BY s.b ROWS UNBOUNDED PRECEDING)
+        |   AS BIGINT) AS cum_tokens,
+        | CAST(SUM(COALESCE(nw.nn, 0)) OVER (ORDER BY s.b
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        |FROM spine s LEFT JOIN nw ON nw.b = s.b
+        |ORDER BY bucket""".stripMargin,
 
     "x_resample" ->
       """WITH hourly AS (

@@ -4799,4 +4799,107 @@ object Corpus {
       size(luhnOk).cast("long").as("n_card"),
       (size(sized) - size(luhnOk)).cast("long").as("n_card_like"))
   }
+
+  /** Zipf rank–frequency fit over the corpus vocabulary (Zipf 1949;
+    * the log–log OLS convention of Moreno-Sánchez et al. 2016): rank
+    * the top-`maxRank` token types by frequency and regress
+    * `ln cnt` on `ln rank`. A natural corpus reads slope ≈ −1;
+    * template/spam/synthetic text bends the curve (flatter head =
+    * copy-paste boilerplate, steeper tail = token salad), so the
+    * slope is a one-number corpus-health signal that complements the
+    * per-document gates ([[repetitionSignals]], [[qualitySignals]]).
+    *
+    * Cross-engine exactness: both regression inputs are `ln` of
+    * INTEGRAL doubles (a rank, a count — the proven-safe class), the
+    * per-rank products are correctly-rounded double multiplies, the
+    * five OLS sums accumulate in DECIMAL(30,15) (order-free), and the
+    * closing slope/intercept/r² arithmetic is scalar double ops in
+    * pinned association order over one row — every step reproduces
+    * bit-for-bit on any engine and any partitioning.
+    *
+    * Shuffle profile: one vocab-sized token count aggregation
+    * (map-side partials), a top-`maxRank` TakeOrdered (per-partition
+    * heaps — nothing corpus-sized sorts), then rank assignment and the
+    * OLS rollup over `maxRank` rows. Scale ceiling is the vocabulary
+    * aggregation, the same exchange [[pmiTopK]] and x_vocab already
+    * pay.
+    *
+    * @return one row: (n_ranks, zipf_slope, zipf_intercept, r2)
+    */
+  def zipfFit(df: DataFrame, textCol: String, maxRank: Int = 500): DataFrame = {
+    require(maxRank >= 2, s"maxRank must be >= 2, got $maxRank")
+    val top = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t").asc)
+      .limit(maxRank)
+      // maxRank rows from here on — the single-partition window is a
+      // window over a driver-bounded frame, not a corpus sort
+      .withColumn("__r",
+        row_number().over(Window.orderBy(col("__c").desc, col("__t").asc)))
+    val x = log(col("__r").cast("double"))
+    val y = log(col("__c").cast("double"))
+    def dsum(c: Column) = sum(c.cast(DecimalType(30, 15))).cast("double")
+    val s = top.agg(
+      count(lit(1)).as("n_ranks"),
+      dsum(x).as("__sx"), dsum(y).as("__sy"), dsum(x * y).as("__sxy"),
+      dsum(x * x).as("__sxx"), dsum(y * y).as("__syy"))
+    val nD = col("n_ranks").cast("double")
+    // pinned association order — the SQL oracle spells the identical tree
+    val dn = nD * col("__sxy") - col("__sx") * col("__sy")
+    val dx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val dy = nD * col("__syy") - col("__sy") * col("__sy")
+    s.select(col("n_ranks"),
+      round(dn / dx, 9).as("zipf_slope"),
+      round((col("__sy") - (dn / dx) * col("__sx")) / nD, 9)
+        .as("zipf_intercept"),
+      round((dn * dn) / (dx * dy), 9).as("r2"))
+  }
+
+  /** Heaps'-law vocabulary growth curve (Heaps 1978): cumulative
+    * distinct token types vs cumulative tokens, checkpointed every
+    * `bucketWidth` documents in `idCol` order. The curve is THE
+    * dataset-sizing instrument for tokenizer training and dedup
+    * planning — "how much new vocabulary does the next shard buy?" —
+    * and a flattening curve is the classic saturation/duplication
+    * signal (a heavily duplicated crawl stops growing types long
+    * before it stops growing tokens).
+    *
+    * A type is charged to the bucket of the FIRST document (minimum
+    * id) containing it, so `cum_types` at bucket b is exactly the
+    * distinct-type count of documents with id < (b+1)·bucketWidth —
+    * the prefix semantics, computed without any per-prefix rescan.
+    *
+    * Shuffle profile: one doc-bucket aggregation for the token spine,
+    * one vocab-sized min-bucket aggregation (map-side combined) for
+    * first occurrences, then the cumulative window runs over the
+    * BUCKET table (corpus/bucketWidth rows — config-sized; the only
+    * ordered window never touches corpus-sized data). Output is exact
+    * integers end-to-end — nothing to round, nothing engine-variant.
+    *
+    * @return (bucket, n_docs, new_types, cum_tokens, cum_types)
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  bucketWidth: Long = 1000L): DataFrame = {
+    require(bucketWidth >= 1L, s"bucketWidth must be >= 1, got $bucketWidth")
+    val withB = df.select(
+      (col(idCol) - pmod(col(idCol), lit(bucketWidth))).cast("long")
+        .divide(lit(bucketWidth)).cast("long").as("__b"),
+      TextFunctions.tokens(col(textCol)).as("__tk"))
+    val spine = withB.groupBy(col("__b")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("__tk")).cast("long")).as("__nt"))
+    val firsts = withB
+      .select(col("__b"), explode(col("__tk")).as("__t"))
+      .groupBy(col("__t")).agg(min(col("__b")).as("__fb"))
+      .groupBy(col("__fb")).agg(count(lit(1)).as("__new"))
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(firsts.withColumnRenamed("__fb", "__b"), Seq("__b"), "left")
+      .withColumn("new_types", coalesce(col("__new"), lit(0L)))
+      .select(col("__b").as("bucket"), col("n_docs"), col("new_types"),
+        sum(col("__nt")).over(w).as("cum_tokens"),
+        sum(col("new_types")).over(w).as("cum_types"))
+  }
 }

@@ -437,6 +437,96 @@ class CorpusSpec extends SparkSpec {
       "doc-level rewrite diverged from the per-token formula")
   }
 
+  test("zipfFit matches an independent driver-side OLS on a fuzzed corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1505)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (1L to 200L).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      // min of two uniforms skews the distribution Zipf-ward
+      (i, (0 until n)
+        .map(_ => words(math.min(rnd.nextInt(10), rnd.nextInt(10))))
+        .mkString(" "))
+    }
+    val got = Corpus.zipfFit(docs.toDF("doc_id", "text"), "text",
+      maxRank = 7).collect()(0)
+    // independent reference: plain Scala counts + the same
+    // decimal-15-term OLS the operator promises
+    val top = docs.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(7)
+    val xs = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    def d15(v: Double) =
+      BigDecimal(v).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    def r9(v: Double) =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = xs.size.toDouble
+    val sx = xs.map(p => d15(p._1)).sum.toDouble
+    val sy = xs.map(p => d15(p._2)).sum.toDouble
+    val sxy = xs.map(p => d15(p._1 * p._2)).sum.toDouble
+    val sxx = xs.map(p => d15(p._1 * p._1)).sum.toDouble
+    val syy = xs.map(p => d15(p._2 * p._2)).sum.toDouble
+    val dn = n * sxy - sx * sy
+    val dx = n * sxx - sx * sx
+    val dy = n * syy - sy * sy
+    assert(got.getLong(0) == 7L)
+    assert(got.getDouble(1) == r9(dn / dx), "slope")
+    assert(got.getDouble(2) == r9((sy - (dn / dx) * sx) / n), "intercept")
+    assert(got.getDouble(3) == r9((dn * dn) / (dx * dy)), "r2")
+  }
+
+  test("zipfFit on an exact power-law reads slope -1, r2 1") {
+    import spark.implicits._
+    // counts 120/r for ranks 1..4 — exactly ln c = ln 120 - 1 * ln r
+    val text = Seq.fill(120)("w1") ++ Seq.fill(60)("w2") ++
+      Seq.fill(40)("w3") ++ Seq.fill(30)("w4")
+    val df = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val got = Corpus.zipfFit(df, "text", maxRank = 500).collect()(0)
+    assert(got.getLong(0) == 4L, "maxRank beyond vocab: n_ranks = vocab")
+    assert(math.abs(got.getDouble(1) - (-1.0)) < 1e-8, s"slope ${got.getDouble(1)}")
+    assert(math.abs(got.getDouble(3) - 1.0) < 1e-8, s"r2 ${got.getDouble(3)}")
+  }
+
+  test("vocabGrowth: hand curve with empty/null docs") {
+    import spark.implicits._
+    val hand = Seq(
+      (0L, "a b a"), (1L, "b c"), // bucket 0: 5 tokens, new {a,b,c}
+      (2L, "c d"), (3L, ""),      // bucket 1: 2 tokens, new {d}
+      (4L, null.asInstanceOf[String]), (5L, "a e e")) // bucket 2: 3, {e}
+      .toDF("doc_id", "text")
+    val got = Corpus.vocabGrowth(hand, "doc_id", "text", bucketWidth = 2L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((0L, 2L, 3L, 5L, 3L), (1L, 2L, 1L, 7L, 4L),
+      (2L, 2L, 1L, 10L, 5L)), got.toString)
+  }
+
+  test("vocabGrowth cum columns equal true prefix counts on fuzzed docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1506)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j",
+      "k", "l")
+    val docs = (0L until 120L).map { i =>
+      (i, (0 until rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }
+    val w = 7L
+    val got = Corpus.vocabGrowth(docs.toDF("doc_id", "text"), "doc_id",
+        "text", bucketWidth = w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (b, (cumTok, cumTyp)) =>
+      val toks = docs.filter(_._1 < (b + 1) * w)
+        .flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+      assert(cumTok == toks.size.toLong, s"bucket $b tokens")
+      assert(cumTyp == toks.distinct.size.toLong, s"bucket $b types")
+    }
+  }
+
   test("packOffsets equals the naive global-window cumsum at any bucket width") {
     import org.apache.spark.sql.expressions.Window
     val base = spark.range(0, 300).select(
