@@ -2831,6 +2831,22 @@ object SparkEntry {
     "x_pmi" -> ((s, dir) =>
       Corpus.pmiTopK(t(s, dir, "documents"), "text", k = 30, minCount = 5L)),
 
+    // Top-30 collocations by Pearson chi-square — the hypothesis-test
+    // counterpart of x_pmi (PMI over-rewards rare pairs; chi2 weighs
+    // evidence). All O's are exact longs cast to double; the chi2
+    // expression is pinned-order correctly-rounded double arithmetic.
+    "x_chi2_colloc" -> ((s, dir) =>
+      Corpus.chi2Collocations(t(s, dir, "documents"), "text", k = 30,
+        minCount = 5L)),
+
+    // Church-Gale term burstiness: cf/df + variance-to-mean of per-doc
+    // counts (zeros in) per token with df >= 5, top-30 by burst — the
+    // topicality/keyword signal TF-IDF approximates. Exact integers +
+    // two pinned-order double ratios.
+    "x_burstiness" -> ((s, dir) =>
+      Corpus.burstiness(t(s, dir, "documents"), "doc_id", "text", k = 30,
+        minDf = 5L)),
+
     // Within-document repetition removal (MassiveText intra-doc dedup):
     // every repeat of a unit after its first occurrence in the SAME doc
     // is deleted, order preserved. Exercised at word granularity — the
@@ -6534,6 +6550,56 @@ object SparkEntry {
         |ORDER BY (CAST(c_ab AS DOUBLE) * CAST(nbig AS DOUBLE))
         |   / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) DESC, w1, w2
         |LIMIT 30""".stripMargin,
+
+    // Chi-square mirrored with marginals from the bigram table itself;
+    // O's are exact BIGINT arithmetic cast to double, the chi2
+    // expression spells the identical pinned association order.
+    "x_chi2_colloc" ->
+      raw"""WITH tk AS (SELECT regexp_split_to_array(TRIM(text), '\s+') AS t
+        |  FROM documents WHERE LENGTH(TRIM(text)) > 0),
+        |big AS (SELECT unnest(list_transform(range(1, len(t)), i ->
+        |   {'w1': t[CAST(i AS INTEGER)], 'w2': t[CAST(i AS INTEGER) + 1]}))
+        |   AS bg
+        | FROM tk),
+        |bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c_ab
+        | FROM big GROUP BY 1, 2),
+        |r AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS r1 FROM bc GROUP BY 1),
+        |c AS (SELECT w2, CAST(SUM(c_ab) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS nbig FROM bc),
+        |j AS (SELECT bc.w1, bc.w2, bc.c_ab, r.r1, c.c1, n.nbig,
+        |  CAST(bc.c_ab AS DOUBLE)
+        |      * CAST(n.nbig - r.r1 - c.c1 + bc.c_ab AS DOUBLE)
+        |    - CAST(r.r1 - bc.c_ab AS DOUBLE)
+        |      * CAST(c.c1 - bc.c_ab AS DOUBLE) AS d
+        | FROM bc JOIN r ON r.w1 = bc.w1 JOIN c ON c.w2 = bc.w2, n
+        | WHERE bc.c_ab >= 5)
+        |SELECT w1, w2, c_ab, r1, c1, nbig,
+        | ROUND((CAST(nbig AS DOUBLE) * (d * d))
+        |   / ((CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE))
+        |     * (CAST(nbig - r1 AS DOUBLE) * CAST(nbig - c1 AS DOUBLE))), 9)
+        |   AS chi2
+        |FROM j ORDER BY chi2 DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    // Burstiness mirrored: exact integer term stats, two pinned-order
+    // double ratios (HUGEINT sums cast back to BIGINT per convention).
+    "x_burstiness" ->
+      raw"""WITH dt AS (SELECT doc_id, t, COUNT(*) AS c FROM (
+        |  SELECT doc_id, unnest(CASE WHEN text IS NULL
+        |    OR LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS t
+        |  FROM documents) GROUP BY 1, 2),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |term AS (SELECT t, CAST(SUM(c) AS BIGINT) AS cf, COUNT(*) AS df,
+        |  CAST(SUM(c * c) AS BIGINT) AS sum_c2 FROM dt GROUP BY 1
+        |  HAVING COUNT(*) >= 5)
+        |SELECT t AS token, cf, df, sum_c2, n_docs,
+        | ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 9) AS burst,
+        | ROUND(((CAST(sum_c2 AS DOUBLE)
+        |     - (CAST(cf AS DOUBLE) * CAST(cf AS DOUBLE))
+        |       / CAST(n_docs AS DOUBLE))
+        |    / (CAST(n_docs AS DOUBLE) - 1.0))
+        |   / (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)), 9) AS vmr
+        |FROM term, nd ORDER BY burst DESC, token LIMIT 30""".stripMargin,
 
     // The audio chain mirrored end-to-end over the (ASCII) text bytes:
     // 16-bit LE samples from byte pairs, odd-weighted stripe sums in

@@ -4902,4 +4902,111 @@ object Corpus {
         sum(col("__nt")).over(w).as("cum_tokens"),
         sum(col("new_types")).over(w).as("cum_types"))
   }
+
+  /** Top-`k` collocations by Pearson chi-square over the bigram 2×2
+    * contingency table (Manning & Schütze 1999 §5.3.3 — the hypothesis-
+    * test counterpart of [[pmiTopK]]: PMI over-rewards rare pairs even
+    * above `minCount`; chi² weighs the evidence, so frequent-but-glued
+    * pairs rank where PMI buries them). Marginals come from the bigram
+    * table itself: `r1 = c(w1, ·)`, `c1 = c(·, w2)`, `N` total bigrams,
+    * so `O11 = c_ab`, `O12 = r1 − c_ab`, `O21 = c1 − c_ab`,
+    * `O22 = N − r1 − c1 + c_ab` and
+    *
+    *   chi² = N · (O11·O22 − O12·O21)² / (r1 · c1 · (N−r1) · (N−c1))
+    *
+    * Cross-engine exactness: every O is exact LONG arithmetic cast to
+    * double (integral, exactly representable), and the chi² expression
+    * is correctly-rounded double multiplies/divides in pinned
+    * association order — no transcendental anywhere, so the ROUND(.,9)
+    * values and the (chi2, w1, w2) ranking reproduce bit-for-bit on any
+    * engine. The exact integers (c_ab, r1, c1, nbig) ride along.
+    *
+    * Shuffle profile: one bigram-keyed aggregation (map-side combined),
+    * two vocab-sized marginal rollups of THAT table (not the raw
+    * stream) broadcast back onto it, and a top-k TakeOrdered. Nothing
+    * corpus-sized sorts.
+    */
+  def chi2Collocations(df: DataFrame, textCol: String, k: Int,
+                       minCount: Long = 5L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(
+      TextFunctions.tokens(col(textCol)).as("__t")).where(size(col("__t")) > 0)
+    val bigrams = toks.select(explode(expr(
+        """transform(slice(__t, 1, greatest(size(__t) - 1, 0)),
+          |  (x, i) -> struct(x AS w1, element_at(__t, i + 2) AS w2))"""
+          .stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairCounts = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_ab"))
+    val r1 = pairCounts.groupBy("w1").agg(sum(col("c_ab")).as("r1"))
+    val c1 = pairCounts.groupBy("w2").agg(sum(col("c_ab")).as("c1"))
+    val n = pairCounts.agg(sum(col("c_ab")).as("nbig"))
+    // O12/O21/O22 in exact long arithmetic; cast-to-double is exact for
+    // anything < 2^53 (documented bound: N below ~9e15 bigrams)
+    val d =
+      col("c_ab").cast("double") *
+        (col("nbig") - col("r1") - col("c1") + col("c_ab")).cast("double") -
+      (col("r1") - col("c_ab")).cast("double") *
+        (col("c1") - col("c_ab")).cast("double")
+    pairCounts.where(col("c_ab") >= minCount)
+      .join(broadcast(r1), "w1")
+      .join(broadcast(c1), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("__d", d)
+      .withColumn("chi2", round(
+        (col("nbig").cast("double") * (col("__d") * col("__d"))) /
+          ((col("r1").cast("double") * col("c1").cast("double")) *
+            ((col("nbig") - col("r1")).cast("double") *
+              (col("nbig") - col("c1")).cast("double"))), 9))
+      .orderBy(col("chi2").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select("w1", "w2", "c_ab", "r1", "c1", "nbig", "chi2")
+  }
+
+  /** Term burstiness census (Church & Gale 1995): for each token type
+    * with document frequency ≥ `minDf`, the collection/document
+    * frequency ratio `burst = cf/df` ("when it occurs at all, how many
+    * times?") and the variance-to-mean ratio of the per-document count
+    * (zeros included) — both ≈ 1 for Poisson-ish function words, ≫ 1
+    * for topical content words that arrive in bursts. The classic
+    * keyword/topicality signal that TF-IDF approximates; also the
+    * corpus-drift tripwire (a new boilerplate template shows up as a
+    * sudden high-cf high-burst type).
+    *
+    * Cross-engine exactness: `(cf, df, sum_c2, n_docs)` are exact
+    * integers; `burst` and `vmr` are correctly-rounded double ops in
+    * pinned association order over those integers — reproduces
+    * bit-for-bit anywhere. Ranking is (ROUND(burst, 9) desc, token).
+    *
+    * Shuffle profile: one (doc, token)-keyed count collapse, one
+    * vocab-sized term rollup (map-side combined — each partition emits
+    * per-term partials), a 1-row doc-count broadcast, and a top-k
+    * TakeOrdered. Bodies never shuffle; nothing corpus-sized sorts.
+    */
+  def burstiness(df: DataFrame, idCol: String, textCol: String,
+                 k: Int, minDf: Long = 5L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val docTok = df.select(col(idCol).as("__id"),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("__c"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val term = docTok.groupBy(col("__t"))
+      .agg(sum(col("__c")).as("cf"), count(lit(1)).as("df"),
+        sum(col("__c") * col("__c")).as("sum_c2"))
+      .where(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+    val cfD = col("cf").cast("double")
+    val dfD = col("df").cast("double")
+    val dD = col("n_docs").cast("double")
+    val s2D = col("sum_c2").cast("double")
+    term.select(col("__t").as("token"), col("cf"), col("df"),
+        col("sum_c2"), col("n_docs"),
+        round(cfD / dfD, 9).as("burst"),
+        // sample variance over ALL n_docs (zeros included) / mean —
+        // pinned order, mirrored textually by the SQL oracle
+        round(((s2D - (cfD * cfD) / dD) / (dD - lit(1.0))) / (cfD / dD), 9)
+          .as("vmr"))
+      .orderBy(col("burst").desc, col("token").asc)
+      .limit(k)
+  }
 }

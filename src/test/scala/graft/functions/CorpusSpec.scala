@@ -527,6 +527,76 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("chi2Collocations matches an independent driver contingency computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1507)
+    val words = Vector("new", "york", "the", "of", "and", "city", "state")
+    val docs = (1L to 150L).map { i =>
+      val n = 2 + rnd.nextInt(20)
+      (i, (0 until n).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val got = Corpus.chi2Collocations(docs.toDF("doc_id", "text"), "text",
+        k = 10, minCount = 3L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))))
+    // independent reference over plain Scala collections
+    val bigs = docs.flatMap { case (_, t) =>
+      val ts = t.split("\\s+").filter(_.nonEmpty); ts.zip(ts.drop(1)) }
+    val bc = bigs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val r1 = bc.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val c1 = bc.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val nb = bc.values.sum
+    def chi(p: (String, String)): Double = {
+      val cab = bc(p); val r = r1(p._1); val c = c1(p._2)
+      val d = cab.toDouble * (nb - r - c + cab).toDouble -
+        (r - cab).toDouble * (c - cab).toDouble
+      val raw = (nb.toDouble * (d * d)) /
+        ((r.toDouble * c.toDouble) * ((nb - r).toDouble * (nb - c).toDouble))
+      BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = bc.keys.filter(bc(_) >= 3L).toSeq
+      .map(p => (p, chi(p)))
+      .sortBy { case ((w1, w2), x) => (-x, w1, w2) }.take(10)
+    assert(got.map(_._1).toSeq == want.map(_._1), "ranking order")
+    got.foreach { case (p, (cab, r, c, n2, x)) =>
+      assert(cab == bc(p) && r == r1(p._1) && c == c1(p._2) && n2 == nb &&
+        x == chi(p), s"row $p")
+    }
+  }
+
+  test("chi2Collocations ranks a glued pair above independent fillers") {
+    import spark.implicits._
+    val glued = Seq.fill(20)("hong kong").mkString(" ")
+    val rnd = new scala.util.Random(1508)
+    val noise = (0 until 200)
+      .map(_ => Vector("a", "b", "c", "d")(rnd.nextInt(4))).mkString(" ")
+    val df = Seq((1L, glued), (2L, noise)).toDF("doc_id", "text")
+    val top = Corpus.chi2Collocations(df, "text", k = 3, minCount = 3L)
+      .collect()(0)
+    assert((top.getString(0), top.getString(1)) == (("hong", "kong")))
+  }
+
+  test("burstiness: hand counts, Poisson floor, df gate") {
+    import spark.implicits._
+    val df = Seq((1L, "x x x y"), (2L, "y z"), (3L, "x z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.burstiness(df, "doc_id", "text", k = 30, minDf = 2L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set("x", "y", "z"), "df >= 2 gate")
+    // x: cf 4, df 2, sum_c2 10, D 4 -> burst 2, vmr ((10-4)/3)/1 = 2
+    assert(got("x") == ((4L, 2L, 10L, 4L, 2.0, 2.0)), got("x").toString)
+    // y: cf 2, df 2, sum_c2 2 -> burst 1, vmr ((2-1)/3)/0.5 = 2/3
+    assert(got("y")._5 == 1.0 && got("y")._6 == 0.666666667, got("y").toString)
+    // a token appearing exactly once everywhere is Poisson-flat: vmr 0
+    val uni = Seq((1L, "u"), (2L, "u"), (3L, "u"), (4L, "u"))
+      .toDF("doc_id", "text")
+    val u = Corpus.burstiness(uni, "doc_id", "text", k = 1, minDf = 1L)
+      .collect()(0)
+    assert(u.getDouble(5) == 1.0 && u.getDouble(6) == 0.0)
+  }
+
   test("packOffsets equals the naive global-window cumsum at any bucket width") {
     import org.apache.spark.sql.expressions.Window
     val base = spark.range(0, 300).select(
