@@ -1412,6 +1412,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Jelinek-Mercer interpolated bigram LM on the same 80/20 split:
+    // p = 3/4 c12/c1 + 1/4 (c2+1)/(N+V) as the exact integer ratio A/B
+    // (lambda a pinned rational, Laplace unigram floor), nll =
+    // ln B - ln A on integral doubles — the lambda-mixture rung of the
+    // smoothing ladder next to backoff (x_bigram_nll) and KN/MKN.
+    "x_jm_nll" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.jmNll(docs, docs.where(col("doc_id") % 10 < 8),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Interpolated trigram Kneser-Ney (Chen & Goodman 1999) on the same
     // 80/20 split as x_trigram_nll: D = 3/4 exactly, continuation
     // counts for the lower orders, uniform 1/V floor at the unigram
@@ -6600,6 +6612,46 @@ object SparkEntry {
         |    / (CAST(n_docs AS DOUBLE) - 1.0))
         |   / (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)), 9) AS vmr
         |FROM term, nd ORDER BY burst DESC, token LIMIT 30""".stripMargin,
+
+    // Jelinek-Mercer mirrored: the A/B integers assembled in BIGINT
+    // arithmetic (3*c12*(N+V) + 1*c1*(c2+1) over 4*c1*(N+V)), every ln
+    // input integral, per-doc sums in DECIMAL(30,15).
+    "x_jm_nll" ->
+      raw"""WITH toks AS (
+        | SELECT doc_id, CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END AS tok
+        | FROM documents),
+        |tr AS (SELECT * FROM toks WHERE doc_id % 10 < 8),
+        |c1 AS (SELECT t, COUNT(*) AS c1
+        |  FROM (SELECT unnest(tok) AS t FROM tr) GROUP BY 1),
+        |nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS N,
+        |  COUNT(*) AS V FROM c1),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM (
+        |  SELECT unnest(tok[1:len(tok)-1]) AS w1,
+        |         unnest(tok[2:len(tok)]) AS w2 FROM tr) GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, unnest(tok[1:len(tok)-1]) AS w1,
+        |         unnest(tok[2:len(tok)]) AS w2 FROM toks) GROUP BY 1, 2, 3),
+        |sc AS (
+        | SELECT tf.doc_id, tf.tf, CAST(tf.tf AS DOUBLE) * (
+        |   CASE WHEN p.c1 IS NOT NULL
+        |     THEN ln(CAST(4 * p.c1 * (nv.N + nv.V) AS DOUBLE))
+        |        - ln(CAST(3 * COALESCE(c2.c2, 0) * (nv.N + nv.V)
+        |            + 1 * p.c1 * (COALESCE(q.c1, 0) + 1) AS DOUBLE))
+        |     ELSE ln(CAST(nv.N + nv.V AS DOUBLE))
+        |        - ln(CAST(COALESCE(q.c1, 0) + 1 AS DOUBLE))
+        |   END) AS nll
+        | FROM tf LEFT JOIN c2 ON tf.w1 = c2.w1 AND tf.w2 = c2.w2
+        |   LEFT JOIN c1 p ON tf.w1 = p.t
+        |   LEFT JOIN c1 q ON tf.w2 = q.t
+        |   CROSS JOIN nv),
+        |per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CAST(nll AS DECIMAL(30,15))) AS DOUBLE) AS s
+        | FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+        | ROUND(per.s / CAST(per.n_bigrams AS DOUBLE), 9) AS avg_nll
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // The audio chain mirrored end-to-end over the (ASCII) text bytes:
     // 16-bit LE samples from byte pairs, odd-weighted stripe sums in

@@ -804,6 +804,93 @@ object Corpus {
         round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
   }
 
+  /** Jelinek–Mercer interpolated bigram NLL (Jelinek & Mercer 1980;
+    * the λ-interpolation rung of the smoothing ladder next to
+    * [[bigramNll]]'s backoff and the KN/MKN discount family): every
+    * bigram position pays
+    *
+    *   p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·(c(w₂)+1)/(N+V)
+    *
+    * with λ = `lambdaNum/lambdaDen` an EXACT rational (default 3/4)
+    * and a Laplace floor on the unigram level (the +1/(N+V) term keeps
+    * p > 0 for OOV w₂, so the interpolation is total without a
+    * separate OOV branch). Unlike backoff, the lower order contributes
+    * on EVERY position — the mixture the classic held-out EM would
+    * tune λ for; here λ is a pinned rational so the whole score is the
+    * exact integer ratio A/B:
+    *
+    *   A = λn·c₁₂·(N+V) + (λd−λn)·c(w₁)·(c(w₂)+1),  B = λd·c(w₁)·(N+V)
+    *
+    * and nll = ln B − ln A keeps every ln input an integral double
+    * (the proven-safe class). OOV HISTORY (c(w₁) = 0) degenerates the
+    * mixture to its unigram term: p = (c(w₂)+1)/(N+V). Documented
+    * bound: A and B stay exact while λd·c(w₁)·(N+V) < 2⁵³ (≈9e15 —
+    * beyond any single corpus this library aggregates in one LM).
+    *
+    * Shuffle profile = [[bigramNll]]: two vocab-sized train counts,
+    * one (doc, hash)-keyed tf collapse, three 8-byte-hash joins, one
+    * per-doc rollup in DECIMAL(30,15). Bodies never shuffle.
+    *
+    * @return (idCol, n_bigrams, avg_nll)
+    */
+  def jmNll(df: DataFrame, train: DataFrame,
+            idCol: String, textCol: String,
+            lambdaNum: Long = 3L, lambdaDen: Long = 4L): DataFrame = {
+    require(lambdaNum >= 1L && lambdaNum < lambdaDen,
+      s"need 0 < lambda < 1 as a rational: $lambdaNum/$lambdaDen")
+    val id = col(idCol)
+    def bigrams(d: DataFrame, keep: Column*): DataFrame = {
+      val toks = col("__tk")
+      d.select(keep :+ TextFunctions.tokens(col(textCol)).as("__tk"): _*)
+        .select(keep :+ explode(
+          transform(slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (t, i) => struct(element_at(toks, i + 1).as("w1"), t.as("w2"))))
+          .as("__bg"): _*)
+        .select(keep :+ xxhash64(col("__bg.w1")).as("__h1") :+
+          xxhash64(col("__bg.w1"), col("__bg.w2")).as("__h12") :+
+          xxhash64(col("__bg.w2")).as("__h2"): _*)
+    }
+    val c1 = train
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .select(xxhash64(col("__t")).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c1"))
+    val nv = c1.agg(sum(col("__c1")).as("__N"), count(lit(1)).as("__V"))
+    val c2 = bigrams(train)
+      .groupBy(col("__h12")).agg(count(lit(1)).as("__c2"))
+    val tf = bigrams(df, id)
+      .groupBy(id, col("__h1"), col("__h12"), col("__h2"))
+      .agg(count(lit(1)).as("__tf"))
+    val nVp = col("__N") + col("__V")
+    val uniPlus1 = coalesce(col("__ccur"), lit(0L)) + lit(1L)
+    // A and B are exact LONG integers — association order is irrelevant
+    // to the value, only the integers must match the oracle's
+    val a = lit(lambdaNum) * coalesce(col("__c2"), lit(0L)) * nVp +
+      lit(lambdaDen - lambdaNum) * col("__cprev") * uniPlus1
+    val b = lit(lambdaDen) * col("__cprev") * nVp
+    val scored = tf
+      .join(c2, Seq("__h12"), "left")
+      .join(c1.withColumnRenamed("__h", "__h1")
+        .withColumnRenamed("__c1", "__cprev"), Seq("__h1"), "left")
+      .join(c1.withColumnRenamed("__h", "__h2")
+        .withColumnRenamed("__c1", "__ccur"), Seq("__h2"), "left")
+      .crossJoin(broadcast(nv))
+      .select(id, col("__tf"),
+        (col("__tf").cast("double") *
+          when(col("__cprev").isNotNull,
+            log(b.cast("double")) - log(a.cast("double")))
+          .otherwise(
+            log(nVp.cast("double")) - log(uniPlus1.cast("double"))))
+          .as("__nll"))
+      .groupBy(id).agg(
+        sum(col("__tf")).as("__n"),
+        sum(col("__nll").cast(DecimalType(30, 15))).cast("double").as("__s"))
+    df.select(id)
+      .join(scored, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("__n"), lit(0L)).as("n_bigrams"),
+        round(col("__s") / col("__n").cast("double"), 9).as("avg_nll"))
+  }
+
   /** Trigram Stupid-Backoff NLL — the context rung above [[bigramNll]]
     * (Brants et al. 2007, "Large Language Models in Machine
     * Translation": at web scale, unnormalized count ratios with a

@@ -527,6 +527,59 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("jmNll matches an independent driver LM on a fuzzed corpus (OOV incl.)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1509)
+    val words = Vector("a", "b", "c", "d", "e", "oovx", "oovy")
+    val docs = (0L until 80L).map { i =>
+      val n = rnd.nextInt(12)
+      // test docs (i % 4 == 3) may draw the two words train never sees
+      (i, (0 until n)
+        .map(_ => words(rnd.nextInt(if (i % 4 == 3) 7 else 5)))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Corpus.jmNll(df, df.where(col("doc_id") % 4 < 3),
+        "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    def toks(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
+    val trainDocs = docs.filter(_._1 % 4 < 3)
+    val uni = trainDocs.flatMap(d => toks(d._2)).groupBy(identity)
+      .map { case (w, x) => w -> x.size.toLong }
+    val N = uni.values.sum; val V = uni.size.toLong
+    val big = trainDocs.flatMap { d => val t = toks(d._2); t.zip(t.drop(1)) }
+      .groupBy(identity).map { case (p, x) => p -> x.size.toLong }
+    def d15(v: Double) =
+      BigDecimal(v).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    def r9(v: Double) =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var sawOov = false
+    docs.foreach { case (i, txt) =>
+      val t = toks(txt); val bgs = t.zip(t.drop(1))
+      val (nb, want) = got(i)
+      assert(nb == bgs.size.toLong, s"doc $i n_bigrams")
+      if (bgs.isEmpty) assert(want.isEmpty, s"doc $i null avg")
+      else {
+        val terms = bgs.groupBy(identity).toSeq.map { case (p @ (w1, w2), xs) =>
+          val ccur = uni.getOrElse(w2, 0L); val c12 = big.getOrElse(p, 0L)
+          val nll = uni.get(w1) match {
+            case Some(cp) =>
+              math.log((4L * cp * (N + V)).toDouble) -
+                math.log((3L * c12 * (N + V) + 1L * cp * (ccur + 1L)).toDouble)
+            case None =>
+              sawOov = true
+              math.log((N + V).toDouble) - math.log((ccur + 1L).toDouble)
+          }
+          d15(xs.size.toDouble * nll)
+        }
+        assert(want.get == r9(terms.sum.toDouble / bgs.size.toDouble),
+          s"doc $i avg_nll")
+      }
+    }
+    assert(sawOov, "fixture must exercise the OOV-history branch")
+  }
+
   test("chi2Collocations matches an independent driver contingency computation") {
     import spark.implicits._
     val rnd = new scala.util.Random(1507)
