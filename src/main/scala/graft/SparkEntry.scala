@@ -2196,6 +2196,16 @@ object SparkEntry {
         .select(col("n"), big(col("sum_d2_4x"), "sum_d2_4x"),
           big(col("rho_num"), "rho_num"), big(col("rho_den"), "rho_den"))),
 
+    // Revenue-concentration audit: Gini + top-1/top-10 shares of
+    // customer spend — the skew report that decides salting and
+    // per-stratum sampling caps. Spend sums in DECIMAL(18,2), Gini
+    // blocks are exact integer cents, the close is pinned-order
+    // doubles.
+    "x_gini" -> ((s, dir) =>
+      graft.functions.Stats.giniConcentration(
+        t(s, dir, "orders"), "o_custkey", "o_totalprice",
+        scale = 2, topN = 10)),
+
     // Column-dependence audit: the orders priority×status contingency
     // table with the exact cross-product dependence score per cell —
     // the "is this feature leaking into that label/split" census.
@@ -5935,6 +5945,36 @@ object SparkEntry {
         | CAST(length(pattern) - length(replace(pattern, '1', ''))
         |   AS BIGINT) AS n_null_cols
         |FROM p GROUP BY pattern ORDER BY pattern""".stripMargin,
+
+    // Gini mirrored in exact integer cents: DECIMAL(18,2) spend sums
+    // ×100 → BIGINT units, ascending/descending row_number ranks with
+    // the complementary tie-break, rank·unit in DECIMAL(19,0)×(19,0),
+    // pinned-order double close.
+    "x_gini" ->
+      """WITH pk AS (SELECT o_custkey AS k,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS u
+        | FROM orders GROUP BY 1),
+        |r AS (SELECT k, u,
+        |  row_number() OVER (ORDER BY u ASC, k ASC) AS r,
+        |  row_number() OVER (ORDER BY u DESC, k DESC) AS rd FROM pk),
+        |a AS (SELECT COUNT(*) AS n_keys,
+        |  CAST(SUM(u) AS BIGINT) AS total_units,
+        |  CAST(SUM(CAST(r AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0)))
+        |    AS DOUBLE) AS s1,
+        |  MAX(u) AS m,
+        |  CAST(SUM(CASE WHEN rd <= 10 THEN u ELSE 0 END) AS BIGINT) AS tn
+        | FROM r)
+        |SELECT n_keys, total_units,
+        | ROUND((2.0 * s1
+        |     - (CAST(n_keys AS DOUBLE) + 1.0) * CAST(total_units AS DOUBLE))
+        |   / (CAST(n_keys AS DOUBLE) * CAST(total_units AS DOUBLE)), 9)
+        |   AS gini,
+        | ROUND(CAST(m AS DOUBLE) / CAST(total_units AS DOUBLE), 9)
+        |   AS top1_share,
+        | ROUND(CAST(tn AS DOUBLE) / CAST(total_units AS DOUBLE), 9)
+        |   AS topn_share
+        |FROM a""".stripMargin,
 
     // The oracle's global RANK() windows ARE the naive plan the
     // operator decomposes; 2·avg-rank = 2·RANK() + tie_count − 1.

@@ -1742,4 +1742,67 @@ object Stats {
           nullif(col("__n").cast("double") * col("__n").cast("double")
             - col("__e").cast("double"), lit(0.0)), 9).as("kappa"))
   }
+
+  /** Concentration report over per-key totals: the Gini coefficient
+    * plus top-1/top-`topN` shares — the "how skewed is this
+    * dimension?" audit (revenue per customer, documents per domain,
+    * tokens per source) that decides whether a downstream join needs
+    * salting and whether a sampling plan needs per-stratum caps.
+    *
+    * Exactness: per-key totals sum in DECIMAL(18,`scale`) and convert
+    * to integer UNITS (10^scale per value unit, e.g. cents), so every
+    * rank, share numerator and the Gini building blocks are exact
+    * integers; Σ rank·unit accumulates in DECIMAL(38,0). The closing
+    * Gini/share arithmetic is pinned-order doubles over
+    * correctly-rounded casts of those exact integers — bit-identical
+    * on any engine and partitioning. With ranks ascending by
+    * (units, key):
+    *
+    *   gini = (2·Σ r·u − (n+1)·Σu) / (n·Σu)
+    *
+    * (0 = uniform, (n−1)/n = one key holds everything). Requires
+    * non-negative values (a refund-heavy ledger needs netting
+    * upstream; Gini over signed totals is not a concentration).
+    *
+    * Shuffle profile: one key-keyed aggregation (map-side partials),
+    * then two row_number windows over the KEY-cardinality frame (the
+    * documented key-sized global sort — for corpus-scale key spaces
+    * rank via the two-level range-bucket offsets discipline of
+    * [[Corpus.epochShuffle]] before this rollup) and a 1-row close.
+    *
+    * @return one row: (n_keys, total_units, gini, top1_share,
+    *         topn_share)
+    */
+  def giniConcentration(df: DataFrame, keyCol: String, valueCol: String,
+                        scale: Int = 2, topN: Int = 10): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"scale must be in [0,6], got $scale")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val unitsPer = BigInt(10).pow(scale).toLong
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val perKey = df.groupBy(col(keyCol).as("__k"))
+      .agg(sum(col(valueCol).cast(
+        org.apache.spark.sql.types.DecimalType(18, scale))).as("__w"))
+      .select(col("__k"),
+        (col("__w") * lit(unitsPer)).cast("long").as("__u"))
+    val ranked = perKey
+      .withColumn("__r",
+        row_number().over(Window.orderBy(col("__u").asc, col("__k").asc)))
+      .withColumn("__rd",
+        row_number().over(Window.orderBy(col("__u").desc, col("__k").desc)))
+    val a = ranked.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("__u")).as("total_units"),
+      sum(col("__r").cast(d19) * col("__u").cast(d19))
+        .cast("double").as("__s1"),
+      max(col("__u")).as("__m"),
+      sum(when(col("__rd") <= topN, col("__u")).otherwise(lit(0L)))
+        .as("__tn"))
+    val nD = col("n_keys").cast("double")
+    val stD = col("total_units").cast("double")
+    a.select(col("n_keys"), col("total_units"),
+      round((lit(2.0) * col("__s1") - (nD + lit(1.0)) * stD) / (nD * stD), 9)
+        .as("gini"),
+      round(col("__m").cast("double") / stD, 9).as("top1_share"),
+      round(col("__tn").cast("double") / stD, 9).as("topn_share"))
+  }
 }

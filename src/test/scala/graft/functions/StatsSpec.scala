@@ -955,4 +955,44 @@ class StatsSpec extends SparkSpec {
     assert(out("g2")._3 == Some(0.0), out("g2").toString)
     assert(out("g3") == ((4L, 4L, None)), "pe=1 must yield null, not NaN")
   }
+
+  test("giniConcentration: uniform 0, single-holder (n-1)/n, hand shares") {
+    import spark.implicits._
+    val uni = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0)).toDF("k", "v")
+    val g0 = Stats.giniConcentration(uni, "k", "v", topN = 2).collect()(0)
+    assert(g0.getLong(0) == 4L && g0.getLong(1) == 2000L, g0.toString)
+    assert(g0.getDouble(2) == 0.0, "uniform ledger has gini 0")
+    assert(g0.getDouble(3) == 0.25 && g0.getDouble(4) == 0.5, g0.toString)
+    val solo = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 8.0)).toDF("k", "v")
+    val g1 = Stats.giniConcentration(solo, "k", "v", topN = 1).collect()(0)
+    assert(g1.getDouble(2) == 0.75, "single holder reads (n-1)/n")
+    assert(g1.getDouble(3) == 1.0 && g1.getDouble(4) == 1.0)
+  }
+
+  test("giniConcentration matches an independent driver formula on fuzzed ledgers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1510)
+    val rows = (1L to 300L).flatMap { k =>
+      (0 until rnd.nextInt(4)).map(_ => (k, rnd.nextInt(100000) / 100.0))
+    }
+    val got = Stats.giniConcentration(rows.toDF("k", "v"), "k", "v")
+      .collect()(0)
+    val per = rows.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(x => math.round(x._2 * 100)).sum
+    }.toSeq
+    val asc = per.sortBy { case (k, u) => (u, k) }
+    val desc = per.sortBy { case (k, u) => (-u, -k) }
+    val n = per.size.toDouble
+    val st = per.map(_._2).sum
+    val s1 = asc.zipWithIndex.map { case ((_, u), i) =>
+      BigInt(i + 1) * BigInt(u) }.sum.toDouble
+    def r9(v: Double) =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == per.size.toLong && got.getLong(1) == st)
+    assert(got.getDouble(2) ==
+      r9((2.0 * s1 - (n + 1.0) * st.toDouble) / (n * st.toDouble)), "gini")
+    assert(got.getDouble(3) == r9(per.map(_._2).max.toDouble / st.toDouble))
+    assert(got.getDouble(4) ==
+      r9(desc.take(10).map(_._2).sum.toDouble / st.toDouble), "top10")
+  }
 }
