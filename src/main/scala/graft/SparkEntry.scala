@@ -2861,6 +2861,27 @@ object SparkEntry {
       Corpus.chi2Collocations(t(s, dir, "documents"), "text", k = 30,
         minCount = 5L)),
 
+    // Phonetic spelling-variant census: soundex-bucketed vocabulary
+    // (official American Soundex incl. H/W transparency, built as a
+    // translate+regex chain over the shared Java/RE2 subset), buckets
+    // with >= 2 distinct spellings, top-40 by occurrences — the
+    // record-linkage blocking-key audit. The fixture's 31-word vocab
+    // has zero phonetic collisions, so three name-variant docs are
+    // PLANTED (mirrored in the oracle) to witness the bucketing: the
+    // variants must land together, the rest must stay out.
+    "x_soundex" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (90000001L, "Robert Rupert robert Ashcraft Ashcroft"),
+        (90000002L, "Smith Smyth Smithe Honeyman Honeymann"),
+        (90000003L, "Tymczak Tomczak Pfister Phister"))
+        .toDF("doc_id", "text")
+      Corpus.phoneticVariants(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(planted),
+        "text", k = 40)
+    }),
+
     // Church-Gale term burstiness: cf/df + variance-to-mean of per-doc
     // counts (zeros in) per token with df >= 5, top-30 by burst — the
     // topicality/keyword signal TF-IDF approximates. Exact integers +
@@ -6631,6 +6652,46 @@ object SparkEntry {
         |     * (CAST(nbig - r1 AS DOUBLE) * CAST(nbig - c1 AS DOUBLE))), 9)
         |   AS chi2
         |FROM j ORDER BY chi2 DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    // Soundex mirrored step-for-step: same translate table (9 = h/w
+    // marker), the same 4 interleaved (d[9]*d merge + run collapse)
+    // rounds, head-code drop, then 9/0 removal — all in the shared
+    // regex subset (no backrefs), every regexp_replace with 'g'.
+    "x_soundex" -> {
+      val merged = (1 to 4).foldLeft("d0") { (acc, _) =>
+        val hw = (1 to 6).foldLeft(acc)((a, d) =>
+          s"regexp_replace($a, '$d[9]*$d', '$d$d', 'g')")
+        (1 to 6).foldLeft(hw)((a, d) =>
+          s"regexp_replace($a, '$d{2,}', '$d', 'g')")
+      }
+      val digits = s"regexp_replace(regexp_replace(regexp_replace(" +
+        s"$merged, '^.', '', 'g'), '9', '', 'g'), '0', '', 'g')"
+      raw"""WITH docs AS (
+        | SELECT text FROM documents
+        | UNION ALL SELECT 'Robert Rupert robert Ashcraft Ashcroft'
+        | UNION ALL SELECT 'Smith Smyth Smithe Honeyman Honeymann'
+        | UNION ALL SELECT 'Tymczak Tomczak Pfister Phister'),
+        |tc AS (SELECT t, COUNT(*) AS c FROM (
+        | SELECT unnest(CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0
+        |   THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS t
+        | FROM docs) GROUP BY 1),
+        |s AS (SELECT t, c,
+        |  upper(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS up FROM tc),
+        |d AS (SELECT t, c, up, translate(up,
+        |  'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |  '01230129022455012623019202') AS d0 FROM s),
+        |x AS (SELECT t, c, up, $digits AS dg FROM d),
+        |sx AS (SELECT t, c, CASE WHEN length(up) = 0 THEN NULL
+        |  ELSE substr(up, 1, 1) || substr(rpad(dg, 3, '0'), 1, 3)
+        |  END AS sdx FROM x)
+        |SELECT sdx, COUNT(*) AS n_spellings,
+        | CAST(SUM(c) AS BIGINT) AS n_tokens,
+        | MIN(t) AS spelling_min, MAX(t) AS spelling_max
+        |FROM sx WHERE sdx IS NOT NULL GROUP BY 1
+        |HAVING COUNT(*) >= 2
+        |ORDER BY n_tokens DESC, sdx LIMIT 40""".stripMargin
+    },
 
     // Burstiness mirrored: exact integer term stats, two pinned-order
     // double ratios (HUGEINT sums cast back to BIGINT per convention).

@@ -5050,6 +5050,35 @@ object Corpus {
       .select("w1", "w2", "c_ab", "r1", "c1", "nbig", "chi2")
   }
 
+  /** Phonetic spelling-variant census over the vocabulary: bucket
+    * token types by [[TextFunctions.soundexCode]] and keep buckets
+    * holding ≥ `minSpellings` DISTINCT spellings — the candidate
+    * list a record-linkage/name-normalization pass reviews, and the
+    * blocking-key quality audit (bucket sizes ARE the join fan-out a
+    * soundex-blocked linkage would pay; a huge bucket here is the
+    * skew warning). Top-`k` by total occurrences, min/max spellings
+    * ride along as witnesses.
+    *
+    * Shuffle profile: one vocab-sized token count (map-side
+    * combined), the code computed map-side on the DISTINCT vocab
+    * (never per occurrence), one code-keyed rollup of that vocab
+    * table, a top-k TakeOrdered. Nothing corpus-sized sorts.
+    */
+  def phoneticVariants(df: DataFrame, textCol: String, k: Int,
+                       minSpellings: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .withColumn("__sdx", TextFunctions.soundexCode(col("__t")))
+      .where(col("__sdx").isNotNull)
+      .groupBy(col("__sdx").as("sdx"))
+      .agg(count(lit(1)).as("n_spellings"), sum(col("__c")).as("n_tokens"),
+        min(col("__t")).as("spelling_min"), max(col("__t")).as("spelling_max"))
+      .where(col("n_spellings") >= minSpellings)
+      .orderBy(col("n_tokens").desc, col("sdx").asc)
+      .limit(k)
+  }
+
   /** Term burstiness census (Church & Gale 1995): for each token type
     * with document frequency ≥ `minDf`, the collection/document
     * frequency ratio `burst = cf/df` ("when it occurs at all, how many

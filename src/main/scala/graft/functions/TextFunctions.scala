@@ -384,4 +384,48 @@ object TextFunctions {
         transform(sequence(lit(1), size(tok) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(k => element_at(tok, i + k)): _*))))
   }
+
+  /** American Soundex code (the official rule set incl. H/W
+    * transparency — Knuth TAOCP vol. 3 §6 / the US archives spec):
+    * first letter + three digits from b f p v→1, c g j k q s x z→2,
+    * d t→3, l→4, m n→5, r→6; vowels (and y) separate equal codes, h/w
+    * do NOT (Ashcraft → A261, not A226), runs of equal codes collapse,
+    * the first letter's own code is dropped, zero-padded to 4.
+    *
+    * The classic phonetic BLOCKING key for record linkage: spelling
+    * variants of the same name land in one bucket, so candidate
+    * generation is an equi-join on the code — the [[Dedup]] band-key
+    * discipline applied to names. Built as a translate + bounded
+    * regexp_replace chain over the shared Java/RE2 regex subset (no
+    * backreferences, no lookahead), so a SQL oracle reproduces every
+    * code bit-for-bit. Non-ASCII-letter chars are stripped BEFORE
+    * upper-casing (locale-proof); tokens with no ASCII letter → null.
+    *
+    * H/W transparency is `d[9]*d → dd` merge passes (9 = h/w marker)
+    * INTERLEAVED with same-digit run collapse, iterated 4× — the
+    * interleave matters (a `22922` needs collapse before the inner
+    * `292` becomes visible to the merge; each round at least halves
+    * an alternating d9d9… chain, and only three digit groups survive
+    * to the output, so 4 rounds are convergent for any input). The
+    * head CHARACTER (the first letter's own code — a digit, 0, or the
+    * 9 of an H/W initial) is dropped before 9/0 removal, so an
+    * H-initial word keeps its first consonant digit (Honeyman → H555)
+    * while a first-letter run collapses into the head (Pfister →
+    * P236).
+    */
+  def soundexCode(token: Column): Column = {
+    val up = upper(regexp_replace(token, "[^A-Za-z]", ""))
+    val d0 = translate(up, "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+      "01230129022455012623019202")
+    def hwPass(c: Column): Column = (1 to 6).foldLeft(c)((acc, d) =>
+      regexp_replace(acc, s"$d[9]*$d", s"$d$d"))
+    def collapse(c: Column): Column = (1 to 6).foldLeft(c)((acc, d) =>
+      regexp_replace(acc, s"$d{2,}", s"$d"))
+    val merged = (1 to 4).foldLeft(d0)((acc, _) => collapse(hwPass(acc)))
+    val digits = regexp_replace(regexp_replace(
+      regexp_replace(merged, "^.", ""), "9", ""), "0", "")
+    when(length(up) === 0, lit(null).cast("string"))
+      .otherwise(concat(substring(up, 1, 1),
+        substring(rpad(digits, 3, "0"), 1, 3)))
+  }
 }

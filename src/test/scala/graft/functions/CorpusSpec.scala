@@ -630,6 +630,37 @@ class CorpusSpec extends SparkSpec {
     assert((top.getString(0), top.getString(1)) == (("hong", "kong")))
   }
 
+  test("soundexCode: official vectors incl. H/W transparency and H-initials") {
+    import spark.implicits._
+    val cases = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163", "robert" -> "R163",
+      "Ashcraft" -> "A261", "Ashcroft" -> "A261", // h-transparency
+      "Tymczak" -> "T522", "Pfister" -> "P236",   // first-letter run
+      "Honeyman" -> "H555", "Jack" -> "J200", "O'Brien" -> "O165",
+      "Whit" -> "W300",                            // w-initial
+      "Smith" -> "S530", "Smyth" -> "S530",
+      "a" -> "A000", "Aeiou" -> "A000", "HW" -> "H000")
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), TextFunctions.soundexCode(col("t")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (t, want) => assert(got(t) == want, s"$t -> $want") }
+    val nulls = Seq("123", "...", "").toDF("t")
+      .select(TextFunctions.soundexCode(col("t"))).collect()
+    assert(nulls.forall(_.isNullAt(0)), "letterless tokens code to null")
+  }
+
+  test("phoneticVariants buckets spelling variants with counts and witnesses") {
+    import spark.implicits._
+    val df = Seq((1L, "Robert Rupert robert Smith"), (2L, "Smyth Smith xyz"))
+      .toDF("doc_id", "text")
+    val got = Corpus.phoneticVariants(df, "text", k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(got("R163") == ((3L, 3L, "Robert", "robert")), got.toString)
+    assert(got("S530") == ((2L, 3L, "Smith", "Smyth")), got.toString)
+    assert(got.size == 2, "singleton buckets (xyz) drop")
+  }
+
   test("burstiness: hand counts, Poisson floor, df gate") {
     import spark.implicits._
     val df = Seq((1L, "x x x y"), (2L, "y z"), (3L, "x z"), (4L, ""))
