@@ -2196,6 +2196,26 @@ object SparkEntry {
         .select(col("n"), big(col("sum_d2_4x"), "sum_d2_4x"),
           big(col("rho_num"), "rho_num"), big(col("rho_den"), "rho_den"))),
 
+    // One-number calibration close over the same inputs as
+    // x_reliability: ECE = sum n_b|acc-conf|/N with the per-bin term
+    // pinned-order doubles over exact pieces, bin sum in
+    // DECIMAL(30,15).
+    "x_ece" -> ((s, dir) =>
+      graft.functions.Stats.expectedCalibrationError(
+        t(s, dir, "documents").select(
+          (pmod(col("n_chars"), lit(100)).cast("double") / lit(100.0))
+            .as("score"),
+          (col("lang") === "en").as("label")),
+        "score", "label", nBins = 10, lo = 0.0, hi = 1.0)),
+
+    // Exact two-sample Kolmogorov-Smirnov D between the click and
+    // purchase value distributions — shape-shift detection at equal
+    // moments, as the exact integer rational max|n_b cumA - n_a cumB|
+    // over n_a n_b. Two-level bucketed cumsums, no global sort.
+    "x_ks_test" -> ((s, dir) =>
+      graft.functions.Stats.ksStatistic(
+        t(s, dir, "events"), "value", "event_type", "click", "purchase")),
+
     // Revenue-concentration audit: Gini + top-1/top-10 shares of
     // customer spend — the skew report that decides salting and
     // per-stratum sampling caps. Spend sums in DECIMAL(18,2), Gini
@@ -5966,6 +5986,59 @@ object SparkEntry {
         | CAST(length(pattern) - length(replace(pattern, '1', ''))
         |   AS BIGINT) AS n_null_cols
         |FROM p GROUP BY pattern ORDER BY pattern""".stripMargin,
+
+    // ECE mirrored on the x_reliability chain: same binning and
+    // DECIMAL(28,9) score sums, per-bin |acc - conf| term in the
+    // identical pinned order, DECIMAL(30,15) bin sum, one close
+    // division.
+    "x_ece" ->
+      """WITH base AS (
+        | SELECT CAST(n_chars % 100 AS DOUBLE) / 100.0 AS s,
+        |  (lang = 'en') AS y
+        | FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |   AND abs(CAST(n_chars % 100 AS DOUBLE) / 100.0) < 1e19),
+        |b AS (SELECT CAST(FLOOR(LEAST(CAST(9 AS DOUBLE), GREATEST(
+        |    CAST(0 AS DOUBLE),
+        |    (s - CAST(0.0 AS DOUBLE)) / CAST(0.1 AS DOUBLE)))) AS BIGINT)
+        |    AS bin, s, y
+        | FROM base),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  SUM(CAST(s AS DECIMAL(28,9))) AS ssum
+        | FROM b GROUP BY bin),
+        |t AS (SELECT n, CAST(n AS DOUBLE) * abs(
+        |   CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+        | FROM g WHERE n > 0)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n, COUNT(*) AS n_bins_used,
+        | ROUND(CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE)
+        |   / CAST(SUM(n) AS DOUBLE), 9) AS ece
+        |FROM t""".stripMargin,
+
+    // KS mirrored with naive global windows (the oracle IS the plan
+    // the operator decomposes); HUGEINT window sums and cross products
+    // cast back at the close.
+    "x_ks_test" ->
+      """WITH base AS (
+        | SELECT value AS v, event_type AS g FROM events
+        | WHERE value IS NOT NULL AND NOT isnan(value)
+        |   AND event_type IN ('click', 'purchase')),
+        |vals AS (SELECT v,
+        |  SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+        |  SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS cb
+        | FROM base GROUP BY 1),
+        |c AS (SELECT v,
+        |  SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+        |  SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+        | FROM vals),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+        |  CAST(SUM(cb) AS BIGINT) AS n2 FROM vals)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        | CAST(MAX(abs(n2 * fa - n1 * fb)) AS BIGINT) AS d_num,
+        | n1 * n2 AS d_den,
+        | ROUND(CAST(CAST(MAX(abs(n2 * fa - n1 * fb)) AS BIGINT) AS DOUBLE)
+        |   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS d
+        |FROM c, t GROUP BY n1, n2""".stripMargin,
 
     // Gini mirrored in exact integer cents: DECIMAL(18,2) spend sums
     // ×100 → BIGINT units, ascending/descending row_number ranks with

@@ -1743,6 +1743,91 @@ object Stats {
             - col("__e").cast("double"), lit(0.0)), 9).as("kappa"))
   }
 
+  /** Expected calibration error — the one-number close of
+    * [[reliabilityDiagram]] (Naeini et al. 2015): over non-empty bins,
+    * `ECE = Σ n_b·|acc_b − conf_b| / N` with `acc = n_pos/n` and
+    * `conf = mean_score`. The scalar a quality-gate dashboard alerts
+    * on where the diagram is the drill-down. Same binning, same
+    * exclusions, same DECIMAL(28,9) score sums as the diagram; the
+    * per-bin term is pinned-order doubles over exact pieces and the
+    * bin sum accumulates in DECIMAL(30,15) (order-free across the
+    * ≤nBins rows). Scale shape: the diagram's map-only pass + a
+    * ≤nBins-row close.
+    *
+    * @return one row: (n, n_bins_used, ece)
+    */
+  def expectedCalibrationError(df: DataFrame, scoreCol: String,
+                               labelCol: String, nBins: Int,
+                               lo: Double, hi: Double): DataFrame = {
+    val rel = reliabilityDiagram(df, scoreCol, labelCol, nBins, lo, hi)
+      .where(col("n") > 0)
+    val term = col("n").cast("double") *
+      abs(col("n_pos").cast("double") / col("n").cast("double") -
+        col("mean_score"))
+    rel.agg(sum(col("n")).as("n"), count(lit(1)).as("n_bins_used"),
+        sum(term.cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+          .cast("double").as("__num"))
+      .select(col("n"), col("n_bins_used"),
+        round(col("__num") / col("n").cast("double"), 9).as("ece"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the
+    * `valueCol` distributions of `groupA` and `groupB`:
+    * `D = max_v |F_A(v) − F_B(v)|`, emitted as the exact integer
+    * rational `d_num/d_den = max|n_b·cumA(v) − n_a·cumB(v)| / n_a·n_b`
+    * plus the one correctly-rounded double division — the
+    * distribution-shift test that catches what a mean/variance drift
+    * check can't (shape changes at equal moments).
+    *
+    * No global sort: distinct values bucket by exact order-statistic
+    * cuts over the combined sample, both cumulative counts run per
+    * bucket with a ≤buckets-row offset rollup (the avgRank2x two-level
+    * decomposition with two cumsums). Exactness bound: the cross
+    * products stay in LONG, exact while n_a·n_b < 2⁶³ (and the double
+    * D is one division of integers — correctly rounded anywhere).
+    * Groups with zero rows yield a null D (0/0), not a crash.
+    *
+    * @return one row: (n_a, n_b, d_num, d_den, d)
+    */
+  def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
+                  groupA: String, groupB: String,
+                  buckets: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(valueCol).cast("double").as("__v"),
+        col(groupCol).cast("string").as("__g"))
+      .where(col("__v").isNotNull && !isnan(col("__v")) &&
+        (col("__g") === groupA || col("__g") === groupB))
+    val vals = base.groupBy(col("__v"))
+      .agg(sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__cb"))
+    val (_, byRank) = valueAtFractionRanks(base, "__v",
+      m => (1 until buckets).map(i => i * m / buckets))
+    val cuts = byRank.keys.toSeq.sorted.map(byRank)
+    val bk = if (cuts.isEmpty) lit(0)
+      else size(filter(array(cuts.map(lit(_)): _*), c => c <= col("__v")))
+    val bv = vals.withColumn("__bk", bk)
+    def cum(c: String) = sum(col(c)).over(w.partitionBy(col("__bk"))
+      .orderBy(col("__v")).rowsBetween(w.unboundedPreceding, 0))
+    def off(c: String) = coalesce(sum(col(c)).over(
+      w.orderBy(col("__bk")).rowsBetween(w.unboundedPreceding, -1)), lit(0L))
+    val offs = bv.groupBy(col("__bk"))
+      .agg(sum(col("__ca")).as("__ba"), sum(col("__cb")).as("__bb"))
+      .select(col("__bk"), off("__ba").as("__offa"), off("__bb").as("__offb"))
+    val tot = bv.agg(sum(col("__ca")).as("__n1"), sum(col("__cb")).as("__n2"))
+    bv.join(broadcast(offs), Seq("__bk"))
+      .select((col("__offa") + cum("__ca")).as("__fa"),
+        (col("__offb") + cum("__cb")).as("__fb"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__n1").as("n_a"), col("__n2").as("n_b"))
+      .agg(max(abs(col("__n2") * col("__fa") - col("__n1") * col("__fb")))
+        .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("n_a") * col("n_b")).as("d_den"),
+        round(col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 9)
+          .as("d"))
+  }
+
   /** Concentration report over per-key totals: the Gini coefficient
     * plus top-1/top-`topN` shares — the "how skewed is this
     * dimension?" audit (revenue per customer, documents per domain,

@@ -956,6 +956,51 @@ class StatsSpec extends SparkSpec {
     assert(out("g3") == ((4L, 4L, None)), "pe=1 must yield null, not NaN")
   }
 
+  test("expectedCalibrationError: perfect calibration 0, hand value") {
+    import spark.implicits._
+    val perfect = Seq((0.5, true), (0.5, true), (0.5, false), (0.5, false))
+      .toDF("s", "y")
+    val p = Stats.expectedCalibrationError(perfect, "s", "y", 10, 0.0, 1.0)
+      .collect()(0)
+    assert(p.getLong(0) == 4L && p.getLong(1) == 1L && p.getDouble(2) == 0.0)
+    // two bins: bin0 holds 2 rows at conf .05 acc 0 (term .1), bin9
+    // holds 2 rows at conf .95 acc 1 (term .1) -> ece = .2/4 = .05
+    val off = Seq((0.05, false), (0.05, false), (0.95, true), (0.95, true))
+      .toDF("s", "y")
+    val o = Stats.expectedCalibrationError(off, "s", "y", 10, 0.0, 1.0)
+      .collect()(0)
+    assert(o.getLong(1) == 2L, o.toString)
+    assert(math.abs(o.getDouble(2) - 0.05) < 1e-9, o.toString)
+  }
+
+  test("ksStatistic: identical 0, disjoint 1, fuzz vs a naive merge") {
+    import spark.implicits._
+    val same = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 1.0), ("B", 2.0), ("B", 3.0)).toDF("g", "v")
+    val s0 = Stats.ksStatistic(same, "v", "g", "A", "B").collect()(0)
+    assert(s0.getLong(2) == 0L && s0.getDouble(4) == 0.0, s0.toString)
+    val disj = Seq(("A", 1.0), ("A", 2.0), ("B", 5.0), ("B", 6.0),
+      ("B", 7.0), ("C", 9.0)).toDF("g", "v")
+    val s1 = Stats.ksStatistic(disj, "v", "g", "A", "B").collect()(0)
+    assert(s1.getLong(0) == 2L && s1.getLong(1) == 3L, "C excluded")
+    assert(s1.getLong(2) == 6L && s1.getDouble(4) == 1.0, s1.toString)
+    // fuzz: discrete values force ties across and within groups
+    val rnd = new scala.util.Random(1511)
+    val rows = (0 until 500).map(_ =>
+      (if (rnd.nextBoolean()) "A" else "B",
+        (rnd.nextInt(17) + (if (rnd.nextBoolean()) 0.5 else 0.0))))
+    val got = Stats.ksStatistic(rows.toDF("g", "v"), "v", "g", "A", "B")
+      .collect()(0)
+    val a = rows.filter(_._1 == "A").map(_._2)
+    val b = rows.filter(_._1 == "B").map(_._2)
+    val merged = (a ++ b).distinct.sorted
+    val dnum = merged.map(v => math.abs(
+      b.size.toLong * a.count(_ <= v) - a.size.toLong * b.count(_ <= v))).max
+    assert(got.getLong(0) == a.size.toLong && got.getLong(1) == b.size.toLong)
+    assert(got.getLong(2) == dnum, s"d_num ${got.getLong(2)} want $dnum")
+    assert(got.getLong(3) == a.size.toLong * b.size.toLong)
+  }
+
   test("giniConcentration: uniform 0, single-holder (n-1)/n, hand shares") {
     import spark.implicits._
     val uni = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0)).toDF("k", "v")
