@@ -2216,6 +2216,14 @@ object SparkEntry {
       graft.functions.Stats.ksStatistic(
         t(s, dir, "events"), "value", "event_type", "click", "purchase")),
 
+    // Benford first-digit audit of order totals: exact-cent leading
+    // digits (integer string, never double formatting) vs the baked
+    // log10(1+1/d) expectations, per-digit chi2 terms — the
+    // fabricated-data/unit-mixing tripwire.
+    "x_benford" -> ((s, dir) =>
+      graft.functions.Stats.benfordCensus(
+        t(s, dir, "orders"), "o_totalprice", scale = 2)),
+
     // Revenue-concentration audit: Gini + top-1/top-10 shares of
     // customer spend — the skew report that decides salting and
     // per-stratum sampling caps. Spend sums in DECIMAL(18,2), Gini
@@ -6039,6 +6047,35 @@ object SparkEntry {
         | ROUND(CAST(CAST(MAX(abs(n2 * fa - n1 * fb)) AS BIGINT) AS DOUBLE)
         |   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS d
         |FROM c, t GROUP BY n1, n2""".stripMargin,
+
+    // Benford mirrored: exact cents, INTEGER-string leading digit, the
+    // same nine baked literals, pinned-order chi2 terms.
+    "x_benford" ->
+      """WITH u AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS u
+        |  FROM orders),
+        |d AS (SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit
+        |  FROM u WHERE u > 0),
+        |c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+        |g AS (SELECT digit, CAST(e AS DOUBLE) AS exp_share FROM (VALUES
+        |  (1, 0.3010299956639812), (2, 0.17609125905568124),
+        |  (3, 0.12493873660829992), (4, 0.09691001300805642),
+        |  (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |  (7, 0.05799194697768673), (8, 0.05115252244738129),
+        |  (9, 0.04575749056067514)) v(digit, e)),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+        |SELECT g.digit, COALESCE(c.n_obs, 0) AS n_obs,
+        | ROUND(CAST(COALESCE(c.n_obs, 0) AS DOUBLE) / CAST(t.n AS DOUBLE),
+        |   9) AS obs_share,
+        | g.exp_share,
+        | ROUND(((CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
+        |     - CAST(t.n AS DOUBLE) * g.exp_share)
+        |   * (CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
+        |     - CAST(t.n AS DOUBLE) * g.exp_share))
+        |  / (CAST(t.n AS DOUBLE) * g.exp_share), 9) AS chi2_term
+        |FROM g LEFT JOIN c ON c.digit = g.digit, t
+        |ORDER BY g.digit""".stripMargin,
 
     // Gini mirrored in exact integer cents: DECIMAL(18,2) spend sums
     // ×100 → BIGINT units, ascending/descending row_number ranks with

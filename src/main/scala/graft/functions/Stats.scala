@@ -1828,6 +1828,57 @@ object Stats {
           .as("d"))
   }
 
+  /** Benford first-digit census (Benford 1938; the classic
+    * fabricated-data / unit-mixing tripwire for financial and metric
+    * columns): values convert to exact integer units
+    * (DECIMAL(18,`scale`)·10^scale, the [[giniConcentration]]
+    * convention), the leading digit comes from the INTEGER's decimal
+    * string (engine-identical, unlike double formatting), and each
+    * digit row carries its observed share plus the Pearson chi²
+    * term against the Benford expectation `log₁₀(1+1/d)` — baked as
+    * nine shared decimal literals, so no runtime transcendental; a
+    * consumer sums the nine terms into the test statistic. Zero and
+    * negative values have no leading digit and are excluded.
+    *
+    * Exactness: counts are exact integers; shares and chi² terms are
+    * pinned-order doubles over those integers and the baked literals.
+    * Scale shape: one map-only digit projection + a 9-key aggregation;
+    * the 9-row grid and 1-row total broadcast.
+    *
+    * @return 9 rows: (digit, n_obs, obs_share, exp_share, chi2_term)
+    */
+  def benfordCensus(df: DataFrame, valueCol: String,
+                    scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"scale must be in [0,6], got $scale")
+    val unitsPer = BigInt(10).pow(scale).toLong
+    val counts = df
+      .select((col(valueCol).cast(
+          org.apache.spark.sql.types.DecimalType(18, scale)) *
+        lit(unitsPer)).cast("long").as("__u"))
+      .where(col("__u") > 0)
+      .select(substring(col("__u").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("__c"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514).toDF("digit", "exp_share")
+    val tot = counts.agg(sum(col("__c")).as("__n"))
+    val oD = coalesce(col("__c"), lit(0L)).cast("double")
+    val nD = col("__n").cast("double")
+    grid.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("__c"), lit(0L)).as("n_obs"),
+        round(oD / nD, 9).as("obs_share"), col("exp_share"),
+        round(((oD - nD * col("exp_share")) * (oD - nD * col("exp_share")))
+          / (nD * col("exp_share")), 9).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
   /** Concentration report over per-key totals: the Gini coefficient
     * plus top-1/top-`topN` shares — the "how skewed is this
     * dimension?" audit (revenue per customer, documents per domain,

@@ -1001,6 +1001,24 @@ class StatsSpec extends SparkSpec {
     assert(got.getLong(3) == a.size.toLong * b.size.toLong)
   }
 
+  test("benfordCensus: hand digits, zero/negative exclusion, grid fill") {
+    import spark.implicits._
+    // cents: 150, 1999, 95, 100, skip 0 and -3.50
+    val df = Seq(1.50, 19.99, 0.95, 1.00, 0.0, -3.50).toDF("v")
+    val got = Stats.benfordCensus(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size == 9, "all nine digits present")
+    assert(got(1) == ((3L, 0.75)), got(1).toString)   // 150, 1999, 100
+    assert(got(9) == ((1L, 0.25)), got(9).toString)   // 95
+    assert((2 to 8).forall(d => got(d)._1 == 0L), "zero-filled grid")
+    // chi2 term for digit 1 recomputed independently (pinned order)
+    val row1 = Stats.benfordCensus(df, "v").collect()(0)
+    val p = 0.3010299956639812; val n = 4.0; val o = 3.0
+    val want = BigDecimal(((o - n * p) * (o - n * p)) / (n * p))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row1.getDouble(4) == want, "chi2 term")
+  }
+
   test("giniConcentration: uniform 0, single-holder (n-1)/n, hand shares") {
     import spark.implicits._
     val uni = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0)).toDF("k", "v")
