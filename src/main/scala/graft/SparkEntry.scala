@@ -2910,6 +2910,15 @@ object SparkEntry {
         "text", k = 40)
     }),
 
+    // Corpus-level RAKE keywords: stopword/punct-broken candidate
+    // phrases, deg/freq word scores (one double divide each), phrase
+    // score = DECIMAL(30,15) sum of word scores, top-30.
+    "x_rake" -> ((s, dir) =>
+      Corpus.rakeKeywords(t(s, dir, "documents"), "text",
+        stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
+          "for", "on", "with"),
+        k = 30)),
+
     // Church-Gale term burstiness: cf/df + variance-to-mean of per-doc
     // counts (zeros in) per token with df >= 5, top-30 by burst — the
     // topicality/keyword signal TF-IDF approximates. Exact integers +
@@ -6802,6 +6811,37 @@ object SparkEntry {
         |HAVING COUNT(*) >= 2
         |ORDER BY n_tokens DESC, sdx LIMIT 40""".stripMargin
     },
+
+    // RAKE mirrored list-for-list: chr(1) break markers, string_split
+    // phrase re-split, identical stoplist, deg/freq divides and the
+    // DECIMAL(30,15) phrase sum.
+    "x_rake" ->
+      raw"""WITH tk AS (SELECT CASE
+        |   WHEN text IS NULL OR LENGTH(TRIM(lower(text))) = 0
+        |   THEN []::VARCHAR[]
+        |   ELSE regexp_split_to_array(TRIM(lower(text)), '\s+') END AS tok
+        | FROM documents),
+        |mk AS (SELECT list_transform(tok, t -> CASE
+        |   WHEN t IN ('the','a','of','and','to','in','is','for','on','with')
+        |     OR NOT regexp_matches(t, '[a-z0-9]') THEN chr(1) ELSE t END)
+        |   AS m FROM tk),
+        |ph AS (SELECT trim(p) AS phrase FROM (
+        |  SELECT unnest(string_split(array_to_string(m, ' '), chr(1))) AS p
+        |  FROM mk)
+        | WHERE LENGTH(trim(p)) > 0),
+        |pt AS (SELECT phrase, COUNT(*) AS n_occur,
+        |  string_split(phrase, ' ') AS ws
+        | FROM ph GROUP BY 1 HAVING len(string_split(phrase, ' ')) <= 8),
+        |pw AS (SELECT phrase, n_occur, CAST(len(ws) AS BIGINT) AS l,
+        |  unnest(ws) AS w FROM pt),
+        |ws AS (SELECT w, CAST(SUM(n_occur) AS BIGINT) AS freq,
+        |  CAST(SUM(n_occur * l) AS BIGINT) AS deg FROM pw GROUP BY 1)
+        |SELECT pw.phrase, pw.n_occur, pw.l AS n_words,
+        | ROUND(CAST(SUM(CAST(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE)
+        |   AS DECIMAL(30,15))) AS DOUBLE), 9) AS score
+        |FROM pw JOIN ws ON ws.w = pw.w
+        |GROUP BY pw.phrase, pw.n_occur, pw.l
+        |ORDER BY score DESC, phrase LIMIT 30""".stripMargin,
 
     // Burstiness mirrored: exact integer term stats, two pinned-order
     // double ratios (HUGEINT sums cast back to BIGINT per convention).

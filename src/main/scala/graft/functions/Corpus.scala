@@ -5079,6 +5079,65 @@ object Corpus {
       .limit(k)
   }
 
+  /** Corpus-level RAKE keyword extraction (Rose et al. 2010, "Rapid
+    * Automatic Keyword Extraction"): candidate phrases are maximal
+    * token runs between stopword/punctuation breaks, each content
+    * word scores `deg/freq` (degree = Σ length of phrases containing
+    * it, frequency = occurrences — words living in long phrases
+    * outrank words living alone), and a phrase scores the sum of its
+    * words' scores. Corpus-level: phrase occurrences aggregate before
+    * scoring, so the output is the corpus keyword table, not per-doc
+    * keywords.
+    *
+    * Determinism: freq/deg are exact integers, a word score is ONE
+    * double divide (correctly rounded), and the phrase sum
+    * accumulates the word scores in DECIMAL(30,15) — order-free, so
+    * bit-identical on any engine/partitioning. Token matching is on
+    * `lower(text)`; a token with no ASCII alphanumeric is a break
+    * (punctuation runs). Phrases longer than `maxPhraseLen` words are
+    * dropped whole (the standard guard against unbroken boilerplate
+    * runs masquerading as phrases).
+    *
+    * Shuffle profile: phrase extraction is map-only array work inside
+    * the scan; one phrase-keyed count (map-side combined), one
+    * vocab-sized word rollup of the DISTINCT phrase table, one
+    * word-keyed equi-join back, one phrase-keyed score sum, top-k
+    * TakeOrdered. Bodies never shuffle.
+    *
+    * @return top-`k` rows: (phrase, n_occur, n_words, score)
+    */
+  def rakeKeywords(df: DataFrame, textCol: String, stopwords: Seq[String],
+                   k: Int, maxPhraseLen: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(stopwords.nonEmpty, "RAKE needs a stopword list to break on")
+    val stopArr = array(stopwords.map(lit): _*)
+    val marked = transform(TextFunctions.tokens(lower(col(textCol))), t =>
+      when(array_contains(stopArr, t) || !t.rlike("[a-z0-9]"),
+        lit("\u0001")).otherwise(t))
+    val phrases = df
+      .select(explode(split(concat_ws(" ", marked), "\u0001")).as("__p"))
+      .select(trim(col("__p")).as("phrase"))
+      .where(length(col("phrase")) > 0)
+    val pt = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occur"))
+      .withColumn("__ws", split(col("phrase"), " "))
+      .where(size(col("__ws")) <= maxPhraseLen)
+    val pw = pt.select(col("phrase"), col("n_occur"),
+      size(col("__ws")).cast("long").as("__len"),
+      explode(col("__ws")).as("__w"))
+    val wstat = pw.groupBy(col("__w"))
+      .agg(sum(col("n_occur")).as("__freq"),
+        sum(col("n_occur") * col("__len")).as("__deg"))
+    pw.join(wstat, Seq("__w"))
+      .groupBy(col("phrase"), col("n_occur"), col("__len"))
+      .agg(sum((col("__deg").cast("double") / col("__freq").cast("double"))
+        .cast(DecimalType(30, 15))).cast("double").as("__s"))
+      .select(col("phrase"), col("n_occur"), col("__len").as("n_words"),
+        round(col("__s"), 9).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(k)
+  }
+
   /** Term burstiness census (Church & Gale 1995): for each token type
     * with document frequency ≥ `minDf`, the collection/document
     * frequency ratio `burst = cf/df` ("when it occurs at all, how many

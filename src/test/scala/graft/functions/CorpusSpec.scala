@@ -661,6 +661,24 @@ class CorpusSpec extends SparkSpec {
     assert(got.size == 2, "singleton buckets (xyz) drop")
   }
 
+  test("rakeKeywords: hand phrase scores, breaks, caps, length guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the QUICK brown fox and the lazy dog"),
+      (2L, "quick brown fox !!! lazy dog"),
+      (3L, "v1 v2 v3 v4 v5")).toDF("doc_id", "text")
+    val out = Corpus.rakeKeywords(docs, "text",
+      Seq("the", "and"), k = 10, maxPhraseLen = 4).collect()
+    val got = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // quick/brown/fox: freq 2, deg 6 -> 3.0 each; phrase = 9
+    assert(got("quick brown fox") == ((2L, 3L, 9.0)), got.toString)
+    // lazy/dog: freq 2, deg 4 -> 2.0 each; phrase = 4
+    assert(got("lazy dog") == ((2L, 2L, 4.0)), got.toString)
+    assert(got.size == 2, "the 5-word run dropped by the length guard")
+    assert(out(0).getString(0) == "quick brown fox", "rank order")
+  }
+
   test("burstiness: hand counts, Poisson floor, df gate") {
     import spark.implicits._
     val df = Seq((1L, "x x x y"), (2L, "y z"), (3L, "x z"), (4L, ""))
