@@ -3770,6 +3770,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Newman degree assortativity of the same mutual-kNN graph: the
+    // degree-degree Pearson over both edge orientations as exact
+    // integer sums (no sqrt — symmetric marginals), DECIMAL(38,0)
+    // close, one double divide. kNN graphs read disassortative.
+    "x_assortativity" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val edges = Similarity.mutualKnnEdges(e, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 16, kmeansIters = 1,
+        margin = 40, saltBuckets = 2)
+      graft.functions.Graph.degreeAssortativity(edges, "id_a", "id_b")
+    }),
+
     // Semi-supervised label propagation: every 5th vector keeps its
     // label as a seed, labels spread 3 hops along the mutual-kNN graph
     // (same exhaustive-probe graph as x_knn_graph), majority vote per
@@ -10478,6 +10490,32 @@ object SparkEntry {
         | ELSE NULL END AS coef
         |FROM deg d LEFT JOIN pernode p USING (id)
         |ORDER BY id""".stripMargin,
+
+    // Assortativity mirrored on the shared mutual-kNN CTE: canonical
+    // dedup, both orientations, HUGEINT close cast to double.
+    "x_assortativity" ->
+      s"""WITH $mutualKnnCte,
+        |e AS (SELECT DISTINCT LEAST(id_a, id_b) AS u,
+        |   GREATEST(id_a, id_b) AS v
+        |  FROM mutual WHERE id_a <> id_b),
+        |deg AS (SELECT id, COUNT(*) AS d FROM (
+        |  SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |op AS (SELECT u AS a, v AS b FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |j AS (SELECT da.d AS x, db.d AS y FROM op
+        |  JOIN deg da ON da.id = op.a JOIN deg db ON db.id = op.b),
+        |s AS (SELECT COUNT(*) AS m, CAST(SUM(x) AS BIGINT) AS sx,
+        |  CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |  CAST(SUM(x * x) AS BIGINT) AS sxx FROM j)
+        |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        | (SELECT COUNT(*) FROM e) AS n_edges,
+        | m AS m_pairs, sx AS sum_d, sxy AS sum_dd, sxx AS sum_d2,
+        | ROUND(CAST(CAST(m AS HUGEINT) * sxy
+        |     - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |   / nullif(CAST(CAST(m AS HUGEINT) * sxx
+        |     - CAST(sx AS HUGEINT) * sx AS DOUBLE), 0.0), 9)
+        |   AS assortativity
+        |FROM s""".stripMargin,
 
     // Exact triangle enumeration over the same mutual graph: x < y < z
     // with all three canonical edges present; per-node membership count.

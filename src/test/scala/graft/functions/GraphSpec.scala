@@ -192,4 +192,27 @@ class GraphSpec extends SparkSpec {
     val out = prop(Seq((1L, 2L), (2L, 3L)), Seq(1L -> 9), rounds = 0)
     assert(out == Map(1L -> ((9, 0))))
   }
+
+  test("degreeAssortativity: star -1, triangle+pendant hand value, dedup") {
+    // star K1,3 is perfectly disassortative
+    val star = Graph.degreeAssortativity(
+      edges((1L, 2L), (1L, 3L), (1L, 4L)), "src", "dst").collect()(0)
+    assert(star.getLong(0) == 4L && star.getLong(1) == 3L &&
+      star.getLong(2) == 6L)
+    assert(star.getDouble(6) == -1.0, star.toString)
+    // triangle ab-bc-ca plus pendant cd: r = -20/28, and reversed
+    // duplicates + a self loop must not change anything
+    val e = edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (2L, 1L), (3L, 2L), (5L, 5L))
+    val g = Graph.degreeAssortativity(e, "src", "dst").collect()(0)
+    assert(g.getLong(0) == 4L && g.getLong(1) == 4L && g.getLong(2) == 8L)
+    assert((g.getLong(3), g.getLong(4), g.getLong(5)) == ((18L, 38L, 44L)))
+    val want = BigDecimal(-20.0 / 28.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g.getDouble(6) == want, g.toString)
+    // regular graph: zero marginal variance reads NULL, not a crash
+    val reg = Graph.degreeAssortativity(
+      edges((1L, 2L), (3L, 4L)), "src", "dst").collect()(0)
+    assert(reg.isNullAt(6), reg.toString)
+  }
 }
