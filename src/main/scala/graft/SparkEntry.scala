@@ -2216,6 +2216,20 @@ object SparkEntry {
       graft.functions.Stats.ksStatistic(
         t(s, dir, "events"), "value", "event_type", "click", "purchase")),
 
+    // Cramer's V close of the priority x status contingency: sparse
+    // chi2 via the unobserved-cells-contribute-e identity, exact
+    // integer pieces, DECIMAL(30,15) term sum, IEEE sqrt.
+    "x_cramers_v" -> ((s, dir) =>
+      graft.functions.Stats.cramersV(
+        t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")),
+
+    // Mutual information between document language and source (nats),
+    // marginal entropies and geometric-mean NMI: every ln input an
+    // integral double (o*n, r*c), cell terms in DECIMAL(30,15).
+    "x_mutual_info" -> ((s, dir) =>
+      graft.functions.Stats.categoricalMI(
+        t(s, dir, "documents"), "lang", "source")),
+
     // Benford first-digit audit of order totals: exact-cent leading
     // digits (integer string, never double formatting) vs the baked
     // log10(1+1/d) expectations, per-digit chi2 terms — the
@@ -6068,6 +6082,63 @@ object SparkEntry {
         | ROUND(CAST(CAST(MAX(abs(n2 * fa - n1 * fb)) AS BIGINT) AS DOUBLE)
         |   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS d
         |FROM c, t GROUP BY n1, n2""".stripMargin,
+
+    // Cramer's V mirrored: same sparse-grid chi2 identity, the
+    // identical pinned cell term, DECIMAL(30,15) sum, nullif floor.
+    "x_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |  COUNT(*) AS o FROM orders
+        | WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        | GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |  COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c FROM cells),
+        |t AS (SELECT n, r, c, CAST(SUM(CAST(
+        |   ((CAST(o AS DOUBLE)
+        |      - (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE)
+        |      - (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |   / ((CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE))
+        |   - (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)) / CAST(n AS DOUBLE)
+        |  AS DECIMAL(30,15))) AS DOUBLE) AS tt
+        | FROM cells JOIN ra USING (a) JOIN cb USING (b), tot
+        | GROUP BY 1, 2, 3)
+        |SELECT n, r, c,
+        | ROUND(tt + CAST(n AS DOUBLE), 9) AS chi2,
+        | ROUND(sqrt(((tt + CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |   / nullif(CAST(LEAST(r - 1, c - 1) AS DOUBLE), 0.0)), 9)
+        |   AS cramers_v
+        |FROM t""".stripMargin,
+
+    // MI mirrored: ln only ever sees the integral products o*n and
+    // r*c, cell/marginal terms in DECIMAL(30,15), pinned closes.
+    "x_mutual_info" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS o
+        | FROM documents
+        | WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |mi AS (SELECT n, CAST(SUM(CAST(CAST(o AS DOUBLE) *
+        |   (ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+        |    - ln(CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))
+        |  AS DECIMAL(30,15))) AS DOUBLE) AS mi
+        | FROM cells JOIN ra USING (a) JOIN cb USING (b), tot GROUP BY 1),
+        |ha AS (SELECT n, CAST(SUM(CAST(CAST(ra AS DOUBLE) *
+        |   (ln(CAST(n AS DOUBLE)) - ln(CAST(ra AS DOUBLE)))
+        |  AS DECIMAL(30,15))) AS DOUBLE) AS ha FROM ra, tot GROUP BY 1),
+        |hb AS (SELECT n, CAST(SUM(CAST(CAST(cb AS DOUBLE) *
+        |   (ln(CAST(n AS DOUBLE)) - ln(CAST(cb AS DOUBLE)))
+        |  AS DECIMAL(30,15))) AS DOUBLE) AS hb FROM cb, tot GROUP BY 1)
+        |SELECT mi.n,
+        | ROUND(mi.mi / CAST(mi.n AS DOUBLE), 9) AS mi,
+        | ROUND(ha.ha / CAST(mi.n AS DOUBLE), 9) AS h_a,
+        | ROUND(hb.hb / CAST(mi.n AS DOUBLE), 9) AS h_b,
+        | ROUND((mi.mi / CAST(mi.n AS DOUBLE))
+        |   / nullif(sqrt((ha.ha / CAST(mi.n AS DOUBLE))
+        |     * (hb.hb / CAST(mi.n AS DOUBLE))), 0.0), 9) AS nmi
+        |FROM mi JOIN ha USING (n) JOIN hb USING (n)""".stripMargin,
 
     // Benford mirrored: exact cents, INTEGER-string leading digit, the
     // same nine baked literals, pinned-order chi2 terms.

@@ -1828,6 +1828,111 @@ object Stats {
           .as("d"))
   }
 
+  /** Cramér's V association strength between two categorical columns —
+    * the [0,1]-normalized close of the [[contingency]] table (Cramér
+    * 1946): `V = sqrt((χ²/n) / min(r−1, c−1))`. The column-dependence
+    * summary that decides whether a stratification key is redundant
+    * (V ≈ 1: the two keys stratify identically; V ≈ 0: independent).
+    *
+    * χ² over the FULL r×c grid without materializing zero cells: an
+    * unobserved cell contributes exactly its expectation `e`, and
+    * Σ_grid e = n, so `χ² = Σ_observed[(o−e)²/e − e] + n` — observed
+    * cells only, the sparse-grid identity. Counts are exact integers;
+    * each cell term is pinned-order doubles (`e = r·c/n` one divide),
+    * terms accumulate in DECIMAL(30,15), and sqrt is IEEE
+    * correctly-rounded. Null categories are excluded (a row that can't
+    * name its cell can't associate). 1×k tables have min(r−1,c−1) = 0:
+    * V reads NULL by the nullif convention.
+    *
+    * Scale shape: one cell-keyed count (map-side combined), two
+    * marginal rollups of the CELL table broadcast back, a scalar
+    * close. Nothing corpus-sized shuffles twice.
+    *
+    * @return one row: (n, r, c, chi2, cramers_v)
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("r"), countDistinct(col("__b")).as("c"))
+    val e = (col("__ra").cast("double") * col("__cb").cast("double")) /
+      col("__n").cast("double")
+    val term = ((col("__o").cast("double") - e) *
+      (col("__o").cast("double") - e)) / e - e
+    val chi2 = cells
+      .join(broadcast(ra), Seq("__a")).join(broadcast(cb), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__n"), col("r"), col("c"))
+      .agg(sum(term.cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+        .cast("double").as("__t"))
+      .select(col("__n").as("n"), col("r"), col("c"),
+        (col("__t") + col("__n").cast("double")).as("__chi2"))
+    chi2.select(col("n"), col("r"), col("c"),
+      round(col("__chi2"), 9).as("chi2"),
+      round(sqrt((col("__chi2") / col("n").cast("double")) /
+        nullif(least(col("r") - 1L, col("c") - 1L).cast("double"),
+          lit(0.0))), 9).as("cramers_v"))
+  }
+
+  /** Mutual information (nats) between two categorical columns, with
+    * both marginal entropies and the geometric-mean-normalized NMI —
+    * the information-theoretic dual of [[cramersV]] (V measures
+    * deviation from independence; MI measures the bits one key yields
+    * about the other — the redundancy check for stratification and
+    * split keys, and the leakage check between a feature and a label).
+    *
+    *   MI = Σ_cells (o/n)·ln(o·n/(r·c)),  H(a) = Σ (r/n)·ln(n/r)
+    *
+    * decomposed so every `ln` input is an INTEGRAL double (`o·n` and
+    * `r·c` are exact integer products below 2⁵³ — the proven-safe
+    * class; zero cells contribute nothing by continuity). Cell terms
+    * accumulate in DECIMAL(30,15); the closing divisions and
+    * `NMI = MI/sqrt(H_a·H_b)` are pinned-order doubles, nullif-guarded
+    * for the single-category degeneracies (H = 0 → NMI NULL).
+    *
+    * Scale shape = [[cramersV]]: cell-keyed count, marginal rollups of
+    * the cell table, scalar close.
+    *
+    * @return one row: (n, mi, h_a, h_b, nmi)
+    */
+  def categoricalMI(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d3015 = org.apache.spark.sql.types.DecimalType(30, 15)
+    val cells = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val tot = cells.agg(sum(col("__o")).as("__n"))
+    val miTerm = col("__o").cast("double") *
+      (log(col("__o").cast("double") * col("__n").cast("double")) -
+        log(col("__ra").cast("double") * col("__cb").cast("double")))
+    val mi = cells
+      .join(broadcast(ra), Seq("__a")).join(broadcast(cb), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__n"))
+      .agg(sum(miTerm.cast(d3015)).cast("double").as("__mi"))
+    def entropy(m: DataFrame, cnt: String) = m.crossJoin(broadcast(tot))
+      .groupBy(col("__n"))
+      .agg(sum((col(cnt).cast("double") *
+        (log(col("__n").cast("double")) - log(col(cnt).cast("double"))))
+        .cast(d3015)).cast("double").as("__h"))
+      .select(col("__n"), col("__h"))
+    val ha = entropy(ra, "__ra").withColumnRenamed("__h", "__ha")
+    val hb = entropy(cb, "__cb").withColumnRenamed("__h", "__hb")
+    mi.join(ha, Seq("__n")).join(hb, Seq("__n"))
+      .select(col("__n").as("n"),
+        round(col("__mi") / col("__n").cast("double"), 9).as("mi"),
+        round(col("__ha") / col("__n").cast("double"), 9).as("h_a"),
+        round(col("__hb") / col("__n").cast("double"), 9).as("h_b"),
+        round((col("__mi") / col("__n").cast("double")) /
+          nullif(sqrt((col("__ha") / col("__n").cast("double")) *
+            (col("__hb") / col("__n").cast("double"))), lit(0.0)), 9)
+          .as("nmi"))
+  }
+
   /** Benford first-digit census (Benford 1938; the classic
     * fabricated-data / unit-mixing tripwire for financial and metric
     * columns): values convert to exact integer units

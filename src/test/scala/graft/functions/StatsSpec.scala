@@ -1001,6 +1001,61 @@ class StatsSpec extends SparkSpec {
     assert(got.getLong(3) == a.size.toLong * b.size.toLong)
   }
 
+  test("cramersV: perfect 1, independent 0, sparse-grid identity vs full grid") {
+    import spark.implicits._
+    val perfect = (Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y")))
+      .toDF("a", "b")
+    val p = Stats.cramersV(perfect, "a", "b").collect()(0)
+    assert(p.getDouble(4) == 1.0 && p.getLong(1) == 2L && p.getLong(2) == 2L)
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Stats.cramersV(indep, "a", "b").collect()(0)
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0, i.toString)
+    // 1xk table: min(r-1, c-1) = 0 -> NULL V
+    val one = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Stats.cramersV(one, "a", "b").collect()(0).isNullAt(4))
+    // sparse identity vs a dense full-grid chi2 on fuzzed data with
+    // genuinely empty cells
+    val rnd = new scala.util.Random(1512)
+    val rows = (0 until 400).map { _ =>
+      val a = rnd.nextInt(5)
+      (s"a$a", s"b${if (a < 2) rnd.nextInt(3) else 2 + rnd.nextInt(4)}")
+    }
+    val got = Stats.cramersV(rows.toDF("a", "b"), "a", "b").collect()(0)
+    val n = rows.size.toDouble
+    val ra = rows.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val cb = rows.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val oMap = rows.groupBy(identity).map { case (k, v) => k -> v.size }
+    val chi2 = (for (a <- ra.keys; b <- cb.keys) yield {
+      val e = ra(a).toDouble * cb(b).toDouble / n
+      val o = oMap.getOrElse((a, b), 0).toDouble
+      ((o - e) * (o - e)) / e
+    }).sum
+    assert(oMap.size < ra.size * cb.size, "fuzz must have empty cells")
+    assert(math.abs(got.getDouble(3) - chi2) < 1e-6,
+      s"chi2 ${got.getDouble(3)} vs dense $chi2")
+  }
+
+  test("categoricalMI: independence 0, identity NMI 1, MI = H") {
+    import spark.implicits._
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Stats.categoricalMI(indep, "a", "b").collect()(0)
+    assert(i.getDouble(1) == 0.0, i.toString)
+    val ident = (Seq.fill(6)(("x", "x")) ++ Seq.fill(4)(("y", "y")))
+      .toDF("a", "b")
+    val d = Stats.categoricalMI(ident, "a", "b").collect()(0)
+    assert(d.getDouble(1) == d.getDouble(2) && d.getDouble(2) == d.getDouble(3),
+      d.toString)
+    assert(d.getDouble(4) == 1.0, "identical keys read NMI 1")
+    val h = 0.6 * math.log(10.0 / 6.0) + 0.4 * math.log(10.0 / 4.0)
+    assert(math.abs(d.getDouble(2) - h) < 1e-9, d.toString)
+    // single-category column: H = 0 -> NMI NULL, MI 0
+    val degen = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val g = Stats.categoricalMI(degen, "a", "b").collect()(0)
+    assert(g.getDouble(1) == 0.0 && g.isNullAt(4), g.toString)
+  }
+
   test("benfordCensus: hand digits, zero/negative exclusion, grid fill") {
     import spark.implicits._
     // cents: 150, 1999, 95, 100, skip 0 and -3.50
