@@ -3784,6 +3784,19 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Newman-Girvan modularity of the embeddings' label partition over
+    // the mutual-kNN graph: Q as the exact integer rational
+    // sum(4 m e_c - d_c^2) / 4m^2 — "do the labels explain the graph
+    // beyond degree-preserving chance?"
+    "x_modularity" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val edges = Similarity.mutualKnnEdges(e, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 16, kmeansIters = 1,
+        margin = 40, saltBuckets = 2)
+      graft.functions.Graph.modularity(edges, "id_a", "id_b",
+        e.select(col("vec_id"), col("label")), "vec_id", "label")
+    }),
+
     // Newman degree assortativity of the same mutual-kNN graph: the
     // degree-degree Pearson over both edge orientations as exact
     // integer sums (no sqrt — symmetric marginals), DECIMAL(38,0)
@@ -10561,6 +10574,34 @@ object SparkEntry {
         | ELSE NULL END AS coef
         |FROM deg d LEFT JOIN pernode p USING (id)
         |ORDER BY id""".stripMargin,
+
+    // Modularity mirrored on the shared mutual-kNN CTE: labeled
+    // subgraph inner joins, cluster rollup, HUGEINT sum narrowed.
+    "x_modularity" ->
+      s"""WITH $mutualKnnCte,
+        |lab AS (SELECT vec_id AS id, label AS l FROM embeddings),
+        |e AS (SELECT DISTINCT LEAST(id_a, id_b) AS u,
+        |   GREATEST(id_a, id_b) AS v
+        |  FROM mutual WHERE id_a <> id_b),
+        |el AS (SELECT e.u, e.v, la.l AS lu, lb.l AS lv FROM e
+        |  JOIN lab la ON la.id = e.u JOIN lab lb ON lb.id = e.v),
+        |deg AS (SELECT id, l, COUNT(*) AS d FROM (
+        |  SELECT u AS id, lu AS l FROM el
+        |  UNION ALL SELECT v, lv FROM el) GROUP BY 1, 2),
+        |dc AS (SELECT l, CAST(SUM(d) AS BIGINT) AS d_c FROM deg GROUP BY 1),
+        |ec AS (SELECT lu AS l, COUNT(*) AS e_c FROM el
+        |  WHERE lu = lv GROUP BY 1),
+        |m AS (SELECT COUNT(*) AS m FROM el),
+        |nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+        |s AS (SELECT COUNT(*) AS n_clusters,
+        |  CAST(SUM(4 * m.m * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c)
+        |    AS BIGINT) AS q_num
+        | FROM dc LEFT JOIN ec USING (l), m)
+        |SELECT nn.n_nodes, m.m AS n_edges, s.n_clusters, s.q_num,
+        | 4 * m.m * m.m AS q_den,
+        | ROUND(CAST(s.q_num AS DOUBLE)
+        |   / nullif(CAST(4 * m.m * m.m AS DOUBLE), 0.0), 9) AS modularity
+        |FROM s, m, nn""".stripMargin,
 
     // Assortativity mirrored on the shared mutual-kNN CTE: canonical
     // dedup, both orientations, HUGEINT close cast to double.

@@ -592,6 +592,63 @@ object Graph {
           9).as("assortativity"))
   }
 
+  /** Newman–Girvan modularity of a node partition (Newman 2004):
+    * `Q = Σ_c [e_c/m − (d_c/2m)²]` — how many intra-cluster edges the
+    * partition captures beyond degree-preserving chance. THE quality
+    * score for any clustering consumed as communities
+    * ([[propagateLabels]] output, k-means cluster ids, dedup
+    * components): Q ≈ 0 means the "communities" are no better than
+    * random, and a falling Q across snapshots means the partition key
+    * is rotting. Computed as the exact integer rational
+    *
+    *   Q = Σ_c (4·m·e_c − d_c²) / (4·m²)
+    *
+    * (e_c intra-cluster edges, d_c total degree of cluster c, m edges)
+    * with one double division at the close, nullif-guarded for the
+    * empty graph. Evaluated over the LABELED subgraph: endpoints
+    * without a label row drop with the inner join (a node that can't
+    * name its community can't score it), and m/degrees follow.
+    *
+    * Shuffle profile: canonical edge dedup, two label equi-joins, a
+    * cluster-keyed rollup (cluster-space sized), a scalar close.
+    * Documented bound: exact while 4·m·max(e_c) < 2⁶³.
+    *
+    * @return one row: (n_nodes, n_edges, n_clusters, q_num, q_den,
+    *         modularity)
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, idCol: String,
+                 labelCol: String): DataFrame = {
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__l"))
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .join(lab.withColumnRenamed("__id", "u")
+        .withColumnRenamed("__l", "__lu"), Seq("u"))
+      .join(lab.withColumnRenamed("__id", "v")
+        .withColumnRenamed("__l", "__lv"), Seq("v"))
+    val deg = e.select(col("u").as("id"), col("__lu").as("l"))
+      .unionAll(e.select(col("v").as("id"), col("__lv").as("l")))
+      .groupBy(col("id"), col("l")).agg(count(lit(1)).as("d"))
+    val dc = deg.groupBy(col("l")).agg(sum(col("d")).as("d_c"))
+    val ec = e.where(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("l")).agg(count(lit(1)).as("e_c"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val sums = dc.join(ec, Seq("l"), "left")
+      .withColumn("__ec", coalesce(col("e_c"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(lit(4L) * col("m") * col("__ec") - col("d_c") * col("d_c"))
+          .as("q_num"))
+    sums.crossJoin(broadcast(m)).crossJoin(broadcast(nn))
+      .select(col("n_nodes"), col("m").as("n_edges"), col("n_clusters"),
+        col("q_num"), (lit(4L) * col("m") * col("m")).as("q_den"),
+        round(col("q_num").cast("double") /
+          nullif((lit(4L) * col("m") * col("m")).cast("double"), lit(0.0)),
+          9).as("modularity"))
+  }
+
   /** Bounded-round multi-source shortest paths over integer edge
     * weights — Bellman–Ford with delta-set relaxation (the Pregel SSSP
     * shape; reference analogue: the iterative fixpoints its users build

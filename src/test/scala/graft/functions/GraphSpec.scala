@@ -215,4 +215,30 @@ class GraphSpec extends SparkSpec {
       edges((1L, 2L), (3L, 4L)), "src", "dst").collect()(0)
     assert(reg.isNullAt(6), reg.toString)
   }
+
+  test("modularity: two bridged cliques, one-cluster zero, unlabeled drop") {
+    import org.apache.spark.sql.functions.col
+    def labels(pairs: (Long, String)*) =
+      spark.createDataFrame(pairs).toDF("id", "lab")
+    // K3 {1,2,3} + K3 {4,5,6} bridged 3-4; labels = clique membership:
+    // m 7, e_c 3 each, d_c 7 each -> Q = 2(84-49)/196 = 70/196
+    val e = edges((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+    val l = labels(1L -> "a", 2L -> "a", 3L -> "a",
+      4L -> "b", 5L -> "b", 6L -> "b")
+    val g = Graph.modularity(e, "src", "dst", l, "id", "lab").collect()(0)
+    assert((g.getLong(0), g.getLong(1), g.getLong(2)) == ((6L, 7L, 2L)))
+    assert((g.getLong(3), g.getLong(4)) == ((70L, 196L)), g.toString)
+    val want = BigDecimal(70.0 / 196.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g.getDouble(5) == want, g.toString)
+    // everything in one cluster scores exactly 0
+    val one = Graph.modularity(e, "src", "dst",
+      labels((1L to 6L).map(_ -> "z"): _*), "id", "lab").collect()(0)
+    assert(one.getLong(3) == 0L && one.getDouble(5) == 0.0, one.toString)
+    // an unlabeled endpoint drops its edges from the labeled subgraph
+    val part = Graph.modularity(e, "src", "dst",
+      l.where(col("id") =!= 6L), "id", "lab").collect()(0)
+    assert(part.getLong(0) == 5L && part.getLong(1) == 5L, part.toString)
+  }
 }
