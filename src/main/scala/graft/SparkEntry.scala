@@ -2136,6 +2136,22 @@ object SparkEntry {
           "user_id", "ts", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // Gaps-and-islands streak census: longest consecutive same-type
+    // run per (user, type), ties pinned on (ts, event_id) — the
+    // adjacency signal (outage/bot runs) a plain count can't see.
+    "x_streaks" -> ((s, dir) =>
+      graft.functions.Events.streaks(t(s, dir, "events"),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy("user_id", "event_type")),
+
+    // Per-user CUSUM changepoint scan: running sum of deviations from
+    // the user's own mean peaks at the level shift; pinned-order float
+    // sequence (the r_window_running discipline), DECIMAL(28,9) mean.
+    "x_cusum" -> ((s, dir) =>
+      graft.functions.Events.cusumScan(t(s, dir, "events"),
+          "user_id", "ts", "value", "event_id")
+        .orderBy("user_id")),
+
     // Lexical diversity census: type-token + distinct-bigram ratios as
     // floor-ppm ints, computed entirely inside one scan projection —
     // zero shuffles, nothing leaves its map task.
@@ -5942,6 +5958,42 @@ object SparkEntry {
         |WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
         |GROUP BY 1 HAVING count(*) >= 5
         |ORDER BY n DESC, path""".stripMargin,
+
+    // The same two-window island decomposition, pinned (ts, event_id).
+    "x_streaks" ->
+      """WITH b AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  - row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS island
+        | FROM events),
+        |i AS (SELECT user_id, event_type, island, COUNT(*) AS len
+        | FROM b GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, CAST(SUM(len) AS BIGINT) AS n_events,
+        | COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak
+        |FROM i GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    // CUSUM mirrored: DECIMAL(28,9) mean, the identical pinned-order
+    // running float sum, argmax by (|S| desc, ts, event_id).
+    "x_cusum" ->
+      """WITH base AS (SELECT user_id, ts, event_id, value AS v FROM events
+        | WHERE value IS NOT NULL AND NOT isnan(value)),
+        |m AS (SELECT user_id,
+        |  CAST(SUM(CAST(v AS DECIMAL(28,9))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean,
+        |  COUNT(*) AS n FROM base GROUP BY 1),
+        |s AS (SELECT b.user_id, b.ts, b.event_id, m.n,
+        |  SUM(b.v - m.mean) OVER (PARTITION BY b.user_id
+        |    ORDER BY b.ts, b.event_id ROWS UNBOUNDED PRECEDING) AS cs
+        | FROM base b JOIN m USING (user_id)),
+        |x AS (SELECT user_id, n, cs, ts,
+        |  MAX(cs) OVER (PARTITION BY user_id) AS smax,
+        |  MIN(cs) OVER (PARTITION BY user_id) AS smin,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY abs(cs) DESC, ts, event_id) AS rk
+        | FROM s)
+        |SELECT user_id, n, ROUND(abs(cs), 9) AS cusum_peak,
+        | ts AS peak_ts, ROUND(smax - smin, 9) AS cusum_range
+        |FROM x WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     // The same lag pass: per-user (epoch_us, event_id) order, pair
     // counts, from-type rollup as a window over the aggregated table.

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over (user, timestamp, type) streams — the
@@ -696,5 +697,92 @@ object Events {
         col("a_n"), col("b_n"), col("n_baskets"),
         expr(Stats.ppmSql("pair_n", "a_n")).as("conf_ab_ppm"),
         expr(Stats.ppmSql("pair_n", "b_n")).as("conf_ba_ppm"))
+  }
+
+  /** Consecutive same-type event streaks per user — the classic
+    * gaps-and-islands decomposition (`row_number() − row_number()
+    * within type` is constant exactly along a run): per (user, type),
+    * the longest run, the run count, and the total events. The
+    * engagement/abuse read: a 400-long `error` streak is an outage, a
+    * 400-long `click` streak is a bot — signals a plain count per type
+    * cannot see because it ignores adjacency.
+    *
+    * Ordering is pinned on (`tsCol`, `idCol`) so ties cannot flip
+    * islands between engines. Exact integers end-to-end. Shuffle
+    * profile: two windows over the SAME user-keyed partitioning (one
+    * exchange — the second window partitions on (user, type), a
+    * refinement Catalyst satisfies without re-exchanging), one
+    * island-keyed count, one (user, type) rollup.
+    *
+    * @return (userCol, typeCol, n_events, n_streaks, max_streak)
+    */
+  def streaks(events: DataFrame, userCol: String, tsCol: String,
+              typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val wt = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("__island",
+        row_number().over(w) - row_number().over(wt))
+      .groupBy(col(userCol), col(typeCol), col("__island"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col(userCol), col(typeCol))
+      .agg(sum(col("__len")).as("n_events"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("max_streak"))
+  }
+
+  /** Per-key CUSUM changepoint scan (Page 1954): within each key, the
+    * running sum of deviations from the key's own mean,
+    * `S_i = Σ_{j≤i}(v_j − v̄)`, peaks in magnitude AT the level-shift
+    * point — the localization step after a drift DETECTOR
+    * (histogramDrift, trendStats) says "something moved". Reports the
+    * peak |S|, where it happened, and the normalized
+    * `range = (max S − min S)` diagnostics.
+    *
+    * Determinism: the per-key mean is a DECIMAL(28,9) sum with ONE
+    * double divide; the running sum adds doubles in the PINNED
+    * (`tsCol`, `idCol`) order, so both engines execute the identical
+    * float sequence (the r_window_running discipline); the argmax row
+    * is row_number 1 under (|S| desc, ts asc, id asc). Null/NaN
+    * values are excluded before the mean so they cannot poison S.
+    *
+    * Shuffle profile: one key-keyed mean rollup broadcast back, one
+    * window over the key partitioning, one argmax filter. Each key's
+    * series must fit a window partition — the per-user event-history
+    * assumption sessionize already makes.
+    *
+    * @return (userCol, n, cusum_peak, peak_ts, cusum_range)
+    */
+  def cusumScan(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String, idCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val base = events.select(col(userCol), col(tsCol), col(idCol),
+        col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+    val means = base.groupBy(col(userCol))
+      .agg((sum(col("__v").cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("__mean"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = base.join(means, Seq(userCol))
+      .withColumn("__s", sum(col("__v") - col("__mean")).over(w))
+    val pick = Window.partitionBy(col(userCol))
+      .orderBy(abs(col("__s")).desc, col(tsCol).asc, col(idCol).asc)
+    scanned
+      .withColumn("__smax", max(col("__s")).over(
+        Window.partitionBy(col(userCol))))
+      .withColumn("__smin", min(col("__s")).over(
+        Window.partitionBy(col(userCol))))
+      .withColumn("__rk", row_number().over(pick))
+      .where(col("__rk") === 1)
+      .select(col(userCol), col("n"),
+        round(abs(col("__s")), 9).as("cusum_peak"),
+        col(tsCol).as("peak_ts"),
+        round(col("__smax") - col("__smin"), 9).as("cusum_range"))
   }
 }

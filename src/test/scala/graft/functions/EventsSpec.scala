@@ -441,4 +441,35 @@ class EventsSpec extends SparkSpec {
     // null basket / null item rows never mine; universe = baskets {1,2}
     assert(out == Map(("x", "y") -> ((1L, 2L))))
   }
+
+  test("streaks: islands split on interruption, per-user isolation") {
+    val events = ev(Seq(
+      (1L, 0L, "A"), (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "A"),
+      (2L, 0L, "A"), (2L, 10L, "A"), (2L, 20L, "A")))
+      .withColumn("event_id", col("user_id") * 1000 +
+        expr("unix_micros(ts)"))
+    val got = Events.streaks(events, "user_id", "ts", "event_type",
+        "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got((1L, "A")) == ((3L, 2L, 2L)), got.toString)
+    assert(got((1L, "B")) == ((1L, 1L, 1L)), got.toString)
+    assert(got((2L, "A")) == ((3L, 1L, 3L)), "user 2 unbroken run")
+  }
+
+  test("cusumScan peaks at the level shift; hand values") {
+    val events = ev(Seq(
+      (1L, 0L, "x"), (1L, 10L, "x"), (1L, 20L, "x"), (1L, 30L, "x")))
+      .withColumn("event_id", expr("unix_micros(ts)"))
+      .withColumn("value",
+        when(expr("unix_micros(ts)") < 20L, lit(1.0)).otherwise(lit(5.0)))
+    val got = Events.cusumScan(events, "user_id", "ts", "value",
+      "event_id").collect()(0)
+    // mean 3, devs -2,-2,2,2 -> S: -2,-4,-2,0 — peak |S| 4 at the
+    // pre-shift row (ts = 10us), range = 0 - (-4) = 4
+    assert(got.getLong(1) == 4L)
+    assert(got.getDouble(2) == 4.0, got.toString)
+    assert(got.getTimestamp(3).getTime == 0L, got.toString) // 10us -> 0ms
+    assert(got.getDouble(4) == 4.0, "range = 0 - (-4)")
+  }
 }
