@@ -2940,6 +2940,23 @@ object SparkEntry {
         "text", k = 40)
     }),
 
+    // Code-vs-prose routing census: indentation/brace/keyword/camel
+    // features + verdict, map-only. Two code docs are PLANTED
+    // (mirrored with chr(10) in the oracle) so both verdict branches
+    // are witnessed — the fixture itself is all prose.
+    "x_code_prose" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (90000001L, "def main():\n    return compute(x);\n    let y = 1"),
+        (90000002L, "public static void run() { camelCase = fooBar(1); }"))
+        .toDF("doc_id", "text")
+      Corpus.codeProseCensus(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(planted),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Corpus-level RAKE keywords: stopword/punct-broken candidate
     // phrases, deg/freq word scores (one double divide each), phrase
     // score = DECIMAL(30,15) sum of word scores, top-30.
@@ -6959,6 +6976,39 @@ object SparkEntry {
         |HAVING COUNT(*) >= 2
         |ORDER BY n_tokens DESC, sdx LIMIT 40""".stripMargin
     },
+
+    // Code census mirrored: same five RE2-subset patterns, chr(10)
+    // newlines in the planted docs (DuckDB literals keep backslashes).
+    "x_code_prose" ->
+      raw"""WITH docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL SELECT 90000001, 'def main():' || chr(10)
+        |   || '    return compute(x);' || chr(10) || '    let y = 1'
+        | UNION ALL SELECT 90000002,
+        |   'public static void run() { camelCase = fooBar(1); }'),
+        |f AS (SELECT doc_id, COALESCE(text, '') AS t FROM docs)
+        |SELECT doc_id,
+        | CASE WHEN LENGTH(t) = 0 THEN 0
+        |   ELSE CAST(len(string_split(t, chr(10))) AS BIGINT) END AS n_lines,
+        | CAST(len(regexp_extract_all(t, '(?m)^[ \t]{2,}\S'))
+        |   AS BIGINT) AS n_indent,
+        | CAST(len(regexp_extract_all(t, '[{}();=\[\]]'))
+        |   AS BIGINT) AS n_braces,
+        | CAST(len(regexp_extract_all(t,
+        |   '\b(def|class|function|import|return|public|static|void|const|let)\b'))
+        |   AS BIGINT) AS n_kw,
+        | CAST(len(regexp_extract_all(t, '[a-z][A-Z]')) AS BIGINT) AS n_camel,
+        | CAST(3 * len(regexp_extract_all(t,
+        |    '\b(def|class|function|import|return|public|static|void|const|let)\b'))
+        |  + 2 * len(regexp_extract_all(t, '(?m)^[ \t]{2,}\S'))
+        |  + len(regexp_extract_all(t, '[{}();=\[\]]'))
+        |  + len(regexp_extract_all(t, '[a-z][A-Z]')) AS BIGINT) AS code_score,
+        | (3 * len(regexp_extract_all(t,
+        |    '\b(def|class|function|import|return|public|static|void|const|let)\b'))
+        |  + 2 * len(regexp_extract_all(t, '(?m)^[ \t]{2,}\S'))
+        |  + len(regexp_extract_all(t, '[{}();=\[\]]'))
+        |  + len(regexp_extract_all(t, '[a-z][A-Z]')) >= 8) AS is_codey
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // RAKE mirrored list-for-list: chr(1) break markers, string_split
     // phrase re-split, identical stoplist, deg/freq divides and the

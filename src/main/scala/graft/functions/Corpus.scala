@@ -5079,6 +5079,45 @@ object Corpus {
       .limit(k)
   }
 
+  /** Code-vs-prose census — the pretraining-mix routing signal
+    * (code-heavy documents want a different tokenizer budget, dedup
+    * granularity and quality gate than prose; StarCoder/RedPajama
+    * pipelines route on exactly these surface features). Per document,
+    * five deterministic counts over the shared Java/RE2 regex subset:
+    *
+    *  - `n_lines`   newline-split line count (0 for empty/null)
+    *  - `n_indent`  lines opening with ≥2 spaces/tabs then a glyph
+    *    (`(?m)` multiline anchors — block-indentation density)
+    *  - `n_braces`  structural glyphs `{ } ( ) ; = [ ]`
+    *  - `n_kw`      programming keywords as whole words (def, class,
+    *    function, import, return, public, static, void, const, let)
+    *  - `n_camel`   lower→upper camelCase transitions
+    *
+    * plus the routing score `3·kw + 2·indent + braces + camel` and the
+    * `is_codey` verdict at `threshold` — weights and cut are corpus
+    * knobs (calibrate downstream), the FEATURES are the operator.
+    * Map-only: every count lives in the scan projection, bodies never
+    * leave their task.
+    */
+  def codeProseCensus(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Long = 8L): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def cnt(pattern: String) =
+      size(regexp_extract_all(txt, lit(pattern), lit(0))).cast("long")
+    val nKw = cnt("\\b(def|class|function|import|return|public|static|" +
+      "void|const|let)\\b")
+    val nIndent = cnt("(?m)^[ \\t]{2,}\\S")
+    val nBraces = cnt("[{}();=\\[\\]]")
+    val nCamel = cnt("[a-z][A-Z]")
+    val score = lit(3L) * nKw + lit(2L) * nIndent + nBraces + nCamel
+    df.select(col(idCol),
+      when(length(txt) === 0, lit(0L))
+        .otherwise(size(split(txt, "\n", -1)).cast("long")).as("n_lines"),
+      nIndent.as("n_indent"), nBraces.as("n_braces"), nKw.as("n_kw"),
+      nCamel.as("n_camel"), score.as("code_score"),
+      (score >= threshold).as("is_codey"))
+  }
+
   /** Corpus-level RAKE keyword extraction (Rose et al. 2010, "Rapid
     * Automatic Keyword Extraction"): candidate phrases are maximal
     * token runs between stopword/punctuation breaks, each content

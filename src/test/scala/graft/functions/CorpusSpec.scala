@@ -661,6 +661,24 @@ class CorpusSpec extends SparkSpec {
     assert(got.size == 2, "singleton buckets (xyz) drop")
   }
 
+  test("codeProseCensus: hand feature counts on code vs prose vs empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "def main():\n    return f(x);\n"),
+      (2L, "plain english prose about nothing much"),
+      (3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Corpus.codeProseCensus(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getBoolean(7)))).toMap
+    // doc 1: 3 lines (trailing \n), 1 indent, (): ( ) ( ) ; = 5
+    // braces, kw def+return = 2, 0 camel -> 3*2+2*1+5+0 = 13, codey
+    assert(got(1L) == ((3L, 1L, 5L, 2L, 0L, 13L, true)), got(1L).toString)
+    assert(got(2L) == ((1L, 0L, 0L, 0L, 0L, 0L, false)), got(2L).toString)
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L, 0L, false)))
+    assert(got(4L) == ((0L, 0L, 0L, 0L, 0L, 0L, false)), "null total")
+  }
+
   test("rakeKeywords: hand phrase scores, breaks, caps, length guard") {
     import spark.implicits._
     val docs = Seq(
