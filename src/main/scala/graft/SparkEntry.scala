@@ -2246,6 +2246,24 @@ object SparkEntry {
       graft.functions.Stats.categoricalMI(
         t(s, dir, "documents"), "lang", "source")),
 
+    // One-way ANOVA of event value across hour-of-day: eta-squared +
+    // F — "is the time-of-day profile real structure?" before anyone
+    // fits a seasonal model. One group-keyed aggregation; decimal
+    // sums, pinned closes, nullif degeneracy guards.
+    "x_anova" -> ((s, dir) =>
+      graft.functions.Stats.anovaOneWay(
+        t(s, dir, "events").select(hour(col("ts")).as("hod"), col("value")),
+        "value", "hod")),
+
+    // Hill tail-index of order totals over the top-101 order stats:
+    // exact-cent values so ln only sees integral doubles, k log-ratios
+    // in DECIMAL(30,15) — alpha <= 2 means the tail has no variance
+    // and mean-based planning is fiction. Pairs with x_gini.
+    "x_hill" -> ((s, dir) =>
+      graft.functions.Stats.hillTailIndex(
+        t(s, dir, "orders"), "o_totalprice", "o_orderkey",
+        k = 100, scale = 2)),
+
     // Benford first-digit audit of order totals: exact-cent leading
     // digits (integer string, never double formatting) vs the baked
     // log10(1+1/d) expectations, per-digit chi2 terms — the
@@ -6221,6 +6239,53 @@ object SparkEntry {
         |   / nullif(sqrt((ha.ha / CAST(mi.n AS DOUBLE))
         |     * (hb.hb / CAST(mi.n AS DOUBLE))), 0.0), 9) AS nmi
         |FROM mi JOIN ha USING (n) JOIN hb USING (n)""".stripMargin,
+
+    // ANOVA mirrored: identical decimal ladders and pinned SS trees.
+    "x_anova" ->
+      """WITH base AS (SELECT hour(ts) AS g, value AS v FROM events
+        | WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+        |g AS (SELECT g, COUNT(*) AS ng,
+        |  CAST(SUM(CAST(v AS DECIMAL(28,9))) AS DOUBLE) AS sg,
+        |  SUM(CAST(v * v AS DECIMAL(30,15))) AS sq
+        | FROM base GROUP BY 1),
+        |a AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, COUNT(*) AS n_groups,
+        |  CAST(SUM(CAST(sg AS DECIMAL(28,9))) AS DOUBLE) AS s,
+        |  CAST(SUM(sq) AS DOUBLE) AS sv2,
+        |  CAST(SUM(CAST((sg * sg) / CAST(ng AS DOUBLE) AS DECIMAL(30,15)))
+        |    AS DOUBLE) AS bsum
+        | FROM g)
+        |SELECT n, n_groups,
+        | ROUND(bsum - (s * s) / CAST(n AS DOUBLE), 3) AS ss_between,
+        | ROUND(sv2 - (s * s) / CAST(n AS DOUBLE), 3) AS ss_total,
+        | ROUND((bsum - (s * s) / CAST(n AS DOUBLE))
+        |   / nullif(sv2 - (s * s) / CAST(n AS DOUBLE), 0.0), 9) AS eta_sq,
+        | ROUND(((bsum - (s * s) / CAST(n AS DOUBLE))
+        |     / nullif(CAST(n_groups AS DOUBLE) - 1.0, 0.0))
+        |   / nullif(((sv2 - (s * s) / CAST(n AS DOUBLE))
+        |       - (bsum - (s * s) / CAST(n AS DOUBLE)))
+        |     / nullif(CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE), 0.0),
+        |     0.0), 9) AS f_stat
+        |FROM a""".stripMargin,
+
+    // Hill mirrored: exact cents, the same top-101 total order,
+    // integral-double ln ladder in DECIMAL(30,15).
+    "x_hill" ->
+      """WITH u AS (SELECT o_orderkey AS id,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS u
+        | FROM orders),
+        |t AS (SELECT id, u, row_number() OVER (ORDER BY u DESC, id) AS rn
+        |  FROM u WHERE u > 0 ORDER BY u DESC, id LIMIT 101),
+        |thr AS (SELECT u AS thr FROM t WHERE rn = 101)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        | CAST(MAX(thr.thr) AS BIGINT) AS threshold_units,
+        | ROUND(CAST(SUM(CAST(ln(CAST(t.u AS DOUBLE))
+        |     - ln(CAST(thr.thr AS DOUBLE)) AS DECIMAL(30,15))) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE), 9) AS hill,
+        | ROUND(CAST(COUNT(*) AS DOUBLE)
+        |   / nullif(CAST(SUM(CAST(ln(CAST(t.u AS DOUBLE))
+        |     - ln(CAST(thr.thr AS DOUBLE)) AS DECIMAL(30,15))) AS DOUBLE),
+        |     0.0), 9) AS alpha
+        |FROM t, thr WHERE t.rn <= 100""".stripMargin,
 
     // Benford mirrored: exact cents, INTEGER-string leading digit, the
     // same nine baked literals, pinned-order chi2 terms.

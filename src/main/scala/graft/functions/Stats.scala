@@ -1933,6 +1933,111 @@ object Stats {
           .as("nmi"))
   }
 
+  /** One-way ANOVA variance decomposition of `valueCol` across
+    * `groupCol` — η² ("how much of the variance does the grouping
+    * explain") and the F statistic. The seasonality-strength /
+    * slice-effect audit: η² of value across hour-of-day tells you
+    * whether a time-of-day profile is real structure or noise before
+    * anyone builds a seasonal model on it.
+    *
+    *   SS_total = Σv² − (Σv)²/n,  SS_between = Σ_g S_g²/n_g − (Σv)²/n
+    *
+    * Determinism: per-group sums accumulate in DECIMAL(28,9) and
+    * squared values in DECIMAL(30,15) (order-free); the ≤|groups|
+    * per-group terms re-accumulate in DECIMAL(30,15); every closing
+    * ratio is pinned-order doubles with nullif degeneracy guards
+    * (single group → F NULL, zero variance → η² NULL). Null/NaN
+    * values and null groups are excluded.
+    *
+    * Scale shape: ONE group-keyed aggregation (map-side partials) +
+    * a groups-sized close. Nothing else shuffles.
+    *
+    * @return one row: (n, n_groups, ss_between, ss_total, eta_sq,
+    *         f_stat)
+    */
+  def anovaOneWay(df: DataFrame, valueCol: String,
+                  groupCol: String): DataFrame = {
+    val d289 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val d3015 = org.apache.spark.sql.types.DecimalType(30, 15)
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .where(col("__g").isNotNull && col("__v").isNotNull &&
+        !isnan(col("__v")))
+    val groups = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__v").cast(d289)).cast("double").as("__sg"),
+        sum((col("__v") * col("__v")).cast(d3015)).as("__sq"))
+    val agg = groups.agg(
+      sum(col("__ng")).as("n"),
+      count(lit(1)).as("n_groups"),
+      sum(col("__sg").cast(d289)).cast("double").as("__s"),
+      sum(col("__sq")).cast("double").as("__sv2"),
+      sum(((col("__sg") * col("__sg")) / col("__ng").cast("double"))
+        .cast(d3015)).cast("double").as("__bsum"))
+    val nD = col("n").cast("double")
+    val kD = col("n_groups").cast("double")
+    val ssT = col("__sv2") - (col("__s") * col("__s")) / nD
+    val ssB = col("__bsum") - (col("__s") * col("__s")) / nD
+    // SS values round at 3 decimals, not the usual 9: double→decimal
+    // casts of FULL-MANTISSA doubles differ across engines by ~1e-15
+    // relative (measured: DuckDB shortest-string vs exact-expansion
+    // paths diverge on ~1% of values at a truncating scale), so an
+    // SS in the 1e7 range carries ~1e-9 absolute ladder noise — a
+    // 9-decimal presentation round would sit INSIDE the noise band
+    // and flip, while 3 decimals leaves a 5e-4 guard. The O(1)
+    // ratios below keep round-9.
+    agg.select(col("n"), col("n_groups"),
+      round(ssB, 3).as("ss_between"), round(ssT, 3).as("ss_total"),
+      round(ssB / nullif(ssT, lit(0.0)), 9).as("eta_sq"),
+      round((ssB / nullif(kD - lit(1.0), lit(0.0))) /
+        nullif((ssT - ssB) / nullif(nD - kD, lit(0.0)), lit(0.0)), 9)
+        .as("f_stat"))
+  }
+
+  /** Hill tail-index estimator over the top `k+1` order statistics
+    * (Hill 1975): `H = (1/k)·Σ_{i≤k} (ln x_i − ln x_{k+1})`, `α = 1/H`
+    * — the heavy-tail audit that complements [[giniConcentration]]
+    * (Gini says "concentrated"; α says HOW heavy the tail law is —
+    * α ≤ 2 means variance doesn't even exist and mean-based capacity
+    * planning is fiction). Values convert to exact integer units
+    * (DECIMAL(18,`scale`)·10^scale) so every `ln` input is an
+    * integral double (the proven-safe class); the k log-ratios sum in
+    * DECIMAL(30,15); ranking ties break on `idCol` so the top-k SET
+    * is total-ordered. Non-positive values are excluded (no tail).
+    *
+    * Scale shape: one TakeOrdered top-(k+1) (per-partition heaps — no
+    * global sort), then (k+1)-row arithmetic.
+    *
+    * @return one row: (k, threshold_units, hill, alpha)
+    */
+  def hillTailIndex(df: DataFrame, valueCol: String, idCol: String,
+                    k: Int = 100, scale: Int = 2): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val unitsPer = BigInt(10).pow(scale).toLong
+    val d3015 = org.apache.spark.sql.types.DecimalType(30, 15)
+    val top = df.select(col(idCol).as("__id"),
+        (col(valueCol).cast(
+          org.apache.spark.sql.types.DecimalType(18, scale)) *
+          lit(unitsPer)).cast("long").as("__u"))
+      .where(col("__u") > 0)
+      .orderBy(col("__u").desc, col("__id").asc)
+      .limit(k + 1)
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__u").desc, col("__id").asc)))
+    val thr = top.where(col("__rn") === (k + 1))
+      .select(col("__u").as("__thr"))
+    top.where(col("__rn") <= k)
+      .crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("k"), max(col("__thr")).as("threshold_units"),
+        sum((log(col("__u").cast("double")) -
+          log(col("__thr").cast("double"))).cast(d3015))
+          .cast("double").as("__hsum"))
+      .select(col("k"), col("threshold_units"),
+        round(col("__hsum") / col("k").cast("double"), 9).as("hill"),
+        round(col("k").cast("double") /
+          nullif(col("__hsum"), lit(0.0)), 9).as("alpha"))
+  }
+
   /** Benford first-digit census (Benford 1938; the classic
     * fabricated-data / unit-mixing tripwire for financial and metric
     * columns): values convert to exact integer units

@@ -1056,6 +1056,42 @@ class StatsSpec extends SparkSpec {
     assert(g.getDouble(1) == 0.0 && g.isNullAt(4), g.toString)
   }
 
+  test("anovaOneWay: hand decomposition, perfect separation, degeneracies") {
+    import spark.implicits._
+    // a:[0,2] b:[4,6] -> SSt 20, SSb 16, eta .8, F = 16/((20-16)/2) = 8
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 4.0), ("b", 6.0))
+      .toDF("g", "v")
+    val got = Stats.anovaOneWay(df, "v", "g").collect()(0)
+    assert(got.getLong(0) == 4L && got.getLong(1) == 2L)
+    assert(got.getDouble(2) == 16.0 && got.getDouble(3) == 20.0)
+    assert(got.getDouble(4) == 0.8 && got.getDouble(5) == 8.0, got.toString)
+    // zero within-variance: eta 1, F divides by zero -> NULL
+    val sep = Seq(("a", 1.0), ("a", 1.0), ("b", 3.0), ("b", 3.0))
+      .toDF("g", "v")
+    val s = Stats.anovaOneWay(sep, "v", "g").collect()(0)
+    assert(s.getDouble(4) == 1.0 && s.isNullAt(5), s.toString)
+    // one group: SSb 0, F NULL (k-1 = 0)
+    val one = Seq(("a", 1.0), ("a", 5.0)).toDF("g", "v")
+    val o = Stats.anovaOneWay(one, "v", "g").collect()(0)
+    assert(o.getDouble(2) == 0.0 && o.isNullAt(5), o.toString)
+  }
+
+  test("hillTailIndex: hand log-ratios, exclusion, tie-pinned top set") {
+    import spark.implicits._
+    val df = Seq((1L, 8.0), (2L, 4.0), (3L, 2.0), (4L, 1.0),
+      (5L, 0.0), (6L, -3.0)).toDF("id", "v")
+    val got = Stats.hillTailIndex(df, "v", "id", k = 2).collect()(0)
+    assert(got.getLong(0) == 2L && got.getLong(1) == 200L, got.toString)
+    def d15(x: Double) =
+      BigDecimal(x).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hsum = (d15(math.log(800.0) - math.log(200.0)) +
+      d15(math.log(400.0) - math.log(200.0))).toDouble
+    assert(got.getDouble(2) == r9(hsum / 2.0), got.toString)
+    assert(got.getDouble(3) == r9(2.0 / hsum), got.toString)
+  }
+
   test("benfordCensus: hand digits, zero/negative exclusion, grid fill") {
     import spark.implicits._
     // cents: 150, 1999, 95, 100, skip 0 and -3.50
