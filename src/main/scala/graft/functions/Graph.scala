@@ -560,10 +560,14 @@ object Graph {
   def degreeAssortativity(edges: DataFrame, srcCol: String,
                           dstCol: String): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val e = edges.select(
+    // snapshot the canonical edge table (the triangleImpl discipline):
+    // it is consumed four times below, and without the lineage cut the
+    // caller's whole upstream (e.g. the mutual-kNN chain) would inline
+    // once per consumer — recompute x4 AND a plan-size blowup
+    val e = snapFor(edges)(edges.select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
-      .where(col("u") =!= col("v")).distinct()
+      .where(col("u") =!= col("v")).distinct())
     val deg = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
@@ -620,13 +624,16 @@ object Graph {
                  labels: DataFrame, idCol: String,
                  labelCol: String): DataFrame = {
     val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__l"))
-    val e = edges.select(least(col(srcCol), col(dstCol)).as("u"),
+    // snapshot the labeled canonical edge table — consumed three times
+    // (degrees, intra-cluster count, m); see degreeAssortativity
+    val e = snapFor(edges)(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v")).distinct()
       .join(lab.withColumnRenamed("__id", "u")
         .withColumnRenamed("__l", "__lu"), Seq("u"))
       .join(lab.withColumnRenamed("__id", "v")
-        .withColumnRenamed("__l", "__lv"), Seq("v"))
+        .withColumnRenamed("__l", "__lv"), Seq("v")))
     val deg = e.select(col("u").as("id"), col("__lu").as("l"))
       .unionAll(e.select(col("v").as("id"), col("__lv").as("l")))
       .groupBy(col("id"), col("l")).agg(count(lit(1)).as("d"))
