@@ -1969,6 +1969,20 @@ object SparkEntry {
       Corpus.charEntropy(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Order-1 entropy rate: corpus char-bigram conditional entropy
+    // H(Y|X) beside the order-0 marginal — the gap is how much one
+    // char of context compresses the next (templated text collapses
+    // it). Alphabet^2-sized aggregation, integral-ln ladder.
+    "x_entropy_rate" -> ((s, dir) =>
+      Corpus.charBigramEntropy(t(s, dir, "documents"), "text")),
+
+    // Trigram novelty vs everything earlier in doc_id order: distinct
+    // grams charged to their min-id doc (vocabGrowth's prefix
+    // semantics per doc) — the re-crawl triage / curriculum signal.
+    "x_novelty" -> ((s, dir) =>
+      Corpus.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+
     // Train-to-encode round trip: the 6 learned merges applied to every
     // document (map-only after training; tokens joined for the compare).
     "x_bpe_encode" -> ((s, dir) => {
@@ -9814,6 +9828,59 @@ object SparkEntry {
         |   AS char_entropy
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Entropy rate mirrored: substr char pairs, pair/context rollups,
+    // integral-ln DECIMAL(30,15) ladders, pinned closes.
+    "x_entropy_rate" ->
+      """WITH p AS (
+        | SELECT unnest(list_transform(range(1, LENGTH(text)),
+        |   j -> substr(text, CAST(j AS INT), 2))) AS p
+        | FROM documents WHERE text IS NOT NULL AND LENGTH(text) >= 2),
+        |c2 AS (SELECT p, COUNT(*) AS c2 FROM p GROUP BY 1),
+        |cx AS (SELECT substr(p, 1, 1) AS x, CAST(SUM(c2) AS BIGINT) AS cx
+        | FROM c2 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS n,
+        |  COUNT(*) AS n_distinct_bigrams FROM c2),
+        |hc AS (SELECT CAST(SUM(CAST(CAST(c2.c2 AS DOUBLE) *
+        |   (ln(CAST(cx.cx AS DOUBLE)) - ln(CAST(c2.c2 AS DOUBLE)))
+        |  AS DECIMAL(30,15))) AS DOUBLE) AS hc
+        | FROM c2 JOIN cx ON cx.x = substr(c2.p, 1, 1)),
+        |hm AS (SELECT COUNT(*) AS n_contexts,
+        |  CAST(SUM(CAST(CAST(cx.cx AS DOUBLE) *
+        |   (ln(CAST(tot.n AS DOUBLE)) - ln(CAST(cx.cx AS DOUBLE)))
+        |  AS DECIMAL(30,15))) AS DOUBLE) AS hm
+        | FROM cx, tot)
+        |SELECT tot.n AS n_bigrams, hm.n_contexts, tot.n_distinct_bigrams,
+        | ROUND(hc.hc / CAST(tot.n AS DOUBLE), 9) AS h_cond,
+        | ROUND(hm.hm / CAST(tot.n AS DOUBLE), 9) AS h_marginal
+        |FROM tot, hc, hm""".stripMargin,
+
+    // Novelty mirrored: the same 3-gram construction, DISTINCT per
+    // doc, min-id first-occurrence, floor-ppm close.
+    "x_novelty" ->
+      raw"""WITH tk AS (SELECT doc_id,
+        |  CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0
+        |    THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(TRIM(text), '\s+') END AS t
+        | FROM documents),
+        |g AS (SELECT DISTINCT doc_id, g FROM (
+        | SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+        |   ELSE list_transform(range(1, len(t) - 1), i ->
+        |     t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
+        |     t[CAST(i AS INT) + 2]) END) AS g
+        | FROM tk)),
+        |f AS (SELECT g, MIN(doc_id) AS fid FROM g GROUP BY 1),
+        |per AS (SELECT gg.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.fid = gg.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel
+        | FROM g gg JOIN f USING (g) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_grams, 0) AS n_grams,
+        | COALESCE(per.n_novel, 0) AS n_novel,
+        | CASE WHEN COALESCE(per.n_grams, 0) > 0
+        |   THEN (COALESCE(per.n_novel, 0) * 1000000) // per.n_grams
+        | END AS novel_ppm
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // The x_bpe_train chain through v6 (the vocabulary tokenized by all
     // six learned merges), then every document re-assembles its words'

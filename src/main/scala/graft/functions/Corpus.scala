@@ -5079,6 +5079,97 @@ object Corpus {
       .limit(k)
   }
 
+  /** Per-document n-gram novelty against everything EARLIER in id
+    * order: a distinct n-gram is charged to its minimum-id document
+    * ([[vocabGrowth]]'s prefix semantics at gram granularity), and
+    * each document reports how much of it is new. THE crawl-snapshot
+    * triage signal — a re-crawl whose novel_ppm collapses is
+    * re-downloading yesterday's web, and ordering shards by novelty
+    * is the cheap curriculum/dedup pre-pass before MinHash runs.
+    *
+    * Grams group by xxhash64 (8 bytes shuffle, never the gram string
+    * — identical counts modulo a 64-bit collision, the bigramNll
+    * convention). Exact integers + the floor-ppm rational; empty/
+    * short docs report 0 grams and a null ppm.
+    *
+    * Shuffle profile: one (id, hash) distinct-gram pass, one
+    * gram-keyed min-id aggregation (map-side combined), one hash
+    * equi-join back, one per-doc rollup. Bodies never shuffle.
+    *
+    * @return (idCol, n_grams, n_novel, novel_ppm)
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val id = col(idCol)
+    val grams = df.select(id.as("__id"),
+        explode(array_distinct(TextFunctions.wordNgrams(col(textCol), n)))
+          .as("__g"))
+      .select(col("__id"), xxhash64(col("__g")).as("__h"))
+    val firsts = grams.groupBy(col("__h")).agg(min(col("__id")).as("__first"))
+    val per = grams.join(firsts, Seq("__h"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumnRenamed("__id", idCol)
+    df.select(id).join(per, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr(Stats.ppmSql("coalesce(n_novel, 0L)", "n_grams"))
+          .as("novel_ppm"))
+  }
+
+  /** Corpus-level character bigram conditional entropy — the order-1
+    * entropy-rate estimate `H(Y|X) = Σ c_xy·(ln c_x − ln c_xy) / N`
+    * over adjacent code-point pairs, with the order-0 marginal
+    * `H(X) = Σ c_x·(ln N − ln c_x) / N` beside it. The gap between
+    * them is how much one character of context compresses the next —
+    * collapsed H(Y|X) at normal H(X) reads as templated/machine text,
+    * both collapsed reads as low-diversity spam; the corpus-level
+    * companion to the per-document [[charEntropy]] gate.
+    *
+    * Every `ln` input is an integral count, products are single
+    * double ops, sums ride DECIMAL(30,15) (order-free), closes are
+    * pinned-order doubles. Shuffle profile: one alphabet²-sized
+    * pair-count aggregation (map-side combined — partitions emit
+    * distinct-pair partials), a context rollup OF that table, a
+    * scalar close. Nothing corpus-sized shuffles.
+    *
+    * @return one row: (n_bigrams, n_contexts, n_distinct_bigrams,
+    *         h_cond, h_marginal)
+    */
+  def charBigramEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val d3015 = DecimalType(30, 15)
+    val txt = coalesce(col(textCol), lit(""))
+    val pairs = df.select(txt.as("__t")).where(length(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("__t")) - 1),
+        j => col("__t").substr(j, lit(2)))).as("__p"))
+    val c2 = pairs.groupBy(col("__p")).agg(count(lit(1)).as("__c2"))
+    val cx = c2.groupBy(substring(col("__p"), 1, 1).as("__x"))
+      .agg(sum(col("__c2")).as("__cx"))
+    val tot = c2.agg(sum(col("__c2")).as("__n"),
+      count(lit(1)).as("n_distinct_bigrams"))
+    val hc = c2.withColumn("__x", substring(col("__p"), 1, 1))
+      .join(broadcast(cx), Seq("__x"))
+      .agg(sum((col("__c2").cast("double") *
+        (log(col("__cx").cast("double")) - log(col("__c2").cast("double"))))
+        .cast(d3015)).cast("double").as("__hc"))
+    val hm = cx.crossJoin(broadcast(tot))
+      .groupBy(col("__n"))
+      .agg(count(lit(1)).as("n_contexts"),
+        sum((col("__cx").cast("double") *
+          (log(col("__n").cast("double")) - log(col("__cx").cast("double"))))
+          .cast(d3015)).cast("double").as("__hm"))
+    hm.crossJoin(broadcast(hc)).crossJoin(broadcast(tot.drop("__n")))
+      .select(col("__n").as("n_bigrams"), col("n_contexts"),
+        col("n_distinct_bigrams"),
+        round(col("__hc") / col("__n").cast("double"), 9).as("h_cond"),
+        round(col("__hm") / col("__n").cast("double"), 9).as("h_marginal"))
+  }
+
   /** Code-vs-prose census — the pretraining-mix routing signal
     * (code-heavy documents want a different tokenizer budget, dedup
     * granularity and quality gate than prose; StarCoder/RedPajama

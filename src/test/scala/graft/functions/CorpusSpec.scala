@@ -661,6 +661,41 @@ class CorpusSpec extends SparkSpec {
     assert(got.size == 2, "singleton buckets (xyz) drop")
   }
 
+  test("ngramNovelty: prefix charging, within-doc dedup, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),       // abc, bcd — both novel
+      (2L, "a b c x"),       // abc seen, bcx novel
+      (3L, "a b"),           // < 3 tokens: no grams
+      (4L, "a b c a b c"))   // distinct grams: abc(seen) bca cab
+      .toDF("doc_id", "text")
+    val got = Corpus.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got(1L) == ((2L, 2L, Some(1000000L))), got(1L).toString)
+    assert(got(2L) == ((2L, 1L, Some(500000L))), got(2L).toString)
+    assert(got(3L) == ((0L, 0L, None)), "short doc: no grams, null ppm")
+    assert(got(4L) == ((3L, 2L, Some(666666L))), got(4L).toString)
+  }
+
+  test("charBigramEntropy: deterministic alternation reads zero conditional") {
+    import spark.implicits._
+    val df = Seq((1L, "abab"), (2L, "ba"), (3L, "x"), (4L, "")).toDF("doc_id", "text")
+    val got = Corpus.charBigramEntropy(df, "text").collect()(0)
+    // pairs: ab x2, ba x2; contexts a:2 b:2; N=4 — after 'a' always
+    // 'b' and after 'b' always 'a': H(Y|X) = 0, H(X) = ln 2
+    assert(got.getLong(0) == 4L && got.getLong(1) == 2L &&
+      got.getLong(2) == 2L, got.toString)
+    assert(got.getDouble(3) == 0.0, "alternation: zero conditional entropy")
+    def d15(x: Double) =
+      BigDecimal(x).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hm = (d15(2.0 * (math.log(4.0) - math.log(2.0))) +
+      d15(2.0 * (math.log(4.0) - math.log(2.0)))).toDouble
+    assert(got.getDouble(4) == r9(hm / 4.0), got.toString)
+  }
+
   test("codeProseCensus: hand feature counts on code vs prose vs empty") {
     import spark.implicits._
     val docs = Seq(
