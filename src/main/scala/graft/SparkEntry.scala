@@ -1976,6 +1976,20 @@ object SparkEntry {
     "x_entropy_rate" -> ((s, dir) =>
       Corpus.charBigramEntropy(t(s, dir, "documents"), "text")),
 
+    // Jensen-Shannon divergence between the en and zh token mixes:
+    // the bounded symmetric corpus-distance scalar, mixture algebra
+    // multiplied through so ln only sees exact integer products.
+    "x_js_div" -> ((s, dir) =>
+      Corpus.jsDivergence(t(s, dir, "documents"), "text", "lang",
+        "en", "zh")),
+
+    // Dunning G2 keyness: WHICH tokens drive the en-vs-zh mix apart
+    // (the drill-down under x_js_div), four pinned ln-exact cell
+    // terms, enrichment by exact cross-product, top-30.
+    "x_keyness" -> ((s, dir) =>
+      Corpus.keyness(t(s, dir, "documents"), "text", "lang",
+        "en", "zh", k = 30, minCount = 5L)),
+
     // Trigram novelty vs everything earlier in doc_id order: distinct
     // grams charged to their min-id doc (vocabGrowth's prefix
     // semantics per doc) — the re-crawl triage / curriculum signal.
@@ -9854,6 +9868,71 @@ object SparkEntry {
         | ROUND(hc.hc / CAST(tot.n AS DOUBLE), 9) AS h_cond,
         | ROUND(hm.hm / CAST(tot.n AS DOUBLE), 9) AS h_marginal
         |FROM tot, hc, hm""".stripMargin,
+
+    // JS mirrored: one two-slice count table, the same integral
+    // products inside ln, DECIMAL(30,15) sums, baked 1/ln2 literal.
+    "x_js_div" ->
+      raw"""WITH tk AS (SELECT lang AS s,
+        |  unnest(CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0
+        |    THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS t
+        | FROM documents WHERE lang IN ('en', 'zh')),
+        |c AS (SELECT t,
+        |  CAST(SUM(CASE WHEN s = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN s = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        | FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta,
+        |  CAST(SUM(b) AS BIGINT) AS tb, COUNT(*) AS vocab_union FROM c),
+        |s AS (SELECT ta, tb, vocab_union,
+        |  CAST(SUM(CAST(CASE WHEN a > 0 THEN CAST(a AS DOUBLE) *
+        |    (ln(CAST(2 * a * tb AS DOUBLE))
+        |     - ln(CAST(a * tb + b * ta AS DOUBLE))) ELSE 0.0 END
+        |   AS DECIMAL(30,15))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(CASE WHEN b > 0 THEN CAST(b AS DOUBLE) *
+        |    (ln(CAST(2 * b * ta AS DOUBLE))
+        |     - ln(CAST(a * tb + b * ta AS DOUBLE))) ELSE 0.0 END
+        |   AS DECIMAL(30,15))) AS DOUBLE) AS s2
+        | FROM c, tot GROUP BY 1, 2, 3)
+        |SELECT ta AS n_tokens_a, tb AS n_tokens_b, vocab_union,
+        | ROUND((s1 / CAST(ta AS DOUBLE) + s2 / CAST(tb AS DOUBLE))
+        |   / 2.0, 9) AS js,
+        | ROUND(((s1 / CAST(ta AS DOUBLE) + s2 / CAST(tb AS DOUBLE))
+        |   / 2.0) * 1.4426950408889634, 9) AS js_bits
+        |FROM s""".stripMargin,
+
+    // Keyness mirrored: same count table, the identical four-cell
+    // pinned G2 tree, exact cross-product enrichment.
+    "x_keyness" ->
+      raw"""WITH tk AS (SELECT lang AS s,
+        |  unnest(CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0
+        |    THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS t
+        | FROM documents WHERE lang IN ('en', 'zh')),
+        |c AS (SELECT t,
+        |  CAST(SUM(CASE WHEN s = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN s = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        | FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta,
+        |  CAST(SUM(b) AS BIGINT) AS tb FROM c)
+        |SELECT t AS token, a AS cnt_a, b AS cnt_b,
+        | ROUND(2.0 * (
+        |  ((CASE WHEN a > 0 THEN CAST(a AS DOUBLE) *
+        |     (ln(CAST(a * (ta + tb) AS DOUBLE))
+        |      - ln(CAST((a + b) * ta AS DOUBLE))) ELSE 0.0 END
+        |   + CASE WHEN ta - a > 0 THEN CAST(ta - a AS DOUBLE) *
+        |     (ln(CAST((ta - a) * (ta + tb) AS DOUBLE))
+        |      - ln(CAST(((ta - a) + (tb - b)) * ta AS DOUBLE)))
+        |     ELSE 0.0 END)
+        |  + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) *
+        |     (ln(CAST(b * (ta + tb) AS DOUBLE))
+        |      - ln(CAST((a + b) * tb AS DOUBLE))) ELSE 0.0 END
+        |   + CASE WHEN tb - b > 0 THEN CAST(tb - b AS DOUBLE) *
+        |     (ln(CAST((tb - b) * (ta + tb) AS DOUBLE))
+        |      - ln(CAST(((ta - a) + (tb - b)) * tb AS DOUBLE)))
+        |     ELSE 0.0 END))), 9) AS g2,
+        | CASE WHEN a * tb > b * ta THEN 'en' ELSE 'zh' END AS enriched_in
+        |FROM c, tot WHERE a + b >= 5
+        |ORDER BY g2 DESC, token LIMIT 30""".stripMargin,
 
     // Novelty mirrored: the same 3-gram construction, DISTINCT per
     // doc, min-id first-occurrence, floor-ppm close.

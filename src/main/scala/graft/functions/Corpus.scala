@@ -5170,6 +5170,117 @@ object Corpus {
         round(col("__hm") / col("__n").cast("double"), 9).as("h_marginal"))
   }
 
+  /** Jensen–Shannon divergence between the unigram distributions of
+    * two corpus slices — the bounded, symmetric "how different are
+    * these two corpora" scalar (0 = identical token mix, ln 2 =
+    * disjoint vocabularies): snapshot-vs-snapshot crawl drift, domain
+    * mix shift, source fingerprinting. With slice counts `a/A`, `b/B`
+    * and the ½-mixture M:
+    *
+    *   JS = ½·Σ (a/A)·[ln(2aB) − ln(aB + bA)]
+    *      + ½·Σ (b/B)·[ln(2bA) − ln(aB + bA)]
+    *
+    * — the mixture algebra multiplied through so every `ln` input is
+    * an exact INTEGER product (2aB, aB+bA ≤ 2·cf·N < 2⁵³ documented
+    * bound; zero counts vanish by continuity). Sums ride
+    * DECIMAL(30,15); the close is pinned-order doubles, with
+    * `js_bits` via a baked 1/ln2 literal (no runtime transcendental).
+    *
+    * Shuffle profile: ONE vocab-sized two-slice count aggregation
+    * (map-side combined), a 1-row total broadcast, a scalar close.
+    *
+    * @return one row: (n_tokens_a, n_tokens_b, vocab_union, js, js_bits)
+    */
+  def jsDivergence(df: DataFrame, textCol: String, sliceCol: String,
+                   sliceA: String, sliceB: String): DataFrame = {
+    val d3015 = DecimalType(30, 15)
+    val counts = df
+      .where(col(sliceCol) === sliceA || col(sliceCol) === sliceB)
+      .select(col(sliceCol).as("__s"),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t"))
+      .agg(sum(when(col("__s") === sliceA, 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__s") === sliceB, 1L).otherwise(0L)).as("__b"))
+    val tot = counts.agg(sum(col("__a")).as("__ta"),
+      sum(col("__b")).as("__tb"), count(lit(1)).as("vocab_union"))
+    val withTot = counts.crossJoin(broadcast(tot))
+    val mixLn = log((col("__a") * col("__tb") +
+      col("__b") * col("__ta")).cast("double"))
+    val termA = when(col("__a") > 0, col("__a").cast("double") *
+      (log((lit(2L) * col("__a") * col("__tb")).cast("double")) - mixLn))
+      .otherwise(lit(0.0))
+    val termB = when(col("__b") > 0, col("__b").cast("double") *
+      (log((lit(2L) * col("__b") * col("__ta")).cast("double")) - mixLn))
+      .otherwise(lit(0.0))
+    val js = (col("__s1") / col("__ta").cast("double") +
+      col("__s2") / col("__tb").cast("double")) / lit(2.0)
+    withTot
+      .groupBy(col("__ta"), col("__tb"), col("vocab_union"))
+      .agg(sum(termA.cast(d3015)).cast("double").as("__s1"),
+        sum(termB.cast(d3015)).cast("double").as("__s2"))
+      .select(col("__ta").as("n_tokens_a"), col("__tb").as("n_tokens_b"),
+        col("vocab_union"), round(js, 9).as("js"),
+        // 1/ln 2 as an exact shared literal — parses to the same
+        // double on any engine, unlike a runtime log(2.0)
+        round(js * lit(1.4426950408889634), 9).as("js_bits"))
+  }
+
+  /** Dunning log-likelihood keyness (Dunning 1993; the Rayson–Garside
+    * corpus-comparison table): for each token, the G² statistic of
+    * its 2×2 slice contingency — the per-word drill-down under a
+    * corpus-distance scalar ([[jsDivergence]] says THE MIX MOVED;
+    * keyness says WHICH WORDS did it). With slice counts a/A, b/B,
+    * N = A+B and expected counts from the marginals:
+    *
+    *   G² = 2·Σ_cell o·ln(o·N / (rowTotal·colTotal))
+    *
+    * over the four cells (a, A−a, b, B−b) — every `ln` input an exact
+    * integer product (o·N, row·col ≤ N² < 2⁵³ documented bound), zero
+    * cells vanish. `enriched_in` names the over-represented slice by
+    * the exact cross-product comparison a·B vs b·A (no division).
+    * Ranked by ROUND(g2, 9) desc with (token) ties — deterministic on
+    * any engine because the ln class is exact.
+    *
+    * Shuffle profile = [[jsDivergence]] + a top-k TakeOrdered.
+    *
+    * @return top-`k` rows: (token, cnt_a, cnt_b, g2, enriched_in)
+    */
+  def keyness(df: DataFrame, textCol: String, sliceCol: String,
+              sliceA: String, sliceB: String, k: Int,
+              minCount: Long = 5L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df
+      .where(col(sliceCol) === sliceA || col(sliceCol) === sliceB)
+      .select(col(sliceCol).as("__s"),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t"))
+      .agg(sum(when(col("__s") === sliceA, 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__s") === sliceB, 1L).otherwise(0L)).as("__b"))
+    val tot = counts.agg(sum(col("__a")).as("__ta"),
+      sum(col("__b")).as("__tb"))
+    def cell(o: Column, rowTot: Column, colTot: Column) =
+      when(o > 0, o.cast("double") *
+        (log((o * (col("__ta") + col("__tb"))).cast("double")) -
+          log((rowTot * colTot).cast("double")))).otherwise(lit(0.0))
+    val row = col("__a") + col("__b")
+    val rowC = (col("__ta") - col("__a")) + (col("__tb") - col("__b"))
+    // per-token close: four pinned-order double terms — no aggregation,
+    // so no decimal ladder is needed
+    val g2 = round(lit(2.0) * (
+      (cell(col("__a"), row, col("__ta")) +
+        cell(col("__ta") - col("__a"), rowC, col("__ta"))) +
+      (cell(col("__b"), row, col("__tb")) +
+        cell(col("__tb") - col("__b"), rowC, col("__tb")))), 9)
+    counts.where(col("__a") + col("__b") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("__t").as("token"), col("__a").as("cnt_a"),
+        col("__b").as("cnt_b"), g2.as("g2"),
+        when(col("__a") * col("__tb") > col("__b") * col("__ta"),
+          lit(sliceA)).otherwise(lit(sliceB)).as("enriched_in"))
+      .orderBy(col("g2").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Code-vs-prose census — the pretraining-mix routing signal
     * (code-heavy documents want a different tokenizer budget, dedup
     * granularity and quality gate than prose; StarCoder/RedPajama

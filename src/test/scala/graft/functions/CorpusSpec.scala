@@ -696,6 +696,45 @@ class CorpusSpec extends SparkSpec {
     assert(got.getDouble(4) == r9(hm / 4.0), got.toString)
   }
 
+  test("jsDivergence: identical slices 0, disjoint ln2 / 1 bit") {
+    import spark.implicits._
+    val same = Seq(("A", "x x y"), ("B", "x x y")).toDF("s", "text")
+    val s0 = Corpus.jsDivergence(same, "text", "s", "A", "B").collect()(0)
+    assert(s0.getDouble(3) == 0.0, s0.toString)
+    val disj = Seq(("A", "p p"), ("B", "q q q"), ("C", "p z"))
+      .toDF("s", "text")
+    val s1 = Corpus.jsDivergence(disj, "text", "s", "A", "B").collect()(0)
+    assert(s1.getLong(0) == 2L && s1.getLong(1) == 3L &&
+      s1.getLong(2) == 2L, "slice C excluded; union {p,q}")
+    assert(math.abs(s1.getDouble(3) - math.log(2.0)) < 1e-9, s1.toString)
+    assert(math.abs(s1.getDouble(4) - 1.0) < 1e-9, "disjoint = 1 bit")
+  }
+
+  test("keyness matches an independent G2 computation; enrichment sides") {
+    import spark.implicits._
+    val df = Seq(("en", "alpha alpha alpha beta beta"),
+      ("zh", "beta beta gamma gamma gamma")).toDF("lang2", "text")
+    val got = Corpus.keyness(df, "text", "lang2", "en", "zh", k = 10,
+      minCount = 2L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))).toMap
+    val (ta, tb) = (5L, 5L)
+    def g2(a: Long, b: Long): Double = {
+      def cell(o: Long, row: Long, colT: Long) =
+        if (o > 0) o.toDouble * (math.log((o * (ta + tb)).toDouble) -
+          math.log((row * colT).toDouble)) else 0.0
+      val row = a + b; val rowC = (ta - a) + (tb - b)
+      val raw = 2.0 * ((cell(a, row, ta) + cell(ta - a, rowC, ta)) +
+        (cell(b, row, tb) + cell(tb - b, rowC, tb)))
+      BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("alpha") == ((3L, 0L, g2(3L, 0L), "en")), got.toString)
+    assert(got("gamma") == ((0L, 3L, g2(0L, 3L), "zh")), got.toString)
+    assert(got("beta") == ((2L, 2L, g2(2L, 2L), "zh")),
+      "balanced counts: G2 = 0, tie side goes to the else branch")
+    assert(got("beta")._3 == 0.0, "equal shares carry no keyness")
+  }
+
   test("codeProseCensus: hand feature counts on code vs prose vs empty") {
     import spark.implicits._
     val docs = Seq(
