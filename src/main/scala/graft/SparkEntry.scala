@@ -1976,6 +1976,21 @@ object SparkEntry {
     "x_entropy_rate" -> ((s, dir) =>
       Corpus.charBigramEntropy(t(s, dir, "documents"), "text")),
 
+    // Burrows' Delta provenance distance between the 20 sources over
+    // the top-30 words: z-standardized relative frequencies, mean
+    // |z| gap per pair — near-zero pairs are mirrored feeds, lone
+    // outliers are provenance anomalies. 190 pairs, all K x S sized
+    // after one (source, word) aggregation.
+    "x_burrows_delta" -> ((s, dir) =>
+      Corpus.burrowsDelta(t(s, dir, "documents"), "text", "source",
+        kWords = 30)),
+
+    // Simpson repeat-rate of the vocabulary: P(two tokens are the
+    // same type) as an exact integer rational — the corpus-level
+    // lexical-concentration dial (rising = boilerplate convergence).
+    "x_simpson" -> ((s, dir) =>
+      Corpus.simpsonRepeatRate(t(s, dir, "documents"), "text")),
+
     // Jensen-Shannon divergence between the en and zh token mixes:
     // the bounded symmetric corpus-distance scalar, mixture algebra
     // multiplied through so ln only sees exact integer products.
@@ -9868,6 +9883,56 @@ object SparkEntry {
         | ROUND(hc.hc / CAST(tot.n AS DOUBLE), 9) AS h_cond,
         | ROUND(hm.hm / CAST(tot.n AS DOUBLE), 9) AS h_marginal
         |FROM tot, hc, hm""".stripMargin,
+
+    // Burrows mirrored ladder-for-ladder: dense source x word grid,
+    // decimal mean/variance sums, IEEE sqrt, sigma=0 guard, pair join.
+    "x_burrows_delta" ->
+      raw"""WITH sw AS (SELECT src, t, COUNT(*) AS c FROM (
+        |  SELECT source AS src, unnest(CASE WHEN text IS NULL
+        |    OR LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS t
+        |  FROM documents) GROUP BY 1, 2),
+        |topw AS (SELECT t FROM (SELECT t, CAST(SUM(c) AS BIGINT) AS cf
+        |  FROM sw GROUP BY 1 ORDER BY cf DESC, t LIMIT 30)),
+        |st AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n FROM sw GROUP BY 1),
+        |k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM st),
+        |grid AS (SELECT st.src, topw.t,
+        |  CAST(COALESCE(sw.c, 0) AS DOUBLE) / CAST(st.n AS DOUBLE) AS f
+        | FROM st CROSS JOIN topw
+        | LEFT JOIN sw ON sw.src = st.src AND sw.t = topw.t),
+        |stats AS (SELECT t,
+        |  CAST(SUM(CAST(f AS DECIMAL(30,15))) AS DOUBLE) / k.k AS mu,
+        |  CAST(SUM(CAST(f * f AS DECIMAL(30,15))) AS DOUBLE) AS f2,
+        |  k.k AS k
+        | FROM grid, k GROUP BY t, k.k),
+        |sig AS (SELECT t, mu,
+        |  sqrt(greatest(f2 / k - mu * mu, 0.0)) AS sigma FROM stats),
+        |z AS (SELECT g.src, g.t,
+        |  CASE WHEN s.sigma > 0 THEN (g.f - s.mu) / s.sigma
+        |  ELSE 0.0 END AS z
+        | FROM grid g JOIN sig s USING (t))
+        |SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_words,
+        | ROUND(CAST(SUM(CAST(abs(a.z - b.z) AS DECIMAL(30,15))) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE), 9) AS delta
+        |FROM z a JOIN z b ON a.t = b.t AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Simpson repeat-rate mirrored: exact integer rational + 1 divide.
+    "x_simpson" ->
+      raw"""WITH c AS (SELECT t, COUNT(*) AS c FROM (
+        |  SELECT unnest(CASE WHEN text IS NULL
+        |    OR LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(TRIM(text), '\s+') END) AS t
+        |  FROM documents) GROUP BY 1),
+        |a AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(c * (c - 1)) AS BIGINT) AS rr_num FROM c)
+        |SELECT n_tokens, n_types, rr_num,
+        | n_tokens * (n_tokens - 1) AS rr_den,
+        | ROUND(CAST(rr_num AS DOUBLE)
+        |   / nullif(CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 0.0), 9)
+        |   AS repeat_rate
+        |FROM a""".stripMargin,
 
     // JS mirrored: one two-slice count table, the same integral
     // products inside ln, DECIMAL(30,15) sums, baked 1/ln2 literal.

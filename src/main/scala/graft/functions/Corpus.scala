@@ -5281,6 +5281,103 @@ object Corpus {
       .limit(k)
   }
 
+  /** Burrows' Delta stylometric distance between sources (Burrows
+    * 2002; the standard authorship/provenance attribution measure):
+    * over the corpus's top-`kWords` words, each source's relative
+    * frequencies z-standardize ACROSS sources, and
+    * `Δ(s1,s2) = Σ_w |z_w(s1) − z_w(s2)| / K`. High-frequency words
+    * are exactly the style carriers individual authors/templates
+    * can't help repeating — so a near-zero Δ between two "different"
+    * sources is the mirrored-feed/same-generator detector, and a
+    * source far from every other is a provenance anomaly.
+    *
+    * Determinism ladder: counts exact; each relative frequency is one
+    * double divide; means/variances accumulate source-count-sized
+    * sums in DECIMAL(30,15); σ via IEEE sqrt; z and the K-term |Δ|
+    * sum pinned-order doubles with another decimal accumulation.
+    * Words with zero cross-source variance contribute nothing (the
+    * σ=0 guard, not a NaN). Output rounds at 9 (values O(1),
+    * ladder noise ~1e-14).
+    *
+    * Shuffle profile: one (source, word) count aggregation (map-side
+    * combined), a top-K word table (TakeOrdered, broadcast), then
+    * everything is (K × sources)-sized — the pair join included.
+    *
+    * @return one row per unordered source pair: (src_a, src_b,
+    *         n_words, delta), ordered by (src_a, src_b)
+    */
+  def burrowsDelta(df: DataFrame, textCol: String, sourceCol: String,
+                   kWords: Int = 30): DataFrame = {
+    require(kWords >= 1, s"kWords must be >= 1, got $kWords")
+    val d3015 = DecimalType(30, 15)
+    val sw = df.select(col(sourceCol).as("__src"),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__src"), col("__t")).agg(count(lit(1)).as("__c"))
+    val topWords = sw.groupBy(col("__t"))
+      .agg(sum(col("__c")).as("__cf"))
+      .orderBy(col("__cf").desc, col("__t").asc)
+      .limit(kWords).select(col("__t"))
+    val srcTot = sw.groupBy(col("__src")).agg(sum(col("__c")).as("__n"))
+    val nSrc = srcTot.agg(count(lit(1)).as("__k")).head().getLong(0)
+    require(nSrc >= 2, s"need at least 2 sources, got $nSrc")
+    // dense (source x word) grid so absent words count as f = 0
+    val grid = srcTot.crossJoin(broadcast(topWords))
+      .join(sw, Seq("__src", "__t"), "left")
+      .select(col("__src"), col("__t"),
+        (coalesce(col("__c"), lit(0L)).cast("double") /
+          col("__n").cast("double")).as("__f"))
+    val stats = grid.groupBy(col("__t"))
+      .agg((sum(col("__f").cast(d3015)).cast("double") /
+        lit(nSrc.toDouble)).as("__mu"),
+        sum((col("__f") * col("__f")).cast(d3015)).cast("double").as("__f2"))
+      .select(col("__t"), col("__mu"),
+        // clamp before sqrt: a zero-variance word's f2/k − mu² can land
+        // one ulp NEGATIVE, and sqrt(−ε) = NaN passes the σ > 0 guard
+        // (both Spark and DuckDB order NaN greater than everything)
+        sqrt(greatest((col("__f2") / lit(nSrc.toDouble)) -
+          col("__mu") * col("__mu"), lit(0.0))).as("__sigma"))
+    val z = grid.join(broadcast(stats), Seq("__t"))
+      .select(col("__src"), col("__t"),
+        when(col("__sigma") > 0,
+          (col("__f") - col("__mu")) / col("__sigma"))
+          .otherwise(lit(0.0)).as("__z"))
+    z.as("a").join(z.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("src_a"), col("b.__src").as("src_b"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(abs(col("a.__z") - col("b.__z")).cast(d3015))
+          .cast("double").as("__d"))
+      .select(col("src_a"), col("src_b"), col("n_words"),
+        round(col("__d") / col("n_words").cast("double"), 9).as("delta"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Simpson repeat-rate of the vocabulary (Simpson 1949 applied to
+    * tokens — Herdan's "repeat rate"): the probability two tokens
+    * drawn without replacement are the SAME type,
+    * `R = Σ c·(c−1) / (N·(N−1))`, as the exact integer rational plus
+    * one double divide. The corpus-level lexical-concentration dual
+    * of [[zipfFit]]'s slope and the per-document type-token ratios:
+    * rising R across snapshots = the corpus is converging on
+    * boilerplate. Exact integers end-to-end; documented bound
+    * Σ c² < 2⁶³. One vocab-sized aggregation + scalar close.
+    *
+    * @return one row: (n_tokens, n_types, rr_num, rr_den, repeat_rate)
+    */
+  def simpsonRepeatRate(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    counts.agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c") * (col("__c") - lit(1L))).as("rr_num"))
+      .select(col("n_tokens"), col("n_types"), col("rr_num"),
+        (col("n_tokens") * (col("n_tokens") - lit(1L))).as("rr_den"),
+        round(col("rr_num").cast("double") /
+          nullif((col("n_tokens") * (col("n_tokens") - lit(1L)))
+            .cast("double"), lit(0.0)), 9).as("repeat_rate"))
+  }
+
   /** Code-vs-prose census — the pretraining-mix routing signal
     * (code-heavy documents want a different tokenizer budget, dedup
     * granularity and quality gate than prose; StarCoder/RedPajama

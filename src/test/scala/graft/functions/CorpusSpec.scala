@@ -696,6 +696,36 @@ class CorpusSpec extends SparkSpec {
     assert(got.getDouble(4) == r9(hm / 4.0), got.toString)
   }
 
+  test("burrowsDelta: hand z-grid, zero-variance guard, pair shape") {
+    import spark.implicits._
+    // A: "x x", B: "x y" over top-2 words {x, y}: both words
+    // z-standardize to +/-1, delta = (2 + 2) / 2 = 2 exactly
+    val df = Seq(("A", "x x"), ("B", "x y")).toDF("src2", "text")
+    val got = Corpus.burrowsDelta(df, "text", "src2", kWords = 2)
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("A", "B", 2L)))
+    assert(r.getDouble(3) == 2.0, r.toString)
+    // a word with identical shares everywhere contributes nothing
+    val const = Seq(("A", "w w z"), ("B", "w w q"), ("C", "w w p"))
+      .toDF("src2", "text")
+    val pairs = Corpus.burrowsDelta(const, "text", "src2", kWords = 1)
+      .collect()
+    assert(pairs.length == 3 && pairs.forall(_.getDouble(3) == 0.0),
+      "top word 'w' has zero cross-source variance -> all deltas 0")
+  }
+
+  test("simpsonRepeatRate: hand rational") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val r = Corpus.simpsonRepeatRate(df, "text").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 2L, 6L)), r.toString)
+    assert(r.getDouble(4) == BigDecimal(2.0 / 6.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("jsDivergence: identical slices 0, disjoint ln2 / 1 bit") {
     import spark.implicits._
     val same = Seq(("A", "x x y"), ("B", "x x y")).toDF("s", "text")
