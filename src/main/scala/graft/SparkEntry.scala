@@ -7046,18 +7046,17 @@ object SparkEntry {
         |FROM j ORDER BY chi2 DESC, w1, w2 LIMIT 30""".stripMargin,
 
     // Soundex mirrored step-for-step: same translate table (9 = h/w
-    // marker), the same 4 interleaved (d[9]*d merge + run collapse)
-    // rounds, head-code drop, then 9/0 removal — all in the shared
-    // regex subset (no backrefs), every regexp_replace with 'g'.
+    // marker), the same single greedy d[d9]*d merge pass per digit,
+    // run collapse, head-code drop, then 9/0 removal — all in the
+    // shared regex subset (no backrefs), every regexp_replace with
+    // 'g'.
     "x_soundex" -> {
-      val merged = (1 to 4).foldLeft("d0") { (acc, _) =>
-        val hw = (1 to 6).foldLeft(acc)((a, d) =>
-          s"regexp_replace($a, '$d[9]*$d', '$d$d', 'g')")
-        (1 to 6).foldLeft(hw)((a, d) =>
-          s"regexp_replace($a, '$d{2,}', '$d', 'g')")
-      }
+      val merged = (1 to 6).foldLeft("d0")((a, d) =>
+        s"regexp_replace($a, '$d[${d}9]*$d', '$d$d', 'g')")
+      val collapsed = (1 to 6).foldLeft(merged)((a, d) =>
+        s"regexp_replace($a, '$d{2,}', '$d', 'g')")
       val digits = s"regexp_replace(regexp_replace(regexp_replace(" +
-        s"$merged, '^.', '', 'g'), '9', '', 'g'), '0', '', 'g')"
+        s"$collapsed, '^.', '', 'g'), '9', '', 'g'), '0', '', 'g')"
       raw"""WITH docs AS (
         | SELECT text FROM documents
         | UNION ALL SELECT 'Robert Rupert robert Ashcraft Ashcroft'

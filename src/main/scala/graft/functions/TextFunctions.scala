@@ -401,29 +401,28 @@ object TextFunctions {
     * code bit-for-bit. Non-ASCII-letter chars are stripped BEFORE
     * upper-casing (locale-proof); tokens with no ASCII letter → null.
     *
-    * H/W transparency is `d[9]*d → dd` merge passes (9 = h/w marker)
-    * INTERLEAVED with same-digit run collapse, iterated 4× — the
-    * interleave matters (a `22922` needs collapse before the inner
-    * `292` becomes visible to the merge; each round at least halves
-    * an alternating d9d9… chain, and only three digit groups survive
-    * to the output, so 4 rounds are convergent for any input). The
-    * head CHARACTER (the first letter's own code — a digit, 0, or the
-    * 9 of an H/W initial) is dropped before 9/0 removal, so an
-    * H-initial word keeps its first consonant digit (Honeyman → H555)
-    * while a first-letter run collapses into the head (Pfister →
-    * P236).
+    * H/W transparency is ONE greedy merge pass per digit —
+    * `d[d9]*d → dd` collapses any maximal run of {d, 9} delimited by
+    * d's in a single scan (an alternating `d9d9…d` chain of any depth
+    * matches whole), then same-digit runs collapse. The head CHARACTER
+    * (the first letter's own code — a digit, 0, or the 9 of an H/W
+    * initial) is dropped before 9/0 removal, so an H-initial word
+    * keeps its first consonant digit (Honeyman → H555) while a
+    * first-letter run collapses into the head (Pfister → P236). 13
+    * regexes total — this replaced a 4-round interleaved formulation
+    * (48 regexes) whose codegen compile constant dominated the query
+    * (~6.5 s scoped at sf0.1 for vocabulary-sized actual work).
     */
   def soundexCode(token: Column): Column = {
     val up = upper(regexp_replace(token, "[^A-Za-z]", ""))
     val d0 = translate(up, "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
       "01230129022455012623019202")
-    def hwPass(c: Column): Column = (1 to 6).foldLeft(c)((acc, d) =>
-      regexp_replace(acc, s"$d[9]*$d", s"$d$d"))
-    def collapse(c: Column): Column = (1 to 6).foldLeft(c)((acc, d) =>
+    val merged = (1 to 6).foldLeft(d0)((acc, d) =>
+      regexp_replace(acc, s"$d[${d}9]*$d", s"$d$d"))
+    val collapsed = (1 to 6).foldLeft(merged)((acc, d) =>
       regexp_replace(acc, s"$d{2,}", s"$d"))
-    val merged = (1 to 4).foldLeft(d0)((acc, _) => collapse(hwPass(acc)))
     val digits = regexp_replace(regexp_replace(
-      regexp_replace(merged, "^.", ""), "9", ""), "0", "")
+      regexp_replace(collapsed, "^.", ""), "9", ""), "0", "")
     when(length(up) === 0, lit(null).cast("string"))
       .otherwise(concat(substring(up, 1, 1),
         substring(rpad(digits, 3, "0"), 1, 3)))

@@ -639,7 +639,9 @@ class CorpusSpec extends SparkSpec {
       "Honeyman" -> "H555", "Jack" -> "J200", "O'Brien" -> "O165",
       "Whit" -> "W300",                            // w-initial
       "Smith" -> "S530", "Smyth" -> "S530",
-      "a" -> "A000", "Aeiou" -> "A000", "HW" -> "H000")
+      "a" -> "A000", "Aeiou" -> "A000", "HW" -> "H000",
+      "Chkhc" -> "C000",   // deep c-h-k-h-c chain merges into the head
+      "Ckhck" -> "C000")   // adjacent + h-linked equal codes, one run
     val got = cases.map(_._1).toDF("t")
       .select(col("t"), TextFunctions.soundexCode(col("t")).as("s"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
