@@ -39,6 +39,14 @@ object GraftSession {
       // x_pq_ann 3.00→2.43 s, x_knn_join 1.90→1.40 s). Measured, not
       // guessed: see VERDICT r6 item 7.
       .config("spark.sql.session.timeZone", "UTC")
+      // Cached plans keep AQE (broadcast conversion, coalescing) while
+      // materializing: Snapshots.snapshot persists its input around the
+      // reliable checkpoint (see there), and without this flag the cache
+      // build would fall back to the static planner — losing exactly the
+      // runtime join decisions the snapshot's upstream (ANN pipelines,
+      // pair joins) depends on.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
 
   def create(master: String = "local[*]"): SparkSession = {
     val spark = builder(master).getOrCreate()

@@ -32,9 +32,36 @@ object Snapshots {
   /** Materialize `df` and cut its lineage: reliable checkpoint when a
     * directory is set; otherwise `localCheckpoint`, unless the session
     * demands reliability — then fail loud (see [[RequireReliableKey]]).
+    *
+    * The reliable path persists the input around the checkpoint: an eager
+    * `Dataset.checkpoint()` runs TWO jobs — the materializing count, then
+    * the checkpoint writer, which re-runs the full lineage to write the
+    * partition files (the documented RDD.checkpoint recompute). Without
+    * the pin every snapshotting op paid its entire upstream (ANN pair
+    * pipelines, edge joins, dedup candidate generation) twice per cut.
+    * MEMORY_AND_DISK, not the MEMORY_ONLY default: an over-memory
+    * snapshot must spill, not evict-and-recompute (which would silently
+    * undo the fix at exactly the scale where it matters). The cache is
+    * released as soon as the checkpoint files are written — it never
+    * outlives the second job. Measured at sf0.1: x_pagerank's edge+setup
+    * snapshots compute once instead of twice (see OPTIMIZATION_r15.md).
     */
+  /** Session conf key: `false` disables the persist-around-checkpoint
+    * pin (the pre-fix two-compute behavior) — an A/B lever and an
+    * escape hatch for deployments whose snapshots are cheaper to
+    * recompute than to spill.
+    */
+  val PinSnapshotKey = "spark.graft.snapshot.pin"
+
   def snapshot(df: DataFrame): DataFrame =
-    if (hasDir(df)) df.checkpoint()
+    if (hasDir(df)) {
+      if (df.sparkSession.conf.get(PinSnapshotKey, "true").toBoolean) {
+        val cached = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint()
+        finally cached.unpersist(blocking = false)
+      } else df.checkpoint()
+    }
     else if (requireReliable(df))
       throw new IllegalStateException(
         s"$RequireReliableKey=true but no checkpoint directory is set — " +

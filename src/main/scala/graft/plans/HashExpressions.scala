@@ -704,7 +704,45 @@ case class DotProductExactF(left: Expression, right: Expression)
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @transient private lazy val rightFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  /** Fast path: the scale-15 unscaled sum accumulates in a plain long
+    * via [[Decimal15.unitsOrUnsafe]] (integer-exact, no BigDecimal, no
+    * Double.toString per element — measured the dominant per-pair cost
+    * of every exact-rescore stage). Elements the integer proof cannot
+    * cover go through the per-element BigDecimal reference; a sum that
+    * outgrows the long (legal until 10¹⁵) restarts the whole call on
+    * [[kernelSlow]], the original formulation — which also remains the
+    * executable spec the fast path is fuzzed against (Decimal15Spec).
+    */
   def kernel(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var sumUnits = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val prod = x * y
+      if (java.lang.Double.isNaN(prod) || java.lang.Double.isInfinite(prod))
+        throw new ArithmeticException(
+          s"$prettyName: non-finite product $prod cannot be represented as Decimal(30, 15)")
+      var u = Decimal15.unitsOrUnsafe(prod)
+      if (u == Decimal15.Unsafe) u = Decimal15.unitsReference(prod, prettyName)
+      if (u == Decimal15.Unsafe) return kernelSlow(a, b) // element beyond long
+      try sumUnits = Math.addExact(sumUnits, u)
+      catch { case _: ArithmeticException => return kernelSlow(a, b) }
+      i += 1
+    }
+    java.lang.Double.valueOf(
+      java.math.BigDecimal.valueOf(sumUnits, 15).doubleValue)
+  }
+
+  /** The original per-element BigDecimal formulation — bit-identical
+    * semantics by construction; the restart target for inputs beyond the
+    * long-units domain and the reference the spec fuzzes [[kernel]]
+    * against.
+    */
+  private[graft] def kernelSlow(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var sum = java.math.BigDecimal.ZERO.setScale(15)
