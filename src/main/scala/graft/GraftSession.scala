@@ -39,6 +39,15 @@ object GraftSession {
       // x_pq_ann 3.00→2.43 s, x_knn_join 1.90→1.40 s). Measured, not
       // guessed: see VERDICT r6 item 7.
       .config("spark.sql.session.timeZone", "UTC")
+      // Whole-stage-codegen compile cache sized for a many-query session:
+      // the default 100 entries cannot even hold ONE of the heavy
+      // analytical plans (x_mkn_nll compiles 126 units), so every
+      // re-invocation re-runs janino on the whole query — measured 744
+      // units recompiled across a 25-query second pass at the default vs
+      // 122 at this size. Static conf (read once per JVM); a -D system
+      // property set at launch wins, which is also the A/B lever.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.props.getOrElse("spark.sql.codegen.cache.maxEntries", "16384"))
       // Cached plans keep AQE (broadcast conversion, coalescing) while
       // materializing: Snapshots.snapshot persists its input around the
       // reliable checkpoint (see there), and without this flag the cache

@@ -54,9 +54,15 @@ object QueryProfile {
     def codegenCount(): Long =
       org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_SOURCE_CODE_SIZE.getCount
+    def compileMs(): Double = {
+      val h = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME
+      h.getCount * h.getSnapshot.getMean
+    }
     for (r <- 1 to reps; name <- names) {
       jobs.clear(); cpuNs.set(0L); runMs.set(0L); nTasks.set(0L)
       val cg0 = codegenCount()
+      val cm0 = compileMs()
       val t0 = System.nanoTime()
       val t0ms = System.currentTimeMillis()
       graft.SparkEntry.queries(name)(spark, dir)
@@ -80,7 +86,7 @@ object QueryProfile {
       }
       println(f"[qprof]   sum: jobs=${jobSum} ms gaps=${gapSum} ms (wall ${(wall * 1000).toLong} ms) " +
         f"cpu=${cpuNs.get / 1000000}%d ms taskRun=${runMs.get}%d ms tasks=${nTasks.get}%d " +
-        f"codegenUnits=${codegenCount() - cg0}%d")
+        f"codegenUnits=${codegenCount() - cg0}%d compileMs=${(compileMs() - cm0).toLong}%d")
     }
     spark.stop()
   }
