@@ -405,7 +405,10 @@ object GraftSession {
     * a plan never leaks into a different session's analyzer.
     */
   def readTable(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val key = (System.identityHashCode(spark), dir, name)
+    // the spread decision is part of the cached plan, so it is part of
+    // the key — a runtime conf flip must not serve the other mode's plan
+    val key = (System.identityHashCode(spark), dir, name,
+      spark.conf.get(ReadSpreadKey, "true"))
     val cached = tableCache.get(key)
     // identity re-check guards the (astronomically unlikely) hash collision
     if (cached != null && (cached._1 eq spark)) cached._2
@@ -415,9 +418,53 @@ object GraftSession {
       // heap. A wholesale clear past the cap is fine — rebuilding is one
       // footer re-read.
       if (tableCache.size >= 256) tableCache.clear()
-      val df = readTableUncached(spark, dir, name)
+      val df = maybeSpread(spark, readTableUncached(spark, dir, name))
       tableCache.put(key, (spark, df))
       df
+    }
+  }
+
+  /** Conf key: `false` disables [[maybeSpread]]'s scan-parallelism floor
+    * (A/B lever; also the escape hatch for a reader that must see the
+    * raw scan partitioning).
+    */
+  val ReadSpreadKey = "spark.graft.read.spread"
+
+  /** Scan-parallelism floor (guide: input skew — "one huge unsplittable
+    * file... repartition immediately after the read"): a fixture table
+    * written as one parquet row group cannot split below the row-group
+    * boundary, so every map-only operator over it (tokenize/hash/regex
+    * census kernels, quantization, fastText scoring) serialized on ONE
+    * task regardless of cores — measured 2–4 s of single-core CPU per
+    * query at sf0.1. When the scan's planned parallelism is below the
+    * cluster's, one round-robin exchange of the (small, by construction:
+    * a table big enough to matter arrives in many splits) table spreads
+    * the expensive projections; at real scale scans have ≫ cores
+    * partitions and the branch never fires — the same scale-adaptive
+    * spread contract as knnJoinBlocked's join-input spreading.
+    */
+  private def maybeSpread(spark: SparkSession, df: DataFrame): DataFrame = {
+    if (!spark.conf.get(ReadSpreadKey, "true").toBoolean) df
+    else {
+      val par = spark.sparkContext.defaultParallelism
+      // Size window, both ends measured at sf0.1 (interleaved A/B, raw
+      // samples in OPTIMIZATION_r15.md): below minBytes there is nothing
+      // to parallelize and the extra stage is pure tax on every
+      // dimension-table join; above maxBytes the table's queries are
+      // shuffle-dominated and pre-shuffling the scan costs more than the
+      // serialized projections did (events, 2.0 MB: x_sessions 1.29×) —
+      // while the text/vector tables whose per-row kernels dominate
+      // (documents 0.58 MB: x_fasttext 0.29×, x_gopher_gate 0.44×,
+      // x_readability 0.40×) sit inside it. Both knobs are conf so a
+      // deployment with different table shapes can move the window.
+      val minB = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.graft.read.spread.minBytes", "64k"))
+      val maxB = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.graft.read.spread.maxBytes", "1500k"))
+      lazy val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (df.rdd.getNumPartitions < par &&
+          sz >= minB && sz <= maxB) df.repartition(par)
+      else df
     }
   }
 
@@ -427,7 +474,7 @@ object GraftSession {
   def clearTableCache(): Unit = tableCache.clear()
 
   private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String),
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, String),
       (SparkSession, DataFrame)]()
 
   private def readTableUncached(spark: SparkSession, dir: String, name: String): DataFrame =

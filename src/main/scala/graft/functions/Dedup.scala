@@ -244,9 +244,16 @@ object Dedup {
             col("x.plabel") === col("j.id"), "left")
           .select(col("x.id").as("id"), col("x.label").as("label"),
             coalesce(col("j.plabel"), col("x.plabel")).as("newlabel"))
-        val updated = snap(
-          if (big) jumped.repartition(col("id")).sortWithinPartitions("id")
-          else jumped)
+        // big path: reliable round snapshots (losing an executor costs one
+        // round). Small path: the labels table is node-sized and bounded
+        // (the Snapshots.boundedLocal contract, same gate as
+        // Graph.pageRank's small-table rounds) — a LAZY localCheckpoint
+        // whose materializing action IS the convergence count below, so a
+        // round costs ONE job instead of the reliable path's two-job
+        // checkpoint plus the count.
+        val updated =
+          if (big) snap(jumped.repartition(col("id")).sortWithinPartitions("id"))
+          else jumped.localCheckpoint(false)
         changed = updated.where(col("newlabel") =!= col("label")).count()
         // free the superseded round's blocks — leaked blocks pile up in
         // executor storage memory and GC-thrash later queries

@@ -320,7 +320,8 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, isSeed: Column,
                            iterations: Int = 10,
                            damping: Double = 0.85,
-                           checkpointInterval: Int = 3): DataFrame = {
+                           checkpointInterval: Int = 3,
+                           reliableSnapshotMinRows: Long = 4000000L): DataFrame = {
     require(checkpointInterval > 0)
     require(iterations >= 0 && damping >= 0.0 && damping <= 1.0)
     def snap(df: DataFrame): DataFrame = snapFor(edges)(df)
@@ -344,6 +345,15 @@ object Graph {
     val nodes = setup.select(col("id"), col("deg"), col("p"))
     var ranks = setup
     var lastSnap = setup
+    // the pageRank smallTable discipline: below the reliable-min-rows
+    // cutover, per-round snapshots are bounded node-sized state and live
+    // in executor memory (one job per cut) instead of paying a reliable
+    // filesystem checkpoint per materialized round
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val smallTable = reliable && iterations > 0 &&
+      ranks.count() < reliableSnapshotMinRows
+    def roundSnap(df: DataFrame): DataFrame =
+      if (smallTable) Snapshots.boundedLocal(df) else Snapshots.snapshot(df)
     withLoopConf(edges.sparkSession) {
       var iter = 0
       while (iter < iterations) {
@@ -357,7 +367,7 @@ object Graph {
               lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
         ranks =
           if ((iter + 1) % checkpointInterval == 0 || iter == iterations - 1) {
-            val s = snap(next)
+            val s = roundSnap(next)
             if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
             lastSnap = s
             s
@@ -410,11 +420,17 @@ object Graph {
     // kept list broadcasts into the edge scan — e never shuffles at all);
     // a big one wants static plans over re-pinned snapshots
     val big = e0.count() >= PinnedLoopMinRows
+    // small-loop rounds keep their bounded node-/edge-sized state in
+    // executor memory (one job per cut, the pageRank smallTable
+    // discipline); big loops stay on reliable storage (one lost
+    // executor costs one round, not the run)
+    def roundSnap(df: DataFrame): DataFrame =
+      if (big) snap(df) else Snapshots.boundedLocal(df)
     withLoopConfIf(big, edges.sparkSession) {
       for (_ <- 1 to rounds) {
         val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
           .groupBy("id").agg(count(lit(1)).as("__dg"))
-        val keptNext = snap(deg.where(col("__dg") >= k).select(col("id")))
+        val keptNext = roundSnap(deg.where(col("__dg") >= k).select(col("id")))
         // (big path) re-pin the peeled edge set on u each round: both
         // semi-joins then start from a known partitioning (the kept set
         // arrives hash(id)-partitioned from its aggregation) instead of
@@ -423,7 +439,7 @@ object Graph {
           .join(keptNext.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
           .join(keptNext.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
           .select(col("u"), col("v"))
-        e = snap(
+        e = roundSnap(
           if (big) peeled.repartition(col("u")).sortWithinPartitions("u")
           else peeled)
         keptPrev = kept
@@ -722,6 +738,11 @@ object Graph {
     var state = setup // (id, dist, improved-last-round)
     var lastSnap = setup
     val big = e.count() >= PinnedLoopMinRows
+    // small-loop rounds: bounded node-sized state in executor memory,
+    // one job per cut (the pageRank smallTable discipline); big loops
+    // keep reliable round snapshots
+    def roundSnap(df: DataFrame): DataFrame =
+      if (big) snap(df) else Snapshots.boundedLocal(df)
     withLoopConfIf(big, edges.sparkSession) {
       var r = 1
       while (r <= rounds) {
@@ -739,7 +760,7 @@ object Graph {
               (col("nd").isNotNull && col("nd") < col("dist"))).as("improved"))
           .withColumnRenamed("__d", "dist")
           .select(col("id"), col("dist"), col("improved"))
-        val s = snap(
+        val s = roundSnap(
           if (big) merged.repartition(col("id")).sortWithinPartitions("id")
           else merged)
         if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
@@ -787,6 +808,10 @@ object Graph {
     // size gate (see withLoopConfIf): a small graph's frontier join wants
     // AQE's broadcasts; a big one wants static plans over pinned snapshots
     val big = und.count() >= PinnedLoopMinRows
+    // small-loop rounds: bounded node-sized state in executor memory,
+    // one job per cut (the pageRank smallTable discipline)
+    def roundSnap(df: DataFrame): DataFrame =
+      if (big) snap(df) else Snapshots.boundedLocal(df)
     withLoopConfIf(big, edges.sparkSession) {
       var r = 1
       while (r <= rounds) {
@@ -803,7 +828,7 @@ object Graph {
           .where(col("__rk") === 1)
           .select(col("dst").as("id"), col("label"), lit(r).as("since"))
         val grown = state.union(newly)
-        val s = snap(
+        val s = roundSnap(
           if (big) grown.repartition(col("id")).sortWithinPartitions("id")
           else grown)
         if (!(lastSnap eq setup)) lastSnap.unpersist(blocking = false)
