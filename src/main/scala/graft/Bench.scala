@@ -60,12 +60,20 @@ object Bench {
     // toIntOption, not toInt: a typo'd env var must not kill the whole
     // bench run with a NumberFormatException (ADVICE r12)
     val repeatEnv = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+    // Low-core default is ONE pass: the driver's 8-core scaling run
+    // timed out (rc 124) three rounds running because a min-of-2+
+    // 280-query suite that takes ~51 min at 32 cores cannot fit the
+    // same window at 8. SPARK_GRAFT_BENCH_REPEAT still wins when set —
+    // the measurement itself (noop sink, interleaved passes, per-query
+    // min) is unchanged, only the default pass count at low core
+    // counts.
+    val lowCore = cpus.toIntOption.exists(_ <= 8)
     val repeat = repeatEnv.flatMap(_.trim.toIntOption) match {
       case Some(n) => n.max(1)
       case None =>
         repeatEnv.foreach(v => System.err.println(
-          s"[bench] unparseable SPARK_GRAFT_BENCH_REPEAT='$v', using default 2"))
-        2
+          s"[bench] unparseable SPARK_GRAFT_BENCH_REPEAT='$v', using default"))
+        if (lowCore) 1 else 2
     }
     // Machine load bracketing each pass (VERDICT r13 item 6): driver
     // re-runs under co-tenant contention have read up to 2× the
@@ -108,24 +116,38 @@ object Bench {
     val results: Map[String, Option[Double]] = names.map { n =>
       n -> passes.flatMap(_._1(n)).minOption
     }.toMap
-    def passJson(p: Map[String, Option[Double]]): String =
+    // stdout values are rounded to 3 decimals (ms resolution — far below
+    // run-to-run noise) to shrink the contract line; the persisted file
+    // artifact keeps full precision for audit.
+    def passJson(p: Map[String, Option[Double]], decimals: Int = -1): String =
       p.toSeq.sortBy(_._1).map {
-        case (k, Some(v)) => s"\"" + k + "\":" + v
+        case (k, Some(v)) =>
+          val s = if (decimals < 0) v.toString
+                  else BigDecimal(v).setScale(decimals,
+                    BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+          s"\"" + k + "\":" + s
         case (k, None)    => s"\"" + k + "\":\"failed\""
       }.mkString("{", ",", "}")
     val qs = passJson(results)
     val failed = results.collect { case (k, None) => k }.toSeq.sorted
     val total = results.values.flatten.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+    val totalR = math.rint(total * 1000) / 1000
+    // Key order matters for the driver, not for JSON: the artifact store
+    // keeps only a 2000-char TAIL of stdout, and at 280 queries the line
+    // is several KB — with the aggregate fields (value, sf, failed) LAST,
+    // a truncated tail still ends with the totals. Same keys, same
+    // semantics, different order (VERDICT r15 item 2).
+    val line = s"""{"metric":"total","unit":"sec","queries":${passJson(results, 3)},"value":$totalR,"sf":"$sfDir","failed":${failed.size}}"""
     // the persisted artifact additionally carries every raw pass, each
     // bracketed by its 1-minute loadavg (the stdout contract line
     // stays min-only and parseable as before)
     val runsJson = passes.map { case (p, l0, l1) =>
       s"""{"load_start":$l0,"load_end":$l1,"queries":${passJson(p)}}"""
     }.mkString("[", ",", "]")
-    val fileLine = line.dropRight(1) +
-      s""","adaptive_pass":$adaptive""" +
-      s""","runs":$runsJson}"""
+    val fileLine =
+      s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,""" +
+        s""""sf":"$sfDir","failed":${failed.size},""" +
+        s""""adaptive_pass":$adaptive,"runs":$runsJson}"""
     // The one-line stdout contract stays; ALSO persist the full per-query
     // JSON to a file (stdout tail-capture truncates a 160-query map, which
     // cost round 7 its round-over-round record for 90 queries). Path

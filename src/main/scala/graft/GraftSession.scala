@@ -408,7 +408,7 @@ object GraftSession {
     // the spread decision is part of the cached plan, so it is part of
     // the key — a runtime conf flip must not serve the other mode's plan
     val key = (System.identityHashCode(spark), dir, name,
-      spark.conf.get(ReadSpreadKey, "true"))
+      spark.conf.get(ReadSpreadKey, "false"))
     val cached = tableCache.get(key)
     // identity re-check guards the (astronomically unlikely) hash collision
     if (cached != null && (cached._1 eq spark)) cached._2
@@ -424,39 +424,62 @@ object GraftSession {
     }
   }
 
-  /** Conf key: `false` disables [[maybeSpread]]'s scan-parallelism floor
-    * (A/B lever; also the escape hatch for a reader that must see the
-    * raw scan partitioning).
+  /** Conf key: `true` enables [[maybeSpread]]'s read-level
+    * scan-parallelism floor. OFF by default since round 16: a
+    * table-level spread cannot see the consuming query's shape, and the
+    * r16 interleaved A/B showed it taxing every shuffle-heavy consumer
+    * of the same table 1.45–2.9× (x_perplexity 2.03×, x_mkn_nll 2.04×,
+    * x_ivf_append 2.05×, x_novelty 2.85× faster with it off) while the
+    * map-only kernels it was built for are now spread INSIDE the
+    * operators that need it ([[spreadKernelInput]]) — the right
+    * altitude for the decision, and one the sf0.001 oracle gate
+    * actually exercises.
     */
   val ReadSpreadKey = "spark.graft.read.spread"
 
-  /** Scan-parallelism floor (guide: input skew — "one huge unsplittable
-    * file... repartition immediately after the read"): a fixture table
-    * written as one parquet row group cannot split below the row-group
-    * boundary, so every map-only operator over it (tokenize/hash/regex
-    * census kernels, quantization, fastText scoring) serialized on ONE
-    * task regardless of cores — measured 2–4 s of single-core CPU per
-    * query at sf0.1. When the scan's planned parallelism is below the
-    * cluster's, one round-robin exchange of the (small, by construction:
-    * a table big enough to matter arrives in many splits) table spreads
-    * the expensive projections; at real scale scans have ≫ cores
-    * partitions and the branch never fires — the same scale-adaptive
-    * spread contract as knnJoinBlocked's join-input spreading.
+  /** Conf key: `false` disables [[spreadKernelInput]]'s operator-level
+    * scan-parallelism floor (A/B lever).
     */
-  private def maybeSpread(spark: SparkSession, df: DataFrame): DataFrame = {
-    if (!spark.conf.get(ReadSpreadKey, "true").toBoolean) df
+  val KernelSpreadKey = "spark.graft.kernel.spread"
+
+  /** Scan-parallelism floor for expensive per-row KERNEL operators
+    * (guide §2.5 input skew — "one huge unsplittable file... repartition
+    * immediately after the read"): a fixture table written as one
+    * parquet row group cannot split below the row-group boundary, so a
+    * map-only operator over it (fastText scoring, readability regex
+    * census, the mojibake replace-chain, stopword-profile langid, the
+    * gopher token census) serializes on ONE task regardless of cores —
+    * measured 2–3× per query at sf0.1 (x_fasttext 0.37×, x_readability
+    * 0.33× with the spread). Called by those operators on their own
+    * input, where the cost shape is KNOWN to be per-row compute — not
+    * at the table read, where a blanket spread taxed every
+    * shuffle-dominated consumer of the same table (see [[ReadSpreadKey]]).
+    * No size window: the trigger is purely scan partitions < cores, so
+    * the sf0.001 oracle gate exercises the spread plan, and at real
+    * scale scans arrive with ≫ cores partitions and the branch is
+    * self-disabling — the knnJoinBlocked spread contract.
+    */
+  private[graft] def spreadKernelInput(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.get(KernelSpreadKey, "true").toBoolean) df
     else {
       val par = spark.sparkContext.defaultParallelism
-      // Size window, both ends measured at sf0.1 (interleaved A/B, raw
-      // samples in OPTIMIZATION_r15.md): below minBytes there is nothing
-      // to parallelize and the extra stage is pure tax on every
-      // dimension-table join; above maxBytes the table's queries are
-      // shuffle-dominated and pre-shuffling the scan costs more than the
-      // serialized projections did (events, 2.0 MB: x_sessions 1.29×) —
-      // while the text/vector tables whose per-row kernels dominate
-      // (documents 0.58 MB: x_fasttext 0.29×, x_gopher_gate 0.44×,
-      // x_readability 0.40×) sit inside it. Both knobs are conf so a
-      // deployment with different table shapes can move the window.
+      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    }
+  }
+
+  /** Read-level scan-parallelism floor, opt-in via [[ReadSpreadKey]]
+    * (default off — see there; the operator-level
+    * [[spreadKernelInput]] replaced it as the default mechanism).
+    * The size window bounds the spread to tables worth spreading when
+    * a deployment opts in: below minBytes the extra stage is pure tax
+    * on dimension-table joins, above maxBytes consumers tend to be
+    * shuffle-dominated.
+    */
+  private def maybeSpread(spark: SparkSession, df: DataFrame): DataFrame = {
+    if (!spark.conf.get(ReadSpreadKey, "false").toBoolean) df
+    else {
+      val par = spark.sparkContext.defaultParallelism
       val minB = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.graft.read.spread.minBytes", "64k"))
       val maxB = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(

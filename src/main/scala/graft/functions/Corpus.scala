@@ -1646,14 +1646,15 @@ object Corpus {
       .otherwise(round((nHash + nEllipsis).cast("double") / n.cast("double"), 9))
     val alphaFrac = when(n === 0, lit(0.0))
       .otherwise(round(nAlpha.cast("double") / n.cast("double"), 9))
-    df.select(col(idCol) +: carryCols.map(col) :+
-      n.as("n_words") :+ meanLen.as("mean_word_len") :+
-      symRatio.as("symbol_ratio") :+ alphaFrac.as("alpha_frac") :+
-      nStop.cast("long").as("n_stop") :+
-      (n >= minWords && n <= maxWords &&
-        meanLen >= 3.0 && meanLen <= 10.0 &&
-        symRatio < 0.1 && alphaFrac > 0.8 &&
-        nStop >= minStop).as("kept"): _*)
+    graft.GraftSession.spreadKernelInput(df)
+      .select(col(idCol) +: carryCols.map(col) :+
+        n.as("n_words") :+ meanLen.as("mean_word_len") :+
+        symRatio.as("symbol_ratio") :+ alphaFrac.as("alpha_frac") :+
+        nStop.cast("long").as("n_stop") :+
+        (n >= minWords && n <= maxWords &&
+          meanLen >= 3.0 && meanLen <= 10.0 &&
+          symRatio < 0.1 && alphaFrac > 0.8 &&
+          nStop >= minStop).as("kept"): _*)
   }
 
   /** Per-group curation funnel report — the observability aggregate a
@@ -4251,7 +4252,8 @@ object Corpus {
         lit(dim)) + 1)
     val sumDec = aggregate(feats, lit(BigDecimal(0)).cast(dec),
       (acc, f) => (acc + wOf(f).cast(dec)).cast(dec))
-    df.select(col(idCol), size(feats).as("__n"), sumDec.as("__s"))
+    graft.GraftSession.spreadKernelInput(df)
+      .select(col(idCol), size(feats).as("__n"), sumDec.as("__s"))
       .select(col(idCol), col("__n"),
         when(col("__n") > 0,
           col("__s").cast("double") / col("__n").cast("double") +
@@ -4355,7 +4357,8 @@ object Corpus {
     val (three, two) = mojibakePairs.partition(_._1.length == 3)
     def chain(c: Column, pairs: Seq[(String, String)]): Column =
       pairs.foldLeft(c) { case (e, (a, r)) => replace(e, lit(a), lit(r)) }
-    df.select(col(idCol), coalesce(col(textCol), lit("")).as("__t0"))
+    graft.GraftSession.spreadKernelInput(df)
+      .select(col(idCol), coalesce(col(textCol), lit("")).as("__t0"))
       .withColumn("__t3", chain(col("__t0"), three))
       .withColumn("__t2", chain(col("__t3"), two))
       .select(col(idCol), col("__t2").as("repaired"),
@@ -4824,7 +4827,7 @@ object Corpus {
       lit("[^\\s]*[aeiouy][^\\s]*"), lit(0)))
     val y = runs + (w - vowelToks)
     def d(c: Column) = c.cast("double")
-    df.select(col(idCol),
+    graft.GraftSession.spreadKernelInput(df).select(col(idCol),
       w.cast("long").as("n_words"),
       when(w === 0, lit(0L)).otherwise(s.cast("long")).as("n_sentences"),
       y.cast("long").as("n_syllables"),

@@ -132,9 +132,10 @@ object TextFunctions {
     }
     // foldRight keeps the FIRST profile-order winner: later whens wrap
     // earlier ones as the otherwise branch, so en beats de on a tie
-    df.select(col(idCol), lang.as("lang"),
-      when(top > 0L, top).otherwise(0L).as("n_hits"),
-      when(top > 0L, top - second).otherwise(0L).as("margin"))
+    graft.GraftSession.spreadKernelInput(df)
+      .select(col(idCol), lang.as("lang"),
+        when(top > 0L, top).otherwise(0L).as("n_hits"),
+        when(top > 0L, top - second).otherwise(0L).as("margin"))
   }
 
   /** Unicode-script census per document — the multilingual routing
