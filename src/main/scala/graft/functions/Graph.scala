@@ -567,8 +567,16 @@ object Graph {
     * NULL by the nullif convention, not a crash.
     *
     * Shuffle profile: canonical-dedup of the edge list, one node-keyed
-    * degree count, two degree equi-joins onto the orientation table,
-    * one scalar rollup. Nothing quadratic, nothing sorts.
+    * degree count, ONE degree equi-join pair over the |E| canonical
+    * edges, one scalar rollup. The 2|E| orientation table never
+    * materializes: over the ordered pairs every sum but Σxy is a
+    * node-local moment of the degree table — each node is the first
+    * endpoint of exactly d ordered pairs, so M = Σd, Σx = Σd²,
+    * Σx² = Σd³ — and Σxy = 2·Σ_edges d_u·d_v needs only the canonical
+    * edges (each undirected edge contributes d_u·d_v twice). Same
+    * integer sums, half the join input, two joins and a union fewer
+    * (r16: 2.84 → measured below; the 2|E| join was the query's last
+    * data-sized exchange pair).
     *
     * @return one row: (n_nodes, n_edges, m_pairs, sum_d, sum_dd,
     *         sum_d2, assortativity)
@@ -587,20 +595,22 @@ object Graph {
     val deg = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
-    val op = e.select(col("u").as("a"), col("v").as("b"))
-      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
-    val j = op
-      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("d", "x"),
-        Seq("a"))
-      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("d", "y"),
-        Seq("b"))
-    val s = j.agg(count(lit(1)).as("m_pairs"),
-      sum(col("x")).as("sum_d"),
-      sum(col("x") * col("y")).as("sum_dd"),
-      sum(col("x") * col("x")).as("sum_d2"))
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // degree moments = the ordered-pair marginal sums (empty graph:
+    // m_pairs coalesces to the count the old orientation-table rollup
+    // reported; the moment sums stay NULL exactly as before)
+    val moments = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum(col("d")), lit(0L)).as("m_pairs"),
+      sum(col("d") * col("d")).as("sum_d"),
+      sum(col("d") * col("d") * col("d")).as("sum_d2"))
+    val dd = e
+      .join(deg.withColumnRenamed("id", "u").withColumnRenamed("d", "x"),
+        Seq("u"))
+      .join(deg.withColumnRenamed("id", "v").withColumnRenamed("d", "y"),
+        Seq("v"))
+      .agg((lit(2L) * sum(col("x") * col("y"))).as("sum_dd"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    s.crossJoin(broadcast(nNodes)).crossJoin(broadcast(nEdges))
+    moments.crossJoin(broadcast(dd)).crossJoin(broadcast(nEdges))
       .select(col("n_nodes"), col("n_edges"), col("m_pairs"),
         col("sum_d"), col("sum_dd"), col("sum_d2"),
         round(
